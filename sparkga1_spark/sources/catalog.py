@@ -1,0 +1,67 @@
+"""Table catalog over the driver-generated testdata (TESTDATA.md).
+
+The reference's "catalog" is a directory listing plus a broadcast
+Configuration (SparkGA1.scala:1084-1098, 1006); here it is parquet
+sources with schema known at plan time, so Catalyst gets column pruning
+and predicate pushdown for free (SURVEY.md §4 rows 1-2).
+
+Scale note: one partition per file is the reference's model
+(parallelize(files, N)); Spark's file source instead splits by
+maxPartitionBytes, which is what you want at 100 TB — a 1000-executor
+cluster gets balanced splits regardless of file count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sparkga1_spark.session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_names() -> tuple[str, ...]:
+    return TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, normalizing physical quirks.
+
+    events.ts is stored TIMESTAMP(NANOS) — Spark reads it as long nanos
+    (legacy conf, set by apply_runtime_confs); we expose `ts` as a real
+    timestamp truncated to micros (exactly what DuckDB's parquet reader
+    yields) plus the raw `ts_ns` for exact integer arithmetic.
+    """
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", F.expr("timestamp_micros(ts_ns div 1000)"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for the SQL API path)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,176 @@
+"""Genomics-shaped fixtures derived deterministically from the star schema.
+
+FIXTURES.md defines the record kinds of the reference (SAM alignments,
+sequence dictionary, BED intervals, known-sites VCF, variants); the
+testdata only ships the star schema, so each fixture is DERIVED from a
+star table with exact integer arithmetic. Every derivation exists in two
+mirrored forms:
+
+- a DataFrame builder (Spark side of a query), and
+- a SQL CTE fragment (DuckDB oracle side),
+
+kept textually adjacent so drift is visible in review. Only integer ops
+(`*`, `+`, `%`, string concat of ints) are used — both engines compute
+them exactly, so oracle value-hashes match.
+
+Reference semantics being modeled:
+- alignments = SAM rows keyed (chr, pos) with bitmask flags
+  (SamRegionsParser.scala:42-60)
+- sequence_dict = .dict file → (name, index, len, region_size)
+  (DictParser.java:108-154, 80-96)
+- exome_intervals = BED rows incl. zero-length start==end rows
+  (SparkGA1.scala:684-697)
+- known_sites = known SNP/indel positions for semi/anti joins
+  (SparkGA1.scala:898-905)
+- variants = VCF rows keyed (chr_index, pos) with header rows at
+  chr_index=-1 (SparkGA1.scala:968-985)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# ---------------------------------------------------------------- alignments
+
+ALIGNMENTS_SQL = """
+  SELECT
+    'r' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)
+        AS read_name,
+    CAST(l_suppkey % 16 AS INTEGER)        AS flags,
+    CAST(l_partkey % 25 AS INTEGER)        AS chr_index,
+    CAST((l_orderkey * 37 + l_linenumber * 101) % 1000000 + 1 AS INTEGER) AS pos,
+    CAST((l_orderkey * 37 + l_linenumber * 101) % 1000000 + 101
+         + CAST(l_partkey % 51 AS INTEGER) AS INTEGER) AS end_pos,
+    CAST((l_orderkey * 7 + l_linenumber * 13) % 61 AS INTEGER) AS mapq,
+    l_returnflag                           AS rg,
+    l_quantity                             AS weight
+  FROM lineitem
+"""
+
+
+def alignments(lineitem: DataFrame) -> DataFrame:
+    """SAM-shaped fact table (FIXTURES.md §2) derived from lineitem."""
+    pos = (F.col("l_orderkey") * 37 + F.col("l_linenumber") * 101) % 1000000 + 1
+    return lineitem.select(
+        F.concat(
+            F.lit("r"), F.col("l_orderkey").cast("string"),
+            F.lit("_"), F.col("l_linenumber").cast("string"),
+        ).alias("read_name"),
+        (F.col("l_suppkey") % 16).cast("int").alias("flags"),
+        (F.col("l_partkey") % 25).cast("int").alias("chr_index"),
+        pos.cast("int").alias("pos"),
+        (pos + 100 + (F.col("l_partkey") % 51).cast("int")).cast("int").alias("end_pos"),
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber") * 13) % 61)
+            .cast("int").alias("mapq"),
+        F.col("l_returnflag").alias("rg"),
+        F.col("l_quantity").alias("weight"),
+    )
+
+
+# ------------------------------------------------------------- sequence_dict
+
+SEQUENCE_DICT_SQL = """
+  SELECT
+    n_name                                    AS chr_name,
+    CAST(n_nationkey AS INTEGER)              AS chr_index,
+    CAST(1000000 AS BIGINT)                   AS chr_len,
+    CAST(20000 + n_nationkey * 1000 AS INTEGER) AS region_size
+  FROM nation
+"""
+
+
+def sequence_dict(nation: DataFrame) -> DataFrame:
+    """Sequence-dictionary dimension (FIXTURES.md §1): 25 'chromosomes'
+    with per-chr bin width, mirroring DictParser.java:80-96."""
+    return nation.select(
+        F.col("n_name").alias("chr_name"),
+        F.col("n_nationkey").cast("int").alias("chr_index"),
+        F.lit(1000000).cast("long").alias("chr_len"),
+        (F.lit(20000) + F.col("n_nationkey") * 1000).cast("int").alias("region_size"),
+    )
+
+
+# ----------------------------------------------------------- exome_intervals
+
+EXOME_INTERVALS_SQL = """
+  SELECT
+    CAST(p_partkey % 25 AS INTEGER)            AS chr_index,
+    CAST((p_partkey * 7919) % 1000000 AS BIGINT) AS start,
+    CAST((p_partkey * 7919) % 1000000
+         + CASE WHEN p_partkey % 10 = 0 THEN 0
+                ELSE (p_partkey % 7 + 1) * 800 END AS BIGINT) AS "end"
+  FROM part
+"""
+
+
+def exome_intervals(part: DataFrame) -> DataFrame:
+    """BED-shaped interval table (FIXTURES.md §3). Every 10th row is
+    zero-length (start==end) to exercise the sanity fix of
+    SparkGA1.scala:692-694."""
+    start = (F.col("p_partkey") * 7919) % 1000000
+    length = F.when(F.col("p_partkey") % 10 == 0, F.lit(0)).otherwise(
+        (F.col("p_partkey") % 7 + 1) * 800
+    )
+    return part.select(
+        (F.col("p_partkey") % 25).cast("int").alias("chr_index"),
+        start.cast("long").alias("start"),
+        (start + length).cast("long").alias("end"),
+    )
+
+
+# --------------------------------------------------------------- known_sites
+
+KNOWN_SITES_SQL = """
+  SELECT DISTINCT
+    CAST(l_partkey % 25 AS INTEGER) AS chr_index,
+    CAST((l_orderkey * 37 + l_linenumber * 101) % 1000000 + 1 AS INTEGER) AS pos
+  FROM lineitem
+  WHERE l_orderkey % 11 = 0
+"""
+
+
+def known_sites(lineitem: DataFrame) -> DataFrame:
+    """Known-sites lookup table (FIXTURES.md §4): a deterministic subset
+    of alignment loci, so semi/anti joins (J-3) have real hit rates."""
+    return (
+        alignments(lineitem.filter(F.col("l_orderkey") % 11 == 0))
+        .select("chr_index", "pos")
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------------ variants
+
+VARIANTS_SQL = """
+  SELECT
+    CAST(o_orderkey % 25 AS INTEGER)                  AS chr_index,
+    CAST((o_orderkey * 53) % 1000000 + 1 AS INTEGER)  AS pos,
+    CAST(o_orderkey AS VARCHAR)                       AS id,
+    CASE o_orderkey % 4 WHEN 0 THEN 'A' WHEN 1 THEN 'C'
+                        WHEN 2 THEN 'G' ELSE 'T' END  AS ref,
+    CASE o_orderkey % 3 WHEN 0 THEN 'A' WHEN 1 THEN 'G'
+                        ELSE 'T' END                  AS alt,
+    CAST(o_orderkey % 1000 AS DOUBLE) / 10.0          AS qual,
+    CASE WHEN o_orderkey % 5 = 0 THEN '.'
+         ELSE 'PASS' END                              AS filter,
+    CAST(o_orderkey % 40 AS INTEGER)                  AS region_id
+  FROM orders
+"""
+
+
+def variants(orders: DataFrame) -> DataFrame:
+    """VCF-shaped output table (FIXTURES.md §5), keyed (chr_index, pos)
+    for the global composite-key sort (O-2) and distinct-dedup (U-3)."""
+    k = F.col("o_orderkey")
+    return orders.select(
+        (k % 25).cast("int").alias("chr_index"),
+        ((k * 53) % 1000000 + 1).cast("int").alias("pos"),
+        k.cast("string").alias("id"),
+        F.element_at(F.array(F.lit("A"), F.lit("C"), F.lit("G"), F.lit("T")),
+                     (k % 4).cast("int") + 1).alias("ref"),
+        F.element_at(F.array(F.lit("A"), F.lit("G"), F.lit("T")),
+                     (k % 3).cast("int") + 1).alias("alt"),
+        ((k % 1000).cast("double") / 10.0).alias("qual"),
+        F.when(k % 5 == 0, F.lit(".")).otherwise(F.lit("PASS")).alias("filter"),
+        (k % 40).cast("int").alias("region_id"),
+    )
