@@ -1,0 +1,112 @@
+"""Window-function operators (SURVEY.md §2.5/§2.7).
+
+These replace three hand-rolled mechanisms of the reference:
+- RegionIterator.java:101-132 interval coalescing → gaps-and-islands
+- SparkGA1.scala:289-480 equal-frequency re-split → ntile / range bucketing
+- SparkGA1.scala:601-610 per-region stable sort → sortWithinPartitions /
+  ranked windows
+
+Scale note: a Window over `partitionBy(chr)` shuffles once on chr and
+sorts within partitions — the same single shuffle the reference pays,
+but planned by Catalyst with spillable external sort. Avoid global
+(unpartitioned) windows on big data; every helper here partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    *,
+    partition_cols: Sequence[str] = ("chr_index",),
+    start: str = "pos",
+    end: str = "end_pos",
+    slack: int = 51,
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """P2-6: merge overlapping/nearby records into maximal intervals
+    (gaps-and-islands). A record joins the current island when
+    `start <= running_max(end) + slack` (RegionIterator.java:101-132;
+    slack = INTERVAL_OVERLAP = 51, RegionIterator.java:59).
+
+    Returns one row per island: partition cols + island_start /
+    island_end / n_records.
+    """
+    order_cols = [F.col(start), F.col(end), *[F.col(c) for c in order_tiebreak]]
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    prev_max_end = F.max(F.col(end)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max_end.isNull() | (F.col(start) > prev_max_end + slack), 1
+    ).otherwise(0)
+    df2 = df.withColumn("_new_island", new_island)
+    df3 = df2.withColumn(
+        "_island",
+        F.sum("_new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        df3.groupBy(*partition_cols, "_island")
+        .agg(
+            F.min(start).alias("island_start"),
+            F.max(end).alias("island_end"),
+            F.count("*").alias("n_records"),
+        )
+        .drop("_island")
+    )
+
+
+def equal_frequency_buckets(
+    df: DataFrame,
+    *,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[str],
+    n_buckets: int | Column,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """P2-4: equal-count bucketing of rows within each partition —
+    the declarative form of the reference's gather-sort-cut histogram
+    re-split (SparkGA1.scala:304-418). `order_cols` must include a
+    unique tiebreak for deterministic output.
+
+    At scale prefer `repartitionByRange` (sampling-based, no global
+    sort) when the goal is physical partitioning rather than an
+    explicit bucket id; this ntile form is the exact-semantics version.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn(out_col, F.ntile(int(n_buckets)).over(w))
+
+
+def rank_in_group(
+    df: DataFrame,
+    *,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[Column | str],
+    out_col: str = "rn",
+) -> DataFrame:
+    """O-1 as an observable result: row_number within each group by the
+    given (unique) ordering — the per-region coordinate sort of
+    SparkGA1.scala:741-747 with the rank materialized."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    w = Window.partitionBy(*partition_cols).orderBy(*cols)
+    return df.withColumn(out_col, F.row_number().over(w))
+
+
+def top_k_per_group(
+    df: DataFrame,
+    *,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[Column | str],
+    k: int,
+) -> DataFrame:
+    """Top-k per group (not in the reference — SURVEY.md §2.5 notes it
+    comes free): rank ≤ k with a unique ordering. Catalyst pushes the
+    limit into the sort per partition."""
+    ranked = rank_in_group(
+        df, partition_cols=partition_cols, order_cols=order_cols, out_col="_rn"
+    )
+    return ranked.filter(F.col("_rn") <= k).drop("_rn")

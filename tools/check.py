@@ -10,10 +10,15 @@ order-insensitive values (floats with tolerance). Usage:
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
 import duckdb
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
