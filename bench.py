@@ -1,0 +1,73 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The headline set spans the engine's cost centers: scan+agg, star join,
+range join, window coalescing, minhash LSH, ANN top-k, the salted
+pandas pipeline, and sessionization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+HEADLINE = [
+    "flagship_region_stats",
+    "tpch_q1_pricing_summary",
+    "j_star_revenue",
+    "j_range_exome_overlap",
+    "p2_interval_coalesce",
+    "a_dedup_keep_best",
+    "x_dedup_minhash_lsh",
+    "x_ann_bruteforce_topk",
+    "x_text_quality",
+    "pipeline_end_to_end",
+    "s_session_windows",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from sparkga1_spark.plans.registry import all_queries
+    from sparkga1_spark.session import get_spark
+
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # the plan, not session startup
+    queries["flagship_region_stats"](spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        n = queries[name](spark, sf_dir).count()
+        dt = round(time.time() - t0, 3)
+        times[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Text-analysis building blocks for the training-data-pipeline surface
+(BASELINE.json north star): tokenization, n-gram shingles, quality
+signals, language scoring.
+
+Everything here is built from JVM-side built-ins (split / regexp /
+higher-order array functions) — no Python in the hot path — and each
+helper has a mirrored DuckDB SQL fragment for the oracle gate, following
+the same exact-arithmetic discipline as functions/hashing.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from sparkga1_spark.functions.hashing import stable_hash64
+
+# A BPE-ish pre-tokenizer: words | numbers | single non-space symbols.
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+# Tiny per-language marker vocabularies for the n-gram/stopword language
+# heuristic. Deterministic and oracle-mirrorable; real deployments swap
+# in fastText-style models via the pandas-UDF transform surface.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "zh": ("的", "了", "是", "在"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization. DuckDB mirror:
+    str_split_regex(trim(x), ' +')"""
+    return F.split(F.trim(text), " +")
+
+
+def word_count(text: Column) -> Column:
+    return F.size(words(text))
+
+
+def token_count_bpeish(text: Column) -> Column:
+    """Count of BPE-ish pre-tokens. DuckDB mirror:
+    length(regexp_extract_all(x, TOKEN_REGEX))"""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def word_ngrams(ws: Column, n: int) -> Column:
+    """Contiguous word n-grams joined by single spaces; empty array when
+    the document has fewer than n words.
+
+    DuckDB mirror (1-indexed lists):
+      [array_to_string(W[i:i+n-1], ' ')
+       for i in generate_series(1, greatest(len(W)-n+1, 0))]
+    """
+    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0)))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(ws, i + k) for k in range(n)]
+    )
+    return F.when(F.size(ws) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Array form of the shingle hashes (distinct). PERFORMANCE NOTE:
+    higher-order-function lambdas are interpreted (outside whole-stage
+    codegen) and the collapsed projection re-evaluates the word split
+    per element — fine for small docs / previews, but the hot-path
+    operators use shingle_hash_rows below (codegen'd, linear)."""
+    return F.array_distinct(
+        F.transform(word_ngrams(words(text), n), lambda g: stable_hash64(g))
+    )
+
+
+def shingle_hash_rows(docs, *, id_col: str = "doc_id", text_col: str = "text", n: int = 3):
+    """Distinct (id, shingle-hash) ROWS — the scale shape for the
+    minhash/jaccard/simhash family: posexplode words once (split
+    evaluated once per document), form n-grams with window lead, hash,
+    distinct. Everything stays in whole-stage codegen; the only
+    exchange is the per-document window shuffle, which downstream
+    per-doc aggregations reuse.
+
+    DuckDB oracle mirror of the shingle set (array form, same hashes):
+      list_distinct([CAST(('0x' || substr(md5(W[i]||' '||W[i+1]||' '||W[i+2]),1,15)) AS BIGINT)
+                     for i in generate_series(1, greatest(len(W)-2, 0))])
+    """
+    from pyspark.sql import Window
+
+    ex = docs.select(
+        F.col(id_col),
+        F.posexplode(words(F.col(text_col))).alias("_idx", "_w"),
+    )
+    w = Window.partitionBy(id_col).orderBy("_idx")
+    parts = [F.col("_w")] + [F.lead("_w", k).over(w) for k in range(1, n)]
+    grams = ex.select(
+        F.col(id_col),
+        F.concat_ws(" ", *parts).alias("_g"),
+        parts[-1].alias("_last"),
+    ).filter(F.col("_last").isNotNull())
+    return grams.select(
+        F.col(id_col), stable_hash64(F.col("_g")).alias("h")
+    ).distinct()
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of alphabetic characters. DuckDB mirror:
+    length(regexp_replace(x, '[^A-Za-z]', '', 'g')) / length(x)"""
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    return alpha.cast("double") / F.length(text)
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Stopword tokens / all tokens (quality signal)."""
+    ws = words(text)
+    hits = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    return hits.cast("double") / F.size(ws)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit count per language over whitespace tokens."""
+    ws = words(text)
+
+    def hit(markers: tuple[str, ...]):
+        return lambda w: w.isin(*markers)
+
+    return {
+        lang: F.size(F.filter(ws, hit(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }

@@ -47,3 +47,188 @@ def exact_dedup(df: DataFrame, *, text_col: str, id_col: str) -> DataFrame:
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
         .drop("_h")
     )
+
+
+# ---------------------------------------------------------------- near-dup
+
+# Odd multipliers/offsets for the minhash permutation family; shared with
+# the SQL oracle via minhash_perms().
+_MINHASH_PERMS: list[tuple[int, int]] = [
+    (1000003, 12345),
+    (999983, 54321),
+    (999979, 11111),
+    (999961, 22222),
+    (999959, 33333),
+    (999953, 44444),
+    (999931, 55555),
+    (999917, 66666),
+]
+
+
+def minhash_perms(n: int = 8) -> list[tuple[int, int]]:
+    return _MINHASH_PERMS[:n]
+
+
+def minhash_signature(shingles, n_hashes: int = 8):
+    """MinHash signature columns from an array<long> of shingle hashes:
+    for permutation (a,b), min over shingles of (a*h'+b) mod M61.
+    Returns a list of Columns mh0..mh{n-1} (NULL when no shingles)."""
+    from sparkga1_spark.functions.hashing import MERSENNE61
+
+    def permute(a: int, b: int):
+        # single-arg lambda via closure: PySpark treats extra (default)
+        # params as the optional index argument, so no default-arg capture
+        return lambda h: ((h % F.lit(1 << 40)) * a + b) % F.lit(MERSENNE61)
+
+    sigs = []
+    for i, (a, b) in enumerate(minhash_perms(n_hashes)):
+        sigs.append(F.array_min(F.transform(shingles, permute(a, b))).alias(f"mh{i}"))
+    return sigs
+
+
+def minhash_signature_rows(
+    rows: DataFrame, *, id_col: str, hash_col: str = "h", n_hashes: int = 8
+) -> DataFrame:
+    """MinHash signatures from (id, shingle-hash) ROWS — the scale
+    shape: one hash-aggregate over the shingle stream (codegen'd,
+    partial aggs map-side), no per-doc arrays, no interpreted lambdas.
+    Output: one row per id with mh0..mh{n-1}."""
+    from sparkga1_spark.functions.hashing import MERSENNE61
+
+    h = F.col(hash_col)
+    aggs = [
+        F.min(((h % F.lit(1 << 40)) * a + b) % F.lit(MERSENNE61)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_perms(n_hashes))
+    ]
+    return rows.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    rows: DataFrame,
+    *,
+    id_col: str,
+    hash_col: str = "h",
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """MinHash + LSH banding over shingle ROWS: documents sharing any
+    band of their signature become a candidate pair (id_a < id_b,
+    distinct).
+
+    Scale shape: signatures are one narrow row per doc; banding explodes
+    to n_hashes/band_size rows per doc; the candidate join is an
+    equi-join on (band_index, band_key) — shuffle keys are 16 bytes, and
+    AQE splits hot buckets. No pairwise work ever touches non-candidates,
+    which is the whole point vs the O(n²) brute force.
+    """
+    sig = minhash_signature_rows(
+        rows, id_col=id_col, hash_col=hash_col, n_hashes=n_hashes
+    )
+    n_bands = n_hashes // band_size
+    bands = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col(f"mh{b * band_size + k}")
+                                for k in range(band_size)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # the self-join consumes bands twice; persist so signatures (and the
+    # md5 shingle lineage above them) are computed once
+    bands = bands.persist()
+    left = bands.alias("l")
+    right = bands.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    rows: DataFrame,
+    *,
+    id_col: str,
+    hash_col: str = "h",
+    threshold: float,
+) -> DataFrame:
+    """n-gram Jaccard near-dup over shingle ROWS: candidate pairs via
+    shingle equi-join, similarity = |A∩B| / (|A|+|B|-|A∩B|), filtered
+    at `threshold`. Exact (no LSH recall loss); cost grows with
+    shared-shingle volume, so run it on LSH candidates at scale."""
+    rows = rows.persist()  # consumed by sizes + both sides of the self-join
+    sizes = rows.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    l, r = rows.alias("l"), rows.alias("r")
+    inter = (
+        l.join(
+            r,
+            (F.col(f"l.{hash_col}") == F.col(f"r.{hash_col}"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    # the pair table is small relative to the shingle stream; two joins
+    # against the per-doc size aggregate attach |A| and |B|
+    inter = (
+        inter.join(
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sz", "sz_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sz", "sz_b"),
+            "id_b",
+        )
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_shared")
+    )
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash16_rows(
+    rows: DataFrame, *, id_col: str, hash_col: str = "h"
+) -> DataFrame:
+    """16-bit SimHash from (id, feature-hash) ROWS: per bit, majority
+    vote of (+1/-1); bit set iff vote > 0. One codegen'd hash-aggregate
+    (16 conditional sums), map-side partials, shuffle on id only.
+    Output: (id, simhash)."""
+    h = F.col(hash_col)
+    votes = [
+        F.sum(
+            F.when(h.bitwiseAND(F.lit(1 << i)) > 0, 1).otherwise(-1)
+        ).alias(f"_v{i}")
+        for i in range(16)
+    ]
+    voted = rows.groupBy(id_col).agg(*votes)
+    total = F.lit(0)
+    for i in range(16):
+        total = total + F.when(F.col(f"_v{i}") > 0, F.lit(1 << i)).otherwise(0)
+    return voted.select(F.col(id_col), total.cast("long").alias("simhash"))

@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (BASELINE.json north star).
+
+Two tiers, same result contract (query id → top-k neighbors):
+
+- brute-force cosine top-k: exact; cost |Q|×|C|. The engine keeps |Q|
+  bounded (a probe subset or a broadcast query batch) so the candidate
+  side streams through codegen'd vector math without materializing the
+  cross product.
+- sign-LSH bucketed: random-hyperplane sign bits bucket the space;
+  neighbor search happens within buckets (equi-join on bucket id), the
+  standard recall/cost trade. Hyperplanes are derived from index
+  arithmetic so both engines (and every executor) regenerate them
+  identically with no side channel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from sparkga1_spark.functions import vectors
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    candidate table, rank per query on rounded cosine with id tiebreak.
+    Returns (query_id, cand_id, cos_sim, rank)."""
+    # Pre-join projections do the per-row work once: the float→double
+    # cast (inlined per element_at otherwise — a full-array cast × dim
+    # per pair) and the norm. The per-pair expression is then just the
+    # dot product (same arithmetic as cosine() — dot/(na*nb)).
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        vectors.to_double(F.col(vec_col)).alias("_qv"),
+        vectors.norm(F.col(vec_col), dim).alias("_qn"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        vectors.to_double(F.col(vec_col)).alias("_cv"),
+        vectors.norm(F.col(vec_col), dim).alias("_cn"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                vectors.dot(F.col("_qv"), F.col("_cv"), dim)
+                / (F.col("_qn") * F.col("_cn")),
+                6,
+            ),
+        )
+        .drop("_qv", "_cv", "_qn", "_cn")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component j of plane i is
+    ((i*dim+j)*2654435761 mod 1000)/1000 - 0.5 (Knuth multiplicative
+    hash). Exact in both engines: integer ops then one short-decimal
+    division."""
+    return [
+        ((plane_idx * dim + j) * 2654435761 % 1000) / 1000.0 - 0.5
+        for j in range(dim)
+    ]
+
+
+def sign_lsh_bucket(vec: Column, dim: int, n_planes: int = 4) -> Column:
+    """Bucket id = sign bits of the projections onto n_planes
+    hyperplanes (bit i set iff dot(v, h_i) > 0)."""
+    bucket = F.lit(0)
+    for i in range(n_planes):
+        h = F.array(*[F.lit(x) for x in hyperplane(dim, i)])
+        proj = vectors.dot(vec, h, dim)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(0)
+    return bucket.cast("int")
+
+
+def lsh_bucketed_neighbors(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    n_planes: int = 4,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """ANN near-neighbor pairs within sign-LSH buckets: bucket each
+    vector (one narrow pass), self-join per bucket (equi-join — the
+    shuffle key is the bucket id), exact cosine as residual filter.
+    Returns (id_a, id_b, cos_sim) with id_a < id_b."""
+    bucketed = df.select(
+        F.col(id_col),
+        vectors.to_double(F.col(vec_col)).alias("_vd"),  # cast once
+        vectors.norm(F.col(vec_col), dim).alias("_n"),
+        sign_lsh_bucket(F.col(vec_col), dim, n_planes).alias("_bucket"),
+    ).persist()  # consumed twice by the self-join
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l._bucket") == F.col("r._bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        F.round(
+            vectors.dot(F.col("l._vd"), F.col("r._vd"), dim)
+            / (F.col("l._n") * F.col("r._n")),
+            6,
+        ).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold)

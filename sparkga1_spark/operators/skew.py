@@ -1,0 +1,120 @@
+"""Skew mitigation for per-group Python transforms (SURVEY.md §4 row 5 —
+the one genuinely custom optimizer piece).
+
+AQE splits skewed SHUFFLE partitions, but an `applyInPandas` group is
+indivisible: one hot (chr, reg) group = one Python worker working alone
+— exactly the straggler the reference fought with its equal-frequency
+re-split (SparkGA1.scala:241-242, 289-480). The fix is the same idea,
+declarative: detect heavy keys by weight, compute per-key position
+quantiles, and salt the group key by quantile bucket so one hot group
+becomes `segments` groups. Records with equal positions always share a
+bucket (strict '>' against boundaries), so position-local semantics
+(pileup depth, interval coalescing within a bucket boundary) survive.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def plan_segments(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    regions_factor: float = 4.0,
+) -> DataFrame:
+    """P2-3: per-key segment count = round(n × factor / avg_n), min 1
+    (the reference's formula, SparkGA1.scala:241-242). One aggregate
+    pass; output is small (one row per key)."""
+    counts = df.groupBy(*keys).agg(F.count("*").alias("_n"))
+    # scalar average via broadcast cross-join, NOT a global window (a
+    # partitionless Window collapses the table to one partition)
+    avg = counts.agg(F.avg("_n").alias("_avg"))
+    seg = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(F.col("_n") * regions_factor / F.col("_avg") + 0.5),
+    )
+    return (
+        counts.crossJoin(F.broadcast(avg))
+        .withColumn("_segments", seg)
+        .drop("_n", "_avg")
+    )
+
+
+def salt_by_quantiles(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    pos_col: str = "pos",
+    regions_factor: float = 4.0,
+    skew_factor: float = 2.0,
+    max_segments: int = 32,
+    salt_col: str = "salt",
+) -> DataFrame:
+    """P2-4 as a pre-pass: add `salt_col` splitting heavy keys into
+    equal-frequency position buckets.
+
+    Mechanics: keys above skew_factor × average count are "heavy" (AQE's
+    skew rule — on balanced data nothing splits and the pre-pass is one
+    small aggregate); each heavy key gets the reference's segment
+    formula (SparkGA1.scala:241-242) and per-key equal-frequency
+    boundaries from percentile_approx (a sketch, not the reference's
+    full position gather at SparkGA1.scala:304-353); records route by
+    counting boundaries strictly below their position, so equal
+    positions always share a bucket. Keys without boundaries get salt 0
+    and pay nothing. The boundary table is tiny → broadcast join.
+    """
+    df = df.persist()  # scanned three times: segment plan, bounds, route
+    counts = df.groupBy(*keys).agg(F.count("*").alias("_n"))
+    avg_row = counts.agg(F.avg("_n").alias("_avg"))
+    heavy = (
+        counts.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("_n") > F.col("_avg") * skew_factor)
+        .withColumn(
+            "_segments",
+            F.least(
+                F.greatest(
+                    F.lit(2).cast("long"),
+                    F.floor(F.col("_n") * regions_factor / F.col("_avg") + 0.5),
+                ),
+                F.lit(max_segments).cast("long"),
+            ),
+        )
+        .select(*keys, "_segments")
+    )
+    fracs = [i / max_segments for i in range(1, max_segments)]
+    bounds = (
+        df.join(F.broadcast(heavy), on=list(keys), how="inner")
+        .groupBy(*keys, "_segments")
+        .agg(F.percentile_approx(pos_col, fracs, 1_000).alias("_all_bounds"))
+        # keep segments-1 evenly spaced boundaries out of the sketch grid
+        .withColumn(
+            "_bounds",
+            F.transform(
+                F.sequence(F.lit(1), F.col("_segments") - 1),
+                lambda i: F.element_at(
+                    F.col("_all_bounds"),
+                    (i * max_segments / F.col("_segments")).cast("int"),
+                ),
+            ),
+        )
+        .select(*keys, "_bounds")
+    )
+    # routing: count boundaries strictly below pos. Unrolled element_at
+    # comparisons (boundary count is capped at max_segments-1) stay in
+    # whole-stage codegen; a lambda fold here would be interpreted per
+    # row — the dominant cost at fact-table volume.
+    route = F.lit(0)
+    for k in range(1, max_segments):
+        # try_element_at: null beyond the array end (ANSI element_at throws)
+        b_k = F.try_element_at(F.col("_bounds"), F.lit(k))
+        route = route + F.when(
+            b_k.isNotNull() & (F.col(pos_col) > b_k), 1
+        ).otherwise(0)
+    salted = df.join(F.broadcast(bounds), on=list(keys), how="left").withColumn(
+        salt_col,
+        F.when(F.col("_bounds").isNull(), F.lit(0)).otherwise(route),
+    )
+    return salted.drop("_bounds")

@@ -1,0 +1,105 @@
+"""Black-box per-group / per-partition transform surface (SURVEY.md
+§2.8, X-1..X-8).
+
+The reference's heavy lifting is external processes per region (bwa,
+Picard, GATK — SparkGA1.scala:817-953); the engine's equivalent is the
+Arrow-batched pandas transform family:
+
+- apply_per_group: `applyInPandas` over group keys — the X-2..X-5,X-8
+  shape (region in → region result out). Optionally skew-salted via
+  operators/skew.py so a hot region doesn't serialize on one worker
+  (the reference's Part-2 problem).
+- map_batches: `mapInPandas` over partitions — the X-1 shape (chunk in
+  → many records out, a flatMap-style UDTF).
+- pipe_partitions: the rdd.pipe analog for true external binaries, kept
+  behind one function so the subprocess surface is a single audited
+  point.
+
+These are the ONLY sanctioned Python-in-the-loop entry points; every
+relational operator stays JVM-side.
+"""
+
+from __future__ import annotations
+
+import subprocess
+from collections.abc import Callable, Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def apply_per_group(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+    salt_on: str | None = None,
+    regions_factor: float = 4.0,
+) -> DataFrame:
+    """Run `fn` once per key group (Arrow-batched pandas in/out).
+
+    With `salt_on=<position column>`, heavy groups are pre-split into
+    equal-frequency position buckets (operators/skew.py) and `fn` runs
+    per (key..., salt) — valid whenever `fn` is position-local, i.e.
+    distributes over a position split (all X-* analogs are: they process
+    coordinate-sorted slices). The salt column is not exposed to `fn`.
+    """
+    if salt_on is None:
+        return df.groupBy(*keys).applyInPandas(fn, schema=schema)
+    from sparkga1_spark.operators.skew import salt_by_quantiles
+
+    salted = salt_by_quantiles(
+        df, keys=keys, pos_col=salt_on, regions_factor=regions_factor
+    )
+
+    def drop_salt_then(pdf: pd.DataFrame) -> pd.DataFrame:
+        return fn(pdf.drop(columns=["salt"]))
+
+    return salted.groupBy(*keys, "salt").applyInPandas(
+        drop_salt_then, schema=schema
+    )
+
+
+def map_batches(
+    df: DataFrame,
+    *,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+) -> DataFrame:
+    """X-1 shape: per-partition batch flatMap (`mapInPandas`). `fn` maps
+    one pandas batch to an output frame of any row count."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield fn(pdf)
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def pipe_partitions(
+    df: DataFrame,
+    *,
+    cmd: list[str],
+    in_col: str = "line",
+    out_field: str = "line",
+) -> DataFrame:
+    """rdd.pipe analog (the reference's bwa spawn, SparkGA1.scala:128-143):
+    stream `in_col` lines through an external command per partition,
+    yield stdout lines. Used for true external tools; tests use
+    deterministic commands (e.g. sed) since no genomics binaries ship in
+    this environment."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            proc = subprocess.run(
+                cmd,
+                input="\n".join(pdf[in_col].astype(str)) + "\n",
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            lines = [ln for ln in proc.stdout.split("\n") if ln]
+            yield pd.DataFrame({out_field: lines})
+
+    return df.mapInPandas(run, schema=f"{out_field} string")

@@ -1,0 +1,84 @@
+"""The genomics-shaped end-to-end composition (SURVEY.md §7.3 M7).
+
+The reference runs three Spark jobs relaying files through HDFS
+(SparkGA1.scala: Part 1 map → Part 2 load-balance → Part 3 call+merge);
+here the same semantics are ONE lazy plan:
+
+    scan → filter (F-2) → broadcast dict join + range bin (J-1/F-7)
+        → skew-salted per-region pandas transform (X-5 analog, P2-3/P2-4)
+        → union header rows (U-2) → distinct (U-3)
+        → global composite-key sort (O-2)
+
+The "variant caller" stand-in is deterministic pure Python (pileup
+depth ≥ 2 per locus) so the whole pipeline stays oracle-checkable —
+the real engine would swap `call_variants_pdf` for a GATK-style tool
+via the same transform surface (operators/transform.py), which is the
+entire point of the black-box API.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sparkga1_spark.operators import binning, filters
+from sparkga1_spark.operators.transform import apply_per_group
+from sparkga1_spark.sources import fixtures
+from sparkga1_spark.sources.catalog import load_table
+
+VARIANT_SCHEMA = (
+    "chr_index int, reg int, pos int, depth long, avg_mapq double"
+)
+
+
+def call_variants_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-region 'variant caller' stand-in (X-5, SparkGA1.scala:926-953):
+    coordinate-sort the region's reads, emit loci with pileup depth ≥ 2.
+    Depth/avg are exact in float64 (integer sums < 2^53), so the DuckDB
+    oracle reproduces them bit-for-bit after 6dp rounding."""
+    g = pdf.sort_values("pos").groupby("pos", sort=True)
+    out = g.agg(
+        depth=("mapq", "size"),
+        avg_mapq=("mapq", "mean"),
+    ).reset_index()
+    out = out[out["depth"] >= 2]
+    out["chr_index"] = pdf["chr_index"].iloc[0]
+    out["reg"] = pdf["reg"].iloc[0]
+    out["avg_mapq"] = out["avg_mapq"].round(6)
+    return out[["chr_index", "reg", "pos", "depth", "avg_mapq"]]
+
+
+def variant_call_stage(
+    binned: DataFrame, *, salt: bool = True, regions_factor: float = 4.0
+) -> DataFrame:
+    """The per-(chr, reg) black-box stage, skew-salted so a hot region
+    splits into position buckets (depth is position-local, so salting by
+    position quantiles cannot change results)."""
+    return apply_per_group(
+        binned.select("chr_index", "reg", "pos", "mapq"),
+        keys=("chr_index", "reg"),
+        fn=call_variants_pdf,
+        schema=VARIANT_SCHEMA,
+        salt_on="pos" if salt else None,
+        regions_factor=regions_factor,
+    )
+
+
+def genomics_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full map→balance→call→merge flow as one plan; returns the merged,
+    deduplicated, globally ordered 'VCF' with header rows first."""
+    al = filters.filter_unmapped(
+        fixtures.alignments(load_table(spark, sf_dir, "lineitem"))
+    )
+    sd = fixtures.sequence_dict(load_table(spark, sf_dir, "nation"))
+    binned = binning.bin_by_region(al, sd)
+    called = variant_call_stage(binned)
+    header = load_table(spark, sf_dir, "region").select(
+        F.lit(-1).alias("chr_index"),
+        F.lit(-1).alias("reg"),
+        F.col("r_regionkey").cast("int").alias("pos"),
+        F.lit(0).cast("long").alias("depth"),
+        F.lit(0.0).alias("avg_mapq"),
+    )
+    merged = header.unionByName(called).distinct()
+    return merged.orderBy("chr_index", "pos")

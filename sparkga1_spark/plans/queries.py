@@ -704,3 +704,533 @@ def w_running_revenue(spark, sf_dir):
         ).alias("running_total"),
         F.row_number().over(w).alias("order_seq"),
     )
+
+
+# --------------------------------------------------------------------------
+# M8 training-data-pipeline extensions (BASELINE.json north star):
+# dedup family, similarity search, text analysis, multimodal plumbing.
+# --------------------------------------------------------------------------
+
+from sparkga1_spark.functions import text as T  # noqa: E402
+from sparkga1_spark.functions import vectors as V  # noqa: E402
+from sparkga1_spark.operators import dedup as D  # noqa: E402
+from sparkga1_spark.operators import similarity as S  # noqa: E402
+
+# doc_id → distinct word-3-gram shingle hashes; mirrored by
+# functions/text.py shingle_hashes (see parity notes there).
+DOC_SHINGLES_SQL = """
+  SELECT doc_id, sh FROM (
+    SELECT doc_id,
+           list_distinct([CAST(('0x' || substr(md5(W[i] || ' ' || W[i+1] || ' ' || W[i+2]), 1, 15)) AS BIGINT)
+                          for i in generate_series(1, greatest(len(W)-2, 0))]) AS sh
+    FROM (SELECT doc_id, str_split_regex(trim(text), ' +') AS W FROM documents)
+  )
+"""
+
+
+def _doc_shingle_rows(spark, sf_dir):
+    """Distinct (doc_id, h) shingle-hash rows — the codegen'd scale shape
+    (see functions/text.py shingle_hash_rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.shingle_hash_rows(docs)
+
+
+def _minhash_sql_exprs() -> list[str]:
+    from sparkga1_spark.functions.hashing import MERSENNE61
+
+    return [
+        f"list_min([(x % {1 << 40} * {a} + {b}) % {MERSENNE61} for x in sh]) AS mh{i}"
+        for i, (a, b) in enumerate(D.minhash_perms(8))
+    ]
+
+
+@query(
+    "x_dedup_exact",
+    oracle="""
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def x_dedup_exact(spark, sf_dir):
+    """Exact dedup via content hash — keep min doc_id per distinct text;
+    shuffle carries the 8-byte hash, not the document body."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, text_col="text", id_col="doc_id")
+
+
+@query(
+    "x_dedup_minhash_lsh",
+    oracle=f"""
+WITH doc_shingles AS ({DOC_SHINGLES_SQL}),
+signatures AS (
+  SELECT doc_id, {', '.join(_minhash_sql_exprs())}
+  FROM doc_shingles WHERE len(sh) > 0
+),
+bands AS (
+  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR) AS key FROM signatures
+  UNION ALL
+  SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR) FROM signatures
+  UNION ALL
+  SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || ':' || CAST(mh5 AS VARCHAR) FROM signatures
+  UNION ALL
+  SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || ':' || CAST(mh7 AS VARCHAR) FROM signatures
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+""",
+)
+def x_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(8 perms) + LSH(4 bands × 2) candidate near-dup pairs."""
+    rows = _doc_shingle_rows(spark, sf_dir)
+    return D.minhash_lsh_pairs(rows, id_col="doc_id")
+
+
+@query(
+    "x_dedup_ngram_jaccard",
+    oracle=f"""
+WITH doc_shingles AS ({DOC_SHINGLES_SQL}),
+exploded AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS h FROM doc_shingles)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+         round(CAST(count(*) AS DOUBLE)
+               / (any_value(l.sz) + any_value(r.sz) - count(*)), 6) AS jaccard
+  FROM exploded l JOIN exploded r ON l.h = r.h AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+)
+WHERE jaccard >= 0.2
+""",
+)
+def x_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard similarity pairs at τ=0.2 (word 3-grams)."""
+    rows = _doc_shingle_rows(spark, sf_dir)
+    return D.jaccard_pairs(rows, id_col="doc_id", threshold=0.2)
+
+
+@query(
+    "x_dedup_simhash",
+    oracle=f"""
+WITH doc_shingles AS ({DOC_SHINGLES_SQL})
+SELECT doc_id,
+       CAST({' + '.join(
+           f"(CASE WHEN list_sum([CASE WHEN (x & {1 << i}) > 0 THEN 1 ELSE -1 END for x in sh]) > 0 THEN {1 << i} ELSE 0 END)"
+           for i in range(16)
+       )} AS BIGINT) AS simhash
+FROM doc_shingles
+WHERE len(sh) > 0
+""",
+)
+def x_dedup_simhash(spark, sf_dir):
+    """16-bit SimHash fingerprints per document (near-dup = small
+    Hamming distance; banding over bit-slices finds pairs at scale)."""
+    rows = _doc_shingle_rows(spark, sf_dir)
+    return D.simhash16_rows(rows, id_col="doc_id")
+
+
+@query(
+    "x_text_quality",
+    oracle="""
+SELECT doc_id,
+       len(str_split_regex(trim(text), ' +')) AS n_words,
+       length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_tokens,
+       round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / length(text), 6) AS alpha_ratio,
+       round(CAST(len(list_filter(str_split_regex(trim(text), ' +'),
+                                  w -> w IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+             / len(str_split_regex(trim(text), ' +')), 6) AS stopword_ratio
+FROM documents
+""",
+)
+def x_text_quality(spark, sf_dir):
+    """Quality scoring: word/BPE-ish token counts, alphabetic ratio,
+    stopword ratio — the standard pretraining quality signals, all
+    JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.word_count(t).alias("n_words"),
+        T.token_count_bpeish(t).alias("n_tokens"),
+        F.round(T.alpha_ratio(t), 6).alias("alpha_ratio"),
+        F.round(T.stopword_ratio(t), 6).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "x_lang_id",
+    oracle="""
+SELECT lang, pred_lang, count(*) AS n FROM (
+  SELECT lang,
+         CASE WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
+              WHEN s_es >= greatest(s_de, s_fr, s_zh) THEN 'es'
+              WHEN s_de >= greatest(s_fr, s_zh) THEN 'de'
+              WHEN s_fr >= s_zh THEN 'fr'
+              ELSE 'zh' END AS pred_lang
+  FROM (
+    SELECT lang,
+           len(list_filter(W, w -> w IN ('the','a','of','and'))) AS s_en,
+           len(list_filter(W, w -> w IN ('el','la','de','que'))) AS s_es,
+           len(list_filter(W, w -> w IN ('der','die','und','das'))) AS s_de,
+           len(list_filter(W, w -> w IN ('le','la','et','les'))) AS s_fr,
+           len(list_filter(W, w -> w IN ('的','了','是','在'))) AS s_zh
+    FROM (SELECT lang, str_split_regex(trim(text), ' +') AS W FROM documents)
+  )
+)
+GROUP BY lang, pred_lang
+""",
+)
+def x_lang_id(spark, sf_dir):
+    """Language-ID heuristic (marker-token voting) with a confusion
+    matrix against the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = T.lang_scores(F.col("text"))
+    s = {k: scores[k] for k in ("en", "es", "de", "fr", "zh")}
+    pred = (
+        F.when(s["en"] >= F.greatest(s["es"], s["de"], s["fr"], s["zh"]), "en")
+        .when(s["es"] >= F.greatest(s["de"], s["fr"], s["zh"]), "es")
+        .when(s["de"] >= F.greatest(s["fr"], s["zh"]), "de")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+    return (
+        docs.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "x_doc_fingerprint",
+    oracle=f"""
+WITH doc_shingles AS ({DOC_SHINGLES_SQL})
+SELECT d.doc_id,
+       list_min(s.sh) AS fp_min_shingle,
+       CAST(('0x' || substr(md5(substr(d.text, 1, 64)), 1, 15)) AS BIGINT) AS fp_head,
+       d.n_chars
+FROM documents d JOIN doc_shingles s ON d.doc_id = s.doc_id
+WHERE len(s.sh) > 0
+""",
+)
+def x_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: min-shingle (winnowing-lite) + head
+    hash + length — a compact signature for fast pre-filtering."""
+    from sparkga1_spark.functions.hashing import stable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = _doc_shingle_rows(spark, sf_dir).groupBy("doc_id").agg(
+        F.min("h").alias("fp_min_shingle")
+    )
+    return docs.join(fp, "doc_id").select(
+        "doc_id",
+        "fp_min_shingle",
+        stable_hash64(F.substring("text", 1, 64)).alias("fp_head"),
+        "n_chars",
+    )
+
+
+_ANN_COS = V.COSINE_SQL.format(a="q.embedding", b="c.embedding")
+
+
+@query(
+    "x_ann_bruteforce_topk",
+    oracle=f"""
+SELECT query_id, cand_id, cos_sim, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round({_ANN_COS}, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY round({_ANN_COS}, 6) DESC, c.vec_id) AS rank
+  FROM embeddings q JOIN embeddings c ON q.vec_id % 20 = 0 AND c.vec_id != q.vec_id
+)
+WHERE rank <= 5
+""",
+)
+def x_ann_bruteforce_topk(spark, sf_dir):
+    """Exact cosine top-5 for a 5% probe query set against all
+    candidates — the ANN correctness baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 20 == 0)
+    return S.brute_force_topk(qs, emb, k=5, dim=64)
+
+
+@query(
+    "x_ann_lsh_buckets",
+    oracle="""
+SELECT b AS bucket, count(*) AS n_vecs FROM (
+  SELECT CAST((CASE WHEN list_sum([e[j] * (((0*64 + (j-1)) * 2654435761 % 1000)/1000.0 - 0.5) for j in generate_series(1,64)]) > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN list_sum([e[j] * (((1*64 + (j-1)) * 2654435761 % 1000)/1000.0 - 0.5) for j in generate_series(1,64)]) > 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN list_sum([e[j] * (((2*64 + (j-1)) * 2654435761 % 1000)/1000.0 - 0.5) for j in generate_series(1,64)]) > 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN list_sum([e[j] * (((3*64 + (j-1)) * 2654435761 % 1000)/1000.0 - 0.5) for j in generate_series(1,64)]) > 0 THEN 8 ELSE 0 END) AS INTEGER) AS b
+  FROM (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+)
+GROUP BY b
+""",
+)
+def x_ann_lsh_buckets(spark, sf_dir):
+    """Sign-LSH bucket assignment (4 deterministic hyperplanes) —
+    the partitioning pass of the scale path for similarity search."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(S.sign_lsh_bucket(F.col("embedding"), 64, 4).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+
+
+@query(
+    "x_embedding_neardup",
+    oracle=f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         CAST((CASE WHEN list_sum([e[j] * (((0*64 + (j-1)) * 2654435761 % 1000)/1000.0 - 0.5) for j in generate_series(1,64)]) > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN list_sum([e[j] * (((1*64 + (j-1)) * 2654435761 % 1000)/1000.0 - 0.5) for j in generate_series(1,64)]) > 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN list_sum([e[j] * (((2*64 + (j-1)) * 2654435761 % 1000)/1000.0 - 0.5) for j in generate_series(1,64)]) > 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN list_sum([e[j] * (((3*64 + (j-1)) * 2654435761 % 1000)/1000.0 - 0.5) for j in generate_series(1,64)]) > 0 THEN 8 ELSE 0 END) AS INTEGER) AS b
+  FROM (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+)
+SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+       round({V.COSINE_SQL.format(a="l.embedding", b="r.embedding")}, 6) AS cos_sim
+FROM bucketed l JOIN bucketed r ON l.b = r.b AND l.vec_id < r.vec_id
+WHERE round({V.COSINE_SQL.format(a="l.embedding", b="r.embedding")}, 6) >= 0.8
+""",
+)
+def x_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs at τ=0.8, searched only within
+    sign-LSH buckets (the scale path: equi-join on bucket id)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_bucketed_neighbors(emb, dim=64, n_planes=4, threshold=0.8)
+
+
+# --------------------------------------------------------------------------
+# M5 black-box transforms (X-*) + M7 pipeline composition. The pandas
+# stand-ins are deterministic so even the applyInPandas stages get full
+# value oracles (SURVEY.md §7.4d's weaker rows-only check not needed).
+# --------------------------------------------------------------------------
+
+_VARIANT_BODY_SQL = """
+  SELECT a.chr_index,
+         CAST(floor(CAST(a.pos AS DOUBLE) / d.region_size) AS INTEGER) AS reg,
+         a.pos, count(*) AS depth, round(avg(a.mapq), 6) AS avg_mapq
+  FROM alignments a JOIN sequence_dict d USING (chr_index)
+  WHERE (a.flags & 4) = 0
+  GROUP BY 1, 2, 3
+  HAVING count(*) >= 2
+"""
+
+
+@query(
+    "x_blackbox_variant_call",
+    oracle=FIXTURE_CTES + "\n" + _VARIANT_BODY_SQL,
+)
+def x_blackbox_variant_call(spark, sf_dir):
+    """X-5 analog: per-(chr, reg) pandas transform (pileup depth ≥ 2),
+    skew-salted by position quantiles (SURVEY.md §4 row 5) — the oracle
+    proves salting does not change group-transform results."""
+    from sparkga1_spark.plans.pipeline import variant_call_stage
+
+    al = filters.filter_unmapped(_alignments(spark, sf_dir))
+    binned = binning.bin_by_region(al, _seq_dict(spark, sf_dir))
+    return variant_call_stage(binned, salt=True)
+
+
+@query(
+    "pipeline_end_to_end",
+    oracle=FIXTURE_CTES
+    + f"""
+SELECT chr_index, reg, pos, depth, avg_mapq FROM (
+  SELECT -1 AS chr_index, -1 AS reg, CAST(r_regionkey AS INTEGER) AS pos,
+         CAST(0 AS BIGINT) AS depth, 0.0 AS avg_mapq
+  FROM region
+  UNION ALL
+  {_VARIANT_BODY_SQL}
+)
+""",
+)
+def pipeline_end_to_end(spark, sf_dir):
+    """M7: the reference's whole three-job pipeline as ONE lazy plan
+    (scan→filter→bin→salted pandas call→union header→distinct→sort)."""
+    from sparkga1_spark.plans.pipeline import genomics_pipeline
+
+    return genomics_pipeline(spark, sf_dir)
+
+
+@query(
+    "x_pipe_external_tool",
+    oracle="""
+SELECT upper(l_returnflag) AS line, count(*) AS n
+FROM lineitem GROUP BY 1
+""",
+)
+def x_pipe_external_tool(spark, sf_dir):
+    """X-1's process-spawn shape (rdd.pipe analog): stream rows through
+    an external command per partition (`tr a-z A-Z` standing in for bwa,
+    SparkGA1.scala:128-143) and re-aggregate the stdout."""
+    from sparkga1_spark.operators.transform import pipe_partitions
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("line")
+    )
+    piped = pipe_partitions(li, cmd=["tr", "a-z", "A-Z"])
+    return piped.groupBy("line").agg(F.count("*").alias("n"))
+
+
+@query(
+    "x_flatmap_records",
+    oracle="""
+SELECT doc_id, u.i AS word_idx, u.w AS word FROM (
+  SELECT doc_id,
+         unnest([{'i': i, 'w': W[i]} for i in generate_series(1, len(W))]) AS u
+  FROM (SELECT doc_id, str_split_regex(trim(text), ' +') AS W FROM documents)
+)
+""",
+)
+def x_flatmap_records(spark, sf_dir):
+    """X-1's 1→N record-expansion shape via mapInPandas: each document
+    batch flat-maps to one output row per token (the chunk→SAM-records
+    dataflow of bwaRun, SparkGA1.scala:63-217)."""
+    import pandas as pd
+
+    from sparkga1_spark.operators.transform import map_batches
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def explode_words(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text_val in zip(pdf["doc_id"], pdf["text"]):
+            for i, w in enumerate(text_val.strip().split()):
+                rows.append((doc_id, i + 1, w))
+        return pd.DataFrame(rows, columns=["doc_id", "word_idx", "word"])
+
+    return map_batches(
+        docs, fn=explode_words, schema="doc_id long, word_idx int, word string"
+    )
+
+
+@query(
+    "x_multimodal_decode",
+    oracle="""
+SELECT doc_id,
+       length(text) AS byte_len,
+       CAST(h % 640 + 1 AS INTEGER) AS width,
+       CAST(h % 480 + 1 AS INTEGER) AS height,
+       CAST(length(text) % 30 + 1 AS INTEGER) AS n_frames
+FROM (SELECT doc_id, text,
+             CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+      FROM documents)
+""",
+)
+def x_multimodal_decode(spark, sf_dir):
+    """Multimodal plumbing: treat content as an opaque binary column,
+    'decode' per Arrow batch via mapInPandas. The decode here is a
+    DETERMINISTIC FAKE (md5-derived dimensions — real image/audio libs
+    are absent in this environment; swap the body for PIL/ffmpeg in
+    production). The Spark-side plumbing — binary column, batch
+    iterator, typed output schema — is real and oracle-checked."""
+    import hashlib
+
+    import pandas as pd
+
+    from sparkga1_spark.operators.transform import map_batches
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            h = int(hashlib.md5(data).hexdigest()[:15], 16)
+            out.append(
+                (doc_id, len(data), h % 640 + 1, h % 480 + 1, len(data) % 30 + 1)
+            )
+        return pd.DataFrame(
+            out, columns=["doc_id", "byte_len", "width", "height", "n_frames"]
+        )
+
+    return map_batches(
+        docs,
+        fn=decode,
+        schema="doc_id long, byte_len int, width int, height int, n_frames int",
+    )
+
+
+# --------------------------------------------------------------------------
+# M6 streaming semantics, batch-checkable forms (SURVEY.md §2.9). The
+# true readStream path is exercised in tests/test_streaming.py with
+# Trigger.AvailableNow; these batch twins share the same Column logic
+# (streaming/windows.py), so the oracle validates both.
+# --------------------------------------------------------------------------
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+@query(
+    "s_tumbling_counts",
+    oracle="""
+SELECT (e - e % 300) AS win_start, event_type, count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e, event_type, value FROM events)
+GROUP BY 1, 2
+""",
+)
+def s_tumbling_counts(spark, sf_dir):
+    """Tumbling 5-minute event-time windows (batch twin of the
+    streaming query; window-start as epoch seconds)."""
+    from sparkga1_spark.streaming.windows import tumbling_counts
+
+    return tumbling_counts(_events(spark, sf_dir), width_s=300)
+
+
+@query(
+    "s_sliding_avg",
+    oracle="""
+SELECT win_start, count(*) AS n, round(avg(value), 6) AS avg_value
+FROM (
+  SELECT (e - e % 300) - k AS win_start, value
+  FROM (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e, value FROM events),
+       unnest([0, 300]) AS t(k)
+)
+GROUP BY win_start
+""",
+)
+def s_sliding_avg(spark, sf_dir):
+    """Sliding 10-minute windows every 5 minutes (each event in exactly
+    two windows)."""
+    from sparkga1_spark.streaming.windows import sliding_avg
+
+    return sliding_avg(_events(spark, sf_dir), width_s=600, slide_s=300)
+
+
+@query(
+    "s_session_windows",
+    oracle="""
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM (
+  SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM (
+    SELECT *, CASE WHEN pts IS NULL
+                     OR floor(epoch(ts)) - floor(epoch(pts)) > 1800
+                   THEN 1 ELSE 0 END AS ni
+    FROM (SELECT user_id, event_id, ts, value,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+          FROM events)
+  )
+)
+GROUP BY user_id, sess
+""",
+)
+def s_session_windows(spark, sf_dir):
+    """Per-user session windows, 30-minute inactivity gap — same
+    gaps-and-islands operator family as the genomics interval
+    coalescing (P2-6), applied to event time."""
+    from sparkga1_spark.streaming.windows import session_windows
+
+    return session_windows(_events(spark, sf_dir), gap_s=1800)

