@@ -84,3 +84,62 @@ def interval_overlap_join(
         .filter(overlap & anchor)
         .drop("_bin")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """As-of join (absent in the reference — SURVEY.md §2.4 notes Spark
+    also lacks a native one): for every left row, attach the most recent
+    right row with right_time <= left_time, per key.
+
+    Scale-first construction (single shuffle, no per-key explosion):
+    union both sides tagged, sort within key partitions by
+    (time, side-tag), and carry the latest right values forward with
+    last_value(ignoreNulls) — the classic streaming merge, expressed as
+    a window. Cost is one exchange on `on` + one sort, independent of
+    how many right rows precede each left row (a join+filter+row_number
+    would materialize every candidate pair).
+    """
+    from pyspark.sql import Window
+
+    lcols = left.columns
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    merged = l_tagged.unionByName(r_tagged)
+    # right rows (side 0) sort before left rows at equal timestamps →
+    # "most recent right with right_time <= left_time" inclusive
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = merged.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in right_cols],
+    )

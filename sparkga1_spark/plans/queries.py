@@ -1234,3 +1234,178 @@ def s_session_windows(spark, sf_dir):
     from sparkga1_spark.streaming.windows import session_windows
 
     return session_windows(_events(spark, sf_dir), gap_s=1800)
+
+
+# --------------------------------------------------------------------------
+# Engine additions beyond the reference surface (SURVEY.md §2.4/§2.5
+# "free" generalizations): as-of join, rollup/pivot, exact percentiles,
+# and the A-8 covariate-table aggregation.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "j_asof_latest_order",
+    oracle="""
+SELECT e.event_id, e.user_id, o.o_orderkey AS asof_o_orderkey
+FROM events e
+ASOF LEFT JOIN (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+                FROM orders GROUP BY 1, 2) o
+  ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
+""",
+)
+def j_asof_latest_order(spark, sf_dir):
+    """As-of join: each event picks the user's most recent order at
+    event time — single-shuffle union-merge construction (see
+    operators/joins.py asof_join); oracle is DuckDB's native ASOF."""
+    from sparkga1_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = asof_join(
+        ev.withColumnRenamed("user_id", "k"),
+        od.withColumnRenamed("o_custkey", "k"),
+        on="k",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["o_orderkey"],
+    )
+    return joined.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("asof_o_orderkey"),
+    )
+
+
+@query(
+    "a_rollup_revenue",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+       count(*) AS n,
+       round(sum(l_extendedprice), 2) AS total
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+)
+def a_rollup_revenue(spark, sf_dir):
+    """Hierarchical rollup with grouping indicators (subtotal levels) —
+    multi-level aggregation in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
+    "a_pivot_status_qty",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_open,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_filled
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def a_pivot_status_qty(spark, sf_dir):
+    """Pivot (wide aggregation) — linestatus spread into columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_open"),
+            F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_filled"),
+        )
+    )
+
+
+@query(
+    "a_exact_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+       round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+       round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def a_exact_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (O-3's quantile family;
+    the approx sketch variant is percentile_approx, used in
+    operators/skew.py where exactness is unnecessary)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("p75"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("price_p90"),
+    )
+
+
+@query(
+    "a_covariate_table",
+    oracle=FIXTURE_CTES
+    + """
+SELECT rg, mapq_bin, cycle_bin,
+       count(*) AS n_obs,
+       round(avg(CAST(pos % 97 AS DOUBLE) / 97.0), 6) AS mismatch_rate
+FROM (
+  SELECT a.rg, CAST(floor(a.mapq / 10.0) AS INTEGER) AS mapq_bin,
+         CAST(floor(a.pos % 151 / 25.0) AS INTEGER) AS cycle_bin, a.pos
+  FROM alignments a
+  WHERE NOT EXISTS (SELECT 1 FROM known_sites k
+                    WHERE k.chr_index = a.chr_index AND k.pos = a.pos)
+)
+GROUP BY rg, mapq_bin, cycle_bin
+""",
+)
+def a_covariate_table(spark, sf_dir):
+    """A-8: BaseRecalibrator's covariate table (SparkGA1.scala:901-905)
+    — group by (read group, quality bin, cycle bin) over loci NOT in
+    known sites (anti join), with a deterministic mismatch stand-in."""
+    from sparkga1_spark.operators.joins import anti_join_sites
+
+    al = _alignments(spark, sf_dir)
+    ks = fixtures.known_sites(load_table(spark, sf_dir, "lineitem"))
+    novel = anti_join_sites(al, ks)
+    return (
+        novel.select(
+            "rg",
+            (F.col("mapq") / 10).cast("int").alias("mapq_bin"),
+            (F.col("pos") % 151 / 25).cast("int").alias("cycle_bin"),
+            "pos",
+        )
+        .groupBy("rg", "mapq_bin", "cycle_bin")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.round(F.avg((F.col("pos") % 97).cast("double") / 97.0), 6).alias(
+                "mismatch_rate"
+            ),
+        )
+    )

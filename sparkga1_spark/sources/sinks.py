@@ -1,0 +1,66 @@
+"""Sinks (SURVEY.md §2.1 S-4/S-6/S-7).
+
+The reference hand-writes three output shapes: per-region coordinate-
+sorted BAM+BED files (S-6), a TSV manifest checkpoint between jobs
+(S-4), and one globally ordered merged VCF written by the driver (S-7,
+SparkGA1.scala:1241-1250). Spark-first equivalents:
+
+- partitioned sink: `partitionBy(keys)` + `sortWithinPartitions` — the
+  committer writes each (chr, reg) directory with rows in coordinate
+  order; no driver-side byte shuffling.
+- checkpoint: just parquet (columnar, splittable — the manifest TSV
+  disappears into a stage boundary unless explicitly materialized).
+- single-file ordered sink: range-sort globally, then coalesce(1) for
+  the final write only. The sort itself is distributed (range exchange);
+  only the last write funnels — same topology as the reference's
+  driver-side merge, minus the collect. For large outputs prefer the
+  partitioned sink; this exists for the "one VCF file" contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned_sorted(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_cols: Sequence[str],
+    sort_cols: Sequence[str],
+    mode: str = "overwrite",
+) -> None:
+    """S-6: one directory per partition key, rows coordinate-sorted
+    within every output file (SparkGA1.scala:613-651 semantics)."""
+    (
+        df.repartition(*[df[c] for c in partition_cols])
+        .sortWithinPartitions(*partition_cols, *sort_cols)
+        .write.mode(mode)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def write_single_file_ordered(
+    df: DataFrame,
+    path: str,
+    *,
+    order_cols: Sequence[str],
+    mode: str = "overwrite",
+) -> None:
+    """S-7: one globally ordered file (the combined-VCF contract,
+    SparkGA1.scala:1241-1250). orderBy does a distributed range sort;
+    coalesce(1) only funnels the already-sorted partitions into a single
+    writer, preserving order (coalesce keeps partition order and does
+    not redistribute rows)."""
+    df.orderBy(*order_cols).coalesce(1).write.mode(mode).parquet(path)
+
+
+def checkpoint_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> DataFrame:
+    """S-4: materialize an intermediate (the bwaOut.txt manifest analog)
+    and return a fresh scan over it — cuts lineage exactly like the
+    reference's between-jobs file relay, but columnar and splittable."""
+    df.write.mode(mode).parquet(path)
+    return df.sparkSession.read.parquet(path)

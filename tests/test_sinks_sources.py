@@ -1,0 +1,106 @@
+"""Sinks (S-4/S-6/S-7), alternate source formats (S-1 generalization),
+and observe() metrics (A-6/I-5)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import Observation, functions as F
+
+
+def test_partitioned_sorted_sink(spark, sf_dir, tmp_path):
+    from sparkga1_spark.operators import binning
+    from sparkga1_spark.sources import fixtures
+    from sparkga1_spark.sources.catalog import load_table
+    from sparkga1_spark.sources.sinks import write_partitioned_sorted
+
+    al = fixtures.alignments(load_table(spark, sf_dir, "lineitem"))
+    sd = fixtures.sequence_dict(load_table(spark, sf_dir, "nation"))
+    binned = binning.bin_by_region(al, sd).select("chr_index", "reg", "pos", "read_name")
+    out = str(tmp_path / "regions")
+    write_partitioned_sorted(
+        binned, out, partition_cols=["chr_index"], sort_cols=["pos", "read_name"]
+    )
+    # partition directories exist
+    dirs = sorted(glob.glob(os.path.join(out, "chr_index=*")))
+    assert len(dirs) == 25
+    # every file is internally sorted by pos
+    for d in dirs[:3]:
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            pos = [r.pos for r in spark.read.parquet(f).select("pos").collect()]
+            assert pos == sorted(pos), f"{f} not sorted"
+    # round trip preserves rows
+    assert spark.read.parquet(out).count() == binned.count()
+
+
+def test_single_file_ordered_sink(spark, sf_dir, tmp_path):
+    from sparkga1_spark.sources import fixtures
+    from sparkga1_spark.sources.catalog import load_table
+    from sparkga1_spark.sources.sinks import write_single_file_ordered
+
+    va = fixtures.variants(load_table(spark, sf_dir, "orders"))
+    out = str(tmp_path / "combined_vcf")
+    write_single_file_ordered(va, out, order_cols=["chr_index", "pos", "id"])
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert len(files) == 1, "expected exactly one data file"
+    rows = spark.read.parquet(files[0]).collect()
+    keys = [(r.chr_index, r.pos, r.id) for r in rows]
+    assert keys == sorted(keys), "global order not preserved in the single file"
+    assert len(rows) == va.count()
+
+
+def test_checkpoint_parquet_cuts_lineage(spark, sf_dir, tmp_path):
+    from sparkga1_spark.sources import fixtures
+    from sparkga1_spark.sources.catalog import load_table
+    from sparkga1_spark.sources.sinks import checkpoint_parquet
+
+    al = fixtures.alignments(load_table(spark, sf_dir, "lineitem"))
+    ck = checkpoint_parquet(al, str(tmp_path / "ck"))
+    assert ck.count() == al.count()
+    # fresh scan: the plan must be a bare parquet read, not the derivation
+    assert "lineitem" not in ck._jdf.queryExecution().executedPlan().toString()
+
+
+def test_alternate_formats_roundtrip(spark, sf_dir, tmp_path):
+    """S-1 generalization: the engine reads csv/json/orc with explicit
+    schemas (no inference in production paths)."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+        .limit(1000)
+    )
+    expected = li.agg(F.sum("l_quantity")).collect()[0][0]
+    for fmt in ("csv", "json", "orc"):
+        path = str(tmp_path / fmt)
+        w = li.write.mode("overwrite")
+        (w.option("header", True).csv(path) if fmt == "csv" else getattr(w, fmt)(path))
+        r = spark.read.schema(li.schema)
+        df = (
+            r.option("header", True).csv(path) if fmt == "csv" else getattr(r, fmt)(path)
+        )
+        assert df.count() == 1000, fmt
+        got = df.agg(F.sum("l_quantity")).collect()[0][0]
+        assert abs(got - expected) < 1e-6, fmt
+
+
+def test_observe_metrics(spark, sf_dir):
+    """A-6/I-5: the reference's bad-line/exit-code counters
+    (SamRegionsParser.scala:71-74, SparkGA1.scala:1221-1235) become
+    observe() metrics collected without a second pass."""
+    from sparkga1_spark.sources import fixtures
+    from sparkga1_spark.sources.catalog import load_table
+
+    al = fixtures.alignments(load_table(spark, sf_dir, "lineitem"))
+    obs = Observation("ingest")
+    observed = al.observe(
+        obs,
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("flags").bitwiseAND(4) != 0).cast("long")).alias("n_unmapped"),
+        F.max("pos").alias("max_pos"),
+    )
+    total = observed.count()
+    metrics = obs.get
+    assert metrics["n_rows"] == total
+    assert 0 < metrics["n_unmapped"] < total
+    assert metrics["max_pos"] <= 1_000_000
