@@ -121,3 +121,74 @@ def lsh_bucketed_neighbors(
         ).alias("cos_sim"),
     )
     return pairs.filter(F.col("cos_sim") >= threshold)
+
+
+def ivf_topk(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    centroid_pred,
+    query_pred,
+    k: int = 3,
+) -> DataFrame:
+    """IVF-flat ANN (nprobe=1): vectors are assigned to their nearest
+    seed centroid (cosine, deterministic tiebreak), then each query
+    searches only its own cluster.
+
+    Seed centroids come from a deterministic predicate instead of
+    k-means iterations so the operator is oracle-checkable; swap the
+    centroid source for a trained set in production — the assignment
+    and search plan shape (broadcast centroids → one pass to assign,
+    equi-join on cluster id to search) is identical and is what makes
+    this the 100 TB path vs the brute-force cross product.
+    """
+    cents = df.filter(centroid_pred).select(
+        F.col(id_col).alias("cent_id"),
+        vectors.to_double(F.col(vec_col)).alias("_cev"),
+        vectors.norm(F.col(vec_col), dim).alias("_cen"),
+    )
+    base = df.select(
+        F.col(id_col),
+        vectors.to_double(F.col(vec_col)).alias("_vd"),
+        vectors.norm(F.col(vec_col), dim).alias("_vn"),
+    )
+    scored = base.join(F.broadcast(cents)).withColumn(
+        "_cos",
+        F.round(
+            vectors.dot(F.col("_vd"), F.col("_cev"), dim)
+            / (F.col("_vn") * F.col("_cen")),
+            6,
+        ),
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(F.desc("_cos"), "cent_id")
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col("cent_id").alias("cluster_id"), "_vd", "_vn")
+        .persist()  # reused as query side and candidate side
+    )
+    q = assigned.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("cluster_id"),
+        F.col("_vd").alias("_qv"),
+        F.col("_vn").alias("_qn"),
+    )
+    pairs = assigned.join(q, on="cluster_id").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+    topk = pairs.withColumn(
+        "cos_sim",
+        F.round(
+            vectors.dot(F.col("_qv"), F.col("_vd"), dim)
+            / (F.col("_qn") * F.col("_vn")),
+            6,
+        ),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), id_col)
+    return (
+        topk.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("cand_id"), "cos_sim", "rank")
+    )

@@ -1409,3 +1409,50 @@ def a_covariate_table(spark, sf_dir):
             ),
         )
     )
+
+
+_IVF_COS = (
+    "round(list_inner_product({a}, {b})"
+    " / (sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b}))), 6)"
+)
+
+
+@query(
+    "x_ann_ivf_topk",
+    oracle=f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, e AS ce FROM base WHERE vec_id % 50 = 0),
+assigned AS (
+  SELECT vec_id, cent_id AS cluster_id, e FROM (
+    SELECT b.vec_id, c.cent_id, b.e,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY {_IVF_COS.format(a='b.e', b='c.ce')} DESC, c.cent_id) AS rn
+    FROM base b CROSS JOIN cents c
+  ) WHERE rn = 1
+)
+SELECT query_id, cand_id, cos_sim, rank FROM (
+  SELECT q.vec_id AS query_id, a.vec_id AS cand_id,
+         {_IVF_COS.format(a='q.e', b='a.e')} AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_IVF_COS.format(a='q.e', b='a.e')} DESC, a.vec_id) AS rank
+  FROM assigned q JOIN assigned a
+    ON q.cluster_id = a.cluster_id AND a.vec_id != q.vec_id
+  WHERE q.vec_id % 20 = 0
+)
+WHERE rank <= 3
+""",
+)
+def x_ann_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN (nprobe=1, deterministic seed centroids at
+    vec_id%50==0): assignment via broadcast centroid pass, search via
+    cluster-id equi-join — the inverted-file scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb,
+        dim=64,
+        centroid_pred=F.col("vec_id") % 50 == 0,
+        query_pred=F.col("vec_id") % 20 == 0,
+        k=3,
+    )

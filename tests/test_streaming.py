@@ -111,3 +111,75 @@ def test_stream_watermark_late_drop_semantics(spark, sf_dir, event_stream_schema
     assert emitted, "append-mode query emitted nothing"
     for r in emitted:
         assert batch[(r.win_start, r.event_type)] == (r.n, r.sum_value)
+
+
+def test_stateful_running_totals(spark, sf_dir, event_stream_schema, events_dir):
+    """applyInPandasWithState: per-user running totals across
+    micro-batches must converge to the batch aggregate."""
+    from sparkga1_spark.streaming.ingest import stream_events
+    from sparkga1_spark.streaming.stateful import running_user_totals
+
+    stream = stream_events(spark, events_dir, event_stream_schema)
+    out = running_user_totals(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_state")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last emitted row per user == full batch aggregate
+    got = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM t_state").collect()
+    }
+    batch = {
+        r.user_id: (r.n, round(r.s, 2))
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for uid, (n, s) in batch.items():
+        gn, gs = got[uid]
+        assert gn == n and abs(gs - s) < 0.02, f"user {uid}: {got[uid]} != {(n, s)}"
+
+
+def test_stream_session_window_native(spark, sf_dir, event_stream_schema, events_dir):
+    """F.session_window on the true streaming path: session row counts
+    must match the batch gaps-and-islands construction
+    (streaming/windows.py session_windows)."""
+    from sparkga1_spark.sources.catalog import load_table
+    from sparkga1_spark.streaming.ingest import stream_events
+    from sparkga1_spark.streaming.windows import session_windows
+
+    stream = stream_events(spark, events_dir, event_stream_schema)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_sess")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.n_events)
+        for r in spark.sql("SELECT user_id, n_events FROM t_sess").collect()
+    }
+    want = {
+        (r.user_id, r.n_events)
+        for r in session_windows(
+            load_table(spark, sf_dir, "events"), gap_s=1800
+        ).collect()
+    }
+    # session-window semantics: same multiset of (user, session size).
+    # (native session_window closes at gap from LAST event — identical
+    # to the gaps-and-islands construction)
+    assert got == want
