@@ -1456,3 +1456,224 @@ def x_ann_ivf_topk(spark, sf_dir):
         query_pred=F.col("vec_id") % 20 == 0,
         k=3,
     )
+
+
+# --------------------------------------------------------------------------
+# General-analytics shapes (TPC-H-style) — exercising Catalyst's join
+# reordering, semi-join rewrites, and subquery machinery that the
+# reference never had but any engine user expects (SURVEY.md §2.4 note).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+""",
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    """Q3 shape: selective dim filter → fact join chain → grouped
+    revenue. Customer filter prunes before the join (Catalyst pushes
+    through the join), orders/lineitem predicates reach their scans."""
+    cu = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey)
+        .join(li, li.l_orderkey == od.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def tpch_q4_order_priority(spark, sf_dir):
+    """Q4 shape: EXISTS correlated subquery → left-semi join rewrite."""
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = od.join(
+        li,
+        (od.o_orderkey == li.l_orderkey) & (li.l_shipdate > od.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@query(
+    "tpch_q5_local_supplier",
+    oracle="""
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+GROUP BY n_name
+""",
+)
+def tpch_q5_local_supplier(spark, sf_dir):
+    """Q5 shape: 6-way join with a cross-table residual (customer and
+    supplier in the same nation) and an IN filter on the outermost dim."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey)
+        .join(li, li.l_orderkey == od.o_orderkey)
+        .join(
+            F.broadcast(su),
+            (li.l_suppkey == su.s_suppkey) & (cu.c_nationkey == su.s_nationkey),
+        )
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q17_small_quantity",
+    oracle="""
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                      WHERE l2.l_partkey = l.l_partkey)
+""",
+)
+def tpch_q17_small_quantity(spark, sf_dir):
+    """Q17 shape: correlated scalar aggregate subquery → per-key avg
+    computed once (groupBy) and broadcast-joined back, NOT re-evaluated
+    per row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    thresholds = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(thresholds), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle="""
+SELECT c_custkey, o_orderkey, round(total_qty, 2) AS total_qty
+FROM (
+  SELECT o_custkey AS c_custkey, o_orderkey, sum(l_quantity) AS total_qty
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_custkey, o_orderkey
+)
+WHERE total_qty > 150
+""",
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    """Q18 shape: grouped HAVING over a join (aggregate pushdown +
+    post-aggregation filter)."""
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("c_custkey"), "o_orderkey")
+        .agg(F.sum("l_quantity").alias("_tq"))
+        .filter(F.col("_tq") > 150)
+        .select("c_custkey", "o_orderkey", F.round("_tq", 2).alias("total_qty"))
+    )
+
+
+@query(
+    "f_permissive_line_parse",
+    oracle=FIXTURE_CTES
+    + """
+SELECT parsed_ok,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN parsed_ok = 1 THEN pos_val ELSE 0 END) AS BIGINT) AS sum_pos
+FROM (
+  SELECT CASE WHEN len(str_split(line, '\t')) >= 4
+                   AND regexp_matches(str_split(line, '\t')[4], '^[0-9]+$')
+              THEN 1 ELSE 0 END AS parsed_ok,
+         CASE WHEN len(str_split(line, '\t')) >= 4
+                   AND regexp_matches(str_split(line, '\t')[4], '^[0-9]+$')
+              THEN CAST(str_split(line, '\t')[4] AS BIGINT) ELSE 0 END AS pos_val
+  FROM (
+    SELECT CASE WHEN CAST(split_part(read_name, '_', 2) AS INTEGER) % 50 = 0
+                THEN read_name || '\t' || 'CORRUPT'
+                ELSE read_name || '\t' || CAST(flags AS VARCHAR) || '\t'
+                     || CAST(chr_index AS VARCHAR) || '\t' || CAST(pos AS VARCHAR)
+           END AS line
+    FROM alignments
+  )
+)
+GROUP BY parsed_ok
+""",
+)
+def f_permissive_line_parse(spark, sf_dir):
+    """The reference's ingest tolerance (SamRegionsParser.scala:71-74
+    badLines counter): tab-delimited SAM-ish lines — some deterministic
+    rows corrupted — parsed PERMISSIVE-style with malformed rows counted
+    rather than failing, and valid positions summed."""
+    al = _alignments(spark, sf_dir)
+    corrupt = F.substring_index("read_name", "_", -1).cast("int") % 50 == 0
+    lines = al.select(
+        F.when(corrupt, F.concat_ws("\t", "read_name", F.lit("CORRUPT")))
+        .otherwise(F.concat_ws("\t", "read_name", "flags", "chr_index", "pos"))
+        .alias("line")
+    )
+    fields = F.split(F.col("line"), "\t")
+    ok = (F.size(fields) >= 4) & F.element_at(fields, 4).rlike("^[0-9]+$")
+    parsed = lines.select(
+        F.when(ok, 1).otherwise(0).alias("parsed_ok"),
+        F.when(ok, F.element_at(fields, 4).cast("long")).otherwise(0).alias("pos_val"),
+    )
+    return parsed.groupBy("parsed_ok").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("parsed_ok") == 1, F.col("pos_val")).otherwise(0))
+        .cast("long")
+        .alias("sum_pos"),
+    )

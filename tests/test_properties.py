@@ -1,0 +1,142 @@
+"""Property-style invariants (SURVEY.md §5: permutation invariance,
+dedup idempotence) over randomly generated micro-datasets. Examples are
+kept small — each one runs real Spark jobs."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),      # key
+        st.integers(min_value=1, max_value=1000),   # pos
+        st.integers(min_value=0, max_value=60),     # weight
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(rows=ROWS, seed=st.integers(min_value=0, max_value=9))
+@SETTINGS
+def test_groupby_permutation_invariance(spark, rows, seed):
+    """Aggregation must not depend on input row order."""
+    df = spark.createDataFrame(rows, "key int, pos int, w int")
+    shuffled = spark.createDataFrame(
+        sorted(rows, key=lambda r: hash((r, seed))), "key int, pos int, w int"
+    )
+    agg = lambda d: {  # noqa: E731
+        tuple(r)
+        for r in d.groupBy("key")
+        .agg(F.count("*"), F.min("pos"), F.max("pos"), F.sum("w"))
+        .collect()
+    }
+    assert agg(df) == agg(shuffled)
+
+
+@given(rows=ROWS)
+@SETTINGS
+def test_keep_best_idempotent(spark, rows):
+    from sparkga1_spark.operators.dedup import keep_best
+
+    df = spark.createDataFrame(rows, "key int, pos int, w int")
+    once = keep_best(df, keys=["key"], order_cols=[F.desc("w"), "pos"])
+    twice = keep_best(once, keys=["key"], order_cols=[F.desc("w"), "pos"])
+    assert {tuple(r) for r in once.collect()} == {tuple(r) for r in twice.collect()}
+    # exactly one representative per key
+    assert once.count() == df.select("key").distinct().count()
+
+
+@given(rows=ROWS, slack_a=st.integers(0, 20), slack_b=st.integers(21, 200))
+@SETTINGS
+def test_coalesce_islands_monotonic_in_slack(spark, rows, slack_a, slack_b):
+    """More slack can only merge islands, never split them; islands are
+    always disjoint (beyond slack) and cover every record."""
+    from sparkga1_spark.operators.windows import coalesce_intervals
+
+    df = spark.createDataFrame(
+        [(k, p, p + w + 1) for k, p, w in rows], "chr int, s int, e int"
+    )
+    def islands(slack):
+        return coalesce_intervals(
+            df, partition_cols=("chr",), start="s", end="e", slack=slack
+        ).collect()
+
+    small, big = islands(slack_a), islands(slack_b)
+    assert len(big) <= len(small)
+    assert sum(r.n_records for r in small) == len(rows)
+    by_chr: dict[int, list] = {}
+    for r in small:
+        by_chr.setdefault(r.chr, []).append((r.island_start, r.island_end))
+    for chr_i, iv in by_chr.items():
+        iv.sort()
+        for (s1, e1), (s2, _) in zip(iv, iv[1:]):
+            assert s2 > e1 + slack_a
+
+
+@given(
+    points=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 500), st.integers(1, 80)),
+        min_size=1, max_size=40,
+    ),
+    ivls=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 500), st.integers(1, 120)),
+        min_size=1, max_size=20,
+    ),
+    bin_width=st.sampled_from([7, 64, 1000]),
+)
+@SETTINGS
+def test_range_join_equals_naive_theta(spark, points, ivls, bin_width):
+    """The bin-bucket rewrite must equal the naive theta join for ANY
+    data and bin width."""
+    from sparkga1_spark.operators.joins import interval_overlap_join
+
+    p = spark.createDataFrame(
+        [(c, s, s + l) for c, s, l in points], "chr_index int, pos int, end_pos int"
+    ).withColumn("pid", F.monotonically_increasing_id())
+    i = spark.createDataFrame(
+        [(c, s, s + l) for c, s, l in ivls], "chr_index int, start int, end int"
+    ).withColumn("iid", F.monotonically_increasing_id())
+    fast = {
+        (r.pid, r.iid)
+        for r in interval_overlap_join(p, i, bin_width=bin_width).collect()
+    }
+    naive = {
+        (r.pid, r.iid)
+        for r in p.alias("p")
+        .join(
+            i.alias("i"),
+            (F.col("p.chr_index") == F.col("i.chr_index"))
+            & (F.col("p.pos") < F.col("i.end"))
+            & (F.col("i.start") < F.col("p.end_pos")),
+        )
+        .collect()
+    }
+    assert fast == naive
+
+
+@given(texts=st.lists(st.text(alphabet="ab c", min_size=12, max_size=40), min_size=2, max_size=12))
+@SETTINGS
+def test_minhash_identical_docs_always_collide(spark, texts):
+    """LSH guarantee: exact duplicate documents must always be candidate
+    pairs (identical shingle sets → identical signatures → same bands)."""
+    from sparkga1_spark.functions.text import shingle_hash_rows
+    from sparkga1_spark.operators.dedup import minhash_lsh_pairs
+
+    # docs 0 and 1 are forced duplicates with ≥3 words
+    base = "x y z " + texts[0]
+    docs = [(0, base), (1, base)] + [(i + 2, t) for i, t in enumerate(texts[1:])]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = shingle_hash_rows(df)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(rows, id_col="doc_id").collect()
+    }
+    assert (0, 1) in pairs
