@@ -26,6 +26,9 @@ HEADLINE = [
     "a_dedup_keep_best",
     "x_dedup_minhash_lsh",
     "x_ann_bruteforce_topk",
+    "x_ann_ivf_topk",
+    "j_asof_latest_order",
+    "tpch_q5_local_supplier",
     "x_text_quality",
     "pipeline_end_to_end",
     "s_session_windows",

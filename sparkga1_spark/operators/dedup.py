@@ -69,23 +69,6 @@ def minhash_perms(n: int = 8) -> list[tuple[int, int]]:
     return _MINHASH_PERMS[:n]
 
 
-def minhash_signature(shingles, n_hashes: int = 8):
-    """MinHash signature columns from an array<long> of shingle hashes:
-    for permutation (a,b), min over shingles of (a*h'+b) mod M61.
-    Returns a list of Columns mh0..mh{n-1} (NULL when no shingles)."""
-    from sparkga1_spark.functions.hashing import MERSENNE61
-
-    def permute(a: int, b: int):
-        # single-arg lambda via closure: PySpark treats extra (default)
-        # params as the optional index argument, so no default-arg capture
-        return lambda h: ((h % F.lit(1 << 40)) * a + b) % F.lit(MERSENNE61)
-
-    sigs = []
-    for i, (a, b) in enumerate(minhash_perms(n_hashes)):
-        sigs.append(F.array_min(F.transform(shingles, permute(a, b))).alias(f"mh{i}"))
-    return sigs
-
-
 def minhash_signature_rows(
     rows: DataFrame, *, id_col: str, hash_col: str = "h", n_hashes: int = 8
 ) -> DataFrame:

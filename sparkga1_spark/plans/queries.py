@@ -1110,49 +1110,75 @@ def x_flatmap_records(spark, sf_dir):
     "x_multimodal_decode",
     oracle="""
 SELECT doc_id,
-       length(text) AS byte_len,
+       CAST(length(text) AS INTEGER) AS byte_len,
        CAST(h % 640 + 1 AS INTEGER) AS width,
        CAST(h % 480 + 1 AS INTEGER) AS height,
-       CAST(length(text) % 30 + 1 AS INTEGER) AS n_frames
+       CAST(h % 3 + 1 AS INTEGER) AS channels,
+       'FAKE' AS format
 FROM (SELECT doc_id, text,
              CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
       FROM documents)
 """,
 )
 def x_multimodal_decode(spark, sf_dir):
-    """Multimodal plumbing: treat content as an opaque binary column,
-    'decode' per Arrow batch via mapInPandas. The decode here is a
-    DETERMINISTIC FAKE (md5-derived dimensions — real image/audio libs
-    are absent in this environment; swap the body for PIL/ffmpeg in
-    production). The Spark-side plumbing — binary column, batch
-    iterator, typed output schema — is real and oracle-checked."""
-    import hashlib
-
-    import pandas as pd
-
-    from sparkga1_spark.operators.transform import map_batches
+    """Multimodal: binary payload → typed image metadata via the
+    mapInPandas decode stage (operators/multimodal.py; codec stubbed
+    deterministically — see its STUB POLICY)."""
+    from sparkga1_spark.operators.multimodal import decode_images
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
+    return decode_images(docs)
 
-    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            data = bytes(payload)
-            h = int(hashlib.md5(data).hexdigest()[:15], 16)
-            out.append(
-                (doc_id, len(data), h % 640 + 1, h % 480 + 1, len(data) % 30 + 1)
-            )
-        return pd.DataFrame(
-            out, columns=["doc_id", "byte_len", "width", "height", "n_frames"]
-        )
 
-    return map_batches(
-        docs,
-        fn=decode,
-        schema="doc_id long, byte_len int, width int, height int, n_frames int",
+@query(
+    "x_multimodal_framesample",
+    oracle="""
+SELECT doc_id,
+       CAST(u AS INTEGER) AS frame_idx,
+       CAST(u * 1000 AS INTEGER) AS frame_ts_ms,
+       CAST(('0x' || substr(md5(text || CAST(u AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS frame_hash
+FROM (
+  SELECT doc_id, text,
+         unnest([i for i in generate_series(0, CAST(least(8, greatest(1, length(text) * 10 // 1000)) AS BIGINT) - 1)]) AS u
+  FROM documents
+)
+""",
+)
+def x_multimodal_framesample(spark, sf_dir):
+    """Multimodal: video frame sampling as a 1→N mapInPandas flatMap —
+    real frame-count/timestamp logic, stubbed frame decode."""
+    from sparkga1_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
     )
+    return sample_frames(docs)
+
+
+@query(
+    "x_multimodal_audio_features",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_samples,
+       16000 AS sample_rate,
+       CAST(length(text) * 1000 // 16000 AS INTEGER) AS duration_ms,
+       CAST(list_sum([ascii(text[i]) for i in generate_series(1, length(text))]) AS BIGINT)
+           AS rms
+FROM documents
+""",
+)
+def x_multimodal_audio_features(spark, sf_dir):
+    """Multimodal: audio feature extraction over binary payloads
+    (byte-statistics stand-in for the codec path)."""
+    from sparkga1_spark.operators.multimodal import audio_features
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return audio_features(docs)
 
 
 # --------------------------------------------------------------------------

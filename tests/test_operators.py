@@ -117,3 +117,26 @@ def test_entry_contract(spark):
     qs, oracles = mod.queries(), mod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 30
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    from sparkga1_spark.operators import multimodal
+    from sparkga1_spark.sources.catalog import load_table
+    import pytest as _pytest
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    meta = multimodal.decode_images(docs)
+    assert meta.count() == docs.count()
+    assert dict(meta.dtypes)["format"] == "string"
+    # frame sampling is a 1->N flatMap bounded by max_frames
+    frames = multimodal.sample_frames(docs, max_frames=4)
+    per_doc = frames.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
+    assert 1 <= per_doc <= 4
+    # metadata-only post-processing stays JVM-side on struct columns
+    wide = meta.filter(F.col("width") > 320).count()
+    assert 0 < wide < meta.count()
+    # the resize path is an explicit, clearly-marked stub
+    with _pytest.raises(NotImplementedError):
+        multimodal.resize_images(docs)
