@@ -76,11 +76,11 @@ def minhash_signature_rows(
     shape: one hash-aggregate over the shingle stream (codegen'd,
     partial aggs map-side), no per-doc arrays, no interpreted lambdas.
     Output: one row per id with mh0..mh{n-1}."""
-    from sparkga1_spark.functions.hashing import MERSENNE61
+    from sparkga1_spark.functions.hashing import keyed_hash
 
     h = F.col(hash_col)
     aggs = [
-        F.min(((h % F.lit(1 << 40)) * a + b) % F.lit(MERSENNE61)).alias(f"mh{i}")
+        F.min(keyed_hash(h, a, b)).alias(f"mh{i}")
         for i, (a, b) in enumerate(minhash_perms(n_hashes))
     ]
     return rows.groupBy(id_col).agg(*aggs)

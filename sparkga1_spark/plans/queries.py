@@ -736,10 +736,10 @@ def _doc_shingle_rows(spark, sf_dir):
 
 
 def _minhash_sql_exprs() -> list[str]:
-    from sparkga1_spark.functions.hashing import MERSENNE61
+    from sparkga1_spark.functions.hashing import keyed_hash_sql
 
     return [
-        f"list_min([(x % {1 << 40} * {a} + {b}) % {MERSENNE61} for x in sh]) AS mh{i}"
+        f"list_min([{keyed_hash_sql('x', a, b)} for x in sh]) AS mh{i}"
         for i, (a, b) in enumerate(D.minhash_perms(8))
     ]
 

@@ -183,3 +183,47 @@ def test_stream_session_window_native(spark, sf_dir, event_stream_schema, events
     # (native session_window closes at gap from LAST event — identical
     # to the gaps-and-islands construction)
     assert got == want
+
+
+def test_micro_batch_grouping(spark, sf_dir, tmp_path):
+    """maxFilesPerTrigger ≙ the reference's chunkerGroupSize
+    (SparkGA1.scala:1050-1081): a 4-file source drained with
+    maxFilesPerTrigger=2 must take exactly 2 micro-batches."""
+    from sparkga1_spark.streaming.ingest import stream_events
+
+    src = str(tmp_path / "chunks")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = stream_events(spark, src, schema, max_files_per_trigger=2)
+    q = (
+        stream.select("event_id").writeStream.outputMode("append")
+        .format("memory").queryName("t_groups")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) == 2, [p["numInputRows"] for p in q.recentProgress]
+    assert spark.sql("SELECT count(*) n FROM t_groups").collect()[0].n == ev.count()
+
+
+def test_foreach_batch_sink(spark, sf_dir, events_dir, event_stream_schema, tmp_path):
+    """foreachBatch: per-micro-batch parquet writes (the exactly-once
+    sink pattern) — total written rows equal the source."""
+    from sparkga1_spark.streaming.ingest import stream_events
+
+    out = str(tmp_path / "sink")
+    stream = stream_events(spark, events_dir, event_stream_schema)
+
+    def write_batch(df, epoch_id):
+        df.select("event_id", "user_id", "value").write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    n = spark.read.parquet(out).count()
+    assert n == spark.read.parquet(f"{sf_dir}/events.parquet").count()
