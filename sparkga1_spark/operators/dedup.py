@@ -17,6 +17,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from sparkga1_spark.functions.hashing import stable_hash64
+from sparkga1_spark.functions.numeric import hround
 
 
 def keep_best(
@@ -190,7 +191,7 @@ def jaccard_pairs(
         F.col("sz_a") + F.col("sz_b") - F.col("n_shared")
     )
     return (
-        inter.withColumn("jaccard", F.round(jac, 6))
+        inter.withColumn("jaccard", hround(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from sparkga1_spark.functions import vectors
+from sparkga1_spark.functions.numeric import hround
 
 
 def brute_force_topk(
@@ -50,7 +51,7 @@ def brute_force_topk(
         c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
         .withColumn(
             "cos_sim",
-            F.round(
+            hround(
                 vectors.dot(F.col("_qv"), F.col("_cv"), dim)
                 / (F.col("_qn") * F.col("_cn")),
                 6,
@@ -114,7 +115,7 @@ def lsh_bucketed_neighbors(
     ).select(
         F.col(f"l.{id_col}").alias("id_a"),
         F.col(f"r.{id_col}").alias("id_b"),
-        F.round(
+        hround(
             vectors.dot(F.col("l._vd"), F.col("r._vd"), dim)
             / (F.col("l._n") * F.col("r._n")),
             6,
@@ -156,7 +157,7 @@ def ivf_topk(
     )
     scored = base.join(F.broadcast(cents)).withColumn(
         "_cos",
-        F.round(
+        hround(
             vectors.dot(F.col("_vd"), F.col("_cev"), dim)
             / (F.col("_vn") * F.col("_cen")),
             6,
@@ -180,7 +181,7 @@ def ivf_topk(
     )
     topk = pairs.withColumn(
         "cos_sim",
-        F.round(
+        hround(
             vectors.dot(F.col("_qv"), F.col("_vd"), dim)
             / (F.col("_qn") * F.col("_vn")),
             6,

@@ -44,7 +44,11 @@ def call_variants_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     out = out[out["depth"] >= 2]
     out["chr_index"] = pdf["chr_index"].iloc[0]
     out["reg"] = pdf["reg"].iloc[0]
-    out["avg_mapq"] = out["avg_mapq"].round(6)
+    # portable rounding (functions/numeric.py): pandas .round is
+    # half-even on doubles and would drift from the SQL oracle
+    import numpy as np
+
+    out["avg_mapq"] = np.floor(out["avg_mapq"] * 1e6 + 0.5) / 1e6
     return out[["chr_index", "reg", "pos", "depth", "avg_mapq"]]
 
 

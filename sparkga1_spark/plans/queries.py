@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from sparkga1_spark.functions.numeric import hround
 from sparkga1_spark.operators import binning, filters
 from sparkga1_spark.plans.registry import query
 from sparkga1_spark.sources import fixtures
@@ -76,7 +77,7 @@ def flagship_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_reads"),
             F.min("pos").alias("min_pos"),
             F.max("pos").alias("max_pos"),
-            F.round(F.sum("weight"), 2).alias("sum_weight"),
+            hround(F.sum("weight"), 2).alias("sum_weight"),
         )
         .orderBy("chr_index", "reg")
     )
@@ -115,13 +116,13 @@ def tpch_q1_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            hround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            hround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            hround(F.sum(disc_price), 2).alias("sum_disc_price"),
+            hround(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            hround(F.avg("l_quantity"), 6).alias("avg_qty"),
+            hround(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            hround(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -226,7 +227,7 @@ def a_global_totals(spark, sf_dir):
     return binned.agg(
         F.count("*").alias("total_reads"),
         F.countDistinct(key).alias("n_regions"),
-        F.round(
+        hround(
             F.count("*").cast("double") / F.countDistinct(key), 6
         ).alias("avg_reads_per_region"),
     )
@@ -321,7 +322,7 @@ def j_star_revenue(spark, sf_dir):
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            hround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
                 .alias("revenue"),
             F.count("*").alias("n_items"),
         )
@@ -699,7 +700,7 @@ def w_running_revenue(spark, sf_dir):
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return od.select(
         "o_orderkey", "o_custkey",
-        F.round(
+        hround(
             F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
         ).alias("running_total"),
         F.row_number().over(w).alias("order_seq"),
@@ -852,8 +853,8 @@ def x_text_quality(spark, sf_dir):
         "doc_id",
         T.word_count(t).alias("n_words"),
         T.token_count_bpeish(t).alias("n_tokens"),
-        F.round(T.alpha_ratio(t), 6).alias("alpha_ratio"),
-        F.round(T.stopword_ratio(t), 6).alias("stopword_ratio"),
+        hround(T.alpha_ratio(t), 6).alias("alpha_ratio"),
+        hround(T.stopword_ratio(t), 6).alias("stopword_ratio"),
     )
 
 
@@ -1331,7 +1332,7 @@ def a_rollup_revenue(spark, sf_dir):
             F.grouping("l_returnflag").cast("int").alias("g_flag"),
             F.grouping("l_linestatus").cast("int").alias("g_status"),
             F.count("*").alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+            hround(F.sum("l_extendedprice"), 2).alias("total"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -1360,7 +1361,7 @@ def a_pivot_status_qty(spark, sf_dir):
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.round(F.sum("l_quantity"), 2))
+        .agg(hround(F.sum("l_quantity"), 2))
         .select(
             "l_returnflag",
             F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_open"),
@@ -1387,10 +1388,10 @@ def a_exact_percentiles(spark, sf_dir):
     operators/skew.py where exactness is unnecessary)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("p25"),
-        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("p75"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("price_p90"),
+        hround(F.percentile("l_quantity", F.lit(0.25)), 6).alias("p25"),
+        hround(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
+        hround(F.percentile("l_quantity", F.lit(0.75)), 6).alias("p75"),
+        hround(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("price_p90"),
     )
 
 
@@ -1430,7 +1431,7 @@ def a_covariate_table(spark, sf_dir):
         .groupBy("rg", "mapq_bin", "cycle_bin")
         .agg(
             F.count("*").alias("n_obs"),
-            F.round(F.avg((F.col("pos") % 97).cast("double") / 97.0), 6).alias(
+            hround(F.avg((F.col("pos") % 97).cast("double") / 97.0), 6).alias(
                 "mismatch_rate"
             ),
         )
@@ -1523,7 +1524,7 @@ def tpch_q3_shipping_priority(spark, sf_dir):
         .join(li, li.l_orderkey == od.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
+            hround(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -1593,7 +1594,7 @@ def tpch_q5_local_supplier(spark, sf_dir):
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
+            hround(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -1623,7 +1624,7 @@ def tpch_q17_small_quantity(spark, sf_dir):
         li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
         .join(F.broadcast(thresholds), "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(hround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
 
 
@@ -1649,7 +1650,7 @@ def tpch_q18_large_orders(spark, sf_dir):
         .groupBy(F.col("o_custkey").alias("c_custkey"), "o_orderkey")
         .agg(F.sum("l_quantity").alias("_tq"))
         .filter(F.col("_tq") > 150)
-        .select("c_custkey", "o_orderkey", F.round("_tq", 2).alias("total_qty"))
+        .select("c_custkey", "o_orderkey", hround("_tq", 2).alias("total_qty"))
     )
 
 
@@ -1702,4 +1703,143 @@ def f_permissive_line_parse(spark, sf_dir):
         F.sum(F.when(F.col("parsed_ok") == 1, F.col("pos_val")).otherwise(0))
         .cast("long")
         .alias("sum_pos"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Coverage completions: paired-read interleave (S-3 semantics), global
+# top-k with LIMIT, range-frame analytics, null semantics.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "s_paired_interleave",
+    oracle=FIXTURE_CTES
+    + """
+SELECT ord_token,
+       count(*) AS n_mates,
+       min(pos) AS r1_pos,
+       max(pos) AS r2_pos
+FROM (
+  SELECT split_part(read_name, '_', 1) AS ord_token, pos, line_no
+  FROM (SELECT read_name, pos,
+               CAST(split_part(read_name, '_', 2) AS INTEGER) AS line_no
+        FROM alignments)
+  WHERE line_no <= 2
+)
+GROUP BY ord_token
+HAVING count(*) = 2
+""",
+)
+def s_paired_interleave(spark, sf_dir):
+    """S-3 paired-interleave semantics (README.md:130 of the reference:
+    mate pairs interleaved by the chunker): mates share a read-name stem
+    — pairing is a zip-style grouped join on the stem, no external
+    chunker binary needed."""
+    al = _alignments(spark, sf_dir)
+    mates = al.select(
+        F.substring_index("read_name", "_", 1).alias("ord_token"),
+        "pos",
+        F.substring_index("read_name", "_", -1).cast("int").alias("line_no"),
+    ).filter(F.col("line_no") <= 2)
+    return (
+        mates.groupBy("ord_token")
+        .agg(
+            F.count("*").alias("n_mates"),
+            F.min("pos").alias("r1_pos"),
+            F.max("pos").alias("r2_pos"),
+        )
+        .filter(F.col("n_mates") == 2)
+    )
+
+
+@query(
+    "o_topk_global_limit",
+    oracle=FIXTURE_CTES
+    + """
+SELECT chr_index, reg, n_reads FROM (
+  SELECT a.chr_index,
+         CAST(floor(CAST(a.pos AS DOUBLE) / d.region_size) AS INTEGER) AS reg,
+         count(*) AS n_reads
+  FROM alignments a JOIN sequence_dict d USING (chr_index)
+  GROUP BY 1, 2
+)
+ORDER BY n_reads DESC, chr_index, reg
+LIMIT 10
+""",
+)
+def o_topk_global_limit(spark, sf_dir):
+    """Global ORDER BY + LIMIT (TakeOrderedAndProject — no full sort
+    materialization; each partition keeps 10, the driver merges 10)."""
+    binned = binning.bin_by_region(_alignments(spark, sf_dir), _seq_dict(spark, sf_dir))
+    weights = binned.groupBy("chr_index", "reg").agg(F.count("*").alias("n_reads"))
+    return weights.orderBy(F.desc("n_reads"), "chr_index", "reg").limit(10)
+
+
+@query(
+    "w_frame_lag_lead_range",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(coalesce(lag(o_orderkey) OVER w, -1) AS BIGINT) AS prev_order,
+       CAST(coalesce(lead(o_orderkey) OVER w, -1) AS BIGINT) AS next_order,
+       round(avg(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+         RANGE BETWEEN 2592000 PRECEDING AND 2592000 FOLLOWING), 6) AS avg_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def w_frame_lag_lead_range(spark, sf_dir):
+    """Window frame family: lag/lead navigation + a RANGE frame over
+    event-time seconds (±30 days of order value averaged per customer)."""
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    epoch = F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+    wr = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-2592000, 2592000)
+    )
+    return od.select(
+        "o_orderkey",
+        "o_custkey",
+        F.coalesce(F.lag("o_orderkey").over(w), F.lit(-1)).cast("long").alias("prev_order"),
+        F.coalesce(F.lead("o_orderkey").over(w), F.lit(-1)).cast("long").alias("next_order"),
+        hround(F.avg("o_totalprice").over(wr), 6).alias("avg_30d"),
+    )
+
+
+@query(
+    "f_null_semantics",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       count(disc) AS n_nonnull,
+       CAST(sum(CASE WHEN disc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       round(sum(coalesce(disc, 0.0)), 6) AS sum_disc,
+       round(avg(disc), 6) AS avg_nonnull_disc
+FROM (SELECT l_returnflag, nullif(l_discount, 0.0) AS disc FROM lineitem)
+GROUP BY l_returnflag
+""",
+)
+def f_null_semantics(spark, sf_dir):
+    """Null semantics: count(col) skips nulls, avg ignores nulls,
+    coalesce defaults — the PERMISSIVE-mode companion (nulls synthesized
+    via nullif since the testdata is fully dense)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return (
+        li.select("l_returnflag", disc.alias("disc"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("disc").alias("n_nonnull"),
+            F.sum(F.when(F.col("disc").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+            hround(F.sum(F.coalesce("disc", F.lit(0.0))), 6).alias("sum_disc"),
+            hround(F.avg("disc"), 6).alias("avg_nonnull_disc"),
+        )
     )

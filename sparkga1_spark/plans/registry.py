@@ -29,7 +29,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
             raise ValueError(f"duplicate query name: {name}")
         _QUERIES[name] = fn
         if oracle is not None:
-            _ORACLES[name] = oracle
+            # round() is not portable across engines near .xx5 boundaries
+            # (see functions/numeric.py) — rewrite to the exact floor form
+            from sparkga1_spark.functions.numeric import rewrite_round_sql
+
+            _ORACLES[name] = rewrite_round_sql(oracle)
         return fn
 
     return deco
