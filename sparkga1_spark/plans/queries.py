@@ -1843,3 +1843,51 @@ def f_null_semantics(spark, sf_dir):
             hround(F.avg("disc"), 6).alias("avg_nonnull_disc"),
         )
     )
+
+
+@query(
+    "x_json_props_extract",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def x_json_props_extract(spark, sf_dir):
+    """Semi-structured columns: JSON property extraction (get_json_object
+    — schema-on-read over a string column) then aggregation."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.max(k).cast("long").alias("max_k"),
+    )
+
+
+@query(
+    "f_ignore_table_antijoin",
+    oracle=FIXTURE_CTES
+    + """
+SELECT chr_index, count(*) AS n_kept
+FROM alignments a
+WHERE NOT EXISTS (SELECT 1 FROM nation
+                  WHERE n_nationkey = a.chr_index AND n_nationkey >= 20)
+GROUP BY chr_index
+""",
+)
+def f_ignore_table_antijoin(spark, sf_dir):
+    """F-4 at scale: ignore list as a broadcast anti-join table (the
+    form for lists too large to inline, operators/filters.py
+    filter_ignore_table)."""
+    al = _alignments(spark, sf_dir)
+    ignore = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") >= 20)
+        .select(F.col("n_nationkey").alias("chr_index"))
+    )
+    kept = filters.filter_ignore_table(al, ignore, on="chr_index")
+    return kept.groupBy("chr_index").agg(F.count("*").alias("n_kept"))

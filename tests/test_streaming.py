@@ -227,3 +227,23 @@ def test_foreach_batch_sink(spark, sf_dir, events_dir, event_stream_schema, tmp_
     q.awaitTermination()
     n = spark.read.parquet(out).count()
     assert n == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+
+def test_stream_static_join(spark, sf_dir, event_stream_schema, events_dir):
+    """J-4 generalization: stream ⋈ static dimension (events enriched
+    with the user's market segment from the static customer table)."""
+    from sparkga1_spark.sources.catalog import load_table
+    from sparkga1_spark.streaming.ingest import run_available_now, stream_events
+
+    stream = stream_events(spark, events_dir, event_stream_schema)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream.select("event_id", "user_id").join(cust, "user_id", "left")
+    run_available_now(enriched, "t_enrich")
+    got = spark.sql(
+        "SELECT count(*) AS n, count(c_mktsegment) AS matched FROM t_enrich"
+    ).collect()[0]
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert got.n == n_events
+    assert 0 < got.matched <= n_events
