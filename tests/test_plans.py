@@ -1,0 +1,66 @@
+"""Physical-plan regression guards (see PLANS.md): the scale-critical
+plan shapes must not silently degrade as queries evolve."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkga1_spark.plans.registry import all_queries
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = all_queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_broadcasts_dict(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "flagship_region_stats")
+    assert "BroadcastHashJoin" in plan, "dict join must broadcast, not shuffle"
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_join_is_equi_not_nlj(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "j_range_exome_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "range join degenerated to NLJ — bin-bucket rewrite broken"
+    )
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_topk_uses_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "o_topk_per_chr")
+    assert "WindowGroupLimit" in plan, "rank pushdown lost — full sort per group"
+
+
+def test_global_limit_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "o_topk_global_limit")
+    assert "TakeOrderedAndProject" in plan, "ORDER BY+LIMIT must not global-sort"
+
+
+def test_semi_anti_joins_broadcast(spark, sf_dir):
+    for name in ("j_semi_known_sites", "j_anti_known_sites"):
+        plan = _plan(spark, sf_dir, name)
+        assert "LeftSemi" in plan or "LeftAnti" in plan, name
+
+
+def test_q1_filter_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q1_pricing_summary")
+    scan = [ln for ln in plan.split("\n") if "FileScan" in ln]
+    assert scan and "l_shipdate" in scan[0], "shipdate predicate not at the scan"
+    # column pruning: the scan must not read all 11 lineitem columns
+    read = scan[0].split("FileScan parquet ")[1].split("]")[0]
+    assert read.count(",") <= 7, f"scan reads too many columns: {read}"
+
+
+def test_no_python_udfs_in_relational_queries(spark, sf_dir):
+    """The JVM-side guarantee: relational/dedup/similarity queries must
+    not contain Python evaluation nodes (Batch/ArrowEvalPython)."""
+    for name in (
+        "flagship_region_stats",
+        "x_dedup_minhash_lsh",
+        "x_ann_bruteforce_topk",
+        "x_text_quality",
+        "p2_interval_coalesce",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "EvalPython" not in plan, f"{name} fell back to Python UDFs"

@@ -104,3 +104,39 @@ def test_observe_metrics(spark, sf_dir):
     assert metrics["n_rows"] == total
     assert 0 < metrics["n_unmapped"] < total
     assert metrics["max_pos"] <= 1_000_000
+
+
+def test_pipeline_to_sinks_end_to_end(spark, sf_dir, tmp_path):
+    """The complete reference flow with real file outputs: pipeline ->
+    per-region sorted partitioned sink (S-6 analog) + single ordered
+    'combined VCF' (S-7), read back and validated."""
+    from sparkga1_spark.plans.pipeline import genomics_pipeline
+    from sparkga1_spark.sources.sinks import (
+        write_partitioned_sorted,
+        write_single_file_ordered,
+    )
+    import glob
+    import os
+
+    result = genomics_pipeline(spark, sf_dir)
+    n = result.count()
+    regions_out = str(tmp_path / "regions")
+    combined_out = str(tmp_path / "combined")
+    body = result.filter(F.col("chr_index") >= 0)
+    write_partitioned_sorted(
+        body, regions_out, partition_cols=["chr_index"], sort_cols=["pos"]
+    )
+    write_single_file_ordered(
+        result, combined_out, order_cols=["chr_index", "pos"]
+    )
+    # partitioned sink: all body rows present, partition dirs exist
+    assert spark.read.parquet(regions_out).count() == body.count()
+    assert glob.glob(os.path.join(regions_out, "chr_index=*"))
+    # combined sink: ONE file, globally ordered, headers (chr -1) first
+    files = glob.glob(os.path.join(combined_out, "*.parquet"))
+    assert len(files) == 1
+    rows = spark.read.parquet(files[0]).collect()
+    assert len(rows) == n
+    keys = [(r.chr_index, r.pos) for r in rows]
+    assert keys == sorted(keys)
+    assert rows[0].chr_index == -1, "header rows must sort first"

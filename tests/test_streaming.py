@@ -247,3 +247,44 @@ def test_stream_static_join(spark, sf_dir, event_stream_schema, events_dir):
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert got.n == n_events
     assert 0 < got.matched <= n_events
+
+
+def test_stream_flagship_matches_batch(spark, sf_dir, tmp_path):
+    """The reference's Part-1 STREAMING mode (SparkGA1.scala:1050-1081):
+    chunks arrive over time, per-region stats accumulate. Streamed
+    flagship aggregation (complete mode over micro-batches) must equal
+    the batch flagship query."""
+    from sparkga1_spark.operators import binning, filters
+    from sparkga1_spark.plans.registry import all_queries
+    from sparkga1_spark.sources import fixtures
+    from sparkga1_spark.sources.catalog import load_table
+    from sparkga1_spark.functions.numeric import hround
+
+    # stage lineitem as 3 "chunks" arriving via the file source
+    src = str(tmp_path / "chunks")
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream_li = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    al = filters.filter_unmapped(fixtures.alignments(stream_li))
+    sd = fixtures.sequence_dict(load_table(spark, sf_dir, "nation"))
+    binned = binning.bin_by_region(al, sd)
+    agg = binned.groupBy("chr_index", "reg").agg(
+        F.count("*").alias("n_reads"),
+        F.min("pos").alias("min_pos"),
+        F.max("pos").alias("max_pos"),
+        hround(F.sum("weight"), 2).alias("sum_weight"),
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("t_flagship")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM t_flagship").collect()}
+    want = {
+        tuple(r)
+        for r in all_queries()["flagship_region_stats"](spark, sf_dir).collect()
+    }
+    assert got == want
