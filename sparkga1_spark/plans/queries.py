@@ -1891,3 +1891,109 @@ def f_ignore_table_antijoin(spark, sf_dir):
     )
     kept = filters.filter_ignore_table(al, ignore, on="chr_index")
     return kept.groupBy("chr_index").agg(F.count("*").alias("n_kept"))
+
+
+@query(
+    "a_cube_revenue",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
+)
+def a_cube_revenue(spark, sf_dir):
+    """CUBE: all grouping-set combinations in one pass (rollup's
+    sibling; SURVEY §2.3 engine addition)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "g_flag", "g_status", "n",
+        )
+    )
+
+
+@query(
+    "w_first_last_nth",
+    oracle="""
+SELECT o_custkey,
+       CAST(min(first_key) AS BIGINT) AS first_order,
+       CAST(min(last_key) AS BIGINT) AS last_order,
+       CAST(min(second_key) AS BIGINT) AS second_order,
+       count(*) AS n_orders
+FROM (
+  SELECT o_custkey,
+         first_value(o_orderkey) OVER w AS first_key,
+         last_value(o_orderkey) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING) AS last_key,
+         coalesce(nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING), -1) AS second_key
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+GROUP BY o_custkey
+""",
+)
+def w_first_last_nth(spark, sf_dir):
+    """Navigation window functions: first/last/nth value per customer
+    order history (unbounded frames)."""
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per_row = od.select(
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(wf).alias("last_key"),
+        F.coalesce(F.nth_value("o_orderkey", 2).over(wf), F.lit(-1)).alias("second_key"),
+    )
+    return per_row.groupBy("o_custkey").agg(
+        F.min("first_key").cast("long").alias("first_order"),
+        F.min("last_key").cast("long").alias("last_order"),
+        F.min("second_key").cast("long").alias("second_order"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "x_vector_stats_hof",
+    oracle="""
+SELECT vec_id,
+       round(list_aggregate(e, 'min'), 6) AS v_min,
+       round(list_aggregate(e, 'max'), 6) AS v_max,
+       round(list_aggregate(e, 'sum') / 64.0, 6) AS v_mean,
+       CAST(len(list_filter(e, x -> x > 0.0)) AS INTEGER) AS n_positive
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+""",
+)
+def x_vector_stats_hof(spark, sf_dir):
+    """SQL higher-order functions as the user-facing array API
+    (SURVEY §2.8 note: transform/filter/aggregate over array columns):
+    per-vector stats without exploding rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        hround(F.array_min(e), 6).alias("v_min"),
+        hround(F.array_max(e), 6).alias("v_max"),
+        hround(
+            F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x) / 64.0, 6
+        ).alias("v_mean"),
+        F.size(F.filter(e, lambda x: x > 0.0)).cast("int").alias("n_positive"),
+    )

@@ -1,0 +1,37 @@
+"""Optional table-format connectors (Delta Lake / Iceberg / Hudi) behind
+import-guards.
+
+The v1 image ships no lakehouse jars; these helpers detect availability
+at call time and fail with an actionable message instead of a Py4J
+stack. When the jars are present (cluster deployments), the same calls
+work unchanged — the engine's operators are format-agnostic because
+they only see DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _has_format(spark: SparkSession, fmt: str, probe_path: str = "/nonexistent") -> bool:
+    try:
+        spark.read.format(fmt).load(probe_path)
+        return True  # pragma: no cover - jars present
+    except Exception as e:  # noqa: BLE001
+        msg = str(e)
+        # missing PATH → format resolved fine; missing CLASS → no jars
+        return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+
+
+def read_table(spark: SparkSession, fmt: str, path: str) -> DataFrame:
+    """Read a delta/iceberg/hudi table if the connector is on the
+    classpath; raise a clear error otherwise."""
+    if fmt not in ("delta", "iceberg", "hudi"):
+        return spark.read.format(fmt).load(path)
+    if not _has_format(spark, fmt):
+        raise NotImplementedError(
+            f"{fmt} connector jars are not on the classpath in this "
+            f"environment; add the spark-{fmt} package at spark-submit "
+            "time — no engine code changes needed"
+        )
+    return spark.read.format(fmt).load(path)  # pragma: no cover

@@ -140,3 +140,14 @@ def test_pipeline_to_sinks_end_to_end(spark, sf_dir, tmp_path):
     keys = [(r.chr_index, r.pos) for r in rows]
     assert keys == sorted(keys)
     assert rows[0].chr_index == -1, "header rows must sort first"
+
+
+def test_lakehouse_connectors_gated(spark):
+    """Delta/Iceberg jars are absent in this image: the connector layer
+    must fail with an actionable NotImplementedError, not a Py4J stack."""
+    import pytest as _pytest
+
+    from sparkga1_spark.sources.connectors import read_table
+
+    with _pytest.raises(NotImplementedError, match="delta"):
+        read_table(spark, "delta", "/tmp/nope")
