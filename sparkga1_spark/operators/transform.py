@@ -25,7 +25,7 @@ import subprocess
 from collections.abc import Callable, Iterator, Sequence
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
 
 def apply_per_group(

@@ -9,7 +9,6 @@ oracle adjacent in source so they cannot drift silently.
 from __future__ import annotations
 
 from collections.abc import Callable
-from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 

@@ -64,3 +64,28 @@ def checkpoint_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> Dat
     reference's between-jobs file relay, but columnar and splittable."""
     df.write.mode(mode).parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: rows hash-partitioned into n_buckets
+    files per partition by `bucket_cols`, optionally sorted within each
+    bucket. Joins/aggregations on the bucket columns between tables
+    bucketed the same way need NO exchange — the pre-shuffle is paid
+    once at write time (the scale answer for repeatedly-joined fact
+    tables; see test_bucketed_join_avoids_shuffle for the plan proof).
+
+    Bucketing metadata lives in the session catalog, so this writes a
+    TABLE (spark.sql.warehouse.dir), not a bare path.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

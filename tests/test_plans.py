@@ -3,8 +3,6 @@ plan shapes must not silently degrade as queries evolve."""
 
 from __future__ import annotations
 
-import pytest
-
 from sparkga1_spark.plans.registry import all_queries
 
 

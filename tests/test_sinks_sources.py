@@ -151,3 +151,32 @@ def test_lakehouse_connectors_gated(spark):
 
     with _pytest.raises(NotImplementedError, match="delta"):
         read_table(spark, "delta", "/tmp/nope")
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    """Co-located join: two tables bucketed by the join key must join
+    with no Exchange on either side (the write-time pre-shuffle)."""
+    from sparkga1_spark.sources.catalog import load_table
+    from sparkga1_spark.sources.sinks import write_bucketed_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    try:
+        write_bucketed_table(li, "b_lineitem", bucket_cols=["l_orderkey"], n_buckets=8)
+        write_bucketed_table(od, "b_orders", bucket_cols=["o_orderkey"], n_buckets=8)
+        bl = spark.table("b_lineitem")
+        bo = spark.table("b_orders")
+        # disable broadcast so the join strategy decision is about exchanges
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
