@@ -62,3 +62,47 @@ def test_no_python_udfs_in_relational_queries(spark, sf_dir):
     ):
         plan = _plan(spark, sf_dir, name)
         assert "EvalPython" not in plan, f"{name} fell back to Python UDFs"
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    """Static partition pruning: a filter on the partition column must
+    reach PartitionFilters (only matching directories are scanned)."""
+    from sparkga1_spark.operators import binning
+    from sparkga1_spark.sources import fixtures
+    from sparkga1_spark.sources.catalog import load_table
+    from sparkga1_spark.sources.sinks import write_partitioned_sorted
+    from pyspark.sql import functions as F
+
+    al = fixtures.alignments(load_table(spark, sf_dir, "lineitem"))
+    sd = fixtures.sequence_dict(load_table(spark, sf_dir, "nation"))
+    binned = binning.bin_by_region(al, sd).select("chr_index", "reg", "pos")
+    out = str(tmp_path / "parts")
+    write_partitioned_sorted(binned, out, partition_cols=["chr_index"], sort_cols=["pos"])
+    q = spark.read.parquet(out).filter(F.col("chr_index") == 3)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.split("\n") if "FileScan" in ln][0]
+    assert "PartitionFilters" in scan and "chr_index" in scan.split("PartitionFilters")[1][:80], scan[:400]
+    assert q.count() == binned.filter(F.col("chr_index") == 3).count()
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """DPP: joining a partitioned fact to a filtered dim must inject a
+    dynamic pruning subquery into the fact scan."""
+    from sparkga1_spark.operators import binning
+    from sparkga1_spark.sources import fixtures
+    from sparkga1_spark.sources.catalog import load_table
+    from sparkga1_spark.sources.sinks import write_partitioned_sorted
+    from pyspark.sql import functions as F
+
+    al = fixtures.alignments(load_table(spark, sf_dir, "lineitem"))
+    sd = fixtures.sequence_dict(load_table(spark, sf_dir, "nation"))
+    binned = binning.bin_by_region(al, sd).select("chr_index", "reg", "pos")
+    out = str(tmp_path / "fact")
+    write_partitioned_sorted(binned, out, partition_cols=["chr_index"], sort_cols=["pos"])
+    fact = spark.read.parquet(out)
+    dim = fixtures.sequence_dict(load_table(spark, sf_dir, "nation")).filter(
+        F.col("region_size") > 40000  # selective dim predicate
+    )
+    joined = fact.join(dim, "chr_index").groupBy("chr_index").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
