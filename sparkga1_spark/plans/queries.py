@@ -1997,3 +1997,122 @@ def x_vector_stats_hof(spark, sf_dir):
         ).alias("v_mean"),
         F.size(F.filter(e, lambda x: x > 0.0)).cast("int").alias("n_positive"),
     )
+
+
+@query(
+    "w_rank_family",
+    oracle="""
+SELECT l_returnflag, l_orderkey, l_linenumber,
+       CAST(dense_rank() OVER w AS INTEGER) AS dr,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd
+FROM lineitem
+WHERE l_orderkey % 100 = 0
+WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber)
+""",
+)
+def w_rank_family(spark, sf_dir):
+    """Ranking-function family: dense_rank / percent_rank / cume_dist
+    over a unique ordering (1% systematic sample keeps output compact)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_returnflag", "l_orderkey", "l_linenumber",
+        F.dense_rank().over(w).cast("int").alias("dr"),
+        hround(F.percent_rank().over(w), 6).alias("pr"),
+        hround(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@query(
+    "x_fuzzy_levenshtein",
+    oracle="""
+SELECT a.n_name AS name_a, b.n_name AS name_b,
+       CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS dist
+FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+WHERE levenshtein(a.n_name, b.n_name) <= 4
+""",
+)
+def x_fuzzy_levenshtein(spark, sf_dir):
+    """Fuzzy string matching (edit distance ≤ 4) — the small-dimension
+    fuzzy-join shape; at scale gate the pairing with an LSH/fingerprint
+    pre-filter (operators/dedup.py) before the exact distance."""
+    na = load_table(spark, sf_dir, "nation")
+    a, b = na.alias("a"), na.alias("b")
+    return (
+        a.join(b, F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        .select(
+            F.col("a.n_name").alias("name_a"),
+            F.col("b.n_name").alias("name_b"),
+            F.levenshtein(F.col("a.n_name"), F.col("b.n_name")).cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= 4)
+    )
+
+
+@query(
+    "a_date_parts",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS total,
+       CAST(min(day(o_orderdate)) AS INTEGER) AS first_day,
+       CAST(max(CAST(floor(epoch(o_orderdate)) AS BIGINT) / 86400) AS BIGINT)
+           AS max_epoch_day
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def a_date_parts(spark, sf_dir):
+    """Date/time extraction family: year/month/day parts + epoch-day
+    arithmetic, grouped monthly rollup."""
+    od = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        od.groupBy(
+            F.year(d).cast("int").alias("yr"), F.month(d).cast("int").alias("mo")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            hround(F.sum("o_totalprice"), 2).alias("total"),
+            F.min(F.dayofmonth(d)).cast("int").alias("first_day"),
+            F.max(
+                F.unix_timestamp(d.cast("timestamp")) / F.lit(86400)
+            ).cast("long").alias("max_epoch_day"),
+        )
+    )
+
+
+@query(
+    "a_minmax_by_bool",
+    oracle="""
+SELECT l_returnflag,
+       CAST(arg_max(l_orderkey, l_extendedprice) AS BIGINT) AS priciest_order,
+       CAST(arg_min(l_orderkey, l_extendedprice) AS BIGINT) AS cheapest_order,
+       bool_or(l_quantity > 49) AS any_jumbo,
+       bool_and(l_quantity > 0) AS all_positive,
+       CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def a_minmax_by_bool(spark, sf_dir):
+    """Argmax/argmin + boolean aggregates + conditional count — the
+    modern aggregate family (max_by/min_by/bool_or/bool_and/count_if).
+
+    NOTE arg_max ties: l_extendedprice values are effectively unique per
+    flag group in this data; for tie-prone data pair with a unique
+    tiebreak struct (see operators/dedup.py keep_best)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.max_by("l_orderkey", "l_extendedprice").cast("long").alias("priciest_order"),
+        F.min_by("l_orderkey", "l_extendedprice").cast("long").alias("cheapest_order"),
+        F.bool_or(F.col("l_quantity") > 49).alias("any_jumbo"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.count_if(F.col("l_discount") > 0.05).cast("long").alias("n_discounted"),
+    )
