@@ -180,3 +180,34 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_fastq_chunk_reader(spark, tmp_path):
+    """The reference's real ingestion path: gzipped FASTQ chunk files ->
+    typed reads DataFrame (binaryFile source + mapInPandas parse;
+    gunzip = X-6 handled inline)."""
+    import gzip as _gzip
+
+    from sparkga1_spark.sources.fastq import read_fastq_chunks
+
+    def fastq(reads):
+        return "\n".join(
+            f"@{name}\n{seq}\n+\n{'I' * len(seq)}" for name, seq in reads
+        ) + "\n"
+
+    d = tmp_path / "chunks"
+    d.mkdir()
+    (d / "c1.fq").write_text(fastq([("r1/1", "ACGT"), ("r1/2", "GGCC"), ("r2/1", "TTAA")]))
+    malformed = "no-at-prefix\nXX\n+\nII\n"  # record missing the '@' marker
+    (d / "c2.fq.gz").write_bytes(
+        _gzip.compress((fastq([("r3/1", "ACGTACGT")]) + malformed).encode())
+    )
+    # the malformed record (no @) must be dropped, not fatal
+    reads = read_fastq_chunks(spark, str(d))
+    rows = {(r.chunk, r.read_name, r.sequence, r.read_len) for r in reads.collect()}
+    assert ("c1.fq", "r1/1", "ACGT", 4) in rows
+    assert ("c2.fq.gz", "r3/1", "ACGTACGT", 8) in rows
+    assert len(rows) == 4  # 3 from c1 + 1 valid from gz chunk
+    # paired reads share a stem — the interleave join key (S-3)
+    stems = [r.read_name.split("/")[0] for r in reads.collect()]
+    assert stems.count("r1") == 2
