@@ -2116,3 +2116,126 @@ def a_minmax_by_bool(spark, sf_dir):
         F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
         F.count_if(F.col("l_discount") > 0.05).cast("long").alias("n_discounted"),
     )
+
+
+@query(
+    "x_vocab_topk",
+    oracle="""
+SELECT w AS token, count(*) AS freq,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, w) AS INTEGER) AS vocab_id
+FROM (SELECT unnest(str_split_regex(trim(text), ' +')) AS w FROM documents)
+GROUP BY w
+ORDER BY freq DESC, token
+LIMIT 20
+""",
+)
+def x_vocab_topk(spark, sf_dir):
+    """Vocabulary building: corpus-wide token frequencies, top-20 with
+    dense vocab ids (the tokenizer-training precursor). Explode →
+    count → TakeOrdered; shuffle carries (token, partial count)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(T.words(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), "token")
+    return (
+        counts.withColumn("vocab_id", F.row_number().over(w).cast("int"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "x_tfidf_top_terms",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, w AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(str_split_regex(trim(text), ' +')) AS w FROM documents)
+  GROUP BY doc_id, w
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, round(tfidf, 6) AS tfidf
+FROM (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln((SELECT n_docs FROM n) / CAST(df.df AS DOUBLE)) AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ln((SELECT n_docs FROM n) / CAST(df.df AS DOUBLE)) DESC,
+                    tf.term) AS rn
+  FROM tf JOIN df USING (term)
+)
+WHERE rn = 1
+""",
+)
+def x_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF: term frequency × inverse document frequency, top term
+    per document. df table is vocabulary-sized → broadcast join; the
+    only fact-volume shuffle is the (doc, term) aggregation."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(T.words(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.count()  # scalar; driver-side by design (one number)
+    scored = tf.join(F.broadcast(df_tbl), "term").withColumn(
+        "tfidf",
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "term", hround(F.col("tfidf"), 6).alias("tfidf"))
+    )
+
+
+@query(
+    "x_embedding_quantize",
+    oracle="""
+SELECT vec_id,
+       round(max_abs, 6) AS scale_max,
+       CAST(list_sum([CAST(floor(x * 127.0 / max_abs + 0.5) AS BIGINT) for x in e]) AS BIGINT)
+           AS code_checksum,
+       CAST(len(list_filter([CAST(floor(x * 127.0 / max_abs + 0.5) AS BIGINT) for x in e],
+                            c -> c = 127 OR c = -127)) AS INTEGER) AS n_saturated
+FROM (
+  SELECT vec_id, e,
+         list_max([abs(x) for x in e]) AS max_abs
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+)
+WHERE max_abs > 0
+""",
+)
+def x_embedding_quantize(spark, sf_dir):
+    """Int8 symmetric quantization of embeddings (storage/serving
+    compression): per-vector max-abs scale, codes = floor(x·127/scale
+    + 0.5); output checksum + saturation count (codes themselves stay
+    distributed — only audit stats surface)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    max_abs = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    codes = F.transform(
+        e,
+        lambda x: F.floor(x * 127.0 / F.col("_max_abs") + 0.5).cast("long"),
+    )
+    q = (
+        emb.withColumn("_max_abs", max_abs)
+        .filter(F.col("_max_abs") > 0)
+        .withColumn("_codes", codes)
+    )
+    return q.select(
+        "vec_id",
+        hround(F.col("_max_abs"), 6).alias("scale_max"),
+        F.aggregate(F.col("_codes"), F.lit(0).cast("long"), lambda a, c: a + c)
+            .cast("long").alias("code_checksum"),
+        F.size(F.filter(F.col("_codes"), lambda c: (c == 127) | (c == -127)))
+            .cast("int").alias("n_saturated"),
+    )
