@@ -2062,7 +2062,7 @@ SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
        count(*) AS n,
        round(sum(o_totalprice), 2) AS total,
        CAST(min(day(o_orderdate)) AS INTEGER) AS first_day,
-       CAST(max(CAST(floor(epoch(o_orderdate)) AS BIGINT) / 86400) AS BIGINT)
+       CAST(max(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) AS BIGINT)
            AS max_epoch_day
 FROM orders
 GROUP BY 1, 2
@@ -2082,7 +2082,7 @@ def a_date_parts(spark, sf_dir):
             hround(F.sum("o_totalprice"), 2).alias("total"),
             F.min(F.dayofmonth(d)).cast("int").alias("first_day"),
             F.max(
-                F.unix_timestamp(d.cast("timestamp")) / F.lit(86400)
+                F.expr("unix_timestamp(cast(o_orderdate AS timestamp)) div 86400")
             ).cast("long").alias("max_epoch_day"),
         )
     )
