@@ -30,6 +30,101 @@ def hround(col: Column | str, n: int) -> Column:
     return F.floor(c * F.lit(m) + F.lit(0.5)) / F.lit(m)
 
 
+# --- Order-independent (decimal-accumulated) sums -------------------------
+#
+# hround fixes *rounding* divergence but cannot fix *summation-order*
+# divergence: Spark and DuckDB add partial aggregates in different orders,
+# so sum(double) can differ by 1 ulp, and near a .xx5 boundary that flips
+# the rounded cent (observed: tpch_q3 at sf0.01, 2/1657 groups off by
+# $0.01). The cure is to accumulate exactly: cast each term to DECIMAL
+# (exact, commutative addition), round half-up in integer space while the
+# value is still exact, and only then convert the small integer to double
+# (a single correctly-rounded step on both engines — verified identical).
+#
+# Guard scale 6 gives two digits of slack beyond the 4 true decimals of
+# TPC-H money products, so the double→decimal cast never sits on a
+# rounding boundary either.
+
+_HALF = '0.5'
+
+
+def dsum(col: Column | str, n: int = 2, guard: str = "decimal(18,6)") -> Column:
+    """Exact order-independent sum of a double expression, rounded
+    half-up to `n` digits, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    m = 10**n
+    scaled = F.floor(
+        F.sum(c.cast(guard)) * F.lit(m) + F.lit(_HALF).cast("decimal(2,1)")
+    )
+    return scaled.cast("double") / F.lit(float(m))
+
+
+def dsum_sql(expr: str, n: int = 2, guard: str = "DECIMAL(18,6)") -> str:
+    """DuckDB mirror of dsum — byte-identical arithmetic."""
+    m = 10**n
+    return (
+        f"(CAST(floor(sum(CAST(({expr}) AS {guard})) * {m} + 0.5) AS DOUBLE)"
+        f" / {m})"
+    )
+
+
+def dsum_over(col: Column | str, window, n: int = 2,
+              guard: str = "decimal(18,6)") -> Column:
+    """Windowed dsum (running/frame sums of money columns)."""
+    c = F.col(col) if isinstance(col, str) else col
+    m = 10**n
+    scaled = F.floor(
+        F.sum(c.cast(guard)).over(window) * F.lit(m)
+        + F.lit(_HALF).cast("decimal(2,1)")
+    )
+    return scaled.cast("double") / F.lit(float(m))
+
+
+def dsum_over_sql(expr: str, over: str, n: int = 2,
+                  guard: str = "DECIMAL(18,6)") -> str:
+    m = 10**n
+    return (
+        f"(CAST(floor(sum(CAST(({expr}) AS {guard})) OVER {over} * {m}"
+        f" + 0.5) AS DOUBLE) / {m})"
+    )
+
+
+def davg(col: Column | str, n: int = 6, guard: str = "decimal(18,6)") -> Column:
+    """Order-independent average: exact decimal numerator, then ONE
+    decimal→double conversion (correctly rounded on both engines while
+    the scaled integer is < 2^53), an IEEE division by the non-null
+    count, and hround. Every float step sees bit-identical inputs on
+    both engines, so the result is deterministic."""
+    c = F.col(col) if isinstance(col, str) else col
+    return hround(F.sum(c.cast(guard)).cast("double") / F.count(c), n)
+
+
+def davg_sql(expr: str, n: int = 6, guard: str = "DECIMAL(18,6)") -> str:
+    inner = (
+        f"CAST(sum(CAST(({expr}) AS {guard})) AS DOUBLE) / count({expr})"
+    )
+    return hround_sql(inner, n)
+
+
+def davg_over(col: Column | str, window, n: int = 6,
+              guard: str = "decimal(18,6)") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return hround(
+        F.sum(c.cast(guard)).over(window).cast("double")
+        / F.count(c).over(window),
+        n,
+    )
+
+
+def davg_over_sql(expr: str, over: str, n: int = 6,
+                  guard: str = "DECIMAL(18,6)") -> str:
+    inner = (
+        f"CAST(sum(CAST(({expr}) AS {guard})) OVER {over} AS DOUBLE)"
+        f" / count({expr}) OVER {over}"
+    )
+    return hround_sql(inner, n)
+
+
 def hround_sql(expr: str, n: int) -> str:
     m = float(10**n)
     return f"(floor(({expr}) * {m} + 0.5) / {m})"

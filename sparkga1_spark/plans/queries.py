@@ -16,7 +16,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from sparkga1_spark.functions.numeric import hround
+from sparkga1_spark.functions.numeric import (
+    davg,
+    davg_over,
+    davg_over_sql,
+    davg_sql,
+    dsum,
+    dsum_over,
+    dsum_over_sql,
+    dsum_sql,
+    hround,
+)
 from sparkga1_spark.operators import binning, filters
 from sparkga1_spark.plans.registry import query
 from sparkga1_spark.sources import fixtures
@@ -91,15 +101,15 @@ def flagship_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q1_pricing_summary",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                                  AS sum_qty,
-       round(sum(l_extendedprice), 2)                             AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       {dsum_sql('l_extendedprice')}                              AS sum_base_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')}           AS sum_disc_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
        round(avg(l_quantity), 6)                                  AS avg_qty,
-       round(avg(l_extendedprice), 6)                             AS avg_price,
-       round(avg(l_discount), 6)                                  AS avg_disc,
+       {davg_sql('l_extendedprice')}                              AS avg_price,
+       {davg_sql('l_discount')}                                   AS avg_disc,
        count(*)                                                   AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -109,7 +119,10 @@ ORDER BY l_returnflag, l_linestatus
 )
 def tpch_q1_pricing_summary(spark, sf_dir):
     """A-1/A-4 on real columns — the classic partial+final agg shape
-    (whole-stage-codegen'd HashAggregate, no Python in the loop)."""
+    (whole-stage-codegen'd HashAggregate, no Python in the loop).
+    Money sums/avgs accumulate in DECIMAL (dsum/davg) so the result is
+    independent of partial-aggregate order — sum(double) is not
+    (functions/numeric.py; l_quantity is integral, hence exact)."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -117,12 +130,12 @@ def tpch_q1_pricing_summary(spark, sf_dir):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             hround(F.sum("l_quantity"), 2).alias("sum_qty"),
-            hround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            hround(F.sum(disc_price), 2).alias("sum_disc_price"),
-            hround(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             hround(F.avg("l_quantity"), 6).alias("avg_qty"),
-            hround(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            hround(F.avg("l_discount"), 6).alias("avg_disc"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -297,9 +310,9 @@ def a_dedup_keep_best(spark, sf_dir):
 
 @query(
     "j_star_revenue",
-    oracle="""
+    oracle=f"""
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
@@ -322,7 +335,7 @@ def j_star_revenue(spark, sf_dir):
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            hround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
                 .alias("revenue"),
             F.count("*").alias("n_items"),
         )
@@ -680,12 +693,13 @@ def o_topk_per_chr(spark, sf_dir):
 
 @query(
     "w_running_revenue",
-    oracle="""
+    oracle=f"""
 SELECT o_orderkey, o_custkey,
-       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                     ORDER BY o_orderdate, o_orderkey
-                                     ROWS BETWEEN UNBOUNDED PRECEDING
-                                     AND CURRENT ROW), 2) AS running_total,
+       {dsum_over_sql('o_totalprice',
+                      '''(PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)''')} AS running_total,
        row_number() OVER (PARTITION BY o_custkey
                           ORDER BY o_orderdate, o_orderkey) AS order_seq
 FROM orders
@@ -693,15 +707,16 @@ FROM orders
 )
 def w_running_revenue(spark, sf_dir):
     """Analytic frame (running total per customer) — the cumulative
-    window family the reference lacks but any engine user expects."""
+    window family the reference lacks but any engine user expects.
+    dsum_over: decimal frame accumulation, order-independent."""
     from pyspark.sql import Window
 
     od = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return od.select(
         "o_orderkey", "o_custkey",
-        hround(
-            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        dsum_over(
+            "o_totalprice", w.rowsBetween(Window.unboundedPreceding, 0)
         ).alias("running_total"),
         F.row_number().over(w).alias("order_seq"),
     )
@@ -981,13 +996,14 @@ def x_ann_lsh_buckets(spark, sf_dir):
 @query(
     "x_embedding_neardup",
     oracle=f"""
-WITH bucketed AS (
+WITH emb_aug AS ({fixtures.EMB_NEARDUP_SQL}),
+bucketed AS (
   SELECT vec_id, embedding,
          CAST((CASE WHEN list_sum([e[j] * (((0*64 + (j-1)) * 2654435761 % 1000)/1000.0 - 0.5) for j in generate_series(1,64)]) > 0 THEN 1 ELSE 0 END)
             + (CASE WHEN list_sum([e[j] * (((1*64 + (j-1)) * 2654435761 % 1000)/1000.0 - 0.5) for j in generate_series(1,64)]) > 0 THEN 2 ELSE 0 END)
             + (CASE WHEN list_sum([e[j] * (((2*64 + (j-1)) * 2654435761 % 1000)/1000.0 - 0.5) for j in generate_series(1,64)]) > 0 THEN 4 ELSE 0 END)
             + (CASE WHEN list_sum([e[j] * (((3*64 + (j-1)) * 2654435761 % 1000)/1000.0 - 0.5) for j in generate_series(1,64)]) > 0 THEN 8 ELSE 0 END) AS INTEGER) AS b
-  FROM (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+  FROM (SELECT vec_id, embedding, embedding AS e FROM emb_aug)
 )
 SELECT l.vec_id AS id_a, r.vec_id AS id_b,
        round({V.COSINE_SQL.format(a="l.embedding", b="r.embedding")}, 6) AS cos_sim
@@ -997,9 +1013,13 @@ WHERE round({V.COSINE_SQL.format(a="l.embedding", b="r.embedding")}, 6) >= 0.8
 )
 def x_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs at τ=0.8, searched only within
-    sign-LSH buckets (the scale path: equi-join on bucket id)."""
+    sign-LSH buckets (the scale path: equi-join on bucket id). Runs on
+    the planted-near-dup fixture (fixtures.EMB_NEARDUP_SQL) so the gate
+    checks real pairs — the raw table maxes out at cosine ~0.51 and a
+    0.8 threshold would pass vacuously (0 == 0 rows)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.lsh_bucketed_neighbors(emb, dim=64, n_planes=4, threshold=0.8)
+    aug = fixtures.embeddings_with_neardups(emb)
+    return S.lsh_bucketed_neighbors(aug, dim=64, n_planes=4, threshold=0.8)
 
 
 # --------------------------------------------------------------------------
@@ -1311,13 +1331,13 @@ def j_asof_latest_order(spark, sf_dir):
 
 @query(
     "a_rollup_revenue",
-    oracle="""
+    oracle=f"""
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
        CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
        CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
        count(*) AS n,
-       round(sum(l_extendedprice), 2) AS total
+       {dsum_sql('l_extendedprice')} AS total
 FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """,
@@ -1332,7 +1352,7 @@ def a_rollup_revenue(spark, sf_dir):
             F.grouping("l_returnflag").cast("int").alias("g_flag"),
             F.grouping("l_linestatus").cast("int").alias("g_status"),
             F.count("*").alias("n"),
-            hround(F.sum("l_extendedprice"), 2).alias("total"),
+            dsum("l_extendedprice").alias("total"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -1494,9 +1514,9 @@ def x_ann_ivf_topk(spark, sf_dir):
 
 @query(
     "tpch_q3_shipping_priority",
-    oracle="""
+    oracle=f"""
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
        strftime(o_orderdate, '%Y-%m-%d') AS orderdate
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
@@ -1524,8 +1544,8 @@ def tpch_q3_shipping_priority(spark, sf_dir):
         .join(li, li.l_orderkey == od.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            hround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .select(
@@ -1560,8 +1580,8 @@ def tpch_q4_order_priority(spark, sf_dir):
 
 @query(
     "tpch_q5_local_supplier",
-    oracle="""
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    oracle=f"""
+SELECT n_name, {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -1594,8 +1614,8 @@ def tpch_q5_local_supplier(spark, sf_dir):
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
         .groupBy("n_name")
         .agg(
-            hround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
     )
@@ -1604,7 +1624,8 @@ def tpch_q5_local_supplier(spark, sf_dir):
 @query(
     "tpch_q17_small_quantity",
     oracle="""
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT ((2 * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+         + 7) // 14) / 100.0 AS avg_yearly
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE p.p_brand = 'Brand#1'
   AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
@@ -1614,17 +1635,25 @@ WHERE p.p_brand = 'Brand#1'
 def tpch_q17_small_quantity(spark, sf_dir):
     """Q17 shape: correlated scalar aggregate subquery → per-key avg
     computed once (groupBy) and broadcast-joined back, NOT re-evaluated
-    per row."""
+    per row. round(sum/7, 2) is done entirely in integer cents —
+    floor(S/7 + 1/2) = (2S+7) div 14 — so it is exact on both engines
+    (sum(double)/7.0 is order-dependent). The quantity threshold is
+    exact too: avg of integral doubles."""
     li = load_table(spark, sf_dir, "lineitem")
     pa = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     thresholds = li.groupBy("l_partkey").agg(
         (F.avg("l_quantity") * 0.2).alias("qty_threshold")
     )
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
     return (
         li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
         .join(F.broadcast(thresholds), "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(hround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.sum(cents).alias("_cents"))
+        .select(
+            (F.expr("(2 * _cents + 7) div 14").cast("double") / 100.0)
+            .alias("avg_yearly")
+        )
     )
 
 
@@ -1778,13 +1807,15 @@ def o_topk_global_limit(spark, sf_dir):
 
 @query(
     "w_frame_lag_lead_range",
-    oracle="""
+    oracle=f"""
 SELECT o_orderkey, o_custkey,
        CAST(coalesce(lag(o_orderkey) OVER w, -1) AS BIGINT) AS prev_order,
        CAST(coalesce(lead(o_orderkey) OVER w, -1) AS BIGINT) AS next_order,
-       round(avg(o_totalprice) OVER (
-         PARTITION BY o_custkey ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
-         RANGE BETWEEN 2592000 PRECEDING AND 2592000 FOLLOWING), 6) AS avg_30d
+       {davg_over_sql('o_totalprice',
+                      '''(PARTITION BY o_custkey
+                          ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                          RANGE BETWEEN 2592000 PRECEDING
+                          AND 2592000 FOLLOWING)''')} AS avg_30d
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """,
@@ -1807,19 +1838,19 @@ def w_frame_lag_lead_range(spark, sf_dir):
         "o_custkey",
         F.coalesce(F.lag("o_orderkey").over(w), F.lit(-1)).cast("long").alias("prev_order"),
         F.coalesce(F.lead("o_orderkey").over(w), F.lit(-1)).cast("long").alias("next_order"),
-        hround(F.avg("o_totalprice").over(wr), 6).alias("avg_30d"),
+        davg_over("o_totalprice", wr).alias("avg_30d"),
     )
 
 
 @query(
     "f_null_semantics",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag,
        count(*) AS n_rows,
        count(disc) AS n_nonnull,
        CAST(sum(CASE WHEN disc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-       round(sum(coalesce(disc, 0.0)), 6) AS sum_disc,
-       round(avg(disc), 6) AS avg_nonnull_disc
+       {dsum_sql('coalesce(disc, 0.0)', 6)} AS sum_disc,
+       {davg_sql('disc')} AS avg_nonnull_disc
 FROM (SELECT l_returnflag, nullif(l_discount, 0.0) AS disc FROM lineitem)
 GROUP BY l_returnflag
 """,
@@ -1839,8 +1870,8 @@ def f_null_semantics(spark, sf_dir):
             F.sum(F.when(F.col("disc").isNull(), 1).otherwise(0))
             .cast("long")
             .alias("n_null"),
-            hround(F.sum(F.coalesce("disc", F.lit(0.0))), 6).alias("sum_disc"),
-            hround(F.avg("disc"), 6).alias("avg_nonnull_disc"),
+            dsum(F.coalesce("disc", F.lit(0.0)), 6).alias("sum_disc"),
+            davg("disc").alias("avg_nonnull_disc"),
         )
     )
 
@@ -2056,11 +2087,11 @@ def x_fuzzy_levenshtein(spark, sf_dir):
 
 @query(
     "a_date_parts",
-    oracle="""
+    oracle=f"""
 SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
        CAST(month(o_orderdate) AS INTEGER) AS mo,
        count(*) AS n,
-       round(sum(o_totalprice), 2) AS total,
+       {dsum_sql('o_totalprice')} AS total,
        CAST(min(day(o_orderdate)) AS INTEGER) AS first_day,
        CAST(max(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) AS BIGINT)
            AS max_epoch_day
@@ -2079,7 +2110,7 @@ def a_date_parts(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("n"),
-            hround(F.sum("o_totalprice"), 2).alias("total"),
+            dsum("o_totalprice").alias("total"),
             F.min(F.dayofmonth(d)).cast("int").alias("first_day"),
             F.max(
                 F.expr("unix_timestamp(cast(o_orderdate AS timestamp)) div 86400")
@@ -2132,7 +2163,10 @@ LIMIT 20
 def x_vocab_topk(spark, sf_dir):
     """Vocabulary building: corpus-wide token frequencies, top-20 with
     dense vocab ids (the tokenizer-training precursor). Explode →
-    count → TakeOrdered; shuffle carries (token, partial count)."""
+    count → TakeOrderedAndProject (per-partition top-k, k rows to the
+    driver-side reducer) FIRST; only the 20 survivors see the global
+    row_number window, so no single task ever holds the full
+    vocabulary (at 100 TB that is 10^8-10^9 distinct tokens)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2141,12 +2175,9 @@ def x_vocab_topk(spark, sf_dir):
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
     )
-    w = Window.orderBy(F.desc("freq"), "token")
-    return (
-        counts.withColumn("vocab_id", F.row_number().over(w).cast("int"))
-        .orderBy(F.desc("freq"), "token")
-        .limit(20)
-    )
+    top = counts.orderBy(F.desc("freq"), "token").limit(20)
+    w = Window.orderBy(F.desc("freq"), "token")  # 20 rows, not the vocab
+    return top.withColumn("vocab_id", F.row_number().over(w).cast("int"))
 
 
 @query(
@@ -2184,10 +2215,16 @@ def x_tfidf_top_terms(spark, sf_dir):
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = docs.count()  # scalar; driver-side by design (one number)
-    scored = tf.join(F.broadcast(df_tbl), "term").withColumn(
-        "tfidf",
-        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+    # Corpus size as a broadcast 1-row frame, NOT docs.count(): keeps the
+    # query one lazy plan (no extra job / second scan at build time).
+    n = docs.agg(F.count("*").cast("double").alias("_n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("_n_docs") / F.col("df").cast("double")),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
     return (

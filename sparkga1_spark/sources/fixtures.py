@@ -139,6 +139,44 @@ def known_sites(lineitem: DataFrame) -> DataFrame:
     )
 
 
+# ------------------------------------------------- embeddings with near-dups
+#
+# The raw embeddings table has no cosine pair above ~0.51 at small SF, so
+# a near-dup query at a meaningful τ (0.8+) returns 0 rows on both engines
+# — a vacuous gate. This derivation plants deterministic near-duplicates:
+# every 25th vector gets a copy (vec_id + 1_000_000) perturbed additively
+# by 0.01·(((vec_id + j) mod 5) − 2) per component j (cosine ≈ 0.9937 —
+# measured at sf0.01). Integer ops + one double literal, so both engines
+# compute bit-identical vectors.
+
+EMB_NEARDUP_SQL = """
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         [CAST(embedding[j] AS DOUBLE) + 0.01 * (((vec_id + j - 1) % 5) - 2)
+          for j in generate_series(1, len(embedding))] AS embedding
+  FROM embeddings
+  WHERE vec_id % 25 = 0
+"""
+
+
+def embeddings_with_neardups(emb: DataFrame) -> DataFrame:
+    """Embeddings plus planted near-duplicate copies (see EMB_NEARDUP_SQL;
+    j is 0-based here, 1-based in DuckDB — the (vec_id + j) terms align)."""
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, j: x
+            + F.lit(0.01) * ((F.col("vec_id") + j) % 5 - 2).cast("double"),
+        ).alias("embedding"),
+    )
+    return base.unionAll(pert)
+
+
 # ------------------------------------------------------------------ variants
 
 VARIANTS_SQL = """

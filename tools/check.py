@@ -45,7 +45,11 @@ def normalize(rows, cols):
                 if math.isnan(v):
                     vals.append("nan")
                 else:
-                    vals.append(f"{v:.6g}")
+                    # Full precision: the driver hashes exact values, so
+                    # the local gate must be at least as strict (a %.6g
+                    # normalization here masked the tpch_q3 one-cent
+                    # summation-order flip in round 1).
+                    vals.append(repr(v))
             elif v is None:
                 vals.append("NULL")
             else:
