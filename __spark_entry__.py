@@ -39,7 +39,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from sparkga1_spark.operators.cache import release_tracked
+
             apply_runtime_confs(spark)
+            # free the previous query's tracked caches (its action has
+            # already run by the time the driver builds the next query),
+            # so a full-registry gate run holds at most one query's
+            # working set in executor memory
+            release_tracked()
             return fn(spark, sf_dir)
 
         return run

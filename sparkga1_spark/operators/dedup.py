@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from sparkga1_spark.functions.hashing import stable_hash64
 from sparkga1_spark.functions.numeric import hround
+from sparkga1_spark.operators.cache import tracked_persist
 
 
 def keep_best(
@@ -131,7 +132,7 @@ def minhash_lsh_pairs(
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     # the self-join consumes bands twice; persist so signatures (and the
     # md5 shingle lineage above them) are computed once
-    bands = bands.persist()
+    bands = tracked_persist(bands)
     left = bands.alias("l")
     right = bands.alias("r")
     pairs = (
@@ -160,7 +161,7 @@ def jaccard_pairs(
     shingle equi-join, similarity = |A∩B| / (|A|+|B|-|A∩B|), filtered
     at `threshold`. Exact (no LSH recall loss); cost grows with
     shared-shingle volume, so run it on LSH candidates at scale."""
-    rows = rows.persist()  # consumed by sizes + both sides of the self-join
+    rows = tracked_persist(rows)  # consumed by sizes + both sides of the self-join
     sizes = rows.groupBy(id_col).agg(F.count("*").alias("_sz"))
     l, r = rows.alias("l"), rows.alias("r")
     inter = (

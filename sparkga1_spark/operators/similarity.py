@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from sparkga1_spark.functions import vectors
 from sparkga1_spark.functions.numeric import hround
+from sparkga1_spark.operators.cache import tracked_persist
 
 
 def brute_force_topk(
@@ -106,7 +107,8 @@ def lsh_bucketed_neighbors(
         vectors.to_double(F.col(vec_col)).alias("_vd"),  # cast once
         vectors.norm(F.col(vec_col), dim).alias("_n"),
         sign_lsh_bucket(F.col(vec_col), dim, n_planes).alias("_bucket"),
-    ).persist()  # consumed twice by the self-join
+    )
+    bucketed = tracked_persist(bucketed)  # consumed twice by the self-join
     l, r = bucketed.alias("l"), bucketed.alias("r")
     pairs = l.join(
         r,
@@ -164,11 +166,10 @@ def ivf_topk(
         ),
     )
     w_assign = Window.partitionBy(id_col).orderBy(F.desc("_cos"), "cent_id")
-    assigned = (
+    assigned = tracked_persist(  # reused as query side and candidate side
         scored.withColumn("_rn", F.row_number().over(w_assign))
         .filter(F.col("_rn") == 1)
         .select(id_col, F.col("cent_id").alias("cluster_id"), "_vd", "_vn")
-        .persist()  # reused as query side and candidate side
     )
     q = assigned.filter(query_pred).select(
         F.col(id_col).alias("query_id"),

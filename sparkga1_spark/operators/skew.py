@@ -17,6 +17,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
+from sparkga1_spark.operators.cache import tracked_persist
 
 
 def plan_segments(
@@ -66,7 +67,7 @@ def salt_by_quantiles(
     positions always share a bucket. Keys without boundaries get salt 0
     and pay nothing. The boundary table is tiny → broadcast join.
     """
-    df = df.persist()  # scanned three times: segment plan, bounds, route
+    df = tracked_persist(df)  # scanned three times: segment plan, bounds, route
     counts = df.groupBy(*keys).agg(F.count("*").alias("_n"))
     avg_row = counts.agg(F.avg("_n").alias("_avg"))
     heavy = (

@@ -2276,3 +2276,48 @@ def x_embedding_quantize(spark, sf_dir):
         F.size(F.filter(F.col("_codes"), lambda c: (c == 127) | (c == -127)))
             .cast("int").alias("n_saturated"),
     )
+
+
+@query(
+    "f_attrs_map_extract",
+    oracle=FIXTURE_CTES
+    + """
+  SELECT rg_tag,
+         count(*) AS n_reads,
+         CAST(sum(CAST(nm AS INTEGER)) AS BIGINT) AS total_mismatches,
+         CAST(max(CAST(attrs['AS'][1] AS INTEGER)) AS INTEGER) AS best_as,
+         CAST(max(cardinality(attrs)) AS INTEGER) AS n_attrs,
+         round(avg(mapq), 6) AS avg_mapq
+  FROM (SELECT attrs, attrs['RG'][1] AS rg_tag, attrs['NM'][1] AS nm, mapq
+        FROM alignments)
+  WHERE CAST(nm AS INTEGER) <= 6
+  GROUP BY rg_tag
+""",
+)
+def f_attrs_map_extract(spark, sf_dir):
+    """SAM optional-attribute surface (SURVEY.md §1.1 row 2): the
+    alignment record carries `attrs map<string,string>` (htsjdk optional
+    tags, SamRecsReader.scala:110; read-group tagging
+    SparkGA1.scala:621-628). Exercises MapType end-to-end: map creation
+    in the fixture, element_at extraction with typed cast (NM = edit
+    distance → int filter), map_keys cardinality, group by an extracted
+    tag. All JVM-side; the map never leaves the plan (scalars out)."""
+    al = _alignments(spark, sf_dir)
+    ext = al.select(
+        F.element_at("attrs", F.lit("RG")).alias("rg_tag"),
+        F.element_at("attrs", F.lit("NM")).cast("int").alias("nm"),
+        F.element_at("attrs", F.lit("AS")).cast("int").alias("as_score"),
+        F.size(F.map_keys(F.col("attrs"))).alias("n_attrs_row"),
+        "mapq",
+    )
+    return (
+        ext.filter(F.col("nm") <= 6)
+        .groupBy("rg_tag")
+        .agg(
+            F.count("*").alias("n_reads"),
+            F.sum("nm").cast("long").alias("total_mismatches"),
+            F.max("as_score").cast("int").alias("best_as"),
+            F.max("n_attrs_row").cast("int").alias("n_attrs"),
+            hround(F.avg("mapq"), 6).alias("avg_mapq"),
+        )
+    )

@@ -43,7 +43,10 @@ ALIGNMENTS_SQL = """
          + CAST(l_partkey % 51 AS INTEGER) AS INTEGER) AS end_pos,
     CAST((l_orderkey * 7 + l_linenumber * 13) % 61 AS INTEGER) AS mapq,
     l_returnflag                           AS rg,
-    l_quantity                             AS weight
+    l_quantity                             AS weight,
+    MAP {'RG': l_returnflag,
+         'NM': CAST((l_orderkey + l_linenumber) % 10 AS VARCHAR),
+         'AS': CAST((l_orderkey * 7) % 100 AS VARCHAR)} AS attrs
   FROM lineitem
 """
 
@@ -64,6 +67,16 @@ def alignments(lineitem: DataFrame) -> DataFrame:
             .cast("int").alias("mapq"),
         F.col("l_returnflag").alias("rg"),
         F.col("l_quantity").alias("weight"),
+        # SAM optional attributes as map<string,string> — the htsjdk
+        # attr surface (SamRecsReader.scala:110; RG tagging
+        # SparkGA1.scala:621-628). Values derived with integer ops so
+        # the DuckDB MAP mirror is exact.
+        F.create_map(
+            F.lit("RG"), F.col("l_returnflag"),
+            F.lit("NM"),
+            ((F.col("l_orderkey") + F.col("l_linenumber")) % 10).cast("string"),
+            F.lit("AS"), ((F.col("l_orderkey") * 7) % 100).cast("string"),
+        ).alias("attrs"),
     )
 
 

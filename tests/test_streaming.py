@@ -288,3 +288,63 @@ def test_stream_flagship_matches_batch(spark, sf_dir, tmp_path):
         for r in all_queries()["flagship_region_stats"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """Kill-and-resume semantics (SURVEY.md §2.9): a file-source stream
+    stopped mid-ingest and restarted from the SAME checkpoint must end
+    exactly-once — the offset log replays nothing, loses nothing. The
+    reference restarts its polling driver loop ad hoc
+    (SparkGA1.scala:1050-1081); Structured Streaming's checkpoint is the
+    principled replacement, and this is the one behavior a production
+    user always ends up depending on."""
+    import shutil
+    from pathlib import Path
+
+    from sparkga1_spark.session import apply_runtime_confs
+    from sparkga1_spark.streaming.ingest import stream_events
+
+    apply_runtime_confs(spark)
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    staged = tmp_path / "staged"
+    src.repartition(4).write.parquet(str(staged))
+    parts = sorted(Path(staged).glob("part-*.parquet"))
+    assert len(parts) == 4
+    schema = spark.read.parquet(str(staged)).schema
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            stream_events(spark, str(in_dir), schema, max_files_per_trigger=1)
+            .select("event_id", "user_id", "ts")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # ingest the first half, then the query terminates ("crash" point:
+    # the sink and offset log hold a consistent prefix)
+    for p in parts[:2]:
+        shutil.copy(p, in_dir / p.name)
+    drain()
+    n_first = spark.read.parquet(out_dir).count()
+    assert 0 < n_first < src.count()
+
+    # the remaining files arrive; RESTART from the same checkpoint
+    for p in parts[2:]:
+        shutil.copy(p, in_dir / p.name)
+    drain()
+
+    out = spark.read.parquet(out_dir)
+    assert out.count() == src.count()  # nothing lost, nothing doubled
+    got = {r.event_id for r in out.select("event_id").collect()}
+    want = {r.event_id for r in src.select("event_id").collect()}
+    assert got == want

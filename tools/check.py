@@ -87,10 +87,13 @@ def main() -> int:
     con = duck_connection(sf_dir)
     queries, oracles = all_queries(), all_oracles()
     failed = []
+    from sparkga1_spark.operators.cache import release_tracked
+
     for name, fn in queries.items():
         if only and name not in only:
             continue
         t0 = time.time()
+        release_tracked()  # previous query's action is done; free its caches
         try:
             df = fn(spark, sf_dir)
             if name in oracles:
