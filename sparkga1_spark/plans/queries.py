@@ -1131,7 +1131,7 @@ def x_flatmap_records(spark, sf_dir):
     "x_multimodal_decode",
     oracle="""
 SELECT doc_id,
-       CAST(length(text) AS INTEGER) AS byte_len,
+       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
        CAST(h % 640 + 1 AS INTEGER) AS width,
        CAST(h % 480 + 1 AS INTEGER) AS height,
        CAST(h % 3 + 1 AS INTEGER) AS channels,
@@ -1163,7 +1163,7 @@ SELECT doc_id,
            AS frame_hash
 FROM (
   SELECT doc_id, text,
-         unnest([i for i in generate_series(0, CAST(least(8, greatest(1, length(text) * 10 // 1000)) AS BIGINT) - 1)]) AS u
+         unnest([i for i in generate_series(0, CAST(least(8, greatest(1, octet_length(encode(text)) * 10 // 1000)) AS BIGINT) - 1)]) AS u
   FROM documents
 )
 """,
@@ -1183,12 +1183,13 @@ def x_multimodal_framesample(spark, sf_dir):
     "x_multimodal_audio_features",
     oracle="""
 SELECT doc_id,
-       CAST(length(text) AS INTEGER) AS n_samples,
+       CAST(octet_length(b) AS INTEGER) AS n_samples,
        16000 AS sample_rate,
-       CAST(length(text) * 1000 // 16000 AS INTEGER) AS duration_ms,
-       CAST(list_sum([ascii(text[i]) for i in generate_series(1, length(text))]) AS BIGINT)
+       CAST(octet_length(b) * 1000 // 16000 AS INTEGER) AS duration_ms,
+       CAST(list_sum([CAST(('0x' || substr(hex(b), 2*i-1, 2)) AS INTEGER)
+                      for i in generate_series(1, octet_length(b))]) AS BIGINT)
            AS rms
-FROM documents
+FROM (SELECT doc_id, encode(text) AS b FROM documents)
 """,
 )
 def x_multimodal_audio_features(spark, sf_dir):
