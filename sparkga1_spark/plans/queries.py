@@ -2322,3 +2322,196 @@ def f_attrs_map_extract(spark, sf_dir):
             hround(F.avg("mapq"), 6).alias("avg_mapq"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Training-data curation ops, round 2: Gopher-style repetition quality
+# rules and PII/URL scrubbing (the filter family a 100 TB pretraining
+# pipeline runs before tokenization). All JVM-side regex/window/agg —
+# the only shuffles are keyed on (doc_id, gram) / host.
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9]+@[A-Za-z0-9.]+[A-Za-z]"
+_URL_RE = "https?://[A-Za-z0-9./]+"
+_PHONE_RE = "555-[0-9]{4}"
+_HOST_RE = "https?://([A-Za-z0-9.]+)"
+
+
+def _gram_rows(docs, n: int):
+    """(doc_id, gram) rows for word n-grams — posexplode + window lead,
+    the same codegen-friendly shape as text.shingle_hash_rows (split
+    evaluated once per doc; the per-doc window shuffle is reused by the
+    downstream per-doc aggregation)."""
+    from pyspark.sql import Window
+
+    ex = docs.select(
+        "doc_id", F.posexplode(T.words(F.col("text"))).alias("_i", "_w")
+    )
+    if n == 1:
+        return ex.select("doc_id", F.col("_w").alias("g"))
+    w = Window.partitionBy("doc_id").orderBy("_i")
+    parts = [F.col("_w")] + [F.lead("_w", k).over(w) for k in range(1, n)]
+    return (
+        ex.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("g"),
+            parts[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+
+
+@query(
+    "x_quality_repetition",
+    oracle="""
+WITH W AS (SELECT doc_id, str_split_regex(trim(text), ' +') AS ws FROM documents),
+uni AS (SELECT doc_id, unnest(ws) AS g FROM W),
+bi  AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1]
+                               for i in generate_series(1, len(ws) - 1)]) AS g FROM W),
+tri AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               for i in generate_series(1, len(ws) - 2)]) AS g FROM W),
+uc AS (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY 1, 2),
+bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+tc AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+us AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+              round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_word_frac
+       FROM uc GROUP BY 1),
+bs AS (SELECT doc_id,
+              round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac
+       FROM bc GROUP BY 1),
+ts AS (SELECT doc_id,
+              round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                    / CAST(sum(c) AS DOUBLE), 6) AS dup_trigram_frac
+       FROM tc GROUP BY 1)
+SELECT us.doc_id, us.n_words, us.top_word_frac, bs.top_bigram_frac,
+       ts.dup_trigram_frac,
+       (us.top_word_frac > 0.2 OR bs.top_bigram_frac > 0.18
+        OR ts.dup_trigram_frac > 0.3) AS low_quality
+FROM us JOIN bs USING (doc_id) JOIN ts USING (doc_id)
+""",
+)
+def x_quality_repetition(spark, sf_dir):
+    """Gopher-style repetition quality rules (Rae et al. 2021 §A1.1, the
+    published heuristic family): per-doc most-frequent-word fraction,
+    top-bigram fraction, duplicate-trigram mass fraction, and the
+    composite low_quality flag. Counts are exact ints; each ratio is ONE
+    IEEE division on both engines, then hround."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    uc = _gram_rows(docs, 1).groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    bc = _gram_rows(docs, 2).groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    tc = _gram_rows(docs, 3).groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    us = uc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        hround(F.max("c").cast("double") / F.sum("c").cast("double"), 6)
+            .alias("top_word_frac"),
+    )
+    bs = bc.groupBy("doc_id").agg(
+        hround(F.max("c").cast("double") / F.sum("c").cast("double"), 6)
+            .alias("top_bigram_frac"),
+    )
+    ts = tc.groupBy("doc_id").agg(
+        hround(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("double")
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("dup_trigram_frac"),
+    )
+    return (
+        us.join(bs, "doc_id")
+        .join(ts, "doc_id")
+        .withColumn(
+            "low_quality",
+            (F.col("top_word_frac") > 0.2)
+            | (F.col("top_bigram_frac") > 0.18)
+            | (F.col("dup_trigram_frac") > 0.3),
+        )
+    )
+
+
+@query(
+    "x_pii_scrub",
+    oracle=f"""
+WITH pii AS ({fixtures.DOCS_PII_SQL})
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_URL_RE}')) AS INTEGER) AS n_urls,
+       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+       CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+            '{_EMAIL_RE}', '<EMAIL>', 'g'), '{_URL_RE}', '<URL>', 'g'),
+            '{_PHONE_RE}', '<PHONE>', 'g')) AS INTEGER) AS redacted_len,
+       array_to_string(list_sort(regexp_extract_all(text, '{_HOST_RE}', 1)), ',')
+           AS hosts
+FROM pii
+WHERE len(regexp_extract_all(text, '{_EMAIL_RE}'))
+    + len(regexp_extract_all(text, '{_URL_RE}'))
+    + len(regexp_extract_all(text, '{_PHONE_RE}')) > 0
+""",
+)
+def x_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (the pre-release scrub every training
+    pipeline runs): per-doc email/URL/phone hit counts, redacted text
+    length, and extracted URL hosts. Runs on the planted-PII fixture
+    (fixtures.DOCS_PII_SQL) so the gate checks real hits — the raw corpus
+    is clean and would pass vacuously. Pure JVM regex; zero shuffles
+    (map-only until the driver collects)."""
+    docs = fixtures.documents_with_pii(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "text")
+    t = F.col("text")
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), F.lit(0)))
+    n_urls = F.size(F.regexp_extract_all(t, F.lit(_URL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(_PHONE_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n_emails.cast("int").alias("n_emails"),
+            n_urls.cast("int").alias("n_urls"),
+            n_phones.cast("int").alias("n_phones"),
+            F.length(redacted).cast("int").alias("redacted_len"),
+            F.array_join(
+                F.array_sort(F.regexp_extract_all(t, F.lit(_HOST_RE), F.lit(1))),
+                ",",
+            ).alias("hosts"),
+        )
+        .filter(F.col("n_emails") + F.col("n_urls") + F.col("n_phones") > 0)
+    )
+
+
+@query(
+    "x_url_host_rollup",
+    oracle=f"""
+WITH pii AS ({fixtures.DOCS_PII_SQL})
+SELECT host,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_urls
+FROM (SELECT doc_id, unnest(regexp_extract_all(text, '{_HOST_RE}', 1)) AS host
+      FROM pii)
+GROUP BY host
+""",
+)
+def x_url_host_rollup(spark, sf_dir):
+    """Cross-corpus URL host rollup (domain-level dedup/blocklist audit):
+    extract hosts per doc, aggregate doc- and mention-counts per host.
+    The shuffle key is the host (bounded domain cardinality at 100 TB,
+    and skew-salting applies if one domain dominates)."""
+    docs = fixtures.documents_with_pii(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "text")
+    hosts = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(_HOST_RE), F.lit(1))
+        ).alias("host"),
+    )
+    return hosts.groupBy("host").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_urls"),
+    )

@@ -190,6 +190,44 @@ def embeddings_with_neardups(emb: DataFrame) -> DataFrame:
     return base.unionAll(pert)
 
 
+# ------------------------------------------------ documents with planted PII
+#
+# The synthetic documents are clean word-salad, so PII/URL scrubbing
+# over the raw table is vacuous (0 == 0 rows proves nothing — same
+# lesson as EMB_NEARDUP_SQL). Every 7th document gets a deterministic
+# contact tail: an email, a URL and a phone-shaped token derived from
+# doc_id with integer arithmetic + lpad, identical on both engines.
+
+DOCS_PII_SQL = """
+  SELECT doc_id, lang, source,
+         CASE WHEN doc_id % 7 = 0 THEN
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+                || ' visit http://site' || CAST(doc_id % 13 AS VARCHAR)
+                || '.example.org/p/' || CAST(doc_id % 3 AS VARCHAR)
+                || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE text END AS text
+  FROM documents
+"""
+
+
+def documents_with_pii(docs: DataFrame) -> DataFrame:
+    """Documents plus planted contact strings (mirror of DOCS_PII_SQL)."""
+    k = F.col("doc_id")
+    tail = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), k.cast("string"),
+        F.lit("@mail"), (k % 5).cast("string"), F.lit(".example.com"),
+        F.lit(" visit http://site"), (k % 13).cast("string"),
+        F.lit(".example.org/p/"), (k % 3).cast("string"),
+        F.lit(" call 555-"), F.lpad((k % 10000).cast("string"), 4, "0"),
+    )
+    return docs.select(
+        "doc_id", "lang", "source",
+        F.when(k % 7 == 0, tail).otherwise(F.col("text")).alias("text"),
+    )
+
+
 # ------------------------------------------------------------------ variants
 
 VARIANTS_SQL = """
