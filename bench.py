@@ -32,6 +32,13 @@ HEADLINE = [
     "x_text_quality",
     "pipeline_end_to_end",
     "s_session_windows",
+    # round 2 additions (VERDICT: keep the heavy engine paths visible
+    # round-over-round): decimal-sum joins w/ correlated-subquery shape,
+    # group-limit semi-join, exact jaccard refinement, gram-repetition
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "x_dedup_ngram_jaccard",
+    "x_quality_repetition",
 ]
 
 

@@ -51,16 +51,25 @@ def word_ngrams(ws: Column, n: int) -> Column:
     """Contiguous word n-grams joined by single spaces; empty array when
     the document has fewer than n words.
 
+    Implementation: zip n shifted slices of the word array. The naive
+    transform-over-indices form (element_at(ws, i+k) per gram) re-
+    evaluates the interpreted `ws` expression PER ELEMENT — O(n²) per
+    document (measured ~8× slower on sf0.1 documents); slicing
+    evaluates it a constant n+1 times.
+
     DuckDB mirror (1-indexed lists):
       [array_to_string(W[i:i+n-1], ' ')
        for i in generate_series(1, greatest(len(W)-n+1, 0))]
     """
-    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0)))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(ws, i + k) for k in range(n)]
-    )
-    return F.when(F.size(ws) >= n, F.transform(idx, gram)).otherwise(
-        F.array().cast("array<string>")
+    if n == 1:
+        return ws
+    cnt = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    slices = [F.slice(ws, k + 1, cnt) for k in range(n)]
+    if n == 2:
+        return F.zip_with(slices[0], slices[1], lambda a, b: F.concat_ws(" ", a, b))
+    z = F.arrays_zip(*slices)
+    return F.transform(
+        z, lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)])
     )
 
 

@@ -2337,95 +2337,112 @@ _PHONE_RE = "555-[0-9]{4}"
 _HOST_RE = "https?://([A-Za-z0-9.]+)"
 
 
-def _gram_rows(docs, n: int):
-    """(doc_id, gram) rows for word n-grams — posexplode + window lead,
-    the same codegen-friendly shape as text.shingle_hash_rows (split
-    evaluated once per doc; the per-doc window shuffle is reused by the
-    downstream per-doc aggregation)."""
-    from pyspark.sql import Window
+def _top_run_count(arr):
+    """Most-frequent-element count of an array, computed as the longest
+    run of the SORTED array via one linear F.aggregate fold (struct
+    accumulator: prev element, current run, best run). Map-side, O(n)
+    per row — no (doc_id, gram) shuffle."""
+    srt = F.array_sort(arr)
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
 
-    ex = docs.select(
-        "doc_id", F.posexplode(T.words(F.col("text"))).alias("_i", "_w")
-    )
-    if n == 1:
-        return ex.select("doc_id", F.col("_w").alias("g"))
-    w = Window.partitionBy("doc_id").orderBy("_i")
-    parts = [F.col("_w")] + [F.lead("_w", k).over(w) for k in range(1, n)]
-    return (
-        ex.select(
-            "doc_id",
-            F.concat_ws(" ", *parts).alias("g"),
-            parts[-1].alias("_last"),
+    def step(a, x):
+        run = F.when(x == a.prev, a.run + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(a.best, run).alias("best")
         )
-        .filter(F.col("_last").isNotNull())
-        .drop("_last")
+
+    return F.aggregate(srt, zero, step, lambda a: a.best)
+
+
+def _dup_mass(arr):
+    """Total count of elements whose value occurs more than once —
+    same sorted-fold trick: extending a run to length 2 adds 2 (the
+    first occurrence counts retroactively), beyond 2 adds 1."""
+    srt = F.array_sort(arr)
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dup"),
     )
+
+    def step(a, x):
+        run = F.when(x == a.prev, a.run + 1).otherwise(F.lit(1).cast("long"))
+        dup = a.dup + F.when(run == 2, F.lit(2)).otherwise(
+            F.when(run > 2, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long")
+        return F.struct(x.alias("prev"), run.alias("run"), dup.alias("dup"))
+
+    return F.aggregate(srt, zero, step, lambda a: a.dup)
 
 
 @query(
     "x_quality_repetition",
     oracle="""
 WITH W AS (SELECT doc_id, str_split_regex(trim(text), ' +') AS ws FROM documents),
-uni AS (SELECT doc_id, unnest(ws) AS g FROM W),
-bi  AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1]
-                               for i in generate_series(1, len(ws) - 1)]) AS g FROM W),
-tri AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                               for i in generate_series(1, len(ws) - 2)]) AS g FROM W),
-uc AS (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY 1, 2),
-bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
-tc AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
-us AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
-              round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_word_frac
-       FROM uc GROUP BY 1),
-bs AS (SELECT doc_id,
-              round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac
-       FROM bc GROUP BY 1),
-ts AS (SELECT doc_id,
-              round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
-                    / CAST(sum(c) AS DOUBLE), 6) AS dup_trigram_frac
-       FROM tc GROUP BY 1)
-SELECT us.doc_id, us.n_words, us.top_word_frac, bs.top_bigram_frac,
-       ts.dup_trigram_frac,
-       (us.top_word_frac > 0.2 OR bs.top_bigram_frac > 0.18
-        OR ts.dup_trigram_frac > 0.3) AS low_quality
-FROM us JOIN bs USING (doc_id) JOIN ts USING (doc_id)
+G AS (SELECT doc_id, ws,
+             [ws[i] || ' ' || ws[i+1]
+              for i in generate_series(1, len(ws) - 1)] AS bg,
+             [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+              for i in generate_series(1, len(ws) - 2)] AS tg
+      FROM W)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       round(CAST(list_max([len(list_filter(ws, x -> x = u))
+                            for u in list_distinct(ws)]) AS DOUBLE)
+             / len(ws), 6) AS top_word_frac,
+       round(CAST(list_max([len(list_filter(bg, x -> x = u))
+                            for u in list_distinct(bg)]) AS DOUBLE)
+             / len(bg), 6) AS top_bigram_frac,
+       round(CAST(list_sum([CASE WHEN len(list_filter(tg, x -> x = u)) > 1
+                                 THEN len(list_filter(tg, x -> x = u))
+                                 ELSE 0 END
+                            for u in list_distinct(tg)]) AS DOUBLE)
+             / len(tg), 6) AS dup_trigram_frac,
+       (CAST(list_max([len(list_filter(ws, x -> x = u))
+                       for u in list_distinct(ws)]) AS DOUBLE) / len(ws) > 0.2
+        OR CAST(list_max([len(list_filter(bg, x -> x = u))
+                          for u in list_distinct(bg)]) AS DOUBLE) / len(bg) > 0.18
+        OR CAST(list_sum([CASE WHEN len(list_filter(tg, x -> x = u)) > 1
+                               THEN len(list_filter(tg, x -> x = u))
+                               ELSE 0 END
+                          for u in list_distinct(tg)]) AS DOUBLE) / len(tg) > 0.3)
+           AS low_quality
+FROM G
 """,
 )
 def x_quality_repetition(spark, sf_dir):
     """Gopher-style repetition quality rules (Rae et al. 2021 §A1.1, the
     published heuristic family): per-doc most-frequent-word fraction,
-    top-bigram fraction, duplicate-trigram mass fraction, and the
-    composite low_quality flag. Counts are exact ints; each ratio is ONE
-    IEEE division on both engines, then hround."""
+    top-bigram fraction, duplicate-trigram mass fraction, composite
+    low_quality flag.
+
+    Plan shape: MAP-ONLY (zero exchanges). Per-doc stats never need a
+    (doc_id, gram) shuffle — grams stay an in-row array and the counts
+    come from a linear sorted-run fold (_top_run_count/_dup_mass), so at
+    100 TB this scales with scan parallelism instead of shuffling 3×
+    the corpus token volume (the groupBy formulation's cost). Counts are
+    exact ints; each ratio is ONE IEEE division on both engines, then
+    hround. The oracle computes the same counts with an O(n·distinct)
+    list comprehension — different algorithm, identical values."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    uc = _gram_rows(docs, 1).groupBy("doc_id", "g").agg(F.count("*").alias("c"))
-    bc = _gram_rows(docs, 2).groupBy("doc_id", "g").agg(F.count("*").alias("c"))
-    tc = _gram_rows(docs, 3).groupBy("doc_id", "g").agg(F.count("*").alias("c"))
-    us = uc.groupBy("doc_id").agg(
-        F.sum("c").cast("long").alias("n_words"),
-        hround(F.max("c").cast("double") / F.sum("c").cast("double"), 6)
-            .alias("top_word_frac"),
-    )
-    bs = bc.groupBy("doc_id").agg(
-        hround(F.max("c").cast("double") / F.sum("c").cast("double"), 6)
-            .alias("top_bigram_frac"),
-    )
-    ts = tc.groupBy("doc_id").agg(
-        hround(
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("double")
-            / F.sum("c").cast("double"),
-            6,
-        ).alias("dup_trigram_frac"),
-    )
-    return (
-        us.join(bs, "doc_id")
-        .join(ts, "doc_id")
-        .withColumn(
-            "low_quality",
-            (F.col("top_word_frac") > 0.2)
-            | (F.col("top_bigram_frac") > 0.18)
-            | (F.col("dup_trigram_frac") > 0.3),
-        )
+    ws = T.words(F.col("text"))
+    bg = T.word_ngrams(ws, 2)
+    tg = T.word_ngrams(ws, 3)
+    n_words = F.size(ws)
+    top_w = F.lit(1.0) * _top_run_count(ws) / n_words
+    top_b = F.lit(1.0) * _top_run_count(bg) / F.size(bg)
+    dup_t = F.lit(1.0) * _dup_mass(tg) / F.size(tg)
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        hround(top_w, 6).alias("top_word_frac"),
+        hround(top_b, 6).alias("top_bigram_frac"),
+        hround(dup_t, 6).alias("dup_trigram_frac"),
+        ((top_w > 0.2) | (top_b > 0.18) | (dup_t > 0.3)).alias("low_quality"),
     )
 
 
@@ -2515,3 +2532,71 @@ def x_url_host_rollup(spark, sf_dir):
         F.count_distinct("doc_id").cast("long").alias("n_docs"),
         F.count("*").cast("long").alias("n_urls"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gate priority (see registry.set_gate_order docstring). Round 2: front
+# the 19 queries the round-1 driver cap left without a CORRECTNESS row,
+# the 4 new queries, everything whose semantics/oracle changed this
+# round, then the north stars. Untouched round-1-green queries sit in
+# the tail and rotate forward next round.
+# --------------------------------------------------------------------------
+
+from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
+
+set_gate_order([
+    # (a) no hard driver signal yet — round-1 cap victims
+    "f_permissive_line_parse",
+    "s_paired_interleave",
+    "o_topk_global_limit",
+    "w_frame_lag_lead_range",
+    "f_null_semantics",
+    "x_json_props_extract",
+    "f_ignore_table_antijoin",
+    "a_cube_revenue",
+    "w_first_last_nth",
+    "x_vector_stats_hof",
+    "w_rank_family",
+    "x_fuzzy_levenshtein",
+    "a_date_parts",
+    "a_minmax_by_bool",
+    "x_vocab_topk",
+    "x_tfidf_top_terms",
+    "x_embedding_quantize",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    # (a') new this round
+    "f_attrs_map_extract",
+    "x_quality_repetition",
+    "x_pii_scrub",
+    "x_url_host_rollup",
+    # (b) semantics/oracle changed this round (round-1 row is stale)
+    "tpch_q3_shipping_priority",
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier",
+    "j_star_revenue",
+    "w_running_revenue",
+    "a_rollup_revenue",
+    "x_embedding_neardup",
+    "x_multimodal_decode",
+    "x_multimodal_framesample",
+    "x_multimodal_audio_features",
+    # (c) north stars — keep a current row every round
+    "flagship_region_stats",
+    "pipeline_end_to_end",
+    "x_blackbox_variant_call",
+    "x_dedup_exact",
+    "x_dedup_minhash_lsh",
+    "x_dedup_simhash",
+    "x_dedup_ngram_jaccard",
+    "x_ann_bruteforce_topk",
+    "x_ann_ivf_topk",
+    "x_ann_lsh_buckets",
+    "x_lang_id",
+    "x_text_quality",
+    "x_doc_fingerprint",
+    "s_tumbling_counts",
+    "s_sliding_avg",
+    "s_session_windows",
+    "a_covariate_table",
+])

@@ -106,3 +106,73 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     joined = fact.join(dim, "chr_index").groupBy("chr_index").count()
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:1500]
+
+
+def test_vocab_topk_takes_before_ranking(spark, sf_dir):
+    """x_vocab_topk must TakeOrderedAndProject the top-20 BEFORE any
+    global window: at 100 TB the vocabulary is 1e8-1e9 distinct tokens
+    and an unpartitioned row_number over it funnels everything through
+    one task (the round-1 scale-killer)."""
+    plan = _plan(spark, sf_dir, "x_vocab_topk")
+    assert "TakeOrderedAndProject" in plan, "top-k must be TakeOrdered"
+    # the only Window node must sit ABOVE the take (operate on <= 20 rows):
+    # in the executedPlan string, children print below their parent
+    win = plan.find("Window")
+    take = plan.find("TakeOrderedAndProject")
+    assert win != -1 and win < take, "window must consume the take output"
+
+
+def test_tfidf_is_one_lazy_plan(spark, sf_dir):
+    """Building the query must launch NO Spark job (round-1 bug: a
+    docs.count() action in plan construction doubled the scan)."""
+    tracker = spark.sparkContext.statusTracker()
+    # baseline: a known-lazy query on the same table still pays the
+    # parquet schema-inference job; tfidf must not exceed that
+    n0 = len(tracker.getJobIdsForGroup(None))
+    all_queries()["x_vocab_topk"](spark, sf_dir)
+    lazy_delta = len(tracker.getJobIdsForGroup(None)) - n0
+    n1 = len(tracker.getJobIdsForGroup(None))
+    df = all_queries()["x_tfidf_top_terms"](spark, sf_dir)
+    tfidf_delta = len(tracker.getJobIdsForGroup(None)) - n1
+    assert tfidf_delta <= lazy_delta, (
+        f"construction ran an extra action: {tfidf_delta} > {lazy_delta} jobs"
+    )
+    assert df.columns == ["doc_id", "term", "tfidf"]
+
+
+def test_gate_order_fronts_unproven_queries():
+    """The driver caps its correctness run at the first 50 queries();
+    the registry must front every query lacking a current green row
+    (round-1 cap victims + this round's new/changed) — see
+    registry.set_gate_order."""
+    from sparkga1_spark.plans.registry import all_oracles, all_queries
+
+    qs = list(all_queries())
+    first50 = set(qs[:50])
+    must_have_row = {
+        # round-1 cap victims (no CORRECTNESS_r01 row at all)
+        "f_permissive_line_parse", "s_paired_interleave",
+        "o_topk_global_limit", "w_frame_lag_lead_range", "f_null_semantics",
+        "x_json_props_extract", "f_ignore_table_antijoin", "a_cube_revenue",
+        "w_first_last_nth", "x_vector_stats_hof", "w_rank_family",
+        "x_fuzzy_levenshtein", "a_date_parts", "a_minmax_by_bool",
+        "x_vocab_topk", "x_tfidf_top_terms", "x_embedding_quantize",
+        "tpch_q17_small_quantity", "tpch_q18_large_orders",
+        # changed this round
+        "tpch_q3_shipping_priority", "x_embedding_neardup",
+        # new this round
+        "f_attrs_map_extract", "x_quality_repetition", "x_pii_scrub",
+        "x_url_host_rollup",
+    }
+    missing = must_have_row - first50
+    assert not missing, f"not in the driver's 50-query window: {missing}"
+    # queries() and oracle_sql() must agree on order & coverage
+    assert list(all_oracles()) == [q for q in qs if q in all_oracles()]
+
+
+def test_quality_repetition_is_map_only(spark, sf_dir):
+    """Per-doc repetition stats must not shuffle (doc_id, gram) rows —
+    grams stay in-row and counts come from the sorted-run fold."""
+    plan = _plan(spark, sf_dir, "x_quality_repetition")
+    assert "Exchange" not in plan, "per-doc stats must be map-only"
+    assert "EvalPython" not in plan
