@@ -194,3 +194,137 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("cand_id"), "cos_sim", "rank")
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    k: int = 8,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means over an embedding column — the
+    trained-centroid source for `ivf_topk` (upgrading its documented
+    seed-centroid stand-in; plan shape downstream is unchanged).
+
+    Per iteration ONE job with map-side combine: each row computes its
+    nearest centroid (squared-L2 over broadcast literal centroids,
+    deterministic lowest-index tiebreak via struct array_min), then a
+    k-row aggregate of per-dimension sums — the shuffle carries
+    k×(dim+1) partial values PER PARTITION, independent of row count,
+    which is the 100 TB shape (MLlib's treeAggregate equivalently).
+    Init is deterministic: the k lowest-id vectors. Empty clusters keep
+    their previous centroid. Iterative and float-summation-order
+    dependent → verified by pytest against a numpy reference, not a SQL
+    oracle (the one algorithm class the oracle gate exempts)."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        vectors.to_double(F.col(vec_col)).alias("_v"),
+    )
+    init_rows = base.orderBy("_id").limit(k).collect()
+    cents: list[list[float]] = [list(r._v) for r in init_rows]
+
+    for _ in range(iters):
+        cent_arrs = [
+            F.array(*[F.lit(float(x)) for x in c]) for c in cents
+        ]
+        dists = [
+            F.aggregate(
+                F.zip_with(F.col("_v"), ca, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            )
+            for ca in cent_arrs
+        ]
+        choice = F.array_min(
+            F.array(
+                *[
+                    F.struct(d.alias("d"), F.lit(i).alias("i"))
+                    for i, d in enumerate(dists)
+                ]
+            )
+        )["i"]
+        rows = (
+            base.withColumn("_c", choice)
+            .groupBy("_c")
+            .agg(
+                F.count("*").alias("_n"),
+                *[
+                    F.sum(F.element_at("_v", j + 1)).alias(f"_s{j}")
+                    for j in range(dim)
+                ],
+            )
+            .collect()
+        )
+        by_cluster = {r["_c"]: r for r in rows}
+        cents = [
+            [by_cluster[i][f"_s{j}"] / by_cluster[i]["_n"] for j in range(dim)]
+            if i in by_cluster
+            else cents[i]
+            for i in range(k)
+        ]
+    return cents
+
+
+def ivf_topk_trained(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    query_pred,
+    k: int = 3,
+) -> DataFrame:
+    """IVF-flat search against TRAINED centroids (from kmeans_fit):
+    assign every vector to its nearest centroid (squared-L2, lowest-index
+    tiebreak), then each query searches only its own cluster — identical
+    equi-join plan shape as `ivf_topk`, so everything PLANS.md says about
+    its scale behavior carries over."""
+    base = df.select(
+        F.col(id_col),
+        vectors.to_double(F.col(vec_col)).alias("_vd"),
+        vectors.norm(F.col(vec_col), dim).alias("_vn"),
+    )
+    cent_arrs = [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    dists = [
+        F.aggregate(
+            F.zip_with(F.col("_vd"), ca, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+        for ca in cent_arrs
+    ]
+    choice = F.array_min(
+        F.array(
+            *[F.struct(d.alias("d"), F.lit(i).alias("i")) for i, d in enumerate(dists)]
+        )
+    )["i"]
+    assigned = tracked_persist(  # query side + candidate side
+        base.withColumn("cluster_id", choice)
+    )
+    q = assigned.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("cluster_id"),
+        F.col("_vd").alias("_qv"),
+        F.col("_vn").alias("_qn"),
+    )
+    pairs = assigned.join(q, on="cluster_id").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+    topk = pairs.withColumn(
+        "cos_sim",
+        hround(
+            vectors.dot(F.col("_qv"), F.col("_vd"), dim)
+            / (F.col("_qn") * F.col("_vn")),
+            6,
+        ),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), id_col)
+    return (
+        topk.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("cand_id"), "cos_sim", "rank")
+    )

