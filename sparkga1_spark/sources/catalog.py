@@ -65,3 +65,17 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def register_fixture_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the genomics-shaped fixture tables as temp views too, so
+    the full data model (FIXTURES.md) is reachable from `spark.sql` —
+    the reference exposes these only through its Scala job wiring."""
+    from sparkga1_spark.sources import fixtures
+
+    dfs = register_views(spark, sf_dir)
+    fixtures.alignments(dfs["lineitem"]).createOrReplaceTempView("alignments")
+    fixtures.sequence_dict(dfs["nation"]).createOrReplaceTempView("sequence_dict")
+    fixtures.exome_intervals(dfs["part"]).createOrReplaceTempView("exome_intervals")
+    fixtures.known_sites(dfs["lineitem"]).createOrReplaceTempView("known_sites")
+    fixtures.variants(dfs["orders"]).createOrReplaceTempView("variants")

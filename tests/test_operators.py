@@ -137,9 +137,12 @@ def test_multimodal_plumbing(spark, sf_dir):
     # metadata-only post-processing stays JVM-side on struct columns
     wide = meta.filter(F.col("width") > 320).count()
     assert 0 < wide < meta.count()
-    # the resize path is an explicit, clearly-marked stub
-    with _pytest.raises(NotImplementedError):
-        multimodal.resize_images(docs)
+    # the resize path is real interpolation over stub-decoded pixels
+    # (deep checks live in tests/test_multimodal_bytes.py)
+    rs = multimodal.resize_images(docs.limit(5), width=8, height=6)
+    rows = rs.collect()
+    assert len(rows) == 5
+    assert all(len(bytes(r.data)) == 8 * 6 * r.channels for r in rows)
 
 
 def test_fastq_to_pipeline_end_to_end(spark, sf_dir, tmp_path):
@@ -201,3 +204,28 @@ def test_fastq_to_pipeline_end_to_end(spark, sf_dir, tmp_path):
         .count()
     )
     assert called.count() == direct
+
+
+def test_sql_surface_over_fixture_views(spark, sf_dir):
+    """The spark.sql(...) path: fixture views registered by the catalog
+    answer the same question as the DataFrame API (same engine, same
+    plans — this pins the SQL surface a reference user would migrate to)."""
+    from sparkga1_spark.operators import filters
+    from sparkga1_spark.sources import fixtures
+    from sparkga1_spark.sources.catalog import load_table, register_fixture_views
+
+    register_fixture_views(spark, sf_dir)
+    got = spark.sql(
+        """
+        SELECT chr_index, count(*) AS n, max(mapq) AS best
+        FROM alignments WHERE (flags & 4) = 0 AND attrs['NM'] <= '3'
+        GROUP BY chr_index
+        """
+    )
+    al = filters.filter_unmapped(
+        fixtures.alignments(load_table(spark, sf_dir, "lineitem"))
+    ).filter(F.element_at("attrs", F.lit("NM")) <= "3")
+    want = al.groupBy("chr_index").agg(
+        F.count("*").alias("n"), F.max("mapq").alias("best")
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}

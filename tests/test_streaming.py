@@ -348,3 +348,69 @@ def test_stream_checkpoint_recovery(spark, sf_dir, tmp_path):
     got = {r.event_id for r in out.select("event_id").collect()}
     want = {r.event_id for r in src.select("event_id").collect()}
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, event_stream_schema, events_dir):
+    """Stream-stream inner join with watermarks + event-time range
+    constraint (the §2.9 shape the reference never had but any streaming
+    engine user expects): each click joins views by the same user within
+    the preceding 10 minutes. Drained AvailableNow and compared against
+    the identical batch join."""
+    from sparkga1_spark.sources.catalog import load_table
+    from sparkga1_spark.streaming.ingest import stream_events
+
+    stream = stream_events(spark, events_dir, event_stream_schema)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    views = (
+        stream_events(spark, events_dir, event_stream_schema)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        views,
+        (clicks.user_id == views.user_id)
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("view_ts") <= F.col("click_ts")),
+        "inner",
+    ).select("click_id", "view_id")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ss_join")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM t_ss_join").collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    bc = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    bv = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("view_ts")
+    )
+    want = {
+        tuple(r)
+        for r in bc.join(
+            bv,
+            (bc.user_id == bv.user_id)
+            & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("view_ts") <= F.col("click_ts")),
+            "inner",
+        ).select("click_id", "view_id").collect()
+    }
+    assert got == want and len(want) > 0
