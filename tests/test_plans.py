@@ -176,3 +176,41 @@ def test_quality_repetition_is_map_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x_quality_repetition")
     assert "Exchange" not in plan, "per-doc stats must be map-only"
     assert "EvalPython" not in plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime row-level filtering: a selective dim predicate injects a
+    Bloom-filter subquery into the fact side of a shuffle join (the
+    100 TB lever when broadcast is too big and DPP doesn't apply — the
+    application-side threshold (default 10 GB scan) gates it in
+    production; forced to 0 here to pin the mechanism)."""
+    from pyspark.sql import functions as F
+
+    old_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        od = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), "no runtime bloom filter injected"
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thresh,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
