@@ -28,6 +28,7 @@ from sparkga1_spark.functions.numeric import (
     hround,
 )
 from sparkga1_spark.operators import binning, filters
+from sparkga1_spark.operators import windows as windows_ops
 from sparkga1_spark.plans.registry import query
 from sparkga1_spark.sources import fixtures
 from sparkga1_spark.sources.catalog import load_table
@@ -263,13 +264,18 @@ FROM (
 )
 def a_lpt_schedule(spark, sf_dir):
     """A-5 + O-4: per-region weights, heaviest-first schedule order
-    (SparkGA1.scala:1153-1162 LPT heuristic, rank materialized)."""
-    from pyspark.sql import Window
+    (SparkGA1.scala:1153-1162 LPT heuristic, rank materialized).
+    Rank via windows.global_rank — distributed two-pass, no
+    single-partition window over the region table."""
+    from sparkga1_spark.operators.windows import global_rank
 
     binned = binning.bin_by_region(_alignments(spark, sf_dir), _seq_dict(spark, sf_dir))
     weights = binned.groupBy("chr_index", "reg").agg(F.count("*").alias("n_reads"))
-    w = Window.orderBy(F.desc("n_reads"), "chr_index", "reg")
-    return weights.withColumn("schedule_order", F.row_number().over(w))
+    return global_rank(
+        weights,
+        order_cols=[F.desc("n_reads"), "chr_index", "reg"],
+        rank_col="schedule_order",
+    )
 
 
 @query(
@@ -559,9 +565,9 @@ def o_global_sort_vcf(spark, sf_dir):
     """O-2 + U-2: header rows (chr_index=-1) unioned with the variant
     body, globally ordered by composite key — the reference's final
     sortByKey merge (SparkGA1.scala:1190-1192, 1241), with the rank
-    materialized so ordering is oracle-checkable."""
-    from pyspark.sql import Window
-
+    materialized so ordering is oracle-checkable. Rank via
+    windows.global_rank — distributed two-pass, no single-partition
+    window over the body."""
     va = fixtures.variants(load_table(spark, sf_dir, "orders")).select(
         "chr_index", "pos", "id", "qual", "filter"
     )
@@ -573,8 +579,9 @@ def o_global_sort_vcf(spark, sf_dir):
         F.lit("header").alias("filter"),
     )
     unioned = hdr.unionByName(va)
-    w = Window.orderBy("chr_index", "pos", "id")
-    return unioned.withColumn("global_rank", F.row_number().over(w))
+    return windows_ops.global_rank(
+        unioned, order_cols=["chr_index", "pos", "id"], rank_col="global_rank"
+    )
 
 
 @query(
@@ -2581,6 +2588,8 @@ set_gate_order([
     "x_multimodal_decode",
     "x_multimodal_framesample",
     "x_multimodal_audio_features",
+    "a_lpt_schedule",
+    "o_global_sort_vcf",
     # (c) north stars — keep a current row every round
     "flagship_region_stats",
     "pipeline_end_to_end",

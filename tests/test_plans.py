@@ -160,6 +160,7 @@ def test_gate_order_fronts_unproven_queries():
         "tpch_q17_small_quantity", "tpch_q18_large_orders",
         # changed this round
         "tpch_q3_shipping_priority", "x_embedding_neardup",
+        "a_lpt_schedule", "o_global_sort_vcf",
         # new this round
         "f_attrs_map_extract", "x_quality_repetition", "x_pii_scrub",
         "x_url_host_rollup",
@@ -214,3 +215,15 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
             old_thresh,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+
+def test_global_rank_is_distributed(spark, sf_dir):
+    """o_global_sort_vcf / a_lpt_schedule must rank via range partition +
+    per-partition window + broadcast offsets — the only single-partition
+    window allowed is the ~32-row per-partition-counts cumsum."""
+    for name in ("o_global_sort_vcf", "a_lpt_schedule"):
+        plan = _plan(spark, sf_dir, name)
+        assert "rangepartitioning" in plan.lower(), f"{name}: no range exchange"
+        assert "windowspecdefinition(_pid" in plan, (
+            f"{name}: body window is not partitioned by _pid"
+        )
