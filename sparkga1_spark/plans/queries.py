@@ -2541,6 +2541,63 @@ def x_url_host_rollup(spark, sf_dir):
     )
 
 
+@query(
+    "x_datamix_split",
+    oracle="""
+WITH h AS (
+  SELECT lang, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 15))
+              AS BIGINT) % 1000 AS hb
+  FROM documents
+),
+kept AS (
+  SELECT lang, n_chars,
+         CASE WHEN hb % 10 < 8 THEN 'train'
+              WHEN hb % 10 = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM h
+  WHERE hb < CASE lang WHEN 'en' THEN 800 WHEN 'zh' THEN 300 ELSE 500 END
+)
+SELECT lang, split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM kept GROUP BY lang, split
+""",
+)
+def x_datamix_split(spark, sf_dir):
+    """Deterministic data mixing + train/val/test split (the sampling
+    pass a pretraining pipeline runs to hit per-language token budgets):
+    per-doc hash band from the cross-engine stable hash
+    (functions/hashing.py), per-lang keep-rates (en 80%, zh 30%, rest
+    50%), 80/10/10 split from the same band. Hash-based => reproducible
+    across runs/engines AND stable under corpus growth (a doc's fate
+    never depends on other docs — unlike sample()), which is what makes
+    it the 100 TB shape: map-only filter, then a tiny (lang, split)
+    aggregate."""
+    from sparkga1_spark.functions.hashing import stable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    hb = stable_hash64(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))
+    ) % 1000
+    rate = (
+        F.when(F.col("lang") == "en", 800)
+        .when(F.col("lang") == "zh", 300)
+        .otherwise(500)
+    )
+    split = (
+        F.when(hb % 10 < 8, "train").when(hb % 10 == 8, "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("_hb", hb)
+        .filter(F.col("_hb") < rate)
+        .withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Gate priority (see registry.set_gate_order docstring). Round 2: front
 # the 19 queries the round-1 driver cap left without a CORRECTNESS row,
@@ -2577,6 +2634,7 @@ set_gate_order([
     "x_quality_repetition",
     "x_pii_scrub",
     "x_url_host_rollup",
+    "x_datamix_split",
     # (b) semantics/oracle changed this round (round-1 row is stale)
     "tpch_q3_shipping_priority",
     "tpch_q1_pricing_summary",
