@@ -1,0 +1,55 @@
+"""Order-independence guarantees of the money/rank primitives — the
+properties that make results reproducible across partitionings (and
+thus across cluster sizes, AQE decisions, and engines)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_dsum_is_partitioning_invariant(spark, sf_dir):
+    """sum(double) changes with partial-aggregate order; dsum must not.
+    Same rows, 1 vs 32 partitions, every group's dsum bit-identical
+    (this is exactly the tpch_q3 round-1 failure mode)."""
+    from sparkga1_spark.functions.numeric import dsum
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    money = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    def sums(df):
+        return {
+            r.k: r.s
+            for r in df.groupBy((F.col("l_orderkey") % 97).alias("k"))
+            .agg(dsum(money).alias("s"))
+            .collect()
+        }
+
+    a = sums(li.repartition(1))
+    b = sums(li.repartition(32, "l_discount"))
+    assert a == b  # exact ==, not approx: decimal accumulation is exact
+
+    # control: the same comparison over raw float sums is ALLOWED to
+    # differ (if it never did, this test would prove nothing); don't
+    # assert inequality — just document the contrast exists.
+
+
+def test_global_rank_matches_sorted_enumeration(spark, sf_dir):
+    """global_rank must equal the rank a single-node sort would assign,
+    for any partition count, over a unique total order."""
+    from sparkga1_spark.operators.windows import global_rank
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    ranked = global_rank(
+        od, order_cols=[F.desc("o_totalprice"), "o_orderkey"], rank_col="r",
+        num_partitions=7,
+    ).collect()
+    want = sorted(ranked, key=lambda x: (-x.o_totalprice, x.o_orderkey))
+    assert [r.o_orderkey for r in sorted(ranked, key=lambda x: x.r)] == [
+        r.o_orderkey for r in want
+    ]
+    rs = sorted(r.r for r in ranked)
+    assert rs == list(range(1, len(ranked) + 1))  # a permutation of 1..N
