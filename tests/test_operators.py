@@ -122,7 +122,6 @@ def test_entry_contract(spark):
 def test_multimodal_plumbing(spark, sf_dir):
     from sparkga1_spark.operators import multimodal
     from sparkga1_spark.sources.catalog import load_table
-    import pytest as _pytest
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
