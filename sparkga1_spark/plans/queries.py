@@ -2598,6 +2598,144 @@ def x_datamix_split(spark, sf_dir):
     )
 
 
+@query(
+    "tpch_q7_nation_volume",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year,
+       {dsum_sql('volume')} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+)
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def tpch_q7_nation_volume(spark, sf_dir):
+    """Q7 shape (two-nation shipping volume by year): 5-way join with a
+    symmetric cross-nation disjunction, grouped on derived year. Dims
+    broadcast; the only fact shuffle is lineitem→orders. Money via dsum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    n1 = na.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = na.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+    )
+    return (
+        j.select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum("volume").alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q19_disjunctive",
+    oracle=f"""
+SELECT {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity >= 5 AND l_quantity <= 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity >= 10 AND l_quantity <= 50)
+""",
+)
+def tpch_q19_disjunctive(spark, sf_dir):
+    """Q19 shape: OR-of-ANDs spanning both join sides — the disjunctive
+    predicate-pushdown stress (Catalyst pushes the part-only and
+    lineitem-only conjunct unions below the join via CNF extraction)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & (q >= 1) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & (q >= 5) & (q <= 35))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & (q >= 10) & (q <= 50))
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .filter(cond)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "tpch_q22_dormant_customers",
+    oracle=f"""
+WITH threshold AS (
+  SELECT {davg_sql('c_acctbal')} AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT CAST(c_nationkey % 5 AS INTEGER) AS cntry_band,
+       count(*) AS numcust,
+       {dsum_sql('c_acctbal')} AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg_bal FROM threshold)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+""",
+)
+def tpch_q22_dormant_customers(spark, sf_dir):
+    """Q22 shape: rich dormant customers — scalar-aggregate subquery
+    threshold (computed once, broadcast; davg makes it cross-engine
+    deterministic) + anti join against orders, grouped by a derived
+    country band. The anti join shuffles only the filtered customer
+    slice; money via dsum."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    thr = cu.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    rich = (
+        cu.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .drop("avg_bal")
+    )
+    dormant = rich.join(
+        od, rich.c_custkey == od.o_custkey, "left_anti"
+    )
+    return (
+        dormant.groupBy((F.col("c_nationkey") % 5).cast("int").alias("cntry_band"))
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Gate priority (see registry.set_gate_order docstring). Round 2: front
 # the 19 queries the round-1 driver cap left without a CORRECTNESS row,
@@ -2635,6 +2773,9 @@ set_gate_order([
     "x_pii_scrub",
     "x_url_host_rollup",
     "x_datamix_split",
+    "tpch_q7_nation_volume",
+    "tpch_q19_disjunctive",
+    "tpch_q22_dormant_customers",
     # (b) semantics/oracle changed this round (round-1 row is stale)
     "tpch_q3_shipping_priority",
     "tpch_q1_pricing_summary",
