@@ -56,11 +56,12 @@ def main() -> None:
     # timed numbers measure plan execution, not first-run codegen/JIT
     # compilation (measured ~3x inflation on the vector-heavy queries).
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE:
-        try:
-            queries[name](spark, warm_dir if os.path.isdir(warm_dir) else sf_dir).count()
-        except Exception:
-            pass
+    for _ in range(2):  # twice: one pass leaves window-heavy plans half-JITed
+        for name in HEADLINE:
+            try:
+                queries[name](spark, warm_dir if os.path.isdir(warm_dir) else sf_dir).count()
+            except Exception:
+                pass
 
     times: dict[str, float] = {}
     total = 0.0
