@@ -53,3 +53,47 @@ def test_global_rank_matches_sorted_enumeration(spark, sf_dir):
     ]
     rs = sorted(r.r for r in ranked)
     assert rs == list(range(1, len(ranked) + 1))  # a permutation of 1..N
+
+
+def test_dsum_davg_cross_engine_on_boundary_values(spark):
+    """Adversarial cent-boundary parity: money values engineered to sit
+    near .xx5 rounding boundaries (the exact class that flipped tpch_q3
+    in round 1), summed per group on BOTH engines through dsum/davg and
+    their SQL mirrors — results must be string-identical at full
+    precision."""
+    import duckdb
+    import pandas as pd
+
+    from sparkga1_spark.functions.numeric import (
+        davg, davg_sql, dsum, dsum_sql,
+    )
+
+    rows = []
+    for i in range(4000):
+        # many .xx5-adjacent values: k + 0.005, 0.015, ... plus ulp noise
+        v = (i % 997) + ((i * 7) % 100) / 100.0 + 0.005
+        v += (i % 3 - 1) * 5e-15  # ±ulp-scale perturbation
+        rows.append((i % 13, v))
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r.k: (r.s, r.a)
+        for r in sdf.groupBy("k")
+        .agg(dsum("v").alias("s"), davg("v").alias("a"))
+        .collect()
+    }
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = {
+        k: (s, a)
+        for k, s, a in con.execute(
+            f"SELECT k, {dsum_sql('v')} AS s, {davg_sql('v')} AS a "
+            "FROM t GROUP BY k"
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert repr(got[k][0]) == repr(want[k][0]), (k, got[k], want[k])
+        assert repr(got[k][1]) == repr(want[k][1]), (k, got[k], want[k])
