@@ -2736,6 +2736,90 @@ def tpch_q22_dormant_customers(spark, sf_dir):
     )
 
 
+@query(
+    "x_curation_pipeline",
+    oracle=f"""
+WITH pii AS ({fixtures.DOCS_PII_SQL}),
+corpus AS (
+  SELECT doc_id, lang, text FROM pii
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, lang, text FROM pii WHERE doc_id % 10 = 0
+),
+keepers AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text),
+dedup AS (SELECT c.* FROM corpus c JOIN keepers USING (doc_id)),
+scored AS (
+  SELECT doc_id, lang, text, ws,
+         CAST(list_max([len(list_filter(ws, x -> x = u))
+                        for u in list_distinct(ws)]) AS DOUBLE) / len(ws) AS top_w
+  FROM (SELECT *, str_split_regex(trim(text), ' +') AS ws FROM dedup)
+),
+kept AS (SELECT * FROM scored WHERE top_w <= 0.2),
+red AS (
+  SELECT doc_id, lang,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             '{_EMAIL_RE}', '<EMAIL>', 'g'), '{_URL_RE}', '<URL>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g') AS rtext,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 15))
+              AS BIGINT) % 10 AS hb
+  FROM kept
+)
+SELECT lang,
+       CASE WHEN hb < 8 THEN 'train' WHEN hb = 8 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(length(rtext)) AS BIGINT) AS sum_chars,
+       CAST(sum(len(str_split_regex(trim(rtext), ' +'))) AS BIGINT) AS sum_tokens
+FROM red
+GROUP BY 1, 2
+""",
+)
+def x_curation_pipeline(spark, sf_dir):
+    """The training-data twin of pipeline_end_to_end — the full curation
+    flow as ONE lazy plan: corpus (with planted duplicates so the dedup
+    stage has real work) → exact dedup keep-min-id (hash-keyed shuffle,
+    8 bytes/row) → repetition-quality filter (map-only sorted-run fold)
+    → PII redaction (map-only regex) → deterministic hash split →
+    per-(lang, split) audit counts. Every stage is the same operator the
+    standalone queries gate; this proves they COMPOSE without breaking
+    plan shape (one hash shuffle for dedup, one for the semi-join back,
+    one tiny final aggregate — everything else map-side)."""
+    from sparkga1_spark.functions.hashing import stable_hash64
+    from sparkga1_spark.operators.dedup import exact_dedup
+
+    base = fixtures.documents_with_pii(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "lang", "text")
+    corpus = base.unionByName(
+        base.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 500000).alias("doc_id"), "lang", "text"
+        )
+    )
+    keepers = exact_dedup(corpus, text_col="text", id_col="doc_id").select("doc_id")
+    dedup = corpus.join(keepers, "doc_id")
+    ws = T.words(F.col("text"))
+    top_w = F.lit(1.0) * _top_run_count(ws) / F.size(ws)
+    kept = dedup.filter(top_w <= 0.2)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _URL_RE, "<URL>",
+        ),
+        _PHONE_RE, "<PHONE>",
+    )
+    hb = stable_hash64(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))
+    ) % 10
+    staged = kept.select(
+        "lang",
+        F.when(hb < 8, "train").when(hb == 8, "val").otherwise("test").alias("split"),
+        red.alias("rtext"),
+    )
+    return staged.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("rtext")).cast("long").alias("sum_chars"),
+        F.sum(F.size(T.words(F.col("rtext")))).cast("long").alias("sum_tokens"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Gate priority (see registry.set_gate_order docstring). Round 2: front
 # the 19 queries the round-1 driver cap left without a CORRECTNESS row,
@@ -2776,6 +2860,7 @@ set_gate_order([
     "tpch_q7_nation_volume",
     "tpch_q19_disjunctive",
     "tpch_q22_dormant_customers",
+    "x_curation_pipeline",
     # (b) semantics/oracle changed this round (round-1 row is stale)
     "tpch_q3_shipping_priority",
     "tpch_q1_pricing_summary",
