@@ -414,3 +414,80 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, event_stream_schema, ev
         ).select("click_id", "view_id").collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stateful_event_time_timeout_closes_sessions(spark, tmp_path):
+    """applyInPandasWithState + EventTimeTimeout: sessions are emitted
+    exactly once, only when the watermark passes last_seen + gap —
+    including timers restored from the checkpoint across a query
+    restart. Phase A ingests 5 users' events (sessions stay open, no
+    output); phase B's late traffic advances the watermark past their
+    timers and the restart fires the close events."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from sparkga1_spark.session import apply_runtime_confs
+    from sparkga1_spark.streaming.stateful import session_finalize_on_timeout
+
+    apply_runtime_confs(spark)
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows_a = []
+    for u in range(1, 6):
+        for k in range(u):  # user u has u events
+            rows_a.append((u * 100 + k, base + dt.timedelta(minutes=2 * k), u))
+    rows_b = [(9990, base + dt.timedelta(hours=3), 999)]
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    schema = "event_id long, ts timestamp, user_id long"
+
+    def write_file(rows, name):
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["event_id", "ts", "user_id"]), schema
+        ).coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    def drain():
+        stream = spark.readStream.schema(
+            spark.read.parquet(str(in_dir)).schema
+        ).parquet(str(in_dir))
+        closed = session_finalize_on_timeout(
+            stream.withWatermark("ts", "5 minutes"), gap_minutes=10
+        )
+
+        def sink(batch_df, batch_id):
+            if batch_df.count():
+                batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            closed.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_file(rows_a, "a")
+    drain()
+    import os
+
+    n_after_a = (
+        spark.read.parquet(out_dir).count() if os.path.exists(out_dir) else 0
+    )
+    assert n_after_a == 0  # sessions still open — nothing emitted
+
+    write_file(rows_b, "b")
+    drain()  # restart from checkpoint; watermark jumps past every timer
+    got = {
+        (r.user_id, r.n_events, r.last_epoch_s)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = set()
+    for u in range(1, 6):
+        last = base + dt.timedelta(minutes=2 * (u - 1))
+        want.add((u, u, int(last.replace(tzinfo=dt.timezone.utc).timestamp())))
+    assert got == want  # exactly the 5 closed sessions, once each; 999 open
