@@ -135,10 +135,12 @@ def ivf_topk(
     centroid_pred,
     query_pred,
     k: int = 3,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-flat ANN (nprobe=1): vectors are assigned to their nearest
-    seed centroid (cosine, deterministic tiebreak), then each query
-    searches only its own cluster.
+    """IVF-flat ANN: vectors are assigned to their nearest seed
+    centroid (cosine, deterministic tiebreak); each query probes its
+    `nprobe` nearest clusters (recall/cost dial — candidates stay
+    uniquely assigned, so no dedup is needed across probes).
 
     Seed centroids come from a deterministic predicate instead of
     k-means iterations so the operator is oracle-checkable; swap the
@@ -166,12 +168,13 @@ def ivf_topk(
         ),
     )
     w_assign = Window.partitionBy(id_col).orderBy(F.desc("_cos"), "cent_id")
-    assigned = tracked_persist(  # reused as query side and candidate side
+    ranked = tracked_persist(  # candidates (rn=1) + query probes (rn<=nprobe)
         scored.withColumn("_rn", F.row_number().over(w_assign))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, F.col("cent_id").alias("cluster_id"), "_vd", "_vn")
+        .filter(F.col("_rn") <= nprobe)
+        .select(id_col, F.col("cent_id").alias("cluster_id"), "_rn", "_vd", "_vn")
     )
-    q = assigned.filter(query_pred).select(
+    assigned = ranked.filter(F.col("_rn") == 1).drop("_rn")
+    q = ranked.filter(query_pred).select(
         F.col(id_col).alias("query_id"),
         F.col("cluster_id"),
         F.col("_vd").alias("_qv"),

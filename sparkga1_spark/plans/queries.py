@@ -2820,6 +2820,52 @@ def x_curation_pipeline(spark, sf_dir):
     )
 
 
+@query(
+    "x_ann_ivf_nprobe2",
+    oracle=f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, e AS ce FROM base WHERE vec_id % 50 = 0),
+ranked AS (
+  SELECT vec_id, cent_id AS cluster_id, e, rn FROM (
+    SELECT b.vec_id, c.cent_id, b.e,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY {_IVF_COS.format(a='b.e', b='c.ce')} DESC, c.cent_id) AS rn
+    FROM base b CROSS JOIN cents c
+  ) WHERE rn <= 2
+),
+assigned AS (SELECT vec_id, cluster_id, e FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cluster_id, e AS qe
+           FROM ranked WHERE vec_id % 20 = 0)
+SELECT query_id, cand_id, cos_sim, rank FROM (
+  SELECT q.query_id, a.vec_id AS cand_id,
+         {_IVF_COS.format(a='q.qe', b='a.e')} AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {_IVF_COS.format(a='q.qe', b='a.e')} DESC, a.vec_id) AS rank
+  FROM probes q JOIN assigned a
+    ON q.cluster_id = a.cluster_id AND a.vec_id != q.query_id
+)
+WHERE rank <= 3
+""",
+)
+def x_ann_ivf_nprobe2(spark, sf_dir):
+    """IVF-flat ANN with nprobe=2 (the recall/cost dial the nprobe=1
+    baseline lacked): each query searches its TWO nearest clusters;
+    candidates remain uniquely assigned so the union needs no dedup.
+    Plan shape unchanged — still a cluster-id equi-join, just with the
+    query side carrying 2 rows per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb,
+        dim=64,
+        centroid_pred=F.col("vec_id") % 50 == 0,
+        query_pred=F.col("vec_id") % 20 == 0,
+        k=3,
+        nprobe=2,
+    )
+
+
 # --------------------------------------------------------------------------
 # Gate priority (see registry.set_gate_order docstring). Round 2: front
 # the 19 queries the round-1 driver cap left without a CORRECTNESS row,
@@ -2861,6 +2907,7 @@ set_gate_order([
     "tpch_q19_disjunctive",
     "tpch_q22_dormant_customers",
     "x_curation_pipeline",
+    "x_ann_ivf_nprobe2",
     # (b) semantics/oracle changed this round (round-1 row is stale)
     "tpch_q3_shipping_priority",
     "tpch_q1_pricing_summary",

@@ -160,7 +160,8 @@ def test_gate_order_fronts_unproven_queries():
         "tpch_q17_small_quantity", "tpch_q18_large_orders",
         # changed this round
         "tpch_q3_shipping_priority", "x_embedding_neardup",
-        "a_lpt_schedule", "o_global_sort_vcf",
+        "a_lpt_schedule", "o_global_sort_vcf", "x_ann_ivf_topk",
+        "x_ann_ivf_nprobe2", "x_curation_pipeline", "x_datamix_split",
         # new this round
         "f_attrs_map_extract", "x_quality_repetition", "x_pii_scrub",
         "x_url_host_rollup",
