@@ -117,3 +117,50 @@ def salt_by_quantiles(
         F.when(F.col("_bounds").isNull(), F.lit(0)).otherwise(route),
     )
     return salted.drop("_bounds")
+
+
+def lpt_assign(
+    weights: DataFrame,
+    *,
+    n_workers: int,
+    key_cols: Sequence[str] = ("chr_index", "reg"),
+    weight_col: str = "n_reads",
+) -> DataFrame:
+    """The reference's actual greedy LPT loop (SparkGA1.scala:1153-1162):
+    regions sorted heaviest-first, each assigned to the least-loaded of
+    n_workers (lowest worker id on ties). Greedy assignment is
+    inherently sequential, but the REGION table is tiny by construction
+    (regions ≈ chromosomes × segments — 10⁴-10⁵ rows even at 100 TB),
+    so one Arrow-batched pass over a single group is the honest plan,
+    exactly like the reference's driver-side loop. Returns the input
+    keys + weight + worker_id. Verified by pytest against a pure-Python
+    reference (not SQL-expressible: the greedy recurrence)."""
+    import heapq
+
+    import pandas as pd
+
+    keys = list(key_cols)
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [weight_col, *keys], ascending=[False] + [True] * len(keys)
+        ).reset_index(drop=True)
+        heap = [(0, w) for w in range(n_workers)]  # (load, worker)
+        heapq.heapify(heap)
+        out = []
+        for _, row in pdf.iterrows():
+            load, w = heapq.heappop(heap)
+            out.append(w)
+            heapq.heappush(heap, (load + int(row[weight_col]), w))
+        pdf["worker_id"] = out
+        return pdf[[*keys, weight_col, "worker_id"]]
+
+    key_schema = ", ".join(f"{k} int" for k in keys)
+    return (
+        weights.coalesce(1)
+        .groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            lambda _, pdf: assign(pdf),
+            schema=f"{key_schema}, {weight_col} long, worker_id int",
+        )
+    )

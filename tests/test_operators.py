@@ -228,3 +228,42 @@ def test_sql_surface_over_fixture_views(spark, sf_dir):
         F.count("*").alias("n"), F.max("mapq").alias("best")
     )
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_lpt_assign_matches_reference_greedy(spark, sf_dir):
+    """lpt_assign must reproduce the reference's greedy LPT exactly
+    (SparkGA1.scala:1153-1162): heaviest-first, least-loaded worker,
+    lowest worker id on ties — checked against a pure-Python replay,
+    plus the LPT makespan bound (max load <= avg + max weight)."""
+    import heapq
+
+    from sparkga1_spark.operators import binning
+    from sparkga1_spark.operators.skew import lpt_assign
+    from sparkga1_spark.sources import fixtures
+    from sparkga1_spark.sources.catalog import load_table
+
+    binned = binning.bin_by_region(
+        fixtures.alignments(load_table(spark, sf_dir, "lineitem")),
+        fixtures.sequence_dict(load_table(spark, sf_dir, "nation")),
+    )
+    weights = binned.groupBy("chr_index", "reg").agg(F.count("*").alias("n_reads"))
+    n_workers = 8
+    got = {
+        (r.chr_index, r.reg): r.worker_id
+        for r in lpt_assign(weights, n_workers=n_workers).collect()
+    }
+
+    rows = sorted(
+        weights.collect(), key=lambda r: (-r.n_reads, r.chr_index, r.reg)
+    )
+    heap = [(0, w) for w in range(n_workers)]
+    heapq.heapify(heap)
+    want, loads = {}, [0] * n_workers
+    for r in rows:
+        load, w = heapq.heappop(heap)
+        want[(r.chr_index, r.reg)] = w
+        loads[w] = load + r.n_reads
+        heapq.heappush(heap, (loads[w], w))
+    assert got == want
+    total = sum(r.n_reads for r in rows)
+    assert max(loads) <= total / n_workers + max(r.n_reads for r in rows)
