@@ -2866,6 +2866,117 @@ def x_ann_ivf_nprobe2(spark, sf_dir):
     )
 
 
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+WITH costs AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem WHERE l_quantity > 0
+  GROUP BY l_partkey, l_suppkey
+),
+best AS (SELECT l_partkey, min(unit_cost) AS best_cost FROM costs GROUP BY l_partkey),
+winner AS (
+  SELECT c.l_partkey, min(c.l_suppkey) AS l_suppkey, min(b.best_cost) AS best_cost
+  FROM costs c JOIN best b
+    ON c.l_partkey = b.l_partkey AND c.unit_cost = b.best_cost
+  GROUP BY c.l_partkey
+)
+SELECT p.p_partkey, p.p_brand, s.s_name,
+       round(w.best_cost, 6) AS unit_cost
+FROM winner w
+JOIN part p ON w.l_partkey = p.p_partkey
+JOIN supplier s ON w.l_suppkey = s.s_suppkey
+WHERE p.p_brand = 'Brand#5'
+""",
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """Q2 shape: min-cost supplier per part — correlated-min via
+    aggregate + join-back on the extremal value (float equality of the
+    SAME computed doubles — deterministic on both engines because min()
+    selects, never accumulates), lowest-suppkey tiebreak, dims joined
+    after the extremal reduction so only winners reach them."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = costs.groupBy(F.col("l_partkey").alias("_bpk")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    winner = (
+        costs.join(
+            best,
+            (costs.l_partkey == best._bpk)
+            & (costs.unit_cost == best.best_cost),
+        )
+        .select("l_partkey", "l_suppkey", "best_cost")
+        .groupBy("l_partkey")
+        .agg(
+            F.min("l_suppkey").alias("l_suppkey"),
+            F.min("best_cost").alias("best_cost"),
+        )
+    )
+    pa = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
+    su = load_table(spark, sf_dir, "supplier")
+    return (
+        winner.join(F.broadcast(pa), winner.l_partkey == pa.p_partkey)
+        .join(F.broadcast(su), winner.l_suppkey == su.s_suppkey)
+        .select(
+            "p_partkey", "p_brand", "s_name",
+            hround(F.col("best_cost"), 6).alias("unit_cost"),
+        )
+    )
+
+
+@query(
+    "tpch_q20_excess_stock",
+    oracle="""
+WITH brand_parts AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+part_qty AS (
+  SELECT l_partkey, sum(l_quantity) AS tot FROM lineitem GROUP BY l_partkey
+),
+supp_part AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS sq
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+),
+heavy AS (
+  SELECT DISTINCT sp.l_suppkey
+  FROM supp_part sp
+  JOIN part_qty pq ON sp.l_partkey = pq.l_partkey
+  JOIN brand_parts bp ON sp.l_partkey = bp.p_partkey
+  WHERE sp.sq > 0.3 * pq.tot
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s JOIN heavy h ON s.s_suppkey = h.l_suppkey
+""",
+)
+def tpch_q20_excess_stock(spark, sf_dir):
+    """Q20 shape: nested semi-join chain — suppliers holding >30% of a
+    branded part's total volume. Quantity sums are integral doubles
+    (exact); the 0.3×total threshold is one deterministic multiply. The
+    supplier dim sees only the distinct heavy-supplier keys (semi-join,
+    not a fact-width join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bp = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#4"
+    ).select("p_partkey")
+    part_qty = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("tot"))
+    supp_part = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("sq")
+    )
+    heavy = (
+        supp_part.join(part_qty, "l_partkey")
+        .join(F.broadcast(bp), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("sq") > 0.3 * F.col("tot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    su = load_table(spark, sf_dir, "supplier")
+    return su.join(
+        heavy, su.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
 # --------------------------------------------------------------------------
 # Gate priority (see registry.set_gate_order docstring). Round 2: front
 # the 19 queries the round-1 driver cap left without a CORRECTNESS row,
@@ -2908,6 +3019,8 @@ set_gate_order([
     "tpch_q22_dormant_customers",
     "x_curation_pipeline",
     "x_ann_ivf_nprobe2",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q20_excess_stock",
     # (b) semantics/oracle changed this round (round-1 row is stale)
     "tpch_q3_shipping_priority",
     "tpch_q1_pricing_summary",
@@ -2921,6 +3034,7 @@ set_gate_order([
     "x_multimodal_audio_features",
     "a_lpt_schedule",
     "o_global_sort_vcf",
+    "x_ann_ivf_topk",
     # (c) north stars — keep a current row every round
     "flagship_region_stats",
     "pipeline_end_to_end",
@@ -2930,7 +3044,6 @@ set_gate_order([
     "x_dedup_simhash",
     "x_dedup_ngram_jaccard",
     "x_ann_bruteforce_topk",
-    "x_ann_ivf_topk",
     "x_ann_lsh_buckets",
     "x_lang_id",
     "x_text_quality",

@@ -162,6 +162,7 @@ def test_gate_order_fronts_unproven_queries():
         "tpch_q3_shipping_priority", "x_embedding_neardup",
         "a_lpt_schedule", "o_global_sort_vcf", "x_ann_ivf_topk",
         "x_ann_ivf_nprobe2", "x_curation_pipeline", "x_datamix_split",
+        "tpch_q2_min_cost_supplier", "tpch_q20_excess_stock",
         # new this round
         "f_attrs_map_extract", "x_quality_repetition", "x_pii_scrub",
         "x_url_host_rollup",
