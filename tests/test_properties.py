@@ -141,3 +141,27 @@ def test_minhash_identical_docs_always_collide(spark, texts):
         for r in minhash_lsh_pairs(rows, id_col="doc_id").collect()
     }
     assert (0, 1) in pairs
+
+
+@given(texts=st.lists(st.text(alphabet="abc xy", min_size=0, max_size=30), min_size=1, max_size=8))
+@SETTINGS
+def test_word_ngrams_match_python_reference(spark, texts):
+    """The slice/zip n-gram rewrite (round 2, hot-path) must produce
+    exactly the naive sliding-window n-grams for any whitespace mess —
+    including texts with <n words (empty array) and repeated spaces."""
+    from sparkga1_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    for n in (2, 3):
+        got = {
+            r.i: list(r.g)
+            for r in df.select(
+                "i", T.word_ngrams(T.words(F.col("t")), n).alias("g")
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            ws = t.strip().split()
+            want = [" ".join(ws[j : j + n]) for j in range(max(len(ws) - n + 1, 0))]
+            assert got[i] == want, (t, n, got[i], want)
