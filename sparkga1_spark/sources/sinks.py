@@ -89,3 +89,34 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    out_path: str,
+    *,
+    target_file_mb: int = 128,
+    sort_cols: Sequence[str] | None = None,
+) -> int:
+    """Small-file compaction — the canonical 100 TB operational fix for
+    sinks that accumulated many tiny files (streaming micro-batches,
+    over-parallel writes; the reference relays thousands of per-chunk
+    files between its three jobs, SparkGA1.scala:1050-1081, which is
+    exactly this problem). Sizes the output by the INPUT's real bytes
+    (Hadoop FS listing — no data scan), rewrites with `repartition(n)`;
+    optional `sort_cols` re-establish within-file clustering so min/max
+    row-group pruning works on the compacted output. Returns n."""
+    import math
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hpath).getLength()
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    out = df.repartition(n)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode("overwrite").parquet(out_path)
+    return n

@@ -211,3 +211,33 @@ def test_fastq_chunk_reader(spark, tmp_path):
     # paired reads share a stem — the interleave join key (S-3)
     stems = [r.read_name.split("/")[0] for r in reads.collect()]
     assert stems.count("r1") == 2
+
+
+def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
+    """50 tiny files in, size-targeted few files out, data identical;
+    sort_cols restore within-file clustering on the compacted output."""
+    from pathlib import Path
+
+    from sparkga1_spark.sources.catalog import load_table
+    from sparkga1_spark.sources.sinks import compact_parquet
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    frag = str(tmp_path / "frag")
+    li.repartition(50).write.parquet(frag)
+    assert len(list(Path(frag).glob("part-*.parquet"))) == 50
+
+    out = str(tmp_path / "compact")
+    n = compact_parquet(
+        spark, frag, out, target_file_mb=1, sort_cols=["l_orderkey"]
+    )
+    files = list(Path(out).glob("part-*.parquet"))
+    assert len(files) == n < 50
+    a = {tuple(r) for r in spark.read.parquet(out).collect()}
+    b = {tuple(r) for r in li.collect()}
+    assert a == b
+    # clustering: each output file's orderkeys are sorted
+    for f in files:
+        ks = [r.l_orderkey for r in spark.read.parquet(str(f)).collect()]
+        assert ks == sorted(ks)
