@@ -120,3 +120,37 @@ def compact_parquet(
         out = out.sortWithinPartitions(*sort_cols)
     out.write.mode("overwrite").parquet(out_path)
     return n
+
+
+def merge_upsert(
+    base: DataFrame, updates: DataFrame, *, keys: Sequence[str]
+) -> DataFrame:
+    """MERGE semantics on plain DataFrames (updates win on key match,
+    inserts otherwise): anti-join the base against the update keys, then
+    union. Both shuffles are keyed on `keys`; nothing wider than the
+    update set is broadcast. The lakehouse connectors do this natively
+    (MERGE INTO) when their jars are present — this is the
+    format-agnostic fallback with identical row-level results."""
+    survivors = base.join(updates.select(*keys).distinct(), list(keys), "left_anti")
+    return survivors.unionByName(updates)
+
+
+def upsert_parquet(
+    spark,
+    base_path: str,
+    updates: DataFrame,
+    *,
+    keys: Sequence[str],
+) -> None:
+    """Read-merge-rewrite upsert for a parquet table. Parquet cannot be
+    overwritten while being read (the scan is lazy), so the merge result
+    is checkpointed to a sibling temp dir first, then rewritten — the
+    classic two-phase commit-by-rename pattern for file tables."""
+    base = spark.read.parquet(base_path)
+    merged = merge_upsert(base, updates, keys=keys)
+    tmp = base_path.rstrip("/") + "__tmp_upsert"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(base_path)
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(tmp)
+    p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)

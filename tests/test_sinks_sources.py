@@ -241,3 +241,26 @@ def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
     for f in files:
         ks = [r.l_orderkey for r in spark.read.parquet(str(f)).collect()]
         assert ks == sorted(ks)
+
+
+def test_upsert_parquet_merge_semantics(spark, sf_dir, tmp_path):
+    """updates win on key match, inserts land, untouched rows survive,
+    and the table stays readable after the in-place rewrite."""
+    from sparkga1_spark.sources.catalog import load_table
+    from sparkga1_spark.sources.sinks import upsert_parquet
+
+    base_path = str(tmp_path / "tbl")
+    na = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    na.write.parquet(base_path)
+
+    updates = spark.createDataFrame(
+        [(0, "RENAMED_0"), (1, "RENAMED_1"), (9999, "BRAND_NEW")],
+        "n_nationkey int, n_name string",
+    )
+    upsert_parquet(spark, base_path, updates, keys=["n_nationkey"])
+    got = {r.n_nationkey: r.n_name for r in spark.read.parquet(base_path).collect()}
+    assert got[0] == "RENAMED_0" and got[1] == "RENAMED_1"
+    assert got[9999] == "BRAND_NEW"
+    assert len(got) == na.count() + 1  # all untouched keys survived
+    want_2 = na.filter("n_nationkey = 2").collect()[0].n_name
+    assert got[2] == want_2
