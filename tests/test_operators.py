@@ -267,3 +267,35 @@ def test_lpt_assign_matches_reference_greedy(spark, sf_dir):
     assert got == want
     total = sum(r.n_reads for r in rows)
     assert max(loads) <= total / n_workers + max(r.n_reads for r in rows)
+
+
+def test_sketch_accuracy_bounds(spark, sf_dir):
+    """The estimation toolkit a 100 TB engine leans on: HLL++ distinct
+    counts (approx_count_distinct) within the configured rsd of exact,
+    approx percentiles within the configured accuracy rank error, and
+    both deterministic across runs (fixed hash seeds — safe to use in
+    repeatable pipelines)."""
+    from sparkga1_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def run():
+        return li.agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("d_ok"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("d_pk"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
+            F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99"),
+        ).collect()[0]
+
+    a, b = run(), run()
+    assert tuple(a) == tuple(b)  # deterministic sketches
+
+    exact_ok = li.select("l_orderkey").distinct().count()
+    exact_pk = li.select("l_partkey").distinct().count()
+    assert abs(a.d_ok - exact_ok) / exact_ok < 0.05
+    assert abs(a.d_pk - exact_pk) / exact_pk < 0.05
+
+    n = li.count()
+    for q, v in ((0.5, a.p50), (0.99, a.p99)):
+        rank = li.filter(F.col("l_extendedprice") <= v).count() / n
+        assert abs(rank - q) < 0.01, (q, rank)
