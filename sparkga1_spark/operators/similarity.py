@@ -148,37 +148,64 @@ def ivf_topk(
     and search plan shape (broadcast centroids → one pass to assign,
     equi-join on cluster id to search) is identical and is what makes
     this the 100 TB path vs the brute-force cross product.
-    """
-    cents = df.filter(centroid_pred).select(
-        F.col(id_col).alias("cent_id"),
-        vectors.to_double(F.col(vec_col)).alias("_cev"),
-        vectors.norm(F.col(vec_col), dim).alias("_cen"),
+
+    The candidate-side assignment is MAP-ONLY (r2 VERDICT #5): the
+    centroid set rides in as ONE broadcast row holding an array of
+    (cent_id, vec, norm) structs, and each row picks
+    array_min(struct(-cos, cent_id)) — no Exchange between the scan and
+    the cluster-id column (plan-guarded in test_plans.py). The former
+    Window.partitionBy(id) shuffled the whole n×n_cent scored stream
+    just to take rn=1. The nprobe>1 probe list (query side only, a
+    bounded set) is an array_sort + slice over the same scored array —
+    still no window."""
+    cents_arr = (  # 1 row: all centroids as an array — broadcast below
+        df.filter(centroid_pred)
+        .select(
+            F.struct(
+                F.col(id_col).alias("cid"),
+                vectors.to_double(F.col(vec_col)).alias("cv"),
+                vectors.norm(F.col(vec_col), dim).alias("cn"),
+            ).alias("_c")
+        )
+        .agg(F.array_sort(F.collect_list("_c")).alias("_cents"))
     )
     base = df.select(
         F.col(id_col),
         vectors.to_double(F.col(vec_col)).alias("_vd"),
         vectors.norm(F.col(vec_col), dim).alias("_vn"),
     )
-    scored = base.join(F.broadcast(cents)).withColumn(
-        "_cos",
-        hround(
-            vectors.dot(F.col("_vd"), F.col("_cev"), dim)
-            / (F.col("_vn") * F.col("_cen")),
-            6,
+    scored = base.join(F.broadcast(cents_arr)).withColumn(
+        "_sc",
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                (
+                    -hround(
+                        vectors.dot(F.col("_vd"), c["cv"], dim)
+                        / (F.col("_vn") * c["cn"]),
+                        6,
+                    )
+                ).alias("negcos"),
+                c["cid"].alias("cid"),
+            ),
         ),
+    ).drop("_cents")
+    scored = tracked_persist(scored)  # candidate assign + query probes
+    assigned = scored.select(
+        id_col,
+        F.array_min("_sc")["cid"].alias("cluster_id"),
+        "_vd",
+        "_vn",
     )
-    w_assign = Window.partitionBy(id_col).orderBy(F.desc("_cos"), "cent_id")
-    ranked = tracked_persist(  # candidates (rn=1) + query probes (rn<=nprobe)
-        scored.withColumn("_rn", F.row_number().over(w_assign))
-        .filter(F.col("_rn") <= nprobe)
-        .select(id_col, F.col("cent_id").alias("cluster_id"), "_rn", "_vd", "_vn")
-    )
-    assigned = ranked.filter(F.col("_rn") == 1).drop("_rn")
-    q = ranked.filter(query_pred).select(
-        F.col(id_col).alias("query_id"),
-        F.col("cluster_id"),
-        F.col("_vd").alias("_qv"),
-        F.col("_vn").alias("_qn"),
+    q = (
+        scored.filter(query_pred)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(F.slice(F.array_sort("_sc"), 1, nprobe)).alias("_p"),
+            F.col("_vd").alias("_qv"),
+            F.col("_vn").alias("_qn"),
+        )
+        .select("query_id", F.col("_p")["cid"].alias("cluster_id"), "_qv", "_qn")
     )
     pairs = assigned.join(q, on="cluster_id").filter(
         F.col("query_id") != F.col(id_col)
@@ -227,6 +254,11 @@ def kmeans_fit(
         vectors.to_double(F.col(vec_col)).alias("_v"),
     )
     init_rows = base.orderBy("_id").limit(k).collect()
+    if not init_rows:
+        raise ValueError("kmeans_fit: input has no rows")
+    # fewer rows than requested clusters: shrink k (the empty-cluster
+    # fallback below indexes cents[i], which must exist for every i)
+    k = min(k, len(init_rows))
     cents: list[list[float]] = [list(r._v) for r in init_rows]
 
     for _ in range(iters):

@@ -148,10 +148,10 @@ def lpt_assign(
         heap = [(0, w) for w in range(n_workers)]  # (load, worker)
         heapq.heapify(heap)
         out = []
-        for _, row in pdf.iterrows():
+        for wt in pdf[weight_col].astype(int).tolist():
             load, w = heapq.heappop(heap)
             out.append(w)
-            heapq.heappush(heap, (load + int(row[weight_col]), w))
+            heapq.heappush(heap, (load + wt, w))
         pdf["worker_id"] = out
         return pdf[[*keys, weight_col, "worker_id"]]
 

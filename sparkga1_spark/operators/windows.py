@@ -153,6 +153,8 @@ def global_rank(
     return (
         part.withColumn("_lr", F.row_number().over(w_local))
         .join(F.broadcast(offsets), "_pid")
-        .withColumn(rank_col, (F.col("_lr") + F.col("_off")).cast("int"))
+        # long, not int: at the >2^31-row scale this operator exists for,
+        # an int rank would silently wrap in non-ANSI mode
+        .withColumn(rank_col, (F.col("_lr") + F.col("_off")).cast("long"))
         .drop("_pid", "_lr", "_off")
     )

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 
 def write_partitioned_sorted(
@@ -123,14 +123,38 @@ def compact_parquet(
 
 
 def merge_upsert(
-    base: DataFrame, updates: DataFrame, *, keys: Sequence[str]
+    base: DataFrame,
+    updates: DataFrame,
+    *,
+    keys: Sequence[str],
+    validate_unique: bool = False,
 ) -> DataFrame:
     """MERGE semantics on plain DataFrames (updates win on key match,
     inserts otherwise): anti-join the base against the update keys, then
     union. Both shuffles are keyed on `keys`; nothing wider than the
     update set is broadcast. The lakehouse connectors do this natively
     (MERGE INTO) when their jars are present — this is the
-    format-agnostic fallback with identical row-level results."""
+    format-agnostic fallback with identical row-level results.
+
+    DUPLICATE-KEYS CONTRACT: a duplicate-keyed `updates` frame inserts
+    ALL its rows (the anti-join drops the one base row, the union keeps
+    every update) — unlike SQL MERGE, which errors on multiple matches.
+    Pass validate_unique=True to get the MERGE behavior: it runs one
+    keyed count over `updates` (an extra job, hence opt-in) and raises
+    if any key appears more than once."""
+    if validate_unique:
+        dup = (
+            updates.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(5)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                "merge_upsert: duplicate keys in updates: "
+                + ", ".join(str(tuple(r[k] for k in keys)) for r in dup)
+            )
     survivors = base.join(updates.select(*keys).distinct(), list(keys), "left_anti")
     return survivors.unionByName(updates)
 
@@ -142,15 +166,33 @@ def upsert_parquet(
     *,
     keys: Sequence[str],
 ) -> None:
-    """Read-merge-rewrite upsert for a parquet table. Parquet cannot be
-    overwritten while being read (the scan is lazy), so the merge result
-    is checkpointed to a sibling temp dir first, then rewritten — the
-    classic two-phase commit-by-rename pattern for file tables."""
+    """Read-merge-rewrite upsert for a parquet table, commit-by-rename.
+
+    Phase 1 writes the merged result to a uniquely-suffixed sibling dir
+    (a crash anywhere in phase 1 leaves the base table byte-identical —
+    the expensive, long window is fully safe). Phase 2 swaps the dirs
+    with two FileSystem renames (metadata-only). The ONLY non-atomic
+    window is between the two renames: a crash there leaves no dir at
+    `base_path` but the complete new table at `<base>__tmp_<token>` and
+    the old one at `<base>__old_<token>` — recoverable by one manual
+    rename, never a half-written table. (True single-rename atomicity
+    needs a metadata layer — see sources/connectors.py lakehouse
+    formats, which commit via log entries instead.)"""
+    import uuid
+
+    token = uuid.uuid4().hex[:12]
     base = spark.read.parquet(base_path)
     merged = merge_upsert(base, updates, keys=keys)
-    tmp = base_path.rstrip("/") + "__tmp_upsert"
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(base_path)
+    stem = base_path.rstrip("/")
+    tmp, old = f"{stem}__tmp_{token}", f"{stem}__old_{token}"
+    merged.write.mode("overwrite").parquet(tmp)  # phase 1: base untouched
     jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(tmp)
-    p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    fs = hadoop_path(tmp).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.rename(hadoop_path(base_path), hadoop_path(old)):  # phase 2a
+        raise OSError(f"upsert_parquet: rename {base_path} -> {old} failed")
+    if not fs.rename(hadoop_path(tmp), hadoop_path(base_path)):  # phase 2b
+        # roll back 2a so the table stays readable at base_path
+        fs.rename(hadoop_path(old), hadoop_path(base_path))
+        raise OSError(f"upsert_parquet: rename {tmp} -> {base_path} failed")
+    fs.delete(hadoop_path(old), True)

@@ -76,3 +76,17 @@ def test_ivf_trained_same_contract_as_seeded(spark, emb):
     again = {tuple(r) for r in ivf_topk_trained(
         emb, cents, dim=DIM, query_pred=pred, k=3).collect()}
     assert {tuple(r) for r in rows} == again
+
+
+def test_kmeans_input_smaller_than_k(spark, emb):
+    """k is shrunk to the row count instead of the empty-cluster
+    fallback indexing out of range (ADVICE r2); empty input raises."""
+    import pytest
+
+    from sparkga1_spark.operators.similarity import kmeans_fit
+
+    tiny = emb.orderBy("vec_id").limit(3)
+    cents = kmeans_fit(tiny, dim=DIM, k=8, iters=2)
+    assert len(cents) == 3
+    with pytest.raises(ValueError, match="no rows"):
+        kmeans_fit(emb.filter("vec_id < 0"), dim=DIM, k=4, iters=1)

@@ -229,3 +229,19 @@ def test_global_rank_is_distributed(spark, sf_dir):
         assert "windowspecdefinition(_pid" in plan, (
             f"{name}: body window is not partitioned by _pid"
         )
+
+
+def test_ivf_assignment_is_map_only(spark, sf_dir):
+    """Candidate→cluster assignment must be the broadcast-array +
+    array_min form: no Window.partitionBy(vec_id) shuffling the n×n_cent
+    scored stream (r2 VERDICT #5). The only window left is the final
+    per-query top-k rank; the centroid set rides in as ONE broadcast row."""
+    for name in ("x_ann_ivf_topk", "x_ann_ivf_nprobe2"):
+        plan = _plan(spark, sf_dir, name)
+        assert "windowspecdefinition(vec_id" not in plan, (
+            f"{name}: assignment went through a per-vector window again"
+        )
+        assert "BroadcastNestedLoopJoin" in plan, (
+            f"{name}: centroid array is not a broadcast single row"
+        )
+        assert plan.count("windowspecdefinition(query_id") >= 1

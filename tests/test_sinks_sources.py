@@ -264,3 +264,47 @@ def test_upsert_parquet_merge_semantics(spark, sf_dir, tmp_path):
     assert len(got) == na.count() + 1  # all untouched keys survived
     want_2 = na.filter("n_nationkey = 2").collect()[0].n_name
     assert got[2] == want_2
+    # no temp/old dirs left behind by the rename swap
+    leftovers = [p for p in tmp_path.iterdir() if "__tmp_" in p.name or "__old_" in p.name]
+    assert leftovers == []
+
+
+def test_upsert_parquet_crash_in_phase1_leaves_base_intact(spark, sf_dir, tmp_path):
+    """A failure during the expensive merged-result write (phase 1) must
+    leave the base table byte-identical and readable — the commit is
+    rename-swap, not overwrite-in-place (ADVICE r2)."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from sparkga1_spark.sources.catalog import load_table
+    from sparkga1_spark.sources.sinks import upsert_parquet
+
+    base_path = str(tmp_path / "tbl")
+    na = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    na.write.parquet(base_path)
+    before = {tuple(r) for r in spark.read.parquet(base_path).collect()}
+
+    # updates whose evaluation throws mid-write: the phase-1 job fails
+    bad = spark.createDataFrame([(0,)], "n_nationkey int").select(
+        "n_nationkey",
+        F.assert_true(F.lit(False), F.lit("simulated crash")).cast("string").alias("n_name"),
+    )
+    with pytest.raises(Exception):
+        upsert_parquet(spark, base_path, bad, keys=["n_nationkey"])
+    after = {tuple(r) for r in spark.read.parquet(base_path).collect()}
+    assert after == before
+
+
+def test_merge_upsert_duplicate_update_keys(spark):
+    """Documented contract: duplicate-keyed updates all land by default;
+    validate_unique=True raises like SQL MERGE's multiple-match error."""
+    import pytest
+
+    from sparkga1_spark.sources.sinks import merge_upsert
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    dup = spark.createDataFrame([(1, "x"), (1, "y")], "k int, v string")
+    out = merge_upsert(base, dup, keys=["k"]).collect()
+    assert sorted((r.k, r.v) for r in out) == [(1, "x"), (1, "y"), (2, "b")]
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_upsert(base, dup, keys=["k"], validate_unique=True)
