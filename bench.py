@@ -51,6 +51,7 @@ def main() -> None:
 
     spark = get_spark("bench")
     queries = all_queries()
+    from sparkga1_spark.operators.cache import release_tracked
 
     # Warm-up: run every headline plan once at the smallest SF so the
     # timed numbers measure plan execution, not first-run codegen/JIT
@@ -63,15 +64,30 @@ def main() -> None:
             except Exception:
                 pass
 
+    # Median of 3 timed runs per query (r2 VERDICT #1: a single-run
+    # number in a shared session can't separate a plan regression from
+    # environment noise — r2's recorded 3.70s for p2_interval_coalesce
+    # re-measured at 2.19s). `queries` holds the median; `spread` the
+    # per-query [min, max] so a future delta can be judged against the
+    # session's own noise floor.
     times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
-        t0 = time.time()
-        n = queries[name](spark, sf_dir).count()
-        dt = round(time.time() - t0, 3)
-        times[name] = dt
-        total += dt
-        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        runs = []
+        for _ in range(3):
+            release_tracked()  # each run re-materializes its own caches
+            t0 = time.time()
+            n = queries[name](spark, sf_dir).count()
+            runs.append(time.time() - t0)
+        med = round(sorted(runs)[1], 3)
+        times[name] = med
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+        total += med
+        print(
+            f"# {name}: {med:.2f}s [{min(runs):.2f}-{max(runs):.2f}] ({n} rows)",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -80,6 +96,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,
+                "spread": spread,
+                "runs_per_query": 3,
                 "sf": sf,
             }
         )
