@@ -5,11 +5,14 @@ structs; every transform is an Arrow-batched `mapInPandas` stage so the
 Spark side — schema, partitioning, batch shape — is real and tested
 even though this environment ships no codec libraries.
 
-STUB POLICY: each `_decode_*` helper first tries the real library
-(PIL / soundfile / av) behind an import-guard; absent that it uses a
-clearly-marked DETERMINISTIC FAKE derived from the payload's md5, so
-pipelines are testable end-to-end and oracle-checkable. Swapping in the
-real decoder changes no schema and no plan shape.
+DECODE POLICY (r3): the UNCOMPRESSED public containers are parsed FOR
+REAL in pure Python/numpy — BMP and binary PPM (header + pixel layout)
+and RIFF/WAV 16-bit PCM (chunk walk + sample math). Compressed formats
+(JPEG/MP4/…) try the real library (PIL / soundfile / av) behind an
+import-guard; absent that they use a clearly-marked DETERMINISTIC FAKE
+derived from the payload's md5, so pipelines stay testable end-to-end
+and oracle-checkable. Swapping in a codec library changes no schema
+and no plan shape.
 
 Scale notes: binary payloads ride the scan/shuffle as plain columns —
 size the partitions with spark.sql.files.maxPartitionBytes; transforms
@@ -39,9 +42,136 @@ def _payload_hash(data: bytes) -> int:
     return int(hashlib.md5(data).hexdigest()[:15], 16)
 
 
+# --------------------------------------------------------------------------
+# Real container parsing for the UNCOMPRESSED public formats (no codec
+# library needed): BMP (BITMAPINFOHEADER, 24-bit BGR bottom-up rows
+# padded to 4 bytes), binary PPM (P6), and WAV (RIFF + 16-bit PCM).
+# These are the primary decode paths; PIL / the md5 FAKE remain only
+# for genuinely compressed formats (JPEG/MP4 …) this image can't decode.
+# --------------------------------------------------------------------------
+
+
+def build_bmp(pixels) -> bytes:
+    """HxWx3 uint8 RGB array → 24-bit uncompressed BMP bytes (the
+    standard layout: 54-byte header, BGR pixel order, bottom-up rows,
+    each row zero-padded to a 4-byte boundary)."""
+    import struct
+
+    import numpy as np
+
+    h, w, c = pixels.shape
+    assert c == 3, "build_bmp writes 24-bit RGB"
+    row = w * 3
+    pad = (-row) % 4
+    img_size = (row + pad) * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    bgr = pixels[::-1, :, ::-1].astype(np.uint8)  # bottom-up, RGB→BGR
+    if pad:
+        rows = np.zeros((h, row + pad), np.uint8)
+        rows[:, :row] = bgr.reshape(h, row)
+    else:
+        rows = bgr.reshape(h, row)
+    return header + rows.tobytes()
+
+
+def parse_bmp(data: bytes):
+    """BMP bytes → (width, height, HxWx3 uint8 RGB array). Raises
+    ValueError on anything but the 24-bit uncompressed layout."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    bits = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if bits != 24 or comp != 0 or w <= 0 or h == 0:
+        raise ValueError("unsupported BMP variant")
+    flip = h > 0  # positive height = bottom-up rows
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    raw = np.frombuffer(data, np.uint8, count=stride * h, offset=off)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]  # BGR→RGB
+    return w, h, (rgb[::-1] if flip else rgb).copy()
+
+
+def build_ppm(pixels) -> bytes:
+    """HxWx3 uint8 RGB → binary PPM (P6)."""
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype("uint8").tobytes()
+
+
+def parse_ppm(data: bytes):
+    import numpy as np
+
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    parts = data[2:].split(None, 3)  # w, h, maxval, raster
+    w, h = int(parts[0]), int(parts[1])
+    raster = parts[3][: w * h * 3]
+    return w, h, np.frombuffer(raster, np.uint8).reshape(h, w, 3).copy()
+
+
+def build_wav(samples, *, sample_rate: int) -> bytes:
+    """int16 mono PCM samples → WAV (RIFF) bytes."""
+    import struct
+
+    pcm = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(pcm), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16)
+        + fmt
+        + struct.pack("<4sI", b"data", len(pcm))
+        + pcm
+    )
+
+
+def parse_wav(data: bytes):
+    """WAV bytes → (n_samples, sample_rate, int16 sample array). Walks
+    the RIFF chunk list (fmt may not be the first chunk in the wild)."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE")
+    pos, rate, channels, bits, pcm = 12, None, 1, 16, None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            try:
+                _, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            except struct.error as e:  # truncated fmt chunk
+                raise ValueError("truncated WAV fmt chunk") from e
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or pcm is None or bits != 16:
+        raise ValueError("unsupported WAV variant")
+    samples = np.frombuffer(pcm, "<i2")
+    return len(samples) // channels, rate, samples
+
+
 def _decode_image_meta(data: bytes) -> tuple[int, int, int, str]:
-    """width, height, channels, format. Real path: PIL. Fake path:
-    md5-derived dimensions (DETERMINISTIC FAKE — see module doc)."""
+    """width, height, channels, format. Real paths: native BMP/PPM
+    parse, then PIL for anything else. Fake path: md5-derived dimensions
+    (DETERMINISTIC FAKE — see module doc; compressed formats only)."""
+    try:
+        if data[:2] == b"BM":
+            w, h, _ = parse_bmp(data)
+            return w, h, 3, "BMP"
+        if data[:2] == b"P6":
+            w, h, _ = parse_ppm(data)
+            return w, h, 3, "PPM"
+    except ValueError:
+        pass  # malformed header — fall through like any undecodable blob
     try:  # pragma: no cover - PIL absent in this environment
         from PIL import Image  # noqa: PLC0415
         import io  # noqa: PLC0415
@@ -98,24 +228,31 @@ def sample_frames(
 
 
 def audio_features(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
-    """Audio feature extraction: sample count / rate / duration / RMS.
-    Real path would use soundfile+numpy; fake path derives features from
-    byte statistics (sum of byte values as 'RMS' — deterministic)."""
+    """Audio feature extraction: sample count / rate / duration /
+    sum-of-|sample| energy ('rms' column). Real path: native RIFF/WAV
+    parse of 16-bit PCM (header fields + numpy sample math — no codec
+    library). Fallback for non-WAV blobs: byte statistics
+    (sum of byte values as 'RMS' — deterministic)."""
+    import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 data = bytes(payload)
-                n_samples = len(data)
-                rate = 16_000
+                try:
+                    n_samples, rate, samples = parse_wav(data)
+                    energy = int(np.abs(samples.astype(np.int64)).sum())
+                except ValueError:
+                    n_samples, rate = len(data), 16_000
+                    energy = sum(data)
                 out.append(
                     (
                         doc_id,
                         n_samples,
                         rate,
                         n_samples * 1000 // rate,
-                        sum(data),
+                        energy,
                     )
                 )
             yield pd.DataFrame(
@@ -132,12 +269,20 @@ RESIZED_SCHEMA = (
 
 
 def _decode_image_pixels(data: bytes):
-    """bytes → HxWxC uint8 pixel array. Real path: PIL. Fake path: the
-    md5-derived dimensions from `_decode_image_meta` filled by TILING the
-    payload bytes (DETERMINISTIC FAKE — the codec is the stub; everything
+    """bytes → HxWxC uint8 pixel array. Real paths: native BMP/PPM
+    parse, then PIL. Fake path: the md5-derived dimensions from
+    `_decode_image_meta` filled by TILING the payload bytes
+    (DETERMINISTIC FAKE — compressed formats only; everything
     downstream of this function is real pixel math)."""
     import numpy as np
 
+    try:
+        if data[:2] == b"BM":
+            return parse_bmp(data)[2]
+        if data[:2] == b"P6":
+            return parse_ppm(data)[2]
+    except ValueError:
+        pass
     try:  # pragma: no cover - PIL absent in this environment
         from PIL import Image  # noqa: PLC0415
         import io  # noqa: PLC0415
@@ -211,3 +356,52 @@ def resize_images(
             )
 
     return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Planted-media fixture builders (the r2-VERDICT pattern: derive REAL
+# container payloads from the documents table with closed-form
+# dimensions, so the decode queries' oracles can state the expected
+# metadata in plain SQL while the Spark side round-trips actual bytes
+# through the real parsers above). Arrow-batched like every other
+# multimodal stage.
+# --------------------------------------------------------------------------
+
+
+def plant_bmp_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(doc_id, text) → (doc_id, payload): a real 24-bit BMP whose
+    dimensions are closed-form in doc_id (w = id%61+4, h = id%37+4) and
+    whose pixels tile the UTF-8 bytes of `text`."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text_val in zip(pdf["doc_id"], pdf[text_col]):
+                w, h = int(doc_id) % 61 + 4, int(doc_id) % 37 + 4
+                raw = text_val.encode("utf-8") or b"\0"
+                px = np.resize(np.frombuffer(raw, np.uint8), (h, w, 3))
+                out.append((doc_id, build_bmp(px)))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return df.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def plant_wav_payloads(df: DataFrame) -> DataFrame:
+    """(doc_id, …) → (doc_id, payload): a real 16-bit mono PCM WAV with
+    closed-form sample count (id%200+50), rate (16 kHz even ids / 8 kHz
+    odd) and samples s_i = (id*31 + i*7) % 1001 - 500."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 200 + 50
+                rate = 16_000 if d % 2 == 0 else 8_000
+                samples = ((d * 31 + 7 * np.arange(n, dtype=np.int64)) % 1001 - 500)
+                out.append((doc_id, build_wav(samples, sample_rate=rate)))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return df.mapInPandas(run, schema="doc_id long, payload binary")

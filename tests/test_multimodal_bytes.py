@@ -97,3 +97,98 @@ def test_resize_images_real_interpolation(spark):
         assert len(bytes(row.data)) == 16 * 12 * row.channels
         assert bytes(row.data) == bytes(b[doc_id].data)  # deterministic
         assert row.px_checksum == sum(bytes(row.data))
+
+
+def test_bmp_roundtrip_exact():
+    """build_bmp → parse_bmp is pixel-exact for odd widths (row padding)
+    and both row orders — REAL container parsing, no codec library."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import (
+        _decode_image_meta,
+        build_bmp,
+        parse_bmp,
+    )
+
+    for w, h in [(1, 1), (3, 2), (5, 7), (64, 48), (61, 37)]:
+        px = np.resize(np.arange(w * h * 3, dtype=np.uint8), (h, w, 3))
+        data = build_bmp(px)
+        assert data[:2] == b"BM"
+        stride = (w * 3 + 3) // 4 * 4
+        assert len(data) == 54 + stride * h  # padded rows, exact size
+        pw, ph, out = parse_bmp(data)
+        assert (pw, ph) == (w, h)
+        assert (out == px).all()
+        assert _decode_image_meta(data) == (w, h, 3, "BMP")
+    # top-down variant (negative height) parses to the same pixels
+    import struct
+
+    px = np.resize(np.arange(60, dtype=np.uint8), (4, 5, 3))
+    data = bytearray(build_bmp(px))
+    # flip to top-down: negate height, reverse padded rows
+    stride = (5 * 3 + 3) // 4 * 4
+    data[22:26] = struct.pack("<i", -4)
+    body = bytes(data[54:])
+    rows = [body[i * stride : (i + 1) * stride] for i in range(4)]
+    data[54:] = b"".join(reversed(rows))
+    _, _, out = parse_bmp(bytes(data))
+    assert (out == px).all()
+
+
+def test_ppm_roundtrip_exact():
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import (
+        _decode_image_meta,
+        build_ppm,
+        parse_ppm,
+    )
+
+    px = np.resize(np.arange(210, dtype=np.uint8), (10, 7, 3))
+    data = build_ppm(px)
+    w, h, out = parse_ppm(data)
+    assert (w, h) == (7, 10) and (out == px).all()
+    assert _decode_image_meta(data) == (7, 10, 3, "PPM")
+
+
+def test_wav_roundtrip_exact_and_fallback():
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import build_wav, parse_wav
+
+    samples = ((np.arange(777, dtype=np.int64) * 7919) % 1001 - 500).astype("<i2")
+    data = build_wav(samples, sample_rate=8000)
+    n, rate, got = parse_wav(data)
+    assert (n, rate) == (777, 8000)
+    assert (got == samples).all()
+    # non-WAV bytes fall back to byte statistics, never crash
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_wav(b"definitely not audio")
+
+
+def test_bmp_decode_real_branch_in_pipeline(spark):
+    """The planted-BMP fixture path exercises the REAL parser inside the
+    Arrow-batched decode stage: metadata matches the closed form and the
+    pixel decode feeds the real bilinear resize."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import (
+        decode_images,
+        plant_bmp_payloads,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"document body {i}") for i in range(1, 9)], "doc_id long, text string"
+    )
+    planted = plant_bmp_payloads(df)
+    meta = {r.doc_id: r for r in decode_images(planted).collect()}
+    for i in range(1, 9):
+        assert meta[i].format == "BMP"
+        assert meta[i].width == i % 61 + 4
+        assert meta[i].height == i % 37 + 4
+        assert meta[i].channels == 3
+    resized = resize_images(planted, width=8, height=6).collect()
+    assert all(len(bytes(r.data)) == 8 * 6 * 3 for r in resized)
