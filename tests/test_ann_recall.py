@@ -1,0 +1,113 @@
+"""Measured ANN recall vs the exact brute-force baseline (r2 VERDICT #3).
+
+Two metrics, because the synthetic embeddings are uniform random:
+
+- PLANTED recall@1 — the fixture plants one near-duplicate twin per
+  25th vector (cos ≈ 0.9937, the only real neighbor structure in the
+  data). An ANN index that loses these is broken; this is the metric
+  with a hard floor.
+- RAW recall@3 vs brute force on the unplanted table — uniform random
+  vectors have near-uniform pairwise cosines, so absolute raw recall
+  is intrinsically low for ANY partitioned index at this k/n; what
+  must hold is the dial: more probes → monotonically more recall.
+
+The measured table lives in PLANS.md (§ANN recall/cost).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkga1_spark.operators import similarity as S
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def planted(spark, sf_dir):
+    from sparkga1_spark.operators.cache import tracked_persist
+    from sparkga1_spark.sources import fixtures
+
+    emb = fixtures.embeddings_with_neardups(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
+    return tracked_persist(emb)
+
+
+# twin of original k·25 is planted at vec_id 1000000 + k·25
+PAIRS = {1000000 + k: k for k in range(0, 500, 25)}
+
+
+def _qpred():
+    return F.col("vec_id") >= 1000000
+
+
+def _top1(df) -> float:
+    got = {r.query_id: r.cand_id for r in df.collect() if r.rank == 1}
+    return sum(1 for q, want in PAIRS.items() if got.get(q) == want) / len(PAIRS)
+
+
+def test_brute_force_finds_every_planted_twin(planted):
+    assert _top1(S.brute_force_topk(planted.filter(_qpred()), planted, k=3, dim=DIM)) == 1.0
+
+
+def test_ivf_planted_recall_floor_and_nprobe_dial(planted):
+    """Floors from the measured table (PLANS.md): seed-centroid IVF
+    recovers ≥90% of real near-duplicates at nprobe=1 and all of them
+    at nprobe=2 — the recall/cost dial has numbers now."""
+    cent = (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 1000000)
+    r1 = _top1(S.ivf_topk(planted, dim=DIM, centroid_pred=cent, query_pred=_qpred(), k=3, nprobe=1))
+    r2 = _top1(S.ivf_topk(planted, dim=DIM, centroid_pred=cent, query_pred=_qpred(), k=3, nprobe=2))
+    assert r1 >= 0.9
+    assert r2 >= 0.95
+    assert r2 >= r1
+
+
+def test_ivf_trained_planted_recall(planted):
+    cents = S.kmeans_fit(
+        planted.filter(F.col("vec_id") < 1000000), dim=DIM, k=10, iters=3
+    )
+    r = _top1(S.ivf_topk_trained(planted, cents, dim=DIM, query_pred=_qpred(), k=3))
+    assert r >= 0.95
+
+
+def test_lsh_planted_bucket_recall(planted):
+    """Sign-LSH: a planted twin must land in its original's bucket for
+    ≥80% of pairs at the default 4 planes (measured 0.85; fewer planes
+    trade recall up / cost up per PLANS.md)."""
+    from sparkga1_spark.operators.similarity import sign_lsh_bucket
+
+    b = {
+        r.vec_id: r.b
+        for r in planted.select(
+            "vec_id", sign_lsh_bucket(F.col("embedding"), DIM, 4).alias("b")
+        ).collect()
+    }
+    recall = sum(1 for q, w in PAIRS.items() if b[q] == b[w]) / len(PAIRS)
+    assert recall >= 0.8
+
+
+def test_raw_recall_dial_is_monotone(spark, sf_dir):
+    """On the structureless uniform table, absolute recall is low by
+    nature — but nprobe=2 must dominate nprobe=1 against the exact
+    baseline (the dial works in the regime users actually tune)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = F.col("vec_id") % 20 == 0
+    truth: dict[int, set] = {}
+    for r in S.brute_force_topk(emb.filter(q), emb, k=3, dim=DIM).collect():
+        truth.setdefault(r.query_id, set()).add(r.cand_id)
+    total = sum(len(v) for v in truth.values())
+
+    def recall(nprobe: int) -> float:
+        got: dict[int, set] = {}
+        ivf = S.ivf_topk(
+            emb, dim=DIM, centroid_pred=F.col("vec_id") % 50 == 0,
+            query_pred=q, k=3, nprobe=nprobe,
+        )
+        for r in ivf.collect():
+            got.setdefault(r.query_id, set()).add(r.cand_id)
+        return sum(len(truth[k] & got.get(k, set())) for k in truth) / total
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1 > 0
