@@ -2789,6 +2789,46 @@ def tpch_q22_dormant_customers(spark, sf_dir):
     )
 
 
+def _curation_staged(spark, sf_dir):
+    """Shared curation flow (one lazy plan): planted-duplicate corpus →
+    exact dedup keep-min-id → repetition-quality filter (map-only) →
+    PII redaction (map-only regex) → deterministic hash split. Consumed
+    by x_curation_pipeline (audit aggregate) and x_curation_write_audit
+    (partitioned sink round-trip)."""
+    from sparkga1_spark.functions.hashing import stable_hash64
+    from sparkga1_spark.operators.dedup import exact_dedup
+
+    base = fixtures.documents_with_pii(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "lang", "text")
+    corpus = base.unionByName(
+        base.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 500000).alias("doc_id"), "lang", "text"
+        )
+    )
+    keepers = exact_dedup(corpus, text_col="text", id_col="doc_id").select("doc_id")
+    dedup = corpus.join(keepers, "doc_id")
+    ws = T.words(F.col("text"))
+    top_w = F.lit(1.0) * _top_run_count(ws) / F.size(ws)
+    kept = dedup.filter(top_w <= 0.2)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _URL_RE, "<URL>",
+        ),
+        _PHONE_RE, "<PHONE>",
+    )
+    hb = stable_hash64(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))
+    ) % 10
+    return kept.select(
+        "doc_id",
+        "lang",
+        F.when(hb < 8, "train").when(hb == 8, "val").otherwise("test").alias("split"),
+        red.alias("rtext"),
+    )
+
+
 @query(
     "x_curation_pipeline",
     oracle=f"""
@@ -2835,37 +2875,7 @@ def x_curation_pipeline(spark, sf_dir):
     standalone queries gate; this proves they COMPOSE without breaking
     plan shape (one hash shuffle for dedup, one for the semi-join back,
     one tiny final aggregate — everything else map-side)."""
-    from sparkga1_spark.functions.hashing import stable_hash64
-    from sparkga1_spark.operators.dedup import exact_dedup
-
-    base = fixtures.documents_with_pii(
-        load_table(spark, sf_dir, "documents")
-    ).select("doc_id", "lang", "text")
-    corpus = base.unionByName(
-        base.filter(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 500000).alias("doc_id"), "lang", "text"
-        )
-    )
-    keepers = exact_dedup(corpus, text_col="text", id_col="doc_id").select("doc_id")
-    dedup = corpus.join(keepers, "doc_id")
-    ws = T.words(F.col("text"))
-    top_w = F.lit(1.0) * _top_run_count(ws) / F.size(ws)
-    kept = dedup.filter(top_w <= 0.2)
-    red = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
-            _URL_RE, "<URL>",
-        ),
-        _PHONE_RE, "<PHONE>",
-    )
-    hb = stable_hash64(
-        F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))
-    ) % 10
-    staged = kept.select(
-        "lang",
-        F.when(hb < 8, "train").when(hb == 8, "val").otherwise("test").alias("split"),
-        red.alias("rtext"),
-    )
+    staged = _curation_staged(spark, sf_dir)
     return staged.groupBy("lang", "split").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.length("rtext")).cast("long").alias("sum_chars"),
@@ -3031,78 +3041,594 @@ def tpch_q20_excess_stock(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Gate priority (see registry.set_gate_order docstring). Round 2: front
-# the 19 queries the round-1 driver cap left without a CORRECTNESS row,
-# the 4 new queries, everything whose semantics/oracle changed this
-# round, then the north stars. Untouched round-1-green queries sit in
-# the tail and rotate forward next round.
+# Round-3 TPC-H breadth: the remaining standard shapes (q6, q8-q16,
+# q21), adapted where the synthetic schema lacks a TPC-H column or the
+# partsupp table (adaptations documented per query, following the
+# q2/q20 precedent). o_orderdate / l_shipdate are TIMESTAMP here.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+SELECT {dsum_sql('l_extendedprice * l_discount')} AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24
+""",
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """Q6 shape: pure scan-aggregate with range predicates — every
+    filter must reach the parquet scan (no join, the plan is one
+    codegen'd stage over the pruned row groups)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+SELECT yr,
+       round(nat / total, 6) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS yr,
+         {dsum_sql("CASE WHEN n2.n_name = 'NATION_1' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS nat,
+         {dsum_sql('l_extendedprice * (1 - l_discount)')} AS total
+  FROM part
+  JOIN lineitem  ON p_partkey = l_partkey
+  JOIN supplier  ON l_suppkey = s_suppkey
+  JOIN orders    ON l_orderkey = o_orderkey
+  JOIN customer  ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= '1995-01-01' AND o_orderdate < '1997-01-01'
+  GROUP BY 1
+)
+""",
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """Q8 shape: national market share — nation joined in TWO roles
+    (customer's region filter, supplier's nationality in the numerator)
+    and a conditional-sum ratio per year. Both nation sides and region
+    broadcast; one fact shuffle chain lineitem→orders→customer."""
+    pa = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cu = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").alias("n1")
+    n2 = load_table(spark, sf_dir, "nation").alias("n2")
+    re = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(re), F.col("n1.n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
+    )
+    agg = joined.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        dsum(
+            F.when(F.col("n2.n_name") == "NATION_1", vol).otherwise(F.lit(0.0))
+        ).alias("nat"),
+        dsum(vol).alias("total"),
+    )
+    return agg.select("yr", hround(F.col("nat") / F.col("total"), 6).alias("mkt_share"))
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle=f"""
+SELECT n_name AS nation, year(o_orderdate) AS yr,
+       {dsum_sql('l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1')} AS profit
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+""",
+)
+def tpch_q9_product_profit(spark, sf_dir):
+    """Q9 shape: product-type profit by nation and year. ADAPTED: the
+    synthetic schema has no partsupp, so supply cost is proxied as
+    10% of p_retailprice per unit (shape preserved: a five-table join
+    with a LIKE-filtered part dim and a two-column rollup)."""
+    pa = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    od = load_table(spark, sf_dir, "orders")
+    na = load_table(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+    )
+    return (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"))
+        .agg(dsum(profit).alias("profit"))
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+SELECT c_custkey, c_name,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       round(c_acctbal, 2) AS c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= '1995-10-01' AND o_orderdate < '1996-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, round(c_acctbal, 2), n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    """Q10 shape: top-20 customers by returned-goods revenue in one
+    quarter — join, grouped agg, global ordered LIMIT (Spark compiles
+    it to TakeOrderedAndProject: per-partition top-20, never a full
+    sort). Tiebreak on c_custkey keeps the LIMIT cross-engine
+    deterministic (dsum revenue is bit-identical on both)."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-10-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    na = load_table(spark, sf_dir, "nation")
+    return (
+        cu.join(od, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "c_custkey", "c_name", hround("c_acctbal", 2).alias("c_acctbal"), "n_name"
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle=f"""
+WITH scoped AS (
+  SELECT l_partkey, l_extendedprice * l_quantity AS v
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey % 5 = 0
+),
+total AS (SELECT {dsum_sql('v')} AS t FROM scoped)
+SELECT l_partkey AS partkey, {dsum_sql('v')} AS value
+FROM scoped, total
+GROUP BY l_partkey, t
+HAVING {dsum_sql('v')} > 0.001 * t
+""",
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """Q11 shape: per-key value with a HAVING threshold derived from a
+    GLOBAL scalar aggregate over the same scoped set. ADAPTED: no
+    partsupp table — 'stock value' is lineitem volume
+    (l_extendedprice × l_quantity) through suppliers of one nation
+    band. The total is ONE exact dsum row, broadcast; per-part dsum is
+    exact too, so the threshold comparison is bit-identical
+    cross-engine (a double cascade here flips groups near the line)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") % 5 == 0)
+    v = F.col("l_extendedprice") * F.col("l_quantity")
+    scoped = li.join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey")).select(
+        "l_partkey", v.alias("v")
+    )
+    total = scoped.agg(dsum("v").alias("t"))
+    return (
+        scoped.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(dsum("v").alias("value"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("value") > 0.001 * F.col("t"))
+        .select("partkey", "value")
+    )
+
+
+@query(
+    "tpch_q12_shipmode_priority",
+    oracle="""
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+GROUP BY l_linestatus
+""",
+)
+def tpch_q12_shipmode_priority(spark, sf_dir):
+    """Q12 shape: conditional two-way counts per category. ADAPTED:
+    the synthetic lineitem has no l_shipmode/commit/receipt columns —
+    l_linestatus stands in as the category and the date window is on
+    l_shipdate (the CASE-pivot aggregation shape is the point)."""
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        od.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+)
+def tpch_q13_customer_distribution(spark, sf_dir):
+    """Q13 shape: order-count histogram — LEFT join with an extra join
+    predicate (customers with zero qualifying orders must survive with
+    count 0), then a second aggregation over the first. ADAPTED: the
+    o_comment NOT LIKE filter becomes an o_orderpriority exclusion
+    (same plan shape: filter INSIDE the join condition, not a WHERE)."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    counts = (
+        cu.join(
+            od,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "tpch_q14_promo_effect",
+    oracle=f"""
+SELECT round(100.0 * promo / total, 6) AS promo_revenue
+FROM (
+  SELECT {dsum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS promo,
+         {dsum_sql('l_extendedprice * (1 - l_discount)')} AS total
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'
+)
+""",
+)
+def tpch_q14_promo_effect(spark, sf_dir):
+    """Q14 shape: promo revenue percentage for one month — a
+    conditional-sum ratio over a broadcast part join (p_type here is a
+    plain category, so equality replaces LIKE 'PROMO%%')."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    pa = load_table(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            dsum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))).alias(
+                "promo"
+            ),
+            dsum(vol).alias("total"),
+        )
+    )
+    return agg.select(
+        hround(F.lit(100.0) * F.col("promo") / F.col("total"), 6).alias("promo_revenue")
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no,
+         {dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
+""",
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """Q15 shape: the 'view' (per-supplier quarterly revenue) consumed
+    twice — once for the max scalar, once for the final join-back. The
+    revenue frame is computed once per branch from the same lazy plan;
+    the max is a broadcast 1-row aggregate (dsum revenue makes the
+    equality comparison exact cross-engine)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    su = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        su.join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_q16_supplier_parts",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size < 10
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def tpch_q16_supplier_parts(spark, sf_dir):
+    """Q16 shape: distinct-supplier counts per part class with a NOT IN
+    exclusion subquery (→ broadcast anti join). ADAPTED: no partsupp —
+    lineitem is the part↔supplier association; the 'complaints' comment
+    filter becomes the s_acctbal < 0 supplier blacklist."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size") < 10)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND s_nationkey % 5 = 2
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+""",
+)
+def tpch_q21_waiting_supplier(spark, sf_dir):
+    """Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier finished order — the classic EXISTS + NOT EXISTS
+    pair of correlated self-joins, compiled as a semi join then an
+    anti join on (orderkey, suppkey≠) with the lateness residual.
+    ADAPTED: no commit/receipt dates — 'late' is shipping >60 days
+    after the order date. Both self-join sides shuffle only
+    (orderkey, suppkey, shipdate) triples."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    su = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") % 5 == 2)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l1 = (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(late)
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate", "s_name")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("_o2"), F.col("l_suppkey").alias("_s2"))
+    l3 = li.select(
+        F.col("l_orderkey").alias("_o3"),
+        F.col("l_suppkey").alias("_s3"),
+        F.col("l_shipdate").alias("_sd3"),
+    )
+    waited = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("_o2")) & (F.col("l_suppkey") != F.col("_s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("_o3"))
+            & (F.col("l_suppkey") != F.col("_s3"))
+            & (F.col("_sd3") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+@query(
+    "x_curation_write_audit",
+    oracle=f"""
+WITH pii AS ({fixtures.DOCS_PII_SQL}),
+corpus AS (
+  SELECT doc_id, lang, text FROM pii
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, lang, text FROM pii WHERE doc_id % 10 = 0
+),
+keepers AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text),
+dedup AS (SELECT c.* FROM corpus c JOIN keepers USING (doc_id)),
+scored AS (
+  SELECT doc_id, lang, text, ws,
+         CAST(list_max([len(list_filter(ws, x -> x = u))
+                        for u in list_distinct(ws)]) AS DOUBLE) / len(ws) AS top_w
+  FROM (SELECT *, str_split_regex(trim(text), ' +') AS ws FROM dedup)
+),
+kept AS (SELECT * FROM scored WHERE top_w <= 0.2),
+red AS (
+  SELECT doc_id, lang,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             '{_EMAIL_RE}', '<EMAIL>', 'g'), '{_URL_RE}', '<URL>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g') AS rtext,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 15))
+              AS BIGINT) % 10 AS hb
+  FROM kept
+)
+SELECT CASE WHEN hb < 8 THEN 'train' WHEN hb = 8 THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(length(rtext)) AS BIGINT) AS sum_chars,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM red
+GROUP BY 1
+""",
+)
+def x_curation_write_audit(spark, sf_dir):
+    """The curation pipeline's SINK leg: materialize the staged corpus
+    as a split-partitioned parquet table (partitionBy('split') +
+    sortWithinPartitions(doc_id) — the layout a training-data reader
+    wants: one directory per split, clustered files for row-group
+    pruning), then READ THE FILES BACK and audit per split. The oracle
+    recomputes the audit from the logical pipeline, so a fault in the
+    write path (lost rows, partition misroute, type mangling through
+    the partition column) breaks the hash — this gates the sink, not
+    just the transform."""
+    import os
+
+    from sparkga1_spark.sources.sinks import write_partitioned_sorted
+
+    staged = _curation_staged(spark, sf_dir)
+    out = f"/tmp/sparkga1_curation_write_{os.path.basename(sf_dir.rstrip('/'))}"
+    write_partitioned_sorted(
+        staged, out, partition_cols=["split"], sort_cols=["doc_id"]
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum(F.length("rtext")).cast("long").alias("sum_chars"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gate priority (see registry.set_gate_order docstring). Round 3: the
+# driver records rows for the FIRST 50 queries() only, so front
+# (a) the 31 queries whose only driver row is from round 1 (rotated out
+#     by the r2 window — restore a ≤1-round row age, r2 VERDICT #2),
+# (b) the 14 queries NEW this round (planted-media decode, TPC-H
+#     breadth, the curation sink round-trip),
+# (c) the 5 queries whose plan or body changed this round (IVF map-only
+#     assignment ×2, curation staging refactor, global_rank long-rank
+#     consumers ×2).
+# That is exactly 50. Every query left in the tail is r2-driver-green
+# and untouched in r3; the committed local full-registry gate snapshot
+# covers them this round.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
 
 set_gate_order([
-    # (a) no hard driver signal yet — round-1 cap victims
-    "f_permissive_line_parse",
-    "s_paired_interleave",
-    "o_topk_global_limit",
-    "w_frame_lag_lead_range",
-    "f_null_semantics",
-    "x_json_props_extract",
-    "f_ignore_table_antijoin",
-    "a_cube_revenue",
-    "w_first_last_nth",
-    "x_vector_stats_hof",
-    "w_rank_family",
-    "x_fuzzy_levenshtein",
-    "a_date_parts",
-    "a_minmax_by_bool",
-    "x_vocab_topk",
-    "x_tfidf_top_terms",
-    "x_embedding_quantize",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    # (a') new this round
-    "f_attrs_map_extract",
-    "x_quality_repetition",
-    "x_pii_scrub",
-    "x_url_host_rollup",
-    "x_datamix_split",
-    "tpch_q7_nation_volume",
-    "tpch_q19_disjunctive",
-    "tpch_q22_dormant_customers",
-    "x_curation_pipeline",
-    "x_ann_ivf_nprobe2",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q20_excess_stock",
-    # (b) semantics/oracle changed this round (round-1 row is stale)
-    "tpch_q3_shipping_priority",
-    "tpch_q1_pricing_summary",
-    "tpch_q5_local_supplier",
-    "j_star_revenue",
-    "w_running_revenue",
-    "a_rollup_revenue",
-    "x_embedding_neardup",
-    "x_multimodal_decode",
-    "x_multimodal_framesample",
-    "x_multimodal_audio_features",
-    "a_lpt_schedule",
-    "o_global_sort_vcf",
-    "x_ann_ivf_topk",
-    # (c) north stars — keep a current row every round
-    "flagship_region_stats",
-    "pipeline_end_to_end",
-    "x_blackbox_variant_call",
-    "x_dedup_exact",
-    "x_dedup_minhash_lsh",
-    "x_dedup_simhash",
+    # (a) last driver row is round-1 — restore row currency
+    "f_mapped_clean_projection",
+    "f_regex_readgroup",
+    "f_interval_sanity_fix",
+    "a_global_totals",
+    "a_dedup_keep_best",
+    "j_semi_known_sites",
+    "j_anti_known_sites",
+    "j_range_exome_overlap",
+    "p2_interval_coalesce",
+    "p2_equal_freq_buckets",
+    "p2_skew_detect",
+    "u_distinct_variants",
+    "u_intersect_except",
+    "o_secondary_sort_first",
+    "o_topk_per_chr",
     "x_dedup_ngram_jaccard",
+    "x_text_quality",
+    "x_lang_id",
+    "x_doc_fingerprint",
     "x_ann_bruteforce_topk",
     "x_ann_lsh_buckets",
-    "x_lang_id",
-    "x_text_quality",
-    "x_doc_fingerprint",
+    "x_pipe_external_tool",
+    "x_flatmap_records",
     "s_tumbling_counts",
     "s_sliding_avg",
     "s_session_windows",
+    "j_asof_latest_order",
+    "a_pivot_status_qty",
+    "a_exact_percentiles",
     "a_covariate_table",
+    "tpch_q4_order_priority",
+    # (b) new this round
+    "x_multimodal_bmp_decode",
+    "x_multimodal_wav_features",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_parts",
+    "tpch_q21_waiting_supplier",
+    "x_curation_write_audit",
+    # (c) plan/body changed this round
+    "x_ann_ivf_topk",
+    "x_ann_ivf_nprobe2",
+    "x_curation_pipeline",
+    "a_lpt_schedule",
+    "o_global_sort_vcf",
 ])

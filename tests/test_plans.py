@@ -150,22 +150,30 @@ def test_gate_order_fronts_unproven_queries():
     qs = list(all_queries())
     first50 = set(qs[:50])
     must_have_row = {
-        # round-1 cap victims (no CORRECTNESS_r01 row at all)
-        "f_permissive_line_parse", "s_paired_interleave",
-        "o_topk_global_limit", "w_frame_lag_lead_range", "f_null_semantics",
-        "x_json_props_extract", "f_ignore_table_antijoin", "a_cube_revenue",
-        "w_first_last_nth", "x_vector_stats_hof", "w_rank_family",
-        "x_fuzzy_levenshtein", "a_date_parts", "a_minmax_by_bool",
-        "x_vocab_topk", "x_tfidf_top_terms", "x_embedding_quantize",
-        "tpch_q17_small_quantity", "tpch_q18_large_orders",
-        # changed this round
-        "tpch_q3_shipping_priority", "x_embedding_neardup",
-        "a_lpt_schedule", "o_global_sort_vcf", "x_ann_ivf_topk",
-        "x_ann_ivf_nprobe2", "x_curation_pipeline", "x_datamix_split",
-        "tpch_q2_min_cost_supplier", "tpch_q20_excess_stock",
+        # round-3: queries whose only driver row is round 1 (r2 window
+        # rotated them out — restore row currency, r2 VERDICT #2)
+        "f_mapped_clean_projection", "f_regex_readgroup",
+        "f_interval_sanity_fix", "a_global_totals", "a_dedup_keep_best",
+        "j_semi_known_sites", "j_anti_known_sites", "j_range_exome_overlap",
+        "p2_interval_coalesce", "p2_equal_freq_buckets", "p2_skew_detect",
+        "u_distinct_variants", "u_intersect_except", "o_secondary_sort_first",
+        "o_topk_per_chr", "x_dedup_ngram_jaccard", "x_text_quality",
+        "x_lang_id", "x_doc_fingerprint", "x_ann_bruteforce_topk",
+        "x_ann_lsh_buckets", "x_pipe_external_tool", "x_flatmap_records",
+        "s_tumbling_counts", "s_sliding_avg", "s_session_windows",
+        "j_asof_latest_order", "a_pivot_status_qty", "a_exact_percentiles",
+        "a_covariate_table", "tpch_q4_order_priority",
         # new this round
-        "f_attrs_map_extract", "x_quality_repetition", "x_pii_scrub",
-        "x_url_host_rollup",
+        "x_multimodal_bmp_decode", "x_multimodal_wav_features",
+        "tpch_q6_forecast_revenue", "tpch_q8_market_share",
+        "tpch_q9_product_profit", "tpch_q10_returned_items",
+        "tpch_q11_important_stock", "tpch_q12_shipmode_priority",
+        "tpch_q13_customer_distribution", "tpch_q14_promo_effect",
+        "tpch_q15_top_supplier", "tpch_q16_supplier_parts",
+        "tpch_q21_waiting_supplier", "x_curation_write_audit",
+        # plan/body changed this round
+        "x_ann_ivf_topk", "x_ann_ivf_nprobe2", "x_curation_pipeline",
+        "a_lpt_schedule", "o_global_sort_vcf",
     }
     missing = must_have_row - first50
     assert not missing, f"not in the driver's 50-query window: {missing}"
