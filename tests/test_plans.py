@@ -253,3 +253,41 @@ def test_ivf_assignment_is_map_only(spark, sf_dir):
             f"{name}: centroid array is not a broadcast single row"
         )
         assert plan.count("windowspecdefinition(query_id") >= 1
+
+
+def test_q6_all_filters_reach_scan(spark, sf_dir):
+    """Q6 is a pure scan-aggregate: every predicate (date range,
+    discount band, quantity) must appear at the FileScan and the scan
+    must prune to the four touched columns."""
+    plan = _plan(spark, sf_dir, "tpch_q6_forecast_revenue")
+    scan = [ln for ln in plan.split("\n") if "FileScan" in ln]
+    assert scan, "no file scan found"
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in scan[0], f"{col} predicate not pushed to the scan"
+    read = scan[0].split("FileScan parquet ")[1].split("]")[0]
+    assert read.count(",") <= 3, f"scan reads too many columns: {read}"
+    assert "Exchange" in plan and plan.count("HashAggregate") >= 2  # partial+final
+
+
+def test_q10_limit_is_take_ordered(spark, sf_dir):
+    """Q10's ORDER BY revenue DESC LIMIT 20 must compile to
+    TakeOrderedAndProject (per-partition top-k), not a global sort."""
+    plan = _plan(spark, sf_dir, "tpch_q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_q21_semi_then_anti_self_joins(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS pair must stay semi + anti joins (no
+    aggregate-rewrite blowup), with the lateness residual attached."""
+    plan = _plan(spark, sf_dir, "tpch_q21_waiting_supplier")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q15_max_is_broadcast_single_row(spark, sf_dir):
+    """Q15's scalar max must arrive as a broadcast 1-row side (Catalyst
+    even converts the crossJoin+filter into a broadcast hash join on
+    the value equality) — never a sort-merge of the revenue view."""
+    plan = _plan(spark, sf_dir, "tpch_q15_top_supplier")
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
