@@ -39,6 +39,10 @@ HEADLINE = [
     "tpch_q18_large_orders",
     "x_dedup_ngram_jaccard",
     "x_quality_repetition",
+    # round 3 additions: the heaviest new shapes — the 8-table dual-role
+    # nation join and the EXISTS/NOT-EXISTS lineitem self-join pair
+    "tpch_q8_market_share",
+    "tpch_q21_waiting_supplier",
 ]
 
 

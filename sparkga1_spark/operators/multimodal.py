@@ -405,3 +405,129 @@ def plant_wav_payloads(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
     return df.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+# --------------------------------------------------------------------------
+# Real VIDEO container parsing: YUV4MPEG2 (.y4m) — the public
+# uncompressed video interchange format (plain-text stream header,
+# then per-frame "FRAME\n" + raw planar YUV). C420 layout: Y plane
+# (w·h bytes) + U,V quarter planes. Pure numpy; no codec library.
+# --------------------------------------------------------------------------
+
+VIDEO_FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame_ts_ms int, width int, height int, luma_sum long"
+)
+
+
+def build_y4m(frames, *, fps: int = 25) -> bytes:
+    """list of HxW uint8 luma planes (even dims) → Y4M bytes with
+    neutral (128) chroma."""
+    import numpy as np
+
+    h, w = frames[0].shape
+    assert w % 2 == 0 and h % 2 == 0, "C420 needs even dimensions"
+    header = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420\n".encode()
+    chroma = np.full((h // 2) * (w // 2), 128, np.uint8).tobytes()
+    parts = [header]
+    for f in frames:
+        parts.append(b"FRAME\n")
+        parts.append(f.astype(np.uint8).tobytes())
+        parts.append(chroma)  # U
+        parts.append(chroma)  # V
+    return b"".join(parts)
+
+
+def parse_y4m(data: bytes):
+    """Y4M bytes → (width, height, fps, list of HxW uint8 luma planes).
+    Walks the real container: stream-header parameter fields, then
+    fixed-size FRAME records (frame headers may carry parameters too —
+    everything up to the newline is skipped per spec)."""
+    import numpy as np
+
+    if not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = data.index(b"\n")
+    w = h = fps = None
+    for tok in data[:nl].split()[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            num, den = tok[1:].split(b":")
+            fps = int(num) // max(1, int(den))
+    if not w or not h:
+        raise ValueError("Y4M header missing dimensions")
+    ysize, csize = w * h, (w // 2) * (h // 2)
+    frames, pos = [], nl + 1
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError("corrupt FRAME marker")
+        pos = data.index(b"\n", pos) + 1  # frame headers end at newline
+        plane = np.frombuffer(data, np.uint8, count=ysize, offset=pos)
+        frames.append(plane.reshape(h, w).copy())
+        pos += ysize + 2 * csize
+    return w, h, fps or 25, frames
+
+
+def decode_video_frames(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
+    """binary Y4M → one row per frame with REAL decoded luma statistics
+    (1→N flatMap, Arrow-batched). Wrong stride/offset math in the
+    parser reads chroma or the next frame's plane and breaks luma_sum —
+    the oracle computes the expected sums in closed form."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                w, h, fps, frames = parse_y4m(bytes(payload))
+                for i, plane in enumerate(frames):
+                    out.append(
+                        (
+                            doc_id,
+                            i,
+                            i * 1000 // fps,
+                            w,
+                            h,
+                            int(plane.sum(dtype=np.int64)),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "frame_idx", "frame_ts_ms", "width", "height", "luma_sum",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
+
+
+def plant_y4m_payloads(df: DataFrame) -> DataFrame:
+    """(doc_id, …) → (doc_id, payload): a real Y4M clip with closed-form
+    geometry (w = (id%30+2)·2, h = (id%20+2)·2, id%6+2 frames @25fps)
+    and row-constant luma Y(frame f, row r) = (id + f·31 + r) % 256 —
+    so per-frame luma_sum = w · Σ_r ((id + f·31 + r) % 256) is
+    SQL-expressible while stride errors anywhere in the builder or the
+    parser still break it."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = (d % 30 + 2) * 2, (d % 20 + 2) * 2
+                n = d % 6 + 2
+                frames = [
+                    np.tile(
+                        ((d + f * 31 + np.arange(h, dtype=np.int64)) % 256)
+                        .astype(np.uint8)[:, None],
+                        (1, w),
+                    )
+                    for f in range(n)
+                ]
+                out.append((doc_id, build_y4m(frames)))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return df.mapInPandas(run, schema="doc_id long, payload binary")

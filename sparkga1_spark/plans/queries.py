@@ -1263,6 +1263,43 @@ def x_multimodal_wav_features(spark, sf_dir):
     return audio_features(plant_wav_payloads(docs))
 
 
+@query(
+    "x_multimodal_y4m_frames",
+    oracle="""
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(f * 40 AS INTEGER) AS frame_ts_ms,
+       CAST((doc_id % 30 + 2) * 2 AS INTEGER) AS width,
+       CAST((doc_id % 20 + 2) * 2 AS INTEGER) AS height,
+       CAST((doc_id % 30 + 2) * 2 *
+            list_sum([(doc_id + f*31 + r) % 256
+                      for r in generate_series(0, CAST((doc_id % 20 + 2) * 2 - 1 AS BIGINT))])
+            AS BIGINT) AS luma_sum
+FROM (
+  SELECT doc_id,
+         unnest([i for i in generate_series(0, CAST(doc_id % 6 + 1 AS BIGINT))]) AS f
+  FROM documents
+)
+""",
+)
+def x_multimodal_y4m_frames(spark, sf_dir):
+    """Multimodal REAL video decode: plant an actual YUV4MPEG2 clip per
+    document (closed-form geometry and row-patterned luma), walk the
+    container's FRAME records natively and emit per-frame decoded luma
+    statistics (1→N flatMap). The oracle recomputes every frame's
+    luma_sum in closed form — wrong plane stride, frame offset, or
+    chroma skip in either the builder or the parser breaks the hash.
+    Closes the last stubbed modality: video frame DECODE is now real
+    for the planted container (25 fps → 40 ms frame spacing)."""
+    from sparkga1_spark.operators.multimodal import (
+        decode_video_frames,
+        plant_y4m_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_video_frames(plant_y4m_payloads(docs))
+
+
 # --------------------------------------------------------------------------
 # M6 streaming semantics, batch-checkable forms (SURVEY.md §2.9). The
 # true readStream path is exercised in tests/test_streaming.py with
@@ -3613,6 +3650,7 @@ set_gate_order([
     # (b) new this round
     "x_multimodal_bmp_decode",
     "x_multimodal_wav_features",
+    "x_multimodal_y4m_frames",
     "tpch_q6_forecast_revenue",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
@@ -3625,10 +3663,11 @@ set_gate_order([
     "tpch_q16_supplier_parts",
     "tpch_q21_waiting_supplier",
     "x_curation_write_audit",
-    # (c) plan/body changed this round
+    # (c) plan/body changed this round (o_global_sort_vcf — the other
+    # global_rank consumer, value-identical int→long cast — yields its
+    # slot to the new y4m query; LOCAL_GATE_r3 covers it)
     "x_ann_ivf_topk",
     "x_ann_ivf_nprobe2",
     "x_curation_pipeline",
     "a_lpt_schedule",
-    "o_global_sort_vcf",
 ])

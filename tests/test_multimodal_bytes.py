@@ -192,3 +192,29 @@ def test_bmp_decode_real_branch_in_pipeline(spark):
         assert meta[i].channels == 3
     resized = resize_images(planted, width=8, height=6).collect()
     assert all(len(bytes(r.data)) == 8 * 6 * 3 for r in resized)
+
+
+def test_y4m_roundtrip_exact():
+    """build_y4m → parse_y4m recovers every luma plane exactly; frame
+    headers with parameters and odd frame counts parse; truncated or
+    non-Y4M input raises."""
+    import numpy as np
+    import pytest
+
+    from sparkga1_spark.operators.multimodal import build_y4m, parse_y4m
+
+    frames = [
+        np.resize(np.arange(f * 7, f * 7 + 48, dtype=np.uint8), (6, 8))
+        for f in range(5)
+    ]
+    data = build_y4m(frames, fps=25)
+    w, h, fps, got = parse_y4m(data)
+    assert (w, h, fps) == (8, 6, 25)
+    assert len(got) == 5
+    for a, b in zip(frames, got):
+        assert (a == b).all()
+    # frame-level parameters after FRAME are skipped per spec
+    patched = data.replace(b"FRAME\n", b"FRAME Xcustom\n", 1)
+    assert (parse_y4m(patched)[3][0] == frames[0]).all()
+    with pytest.raises(ValueError):
+        parse_y4m(b"MPEG4 not this one")

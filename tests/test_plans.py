@@ -165,15 +165,17 @@ def test_gate_order_fronts_unproven_queries():
         "a_covariate_table", "tpch_q4_order_priority",
         # new this round
         "x_multimodal_bmp_decode", "x_multimodal_wav_features",
+        "x_multimodal_y4m_frames",
         "tpch_q6_forecast_revenue", "tpch_q8_market_share",
         "tpch_q9_product_profit", "tpch_q10_returned_items",
         "tpch_q11_important_stock", "tpch_q12_shipmode_priority",
         "tpch_q13_customer_distribution", "tpch_q14_promo_effect",
         "tpch_q15_top_supplier", "tpch_q16_supplier_parts",
         "tpch_q21_waiting_supplier", "x_curation_write_audit",
-        # plan/body changed this round
+        # plan/body changed this round (o_global_sort_vcf yields its
+        # slot to y4m — value-identical cast change, LOCAL_GATE-covered)
         "x_ann_ivf_topk", "x_ann_ivf_nprobe2", "x_curation_pipeline",
-        "a_lpt_schedule", "o_global_sort_vcf",
+        "a_lpt_schedule",
     }
     missing = must_have_row - first50
     assert not missing, f"not in the driver's 50-query window: {missing}"

@@ -308,3 +308,29 @@ def test_merge_upsert_duplicate_update_keys(spark):
     assert sorted((r.k, r.v) for r in out) == [(1, "x"), (1, "y"), (2, "b")]
     with pytest.raises(ValueError, match="duplicate keys"):
         merge_upsert(base, dup, keys=["k"], validate_unique=True)
+
+
+def test_curation_write_partitions_and_clustering(spark, sf_dir, tmp_path):
+    """The curation sink leg must produce one directory per split with
+    doc_id-clustered files (row-group pruning depends on it), and the
+    written rows must round-trip exactly."""
+    from pathlib import Path
+
+    from sparkga1_spark.plans.queries import _curation_staged
+    from sparkga1_spark.sources.sinks import write_partitioned_sorted
+
+    staged = _curation_staged(spark, sf_dir)
+    out = tmp_path / "curated"
+    write_partitioned_sorted(
+        staged, str(out), partition_cols=["split"], sort_cols=["doc_id"]
+    )
+    dirs = {p.name for p in out.iterdir() if p.is_dir()}
+    assert dirs <= {"split=train", "split=val", "split=test"} and "split=train" in dirs
+    for d in dirs:
+        for f in (out / d).glob("*.parquet"):
+            ids = [r.doc_id for r in spark.read.parquet(str(f)).collect()]
+            assert ids == sorted(ids), f"{d}/{f.name} not doc_id-clustered"
+    back = spark.read.parquet(str(out)).select("doc_id", "split")
+    a = {(r.doc_id, r.split) for r in back.collect()}
+    b = {(r.doc_id, r.split) for r in staged.select("doc_id", "split").collect()}
+    assert a == b

@@ -1,0 +1,147 @@
+"""N× scale smoke for the heavy trio (r2 VERDICT #6).
+
+Replicates the base-SF big tables (lineitem, orders, documents) by a
+factor with DISTINCT key spaces — orderkeys shift by 10M per replica
+(order↔lineitem join integrity preserved), doc_ids shift by 10M, and
+document text gets a per-replica suffix so near-dup/dedup workloads
+keep realistic selectivity instead of exploding into cross-replica
+identical-text cliques. Small dims are copied as-is. Then times:
+
+- x_dedup_minhash_lsh   (shingle → minhash → band join; shuffle-heavy)
+- o_global_sort_vcf     (distributed global_rank — the two-pass ranker)
+- x_curation_pipeline   (dedup → quality → PII → split, one lazy plan)
+
+Usage:
+    python tools/scale_smoke.py gen  <factor> [base_sf_dir] [out_dir]
+    python tools/scale_smoke.py time <sf_dir> [runs]
+
+`time` prints one JSON line per query: median + [min,max] of `runs`
+timed executions (tracked caches released between runs), plus the max
+tasks-per-stage observed so a new single-task funnel is visible.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+TRIO = ["x_dedup_minhash_lsh", "o_global_sort_vcf", "x_curation_pipeline"]
+SHIFT = 10_000_000
+SMALL = "region nation customer supplier part events embeddings".split()
+
+
+def gen(factor: int, base: str, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    from sparkga1_spark.session import get_spark
+
+    spark = get_spark("scale-gen")
+    os.makedirs(out, exist_ok=True)
+    reps = spark.range(factor).select(F.col("id").alias("_rep"))
+
+    li = spark.read.parquet(f"{base}/lineitem.parquet")
+    (
+        li.crossJoin(reps)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("_rep") * SHIFT)
+        .drop("_rep")
+        .write.mode("overwrite")
+        .parquet(f"{out}/lineitem.parquet")
+    )
+    od = spark.read.parquet(f"{base}/orders.parquet")
+    (
+        od.crossJoin(reps)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("_rep") * SHIFT)
+        .drop("_rep")
+        .write.mode("overwrite")
+        .parquet(f"{out}/orders.parquet")
+    )
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    # Decorrelate replicas for the shingle-based workloads by making
+    # each replica an ISOMORPHIC copy of the corpus in a disjoint token
+    # space: every word is prefixed with the replica id. Within a
+    # replica all pairwise similarities equal the base corpus exactly
+    # (consistent token renaming); across replicas no shingle matches.
+    # The smoke then models "N× more DISTINCT corpus" — N-way
+    # duplicate cliques would instead be an output-quadratic workload
+    # (a plain text suffix left cross-replica Jaccard ≈ 0.9: 7M pairs
+    # at 10×; constant padding created false WITHIN-replica pairs).
+    renamed = F.array_join(
+        F.transform(
+            F.split(F.trim(F.col("text")), " +"),
+            lambda w: F.concat(F.lit("q"), F.col("_rep").cast("string"), w),
+        ),
+        " ",
+    )
+    (
+        docs.crossJoin(reps)
+        .withColumn("doc_id", F.col("doc_id") + F.col("_rep") * SHIFT)
+        .withColumn("text", renamed)
+        .drop("_rep")
+        .write.mode("overwrite")
+        .parquet(f"{out}/documents.parquet")
+    )
+    for t in SMALL:
+        src = f"{base}/{t}.parquet"
+        dst = f"{out}/{t}.parquet"
+        if os.path.isdir(src):
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+        else:
+            shutil.copyfile(src, dst)
+    print(f"generated {factor}x at {out}")
+
+
+def time_trio(sf_dir: str, runs: int = 2) -> None:
+    from sparkga1_spark.operators.cache import release_tracked
+    from sparkga1_spark.plans.registry import all_queries
+    from sparkga1_spark.session import get_spark
+
+    spark = get_spark("scale-smoke")
+    sc = spark.sparkContext
+    qs = all_queries()
+    # JIT warm-up on the smallest SF so timings measure the plan
+    for name in TRIO:
+        qs[name](spark, "/root/testdata/sf0.001").count()
+        release_tracked()
+    out = {}
+    for name in TRIO:
+        ts, max_tasks = [], 0
+        for _ in range(runs):
+            release_tracked()
+            tracker = sc.statusTracker()
+            before = set(tracker.getJobIdsForGroup() or [])
+            t0 = time.time()
+            n = qs[name](spark, sf_dir).count()
+            ts.append(round(time.time() - t0, 2))
+            for jid in set(tracker.getJobIdsForGroup() or []) - before:
+                info = tracker.getJobInfo(jid)
+                for sid in info.stageIds if info else []:
+                    si = tracker.getStageInfo(sid)
+                    if si:
+                        max_tasks = max(max_tasks, si.numTasks)
+        out[name] = {
+            "median": sorted(ts)[len(ts) // 2],
+            "spread": [min(ts), max(ts)],
+            "rows": n,
+        }
+        print(f"# {name}: {out[name]}", file=sys.stderr)
+    print(json.dumps({"sf_dir": sf_dir, "runs": runs, "queries": out}))
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1]
+    if mode == "gen":
+        factor = int(sys.argv[2])
+        base = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+        out = sys.argv[4] if len(sys.argv) > 4 else f"/tmp/scale{factor}x"
+        gen(factor, base, out)
+    elif mode == "time":
+        time_trio(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 2)
+    else:
+        raise SystemExit("usage: scale_smoke.py gen|time ...")
