@@ -293,3 +293,55 @@ def test_q15_max_is_broadcast_single_row(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tpch_q15_top_supplier")
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """The 100 TB skew story is not just salting: AQE must detect a
+    skewed shuffle partition at runtime and split it (OptimizeSkewedJoin
+    rewrites the sort-merge join with skew=true). Thresholds forced low
+    so the sf0.001 hot key qualifies; production values fire on real
+    hot keys without any code change."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "4",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # one giant hash partition on the left (99% of rows share k=0),
+        # unique keys on the right so output stays 1 row per left row;
+        # the aggregate keeps the join inside ONE query execution so the
+        # finalized adaptive plan is inspectable on the same DataFrame
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 100 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 1_000).select(F.col("id").alias("k"))
+        j = left.join(right, "k").agg(F.sum("v").alias("s"))
+        j.collect()  # AQE decides after runtime stats
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:1500]
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
+def test_curation_pipeline_exchange_budget(spark, sf_dir):
+    """The composed curation plan's claim: ONE dedup hash shuffle + the
+    keep-min semi-join + the tiny final aggregate — everything else
+    map-side. Pin an upper bound on hash exchanges so a future stage
+    can't silently add a corpus-wide shuffle."""
+    plan = _plan(spark, sf_dir, "x_curation_pipeline")
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash <= 4, f"curation pipeline now shuffles {n_hash} times:\n{plan[:2000]}"
+    assert "EvalPython" not in plan

@@ -165,3 +165,64 @@ def test_word_ngrams_match_python_reference(spark, texts):
             ws = t.strip().split()
             want = [" ".join(ws[j : j + n]) for j in range(max(len(ws) - n + 1, 0))]
             assert got[i] == want, (t, n, got[i], want)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=30),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_property(w, h, seed):
+    """parse_bmp(build_bmp(px)) == px for ARBITRARY dimensions — padding
+    arithmetic must hold on every width class (w*3 mod 4 ∈ {0,1,2,3})."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import build_bmp, parse_bmp
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    pw, ph, out = parse_bmp(build_bmp(px))
+    assert (pw, ph) == (w, h)
+    assert (out == px).all()
+
+
+@given(
+    n=st.integers(min_value=1, max_value=500),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(n, rate, seed):
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import build_wav, parse_wav
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, size=n, dtype=np.int64).astype("<i2")
+    got_n, got_rate, got = parse_wav(build_wav(samples, sample_rate=rate))
+    assert (got_n, got_rate) == (n, rate)
+    assert (got == samples).all()
+
+
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=14),
+    nframes=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_y4m_roundtrip_property(w, h, nframes, seed):
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import build_y4m, parse_y4m
+
+    w, h = w * 2, h * 2  # C420 needs even dims
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, size=(h, w), dtype=np.uint8) for _ in range(nframes)
+    ]
+    pw, ph, fps, got = parse_y4m(build_y4m(frames))
+    assert (pw, ph, len(got)) == (w, h, nframes)
+    for a, b in zip(frames, got):
+        assert (a == b).all()
