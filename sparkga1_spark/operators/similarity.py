@@ -312,12 +312,15 @@ def ivf_topk_trained(
     dim: int,
     query_pred,
     k: int = 3,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-flat search against TRAINED centroids (from kmeans_fit):
     assign every vector to its nearest centroid (squared-L2, lowest-index
-    tiebreak), then each query searches only its own cluster — identical
-    equi-join plan shape as `ivf_topk`, so everything PLANS.md says about
-    its scale behavior carries over."""
+    tiebreak, map-only literal argmin), then each query searches its
+    `nprobe` nearest clusters (array_sort + slice over the same scored
+    structs — windowless, like `ivf_topk`) — identical equi-join plan
+    shape as `ivf_topk`, so everything PLANS.md says about its scale
+    behavior carries over."""
     base = df.select(
         F.col(id_col),
         vectors.to_double(F.col(vec_col)).alias("_vd"),
@@ -332,23 +335,27 @@ def ivf_topk_trained(
         )
         for ca in cent_arrs
     ]
-    choice = F.array_min(
-        F.array(
-            *[F.struct(d.alias("d"), F.lit(i).alias("i")) for i, d in enumerate(dists)]
-        )
-    )["i"]
+    scored = F.array(
+        *[F.struct(d.alias("d"), F.lit(i).alias("i")) for i, d in enumerate(dists)]
+    )
     assigned = tracked_persist(  # query side + candidate side
-        base.withColumn("cluster_id", choice)
+        base.withColumn("_sc", scored).withColumn(
+            "cluster_id", F.array_min("_sc")["i"]
+        )
     )
-    q = assigned.filter(query_pred).select(
-        F.col(id_col).alias("query_id"),
-        F.col("cluster_id"),
-        F.col("_vd").alias("_qv"),
-        F.col("_vn").alias("_qn"),
+    q = (
+        assigned.filter(query_pred)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(F.slice(F.array_sort("_sc"), 1, nprobe)).alias("_p"),
+            F.col("_vd").alias("_qv"),
+            F.col("_vn").alias("_qn"),
+        )
+        .select("query_id", F.col("_p")["i"].alias("cluster_id"), "_qv", "_qn")
     )
-    pairs = assigned.join(q, on="cluster_id").filter(
+    pairs = assigned.drop("_sc").join(q, on="cluster_id").filter(
         F.col("query_id") != F.col(id_col)
-    )
+    )  # _sc (k structs/row) must not ride the candidate-side shuffle
     topk = pairs.withColumn(
         "cos_sim",
         hround(

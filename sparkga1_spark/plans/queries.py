@@ -3534,6 +3534,74 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
 
 
 @query(
+    "tpch_q21_waiting_agg_form",
+    oracle="""
+WITH scoped AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS is_late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+),
+ordstats AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late
+  FROM scoped GROUP BY 1
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM scoped
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN ordstats USING (l_orderkey)
+WHERE is_late AND s_nationkey % 5 = 2 AND n_supp >= 2 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+""",
+)
+def tpch_q21_waiting_agg_form(spark, sf_dir):
+    """Q21, the AT-SCALE rewrite: the EXISTS/NOT-EXISTS pair collapses
+    into per-order aggregates — 'another supplier exists' ⇔ the order
+    has ≥2 distinct suppliers; 'no other supplier was late' ⇔ exactly 1
+    distinct supplier among its late lines (l1 itself is late, so the
+    late set is nonempty). ONE keyed aggregate plus one join replaces
+    two corpus-wide self-join shuffles — the form to run at 100 TB.
+    Results are identical to tpch_q21_waiting_supplier (pinned by
+    test_q21_forms_agree); the oracle states the aggregate form. The
+    doubly-consumed join is NOT persisted: both consumers shuffle on
+    l_orderkey, so Spark reuses the exchange (measured faster than a
+    cache at sf0.1 — shuffle-file reuse beats cache materialization,
+    and it is also the mechanism that survives executor loss at
+    cluster scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    su = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") % 5 == 2)
+    scoped = li.join(od, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("is_late"),
+    )
+    ordstats = scoped.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    late = scoped.filter("is_late").join(
+        F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    return (
+        late.join(ordstats, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+@query(
     "x_curation_write_audit",
     oracle=f"""
 WITH pii AS ({fixtures.DOCS_PII_SQL}),

@@ -90,3 +90,26 @@ def test_kmeans_input_smaller_than_k(spark, emb):
     assert len(cents) == 3
     with pytest.raises(ValueError, match="no rows"):
         kmeans_fit(emb.filter("vec_id < 0"), dim=DIM, k=4, iters=1)
+
+
+def test_ivf_trained_nprobe_dial(spark, emb):
+    """nprobe on the trained path mirrors the seeded operator: results
+    at nprobe=1 equal the old single-cluster behavior, and nprobe=k
+    (probe everything) equals brute force within the assigned space."""
+    from sparkga1_spark.operators.similarity import ivf_topk_trained, kmeans_fit
+
+    cents = kmeans_fit(emb, dim=DIM, k=K, iters=2)
+    pred = F.col("vec_id") % 100 == 0
+    r1 = {tuple(r) for r in ivf_topk_trained(
+        emb, cents, dim=DIM, query_pred=pred, k=3, nprobe=1).collect()}
+    r2 = {tuple(r) for r in ivf_topk_trained(
+        emb, cents, dim=DIM, query_pred=pred, k=3, nprobe=2).collect()}
+    assert r1 and r2
+    # probing more clusters can only improve each query's best match
+    best1 = {}
+    for q, c, cos, rank in r1:
+        if rank == 1:
+            best1[q] = cos
+    for q, c, cos, rank in r2:
+        if rank == 1:
+            assert cos >= best1[q] - 1e-12

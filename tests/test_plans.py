@@ -345,3 +345,13 @@ def test_curation_pipeline_exchange_budget(spark, sf_dir):
     n_hash = plan.count("Exchange hashpartitioning")
     assert n_hash <= 4, f"curation pipeline now shuffles {n_hash} times:\n{plan[:2000]}"
     assert "EvalPython" not in plan
+
+
+def test_q21_forms_agree(spark, sf_dir):
+    """The aggregate rewrite of Q21 must return exactly the self-join
+    form's rows (the rewrite is an equivalence, not an approximation)."""
+    a = {tuple(r) for r in
+         all_queries()["tpch_q21_waiting_supplier"](spark, sf_dir).collect()}
+    b = {tuple(r) for r in
+         all_queries()["tpch_q21_waiting_agg_form"](spark, sf_dir).collect()}
+    assert a == b
