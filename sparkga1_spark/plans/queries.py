@@ -1300,6 +1300,91 @@ def x_multimodal_y4m_frames(spark, sf_dir):
     return decode_video_frames(plant_y4m_payloads(docs))
 
 
+@query(
+    "x_string_agg_sorted",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       array_to_string(list_sort(list_distinct(list(CAST(user_id AS VARCHAR)))), ',')
+           AS users
+FROM events
+GROUP BY event_type
+""",
+)
+def x_string_agg_sorted(spark, sf_dir):
+    """Deterministic list/string aggregation (LISTAGG/string_agg
+    shape): collect_set → array_sort → array_join. Unsorted collect_*
+    output order is partition-dependent and can NEVER be oracle-hashed
+    or reproduced run-to-run on a cluster — the sort is the contract,
+    not a nicety. Shuffles one set per (event_type) group."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.array_join(
+            F.array_sort(F.collect_set(F.col("user_id").cast("string"))), ","
+        ).alias("users"),
+    )
+
+
+@query(
+    "x_gapfill_locf",
+    oracle=f"""
+WITH hourly AS (
+  SELECT user_id, (e - e % 3600) AS hr, {davg_sql('value')} AS v
+  FROM (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS e, value FROM events)
+  GROUP BY 1, 2
+),
+spans AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM hourly GROUP BY 1),
+grid AS (
+  SELECT user_id,
+         unnest([h0 + 3600*i for i in generate_series(0, (h1 - h0) // 3600)]) AS hr
+  FROM spans
+)
+SELECT g.user_id, g.hr AS hour_start,
+       last_value(h.v IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.hr
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+       CAST(h.v IS NULL AS INTEGER) AS was_gap
+FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
+""",
+)
+def x_gapfill_locf(spark, sf_dir):
+    """Time-series gap filling with last-observation-carried-forward:
+    per-user hourly averages, a dense hour grid per user generated
+    in-plan (F.sequence + explode — no driver-side range loop), LEFT
+    join, and forward fill via last(ignore_nulls) over the per-user
+    ordered window. The grid explode and the fill both key on user_id,
+    so the whole dense series for one user stays in one partition —
+    grid size is bounded by the time span, never by event count. The
+    first grid hour per user is an observed hour by construction, so
+    the fill has no leading nulls."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    e = F.unix_timestamp("ts")
+    hourly = ev.groupBy(
+        "user_id", (e - e % 3600).alias("hr")
+    ).agg(davg("value").alias("v"))
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("h0", "h1", F.lit(3600))).alias("hr")
+    )
+    w = Window.partitionBy("user_id").orderBy("hr").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        grid.join(hourly, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            F.col("hr").alias("hour_start"),
+            F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+            F.isnull("v").cast("int").alias("was_gap"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # M6 streaming semantics, batch-checkable forms (SURVEY.md §2.9). The
 # true readStream path is exercised in tests/test_streaming.py with
