@@ -1301,6 +1301,46 @@ def x_multimodal_y4m_frames(spark, sf_dir):
 
 
 @query(
+    "x_decontaminate_overlap",
+    oracle="""
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           [CAST(('0x' || substr(md5(W[i]||' '||W[i+1]||' '||W[i+2]), 1, 15)) AS BIGINT)
+            for i in generate_series(1, greatest(len(W) - 2, 0))])) AS h
+  FROM (SELECT doc_id, str_split_regex(trim(text), ' +') AS W FROM documents)
+),
+ev AS (SELECT DISTINCT h FROM grams WHERE doc_id % 25 = 0),
+tr AS (SELECT doc_id, h FROM grams WHERE doc_id % 25 <> 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM tr JOIN ev USING (h)
+GROUP BY doc_id
+""",
+)
+def x_decontaminate_overlap(spark, sf_dir):
+    """Eval-set decontamination — the training-data hygiene operator:
+    find every training document sharing any word 3-gram with the
+    held-out eval slice (doc_id%25==0 stands in for the benchmark
+    set), with the per-doc overlapping-gram count for audit. Plan:
+    one shingle pass over the corpus (shingle_hash_rows — codegen'd,
+    linear), the eval gram set broadcast (eval sets are small by
+    construction), equi-join on the 8-byte gram hash, per-doc count.
+    Dropping the flagged docs is then an anti-join of this result —
+    the corpus itself never shuffles by gram."""
+    from sparkga1_spark.functions.text import shingle_hash_rows
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = shingle_hash_rows(docs, n=3)
+    ev = grams.filter(F.col("doc_id") % 25 == 0).select("h").distinct()
+    tr = grams.filter(F.col("doc_id") % 25 != 0)
+    return (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+@query(
     "x_string_agg_sorted",
     oracle="""
 SELECT event_type,
