@@ -299,3 +299,38 @@ def test_sketch_accuracy_bounds(spark, sf_dir):
     for q, v in ((0.5, a.p50), (0.99, a.p99)):
         rank = li.filter(F.col("l_extendedprice") <= v).count() / n
         assert abs(rank - q) < 0.01, (q, rank)
+
+
+def test_gapfill_locf_invariants(spark, sf_dir):
+    """Gap-fill output must be a DENSE per-user hourly grid (span/3600+1
+    rows per user), value_filled never null (first grid hour is observed
+    by construction), and was_gap rows exactly complement observed
+    hours."""
+    from pyspark.sql import functions as F
+
+    from sparkga1_spark.plans.registry import all_queries
+
+    out = all_queries()["x_gapfill_locf"](spark, sf_dir).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, rows in by_user.items():
+        hours = sorted(r.hour_start for r in rows)
+        assert hours[0] % 3600 == 0
+        assert hours == list(range(hours[0], hours[-1] + 1, 3600)), f"user {user} grid not dense"
+        assert all(r.value_filled is not None for r in rows), f"user {user} null fill"
+        assert rows[0].was_gap in (0, 1)
+    # observed hours match the raw table's per-user hour set
+    ev = all_queries()["s_tumbling_counts"]  # just to reuse session; compute directly:
+    from sparkga1_spark.sources.catalog import load_table
+
+    raw = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", (F.unix_timestamp("ts") - F.unix_timestamp("ts") % 3600).alias("hr"))
+        .distinct()
+        .collect()
+    )
+    observed = {(r.user_id, r.hr) for r in raw}
+    from_out = {(r.user_id, r.hour_start) for r in out if r.was_gap == 0}
+    assert from_out == observed
