@@ -1301,6 +1301,57 @@ def x_multimodal_y4m_frames(spark, sf_dir):
 
 
 @query(
+    "x_corr_exact",
+    oracle="""
+SELECT event_type,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+           AS corr_vu
+FROM (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(user_id AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(value * user_id AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(user_id * user_id AS DECIMAL(28,6))) AS DOUBLE) AS syy
+  FROM events GROUP BY event_type
+)
+""",
+)
+def x_corr_exact(spark, sf_dir):
+    """Deterministic Pearson correlation per group — the decimal-moment
+    technique behind dsum generalized to SECOND moments: the five sums
+    (Σx, Σy, Σxy, Σx², Σy²) accumulate in exact DECIMAL (commutative —
+    partial-aggregate order cannot perturb them), then ONE double
+    evaluation of the closed form. Spark's built-in corr() is a
+    float running accumulation whose low bits depend on partition
+    order — unusable under a value-hash gate and not reproducible
+    run-to-run on a cluster; this form is bit-stable on both engines
+    at any parallelism. One partial+final aggregate, 6 numbers per
+    group over the wire."""
+    ev = _events(spark, sf_dir)
+
+    def m(c):
+        return F.sum(c.cast("decimal(28,6)")).cast("double")
+
+    v, u = F.col("value"), F.col("user_id")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        m(v).alias("sx"),
+        m(u).alias("sy"),
+        m(v * u).alias("sxy"),
+        m(v * v).alias("sxx"),
+        m(u * u).alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select("event_type", hround(corr, 6).alias("corr_vu"))
+
+
+@query(
     "x_decontaminate_overlap",
     oracle="""
 WITH grams AS (

@@ -334,3 +334,30 @@ def test_gapfill_locf_invariants(spark, sf_dir):
     observed = {(r.user_id, r.hr) for r in raw}
     from_out = {(r.user_id, r.hour_start) for r in out if r.was_gap == 0}
     assert from_out == observed
+
+
+def test_corr_exact_matches_builtin(spark, sf_dir):
+    """x_corr_exact must compute the same statistic as Spark's
+    built-in corr() (within float tolerance) — the decimal-moment form
+    buys determinism, not a different definition."""
+    from pyspark.sql import functions as F
+
+    from sparkga1_spark.plans.registry import all_queries
+    from sparkga1_spark.sources.catalog import load_table
+
+    got = {
+        r.event_type: r.corr_vu
+        for r in all_queries()["x_corr_exact"](spark, sf_dir).collect()
+    }
+    ref = {
+        r.event_type: r.c
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.corr("value", "user_id").alias("c"))
+        .collect()
+    }
+    assert set(got) == set(ref) and got
+    for k, v in ref.items():
+        # the query emits hround(·, 6) values — agree to the half-ulp
+        # of that rounding, not float precision
+        assert abs(got[k] - v) <= 5.0001e-7, (k, got[k], v)
