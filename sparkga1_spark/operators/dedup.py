@@ -198,6 +198,99 @@ def jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Cluster candidate near-dup PAIRS into duplicate groups: the
+    connected components of the undirected pair graph, labelled by the
+    minimum node id in each component. This is the stage after LSH in a
+    real dedup pipeline — pairs alone over-count (A~B, B~C must collapse
+    to ONE group {A,B,C} before picking a representative), and the
+    reference's per-locus MarkDuplicates grouping (SparkGA1.scala:837-839)
+    has no transitive analogue, so this is engine-added capability.
+
+    Algorithm: min-label propagation WITH pointer jumping — every node
+    starts as its own label; each round does (1) edge step: take the
+    min of own and neighbours' labels, and (2) jump step: replace the
+    label by the LABEL OF THE LABEL (labels are node ids, and the
+    invariant comp(x) ≤ x makes the jump monotone), the classic PRAM
+    pointer-jumping contraction that turns O(diameter) rounds into
+    O(log n) — same convergence regime as the published alternating
+    large-star/small-star MapReduce construction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14). Each
+    round is two equi-joins + one min-aggregate, all JVM-side; the
+    driver's only work is a 1-row convergence aggregate per round
+    (labels are monotonically non-increasing, so an unchanged
+    sum(label) IS the fixpoint — no expensive change-join).
+
+    Lineage: each round's labels are localCheckpoint()ed — an
+    iterative plan that merely persists still GROWS the logical plan
+    every round and dies on analyzer recursion around ~25 rounds
+    (measured on a 31-node path before the jump step was added);
+    checkpointing truncates it so round N's plan is O(1), not O(N).
+    On a multi-executor cluster prefer setCheckpointDir + checkpoint()
+    (localCheckpoint loses partitions with a lost executor).
+
+    Scale: per round the shuffle carries (endpoint, 8-byte label) per
+    edge, nothing quadratic; near-dup components are star/clique shaped
+    so 2-3 rounds settle them, and pointer jumping keeps adversarial
+    long paths to log-many rounds.
+
+    Returns (id, component) for every node that appears in `pairs`;
+    `component` is the min doc id reachable, so representatives fall out
+    as `id == component`.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+    )
+    edges = tracked_persist(edges)
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    if prev_sum is None:  # no pairs at all — empty component table
+        return labels
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "s"), "s")
+            .groupBy(F.col("d").alias("id"))
+            .agg(F.min("comp").alias("_nbr"))
+        )
+        stepped = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce("_nbr", "comp")).alias("comp"),
+        )
+        # pointer jump: comp(n) := min(comp(n), comp(comp(n))). comp
+        # values ARE node ids, so this is a self-join of the label table.
+        jump = stepped.select(
+            F.col("id").alias("_jid"), F.col("comp").alias("_jcomp")
+        )
+        labels = (
+            stepped.join(jump, stepped["comp"] == jump["_jid"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("_jcomp", "comp")
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
 def simhash16_rows(
     rows: DataFrame, *, id_col: str, hash_col: str = "h"
 ) -> DataFrame:

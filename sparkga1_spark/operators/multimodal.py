@@ -5,14 +5,16 @@ structs; every transform is an Arrow-batched `mapInPandas` stage so the
 Spark side — schema, partitioning, batch shape — is real and tested
 even though this environment ships no codec libraries.
 
-DECODE POLICY (r3): the UNCOMPRESSED public containers are parsed FOR
-REAL in pure Python/numpy — BMP and binary PPM (header + pixel layout)
-and RIFF/WAV 16-bit PCM (chunk walk + sample math). Compressed formats
-(JPEG/MP4/…) try the real library (PIL / soundfile / av) behind an
-import-guard; absent that they use a clearly-marked DETERMINISTIC FAKE
-derived from the payload's md5, so pipelines stay testable end-to-end
-and oracle-checkable. Swapping in a codec library changes no schema
-and no plan shape.
+DECODE POLICY (r3): public containers whose decode needs nothing
+beyond the stdlib are parsed FOR REAL in pure Python/numpy — BMP and
+binary PPM (header + pixel layout), RIFF/WAV 16-bit PCM (chunk walk +
+sample math), YUV4MPEG2 video, and PNG (chunk walk with CRC checks,
+stdlib-zlib inflate, all five scanline unfilters). Formats needing a
+real codec (JPEG/MP4/…) try the library (PIL / soundfile / av) behind
+an import-guard; absent that they use a clearly-marked DETERMINISTIC
+FAKE derived from the payload's md5, so pipelines stay testable
+end-to-end and oracle-checkable. Swapping in a codec library changes
+no schema and no plan shape.
 
 Scale notes: binary payloads ride the scan/shuffle as plain columns —
 size the partitions with spark.sql.files.maxPartitionBytes; transforms
@@ -159,6 +161,164 @@ def parse_wav(data: bytes):
     return len(samples) // channels, rate, samples
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def build_png(pixels, *, filters=None) -> bytes:
+    """HxWx3 uint8 RGB → PNG bytes (color type 2, 8-bit, non-interlaced,
+    zlib stdlib). `filters` picks the per-row scanline filter (0..4,
+    int or per-row list; default 0=None) — filtering uses RAW neighbor
+    bytes per the spec, so every mode is exercised end-to-end against
+    parse_png's unfilter."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = pixels.shape
+    assert c == 3, "build_png writes 8-bit RGB (color type 2)"
+    px = pixels.astype(np.uint8)
+    bpp = 3
+    if filters is None:
+        filters = [0] * h
+    elif isinstance(filters, int):
+        filters = [filters] * h
+    raw_rows = px.reshape(h, w * bpp).astype(np.int16)
+    zero = np.zeros(w * bpp, np.int16)
+    lines = []
+    for r in range(h):
+        raw = raw_rows[r]
+        prior = raw_rows[r - 1] if r > 0 else zero
+        left = np.concatenate([np.zeros(bpp, np.int16), raw[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, np.int16), prior[:-bpp]])
+        ft = filters[r]
+        if ft == 0:
+            out = raw
+        elif ft == 1:
+            out = raw - left
+        elif ft == 2:
+            out = raw - prior
+        elif ft == 3:
+            out = raw - (left + prior) // 2
+        elif ft == 4:
+            pred = np.fromiter(
+                (_paeth(int(a), int(b), int(cc))
+                 for a, b, cc in zip(left, prior, ul)),
+                np.int16, len(raw),
+            )
+            out = raw - pred
+        else:
+            raise ValueError(f"bad filter {ft}")
+        lines.append(bytes([ft]) + (out % 256).astype(np.uint8).tobytes())
+    idat = zlib.compress(b"".join(lines))
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def parse_png_meta(data: bytes) -> tuple[int, int, int]:
+    """PNG bytes → (width, height, channels) from IHDR alone — no
+    decompression, the cheap metadata path."""
+    import struct
+
+    if data[:8] != PNG_SIG or data[12:16] != b"IHDR":
+        raise ValueError("not a PNG")
+    w, h, depth, color = struct.unpack_from(">IIBB", data, 16)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError("bad PNG color type")
+    return w, h, channels
+
+
+def parse_png(data: bytes):
+    """PNG bytes → (width, height, HxWx3 uint8 RGB). Full real decode
+    for the 8-bit truecolor non-interlaced layout: chunk walk with CRC
+    verification, zlib inflate, and per-row UNFILTERING of all five
+    scanline filters (None/Sub/Up/Average/Paeth). Sub/Average/Paeth
+    reconstruction is sequential in the decoded left neighbor, so those
+    rows run a per-byte loop — fixture images are tiny; a bulk raster
+    decode would route through a codec library instead."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = []
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack_from(">I", data, pos), data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(ctype + body) != crc:
+            raise ValueError(f"PNG CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            w, h, depth, color, _, _, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color != 2 or interlace != 0:
+                raise ValueError("unsupported PNG variant")
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    bpp, stride = 3, w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    out = np.zeros((h, stride), np.uint8)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int32)
+        prior = out[r - 1].astype(np.int32) if r > 0 else np.zeros(stride, np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 2:
+            rec = (line + prior) % 256
+        elif ft in (1, 3, 4):
+            rec = np.zeros(stride, np.int32)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                c = int(prior[i - bpp]) if i >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = _paeth(int(a), int(b), c)
+                rec[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter {ft}")
+        out[r] = rec.astype(np.uint8)
+    return w, h, out.reshape(h, w, 3).copy()
+
+
 def _decode_image_meta(data: bytes) -> tuple[int, int, int, str]:
     """width, height, channels, format. Real paths: native BMP/PPM
     parse, then PIL for anything else. Fake path: md5-derived dimensions
@@ -170,6 +330,9 @@ def _decode_image_meta(data: bytes) -> tuple[int, int, int, str]:
         if data[:2] == b"P6":
             w, h, _ = parse_ppm(data)
             return w, h, 3, "PPM"
+        if data[:8] == PNG_SIG:
+            w, h, c = parse_png_meta(data)
+            return w, h, c, "PNG"
     except ValueError:
         pass  # malformed header — fall through like any undecodable blob
     try:  # pragma: no cover - PIL absent in this environment
@@ -281,6 +444,8 @@ def _decode_image_pixels(data: bytes):
             return parse_bmp(data)[2]
         if data[:2] == b"P6":
             return parse_ppm(data)[2]
+        if data[:8] == PNG_SIG:
+            return parse_png(data)[2]
     except ValueError:
         pass
     try:  # pragma: no cover - PIL absent in this environment
@@ -385,6 +550,62 @@ def plant_bmp_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
     return df.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def plant_png_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(doc_id, text) → (doc_id, payload): a REAL PNG (8-bit RGB,
+    zlib-compressed) with closed-form dimensions (w = id%48+4,
+    h = id%32+4), pixels tiling the UTF-8 bytes of `text`, and the
+    scanline filter of row r set to (id + r) % 5 — every payload
+    exercises all five PNG filter codecs, so an encode- or decode-side
+    filter bug anywhere breaks the pixel sums the oracle states in
+    closed form (filters are lossless, so px_sum is filter-invariant)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text_val in zip(pdf["doc_id"], pdf[text_col]):
+                d = int(doc_id)
+                w, h = d % 48 + 4, d % 32 + 4
+                raw = text_val.encode("utf-8") or b"\0"
+                px = np.resize(np.frombuffer(raw, np.uint8), (h, w, 3))
+                filters = [(d + r) % 5 for r in range(h)]
+                out.append((doc_id, build_png(px, filters=filters)))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return df.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+IMAGE_STATS_SCHEMA = (
+    "doc_id long, width int, height int, channels int, format string, px_sum long"
+)
+
+
+def decode_image_stats(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
+    """binary → FULL pixel decode + statistics (dims, channels, format,
+    integer pixel sum). Unlike decode_images (header-only metadata),
+    this path must reconstruct every pixel, so it proves the raster
+    decode — for PNG that is inflate + unfilter, not just IHDR."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                data = bytes(payload)
+                _, _, _, fmt = _decode_image_meta(data)
+                px = _decode_image_pixels(data)
+                h, w, c = px.shape
+                out.append(
+                    (doc_id, w, h, c, fmt, int(px.sum(dtype=np.int64)))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "channels", "format", "px_sum"],
+            )
+
+    return df.mapInPandas(run, schema=IMAGE_STATS_SCHEMA)
 
 
 def plant_wav_payloads(df: DataFrame) -> DataFrame:

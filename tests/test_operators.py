@@ -361,3 +361,67 @@ def test_corr_exact_matches_builtin(spark, sf_dir):
         # the query emits hround(·, 6) values — agree to the half-ulp
         # of that rounding, not float precision
         assert abs(got[k] - v) <= 5.0001e-7, (k, got[k], v)
+
+
+def test_connected_components_matches_union_find(spark):
+    """connected_components must agree with an independent pure-Python
+    union-find on a seeded random graph (chains force multi-round
+    propagation, not just 1-hop stars)."""
+    import random
+
+    from sparkga1_spark.operators.dedup import connected_components
+
+    rng = random.Random(20260813)
+    n = 300
+    edges = {tuple(sorted(rng.sample(range(n), 2))) for _ in range(220)}
+    # a long path component to force label propagation over many rounds
+    edges |= {(i, i + 1) for i in range(400, 430)}
+
+    parent = list(range(1000))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {x for e in edges for x in e}
+    want = {x: find(x) for x in nodes}
+    # union-find roots are not guaranteed minimal — normalize to min-id
+    groups = {}
+    for x, r in want.items():
+        groups.setdefault(r, []).append(x)
+    want = {x: min(g) for g in groups.values() for x in g}
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {
+        r.id: r.comp for r in connected_components(pairs).collect()
+    }
+    assert got == want
+
+
+def test_connected_components_empty_pairs(spark):
+    from sparkga1_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0
+
+
+def test_temperature_weights_invariants(spark, sf_dir):
+    """Temperature weights must (a) sum to 1, (b) boost low-resource
+    sources above 1 and the largest source below 1 — the defining
+    property of temperature sampling."""
+    from sparkga1_spark.plans.registry import all_queries
+
+    rows = all_queries()["x_mix_temperature_weights"](spark, sf_dir).collect()
+    assert abs(sum(r.w_temp for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.p_raw for r in rows) - 1.0) < 1e-4
+    smallest = min(rows, key=lambda r: r.n_toks)
+    largest = max(rows, key=lambda r: r.n_toks)
+    assert smallest.boost > 1.0 > largest.boost
