@@ -43,6 +43,10 @@ HEADLINE = [
     # nation join and the EXISTS/NOT-EXISTS lineitem self-join pair
     "tpch_q8_market_share",
     "tpch_q21_waiting_supplier",
+    # late round 3: the grouped_cumsum two-pass (sequence packing) and
+    # the hash-count + string-recovery double scan (boilerplate top-20)
+    "x_pack_context_windows",
+    "x_boilerplate_shingles",
 ]
 
 

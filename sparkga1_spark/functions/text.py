@@ -84,18 +84,11 @@ def shingle_hashes(text: Column, n: int = 3) -> Column:
     )
 
 
-def shingle_hash_rows(docs, *, id_col: str = "doc_id", text_col: str = "text", n: int = 3):
-    """Distinct (id, shingle-hash) ROWS — the scale shape for the
-    minhash/jaccard/simhash family: posexplode words once (split
-    evaluated once per document), form n-grams with window lead, hash,
-    distinct. Everything stays in whole-stage codegen; the only
-    exchange is the per-document window shuffle, which downstream
-    per-doc aggregations reuse.
-
-    DuckDB oracle mirror of the shingle set (array form, same hashes):
-      list_distinct([CAST(('0x' || substr(md5(W[i]||' '||W[i+1]||' '||W[i+2]),1,15)) AS BIGINT)
-                     for i in generate_series(1, greatest(len(W)-2, 0))])
-    """
+def _gram_rows(docs, *, id_col: str, text_col: str, n: int):
+    """(id, _g) word n-gram rows: posexplode words once (split evaluated
+    once per document), form n-grams with window lead. Everything stays
+    in whole-stage codegen; the only exchange is the per-document window
+    shuffle, which downstream per-doc aggregations reuse."""
     from pyspark.sql import Window
 
     ex = docs.select(
@@ -104,13 +97,37 @@ def shingle_hash_rows(docs, *, id_col: str = "doc_id", text_col: str = "text", n
     )
     w = Window.partitionBy(id_col).orderBy("_idx")
     parts = [F.col("_w")] + [F.lead("_w", k).over(w) for k in range(1, n)]
-    grams = ex.select(
+    return ex.select(
         F.col(id_col),
         F.concat_ws(" ", *parts).alias("_g"),
         parts[-1].alias("_last"),
     ).filter(F.col("_last").isNotNull())
+
+
+def shingle_hash_rows(docs, *, id_col: str = "doc_id", text_col: str = "text", n: int = 3):
+    """Distinct (id, shingle-hash) ROWS — the scale shape for the
+    minhash/jaccard/simhash family (see _gram_rows for the plan shape).
+
+    DuckDB oracle mirror of the shingle set (array form, same hashes):
+      list_distinct([CAST(('0x' || substr(md5(W[i]||' '||W[i+1]||' '||W[i+2]),1,15)) AS BIGINT)
+                     for i in generate_series(1, greatest(len(W)-2, 0))])
+    """
+    grams = _gram_rows(docs, id_col=id_col, text_col=text_col, n=n)
     return grams.select(
         F.col(id_col), stable_hash64(F.col("_g")).alias("h")
+    ).distinct()
+
+
+def shingle_text_rows(docs, *, id_col: str = "doc_id", text_col: str = "text", n: int = 3):
+    """Distinct (id, gram, h) rows — the string-keeping variant used by
+    top-k RECOVERY passes (e.g. boilerplate detection reports the
+    shingle text for a handful of hashes). Never shuffle this stream by
+    gram at scale; filter it against a broadcast hash set first."""
+    grams = _gram_rows(docs, id_col=id_col, text_col=text_col, n=n)
+    return grams.select(
+        F.col(id_col),
+        F.col("_g").alias("gram"),
+        stable_hash64(F.col("_g")).alias("h"),
     ).distinct()
 
 

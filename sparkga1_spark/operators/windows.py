@@ -112,6 +112,66 @@ def top_k_per_group(
     return ranked.filter(F.col("_rn") <= k).drop("_rn")
 
 
+def grouped_cumsum(
+    df: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: Column | str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed running sum of `value_col` within each group under a
+    UNIQUE (group, order) total order — the scale-safe replacement for
+    `F.sum(v).over(Window.partitionBy(g).orderBy(o))` when groups are
+    few and huge (e.g. a per-language cumsum over a 100 TB corpus:
+    the naive window funnels each language through ONE task).
+
+    Same two-pass shape as `global_rank`: range-partition on
+    (group, order) so every partition holds a contiguous slice of one
+    or a few groups, cumsum WITHIN (partition, group) via a local
+    window, then add per-(partition, group) prefix offsets. The offset
+    table is ≤ num_partitions × n_groups_touching_boundaries rows —
+    tiny — and its prefix window is per-group over ≤ num_partitions
+    rows, then broadcast back. Results are independent of where the
+    sampled range boundaries land because the order is total.
+    """
+    gcols = [F.col(c) for c in group_cols]
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    from sparkga1_spark.operators.cache import tracked_persist
+
+    part = tracked_persist(  # consumed by the local-cumsum pass AND the sums
+        df.repartitionByRange(num_partitions, *gcols, *ocols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    w_local = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*ocols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sums = part.groupBy("_pid", *group_cols).agg(F.sum(val).alias("_s"))
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sums.withColumn(
+        "_off", F.coalesce(F.sum("_s").over(w_off), F.lit(0))
+    ).select("_pid", *group_cols, "_off")
+    return (
+        part.withColumn("_lc", F.sum(val).over(w_local))
+        .join(F.broadcast(offsets), ["_pid", *group_cols])
+        .withColumn(out_col, F.col("_lc") + F.col("_off"))
+        .drop("_pid", "_lc", "_off")
+    )
+
+
 def global_rank(
     df: DataFrame,
     *,

@@ -1348,6 +1348,302 @@ def x_multimodal_y4m_frames(spark, sf_dir):
 
 
 @query(
+    "x_pack_context_windows",
+    oracle="""
+WITH t AS (
+  SELECT lang, doc_id,
+         length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS tok
+  FROM documents
+),
+c AS (
+  SELECT lang, doc_id, tok,
+         sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT lang, CAST((cum - tok) // 2048 AS BIGINT) AS pack_id,
+       count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_tokens
+FROM c
+GROUP BY lang, pack_id
+""",
+)
+def x_pack_context_windows(spark, sf_dir):
+    """Sequence packing for pretraining — group documents into
+    fixed-token-budget context windows (C=2048) per language. The
+    contiguous-fill contract (a doc lands in the pack where its
+    running-cumsum START offset falls) is exactly what a streaming
+    packer produces, and unlike first-fit bin packing it is pure
+    window math: one cumulative sum per lang partition, no sequential
+    driver loop, no applyInPandas. Integer token counts make the
+    cumsum exact, and doc_id ordering makes pack assignment
+    deterministic at any parallelism. Scale: a naive
+    `Window.partitionBy(lang)` cumsum funnels each language through
+    ONE task (languages are few and huge at 100 TB), so the running
+    sum is computed with `grouped_cumsum` — the distributed two-pass
+    range-partition scheme of `global_rank`: local cumsum per
+    (range-partition, lang) slice plus a broadcast prefix-offset
+    table of ≤ partitions×langs rows. Same exact integer results at
+    any parallelism; no single-task stage anywhere in the plan."""
+    from sparkga1_spark.operators.windows import grouped_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = T.token_count_bpeish(F.col("text"))
+    c = grouped_cumsum(
+        docs.select("lang", "doc_id", tok.alias("tok")),
+        group_cols=["lang"],
+        order_cols=["doc_id"],
+        value_col="tok",
+        out_col="cum",
+    )
+    return (
+        c.withColumn(
+            "pack_id", F.floor((F.col("cum") - F.col("tok")) / 2048).cast("long")
+        )
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").cast("long").alias("sum_tokens"),
+        )
+    )
+
+
+@query(
+    "x_quality_quantile_filter",
+    oracle="""
+WITH scored AS (
+  SELECT lang, doc_id, n_chars,
+         round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / length(text), 6) AS score
+  FROM documents
+),
+ranked AS (
+  SELECT lang, doc_id, n_chars, score,
+         percent_rank() OVER (PARTITION BY lang ORDER BY score, doc_id) AS pr
+  FROM scored
+)
+SELECT lang, count(*) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       round(min(score), 6) AS min_score
+FROM ranked WHERE pr >= 0.5
+GROUP BY lang
+""",
+)
+def x_quality_quantile_filter(spark, sf_dir):
+    """Per-group QUANTILE quality cut — keep the top half of each
+    language by quality score (alpha ratio), the
+    classifier-score-percentile filtering step of a curation pipeline.
+    The (score, doc_id) tiebreak makes the cut deterministic under
+    ties (a bare score ordering is not — equal scores would make the
+    cut partition-order-dependent); the score itself is rounded to
+    6dp on both engines BEFORE ranking so float noise cannot reorder
+    the sort. Scale: percent_rank over `Window.partitionBy(lang)`
+    funnels each language through one task, so the rank is computed
+    as a distributed `grouped_cumsum` of 1s (two-pass range-partition,
+    no single-task stage) and percent_rank recovered as
+    (rank-1)/(n-1) with a broadcast per-lang count — identical values
+    because the total order is unique."""
+    from sparkga1_spark.operators.windows import grouped_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    score = hround(T.alpha_ratio(F.col("text")), 6)
+    scored = docs.select("lang", "doc_id", "n_chars", score.alias("score"))
+    ranked = grouped_cumsum(
+        scored.withColumn("_one", F.lit(1)),
+        group_cols=["lang"],
+        order_cols=["score", "doc_id"],
+        value_col="_one",
+        out_col="_rk",
+    )
+    n_per_lang = scored.groupBy("lang").agg(F.count("*").alias("_n"))
+    return (
+        ranked.join(F.broadcast(n_per_lang), "lang")
+        .withColumn(
+            "pr",
+            F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+                (F.col("_rk") - 1) / (F.col("_n") - 1)
+            ),
+        )
+        .filter(F.col("pr") >= 0.5)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            hround(F.min("score"), 6).alias("min_score"),
+        )
+    )
+
+
+@query(
+    "x_funnel_conversion",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS fv
+  FROM events
+),
+s2 AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'click' AND fv IS NOT NULL THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS fqc
+  FROM s
+),
+flags AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+         max(CASE WHEN event_type = 'click' AND fv IS NOT NULL THEN 1 ELSE 0 END) AS c,
+         max(CASE WHEN event_type = 'purchase' AND fqc IS NOT NULL THEN 1 ELSE 0 END) AS p
+  FROM s2 GROUP BY user_id
+)
+SELECT CAST(sum(v) AS BIGINT) AS n_view_users,
+       CAST(sum(c) AS BIGINT) AS n_click_users,
+       CAST(sum(p) AS BIGINT) AS n_purchase_users,
+       round(CAST(sum(c) AS DOUBLE) / nullif(sum(v), 0), 6) AS view_to_click,
+       round(CAST(sum(p) AS DOUBLE) / nullif(sum(c), 0), 6) AS click_to_purchase
+FROM flags
+""",
+)
+def x_funnel_conversion(spark, sf_dir):
+    """Strict-sequence conversion funnel view → click → purchase: a
+    click counts only if SOME view happened strictly earlier in the
+    user's (ts, event_id) order, a purchase only after a qualifying
+    click. Single shuffle keyed by user_id (high-cardinality — no
+    skew), two stacked running-min window passes over the SAME sort
+    (Catalyst plans one Sort + two Window nodes, no second exchange),
+    then a per-user flag aggregate and a 1-row rollup. event_id is the
+    tie sequence for same-timestamp events on both engines. At 100 TB
+    this is the shape of every product-analytics funnel: the event
+    stream shuffles once, everything downstream is tiny."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_type = lambda t: F.col("event_type") == t  # noqa: E731
+    s = ev.withColumn(
+        "fv", F.min(F.when(is_type("view"), F.col("ts"))).over(w)
+    )
+    s2 = s.withColumn(
+        "fqc",
+        F.min(
+            F.when(is_type("click") & F.col("fv").isNotNull(), F.col("ts"))
+        ).over(w),
+    )
+    flags = s2.groupBy("user_id").agg(
+        F.max(F.when(is_type("view"), 1).otherwise(0)).alias("v"),
+        F.max(
+            F.when(is_type("click") & F.col("fv").isNotNull(), 1).otherwise(0)
+        ).alias("c"),
+        F.max(
+            F.when(is_type("purchase") & F.col("fqc").isNotNull(), 1).otherwise(0)
+        ).alias("p"),
+    )
+    return flags.agg(
+        F.sum("v").cast("long").alias("n_view_users"),
+        F.sum("c").cast("long").alias("n_click_users"),
+        F.sum("p").cast("long").alias("n_purchase_users"),
+        hround(F.sum("c") / F.nullif(F.sum("v"), F.lit(0)), 6).alias("view_to_click"),
+        hround(F.sum("p") / F.nullif(F.sum("c"), F.lit(0)), 6).alias("click_to_purchase"),
+    )
+
+
+@query(
+    "x_vocab_oov_rate",
+    oracle="""
+WITH tok AS (
+  SELECT lang, unnest(str_split_regex(trim(text), ' +')) AS t FROM documents
+),
+c AS (SELECT t, count(*) AS n FROM tok GROUP BY t),
+v AS (SELECT t FROM c ORDER BY n DESC, t LIMIT 10)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS oov_rate
+FROM tok LEFT JOIN v ON tok.t = v.t
+GROUP BY lang
+""",
+)
+def x_vocab_oov_rate(spark, sf_dir):
+    """Tokenizer-vocabulary coverage — per-language out-of-vocabulary
+    rate against the corpus top-10 token vocabulary (the coverage audit
+    run before freezing a tokenizer on a new data mix). Two passes:
+    (1) token counts — one partial+final hash aggregate keyed by token
+    (heavy hitters are exactly what map-side combine flattens), top-10
+    cut via TakeOrderedAndProject with the (n DESC, token) unique
+    tiebreak; (2) a map-only re-scan joined against the BROADCAST vocab
+    (10 rows), reduced by a tiny per-lang aggregate. The token stream
+    itself never shuffles in pass 2 — at 100 TB the cost is two scans
+    of the text column and one token-keyed exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(T.words(F.col("text"))).alias("t"))
+    counts = tok.groupBy("t").agg(F.count("*").alias("n"))
+    vocab = counts.orderBy(F.desc("n"), "t").limit(10).select("t")
+    flagged = tok.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(1))), "t", "left"
+    )
+    oov = F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+    return flagged.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        oov.cast("long").alias("n_oov"),
+        hround(oov / F.count("*"), 6).alias("oov_rate"),
+    )
+
+
+@query(
+    "x_boilerplate_shingles",
+    oracle="""
+WITH W AS (SELECT doc_id, str_split_regex(trim(text), ' +') AS W FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct([W[i] || ' ' || W[i+1] || ' ' || W[i+2]
+                               for i in generate_series(1, greatest(len(W)-2, 0))])) AS gram
+  FROM W
+),
+c AS (
+  SELECT gram,
+         CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS df
+  FROM g GROUP BY gram
+)
+SELECT min(gram) AS shingle, df, h
+FROM (SELECT * FROM c ORDER BY df DESC, h LIMIT 20)
+GROUP BY h, df
+""",
+)
+def x_boilerplate_shingles(spark, sf_dir):
+    """Cross-document boilerplate detection — the top-20 word-3-gram
+    shingles by document frequency (the C4/CCNet-style "this phrase
+    appears in thousands of pages" signal that drives boilerplate-line
+    removal in web curation; public recipe, Raffel et al. 2020 §2.2).
+
+    Scale shape: the COUNT pass runs entirely on 8-byte shingle hashes
+    (shingle_hash_rows — the same distinct (doc, h) stream the minhash
+    family shares), so the corpus-wide shuffle carries (h) only, never
+    gram strings; the top-20 cut is a TakeOrderedAndProject with the
+    (df DESC, h) unique tiebreak. Only the RECOVERY pass touches
+    strings — a second map-only scan filtered against the broadcast
+    20-hash set, reduced by a 20-row aggregate. At 100 TB the recovery
+    scan re-reads the text column but shuffles ~nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = T.shingle_hash_rows(docs)
+    dfc = hashes.groupBy("h").agg(F.count("*").cast("long").alias("df"))
+    top = dfc.orderBy(F.desc("df"), "h").limit(20)
+    texts = T.shingle_text_rows(docs)
+    return (
+        texts.join(F.broadcast(top), "h")
+        .groupBy("h", "df")
+        .agg(F.min("gram").alias("shingle"))
+        .select("shingle", "df", "h")
+    )
+
+
+@query(
     "x_multimodal_png_decode",
     oracle="""
 WITH s AS (

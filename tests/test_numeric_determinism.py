@@ -97,3 +97,39 @@ def test_dsum_davg_cross_engine_on_boundary_values(spark):
     for k in got:
         assert repr(got[k][0]) == repr(want[k][0]), (k, got[k], want[k])
         assert repr(got[k][1]) == repr(want[k][1]), (k, got[k], want[k])
+
+
+def test_grouped_cumsum_matches_naive_window(spark, sf_dir):
+    """grouped_cumsum must equal the single-task-per-group naive window
+    cumsum exactly (integer values), at any partition count."""
+    from pyspark.sql import Window
+
+    from sparkga1_spark.operators.windows import grouped_cumsum
+
+    od = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderstatus", "o_orderkey")
+        .withColumn("v", (F.col("o_orderkey") % 100).cast("long"))
+    )
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r.o_orderstatus, r.o_orderkey): r.c
+        for r in od.withColumn("c", F.sum("v").over(w)).collect()
+    }
+    for nparts in (3, 7):
+        got = {
+            (r.o_orderstatus, r.o_orderkey): r.c
+            for r in grouped_cumsum(
+                od,
+                group_cols=["o_orderstatus"],
+                order_cols=["o_orderkey"],
+                value_col="v",
+                out_col="c",
+                num_partitions=nparts,
+            ).collect()
+        }
+        assert got == want

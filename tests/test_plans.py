@@ -355,3 +355,27 @@ def test_q21_forms_agree(spark, sf_dir):
     b = {tuple(r) for r in
          all_queries()["tpch_q21_waiting_agg_form"](spark, sf_dir).collect()}
     assert a == b
+
+
+def test_pack_and_quantile_windows_are_distributed(spark, sf_dir):
+    """The per-lang cumsum/rank in the packing and quantile-filter
+    queries must be the two-pass grouped_cumsum shape (range exchange +
+    window partitioned by (_pid, lang)), never a bare per-lang window
+    funneling each language through one task."""
+    for name in ("x_pack_context_windows", "x_quality_quantile_filter"):
+        plan = _plan(spark, sf_dir, name)
+        assert "rangepartitioning" in plan.lower(), f"{name}: no range exchange"
+        assert "windowspecdefinition(_pid" in plan, (
+            f"{name}: body window is not partitioned by _pid"
+        )
+
+
+def test_funnel_single_event_exchange(spark, sf_dir):
+    """The two stacked running-min windows and the per-user flag
+    aggregate must reuse ONE user_id exchange: Catalyst plans
+    Sort + Window + Window over the same partitioning, and the
+    partial flag agg rides on it too. A second hashpartitioning of
+    the event stream means the window specs diverged."""
+    plan = _plan(spark, sf_dir, "x_funnel_conversion")
+    assert plan.lower().count("hashpartitioning(user_id") <= 1, plan[:2000]
+    assert plan.count("windowspecdefinition(user_id") >= 2

@@ -97,7 +97,7 @@ def gen(factor: int, base: str, out: str) -> None:
     print(f"generated {factor}x at {out}")
 
 
-def time_trio(sf_dir: str, runs: int = 2) -> None:
+def time_trio(sf_dir: str, runs: int = 2, names: list[str] | None = None) -> None:
     from sparkga1_spark.operators.cache import release_tracked
     from sparkga1_spark.plans.registry import all_queries
     from sparkga1_spark.session import get_spark
@@ -105,12 +105,13 @@ def time_trio(sf_dir: str, runs: int = 2) -> None:
     spark = get_spark("scale-smoke")
     sc = spark.sparkContext
     qs = all_queries()
+    names = names or TRIO
     # JIT warm-up on the smallest SF so timings measure the plan
-    for name in TRIO:
+    for name in names:
         qs[name](spark, "/root/testdata/sf0.001").count()
         release_tracked()
     out = {}
-    for name in TRIO:
+    for name in names:
         ts, max_tasks = [], 0
         for _ in range(runs):
             release_tracked()
@@ -142,6 +143,10 @@ if __name__ == "__main__":
         out = sys.argv[4] if len(sys.argv) > 4 else f"/tmp/scale{factor}x"
         gen(factor, base, out)
     elif mode == "time":
-        time_trio(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 2)
+        time_trio(
+            sys.argv[2],
+            int(sys.argv[3]) if len(sys.argv) > 3 else 2,
+            sys.argv[4:] or None,
+        )
     else:
         raise SystemExit("usage: scale_smoke.py gen|time ...")
