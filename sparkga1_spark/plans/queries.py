@@ -1474,6 +1474,134 @@ def x_quality_quantile_filter(spark, sf_dir):
 
 
 @query(
+    "x_blocklist_suffix_match",
+    oracle=f"""
+WITH pii AS ({fixtures.DOCS_PII_SQL}),
+hosts AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.]+)', 1)) AS host
+  FROM pii
+),
+sfx AS (
+  SELECT doc_id, host,
+         unnest([array_to_string(P[i:], '.')
+                 for i in generate_series(1, greatest(len(P) - 1, 0))]) AS suffix
+  FROM (SELECT doc_id, host, str_split(host, '.') AS P FROM hosts)
+),
+bl AS (SELECT * FROM (VALUES ('example.org'), ('site3.example.org'),
+                             ('site7.example.org'), ('evil.com')) AS t(entry))
+SELECT entry,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_mentions
+FROM sfx JOIN bl ON sfx.suffix = bl.entry
+GROUP BY entry
+""",
+)
+def x_blocklist_suffix_match(spark, sf_dir):
+    """Domain-blocklist enforcement with SUFFIX semantics (an entry
+    `example.org` blocks every subdomain) — the URL-filtering step of
+    web curation. The scale-safe shape: explode each host into its
+    ≥2-label domain suffixes (≤ label-count per host, a small constant)
+    and EQUI-join against the broadcast blocklist — never a
+    LIKE-pattern cross join, which is a broadcast nested loop over the
+    whole corpus. Per-entry rollup of matched hosts / docs / mentions;
+    at 100 TB the only exchange is the tiny per-entry aggregate."""
+    docs = fixtures.documents_with_pii(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "text")
+    hosts = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(_HOST_RE), F.lit(1))
+        ).alias("host"),
+    )
+    parts = F.split(F.col("host"), r"\.")
+    sfx = hosts.select(
+        "doc_id",
+        "host",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(parts) - 2),
+                lambda i: F.concat_ws(
+                    ".", F.slice(parts, i + 1, F.size(parts) - i)
+                ),
+            )
+        ).alias("suffix"),
+    )
+    bl = spark.createDataFrame(
+        [("example.org",), ("site3.example.org",), ("site7.example.org",),
+         ("evil.com",)],
+        ["entry"],
+    )
+    return (
+        sfx.join(F.broadcast(bl), sfx["suffix"] == bl["entry"])
+        .groupBy("entry")
+        .agg(
+            F.count_distinct("host").cast("long").alias("n_hosts"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_mentions"),
+        )
+    )
+
+
+@query(
+    "x_cohort_retention",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+  FROM events
+),
+coh AS (SELECT user_id, min(d) AS cd FROM act GROUP BY 1),
+siz AS (SELECT cd, count(*) AS n_cohort FROM coh GROUP BY 1)
+SELECT c.cd AS cohort_day, a.d - c.cd AS day_age,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(any_value(s.n_cohort) AS BIGINT) AS n_cohort,
+       round(CAST(count(*) AS DOUBLE) / any_value(s.n_cohort), 6) AS retention
+FROM act a JOIN coh c USING (user_id) JOIN siz s ON c.cd = s.cd
+GROUP BY 1, 2
+""",
+)
+def x_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix — users grouped by epoch-day of first
+    activity, retention(cohort, age) = active users at that day-age
+    over cohort size. Plan (audited): two event-stream exchanges —
+    the (user, day) distinct and the per-user min-day aggregate — then
+    AQE broadcasts the cohort table (1 row/user) into the activity
+    join at test SFs; at 100 TB user-count that join degrades
+    gracefully to a co-partitioned user_id sort-merge, never a
+    cross product. Cohort SIZES (rows = distinct first-days) are
+    always broadcast-tiny.
+    Epoch-day via unix_timestamp DIV 86400 — integer division both
+    engines, truncation-safe for non-negative epochs (the
+    floor(epoch()) recipe every event query here uses). At 100 TB the
+    event stream shuffles once by user; the retention matrix is
+    cohorts×ages — tiny."""
+    ev = _events(spark, sf_dir)
+    act = ev.select(
+        "user_id",
+        F.expr("CAST(unix_timestamp(ts) DIV 86400 AS BIGINT)").alias("d"),
+    ).distinct()
+    coh = act.groupBy("user_id").agg(F.min("d").alias("cd"))
+    siz = coh.groupBy("cd").agg(F.count("*").alias("n_cohort"))
+    return (
+        act.join(coh, "user_id")
+        .join(F.broadcast(siz), "cd")
+        .groupBy(
+            F.col("cd").alias("cohort_day"),
+            (F.col("d") - F.col("cd")).alias("day_age"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_active"),
+            F.any_value(F.col("n_cohort")).cast("long").alias("n_cohort"),
+            hround(
+                F.count("*") / F.any_value(F.col("n_cohort")), 6
+            ).alias("retention"),
+        )
+    )
+
+
+@query(
     "x_funnel_conversion",
     oracle="""
 WITH s AS (

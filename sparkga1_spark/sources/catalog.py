@@ -79,3 +79,17 @@ def register_fixture_views(spark: SparkSession, sf_dir: str) -> None:
     fixtures.exome_intervals(dfs["part"]).createOrReplaceTempView("exome_intervals")
     fixtures.known_sites(dfs["lineitem"]).createOrReplaceTempView("known_sites")
     fixtures.variants(dfs["orders"]).createOrReplaceTempView("variants")
+
+
+def read_evolving_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose parts were written under EVOLVING
+    schemas (columns added over time — the normal life of a long-lived
+    ingest directory). `mergeSchema` unions the per-file footers at plan
+    time; files missing a column yield nulls for it. At 100 TB prefer a
+    table format with a real metadata log (see connectors.py) — but for
+    plain parquet ingest directories this is the correct read path, and
+    unlike a blind `spark.read.parquet` it cannot silently drop the new
+    columns of late files (the default reader takes ONE file's footer as
+    the schema of all)."""
+    apply_runtime_confs(spark)
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -334,3 +334,24 @@ def test_curation_write_partitions_and_clustering(spark, sf_dir, tmp_path):
     a = {(r.doc_id, r.split) for r in back.collect()}
     b = {(r.doc_id, r.split) for r in staged.select("doc_id", "split").collect()}
     assert a == b
+
+
+def test_read_evolving_parquet_merges_schemas(spark, tmp_path):
+    """Two generations of writers: v1 has (k, a); v2 adds column b.
+    mergeSchema must surface the union schema with nulls for the old
+    files — and the default single-footer read is allowed to miss b,
+    which is exactly why read_evolving_parquet exists."""
+    from sparkga1_spark.sources.catalog import read_evolving_parquet
+
+    path = str(tmp_path / "evolving")
+    spark.range(3).selectExpr("id AS k", "id * 2 AS a").write.parquet(path)
+    spark.range(3, 5).selectExpr(
+        "id AS k", "id * 2 AS a", "id * 10 AS b"
+    ).write.mode("append").parquet(path)
+
+    df = read_evolving_parquet(spark, path)
+    assert {f.name for f in df.schema.fields} == {"k", "a", "b"}
+    rows = {r.k: (r.a, r.b) for r in df.collect()}
+    assert rows[4] == (8, 40)
+    assert rows[0] == (0, None)  # old files null-fill the new column
+    assert len(rows) == 5
