@@ -1545,6 +1545,106 @@ def x_blocklist_suffix_match(spark, sf_dir):
 
 
 @query(
+    "x_column_profile_histogram",
+    oracle="""
+WITH b AS (SELECT min(l_partkey) AS mn, max(l_partkey) AS mx
+           FROM lineitem),
+binned AS (
+  SELECT ((l_partkey - mn) * 10) // (mx - mn + 1) AS bin, l_partkey
+  FROM lineitem, b
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS ndv,
+       CAST(min(l_partkey) AS BIGINT) AS bin_min,
+       CAST(max(l_partkey) AS BIGINT) AS bin_max
+FROM binned GROUP BY 1
+""",
+)
+def x_column_profile_histogram(spark, sf_dir):
+    """ANALYZE-style column profiling: 10-bucket equal-width histogram
+    of l_partkey with per-bin row count, exact NDV, and min/max — the
+    stats a cost-based optimizer collects. Bin assignment is PURE
+    INTEGER math, ((v-mn)*10) DIV (mx-mn+1), instead of SQL
+    width_bucket: width_bucket computes double bucket boundaries whose
+    last-ulp rounding may legitimately differ between engines, which a
+    value-hash gate cannot tolerate; integer DIV is exact on both.
+    Bounds arrive as a broadcast 1-row min/max agg (the corpus-size
+    pattern); the profile itself is one partial+final aggregate keyed
+    by bin — map-side combine reduces each partition to ≤10 rows
+    before the exchange. At 100 TB: two scans (bounds + profile), one
+    10-row shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(F.min("l_partkey").alias("mn"), F.max("l_partkey").alias("mx"))
+    binned = li.select("l_partkey").crossJoin(F.broadcast(bounds)).select(
+        F.expr(
+            "CAST((l_partkey - mn) * 10 DIV (mx - mn + 1) AS BIGINT)"
+        ).alias("bin"),
+        "l_partkey",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count_distinct("l_partkey").cast("long").alias("ndv"),
+        F.min("l_partkey").cast("long").alias("bin_min"),
+        F.max("l_partkey").cast("long").alias("bin_max"),
+    )
+
+
+@query(
+    "x_dau_wau_stickiness",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+  FROM events
+),
+b AS (SELECT min(d) AS mn, max(d) AS mx FROM act),
+dau AS (SELECT d, count(*) AS dau FROM act GROUP BY 1),
+cov AS (
+  SELECT DISTINCT user_id, unnest([d + i for i in generate_series(0, 6)]) AS wd
+  FROM act
+),
+wau AS (SELECT wd, count(*) AS wau FROM cov GROUP BY 1)
+SELECT d AS day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+       round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+FROM dau JOIN wau ON d = wd, b WHERE d BETWEEN mn AND mx
+""",
+)
+def x_dau_wau_stickiness(spark, sf_dir):
+    """DAU / trailing-7-day-WAU stickiness per day. Rolling DISTINCT
+    counts don't decompose (WAU ≠ sum of DAUs), so the exact
+    distributed form CREDITS each active (user, day) to the 7 window
+    ends it can serve — a bounded ×7 explode, then the same cheap
+    distinct+count machinery as DAU. That turns a non-associative
+    rolling distinct into two hash aggregates; no window over the
+    full user timeline, no per-day re-scan. Day bounds arrive as a
+    broadcast 1-row min/max agg. At 100 TB the explode factor stays
+    7 regardless of data size — the cost is one extra distinct over
+    7× the (user, day) pairs, both keyed exchanges."""
+    ev = _events(spark, sf_dir)
+    act = ev.select(
+        "user_id",
+        F.expr("CAST(unix_timestamp(ts) DIV 86400 AS BIGINT)").alias("d"),
+    ).distinct()
+    bounds = act.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    dau = act.groupBy("d").agg(F.count("*").alias("dau"))
+    cov = act.select(
+        "user_id", F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("wd")
+    ).distinct()
+    wau = cov.groupBy("wd").agg(F.count("*").alias("wau"))
+    return (
+        dau.join(wau, dau["d"] == wau["wd"])
+        .crossJoin(F.broadcast(bounds))
+        .filter((F.col("d") >= F.col("mn")) & (F.col("d") <= F.col("mx")))
+        .select(
+            F.col("d").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            hround(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
+@query(
     "x_cohort_retention",
     oracle="""
 WITH act AS (
