@@ -36,6 +36,12 @@ def stream_events(
         df = df.withColumnRenamed("ts", "ts_ns").withColumn(
             "ts", F.expr("timestamp_micros(ts_ns div 1000)")
         )
+    elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # Spark 4.1 reads parquet TIMESTAMP(NANOS) as TIMESTAMP_NTZ (the
+        # legacy long-nanos conf no longer applies). Watermarks require
+        # TIMESTAMP_LTZ; the session zone is pinned UTC, so this cast is
+        # value-preserving and keeps batch/stream plans aligned.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
