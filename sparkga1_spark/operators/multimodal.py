@@ -161,6 +161,87 @@ def parse_wav(data: bytes):
     return len(samples) // channels, rate, samples
 
 
+# --------------------------------------------------------------------------
+# Real JPEG HEADER parsing (r4): dimensions/components of a JPEG live in
+# its SOFn segment, readable by a plain marker walk — the same way
+# `identify`/file(1) get them — no entropy decode and no codec library
+# needed. Full pixel decode of the DCT entropy stream still requires a
+# codec (PIL branch / documented FAKE); the METADATA path is real.
+# --------------------------------------------------------------------------
+
+# SOFn markers that carry frame geometry: C0-CF minus DHT(C4)/JPG(C8)/DAC(CC)
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def build_jpeg(width: int, height: int, entropy: bytes) -> bytes:
+    """Structurally-valid baseline JFIF JPEG: SOI + APP0(JFIF) + DQT +
+    SOF0 (carrying width/height/3 components) + DHT + SOS + entropy
+    bytes + EOI. The entropy payload is opaque to header parsers (bytes
+    are pre-masked % 255 so no 0xFF ever needs stuffing); every segment
+    length field is correct, so any standards-conformant marker walk
+    finds SOF0. Fixed overhead: 146 bytes + len(entropy)."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dqt = bytes([0x00]) + bytes([16] * 64)
+    sof0 = struct.pack(
+        ">BHHB", 8, height, width, 3
+    ) + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    dht = bytes([0x00, 0, 1] + [0] * 14 + [0x00])  # one 2-bit code, symbol 0
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    clean = bytes(b % 255 for b in entropy)  # keep 0xFF out of the scan
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, app0)
+        + seg(0xDB, dqt)
+        + seg(0xC0, sof0)
+        + seg(0xC4, dht)
+        + seg(0xDA, sos)
+        + clean
+        + b"\xff\xd9"
+    )
+
+
+def parse_jpeg_meta(data: bytes) -> tuple[int, int, int]:
+    """JPEG bytes → (width, height, n_components) via a real marker
+    walk: skip fill bytes, step over every variable-length segment by
+    its declared length, stop at the first SOFn frame header. Raises
+    ValueError for non-JPEG or SOS/EOI reached before any SOFn."""
+    import struct
+
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in (0x01, *range(0xD0, 0xD8)):  # standalone (TEM/RSTn)
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before any frame header
+            break
+        length = struct.unpack_from(">H", data, pos + 2)[0]
+        if length < 2:
+            raise ValueError("bad JPEG segment length")
+        if marker in _JPEG_SOF_MARKERS:
+            _prec, h, w, ncomp = struct.unpack_from(">BHHB", data, pos + 4)
+            if w <= 0 or h <= 0 or ncomp <= 0:
+                raise ValueError("bad JPEG frame header")
+            return w, h, ncomp
+        if marker == 0xDA:  # SOS: entropy stream follows, no SOF seen
+            break
+        pos += 2 + length
+    raise ValueError("no SOF marker found")
+
+
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -333,6 +414,9 @@ def _decode_image_meta(data: bytes) -> tuple[int, int, int, str]:
         if data[:8] == PNG_SIG:
             w, h, c = parse_png_meta(data)
             return w, h, c, "PNG"
+        if data[:2] == b"\xff\xd8":
+            w, h, c = parse_jpeg_meta(data)  # real SOFn marker walk
+            return w, h, c, "JPEG"
     except ValueError:
         pass  # malformed header — fall through like any undecodable blob
     try:  # pragma: no cover - PIL absent in this environment
@@ -623,6 +707,29 @@ def plant_wav_payloads(df: DataFrame) -> DataFrame:
                 rate = 16_000 if d % 2 == 0 else 8_000
                 samples = ((d * 31 + 7 * np.arange(n, dtype=np.int64)) % 1001 - 500)
                 out.append((doc_id, build_wav(samples, sample_rate=rate)))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return df.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def plant_jpeg_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(doc_id, text) → (doc_id, payload): a structurally-valid JPEG
+    with closed-form dimensions (w = id%53+4, h = id%43+4) and an
+    entropy payload of id%97+16 bytes tiled from the UTF-8 text (masked
+    % 255 by build_jpeg). byte_len is closed-form: 146 + id%97+16."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text_val in zip(pdf["doc_id"], pdf[text_col]):
+                d = int(doc_id)
+                w, h = d % 53 + 4, d % 43 + 4
+                raw = text_val.encode("utf-8") or b"\0"
+                entropy = np.resize(
+                    np.frombuffer(raw, np.uint8), d % 97 + 16
+                ).tobytes()
+                out.append((doc_id, build_jpeg(w, h, entropy)))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
     return df.mapInPandas(run, schema="doc_id long, payload binary")

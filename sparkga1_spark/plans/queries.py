@@ -1348,6 +1348,87 @@ def x_multimodal_y4m_frames(spark, sf_dir):
 
 
 @query(
+    "x_multimodal_jpeg_meta",
+    oracle="""
+SELECT doc_id,
+       CAST(162 + doc_id % 97 AS INTEGER) AS byte_len,
+       CAST(doc_id % 53 + 4 AS INTEGER) AS width,
+       CAST(doc_id % 43 + 4 AS INTEGER) AS height,
+       3 AS channels,
+       'JPEG' AS format
+FROM documents
+""",
+)
+def x_multimodal_jpeg_meta(spark, sf_dir):
+    """Multimodal REAL metadata for a COMPRESSED format (r4): plant a
+    structurally-valid baseline JPEG per document (closed-form
+    dimensions in the SOF0 frame header, entropy bytes tiled from the
+    text) and read width/height/components back with a real marker
+    walk (operators/multimodal.py parse_jpeg_meta) — the same
+    header-only path file(1)/identify use, no codec library. This
+    retires the md5 FAKE branch for JPEG metadata; only full pixel
+    decode of compressed formats remains behind the import guard. The
+    oracle restates the geometry and the 146-byte fixed segment
+    overhead in closed form, so a builder or parser bug — wrong
+    big-endian field order, a segment length off by one, a marker-walk
+    desync — breaks the hash."""
+    from sparkga1_spark.operators.multimodal import decode_images, plant_jpeg_payloads
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return decode_images(plant_jpeg_payloads(docs))
+
+
+@query(
+    "x_magic_bytes_detect",
+    oracle="""
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN '424D' WHEN 1 THEN '5249'
+                       WHEN 2 THEN '5955' ELSE 'FFD8' END AS magic,
+       CASE doc_id % 4 WHEN 0 THEN 'BMP' WHEN 1 THEN 'WAV'
+                       WHEN 2 THEN 'Y4M' ELSE 'JPEG' END AS fmt
+FROM documents
+""",
+)
+def x_magic_bytes_detect(spark, sf_dir):
+    """Content-type sniffing over an opaque binary column, entirely
+    JVM-side (the triage step a multimodal ingest runs before routing
+    rows to per-format decoders): plant a mixed corpus (BMP / WAV /
+    Y4M / JPEG by doc_id % 4 — every payload a real container from the
+    builders above), then classify from magic bytes with substring/hex
+    on the binary column. No Python touches the payloads after
+    planting: detection is a codegen'd CASE over hex prefixes, so at
+    100 TB it rides the scan (map-only, zero exchanges) and the bytes
+    never cross into Python. The oracle knows which format each doc_id
+    got, so a misrouted slice or wrong signature breaks the hash."""
+    from sparkga1_spark.operators.multimodal import (
+        plant_bmp_payloads,
+        plant_jpeg_payloads,
+        plant_wav_payloads,
+        plant_y4m_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 4
+    payloads = (
+        plant_bmp_payloads(docs.filter(m == 0))
+        .unionByName(plant_wav_payloads(docs.filter(m == 1).select("doc_id")))
+        .unionByName(plant_y4m_payloads(docs.filter(m == 2).select("doc_id")))
+        .unionByName(plant_jpeg_payloads(docs.filter(m == 3)))
+    )
+    h2 = F.hex(F.substring("payload", 1, 2))
+    h4 = F.hex(F.substring("payload", 1, 4))
+    h9 = F.hex(F.substring("payload", 1, 9))
+    fmt = (
+        F.when(h2 == "424D", "BMP")
+        .when(h2 == "FFD8", "JPEG")
+        .when(h4 == "52494646", "WAV")
+        .when(h9 == F.hex(F.lit(b"YUV4MPEG2")), "Y4M")
+        .otherwise("UNKNOWN")
+    )
+    return payloads.select("doc_id", h2.alias("magic"), fmt.alias("fmt"))
+
+
+@query(
     "x_pack_context_windows",
     oracle="""
 WITH t AS (

@@ -268,3 +268,36 @@ def test_png_decode_dispatch_real_not_fake():
     data = build_png(px, filters=4)
     assert _decode_image_meta(data) == (5, 4, 3, "PNG")
     assert (_decode_image_pixels(data) == px).all()
+
+
+def test_jpeg_header_roundtrip_and_marker_walk():
+    """build_jpeg → parse_jpeg_meta recovers the SOF0 geometry for a
+    spread of dimensions and entropy sizes; the walk must survive fill
+    bytes and reject truncated/SOF-less streams."""
+    from sparkga1_spark.operators.multimodal import build_jpeg, parse_jpeg_meta
+
+    for w, h, n in [(4, 4, 0), (53, 43, 16), (65535, 1, 112), (640, 480, 7)]:
+        data = build_jpeg(w, h, bytes(range(n)))
+        assert parse_jpeg_meta(data) == (w, h, 3), (w, h, n)
+        assert len(data) == 146 + n
+
+    # fill bytes (0xFF padding) between segments are legal
+    data = build_jpeg(8, 9, b"xyz")
+    padded = data[:2] + b"\xff" + data[2:]
+    assert parse_jpeg_meta(padded) == (8, 9, 3)
+
+    for bad in [b"", b"\xff\xd8", b"\xff\xd8\xff\xd9", b"notajpeg"]:
+        try:
+            parse_jpeg_meta(bad)
+            raise AssertionError(f"accepted {bad!r}")
+        except ValueError:
+            pass
+
+
+def test_jpeg_decode_dispatch_real_not_fake():
+    """_decode_image_meta must route JPEG payloads through the real
+    marker walk (format 'JPEG'), not the md5 FAKE branch."""
+    from sparkga1_spark.operators.multimodal import _decode_image_meta, build_jpeg
+
+    data = build_jpeg(21, 13, b"entropy-bytes")
+    assert _decode_image_meta(data) == (21, 13, 3, "JPEG")
