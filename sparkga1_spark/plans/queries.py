@@ -4641,6 +4641,283 @@ def x_curation_write_audit(spark, sf_dir):
     )
 
 
+@query(
+    "a_sketch_accuracy_audit",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS hll_ok,
+       TRUE AS q_ok
+FROM events GROUP BY event_type
+""",
+)
+def a_sketch_accuracy_audit(spark, sf_dir):
+    """Sketch-accuracy audit (the check a 100 TB pipeline runs before
+    trusting approximate stats): per event_type, compute the HLL++
+    distinct-user estimate (rsd 2%) and the GK approx-median of value
+    (accuracy 200 → rank error ≤ 0.5%), then VERIFY both against exact
+    answers computed in the same job — HLL within 5×rsd of the exact
+    NDV, and the approx-median's true rank within 0.5 ± 0.05·n. The
+    gate output carries the exact numbers plus the two booleans; the
+    oracle recomputes the exact side and pins both flags TRUE, so a
+    sketch drifting out of its documented bounds is a red row, not a
+    silent bias. At scale: sketches merge map-side (one tiny shuffle);
+    the rank check is a second scan with a broadcast of the 5-row
+    medians table — the exact NDV is the only genuinely heavy part,
+    and it is exactly what the audit exists to spot-check."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    )
+    per_type = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("_est"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(200)).alias("_med"),
+    )
+    rank_le = (
+        ev.join(F.broadcast(per_type.select("event_type", "_med")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("_med"), 1).otherwise(0))
+            .cast("long")
+            .alias("_rank_le")
+        )
+    )
+    return per_type.join(rank_le, "event_type").select(
+        "event_type",
+        "n_rows",
+        "exact_users",
+        (
+            F.abs(F.col("_est") - F.col("exact_users"))
+            <= 5 * 0.02 * F.col("exact_users")
+        ).alias("hll_ok"),
+        (
+            (F.col("_rank_le") >= 0.45 * F.col("n_rows"))
+            & (F.col("_rank_le") <= 0.55 * F.col("n_rows"))
+        ).alias("q_ok"),
+    )
+
+
+@query(
+    "x_drift_chi2",
+    oracle="""
+WITH d AS (
+  SELECT least(n_chars // 100, 9) AS bucket, doc_id % 2 AS side
+  FROM documents
+),
+p AS (
+  SELECT bucket,
+         sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n_b
+  FROM d GROUP BY bucket
+),
+t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM p)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       round(n_a * tb / CAST(ta AS DOUBLE), 6) AS expected_b,
+       round((n_b - n_a * tb / CAST(ta AS DOUBLE))
+             * (n_b - n_a * tb / CAST(ta AS DOUBLE))
+             / (n_a * tb / CAST(ta AS DOUBLE)), 6) AS chi2_contrib
+FROM p, t WHERE n_a > 0
+""",
+)
+def x_drift_chi2(spark, sf_dir):
+    """Corpus drift detection (chi-square goodness-of-fit between a
+    baseline corpus slice and a candidate slice — the refresh gate a
+    training-data pipeline runs before swapping in a new crawl):
+    bucket docs by length decile, count per bucket per side, scale the
+    baseline histogram to the candidate's mass, and emit per-bucket
+    expected counts + chi² contributions (sum = the test statistic).
+    All counting is one partial+final aggregate on a 10-value key; the
+    totals arrive as a broadcast 1-row agg — at 100 TB this is one
+    scan, one 10-row shuffle, zero wide operations. Float math is
+    per-bucket (no cross-row float summation), so round(6) is
+    cross-engine stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.least(F.floor(F.col("n_chars") / 100), F.lit(9))
+        .cast("long")
+        .alias("bucket"),
+        (F.col("doc_id") % 2).alias("side"),
+    )
+    p = d.groupBy("bucket").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    t = p.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    e = F.col("n_a") * F.col("tb") / F.col("ta").cast("double")
+    return (
+        p.crossJoin(F.broadcast(t))
+        .filter(F.col("n_a") > 0)
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            hround(e, 6).alias("expected_b"),
+            hround((F.col("n_b") - e) * (F.col("n_b") - e) / e, 6).alias(
+                "chi2_contrib"
+            ),
+        )
+    )
+
+
+# Deterministic raw-URL synthesis shared by the Spark plan and the DuckDB
+# oracle for x_dedup_url_canonical: mixed-case hosts, www. prefixes,
+# tracking params, trailing slashes, fragments — one URL per order row.
+_RAW_URL_SQL = """
+'https://' ||
+CASE o_orderkey % 3 WHEN 0 THEN 'WWW.' WHEN 1 THEN 'www.' ELSE '' END ||
+'Shop' || CAST(o_custkey % 40 AS STRING) || '.Example.COM' ||
+'/item/' || CAST(o_orderkey % 500 AS STRING) ||
+CASE o_orderkey % 4 WHEN 0 THEN '/?utm_source=feed&utm_campaign=x'
+                    WHEN 1 THEN '?ref=home'
+                    WHEN 2 THEN '/' ELSE '' END ||
+CASE o_orderkey % 5 WHEN 0 THEN '#frag' ELSE '' END
+"""
+
+
+@query(
+    "x_dedup_url_canonical",
+    oracle=f"""
+WITH raw AS (SELECT {_RAW_URL_SQL} AS url FROM orders),
+c AS (
+  SELECT url,
+         regexp_replace(url, '#.*', '') AS nofrag
+  FROM raw
+),
+parts AS (
+  SELECT url,
+         regexp_replace(lower(regexp_extract(nofrag, 'https?://([^/?#]+)', 1)),
+                        '^www\\.', '') AS host,
+         regexp_replace(regexp_extract(nofrag, 'https?://[^/?#]+([^?#]*)', 1),
+                        '/+$', '') AS path,
+         array_to_string(
+           list_filter(string_split(regexp_extract(nofrag, '\\?([^#]*)', 1), '&'),
+                       x -> NOT starts_with(x, 'utm_')),
+           '&') AS q
+  FROM c
+)
+SELECT host || path ||
+         CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants
+FROM parts
+GROUP BY 1
+""",
+)
+def x_dedup_url_canonical(spark, sf_dir):
+    """Page-level URL canonicalization + dedup (the crawl-frontier /
+    recrawl-suppression normalize step, one level finer than the
+    domain rollup in x_url_host_rollup): strip fragments, lowercase
+    the host, drop the www. prefix, strip trailing slashes, and filter
+    utm_* tracking params out of the query string (keeping real
+    params), then count raw variants collapsing into each canonical
+    URL. Everything is JVM string/regex + a higher-order array filter
+    — map-only until one hash aggregate keyed by the canonical URL
+    (page-cardinality shuffle; salting applies if one page dominates).
+    The oracle mirrors the same canonicalization in DuckDB, so a
+    regex-semantics divergence between engines would surface as a red
+    row rather than hide."""
+    orders = load_table(spark, sf_dir, "orders")
+    raw = orders.select(F.expr(_RAW_URL_SQL).alias("url"))
+    nofrag = F.regexp_replace("url", "#.*", "")
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(nofrag, "https?://([^/?#]+)", 1)),
+        r"^www\.",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(nofrag, "https?://[^/?#]+([^?#]*)", 1), "/+$", ""
+    )
+    q = F.array_join(
+        F.filter(
+            F.split(F.regexp_extract(nofrag, r"\?([^#]*)", 1), "&"),
+            lambda x: ~x.startswith("utm_"),
+        ),
+        "&",
+    )
+    canon = F.concat(
+        host, path, F.when(q != "", F.concat(F.lit("?"), q)).otherwise("")
+    )
+    return (
+        raw.select("url", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.count_distinct("url").cast("long").alias("n_raw_variants"),
+        )
+    )
+
+
+@query(
+    "x_unigram_logprob",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(str_split_regex(trim(text), ' +'),
+                                    x -> x <> '')) AS tok
+  FROM documents
+),
+cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+tot AS (SELECT sum(c) AS total FROM cnt),
+scored AS (
+  SELECT t.doc_id,
+         CAST(floor(ln(c / CAST(total AS DOUBLE)) * 1000000000 + 0.5)
+              AS BIGINT) AS slp
+  FROM tok t JOIN cnt USING (tok), tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       round(CAST(sum(slp) AS DOUBLE) / count(*) / 1000000000, 6)
+           AS avg_logprob
+FROM scored GROUP BY doc_id
+""",
+)
+def x_unigram_logprob(spark, sf_dir):
+    """Unigram language-model quality scoring (the cheap fluency filter
+    a pretraining pipeline runs corpus-wide): token frequencies over
+    the whole corpus become a broadcast vocabulary table (vocab-sized,
+    bounded at any corpus scale); each document then scores as the
+    mean log-probability of its tokens. Per-token logs are snapped to
+    integer nano-units BEFORE the per-doc sum, so the accumulation is
+    exact 64-bit integer addition — order-independent across engines
+    (the dsum lesson from tpch_q3 applied to logs); the single
+    rounding back to double happens once per doc. Plan: one token
+    count aggregate, one broadcast join, one per-doc aggregate — two
+    shuffles total, both on bounded keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.col("text")), " +"), lambda x: x != ""
+            )
+        ).alias("tok"),
+    )
+    cnt = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("total"))
+    scored = (
+        tok.join(F.broadcast(cnt), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(F.col("c") / F.col("total").cast("double")) * 1_000_000_000
+                + 0.5
+            )
+            .cast("long")
+            .alias("slp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tok"),
+        hround(
+            F.sum("slp").cast("double") / F.count("*") / 1_000_000_000, 6
+        ).alias("avg_logprob"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Gate priority (see registry.set_gate_order docstring). Round 3: the
 # driver records rows for the FIRST 50 queries() only, so front
