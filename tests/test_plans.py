@@ -379,3 +379,36 @@ def test_funnel_single_event_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x_funnel_conversion")
     assert plan.lower().count("hashpartitioning(user_id") <= 1, plan[:2000]
     assert plan.count("windowspecdefinition(user_id") >= 2
+
+
+def test_magic_bytes_detect_no_python_after_planting(spark, sf_dir):
+    """Format sniffing must stay JVM-side: the only Python stages are
+    the four planters (mapInPandas); classification adds none, and the
+    whole query is exchange-free (map-only over the union)."""
+    plan = _plan(spark, sf_dir, "x_magic_bytes_detect")
+    assert plan.count("MapInPandas") == 4, "expected exactly the 4 planters"
+    assert "Exchange" not in plan, "magic-byte sniffing must not shuffle"
+
+
+def test_drift_chi2_single_aggregate_pass(spark, sf_dir):
+    """Drift stat: one 10-key aggregate + broadcast 1-row totals — no
+    sort, no wide join."""
+    plan = _plan(spark, sf_dir, "x_drift_chi2")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
+    """The token-frequency table is vocab-sized — it must broadcast to
+    the scoring join, never shuffle the token stream twice."""
+    plan = _plan(spark, sf_dir, "x_unigram_logprob")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_url_canonical_is_map_then_single_agg(spark, sf_dir):
+    """Canonicalization is map-only (regex + HOF filter in codegen);
+    the only exchange is the final canonical-URL aggregate."""
+    plan = _plan(spark, sf_dir, "x_dedup_url_canonical")
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")
