@@ -47,6 +47,10 @@ HEADLINE = [
     # the hash-count + string-recovery double scan (boilerplate top-20)
     "x_pack_context_windows",
     "x_boilerplate_shingles",
+    # round 4 additions: the regex/HOF-heavy canonicalization map and
+    # the two-shuffle broadcast-vocab LM scoring pass
+    "x_dedup_url_canonical",
+    "x_unigram_logprob",
 ]
 
 

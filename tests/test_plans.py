@@ -150,32 +150,20 @@ def test_gate_order_fronts_unproven_queries():
     qs = list(all_queries())
     first50 = set(qs[:50])
     must_have_row = {
-        # round-3: queries whose only driver row is round 1 (r2 window
-        # rotated them out — restore row currency, r2 VERDICT #2)
-        "f_mapped_clean_projection", "f_regex_readgroup",
-        "f_interval_sanity_fix", "a_global_totals", "a_dedup_keep_best",
-        "j_semi_known_sites", "j_anti_known_sites", "j_range_exome_overlap",
-        "p2_interval_coalesce", "p2_equal_freq_buckets", "p2_skew_detect",
-        "u_distinct_variants", "u_intersect_except", "o_secondary_sort_first",
-        "o_topk_per_chr", "x_dedup_ngram_jaccard", "x_text_quality",
-        "x_lang_id", "x_doc_fingerprint", "x_ann_bruteforce_topk",
-        "x_ann_lsh_buckets", "x_pipe_external_tool", "x_flatmap_records",
-        "s_tumbling_counts", "s_sliding_avg", "s_session_windows",
-        "j_asof_latest_order", "a_pivot_status_qty", "a_exact_percentiles",
-        "a_covariate_table", "tpch_q4_order_priority",
-        # new this round
-        "x_multimodal_bmp_decode", "x_multimodal_wav_features",
-        "x_multimodal_y4m_frames",
-        "tpch_q6_forecast_revenue", "tpch_q8_market_share",
-        "tpch_q9_product_profit", "tpch_q10_returned_items",
-        "tpch_q11_important_stock", "tpch_q12_shipmode_priority",
-        "tpch_q13_customer_distribution", "tpch_q14_promo_effect",
-        "tpch_q15_top_supplier", "tpch_q16_supplier_parts",
-        "tpch_q21_waiting_supplier", "x_curation_write_audit",
-        # plan/body changed this round (o_global_sort_vcf yields its
-        # slot to y4m — value-identical cast change, LOCAL_GATE-covered)
-        "x_ann_ivf_topk", "x_ann_ivf_nprobe2", "x_curation_pipeline",
-        "a_lpt_schedule",
+        # round-4 (a): registered late in round 3, never driver-gated
+        "x_dedup_cc_clusters", "x_pack_context_windows",
+        "x_quality_quantile_filter", "x_blocklist_suffix_match",
+        "x_column_profile_histogram", "x_dau_wau_stickiness",
+        "x_cohort_retention", "x_funnel_conversion", "x_vocab_oov_rate",
+        "x_boilerplate_shingles", "x_multimodal_png_decode", "x_corr_exact",
+        "x_decontaminate_overlap", "x_string_agg_sorted", "x_gapfill_locf",
+        "x_mix_temperature_weights", "x_inverted_index",
+        "tpch_q21_waiting_agg_form",
+        # round-4 (b): new this round
+        "x_multimodal_jpeg_meta", "x_magic_bytes_detect",
+        "a_sketch_accuracy_audit", "x_drift_chi2",
+        "x_dedup_url_canonical", "x_unigram_logprob",
+        "x_per_source_cap", "x_bigram_pmi", "x_scd2_intervals",
     }
     missing = must_have_row - first50
     assert not missing, f"not in the driver's 50-query window: {missing}"
@@ -412,3 +400,27 @@ def test_url_canonical_is_map_then_single_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x_dedup_url_canonical")
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert plan.count("Exchange") <= 2, plan.count("Exchange")
+
+
+def test_per_source_cap_is_window_group_limit(spark, sf_dir):
+    """The per-source cap must locally truncate to 5 rows/source before
+    the shuffle (WindowGroupLimit), not rank the full corpus."""
+    plan = _plan(spark, sf_dir, "x_per_source_cap")
+    assert "WindowGroupLimit" in plan
+
+
+def test_bigram_pmi_broadcasts_vocab_and_takes_ordered(spark, sf_dir):
+    """PMI join: unigram lookups broadcast (vocab-bounded); the top-20
+    cut is TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, sf_dir, "x_bigram_pmi")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scd2_single_exchange_for_both_windows(spark, sf_dir):
+    """lag-filter and lead-stitch share the (user_id) partitioning: the
+    whole SCD2 build must need at most one user_id exchange plus the
+    final aggregate's."""
+    plan = _plan(spark, sf_dir, "x_scd2_intervals")
+    assert plan.count("Exchange") <= 3, plan.count("Exchange")
