@@ -5117,6 +5117,133 @@ def x_scd2_intervals(spark, sf_dir):
     )
 
 
+@query(
+    "j_full_outer_recon",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+tgt AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         o_totalprice + CASE WHEN o_orderkey % 11 = 0 THEN 1.0 ELSE 0.0 END
+             AS price
+  FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT coalesce(s.status, t.status) AS status,
+       CAST(sum(CASE WHEN s.k IS NOT NULL AND t.k IS NOT NULL
+                          AND s.price = t.price THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_matched,
+       CAST(sum(CASE WHEN s.k IS NOT NULL AND t.k IS NOT NULL
+                          AND s.price <> t.price THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_diff,
+       CAST(sum(CASE WHEN t.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_src_only,
+       CAST(sum(CASE WHEN s.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tgt_only
+FROM src s FULL OUTER JOIN tgt t ON s.k = t.k
+GROUP BY 1
+""",
+)
+def j_full_outer_recon(spark, sf_dir):
+    """Snapshot reconciliation (the source-vs-target diff audit every
+    replication/backfill pipeline runs): FULL OUTER join two snapshots
+    of the orders table on the business key and classify every key as
+    matched / value-drift / source-only / target-only, rolled up per
+    status. The two snapshots here are deterministic slices of orders
+    with a planted price drift on keys ≡ 0 (mod 11), so the oracle
+    pins all four audit classes to non-trivial counts. Plan: one
+    shuffle per side on the join key (co-partitioned full outer), then
+    a tiny status aggregate — at 100 TB this is the canonical
+    sort-merge full-outer, and bucketing both snapshots on the key
+    makes it exchange-free (sinks.write_bucketed_table)."""
+    od = load_table(spark, sf_dir, "orders")
+    src = od.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    tgt = od.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 11 == 0, 1.0).otherwise(0.0)
+        ).alias("price"),
+    )
+    s, t = src.alias("s"), tgt.alias("t")
+    j = s.join(t, F.col("s.k") == F.col("t.k"), "full_outer")
+    matched = F.col("s.k").isNotNull() & F.col("t.k").isNotNull()
+    return j.groupBy(
+        F.coalesce(F.col("s.status"), F.col("t.status")).alias("status")
+    ).agg(
+        F.sum(F.when(matched & (F.col("s.price") == F.col("t.price")), 1)
+              .otherwise(0)).cast("long").alias("n_matched"),
+        F.sum(F.when(matched & (F.col("s.price") != F.col("t.price")), 1)
+              .otherwise(0)).cast("long").alias("n_diff"),
+        F.sum(F.when(F.col("t.k").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_src_only"),
+        F.sum(F.when(F.col("s.k").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_tgt_only"),
+    )
+
+
+@query(
+    "x_entropy_per_doc",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(str_split_regex(trim(text), ' +'),
+                                    x -> x <> '')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+n AS (SELECT doc_id, sum(c) AS n_tok FROM tf GROUP BY doc_id)
+SELECT tf.doc_id,
+       CAST(any_value(n_tok) AS BIGINT) AS n_tok,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(CAST(sum(CAST(floor(-(c / CAST(n_tok AS DOUBLE))
+                             * ln(c / CAST(n_tok AS DOUBLE))
+                             * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000000, 6) AS entropy
+FROM tf JOIN n USING (doc_id)
+GROUP BY tf.doc_id
+""",
+)
+def x_entropy_per_doc(spark, sf_dir):
+    """Per-document token entropy (Shannon, natural log) — the
+    within-doc distribution quality signal (low entropy = repetitive /
+    template text; complements the corpus-level unigram logprob and
+    the Gopher repetition rules): H = -Σ p ln p over the doc's own
+    term frequencies. Each term's contribution is snapped to integer
+    nano-units BEFORE the per-doc sum (exact 64-bit accumulation,
+    order-independent — same recipe as x_unigram_logprob). Plan: one
+    (doc_id, tok) count aggregate, a doc-total computed by a window
+    over the SAME doc_id partitioning (no second shuffle of the token
+    stream), then the per-doc entropy aggregate. All keys are
+    doc-bounded; no broadcast needed, nothing corpus-wide."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.trim(F.col("text")), " +"), lambda x: x != "")
+        ).alias("tok"),
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("doc_id")
+    tf = tf.withColumn("n_tok", F.sum("c").over(w))
+    p = F.col("c") / F.col("n_tok").cast("double")
+    term = F.floor(-p * F.log(p) * 1_000_000_000 + 0.5).cast("long")
+    return tf.groupBy("doc_id").agg(
+        F.first("n_tok").cast("long").alias("n_tok"),
+        F.count("*").cast("long").alias("n_distinct"),
+        hround(
+            F.sum(term).cast("double") / 1_000_000_000, 6
+        ).alias("entropy"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Gate priority (see registry.set_gate_order docstring). Round 4: the
 # driver records rows for the FIRST 50 queries() only, so front
@@ -5125,8 +5252,8 @@ def x_scd2_intervals(spark, sf_dir):
 # (b) the 6 queries NEW this round (JPEG header parse, magic-bytes
 #     sniffing, sketch-accuracy audit, chi-square drift, canonical-URL
 #     dedup, unigram LM scoring),
-# (c) 23 of the 46 queries whose last driver row is round 2 — oldest
-#     driver-row age first; the remaining 23 rotate into the round-5
+# (c) 21 of the 46 queries whose last driver row is round 2 — oldest
+#     driver-row age first; the remaining 25 rotate into the round-5
 #     window (listed in the tail comment below) and carry this round's
 #     committed LOCAL_GATE_r4 as their current signal.
 # That is exactly 50. No plan-changed queries this round (the keep_best
@@ -5166,8 +5293,11 @@ set_gate_order([
     "x_per_source_cap",
     "x_bigram_pmi",
     "x_scd2_intervals",
-    # (c) last driver row is round-2 — oldest first, 23 of 46; the
-    # other 23 (f_null_semantics, x_json_props_extract,
+    "j_full_outer_recon",
+    "x_entropy_per_doc",
+    # (c) last driver row is round-2 — oldest first, 21 of 46; the
+    # other 25 (o_topk_global_limit, w_frame_lag_lead_range,
+    # f_null_semantics, x_json_props_extract,
     # f_ignore_table_antijoin, a_cube_revenue, w_first_last_nth, x_vector_stats_hof,
     # w_rank_family, x_fuzzy_levenshtein, a_date_parts, a_minmax_by_bool,
     # x_vocab_topk, x_tfidf_top_terms, x_embedding_quantize,
@@ -5196,6 +5326,4 @@ set_gate_order([
     "tpch_q18_large_orders",
     "f_permissive_line_parse",
     "s_paired_interleave",
-    "o_topk_global_limit",
-    "w_frame_lag_lead_range",
 ])

@@ -164,6 +164,7 @@ def test_gate_order_fronts_unproven_queries():
         "a_sketch_accuracy_audit", "x_drift_chi2",
         "x_dedup_url_canonical", "x_unigram_logprob",
         "x_per_source_cap", "x_bigram_pmi", "x_scd2_intervals",
+        "j_full_outer_recon", "x_entropy_per_doc",
     }
     missing = must_have_row - first50
     assert not missing, f"not in the driver's 50-query window: {missing}"
@@ -424,3 +425,12 @@ def test_scd2_single_exchange_for_both_windows(spark, sf_dir):
     final aggregate's."""
     plan = _plan(spark, sf_dir, "x_scd2_intervals")
     assert plan.count("Exchange") <= 3, plan.count("Exchange")
+
+
+def test_entropy_per_doc_single_token_shuffle(spark, sf_dir):
+    """Doc totals come from a window over the SAME doc_id partitioning
+    as the tf aggregate — the token stream must shuffle once, not
+    twice (≤2 exchanges: tf agg + AQE read)."""
+    plan = _plan(spark, sf_dir, "x_entropy_per_doc")
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")
+    assert "BroadcastHashJoin" not in plan  # no join needed at all
