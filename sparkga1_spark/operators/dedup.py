@@ -88,7 +88,7 @@ def minhash_signature_rows(
     return rows.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(
+def minhash_band_keys(
     rows: DataFrame,
     *,
     id_col: str,
@@ -96,21 +96,16 @@ def minhash_lsh_pairs(
     n_hashes: int = 8,
     band_size: int = 2,
 ) -> DataFrame:
-    """MinHash + LSH banding over shingle ROWS: documents sharing any
-    band of their signature become a candidate pair (id_a < id_b,
-    distinct).
-
-    Scale shape: signatures are one narrow row per doc; banding explodes
-    to n_hashes/band_size rows per doc; the candidate join is an
-    equi-join on (band_index, band_key) — shuffle keys are 16 bytes, and
-    AQE splits hot buckets. No pairwise work ever touches non-candidates,
-    which is the whole point vs the O(n²) brute force.
-    """
+    """(id, band, key) LSH band rows from shingle-hash rows — the
+    joinable form of a MinHash signature. Exposed separately so
+    INCREMENTAL dedup can band-join a new batch against an existing
+    corpus (batch bands ⋈ corpus bands) instead of paying the full
+    corpus self-join every ingest."""
     sig = minhash_signature_rows(
         rows, id_col=id_col, hash_col=hash_col, n_hashes=n_hashes
     )
     n_bands = n_hashes // band_size
-    bands = sig.select(
+    return sig.select(
         id_col,
         F.explode(
             F.array(
@@ -130,6 +125,30 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def minhash_lsh_pairs(
+    rows: DataFrame,
+    *,
+    id_col: str,
+    hash_col: str = "h",
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """MinHash + LSH banding over shingle ROWS: documents sharing any
+    band of their signature become a candidate pair (id_a < id_b,
+    distinct).
+
+    Scale shape: signatures are one narrow row per doc; banding explodes
+    to n_hashes/band_size rows per doc; the candidate join is an
+    equi-join on (band_index, band_key) — shuffle keys are 16 bytes, and
+    AQE splits hot buckets. No pairwise work ever touches non-candidates,
+    which is the whole point vs the O(n²) brute force.
+    """
+    bands = minhash_band_keys(
+        rows, id_col=id_col, hash_col=hash_col,
+        n_hashes=n_hashes, band_size=band_size,
+    )
     # the self-join consumes bands twice; persist so signatures (and the
     # md5 shingle lineage above them) are computed once
     bands = tracked_persist(bands)

@@ -5244,6 +5244,140 @@ def x_entropy_per_doc(spark, sf_dir):
     )
 
 
+@query(
+    "x_incremental_dedup_triage",
+    oracle=f"""
+WITH {LSH_PAIRS_WITH_SQL},
+bh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h,
+         doc_id % 3 = 0 AS is_batch
+  FROM documents
+),
+exact AS (
+  SELECT DISTINCT b.doc_id FROM bh b JOIN bh c ON b.h = c.h
+  WHERE b.is_batch AND NOT c.is_batch
+),
+near AS (
+  SELECT DISTINCT CASE WHEN id_a % 3 = 0 THEN id_a ELSE id_b END AS doc_id
+  FROM lsh_pairs WHERE (id_a % 3 = 0) <> (id_b % 3 = 0)
+)
+SELECT CAST((SELECT count(*) FROM bh WHERE is_batch) AS BIGINT) AS n_batch,
+       CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact_dup,
+       CAST((SELECT count(*) FROM near
+             WHERE doc_id NOT IN (SELECT doc_id FROM exact)) AS BIGINT)
+           AS n_near_dup_only,
+       CAST((SELECT count(*) FROM bh WHERE is_batch)
+            - (SELECT count(*) FROM exact)
+            - (SELECT count(*) FROM near
+               WHERE doc_id NOT IN (SELECT doc_id FROM exact)) AS BIGINT)
+           AS n_new
+""",
+)
+def x_incremental_dedup_triage(spark, sf_dir):
+    """Incremental-ingest dedup triage (the per-crawl admission step:
+    which arriving documents are exact copies of the corpus, near-dups
+    of it, or genuinely new): docs with doc_id ≡ 0 (mod 3) play the
+    arriving batch, the rest the standing corpus. Exact matches via
+    stable content-hash SEMI join (batch ⋈ corpus on the 8-byte hash);
+    near-dups via MinHash BAND keys — batch bands semi-join corpus
+    bands on (band, key), so the per-ingest cost is |batch| × band
+    fan-out against an indexed corpus, NEVER the corpus self-join
+    (that is the incremental advantage over x_dedup_minhash_lsh, and
+    why operators/dedup.py exposes minhash_band_keys separately). The
+    oracle recomputes both classifications from the whole-corpus pair
+    set — the cross-pair filter there is definitionally the same set
+    the band semi-join finds. Output: one audit row (n_batch,
+    n_exact_dup, n_near_dup_only, n_new)."""
+    from sparkga1_spark.functions.hashing import stable_hash64
+    from sparkga1_spark.operators.dedup import minhash_band_keys
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 3 == 0
+    withh = docs.select("doc_id", "text", stable_hash64(F.col("text")).alias("_h"))
+    batch, corpus = withh.filter(is_batch), withh.filter(~is_batch)
+
+    exact = batch.join(
+        corpus.select("_h"), "_h", "left_semi"
+    ).select("doc_id")
+
+    rows = T.shingle_hash_rows(docs)
+    bands = minhash_band_keys(rows, id_col="doc_id")
+    b_bands = bands.filter(F.col("doc_id") % 3 == 0)
+    c_bands = bands.filter(F.col("doc_id") % 3 != 0)
+    near = (
+        b_bands.join(c_bands.select("band", "key"), ["band", "key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+    flags = (
+        batch.select("doc_id")
+        .join(exact.withColumn("_e", F.lit(1)), "doc_id", "left")
+        .join(near.withColumn("_n", F.lit(1)), "doc_id", "left")
+    )
+    return flags.agg(
+        F.count("*").cast("long").alias("n_batch"),
+        F.sum(F.when(F.col("_e").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact_dup"),
+        F.sum(
+            F.when(F.col("_n").isNotNull() & F.col("_e").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_near_dup_only"),
+        F.sum(
+            F.when(F.col("_n").isNull() & F.col("_e").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_new"),
+    )
+
+
+@query(
+    "a_grouping_sets_revenue",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       (CAST(floor(sum(CAST((o_totalprice) AS DECIMAL(18,6))) * 100 + 0.5)
+             AS DOUBLE) / 100) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderpriority), ())
+""",
+)
+def a_grouping_sets_revenue(spark, sf_dir):
+    """Arbitrary GROUPING SETS — the combination rollup/cube can't
+    express: ((status, priority), (priority), ()) skips the
+    (status)-only level a ROLLUP would force and the (status) slice a
+    CUBE would add. One pass over orders; Catalyst expands the sets
+    into a single Expand + hash aggregate (each input row fans out
+    once per set, partial aggs map-side — same cost model as rollup).
+    Revenue uses the order-independent decimal accumulation (dsum).
+    Labels use coalesce sentinels because status/priority are
+    non-null in the data, keeping the output engine-portable without
+    grouping_id bit conventions."""
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            dsum("o_totalprice", 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Gate priority (see registry.set_gate_order docstring). Round 4: the
 # driver records rows for the FIRST 50 queries() only, so front
@@ -5252,8 +5386,8 @@ def x_entropy_per_doc(spark, sf_dir):
 # (b) the 6 queries NEW this round (JPEG header parse, magic-bytes
 #     sniffing, sketch-accuracy audit, chi-square drift, canonical-URL
 #     dedup, unigram LM scoring),
-# (c) 21 of the 46 queries whose last driver row is round 2 — oldest
-#     driver-row age first; the remaining 25 rotate into the round-5
+# (c) 19 of the 46 queries whose last driver row is round 2 — oldest
+#     driver-row age first; the remaining 27 rotate into the round-5
 #     window (listed in the tail comment below) and carry this round's
 #     committed LOCAL_GATE_r4 as their current signal.
 # That is exactly 50. No plan-changed queries this round (the keep_best
@@ -5295,8 +5429,11 @@ set_gate_order([
     "x_scd2_intervals",
     "j_full_outer_recon",
     "x_entropy_per_doc",
-    # (c) last driver row is round-2 — oldest first, 21 of 46; the
-    # other 25 (o_topk_global_limit, w_frame_lag_lead_range,
+    "x_incremental_dedup_triage",
+    "a_grouping_sets_revenue",
+    # (c) last driver row is round-2 — oldest first, 19 of 46; the
+    # other 27 (f_permissive_line_parse, s_paired_interleave,
+    # o_topk_global_limit, w_frame_lag_lead_range,
     # f_null_semantics, x_json_props_extract,
     # f_ignore_table_antijoin, a_cube_revenue, w_first_last_nth, x_vector_stats_hof,
     # w_rank_family, x_fuzzy_levenshtein, a_date_parts, a_minmax_by_bool,
@@ -5324,6 +5461,4 @@ set_gate_order([
     "tpch_q5_local_supplier",
     "tpch_q17_small_quantity",
     "tpch_q18_large_orders",
-    "f_permissive_line_parse",
-    "s_paired_interleave",
 ])

@@ -165,6 +165,7 @@ def test_gate_order_fronts_unproven_queries():
         "x_dedup_url_canonical", "x_unigram_logprob",
         "x_per_source_cap", "x_bigram_pmi", "x_scd2_intervals",
         "j_full_outer_recon", "x_entropy_per_doc",
+        "x_incremental_dedup_triage", "a_grouping_sets_revenue",
     }
     missing = must_have_row - first50
     assert not missing, f"not in the driver's 50-query window: {missing}"
