@@ -370,3 +370,104 @@ def ivf_topk_trained(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("cand_id"), "cos_sim", "rank")
     )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: Column,
+    codebook_pred: Column,
+    n_subspaces: int = 4,
+    sub_dim: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Product-quantization asymmetric-distance top-k (the query-time
+    half of PQ; the encode audit is plans/queries.py x_pq_encode):
+    every vector is encoded as `n_subspaces` one-byte codes against a
+    codebook (rows matching `codebook_pred`, one code per codebook
+    row), each query (rows matching `query_pred`) precomputes a
+    per-(subspace, code) distance LUT, and candidates are scored by
+    code lookups — no raw floats touched at scan time.
+
+    Determinism: per-cell distances are rounded to 6dp then snapped to
+    integer micro-units; (distance, code) packs into one BIGINT so the
+    assignment argmin is a plain hash-aggregable min(); candidate
+    scores are exact integer sums ranked with an id tiebreak.
+
+    Scale shape: codebook and LUT broadcast (both tiny); encode and
+    scoring are broadcast joins + partial/final aggregates keyed by
+    (id, subspace) and (query, id); the top-k cut is a
+    WindowGroupLimit. Recall depends on codebook quality — train one
+    with kmeans_fit per subspace for real data; planted-twin recall is
+    measured in tests/test_ann_recall.py."""
+    from pyspark.sql import Window
+
+    from sparkga1_spark.functions.numeric import hround
+
+    s_ids = F.explode(
+        F.array(*[F.lit(s) for s in range(n_subspaces)])
+    ).alias("subspace")
+    sub = (
+        emb.select(id_col, vec_col, s_ids)
+        .withColumn(
+            "xvec",
+            F.slice(
+                F.col(vec_col), F.col("subspace") * sub_dim + 1, sub_dim
+            ).cast("array<double>"),
+        )
+        .drop(vec_col)
+    )
+    cb = (
+        emb.filter(codebook_pred)
+        .select(F.col(id_col).alias("_cbid"), vec_col, s_ids)
+        .withColumn(
+            "cvec",
+            F.slice(
+                F.col(vec_col), F.col("subspace") * sub_dim + 1, sub_dim
+            ).cast("array<double>"),
+        )
+        .drop(vec_col)
+    )
+    # dense 0..n-1 codes from the codebook rows (stable by id order)
+    w_cb = Window.partitionBy("subspace").orderBy("_cbid")
+    cb = cb.withColumn("code", F.row_number().over(w_cb) - 1).drop("_cbid")
+    diff = F.zip_with("xvec", "cvec", lambda p, q: p - q)
+    dist = F.aggregate(
+        F.zip_with(diff, diff, lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dmicro = F.floor(hround(dist, 6) * 1_000_000 + 0.5).cast("long")
+    n_codes = 1 << 20  # id-packing base; codes are << this
+    packed = dmicro * n_codes + F.col("code")
+    codes = (
+        sub.join(F.broadcast(cb), "subspace")
+        .select(id_col, "subspace", packed.alias("_k"))
+        .groupBy(id_col, "subspace")
+        .agg((F.min("_k") % n_codes).alias("code"))
+    )
+    lut = (
+        sub.filter(query_pred)
+        .withColumnRenamed(id_col, "_qid")
+        .join(F.broadcast(cb), "subspace")
+        .select("_qid", "subspace", "code", dmicro.alias("_dm"))
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .filter(F.col(id_col) != F.col("_qid"))
+        .groupBy(F.col("_qid").alias("query_id"), F.col(id_col).alias("cand_id"))
+        .agg(F.sum("_dm").alias("d_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy("d_micro", "cand_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("d_micro").cast("long").alias("d_micro"),
+        )
+    )

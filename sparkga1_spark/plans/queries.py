@@ -5378,6 +5378,310 @@ def a_grouping_sets_revenue(spark, sf_dir):
     )
 
 
+_SIMHASH16_SQL = " + ".join(
+    f"(CASE WHEN list_sum([CASE WHEN (x & {1 << i}) > 0 THEN 1 ELSE -1 END for x in sh]) > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(16)
+)
+
+
+@query(
+    "x_simhash_hamming_pairs",
+    oracle=f"""
+WITH doc_shingles AS ({DOC_SHINGLES_SQL}),
+sh AS (
+  SELECT doc_id, CAST({_SIMHASH16_SQL} AS BIGINT) AS simhash
+  FROM doc_shingles WHERE len(sh) > 0
+),
+nib AS (
+  SELECT doc_id, simhash, k, (simhash >> (4*k)) & 15 AS v
+  FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) t
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         bit_count(xor(l.simhash, r.simhash)) AS hamming
+  FROM nib l JOIN nib r
+    ON l.k = r.k AND l.v = r.v AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+FROM cand WHERE hamming <= 3
+""",
+)
+def x_simhash_hamming_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS — the stage x_dedup_simhash's
+    fingerprints feed (completing the SimHash story the way
+    minhash→LSH→jaccard is already complete): all pairs within
+    Hamming distance ≤ 3 of the 16-bit fingerprint. Candidate
+    generation is the pigeonhole band trick — split 16 bits into 4
+    nibbles; d(a,b) ≤ 3 can flip at most 3 nibbles, so every
+    qualifying pair SHARES at least one exact nibble — making
+    candidates an equi-join on (nibble_index, nibble_value), never an
+    all-pairs scan. Verification is one codegen'd
+    bit_count(xor) ≤ 3. At 100 TB: fingerprints are one 8-byte row
+    per doc, the band join shuffles 4 rows/doc on 1-byte values
+    (+ band index), and AQE splits hot nibble buckets exactly like
+    LSH bands."""
+    from sparkga1_spark.operators.dedup import simhash16_rows
+
+    rows = _doc_shingle_rows(spark, sf_dir)
+    sh = simhash16_rows(rows, id_col="doc_id")
+    nib = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("k"),
+    ).withColumn("v", F.expr("shiftright(simhash, k * 4) & 15"))
+    l, r = nib.alias("l"), nib.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.k") == F.col("r.k"))
+            & (F.col("l.v") == F.col("r.v"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= 3)
+
+
+@query(
+    "x_pq_encode",
+    oracle="""
+WITH cb AS (
+  SELECT vec_id AS code, s.s AS subspace,
+         CAST(embedding[s.s*16+1 : s.s*16+16] AS DOUBLE[]) AS cvec
+  FROM embeddings CROSS JOIN (SELECT unnest([0,1,2,3]) AS s) s
+  WHERE vec_id < 4
+),
+sub AS (
+  SELECT vec_id, s.s AS subspace,
+         CAST(embedding[s.s*16+1 : s.s*16+16] AS DOUBLE[]) AS xvec
+  FROM embeddings CROSS JOIN (SELECT unnest([0,1,2,3]) AS s) s
+),
+scored AS (
+  SELECT vec_id, subspace,
+         CAST(floor(round(list_inner_product(
+                [xvec[i] - cvec[i] for i in generate_series(1, 16)],
+                [xvec[i] - cvec[i] for i in generate_series(1, 16)]), 6)
+              * 1000000 + 0.5) AS BIGINT) * 4 + code AS k
+  FROM sub JOIN cb USING (subspace)
+),
+assigned AS (
+  SELECT vec_id, subspace, min(k) AS k FROM scored GROUP BY vec_id, subspace
+)
+SELECT subspace, CAST(k % 4 AS BIGINT) AS code,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(sum(k // 4) AS DOUBLE) / count(*) / 1000000, 6) AS avg_err
+FROM assigned GROUP BY subspace, k % 4
+""",
+)
+def x_pq_encode(spark, sf_dir):
+    """Product-quantization ENCODE (the memory-scale path for ANN: a
+    64-dim vector becomes 4 one-byte codes): split each embedding into
+    4×16-dim subspaces, assign each slice to its nearest of 4
+    codebook centroids (deterministic codebook = the slices of
+    vec_id 0-3, the seeded-codebook analog of the IVF seed variant;
+    k-means-trained codebooks slot in via similarity.kmeans_fit
+    exactly like ivf_topk_trained). Distances are the sequential
+    (p-q)² fold both engines compute identically (functions/vectors
+    lesson), rounded to 6dp BEFORE the argmin with a code tiebreak so
+    assignment can't flip on last-ulp noise; per-vector quantization
+    error is snapped to integer micro-units before the per-cell sum
+    (order-independent). Output: the 16-cell code histogram + mean
+    quantization error per cell — the PQ training audit. Plan:
+    codebook is a broadcast 16-row table; encode is map-side
+    (explode ×4, broadcast join ×4 codes, argmin agg keyed by
+    (vec_id, subspace)); nothing corpus-wide shuffles except the
+    16-key histogram."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    s_ids = F.explode(F.array(*[F.lit(s) for s in range(4)])).alias("subspace")
+    sub = (
+        emb.select("vec_id", "embedding", s_ids)
+        .withColumn(
+            "xvec",
+            F.slice(F.col("embedding"), F.col("subspace") * 16 + 1, 16).cast(
+                "array<double>"
+            ),
+        )
+        .drop("embedding")
+    )
+    cb = (
+        emb.filter(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("code"), "embedding", s_ids)
+        .withColumn(
+            "cvec",
+            F.slice(F.col("embedding"), F.col("subspace") * 16 + 1, 16).cast(
+                "array<double>"
+            ),
+        )
+        .drop("embedding")
+    )
+    diff = F.zip_with("xvec", "cvec", lambda p, q: p - q)
+    dist = F.aggregate(
+        F.zip_with(diff, diff, lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # pack (micro-rounded distance, code) into ONE exact integer key:
+    # min(k) is then the argmin with code tiebreak, hash-aggregable on
+    # both engines (min_by over a struct is not — DuckDB rejects it,
+    # Spark falls back to SortAggregate; see PLANS.md keep_best note)
+    k = (
+        F.floor(hround(dist, 6) * 1_000_000 + 0.5).cast("long") * 4
+        + F.col("code")
+    )
+    scored = sub.join(F.broadcast(cb), "subspace").select(
+        "vec_id", "subspace", k.alias("k")
+    )
+    assigned = scored.groupBy("vec_id", "subspace").agg(F.min("k").alias("k"))
+    return assigned.groupBy(
+        "subspace", (F.col("k") % 4).alias("code")
+    ).agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        hround(
+            F.sum(F.expr("k div 4")).cast("double") / F.count("*") / 1_000_000,
+            6,
+        ).alias("avg_err"),
+    )
+
+
+@query(
+    "o_zorder_cluster",
+    oracle="""
+WITH z AS (
+  SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y,
+         list_sum([(((l_partkey % 1024) >> i) & 1) * (CAST(1 AS BIGINT) << (2*i))
+                   + (((l_suppkey % 1024) >> i) & 1) * (CAST(1 AS BIGINT) << (2*i+1))
+                   for i in generate_series(0, 9)]) AS zkey
+  FROM lineitem
+)
+SELECT CAST(zkey // 16384 AS BIGINT) AS zbucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+       CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+FROM z GROUP BY 1
+""",
+)
+def o_zorder_cluster(spark, sf_dir):
+    """Z-order (Morton) clustering key — the multi-dimensional sort
+    key lakehouse OPTIMIZE/ZORDER uses so that range predicates on
+    EITHER column prune files: interleave the bits of two 10-bit
+    dimensions into one 20-bit key, bucket by the top 6 bits, and
+    audit each bucket's bounding rectangle (min/max of both dims).
+    Because Morton buckets are axis-aligned squares, every bucket's
+    x/y ranges stay narrow — exactly the data-skipping property the
+    oracle's per-bucket min/max pins (a bit-interleave bug would show
+    as full-width rectangles and break the hash). The interleave is a
+    20-term codegen'd integer expression (no UDF); the audit is one
+    64-key aggregate. At 100 TB you'd write files sorted by zkey via
+    sinks.write_partitioned_sorted and get 2-D pruning from 1-D file
+    stats."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_partkey") % 1024
+    y = F.col("l_suppkey") % 1024
+    zkey = F.lit(0)
+    for i in range(10):
+        zkey = (
+            zkey
+            + F.shiftright(x, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+            + F.shiftright(y, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+        )
+    z = li.select(x.alias("x"), y.alias("y"), zkey.alias("zkey"))
+    return z.groupBy(
+        (F.col("zkey") / 16384).cast("long").alias("zbucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("x").cast("long").alias("x_min"),
+        F.max("x").cast("long").alias("x_max"),
+        F.min("y").cast("long").alias("y_min"),
+        F.max("y").cast("long").alias("y_max"),
+    )
+
+
+@query(
+    "x_ann_pq_adc_topk",
+    oracle="""
+WITH cb AS (
+  SELECT vec_id AS code, s.s AS subspace,
+         CAST(embedding[s.s*16+1 : s.s*16+16] AS DOUBLE[]) AS cvec
+  FROM embeddings CROSS JOIN (SELECT unnest([0,1,2,3]) AS s) s
+  WHERE vec_id < 4
+),
+sub AS (
+  SELECT vec_id, s.s AS subspace,
+         CAST(embedding[s.s*16+1 : s.s*16+16] AS DOUBLE[]) AS xvec
+  FROM embeddings CROSS JOIN (SELECT unnest([0,1,2,3]) AS s) s
+),
+scored AS (
+  SELECT vec_id, subspace,
+         CAST(floor(round(list_inner_product(
+                [xvec[i] - cvec[i] for i in generate_series(1, 16)],
+                [xvec[i] - cvec[i] for i in generate_series(1, 16)]), 6)
+              * 1000000 + 0.5) AS BIGINT) * 4 + code AS k
+  FROM sub JOIN cb USING (subspace)
+),
+codes AS (
+  SELECT vec_id, subspace, min(k) % 4 AS code
+  FROM scored GROUP BY vec_id, subspace
+),
+lut AS (
+  SELECT q.vec_id AS qid, cb.subspace, cb.code,
+         CAST(floor(round(list_inner_product(
+                [xvec[i] - cvec[i] for i in generate_series(1, 16)],
+                [xvec[i] - cvec[i] for i in generate_series(1, 16)]), 6)
+              * 1000000 + 0.5) AS BIGINT) AS dm
+  FROM (SELECT * FROM sub WHERE vec_id BETWEEN 4 AND 8) q
+  JOIN cb ON cb.subspace = q.subspace
+),
+adc AS (
+  SELECT qid, c.vec_id AS cand_id, sum(dm) AS dm
+  FROM codes c JOIN lut ON lut.subspace = c.subspace AND lut.code = c.code
+  WHERE c.vec_id <> qid
+  GROUP BY qid, c.vec_id
+)
+SELECT qid AS query_id, cand_id, CAST(rank AS INTEGER) AS rank,
+       CAST(dm AS BIGINT) AS d_micro
+FROM (
+  SELECT qid, cand_id, dm,
+         row_number() OVER (PARTITION BY qid ORDER BY dm, cand_id) AS rank
+  FROM adc
+)
+WHERE rank <= 3
+""",
+)
+def x_ann_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance (ADC) top-k — the query-time half of
+    product quantization (x_pq_encode is the index-build half):
+    approx dist(q, x) = Σ_s ||q_s − codebook[s, code_s(x)]||², i.e.
+    each query precomputes a 16-entry lookup table (4 subspaces × 4
+    codes) and every database vector is scored by FOUR table lookups
+    instead of a 64-dim float kernel. Per-cell LUT distances are
+    micro-unit integers, so the per-candidate sum is exact 64-bit
+    addition and the (distance, id) ranking is tie-stable across
+    engines. Plan: codes = the encode aggregate (4 narrow rows/vec);
+    the LUT (5 queries × 16 cells) BROADCASTS; scoring is one
+    partial+final sum keyed (query, candidate); the top-3 cut is a
+    WindowGroupLimit. At 100 TB this is the textbook memory-bound ANN
+    scan — candidates never touch raw floats, only their byte codes.
+    Recall vs the exact baseline is measured in
+    tests/test_ann_recall.py (planted-twin floor), extending the
+    IVF/LSH recall table in PLANS.md."""
+    from sparkga1_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb,
+        query_pred=F.col("vec_id").between(4, 8),
+        codebook_pred=F.col("vec_id") < 4,
+        k=3,
+    )
+
+
 # --------------------------------------------------------------------------
 # Gate priority (see registry.set_gate_order docstring). Round 4: the
 # driver records rows for the FIRST 50 queries() only, so front
@@ -5386,8 +5690,8 @@ def a_grouping_sets_revenue(spark, sf_dir):
 # (b) the 6 queries NEW this round (JPEG header parse, magic-bytes
 #     sniffing, sketch-accuracy audit, chi-square drift, canonical-URL
 #     dedup, unigram LM scoring),
-# (c) 19 of the 46 queries whose last driver row is round 2 — oldest
-#     driver-row age first; the remaining 27 rotate into the round-5
+# (c) 15 of the 46 queries whose last driver row is round 2 — oldest
+#     driver-row age first; the remaining 31 rotate into the round-5
 #     window (listed in the tail comment below) and carry this round's
 #     committed LOCAL_GATE_r4 as their current signal.
 # That is exactly 50. No plan-changed queries this round (the keep_best
@@ -5431,8 +5735,14 @@ set_gate_order([
     "x_entropy_per_doc",
     "x_incremental_dedup_triage",
     "a_grouping_sets_revenue",
-    # (c) last driver row is round-2 — oldest first, 19 of 46; the
-    # other 27 (f_permissive_line_parse, s_paired_interleave,
+    "x_simhash_hamming_pairs",
+    "x_pq_encode",
+    "o_zorder_cluster",
+    "x_ann_pq_adc_topk",
+    # (c) last driver row is round-2 — oldest first, 15 of 46; the
+    # other 31 (tpch_q3_shipping_priority,
+    # tpch_q5_local_supplier, tpch_q17_small_quantity,
+    # tpch_q18_large_orders, f_permissive_line_parse, s_paired_interleave,
     # o_topk_global_limit, w_frame_lag_lead_range,
     # f_null_semantics, x_json_props_extract,
     # f_ignore_table_antijoin, a_cube_revenue, w_first_last_nth, x_vector_stats_hof,
@@ -5457,8 +5767,4 @@ set_gate_order([
     "x_multimodal_framesample",
     "x_multimodal_audio_features",
     "a_rollup_revenue",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
 ])

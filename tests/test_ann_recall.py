@@ -111,3 +111,46 @@ def test_raw_recall_dial_is_monotone(spark, sf_dir):
 
     r1, r2 = recall(1), recall(2)
     assert r2 >= r1 > 0
+
+
+def test_pq_adc_planted_twin_near_min_distance(spark):
+    """PQ-ADC planted-twin bounds: a near-twin usually lands in the
+    query's code cell, but a slice sitting near a code boundary can
+    flip one argmin under the perturbation — so the honest invariant
+    is PROXIMITY, not equality: every twin's ADC distance is within 5%
+    of the per-query minimum (measured max gap 1.1% at sf0.01 / 2.6%
+    at sf0.001), every twin ranks in the top 15, and recall@3 ≥ 0.6
+    (0.75 observed; untrained seeded codebook —
+    kmeans_fit-per-subspace is the trained upgrade path). A wrong
+    encode argmin, LUT cell, or candidate sum blows these bounds."""
+    from pyspark.sql import functions as F
+
+    from sparkga1_spark.operators.similarity import pq_adc_topk
+    from sparkga1_spark.sources import fixtures
+
+    emb = fixtures.embeddings_with_neardups(
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    )
+    top = pq_adc_topk(
+        emb,
+        query_pred=F.col("vec_id") >= 1_000_000,
+        codebook_pred=F.col("vec_id") < 4,
+        k=1000,  # full ranking so the twin's distance is always present
+    ).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 20
+    hits3 = 0
+    for qid, rows in by_q.items():
+        twin = qid - 1_000_000
+        dmin = min(r.d_micro for r in rows)
+        twin_rows = [r for r in rows if r.cand_id == twin]
+        assert twin_rows, f"twin {twin} missing from ranking of {qid}"
+        assert twin_rows[0].d_micro <= 1.05 * dmin, (
+            f"twin {twin} ADC distance {twin_rows[0].d_micro} vs min {dmin}"
+        )
+        assert twin_rows[0].rank <= 15, (qid, twin_rows[0].rank)
+        if twin_rows[0].rank <= 3:
+            hits3 += 1
+    assert hits3 / len(by_q) >= 0.6, f"recall@3 regressed: {hits3}/20"

@@ -113,3 +113,59 @@ def test_ivf_trained_nprobe_dial(spark, emb):
     for q, c, cos, rank in r2:
         if rank == 1:
             assert cos >= best1[q] - 1e-12
+
+
+def test_pq_trained_codebook_lowers_error(spark):
+    """The x_pq_encode docstring claims kmeans_fit per subspace is the
+    trained upgrade path — prove it: per-subspace k-means(4) codebooks
+    must give a strictly lower TOTAL quantization error than the
+    seeded (vec_id<4) codebook on the same vectors."""
+    from pyspark.sql import functions as F
+
+    from sparkga1_spark.operators.similarity import kmeans_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def total_err(codebooks):  # {subspace: [4 centroids of dim 16]}
+        tot = 0.0
+        for s in range(4):
+            sliced = emb.select(
+                F.slice(F.col("embedding"), s * 16 + 1, 16)
+                .cast("array<double>")
+                .alias("x")
+            )
+            cents = codebooks[s]
+            d = F.least(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            "x",
+                            F.array(*[F.lit(float(v)) for v in c]),
+                            lambda p, q: (p - q) * (p - q),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    for c in cents
+                ]
+            )
+            tot += sliced.agg(F.sum(d)).collect()[0][0]
+        return tot
+
+    seeded_rows = {
+        r.vec_id: r.embedding
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    }
+    seeded = {
+        s: [list(map(float, seeded_rows[i][s * 16 : s * 16 + 16])) for i in range(4)]
+        for s in range(4)
+    }
+    trained = {}
+    for s in range(4):
+        sliced = emb.select(
+            "vec_id",
+            F.slice(F.col("embedding"), s * 16 + 1, 16).alias("embedding"),
+        )
+        trained[s] = kmeans_fit(sliced, dim=16, k=4, iters=5)
+    e_seed, e_train = total_err(seeded), total_err(trained)
+    assert e_train < e_seed, (e_train, e_seed)

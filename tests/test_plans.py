@@ -166,6 +166,8 @@ def test_gate_order_fronts_unproven_queries():
         "x_per_source_cap", "x_bigram_pmi", "x_scd2_intervals",
         "j_full_outer_recon", "x_entropy_per_doc",
         "x_incremental_dedup_triage", "a_grouping_sets_revenue",
+        "x_simhash_hamming_pairs", "x_pq_encode", "o_zorder_cluster",
+        "x_ann_pq_adc_topk",
     }
     missing = must_have_row - first50
     assert not missing, f"not in the driver's 50-query window: {missing}"

@@ -491,3 +491,62 @@ def test_stateful_event_time_timeout_closes_sessions(spark, tmp_path):
         last = base + dt.timedelta(minutes=2 * (u - 1))
         want.add((u, u, int(last.replace(tzinfo=dt.timezone.utc).timestamp())))
     assert got == want  # exactly the 5 closed sessions, once each; 999 open
+
+
+def test_stream_incremental_dedup_triage(spark, sf_dir, tmp_path):
+    """Streaming ingest × dedup: each arriving micro-batch of documents
+    is triaged against the STANDING corpus inside foreachBatch — exact
+    copies dropped via content-hash anti-join, survivors appended.
+    After draining a source that is half corpus-duplicates, the sink
+    must hold exactly the non-duplicate docs (batch boundaries must
+    not change the outcome)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkga1_spark.functions.hashing import stable_hash64
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write.parquet(corpus_path)
+
+    # arriving stream: the OTHER third, plus exact copies of corpus docs
+    dup_half = corpus.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    arriving = docs.filter(F.col("doc_id") % 3 == 0).unionByName(dup_half)
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    arriving.coalesce(4).write.mode("overwrite").parquet(src)
+
+    sink = str(tmp_path / "admitted")
+    corpus_h = spark.read.parquet(corpus_path).select(
+        stable_hash64(F.col("text")).alias("_h")
+    )
+
+    def admit(batch_df, epoch_id):
+        fresh = (
+            batch_df.withColumn("_h", stable_hash64(F.col("text")))
+            .join(corpus_h, "_h", "left_anti")
+            .drop("_h")
+        )
+        fresh.write.mode("append").parquet(sink)
+
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(admit)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    admitted = spark.read.parquet(sink)
+    want = docs.filter(F.col("doc_id") % 3 == 0).count()
+    assert admitted.count() == want  # every duplicate dropped
+    assert admitted.filter(F.col("doc_id") >= 10_000_000).count() == 0
