@@ -47,10 +47,13 @@ HEADLINE = [
     # the hash-count + string-recovery double scan (boilerplate top-20)
     "x_pack_context_windows",
     "x_boilerplate_shingles",
-    # round 4 additions: the regex/HOF-heavy canonicalization map and
-    # the two-shuffle broadcast-vocab LM scoring pass
+    # round 4 additions: the regex/HOF-heavy canonicalization map, the
+    # two-shuffle broadcast-vocab LM scoring pass, the double-count
+    # PMI join, and the banded incremental-dedup semi-joins
     "x_dedup_url_canonical",
     "x_unigram_logprob",
+    "x_bigram_pmi",
+    "x_incremental_dedup_triage",
 ]
 
 

@@ -5682,6 +5682,103 @@ def x_ann_pq_adc_topk(spark, sf_dir):
     )
 
 
+def _pagerank_oracle_sql(iters: int = 12) -> str:
+    """Unrolled exact-integer PageRank CTE chain (DuckDB side). Each
+    iteration is pure BIGINT arithmetic — floor-div contributions in
+    nano-units — so 12 chained CTEs reproduce the Spark loop exactly."""
+    head = """
+e0 AS (
+  SELECT l_partkey % 50 AS src, l_suppkey % 50 AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem WHERE l_partkey % 50 <> l_suppkey % 50
+  GROUP BY 1, 2
+),
+ow AS (SELECT src, sum(w) AS outw FROM e0 GROUP BY src),
+e AS (SELECT e0.src, e0.dst, e0.w, ow.outw FROM e0 JOIN ow USING (src)),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e0
+                                     UNION SELECT dst FROM e0)),
+p0 AS (SELECT node, CAST(20000000 AS BIGINT) AS v FROM nodes)"""
+    steps = []
+    for t in range(iters):
+        steps.append(f"""
+p{t + 1} AS (
+  SELECT n.node,
+         3000000 + coalesce(sum((p{t}.v * 85 * e.w) // (100 * e.outw)), 0) AS v
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN p{t} ON p{t}.node = e.src
+  GROUP BY n.node
+)""")
+    return head + "," + ",".join(steps)
+
+
+@query(
+    "x_host_pagerank",
+    oracle=f"""
+WITH {_pagerank_oracle_sql(12)}
+SELECT node, CAST(v AS BIGINT) AS pr_nano FROM p12
+""",
+)
+def x_host_pagerank(spark, sf_dir):
+    """Host-authority PageRank (the link-centrality signal web-corpus
+    curation uses to weight seed domains): 12 power iterations with
+    damping 0.85 over a deterministic 50-node link graph synthesized
+    from lineitem (src = partkey%50 → dst = suppkey%50, weight =
+    co-occurrence count, self-loops dropped). EVERYTHING IS EXACT
+    64-BIT INTEGER ARITHMETIC: ranks live in nano-units, each edge
+    contribution is (pr·85·w) div (100·outw) floor-division — so the
+    distributed sums are order-independent and an ITERATIVE algorithm
+    becomes fully value-hash-oracle-able (the DuckDB side unrolls the
+    same 12 iterations as chained CTEs; contrast kmeans_fit, which is
+    float-iterative and pytest-pinned instead). Plan: edges and
+    out-weights build once and persist; each iteration is one
+    edge⋈rank broadcast-join + dst-keyed aggregate, localCheckpoint
+    every 4 rounds cuts the lineage (the connected-components recipe).
+    At 100 TB hosts are ~1e8 rows: ranks broadcast per iteration OR
+    the join flips to shuffle — plan shape unchanged, and dangling
+    mass (standard simplification) is documented."""
+    from sparkga1_spark.operators.cache import tracked_persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    src, dst = F.col("l_partkey") % 50, F.col("l_suppkey") % 50
+    e0 = (
+        li.filter(src != dst)
+        .groupBy(src.alias("src"), dst.alias("dst"))
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    e0 = tracked_persist(e0)
+    ow = e0.groupBy("src").agg(F.sum("w").alias("outw"))
+    e = tracked_persist(e0.join(ow, "src"))
+    nodes = tracked_persist(
+        e0.select(F.col("src").alias("node"))
+        .union(e0.select("dst"))
+        .distinct()
+    )
+    pr = nodes.select("node", F.lit(20_000_000).cast("long").alias("v"))
+    for t in range(12):
+        contrib = (
+            e.join(pr, e["src"] == pr["node"])
+            .select(
+                "dst",
+                F.expr("(v * 85 * w) div (100 * outw)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        pr = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (F.lit(3_000_000) + F.coalesce(F.col("c"), F.lit(0)))
+                .cast("long")
+                .alias("v"),
+            )
+        )
+        if t % 4 == 3:
+            pr = pr.localCheckpoint(eager=False)
+    return pr.select("node", F.col("v").alias("pr_nano"))
+
+
 # --------------------------------------------------------------------------
 # Gate priority (see registry.set_gate_order docstring). Round 4: the
 # driver records rows for the FIRST 50 queries() only, so front
@@ -5690,8 +5787,8 @@ def x_ann_pq_adc_topk(spark, sf_dir):
 # (b) the 6 queries NEW this round (JPEG header parse, magic-bytes
 #     sniffing, sketch-accuracy audit, chi-square drift, canonical-URL
 #     dedup, unigram LM scoring),
-# (c) 15 of the 46 queries whose last driver row is round 2 — oldest
-#     driver-row age first; the remaining 31 rotate into the round-5
+# (c) 14 of the 46 queries whose last driver row is round 2 — oldest
+#     driver-row age first; the remaining 32 rotate into the round-5
 #     window (listed in the tail comment below) and carry this round's
 #     committed LOCAL_GATE_r4 as their current signal.
 # That is exactly 50. No plan-changed queries this round (the keep_best
@@ -5739,8 +5836,9 @@ set_gate_order([
     "x_pq_encode",
     "o_zorder_cluster",
     "x_ann_pq_adc_topk",
-    # (c) last driver row is round-2 — oldest first, 15 of 46; the
-    # other 31 (tpch_q3_shipping_priority,
+    "x_host_pagerank",
+    # (c) last driver row is round-2 — oldest first, 14 of 46; the
+    # other 32 (a_rollup_revenue, tpch_q3_shipping_priority,
     # tpch_q5_local_supplier, tpch_q17_small_quantity,
     # tpch_q18_large_orders, f_permissive_line_parse, s_paired_interleave,
     # o_topk_global_limit, w_frame_lag_lead_range,
@@ -5766,5 +5864,4 @@ set_gate_order([
     "x_multimodal_decode",
     "x_multimodal_framesample",
     "x_multimodal_audio_features",
-    "a_rollup_revenue",
 ])

@@ -226,3 +226,19 @@ def test_y4m_roundtrip_property(w, h, nframes, seed):
     assert (pw, ph, len(got)) == (w, h, nframes)
     for a, b in zip(frames, got):
         assert (a == b).all()
+
+
+def test_pagerank_mass_conservation_bounds(spark):
+    """Exact-integer PageRank invariants: 50 nodes, every rank
+    positive, and total mass ≤ 1e9 nano-units (floor-division and
+    dangling loss only ever LEAK mass, never create it) while staying
+    above the pure-teleport floor of 0.15e9."""
+    from sparkga1_spark.plans.registry import all_queries
+
+    rows = all_queries()["x_host_pagerank"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    total = sum(r.pr_nano for r in rows)
+    assert len(rows) == 50
+    assert all(r.pr_nano >= 3_000_000 for r in rows)
+    assert 150_000_000 <= total <= 1_000_000_000, total
