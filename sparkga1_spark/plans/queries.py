@@ -5383,18 +5383,27 @@ _SIMHASH16_SQL = " + ".join(
     for i in range(16)
 )
 
+_SIMHASH48_SQL = " + ".join(
+    f"(CASE WHEN list_sum([CASE WHEN (x & {1 << i}) > 0 THEN 1 ELSE -1 END for x in sh]) > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(48)
+)
+
+# DOC_SHINGLES_SQL retargeted at the near-twin fixture CTE
+_NEARTWIN_SHINGLES_SQL = DOC_SHINGLES_SQL.replace("FROM documents", "FROM nt")
+
 
 @query(
     "x_simhash_hamming_pairs",
     oracle=f"""
-WITH doc_shingles AS ({DOC_SHINGLES_SQL}),
-sh AS (
-  SELECT doc_id, CAST({_SIMHASH16_SQL} AS BIGINT) AS simhash
+WITH nt AS ({fixtures.DOCS_NEARTWIN_SQL}),
+doc_shingles AS ({_NEARTWIN_SHINGLES_SQL}),
+sh48 AS (
+  SELECT doc_id, CAST({_SIMHASH48_SQL} AS BIGINT) AS simhash
   FROM doc_shingles WHERE len(sh) > 0
 ),
 nib AS (
   SELECT doc_id, simhash, k, (simhash >> (4*k)) & 15 AS v
-  FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) t
+  FROM sh48 CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS k) t
 ),
 cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
@@ -5403,31 +5412,50 @@ cand AS (
     ON l.k = r.k AND l.v = r.v AND l.doc_id < r.doc_id
 )
 SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
-FROM cand WHERE hamming <= 3
+FROM cand WHERE hamming <= 6
 """,
 )
 def x_simhash_hamming_pairs(spark, sf_dir):
-    """SimHash near-dup PAIRS — the stage x_dedup_simhash's
-    fingerprints feed (completing the SimHash story the way
-    minhash→LSH→jaccard is already complete): all pairs within
-    Hamming distance ≤ 3 of the 16-bit fingerprint. Candidate
-    generation is the pigeonhole band trick — split 16 bits into 4
-    nibbles; d(a,b) ≤ 3 can flip at most 3 nibbles, so every
-    qualifying pair SHARES at least one exact nibble — making
-    candidates an equi-join on (nibble_index, nibble_value), never an
-    all-pairs scan. Verification is one codegen'd
-    bit_count(xor) ≤ 3. At 100 TB: fingerprints are one 8-byte row
-    per doc, the band join shuffles 4 rows/doc on 1-byte values
-    (+ band index), and AQE splits hot nibble buckets exactly like
-    LSH bands."""
-    from sparkga1_spark.operators.dedup import simhash16_rows
+    """SimHash near-dup PAIRS — the stage the SimHash fingerprints feed
+    (completing fingerprint→candidates→verify the way
+    minhash→LSH→jaccard is complete): all pairs within Hamming
+    distance ≤ 6 of a 48-BIT fingerprint over the near-twin planted
+    corpus (fixtures.DOCS_NEARTWIN_SQL — every 25th doc has a
+    one-word-edit twin, so the gate output contains the planted
+    pairs, never a vacuous empty set; measured twin recall 0.95 at
+    sf0.01 / 0.90 at sf0.1 — short docs flip more bits per edit,
+    pinned in tests/test_properties.py). Candidate generation is the
+    pigeonhole band trick — 12 nibbles; d ≤ 6 flips ≤ 6 nibbles, so
+    every qualifying pair shares an exact nibble (the guarantee holds
+    through d ≤ 11) — an equi-join on (nibble_index, value), never
+    all-pairs. Verification is one codegen'd bit_count(xor).
 
-    rows = _doc_shingle_rows(spark, sf_dir)
-    sh = simhash16_rows(rows, id_col="doc_id")
+    WHY 48 BITS (measured, r4 scale smoke): the first cut used 16
+    bits and saturated — at 50k docs the 2^16 space makes UNRELATED
+    pairs collide inside the Hamming ball (13.9M output pairs, ~98×
+    the 5k-doc output; quadratic). At 48 bits output is linear in
+    corpus size through the smoke's 10× point (446 → 4,572 pairs).
+
+    SCALE ENVELOPE (PLANS.md §SimHash): 4-bit bands hold 16 values,
+    so candidate volume is Σ n²/16 per band — sound to ~10^5 docs
+    (shard/batch level), not corpus level. Short docs force d≈6 (one
+    edited word = 3-10% of shingles), and guaranteed-recall Hamming
+    search at d=6 cannot have sparse bands at 48-62 bits (pigeonhole:
+    block width ≤ bits/(d+1)). Corpus-scale near-dup remains
+    MinHash-LSH (x_dedup_minhash_lsh); the public 64-bit/d≤3/16-bit-
+    block recipe (Manku et al. 2007) applies when documents are long
+    enough that near-dup means a tiny relative edit."""
+    from sparkga1_spark.operators.dedup import simhash_rows
+
+    docs = fixtures.documents_with_neartwins(
+        load_table(spark, sf_dir, "documents")
+    )
+    rows = T.shingle_hash_rows(docs)
+    sh = simhash_rows(rows, id_col="doc_id", n_bits=48)
     nib = sh.select(
         "doc_id",
         "simhash",
-        F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("k"),
+        F.explode(F.array(*[F.lit(k) for k in range(12)])).alias("k"),
     ).withColumn("v", F.expr("shiftright(simhash, k * 4) & 15"))
     l, r = nib.alias("l"), nib.alias("r")
     cand = (
@@ -5446,7 +5474,7 @@ def x_simhash_hamming_pairs(spark, sf_dir):
         )
         .distinct()
     )
-    return cand.filter(F.col("hamming") <= 3)
+    return cand.filter(F.col("hamming") <= 6)
 
 
 @query(

@@ -228,6 +228,35 @@ def documents_with_pii(docs: DataFrame) -> DataFrame:
     )
 
 
+# Near-twin documents: every 25th doc gets a SECOND copy (doc_id +
+# 2,000,000) whose text differs only by an appended marker word — a
+# tiny edit in shingle space, so a sound near-dup pipeline MUST pair
+# twin with original (non-vacuous gate for fingerprint pairing; same
+# planted-signal lesson as EMB_NEARDUP_SQL / DOCS_PII_SQL).
+
+DOCS_NEARTWIN_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         text || ' twinmark' || CAST(doc_id % 7 AS VARCHAR) AS text
+  FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+def documents_with_neartwins(docs: DataFrame) -> DataFrame:
+    """Documents plus planted near-twin copies (mirror of
+    DOCS_NEARTWIN_SQL)."""
+    twins = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" twinmark"),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(twins)
+
+
 # ------------------------------------------------------------------ variants
 
 VARIANTS_SQL = """

