@@ -5807,6 +5807,96 @@ def x_host_pagerank(spark, sf_dir):
     return pr.select("node", F.col("v").alias("pr_nano"))
 
 
+@query(
+    "a_integrity_manifest",
+    oracle="""
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
+            AS BIGINT) AS content_xor
+FROM documents
+GROUP BY source, lang
+""",
+)
+def a_integrity_manifest(spark, sf_dir):
+    """Dataset integrity manifest (the checksum table a replication /
+    backfill job publishes next to its output): per (source, lang),
+    row count, char volume, and an order-independent XOR of the
+    per-doc content hashes. XOR is commutative/associative, so the
+    checksum is identical for any partitioning or row order — one
+    partial+final hash aggregate, and two manifests diff with a tiny
+    join (j_full_outer_recon is the row-level escalation when a
+    checksum mismatches). At 100 TB: the shuffle carries one 8-byte
+    accumulator per group per partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    from sparkga1_spark.functions.hashing import stable_hash64
+
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.bit_xor(stable_hash64(F.col("text"))).cast("long").alias("content_xor"),
+    )
+
+
+@query(
+    "x_chunk_overlap",
+    oracle="""
+WITH W AS (
+  SELECT doc_id, str_split_regex(trim(text), ' +') AS W FROM documents
+),
+c AS (
+  SELECT doc_id, len(W) AS n_tok,
+         unnest([i for i in generate_series(1, greatest(len(W) - 8, 1), 24)])
+             AS start
+  FROM W
+)
+SELECT c.doc_id, CAST((start - 1) / 24 AS BIGINT) AS chunk_idx,
+       CAST(least(32, n_tok - start + 1) AS BIGINT) AS n_tokens,
+       W.W[start] AS first_tok,
+       W.W[least(start + 31, n_tok)] AS last_tok
+FROM c JOIN W ON c.doc_id = W.doc_id
+""",
+)
+def x_chunk_overlap(spark, sf_dir):
+    """Overlapping context chunking (the RAG / long-doc windowing step:
+    size-32 token windows at stride 24, 8-token overlap): windows are
+    generated IN-PLAN from each doc's own length (sequence + explode —
+    1→N flatMap, no Python), and each chunk row carries its token
+    count and boundary tokens so a off-by-one in stride, overlap, or
+    tail handling breaks the hash. Complements x_pack_context_windows
+    (packing MERGES short docs to fill a budget; chunking SPLITS long
+    ones with overlap). Map-only — zero exchanges at any scale; the
+    ×(len/stride) fan-out is the output itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " +").alias("W")
+    ).withColumn("n_tok", F.size("W"))
+    c = w.select(
+        "doc_id",
+        "n_tok",
+        "W",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.col("n_tok") - 8, F.lit(1)),
+                F.lit(24),
+            )
+        ).alias("start"),
+    )
+    return c.select(
+        "doc_id",
+        ((F.col("start") - 1) / 24).cast("long").alias("chunk_idx"),
+        F.least(F.lit(32), F.col("n_tok") - F.col("start") + 1)
+        .cast("long")
+        .alias("n_tokens"),
+        F.element_at("W", F.col("start")).alias("first_tok"),
+        F.element_at(
+            "W", F.least(F.col("start") + 31, F.col("n_tok"))
+        ).alias("last_tok"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Gate priority (see registry.set_gate_order docstring). Round 4: the
 # driver records rows for the FIRST 50 queries() only, so front
@@ -5815,8 +5905,8 @@ def x_host_pagerank(spark, sf_dir):
 # (b) the 6 queries NEW this round (JPEG header parse, magic-bytes
 #     sniffing, sketch-accuracy audit, chi-square drift, canonical-URL
 #     dedup, unigram LM scoring),
-# (c) 14 of the 46 queries whose last driver row is round 2 — oldest
-#     driver-row age first; the remaining 32 rotate into the round-5
+# (c) 12 of the 46 queries whose last driver row is round 2 — oldest
+#     driver-row age first; the remaining 34 rotate into the round-5
 #     window (listed in the tail comment below) and carry this round's
 #     committed LOCAL_GATE_r4 as their current signal.
 # That is exactly 50. No plan-changed queries this round (the keep_best
@@ -5865,8 +5955,11 @@ set_gate_order([
     "o_zorder_cluster",
     "x_ann_pq_adc_topk",
     "x_host_pagerank",
-    # (c) last driver row is round-2 — oldest first, 14 of 46; the
-    # other 32 (a_rollup_revenue, tpch_q3_shipping_priority,
+    "a_integrity_manifest",
+    "x_chunk_overlap",
+    # (c) last driver row is round-2 — oldest first, 12 of 46; the
+    # other 34 (x_multimodal_framesample, x_multimodal_audio_features,
+    # a_rollup_revenue, tpch_q3_shipping_priority,
     # tpch_q5_local_supplier, tpch_q17_small_quantity,
     # tpch_q18_large_orders, f_permissive_line_parse, s_paired_interleave,
     # o_topk_global_limit, w_frame_lag_lead_range,
@@ -5890,6 +5983,4 @@ set_gate_order([
     "x_blackbox_variant_call",
     "pipeline_end_to_end",
     "x_multimodal_decode",
-    "x_multimodal_framesample",
-    "x_multimodal_audio_features",
 ])

@@ -168,6 +168,7 @@ def test_gate_order_fronts_unproven_queries():
         "x_incremental_dedup_triage", "a_grouping_sets_revenue",
         "x_simhash_hamming_pairs", "x_pq_encode", "o_zorder_cluster",
         "x_ann_pq_adc_topk", "x_host_pagerank",
+        "a_integrity_manifest", "x_chunk_overlap",
     }
     missing = must_have_row - first50
     assert not missing, f"not in the driver's 50-query window: {missing}"
