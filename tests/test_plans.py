@@ -438,3 +438,27 @@ def test_entropy_per_doc_single_token_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x_entropy_per_doc")
     assert plan.count("Exchange") <= 2, plan.count("Exchange")
     assert "BroadcastHashJoin" not in plan  # no join needed at all
+
+
+def test_registry_wide_plan_hygiene(spark, sf_dir):
+    """EVERY registered query's plan must be free of CartesianProduct
+    and scalar Python eval nodes (Batch/ArrowEvalPython) — the Arrow
+    group/map surfaces (MapInPandas, FlatMapGroupsInPandas) are the
+    only sanctioned Python boundaries. Registry-wide version of the
+    per-query guards; tools/plan_audit.py writes the same facts as a
+    per-round artifact."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.plan_audit import audit_plan
+
+    from sparkga1_spark.operators.cache import release_tracked
+
+    bad = {}
+    for name, fn in all_queries().items():
+        release_tracked()
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        row = audit_plan(plan)
+        if row["cartesian"] or row["scalar_python"]:
+            bad[name] = row
+    assert not bad, bad
