@@ -263,3 +263,42 @@ def test_simhash_pairs_planted_twin_recall(spark):
     ).fetchone()[0]
     planted = sum(1 for r in rows if r.id_b - r.id_a == 2_000_000)
     assert planted / n_twins >= 0.85, (planted, n_twins)
+
+
+@given(
+    xs=st.lists(st.integers(0, 1023), min_size=1, max_size=50),
+    ys=st.lists(st.integers(0, 1023), min_size=1, max_size=50),
+)
+@settings(max_examples=25, deadline=None)
+def test_zorder_interleave_is_bijective_and_bounded(xs, ys):
+    """The Morton key used by o_zorder_cluster must be a bijection of
+    (x, y) — de-interleaving the bits recovers both coordinates — and
+    stay within 20 bits. Pure-Python mirror of the 20-term column
+    expression."""
+    for x, y in zip(xs, ys):
+        z = sum(
+            (((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1))
+            for i in range(10)
+        )
+        assert 0 <= z < (1 << 20)
+        rx = sum(((z >> (2 * i)) & 1) << i for i in range(10))
+        ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(10))
+        assert (rx, ry) == (x, y)
+
+
+@given(n_tok=st.integers(1, 500))
+@settings(max_examples=50, deadline=None)
+def test_chunk_overlap_windows_cover_every_token(n_tok):
+    """x_chunk_overlap's window arithmetic (size 32, stride 24,
+    1-based starts from sequence(1, max(n-8, 1), 24)): every token
+    index must fall in at least one window, no window may be empty or
+    exceed 32 tokens, and consecutive windows overlap by exactly 8
+    except possibly the tail. Pure-Python mirror of the plan's
+    closed-form columns."""
+    starts = list(range(1, max(n_tok - 8, 1) + 1, 24))
+    covered = set()
+    for s in starts:
+        n = min(32, n_tok - s + 1)
+        assert 1 <= n <= 32
+        covered.update(range(s, s + n))
+    assert covered == set(range(1, n_tok + 1)), (n_tok, sorted(covered)[:5])
