@@ -229,9 +229,11 @@ def parse_jpeg_meta(data: bytes) -> tuple[int, int, int]:
         if marker == 0xD9:  # EOI before any frame header
             break
         length = struct.unpack_from(">H", data, pos + 2)[0]
-        if length < 2:
+        if length < 2 or pos + 2 + length > len(data):
             raise ValueError("bad JPEG segment length")
         if marker in _JPEG_SOF_MARKERS:
+            if pos + 10 > len(data):  # SOF payload: precision+dims+ncomp
+                raise ValueError("truncated JPEG frame header")
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", data, pos + 4)
             if w <= 0 or h <= 0 or ncomp <= 0:
                 raise ValueError("bad JPEG frame header")

@@ -536,12 +536,15 @@ def p2_skew_detect(spark, sf_dir):
     rounding via floor(x+0.5) so both engines agree on .5 ties."""
     binned = binning.bin_by_region(_alignments(spark, sf_dir), _seq_dict(spark, sf_dir))
     weights = binned.groupBy("chr_index", "reg").agg(F.count("*").alias("n_reads"))
-    from pyspark.sql import Window
-
-    avg = F.avg("n_reads").over(Window.partitionBy())
-    seg = F.floor(F.col("n_reads") * 4.0 / avg + 0.5)
+    # scalar average attached via broadcast of the 1-row aggregate (the
+    # BNL-totals pattern), NOT avg().over(Window.partitionBy()) — a
+    # partition-less window funnels the whole region table through one
+    # task; plan_segments (operators/skew.py) documents the same choice
+    avg = weights.agg(F.avg("n_reads").alias("_avg"))
+    seg = F.floor(F.col("n_reads") * 4.0 / F.col("_avg") + 0.5)
     return (
-        weights.withColumn("segments", seg.cast("int"))
+        weights.crossJoin(F.broadcast(avg))
+        .withColumn("segments", seg.cast("int"))
         .filter(F.col("segments") > 1)
         .select("chr_index", "reg", "n_reads", "segments")
     )

@@ -286,7 +286,20 @@ def test_jpeg_header_roundtrip_and_marker_walk():
     padded = data[:2] + b"\xff" + data[2:]
     assert parse_jpeg_meta(padded) == (8, 9, 3)
 
-    for bad in [b"", b"\xff\xd8", b"\xff\xd8\xff\xd9", b"notajpeg"]:
+    # Malformed/truncated streams must raise ValueError (never
+    # struct.error — _decode_image_meta catches only ValueError, so a
+    # struct.error would kill the mapInPandas task instead of falling
+    # through to the documented fallback branch).
+    good = build_jpeg(8, 9, b"xyz")
+    for bad in [
+        b"",
+        b"\xff\xd8",
+        b"\xff\xd8\xff\xd9",
+        b"notajpeg",
+        b"\xff\xd8\xff\xc0\x00\x11\x08",  # SOF0 declared, payload cut
+        b"\xff\xd8\xff\xc0\x00\x11",  # length says 17, buffer ends
+        good[: len(good) // 2],  # truncated mid-segment, before SOF
+    ]:
         try:
             parse_jpeg_meta(bad)
             raise AssertionError(f"accepted {bad!r}")

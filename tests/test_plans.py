@@ -441,12 +441,14 @@ def test_entropy_per_doc_single_token_shuffle(spark, sf_dir):
 
 
 def test_registry_wide_plan_hygiene(spark, sf_dir):
-    """EVERY registered query's plan must be free of CartesianProduct
-    and scalar Python eval nodes (Batch/ArrowEvalPython) — the Arrow
-    group/map surfaces (MapInPandas, FlatMapGroupsInPandas) are the
-    only sanctioned Python boundaries. Registry-wide version of the
-    per-query guards; tools/plan_audit.py writes the same facts as a
-    per-round artifact."""
+    """EVERY registered query's plan must be free of CartesianProduct,
+    scalar Python eval nodes (Batch/ArrowEvalPython — the Arrow
+    group/map surfaces MapInPandas / FlatMapGroupsInPandas are the
+    only sanctioned Python boundaries), and partition-less window
+    functions (an `Exchange SinglePartition` funnel — the one global
+    bottleneck class the other counters miss). Registry-wide version
+    of the per-query guards; tools/plan_audit.py writes the same facts
+    as a per-round artifact."""
     import sys
 
     sys.path.insert(0, "/root/repo")
@@ -459,6 +461,6 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         release_tracked()
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         row = audit_plan(plan)
-        if row["cartesian"] or row["scalar_python"]:
+        if row["cartesian"] or row["scalar_python"] or row["global_windows"]:
             bad[name] = row
     assert not bad, bad

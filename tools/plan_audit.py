@@ -33,7 +33,6 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 MARKS = {
-    "exchanges": "Exchange",
     "broadcast_exchanges": "BroadcastExchange",
     "sort_merge_joins": "SortMergeJoin",
     "broadcast_hash_joins": "BroadcastHashJoin",
@@ -44,12 +43,93 @@ MARKS = {
 }
 
 
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level [...] groups of a plan node line (nested brackets stay
+    inside their group)."""
+    groups, depth, start = [], 0, -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start + 1 : i])
+    return groups
+
+
+def _window_partition_audit(plan: str) -> tuple[int, int]:
+    """(global_windows, bounded_offset_windows) over Window /
+    WindowGroupLimit nodes. The node prints
+    `Window [exprs], [partitionSpec], [orderSpec]` with ABSENT (not
+    empty) specs, so partitioning is decided structurally: 3 groups =
+    partitioned; 2 groups = partitioned unless the 2nd group is an
+    order spec (carries ASC/DESC); 1 group = global. A global window
+    funnels the whole input through one task — never allowed on data-
+    sized inputs. EXEMPTION: windows ordered solely by `_pid#…` (the
+    spark_partition_id column the two-pass operators in
+    operators/windows.py emit) run over the per-partition offset
+    aggregate — ≤ num_shuffle_partitions rows by construction — and are
+    counted separately as bounded, not flagged. Second exemption: a
+    global window sitting directly on a TakeOrderedAndProject /
+    GlobalLimit / CollectLimit (through at most Sort/Project/Filter) is
+    limit-bounded — its input is k rows regardless of the table size
+    (x_vocab_topk's 20-row vocab_id window)."""
+
+    def _limit_bounded(lines: list[str], i: int) -> bool:
+        for nxt in lines[i + 1 : i + 5]:
+            node = re.sub(r"^[\s+:|-]*", "", nxt)
+            if re.match(r"(TakeOrderedAndProject|GlobalLimit|CollectLimit)", node):
+                return True
+            if not re.match(r"(Sort |Project |Filter |ColumnarToRow)", node):
+                return False
+        return False
+
+    n_global = n_bounded = 0
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        m = re.search(r"\bWindow(?:GroupLimit)? \[", line)
+        if not m:
+            continue
+        groups = _bracket_groups(line[m.start() :])
+        if "WindowGroupLimit" in line[m.start() : m.end()]:
+            # prints `[partitionSpec], [orderSpec], fn, limit, mode` —
+            # the partition group is simply absent when empty
+            if len(groups) >= 2:
+                continue
+            spec = groups[0] if groups else ""
+        else:
+            # prints `[exprs], [partitionSpec], [orderSpec]`
+            if len(groups) >= 3:
+                continue
+            spec = groups[1] if len(groups) == 2 else ""
+            is_order_spec = " ASC" in spec or " DESC" in spec
+            if len(groups) == 2 and not is_order_spec:
+                continue  # [exprs], [part] — partitioned, no ordering
+        if re.fullmatch(r"_pid#\d+L? (ASC|DESC)[^,]*", spec) or _limit_bounded(
+            lines, i
+        ):
+            n_bounded += 1
+        else:
+            n_global += 1
+    return n_global, n_bounded
+
+
 def audit_plan(plan: str) -> dict:
     out = {k: plan.count(v) for k, v in MARKS.items()}
-    # BroadcastExchange also contains "Exchange"; report shuffle-only
-    out["exchanges"] -= out["broadcast_exchanges"]
+    # shuffle exchanges only: anchored so BroadcastExchange and
+    # ReusedExchange (a reuse marker, not a new shuffle) don't inflate
+    out["exchanges"] = len(
+        re.findall(r"(?<!Reused)(?<!Broadcast)Exchange ", plan)
+    )
+    out["reused_exchanges"] = plan.count("ReusedExchange")
     # scalar Python eval nodes, NOT the sanctioned Arrow group/map surfaces
     out["scalar_python"] = len(re.findall(r"(?:Batch|Arrow)EvalPython", plan))
+    # windows with no partitionBy (single-partition bottleneck at scale)
+    out["global_windows"], out["bounded_offset_windows"] = (
+        _window_partition_audit(plan)
+    )
     # executedPlan().toString() marks codegen stages as "*(n) Operator"
     out["codegen_spans"] = len(set(re.findall(r"\*\((\d+)\)", plan)))
     return out
@@ -77,7 +157,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             row = {"error": f"{type(e).__name__}: {e}"}
         results[name] = row
-        if row.get("cartesian") or row.get("scalar_python"):
+        if (
+            row.get("cartesian")
+            or row.get("scalar_python")
+            or row.get("global_windows")
+        ):
             flagged.append(name)
         print(f"{name:40s} {row}", file=sys.stderr)
 
@@ -88,7 +172,15 @@ def main() -> int:
         "flagged_cartesian_or_scalar_python": flagged,
         "totals": {
             k: sum(r.get(k, 0) for r in results.values() if "error" not in r)
-            for k in [*MARKS, "scalar_python", "codegen_spans"]
+            for k in [
+                *MARKS,
+                "exchanges",
+                "reused_exchanges",
+                "scalar_python",
+                "global_windows",
+                "bounded_offset_windows",
+                "codegen_spans",
+            ]
         },
         "queries": results,
     }
