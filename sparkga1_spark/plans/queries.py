@@ -5715,26 +5715,38 @@ def x_ann_pq_adc_topk(spark, sf_dir):
 
 def _pagerank_oracle_sql(iters: int = 12) -> str:
     """Unrolled exact-integer PageRank CTE chain (DuckDB side). Each
-    iteration is pure BIGINT arithmetic — floor-div contributions in
-    nano-units — so 12 chained CTEs reproduce the Spark loop exactly."""
+    iteration is pure BIGINT arithmetic — floor-div contributions and
+    the dangling-mass share in nano-units — so 12 chained CTEs
+    reproduce the Spark loop exactly. Hosts ≡ 0 (mod 7) keep no
+    out-edges (link targets only), so the dangling term is live: each
+    iteration redistributes 85% of their mass uniformly."""
     head = """
-e0 AS (
+eall AS MATERIALIZED (
   SELECT l_partkey % 50 AS src, l_suppkey % 50 AS dst,
          CAST(count(*) AS BIGINT) AS w
   FROM lineitem WHERE l_partkey % 50 <> l_suppkey % 50
   GROUP BY 1, 2
 ),
+nodes AS MATERIALIZED (SELECT DISTINCT node
+                       FROM (SELECT src AS node FROM eall
+                             UNION SELECT dst FROM eall)),
+e0 AS MATERIALIZED (SELECT * FROM eall WHERE src % 7 <> 0),
 ow AS (SELECT src, sum(w) AS outw FROM e0 GROUP BY src),
-e AS (SELECT e0.src, e0.dst, e0.w, ow.outw FROM e0 JOIN ow USING (src)),
-nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e0
-                                     UNION SELECT dst FROM e0)),
+e AS MATERIALIZED (SELECT e0.src, e0.dst, e0.w, ow.outw
+                   FROM e0 JOIN ow USING (src)),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
 p0 AS (SELECT node, CAST(20000000 AS BIGINT) AS v FROM nodes)"""
     steps = []
     for t in range(iters):
         steps.append(f"""
-p{t + 1} AS (
+d{t} AS MATERIALIZED (
+  SELECT CAST(coalesce(sum(v), 0) AS BIGINT) AS dv
+  FROM p{t} WHERE node NOT IN (SELECT src FROM e0)
+),
+p{t + 1} AS MATERIALIZED (
   SELECT n.node,
-         3000000 + coalesce(sum((p{t}.v * 85 * e.w) // (100 * e.outw)), 0) AS v
+         3000000 + coalesce(sum((p{t}.v * 85 * e.w) // (100 * e.outw)), 0)
+         + (SELECT (dv * 85) // (100 * (SELECT n FROM nn)) FROM d{t}) AS v
   FROM nodes n
   LEFT JOIN e ON e.dst = n.node
   LEFT JOIN p{t} ON p{t}.node = e.src
@@ -5755,38 +5767,63 @@ def x_host_pagerank(spark, sf_dir):
     curation uses to weight seed domains): 12 power iterations with
     damping 0.85 over a deterministic 50-node link graph synthesized
     from lineitem (src = partkey%50 → dst = suppkey%50, weight =
-    co-occurrence count, self-loops dropped). EVERYTHING IS EXACT
-    64-BIT INTEGER ARITHMETIC: ranks live in nano-units, each edge
-    contribution is (pr·85·w) div (100·outw) floor-division — so the
+    co-occurrence count, self-loops dropped; hosts ≡ 0 mod 7 keep no
+    out-edges — the sink hosts every real web graph has). EVERYTHING
+    IS EXACT 64-BIT INTEGER ARITHMETIC: ranks live in nano-units, each
+    edge contribution is (pr·85·w) div (100·outw) floor-division, and
+    the standard dangling-mass term — 85% of the sinks' mass spread
+    uniformly — is (Σ_dangling v · 85) div (100·N) — so the
     distributed sums are order-independent and an ITERATIVE algorithm
     becomes fully value-hash-oracle-able (the DuckDB side unrolls the
     same 12 iterations as chained CTEs; contrast kmeans_fit, which is
-    float-iterative and pytest-pinned instead). Plan: edges and
-    out-weights build once and persist; each iteration is one
-    edge⋈rank broadcast-join + dst-keyed aggregate, localCheckpoint
-    every 4 rounds cuts the lineage (the connected-components recipe).
-    At 100 TB hosts are ~1e8 rows: ranks broadcast per iteration OR
-    the join flips to shuffle — plan shape unchanged, and dangling
-    mass (standard simplification) is documented."""
+    float-iterative and pytest-pinned instead). Plan: edges,
+    out-weights, and the dangling-node set build once and persist;
+    each iteration is one edge⋈rank broadcast-join + dst-keyed
+    aggregate, plus the dangling sum as a broadcast 1-ROW aggregate
+    cross-join (the BNL-totals pattern — never a driver collect);
+    localCheckpoint every 4 rounds cuts the lineage (the
+    connected-components recipe). Mass conservation per iteration is
+    property-pinned in tests/test_properties.py. At 100 TB hosts are
+    ~1e8 rows: ranks broadcast per iteration OR the join flips to
+    shuffle — plan shape unchanged."""
+    pr, _ = _pagerank_iterate(spark, sf_dir, iters=12)
+    return pr.select("node", F.col("v").alias("pr_nano"))
+
+
+def _pagerank_iterate(spark, sf_dir, *, iters):
+    """Shared PageRank loop; returns (final ranks DF, list of per-
+    iteration rank DFs) so the mass-conservation property test can
+    audit every step without re-deriving the pipeline."""
     from sparkga1_spark.operators.cache import tracked_persist
 
     li = load_table(spark, sf_dir, "lineitem")
     src, dst = F.col("l_partkey") % 50, F.col("l_suppkey") % 50
-    e0 = (
+    eall = (
         li.filter(src != dst)
         .groupBy(src.alias("src"), dst.alias("dst"))
         .agg(F.count("*").cast("long").alias("w"))
     )
-    e0 = tracked_persist(e0)
-    ow = e0.groupBy("src").agg(F.sum("w").alias("outw"))
-    e = tracked_persist(e0.join(ow, "src"))
+    eall = tracked_persist(eall)
     nodes = tracked_persist(
-        e0.select(F.col("src").alias("node"))
-        .union(e0.select("dst"))
+        eall.select(F.col("src").alias("node"))
+        .union(eall.select("dst"))
         .distinct()
     )
+    e0 = eall.filter(F.col("src") % 7 != 0)
+    ow = e0.groupBy("src").agg(F.sum("w").alias("outw"))
+    e = tracked_persist(e0.join(ow, "src"))
+    # sinks: in the graph but no surviving out-edge
+    dang = tracked_persist(
+        nodes.join(
+            e0.select(F.col("src").alias("node")).distinct(),
+            "node",
+            "left_anti",
+        )
+    )
+    ncnt = nodes.agg(F.count("*").cast("long").alias("n"))
     pr = nodes.select("node", F.lit(20_000_000).cast("long").alias("v"))
-    for t in range(12):
+    history = [pr]
+    for t in range(iters):
         contrib = (
             e.join(pr, e["src"] == pr["node"])
             .select(
@@ -5796,18 +5833,29 @@ def x_host_pagerank(spark, sf_dir):
             .groupBy("dst")
             .agg(F.sum("c").alias("c"))
         )
+        dsum = (
+            pr.join(F.broadcast(dang), "node", "semi")
+            .agg(F.coalesce(F.sum("v"), F.lit(0)).cast("long").alias("dv"))
+            .crossJoin(F.broadcast(ncnt))
+        )
         pr = (
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dsum))
             .select(
                 "node",
-                (F.lit(3_000_000) + F.coalesce(F.col("c"), F.lit(0)))
+                (
+                    F.lit(3_000_000)
+                    + F.coalesce(F.col("c"), F.lit(0))
+                    + F.expr("(dv * 85) div (100 * n)")
+                )
                 .cast("long")
                 .alias("v"),
             )
         )
         if t % 4 == 3:
             pr = pr.localCheckpoint(eager=False)
-    return pr.select("node", F.col("v").alias("pr_nano"))
+        history.append(pr)
+    return pr, history
 
 
 @query(

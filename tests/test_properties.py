@@ -302,3 +302,41 @@ def test_chunk_overlap_windows_cover_every_token(n_tok):
         assert 1 <= n <= 32
         covered.update(range(s, s + n))
     assert covered == set(range(1, n_tok + 1)), (n_tok, sorted(covered)[:5])
+
+
+def test_pagerank_mass_conserved_per_iteration(spark, sf_dir):
+    """x_host_pagerank: total nano-mass must be conserved at every
+    power iteration. Exact-integer invariant: with S_t = Σ_node v_t,
+    S_{t+1} = N·3e6 + ⌊0.85·S_t⌋ minus only floor-division truncation
+    (< 1 nano-unit per edge for the contribution sum, < 1 per node for
+    the dangling share, +1 for the damping product itself). WITHOUT
+    the dangling-mass redistribution term the sink hosts' 85% share
+    (millions of nano-units here) vanishes each round and the lower
+    bound fails — this is the regression pin for the dangling fix.
+    The fixture graph must actually contain sinks, else the test is
+    vacuous; asserted first."""
+    from sparkga1_spark.plans.queries import _pagerank_iterate
+
+    _, history = _pagerank_iterate(spark, sf_dir, iters=4)
+    from sparkga1_spark.operators.cache import release_tracked
+
+    first = history[0]
+    nodes = first.count()
+    # the graph must have dangling sinks (src ≡ 0 mod 7 dropped)
+    from pyspark.sql import functions as FF
+
+    li_nodes = {r.node for r in first.select("node").collect()}
+    sinks = {n for n in li_nodes if n % 7 == 0}
+    assert sinks, "fixture graph has no dangling sinks — test vacuous"
+
+    # n_edges bound for the truncation slack: distinct (src, dst) pairs
+    totals = [
+        h.agg(FF.sum("v").alias("s")).collect()[0].s for h in history
+    ]
+    n_edges = 50 * 49  # upper bound on distinct (src%50, dst%50) pairs
+    slack = n_edges + 2 * nodes + 2
+    for t in range(len(totals) - 1):
+        upper = nodes * 3_000_000 + (85 * totals[t]) // 100
+        assert totals[t + 1] <= upper, (t, totals[t + 1], upper)
+        assert totals[t + 1] >= upper - slack, (t, totals[t + 1], upper - slack)
+    release_tracked()
