@@ -5480,6 +5480,94 @@ def x_simhash_hamming_pairs(spark, sf_dir):
     return cand.filter(F.col("hamming") <= 6)
 
 
+_SIMHASH60_SQL = " + ".join(
+    f"(CASE WHEN list_sum([CASE WHEN (x & {1 << i}) > 0 THEN 1 ELSE -1 END for x in sh]) > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(60)
+)
+
+_LONGDOC_SHINGLES_SQL = DOC_SHINGLES_SQL.replace(
+    "FROM documents", "FROM ld"
+).replace("doc_id", "ldoc_id")
+
+
+@query(
+    "x_simhash_longdoc_pairs",
+    oracle=f"""
+WITH ld AS ({fixtures.DOCS_LONGDOC_SQL}),
+doc_shingles AS ({_LONGDOC_SHINGLES_SQL}),
+sh60 AS (
+  SELECT ldoc_id, CAST({_SIMHASH60_SQL} AS BIGINT) AS simhash
+  FROM doc_shingles WHERE len(sh) > 0
+),
+blk AS (
+  SELECT ldoc_id, simhash, k, (simhash >> (15*k)) & 32767 AS v
+  FROM sh60 CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) t
+),
+cand AS (
+  SELECT DISTINCT l.ldoc_id AS id_a, r.ldoc_id AS id_b,
+         bit_count(xor(l.simhash, r.simhash)) AS hamming
+  FROM blk l JOIN blk r
+    ON l.k = r.k AND l.v = r.v AND l.ldoc_id < r.ldoc_id
+)
+SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+FROM cand WHERE hamming <= 3
+""",
+)
+def x_simhash_longdoc_pairs(spark, sf_dir):
+    """CORPUS-SCALE SimHash pairing — the public web-scale recipe
+    (Manku, Jain & Sarma, WWW 2007: 64-bit fingerprints, Hamming ≤ 3,
+    table-per-block search; here 60 bits for signed-long arithmetic
+    headroom, split into FOUR 15-BIT BLOCKS): d ≤ 3 flips bits in at
+    most 3 blocks, so every qualifying pair agrees exactly on ≥ 1 of
+    the 4 blocks — an equi-join on (block_index, value), never
+    all-pairs. Runs over the long-document fixture
+    (fixtures.DOCS_LONGDOC_SQL: ~400-token concatenations with planted
+    one-word-edit twins) because the recipe's regime is LONG docs —
+    a tiny relative edit moves <1% of shingles, landing inside the
+    d≤3 ball; short docs need the shard-scoped 48-bit/d≤6 variant
+    (x_simhash_hamming_pairs).
+
+    WHY THIS ONE SCALES TO THE FULL CORPUS: 15-bit blocks hold 32,768
+    values, so expected candidate volume is 4·n²/2^15 — at n = 10^5
+    docs that is ~1.2M cheap bit_count probes (vs the nibble variant's
+    4-bit/16-value bands, quadratic past shard size); at 10^8+ docs
+    the same plan holds with wider blocks (16-bit on the full 64-bit
+    width) and per-block bucketing, the exact table layout Manku
+    describes. Smoke: 1×/10× pair output is linear in planted-twin
+    count (SCALE_SMOKE_r5). Measured twin recall is pinned in
+    tests/test_properties.py."""
+    from sparkga1_spark.operators.dedup import simhash_rows
+
+    docs = fixtures.documents_longdoc_twins(
+        load_table(spark, sf_dir, "documents")
+    )
+    rows = T.shingle_hash_rows(docs, id_col="ldoc_id")
+    sh = simhash_rows(rows, id_col="ldoc_id", n_bits=60)
+    blk = sh.select(
+        "ldoc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("k"),
+    ).withColumn("v", F.expr("shiftright(simhash, k * 15) & 32767"))
+    l, r = blk.alias("l"), blk.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.k") == F.col("r.k"))
+            & (F.col("l.v") == F.col("r.v"))
+            & (F.col("l.ldoc_id") < F.col("r.ldoc_id")),
+        )
+        .select(
+            F.col("l.ldoc_id").alias("id_a"),
+            F.col("r.ldoc_id").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= 3)
+
+
 @query(
     "x_pq_encode",
     oracle="""

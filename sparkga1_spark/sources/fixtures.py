@@ -257,6 +257,63 @@ def documents_with_neartwins(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").unionByName(twins)
 
 
+# Long documents with planted twins: 8 consecutive docs concatenate
+# into one ~400-token document (doc_id div 8, texts joined in doc_id
+# order — deterministic on both engines), and every 5th long doc gets
+# a twin (ldoc_id + 3,000,000) differing by ONE appended word. A
+# one-word edit in a long document shifts <1% of its shingles — the
+# regime where the public 64-bit / Hamming≤3 SimHash recipe (Manku et
+# al. 2007) applies; contrast DOCS_NEARTWIN_SQL, whose ~55-token docs
+# flip enough bits that pairing needs d≤6 at 48 bits.
+
+DOCS_LONGDOC_SQL = """
+  SELECT ldoc_id, text FROM (
+    SELECT doc_id // 8 AS ldoc_id,
+           string_agg(text, ' ' ORDER BY doc_id) AS text
+    FROM documents GROUP BY doc_id // 8
+  )
+  UNION ALL
+  SELECT ldoc_id + 3000000 AS ldoc_id,
+         text || ' longtwinmark' || CAST(ldoc_id % 11 AS VARCHAR) AS text
+  FROM (
+    SELECT doc_id // 8 AS ldoc_id,
+           string_agg(text, ' ' ORDER BY doc_id) AS text
+    FROM documents GROUP BY doc_id // 8
+  )
+  WHERE ldoc_id % 5 = 0
+"""
+
+
+def documents_longdoc_twins(docs: DataFrame) -> DataFrame:
+    """Long concatenated documents plus planted one-word-edit twins
+    (mirror of DOCS_LONGDOC_SQL). The collect_list is sorted by
+    (doc_id, text) struct order before joining, so the concatenation
+    is deterministic under any partitioning."""
+    base = (
+        docs.groupBy((F.col("doc_id") / 8).cast("long").alias("ldoc_id"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("text")
+        )
+    )
+    twins = base.filter(F.col("ldoc_id") % 5 == 0).select(
+        (F.col("ldoc_id") + 3_000_000).alias("ldoc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" longtwinmark"),
+            (F.col("ldoc_id") % 11).cast("string"),
+        ).alias("text"),
+    )
+    return base.unionByName(twins)
+
+
 # ------------------------------------------------------------------ variants
 
 VARIANTS_SQL = """

@@ -265,6 +265,30 @@ def test_simhash_pairs_planted_twin_recall(spark):
     assert planted / n_twins >= 0.85, (planted, n_twins)
 
 
+def test_simhash_longdoc_pairs_planted_twin_recall(spark):
+    """60-bit / Hamming<=3 long-document SimHash pairing (the Manku
+    web-scale recipe, x_simhash_longdoc_pairs) must recover >=90% of
+    the planted one-word-edit twins (measured 13/13 at sf0.01 with
+    Hamming 0-2: a one-word edit in a ~400-token doc moves <1% of
+    shingles, the regime the d<=3 ball is built for) and produce ZERO
+    unrelated pairs at fixture scale."""
+    from sparkga1_spark.plans.registry import all_queries
+
+    rows = all_queries()["x_simhash_longdoc_pairs"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    import duckdb
+
+    n_twins = duckdb.connect().execute(
+        "select count(distinct doc_id // 8) from"
+        " '/root/testdata/sf0.01/documents.parquet'"
+        " where (doc_id // 8) % 5 = 0"
+    ).fetchone()[0]
+    planted = sum(1 for r in rows if r.id_b - r.id_a == 3_000_000)
+    assert planted / n_twins >= 0.90, (planted, n_twins)
+    assert all(r.id_b - r.id_a == 3_000_000 for r in rows), rows[:5]
+
+
 @given(
     xs=st.lists(st.integers(0, 1023), min_size=1, max_size=50),
     ys=st.lists(st.integers(0, 1023), min_size=1, max_size=50),
