@@ -471,3 +471,139 @@ def pq_adc_topk(
             F.col("d_micro").cast("long").alias("d_micro"),
         )
     )
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 4,
+    iters: int = 3,
+) -> list[list[list[float]]]:
+    """Per-subspace k-means codebooks for product quantization —
+    `kmeans_fit` on each sub_dim slice of the embedding (the trained
+    upgrade over `pq_adc_topk`'s seeded data-row codebook; same
+    training shape as `ivf_topk_trained`). Returns
+    codebooks[subspace][code] = centroid (len sub_dim). Cost:
+    n_subspaces × kmeans_fit, each a per-iteration k×(dim+1) partial
+    aggregate — independent of row count, the 100 TB shape. Like
+    kmeans_fit, float-iterative → pytest-pinned recall
+    (tests/test_ann_recall.py), not SQL-oracle-gated."""
+    books: list[list[list[float]]] = []
+    for s in range(n_subspaces):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(
+                vectors.to_double(F.col(vec_col)), s * sub_dim + 1, sub_dim
+            ).alias("_sub"),
+        )
+        books.append(
+            kmeans_fit(
+                sub,
+                id_col=id_col,
+                vec_col="_sub",
+                dim=sub_dim,
+                k=n_codes,
+                iters=iters,
+            )
+        )
+    return books
+
+
+def pq_adc_topk_trained(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: Column,
+    sub_dim: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """PQ-ADC top-k against TRAINED literal codebooks (from
+    `train_pq_codebooks`). Differences from `pq_adc_topk`'s seeded
+    variant: encode is MAP-ONLY — each row computes its per-subspace
+    argmin over broadcast literal centroids (array_min over (distance,
+    code) structs, the `ivf_topk_trained` assignment shape) with no
+    codebook join at all — and the per-query LUT is likewise built
+    from literals. Scoring is the same (subspace, code) broadcast
+    equi-join + exact integer micro-unit sums with an id tiebreak, so
+    everything PLANS.md says about the ADC scan's scale behavior
+    carries over; the only new cost is n_subspaces × n_codes literal
+    arrays in the plan (tiny)."""
+
+    def _dmicro(xvec: Column, cent: list[float]) -> Column:
+        ca = F.array(*[F.lit(float(x)) for x in cent])
+        diff = F.zip_with(xvec, ca, lambda p, q: p - q)
+        dist = F.aggregate(
+            F.zip_with(diff, diff, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.floor(hround(dist, 6) * 1_000_000 + 0.5).cast("long")
+
+    base = emb.select(
+        F.col(id_col), vectors.to_double(F.col(vec_col)).alias("_vd")
+    )
+    code_structs = []
+    for s, book in enumerate(codebooks):
+        xvec = F.slice(F.col("_vd"), s * sub_dim + 1, sub_dim)
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _dmicro(xvec, cent).alias("d"),
+                        F.lit(c).alias("c"),
+                    )
+                    for c, cent in enumerate(book)
+                ]
+            )
+        )
+        code_structs.append(
+            F.struct(F.lit(s).alias("subspace"), best["c"].alias("code"))
+        )
+    codes = base.select(
+        id_col, F.explode(F.array(*code_structs)).alias("_sc")
+    ).select(id_col, F.col("_sc.subspace"), F.col("_sc.code"))
+
+    lut_structs = [
+        F.struct(
+            F.lit(s).alias("subspace"),
+            F.lit(c).alias("code"),
+            _dmicro(F.slice(F.col("_vd"), s * sub_dim + 1, sub_dim), cent).alias(
+                "_dm"
+            ),
+        )
+        for s, book in enumerate(codebooks)
+        for c, cent in enumerate(book)
+    ]
+    lut = (
+        base.filter(query_pred)
+        .select(
+            F.col(id_col).alias("_qid"),
+            F.explode(F.array(*lut_structs)).alias("_l"),
+        )
+        .select("_qid", "_l.subspace", "_l.code", "_l._dm")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .filter(F.col(id_col) != F.col("_qid"))
+        .groupBy(
+            F.col("_qid").alias("query_id"), F.col(id_col).alias("cand_id")
+        )
+        .agg(F.sum("_dm").alias("d_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy("d_micro", "cand_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("d_micro").cast("long").alias("d_micro"),
+        )
+    )

@@ -154,3 +154,42 @@ def test_pq_adc_planted_twin_near_min_distance(spark):
         if twin_rows[0].rank <= 3:
             hits3 += 1
     assert hits3 / len(by_q) >= 0.6, f"recall@3 regressed: {hits3}/20"
+
+
+def test_pq_trained_codebook_recall_floors(planted):
+    """Trained-codebook PQ (train_pq_codebooks → pq_adc_topk_trained):
+    with 16 codes/subspace the quantizer recovers EVERY planted twin
+    at rank 1 (measured 1.0 at sf0.01; floor 0.95), and at the seeded
+    variant's own 4-code budget the trained codebook DOMINATES the
+    seeded one on planted top-1 (0.45 vs 0.35 measured) — training
+    pays for itself at equal cost. Raw recall@3 on the structureless
+    uniform table: 0.383 measured with 16 codes (floor 0.30; low by
+    nature, see module docstring)."""
+    base = planted.filter(F.col("vec_id") < 1000000)
+    b16 = S.train_pq_codebooks(base, n_codes=16, iters=3)
+    t16 = S.pq_adc_topk_trained(planted, b16, query_pred=_qpred(), k=3)
+    rows16 = t16.collect()
+    got = {r.query_id: r.cand_id for r in rows16 if r.rank == 1}
+    top1_16 = sum(1 for q, w in PAIRS.items() if got.get(q) == w) / len(PAIRS)
+    assert top1_16 >= 0.95, top1_16
+
+    b4 = S.train_pq_codebooks(base, n_codes=4, iters=3)
+    t4 = S.pq_adc_topk_trained(planted, b4, query_pred=_qpred(), k=3)
+    seeded = S.pq_adc_topk(
+        planted, query_pred=_qpred(), codebook_pred=F.col("vec_id") < 4, k=3
+    )
+    assert _top1(t4) >= _top1(seeded), (_top1(t4), _top1(seeded))
+
+    truth: dict[int, set] = {}
+    for r in S.brute_force_topk(
+        planted.filter(_qpred()), planted, k=3, dim=DIM
+    ).collect():
+        truth.setdefault(r.query_id, set()).add(r.cand_id)
+    total = sum(len(v) for v in truth.values())
+    got3: dict[int, set] = {}
+    for r in rows16:
+        got3.setdefault(r.query_id, set()).add(r.cand_id)
+    recall3 = (
+        sum(len(truth[k] & got3.get(k, set())) for k in truth) / total
+    )
+    assert recall3 >= 0.30, recall3
