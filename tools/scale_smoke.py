@@ -34,7 +34,7 @@ if _REPO not in sys.path:
 
 TRIO = ["x_dedup_minhash_lsh", "o_global_sort_vcf", "x_curation_pipeline"]
 SHIFT = 10_000_000
-SMALL = "region nation customer supplier part events embeddings".split()
+SMALL = "region nation customer supplier part".split()
 
 
 def gen(factor: int, base: str, out: str) -> None:
@@ -86,6 +86,29 @@ def gen(factor: int, base: str, out: str) -> None:
         .drop("_rep")
         .write.mode("overwrite")
         .parquet(f"{out}/documents.parquet")
+    )
+    # events: N× more USERS (user_id shift) — the right axis for the
+    # keyed stream workloads (SCD2, sessions); event ids stay unique.
+    ev = spark.read.parquet(f"{base}/events.parquet")
+    (
+        ev.crossJoin(reps)
+        .withColumn("event_id", F.col("event_id") + F.col("_rep") * SHIFT)
+        .withColumn("user_id", F.col("user_id") + F.col("_rep") * SHIFT)
+        .drop("_rep")
+        .write.mode("overwrite")
+        .parquet(f"{out}/events.parquet")
+    )
+    # embeddings: N× more vectors in disjoint id spaces. Vector values
+    # repeat across replicas — fine for encode/assignment workloads
+    # (each replica quantizes identically); the planted-fixture ids
+    # (vec_id<4 codebook, ≥1M queries) stay in replica 0 only.
+    em = spark.read.parquet(f"{base}/embeddings.parquet")
+    (
+        em.crossJoin(reps)
+        .withColumn("vec_id", F.col("vec_id") + F.col("_rep") * SHIFT)
+        .drop("_rep")
+        .write.mode("overwrite")
+        .parquet(f"{out}/embeddings.parquet")
     )
     for t in SMALL:
         src = f"{base}/{t}.parquet"
