@@ -6037,89 +6037,79 @@ def x_chunk_overlap(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Gate priority (see registry.set_gate_order docstring). Round 4: the
+# Gate priority (see registry.set_gate_order docstring). Round 5: the
 # driver records rows for the FIRST 50 queries() only, so front
-# (a) the 18 queries registered late in round 3 whose only current
-#     signal is LOCAL_GATE_r3 (never driver-gated),
-# (b) the 6 queries NEW this round (JPEG header parse, magic-bytes
-#     sniffing, sketch-accuracy audit, chi-square drift, canonical-URL
-#     dedup, unigram LM scoring),
-# (c) 12 of the 46 queries whose last driver row is round 2 — oldest
-#     driver-row age first; the remaining 34 rotate into the round-5
-#     window (listed in the tail comment below) and carry this round's
-#     committed LOCAL_GATE_r4 as their current signal.
-# That is exactly 50. No plan-changed queries this round (the keep_best
-# min_by experiment was reverted; the streaming NTZ fix touches only
-# the readStream path, which the batch-twin s_* rows don't exercise).
+# (a) the 3 queries NEW or PLAN-CHANGED this round
+#     (x_simhash_longdoc_pairs new; x_host_pagerank gained the
+#     dangling-mass term; p2_skew_detect swapped its global window for
+#     the broadcast-scalar attach — results identical, plan changed),
+# (b) ALL 34 queries whose last driver row is round 2 — the rotation
+#     debt VERDICT r4 #1 names; this restores ≤2-round driver-row age
+#     across the registry,
+# (c) the 3 batch-replayable streaming oracles (driver rows r3;
+#     VERDICT r4 #6 asks for a current-round refresh),
+# (d) 10 round-3-age fills, heaviest/riskiest first (north-star
+#     pipeline, ANN pair, keep-best, range join, covariate, q9,
+#     jaccard, as-of, LPT) — the other 37 r3-age queries carry
+#     committed LOCAL_GATE_r5 evidence and rotate next round.
+# That is exactly 3 + 34 + 3 + 10 = 50.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
 
 set_gate_order([
-    # (a) never driver-gated (late-r3 registrations)
-    "x_dedup_cc_clusters",
-    "x_pack_context_windows",
-    "x_quality_quantile_filter",
-    "x_blocklist_suffix_match",
-    "x_column_profile_histogram",
-    "x_dau_wau_stickiness",
-    "x_cohort_retention",
-    "x_funnel_conversion",
-    "x_vocab_oov_rate",
-    "x_boilerplate_shingles",
-    "x_multimodal_png_decode",
-    "x_corr_exact",
-    "x_decontaminate_overlap",
-    "x_string_agg_sorted",
-    "x_gapfill_locf",
-    "x_mix_temperature_weights",
-    "x_inverted_index",
-    "tpch_q21_waiting_agg_form",
-    # (b) new this round
-    "x_multimodal_jpeg_meta",
-    "x_magic_bytes_detect",
-    "a_sketch_accuracy_audit",
-    "x_drift_chi2",
-    "x_dedup_url_canonical",
-    "x_unigram_logprob",
-    "x_per_source_cap",
-    "x_bigram_pmi",
-    "x_scd2_intervals",
-    "j_full_outer_recon",
-    "x_entropy_per_doc",
-    "x_incremental_dedup_triage",
-    "a_grouping_sets_revenue",
-    "x_simhash_hamming_pairs",
-    "x_pq_encode",
-    "o_zorder_cluster",
-    "x_ann_pq_adc_topk",
+    # (a) new / plan-changed this round
+    "x_simhash_longdoc_pairs",
     "x_host_pagerank",
-    "a_integrity_manifest",
-    "x_chunk_overlap",
-    # (c) last driver row is round-2 — oldest first, 12 of 46; the
-    # other 34 (x_multimodal_framesample, x_multimodal_audio_features,
-    # a_rollup_revenue, tpch_q3_shipping_priority,
-    # tpch_q5_local_supplier, tpch_q17_small_quantity,
-    # tpch_q18_large_orders, f_permissive_line_parse, s_paired_interleave,
-    # o_topk_global_limit, w_frame_lag_lead_range,
-    # f_null_semantics, x_json_props_extract,
-    # f_ignore_table_antijoin, a_cube_revenue, w_first_last_nth, x_vector_stats_hof,
-    # w_rank_family, x_fuzzy_levenshtein, a_date_parts, a_minmax_by_bool,
-    # x_vocab_topk, x_tfidf_top_terms, x_embedding_quantize,
-    # f_attrs_map_extract, x_quality_repetition, x_pii_scrub,
-    # x_url_host_rollup, x_datamix_split, tpch_q7_nation_volume,
-    # tpch_q19_disjunctive, tpch_q22_dormant_customers,
-    # tpch_q2_min_cost_supplier, tpch_q20_excess_stock) front round 5.
-    "flagship_region_stats",
-    "tpch_q1_pricing_summary",
-    "j_star_revenue",
-    "o_global_sort_vcf",
-    "w_running_revenue",
-    "x_dedup_exact",
-    "x_dedup_minhash_lsh",
-    "x_dedup_simhash",
-    "x_embedding_neardup",
-    "x_blackbox_variant_call",
-    "pipeline_end_to_end",
-    "x_multimodal_decode",
+    "p2_skew_detect",
+    # (b) the 34 round-2-age queries
+    "x_multimodal_framesample",
+    "x_multimodal_audio_features",
+    "a_rollup_revenue",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "f_permissive_line_parse",
+    "s_paired_interleave",
+    "o_topk_global_limit",
+    "w_frame_lag_lead_range",
+    "f_null_semantics",
+    "x_json_props_extract",
+    "f_ignore_table_antijoin",
+    "a_cube_revenue",
+    "w_first_last_nth",
+    "x_vector_stats_hof",
+    "w_rank_family",
+    "x_fuzzy_levenshtein",
+    "a_date_parts",
+    "a_minmax_by_bool",
+    "x_vocab_topk",
+    "x_tfidf_top_terms",
+    "x_embedding_quantize",
+    "f_attrs_map_extract",
+    "x_quality_repetition",
+    "x_pii_scrub",
+    "x_url_host_rollup",
+    "x_datamix_split",
+    "tpch_q7_nation_volume",
+    "tpch_q19_disjunctive",
+    "tpch_q22_dormant_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q20_excess_stock",
+    # (c) streaming oracle refresh (batch-replayable by construction)
+    "s_tumbling_counts",
+    "s_sliding_avg",
+    "s_session_windows",
+    # (d) round-3-age fills
+    "x_curation_pipeline",
+    "x_ann_bruteforce_topk",
+    "x_ann_ivf_topk",
+    "a_dedup_keep_best",
+    "j_range_exome_overlap",
+    "a_covariate_table",
+    "tpch_q9_product_profit",
+    "x_dedup_ngram_jaccard",
+    "j_asof_latest_order",
+    "a_lpt_schedule",
 ])

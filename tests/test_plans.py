@@ -150,25 +150,26 @@ def test_gate_order_fronts_unproven_queries():
     qs = list(all_queries())
     first50 = set(qs[:50])
     must_have_row = {
-        # round-4 (a): registered late in round 3, never driver-gated
-        "x_dedup_cc_clusters", "x_pack_context_windows",
-        "x_quality_quantile_filter", "x_blocklist_suffix_match",
-        "x_column_profile_histogram", "x_dau_wau_stickiness",
-        "x_cohort_retention", "x_funnel_conversion", "x_vocab_oov_rate",
-        "x_boilerplate_shingles", "x_multimodal_png_decode", "x_corr_exact",
-        "x_decontaminate_overlap", "x_string_agg_sorted", "x_gapfill_locf",
-        "x_mix_temperature_weights", "x_inverted_index",
-        "tpch_q21_waiting_agg_form",
-        # round-4 (b): new this round
-        "x_multimodal_jpeg_meta", "x_magic_bytes_detect",
-        "a_sketch_accuracy_audit", "x_drift_chi2",
-        "x_dedup_url_canonical", "x_unigram_logprob",
-        "x_per_source_cap", "x_bigram_pmi", "x_scd2_intervals",
-        "j_full_outer_recon", "x_entropy_per_doc",
-        "x_incremental_dedup_triage", "a_grouping_sets_revenue",
-        "x_simhash_hamming_pairs", "x_pq_encode", "o_zorder_cluster",
-        "x_ann_pq_adc_topk", "x_host_pagerank",
-        "a_integrity_manifest", "x_chunk_overlap",
+        # round-5 (a): new / plan-changed this round
+        "x_simhash_longdoc_pairs", "x_host_pagerank", "p2_skew_detect",
+        # round-5 (b): the 34 queries whose last driver row was round 2
+        "x_multimodal_framesample", "x_multimodal_audio_features",
+        "a_rollup_revenue", "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier", "tpch_q17_small_quantity",
+        "tpch_q18_large_orders", "f_permissive_line_parse",
+        "s_paired_interleave", "o_topk_global_limit",
+        "w_frame_lag_lead_range", "f_null_semantics",
+        "x_json_props_extract", "f_ignore_table_antijoin",
+        "a_cube_revenue", "w_first_last_nth", "x_vector_stats_hof",
+        "w_rank_family", "x_fuzzy_levenshtein", "a_date_parts",
+        "a_minmax_by_bool", "x_vocab_topk", "x_tfidf_top_terms",
+        "x_embedding_quantize", "f_attrs_map_extract",
+        "x_quality_repetition", "x_pii_scrub", "x_url_host_rollup",
+        "x_datamix_split", "tpch_q7_nation_volume",
+        "tpch_q19_disjunctive", "tpch_q22_dormant_customers",
+        "tpch_q2_min_cost_supplier", "tpch_q20_excess_stock",
+        # round-5 (c): streaming oracle refresh
+        "s_tumbling_counts", "s_sliding_avg", "s_session_windows",
     }
     missing = must_have_row - first50
     assert not missing, f"not in the driver's 50-query window: {missing}"
