@@ -6036,11 +6036,131 @@ def x_chunk_overlap(spark, sf_dir):
     )
 
 
+@query(
+    "x_bpe_pair_counts",
+    oracle="""
+WITH wf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(str_split_regex(trim(text), ' +')) AS w FROM documents)
+  GROUP BY w
+),
+pairs AS (
+  SELECT unnest([substr(w, i, 2) for i in generate_series(1, len(w) - 1)]) AS pair,
+         freq
+  FROM wf WHERE len(w) >= 2
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair
+LIMIT 20
+""",
+)
+def x_bpe_pair_counts(spark, sf_dir):
+    """BPE merge-step pair counting — the inner loop of byte-pair-
+    encoding tokenizer training (Sennrich et al. 2016): count adjacent
+    symbol pairs across the corpus WEIGHTED BY WORD FREQUENCY, the
+    statistic the next merge rule maximizes. The plan is the
+    tokenizer-training scale shape: corpus → distinct-word frequency
+    table FIRST (vocabulary-sized, the only fact-volume shuffle), then
+    pairs explode off the ~|vocab| rows (len(word) fan-out, in-plan
+    sequence+explode, zero Python), partial+final sum keyed by pair,
+    top-20 via TakeOrderedAndProject with a unique (count, pair)
+    tiebreak. At 100 TB the word-frequency aggregate is exactly
+    x_vocab_topk's shuffle; the pair pass runs over the vocab
+    aggregate, which is millions of rows, not the corpus — that
+    asymmetry is WHY real BPE trainers count on the word-freq table."""
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(T.words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    pairs = (
+        wf.filter(F.length("w") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(20)
+    )
+
+
+@query(
+    "x_token_budget_sample",
+    oracle="""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(str_split_regex(trim(text), ' +')) AS BIGINT) AS n_tok,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS pri
+  FROM documents
+),
+c AS (
+  SELECT source, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY pri, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+FROM c WHERE cum <= 2000 GROUP BY source
+""",
+)
+def x_token_budget_sample(spark, sf_dir):
+    """Token-budget downsampling — cap each source at a TOKEN budget
+    (here 2000), not a document count (the unit data mixes are
+    actually specified in; x_per_source_cap is the doc-count cousin):
+    docs take a deterministic content-hash priority (= a seedless
+    uniform shuffle both engines reproduce), and each source keeps its
+    priority-order prefix while the running token sum stays within
+    budget. The running sum is `grouped_cumsum` — the distributed
+    two-pass range-partition cumsum — NOT a per-source window funnel,
+    because at 100 TB a source is most of the corpus (the same reason
+    x_pack_context_windows uses it). Output is the per-source audit
+    (docs kept, tokens kept ≤ budget); a mismatch in hash, order
+    tiebreak, or boundary inclusion breaks the hash."""
+    from sparkga1_spark.functions.hashing import stable_hash64
+    from sparkga1_spark.operators.windows import grouped_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        "doc_id",
+        F.size(T.words(F.col("text"))).cast("long").alias("n_tok"),
+        stable_hash64(F.col("text")).alias("pri"),
+    )
+    c = grouped_cumsum(
+        t,
+        group_cols=["source"],
+        order_cols=["pri", "doc_id"],
+        value_col="n_tok",
+        out_col="cum",
+    )
+    return (
+        c.filter(F.col("cum") <= 2000)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tokens"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Gate priority (see registry.set_gate_order docstring). Round 5: the
 # driver records rows for the FIRST 50 queries() only, so front
-# (a) the 3 queries NEW or PLAN-CHANGED this round
-#     (x_simhash_longdoc_pairs new; x_host_pagerank gained the
+# (a) the 5 queries NEW or PLAN-CHANGED this round
+#     (x_simhash_longdoc_pairs, x_bpe_pair_counts,
+#     x_token_budget_sample new; x_host_pagerank gained the
 #     dangling-mass term; p2_skew_detect swapped its global window for
 #     the broadcast-scalar attach — results identical, plan changed),
 # (b) ALL 34 queries whose last driver row is round 2 — the rotation
@@ -6048,11 +6168,11 @@ def x_chunk_overlap(spark, sf_dir):
 #     across the registry,
 # (c) the 3 batch-replayable streaming oracles (driver rows r3;
 #     VERDICT r4 #6 asks for a current-round refresh),
-# (d) 10 round-3-age fills, heaviest/riskiest first (north-star
-#     pipeline, ANN pair, keep-best, range join, covariate, q9,
-#     jaccard, as-of, LPT) — the other 37 r3-age queries carry
-#     committed LOCAL_GATE_r5 evidence and rotate next round.
-# That is exactly 3 + 34 + 3 + 10 = 50.
+# (d) 8 round-3-age fills, heaviest/riskiest first (north-star
+#     pipeline, ANN, keep-best, range join, covariate, q9, LPT) —
+#     the other r3-age queries carry committed LOCAL_GATE_r5
+#     evidence and rotate next round.
+# That is exactly 5 + 34 + 3 + 8 = 50.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
@@ -6060,6 +6180,8 @@ from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
 set_gate_order([
     # (a) new / plan-changed this round
     "x_simhash_longdoc_pairs",
+    "x_bpe_pair_counts",
+    "x_token_budget_sample",
     "x_host_pagerank",
     "p2_skew_detect",
     # (b) the 34 round-2-age queries
@@ -6109,7 +6231,5 @@ set_gate_order([
     "j_range_exome_overlap",
     "a_covariate_table",
     "tpch_q9_product_profit",
-    "x_dedup_ngram_jaccard",
-    "j_asof_latest_order",
     "a_lpt_schedule",
 ])

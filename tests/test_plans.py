@@ -151,7 +151,8 @@ def test_gate_order_fronts_unproven_queries():
     first50 = set(qs[:50])
     must_have_row = {
         # round-5 (a): new / plan-changed this round
-        "x_simhash_longdoc_pairs", "x_host_pagerank", "p2_skew_detect",
+        "x_simhash_longdoc_pairs", "x_bpe_pair_counts",
+        "x_token_budget_sample", "x_host_pagerank", "p2_skew_detect",
         # round-5 (b): the 34 queries whose last driver row was round 2
         "x_multimodal_framesample", "x_multimodal_audio_features",
         "a_rollup_revenue", "tpch_q3_shipping_priority",
