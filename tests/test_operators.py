@@ -425,3 +425,66 @@ def test_temperature_weights_invariants(spark, sf_dir):
     smallest = min(rows, key=lambda r: r.n_toks)
     largest = max(rows, key=lambda r: r.n_toks)
     assert smallest.boost > 1.0 > largest.boost
+
+
+def test_semdedup_prune_keeps_group_minimum(spark, sf_dir):
+    """Greedy pairwise pruning: every vector that is the HIGHER id of a
+    near-dup pair is pruned; the lowest id of each connected group (and
+    every unpaired vector) survives."""
+    from sparkga1_spark.plans.registry import all_queries
+
+    verdict = {
+        r["vec_id"]: r["kept"]
+        for r in all_queries()["x_semdedup_prune"](spark, sf_dir).collect()
+    }
+    from pyspark.sql import functions as F
+
+    from sparkga1_spark.operators import similarity as S
+    from sparkga1_spark.sources import fixtures
+    from sparkga1_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    aug = fixtures.embeddings_with_neardups(emb)
+    pairs = S.lsh_bucketed_neighbors(
+        aug, dim=64, n_planes=4, threshold=0.8
+    ).collect()
+    assert pairs, "fixture must plant at least one near-dup pair"
+    higher = {p["id_b"] for p in pairs}
+    for vid, kept in verdict.items():
+        assert kept == (vid not in higher), (vid, kept)
+
+
+def test_keep_canonical_is_longest_member(spark, sf_dir):
+    """The canonical doc of every duplicate cluster is its longest
+    member (ties to smallest id), and member counts match the CC
+    labelling the cluster query builds on."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from sparkga1_spark.plans.registry import all_queries
+    from sparkga1_spark.sources.catalog import load_table
+
+    rows = all_queries()["x_dedup_keep_canonical"](spark, sf_dir).collect()
+    assert rows, "LSH fixture corpus must contain duplicate clusters"
+    labels = {
+        r["doc_id"]: r["component"]
+        for r in all_queries()["x_dedup_cc_clusters"](spark, sf_dir).collect()
+    }
+    chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    groups = defaultdict(list)
+    for doc, comp in labels.items():
+        groups[comp].append(doc)
+    by_comp = {r["component"]: r for r in rows}
+    assert set(by_comp) == set(groups)
+    for comp, members in groups.items():
+        want = max(members, key=lambda d: (chars[d], -d))
+        got = by_comp[comp]
+        assert got["canonical_doc"] == want, (comp, want, got)
+        assert got["n_members"] == len(members)
+        assert got["n_pruned"] == len(members) - 1

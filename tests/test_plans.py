@@ -152,7 +152,9 @@ def test_gate_order_fronts_unproven_queries():
     must_have_row = {
         # round-5 (a): new / plan-changed this round
         "x_simhash_longdoc_pairs", "x_bpe_pair_counts",
-        "x_token_budget_sample", "x_host_pagerank", "p2_skew_detect",
+        "x_token_budget_sample", "x_span_dup_mass",
+        "x_quality_linear_score", "x_semdedup_prune",
+        "x_dedup_keep_canonical", "x_host_pagerank", "p2_skew_detect",
         # round-5 (b): the 34 queries whose last driver row was round 2
         "x_multimodal_framesample", "x_multimodal_audio_features",
         "a_rollup_revenue", "tpch_q3_shipping_priority",
@@ -466,3 +468,28 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         if row["cartesian"] or row["scalar_python"] or row["global_windows"]:
             bad[name] = row
     assert not bad, bad
+
+
+def test_quality_linear_score_is_map_only(spark, sf_dir):
+    """Score, bucket and keep flag are per-row expressions — the plan
+    must be a single map stage (zero exchanges, no Python)."""
+    plan = _plan(spark, sf_dir, "x_quality_linear_score")
+    assert "Exchange" not in plan, "quality scoring must not shuffle"
+    assert "EvalPython" not in plan
+
+
+def test_span_dup_mass_shuffles_hash_not_text(spark, sf_dir):
+    """Corpus-wide 8-gram counting: the gram text must be hashed to 8
+    bytes BEFORE any exchange (project-then-shuffle), and the whole
+    query needs at most the gram-window + h-agg + doc-agg exchanges."""
+    plan = _plan(spark, sf_dir, "x_span_dup_mass")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    import re
+
+    shuffles = len(re.findall(r"(?<!Reused)(?<!Broadcast)Exchange ", plan))
+    assert shuffles <= 3, f"{shuffles} shuffle exchanges"
+    # every hashpartitioning key must be an id or the 8-byte hash `h`,
+    # never the gram string `_g`
+    for keys in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "_g" not in keys, f"gram text used as shuffle key: {keys}"
