@@ -6202,18 +6202,19 @@ def x_span_dup_mass(spark, sf_dir):
     threshold get their duplicated spans cut or are dropped whole.
 
     Plan shape: distinct (doc_id, 8-gram-hash) rows (codegen'd window
-    n-grams, functions/text.py), groupBy the 8-byte hash for corpus
-    counts, hash-join the counts back (both sides arrive partitioned by
-    h — AQE reuses the exchange), then one doc_id aggregate. The
-    shuffle key is always the 8-byte hash, never the gram text. At
-    100 TB the optional refinement is filtering `nd >= 2` hashes and
-    broadcasting them when the duplicated-gram set is small; the
-    general shape shipped here needs no such assumption."""
+    n-grams, functions/text.py), then corpus counts via ONE
+    count-over-Window partitioned by the 8-byte hash — NOT a
+    groupBy+join-back, which would consume the gram subtree twice
+    (scan + gram window duplicated) and at 100 TB turn into a
+    corpus-sized sort-merge join; the window attaches `nd` in the
+    same h-exchange. Then one doc_id aggregate. The shuffle key is
+    always the 8-byte hash, never the gram text (guarded)."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     rows = T.shingle_hash_rows(docs, n=8)
-    cnt = rows.groupBy("h").agg(F.count("*").alias("nd"))
     per = (
-        rows.join(cnt, "h")
+        rows.withColumn("nd", F.count("*").over(Window.partitionBy("h")))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
@@ -6232,19 +6233,11 @@ def x_span_dup_mass(spark, sf_dir):
     )
 
 
-@query(
-    "x_quality_linear_score",
-    oracle="""
-SELECT doc_id, round(score, 6) AS score,
-       CAST(floor(score * 10) AS INTEGER) AS bucket,
-       score >= 0.5 AS keep
-FROM (
-  SELECT doc_id, 0.5 + 0.5 * z / (1 + abs(z)) AS score
-  FROM (
-    SELECT doc_id,
-           -2.0 + 0.2 * sqrt(nw) + 4.0 * swr + 3.0 * ar - 0.5 * mwl AS z
-    FROM (
-      SELECT doc_id,
+# Feature/score SQL for the linear quality head, shared by
+# x_quality_linear_score and x_curation_pipeline_v2 so the scoring
+# arithmetic cannot drift between the standalone gate and the
+# composition. Mirrored by _quality_score_col below.
+_QSCORE_FEATURES_SQL = """
              CAST(len(str_split_regex(trim(text), ' +')) AS DOUBLE) AS nw,
              CAST(len(list_filter(str_split_regex(trim(text), ' +'),
                                   w -> w IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
@@ -6253,6 +6246,41 @@ FROM (
                / length(text) AS ar,
              CAST(length(regexp_replace(text, ' +', '', 'g')) AS DOUBLE)
                / len(str_split_regex(trim(text), ' +')) AS mwl
+"""
+_QSCORE_Z_SQL = "-2.0 + 0.2 * sqrt(nw) + 4.0 * swr + 3.0 * ar - 0.5 * mwl"
+_QSCORE_SQL = "0.5 + 0.5 * z / (1 + abs(z))"
+
+
+def _quality_score_col(t):
+    """Spark mirror of _QSCORE_*_SQL: linear head + rational sigmoid
+    over the engineered features — correctly-rounded IEEE ops only, so
+    both engines score bit-identically (see x_quality_linear_score)."""
+    nw = T.word_count(t).cast("double")
+    swr = T.stopword_ratio(t)
+    ar = T.alpha_ratio(t)
+    mwl = F.length(F.regexp_replace(t, " +", "")).cast("double") / T.word_count(t)
+    z = (
+        F.lit(-2.0)
+        + F.lit(0.2) * F.sqrt(nw)
+        + F.lit(4.0) * swr
+        + F.lit(3.0) * ar
+        - F.lit(0.5) * mwl
+    )
+    return F.lit(0.5) + F.lit(0.5) * z / (F.lit(1) + F.abs(z))
+
+
+@query(
+    "x_quality_linear_score",
+    oracle=f"""
+SELECT doc_id, round(score, 6) AS score,
+       CAST(floor(score * 10) AS INTEGER) AS bucket,
+       score >= 0.5 AS keep
+FROM (
+  SELECT doc_id, {_QSCORE_SQL} AS score
+  FROM (
+    SELECT doc_id, {_QSCORE_Z_SQL} AS z
+    FROM (
+      SELECT doc_id, {_QSCORE_FEATURES_SQL}
       FROM documents
     )
   )
@@ -6274,19 +6302,7 @@ def x_quality_linear_score(spark, sf_dir):
     parallelism. Swapping in a real model is the same plan with the
     weight vector broadcast (J-1) or a pandas-UDF scorer (X-1)."""
     docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    nw = T.word_count(t).cast("double")
-    swr = T.stopword_ratio(t)
-    ar = T.alpha_ratio(t)
-    mwl = F.length(F.regexp_replace(t, " +", "")).cast("double") / T.word_count(t)
-    z = (
-        F.lit(-2.0)
-        + F.lit(0.2) * F.sqrt(nw)
-        + F.lit(4.0) * swr
-        + F.lit(3.0) * ar
-        - F.lit(0.5) * mwl
-    )
-    score = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1) + F.abs(z))
+    score = _quality_score_col(F.col("text"))
     return docs.select(
         "doc_id",
         hround(score, 6).alias("score"),
@@ -6405,26 +6421,144 @@ def x_dedup_keep_canonical(spark, sf_dir):
     )
 
 
+@query(
+    "x_curation_pipeline_v2",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source, text, str_split_regex(trim(text), ' +') AS W
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct([CAST(('0x' || substr(md5(array_to_string(W[i:i+7], ' ')), 1, 15)) AS BIGINT)
+                        for i in generate_series(1, greatest(len(W)-7, 0))]) AS gh
+  FROM w
+),
+e AS (SELECT doc_id, unnest(gh) AS h FROM g WHERE len(gh) > 0),
+c AS (SELECT h, count(*) AS nd FROM e GROUP BY h),
+dupm AS (
+  SELECT e.doc_id,
+         CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS dup_frac
+  FROM e JOIN c USING (h)
+  GROUP BY e.doc_id
+),
+s AS (
+  SELECT w.doc_id, w.source,
+         CAST(len(W) AS BIGINT) AS n_tok,
+         coalesce(d.dup_frac, 0.0) AS dup_frac,
+         {_QSCORE_SQL.replace('z', f'({_QSCORE_Z_SQL})')} AS score,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS pri
+  FROM (SELECT doc_id, source, text, W, {_QSCORE_FEATURES_SQL} FROM w) w
+  LEFT JOIN dupm d USING (doc_id)
+),
+cum AS (
+  SELECT *, (dup_frac < 0.5 AND score >= 0.5) AS keep,
+         sum(CASE WHEN dup_frac < 0.5 AND score >= 0.5 THEN n_tok ELSE 0 END)
+           OVER (PARTITION BY source ORDER BY pri, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN dup_frac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_span_cut,
+       CAST(sum(CASE WHEN dup_frac < 0.5 AND score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_cut,
+       CAST(sum(CASE WHEN keep AND cum <= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep AND cum <= 2000 THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM cum
+GROUP BY source
+""",
+)
+def x_curation_pipeline_v2(spark, sf_dir):
+    """The round-5 DECISION LAYER composed as ONE lazy plan — span-dup
+    cut (dup_frac ≥ 0.5 of 8-grams shared cross-doc) → linear quality
+    score cut (score < 0.5) → per-source 2000-token budget — with a
+    per-source funnel audit (total → span-cut → quality-cut → kept +
+    tokens kept). Complements x_curation_pipeline (exact dedup +
+    repetition + PII) with the round-5 operators, proving THEY compose
+    without breaking plan shape.
+
+    The budget stage needs no survivors-only pre-filter: cut docs
+    contribute ZERO to the running sum (`CASE WHEN keep THEN n_tok
+    ELSE 0`), so one `grouped_cumsum` over the full corpus — the
+    range-partitioned two-pass form, no per-source window funnel —
+    yields the same prefix the filtered form would, and every doc
+    still reaches the audit aggregate. Docs too short for 8-grams
+    carry dup_frac 0 (left join + coalesce) on both engines."""
+    from sparkga1_spark.functions.hashing import stable_hash64
+    from sparkga1_spark.operators.windows import grouped_cumsum
+
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = T.shingle_hash_rows(docs, n=8)
+    dupm = (
+        rows.withColumn("nd", F.count("*").over(Window.partitionBy("h")))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("double")
+                / F.count("*")
+            ).alias("dup_frac")
+        )
+    )
+    t = F.col("text")
+    s = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(T.words(t)).cast("long").alias("n_tok"),
+            _quality_score_col(t).alias("score"),
+            stable_hash64(t).alias("pri"),
+        )
+        .join(dupm, "doc_id", "left")
+        .withColumn("dup_frac", F.coalesce(F.col("dup_frac"), F.lit(0.0)))
+    )
+    keep = (F.col("dup_frac") < 0.5) & (F.col("score") >= 0.5)
+    s = s.withColumn("keep", keep).withColumn(
+        "contrib", F.when(keep, F.col("n_tok")).otherwise(F.lit(0)).cast("long")
+    )
+    c = grouped_cumsum(
+        s,
+        group_cols=["source"],
+        order_cols=["pri", "doc_id"],
+        value_col="contrib",
+        out_col="cum",
+    )
+    final = F.col("keep") & (F.col("cum") <= 2000)
+    return c.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("dup_frac") >= 0.5).cast("long")).alias("n_span_cut"),
+        F.sum(((F.col("dup_frac") < 0.5) & (F.col("score") < 0.5)).cast("long")).alias(
+            "n_quality_cut"
+        ),
+        F.sum(final.cast("long")).alias("n_kept"),
+        F.sum(F.when(final, F.col("n_tok")).otherwise(0)).cast("long").alias(
+            "tokens_kept"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Gate priority (see registry.set_gate_order docstring). Round 5: the
 # driver records rows for the FIRST 50 queries() only, so front
-# (a) the 9 queries NEW or PLAN-CHANGED this round
+# (a) the 10 queries NEW or PLAN-CHANGED this round
 #     (x_simhash_longdoc_pairs, x_bpe_pair_counts,
 #     x_token_budget_sample, x_span_dup_mass, x_quality_linear_score,
-#     x_semdedup_prune, x_dedup_keep_canonical new; x_host_pagerank
-#     gained the dangling-mass term; p2_skew_detect swapped its global
-#     window for the broadcast-scalar attach — results identical, plan
-#     changed),
+#     x_semdedup_prune, x_dedup_keep_canonical, x_curation_pipeline_v2
+#     new; x_host_pagerank gained the dangling-mass term;
+#     p2_skew_detect swapped its global window for the
+#     broadcast-scalar attach — results identical, plan changed),
 # (b) ALL 34 queries whose last driver row is round 2 — the rotation
 #     debt VERDICT r4 #1 names; this restores ≤2-round driver-row age
 #     across the registry,
 # (c) the 3 batch-replayable streaming oracles (driver rows r3;
 #     VERDICT r4 #6 asks for a current-round refresh),
-# (d) 4 round-3-age fills, heaviest/riskiest first (north-star
-#     pipeline, brute-force ANN, keep-best, range join) — the other
-#     r3-age queries carry committed LOCAL_GATE_r5 evidence (137/137
-#     green this round) and rotate next round.
-# That is exactly 9 + 34 + 3 + 4 = 50.
+# (d) 3 round-3-age fills, heaviest/riskiest first (north-star
+#     pipeline, brute-force ANN, keep-best) — the other r3-age
+#     queries carry committed LOCAL_GATE_r5 evidence (137/137 green
+#     this round) and rotate next round.
+# That is exactly 10 + 34 + 3 + 3 = 50.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
@@ -6438,6 +6572,7 @@ set_gate_order([
     "x_quality_linear_score",
     "x_semdedup_prune",
     "x_dedup_keep_canonical",
+    "x_curation_pipeline_v2",
     "x_host_pagerank",
     "p2_skew_detect",
     # (b) the 34 round-2-age queries
@@ -6483,5 +6618,4 @@ set_gate_order([
     "x_curation_pipeline",
     "x_ann_bruteforce_topk",
     "a_dedup_keep_best",
-    "j_range_exome_overlap",
 ])

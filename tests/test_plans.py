@@ -154,7 +154,8 @@ def test_gate_order_fronts_unproven_queries():
         "x_simhash_longdoc_pairs", "x_bpe_pair_counts",
         "x_token_budget_sample", "x_span_dup_mass",
         "x_quality_linear_score", "x_semdedup_prune",
-        "x_dedup_keep_canonical", "x_host_pagerank", "p2_skew_detect",
+        "x_dedup_keep_canonical", "x_curation_pipeline_v2",
+        "x_host_pagerank", "p2_skew_detect",
         # round-5 (b): the 34 queries whose last driver row was round 2
         "x_multimodal_framesample", "x_multimodal_audio_features",
         "a_rollup_revenue", "tpch_q3_shipping_priority",
@@ -493,3 +494,31 @@ def test_span_dup_mass_shuffles_hash_not_text(spark, sf_dir):
     # never the gram string `_g`
     for keys in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
         assert "_g" not in keys, f"gram text used as shuffle key: {keys}"
+
+
+def test_curation_pipeline_v2_exchange_budget(spark, sf_dir):
+    """The decision-layer composition must stay one plan with a bounded
+    shuffle budget: gram window + h count-window + doc agg + dupm
+    attach + grouped_cumsum's range/offset exchanges + final agg.
+    Counted by DISTINCT plan_id because grouped_cumsum's cached
+    range-partitioned input prints its subtree under both consumers
+    (InMemoryTableScan) while executing it once — a raw substring
+    count double-books those exchanges. A regression that re-scans
+    documents per stage or funnels a per-source window through one
+    task blows this budget."""
+    import re
+
+    plan = _plan(spark, sf_dir, "x_curation_pipeline_v2")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    shuffles = {
+        pid
+        for pid in re.findall(r"(?<!Reused)(?<!Broadcast)Exchange [^\n]*plan_id=(\d+)", plan)
+    }
+    assert len(shuffles) <= 9, f"{len(shuffles)} distinct shuffle exchanges"
+    assert "Exchange SinglePartition" not in plan, (
+        "single-partition funnel in the curation pipeline"
+    )
+    # the grouped cumsum must be the distributed two-pass form
+    assert "rangepartitioning" in plan.lower()
+    assert "windowspecdefinition(_pid" in plan
