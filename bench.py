@@ -54,6 +54,14 @@ HEADLINE = [
     "x_unigram_logprob",
     "x_bigram_pmi",
     "x_incremental_dedup_triage",
+    # round 5 additions: the corpus 8-gram count-window (span dup), the
+    # CC + per-component keep window, the BPE pair-count explode, and
+    # the full decision-layer composition (span cut -> quality cut ->
+    # token budget in one plan)
+    "x_span_dup_mass",
+    "x_dedup_keep_canonical",
+    "x_bpe_pair_counts",
+    "x_curation_pipeline_v2",
 ]
 
 

@@ -364,3 +364,37 @@ def test_pagerank_mass_conserved_per_iteration(spark, sf_dir):
         assert totals[t + 1] <= upper, (t, totals[t + 1], upper)
         assert totals[t + 1] >= upper - slack, (t, totals[t + 1], upper - slack)
     release_tracked()
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet="abcdefghij THEAOF.,!?0123456789",
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_quality_score_bounded_and_bucketed(spark, words_list):
+    """x_quality_linear_score's rational sigmoid must keep every score
+    strictly inside (0, 1) and every decile bucket inside [0, 9] for
+    ARBITRARY text — the property that makes `floor(score*10)` a total,
+    engine-portable bucketing (exp-based sigmoids overflow/underflow to
+    exactly 0.0/1.0 on extreme inputs; z/(1+|z|) cannot)."""
+    from pyspark.sql import functions as F
+
+    from sparkga1_spark.plans.queries import _quality_score_col
+
+    text = " ".join(w.strip() or "x" for w in words_list)
+    df = spark.createDataFrame([(text,)], "text string").select(
+        _quality_score_col(F.col("text")).alias("score")
+    )
+    row = df.select(
+        "score", F.floor(F.col("score") * 10).cast("int").alias("bucket")
+    ).collect()[0]
+    assert row.score is not None
+    assert 0.0 < row.score < 1.0, row.score
+    assert 0 <= row.bucket <= 9, row.bucket
