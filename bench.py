@@ -62,6 +62,11 @@ HEADLINE = [
     "x_dedup_keep_canonical",
     "x_bpe_pair_counts",
     "x_curation_pipeline_v2",
+    # round 5 second wave: the prefix-filtered exact similarity join
+    # (candidate-pruned self-join) and the BM25 broadcast/TakeOrdered
+    # retrieval stack
+    "x_set_similarity_join",
+    "x_bm25_topk",
 ]
 
 

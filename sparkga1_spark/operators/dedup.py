@@ -346,3 +346,105 @@ def simhash16_rows(
     """16-bit SimHash (the compact demo width; see simhash_rows for the
     scale note on why pairing should use >= 48 bits)."""
     return simhash_rows(rows, id_col=id_col, hash_col=hash_col, n_bits=16)
+
+
+def prefix_filter_jaccard_pairs(
+    rows: DataFrame,
+    *,
+    id_col: str,
+    hash_col: str = "h",
+    threshold_num: int,
+    threshold_den: int,
+) -> DataFrame:
+    """Exact set-similarity JOIN via prefix filtering (AllPairs/PPJoin
+    family — Bayardo et al. 2007 "Scaling Up All Pairs Similarity
+    Search"; Chaudhuri et al. 2006): all pairs with Jaccard >=
+    threshold_num/threshold_den, with NO false negatives and NO
+    LSH-style recall loss.
+
+    Why not `jaccard_pairs`? That self-joins on EVERY shared shingle —
+    cost Sum_h df(h)^2 over the whole vocabulary, dominated by common
+    shingles that can never push a pair over a high threshold. Prefix
+    filtering orders each set's elements by ascending global document
+    frequency (rarest first, ties by hash — one total order both for
+    pruning correctness and determinism) and joins only each set's
+    first |x| - ceil(t*|x|) + 1 elements: if J(a,b) >= t then
+    |a n b| >= ceil(t*|a|) (since the union contains a), and two sets
+    with overlap >= c MUST share an element within their (len-c+1)-
+    prefixes of a common total order — so candidate generation is
+    exact while the join touches only rare-element buckets. Survivors
+    are then verified with the true intersection count; the keep
+    predicate is pure 64-bit integer arithmetic
+    (den*inter >= num*(|a|+|b|-inter)), so the boundary J == t is
+    decided identically on any engine — no float rounding in the
+    predicate.
+
+    Scale shape: df attach and candidate generation are equi-joins on
+    the 8-byte element hash (co-partitionable; never the element
+    text); the per-set rank window partitions by set id (sets are
+    individually small); verification joins the candidate PAIRS —
+    output-bounded — back to element rows keyed by id. No cartesian
+    anywhere.
+
+    `rows` must be DISTINCT (id, hash) element rows. Returns
+    (id_a, id_b, n_shared, jaccard) with jaccard rounded 6dp for
+    display; membership is decided by the exact integer predicate.
+    """
+    num, den = int(threshold_num), int(threshold_den)
+    assert 0 < num <= den
+    rows = tracked_persist(rows)  # sizes + df + ranks + both verify sides
+    sizes = rows.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    dfreq = rows.groupBy(hash_col).agg(F.count("*").alias("_df"))
+    # prefix length |x| - ceil(num/den * |x|) + 1, ceil in integers
+    plen = F.col("_sz") - ((F.lit(num) * F.col("_sz") + (den - 1)) / den).cast(
+        "long"
+    ) + 1
+    ranked = (
+        rows.join(dfreq, hash_col)
+        .withColumn(
+            "_pos",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("_df", hash_col)
+            ),
+        )
+        .join(sizes, id_col)
+        .filter(F.col("_pos") <= plen)
+        .select(id_col, hash_col)
+    )
+    cand = (
+        ranked.select(F.col(id_col).alias("id_a"), hash_col)
+        .join(ranked.select(F.col(id_col).alias("id_b"), hash_col), hash_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = cand.join(
+        rows.select(F.col(id_col).alias("id_a"), hash_col), "id_a"
+    )
+    inter = (
+        ea.join(
+            rows.select(F.col(id_col).alias("id_b"), hash_col),
+            ["id_b", hash_col],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    withsz = inter.join(
+        sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("sz_a")),
+        "id_a",
+    ).join(
+        sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("sz_b")),
+        "id_b",
+    )
+    union_sz = F.col("sz_a") + F.col("sz_b") - F.col("n_shared")
+    return (
+        withsz.filter(F.lit(den) * F.col("n_shared") >= F.lit(num) * union_sz)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            hround(F.col("n_shared").cast("double") / union_sz, 6).alias(
+                "jaccard"
+            ),
+        )
+    )

@@ -6540,25 +6540,404 @@ def x_curation_pipeline_v2(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Round-5 second wave: exact set-similarity JOIN (prefix filtering —
+# the LSH-free candidate generator), BM25 retrieval scoring, per-group
+# OLS trend fitting, and robust (median/MAD) outlier detection via
+# distributed rank selection.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "x_set_similarity_join",
+    oracle=f"""
+WITH doc_shingles AS ({DOC_SHINGLES_SQL}),
+e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS h FROM doc_shingles),
+i AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_shared,
+         any_value(l.sz) AS sz_a, any_value(r.sz) AS sz_b
+  FROM e l JOIN e r ON l.h = r.h AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+)
+SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+       round(CAST(n_shared AS DOUBLE) / (sz_a + sz_b - n_shared), 6) AS jaccard
+FROM i WHERE 5 * n_shared >= 3 * (sz_a + sz_b - n_shared)
+""",
+)
+def x_set_similarity_join(spark, sf_dir):
+    """Exact set-similarity join at Jaccard >= 3/5 over word-3-gram
+    shingle sets — prefix filtering (Bayardo et al. 2007 AllPairs /
+    PPJoin family), the LSH-FREE scale path for high-threshold
+    near-dup joins: order each set rarest-element-first under one
+    global (df, hash) order and join only prefix elements; the prefix
+    lemma guarantees zero false negatives, and survivors are verified
+    with the true intersection count. Membership is decided by pure
+    integer arithmetic (5*inter >= 3*union) so the J == 0.6 boundary
+    cannot float-flip between engines.
+
+    Contrast x_dedup_ngram_jaccard (tau=0.2): that self-joins on EVERY
+    shared shingle — Sum_h df(h)^2 cost, the right tool on LSH-refined
+    candidates — while this plan prunes common shingles BEFORE the
+    join, making the direct join feasible corpus-wide at high tau. The
+    ORACLE is the brute-force form, so the gate proves the pruned join
+    loses nothing. All joins key on the 8-byte shingle hash or doc id
+    (operators/dedup.py prefix_filter_jaccard_pairs; plan-guarded)."""
+    rows = _doc_shingle_rows(spark, sf_dir)
+    return D.prefix_filter_jaccard_pairs(
+        rows, id_col="doc_id", threshold_num=3, threshold_den=5
+    )
+
+
+@query(
+    "x_bm25_topk",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(str_split_regex(trim(text), ' +'),
+                                    x -> x <> '')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('spark', 'vector', 'stream') GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+idf AS (
+  SELECT term,
+         CAST(floor(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                    * 1000000000 + 0.5) AS BIGINT) AS idf_nano
+  FROM dft, stats
+),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(floor((CAST(idf_nano AS DOUBLE) / 1000000000)
+                    * ((CAST(tf AS DOUBLE) * 2.2)
+                       / (CAST(tf AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                                   / (CAST(sum_dl AS DOUBLE)
+                                      / CAST(n_docs AS DOUBLE))))))
+                    * 1000000000 + 0.5) AS BIGINT) AS c
+  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       round(CAST(sum(c) AS DOUBLE) / 1000000000, 6) AS score
+FROM contrib
+GROUP BY doc_id
+ORDER BY sum(c) DESC, doc_id
+LIMIT 10
+""",
+)
+def x_bm25_topk(spark, sf_dir):
+    """BM25 top-10 retrieval (Robertson-Sparck Jones probabilistic
+    weighting with the Lucene-style non-negative idf ln(1+(N-df+.5)/
+    (df+.5)); k1=1.2, b=0.75) for a fixed 3-term query — the scoring
+    layer over the inverted-index/TF-IDF stack (x_inverted_index,
+    x_tfidf_top_terms). Determinism discipline: ln is the one
+    non-correctly-rounded op, so each term's idf is snapped to integer
+    nano-units ONCE (vocab-sized work); the per-(doc,term)
+    contribution — built from correctly-rounded +,*,/ only, identical
+    expression tree both engines — is snapped to nano-units BEFORE the
+    per-doc sum, making the accumulation exact integer addition
+    (x_unigram_logprob's lesson); top-10 orders by the integer score
+    with doc_id tiebreak.
+
+    Plan: doc lengths and corpus stats are one aggregate + broadcast
+    1-row attach; tf touches only query terms (predicate-pruned before
+    the shuffle); df/idf are query-sized broadcasts; final cut is
+    TakeOrderedAndProject. At 100 TB: everything keys on doc_id except
+    two tiny broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "vector", "stream"]
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.trim(F.col("text")), " +"), lambda x: x != "")
+        ).alias("term"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = dft.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.floor(
+            F.log(
+                F.lit(1)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * 1_000_000_000
+            + 0.5
+        )
+        .cast("long")
+        .alias("idf_nano"),
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    tfd = F.col("tf").cast("double")
+    contrib = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(
+                (F.col("idf_nano").cast("double") / 1_000_000_000)
+                * (
+                    (tfd * 2.2)
+                    / (
+                        tfd
+                        + 1.2
+                        * (0.25 + 0.75 * (F.col("dl").cast("double") / avgdl))
+                    )
+                )
+                * 1_000_000_000
+                + 0.5
+            )
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("c").alias("snano"),
+    )
+    return (
+        scored.orderBy(F.col("snano").desc(), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            "n_terms",
+            hround(F.col("snano").cast("double") / 1_000_000_000, 6).alias(
+                "score"
+            ),
+        )
+    )
+
+
+@query(
+    "x_group_ols_trend",
+    oracle="""
+SELECT n_name, CAST(n AS BIGINT) AS n_orders,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 2)
+           AS intercept
+FROM (
+  SELECT n_name,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(d AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(d * o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(d * d AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+  FROM (
+    SELECT n_name, o_totalprice,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS d
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+  )
+  GROUP BY n_name
+)
+""",
+)
+def x_group_ols_trend(spark, sf_dir):
+    """Per-nation revenue trend: closed-form OLS of order totalprice
+    against epoch-day — x_corr_exact's exact-DECIMAL-moment technique
+    extended to regression. The four moments (Sx, Sy, Sxy, Sxx)
+    accumulate in DECIMAL (commutative — partition order cannot
+    perturb them); slope and intercept are then single double
+    evaluations of the normal equations, identical expression tree on
+    both engines. Spark's own ml.regression needs an iterative job;
+    the closed 1-D form is one partial+final aggregate.
+
+    Plan: orders -> broadcast customer? No — customer joins on
+    c_custkey at order volume (co-partitioned hash join at scale, AQE
+    broadcast at test SF), nation is a true broadcast dim; then ONE
+    hash aggregate to 25 groups of 5 numbers each."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    base = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"]
+        )
+        .select(
+            "n_name",
+            "o_totalprice",
+            F.expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS BIGINT)").alias(
+                "d"
+            ),
+        )
+    )
+
+    def m(c):
+        return F.sum(c.cast("decimal(28,6)")).cast("double")
+
+    x, y = F.col("d"), F.col("o_totalprice")
+    agg = base.groupBy("n_name").agg(
+        F.count("*").cast("double").alias("n"),
+        m(x).alias("sx"),
+        m(y).alias("sy"),
+        m(x * y).alias("sxy"),
+        m(x * x).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        "n_name",
+        F.col("n").cast("long").alias("n_orders"),
+        hround(slope, 6).alias("slope"),
+        hround((F.col("sy") - slope * F.col("sx")) / F.col("n"), 2).alias(
+            "intercept"
+        ),
+    )
+
+
+@query(
+    "x_mad_outliers",
+    oracle="""
+WITH v AS (
+  SELECT o_orderpriority AS grp, o_orderkey AS id,
+         CAST(o_totalprice AS DECIMAL(28,6)) AS x
+  FROM orders
+),
+cnt AS (SELECT grp, count(*) AS n FROM v GROUP BY grp),
+r AS (
+  SELECT grp, id, x,
+         row_number() OVER (PARTITION BY grp ORDER BY x, id) AS rk
+  FROM v
+),
+med2 AS (
+  SELECT r.grp, min(x) + max(x) AS m2
+  FROM r JOIN cnt USING (grp)
+  WHERE rk IN ((n + 1) // 2, (n + 2) // 2)
+  GROUP BY r.grp
+),
+dev AS (
+  SELECT v.grp, v.id, abs(2 * x - m2) AS d2
+  FROM v JOIN med2 USING (grp)
+),
+r2 AS (
+  SELECT grp, id, d2,
+         row_number() OVER (PARTITION BY grp ORDER BY d2, id) AS rk
+  FROM dev
+),
+mad4 AS (
+  SELECT r2.grp, min(d2) + max(d2) AS m4
+  FROM r2 JOIN cnt USING (grp)
+  WHERE rk IN ((n + 1) // 2, (n + 2) // 2)
+  GROUP BY r2.grp
+)
+SELECT dev.grp AS o_orderpriority,
+       CAST(any_value(cnt.n) AS BIGINT) AS n_orders,
+       round(CAST(any_value(m2) AS DOUBLE) / 2, 4) AS median_price,
+       round(CAST(any_value(m4) AS DOUBLE) / 4, 4) AS mad,
+       CAST(sum(CASE WHEN 2 * d2 > 3 * m4 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers
+FROM dev JOIN mad4 USING (grp) JOIN cnt USING (grp) JOIN med2 USING (grp)
+GROUP BY dev.grp
+""",
+)
+def x_mad_outliers(spark, sf_dir):
+    """Robust per-group outlier detection: median and MAD (median
+    absolute deviation) by EXACT distributed rank selection, flagging
+    orders with |x - median| > 3*MAD. Medians come from grouped_cumsum
+    ranks (the O-3 machinery: range-partitioned two-pass rank — groups
+    are few and huge, so a per-group window would funnel each group
+    through one task) + broadcast group counts; the two middle ranks'
+    min+max SUM stands in for the median so the whole derivation is
+    exact DECIMAL arithmetic with NO division — median = m2/2 and
+    MAD = m4/4 exist only in the display columns (m4 = min+max of the
+    middle-ranked |2x - m2| values = 4*MAD), and the outlier
+    predicate is the integer-scaled 2*|2x - m2| > 3*m4 (identical
+    decimal comparison both engines; a float boundary cannot flip a
+    row). Two rank passes + one broadcast-attach counting pass; at
+    100 TB each pass is one range exchange."""
+    from sparkga1_spark.operators.windows import grouped_cumsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").cast("decimal(28,6)").alias("x"),
+    )
+    v = tracked_persist(v)
+    cnt = v.groupBy("grp").agg(F.count("*").alias("n"))
+
+    def _middle_sum(df, val_col, out_col):
+        """min+max of the two middle-ranked rows per grp (== 2*median,
+        exact decimal; one row when the count is odd)."""
+        rk = grouped_cumsum(
+            df.withColumn("_one", F.lit(1)),
+            group_cols=["grp"],
+            order_cols=[val_col, "id"],
+            value_col="_one",
+            out_col="rk",
+        )
+        mid = rk.join(F.broadcast(cnt), "grp").filter(
+            (F.col("rk") == F.expr("(n + 1) DIV 2"))
+            | (F.col("rk") == F.expr("(n + 2) DIV 2"))
+        )
+        return mid.groupBy("grp").agg(
+            (F.min(val_col) + F.max(val_col)).alias(out_col)
+        )
+
+    med2 = _middle_sum(v, "x", "m2")
+    dev = v.join(F.broadcast(med2), "grp").select(
+        "grp", "id", F.abs(F.lit(2) * F.col("x") - F.col("m2")).alias("d2")
+    )
+    dev = tracked_persist(dev)
+    mad4 = _middle_sum(dev, "d2", "m4")
+    return (
+        dev.join(F.broadcast(mad4), "grp")
+        .join(F.broadcast(cnt), "grp")
+        .join(F.broadcast(med2), "grp")
+        .groupBy(F.col("grp").alias("o_orderpriority"))
+        .agg(
+            F.any_value(F.col("n")).cast("long").alias("n_orders"),
+            hround(F.any_value(F.col("m2")).cast("double") / 2, 4).alias(
+                "median_price"
+            ),
+            hround(F.any_value(F.col("m4")).cast("double") / 4, 4).alias("mad"),
+            F.sum(
+                F.when(
+                    F.lit(2) * F.col("d2") > F.lit(3) * F.col("m4"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Gate priority (see registry.set_gate_order docstring). Round 5: the
 # driver records rows for the FIRST 50 queries() only, so front
-# (a) the 10 queries NEW or PLAN-CHANGED this round
+# (a) the 13 queries NEW or RESULT-CHANGED this round
 #     (x_simhash_longdoc_pairs, x_bpe_pair_counts,
 #     x_token_budget_sample, x_span_dup_mass, x_quality_linear_score,
-#     x_semdedup_prune, x_dedup_keep_canonical, x_curation_pipeline_v2
-#     new; x_host_pagerank gained the dangling-mass term;
-#     p2_skew_detect swapped its global window for the
-#     broadcast-scalar attach — results identical, plan changed),
+#     x_semdedup_prune, x_dedup_keep_canonical, x_curation_pipeline_v2,
+#     x_set_similarity_join, x_bm25_topk, x_group_ols_trend,
+#     x_mad_outliers new; x_host_pagerank gained the dangling-mass
+#     term, so its r4 driver row no longer certifies its values.
+#     p2_skew_detect changed PLAN only (global window -> broadcast-
+#     scalar attach; results identical, r4 driver row still certifies
+#     the values) — it rotates to the tail on LOCAL_GATE_r5 + plan-
+#     audit evidence to make room),
 # (b) ALL 34 queries whose last driver row is round 2 — the rotation
 #     debt VERDICT r4 #1 names; this restores ≤2-round driver-row age
 #     across the registry,
 # (c) the 3 batch-replayable streaming oracles (driver rows r3;
-#     VERDICT r4 #6 asks for a current-round refresh),
-# (d) 3 round-3-age fills, heaviest/riskiest first (north-star
-#     pipeline, brute-force ANN, keep-best) — the other r3-age
-#     queries carry committed LOCAL_GATE_r5 evidence (137/137 green
-#     this round) and rotate next round.
-# That is exactly 10 + 34 + 3 + 3 = 50.
+#     VERDICT r4 #6 asks for a current-round refresh).
+# The r3-age queries carry committed LOCAL_GATE_r5 evidence (142/142
+# green this round) and rotate next round.
+# That is exactly 13 + 34 + 3 = 50.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
@@ -6573,8 +6952,11 @@ set_gate_order([
     "x_semdedup_prune",
     "x_dedup_keep_canonical",
     "x_curation_pipeline_v2",
+    "x_set_similarity_join",
+    "x_bm25_topk",
+    "x_group_ols_trend",
+    "x_mad_outliers",
     "x_host_pagerank",
-    "p2_skew_detect",
     # (b) the 34 round-2-age queries
     "x_multimodal_framesample",
     "x_multimodal_audio_features",
@@ -6614,8 +6996,4 @@ set_gate_order([
     "s_tumbling_counts",
     "s_sliding_avg",
     "s_session_windows",
-    # (d) round-3-age fills
-    "x_curation_pipeline",
-    "x_ann_bruteforce_topk",
-    "a_dedup_keep_best",
 ])

@@ -150,12 +150,15 @@ def test_gate_order_fronts_unproven_queries():
     qs = list(all_queries())
     first50 = set(qs[:50])
     must_have_row = {
-        # round-5 (a): new / plan-changed this round
+        # round-5 (a): new / result-changed this round (p2_skew_detect
+        # changed plan only — its r4 driver row still certifies values,
+        # so it rotates on LOCAL_GATE_r5 + plan-audit evidence)
         "x_simhash_longdoc_pairs", "x_bpe_pair_counts",
         "x_token_budget_sample", "x_span_dup_mass",
         "x_quality_linear_score", "x_semdedup_prune",
         "x_dedup_keep_canonical", "x_curation_pipeline_v2",
-        "x_host_pagerank", "p2_skew_detect",
+        "x_set_similarity_join", "x_bm25_topk", "x_group_ols_trend",
+        "x_mad_outliers", "x_host_pagerank",
         # round-5 (b): the 34 queries whose last driver row was round 2
         "x_multimodal_framesample", "x_multimodal_audio_features",
         "a_rollup_revenue", "tpch_q3_shipping_priority",
@@ -522,3 +525,59 @@ def test_curation_pipeline_v2_exchange_budget(spark, sf_dir):
     # the grouped cumsum must be the distributed two-pass form
     assert "rangepartitioning" in plan.lower()
     assert "windowspecdefinition(_pid" in plan
+
+
+def test_set_similarity_join_plan_hygiene(spark, sf_dir):
+    """Prefix-filter Jaccard join: every shuffle key must be the 8-byte
+    shingle hash or a doc id — never gram text — and candidate
+    generation must stay an equi-join (no cartesian/NLJ fallback)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "x_set_similarity_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    for keys in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "_g" not in keys, f"gram text used as shuffle key: {keys}"
+
+
+def test_bm25_is_take_ordered_with_bounded_shuffles(spark, sf_dir):
+    """BM25 top-10: the final cut must be TakeOrderedAndProject (never a
+    global sort), corpus stats arrive as broadcast 1-row attaches, and
+    Python never enters the plan."""
+    plan = _plan(spark, sf_dir, "x_bm25_topk")
+    assert "TakeOrderedAndProject" in plan, "top-10 must not global-sort"
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_group_ols_single_aggregate(spark, sf_dir):
+    """OLS trend: one partial+final hash aggregate over the joined
+    stream — moments must not spawn extra shuffles, and the nation dim
+    must broadcast."""
+    import re
+
+    plan = _plan(spark, sf_dir, "x_group_ols_trend")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    shuffles = len(re.findall(r"(?<!Reused)(?<!Broadcast)Exchange ", plan))
+    assert shuffles <= 3, f"{shuffles} shuffle exchanges"
+
+
+def test_mad_outliers_no_per_group_window_funnel(spark, sf_dir):
+    """Rank selection must be grouped_cumsum's two-pass range-partition
+    form: every window spec is local to a physical partition (_pid) —
+    a window partitioned by the 5-value group column alone would
+    funnel each group through one task at 100 TB."""
+    import re
+
+    plan = _plan(spark, sf_dir, "x_mad_outliers")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "rank selection lost its window form entirely"
+    for spec in specs:
+        assert "_pid" in spec, f"global per-group window funnel: {spec}"

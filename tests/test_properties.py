@@ -398,3 +398,157 @@ def test_quality_score_bounded_and_bucketed(spark, words_list):
     assert row.score is not None
     assert 0.0 < row.score < 1.0, row.score
     assert 0 <= row.bucket <= 9, row.bucket
+
+
+@given(
+    sets=st.lists(
+        st.sets(st.integers(min_value=0, max_value=11), min_size=1, max_size=9),
+        min_size=2,
+        max_size=7,
+    )
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_prefix_filter_join_equals_bruteforce(spark, sets):
+    """Prefix filtering must be EXACT: over a tiny universe (forcing
+    heavy element sharing) the pruned join's output equals the
+    all-pairs brute force under the same integer predicate
+    5*inter >= 3*union — including pairs sitting exactly on J = 3/5."""
+    from sparkga1_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    rows = [(i, int(h)) for i, s in enumerate(sets) for h in s]
+    df = spark.createDataFrame(rows, "doc_id long, h long")
+    got = {
+        (r.id_a, r.id_b, r.n_shared)
+        for r in prefix_filter_jaccard_pairs(
+            df, id_col="doc_id", threshold_num=3, threshold_den=5
+        ).collect()
+    }
+    want = set()
+    for a in range(len(sets)):
+        for b in range(a + 1, len(sets)):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if 5 * inter >= 3 * union:
+                want.add((a, b, inter))
+    assert got == want
+
+
+def test_prefix_filter_join_boundary_pair(spark):
+    """A pair at exactly J = 3/5 (inter 3, union 5) must be kept — the
+    integer predicate includes the boundary on both engines."""
+    from sparkga1_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    rows = [(0, h) for h in (1, 2, 3, 4)] + [(1, h) for h in (1, 2, 3, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, h long")
+    out = prefix_filter_jaccard_pairs(
+        df, id_col="doc_id", threshold_num=3, threshold_den=5
+    ).collect()
+    assert [(r.id_a, r.id_b, r.n_shared, r.jaccard) for r in out] == [
+        (0, 1, 3, 0.6)
+    ]
+
+
+def test_mad_outliers_matches_numpy(spark, sf_dir):
+    """Distributed rank-selection median/MAD equals the single-machine
+    definition (numpy median; MAD = median of absolute deviations)."""
+    import numpy as np
+
+    from sparkga1_spark.plans.registry import all_queries
+
+    got = {
+        r.o_orderpriority: r
+        for r in all_queries()["x_mad_outliers"](spark, sf_dir).collect()
+    }
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    by_grp = {}
+    for r in orders:
+        by_grp.setdefault(r.o_orderpriority, []).append(r.o_totalprice)
+    assert set(got) == set(by_grp)
+    for g, xs in by_grp.items():
+        xs = np.array(sorted(xs))
+        med = float(np.median(xs))
+        mad = float(np.median(np.abs(xs - med)))
+        assert got[g].n_orders == len(xs)
+        assert abs(got[g].median_price - med) < 1e-4
+        assert abs(got[g].mad - mad) < 1e-4
+        assert got[g].n_outliers == int(np.sum(np.abs(xs - med) > 3 * mad))
+
+
+def test_group_ols_matches_numpy_polyfit(spark, sf_dir):
+    """Closed-form decimal-moment OLS equals numpy's least squares."""
+    import numpy as np
+
+    from sparkga1_spark.plans.registry import all_queries
+
+    got = {
+        r.n_name: r
+        for r in all_queries()["x_group_ols_trend"](spark, sf_dir).collect()
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/customer.parquet"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            spark.read.parquet(f"{sf_dir}/nation.parquet"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            F.expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS BIGINT)").alias("d"),
+            "o_totalprice",
+        )
+        .collect()
+    )
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r.n_name, []).append((r.d, r.o_totalprice))
+    for name, pts in by_nation.items():
+        if len(pts) < 2:
+            continue
+        x = np.array([p[0] for p in pts], dtype=float)
+        y = np.array([p[1] for p in pts], dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(got[name].slope - slope) < 1e-4
+        assert abs(got[name].intercept - intercept) < 1.0  # intercept ~1e5 scale
+
+
+def test_bm25_matches_python_reference(spark, sf_dir):
+    """The nano-snapped JVM BM25 equals a straightforward Python
+    implementation (k1=1.2, b=0.75, Lucene idf) to snapping precision."""
+    import math
+
+    from sparkga1_spark.plans.registry import all_queries
+
+    got = all_queries()["x_bm25_topk"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    toks = {r.doc_id: [w for w in r.text.strip().split() if w] for r in docs}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    terms = ["spark", "vector", "stream"]
+    df_t = {
+        t: sum(1 for ws in toks.values() if t in ws) for t in terms
+    }
+    scores = {}
+    for did, ws in toks.items():
+        s, nt = 0.0, 0
+        for t in terms:
+            tf = ws.count(t)
+            if tf == 0 or df_t[t] == 0:
+                continue
+            nt += 1
+            idf = math.log(1 + (n_docs - df_t[t] + 0.5) / (df_t[t] + 0.5))
+            s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(ws) / avgdl))
+        if nt:
+            scores[did] = (s, nt)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:10]
+    assert [r.doc_id for r in got] == [d for d, _ in want]
+    for r, (_, (s, nt)) in zip(got, want):
+        assert r.n_terms == nt
+        assert abs(r.score - s) < 1e-5

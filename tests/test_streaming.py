@@ -550,3 +550,60 @@ def test_stream_incremental_dedup_triage(spark, sf_dir, tmp_path):
     want = docs.filter(F.col("doc_id") % 3 == 0).count()
     assert admitted.count() == want  # every duplicate dropped
     assert admitted.filter(F.col("doc_id") >= 10_000_000).count() == 0
+
+
+def test_foreach_batch_upsert_exactly_once(
+    spark, sf_dir, events_dir, event_stream_schema, tmp_path
+):
+    """Exactly-once MERGE sink (streaming/sinks.py): streaming the
+    events source through foreach_batch_upsert yields one row per key;
+    REDELIVERING an already-committed batch (the at-least-once crash
+    window) leaves the table byte-identical instead of double-applying
+    or clobbering newer versions."""
+    from sparkga1_spark.streaming.ingest import stream_events
+    from sparkga1_spark.streaming.sinks import (
+        committed_batches,
+        foreach_batch_upsert,
+    )
+
+    table = str(tmp_path / "latest_by_user")
+    sink = foreach_batch_upsert(table, keys=["user_id"])
+    # keep-latest-per-user upsert: reduce each micro-batch to one row
+    # per key first (updates win per key across batches)
+    stream = stream_events(spark, events_dir, event_stream_schema)
+    reduced = lambda df: (  # noqa: E731
+        df.groupBy("user_id").agg(
+            F.max("event_id").alias("last_event_id"),
+            F.count("*").alias("n_in_batch"),
+        )
+    )
+    q = (
+        stream.writeStream.foreachBatch(lambda df, bid: sink(reduced(df), bid))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = spark.read.parquet(table)
+    assert got.count() == ev.select("user_id").distinct().count()
+    # every key holds a real event id (MERGE applied, not appended)
+    assert got.filter(F.col("last_event_id").isNull()).count() == 0
+    before = sorted(map(tuple, got.collect()))
+    ledger = committed_batches(table)
+    assert ledger, "no batch ids recorded"
+    # simulate at-least-once redelivery of an old batch: stale content
+    # for every key, already-committed batch id -> must be skipped
+    stale = reduced(ev).withColumn("last_event_id", F.lit(-1).cast("long"))
+    sink(stale, min(ledger))
+    after = sorted(map(tuple, spark.read.parquet(table).collect()))
+    assert after == before, "replayed batch was re-applied"
+    # a genuinely NEW batch still merges
+    new_id = max(ledger) + 1
+    sink(
+        stale.filter(F.col("user_id") == before[0][0]).limit(1), new_id
+    )
+    upd = spark.read.parquet(table)
+    assert upd.filter(F.col("last_event_id") == -1).count() == 1
+    assert upd.count() == len(before)
+    assert new_id in committed_batches(table)
