@@ -67,6 +67,13 @@ HEADLINE = [
     # retrieval stack
     "x_set_similarity_join",
     "x_bm25_topk",
+    # round 5 waves 3-4: the LSH + exact-refine composition under the
+    # FIXED (seeded-md5) minhash permutations, the per-basket
+    # co-occurrence self-join, and the three-axis distributed-rank
+    # segmentation
+    "x_minhash_accuracy_audit",
+    "x_assoc_rules_lift",
+    "x_rfm_segmentation",
 ]
 
 

@@ -31,16 +31,28 @@ def stable_hash64(col: Column) -> Column:
 
 
 def keyed_hash(h: Column, a: int, b: int) -> Column:
-    """Universal-hash permutation (a*h + b) mod M61 of an existing
-    stable hash. a must be odd and < 2^31 so a*h < 2^92... — to stay in
-    BIGINT range both engines compute ((a * (h % 2^31)) + (a * (h >> 31))
-    is overkill; instead keep h to 60 bits and a < 8: overflow-free is
-    guaranteed only for a*h < 2^63, so use a ∈ small odd ints and fold:
-    we reduce h mod 2^40 first (a < 2^22 ⇒ product < 2^62)."""
-    h40 = h % F.lit(1 << 40)
-    return (h40 * F.lit(a) + F.lit(b)) % F.lit(MERSENNE61)
+    """Seeded re-hash of an existing stable hash: md5 of
+    '<a>:<b>:<h>' → 60-bit integer. (a, b) act as the permutation seed.
+
+    Why not arithmetic (a*h + b) mod M61: with h reduced to 40 bits for
+    BIGINT overflow safety, any a < 2^21 keeps a*h + b BELOW the
+    modulus — the map never wraps, so it is MONOTONE in h, every
+    "permutation" shares the same argmin, and an 8-perm MinHash
+    degenerates to one minimum repeated 8× (measured: est_jaccard ≡ 1.0
+    on every LSH candidate pair; x_minhash_accuracy_audit is the
+    regression gate). A seeded cryptographic re-hash gives genuinely
+    independent permutations and is exactly reproducible in both
+    engines (md5 is bit-identical everywhere); the cost is one md5 per
+    (row, seed), JVM-side, scan-local."""
+    seed = f"{a}:{b}:"
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), h.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
 
 
 def keyed_hash_sql(h_expr: str, a: int, b: int) -> str:
     """DuckDB mirror of keyed_hash."""
-    return f"((({h_expr}) % {1 << 40}) * {a} + {b}) % {MERSENNE61}"
+    return (
+        f"CAST(('0x' || substr(md5('{a}:{b}:' || "
+        f"CAST(({h_expr}) AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )

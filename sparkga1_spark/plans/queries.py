@@ -6917,33 +6917,1307 @@ def x_mad_outliers(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Round-5 wave 3: product-analytics / warehouse-hygiene layer — event
+# transition matrix, rollup reaggregation chain, referential-integrity
+# audit, market-basket association rules, graph triangles, rolling
+# z-score anomalies, sketch-accuracy for MinHash, Bloom-filter FPR,
+# Pareto frontier.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "x_event_transitions",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+t AS (
+  SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+  FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+r AS (SELECT from_type, sum(n) AS tot FROM t GROUP BY 1)
+SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n_transitions,
+       round(CAST(t.n AS DOUBLE) / r.tot, 6) AS p_next
+FROM t JOIN r USING (from_type)
+""",
+)
+def x_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over the event stream —
+    P(next event type | current) per user journey, the
+    clickstream-analysis primitive behind next-action prediction and
+    funnel discovery. One shuffle keyed by user_id (high-cardinality),
+    a lag window over the same unique (ts, event_id) order
+    x_funnel_conversion uses, then a (from, to) count aggregate whose
+    result is at most |event_types|² rows — the per-from totals attach
+    via a broadcast join of that tiny table, never a second pass over
+    the stream. p_next is one integer division (correctly rounded IEEE
+    on both engines). At 100 TB the event stream shuffles once;
+    everything after the lag is bounded by the type-vocabulary size."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    s = ev.select(
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev"),
+    )
+    t = (
+        s.filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    r = t.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return (
+        t.join(F.broadcast(r), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n_transitions"),
+            hround(F.col("n") / F.col("tot"), 6).alias("p_next"),
+        )
+    )
+
+
+@query(
+    "x_rollup_chain_daily",
+    oracle="""
+WITH direct AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         count(*) AS n,
+         CAST(floor(sum(CAST(value AS DECIMAL(18,6))) * 1000000
+                    + CAST('0.5' AS DECIMAL(2,1))) AS BIGINT) AS sv_micro
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
+       round(CAST(sv_micro AS DOUBLE) / 1000000, 2) AS sum_value,
+       round(CAST(sv_micro AS DOUBLE) / 1000000 / n, 6) AS avg_value
+FROM direct
+""",
+)
+def x_rollup_chain_daily(spark, sf_dir):
+    """Multi-granularity rollup chain (the hypertable continuous-
+    aggregate pattern): the DAILY aggregate is computed FROM the HOURLY
+    aggregate — sum-of-counts and sum-of-decimal-sums, never a second
+    scan of the raw stream — while the oracle computes daily DIRECTLY
+    from raw events. Equality proves the reaggregation identity the
+    incremental-rollup architecture rests on: count and DECIMAL sum are
+    decomposable, and avg is recovered at read time as sum/count
+    (never stored). Exact-integer discipline: the per-day value sum is
+    snapped to micro-units while still an exact decimal, so the chain's
+    different addition order cannot flip a bit; the two doubles are
+    then single correctly-rounded conversions on both engines. At
+    100 TB the raw stream aggregates once into hours (~26k rows/type/
+    3 years); every coarser granularity reads the tier below."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) DIV 3600 AS BIGINT)").alias("hr"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+    )
+    daily = hourly.groupBy(
+        "event_type", (F.col("hr") / 24).cast("long").alias("day")
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    sv_micro = F.floor(
+        F.col("sv") * F.lit(1_000_000) + F.lit("0.5").cast("decimal(2,1)")
+    ).cast("long")
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n_events"),
+        hround(sv_micro.cast("double") / F.lit(1_000_000.0), 2).alias("sum_value"),
+        hround(
+            sv_micro.cast("double") / F.lit(1_000_000.0) / F.col("n"), 6
+        ).alias("avg_value"),
+    )
+
+
+@query(
+    "x_fk_orphan_audit",
+    oracle="""
+WITH orders_aug AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 997 = 0 THEN -o_orderkey
+              ELSE o_custkey END AS o_custkey
+  FROM orders
+),
+lineitem_aug AS (
+  SELECT CASE WHEN (l_orderkey * 7 + l_linenumber) % 991 = 0
+              THEN -l_orderkey ELSE l_orderkey END AS l_orderkey,
+         CASE WHEN (l_partkey + l_linenumber) % 983 = 0
+              THEN -l_partkey ELSE l_partkey END AS l_partkey
+  FROM lineitem
+),
+a1 AS (
+  SELECT 'orders.o_custkey -> customer' AS relationship,
+         count(*) AS n_rows,
+         sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+  FROM orders_aug o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+),
+a2 AS (
+  SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+         count(*) AS n_rows,
+         sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+  FROM lineitem_aug l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+a3 AS (
+  SELECT 'lineitem.l_partkey -> part' AS relationship,
+         count(*) AS n_rows,
+         sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+  FROM lineitem_aug l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT relationship, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_orphans AS BIGINT) AS n_orphans,
+       round(CAST(n_orphans AS DOUBLE) / n_rows, 6) AS orphan_rate
+FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3)
+""",
+)
+def x_fk_orphan_audit(spark, sf_dir):
+    """Referential-integrity audit — orphaned-foreign-key counts for
+    three parent/child relationships in one result, the warehouse
+    data-quality check every ingest pipeline runs before publishing.
+    Orphans are PLANTED deterministically (child keys negated on a
+    modulus predicate — negative keys cannot exist upstream) so the
+    gate is non-vacuous on clean testdata; the same mutation is
+    mirrored in the oracle. Each relationship is one LEFT join from the
+    child to the parent's unique key with a null-parent count — at
+    100 TB the orders/part sides broadcast or AQE-shuffle on the key,
+    the lineitem→orders join is the one genuine large-large and rides
+    the same key both tables are naturally clustered by. Output is
+    three one-row aggregates unioned; orphan_rate is a single integer
+    division."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+
+    orders_aug = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 997 == 0, -F.col("o_orderkey"))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+    )
+    li_aug = li.select(
+        F.when(
+            (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 991 == 0,
+            -F.col("l_orderkey"),
+        )
+        .otherwise(F.col("l_orderkey"))
+        .alias("l_orderkey"),
+        F.when(
+            (F.col("l_partkey") + F.col("l_linenumber")) % 983 == 0,
+            -F.col("l_partkey"),
+        )
+        .otherwise(F.col("l_partkey"))
+        .alias("l_partkey"),
+    )
+
+    def audit(child, fk, parent, pk, label):
+        joined = child.join(parent.select(pk), child[fk] == F.col(pk), "left")
+        return joined.agg(
+            F.lit(label).alias("relationship"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+
+    out = (
+        audit(orders_aug, "o_custkey", cust, "c_custkey",
+              "orders.o_custkey -> customer")
+        .unionAll(audit(li_aug, "l_orderkey", orders, "o_orderkey",
+                        "lineitem.l_orderkey -> orders"))
+        .unionAll(audit(li_aug, "l_partkey", part, "p_partkey",
+                        "lineitem.l_partkey -> part"))
+    )
+    return out.select(
+        "relationship",
+        "n_rows",
+        "n_orphans",
+        hround(F.col("n_orphans") / F.col("n_rows"), 6).alias("orphan_rate"),
+    )
+
+
+@query(
+    "x_assoc_rules_lift",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey % 100 AS item
+  FROM lineitem
+),
+nb AS (SELECT count(DISTINCT basket) AS nb FROM items),
+ic AS (SELECT item, count(*) AS ni FROM items GROUP BY 1),
+pc AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+  FROM items a JOIN items b
+    ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT item_a, item_b, n_ab, ia.ni AS n_a, ib.ni AS n_b,
+         CAST(floor(1000000000.0 * (nb.nb * n_ab)
+                    / (ia.ni * ib.ni) + 0.5) AS BIGINT) AS lift_nano
+  FROM pc JOIN ic ia ON pc.item_a = ia.item
+          JOIN ic ib ON pc.item_b = ib.item, nb
+  WHERE n_ab >= 10
+)
+SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(CAST(n_ab AS DOUBLE) / n_a, 6) AS confidence,
+       round(CAST(lift_nano AS DOUBLE) / 1000000000, 6) AS lift
+FROM scored
+ORDER BY lift_nano DESC, item_a, item_b
+LIMIT 20
+""",
+)
+def x_assoc_rules_lift(spark, sf_dir):
+    """Market-basket association rules — top-20 item pairs by lift
+    (Agrawal & Srikant's support/confidence/lift triple), the
+    co-occurrence mining behind recommenders and cross-sell analytics.
+    Baskets are orders; items are part categories (partkey % 100) so
+    supports are non-trivial at small SF. Plan: distinct (basket, item)
+    rows once, pair generation is the per-basket self-join — fan-out
+    bounded by basket size squared (≤ ~7² here), never a corpus cross
+    join — then pair counts join the 100-row item-count table twice
+    (broadcast) and the 1-row basket total. The ranking key is
+    lift SNAPPED TO NANO-UNITS while still one correctly-rounded
+    division of exact integers, so the top-20 cut is an integer sort —
+    float-order ties cannot flip membership (the bigram-PMI lesson).
+    At 100 TB: the basket self-join shuffles on basket id
+    (high-cardinality, no skew); everything downstream is
+    vocabulary-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("basket"),
+            (F.col("l_partkey") % 100).alias("item"),
+        )
+        .distinct()
+    )
+    items = tracked_persist(items)
+    nb = items.select(F.countDistinct("basket").alias("nb"))
+    ic = items.groupBy("item").agg(F.count("*").alias("ni"))
+    a, b = items.alias("a"), items.alias("b")
+    pc = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 10)
+    )
+    ia = ic.select(F.col("item").alias("item_a"), F.col("ni").alias("n_a"))
+    ib = ic.select(F.col("item").alias("item_b"), F.col("ni").alias("n_b"))
+    scored = (
+        pc.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(nb))
+        .withColumn(
+            "lift_nano",
+            F.floor(
+                F.lit(1_000_000_000.0)
+                * (F.col("nb") * F.col("n_ab"))
+                / (F.col("n_a") * F.col("n_b"))
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("lift_nano").desc(), F.col("item_a"), F.col("item_b")
+        )
+        .limit(20)
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            hround(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
+            hround(F.col("lift_nano") / F.lit(1_000_000_000.0), 6).alias("lift"),
+        )
+    )
+
+
+@query(
+    "x_graph_triangles",
+    oracle="""
+WITH e0 AS (
+  SELECT DISTINCT least(l_partkey % 50, l_suppkey % 50) AS a,
+         greatest(l_partkey % 50, l_suppkey % 50) AS b
+  FROM lineitem
+  WHERE l_partkey % 50 <> l_suppkey % 50
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e0 e1 JOIN e0 e2 ON e1.b = e2.a
+             JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tn AS (
+  SELECT v, count(*) AS n_tri FROM (
+    SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY 1
+),
+deg AS (
+  SELECT v, count(*) AS degree FROM (
+    SELECT a AS v, b AS nb FROM e0 UNION SELECT b, a FROM e0
+  ) GROUP BY 1
+)
+SELECT d.v AS node, CAST(d.degree AS BIGINT) AS degree,
+       CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_triangles,
+       round(CASE WHEN d.degree >= 2
+                  THEN 2.0 * coalesce(t.n_tri, 0)
+                       / (d.degree * (d.degree - 1))
+                  ELSE 0.0 END, 6) AS clustering
+FROM deg d LEFT JOIN tn t ON d.v = t.v
+""",
+)
+def x_graph_triangles(spark, sf_dir):
+    """Per-node triangle count + local clustering coefficient over the
+    deterministic 50-node host graph (same edge derivation as
+    x_host_pagerank, undirected) — the community-density signal graph
+    analytics stacks compute alongside PageRank. The ENGINE runs the
+    scalable algorithm: degree-ordered orientation (each undirected
+    edge directed from its lower (degree, id) endpoint), wedges are
+    per-source out-neighbor pairs, closed by an equi-join against the
+    oriented edge set — fan-out is bounded by out-degree under
+    orientation (≤ O(sqrt(m)) on any graph, the arboricity bound), so
+    the wedge set never explodes on skewed hubs the way the naive
+    a<b<c triple join does. The ORACLE brute-forces the a<b<c triple
+    join — two independent constructions agreeing on every count.
+    Clustering = 2T/(d(d-1)), one correctly-rounded expression."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p, s = F.col("l_partkey") % 50, F.col("l_suppkey") % 50
+    e0 = (
+        li.filter(p != s)
+        .select(F.least(p, s).alias("a"), F.greatest(p, s).alias("b"))
+        .distinct()
+    )
+    e0 = tracked_persist(e0)
+    adj = e0.select(F.col("a").alias("v"), F.col("b").alias("nb")).union(
+        e0.select(F.col("b"), F.col("a"))
+    )
+    deg = adj.groupBy("v").agg(F.count("*").alias("degree"))
+    deg = tracked_persist(deg)
+    # orient by (degree, id): src is the lexicographically smaller endpoint
+    da = deg.select(F.col("v").alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("v").alias("b"), F.col("degree").alias("degb"))
+    keyed = e0.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    lo_first = F.struct(F.col("dega"), F.col("a")) < F.struct(
+        F.col("degb"), F.col("b")
+    )
+    o = keyed.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    o = tracked_persist(o)
+    od = o.join(F.broadcast(deg.withColumnRenamed("v", "dst")), "dst").select(
+        "src", "dst", F.col("degree").alias("degd")
+    )
+    w1, w2 = od.alias("w1"), od.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src"))
+        & (
+            F.struct(F.col("w1.degd"), F.col("w1.dst"))
+            < F.struct(F.col("w2.degd"), F.col("w2.dst"))
+        ),
+    ).select(
+        F.col("w1.src").alias("x"),
+        F.col("w1.dst").alias("y"),
+        F.col("w2.dst").alias("z"),
+    )
+    tri = wedges.join(
+        o.select(F.col("src").alias("y"), F.col("dst").alias("z")),
+        ["y", "z"],
+        "semi",
+    )
+    tn = (
+        tri.select(F.col("x").alias("v"))
+        .union(tri.select("y"))
+        .union(tri.select("z"))
+        .groupBy("v")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    return (
+        deg.join(tn, "v", "left")
+        .select(
+            F.col("v").alias("node"),
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_triangles"),
+            hround(
+                F.when(
+                    F.col("degree") >= 2,
+                    F.lit(2.0)
+                    * F.coalesce(F.col("n_tri"), F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering"),
+        )
+    )
+
+
+@query(
+    "x_rolling_zscore_anomaly",
+    oracle="""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+           + CASE WHEN event_id % 4999 = 0
+                  THEN 1000000000000 ELSE 0 END AS vmic
+  FROM events
+),
+daily AS (
+  SELECT event_type, day, sum(vmic) // 10000 AS x
+  FROM ev GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, day, x,
+         count(*) OVER win AS n,
+         coalesce(sum(x) OVER win, 0) AS s,
+         coalesce(sum(x * x) OVER win, 0) AS q
+  FROM daily
+  WINDOW win AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day,
+       round(CAST(x AS DOUBLE) / 100, 2) AS daily_value,
+       CAST(n AS BIGINT) AS n_window,
+       round(CASE WHEN n * q - s * s > 0
+                  THEN CAST((n * x - s) * (n * x - s) AS DOUBLE)
+                       / (n * q - s * s)
+                  ELSE 0.0 END, 6) AS z_sq,
+       (n = 7 AND n * q - s * s > 0
+        AND (n * x - s) * (n * x - s) > 9 * (n * q - s * s)) AS is_anomaly
+FROM w
+""",
+)
+def x_rolling_zscore_anomaly(spark, sf_dir):
+    """Rolling z-score anomaly detection — flag days whose per-type
+    total deviates > 3σ from its own trailing-7-day window, the
+    metric-monitoring primitive on every ops dashboard. Anomalies are
+    PLANTED (a deterministic event_id modulus adds a 1e6-unit spike)
+    so both flag classes are non-vacuous. The baseline window EXCLUDES
+    the current row (7 PRECEDING .. 1 PRECEDING): with the current row
+    inside its own baseline, a single outlier's z² is algebraically
+    capped at n−1 < 9 and a 3σ rule can never fire. Exact-integer
+    discipline end-to-end: per-event values snap to micro-units BEFORE
+    the daily sum (order-independent), daily totals downshift to
+    centi-units so every windowed moment (n, Σx, Σx²) and the 3σ test
+    (nx−s)² > 9(nΣx²−s²) stay in exact BIGINT range — the z² output
+    is the only float, one correctly-rounded division. The rolling
+    window runs over the DAILY table (days × types rows — the raw
+    stream aggregates first), so the per-type window never funnels
+    raw events through one task at 100 TB."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    vmic = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast(
+        "long"
+    ) + F.when(F.col("event_id") % 4999 == 0, F.lit(1_000_000_000_000)).otherwise(
+        F.lit(0)
+    )
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("CAST(unix_timestamp(ts) DIV 86400 AS BIGINT)").alias("day"),
+            vmic.alias("vmic"),
+        )
+        .groupBy("event_type", "day")
+        .agg((F.sum("vmic") / 10_000).cast("long").alias("x"))
+    )
+    win = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    w = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.count("*").over(win).alias("n"),
+        F.coalesce(F.sum("x").over(win), F.lit(0)).alias("s"),
+        F.coalesce(F.sum(F.col("x") * F.col("x")).over(win), F.lit(0)).alias("q"),
+    )
+    num = (F.col("n") * F.col("x") - F.col("s")) * (
+        F.col("n") * F.col("x") - F.col("s")
+    )
+    den = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return w.select(
+        "event_type",
+        "day",
+        hround(F.col("x") / F.lit(100.0), 2).alias("daily_value"),
+        F.col("n").cast("long").alias("n_window"),
+        hround(
+            F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 6
+        ).alias("z_sq"),
+        ((F.col("n") == 7) & (den > 0) & (num > 9 * den)).alias("is_anomaly"),
+    )
+
+
+@query(
+    "x_pareto_frontier",
+    oracle="""
+WITH p AS (
+  SELECT p_partkey, p_brand, p_size,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM part
+)
+SELECT p_brand, p_partkey,
+       round(CAST(cents AS DOUBLE) / 100, 2) AS price, p_size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.p_brand = a.p_brand
+    AND b.cents <= a.cents AND b.p_size >= a.p_size
+    AND (b.cents < a.cents OR b.p_size > a.p_size)
+)
+""",
+)
+def x_pareto_frontier(spark, sf_dir):
+    """Per-brand Pareto frontier (skyline): parts not dominated on
+    (price ↓, size ↑) — the multi-criteria shortlist operator of
+    procurement/recommendation analytics. The ENGINE runs the
+    sorted-scan skyline: prices snap to exact cents, a per-(brand,
+    price) MAX-size pre-aggregate shrinks the stream to distinct price
+    points FIRST (one combiner-friendly exchange), then one range
+    window over that tiny table computes the running best size over
+    strictly-cheaper points; parts join back and survive iff they hold
+    the max at their price AND beat every cheaper point. The ORACLE is
+    the O(n²) NOT EXISTS dominance definition — two independent
+    constructions. Dominance uses only exact integers (cents, size).
+    At 100 TB the window input is distinct-price-sized, not
+    corpus-sized; the join back rides the same (brand, price) key."""
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    g = p.groupBy("p_brand", "cents").agg(F.max("p_size").alias("mx_eq"))
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    g = g.withColumn("mx_lt", F.max("mx_eq").over(w))
+    return (
+        p.join(g, ["p_brand", "cents"])
+        .filter(
+            (F.col("p_size") == F.col("mx_eq"))
+            & (F.col("mx_lt").isNull() | (F.col("mx_lt") < F.col("p_size")))
+        )
+        .select(
+            "p_brand",
+            "p_partkey",
+            hround(F.col("cents") / F.lit(100.0), 2).alias("price"),
+            "p_size",
+        )
+    )
+
+
+@query(
+    "x_minhash_accuracy_audit",
+    oracle=f"""
+WITH {LSH_PAIRS_WITH_SQL},
+est AS (
+  SELECT p.id_a, p.id_b,
+         ({' + '.join(f'(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)' for i in range(8))}) AS n_eq
+  FROM lsh_pairs p
+  JOIN signatures sa ON p.id_a = sa.doc_id
+  JOIN signatures sb ON p.id_b = sb.doc_id
+),
+exploded AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS h FROM doc_shingles),
+exact AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+         round(CAST(count(*) AS DOUBLE)
+               / (any_value(l.sz) + any_value(r.sz) - count(*)), 6) AS exact_jaccard
+  FROM exploded l JOIN exploded r ON l.h = r.h AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT e.id_a, e.id_b,
+       round(CAST(n_eq AS DOUBLE) / 8, 6) AS est_jaccard,
+       x.exact_jaccard,
+       round(abs(CAST(n_eq AS DOUBLE) / 8 - x.exact_jaccard), 6) AS abs_err
+FROM est e JOIN exact x ON e.id_a = x.id_a AND e.id_b = x.id_b
+""",
+)
+def x_minhash_accuracy_audit(spark, sf_dir):
+    """Sketch-accuracy audit for MinHash (the a_sketch_accuracy_audit
+    pattern applied to the dedup path): for every LSH candidate pair,
+    the signature-ESTIMATED Jaccard (matching minhash fraction, the
+    unbiased estimator) sits next to the EXACT shingle Jaccard and
+    their absolute error — the measurement that justifies trusting
+    8-perm signatures as the corpus-scale similarity proxy. Estimate
+    and exact similarity are two independent constructions joined on
+    the pair; equal-minhash ⇒ shared shingle (the keyed permutation is
+    injective on 40-bit inputs), so every candidate pair has an exact
+    row. est is n_eq/8 (exact binary), err one correctly-rounded
+    subtraction. The exact pass runs on candidate docs only at scale —
+    the already-documented refine-on-candidates contract."""
+    rows = _doc_shingle_rows(spark, sf_dir)
+    rows = tracked_persist(rows)
+    pairs = D.minhash_lsh_pairs(rows, id_col="doc_id")
+    pairs = tracked_persist(pairs)
+    sig = D.minhash_signature_rows(rows, id_col="doc_id")
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)],
+    )
+    n_eq = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(8)
+    )
+    est = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", n_eq.alias("n_eq"))
+    )
+    # exact refine over CANDIDATE docs only (the refine-on-candidates
+    # contract): restricting the co-shingle self-join to docs that
+    # appear in some pair leaves every candidate pair's intersection
+    # intact but removes the corpus-wide quadratic hot-shingle blowup
+    # (measured 16x at a 10x smoke before this cut).
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select("id_b"))
+        .distinct()
+    )
+    rows_c = rows.join(cand_ids, "doc_id", "left_semi")
+    exact = D.jaccard_pairs(rows_c, id_col="doc_id", threshold=0.0).select(
+        "id_a", "id_b", F.col("jaccard").alias("exact_jaccard")
+    )
+    return est.join(exact, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        hround(F.col("n_eq") / F.lit(8.0), 6).alias("est_jaccard"),
+        "exact_jaccard",
+        hround(F.abs(F.col("n_eq") / F.lit(8.0) - F.col("exact_jaccard")), 6).alias(
+            "abs_err"
+        ),
+    )
+
+
+# Deterministic Bloom-filter geometry: k=4 keyed permutations of the
+# cross-engine stable hash, m=1024 bits — sized so the measured FPR is
+# non-trivially between 0 and 1 at test SFs (a production filter sizes
+# m ~ 10·n; the AUDIT is the point here).
+_BLOOM_PERMS = [(999983, 54321), (999979, 11111), (999961, 22222), (999959, 33333)]
+_BLOOM_M = 1024
+
+
+def _bloom_pos_sql_exprs() -> list[str]:
+    from sparkga1_spark.functions.hashing import STABLE_HASH64_SQL, keyed_hash_sql
+
+    h = STABLE_HASH64_SQL.format(x="CAST(c_custkey AS VARCHAR)")
+    return [
+        f"({keyed_hash_sql(h, a, b)}) % {_BLOOM_M}" for a, b in _BLOOM_PERMS
+    ]
+
+
+@query(
+    "x_bloom_fpr_audit",
+    oracle=f"""
+WITH pos AS (
+  SELECT c_custkey,
+         c_mktsegment = 'BUILDING' AS is_member,
+         unnest([{', '.join(_bloom_pos_sql_exprs())}]) AS pos
+  FROM customer
+),
+bloom AS (SELECT DISTINCT pos FROM pos WHERE is_member),
+hits AS (
+  SELECT p.c_custkey, any_value(p.is_member) AS is_member,
+         sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM pos p LEFT JOIN bloom b ON p.pos = b.pos
+  GROUP BY 1
+),
+bits AS (SELECT count(*) AS n_bits_set FROM bloom)
+SELECT CAST(count(*) AS BIGINT) AS n_probe,
+       CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       CAST(sum(CASE WHEN n_hit = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(sum(CASE WHEN is_member AND n_hit = 4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_member_pass,
+       CAST(sum(CASE WHEN NOT is_member AND n_hit = 4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos,
+       round(CAST(sum(CASE WHEN NOT is_member AND n_hit = 4 THEN 1 ELSE 0 END)
+                  AS DOUBLE)
+             / sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END), 6) AS fpr,
+       CAST(any_value(n_bits_set) AS BIGINT) AS n_bits_set
+FROM hits, bits
+""",
+)
+def x_bloom_fpr_audit(spark, sf_dir):
+    """Bloom-filter membership with MEASURED false-positive rate — the
+    runtime-filter / join-pruning primitive (Spark's own
+    InSubqueryExec bloom pushdown, lakehouse data skipping) made
+    auditable: build a k=4/m=1024 filter over one customer segment
+    from deterministic keyed hashes, probe EVERY customer, and report
+    pass/false-positive counts against ground truth. The no-false-
+    NEGATIVE guarantee is pinned structurally (n_member_pass =
+    n_members must hold or the hash mirrors diverged); the FPR is a
+    measured number the oracle must reproduce exactly. Plan: the
+    filter is a ≤m-row distinct-position table built from the member
+    side and broadcast to the probe scan — exactly how a runtime
+    filter ships to a scan at 100 TB; the probe is one map-side
+    explode(4) + broadcast join + per-key count, no shuffle of the
+    probe table by position."""
+    from sparkga1_spark.functions.hashing import keyed_hash, stable_hash64
+
+    cust = load_table(spark, sf_dir, "customer")
+    h = stable_hash64(F.col("c_custkey").cast("string"))
+    pos_arr = F.array(
+        *[keyed_hash(h, a, b) % _BLOOM_M for a, b in _BLOOM_PERMS]
+    )
+    pos = cust.select(
+        "c_custkey",
+        (F.col("c_mktsegment") == "BUILDING").alias("is_member"),
+        F.explode(pos_arr).alias("pos"),
+    )
+    pos = tracked_persist(pos)
+    bloom = (
+        pos.filter(F.col("is_member")).select("pos").distinct()
+        .withColumn("_in", F.lit(1))
+    )
+    bits = bloom.agg(F.count("*").alias("n_bits_set"))
+    hits = (
+        pos.join(F.broadcast(bloom), "pos", "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.any_value(F.col("is_member")).alias("is_member"),
+            F.sum(F.when(F.col("_in").isNotNull(), 1).otherwise(0)).alias("n_hit"),
+        )
+    )
+    passed = F.col("n_hit") == 4
+    return (
+        hits.crossJoin(F.broadcast(bits))
+        .agg(
+            F.count("*").cast("long").alias("n_probe"),
+            F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_members"),
+            F.sum(F.when(passed, 1).otherwise(0)).cast("long").alias("n_pass"),
+            F.sum(F.when(F.col("is_member") & passed, 1).otherwise(0))
+            .cast("long")
+            .alias("n_member_pass"),
+            F.sum(F.when(~F.col("is_member") & passed, 1).otherwise(0))
+            .cast("long")
+            .alias("n_false_pos"),
+            hround(
+                F.sum(F.when(~F.col("is_member") & passed, 1).otherwise(0))
+                / F.sum(F.when(~F.col("is_member"), 1).otherwise(0)),
+                6,
+            ).alias("fpr"),
+            F.any_value(F.col("n_bits_set")).cast("long").alias("n_bits_set"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-5 wave 4: API-surface + analytics breadth — PIVOT / UNPIVOT,
+# iterative BFS, expectations suite, RFM segmentation, batch
+# sessionization.
+# --------------------------------------------------------------------------
+
+
+def _pivot_cell_sql(rf: str) -> str:
+    cell = (
+        f"CASE WHEN l_returnflag = '{rf}' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END"
+    )
+    return (
+        f"{dsum_sql(cell)} AS rev_{rf.lower()}, "
+        f"CAST(sum(CASE WHEN l_returnflag = '{rf}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{rf.lower()}"
+    )
+
+
+@query(
+    "x_pivot_returnflag_matrix",
+    oracle=f"""
+SELECT l_linestatus,
+       {', '.join(_pivot_cell_sql(rf) for rf in ("A", "N", "R"))}
+FROM lineitem
+GROUP BY l_linestatus
+""",
+)
+def x_pivot_returnflag_matrix(spark, sf_dir):
+    """PIVOT — the wide-matrix reshape (rows → typed columns) BI tools
+    ask of an engine: discounted revenue and row counts per
+    (line status × return flag), return flags pivoted into columns via
+    `DataFrame.groupBy().pivot(values=...)`. Pinning the values list
+    keeps the plan a SINGLE hash aggregate (no distinct-scan to
+    discover columns) and the schema stable under data drift — exactly
+    what a 100 TB pivot needs; Catalyst compiles it to the same
+    CASE-WHEN aggregate the oracle spells out. Money cells accumulate
+    in DECIMAL (dsum discipline) before the one rounded conversion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pv = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(
+            dsum(F.when(F.col("l_returnflag").isNotNull(), disc).otherwise(0)).alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    cols = [F.col("l_linestatus")]
+    for rf in ("A", "N", "R"):
+        cols.append(F.col(f"{rf}_rev").alias(f"rev_{rf.lower()}"))
+        cols.append(
+            F.coalesce(F.col(f"{rf}_n"), F.lit(0)).cast("long").alias(f"n_{rf.lower()}")
+        )
+    out = pv.select(*cols)
+    # pivot leaves absent cells null; revenue cells coalesce to 0.0
+    return out.select(
+        "l_linestatus",
+        *[
+            F.coalesce(F.col(c), F.lit(0.0)).alias(c) if c.startswith("rev_")
+            else F.col(c)
+            for c in out.columns[1:]
+        ],
+    )
+
+
+@query(
+    "x_unpivot_metrics",
+    oracle="""
+SELECT o_orderpriority, metric,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(v_cents) AS DOUBLE) / 100, 2) AS total
+FROM (
+  SELECT o_orderpriority, 'totalprice' AS metric,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v_cents
+  FROM orders
+  UNION ALL
+  SELECT o_orderpriority, 'custkey_mod100',
+         CAST((o_custkey % 100) * 100 AS BIGINT) FROM orders
+  UNION ALL
+  SELECT o_orderpriority, 'orderkey_parity',
+         CAST((o_orderkey % 2) * 100 AS BIGINT) FROM orders
+)
+GROUP BY 1, 2
+""",
+)
+def x_unpivot_metrics(spark, sf_dir):
+    """UNPIVOT / melt — the inverse reshape (typed columns → (metric,
+    value) rows) that feeds generic metric pipelines and long-format
+    ML feature stores. Uses `DataFrame.unpivot` (Spark's native
+    UNPIVOT, compiled to a zero-shuffle Expand node — the oracle
+    spells the same thing as UNION ALL), values snapped to exact cents
+    BEFORE the per-metric aggregate so the long-format sum is
+    order-independent. One Expand + one hash aggregate; at 100 TB the
+    reshape is map-local and the only exchange carries (priority,
+    metric) keys."""
+    od = load_table(spark, sf_dir, "orders")
+    wide = od.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("totalprice"),
+        ((F.col("o_custkey") % 100) * 100).cast("long").alias("custkey_mod100"),
+        ((F.col("o_orderkey") % 2) * 100).cast("long").alias("orderkey_parity"),
+    )
+    long = wide.unpivot(
+        ["o_orderpriority"],
+        ["totalprice", "custkey_mod100", "orderkey_parity"],
+        "metric",
+        "v_cents",
+    )
+    return long.groupBy("o_orderpriority", "metric").agg(
+        F.count("*").cast("long").alias("n"),
+        hround(F.sum("v_cents").cast("double") / F.lit(100.0), 2).alias("total"),
+    )
+
+
+@query(
+    "x_graph_bfs_hops",
+    oracle="""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT least(l_partkey % 50, l_suppkey % 50) AS a,
+         greatest(l_partkey % 50, l_suppkey % 50) AS b
+  FROM lineitem
+  WHERE l_partkey % 50 <> l_suppkey % 50
+),
+edges AS (SELECT a AS s, b AS d FROM e0 UNION SELECT b, a FROM e0),
+bfs(node, hops) AS (
+  SELECT 0, 0
+  UNION
+  SELECT e.d, bfs.hops + 1 FROM bfs JOIN edges e ON bfs.node = e.s
+  WHERE bfs.hops < 8
+)
+SELECT node, CAST(min(hops) AS BIGINT) AS hops
+FROM bfs GROUP BY node
+""",
+)
+def x_graph_bfs_hops(spark, sf_dir):
+    """Unweighted single-source BFS — shortest hop count from node 0
+    over the 50-node host graph (the reachability/diameter primitive
+    under link-graph curation and fraud-ring analysis). Iterative
+    frontier expansion, all exact integers: each round joins the
+    frontier to the edge list, anti-joins already-visited nodes, and
+    unions them in at hops = round; terminates when the frontier
+    empties (checked at most 8 rounds — the graph's diameter bound
+    here; a driver-side emptiness check per round is one count of a
+    tiny frontier). The DuckDB oracle computes the same fixpoint as a
+    recursive CTE with min-hops aggregation — two independent BFS
+    constructions. At 100 TB scale-out this is the Pregel iteration
+    shape: frontier ⋈ edges shuffles on the join key, visited set
+    stays partitioned, localCheckpoint cuts lineage every 4 rounds
+    (the connected-components recipe)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p, s = F.col("l_partkey") % 50, F.col("l_suppkey") % 50
+    e0 = (
+        li.filter(p != s)
+        .select(F.least(p, s).alias("a"), F.greatest(p, s).alias("b"))
+        .distinct()
+    )
+    edges = e0.select(F.col("a").alias("s"), F.col("b").alias("d")).union(
+        e0.select("b", "a")
+    )
+    edges = tracked_persist(edges)
+    visited = spark.createDataFrame([(0, 0)], "node int, hops int")
+    frontier = visited
+    for hop in range(1, 9):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["s"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).alias("hops"))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited.select(
+        F.col("node").cast("int"), F.col("hops").cast("long")
+    )
+
+
+@query(
+    "x_dq_expectations",
+    oracle="""
+WITH aug AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 1009 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % 1013 = 0 THEN -o_totalprice
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 1019 = 0 THEN '9-BOGUS'
+              ELSE o_orderpriority END AS o_orderpriority,
+         o_orderstatus
+  FROM orders
+),
+checks AS (
+  SELECT 'custkey_not_null' AS check_name,
+         count(*) AS n_rows,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_fail
+  FROM aug
+  UNION ALL
+  SELECT 'totalprice_positive', count(*),
+         sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+  FROM aug
+  UNION ALL
+  SELECT 'priority_in_set', count(*),
+         sum(CASE WHEN o_orderpriority NOT IN
+               ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+             THEN 1 ELSE 0 END)
+  FROM aug
+  UNION ALL
+  SELECT 'status_in_set', count(*),
+         sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+  FROM aug
+  UNION ALL
+  SELECT 'orderkey_unique', count(*),
+         count(*) - count(DISTINCT o_orderkey)
+  FROM aug
+)
+SELECT check_name, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_fail AS BIGINT) AS n_fail,
+       n_fail = 0 AS passed,
+       round(CAST(n_fail AS DOUBLE) / n_rows, 6) AS fail_rate
+FROM checks
+""",
+)
+def x_dq_expectations(spark, sf_dir):
+    """Data-quality expectations suite (the Great-Expectations-style
+    publish gate): five declarative checks — not-null, positive-range,
+    two set-memberships, key-uniqueness — evaluated over one scan
+    producing a per-check (rows, failures, pass, rate) report.
+    Violations are PLANTED on modulus predicates (null custkeys,
+    negated prices, a bogus priority) so three checks fail non-
+    vacuously while status_in_set and orderkey_unique pass. The four
+    row-predicate checks fold into ONE aggregate pass (each check is a
+    conditional count — the engine evaluates them in a single
+    HashAggregate, not five scans); the uniqueness check is the only
+    one needing a key exchange (count vs distinct count). At 100 TB:
+    one scan + one tiny distinct on the already-clustered key."""
+    od = load_table(spark, sf_dir, "orders")
+    aug = od.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 1009 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        F.when(F.col("o_orderkey") % 1013 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 1019 == 0, F.lit("9-BOGUS"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+        "o_orderstatus",
+    )
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    preds = [
+        ("custkey_not_null", F.col("o_custkey").isNull()),
+        ("totalprice_positive", F.col("o_totalprice") <= 0),
+        ("priority_in_set", ~F.col("o_orderpriority").isin(prios)),
+        ("status_in_set", ~F.col("o_orderstatus").isin(["O", "F", "P"])),
+    ]
+    row_checks = aug.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.sum(F.when(p, 1).otherwise(0)).alias(f"f_{name}")
+            for name, p in preds
+        ],
+    )
+    per_check = row_checks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("check_name"),
+                        F.col("n_rows").alias("n_rows"),
+                        F.col(f"f_{name}").alias("n_fail"),
+                    )
+                    for name, _ in preds
+                ]
+            )
+        ).alias("c")
+    ).select("c.*")
+    uniq = aug.agg(
+        F.lit("orderkey_unique").alias("check_name"),
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("n_fail"),
+    )
+    out = per_check.unionAll(uniq)
+    return out.select(
+        "check_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_fail").cast("long").alias("n_fail"),
+        (F.col("n_fail") == 0).alias("passed"),
+        hround(F.col("n_fail") / F.col("n_rows"), 6).alias("fail_rate"),
+    )
+
+
+@query(
+    "x_rfm_segmentation",
+    oracle="""
+WITH base AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS freq,
+         CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100
+                    + CAST('0.5' AS DECIMAL(2,1))) AS BIGINT) AS mon_cents
+  FROM orders GROUP BY 1
+),
+mx AS (SELECT max(last_order) AS corpus_max FROM base),
+n AS (SELECT count(*) AS n FROM base),
+scored AS (
+  SELECT o_custkey,
+         ((row_number() OVER (ORDER BY datediff('day', last_order, corpus_max),
+                              o_custkey) - 1) * 4) // n + 1 AS r_score,
+         ((row_number() OVER (ORDER BY freq DESC, o_custkey) - 1) * 4) // n + 1
+           AS f_score,
+         ((row_number() OVER (ORDER BY mon_cents DESC, o_custkey) - 1) * 4) // n
+           + 1 AS m_score
+  FROM base, mx, n
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM scored GROUP BY 1, 2, 3
+""",
+)
+def x_rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation — quartile scores for Recency (days
+    since last order, vs the corpus max date), Frequency (order
+    count), Monetary (lifetime value in exact cents), rolled up to
+    per-(R,F,M)-cell customer counts: the classic CRM / marketing
+    segmentation cube. Each axis ranks customers under a UNIQUE total
+    order (o_custkey tiebreak — without it boundaries are partition-
+    order-dependent and un-oracle-able) via the DISTRIBUTED two-pass
+    global_rank — never a partitionless window funneling all
+    customers through one task — and buckets by the equal-split
+    formula ((rank−1)·4) div n + 1, which both engines compute in
+    exact integers (the oracle uses row_number + the same formula;
+    deliberately NOT ntile, whose larger-buckets-first fill differs
+    from the formula when n mod 4 ≠ 0). Monetary sums accumulate in
+    DECIMAL and snap to cents before ranking; n and the corpus max
+    date attach as broadcast 1-row aggregates."""
+    od = load_table(spark, sf_dir, "orders")
+    base = od.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("freq"),
+        F.floor(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")) * 100
+            + F.lit("0.5").cast("decimal(2,1)")
+        )
+        .cast("long")
+        .alias("mon_cents"),
+    )
+    base = tracked_persist(base)
+    mx = base.agg(F.max("last_order").alias("corpus_max"))
+    n1 = base.agg(F.count("*").alias("n"))
+    withr = base.crossJoin(F.broadcast(mx)).withColumn(
+        "rec_days", F.datediff(F.col("corpus_max"), F.col("last_order"))
+    )
+
+    def axis(df, order_cols, out):
+        ranked = windows_ops.global_rank(
+            df.select("o_custkey", *[c for c in ("rec_days", "freq", "mon_cents")]),
+            order_cols=order_cols,
+            rank_col="_rk",
+        )
+        return ranked.crossJoin(F.broadcast(n1)).select(
+            "o_custkey",
+            F.expr("((_rk - 1) * 4) div n + 1").alias(out),
+        )
+
+    r = axis(withr, [F.col("rec_days"), F.col("o_custkey")], "r_score")
+    f_ = axis(withr, [F.col("freq").desc(), F.col("o_custkey")], "f_score")
+    m = axis(withr, [F.col("mon_cents").desc(), F.col("o_custkey")], "m_score")
+    scored = r.join(f_, "o_custkey").join(m, "o_custkey")
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("long").alias("n_customers")
+    )
+
+
+@query(
+    "x_sessionize_gaps",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM s
+),
+per_sess AS (
+  SELECT user_id, sess_no, count(*) AS n_events
+  FROM sess GROUP BY 1, 2
+)
+SELECT n_events AS session_length,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM per_sess GROUP BY 1
+""",
+)
+def x_sessionize_gaps(spark, sf_dir):
+    """Batch sessionization — 30-minute-inactivity-gap gaps-and-islands
+    over the event stream (the BATCH twin of the streaming
+    s_session_windows: same session semantics, replayable over
+    history). Classic two-window construction on ONE (user_id) sort:
+    lag flags session starts, a running sum numbers sessions; output
+    is the session-length histogram (+ distinct users per length) so
+    the result is bounded regardless of scale. Gap comparison is
+    exact integer seconds (floor(epoch)). Catalyst plans both windows
+    over a single Sort + Exchange — the event stream shuffles once,
+    exactly like x_funnel_conversion; the histogram aggregate is
+    tiny."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.expr("CAST(unix_timestamp(ts) AS BIGINT)")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag(sec).over(w).isNull() | (sec - F.lag(sec).over(w) > 1800), 1
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = s.select(
+        "user_id",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sess_no"),
+    )
+    per_sess = sess.groupBy("user_id", "sess_no").agg(
+        F.count("*").alias("n_events")
+    )
+    return per_sess.groupBy(F.col("n_events").alias("session_length")).agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Gate priority (see registry.set_gate_order docstring). Round 5: the
 # driver records rows for the FIRST 50 queries() only, so front
-# (a) the 13 queries NEW or RESULT-CHANGED this round
-#     (x_simhash_longdoc_pairs, x_bpe_pair_counts,
-#     x_token_budget_sample, x_span_dup_mass, x_quality_linear_score,
-#     x_semdedup_prune, x_dedup_keep_canonical, x_curation_pipeline_v2,
-#     x_set_similarity_join, x_bm25_topk, x_group_ols_trend,
-#     x_mad_outliers new; x_host_pagerank gained the dangling-mass
-#     term, so its r4 driver row no longer certifies its values.
-#     p2_skew_detect changed PLAN only (global window -> broadcast-
-#     scalar attach; results identical, r4 driver row still certifies
-#     the values) — it rotates to the tail on LOCAL_GATE_r5 + plan-
-#     audit evidence to make room),
-# (b) ALL 34 queries whose last driver row is round 2 — the rotation
-#     debt VERDICT r4 #1 names; this restores ≤2-round driver-row age
-#     across the registry,
+# (a) the 25 queries NEW or RESULT-CHANGED this round:
+#     - 13 from waves 1-2 (x_simhash_longdoc_pairs, x_bpe_pair_counts,
+#       x_token_budget_sample, x_span_dup_mass, x_quality_linear_score,
+#       x_semdedup_prune, x_dedup_keep_canonical, x_curation_pipeline_v2,
+#       x_set_similarity_join, x_bm25_topk, x_group_ols_trend,
+#       x_mad_outliers new; x_host_pagerank gained the dangling-mass
+#       term),
+#     - 9 NEW in wave 3 (x_event_transitions, x_rollup_chain_daily,
+#       x_fk_orphan_audit, x_assoc_rules_lift, x_graph_triangles,
+#       x_rolling_zscore_anomaly, x_pareto_frontier,
+#       x_minhash_accuracy_audit, x_bloom_fpr_audit),
+#     - 6 NEW in wave 4 (x_pivot_returnflag_matrix, x_unpivot_metrics,
+#       x_graph_bfs_hops, x_dq_expectations, x_rfm_segmentation,
+#       x_sessionize_gaps),
+#     - 3 RESULT-CHANGED by the keyed_hash fix (the wave-3 accuracy
+#       audit exposed the old affine permutations as monotone — see
+#       functions/hashing.py): x_dedup_minhash_lsh, x_dedup_cc_clusters,
+#       x_incremental_dedup_triage (x_dedup_keep_canonical, also
+#       affected, is already fronted as new).
+#     p2_skew_detect changed PLAN only (results identical; r4 driver
+#     row still certifies values) — rotates on LOCAL_GATE + plan-audit
+#     evidence.
+# (b) 16 of the 34 round-2-age queries (VERDICT r4 #1) — the money-
+#     float TPC-H shapes, multimodal, and regex-heavy paths, i.e. the
+#     highest-residual-risk rows. The other 18 — the simplest pure-
+#     relational/HOF shapes — are displaced by (a): a query with NO
+#     valid driver row (new, or semantics changed) outranks rotation
+#     hygiene by the documented policy; they carry full-precision
+#     LOCAL_GATE evidence this round and front in r6.
 # (c) the 3 batch-replayable streaming oracles (driver rows r3;
-#     VERDICT r4 #6 asks for a current-round refresh).
-# The r3-age queries carry committed LOCAL_GATE_r5 evidence (142/142
-# green this round) and rotate next round.
-# That is exactly 13 + 34 + 3 = 50.
+#     VERDICT r4 #6).
+# That is exactly 31 + 16 + 3 = 50.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
 
 set_gate_order([
-    # (a) new / plan-changed this round
+    # (a) new / result-changed this round
     "x_simhash_longdoc_pairs",
     "x_bpe_pair_counts",
     "x_token_budget_sample",
@@ -6957,7 +8231,25 @@ set_gate_order([
     "x_group_ols_trend",
     "x_mad_outliers",
     "x_host_pagerank",
-    # (b) the 34 round-2-age queries
+    "x_dedup_minhash_lsh",
+    "x_dedup_cc_clusters",
+    "x_incremental_dedup_triage",
+    "x_event_transitions",
+    "x_rollup_chain_daily",
+    "x_fk_orphan_audit",
+    "x_assoc_rules_lift",
+    "x_graph_triangles",
+    "x_rolling_zscore_anomaly",
+    "x_pareto_frontier",
+    "x_minhash_accuracy_audit",
+    "x_bloom_fpr_audit",
+    "x_pivot_returnflag_matrix",
+    "x_unpivot_metrics",
+    "x_graph_bfs_hops",
+    "x_dq_expectations",
+    "x_rfm_segmentation",
+    "x_sessionize_gaps",
+    # (b) 16 of the 34 round-2-age queries
     "x_multimodal_framesample",
     "x_multimodal_audio_features",
     "a_rollup_revenue",
@@ -6967,26 +8259,8 @@ set_gate_order([
     "tpch_q18_large_orders",
     "f_permissive_line_parse",
     "s_paired_interleave",
-    "o_topk_global_limit",
-    "w_frame_lag_lead_range",
-    "f_null_semantics",
-    "x_json_props_extract",
-    "f_ignore_table_antijoin",
-    "a_cube_revenue",
-    "w_first_last_nth",
-    "x_vector_stats_hof",
-    "w_rank_family",
-    "x_fuzzy_levenshtein",
-    "a_date_parts",
-    "a_minmax_by_bool",
-    "x_vocab_topk",
-    "x_tfidf_top_terms",
-    "x_embedding_quantize",
-    "f_attrs_map_extract",
     "x_quality_repetition",
     "x_pii_scrub",
-    "x_url_host_rollup",
-    "x_datamix_split",
     "tpch_q7_nation_volume",
     "tpch_q19_disjunctive",
     "tpch_q22_dormant_customers",

@@ -488,3 +488,279 @@ def test_keep_canonical_is_longest_member(spark, sf_dir):
         assert got["canonical_doc"] == want, (comp, want, got)
         assert got["n_members"] == len(members)
         assert got["n_pruned"] == len(members) - 1
+
+
+def test_keyed_hash_is_not_monotone(spark):
+    """Regression for the minhash degeneracy x_minhash_accuracy_audit
+    exposed: the affine (a*h40+b) mod M61 permutations never wrapped,
+    so every 'permutation' was monotone in h and all 8 minhashes
+    collapsed to a function of the single smallest shingle hash. The
+    seeded-md5 keyed_hash must (a) genuinely reorder inputs and (b)
+    give DIFFERENT argmins under different seeds."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from sparkga1_spark.functions.hashing import keyed_hash
+    from sparkga1_spark.operators.dedup import minhash_perms
+
+    hs = list(range(1, 201))
+    df = spark.createDataFrame(pd.DataFrame({"h": hs}))
+    perms = minhash_perms(8)
+    out = df.select(
+        "h", *[keyed_hash(F.col("h"), a, b).alias(f"k{i}")
+               for i, (a, b) in enumerate(perms)]
+    ).toPandas().sort_values("h")
+    argmins = set()
+    for i in range(8):
+        ks = out[f"k{i}"].tolist()
+        # not monotone: sorted order must differ from input order
+        assert ks != sorted(ks), f"perm {i} is monotone"
+        argmins.add(out["h"].tolist()[ks.index(min(ks))])
+    # independent permutations pick different minima
+    assert len(argmins) >= 4, f"permutation argmins collapsed: {argmins}"
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    """est = matching-minhash fraction must be a usable estimator:
+    identical sets → 1.0; disjoint sets → ~0; a 50%-overlap pair lands
+    in between (8 perms ⇒ ±1σ ≈ 0.18, assert a generous band)."""
+    from pyspark.sql import functions as F
+    from sparkga1_spark.functions.hashing import stable_hash64
+    from sparkga1_spark.operators.dedup import minhash_signature_rows
+
+    toks = {
+        1: [f"t{i}" for i in range(40)],
+        2: [f"t{i}" for i in range(40)],           # == doc 1
+        3: [f"t{i}" for i in range(20, 60)],        # J(1,3) = 1/3
+        4: [f"u{i}" for i in range(40)],            # disjoint from 1
+    }
+    rows = spark.createDataFrame(
+        [(d, t) for d, ts in toks.items() for t in ts], "doc_id long, tok string"
+    ).select("doc_id", stable_hash64(F.col("tok")).alias("h"))
+    sig = {
+        r["doc_id"]: [r[f"mh{i}"] for i in range(8)]
+        for r in minhash_signature_rows(rows, id_col="doc_id").collect()
+    }
+    est = lambda a, b: sum(x == y for x, y in zip(sig[a], sig[b])) / 8  # noqa: E731
+    assert est(1, 2) == 1.0
+    assert est(1, 4) == 0.0
+    assert 0.0 < est(1, 3) < 0.9  # J = 1/3; bound is ±3σ-ish
+
+
+def test_pareto_frontier_matches_bruteforce(spark, sf_dir):
+    """Engine skyline (sorted-scan over the per-price max-size
+    pre-aggregate) must equal the O(n²) dominance definition."""
+    from sparkga1_spark.plans.registry import get
+    from sparkga1_spark.sources.catalog import load_table
+
+    fn, _ = get("x_pareto_frontier")
+    got = {
+        (r["p_brand"], r["p_partkey"]) for r in fn(spark, sf_dir).collect()
+    }
+    parts = [
+        (r["p_brand"], r["p_partkey"],
+         int(r["p_retailprice"] * 100 + 0.5), r["p_size"])
+        for r in load_table(spark, sf_dir, "part")
+        .select("p_brand", "p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+    want = set()
+    for b, k, c, s in parts:
+        dominated = any(
+            b2 == b and c2 <= c and s2 >= s and (c2 < c or s2 > s)
+            for b2, _, c2, s2 in parts
+        )
+        if not dominated:
+            want.add((b, k))
+    assert got == want
+
+
+def test_triangle_counts_match_bruteforce(spark, sf_dir):
+    """Degree-oriented wedge closure must count exactly the triangles
+    the naive a<b<c triple loop finds, per node."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+    from sparkga1_spark.plans.registry import get
+    from sparkga1_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p, s = F.col("l_partkey") % 50, F.col("l_suppkey") % 50
+    edges = {
+        (r["a"], r["b"])
+        for r in li.filter(p != s)
+        .select(F.least(p, s).alias("a"), F.greatest(p, s).alias("b"))
+        .distinct()
+        .collect()
+    }
+    nodes = sorted({v for e in edges for v in e})
+    tri = {v: 0 for v in nodes}
+    for x, y, z in combinations(nodes, 3):
+        if (x, y) in edges and (y, z) in edges and (x, z) in edges:
+            tri[x] += 1
+            tri[y] += 1
+            tri[z] += 1
+    fn, _ = get("x_graph_triangles")
+    got = {r["node"]: r["n_triangles"] for r in fn(spark, sf_dir).collect()}
+    assert got == {v: n for v, n in tri.items()}
+
+
+def test_rolling_zscore_flags_planted_spikes(spark, sf_dir):
+    """Every planted spike day (event_id % 4999 == 0 adds 1e6 units)
+    with a full 7-day baseline must flag; z² must match a pure-Python
+    recomputation from the engine's own daily values."""
+    from sparkga1_spark.plans.registry import get
+
+    fn, _ = get("x_rolling_zscore_anomaly")
+    rows = sorted(
+        fn(spark, sf_dir).collect(), key=lambda r: (r["event_type"], r["day"])
+    )
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    n_flagged = 0
+    for series in by_type.values():
+        xs = [int(r["daily_value"] * 100 + 0.5) for r in series]
+        for i, r in enumerate(series):
+            base = xs[max(0, i - 7):i]
+            n = len(base)
+            want = False
+            if n == 7:
+                s, q, x = sum(base), sum(v * v for v in base), xs[i]
+                den = n * q - s * s
+                want = den > 0 and (n * x - s) ** 2 > 9 * den
+            assert bool(r["is_anomaly"]) == want, (r, base)
+            n_flagged += want
+    assert n_flagged > 0, "planted spikes produced no anomalies"
+
+
+def test_bloom_filter_no_false_negatives(spark, sf_dir):
+    """Bloom guarantee: every true member must pass the filter, and the
+    measured FPR must sit strictly between 0 and 1 at this geometry
+    (m=1024, k=4 — sized for a non-vacuous audit)."""
+    from sparkga1_spark.plans.registry import get
+
+    fn, _ = get("x_bloom_fpr_audit")
+    row = fn(spark, sf_dir).collect()[0]
+    assert row["n_member_pass"] == row["n_members"]
+    assert 0 < row["n_bits_set"] <= 1024
+    assert row["n_pass"] >= row["n_members"]
+
+
+def test_assoc_rules_lift_formula(spark, sf_dir):
+    """confidence and lift must equal their definitions recomputed from
+    the row's own integer counts and the basket total."""
+    from pyspark.sql import functions as F
+    from sparkga1_spark.plans.registry import get
+    from sparkga1_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    nb = (
+        li.select(F.col("l_orderkey")).distinct().count()
+    )
+    fn, _ = get("x_assoc_rules_lift")
+    rows = fn(spark, sf_dir).collect()
+    assert rows, "no rules above the support floor"
+    for r in rows:
+        conf = r["n_ab"] / r["n_a"]
+        lift = nb * r["n_ab"] / (r["n_a"] * r["n_b"])
+        assert abs(r["confidence"] - conf) < 1e-6
+        assert abs(r["lift"] - lift) < 1e-6
+        assert r["item_a"] < r["item_b"]
+
+
+def test_bfs_hops_match_python_bfs(spark, sf_dir):
+    """Iterative frontier BFS must equal a driver-side BFS over the
+    collected edge list."""
+    from collections import deque
+
+    from pyspark.sql import functions as F
+    from sparkga1_spark.plans.registry import get
+    from sparkga1_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p, s = F.col("l_partkey") % 50, F.col("l_suppkey") % 50
+    adj: dict = {}
+    for r in (
+        li.filter(p != s)
+        .select(F.least(p, s).alias("a"), F.greatest(p, s).alias("b"))
+        .distinct()
+        .collect()
+    ):
+        adj.setdefault(r["a"], set()).add(r["b"])
+        adj.setdefault(r["b"], set()).add(r["a"])
+    want, dq = {0: 0}, deque([0])
+    while dq:
+        u = dq.popleft()
+        for v in adj.get(u, ()):
+            if v not in want:
+                want[v] = want[u] + 1
+                dq.append(v)
+    fn, _ = get("x_graph_bfs_hops")
+    got = {r["node"]: r["hops"] for r in fn(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_sessionize_histogram_conserves_events(spark, sf_dir):
+    """Σ(session_length × n_sessions) must equal the event count, and
+    session boundaries must match a per-user Python replay."""
+    from pyspark.sql import functions as F
+    from sparkga1_spark.plans.registry import get
+    from sparkga1_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    fn, _ = get("x_sessionize_gaps")
+    rows = fn(spark, sf_dir).collect()
+    assert sum(r["session_length"] * r["n_sessions"] for r in rows) == n_events
+
+    per_user: dict = {}
+    for r in (
+        ev.select(
+            "user_id", F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("sec"),
+            "event_id",
+        ).collect()
+    ):
+        per_user.setdefault(r["user_id"], []).append((r["sec"], r["event_id"]))
+    want_sessions = 0
+    for evs in per_user.values():
+        evs.sort()
+        want_sessions += 1 + sum(
+            1 for i in range(1, len(evs)) if evs[i][0] - evs[i - 1][0] > 1800
+        )
+    assert sum(r["n_sessions"] for r in rows) == want_sessions
+
+
+def test_dq_expectations_report_shape(spark, sf_dir):
+    """Five checks over one table: rates must equal n_fail/n_rows, the
+    two clean checks must pass, and passed ⇔ n_fail == 0."""
+    from sparkga1_spark.plans.registry import get
+
+    fn, _ = get("x_dq_expectations")
+    rows = {r["check_name"]: r for r in fn(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "custkey_not_null", "totalprice_positive", "priority_in_set",
+        "status_in_set", "orderkey_unique",
+    }
+    for r in rows.values():
+        assert r["passed"] == (r["n_fail"] == 0)
+        assert abs(r["fail_rate"] - r["n_fail"] / r["n_rows"]) < 1e-6
+    assert rows["status_in_set"]["passed"]
+    assert rows["orderkey_unique"]["passed"]
+
+
+def test_rfm_axis_buckets_are_balanced(spark, sf_dir):
+    """Each RFM axis must split customers into four near-equal
+    quartiles (the equal-split formula guarantees sizes within 1)."""
+    from sparkga1_spark.plans.registry import get
+
+    fn, _ = get("x_rfm_segmentation")
+    rows = fn(spark, sf_dir).collect()
+    n = sum(r["n_customers"] for r in rows)
+    for axis in ("r_score", "f_score", "m_score"):
+        sizes = {}
+        for r in rows:
+            sizes[r[axis]] = sizes.get(r[axis], 0) + r["n_customers"]
+        assert set(sizes) == {1, 2, 3, 4}
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (axis, sizes)
+        assert sum(sizes.values()) == n

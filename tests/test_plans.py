@@ -150,29 +150,36 @@ def test_gate_order_fronts_unproven_queries():
     qs = list(all_queries())
     first50 = set(qs[:50])
     must_have_row = {
-        # round-5 (a): new / result-changed this round (p2_skew_detect
-        # changed plan only — its r4 driver row still certifies values,
-        # so it rotates on LOCAL_GATE_r5 + plan-audit evidence)
+        # round-5 (a): new / result-changed this round — waves 1-2,
+        # wave 3 (all new), and the three queries whose results changed
+        # with the keyed_hash monotonicity fix. (p2_skew_detect changed
+        # plan only — its r4 driver row still certifies values, so it
+        # rotates on LOCAL_GATE_r5 + plan-audit evidence.)
         "x_simhash_longdoc_pairs", "x_bpe_pair_counts",
         "x_token_budget_sample", "x_span_dup_mass",
         "x_quality_linear_score", "x_semdedup_prune",
         "x_dedup_keep_canonical", "x_curation_pipeline_v2",
         "x_set_similarity_join", "x_bm25_topk", "x_group_ols_trend",
         "x_mad_outliers", "x_host_pagerank",
-        # round-5 (b): the 34 queries whose last driver row was round 2
+        "x_dedup_minhash_lsh", "x_dedup_cc_clusters",
+        "x_incremental_dedup_triage",
+        "x_event_transitions", "x_rollup_chain_daily",
+        "x_fk_orphan_audit", "x_assoc_rules_lift", "x_graph_triangles",
+        "x_rolling_zscore_anomaly", "x_pareto_frontier",
+        "x_minhash_accuracy_audit", "x_bloom_fpr_audit",
+        "x_pivot_returnflag_matrix", "x_unpivot_metrics",
+        "x_graph_bfs_hops", "x_dq_expectations", "x_rfm_segmentation",
+        "x_sessionize_gaps",
+        # round-5 (b): 16 of the 34 round-2-age queries (the 18
+        # simplest relational/HOF shapes are displaced by (a) — no-
+        # valid-driver-row outranks rotation hygiene — and front in r6)
         "x_multimodal_framesample", "x_multimodal_audio_features",
         "a_rollup_revenue", "tpch_q3_shipping_priority",
         "tpch_q5_local_supplier", "tpch_q17_small_quantity",
         "tpch_q18_large_orders", "f_permissive_line_parse",
-        "s_paired_interleave", "o_topk_global_limit",
-        "w_frame_lag_lead_range", "f_null_semantics",
-        "x_json_props_extract", "f_ignore_table_antijoin",
-        "a_cube_revenue", "w_first_last_nth", "x_vector_stats_hof",
-        "w_rank_family", "x_fuzzy_levenshtein", "a_date_parts",
-        "a_minmax_by_bool", "x_vocab_topk", "x_tfidf_top_terms",
-        "x_embedding_quantize", "f_attrs_map_extract",
-        "x_quality_repetition", "x_pii_scrub", "x_url_host_rollup",
-        "x_datamix_split", "tpch_q7_nation_volume",
+        "s_paired_interleave",
+        "x_quality_repetition", "x_pii_scrub",
+        "tpch_q7_nation_volume",
         "tpch_q19_disjunctive", "tpch_q22_dormant_customers",
         "tpch_q2_min_cost_supplier", "tpch_q20_excess_stock",
         # round-5 (c): streaming oracle refresh
