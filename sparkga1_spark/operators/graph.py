@@ -1,0 +1,138 @@
+"""Graph analytics operators over edge-list DataFrames.
+
+Engine additions beyond the reference's per-locus grouping
+(SparkGA1.scala:837-839 has no graph analogue): triangle counting /
+clustering coefficients and single-source BFS, both expressed as
+DataFrame joins so Catalyst handles distribution. Iterative pieces
+follow the connected_components recipe (operators/dedup.py):
+localCheckpoint per round, driver work limited to tiny frontier
+counts.
+
+Edge-list contract: `edges` holds one row per UNDIRECTED edge with
+columns (a, b), a < b, no duplicates, no self-loops (the
+normalized form `undirected_edges` produces).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from sparkga1_spark.operators.cache import tracked_persist
+
+
+def undirected_edges(df: DataFrame, u: Column, v: Column) -> DataFrame:
+    """Normalize arbitrary (u, v) endpoint expressions into the
+    canonical undirected edge list: least/greatest ordering, loops
+    dropped, duplicates collapsed."""
+    return (
+        df.filter(u != v)
+        .select(F.least(u, v).alias("a"), F.greatest(u, v).alias("b"))
+        .distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Per-node triangle count, degree, and local clustering
+    coefficient 2T/(d(d-1)).
+
+    Degree-ordered orientation (each edge directed from its lower
+    (degree, id) endpoint) bounds the wedge fan-out by out-degree —
+    O(sqrt(m)) on any graph, the arboricity argument — so hub nodes
+    never generate quadratic wedge sets the way the naive a<b<c triple
+    join does. Wedges are per-source out-neighbor pairs, closed by one
+    equi-join against the oriented edge set; each triangle is listed
+    exactly once and credits all three corners."""
+    edges = tracked_persist(edges)
+    adj = edges.select(F.col("a").alias("v"), F.col("b").alias("nb")).union(
+        edges.select(F.col("b"), F.col("a"))
+    )
+    deg = adj.groupBy("v").agg(F.count("*").alias("degree"))
+    deg = tracked_persist(deg)
+    da = deg.select(F.col("v").alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("v").alias("b"), F.col("degree").alias("degb"))
+    keyed = edges.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    lo_first = F.struct(F.col("dega"), F.col("a")) < F.struct(
+        F.col("degb"), F.col("b")
+    )
+    o = keyed.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    o = tracked_persist(o)
+    od = o.join(F.broadcast(deg.withColumnRenamed("v", "dst")), "dst").select(
+        "src", "dst", F.col("degree").alias("degd")
+    )
+    w1, w2 = od.alias("w1"), od.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src"))
+        & (
+            F.struct(F.col("w1.degd"), F.col("w1.dst"))
+            < F.struct(F.col("w2.degd"), F.col("w2.dst"))
+        ),
+    ).select(
+        F.col("w1.src").alias("x"),
+        F.col("w1.dst").alias("y"),
+        F.col("w2.dst").alias("z"),
+    )
+    tri = wedges.join(
+        o.select(F.col("src").alias("y"), F.col("dst").alias("z")),
+        ["y", "z"],
+        "semi",
+    )
+    tn = (
+        tri.select(F.col("x").alias("v"))
+        .union(tri.select("y"))
+        .union(tri.select("z"))
+        .groupBy("v")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    from sparkga1_spark.functions.numeric import hround
+
+    return (
+        deg.join(tn, "v", "left")
+        .select(
+            F.col("v").alias("node"),
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_triangles"),
+            hround(
+                F.when(
+                    F.col("degree") >= 2,
+                    F.lit(2.0)
+                    * F.coalesce(F.col("n_tri"), F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering"),
+        )
+    )
+
+
+def bfs_hops(edges: DataFrame, source: int, *, max_hops: int = 8) -> DataFrame:
+    """Unweighted single-source BFS levels: (node, hops) for every node
+    reachable from `source` within `max_hops`. Iterative frontier
+    expansion — frontier ⋈ edges, anti-join visited, union in at
+    hops = round — the Pregel shape; per round the driver pays one
+    emptiness check on a tiny frontier and each round's result is
+    localCheckpoint()ed so the plan stays O(1)."""
+    spark = edges.sparkSession
+    both = edges.select(F.col("a").alias("s"), F.col("b").alias("d")).union(
+        edges.select(F.col("b"), F.col("a"))
+    )
+    both = tracked_persist(both)
+    visited = spark.createDataFrame([(source, 0)], "node int, hops int")
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(both, frontier["node"] == both["s"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).alias("hops"))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited.select(F.col("node").cast("int"), F.col("hops").cast("long"))

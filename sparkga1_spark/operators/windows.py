@@ -218,3 +218,43 @@ def global_rank(
         .withColumn(rank_col, (F.col("_lr") + F.col("_off")).cast("long"))
         .drop("_pid", "_lr", "_off")
     )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    minimize_col: str,
+    maximize_col: str,
+) -> DataFrame:
+    """Per-group 2-D skyline: rows not dominated on (minimize_col ↓,
+    maximize_col ↑). A row is dominated if some row in its group is ≤
+    on the minimized axis and ≥ on the maximized axis with at least
+    one strict.
+
+    Sorted-scan construction sized for scale: a per-(group, x) MAX-y
+    pre-aggregate shrinks the stream to distinct x points FIRST (one
+    combiner-friendly exchange), one range window over that small
+    table computes the best y among strictly-smaller x, and rows
+    survive iff they hold the max at their x AND beat every smaller x.
+    Both axes must be exact-comparable types (integers / decimals —
+    snap floats before calling; ties on both axes are mutually
+    non-dominating and all survive)."""
+    gcols = list(group_cols)
+    g = df.groupBy(*gcols, minimize_col).agg(
+        F.max(maximize_col).alias("_mx_eq")
+    )
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy(minimize_col)
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    g = g.withColumn("_mx_lt", F.max("_mx_eq").over(w))
+    return (
+        df.join(g, gcols + [minimize_col])
+        .filter(
+            (F.col(maximize_col) == F.col("_mx_eq"))
+            & (F.col("_mx_lt").isNull() | (F.col("_mx_lt") < F.col(maximize_col)))
+        )
+        .drop("_mx_eq", "_mx_lt")
+    )

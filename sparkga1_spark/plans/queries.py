@@ -7296,77 +7296,16 @@ def x_graph_triangles(spark, sf_dir):
     the wedge set never explodes on skewed hubs the way the naive
     a<b<c triple join does. The ORACLE brute-forces the a<b<c triple
     join — two independent constructions agreeing on every count.
-    Clustering = 2T/(d(d-1)), one correctly-rounded expression."""
+    Clustering = 2T/(d(d-1)), one correctly-rounded expression.
+    Operator: operators/graph.py triangle_stats (property-tested vs
+    brute force on random graphs)."""
+    from sparkga1_spark.operators import graph as G
+
     li = load_table(spark, sf_dir, "lineitem")
-    p, s = F.col("l_partkey") % 50, F.col("l_suppkey") % 50
-    e0 = (
-        li.filter(p != s)
-        .select(F.least(p, s).alias("a"), F.greatest(p, s).alias("b"))
-        .distinct()
+    edges = G.undirected_edges(
+        li, F.col("l_partkey") % 50, F.col("l_suppkey") % 50
     )
-    e0 = tracked_persist(e0)
-    adj = e0.select(F.col("a").alias("v"), F.col("b").alias("nb")).union(
-        e0.select(F.col("b"), F.col("a"))
-    )
-    deg = adj.groupBy("v").agg(F.count("*").alias("degree"))
-    deg = tracked_persist(deg)
-    # orient by (degree, id): src is the lexicographically smaller endpoint
-    da = deg.select(F.col("v").alias("a"), F.col("degree").alias("dega"))
-    db = deg.select(F.col("v").alias("b"), F.col("degree").alias("degb"))
-    keyed = e0.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
-    lo_first = F.struct(F.col("dega"), F.col("a")) < F.struct(
-        F.col("degb"), F.col("b")
-    )
-    o = keyed.select(
-        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-    )
-    o = tracked_persist(o)
-    od = o.join(F.broadcast(deg.withColumnRenamed("v", "dst")), "dst").select(
-        "src", "dst", F.col("degree").alias("degd")
-    )
-    w1, w2 = od.alias("w1"), od.alias("w2")
-    wedges = w1.join(
-        w2,
-        (F.col("w1.src") == F.col("w2.src"))
-        & (
-            F.struct(F.col("w1.degd"), F.col("w1.dst"))
-            < F.struct(F.col("w2.degd"), F.col("w2.dst"))
-        ),
-    ).select(
-        F.col("w1.src").alias("x"),
-        F.col("w1.dst").alias("y"),
-        F.col("w2.dst").alias("z"),
-    )
-    tri = wedges.join(
-        o.select(F.col("src").alias("y"), F.col("dst").alias("z")),
-        ["y", "z"],
-        "semi",
-    )
-    tn = (
-        tri.select(F.col("x").alias("v"))
-        .union(tri.select("y"))
-        .union(tri.select("z"))
-        .groupBy("v")
-        .agg(F.count("*").alias("n_tri"))
-    )
-    return (
-        deg.join(tn, "v", "left")
-        .select(
-            F.col("v").alias("node"),
-            F.col("degree").cast("long").alias("degree"),
-            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_triangles"),
-            hround(
-                F.when(
-                    F.col("degree") >= 2,
-                    F.lit(2.0)
-                    * F.coalesce(F.col("n_tri"), F.lit(0))
-                    / (F.col("degree") * (F.col("degree") - 1)),
-                ).otherwise(F.lit(0.0)),
-                6,
-            ).alias("clustering"),
-        )
-    )
+    return G.triangle_stats(edges)
 
 
 @query(
@@ -7496,9 +7435,9 @@ def x_pareto_frontier(spark, sf_dir):
     the O(n²) NOT EXISTS dominance definition — two independent
     constructions. Dominance uses only exact integers (cents, size).
     At 100 TB the window input is distinct-price-sized, not
-    corpus-sized; the join back rides the same (brand, price) key."""
-    from pyspark.sql import Window
-
+    corpus-sized; the join back rides the same (brand, price) key.
+    Operator: operators/windows.py pareto_frontier (property-tested vs
+    the brute-force dominance definition on random points)."""
     part = load_table(spark, sf_dir, "part")
     p = part.select(
         "p_partkey",
@@ -7508,25 +7447,14 @@ def x_pareto_frontier(spark, sf_dir):
         .cast("long")
         .alias("cents"),
     )
-    g = p.groupBy("p_brand", "cents").agg(F.max("p_size").alias("mx_eq"))
-    w = (
-        Window.partitionBy("p_brand")
-        .orderBy("cents")
-        .rangeBetween(Window.unboundedPreceding, -1)
+    sky = windows_ops.pareto_frontier(
+        p, group_cols=["p_brand"], minimize_col="cents", maximize_col="p_size"
     )
-    g = g.withColumn("mx_lt", F.max("mx_eq").over(w))
-    return (
-        p.join(g, ["p_brand", "cents"])
-        .filter(
-            (F.col("p_size") == F.col("mx_eq"))
-            & (F.col("mx_lt").isNull() | (F.col("mx_lt") < F.col("p_size")))
-        )
-        .select(
-            "p_brand",
-            "p_partkey",
-            hround(F.col("cents") / F.lit(100.0), 2).alias("price"),
-            "p_size",
-        )
+    return sky.select(
+        "p_brand",
+        "p_partkey",
+        hround(F.col("cents") / F.lit(100.0), 2).alias("price"),
+        "p_size",
     )
 
 
@@ -7880,36 +7808,15 @@ def x_graph_bfs_hops(spark, sf_dir):
     constructions. At 100 TB scale-out this is the Pregel iteration
     shape: frontier ⋈ edges shuffles on the join key, visited set
     stays partitioned, localCheckpoint cuts lineage every 4 rounds
-    (the connected-components recipe)."""
+    (the connected-components recipe). Operator: operators/graph.py
+    bfs_hops (property-tested vs a Python BFS on random graphs)."""
+    from sparkga1_spark.operators import graph as G
+
     li = load_table(spark, sf_dir, "lineitem")
-    p, s = F.col("l_partkey") % 50, F.col("l_suppkey") % 50
-    e0 = (
-        li.filter(p != s)
-        .select(F.least(p, s).alias("a"), F.greatest(p, s).alias("b"))
-        .distinct()
+    edges = G.undirected_edges(
+        li, F.col("l_partkey") % 50, F.col("l_suppkey") % 50
     )
-    edges = e0.select(F.col("a").alias("s"), F.col("b").alias("d")).union(
-        e0.select("b", "a")
-    )
-    edges = tracked_persist(edges)
-    visited = spark.createDataFrame([(0, 0)], "node int, hops int")
-    frontier = visited
-    for hop in range(1, 9):
-        nxt = (
-            frontier.join(edges, frontier["node"] == edges["s"])
-            .select(F.col("d").alias("node"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .select("node", F.lit(hop).alias("hops"))
-        )
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
-            break
-        visited = visited.union(nxt).localCheckpoint(eager=False)
-        frontier = nxt
-    return visited.select(
-        F.col("node").cast("int"), F.col("hops").cast("long")
-    )
+    return G.bfs_hops(edges, 0, max_hops=8)
 
 
 @query(

@@ -24,9 +24,12 @@ def _has_format(spark: SparkSession, fmt: str, probe_path: str = "/nonexistent")
 
 
 def read_table(spark: SparkSession, fmt: str, path: str) -> DataFrame:
-    """Read a delta/iceberg/hudi table if the connector is on the
-    classpath; raise a clear error otherwise."""
-    if fmt not in ("delta", "iceberg", "hudi"):
+    """Read a delta/iceberg/hudi/avro table if the connector is on the
+    classpath; raise a clear error otherwise. avro is in the guarded
+    set because Spark ships it as an EXTERNAL built-in module
+    (spark-avro jar, absent from this image — probed at session
+    startup, not assumed)."""
+    if fmt not in ("delta", "iceberg", "hudi", "avro"):
         return spark.read.format(fmt).load(path)
     if not _has_format(spark, fmt):
         raise NotImplementedError(

@@ -552,3 +552,113 @@ def test_bm25_matches_python_reference(spark, sf_dir):
     for r, (_, (s, nt)) in zip(got, want):
         assert r.n_terms == nt
         assert abs(r.score - s) < 1e-5
+
+
+EDGE_SETS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(raw=EDGE_SETS)
+@SETTINGS
+def test_triangle_stats_match_bruteforce_on_random_graphs(spark, raw):
+    """Degree-oriented wedge closure == naive triple loop, per node,
+    on arbitrary small graphs (hubs, paths, isolated ties)."""
+    from itertools import combinations
+
+    from sparkga1_spark.operators.graph import triangle_stats, undirected_edges
+
+    edges = {(min(u, v), max(u, v)) for u, v in raw if u != v}
+    if not edges:
+        return
+    df = spark.createDataFrame(sorted(edges), "u int, v int")
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"])
+        for r in triangle_stats(
+            undirected_edges(df, F.col("u"), F.col("v"))
+        ).collect()
+    }
+    nodes = sorted({x for e in edges for x in e})
+    deg = {n: sum(1 for e in edges if n in e) for n in nodes}
+    tri = {n: 0 for n in nodes}
+    for x, y, z in combinations(nodes, 3):
+        if (x, y) in edges and (y, z) in edges and (x, z) in edges:
+            tri[x] += 1
+            tri[y] += 1
+            tri[z] += 1
+    assert got == {n: (deg[n], tri[n]) for n in nodes}
+
+
+@given(raw=EDGE_SETS, source=st.integers(min_value=0, max_value=9))
+@SETTINGS
+def test_bfs_hops_match_python_on_random_graphs(spark, raw, source):
+    """Frontier BFS == queue BFS from any source, including sources
+    with no edges (result = just the source at hop 0)."""
+    from collections import deque
+
+    from sparkga1_spark.operators.graph import bfs_hops, undirected_edges
+
+    edges = {(min(u, v), max(u, v)) for u, v in raw if u != v}
+    if not edges:
+        return
+    df = spark.createDataFrame(sorted(edges), "u int, v int")
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(
+            undirected_edges(df, F.col("u"), F.col("v")), source, max_hops=12
+        ).collect()
+    }
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want, dq = {source: 0}, deque([source])
+    while dq:
+        u = dq.popleft()
+        for v in adj.get(u, ()):
+            if v not in want:
+                want[v] = want[u] + 1
+                dq.append(v)
+    assert got == want
+
+
+POINTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # group
+        st.integers(min_value=0, max_value=8),    # x (minimize)
+        st.integers(min_value=0, max_value=8),    # y (maximize)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(pts=POINTS)
+@SETTINGS
+def test_pareto_frontier_matches_dominance_definition(spark, pts):
+    """Sorted-scan skyline == O(n²) dominance filter, including exact
+    ties on one or both axes (mutually non-dominating ties survive)."""
+    from sparkga1_spark.operators.windows import pareto_frontier
+
+    rows = [(i, g, x, y) for i, (g, x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id int, g int, x int, y int")
+    got = {
+        r["id"]
+        for r in pareto_frontier(
+            df, group_cols=["g"], minimize_col="x", maximize_col="y"
+        ).collect()
+    }
+    want = set()
+    for i, g, x, y in rows:
+        dominated = any(
+            g2 == g and x2 <= x and y2 >= y and (x2 < x or y2 > y)
+            for _, g2, x2, y2 in rows
+        )
+        if not dominated:
+            want.add(i)
+    assert got == want

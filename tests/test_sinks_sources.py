@@ -151,6 +151,9 @@ def test_lakehouse_connectors_gated(spark):
 
     with _pytest.raises(NotImplementedError, match="delta"):
         read_table(spark, "delta", "/tmp/nope")
+    # avro is Spark's external built-in: same guard applies in this image
+    with _pytest.raises(NotImplementedError, match="avro"):
+        read_table(spark, "avro", "/tmp/nope")
 
 
 def test_bucketed_join_avoids_shuffle(spark, sf_dir):
