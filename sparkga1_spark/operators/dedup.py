@@ -88,22 +88,17 @@ def minhash_signature_rows(
     return rows.groupBy(id_col).agg(*aggs)
 
 
-def minhash_band_keys(
-    rows: DataFrame,
+def band_keys_from_signatures(
+    sig: DataFrame,
     *,
     id_col: str,
-    hash_col: str = "h",
     n_hashes: int = 8,
     band_size: int = 2,
 ) -> DataFrame:
-    """(id, band, key) LSH band rows from shingle-hash rows — the
-    joinable form of a MinHash signature. Exposed separately so
-    INCREMENTAL dedup can band-join a new batch against an existing
-    corpus (batch bands ⋈ corpus bands) instead of paying the full
-    corpus self-join every ingest."""
-    sig = minhash_signature_rows(
-        rows, id_col=id_col, hash_col=hash_col, n_hashes=n_hashes
-    )
+    """(id, band, key) LSH band rows from an ALREADY-COMPUTED signature
+    table (one row per id with mh0..mh{n-1}) — lets callers that need
+    both the signatures and the bands (e.g. the accuracy audit) pay
+    the per-shingle keyed-hash aggregation exactly once."""
     n_bands = n_hashes // band_size
     return sig.select(
         id_col,
@@ -125,6 +120,27 @@ def minhash_band_keys(
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def minhash_band_keys(
+    rows: DataFrame,
+    *,
+    id_col: str,
+    hash_col: str = "h",
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """(id, band, key) LSH band rows from shingle-hash rows — the
+    joinable form of a MinHash signature. Exposed separately so
+    INCREMENTAL dedup can band-join a new batch against an existing
+    corpus (batch bands ⋈ corpus bands) instead of paying the full
+    corpus self-join every ingest."""
+    sig = minhash_signature_rows(
+        rows, id_col=id_col, hash_col=hash_col, n_hashes=n_hashes
+    )
+    return band_keys_from_signatures(
+        sig, id_col=id_col, n_hashes=n_hashes, band_size=band_size
+    )
 
 
 def minhash_lsh_pairs(
@@ -149,6 +165,13 @@ def minhash_lsh_pairs(
         rows, id_col=id_col, hash_col=hash_col,
         n_hashes=n_hashes, band_size=band_size,
     )
+    return lsh_pairs_from_bands(bands, id_col=id_col)
+
+
+def lsh_pairs_from_bands(bands: DataFrame, *, id_col: str) -> DataFrame:
+    """Candidate pairs from an (id, band, key) band table via the
+    banded self-join (id_a < id_b, distinct). Split out so callers
+    holding precomputed signatures/bands skip re-aggregation."""
     # the self-join consumes bands twice; persist so signatures (and the
     # md5 shingle lineage above them) are computed once
     bands = tracked_persist(bands)

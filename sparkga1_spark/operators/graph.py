@@ -48,9 +48,12 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     )
     deg = adj.groupBy("v").agg(F.count("*").alias("degree"))
     deg = tracked_persist(deg)
+    # plain equi-joins on the degree table — AQE broadcasts it when it
+    # is actually small; a forced broadcast of a |V|-row table would
+    # cap the operator at driver broadcast limits on big graphs
     da = deg.select(F.col("v").alias("a"), F.col("degree").alias("dega"))
     db = deg.select(F.col("v").alias("b"), F.col("degree").alias("degb"))
-    keyed = edges.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    keyed = edges.join(da, "a").join(db, "b")
     lo_first = F.struct(F.col("dega"), F.col("a")) < F.struct(
         F.col("degb"), F.col("b")
     )
@@ -59,7 +62,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
     )
     o = tracked_persist(o)
-    od = o.join(F.broadcast(deg.withColumnRenamed("v", "dst")), "dst").select(
+    od = o.join(deg.withColumnRenamed("v", "dst"), "dst").select(
         "src", "dst", F.col("degree").alias("degd")
     )
     w1, w2 = od.alias("w1"), od.alias("w2")

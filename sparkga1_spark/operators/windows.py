@@ -234,12 +234,17 @@ def pareto_frontier(
 
     Sorted-scan construction sized for scale: a per-(group, x) MAX-y
     pre-aggregate shrinks the stream to distinct x points FIRST (one
-    combiner-friendly exchange), one range window over that small
-    table computes the best y among strictly-smaller x, and rows
-    survive iff they hold the max at their x AND beat every smaller x.
-    Both axes must be exact-comparable types (integers / decimals —
-    snap floats before calling; ties on both axes are mutually
-    non-dominating and all survive)."""
+    combiner-friendly exchange), one ROWS window over that small table
+    computes the best y among strictly-smaller x, and rows survive iff
+    they hold the max at their x AND beat every smaller x. The window
+    is ROWS-based over the ALREADY-DISTINCT x points, so "preceding
+    rows" is exactly "strictly smaller x" at ANY value granularity —
+    a RANGE .. -1 frame would instead mean x' ≤ x−1 and silently keep
+    dominated rows for decimal axes (x=10.50 dominated by x=10.00:
+    10.00 > 9.50 falls outside the range frame; caught by review +
+    decimal property test). Both axes must be exact-comparable types
+    (integers / decimals — snap floats before calling; ties on both
+    axes are mutually non-dominating and all survive)."""
     gcols = list(group_cols)
     g = df.groupBy(*gcols, minimize_col).agg(
         F.max(maximize_col).alias("_mx_eq")
@@ -247,7 +252,7 @@ def pareto_frontier(
     w = (
         Window.partitionBy(*gcols)
         .orderBy(minimize_col)
-        .rangeBetween(Window.unboundedPreceding, -1)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     g = g.withColumn("_mx_lt", F.max("_mx_eq").over(w))
     return (

@@ -7376,7 +7376,9 @@ def x_rolling_zscore_anomaly(spark, sf_dir):
             vmic.alias("vmic"),
         )
         .groupBy("event_type", "day")
-        .agg((F.sum("vmic") / 10_000).cast("long").alias("x"))
+        # integer floor-division — (sum/10000.0).cast(long) diverges
+        # from the oracle's `//` once sums pass ~2^55 micro-units
+        .agg(F.expr("sum(vmic) div 10000").alias("x"))
     )
     win = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
     w = daily.select(
@@ -7479,9 +7481,10 @@ exact AS (
 )
 SELECT e.id_a, e.id_b,
        round(CAST(n_eq AS DOUBLE) / 8, 6) AS est_jaccard,
-       x.exact_jaccard,
-       round(abs(CAST(n_eq AS DOUBLE) / 8 - x.exact_jaccard), 6) AS abs_err
-FROM est e JOIN exact x ON e.id_a = x.id_a AND e.id_b = x.id_b
+       coalesce(x.exact_jaccard, 0.0) AS exact_jaccard,
+       round(abs(CAST(n_eq AS DOUBLE) / 8 - coalesce(x.exact_jaccard, 0.0)), 6)
+         AS abs_err
+FROM est e LEFT JOIN exact x ON e.id_a = x.id_a AND e.id_b = x.id_b
 """,
 )
 def x_minhash_accuracy_audit(spark, sf_dir):
@@ -7491,17 +7494,24 @@ def x_minhash_accuracy_audit(spark, sf_dir):
     unbiased estimator) sits next to the EXACT shingle Jaccard and
     their absolute error — the measurement that justifies trusting
     8-perm signatures as the corpus-scale similarity proxy. Estimate
-    and exact similarity are two independent constructions joined on
-    the pair; equal-minhash ⇒ shared shingle (the keyed permutation is
-    injective on 40-bit inputs), so every candidate pair has an exact
-    row. est is n_eq/8 (exact binary), err one correctly-rounded
-    subtraction. The exact pass runs on candidate docs only at scale —
-    the already-documented refine-on-candidates contract."""
+    and exact similarity are two independent constructions LEFT-joined
+    on the pair with exact coalesced to 0: under the seeded-md5
+    permutations a keyed-hash value collision between DIFFERENT
+    shingles is possible (~2⁻⁶⁰/pair — unlike the old affine map,
+    md5-truncation is not injective), and such a candidate shares no
+    shingle, has no exact row, and is precisely the worst-error case
+    the audit must SHOW rather than drop. est is n_eq/8 (exact
+    binary), err one correctly-rounded subtraction. Signatures are
+    aggregated ONCE (band keys derive from the same persisted table —
+    band_keys_from_signatures), and the exact pass runs on candidate
+    docs only — the refine-on-candidates contract."""
     rows = _doc_shingle_rows(spark, sf_dir)
     rows = tracked_persist(rows)
-    pairs = D.minhash_lsh_pairs(rows, id_col="doc_id")
-    pairs = tracked_persist(pairs)
     sig = D.minhash_signature_rows(rows, id_col="doc_id")
+    sig = tracked_persist(sig)
+    bands = D.band_keys_from_signatures(sig, id_col="doc_id")
+    pairs = D.lsh_pairs_from_bands(bands, id_col="doc_id")
+    pairs = tracked_persist(pairs)
     sa = sig.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)],
@@ -7532,14 +7542,13 @@ def x_minhash_accuracy_audit(spark, sf_dir):
     exact = D.jaccard_pairs(rows_c, id_col="doc_id", threshold=0.0).select(
         "id_a", "id_b", F.col("jaccard").alias("exact_jaccard")
     )
-    return est.join(exact, ["id_a", "id_b"]).select(
+    ej = F.coalesce(F.col("exact_jaccard"), F.lit(0.0))
+    return est.join(exact, ["id_a", "id_b"], "left").select(
         "id_a",
         "id_b",
         hround(F.col("n_eq") / F.lit(8.0), 6).alias("est_jaccard"),
-        "exact_jaccard",
-        hround(F.abs(F.col("n_eq") / F.lit(8.0) - F.col("exact_jaccard")), 6).alias(
-            "abs_err"
-        ),
+        ej.alias("exact_jaccard"),
+        hround(F.abs(F.col("n_eq") / F.lit(8.0) - ej), 6).alias("abs_err"),
     )
 
 
@@ -7807,9 +7816,11 @@ def x_graph_bfs_hops(spark, sf_dir):
     recursive CTE with min-hops aggregation — two independent BFS
     constructions. At 100 TB scale-out this is the Pregel iteration
     shape: frontier ⋈ edges shuffles on the join key, visited set
-    stays partitioned, localCheckpoint cuts lineage every 4 rounds
-    (the connected-components recipe). Operator: operators/graph.py
-    bfs_hops (property-tested vs a Python BFS on random graphs)."""
+    stays partitioned; each round's tiny frontier is eagerly
+    localCheckpoint()ed (it is also the emptiness probe) and the
+    visited union lazily, so the plan stays O(1) per round. Operator:
+    operators/graph.py bfs_hops (property-tested vs a Python BFS on
+    random graphs)."""
     from sparkga1_spark.operators import graph as G
 
     li = load_table(spark, sf_dir, "lineitem")

@@ -662,3 +662,36 @@ def test_pareto_frontier_matches_dominance_definition(spark, pts):
         if not dominated:
             want.add(i)
     assert got == want
+
+
+@given(pts=POINTS)
+@SETTINGS
+def test_pareto_frontier_decimal_axis(spark, pts):
+    """Sub-integer value granularity (cents-like decimals at .25
+    steps): the ROWS-over-distinct-x construction must match the
+    dominance definition — a RANGE .. -1 frame would skip strictly
+    smaller x within 1 unit and keep dominated rows (regression for
+    the review-caught bug)."""
+    from decimal import Decimal
+
+    from sparkga1_spark.operators.windows import pareto_frontier
+
+    rows = [
+        (i, g, Decimal(x) / 4, y) for i, (g, x, y) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(rows, "id int, g int, x decimal(6,2), y int")
+    got = {
+        r["id"]
+        for r in pareto_frontier(
+            df, group_cols=["g"], minimize_col="x", maximize_col="y"
+        ).collect()
+    }
+    want = set()
+    for i, g, x, y in rows:
+        dominated = any(
+            g2 == g and x2 <= x and y2 >= y and (x2 < x or y2 > y)
+            for _, g2, x2, y2 in rows
+        )
+        if not dominated:
+            want.add(i)
+    assert got == want
