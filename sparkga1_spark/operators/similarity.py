@@ -489,16 +489,23 @@ def train_pq_codebooks(
     training shape as `ivf_topk_trained`). Returns
     codebooks[subspace][code] = centroid (len sub_dim). Cost:
     n_subspaces × kmeans_fit, each a per-iteration k×(dim+1) partial
-    aggregate — independent of row count, the 100 TB shape. Like
-    kmeans_fit, float-iterative → pytest-pinned recall
+    aggregate — independent of row count, the 100 TB shape. The
+    double-cast projection is persisted ONCE up front: every subspace
+    slice and every Lloyd iteration reads the cache instead of
+    re-scanning the source (~n_subspaces·(iters+1) scans otherwise —
+    the module's tracked_persist convention for multiply-consumed
+    inputs). Like kmeans_fit, float-iterative → pytest-pinned recall
     (tests/test_ann_recall.py), not SQL-oracle-gated."""
+    from sparkga1_spark.operators.cache import tracked_persist
+
+    base = tracked_persist(
+        df.select(F.col(id_col), vectors.to_double(F.col(vec_col)).alias("_v"))
+    )
     books: list[list[list[float]]] = []
     for s in range(n_subspaces):
-        sub = df.select(
+        sub = base.select(
             F.col(id_col),
-            F.slice(
-                vectors.to_double(F.col(vec_col)), s * sub_dim + 1, sub_dim
-            ).alias("_sub"),
+            F.slice(F.col("_v"), s * sub_dim + 1, sub_dim).alias("_sub"),
         )
         books.append(
             kmeans_fit(

@@ -196,3 +196,41 @@ def upsert_parquet(
         fs.rename(hadoop_path(old), hadoop_path(base_path))
         raise OSError(f"upsert_parquet: rename {tmp} -> {base_path} failed")
     fs.delete(hadoop_path(old), True)
+
+
+def recover_interrupted_upsert(spark, base_path: str) -> bool:
+    """Finish the swap of an upsert_parquet that crashed between its
+    two phase-2 renames: no dir at `base_path`, the complete merged
+    table stranded at `<base>__tmp_<token>` (and/or the previous table
+    at `<base>__old_<token>`). Prefers the tmp dir (it holds the merged
+    result; the interrupted upsert never acknowledged, so callers will
+    re-apply their batch — idempotent under keyed MERGE); falls back to
+    the old dir. Returns True iff a recovery rename was performed.
+    Raises if MULTIPLE stranded candidates exist — that means two
+    interrupted upserts overlapped, which the sequential-writer
+    contract forbids, and picking one silently could lose data."""
+    import glob
+    import os
+
+    if os.path.isdir(base_path):
+        return False
+    stem = base_path.rstrip("/")
+    tmps = sorted(glob.glob(stem + "__tmp_*"))
+    olds = sorted(glob.glob(stem + "__old_*"))
+    if not tmps and not olds:
+        return False
+    if len(tmps) > 1 or (not tmps and len(olds) > 1):
+        raise RuntimeError(
+            f"recover_interrupted_upsert: multiple stranded dirs for "
+            f"{base_path}: {tmps + olds} — manual inspection required"
+        )
+    pick = tmps[0] if tmps else olds[0]
+    jvm = spark._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    fs = hadoop_path(pick).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.rename(hadoop_path(pick), hadoop_path(base_path)):
+        raise OSError(f"recover_interrupted_upsert: rename {pick} failed")
+    # the superseded sibling (old table when tmp won) is now garbage
+    for leftover in (olds if tmps else []):
+        fs.delete(hadoop_path(leftover), True)
+    return True

@@ -55,8 +55,15 @@ def foreach_batch_upsert(base_path: str, *, keys: Sequence[str]):
     untouched, replay re-runs cleanly. Between upsert commit and ledger
     write → replay re-merges the same rows; content is unchanged
     because no later batch can have committed in between (foreachBatch
-    is sequential per query). The ledger write is a create-then-rename
-    so a torn file never counts as committed.
+    is sequential per query). Between upsert_parquet's TWO renames →
+    no dir at base_path, but the merged table is stranded at a
+    __tmp_<token> sibling: replay first runs
+    recover_interrupted_upsert, then re-merges. The BOOTSTRAP
+    overwrite therefore requires table-missing AND ledger-empty — with
+    committed batches on record, a missing table is an interrupted
+    swap (recoverable) or external damage (raise), never a license to
+    overwrite history with one batch's rows. The ledger write is a
+    create-then-rename so a torn file never counts as committed.
 
     Use: `stream.writeStream.foreachBatch(foreach_batch_upsert(path,
     keys=[...])).option("checkpointLocation", ...).start()`.
@@ -68,6 +75,16 @@ def foreach_batch_upsert(base_path: str, *, keys: Sequence[str]):
         spark = batch_df.sparkSession
         if int(batch_id) in committed_batches(base_path):
             return  # redelivered batch: already merged, skip
+        if not os.path.isdir(base_path) and committed_batches(base_path):
+            from sparkga1_spark.sources.sinks import recover_interrupted_upsert
+
+            if not recover_interrupted_upsert(spark, base_path):
+                raise RuntimeError(
+                    f"foreach_batch_upsert: ledger records committed "
+                    f"batches but no table exists at {base_path} and no "
+                    "stranded upsert dir is recoverable — refusing to "
+                    "re-bootstrap over committed history"
+                )
         if not os.path.isdir(base_path):
             batch_df.write.mode("overwrite").parquet(base_path)
         else:

@@ -607,3 +607,51 @@ def test_foreach_batch_upsert_exactly_once(
     assert upd.filter(F.col("last_event_id") == -1).count() == 1
     assert upd.count() == len(before)
     assert new_id in committed_batches(table)
+
+
+def test_foreach_batch_upsert_survives_mid_swap_crash(spark, tmp_path):
+    """The review-caught data-loss window: upsert_parquet crashes
+    BETWEEN its two phase-2 renames (base dir gone, merged table
+    stranded at __tmp_<token>); the replayed batch must RECOVER the
+    stranded table and re-merge — never take the bootstrap-overwrite
+    branch and clobber committed history with its own rows."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from sparkga1_spark.streaming.sinks import (
+        committed_batches,
+        foreach_batch_upsert,
+    )
+
+    table = str(tmp_path / "t")
+    sink = foreach_batch_upsert(table, keys=["k"])
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    b1 = spark.createDataFrame([(3, "c")], "k int, v string")
+    sink(b0, 0)
+    sink(b1, 1)
+    assert committed_batches(table) == {0, 1}
+
+    # simulate the mid-swap crash of a THIRD batch's upsert: base
+    # renamed away (phase 2a), merged result stranded at __tmp (phase
+    # 2b never ran), ledger not yet written for batch 2
+    b2_rows = [(2, "B2"), (4, "d")]
+    merged = {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
+    os.rename(table, table + "__old_deadbeef")
+    spark.createDataFrame(sorted(merged), "k int, v string").write.parquet(
+        table + "__tmp_deadbeef"
+    )
+
+    # redelivery of batch 2 must recover + merge, not overwrite
+    sink(spark.createDataFrame(b2_rows, "k int, v string"), 2)
+    got = {tuple(r) for r in spark.read.parquet(table).collect()}
+    assert got == merged, got
+    assert not os.path.isdir(table + "__tmp_deadbeef")
+    assert not os.path.isdir(table + "__old_deadbeef")
+    assert committed_batches(table) == {0, 1, 2}
+
+    # ledger non-empty + table gone + NOTHING recoverable -> refuse
+    shutil.rmtree(table)
+    with _pytest.raises(RuntimeError, match="refusing to re-bootstrap"):
+        sink(spark.createDataFrame([(9, "z")], "k int, v string"), 3)

@@ -79,7 +79,11 @@ def _window_partition_audit(plan: str) -> tuple[int, int]:
 
     def _limit_bounded(lines: list[str], i: int) -> bool:
         for nxt in lines[i + 1 : i + 5]:
-            node = re.sub(r"^[\s+:|-]*", "", nxt)
+            # strip tree glyphs AND whole-stage-codegen '*(n) ' markers
+            # (executedPlan prints codegen'd children as '*(2) Sort …';
+            # without stripping them the exemption silently fails and a
+            # k-row window gets miscounted as a global funnel)
+            node = re.sub(r"^[\s+:|-]*(\*\(\d+\)\s*)?", "", nxt)
             if re.match(r"(TakeOrderedAndProject|GlobalLimit|CollectLimit)", node):
                 return True
             if not re.match(r"(Sort |Project |Filter |ColumnarToRow)", node):
@@ -169,7 +173,7 @@ def main() -> int:
         "round": rnd,
         "sf_dir": sf_dir,
         "n_queries": len(results),
-        "flagged_cartesian_or_scalar_python": flagged,
+        "flagged": flagged,  # cartesian OR scalar-python OR global-window hits
         "totals": {
             k: sum(r.get(k, 0) for r in results.values() if "error" not in r)
             for k in [

@@ -100,8 +100,14 @@ def gen(factor: int, base: str, out: str) -> None:
     )
     # embeddings: N× more vectors in disjoint id spaces. Vector values
     # repeat across replicas — fine for encode/assignment workloads
-    # (each replica quantizes identically); the planted-fixture ids
-    # (vec_id<4 codebook, ≥1M queries) stay in replica 0 only.
+    # (each replica quantizes identically). NOTE the scaling axis for
+    # modulus-planted fixtures (vec_id % 25 twins, % 20 ANN queries):
+    # each replica is a CONSECUTIVE id block, so every residue class —
+    # and therefore a proportional share of planted ids — appears in
+    # EVERY replica regardless of the shift value. Embedding-family
+    # smokes thus measure N× corpus WITH N× queries/planted pairs
+    # (sublinear timings under that axis are conservative); only the
+    # literal vec_id < 4 codebook rows stay replica-0-only.
     em = spark.read.parquet(f"{base}/embeddings.parquet")
     (
         em.crossJoin(reps)
