@@ -5314,7 +5314,9 @@ def x_incremental_dedup_triage(spark, sf_dir):
     ).select("doc_id")
 
     rows = T.shingle_hash_rows(docs)
-    bands = minhash_band_keys(rows, id_col="doc_id")
+    # bands feed BOTH sides of the semi-join below — persist so the
+    # per-shingle keyed-hash signature aggregation runs once
+    bands = tracked_persist(minhash_band_keys(rows, id_col="doc_id"))
     b_bands = bands.filter(F.col("doc_id") % 3 == 0)
     c_bands = bands.filter(F.col("doc_id") % 3 != 0)
     near = (
