@@ -7359,7 +7359,13 @@ def x_rolling_zscore_anomaly(spark, sf_dir):
     the daily sum (order-independent), daily totals downshift to
     centi-units so every windowed moment (n, Σx, Σx²) and the 3σ test
     (nx−s)² > 9(nΣx²−s²) stay in exact BIGINT range — the z² output
-    is the only float, one correctly-rounded division. The rolling
+    is the only float, one correctly-rounded division. BIGINT
+    envelope: with the planted 1e6-unit spikes, Σx² crosses 2^63 at
+    roughly 300× sf0.1 daily volume (measured headroom at the 100×
+    smoke: Σx² ≈ 1.2e19/64th of the limit); past that, widen the
+    moment accumulators to DECIMAL(38,0) — kept BIGINT here because
+    bigint→double conversion is correctly rounded on both engines
+    while wide-decimal→double parity is not guaranteed. The rolling
     window runs over the DAILY table (days × types rows — the raw
     stream aggregates first), so the per-type window never funnels
     raw events through one task at 100 TB."""
