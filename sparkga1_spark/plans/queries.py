@@ -2244,7 +2244,7 @@ FROM (
                           ROWS UNBOUNDED PRECEDING) AS sess
   FROM (
     SELECT *, CASE WHEN pts IS NULL
-                     OR floor(epoch(ts)) - floor(epoch(pts)) > 1800
+                     OR epoch_us(ts) - epoch_us(pts) >= 1800 * 1000000
                    THEN 1 ELSE 0 END AS ni
     FROM (SELECT user_id, event_id, ts, value,
                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts

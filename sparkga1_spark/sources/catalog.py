@@ -40,18 +40,25 @@ def table_names() -> tuple[str, ...]:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing physical quirks.
 
-    events.ts is stored TIMESTAMP(NANOS) — Spark reads it as long nanos
-    (legacy conf, set by apply_runtime_confs); we expose `ts` as a real
-    timestamp truncated to micros (exactly what DuckDB's parquet reader
-    yields) plus the raw `ts_ns` for exact integer arithmetic.
-    """
+    events.ts is stored TIMESTAMP(NANOS). Depending on the Spark
+    version/confs it surfaces as either (a) long nanos (legacy
+    nanosAsLong conf — normalized to a micros timestamp plus the raw
+    `ts_ns`) or (b) timestamp_ntz (Spark 4.x default — cast to a
+    session-zone timestamp, identical instant under the pinned UTC
+    session). Both branches leave `ts` a plain TIMESTAMP, the same
+    type stream_events yields, so batch and stream plans share
+    operators (joins/unions across the two paths type-check)."""
     apply_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", F.expr("timestamp_micros(ts_ns div 1000)"))
-        )
+    if name == "events":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            df = (
+                df.withColumnRenamed("ts", "ts_ns")
+                .withColumn("ts", F.expr("timestamp_micros(ts_ns div 1000)"))
+            )
+        elif dt == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

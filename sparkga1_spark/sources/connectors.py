@@ -19,8 +19,17 @@ def _has_format(spark: SparkSession, fmt: str, probe_path: str = "/nonexistent")
         return True  # pragma: no cover - jars present
     except Exception as e:  # noqa: BLE001
         msg = str(e)
-        # missing PATH → format resolved fine; missing CLASS → no jars
-        return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+        # Polarity: only the MISSING-DATA-SOURCE error means "no jars";
+        # any OTHER failure (missing path, NoSuchTable, catalog errors)
+        # proves the format class resolved and the connector is usable.
+        # Allow-listing path errors instead would misclassify connectors
+        # whose missing-path message differs (e.g. Iceberg's
+        # NoSuchTableException) as absent and block working deployments.
+        return not (
+            "Failed to find data source" in msg
+            or "DATA_SOURCE_NOT_FOUND" in msg
+            or "ClassNotFoundException" in msg
+        )
 
 
 def read_table(spark: SparkSession, fmt: str, path: str) -> DataFrame:

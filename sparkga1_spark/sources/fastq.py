@@ -19,7 +19,7 @@ with record re-assembly.
 from __future__ import annotations
 
 import gzip
-import io
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -41,12 +41,12 @@ def parse_fastq_bytes(data: bytes, chunk: str) -> pd.DataFrame:
     if data[:2] == b"\x1f\x8b":
         try:
             data = gzip.decompress(data)
-        except (OSError, EOFError):
+        except (OSError, EOFError, zlib.error):
             # corrupted chunk: skip it, don't abort the job (the
             # reference's badLines tolerance, SamRegionsParser.scala:71-74
             # — surface counts via observe() on the result if needed)
             return empty
-    lines = io.BytesIO(data).read().decode("utf-8", errors="replace").split("\n")
+    lines = data.decode("utf-8", errors="replace").split("\n")
     out = []
     i, idx = 0, 0
     while i + 3 < len(lines):

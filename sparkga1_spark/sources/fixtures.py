@@ -290,7 +290,7 @@ def documents_longdoc_twins(docs: DataFrame) -> DataFrame:
     (doc_id, text) struct order before joining, so the concatenation
     is deterministic under any partitioning."""
     base = (
-        docs.groupBy((F.col("doc_id") / 8).cast("long").alias("ldoc_id"))
+        docs.groupBy(F.expr("doc_id div 8").alias("ldoc_id"))
         .agg(
             F.array_join(
                 F.transform(

@@ -208,10 +208,22 @@ def recover_interrupted_upsert(spark, base_path: str) -> bool:
     the old dir. Returns True iff a recovery rename was performed.
     Raises if MULTIPLE stranded candidates exist — that means two
     interrupted upserts overlapped, which the sequential-writer
-    contract forbids, and picking one silently could lose data."""
+    contract forbids, and picking one silently could lose data.
+
+    Detection is driver-local (os.path / glob) by design, matching the
+    ledger scope of streaming/sinks.py — a URI-scheme path is rejected
+    there before this can run; the remote port must swap detection to
+    fs.exists/fs.globStatus on the SAME Hadoop FileSystem the renames
+    below use, or recovery would silently find nothing."""
     import glob
     import os
+    import re
 
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", base_path):
+        raise NotImplementedError(
+            "recover_interrupted_upsert detects stranded dirs via the "
+            f"driver-local filesystem; got URI-scheme path {base_path!r}"
+        )
     if os.path.isdir(base_path):
         return False
     stem = base_path.rstrip("/")

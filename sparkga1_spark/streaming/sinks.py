@@ -21,6 +21,25 @@ from collections.abc import Sequence
 from sparkga1_spark.sources.sinks import upsert_parquet
 
 
+def _require_local_path(base_path: str) -> None:
+    """The ledger/existence checks in this module run through the
+    driver's LOCAL filesystem (os.path / os.listdir). On a URI-scheme
+    path (hdfs://, s3a://…) those checks would silently report
+    "missing table, empty ledger" and the bootstrap branch would
+    OVERWRITE an existing remote table — so refuse loudly. Porting to
+    remote storage means re-expressing the ledger with the Hadoop
+    FileSystem API (exists/listStatus/rename), the same handle
+    upsert_parquet already uses for its commit renames."""
+    import re
+
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", base_path):
+        raise NotImplementedError(
+            f"foreach_batch_upsert ledger is driver-local-filesystem "
+            f"only; got URI-scheme path {base_path!r} — port the ledger "
+            "to the Hadoop FileSystem API for remote tables"
+        )
+
+
 def _ledger_dir(base_path: str) -> str:
     return base_path.rstrip("/") + "__batches"
 
@@ -68,6 +87,7 @@ def foreach_batch_upsert(base_path: str, *, keys: Sequence[str]):
     Use: `stream.writeStream.foreachBatch(foreach_batch_upsert(path,
     keys=[...])).option("checkpointLocation", ...).start()`.
     """
+    _require_local_path(base_path)
 
     def apply(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():

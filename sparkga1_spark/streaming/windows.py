@@ -59,14 +59,20 @@ def session_windows(
     """Per-key session windows with a fixed inactivity gap. Batch path
     uses the gaps-and-islands construction (same operator family as the
     genomics interval coalescing, operators/windows.py); the streaming
-    path would use F.session_window — semantics identical."""
+    path uses F.session_window — semantics identical BECAUSE the gap
+    test here is microsecond-precision and half-open (diff >= gap
+    starts a new session), exactly native session_window's
+    [start, start+gap) rule. Whole-second unix_timestamp with a strict
+    '>' would truncate sub-second gaps and merge a 1800.5s-apart pair
+    the native operator splits (and split/merge an exact-1800s pair
+    differently) — a latent divergence on any boundary data."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(by).orderBy("ts", "event_id")
-    prev_ts = F.lag("ts").over(w)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
     new_sess = F.when(
-        prev_ts.isNull()
-        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > gap_s),
+        prev_us.isNull() | (us - prev_us >= F.lit(gap_s) * 1_000_000),
         1,
     ).otherwise(0)
     sess = (

@@ -655,3 +655,45 @@ def test_foreach_batch_upsert_survives_mid_swap_crash(spark, tmp_path):
     shutil.rmtree(table)
     with _pytest.raises(RuntimeError, match="refusing to re-bootstrap"):
         sink(spark.createDataFrame([(9, "z")], "k int, v string"), 3)
+
+
+def test_foreach_batch_upsert_rejects_remote_paths(spark):
+    """The ledger is driver-local-filesystem only: a URI-scheme path
+    must be rejected at sink CONSTRUCTION (review finding: os.path on
+    's3://...' always says 'missing table, empty ledger', so the
+    bootstrap branch would overwrite an existing remote table)."""
+    import pytest as _pytest
+
+    from sparkga1_spark.sources.sinks import recover_interrupted_upsert
+    from sparkga1_spark.streaming.sinks import foreach_batch_upsert
+
+    for bad in ("s3://bucket/table", "hdfs://nn/warehouse/t", "s3a://b/t"):
+        with _pytest.raises(NotImplementedError, match="driver-local"):
+            foreach_batch_upsert(bad, keys=["k"])
+        with _pytest.raises(NotImplementedError, match="driver-local"):
+            recover_interrupted_upsert(spark, bad)
+    # plain local paths still construct fine
+    assert callable(foreach_batch_upsert("/tmp/ok_table", keys=["k"]))
+
+
+def test_fastq_tolerates_corrupt_deflate_body(spark):
+    """zlib.error (valid gzip magic, corrupted deflate stream) must be
+    swallowed like OSError/EOFError — a bit-flipped chunk is skipped,
+    not a job-killer."""
+    import gzip
+
+    from sparkga1_spark.sources.fastq import parse_fastq_bytes
+
+    good = gzip.compress(b"@r1\nACGT\n+\nIIII\n" * 4)
+    mid = 10 + (len(good) - 18) // 2  # inside the deflate body
+    corrupt = good[:mid] + bytes([good[mid] ^ 0xFF]) + good[mid + 1:]
+    import zlib
+
+    try:
+        gzip.decompress(corrupt)
+        raise AssertionError("bit flip did not corrupt the stream")
+    except (zlib.error, EOFError, OSError):
+        pass
+    out = parse_fastq_bytes(corrupt, "c0")
+    assert len(out) == 0
+    assert len(parse_fastq_bytes(good, "c0")) == 4
