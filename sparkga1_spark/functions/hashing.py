@@ -10,9 +10,10 @@ is: md5 hex → first 15 hex digits → integer (60 bits, always positive,
 DuckDB equivalent of stable_hash64(x):
     CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)
 
-Derived keyed hashes (for minhash families) permute the stable hash
-with odd multipliers modulo a Mersenne prime — again exact integer
-arithmetic in both engines (all intermediates < 2^63).
+Derived keyed hashes (for minhash families) re-hash the stable hash
+under a per-permutation seed via md5 — see keyed_hash for why the
+earlier affine mod-Mersenne scheme was abandoned (it never wrapped,
+so it was monotone and degenerate).
 """
 
 from __future__ import annotations
@@ -21,9 +22,6 @@ from pyspark.sql import Column, functions as F
 
 # SQL fragment templates, formatted with a column/expression string.
 STABLE_HASH64_SQL = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
-
-MERSENNE61 = (1 << 61) - 1
-
 
 def stable_hash64(col: Column) -> Column:
     """64-bit-ish (60-bit) stable content hash; see module doc."""

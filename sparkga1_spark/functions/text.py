@@ -31,9 +31,27 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
 
+def normalize_whitespace(text: Column) -> Column:
+    """Collapse ALL whitespace runs (tabs/newlines/CR included) to
+    single spaces — the ingestion-side normalization that makes the
+    `words()` contract hold for raw multi-line text. Map-only JVM
+    regex; run it once at ingest (the PII/quality scrubbers are the
+    same shape), not per tokenizing query."""
+    return F.regexp_replace(text, r"\s+", " ")
+
+
 def words(text: Column) -> Column:
-    """Whitespace tokenization. DuckDB mirror:
-    str_split_regex(trim(x), ' +')"""
+    """SPACE-run tokenization — the engine's token contract is
+    'tokens are separated by runs of spaces', matching the testdata
+    generator's space-normalized single-line corpus and mirrored
+    byte-for-byte in every DuckDB oracle:
+    str_split_regex(trim(x), ' +').
+
+    Deliberately NOT generic whitespace: raw text with tabs/newlines
+    (or empty strings, which yield one empty token here — Spark and
+    DuckDB agree) must pass through normalize_whitespace at ingest
+    first; silently widening the split here would change every
+    tokenize-family result under the value-hash gate."""
     return F.split(F.trim(text), " +")
 
 

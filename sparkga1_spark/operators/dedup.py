@@ -68,6 +68,14 @@ _MINHASH_PERMS: list[tuple[int, int]] = [
 
 
 def minhash_perms(n: int = 8) -> list[tuple[int, int]]:
+    if n > len(_MINHASH_PERMS):
+        # silent truncation would double estimator variance (a caller
+        # believing it has n permutations gets len(_MINHASH_PERMS)) and
+        # crash banding later with an unresolved mh{i} column
+        raise ValueError(
+            f"minhash_perms: {n} permutations requested, "
+            f"{len(_MINHASH_PERMS)} defined — extend _MINHASH_PERMS"
+        )
     return _MINHASH_PERMS[:n]
 
 

@@ -101,28 +101,36 @@ def asof_join(
 
     Scale-first construction (single shuffle, no per-key explosion):
     union both sides tagged, sort within key partitions by
-    (time, side-tag), and carry the latest right values forward with
-    last_value(ignoreNulls) — the classic streaming merge, expressed as
-    a window. Cost is one exchange on `on` + one sort, independent of
-    how many right rows precede each left row (a join+filter+row_number
-    would materialize every candidate pair).
+    (time, side-tag), and carry the latest right ROW forward with
+    last_value(ignoreNulls) over ONE struct of all right columns — the
+    classic streaming merge, expressed as a window. The struct matters
+    for correctness, not style: per-column last(ignorenulls) would skip
+    a NULL inside a newer right row and resurrect a STALE value from an
+    older one (and could stitch different right_cols from different
+    right rows); the struct is null exactly on left rows, so the carry
+    always selects whole rows and row-internal NULLs survive. Cost is
+    one exchange on `on` + one sort, independent of how many right rows
+    precede each left row (a join+filter+row_number would materialize
+    every candidate pair).
     """
     from pyspark.sql import Window
+    from pyspark.sql import types as T
 
     lcols = left.columns
+    r_struct_type = T.StructType([right.schema[c] for c in right_cols])
     l_tagged = left.select(
         F.col(on).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     r_tagged = right.select(
         F.col(on).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
     )
     merged = l_tagged.unionByName(r_tagged)
     # right rows (side 0) sort before left rows at equal timestamps →
@@ -133,13 +141,9 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = merged.select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in right_cols
-        ],
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_asof")
     )
     return carried.filter(F.col("_side") == 1).select(
         *[F.col(c) for c in lcols],
-        *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in right_cols],
+        *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in right_cols],
     )

@@ -109,13 +109,24 @@ def build_ppm(pixels) -> bytes:
 
 
 def parse_ppm(data: bytes):
+    import re
+
     import numpy as np
 
     if data[:2] != b"P6":
         raise ValueError("not a P6 PPM")
-    parts = data[2:].split(None, 3)  # w, h, maxval, raster
-    w, h = int(parts[0]), int(parts[1])
-    raster = parts[3][: w * h * 3]
+    # Parse the header with an anchored match, NOT split(None, 3): the
+    # raster begins after EXACTLY ONE whitespace byte following maxval
+    # (Netpbm spec), and a generic split would also eat leading raster
+    # bytes that happen to be whitespace (0x09/0x0a/0x20 pixel values),
+    # misaligning the frame — or IndexError on an all-whitespace raster.
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)[ \t\r\n]", data)
+    if m is None:
+        raise ValueError("malformed PPM header")
+    w, h = int(m.group(1)), int(m.group(2))
+    raster = data[m.end() : m.end() + w * h * 3]
+    if len(raster) < w * h * 3:
+        raise ValueError("truncated PPM raster")
     return w, h, np.frombuffer(raster, np.uint8).reshape(h, w, 3).copy()
 
 
@@ -132,6 +143,45 @@ def build_wav(samples, *, sample_rate: int) -> bytes:
         + struct.pack("<4sI", b"data", len(pcm))
         + pcm
     )
+
+
+def parse_bmp_meta(data: bytes) -> tuple[int, int]:
+    """BMP header → (width, height) WITHOUT materializing the raster —
+    the metadata path (decode_images) must not pay the full pixel
+    decode just to report dimensions. Still validates that the
+    declared raster fits the buffer, so truncation surfaces as
+    ValueError exactly like the full parse."""
+    import struct
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    bits = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if bits != 24 or comp != 0 or w <= 0 or h == 0:
+        raise ValueError("unsupported BMP variant")
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    if off + stride * h > len(data):
+        raise ValueError("truncated BMP raster")
+    return w, h
+
+
+def parse_ppm_meta(data: bytes) -> tuple[int, int]:
+    """PPM header → (width, height) without touching the raster; same
+    anchored header match and truncation check as parse_ppm."""
+    import re
+
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)[ \t\r\n]", data)
+    if m is None:
+        raise ValueError("malformed PPM header")
+    w, h = int(m.group(1)), int(m.group(2))
+    if m.end() + w * h * 3 > len(data):
+        raise ValueError("truncated PPM raster")
+    return w, h
 
 
 def parse_wav(data: bytes):
@@ -157,6 +207,11 @@ def parse_wav(data: bytes):
         pos += 8 + size + (size % 2)  # chunks are word-aligned
     if rate is None or pcm is None or bits != 16:
         raise ValueError("unsupported WAV variant")
+    if channels <= 0 or rate <= 0:
+        # declared-zero fields would ZeroDivisionError here and in
+        # audio_features' duration math — surface as the documented
+        # malformed-blob ValueError instead of killing the task
+        raise ValueError("malformed WAV fmt: non-positive channels/rate")
     samples = np.frombuffer(pcm, "<i2")
     return len(samples) // channels, rate, samples
 
@@ -327,6 +382,10 @@ def parse_png_meta(data: bytes) -> tuple[int, int, int]:
 
     if data[:8] != PNG_SIG or data[12:16] != b"IHDR":
         raise ValueError("not a PNG")
+    if len(data) < 26:  # sig+len+IHDR+10 header bytes — guard BEFORE
+        # unpack: struct.error is not ValueError and would escape the
+        # malformed-blob fallback and kill the task (the JPEG lesson)
+        raise ValueError("truncated PNG header")
     w, h, depth, color = struct.unpack_from(">IIBB", data, 16)
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
@@ -353,11 +412,18 @@ def parse_png(data: bytes):
     idat = []
     while pos + 8 <= len(data):
         (length,), ctype = struct.unpack_from(">I", data, pos), data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            # declared chunk runs past the buffer — bounds-check before
+            # the body/CRC unpacks so truncation surfaces as ValueError,
+            # never struct.error (which escapes the fallback branches)
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
         body = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
         if zlib.crc32(ctype + body) != crc:
             raise ValueError(f"PNG CRC mismatch in {ctype!r}")
         if ctype == b"IHDR":
+            if len(body) < 13:
+                raise ValueError("truncated PNG IHDR")
             w, h, depth, color, _, _, interlace = struct.unpack(">IIBBBBB", body)
             if depth != 8 or color != 2 or interlace != 0:
                 raise ValueError("unsupported PNG variant")
@@ -368,7 +434,10 @@ def parse_png(data: bytes):
         pos += 12 + length
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError("corrupt PNG IDAT stream") from e
     bpp, stride = 3, w * 3
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG raster size mismatch")
@@ -408,10 +477,10 @@ def _decode_image_meta(data: bytes) -> tuple[int, int, int, str]:
     (DETERMINISTIC FAKE — see module doc; compressed formats only)."""
     try:
         if data[:2] == b"BM":
-            w, h, _ = parse_bmp(data)
+            w, h = parse_bmp_meta(data)  # header-only: no raster build
             return w, h, 3, "BMP"
         if data[:2] == b"P6":
-            w, h, _ = parse_ppm(data)
+            w, h = parse_ppm_meta(data)
             return w, h, 3, "PPM"
         if data[:8] == PNG_SIG:
             w, h, c = parse_png_meta(data)

@@ -155,12 +155,16 @@ def lpt_assign(
         pdf["worker_id"] = out
         return pdf[[*keys, weight_col, "worker_id"]]
 
-    key_schema = ", ".join(f"{k} int" for k in keys)
+    # derive key/weight types from the INPUT schema — hardcoding `int`
+    # would fail Arrow conversion for string keys and overflow 64-bit
+    # keys, silently narrowing the operator's generic signature
+    in_types = {f.name: f.dataType.simpleString() for f in weights.schema}
+    key_schema = ", ".join(f"{k} {in_types[k]}" for k in keys)
     return (
         weights.coalesce(1)
         .groupBy(F.lit(1).alias("_g"))
         .applyInPandas(
             lambda _, pdf: assign(pdf),
-            schema=f"{key_schema}, {weight_col} long, worker_id int",
+            schema=f"{key_schema}, {weight_col} {in_types[weight_col]}, worker_id int",
         )
     )

@@ -65,7 +65,7 @@ def equal_frequency_buckets(
     *,
     partition_cols: Sequence[str],
     order_cols: Sequence[str],
-    n_buckets: int | Column,
+    n_buckets: int,
     out_col: str = "bucket",
 ) -> DataFrame:
     """P2-4: equal-count bucketing of rows within each partition —

@@ -314,3 +314,52 @@ def test_jpeg_decode_dispatch_real_not_fake():
 
     data = build_jpeg(21, 13, b"entropy-bytes")
     assert _decode_image_meta(data) == (21, 13, 3, "JPEG")
+
+
+def test_ppm_whitespace_leading_raster_bytes():
+    """Review-caught: split(None, 3) ate leading whitespace-valued
+    raster bytes (0x09/0x0a/0x20 pixels), misaligning the frame or
+    raising IndexError on an all-whitespace raster. The anchored
+    header match must decode both exactly."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import build_ppm, parse_ppm
+
+    px = np.zeros((2, 2, 3), np.uint8)
+    px[0, 0, 0] = 10  # first raster byte is '\n'
+    w, h, got = parse_ppm(build_ppm(px))
+    assert (w, h) == (2, 2) and (got == px).all()
+
+    allws = np.full((2, 2, 3), 32, np.uint8)  # every byte is ' '
+    w, h, got = parse_ppm(build_ppm(allws))
+    assert (got == allws).all()
+
+
+def test_truncated_containers_raise_valueerror_not_struct_error():
+    """Review-caught: truncated PNG chunks / short IHDR / zero-channel
+    WAV raised struct.error or ZeroDivisionError, escaping the
+    ValueError-only fallback and killing the task. All must raise
+    ValueError now."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkga1_spark.operators.multimodal import (
+        PNG_SIG,
+        build_png,
+        build_wav,
+        parse_png,
+        parse_png_meta,
+        parse_wav,
+    )
+
+    with _pytest.raises(ValueError):
+        parse_png_meta(PNG_SIG + b"\x00\x00\x00\x0dIHDR")  # 16 bytes
+    good = build_png(np.zeros((2, 2, 3), np.uint8))
+    with _pytest.raises(ValueError):
+        parse_png(good[: len(good) // 2])  # cut mid-IDAT chunk
+    wav = bytearray(build_wav(np.zeros(4, np.int16), sample_rate=8000))
+    struct.pack_into("<H", wav, 22, 0)  # declare channels = 0
+    with _pytest.raises(ValueError):
+        parse_wav(bytes(wav))

@@ -764,3 +764,28 @@ def test_rfm_axis_buckets_are_balanced(spark, sf_dir):
         assert set(sizes) == {1, 2, 3, 4}
         assert max(sizes.values()) - min(sizes.values()) <= 1, (axis, sizes)
         assert sum(sizes.values()) == n
+
+
+def test_asof_join_carries_whole_rows_not_stale_values(spark):
+    """Review-caught: per-column last(ignorenulls) would resurrect a
+    STALE value when the most recent right row holds a NULL (and could
+    stitch different right columns from different rows). The struct
+    carry must return the matched row's values verbatim — NULLs
+    included — and all columns from the SAME row."""
+    from sparkga1_spark.operators.joins import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 1, 5, "old"), (1, 2, None, "new")],
+        "k int, t int, x int, tag string",
+    )
+    left = spark.createDataFrame([(1, 3), (1, 1), (1, 0)], "k int, t int")
+    got = {
+        r["t"]: (r["asof_x"], r["asof_tag"])
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="t",
+            right_cols=["x", "tag"],
+        ).collect()
+    }
+    assert got[3] == (None, "new")  # newest row's NULL survives
+    assert got[1] == (5, "old")     # inclusive <= match
+    assert got[0] == (None, None)   # nothing at or before t=0
