@@ -789,3 +789,17 @@ def test_asof_join_carries_whole_rows_not_stale_values(spark):
     assert got[3] == (None, "new")  # newest row's NULL survives
     assert got[1] == (5, "old")     # inclusive <= match
     assert got[0] == (None, None)   # nothing at or before t=0
+
+
+def test_normalize_whitespace_feeds_words_contract(spark):
+    """Raw multi-line text must tokenize correctly after the ingest
+    normalization step (words() itself is space-run-only by contract)."""
+    from sparkga1_spark.functions.text import normalize_whitespace, word_count, words
+
+    df = spark.createDataFrame([("a\t b\nc  d\r\ne",)], "text string")
+    out = df.select(
+        words(normalize_whitespace(F.col("text"))).alias("w"),
+        word_count(normalize_whitespace(F.col("text"))).alias("n"),
+    ).collect()[0]
+    assert out["w"] == ["a", "b", "c", "d", "e"]
+    assert out["n"] == 5
