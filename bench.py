@@ -79,7 +79,11 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    except ValueError:
+        sf = None  # custom dirs (/tmp/scale10x ...): metadata only,
+        # never a reason to refuse to benchmark
 
     from sparkga1_spark.plans.registry import all_queries
     from sparkga1_spark.session import get_spark
@@ -107,14 +111,22 @@ def main() -> None:
     # session's own noise floor.
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         runs = []
-        for _ in range(3):
-            release_tracked()  # each run re-materializes its own caches
-            t0 = time.time()
-            n = queries[name](spark, sf_dir).count()
-            runs.append(time.time() - t0)
+        try:
+            for _ in range(3):
+                release_tracked()  # each run re-materializes its own caches
+                t0 = time.time()
+                n = queries[name](spark, sf_dir).count()
+                runs.append(time.time() - t0)
+        except Exception as e:  # noqa: BLE001
+            # one broken query must not discard the whole bench after
+            # the long warm-up — record it and keep timing the rest
+            errors[name] = f"{type(e).__name__}: {e}"
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         med = round(sorted(runs)[1], 3)
         times[name] = med
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
@@ -134,6 +146,7 @@ def main() -> None:
                 "spread": spread,
                 "runs_per_query": 3,
                 "sf": sf,
+                **({"errors": errors} if errors else {}),
             }
         )
     )

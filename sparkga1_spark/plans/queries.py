@@ -2196,9 +2196,9 @@ def _events(spark, sf_dir):
 
 @query(
     "s_tumbling_counts",
-    oracle="""
+    oracle=f"""
 SELECT (e - e % 300) AS win_start, event_type, count(*) AS n,
-       round(sum(value), 2) AS sum_value
+       {dsum_sql('value')} AS sum_value
 FROM (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e, event_type, value FROM events)
 GROUP BY 1, 2
 """,
@@ -2213,8 +2213,8 @@ def s_tumbling_counts(spark, sf_dir):
 
 @query(
     "s_sliding_avg",
-    oracle="""
-SELECT win_start, count(*) AS n, round(avg(value), 6) AS avg_value
+    oracle=f"""
+SELECT win_start, count(*) AS n, {davg_sql('value')} AS avg_value
 FROM (
   SELECT (e - e % 300) - k AS win_start, value
   FROM (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e, value FROM events),
@@ -2233,12 +2233,12 @@ def s_sliding_avg(spark, sf_dir):
 
 @query(
     "s_session_windows",
-    oracle="""
+    oracle=f"""
 SELECT user_id,
        CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
        CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       {dsum_sql('value')} AS sum_value
 FROM (
   SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS sess

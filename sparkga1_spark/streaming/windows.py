@@ -11,7 +11,7 @@ is how the batch oracles validate the streaming semantics.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from sparkga1_spark.functions.numeric import hround
+from sparkga1_spark.functions.numeric import davg, dsum, hround
 
 
 def tumbling_counts(
@@ -24,7 +24,7 @@ def tumbling_counts(
         df = df.withWatermark("ts", watermark)
     return (
         df.groupBy(F.window("ts", f"{width_s} seconds"), "event_type")
-        .agg(F.count("*").alias("n"), hround(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
         .select(
             F.unix_timestamp(F.col("window.start")).alias("win_start"),
             "event_type",
@@ -44,7 +44,7 @@ def sliding_avg(
         df = df.withWatermark("ts", watermark)
     return (
         df.groupBy(F.window("ts", f"{width_s} seconds", f"{slide_s} seconds"))
-        .agg(F.count("*").alias("n"), hround(F.avg("value"), 6).alias("avg_value"))
+        .agg(F.count("*").alias("n"), davg("value").alias("avg_value"))
         .select(
             F.unix_timestamp(F.col("window.start")).alias("win_start"),
             "n",
@@ -88,5 +88,5 @@ def session_windows(
         F.unix_timestamp(F.min("ts")).alias("session_start"),
         F.unix_timestamp(F.max("ts")).alias("session_end"),
         F.count("*").alias("n_events"),
-        hround(F.sum("value"), 2).alias("sum_value"),
+        dsum("value").alias("sum_value"),
     ).drop("_sess")

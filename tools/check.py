@@ -89,9 +89,11 @@ def main() -> int:
     failed = []
     from sparkga1_spark.operators.cache import release_tracked
 
+    n_run = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         release_tracked()  # previous query's action is done; free its caches
         try:
@@ -108,7 +110,12 @@ def main() -> int:
         if status == "FAIL":
             failed.append(name)
         print(f"[{status}] {name:40s} {dt:6.2f}s  {verdict[:300]}")
-    print(f"\n{len(queries) - len(failed)}/{len(queries) if not only else len(only)} passed")
+    print(f"\n{n_run - len(failed)}/{n_run} passed")
+    if only and n_run < len(only):
+        missing = sorted(only - set(queries))
+        print(f"WARNING: {len(only) - n_run} requested names not in the "
+              f"registry: {missing}")
+        return 1
     return 1 if failed else 0
 
 

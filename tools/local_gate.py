@@ -24,6 +24,16 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
+def _sf_of(sf_dir: str):
+    """Best-effort scale factor from the dir name — metadata only, must
+    never crash AFTER a full gate run (custom dirs like /tmp/scale10x
+    would otherwise lose every verdict to a ValueError)."""
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return None
+
+
 def main() -> int:
     rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
@@ -70,7 +80,7 @@ def main() -> int:
 
     artifact = {
         "round": rnd,
-        "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
+        "sf": _sf_of(sf_dir),
         "comparator": "tools/check.py full-precision repr (driver-strength)",
         "session": "bare local[8] driver emulation (.claude/skills/verify/SKILL.md recipe)",
         "entry_rows": entry_rows,

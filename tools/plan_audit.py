@@ -18,6 +18,13 @@ per-query guards in tests/test_plans.py assert piecemeal:
 The companion registry-wide guarantee lives in
 tests/test_plans.py::test_registry_wide_plan_hygiene.
 
+Known exception to "build plans without collecting":
+x_curation_write_audit materializes its staged write at BUILD time (the
+query's whole point is gating the write path), so each audit run pays
+that one pipeline execution and the recorded plan covers the read-back
+aggregate; the write leg's shape is guarded by its own pytest
+(test_curation_write_partitions_and_clustering).
+
 Usage: python tools/plan_audit.py <round> [sf_dir] [out.json]
 """
 
@@ -151,7 +158,7 @@ def main() -> int:
     from sparkga1_spark.session import get_spark
 
     spark = get_spark("plan-audit")
-    results, flagged = {}, []
+    results, flagged, errors = {}, [], []
     for name, fn in all_queries().items():
         release_tracked()
         try:
@@ -160,6 +167,7 @@ def main() -> int:
             row = audit_plan(plan)
         except Exception as e:  # noqa: BLE001
             row = {"error": f"{type(e).__name__}: {e}"}
+            errors.append(name)
         results[name] = row
         if (
             row.get("cartesian")
@@ -174,6 +182,8 @@ def main() -> int:
         "sf_dir": sf_dir,
         "n_queries": len(results),
         "flagged": flagged,  # cartesian OR scalar-python OR global-window hits
+        "errors": errors,  # queries whose PLAN BUILD raised — a broken
+        # query must fail the audit, not shrink its denominator
         "totals": {
             k: sum(r.get(k, 0) for r in results.values() if "error" not in r)
             for k in [
@@ -190,8 +200,11 @@ def main() -> int:
     }
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=1)
-    print(f"{len(results)} plans audited, flagged={flagged} -> {out_path}")
-    return 1 if flagged else 0
+    print(
+        f"{len(results)} plans audited, flagged={flagged}, "
+        f"errors={errors} -> {out_path}"
+    )
+    return 1 if flagged or errors else 0
 
 
 if __name__ == "__main__":
