@@ -300,11 +300,15 @@ def connected_components(
         .distinct()
     )
     edges = tracked_persist(edges)
+    # LAZY checkpoints throughout (r5 VERDICT #4): the per-round
+    # convergence aggregate is the materializing action, so each round
+    # costs ONE driver job, not two (eager checkpoint + probe) — at
+    # sf0.1 that halved the CC stage's share of x_dedup_keep_canonical.
     labels = (
         edges.select(F.col("s").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("comp")).first()[0]
     if prev_sum is None:  # no pairs at all — empty component table
@@ -332,7 +336,7 @@ def connected_components(
                     F.col("comp"), F.coalesce("_jcomp", "comp")
                 ).alias("comp"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("comp")).first()[0]
         if cur_sum == prev_sum:
@@ -449,6 +453,34 @@ def prefix_filter_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    return _verify_candidate_pairs(
+        rows,
+        cand,
+        sizes=sizes,
+        id_col=id_col,
+        hash_col=hash_col,
+        threshold_num=num,
+        threshold_den=den,
+    )
+
+
+def _verify_candidate_pairs(
+    rows: DataFrame,
+    cand: DataFrame,
+    *,
+    sizes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    threshold_num: int,
+    threshold_den: int,
+) -> DataFrame:
+    """Exact verification of candidate PAIRS (id_a < id_b): true
+    intersection count via two output-bounded joins back to the
+    element rows, then the pure-integer keep predicate
+    den*inter >= num*union. Shared by the prefix-filter route (whose
+    candidates are provably complete) and the LSH+refine route (whose
+    candidates trade bounded recall for tau-independent cost)."""
+    num, den = int(threshold_num), int(threshold_den)
     ea = cand.join(
         rows.select(F.col(id_col).alias("id_a"), hash_col), "id_a"
     )
@@ -478,4 +510,62 @@ def prefix_filter_jaccard_pairs(
                 "jaccard"
             ),
         )
+    )
+
+
+def set_similarity_pairs(
+    rows: DataFrame,
+    *,
+    id_col: str,
+    hash_col: str = "h",
+    threshold_num: int,
+    threshold_den: int,
+    route: str | None = None,
+) -> DataFrame:
+    """Routed set-similarity join (r5 VERDICT #3): pick the execution
+    strategy by threshold.
+
+    - `prefix` (exact, zero false negatives): prefix-filtered
+      AllPairs join. Its verification cost tracks Sum_h df(prefix-h)^2
+      over PREFIX elements only; the prefix length is
+      |x| - ceil(t|x|) + 1, so cost FALLS as tau rises (at tau=0.6 a
+      30-element set exposes 13 rarest elements; at tau=0.2 it exposes
+      25 — nearly the whole set, and the prune stops paying).
+    - `lsh_refine` (tau-independent cost, bounded recall): MinHash
+      8-perm / 4x2-band candidates, then the SAME exact integer
+      verification — no false positives ever; false-negative rate is
+      the published banding curve 1-(1-s^2)^4 (s=0.95 pair: 2e-4;
+      s=0.6 pair: 0.17), the right trade BELOW the high-tau regime
+      where the prefix join's candidate volume explodes.
+
+    `route=None` applies the measured decision rule: prefix for
+    tau >= 1/2, LSH+refine below (PLANS.md round-6 envelope notes:
+    the 10x/100x smoke cost of the prefix route is df-distribution-
+    dependent and rises steeply as tau drops, while LSH+refine holds
+    the banding join's near-linear profile at any tau)."""
+    if route is None:
+        route = (
+            "prefix" if 2 * threshold_num >= threshold_den else "lsh_refine"
+        )
+    if route == "prefix":
+        return prefix_filter_jaccard_pairs(
+            rows,
+            id_col=id_col,
+            hash_col=hash_col,
+            threshold_num=threshold_num,
+            threshold_den=threshold_den,
+        )
+    if route != "lsh_refine":
+        raise ValueError(f"unknown set-similarity route: {route}")
+    rows = tracked_persist(rows)
+    sizes = rows.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    cand = minhash_lsh_pairs(rows, id_col=id_col, hash_col=hash_col)
+    return _verify_candidate_pairs(
+        rows,
+        cand,
+        sizes=sizes,
+        id_col=id_col,
+        hash_col=hash_col,
+        threshold_num=threshold_num,
+        threshold_den=threshold_den,
     )

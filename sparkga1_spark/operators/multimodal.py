@@ -485,6 +485,9 @@ def _decode_image_meta(data: bytes) -> tuple[int, int, int, str]:
         if data[:8] == PNG_SIG:
             w, h, c = parse_png_meta(data)
             return w, h, c, "PNG"
+        if data[:4] == QOI_MAGIC:
+            w, h, c = parse_qoi_meta(data)
+            return w, h, c, "QOI"
         if data[:2] == b"\xff\xd8":
             w, h, c = parse_jpeg_meta(data)  # real SOFn marker walk
             return w, h, c, "JPEG"
@@ -601,6 +604,8 @@ def _decode_image_pixels(data: bytes):
             return parse_ppm(data)[2]
         if data[:8] == PNG_SIG:
             return parse_png(data)[2]
+        if data[:4] == QOI_MAGIC:
+            return parse_qoi(data)[2]
     except ValueError:
         pass
     try:  # pragma: no cover - PIL absent in this environment
@@ -927,6 +932,163 @@ def plant_y4m_payloads(df: DataFrame) -> DataFrame:
                     for f in range(n)
                 ]
                 out.append((doc_id, build_y4m(frames)))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return df.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+# --------------------------------------------------------------------------
+# QOI ("Quite OK Image", qoiformat.org — public-domain spec) — a REAL
+# compressed format decodable with zero codec libraries (r5 VERDICT #5):
+# byte-oriented ops (RUN / INDEX / DIFF / LUMA / RGB) over a rolling
+# 64-entry color index. Moves one more compressed format from the md5
+# FAKE branch to real pixels; the per-pixel loop matches the parse_png
+# precedent (fixture images are tiny; bulk rasters would route through
+# a codec library).
+# --------------------------------------------------------------------------
+
+QOI_MAGIC = b"qoif"
+_QOI_END = b"\x00" * 7 + b"\x01"
+
+
+def _qoi_hash(r: int, g: int, b: int, a: int) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def build_qoi(pixels) -> bytes:
+    """HxWx3 uint8 RGB array → QOI bytes (channels=3, sRGB-linear
+    colorspace byte 0). Emits every op the spec defines when the data
+    allows it: maximal runs (≤62), index hits, 2-bit DIFF, LUMA, and
+    the RGB literal fallback — so a decoder bug in any op breaks the
+    closed-form pixel sums the oracle states."""
+    import struct
+
+    h, w, c = pixels.shape
+    assert c == 3, "build_qoi writes 24-bit RGB"
+    out = [QOI_MAGIC, struct.pack(">IIBB", w, h, 3, 0)]
+    index = [(0, 0, 0, 255)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    flat = pixels.reshape(-1, 3).tolist()
+    for r, g, b in flat:
+        px = (r, g, b, 255)
+        if px == prev:
+            run += 1
+            if run == 62:
+                out.append(bytes([0xC0 | (run - 1)]))
+                run = 0
+            continue
+        if run:
+            out.append(bytes([0xC0 | (run - 1)]))
+            run = 0
+        k = _qoi_hash(r, g, b, 255)
+        if index[k] == px:
+            out.append(bytes([k]))
+        else:
+            index[k] = px
+            dr = (r - prev[0] + 128) % 256 - 128
+            dg = (g - prev[1] + 128) % 256 - 128
+            db = (b - prev[2] + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(bytes([0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2)]))
+            elif (
+                -32 <= dg <= 31
+                and -8 <= dr - dg <= 7
+                and -8 <= db - dg <= 7
+            ):
+                out.append(
+                    bytes([0x80 | (dg + 32), ((dr - dg + 8) << 4) | (db - dg + 8)])
+                )
+            else:
+                out.append(bytes([0xFE, r, g, b]))
+        prev = px
+    if run:
+        out.append(bytes([0xC0 | (run - 1)]))
+    out.append(_QOI_END)
+    return b"".join(out)
+
+
+def parse_qoi_meta(data: bytes) -> tuple[int, int, int]:
+    """QOI header only → (width, height, channels); no raster decode."""
+    import struct
+
+    if len(data) < 14 or data[:4] != QOI_MAGIC:
+        raise ValueError("not a QOI")
+    w, h, channels, colorspace = struct.unpack_from(">IIBB", data, 4)
+    if channels not in (3, 4) or colorspace not in (0, 1) or w == 0 or h == 0:
+        raise ValueError("unsupported QOI variant")
+    return w, h, channels
+
+
+def parse_qoi(data: bytes):
+    """QOI bytes → (width, height, HxWxC uint8 array). Full real
+    decode: rolling 64-entry index, wrap-around DIFF/LUMA deltas,
+    RUN expansion, RGB/RGBA literals, end-marker check."""
+    import numpy as np
+
+    w, h, channels = parse_qoi_meta(data)
+    n = w * h
+    out = np.zeros((n, channels), np.uint8)
+    index = [(0, 0, 0, 255)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    pos, i = 14, 0
+    end = len(data) - 8
+    while i < n:
+        if pos >= end:
+            raise ValueError("truncated QOI stream")
+        tag = data[pos]
+        pos += 1
+        if tag == 0xFE:  # RGB literal
+            r, g, b = data[pos], data[pos + 1], data[pos + 2]
+            pos += 3
+        elif tag == 0xFF:  # RGBA literal
+            r, g, b, a = data[pos], data[pos + 1], data[pos + 2], data[pos + 3]
+            pos += 4
+        elif tag >> 6 == 0:  # INDEX
+            r, g, b, a = index[tag]
+        elif tag >> 6 == 1:  # DIFF
+            r = (r + ((tag >> 4) & 3) - 2) % 256
+            g = (g + ((tag >> 2) & 3) - 2) % 256
+            b = (b + (tag & 3) - 2) % 256
+        elif tag >> 6 == 2:  # LUMA
+            dg = (tag & 0x3F) - 32
+            nxt = data[pos]
+            pos += 1
+            r = (r + dg + ((nxt >> 4) & 0x0F) - 8) % 256
+            g = (g + dg) % 256
+            b = (b + dg + (nxt & 0x0F) - 8) % 256
+        else:  # RUN (1..62; 63/64 are the RGB/RGBA tags above)
+            run = (tag & 0x3F) + 1
+            px = (r, g, b, a)[:channels]
+            out[i : i + run] = px
+            i += run
+            continue
+        index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
+        out[i] = (r, g, b, a)[:channels]
+        i += 1
+    if data[end:] != _QOI_END:
+        raise ValueError("missing QOI end marker")
+    return w, h, out.reshape(h, w, channels).copy()
+
+
+def plant_qoi_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(doc_id, text) → (doc_id, payload): a REAL QOI image with
+    closed-form dimensions (w = id%40+4, h = id%28+4) whose pixels tile
+    the UTF-8 bytes of `text` — natural text bytes produce runs
+    (repeated spaces), index hits (recurring letters), small deltas
+    (DIFF/LUMA) and literals, so every QOI op is exercised and the
+    oracle's closed-form px_sum pins the whole encode→decode loop."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text_val in zip(pdf["doc_id"], pdf[text_col]):
+                d = int(doc_id)
+                w, h = d % 40 + 4, d % 28 + 4
+                raw = text_val.encode("utf-8") or b"\0"
+                px = np.resize(np.frombuffer(raw, np.uint8), (h, w, 3))
+                out.append((doc_id, build_qoi(px)))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
     return df.mapInPandas(run, schema="doc_id long, payload binary")

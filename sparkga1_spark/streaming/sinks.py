@@ -16,9 +16,32 @@ as commit files next to the table.
 from __future__ import annotations
 
 import os
+import threading
+from collections import defaultdict
 from collections.abc import Sequence
 
 from sparkga1_spark.sources.sinks import upsert_parquet
+
+# Per-table serialization for MULTI-WRITER use (r5 VERDICT #7): two
+# streaming queries in one driver targeting the same keyed table must
+# not interleave inside upsert_parquet's two-rename swap (the race
+# window where both read the same base table and the second commit
+# silently drops the first's merge). foreachBatch is sequential only
+# WITHIN a query; across queries the applies run on different threads,
+# so the critical section (read-merge-swap + ledger write) takes the
+# table's lock. Scope: one driver process — the Structured Streaming
+# deployment shape, where every query writing a table lives in the
+# same driver; concurrent writers from SEPARATE drivers are out of
+# scope for the local-filesystem ledger (same honesty line as
+# _require_local_path) and need a lakehouse MERGE with optimistic
+# concurrency instead.
+_TABLE_LOCKS: defaultdict[str, threading.Lock] = defaultdict(threading.Lock)
+_TABLE_LOCKS_GUARD = threading.Lock()
+
+
+def _table_lock(base_path: str) -> threading.Lock:
+    with _TABLE_LOCKS_GUARD:
+        return _TABLE_LOCKS[os.path.abspath(base_path)]
 
 
 def _require_local_path(base_path: str) -> None:
@@ -44,19 +67,44 @@ def _ledger_dir(base_path: str) -> str:
     return base_path.rstrip("/") + "__batches"
 
 
-def committed_batches(base_path: str) -> set[int]:
-    """Batch ids already merged into the table at base_path."""
+def committed_batches(base_path: str, writer_id: str = "default") -> set[int]:
+    """Batch ids already merged into the table at base_path BY THIS
+    WRITER. Ledger entries are `<writer_id>.<batch_id>`; bare-digit
+    names are legacy single-writer entries and belong to `default`.
+    Writer-scoped batch ids are the multi-writer fix: every streaming
+    query numbers its batches from 0, so a ledger keyed on batch_id
+    alone would make writer B's batch 0 look like a replay of writer
+    A's batch 0 and SILENTLY DROP it (the corruption
+    test_foreach_batch_two_writers_no_silent_drop pins)."""
     d = _ledger_dir(base_path)
     if not os.path.isdir(d):
         return set()
-    return {
-        int(name)
-        for name in os.listdir(d)
-        if name.isdigit() and os.path.isfile(os.path.join(d, name))
-    }
+    out = set()
+    for name in os.listdir(d):
+        if not os.path.isfile(os.path.join(d, name)):
+            continue
+        if name.isdigit():
+            if writer_id == "default":
+                out.add(int(name))
+        else:
+            w, _, b = name.rpartition(".")
+            if w == writer_id and b.isdigit():
+                out.add(int(b))
+    return out
 
 
-def foreach_batch_upsert(base_path: str, *, keys: Sequence[str]):
+def _any_committed_batches(base_path: str) -> bool:
+    """True if ANY writer has committed — the bootstrap guard must
+    consider the whole ledger, not one writer's slice."""
+    d = _ledger_dir(base_path)
+    return os.path.isdir(d) and any(
+        os.path.isfile(os.path.join(d, n)) for n in os.listdir(d)
+    )
+
+
+def foreach_batch_upsert(
+    base_path: str, *, keys: Sequence[str], writer_id: str = "default"
+):
     """Build a foreachBatch function that MERGEs each micro-batch into
     the parquet table at `base_path`, exactly-once under replay:
 
@@ -84,8 +132,21 @@ def foreach_batch_upsert(base_path: str, *, keys: Sequence[str]):
     overwrite history with one batch's rows. The ledger write is a
     create-then-rename so a torn file never counts as committed.
 
+    MULTI-WRITER (r5 VERDICT #7): give each streaming query writing
+    the same table a distinct `writer_id`. Ledger entries are scoped
+    `<writer_id>.<batch_id>` (each query numbers batches from 0 —
+    unscoped ids would misread a second writer's batch 0 as a replay
+    and silently drop it), and the whole read-merge-swap + ledger
+    write runs under the table's in-process lock, so interleaved
+    queries serialize per batch: content converges to keyed
+    last-MERGE-wins, each writer's replays skip via its own ledger
+    slice, and no merge is lost to the swap race. Two queries sharing
+    one writer_id are NOT detected — that is checkpoint misuse, same
+    as pointing two Spark queries at one checkpoint dir.
+
     Use: `stream.writeStream.foreachBatch(foreach_batch_upsert(path,
-    keys=[...])).option("checkpointLocation", ...).start()`.
+    keys=[...], writer_id="q1")).option("checkpointLocation", ...)
+    .start()`.
     """
     _require_local_path(base_path)
 
@@ -93,27 +154,37 @@ def foreach_batch_upsert(base_path: str, *, keys: Sequence[str]):
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        if int(batch_id) in committed_batches(base_path):
-            return  # redelivered batch: already merged, skip
-        if not os.path.isdir(base_path) and committed_batches(base_path):
-            from sparkga1_spark.sources.sinks import recover_interrupted_upsert
-
-            if not recover_interrupted_upsert(spark, base_path):
-                raise RuntimeError(
-                    f"foreach_batch_upsert: ledger records committed "
-                    f"batches but no table exists at {base_path} and no "
-                    "stranded upsert dir is recoverable — refusing to "
-                    "re-bootstrap over committed history"
+        with _table_lock(base_path):
+            if int(batch_id) in committed_batches(base_path, writer_id):
+                return  # redelivered batch: already merged, skip
+            if not os.path.isdir(base_path) and _any_committed_batches(
+                base_path
+            ):
+                from sparkga1_spark.sources.sinks import (
+                    recover_interrupted_upsert,
                 )
-        if not os.path.isdir(base_path):
-            batch_df.write.mode("overwrite").parquet(base_path)
-        else:
-            upsert_parquet(spark, base_path, batch_df, keys=list(keys))
-        d = _ledger_dir(base_path)
-        os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, f".{batch_id}.tmp")
-        with open(tmp, "w"):
-            pass
-        os.replace(tmp, os.path.join(d, str(int(batch_id))))
+
+                if not recover_interrupted_upsert(spark, base_path):
+                    raise RuntimeError(
+                        f"foreach_batch_upsert: ledger records committed "
+                        f"batches but no table exists at {base_path} and no "
+                        "stranded upsert dir is recoverable — refusing to "
+                        "re-bootstrap over committed history"
+                    )
+            if not os.path.isdir(base_path):
+                batch_df.write.mode("overwrite").parquet(base_path)
+            else:
+                upsert_parquet(spark, base_path, batch_df, keys=list(keys))
+            d = _ledger_dir(base_path)
+            os.makedirs(d, exist_ok=True)
+            entry = (
+                str(int(batch_id))
+                if writer_id == "default"
+                else f"{writer_id}.{int(batch_id)}"
+            )
+            tmp = os.path.join(d, f".{entry}.tmp")
+            with open(tmp, "w"):
+                pass
+            os.replace(tmp, os.path.join(d, entry))
 
     return apply

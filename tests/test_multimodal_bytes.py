@@ -363,3 +363,64 @@ def test_truncated_containers_raise_valueerror_not_struct_error():
     struct.pack_into("<H", wav, 22, 0)  # declare channels = 0
     with _pytest.raises(ValueError):
         parse_wav(bytes(wav))
+
+
+def test_qoi_roundtrip_all_ops():
+    """build_qoi → parse_qoi must reconstruct pixels exactly across
+    inputs engineered to hit every spec op — >62-pixel runs (run
+    flush), recurring colors (INDEX), ±1 gradients (DIFF), mid-size
+    deltas (LUMA), and random literals (RGB) — plus 1-pixel edge
+    shapes. Truncated streams and a broken end marker must raise
+    ValueError. Pure public-domain-spec math (qoiformat.org)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkga1_spark.operators.multimodal import (
+        build_qoi,
+        parse_qoi,
+        parse_qoi_meta,
+    )
+
+    rng = np.random.RandomState(20260814)
+    cases = [
+        np.zeros((1, 1, 3), np.uint8),
+        np.full((9, 11, 3), 77, np.uint8),  # one long run
+        rng.randint(0, 256, (17, 23, 3)).astype(np.uint8),  # literals
+        (rng.randint(0, 3, (16, 16, 3)).cumsum(axis=1) % 256).astype(np.uint8),
+        np.resize(np.frombuffer(b"text bytes tile  common", np.uint8), (28, 40, 3)),
+        np.tile(np.array([[10, 20, 30], [12, 22, 32]], np.uint8), (50, 1, 1)),
+    ]
+    for px in cases:
+        data = build_qoi(px)
+        w, h, out = parse_qoi(data)
+        assert (w, h) == (px.shape[1], px.shape[0])
+        assert (out == px).all()
+        assert parse_qoi_meta(data) == (w, h, 3)
+
+    good = build_qoi(cases[2])
+    with _pytest.raises(ValueError):
+        parse_qoi(good[: len(good) // 2])
+    with _pytest.raises(ValueError):
+        parse_qoi(good[:-1] + b"\x02")  # bad end marker
+    with _pytest.raises(ValueError):
+        parse_qoi_meta(b"qoif" + b"\x00" * 4)  # truncated header
+
+
+def test_qoi_decode_dispatch_real_not_fake():
+    """_decode_image_meta / _decode_image_pixels must route QOI
+    payloads through the real parser (format 'QOI', exact pixels), not
+    the md5 FAKE branch — including non-ASCII payload bytes (the
+    bytes-safety axis the ASCII gate fixture cannot cover)."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import (
+        _decode_image_meta,
+        _decode_image_pixels,
+        build_qoi,
+    )
+
+    raw = "héllo wörld 日本語 🚀".encode("utf-8")
+    px = np.resize(np.frombuffer(raw, np.uint8), (6, 7, 3))
+    data = build_qoi(px)
+    assert _decode_image_meta(data) == (7, 6, 3, "QOI")
+    assert (_decode_image_pixels(data) == px).all()

@@ -575,34 +575,42 @@ def test_pareto_frontier_matches_bruteforce(spark, sf_dir):
     assert got == want
 
 
+def _host_undirected_edge_set(spark, sf_dir):
+    """Collected undirected edge set of the canonical SF-SCALED host
+    graph — the same derivation the three graph queries share."""
+    from pyspark.sql import functions as F
+    from sparkga1_spark.operators.graph import undirected_edges
+    from sparkga1_spark.plans.queries import _host_graph_edges
+
+    eall = _host_graph_edges(spark, sf_dir)
+    return {
+        (r["a"], r["b"])
+        for r in undirected_edges(eall, F.col("src"), F.col("dst")).collect()
+    }
+
+
 def test_triangle_counts_match_bruteforce(spark, sf_dir):
     """Degree-oriented wedge closure must count exactly the triangles
-    the naive a<b<c triple loop finds, per node."""
-    from itertools import combinations
-
-    from pyspark.sql import functions as F
+    a per-edge common-neighbor intersection finds, per node (the
+    adjacency-set form — the a<b<c triple loop is cubic in the ~600
+    nodes the sf-scaled graph has at sf0.001)."""
     from sparkga1_spark.plans.registry import get
-    from sparkga1_spark.sources.catalog import load_table
 
-    li = load_table(spark, sf_dir, "lineitem")
-    p, s = F.col("l_partkey") % 50, F.col("l_suppkey") % 50
-    edges = {
-        (r["a"], r["b"])
-        for r in li.filter(p != s)
-        .select(F.least(p, s).alias("a"), F.greatest(p, s).alias("b"))
-        .distinct()
-        .collect()
-    }
-    nodes = sorted({v for e in edges for v in e})
-    tri = {v: 0 for v in nodes}
-    for x, y, z in combinations(nodes, 3):
-        if (x, y) in edges and (y, z) in edges and (x, z) in edges:
-            tri[x] += 1
-            tri[y] += 1
-            tri[z] += 1
+    edges = _host_undirected_edge_set(spark, sf_dir)
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {v: 0 for v in adj}
+    for a, b in edges:  # each triangle counted once via its a<b edge
+        for c in adj[a] & adj[b]:
+            if c > b:  # a < b < c ordering
+                tri[a] += 1
+                tri[b] += 1
+                tri[c] += 1
     fn, _ = get("x_graph_triangles")
     got = {r["node"]: r["n_triangles"] for r in fn(spark, sf_dir).collect()}
-    assert got == {v: n for v, n in tri.items()}
+    assert got == tri
 
 
 def test_rolling_zscore_flags_planted_spikes(spark, sf_dir):
@@ -674,21 +682,12 @@ def test_bfs_hops_match_python_bfs(spark, sf_dir):
     collected edge list."""
     from collections import deque
 
-    from pyspark.sql import functions as F
     from sparkga1_spark.plans.registry import get
-    from sparkga1_spark.sources.catalog import load_table
 
-    li = load_table(spark, sf_dir, "lineitem")
-    p, s = F.col("l_partkey") % 50, F.col("l_suppkey") % 50
     adj: dict = {}
-    for r in (
-        li.filter(p != s)
-        .select(F.least(p, s).alias("a"), F.greatest(p, s).alias("b"))
-        .distinct()
-        .collect()
-    ):
-        adj.setdefault(r["a"], set()).add(r["b"])
-        adj.setdefault(r["b"], set()).add(r["a"])
+    for a, b in _host_undirected_edge_set(spark, sf_dir):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
     want, dq = {0: 0}, deque([0])
     while dq:
         u = dq.popleft()

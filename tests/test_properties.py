@@ -229,19 +229,67 @@ def test_y4m_roundtrip_property(w, h, nframes, seed):
 
 
 def test_pagerank_mass_conservation_bounds(spark):
-    """Exact-integer PageRank invariants: 50 nodes, every rank
-    positive, and total mass ≤ 1e9 nano-units (floor-division and
-    dangling loss only ever LEAK mass, never create it) while staying
-    above the pure-teleport floor of 0.15e9."""
+    """Exact-integer PageRank invariants on the SF-SCALED host graph
+    (m = count div 10 ⇒ ~600 nodes at sf0.001): every rank positive,
+    and total mass ≤ N·20e6 nano-units — the initial mass, which is
+    the damping fixpoint N·3e6/0.15; floor-division and dangling loss
+    only ever LEAK mass, never create it — while staying above the
+    pure-teleport floor of N·3e6."""
     from sparkga1_spark.plans.registry import all_queries
 
     rows = all_queries()["x_host_pagerank"](
         spark, "/root/testdata/sf0.001"
     ).collect()
     total = sum(r.pr_nano for r in rows)
-    assert len(rows) == 50
+    n = len(rows)
+    # 6000 lineitem rows // 10 = 600 residues; all appear whp (10
+    # draws/residue) and the 0..24 clique overlay is guaranteed
+    assert 500 <= n <= 600, n
     assert all(r.pr_nano >= 3_000_000 for r in rows)
-    assert 150_000_000 <= total <= 1_000_000_000, total
+    assert n * 3_000_000 <= total <= n * 20_000_000, (n, total)
+
+
+def test_set_similarity_routes_agree(spark, sf_dir):
+    """set_similarity_pairs routing contract (r5 VERDICT #3): at
+    tau=2/5 the exact prefix route and the LSH+refine route must
+    produce IDENTICAL pairs on the fixture corpus (its near-dup pairs
+    sit far above the banding knee, where LSH recall is ~1 — a refine
+    miss here means the banding join or the shared verification tail
+    broke, not sampling), and refine output must always be a SUBSET
+    of the exact join (verification is exact ⇒ no false positives at
+    any recall). Also pins the auto-route decision boundary:
+    tau >= 1/2 ⇒ prefix, below ⇒ lsh_refine."""
+    from sparkga1_spark.operators import dedup as D
+    from sparkga1_spark.plans.queries import _doc_shingle_rows
+
+    rows = _doc_shingle_rows(spark, sf_dir)
+    pre = {
+        (r.id_a, r.id_b): (r.n_shared, r.jaccard)
+        for r in D.set_similarity_pairs(
+            rows, id_col="doc_id", threshold_num=2, threshold_den=5,
+            route="prefix",
+        ).collect()
+    }
+    ref = {
+        (r.id_a, r.id_b): (r.n_shared, r.jaccard)
+        for r in D.set_similarity_pairs(
+            rows, id_col="doc_id", threshold_num=2, threshold_den=5,
+            route="lsh_refine",
+        ).collect()
+    }
+    assert set(ref) <= set(pre), set(ref) - set(pre)
+    assert ref == pre, (len(pre), len(ref))
+    # auto-route boundary, pinned on the actual plan: below tau=1/2 the
+    # analyzed plan must contain the LSH band join; at/above it must not
+    lo = D.set_similarity_pairs(
+        rows, id_col="doc_id", threshold_num=2, threshold_den=5
+    )
+    hi = D.set_similarity_pairs(
+        rows, id_col="doc_id", threshold_num=3, threshold_den=5
+    )
+    lo_plan = lo._jdf.queryExecution().analyzed().toString()
+    hi_plan = hi._jdf.queryExecution().analyzed().toString()
+    assert "band" in lo_plan and "band" not in hi_plan
 
 
 def test_simhash_pairs_planted_twin_recall(spark):
@@ -357,7 +405,9 @@ def test_pagerank_mass_conserved_per_iteration(spark, sf_dir):
     totals = [
         h.agg(FF.sum("v").alias("s")).collect()[0].s for h in history
     ]
-    n_edges = 50 * 49  # upper bound on distinct (src%50, dst%50) pairs
+    from sparkga1_spark.plans.queries import _host_graph_edges
+
+    n_edges = _host_graph_edges(spark, sf_dir).count()
     slack = n_edges + 2 * nodes + 2
     for t in range(len(totals) - 1):
         upper = nodes * 3_000_000 + (85 * totals[t]) // 100

@@ -697,3 +697,77 @@ def test_fastq_tolerates_corrupt_deflate_body(spark):
     out = parse_fastq_bytes(corrupt, "c0")
     assert len(out) == 0
     assert len(parse_fastq_bytes(good, "c0")) == 4
+
+
+def test_foreach_batch_two_writers_no_silent_drop(spark, tmp_path):
+    """MULTI-WRITER merge (r5 VERDICT #7): two streaming queries —
+    each numbering its batches from 0 — target the same keyed table.
+    The writer-scoped ledger must apply BOTH writers' batch 0 (an
+    unscoped batch-id ledger silently drops the second as a 'replay'),
+    converge overlapping keys to last-MERGE-wins, and keep each
+    writer's replay skip confined to its own ledger slice."""
+    from sparkga1_spark.streaming.sinks import (
+        committed_batches,
+        foreach_batch_upsert,
+    )
+
+    table = str(tmp_path / "shared")
+    a = foreach_batch_upsert(table, keys=["k"], writer_id="wa")
+    b = foreach_batch_upsert(table, keys=["k"], writer_id="wb")
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k long, v string")
+
+    a(df([(1, "a0"), (2, "a0")]), 0)
+    # writer B's batch 0: same batch_id, different writer — MUST apply
+    b(df([(2, "b0"), (3, "b0")]), 0)
+    got = {r.k: r.v for r in spark.read.parquet(table).collect()}
+    assert got == {1: "a0", 2: "b0", 3: "b0"}, got
+    # replay of A's batch 0 with stale content: skipped via A's slice
+    a(df([(1, "STALE"), (2, "STALE")]), 0)
+    got = {r.k: r.v for r in spark.read.parquet(table).collect()}
+    assert got == {1: "a0", 2: "b0", 3: "b0"}, got
+    # A's NEXT batch still merges (its slice has 0, not 1)
+    a(df([(2, "a1")]), 1)
+    got = {r.k: r.v for r in spark.read.parquet(table).collect()}
+    assert got == {1: "a0", 2: "a1", 3: "b0"}, got
+    assert committed_batches(table, "wa") == {0, 1}
+    assert committed_batches(table, "wb") == {0}
+    assert committed_batches(table, "default") == set()
+
+
+def test_foreach_batch_concurrent_writers_serialize(spark, tmp_path):
+    """Interleaved applies from two threads (two in-driver streaming
+    queries) must serialize on the table lock: with disjoint key
+    ranges every written row survives — a lost-update race inside
+    upsert_parquet's read-merge-swap would drop whole batches."""
+    import threading
+
+    from sparkga1_spark.streaming.sinks import foreach_batch_upsert
+
+    table = str(tmp_path / "conc")
+    # bootstrap so both threads exercise the merge path, not overwrite
+    spark.createDataFrame([(-1, "seed")], "k long, v string").write.parquet(
+        table
+    )
+    errs = []
+
+    def writer(wid, base):
+        try:
+            sink = foreach_batch_upsert(table, keys=["k"], writer_id=wid)
+            for i in range(4):
+                rows = [(base + 2 * i + j, f"{wid}:{i}") for j in range(2)]
+                sink(
+                    spark.createDataFrame(rows, "k long, v string"), i
+                )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=writer, args=("w1", 100))
+    t2 = threading.Thread(target=writer, args=("w2", 200))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    got = spark.read.parquet(table)
+    assert got.count() == 1 + 8 + 8
+    assert got.filter("k >= 100 and k < 200").count() == 8
+    assert got.filter("k >= 200").count() == 8
