@@ -8290,96 +8290,85 @@ def x_sessionize_gaps(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Gate priority (see registry.set_gate_order docstring). Round 5: the
+# Gate priority (see registry.set_gate_order docstring). Round 6: the
 # driver records rows for the FIRST 50 queries() only, so front
-# (a) the 25 queries NEW or RESULT-CHANGED this round:
-#     - 13 from waves 1-2 (x_simhash_longdoc_pairs, x_bpe_pair_counts,
-#       x_token_budget_sample, x_span_dup_mass, x_quality_linear_score,
-#       x_semdedup_prune, x_dedup_keep_canonical, x_curation_pipeline_v2,
-#       x_set_similarity_join, x_bm25_topk, x_group_ols_trend,
-#       x_mad_outliers new; x_host_pagerank gained the dangling-mass
-#       term),
-#     - 9 NEW in wave 3 (x_event_transitions, x_rollup_chain_daily,
-#       x_fk_orphan_audit, x_assoc_rules_lift, x_graph_triangles,
-#       x_rolling_zscore_anomaly, x_pareto_frontier,
-#       x_minhash_accuracy_audit, x_bloom_fpr_audit),
-#     - 6 NEW in wave 4 (x_pivot_returnflag_matrix, x_unpivot_metrics,
-#       x_graph_bfs_hops, x_dq_expectations, x_rfm_segmentation,
-#       x_sessionize_gaps),
-#     - 3 RESULT-CHANGED by the keyed_hash fix (the wave-3 accuracy
-#       audit exposed the old affine permutations as monotone — see
-#       functions/hashing.py): x_dedup_minhash_lsh, x_dedup_cc_clusters,
-#       x_incremental_dedup_triage (x_dedup_keep_canonical, also
-#       affected, is already fronted as new).
-#     p2_skew_detect changed PLAN only (results identical; r4 driver
-#     row still certifies values) — rotates on LOCAL_GATE + plan-audit
-#     evidence.
-# (b) 16 of the 34 round-2-age queries (VERDICT r4 #1) — the money-
-#     float TPC-H shapes, multimodal, and regex-heavy paths, i.e. the
-#     highest-residual-risk rows. The other 18 — the simplest pure-
-#     relational/HOF shapes — are displaced by (a): a query with NO
-#     valid driver row (new, or semantics changed) outranks rotation
-#     hygiene by the documented policy; they carry full-precision
-#     LOCAL_GATE evidence this round and front in r6.
-# (c) the 3 batch-replayable streaming oracles (driver rows r3;
-#     VERDICT r4 #6).
-# That is exactly 31 + 16 + 3 = 50.
+# (a) the 5 queries NEW or RESULT-CHANGED this round:
+#     - 2 NEW: x_multimodal_qoi_decode (real QOI pixel decode),
+#       x_set_similarity_routed (threshold-routed similarity join,
+#       lsh_refine route at tau=2/5);
+#     - 3 RESULT-CHANGED by the sf-scaled host graph (r5 VERDICT #2 —
+#       node space now count div 10, so every rank/count/hop value
+#       changed): x_host_pagerank, x_graph_triangles, x_graph_bfs_hops.
+#     x_dedup_minhash_lsh / x_dedup_cc_clusters / x_dedup_keep_canonical
+#     changed PLAN only (shared memoized pair/label stage — results
+#     identical, r5 driver rows still certify values) and rotate on
+#     LOCAL_GATE + plan-audit evidence, the p2_skew_detect precedent.
+# (b) ALL 18 round-2-age queries (r5 VERDICT #1 — the only registered
+#     queries whose last driver row is round 2; restoring them to the
+#     window is the round's top task).
+# (c) 27 of the 47 round-3-age queries — the oldest remaining rows,
+#     highest-residual-risk first: the 12 money-float TPC-H shapes,
+#     the 4-member ANN family, the 3 r3 multimodal paths, and the 8
+#     curation/dedup/text r3 paths. The other 20 r3-age rows (the
+#     simplest relational/window shapes, listed in COVERAGE.md) carry
+#     full-precision LOCAL_GATE evidence this round and front in r7.
+# That is exactly 5 + 18 + 27 = 50.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
 
 set_gate_order([
     # (a) new / result-changed this round
-    "x_simhash_longdoc_pairs",
-    "x_bpe_pair_counts",
-    "x_token_budget_sample",
-    "x_span_dup_mass",
-    "x_quality_linear_score",
-    "x_semdedup_prune",
-    "x_dedup_keep_canonical",
-    "x_curation_pipeline_v2",
-    "x_set_similarity_join",
-    "x_bm25_topk",
-    "x_group_ols_trend",
-    "x_mad_outliers",
+    "x_multimodal_qoi_decode",
+    "x_set_similarity_routed",
     "x_host_pagerank",
-    "x_dedup_minhash_lsh",
-    "x_dedup_cc_clusters",
-    "x_incremental_dedup_triage",
-    "x_event_transitions",
-    "x_rollup_chain_daily",
-    "x_fk_orphan_audit",
-    "x_assoc_rules_lift",
     "x_graph_triangles",
-    "x_rolling_zscore_anomaly",
-    "x_pareto_frontier",
-    "x_minhash_accuracy_audit",
-    "x_bloom_fpr_audit",
-    "x_pivot_returnflag_matrix",
-    "x_unpivot_metrics",
     "x_graph_bfs_hops",
-    "x_dq_expectations",
-    "x_rfm_segmentation",
-    "x_sessionize_gaps",
-    # (b) 16 of the 34 round-2-age queries
-    "x_multimodal_framesample",
-    "x_multimodal_audio_features",
-    "a_rollup_revenue",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "f_permissive_line_parse",
-    "s_paired_interleave",
-    "x_quality_repetition",
-    "x_pii_scrub",
-    "tpch_q7_nation_volume",
-    "tpch_q19_disjunctive",
-    "tpch_q22_dormant_customers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q20_excess_stock",
-    # (c) streaming oracle refresh (batch-replayable by construction)
-    "s_tumbling_counts",
-    "s_sliding_avg",
-    "s_session_windows",
+    # (b) the 18 round-2-age queries
+    "a_cube_revenue",
+    "a_date_parts",
+    "a_minmax_by_bool",
+    "f_attrs_map_extract",
+    "f_ignore_table_antijoin",
+    "f_null_semantics",
+    "o_topk_global_limit",
+    "w_first_last_nth",
+    "w_frame_lag_lead_range",
+    "w_rank_family",
+    "x_datamix_split",
+    "x_embedding_quantize",
+    "x_fuzzy_levenshtein",
+    "x_json_props_extract",
+    "x_tfidf_top_terms",
+    "x_url_host_rollup",
+    "x_vector_stats_hof",
+    "x_vocab_topk",
+    # (c) 27 round-3-age rotations, highest residual risk first
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_parts",
+    "tpch_q21_waiting_supplier",
+    "x_ann_bruteforce_topk",
+    "x_ann_ivf_nprobe2",
+    "x_ann_ivf_topk",
+    "x_ann_lsh_buckets",
+    "x_multimodal_bmp_decode",
+    "x_multimodal_wav_features",
+    "x_multimodal_y4m_frames",
+    "x_curation_pipeline",
+    "x_curation_write_audit",
+    "x_dedup_ngram_jaccard",
+    "x_doc_fingerprint",
+    "x_lang_id",
+    "x_text_quality",
+    "x_flatmap_records",
+    "x_pipe_external_tool",
 ])

@@ -150,40 +150,34 @@ def test_gate_order_fronts_unproven_queries():
     qs = list(all_queries())
     first50 = set(qs[:50])
     must_have_row = {
-        # round-5 (a): new / result-changed this round — waves 1-2,
-        # wave 3 (all new), and the three queries whose results changed
-        # with the keyed_hash monotonicity fix. (p2_skew_detect changed
-        # plan only — its r4 driver row still certifies values, so it
-        # rotates on LOCAL_GATE_r5 + plan-audit evidence.)
-        "x_simhash_longdoc_pairs", "x_bpe_pair_counts",
-        "x_token_budget_sample", "x_span_dup_mass",
-        "x_quality_linear_score", "x_semdedup_prune",
-        "x_dedup_keep_canonical", "x_curation_pipeline_v2",
-        "x_set_similarity_join", "x_bm25_topk", "x_group_ols_trend",
-        "x_mad_outliers", "x_host_pagerank",
-        "x_dedup_minhash_lsh", "x_dedup_cc_clusters",
-        "x_incremental_dedup_triage",
-        "x_event_transitions", "x_rollup_chain_daily",
-        "x_fk_orphan_audit", "x_assoc_rules_lift", "x_graph_triangles",
-        "x_rolling_zscore_anomaly", "x_pareto_frontier",
-        "x_minhash_accuracy_audit", "x_bloom_fpr_audit",
-        "x_pivot_returnflag_matrix", "x_unpivot_metrics",
-        "x_graph_bfs_hops", "x_dq_expectations", "x_rfm_segmentation",
-        "x_sessionize_gaps",
-        # round-5 (b): 16 of the 34 round-2-age queries (the 18
-        # simplest relational/HOF shapes are displaced by (a) — no-
-        # valid-driver-row outranks rotation hygiene — and front in r6)
-        "x_multimodal_framesample", "x_multimodal_audio_features",
-        "a_rollup_revenue", "tpch_q3_shipping_priority",
-        "tpch_q5_local_supplier", "tpch_q17_small_quantity",
-        "tpch_q18_large_orders", "f_permissive_line_parse",
-        "s_paired_interleave",
-        "x_quality_repetition", "x_pii_scrub",
-        "tpch_q7_nation_volume",
-        "tpch_q19_disjunctive", "tpch_q22_dormant_customers",
-        "tpch_q2_min_cost_supplier", "tpch_q20_excess_stock",
-        # round-5 (c): streaming oracle refresh
-        "s_tumbling_counts", "s_sliding_avg", "s_session_windows",
+        # round-6 (a): new this round + the three graph queries whose
+        # results changed with the sf-scaled host graph. (The dedup
+        # family's shared-stage change is plan-only — r5 driver rows
+        # still certify values — and rotates on LOCAL_GATE evidence.)
+        "x_multimodal_qoi_decode", "x_set_similarity_routed",
+        "x_host_pagerank", "x_graph_triangles", "x_graph_bfs_hops",
+        # round-6 (b): ALL 18 round-2-age queries (r5 VERDICT #1)
+        "a_cube_revenue", "a_date_parts", "a_minmax_by_bool",
+        "f_attrs_map_extract", "f_ignore_table_antijoin",
+        "f_null_semantics", "o_topk_global_limit", "w_first_last_nth",
+        "w_frame_lag_lead_range", "w_rank_family", "x_datamix_split",
+        "x_embedding_quantize", "x_fuzzy_levenshtein",
+        "x_json_props_extract", "x_tfidf_top_terms",
+        "x_url_host_rollup", "x_vector_stats_hof", "x_vocab_topk",
+        # round-6 (c): 27 round-3-age rotations (the remaining 20
+        # r3-age rows front in r7)
+        "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
+        "tpch_q8_market_share", "tpch_q9_product_profit",
+        "tpch_q10_returned_items", "tpch_q11_important_stock",
+        "tpch_q12_shipmode_priority", "tpch_q13_customer_distribution",
+        "tpch_q14_promo_effect", "tpch_q15_top_supplier",
+        "tpch_q16_supplier_parts", "tpch_q21_waiting_supplier",
+        "x_ann_bruteforce_topk", "x_ann_ivf_nprobe2", "x_ann_ivf_topk",
+        "x_ann_lsh_buckets", "x_multimodal_bmp_decode",
+        "x_multimodal_wav_features", "x_multimodal_y4m_frames",
+        "x_curation_pipeline", "x_curation_write_audit",
+        "x_dedup_ngram_jaccard", "x_doc_fingerprint", "x_lang_id",
+        "x_text_quality", "x_flatmap_records", "x_pipe_external_tool",
     }
     missing = must_have_row - first50
     assert not missing, f"not in the driver's 50-query window: {missing}"
