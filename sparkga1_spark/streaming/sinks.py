@@ -144,6 +144,18 @@ def foreach_batch_upsert(
     one writer_id are NOT detected — that is checkpoint misuse, same
     as pointing two Spark queries at one checkpoint dir.
 
+    RESIDUAL multi-writer window (documented, not closed): if writer A
+    crashes between its upsert commit and its ledger write, and writer
+    B then commits a newer version of a key A's batch also touched,
+    A's replay re-merges its (older) rows over B's — the sequential-
+    per-query argument that makes this window content-neutral for one
+    writer does not order across writers. Closing it needs
+    version-aware merge (keep-greatest-version per key, the lakehouse
+    MERGE condition) rather than last-merge-wins; concurrent writers
+    touching OVERLAPPING keys should carry an explicit version column
+    and reduce per key before the sink, which makes any replay a
+    no-op by value.
+
     Use: `stream.writeStream.foreachBatch(foreach_batch_upsert(path,
     keys=[...], writer_id="q1")).option("checkpointLocation", ...)
     .start()`.

@@ -424,3 +424,36 @@ def test_qoi_decode_dispatch_real_not_fake():
     data = build_qoi(px)
     assert _decode_image_meta(data) == (7, 6, 3, "QOI")
     assert (_decode_image_pixels(data) == px).all()
+
+
+def test_qoi_spec_corners():
+    """QOI op-level corners: zero-init index collision handling (first
+    black pixel is a RUN of prev, not an INDEX), LUMA boundary deltas
+    (dg=-32, dr-dg=+7, db-dg=-8), wrap-around DIFF (255→0 is dr=+1),
+    and 4-channel RGBA streams decoding with alpha carried."""
+    import struct
+
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import build_qoi, parse_qoi
+
+    px = np.zeros((1, 3, 3), np.uint8)
+    data = build_qoi(px)
+    assert data[14:-8] == bytes([0xC0 | 2])  # one 3-pixel run
+
+    prev = np.array([[100, 100, 100]], np.uint8)
+    nxt = np.array([[100 - 32 + 7, 100 - 32, 100 - 32 - 8]], np.uint8)
+    arr = np.vstack([prev, nxt]).reshape(2, 1, 3)
+    assert np.array_equal(parse_qoi(build_qoi(arr))[2], arr)
+
+    arr = np.array([[[255, 0, 128]], [[0, 255, 127]]], np.uint8)
+    assert np.array_equal(parse_qoi(build_qoi(arr))[2], arr)
+
+    hdr = b"qoif" + struct.pack(">IIBB", 2, 1, 4, 0)
+    stream = bytes([0xFF, 10, 20, 30, 200]) + bytes(
+        [0x40 | (3 << 4) | (2 << 2) | 1]
+    )
+    w, h, out = parse_qoi(hdr + stream + b"\x00" * 7 + b"\x01")
+    assert out.shape == (1, 2, 4)
+    assert tuple(out[0, 0]) == (10, 20, 30, 200)
+    assert tuple(out[0, 1]) == (11, 20, 29, 200)
