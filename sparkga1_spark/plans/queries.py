@@ -789,6 +789,19 @@ _DEDUP_STAGE_CACHE: dict = {}
 def _dedup_stage(spark, sf_dir, stage: str):
     key = (spark.sparkContext.applicationId, sf_dir, stage)
     df = _DEDUP_STAGE_CACHE.get(key)
+    if (
+        df is not None
+        and stage == "pairs"
+        and not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+    ):
+        # The pair cache was release_tracked()ed: re-using the stale
+        # plan would recompute it with its INTERNAL band persist no
+        # longer registered (the band self-join would then build the
+        # band table twice — measured +0.5s on the cold minhash bench
+        # point). Rebuild fresh so the inner persists re-register;
+        # cc_labels is exempt — its value lives in checkpoint blocks
+        # that release_tracked never frees.
+        df = None
     if df is None:
         if stage == "pairs":
             rows = _doc_shingle_rows(spark, sf_dir)
