@@ -123,7 +123,11 @@ def bfs_hops(edges: DataFrame, source: int, *, max_hops: int = 8) -> DataFrame:
         edges.select(F.col("b"), F.col("a"))
     )
     both = tracked_persist(both)
-    visited = spark.createDataFrame([(source, 0)], "node int, hops int")
+    # node is LONG throughout — review-caught: an int seed schema (and
+    # an int cast on return) silently wraps node ids past 2^31, and the
+    # sf-scaled host graph's id space grows with the data (m = rows/10
+    # ≈ 6e10 at the 100 TB design point)
+    visited = spark.createDataFrame([(source, 0)], "node long, hops long")
     frontier = visited
     for hop in range(1, max_hops + 1):
         nxt = (
@@ -138,4 +142,4 @@ def bfs_hops(edges: DataFrame, source: int, *, max_hops: int = 8) -> DataFrame:
             break
         visited = visited.union(nxt).localCheckpoint(eager=False)
         frontier = nxt
-    return visited.select(F.col("node").cast("int"), F.col("hops").cast("long"))
+    return visited.select(F.col("node").cast("long"), F.col("hops").cast("long"))

@@ -966,7 +966,14 @@ def build_qoi(pixels) -> bytes:
     h, w, c = pixels.shape
     assert c == 3, "build_qoi writes 24-bit RGB"
     out = [QOI_MAGIC, struct.pack(">IIBB", w, h, 3, 0)]
-    index = [(0, 0, 0, 255)] * 64
+    # Spec inits: the color index is ZEROED ({0,0,0,0} per qoi.c's
+    # QOI_ZEROARR); only the previous pixel starts as (0,0,0,255).
+    # Review-caught: initializing the index to (0,0,0,255) made the
+    # encoder emit INDEX ops against slots it never wrote — roundtrip-
+    # consistent with the matching decoder bug, but NOT interoperable
+    # with spec-compliant codecs (a compliant decoder would return
+    # transparent black for those pixels).
+    index = [(0, 0, 0, 0)] * 64
     prev = (0, 0, 0, 255)
     run = 0
     flat = pixels.reshape(-1, 3).tolist()
@@ -1029,7 +1036,7 @@ def parse_qoi(data: bytes):
     w, h, channels = parse_qoi_meta(data)
     n = w * h
     out = np.zeros((n, channels), np.uint8)
-    index = [(0, 0, 0, 255)] * 64
+    index = [(0, 0, 0, 0)] * 64  # spec zero-init; prev alone is opaque black
     r, g, b, a = 0, 0, 0, 255
     pos, i = 14, 0
     end = len(data) - 8
@@ -1038,10 +1045,17 @@ def parse_qoi(data: bytes):
             raise ValueError("truncated QOI stream")
         tag = data[pos]
         pos += 1
+        # multi-byte ops must bounds-check their OPERANDS too —
+        # review-caught: an operand read past `end` silently consumed
+        # end-marker bytes as pixel data instead of raising
         if tag == 0xFE:  # RGB literal
+            if pos + 3 > end:
+                raise ValueError("truncated QOI RGB op")
             r, g, b = data[pos], data[pos + 1], data[pos + 2]
             pos += 3
         elif tag == 0xFF:  # RGBA literal
+            if pos + 4 > end:
+                raise ValueError("truncated QOI RGBA op")
             r, g, b, a = data[pos], data[pos + 1], data[pos + 2], data[pos + 3]
             pos += 4
         elif tag >> 6 == 0:  # INDEX
@@ -1051,6 +1065,8 @@ def parse_qoi(data: bytes):
             g = (g + ((tag >> 2) & 3) - 2) % 256
             b = (b + (tag & 3) - 2) % 256
         elif tag >> 6 == 2:  # LUMA
+            if pos + 1 > end:
+                raise ValueError("truncated QOI LUMA op")
             dg = (tag & 0x3F) - 32
             nxt = data[pos]
             pos += 1
@@ -1059,6 +1075,8 @@ def parse_qoi(data: bytes):
             b = (b + dg + (nxt & 0x0F) - 8) % 256
         else:  # RUN (1..62; 63/64 are the RGB/RGBA tags above)
             run = (tag & 0x3F) + 1
+            if i + run > n:
+                raise ValueError("QOI run overflows the raster")
             px = (r, g, b, a)[:channels]
             out[i : i + run] = px
             i += run

@@ -787,7 +787,13 @@ _DEDUP_STAGE_CACHE: dict = {}
 
 
 def _dedup_stage(spark, sf_dir, stage: str):
-    key = (spark.sparkContext.applicationId, sf_dir, stage)
+    app = spark.sparkContext.applicationId
+    # evict entries from stopped sessions (review-caught: a process
+    # that cycles SparkSessions would otherwise accumulate dead
+    # DataFrame handles forever — one active session is the contract)
+    for k in [k for k in _DEDUP_STAGE_CACHE if k[0] != app]:
+        del _DEDUP_STAGE_CACHE[k]
+    key = (app, sf_dir, stage)
     df = _DEDUP_STAGE_CACHE.get(key)
     if (
         df is not None

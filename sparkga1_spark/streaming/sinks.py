@@ -93,12 +93,27 @@ def committed_batches(base_path: str, writer_id: str = "default") -> set[int]:
     return out
 
 
+def _is_ledger_entry(name: str) -> bool:
+    """A committed-entry name: bare digits (legacy default writer) or
+    `<writer>.<digits>`. Torn `.<entry>.tmp` files and foreign files
+    never count — review-caught: counting any file here regressed the
+    'a torn file never counts as committed' invariant and could wedge
+    the bootstrap guard on a tmp left by a crash."""
+    if name.startswith("."):
+        return False
+    if name.isdigit():
+        return True
+    w, _, b = name.rpartition(".")
+    return bool(w) and b.isdigit()
+
+
 def _any_committed_batches(base_path: str) -> bool:
     """True if ANY writer has committed — the bootstrap guard must
     consider the whole ledger, not one writer's slice."""
     d = _ledger_dir(base_path)
     return os.path.isdir(d) and any(
-        os.path.isfile(os.path.join(d, n)) for n in os.listdir(d)
+        _is_ledger_entry(n) and os.path.isfile(os.path.join(d, n))
+        for n in os.listdir(d)
     )
 
 

@@ -457,3 +457,85 @@ def test_qoi_spec_corners():
     assert out.shape == (1, 2, 4)
     assert tuple(out[0, 0]) == (10, 20, 30, 200)
     assert tuple(out[0, 1]) == (11, 20, 29, 200)
+
+
+def test_qoi_spec_interop_reference_decoder():
+    """Spec interoperability (review-caught index-init bug): decode
+    every fixture-shaped payload with an independent STRICT reference
+    decoder written straight from the qoiformat.org spec (zero-init
+    index, opaque-black previous pixel) and require exact pixel
+    equality — an encoder that leans on a nonstandard index init emits
+    INDEX ops into slots a compliant decoder never wrote. Also pins
+    that black-after-color is NOT emitted as an INDEX into the unwritten
+    hash-53 slot, and that operand truncation raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkga1_spark.operators.multimodal import build_qoi, parse_qoi
+
+    def reference_decode(data):  # independent, spec-literal
+        import struct
+
+        assert data[:4] == b"qoif"
+        w, h, ch, _ = struct.unpack_from(">IIBB", data, 4)
+        idx = [(0, 0, 0, 0)] * 64
+        px = (0, 0, 0, 255)
+        out, pos = [], 14
+        while len(out) < w * h:
+            t = data[pos]
+            pos += 1
+            if t == 0xFE:
+                px = (data[pos], data[pos + 1], data[pos + 2], px[3])
+                pos += 3
+            elif t == 0xFF:
+                px = tuple(data[pos : pos + 4])
+                pos += 4
+            elif t >> 6 == 0:
+                px = idx[t]
+                out.append(px)
+                continue  # spec: decoder indexes px after every op; same slot
+            elif t >> 6 == 1:
+                px = (
+                    (px[0] + ((t >> 4) & 3) - 2) % 256,
+                    (px[1] + ((t >> 2) & 3) - 2) % 256,
+                    (px[2] + (t & 3) - 2) % 256,
+                    px[3],
+                )
+            elif t >> 6 == 2:
+                dg = (t & 0x3F) - 32
+                nx = data[pos]
+                pos += 1
+                px = (
+                    (px[0] + dg + ((nx >> 4) & 15) - 8) % 256,
+                    (px[1] + dg) % 256,
+                    (px[2] + dg + (nx & 15) - 8) % 256,
+                    px[3],
+                )
+            else:
+                out.extend([px] * ((t & 0x3F) + 1))
+                continue
+            idx[(px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64] = px
+            out.append(px)
+        return np.array(out, np.uint8)[:, :3].reshape(h, w, 3)
+
+    rng = np.random.RandomState(99)
+    cases = [
+        np.array([[[200, 10, 10]], [[0, 0, 0]]], np.uint8),  # black after color
+        rng.randint(0, 256, (11, 13, 3)).astype(np.uint8),
+        np.resize(np.frombuffer("tiled höla 世界".encode(), np.uint8), (12, 9, 3)),
+    ]
+    for px in cases:
+        data = build_qoi(px)
+        assert np.array_equal(reference_decode(data), px)
+        assert np.array_equal(parse_qoi(data)[2], px)
+
+    # operand truncation must raise, not consume end-marker bytes: a
+    # 2-pixel stream whose final RGB op carries only 2 of 3 operands
+    import struct
+
+    hdr = b"qoif" + struct.pack(">IIBB", 2, 1, 3, 0)
+    with _pytest.raises(ValueError):
+        parse_qoi(hdr + bytes([0xFE, 5, 6]) + b"\x00" * 7 + b"\x01")
+    # and a RUN overshooting the raster must raise, not clamp
+    with _pytest.raises(ValueError):
+        parse_qoi(hdr + bytes([0xC0 | 61]) + b"\x00" * 7 + b"\x01")

@@ -771,3 +771,34 @@ def test_foreach_batch_concurrent_writers_serialize(spark, tmp_path):
     assert got.count() == 1 + 8 + 8
     assert got.filter("k >= 100 and k < 200").count() == 8
     assert got.filter("k >= 200").count() == 8
+
+
+def test_foreach_batch_torn_tmp_never_counts_as_committed(spark, tmp_path):
+    """Review-caught bootstrap-guard regression: a torn `.<entry>.tmp`
+    ledger file (crash between create and rename) must NOT count as
+    committed evidence — with only torn tmps on record and no table,
+    the sink must bootstrap cleanly instead of wedging on 'ledger
+    records committed batches but no table exists'."""
+    import os
+
+    from sparkga1_spark.streaming.sinks import (
+        _any_committed_batches,
+        _ledger_dir,
+        committed_batches,
+        foreach_batch_upsert,
+    )
+
+    table = str(tmp_path / "t")
+    d = _ledger_dir(table)
+    os.makedirs(d)
+    open(os.path.join(d, ".wa.0.tmp"), "w").close()  # torn rename
+    open(os.path.join(d, ".3.tmp"), "w").close()  # torn legacy rename
+    assert not _any_committed_batches(table)
+    assert committed_batches(table, "wa") == set()
+    sink = foreach_batch_upsert(table, keys=["k"], writer_id="wa")
+    sink(spark.createDataFrame([(1, "v")], "k long, v string"), 0)
+    got = {(r.k, r.v) for r in spark.read.parquet(table).collect()}
+    assert got == {(1, "v")}
+    assert committed_batches(table, "wa") == {0}
+    # a real entry from ANY writer now counts for the bootstrap guard
+    assert _any_committed_batches(table)
