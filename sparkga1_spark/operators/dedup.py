@@ -543,6 +543,15 @@ def set_similarity_pairs(
     the 10x/100x smoke cost of the prefix route is df-distribution-
     dependent and rises steeply as tau drops, while LSH+refine holds
     the banding join's near-linear profile at any tau)."""
+    # validate HERE, not just in the prefix route — review-caught: an
+    # invalid threshold (num=0, num>den) auto-routes below tau=1/2 to
+    # lsh_refine, whose keep predicate then degenerates to always-true
+    # and silently returns every candidate pair instead of raising
+    if not 0 < int(threshold_num) <= int(threshold_den):
+        raise ValueError(
+            f"set similarity threshold must satisfy 0 < num <= den; got "
+            f"{threshold_num}/{threshold_den}"
+        )
     if route is None:
         route = (
             "prefix" if 2 * threshold_num >= threshold_den else "lsh_refine"

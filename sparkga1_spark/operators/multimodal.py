@@ -704,7 +704,7 @@ def plant_bmp_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
             out = []
             for doc_id, text_val in zip(pdf["doc_id"], pdf[text_col]):
                 w, h = int(doc_id) % 61 + 4, int(doc_id) % 37 + 4
-                raw = text_val.encode("utf-8") or b"\0"
+                raw = (text_val or "").encode("utf-8") or b"\0"
                 px = np.resize(np.frombuffer(raw, np.uint8), (h, w, 3))
                 out.append((doc_id, build_bmp(px)))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
@@ -728,7 +728,7 @@ def plant_png_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
             for doc_id, text_val in zip(pdf["doc_id"], pdf[text_col]):
                 d = int(doc_id)
                 w, h = d % 48 + 4, d % 32 + 4
-                raw = text_val.encode("utf-8") or b"\0"
+                raw = (text_val or "").encode("utf-8") or b"\0"
                 px = np.resize(np.frombuffer(raw, np.uint8), (h, w, 3))
                 filters = [(d + r) % 5 for r in range(h)]
                 out.append((doc_id, build_png(px, filters=filters)))
@@ -801,7 +801,7 @@ def plant_jpeg_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
             for doc_id, text_val in zip(pdf["doc_id"], pdf[text_col]):
                 d = int(doc_id)
                 w, h = d % 53 + 4, d % 43 + 4
-                raw = text_val.encode("utf-8") or b"\0"
+                raw = (text_val or "").encode("utf-8") or b"\0"
                 entropy = np.resize(
                     np.frombuffer(raw, np.uint8), d % 97 + 16
                 ).tobytes()
@@ -1080,6 +1080,11 @@ def parse_qoi(data: bytes):
             px = (r, g, b, a)[:channels]
             out[i : i + run] = px
             i += run
+            # qoi.c indexes the current pixel on EVERY chunk read,
+            # INCLUDING RUN — review-caught: skipping it diverges on
+            # spec-valid foreign streams whose first chunk is a RUN of
+            # the initial (0,0,0,255) pixel followed by INDEX 53
+            index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
             continue
         index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
         out[i] = (r, g, b, a)[:channels]
@@ -1104,7 +1109,7 @@ def plant_qoi_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
             for doc_id, text_val in zip(pdf["doc_id"], pdf[text_col]):
                 d = int(doc_id)
                 w, h = d % 40 + 4, d % 28 + 4
-                raw = text_val.encode("utf-8") or b"\0"
+                raw = (text_val or "").encode("utf-8") or b"\0"
                 px = np.resize(np.frombuffer(raw, np.uint8), (h, w, 3))
                 out.append((doc_id, build_qoi(px)))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])

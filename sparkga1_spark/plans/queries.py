@@ -2041,8 +2041,11 @@ SELECT doc_id,
        CAST(h AS INTEGER) AS height,
        3 AS channels,
        'PNG' AS format,
-       CAST((w * h * 3 // L) * list_sum(bv)
-            + coalesce(list_sum(bv[1:(w * h * 3) % L]), 0) AS BIGINT) AS px_sum
+       -- L = 0 guard mirrors the planter's b'\\0' empty-text fallback
+       CAST(CASE WHEN L = 0 THEN 0
+            ELSE (w * h * 3 // L) * list_sum(bv)
+                 + coalesce(list_sum(bv[1:(w * h * 3) % L]), 0)
+            END AS BIGINT) AS px_sum
 FROM s
 """,
 )
@@ -2083,8 +2086,13 @@ SELECT doc_id,
        CAST(h AS INTEGER) AS height,
        3 AS channels,
        'QOI' AS format,
-       CAST((w * h * 3 // L) * list_sum(bv)
-            + coalesce(list_sum(bv[1:(w * h * 3) % L]), 0) AS BIGINT) AS px_sum
+       -- L = 0 guard mirrors the planter's b'\\0' empty-text fallback
+       -- (all-zero pixels => px_sum 0); without it DuckDB's x // 0 is
+       -- NULL and the hash would diverge on an empty document
+       CAST(CASE WHEN L = 0 THEN 0
+            ELSE (w * h * 3 // L) * list_sum(bv)
+                 + coalesce(list_sum(bv[1:(w * h * 3) % L]), 0)
+            END AS BIGINT) AS px_sum
 FROM s
 """,
 )
@@ -5962,12 +5970,19 @@ e0 AS MATERIALIZED (
 )
 
 
-def _host_graph_edges(spark, sf_dir):
+def _host_graph_edges(spark, sf_dir, *, weighted: bool = True):
     """Engine side of the canonical host graph (see _HOST_EDGES_SQL):
     directed weighted edges (src, dst, w). The node-space modulus is a
     1-ROW count aggregate attached by broadcast cross-join (the
     BNL-totals pattern — never a driver collect), so the whole
-    derivation stays one lazy plan and scales with the table."""
+    derivation stays one lazy plan and scales with the table.
+
+    weighted=False returns the RAW draw stream (src, dst) without the
+    co-occurrence groupBy — review-caught: the undirected consumers
+    (triangles/BFS) immediately drop w and run their own
+    least/greatest distinct, so the weighted aggregate was a second
+    full shuffle of the edge stream for nothing; only PageRank uses
+    the weights."""
     li = load_table(spark, sf_dir, "lineitem")
     m = li.agg(
         F.expr("greatest(CAST(1 AS BIGINT), count(*) div 10)").alias("m")
@@ -5986,11 +6001,11 @@ def _host_graph_edges(spark, sf_dir):
         .crossJoin(ids.select(F.col("id").alias("dst")))
         .filter(F.col("src") < F.col("dst"))
     )
-    return (
-        base.unionByName(clique)
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count("*").cast("long").alias("w"))
+    draws = base.unionByName(clique).filter(F.col("src") != F.col("dst"))
+    if not weighted:
+        return draws
+    return draws.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("w")
     )
 
 
@@ -7514,7 +7529,7 @@ def x_graph_triangles(spark, sf_dir):
     brute force on random graphs)."""
     from sparkga1_spark.operators import graph as G
 
-    eall = _host_graph_edges(spark, sf_dir)
+    eall = _host_graph_edges(spark, sf_dir, weighted=False)
     edges = G.undirected_edges(eall, F.col("src"), F.col("dst"))
     return G.triangle_stats(edges)
 
@@ -8038,7 +8053,7 @@ def x_graph_bfs_hops(spark, sf_dir):
     random graphs)."""
     from sparkga1_spark.operators import graph as G
 
-    eall = _host_graph_edges(spark, sf_dir)
+    eall = _host_graph_edges(spark, sf_dir, weighted=False)
     edges = G.undirected_edges(eall, F.col("src"), F.col("dst"))
     return G.bfs_hops(edges, 0, max_hops=8)
 

@@ -176,6 +176,18 @@ def foreach_batch_upsert(
     .start()`.
     """
     _require_local_path(base_path)
+    import re
+
+    # Review-caught: a dot-prefixed writer_id writes ledger entries the
+    # torn-tmp rule ignores — committed_batches would still skip its
+    # replays, but _any_committed_batches would report an empty ledger
+    # and the bootstrap guard could OVERWRITE committed history after a
+    # mid-swap crash. Path separators would escape the ledger dir.
+    if not re.fullmatch(r"[A-Za-z0-9_][A-Za-z0-9_.-]*", writer_id):
+        raise ValueError(
+            f"writer_id {writer_id!r} must start with [A-Za-z0-9_] and "
+            "contain only [A-Za-z0-9_.-]"
+        )
 
     def apply(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -513,6 +513,8 @@ def test_qoi_spec_interop_reference_decoder():
                 )
             else:
                 out.extend([px] * ((t & 0x3F) + 1))
+                # qoi.c indexes px on every chunk read, including RUN
+                idx[(px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64] = px
                 continue
             idx[(px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64] = px
             out.append(px)
@@ -529,10 +531,18 @@ def test_qoi_spec_interop_reference_decoder():
         assert np.array_equal(reference_decode(data), px)
         assert np.array_equal(parse_qoi(data)[2], px)
 
-    # operand truncation must raise, not consume end-marker bytes: a
-    # 2-pixel stream whose final RGB op carries only 2 of 3 operands
+    # foreign-stream RUN-index semantics (second review pass): a RUN of
+    # the initial (0,0,0,255) pixel must index slot 53 so a later
+    # INDEX 53 resolves to opaque black, exactly as qoi.c decodes
     import struct
 
+    hdr4 = b"qoif" + struct.pack(">IIBB", 3, 1, 4, 0)
+    stream = bytes([0xC0]) + bytes([0xFE, 10, 20, 30]) + bytes([53])
+    w, h, out = parse_qoi(hdr4 + stream + b"\x00" * 7 + b"\x01")
+    assert tuple(out[0, 2]) == (0, 0, 0, 255), tuple(out[0, 2])
+
+    # operand truncation must raise, not consume end-marker bytes: a
+    # 2-pixel stream whose final RGB op carries only 2 of 3 operands
     hdr = b"qoif" + struct.pack(">IIBB", 2, 1, 3, 0)
     with _pytest.raises(ValueError):
         parse_qoi(hdr + bytes([0xFE, 5, 6]) + b"\x00" * 7 + b"\x01")

@@ -290,6 +290,16 @@ def test_set_similarity_routes_agree(spark, sf_dir):
     lo_plan = lo._jdf.queryExecution().analyzed().toString()
     hi_plan = hi._jdf.queryExecution().analyzed().toString()
     assert "band" in lo_plan and "band" not in hi_plan
+    # invalid thresholds must raise on EVERY route — on lsh_refine the
+    # keep predicate would otherwise degenerate to always-true
+    import pytest as _pytest
+
+    for bad in [(0, 5), (6, 5)]:
+        with _pytest.raises(ValueError):
+            D.set_similarity_pairs(
+                rows, id_col="doc_id",
+                threshold_num=bad[0], threshold_den=bad[1],
+            )
 
 
 def test_simhash_pairs_planted_twin_recall(spark):
