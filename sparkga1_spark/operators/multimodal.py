@@ -488,6 +488,9 @@ def _decode_image_meta(data: bytes) -> tuple[int, int, int, str]:
         if data[:4] == QOI_MAGIC:
             w, h, c = parse_qoi_meta(data)
             return w, h, c, "QOI"
+        if data[:6] in GIF_MAGICS:
+            w, h, c = parse_gif_meta(data)
+            return w, h, c, "GIF"
         if data[:2] == b"\xff\xd8":
             w, h, c = parse_jpeg_meta(data)  # real SOFn marker walk
             return w, h, c, "JPEG"
@@ -606,6 +609,8 @@ def _decode_image_pixels(data: bytes):
             return parse_png(data)[2]
         if data[:4] == QOI_MAGIC:
             return parse_qoi(data)[2]
+        if data[:6] in GIF_MAGICS:
+            return parse_gif(data)[2]
     except ValueError:
         pass
     try:  # pragma: no cover - PIL absent in this environment
@@ -1112,6 +1117,271 @@ def plant_qoi_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
                 raw = (text_val or "").encode("utf-8") or b"\0"
                 px = np.resize(np.frombuffer(raw, np.uint8), (h, w, 3))
                 out.append((doc_id, build_qoi(px)))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return df.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+# --------------------------------------------------------------------------
+# GIF87a (CompuServe spec, later W3C GIF89a) — REAL compressed-format
+# decode #3, and the first DICTIONARY coder in the suite: variable-width
+# LZW (9→12-bit codes, LSB-first packing, clear/EOI codes, 4096-entry
+# table reset) over a 256-entry palette. PNG covers DEFLATE, QOI covers
+# byte-oriented delta ops; GIF adds the LZW family, so the "real pixels"
+# line now spans all three public lossless compression styles. Built
+# from the public spec only; encoder and decoder are independent enough
+# that pytest cross-checks catch consistent-but-wrong pairs (the QOI
+# lesson), and the width-transition rule is pinned by a dedicated test
+# that crosses the 512/1024-entry boundaries and the 4096 reset.
+# --------------------------------------------------------------------------
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW: emit clear first, grow code width AFTER the
+    decoder's table catches up (encoder is one table entry ahead, so
+    its bump condition is next_code > 2^width — bumping at == is the
+    classic 'early change' interop bug), reset via clear when the
+    table hits 4096. Returns the packed LSB-first code bytes."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = wk[-1:]
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytes:
+    """GIF-variant LZW decode → palette-index bytes. Handles the
+    code==next_code self-reference case, deferred clear (a full table
+    simply stops growing until a clear arrives), and raises on codes
+    beyond the table, overrun output, or a missing EOI."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    roots = [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    out = bytearray()
+    table = list(roots)
+    width = min_code_size + 1
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("truncated GIF LZW stream (no EOI)")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(roots)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW: first code after clear not a root")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("GIF LZW: code beyond table")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        out += entry
+        if len(out) > n_expected:
+            raise ValueError("GIF LZW output overflows the raster")
+        prev = entry
+    if len(out) != n_expected:
+        raise ValueError("GIF raster size mismatch")
+    return bytes(out)
+
+
+def build_gif(indices, width: int, height: int) -> bytes:
+    """HxW uint8 palette-index array → GIF87a bytes with the identity
+    grayscale palette (entry i = (i,i,i)), one image, no extensions.
+    Pixel i maps to RGB (v,v,v), so px_sum = 3 * sum(indices) — the
+    closed form the oracle states."""
+    import struct
+
+    out = bytearray()
+    out += b"GIF87a"
+    # logical screen: global color table flag set, 8 bits/pixel, 256 entries
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    for i in range(256):
+        out += bytes((i, i, i))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(8)  # LZW minimum code size
+    codes = _lzw_encode(bytes(bytearray(indices)), 8)
+    for off in range(0, len(codes), 255):
+        chunk = codes[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def parse_gif_meta(data: bytes) -> tuple[int, int, int]:
+    """GIF header + logical screen descriptor only → (w, h, channels=3)."""
+    import struct
+
+    if len(data) < 13 or data[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    if w == 0 or h == 0:
+        raise ValueError("degenerate GIF dimensions")
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table")
+    return w, h, 3
+
+
+def parse_gif(data: bytes):
+    """GIF bytes → (width, height, HxWx3 uint8 RGB array). Real decode:
+    screen descriptor, global color table, extension-block skip, image
+    descriptor, sub-block reassembly, full LZW decompression, palette
+    mapping. Honest-refusal on variants the suite never writes
+    (interlace, local color tables, frames smaller than the screen) —
+    a wrong-but-plausible raster would defeat the oracle's purpose."""
+    import struct
+
+    import numpy as np
+
+    w, h, _ = parse_gif_meta(data)
+    packed = data[10]
+    gct_n = 2 << (packed & 0x07)
+    pos = 13
+    if pos + 3 * gct_n > len(data):
+        raise ValueError("truncated GIF color table")
+    palette = np.frombuffer(data, np.uint8, count=3 * gct_n, offset=pos).reshape(
+        gct_n, 3
+    )
+    pos += 3 * gct_n
+    while True:
+        if pos >= len(data):
+            raise ValueError("GIF ended before an image descriptor")
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            raise ValueError("GIF trailer before any image")
+        if block == 0x21:  # extension: label byte + data sub-blocks
+            if pos >= len(data):
+                raise ValueError("truncated GIF extension")
+            pos += 1
+            while True:
+                if pos >= len(data):
+                    raise ValueError("truncated GIF extension sub-blocks")
+                ln = data[pos]
+                pos += 1 + ln
+                if ln == 0:
+                    break
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        break
+    if pos + 9 > len(data):
+        raise ValueError("truncated GIF image descriptor")
+    left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, pos)
+    pos += 9
+    if (left, top) != (0, 0) or (iw, ih) != (w, h):
+        raise ValueError("GIF sub-frame images unsupported")
+    if ipacked & 0x80:
+        raise ValueError("GIF local color tables unsupported")
+    if ipacked & 0x40:
+        raise ValueError("interlaced GIF unsupported")
+    if pos >= len(data):
+        raise ValueError("truncated GIF image data")
+    min_code_size = data[pos]
+    pos += 1
+    if not 2 <= min_code_size <= 11:
+        raise ValueError("bad GIF LZW minimum code size")
+    chunks = []
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated GIF data sub-blocks")
+        ln = data[pos]
+        pos += 1
+        if ln == 0:
+            break
+        if pos + ln > len(data):
+            raise ValueError("truncated GIF data sub-block")
+        chunks.append(data[pos : pos + ln])
+        pos += ln
+    if pos >= len(data) or data[pos] != 0x3B:
+        raise ValueError("missing GIF trailer")
+    indices = np.frombuffer(
+        _lzw_decode(b"".join(chunks), min_code_size, w * h), np.uint8
+    )
+    if int(indices.max(initial=0)) >= gct_n:
+        raise ValueError("GIF index beyond the color table")
+    return w, h, palette[indices].reshape(h, w, 3).copy()
+
+
+def plant_gif_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(doc_id, text) → (doc_id, payload): a REAL GIF87a whose palette
+    indices tile the UTF-8 bytes of `text` (w = id%36+4, h = id%24+4).
+    Natural text repeats, so the LZW table genuinely grows — larger
+    docs cross the 9→10-bit width boundary, pinning the transition
+    rule against real data as well as the synthetic boundary pytest."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text_val in zip(pdf["doc_id"], pdf[text_col]):
+                d = int(doc_id)
+                w, h = d % 36 + 4, d % 24 + 4
+                raw = (text_val or "").encode("utf-8") or b"\0"
+                idx = np.resize(np.frombuffer(raw, np.uint8), h * w)
+                out.append((doc_id, build_gif(idx, w, h)))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
     return df.mapInPandas(run, schema="doc_id long, payload binary")

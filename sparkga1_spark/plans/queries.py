@@ -2121,6 +2121,56 @@ def x_multimodal_qoi_decode(spark, sf_dir):
 
 
 @query(
+    "x_multimodal_gif_decode",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         doc_id % 36 + 4 AS w, doc_id % 24 + 4 AS h,
+         octet_length(encode(text)) AS L,
+         [CAST(('0x' || substr(hex(encode(text)), 2*i-1, 2)) AS INTEGER)
+          for i in generate_series(1, octet_length(encode(text)))] AS bv
+  FROM documents
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       3 AS channels,
+       'GIF' AS format,
+       -- palette entry i is (i,i,i), so px_sum = 3 * (tiled index sum);
+       -- L = 0 guard mirrors the planter's b'\\0' empty-text fallback
+       CAST(CASE WHEN L = 0 THEN 0
+            ELSE 3 * ((w * h // L) * list_sum(bv)
+                      + coalesce(list_sum(bv[1:(w * h) % L]), 0))
+            END AS BIGINT) AS px_sum
+FROM s
+""",
+)
+def x_multimodal_gif_decode(spark, sf_dir):
+    """Multimodal REAL compressed-image decode #3 — GIF87a (CompuServe
+    spec): plant an actual GIF per document (palette indices tile the
+    UTF-8 text bytes over an identity grayscale palette), then fully
+    decode it — screen-descriptor walk, sub-block reassembly, and a
+    complete variable-width LZW decompression (9→12-bit codes,
+    clear/EOI, 4096-entry reset) — and emit pixel statistics. With PNG
+    (DEFLATE) and QOI (byte delta ops) this closes the third public
+    lossless-compression family, a dictionary coder; the md5 FAKE
+    branch now covers only formats needing a real codec library
+    (JPEG/MP4). The oracle states px_sum in closed form over the tiled
+    text bytes (3× the index sum — lossless, so op-choice-invariant).
+    Interop is pinned beyond roundtrip (the QOI lesson): the pytest
+    suite decodes foreign real-encoder GIFs where present, and the LZW
+    width-transition rule is exercised by boundary tests crossing the
+    512/1024-entry marks and the table reset."""
+    from sparkga1_spark.operators.multimodal import (
+        decode_image_stats,
+        plant_gif_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return decode_image_stats(plant_gif_payloads(docs))
+
+
+@query(
     "x_corr_exact",
     oracle="""
 SELECT event_type,
