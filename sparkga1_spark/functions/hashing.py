@@ -48,6 +48,23 @@ def keyed_hash(h: Column, a: int, b: int) -> Column:
     ).cast("long")
 
 
+def keyed_hash_col(h: Column, seed_col: Column, b: int) -> Column:
+    """keyed_hash with a COLUMN seed (e.g. a sketch depth produced by
+    posexplode) instead of a literal: md5 of '<seed>:<b>:<h>' → 60-bit
+    integer. SQL mirror:
+    CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':<b>:' ||
+    CAST(h AS VARCHAR)), 1, 15)) AS BIGINT)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(seed_col.cast("string"), F.lit(f":{b}:"), h.cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
 def keyed_hash_sql(h_expr: str, a: int, b: int) -> str:
     """DuckDB mirror of keyed_hash."""
     return (

@@ -1,0 +1,62 @@
+"""Deterministic weighted sampling (Efraimidis–Spirakis A-ES).
+
+Training-data curation needs weight-proportional sampling (sample docs
+proportionally to length/quality) that is REPRODUCIBLE: a cluster
+re-run, a resumed pipeline, and the audit oracle must all select the
+same rows. Spark's rand()-based sample() is partition-order dependent;
+the A-ES scheme (Efraimidis & Spirakis 2006, "Weighted random sampling
+with a reservoir") instead gives every row the key u^(1/w) with u
+uniform in (0,1) and takes the global top-k — weight-proportional
+inclusion, no coordination, and u here is derived from a seeded md5 of
+the row id (functions/hashing.py), so the draw is a pure function of
+the data.
+
+Scale shape: one scan computes the key, then TakeOrderedAndProject
+(per-partition top-k, k rows per partition to a k-sized reducer) — no
+full sort, no shuffle of the corpus, identical at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from sparkga1_spark.functions.hashing import keyed_hash
+
+# u is quantized to ~2^20 distinct levels: plenty for sampling, and the
+# SAME rational arithmetic is exactly representable in both engines
+# (the subsequent pow() is the only float op, rounded at the output).
+_U_MOD = 1_048_573  # prime < 2^20
+
+
+def es_key(id_col: Column, weight_col: Column, *, a: int = 41, b: int = 977) -> Column:
+    """The A-ES priority key u^(1/w), u = seeded-hash uniform in (0,1).
+    SQL mirror (keyed_hash_sql for the inner hash):
+    power((kh % 1048573 + 1) / 1048574.0, 1.0 / w)."""
+    u = (keyed_hash(id_col.cast("string"), a, b) % _U_MOD + 1) / F.lit(
+        float(_U_MOD + 1)
+    )
+    return F.pow(u, F.lit(1.0) / weight_col.cast("double"))
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    a: int = 41,
+    b: int = 977,
+) -> DataFrame:
+    """Top-k rows by the A-ES key — a weight-proportional sample
+    without replacement. Key is ROUNDED to 6dp with the id as a
+    tiebreak before the top-k cut so the selected SET is stable under
+    cross-engine pow() ulp differences (the float policy of
+    plans/queries.py applied to the selection itself)."""
+    from sparkga1_spark.functions.numeric import hround
+
+    key = hround(es_key(F.col(id_col), F.col(weight_col), a=a, b=b), 6)
+    return (
+        df.withColumn("es_key", key)
+        .orderBy(F.desc("es_key"), id_col)
+        .limit(k)
+    )

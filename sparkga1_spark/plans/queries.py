@@ -2171,6 +2171,147 @@ def x_multimodal_gif_decode(spark, sf_dir):
 
 
 @query(
+    "x_hll_accuracy_audit",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_bound
+FROM events
+GROUP BY event_type
+""",
+)
+def x_hll_accuracy_audit(spark, sf_dir):
+    """Distinct-count sketch audit, the x_sketch_accuracy_audit /
+    x_minhash_accuracy_audit pattern applied to HyperLogLog++: per
+    event_type, run Spark's approx_count_distinct (rsd 1%) NEXT TO the
+    exact distinct count and assert |est − exact| / exact ≤ 5% as a
+    column the oracle states must be TRUE. HLL registers combine by
+    max (commutative), so the estimate is partition-order-invariant —
+    deterministic enough to gate. The audit exists because the r5 LSH
+    lesson generalizes: a sketch can silently degenerate while every
+    downstream consumer stays plausible; pinning measured error to a
+    bound is the regression net. At 100 TB the exact branch is the
+    expensive one (a distinct shuffle) — production uses the sketch
+    alone; the audit runs on samples."""
+    ev = _events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.01).alias("est"),
+    )
+    within = (
+        F.abs(F.col("est") - F.col("exact_users"))
+        / F.col("exact_users")
+        <= F.lit(0.05)
+    )
+    return agg.select("event_type", "exact_users", within.alias("within_bound"))
+
+
+@query(
+    "x_weighted_sample_es",
+    oracle="""
+WITH w AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) + 1 AS BIGINT) AS weight,
+         CAST(('0x' || substr(md5('41:977:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1048573 + 1 AS un
+  FROM documents
+)
+SELECT doc_id, weight,
+       round(power(un / 1048574.0, 1.0 / weight), 6) AS es_key
+FROM w
+ORDER BY es_key DESC, doc_id
+LIMIT 200
+""",
+)
+def x_weighted_sample_es(spark, sf_dir):
+    """Deterministic weight-proportional sampling (Efraimidis–Spirakis
+    A-ES): each doc gets priority u^(1/w) with w = byte length + 1 and
+    u a seeded-md5 uniform — the top-200 is a weighted sample WITHOUT
+    replacement that is a pure function of the data (re-runs, resumed
+    pipelines, and the oracle all select the same rows; Spark's
+    rand()-based sample() cannot promise any of that). The key is
+    rounded to 6dp with doc_id as tiebreak BEFORE the cut, so the
+    selected set itself is stable under cross-engine pow() ulps. Plan:
+    one scan + TakeOrderedAndProject — per-partition top-200 and a
+    200-row reducer, no corpus shuffle at any scale."""
+    from sparkga1_spark.operators.sampling import weighted_sample_topk
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.octet_length("text") + F.lit(1)).cast("long").alias("weight")
+    )
+    return weighted_sample_topk(docs, "doc_id", "weight", 200)
+
+
+@query(
+    "x_heavy_hitters_cms",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(str_split_regex(trim(text), ' +')) AS token FROM documents
+),
+counts AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY token),
+cells AS (
+  SELECT d.d AS depth, token, cnt,
+         CAST(('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':9176:' ||
+               CAST(CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT)
+                    AS VARCHAR)), 1, 15)) AS BIGINT) % 512 AS bucket
+  FROM counts, (SELECT unnest(generate_series(0, 3)) AS d) d
+),
+sketch AS (
+  SELECT depth, bucket, CAST(sum(cnt) AS BIGINT) AS bc
+  FROM cells GROUP BY depth, bucket
+),
+top AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT 20)
+SELECT c.token, c.cnt AS exact_n,
+       min(s.bc) AS cms_est,
+       CAST(min(s.bc) - c.cnt AS BIGINT) AS overest
+FROM cells c
+JOIN sketch s USING (depth, bucket)
+WHERE c.token IN (SELECT token FROM top)
+GROUP BY c.token, c.cnt
+""",
+)
+def x_heavy_hitters_cms(spark, sf_dir):
+    """Heavy hitters via a count-min sketch (Cormode–Muthukrishnan),
+    audited against exact counts: build a 4×512 mergeable sketch over
+    corpus token frequencies, probe it for the exact top-20 tokens,
+    and emit estimate vs truth with the overestimate (the CMS
+    guarantee est ≥ exact makes `overest` non-negative BY CONSTRUCTION
+    — a hashing drift between build and probe breaks the hash gate
+    immediately). The sketch is 2048 cells REGARDLESS of corpus size —
+    at 100 TB the vocabulary aggregate is the only data-sized stage
+    (identical to x_vocab_topk's), the sketch aggregate is map-side
+    combinable into 2048 rows, and the probe joins a broadcast sketch
+    against the top-k only. Seeded-md5 hashing (functions/hashing.py)
+    keeps every cell bit-reproducible in the DuckDB oracle."""
+    from sparkga1_spark.operators.sketches import (
+        cms_cells,
+        cms_point_estimates,
+        cms_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the vocab aggregate feeds three consumers (sketch build, probe
+    # coordinates, exact top-k) — persist it once instead of paying the
+    # corpus tokenize+shuffle three times
+    counts = tracked_persist(
+        docs.select(F.explode(T.words(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    cells = cms_cells(counts, "token", "cnt")
+    sketch = cms_sketch(cells, "cnt")
+    top = counts.orderBy(F.desc("cnt"), "token").limit(20)
+    probe = cells.join(F.broadcast(top.select("token")), "token")
+    est = cms_point_estimates(probe, sketch, "token", "cnt")
+    return est.select(
+        "token",
+        F.col("cnt").alias("exact_n"),
+        "cms_est",
+        (F.col("cms_est") - F.col("cnt")).cast("long").alias("overest"),
+    )
+
+
+@query(
     "x_corr_exact",
     oracle="""
 SELECT event_type,
@@ -8390,19 +8531,25 @@ def x_sessionize_gaps(spark, sf_dir):
 # (b) ALL 18 round-2-age queries (r5 VERDICT #1 — the only registered
 #     queries whose last driver row is round 2; restoring them to the
 #     window is the round's top task).
-# (c) 27 of the 47 round-3-age queries — the oldest remaining rows,
+# (c) 23 of the 47 round-3-age queries — the oldest remaining rows,
 #     highest-residual-risk first: the 12 money-float TPC-H shapes,
-#     the 4-member ANN family, the 3 r3 multimodal paths, and the 8
-#     curation/dedup/text r3 paths. The other 20 r3-age rows (the
-#     simplest relational/window shapes, listed in COVERAGE.md) carry
-#     full-precision LOCAL_GATE evidence this round and front in r7.
-# That is exactly 5 + 18 + 27 = 50.
+#     the 4-member ANN family, the 3 r3 multimodal paths, and 4 of the
+#     curation/dedup r3 paths. The other 24 r3-age rows (the simplest
+#     relational/window shapes plus x_lang_id / x_text_quality /
+#     x_flatmap_records / x_pipe_external_tool, displaced by the
+#     session-2 additions) carry full-precision LOCAL_GATE evidence
+#     this round and front in r7.
+# That is exactly 9 + 18 + 23 = 50.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
 
 set_gate_order([
-    # (a) new / result-changed this round
+    # (a) new / result-changed this round — session 2 additions first
+    "x_multimodal_gif_decode",
+    "x_heavy_hitters_cms",
+    "x_weighted_sample_es",
+    "x_hll_accuracy_audit",
     "x_multimodal_qoi_decode",
     "x_set_similarity_routed",
     "x_host_pagerank",
@@ -8451,8 +8598,4 @@ set_gate_order([
     "x_curation_write_audit",
     "x_dedup_ngram_jaccard",
     "x_doc_fingerprint",
-    "x_lang_id",
-    "x_text_quality",
-    "x_flatmap_records",
-    "x_pipe_external_tool",
 ])

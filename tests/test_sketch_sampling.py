@@ -1,0 +1,120 @@
+"""Count-min sketch and deterministic weighted sampling properties.
+
+The oracle gate proves the top-20 probe values; these tests pin the
+invariants the gate's fixture cannot see — the CMS overestimate
+guarantee over EVERY key (not just heavy hitters), sketch mergeability
+(the 100 TB property), and the A-ES sample matching an independent
+pure-Python recomputation of the published formula.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+
+def _toy_counts(spark, n=400):
+    rows = [(f"tok{i % 97}_{i % 7}", None) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "token string, _x string")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def test_cms_overestimates_every_key(spark):
+    """est >= exact must hold for ALL keys — the defining CMS
+    guarantee. A seed/width drift between the build and probe stages
+    shows up here as an underestimate on some key even when the top-20
+    gate stays green."""
+    from sparkga1_spark.operators.sketches import (
+        cms_cells,
+        cms_point_estimates,
+        cms_sketch,
+    )
+
+    counts = _toy_counts(spark)
+    cells = cms_cells(counts, "token", "cnt")
+    sketch = cms_sketch(cells, "cnt")
+    est = cms_point_estimates(cells, sketch, "token", "cnt").collect()
+    assert est, "probe produced no rows"
+    assert all(r.cms_est >= r.cnt for r in est)
+    # with 97*... distinct keys in 4x512 cells, at least one collision
+    # should make some estimate strictly larger — if every estimate is
+    # exact the sketch is suspiciously wide (or the probe read exact
+    # counts, not sketch cells)
+    total = counts.agg(F.sum("cnt")).collect()[0][0]
+    assert all(r.cms_est <= total for r in est)
+
+
+def test_cms_sketch_merges_by_cell_sum(spark):
+    """Sketches built on disjoint halves must merge (cell-wise sum)
+    into exactly the whole-corpus sketch — the property that makes the
+    2048-cell summary shippable from 1000 executors."""
+    from sparkga1_spark.operators.sketches import cms_cells, cms_sketch
+
+    counts = _toy_counts(spark).withColumn(
+        "half", (F.crc32(F.col("token")) % 2).cast("int")
+    )
+    whole = cms_sketch(cms_cells(counts, "token", "cnt"), "cnt")
+    halves = [
+        cms_sketch(
+            cms_cells(counts.filter(F.col("half") == i), "token", "cnt"), "cnt"
+        )
+        for i in (0, 1)
+    ]
+    merged = (
+        halves[0]
+        .unionByName(halves[1])
+        .groupBy("depth", "bucket")
+        .agg(F.sum("bc").cast("long").alias("bc"))
+    )
+    w = {(r.depth, r.bucket): r.bc for r in whole.collect()}
+    m = {(r.depth, r.bucket): r.bc for r in merged.collect()}
+    assert w == m
+
+
+def test_weighted_sample_matches_pure_python(spark, sf_dir):
+    """weighted_sample_topk must select exactly the rows an
+    independent Python recomputation of the A-ES key selects (same
+    seeded-md5 u, same u^(1/w), same 6dp rounding + id tiebreak)."""
+    from sparkga1_spark.operators.sampling import _U_MOD, weighted_sample_topk
+    from sparkga1_spark.sources.catalog import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            (F.octet_length("text") + F.lit(1)).cast("long").alias("weight"),
+        )
+    )
+    got = [
+        (r.doc_id, r.weight, r.es_key)
+        for r in weighted_sample_topk(docs, "doc_id", "weight", 25).collect()
+    ]
+
+    rows = docs.collect()
+    expect = []
+    for r in rows:
+        h = int(hashlib.md5(f"41:977:{r.doc_id}".encode()).hexdigest()[:15], 16)
+        u = (h % _U_MOD + 1) / (_U_MOD + 1)
+        key = math.floor(u ** (1.0 / r.weight) * 1e6 + 0.5) / 1e6
+        expect.append((key, r.doc_id, r.weight))
+    expect.sort(key=lambda t: (-t[0], t[1]))
+    expect = [(d, w, k) for k, d, w in expect[:25]]
+    assert got == expect
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Statistical sanity: with weights 1000 vs 1, the heavy rows must
+    dominate the sample (weight-proportional inclusion is the point of
+    A-ES; a uniform-key bug passes determinism tests but fails this)."""
+    from sparkga1_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, 1000 if i < 100 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, weight long")
+    picked = weighted_sample_topk(df, "doc_id", "weight", 50).collect()
+    heavy = sum(1 for r in picked if r.weight == 1000)
+    assert heavy >= 40, f"only {heavy}/50 heavy rows sampled"
