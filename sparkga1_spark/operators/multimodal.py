@@ -698,6 +698,21 @@ def resize_images(
 # --------------------------------------------------------------------------
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a (doc_id, text)-sized projection to the session's
+    full parallelism before entering a Python codec chain. Codec stages
+    are CPU-bound, not scan-bound: a small table often arrives as ONE
+    scan partition (observed at sf0.1 — the whole plant→decode chain
+    ran as a single task on a 32-core session), and the chain inherits
+    the planter's partitioning because back-to-back mapInPandas stages
+    add no exchange. The shuffle moves only ids + text, negligible
+    against the per-row encode/decode CPU; on a real cluster it also
+    decouples codec parallelism from file layout (a 100 TB corpus may
+    still have skewed or few-but-huge files)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def plant_bmp_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     """(doc_id, text) → (doc_id, payload): a real 24-bit BMP whose
     dimensions are closed-form in doc_id (w = id%61+4, h = id%37+4) and
@@ -714,7 +729,7 @@ def plant_bmp_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
                 out.append((doc_id, build_bmp(px)))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return df.mapInPandas(run, schema="doc_id long, payload binary")
+    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
 
 
 def plant_png_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
@@ -739,7 +754,7 @@ def plant_png_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
                 out.append((doc_id, build_png(px, filters=filters)))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return df.mapInPandas(run, schema="doc_id long, payload binary")
+    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
 
 
 IMAGE_STATS_SCHEMA = (
@@ -790,7 +805,7 @@ def plant_wav_payloads(df: DataFrame) -> DataFrame:
                 out.append((doc_id, build_wav(samples, sample_rate=rate)))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return df.mapInPandas(run, schema="doc_id long, payload binary")
+    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
 
 
 def plant_jpeg_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
@@ -813,7 +828,7 @@ def plant_jpeg_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
                 out.append((doc_id, build_jpeg(w, h, entropy)))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return df.mapInPandas(run, schema="doc_id long, payload binary")
+    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
 
 
 # --------------------------------------------------------------------------
@@ -939,7 +954,7 @@ def plant_y4m_payloads(df: DataFrame) -> DataFrame:
                 out.append((doc_id, build_y4m(frames)))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return df.mapInPandas(run, schema="doc_id long, payload binary")
+    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
 
 
 # --------------------------------------------------------------------------
@@ -970,7 +985,9 @@ def build_qoi(pixels) -> bytes:
 
     h, w, c = pixels.shape
     assert c == 3, "build_qoi writes 24-bit RGB"
-    out = [QOI_MAGIC, struct.pack(">IIBB", w, h, 3, 0)]
+    out = bytearray(QOI_MAGIC)
+    out += struct.pack(">IIBB", w, h, 3, 0)
+    emit = out.append
     # Spec inits: the color index is ZEROED ({0,0,0,0} per qoi.c's
     # QOI_ZEROARR); only the previous pixel starts as (0,0,0,255).
     # Review-caught: initializing the index to (0,0,0,255) made the
@@ -980,6 +997,7 @@ def build_qoi(pixels) -> bytes:
     # transparent black for those pixels).
     index = [(0, 0, 0, 0)] * 64
     prev = (0, 0, 0, 255)
+    pr = pg = pb = 0
     run = 0
     flat = pixels.reshape(-1, 3).tolist()
     for r, g, b in flat:
@@ -987,37 +1005,40 @@ def build_qoi(pixels) -> bytes:
         if px == prev:
             run += 1
             if run == 62:
-                out.append(bytes([0xC0 | (run - 1)]))
+                emit(0xC0 | (run - 1))
                 run = 0
             continue
         if run:
-            out.append(bytes([0xC0 | (run - 1)]))
+            emit(0xC0 | (run - 1))
             run = 0
-        k = _qoi_hash(r, g, b, 255)
+        k = (r * 3 + g * 5 + b * 7 + 2805) % 64  # _qoi_hash with a=255
         if index[k] == px:
-            out.append(bytes([k]))
+            emit(k)
         else:
             index[k] = px
-            dr = (r - prev[0] + 128) % 256 - 128
-            dg = (g - prev[1] + 128) % 256 - 128
-            db = (b - prev[2] + 128) % 256 - 128
+            dr = (r - pr + 128) % 256 - 128
+            dg = (g - pg + 128) % 256 - 128
+            db = (b - pb + 128) % 256 - 128
             if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
-                out.append(bytes([0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2)]))
+                emit(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
             elif (
                 -32 <= dg <= 31
                 and -8 <= dr - dg <= 7
                 and -8 <= db - dg <= 7
             ):
-                out.append(
-                    bytes([0x80 | (dg + 32), ((dr - dg + 8) << 4) | (db - dg + 8)])
-                )
+                emit(0x80 | (dg + 32))
+                emit(((dr - dg + 8) << 4) | (db - dg + 8))
             else:
-                out.append(bytes([0xFE, r, g, b]))
+                emit(0xFE)
+                emit(r)
+                emit(g)
+                emit(b)
         prev = px
+        pr, pg, pb = r, g, b
     if run:
-        out.append(bytes([0xC0 | (run - 1)]))
-    out.append(_QOI_END)
-    return b"".join(out)
+        emit(0xC0 | (run - 1))
+    out += _QOI_END
+    return bytes(out)
 
 
 def parse_qoi_meta(data: bytes) -> tuple[int, int, int]:
@@ -1040,7 +1061,10 @@ def parse_qoi(data: bytes):
 
     w, h, channels = parse_qoi_meta(data)
     n = w * h
-    out = np.zeros((n, channels), np.uint8)
+    # accumulate into a flat bytearray — per-pixel numpy row assignment
+    # dominated the decode profile (~µs per element); one frombuffer at
+    # the end is the cheap path
+    out = bytearray(n * channels)
     index = [(0, 0, 0, 0)] * 64  # spec zero-init; prev alone is opaque black
     r, g, b, a = 0, 0, 0, 255
     pos, i = 14, 0
@@ -1082,21 +1106,27 @@ def parse_qoi(data: bytes):
             run = (tag & 0x3F) + 1
             if i + run > n:
                 raise ValueError("QOI run overflows the raster")
-            px = (r, g, b, a)[:channels]
-            out[i : i + run] = px
+            px = bytes((r, g, b, a)[:channels])
+            out[i * channels : (i + run) * channels] = px * run
             i += run
             # qoi.c indexes the current pixel on EVERY chunk read,
             # INCLUDING RUN — review-caught: skipping it diverges on
             # spec-valid foreign streams whose first chunk is a RUN of
             # the initial (0,0,0,255) pixel followed by INDEX 53
-            index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
+            index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
             continue
-        index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
-        out[i] = (r, g, b, a)[:channels]
+        index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+        j = i * channels
+        out[j] = r
+        out[j + 1] = g
+        out[j + 2] = b
+        if channels == 4:
+            out[j + 3] = a
         i += 1
     if data[end:] != _QOI_END:
         raise ValueError("missing QOI end marker")
-    return w, h, out.reshape(h, w, channels).copy()
+    px = np.frombuffer(bytes(out), np.uint8)
+    return w, h, px.reshape(h, w, channels).copy()
 
 
 def plant_qoi_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
@@ -1119,7 +1149,7 @@ def plant_qoi_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
                 out.append((doc_id, build_qoi(px)))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return df.mapInPandas(run, schema="doc_id long, payload binary")
+    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
 
 
 # --------------------------------------------------------------------------
@@ -1384,4 +1414,4 @@ def plant_gif_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
                 out.append((doc_id, build_gif(idx, w, h)))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return df.mapInPandas(run, schema="doc_id long, payload binary")
+    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
