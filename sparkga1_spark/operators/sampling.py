@@ -60,3 +60,34 @@ def weighted_sample_topk(
         .orderBy(F.desc("es_key"), id_col)
         .limit(k)
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    a: int = 41,
+    b: int = 977,
+) -> DataFrame:
+    """Stratified A-ES: an independent weight-proportional top-k per
+    group (curation samples per SOURCE, not globally — a global cut
+    would let one giant crawl starve every small high-quality source).
+    row_number over (group, key desc, id) then rank ≤ k: the window
+    partitions by group, so no group's rows ever gather beyond one
+    partition — skew-safe as long as single groups fit a partition,
+    the same envelope every per-source operator here shares."""
+    from pyspark.sql import Window
+
+    from sparkga1_spark.functions.numeric import hround
+
+    key = hround(es_key(F.col(id_col), F.col(weight_col), a=a, b=b), 6)
+    w = Window.partitionBy(group_col).orderBy(F.desc("es_key"), id_col)
+    return (
+        df.withColumn("es_key", key)
+        .withColumn("es_rank", F.row_number().over(w))
+        .filter(F.col("es_rank") <= k)
+        .drop("es_rank")
+    )

@@ -2171,6 +2171,48 @@ def x_multimodal_gif_decode(spark, sf_dir):
 
 
 @query(
+    "x_stratified_sample_es",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, source,
+         CAST(octet_length(encode(text)) + 1 AS BIGINT) AS weight,
+         CAST(('0x' || substr(md5('41:977:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1048573 + 1 AS un
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, source, weight,
+         round(power(un / 1048574.0, 1.0 / weight), 6) AS es_key
+  FROM w
+)
+SELECT doc_id, source, weight, es_key
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY source ORDER BY es_key DESC, doc_id) AS rn
+  FROM keyed
+)
+WHERE rn <= 10
+""",
+)
+def x_stratified_sample_es(spark, sf_dir):
+    """Stratified deterministic weighted sampling: an independent A-ES
+    top-10 per SOURCE (x_weighted_sample_es is the global cut; curation
+    samples per source so one giant crawl cannot starve small
+    high-quality sources). Same seeded-md5 key, same 6dp+id-tiebreak
+    stability rule applied inside each stratum; the window partitions
+    by source, so the plan is one shuffle on the group key and no
+    group ever converges beyond its own partition."""
+    from sparkga1_spark.operators.sampling import weighted_sample_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (F.octet_length("text") + F.lit(1)).cast("long").alias("weight"),
+    )
+    return weighted_sample_per_group(docs, "source", "doc_id", "weight", 10)
+
+
+@query(
     "x_hll_accuracy_audit",
     oracle="""
 SELECT event_type,
@@ -8531,15 +8573,15 @@ def x_sessionize_gaps(spark, sf_dir):
 # (b) ALL 18 round-2-age queries (r5 VERDICT #1 — the only registered
 #     queries whose last driver row is round 2; restoring them to the
 #     window is the round's top task).
-# (c) 23 of the 47 round-3-age queries — the oldest remaining rows,
+# (c) 22 of the 47 round-3-age queries — the oldest remaining rows,
 #     highest-residual-risk first: the 12 money-float TPC-H shapes,
 #     the 4-member ANN family, the 3 r3 multimodal paths, and 4 of the
 #     curation/dedup r3 paths. The other 24 r3-age rows (the simplest
 #     relational/window shapes plus x_lang_id / x_text_quality /
-#     x_flatmap_records / x_pipe_external_tool, displaced by the
-#     session-2 additions) carry full-precision LOCAL_GATE evidence
-#     this round and front in r7.
-# That is exactly 9 + 18 + 23 = 50.
+#     x_flatmap_records / x_pipe_external_tool / x_doc_fingerprint,
+#     displaced by the session-2 additions) carry full-precision
+#     LOCAL_GATE evidence this round and front in r7.
+# That is exactly 10 + 18 + 22 = 50.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
@@ -8548,6 +8590,7 @@ set_gate_order([
     # (a) new / result-changed this round — session 2 additions first
     "x_multimodal_gif_decode",
     "x_heavy_hitters_cms",
+    "x_stratified_sample_es",
     "x_weighted_sample_es",
     "x_hll_accuracy_audit",
     "x_multimodal_qoi_decode",
@@ -8597,5 +8640,4 @@ set_gate_order([
     "x_curation_pipeline",
     "x_curation_write_audit",
     "x_dedup_ngram_jaccard",
-    "x_doc_fingerprint",
 ])
