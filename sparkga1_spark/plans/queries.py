@@ -2170,6 +2170,64 @@ def x_multimodal_gif_decode(spark, sf_dir):
     return decode_image_stats(plant_gif_payloads(docs))
 
 
+def _bpe_oracle(rounds: int = 5) -> str:
+    """Unrolled DuckDB mirror of bpe_train_merges: rounds × (pair
+    count → argmax → replace) as chained CTEs. Built by a loop so the
+    SQL cannot drift from the round count the Spark side runs."""
+    parts = [
+        """WITH wf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS f
+  FROM (SELECT unnest(str_split_regex(trim(text), ' +')) AS w FROM documents)
+  GROUP BY w
+),
+s0 AS (SELECT array_to_string(str_split(w, ''), ' ') AS s, f FROM wf)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+p{r} AS (
+  SELECT pr, CAST(sum(f) AS BIGINT) AS cnt FROM (
+    SELECT f, unnest([l[i] || ' ' || l[i + 1]
+                      for i in generate_series(1, len(l) - 1)]) AS pr
+    FROM (SELECT str_split(s, ' ') AS l, f FROM s{r - 1})
+  ) GROUP BY pr
+),
+m{r} AS (SELECT {r} AS rnd, pr, replace(pr, ' ', '') AS merged, cnt
+         FROM p{r} ORDER BY cnt DESC, pr LIMIT 1),
+s{r} AS (SELECT replace(s, (SELECT pr FROM m{r}), (SELECT merged FROM m{r})) AS s, f
+         FROM s{r - 1})"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT rnd, pr AS pair, merged, cnt AS wcount FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "".join(parts) + "\n" + sel
+
+
+@query("x_bpe_train_merges", oracle=_bpe_oracle(5))
+def x_bpe_train_merges(spark, sf_dir):
+    """The actual BPE TRAINER (Sennrich et al. 2016), not just one
+    round of pair stats (that is x_bpe_pair_counts): five iterations
+    of weighted-pair-count → deterministic argmax (count desc, pair
+    asc) → merge-applied-everywhere, run on the word-frequency table.
+    The corpus is shuffled ONCE (the same vocab aggregate every token
+    query pays); each round is vocabulary-sized and the driver pulls
+    one argmax row per round (the k-means collect precedent). Output
+    pins every round's full cycle: round, winning pair, merged symbol,
+    and the weighted count that justified the merge. The oracle is the
+    same five rounds unrolled as chained CTEs — generated by a loop so
+    Spark rounds and SQL rounds cannot drift."""
+    from sparkga1_spark.operators.tokenizer import bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(T.words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    return bpe_train_merges(spark, wf, rounds=5)
+
+
 @query(
     "x_stratified_sample_es",
     oracle="""
@@ -8573,15 +8631,16 @@ def x_sessionize_gaps(spark, sf_dir):
 # (b) ALL 18 round-2-age queries (r5 VERDICT #1 — the only registered
 #     queries whose last driver row is round 2; restoring them to the
 #     window is the round's top task).
-# (c) 22 of the 47 round-3-age queries — the oldest remaining rows,
+# (c) 21 of the 47 round-3-age queries — the oldest remaining rows,
 #     highest-residual-risk first: the 12 money-float TPC-H shapes,
 #     the 4-member ANN family, the 3 r3 multimodal paths, and 4 of the
 #     curation/dedup r3 paths. The other 24 r3-age rows (the simplest
 #     relational/window shapes plus x_lang_id / x_text_quality /
-#     x_flatmap_records / x_pipe_external_tool / x_doc_fingerprint,
-#     displaced by the session-2 additions) carry full-precision
-#     LOCAL_GATE evidence this round and front in r7.
-# That is exactly 10 + 18 + 22 = 50.
+#     x_flatmap_records / x_pipe_external_tool / x_doc_fingerprint /
+#     x_dedup_ngram_jaccard, displaced by the session-2 additions)
+#     carry full-precision LOCAL_GATE evidence this round and front
+#     in r7.
+# That is exactly 11 + 18 + 21 = 50.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
@@ -8589,6 +8648,7 @@ from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
 set_gate_order([
     # (a) new / result-changed this round — session 2 additions first
     "x_multimodal_gif_decode",
+    "x_bpe_train_merges",
     "x_heavy_hitters_cms",
     "x_stratified_sample_es",
     "x_weighted_sample_es",
@@ -8639,5 +8699,4 @@ set_gate_order([
     "x_multimodal_y4m_frames",
     "x_curation_pipeline",
     "x_curation_write_audit",
-    "x_dedup_ngram_jaccard",
 ])

@@ -118,3 +118,35 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     picked = weighted_sample_topk(df, "doc_id", "weight", 50).collect()
     heavy = sum(1 for r in picked if r.weight == 1000)
     assert heavy >= 40, f"only {heavy}/50 heavy rows sampled"
+
+
+def test_bpe_trainer_matches_pure_python(spark):
+    """bpe_train_merges must learn exactly the merges a from-scratch
+    pure-Python BPE (count overlapping adjacent pairs weighted by word
+    freq; argmax by count desc then pair asc; left-to-right
+    non-overlapping replace) learns on the same vocabulary."""
+    from sparkga1_spark.operators.tokenizer import bpe_train_merges
+
+    vocab = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3), ("a", 1)]
+    wf = spark.createDataFrame(vocab, "w string, f long")
+    got = [
+        (r.rnd, r.pair, r.merged, r.wcount)
+        for r in bpe_train_merges(spark, wf, rounds=6).collect()
+    ]
+
+    words = {" ".join(w): f for w, f in vocab}
+    expect = []
+    for rnd in range(1, 7):
+        pc: dict[str, int] = {}
+        for s, f in words.items():
+            sym = s.split(" ")
+            for i in range(len(sym) - 1):
+                pr = sym[i] + " " + sym[i + 1]
+                pc[pr] = pc.get(pr, 0) + f
+        if not pc:
+            break
+        pair = min(pc, key=lambda p: (-pc[p], p))
+        merged = pair.replace(" ", "")
+        expect.append((rnd, pair, merged, pc[pair]))
+        words = {s.replace(pair, merged): f for s, f in words.items()}
+    assert got == expect
