@@ -82,6 +82,12 @@ HEADLINE = [
     "x_set_similarity_routed",
     "x_multimodal_qoi_decode",
     "x_graph_triangles",
+    # round 6 session 2: the GIF LZW codec chain (third real compressed
+    # format), the CMS build+probe composition, and the iterative BPE
+    # trainer (5 count→argmax→merge rounds over the vocab table)
+    "x_multimodal_gif_decode",
+    "x_heavy_hitters_cms",
+    "x_bpe_train_merges",
 ]
 
 # CONVENTION (r5 VERDICT #8): the headline set only ever GROWS —
