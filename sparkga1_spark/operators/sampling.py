@@ -31,11 +31,24 @@ _U_MOD = 1_048_573  # prime < 2^20
 def es_key(id_col: Column, weight_col: Column, *, a: int = 41, b: int = 977) -> Column:
     """The A-ES priority key u^(1/w), u = seeded-hash uniform in (0,1).
     SQL mirror (keyed_hash_sql for the inner hash):
-    power((kh % 1048573 + 1) / 1048574.0, 1.0 / w)."""
+    power((kh % 1048573 + 1) / 1048574.0, 1.0 / w).
+
+    Weights must be strictly positive: w = 0 degenerates to u^inf and
+    w < 0 to keys > 1 that OUTRANK every valid row — silent
+    selection-bias garbage, so invalid weights raise at runtime
+    instead (the round's validate-at-the-operator precedent)."""
     u = (keyed_hash(id_col.cast("string"), a, b) % _U_MOD + 1) / F.lit(
         float(_U_MOD + 1)
     )
-    return F.pow(u, F.lit(1.0) / weight_col.cast("double"))
+    w = F.when(
+        weight_col <= 0,
+        F.raise_error(
+            F.concat(
+                F.lit("es_key: non-positive weight for id "), id_col.cast("string")
+            )
+        ).cast("double"),
+    ).otherwise(weight_col.cast("double"))
+    return F.pow(u, F.lit(1.0) / w)
 
 
 def weighted_sample_topk(

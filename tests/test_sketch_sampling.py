@@ -150,3 +150,17 @@ def test_bpe_trainer_matches_pure_python(spark):
         expect.append((rnd, pair, merged, pc[pair]))
         words = {s.replace(pair, merged): f for s, f in words.items()}
     assert got == expect
+
+
+def test_weighted_sample_rejects_nonpositive_weights(spark):
+    """w <= 0 must raise, not silently outrank every valid row (w < 0
+    yields keys > 1; w = 0 yields u^inf)."""
+    import pytest as _pytest
+
+    from sparkga1_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, 5)], "doc_id long, weight long"
+    )
+    with _pytest.raises(Exception, match="non-positive weight"):
+        weighted_sample_topk(df, "doc_id", "weight", 2).collect()
