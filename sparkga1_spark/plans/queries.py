@@ -5336,6 +5336,107 @@ def x_unigram_logprob(spark, sf_dir):
 
 
 @query(
+    "x_bigram_lm_logprob",
+    oracle="""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(trim(text), ' +'), x -> x <> '') AS a
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, a[i - 1] AS w1, a[i] AS w2
+  FROM (SELECT doc_id, a, unnest(generate_series(2, len(a))) AS i FROM arr)
+),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(a) AS w FROM arr) GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY w1, w2),
+scored AS (
+  SELECT bi.doc_id,
+         CAST(floor(ln(0.75 * big.c12 / u1.c
+                       + 0.25 * u2.c / CAST((SELECT n FROM tot) AS DOUBLE))
+                    * 1000000000 + 0.5) AS BIGINT) AS slp
+  FROM bi
+  JOIN big USING (w1, w2)
+  JOIN uni u1 ON u1.w = bi.w1
+  JOIN uni u2 ON u2.w = bi.w2
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(slp) AS DOUBLE) / count(*) / 1000000000, 6)
+           AS avg_logprob
+FROM scored GROUP BY doc_id
+""",
+)
+def x_bigram_lm_logprob(spark, sf_dir):
+    """Interpolated bigram LM quality scoring — the order-2 upgrade of
+    x_unigram_logprob and the public-recipe stand-in for CCNet-style
+    KenLM perplexity filtering: p(w2|w1) = 0.75·c12/c1 + 0.25·c2/N,
+    per-doc mean log-prob. Bigrams are built ARRAY-SIDE (sequence +
+    element_at off the token array, map-only) so no per-doc window/
+    lag shuffle exists; the bigram count join shuffles on the bigram
+    key (the x_bigram_pmi shape, corpus-bounded), unigram probs ride a
+    broadcast vocab table. Interpolation weights 0.75/0.25 are exact
+    binary fractions and every op before ln() is a correctly-rounded
+    IEEE step, so both engines compute the identical double; each ln
+    is nano-snapped BEFORE the per-doc sum (exact integer
+    accumulation, the dsum lesson applied to logs). Docs with fewer
+    than two tokens produce no bigrams and drop out on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = docs.select(
+        "doc_id",
+        F.filter(F.split(F.trim(F.col("text")), " +"), lambda x: x != "").alias(
+            "a"
+        ),
+    )
+    bi = (
+        arr.filter(F.size("a") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(a)),"
+                    " i -> struct(element_at(a, i - 1) AS w1,"
+                    "             element_at(a, i) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    uni = arr.select(F.explode("a").alias("w")).groupBy("w").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("n"))
+    big = bi.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    p = (
+        F.lit(0.75) * F.col("c12") / F.col("c1")
+        + F.lit(0.25) * F.col("c2") / F.col("n").cast("double")
+    )
+    scored = (
+        bi.join(big, ["w1", "w2"])
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.floor(F.log(p) * 1_000_000_000 + 0.5).cast("long").alias("slp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        hround(
+            F.sum("slp").cast("double") / F.count("*") / 1_000_000_000, 6
+        ).alias("avg_logprob"),
+    )
+
+
+@query(
     "x_per_source_cap",
     oracle="""
 WITH ranked AS (
@@ -8631,16 +8732,16 @@ def x_sessionize_gaps(spark, sf_dir):
 # (b) ALL 18 round-2-age queries (r5 VERDICT #1 — the only registered
 #     queries whose last driver row is round 2; restoring them to the
 #     window is the round's top task).
-# (c) 21 of the 47 round-3-age queries — the oldest remaining rows,
+# (c) 20 of the 47 round-3-age queries — the oldest remaining rows,
 #     highest-residual-risk first: the 12 money-float TPC-H shapes,
 #     the 4-member ANN family, the 3 r3 multimodal paths, and 4 of the
 #     curation/dedup r3 paths. The other 24 r3-age rows (the simplest
 #     relational/window shapes plus x_lang_id / x_text_quality /
 #     x_flatmap_records / x_pipe_external_tool / x_doc_fingerprint /
-#     x_dedup_ngram_jaccard, displaced by the session-2 additions)
-#     carry full-precision LOCAL_GATE evidence this round and front
-#     in r7.
-# That is exactly 11 + 18 + 21 = 50.
+#     x_dedup_ngram_jaccard / x_curation_write_audit, displaced by
+#     the session-2 additions) carry full-precision LOCAL_GATE
+#     evidence this round and front in r7.
+# That is exactly 12 + 18 + 20 = 50.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
@@ -8649,6 +8750,7 @@ set_gate_order([
     # (a) new / result-changed this round — session 2 additions first
     "x_multimodal_gif_decode",
     "x_bpe_train_merges",
+    "x_bigram_lm_logprob",
     "x_heavy_hitters_cms",
     "x_stratified_sample_es",
     "x_weighted_sample_es",
@@ -8698,5 +8800,4 @@ set_gate_order([
     "x_multimodal_wav_features",
     "x_multimodal_y4m_frames",
     "x_curation_pipeline",
-    "x_curation_write_audit",
 ])
