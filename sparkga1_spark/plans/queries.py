@@ -5412,16 +5412,14 @@ def x_bigram_lm_logprob(spark, sf_dir):
         F.lit(0.75) * F.col("c12") / F.col("c1")
         + F.lit(0.25) * F.col("c2") / F.col("n").cast("double")
     )
+    # no broadcast HINT on the unigram joins: AQE broadcasts them while
+    # the vocab fits (it does at every gate/bench SF) and degrades to a
+    # shuffle join when a 100 TB vocabulary outgrows the threshold —
+    # forcing broadcast here would pin a scale hazard into the plan
     scored = (
         bi.join(big, ["w1", "w2"])
-        .join(
-            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))),
-            "w1",
-        )
-        .join(
-            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))),
-            "w2",
-        )
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
