@@ -1283,6 +1283,9 @@ def build_gif(indices, width: int, height: int) -> bytes:
     closed form the oracle states."""
     import struct
 
+    indices = bytes(bytearray(indices))
+    if len(indices) != width * height:
+        raise ValueError("build_gif: index count != width*height")
     out = bytearray()
     out += b"GIF87a"
     # logical screen: global color table flag set, 8 bits/pixel, 256 entries
@@ -1291,7 +1294,7 @@ def build_gif(indices, width: int, height: int) -> bytes:
         out += bytes((i, i, i))
     out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
     out.append(8)  # LZW minimum code size
-    codes = _lzw_encode(bytes(bytearray(indices)), 8)
+    codes = _lzw_encode(indices, 8)
     for off in range(0, len(codes), 255):
         chunk = codes[off : off + 255]
         out.append(len(chunk))
@@ -1385,8 +1388,30 @@ def parse_gif(data: bytes):
             raise ValueError("truncated GIF data sub-block")
         chunks.append(data[pos : pos + ln])
         pos += ln
-    if pos >= len(data) or data[pos] != 0x3B:
-        raise ValueError("missing GIF trailer")
+    # after the image: real GIF89a files may carry trailing extension
+    # blocks (comments, app extensions) before the trailer — skip them;
+    # a SECOND image descriptor is an animation, refused honestly
+    while True:
+        if pos >= len(data):
+            raise ValueError("missing GIF trailer")
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x2C:
+            raise ValueError("multi-frame (animated) GIF unsupported")
+        if block != 0x21:
+            raise ValueError(f"unknown GIF block 0x{block:02x} after image")
+        if pos >= len(data):
+            raise ValueError("truncated GIF extension")
+        pos += 1
+        while True:
+            if pos >= len(data):
+                raise ValueError("truncated GIF extension sub-blocks")
+            ln = data[pos]
+            pos += 1 + ln
+            if ln == 0:
+                break
     indices = np.frombuffer(
         _lzw_decode(b"".join(chunks), min_code_size, w * h), np.uint8
     )

@@ -698,3 +698,31 @@ def test_gif_decode_dispatch_real_not_fake():
     data = build_gif(idx, 7, 6)
     assert _decode_image_meta(data) == (7, 6, 3, "GIF")
     assert (_decode_image_pixels(data) == idx.reshape(6, 7)[:, :, None]).all()
+
+
+def test_gif_trailing_blocks_and_animation_refusal():
+    """Real GIF89a files carry trailing comment/application extensions
+    between the image and the trailer — the decoder must skip them; a
+    second image descriptor (animation) must refuse with the honest
+    message, not 'missing trailer'; build_gif must reject an index
+    count that disagrees with the declared dimensions."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkga1_spark.operators.multimodal import build_gif, parse_gif
+
+    idx = np.arange(64, dtype=np.uint8)
+    g = build_gif(idx, 8, 8)
+    assert g.endswith(b"\x3b")
+    body, trailer = g[:-1], g[-1:]
+    comment = b"\x21\xfe\x05hello\x00"  # comment extension + terminator
+    W, H, px = parse_gif(body + comment + trailer)
+    assert (px == idx.reshape(8, 8)[:, :, None]).all()
+
+    # a second image descriptor after the first = animation → refuse
+    second = b"\x2c" + b"\x00" * 9
+    with _pytest.raises(ValueError, match="animated"):
+        parse_gif(body + second + trailer)
+
+    with _pytest.raises(ValueError, match="index count"):
+        build_gif(idx, 8, 9)
