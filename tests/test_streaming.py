@@ -802,3 +802,35 @@ def test_foreach_batch_torn_tmp_never_counts_as_committed(spark, tmp_path):
     assert committed_batches(table, "wa") == {0}
     # a real entry from ANY writer now counts for the bootstrap guard
     assert _any_committed_batches(table)
+
+
+def test_stream_cms_cells_match_batch(spark, sf_dir, event_stream_schema, events_dir):
+    """Streaming count-min sketch: because CMS cells merge by SUM, the
+    sketch built incrementally over micro-batches (complete-mode
+    aggregate) must equal the batch sketch EXACTLY, cell for cell —
+    the property that lets a 1000-executor stream maintain a 2048-cell
+    heavy-hitter summary with no reconciliation step."""
+    from sparkga1_spark.operators.sketches import cms_cells, cms_sketch
+    from sparkga1_spark.sources.catalog import load_table
+    from sparkga1_spark.streaming.ingest import run_complete_to_memory, stream_events
+
+    def sketch_of(df):
+        # ONE stateful aggregate: every event feeds its 4 cells with
+        # cnt=1 (a pre-count stage would chain two stateful aggs, which
+        # Spark's streaming correctness check rejects)
+        rows = df.select(
+            F.col("event_type").alias("k"), F.lit(1).cast("long").alias("cnt")
+        )
+        return cms_sketch(cms_cells(rows, "k", "cnt"), "cnt")
+
+    stream = stream_events(spark, events_dir, event_stream_schema)
+    run_complete_to_memory(sketch_of(stream), "t_cms")
+    got = {
+        (r.depth, r.bucket): r.bc
+        for r in spark.sql("SELECT * FROM t_cms").collect()
+    }
+    want = {
+        (r.depth, r.bucket): r.bc
+        for r in sketch_of(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got == want and got
