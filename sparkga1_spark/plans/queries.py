@@ -5412,20 +5412,24 @@ def x_bigram_lm_logprob(spark, sf_dir):
         F.lit(0.75) * F.col("c12") / F.col("c1")
         + F.lit(0.25) * F.col("c2") / F.col("n").cast("double")
     )
-    # no broadcast HINT on the unigram joins: AQE broadcasts them while
-    # the vocab fits (it does at every gate/bench SF) and degrades to a
-    # shuffle join when a 100 TB vocabulary outgrows the threshold —
-    # forcing broadcast here would pin a scale hazard into the plan
-    scored = (
-        bi.join(big, ["w1", "w2"])
-        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+    # score each DISTINCT bigram once (the score table is corpus-
+    # bounded like the count table), then join the occurrence stream a
+    # single time — joining the stream against uni twice would shuffle
+    # the corpus token stream three times instead of once. No broadcast
+    # HINT on the unigram joins: AQE broadcasts while the vocab fits
+    # and degrades to a shuffle join when a 100 TB vocabulary outgrows
+    # the threshold — forcing broadcast would pin a scale hazard.
+    pair_scores = (
+        big.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
         .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
         .crossJoin(F.broadcast(tot))
         .select(
-            "doc_id",
+            "w1",
+            "w2",
             F.floor(F.log(p) * 1_000_000_000 + 0.5).cast("long").alias("slp"),
         )
     )
+    scored = bi.join(pair_scores, ["w1", "w2"]).select("doc_id", "slp")
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_bigrams"),
         hround(
