@@ -248,6 +248,62 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    rows: DataFrame,
+    *,
+    id_col: str,
+    hash_col: str = "h",
+    threshold_num: int,
+    threshold_den: int,
+) -> DataFrame:
+    """DIRECTIONAL containment near-dup over shingle ROWS:
+    c(a→b) = |A∩B| / |A| ≥ num/den, emitted as (id_contained,
+    id_container). The asymmetric complement of jaccard_pairs: a short
+    document quoted inside a much longer one has high containment but
+    LOW Jaccard (the union is dominated by the container), so both
+    symmetric dedup AND MinHash-LSH — whose collision probability
+    tracks Jaccard — structurally miss it. Exact shingle equi-join +
+    pure-integer keep predicate den*inter >= num*|A| (no float in the
+    cut); at corpus scale run it on candidates from a containment-
+    aware sketch (bottom-k of the SMALLER side) rather than the raw
+    self-join, same envelope note as jaccard_pairs."""
+    num, den = int(threshold_num), int(threshold_den)
+    if num <= 0 or den <= 0 or num > den:
+        raise ValueError("containment threshold must satisfy 0 < num/den <= 1")
+    rows = tracked_persist(rows)
+    sizes = rows.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    l, r = rows.alias("l"), rows.alias("r")
+    inter = (
+        l.join(
+            r,
+            (F.col(f"l.{hash_col}") == F.col(f"r.{hash_col}"))
+            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_contained"),
+            F.col(f"r.{id_col}").alias("id_container"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    withsz = inter.join(
+        sizes.withColumnRenamed(id_col, "id_contained").withColumnRenamed(
+            "_sz", "sz_a"
+        ),
+        "id_contained",
+    )
+    return (
+        withsz.filter(F.lit(den) * F.col("n_shared") >= F.lit(num) * F.col("sz_a"))
+        .select(
+            "id_contained",
+            "id_container",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            hround(F.col("n_shared").cast("double") / F.col("sz_a"), 6).alias(
+                "containment"
+            ),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     *,

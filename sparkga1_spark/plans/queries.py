@@ -943,6 +943,36 @@ def x_dedup_ngram_jaccard(spark, sf_dir):
 
 
 @query(
+    "x_dedup_containment",
+    oracle=f"""
+WITH doc_shingles AS ({DOC_SHINGLES_SQL}),
+exploded AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS h FROM doc_shingles)
+SELECT id_contained, id_container, n_shared, containment FROM (
+  SELECT l.doc_id AS id_contained, r.doc_id AS id_container,
+         CAST(count(*) AS BIGINT) AS n_shared,
+         any_value(l.sz) AS sz_a,
+         round(CAST(count(*) AS DOUBLE) / any_value(l.sz), 6) AS containment
+  FROM exploded l JOIN exploded r ON l.h = r.h AND l.doc_id <> r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+)
+WHERE 10 * n_shared >= 9 * sz_a
+""",
+)
+def x_dedup_containment(spark, sf_dir):
+    """Directional containment near-dup at c = |A∩B|/|A| ≥ 0.9 (word
+    3-gram shingles): catches a short document quoted inside a longer
+    one — high containment, LOW Jaccard (union dominated by the
+    container), so both x_dedup_ngram_jaccard and the MinHash-LSH
+    route — whose collision probability tracks Jaccard — structurally
+    miss the case. Pure-integer keep predicate 10·inter ≥ 9·|A|; the
+    fixture's planted near-twins make both directions non-vacuous."""
+    rows = _doc_shingle_rows(spark, sf_dir)
+    return D.containment_pairs(
+        rows, id_col="doc_id", threshold_num=9, threshold_den=10
+    )
+
+
+@query(
     "x_dedup_simhash",
     oracle=f"""
 WITH doc_shingles AS ({DOC_SHINGLES_SQL})
@@ -8734,16 +8764,16 @@ def x_sessionize_gaps(spark, sf_dir):
 # (b) ALL 18 round-2-age queries (r5 VERDICT #1 — the only registered
 #     queries whose last driver row is round 2; restoring them to the
 #     window is the round's top task).
-# (c) 20 of the 47 round-3-age queries — the oldest remaining rows,
+# (c) 19 of the 47 round-3-age queries — the oldest remaining rows,
 #     highest-residual-risk first: the 12 money-float TPC-H shapes,
 #     the 4-member ANN family, the 3 r3 multimodal paths, and 4 of the
 #     curation/dedup r3 paths. The other 24 r3-age rows (the simplest
 #     relational/window shapes plus x_lang_id / x_text_quality /
 #     x_flatmap_records / x_pipe_external_tool / x_doc_fingerprint /
-#     x_dedup_ngram_jaccard / x_curation_write_audit, displaced by
-#     the session-2 additions) carry full-precision LOCAL_GATE
-#     evidence this round and front in r7.
-# That is exactly 12 + 18 + 20 = 50.
+#     x_dedup_ngram_jaccard / x_curation_write_audit /
+#     x_curation_pipeline, displaced by the session-2 additions) carry
+#     full-precision LOCAL_GATE evidence this round and front in r7.
+# That is exactly 13 + 18 + 19 = 50.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
@@ -8753,6 +8783,7 @@ set_gate_order([
     "x_multimodal_gif_decode",
     "x_bpe_train_merges",
     "x_bigram_lm_logprob",
+    "x_dedup_containment",
     "x_heavy_hitters_cms",
     "x_stratified_sample_es",
     "x_weighted_sample_es",
@@ -8801,5 +8832,4 @@ set_gate_order([
     "x_multimodal_bmp_decode",
     "x_multimodal_wav_features",
     "x_multimodal_y4m_frames",
-    "x_curation_pipeline",
 ])

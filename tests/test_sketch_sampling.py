@@ -164,3 +164,24 @@ def test_weighted_sample_rejects_nonpositive_weights(spark):
     )
     with _pytest.raises(Exception, match="non-positive weight"):
         weighted_sample_topk(df, "doc_id", "weight", 2).collect()
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A 12-shingle doc fully contained in a 200-shingle doc:
+    containment(a→b) = 1.0 but Jaccard = 12/200 = 0.06 — jaccard_pairs
+    at tau=0.5 must NOT pair them, containment_pairs at 0.9 MUST, and
+    only in the contained→container direction."""
+    from sparkga1_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    rows = [(1, h) for h in range(12)] + [(2, h) for h in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, h long")
+
+    jac = jaccard_pairs(df, id_col="doc_id", threshold=0.5).collect()
+    assert jac == []
+
+    cont = containment_pairs(
+        df, id_col="doc_id", threshold_num=9, threshold_den=10
+    ).collect()
+    assert [(r.id_contained, r.id_container, r.n_shared, r.containment) for r in cont] == [
+        (1, 2, 12, 1.0)
+    ]
