@@ -491,6 +491,9 @@ def _decode_image_meta(data: bytes) -> tuple[int, int, int, str]:
         if data[:6] in GIF_MAGICS:
             w, h, c = parse_gif_meta(data)
             return w, h, c, "GIF"
+        if data[:1] == b"\x0a" and len(data) >= 128 and data[2:3] == b"\x01":
+            w, h, c = parse_pcx_meta(data)
+            return w, h, c, "PCX"
         if data[:2] == b"\xff\xd8":
             w, h, c = parse_jpeg_meta(data)  # real SOFn marker walk
             return w, h, c, "JPEG"
@@ -611,6 +614,8 @@ def _decode_image_pixels(data: bytes):
             return parse_qoi(data)[2]
         if data[:6] in GIF_MAGICS:
             return parse_gif(data)[2]
+        if data[:1] == b"\x0a" and len(data) >= 128 and data[2:3] == b"\x01":
+            return parse_pcx(data)[2]
     except ValueError:
         pass
     try:  # pragma: no cover - PIL absent in this environment
@@ -1437,6 +1442,150 @@ def plant_gif_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
                 raw = (text_val or "").encode("utf-8") or b"\0"
                 idx = np.resize(np.frombuffer(raw, np.uint8), h * w)
                 out.append((doc_id, build_gif(idx, w, h)))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+
+
+# --------------------------------------------------------------------------
+# PCX (ZSoft PC Paintbrush, public spec) — REAL compressed-format decode
+# #4 and the RLE family: with BMP/PPM (raw), PNG (DEFLATE), QOI (byte
+# delta ops) and GIF (dictionary LZW), byte-run-length PCX completes
+# every classic lossless-compression style on real pixels; the md5 FAKE
+# branch keeps covering only formats that need a true codec library
+# (JPEG/MP4). 24-bit variant: version 5, encoding 1, 8 bits/plane,
+# 3 color planes per scanline (all R bytes, all G, all B), runs encoded
+# as 0xC0|len (1..63) + value, literal bytes < 0xC0; runs may NOT cross
+# scanline-plane boundaries in our encoder (the strict reading of the
+# spec; the decoder tolerates in-plane continuation only).
+# --------------------------------------------------------------------------
+
+
+def _pcx_rle_encode_row(row: bytes) -> bytes:
+    """RLE one plane row: maximal runs <= 63; single bytes >= 0xC0 must
+    still be written as a run of 1 (the spec's escape rule)."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        v = row[i]
+        run = 1
+        while i + run < n and run < 63 and row[i + run] == v:
+            run += 1
+        if run > 1 or v >= 0xC0:
+            out.append(0xC0 | run)
+        out.append(v)
+        i += run
+    return bytes(out)
+
+
+def build_pcx(pixels) -> bytes:
+    """HxWx3 uint8 RGB array → 24-bit RLE PCX bytes (version 5,
+    3 planes, even bytes-per-line padding per the spec)."""
+    import struct
+
+    import numpy as np
+
+    h, w, c = pixels.shape
+    assert c == 3, "build_pcx writes 24-bit RGB"
+    bpl = w + (w & 1)  # bytes per line per plane, forced even
+    hdr = struct.pack(
+        "<BBBBHHHHHH",
+        0x0A,  # magic
+        5,  # version: 24-bit capable
+        1,  # encoding: RLE
+        8,  # bits per pixel per plane
+        0,
+        0,
+        w - 1,
+        h - 1,  # window: xmin, ymin, xmax, ymax
+        72,
+        72,  # dpi
+    )
+    hdr += bytes(48)  # 16-color EGA palette (unused)
+    hdr += struct.pack("<BBHH", 0, 3, bpl, 1)  # reserved, planes, bpl, palette info
+    hdr += bytes(128 - len(hdr))
+    out = bytearray(hdr)
+    arr = np.asarray(pixels, np.uint8)
+    pad = bpl - w
+    for r in range(h):
+        for plane in range(3):
+            row = arr[r, :, plane].tobytes() + b"\x00" * pad
+            out += _pcx_rle_encode_row(row)
+    return bytes(out)
+
+
+def parse_pcx_meta(data: bytes) -> tuple[int, int, int]:
+    """PCX header → (width, height, channels). Accepts only the 24-bit
+    RLE layout this suite writes (8 bits × 3 planes, version 5)."""
+    import struct
+
+    if len(data) < 128 or data[0] != 0x0A:
+        raise ValueError("not a PCX")
+    version, encoding, bpp = data[1], data[2], data[3]
+    xmin, ymin, xmax, ymax = struct.unpack_from("<HHHH", data, 4)
+    planes = data[65]
+    if encoding != 1 or bpp != 8 or planes != 3 or version not in (2, 5):
+        raise ValueError("unsupported PCX variant")
+    w, h = xmax - xmin + 1, ymax - ymin + 1
+    if w <= 0 or h <= 0:
+        raise ValueError("degenerate PCX dimensions")
+    return w, h, 3
+
+
+def parse_pcx(data: bytes):
+    """PCX bytes → (width, height, HxWx3 uint8 RGB array). Full real
+    decode: RLE expansion with run-escape handling, per-scanline plane
+    deinterleave, even-padding discard. Truncated streams and runs
+    overflowing the raster raise ValueError."""
+    import struct
+
+    import numpy as np
+
+    w, h, _ = parse_pcx_meta(data)
+    bpl = struct.unpack_from("<H", data, 66)[0]
+    if bpl < w:
+        raise ValueError("PCX bytes-per-line smaller than width")
+    total = bpl * 3 * h
+    out = bytearray(total)
+    pos, i, n = 128, 0, len(data)
+    while i < total:
+        if pos >= n:
+            raise ValueError("truncated PCX stream")
+        v = data[pos]
+        pos += 1
+        if v >= 0xC0:
+            run = v & 0x3F
+            if pos >= n:
+                raise ValueError("truncated PCX run")
+            if i + run > total:
+                raise ValueError("PCX run overflows the raster")
+            out[i : i + run] = data[pos : pos + 1] * run
+            pos += 1
+            i += run
+        else:
+            out[i] = v
+            i += 1
+    rows = np.frombuffer(bytes(out), np.uint8).reshape(h, 3, bpl)
+    return w, h, rows[:, :, :w].transpose(0, 2, 1).copy()
+
+
+def plant_pcx_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(doc_id, text) → (doc_id, payload): a REAL 24-bit RLE PCX with
+    closed-form dimensions (w = id%44+4, h = id%20+4) whose pixels
+    tile the UTF-8 bytes of `text` — text repeats produce real runs
+    (incl. the >=0xC0 byte-escape path for non-ASCII), literals cover
+    the rest, so both RLE branches are exercised per payload."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text_val in zip(pdf["doc_id"], pdf[text_col]):
+                d = int(doc_id)
+                w, h = d % 44 + 4, d % 20 + 4
+                raw = (text_val or "").encode("utf-8") or b"\0"
+                px = np.resize(np.frombuffer(raw, np.uint8), (h, w, 3))
+                out.append((doc_id, build_pcx(px)))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
     return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")

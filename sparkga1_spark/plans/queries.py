@@ -2373,6 +2373,49 @@ def x_weighted_sample_es(spark, sf_dir):
 
 
 @query(
+    "x_multimodal_pcx_decode",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         doc_id % 44 + 4 AS w, doc_id % 20 + 4 AS h,
+         octet_length(encode(text)) AS L,
+         [CAST(('0x' || substr(hex(encode(text)), 2*i-1, 2)) AS INTEGER)
+          for i in generate_series(1, octet_length(encode(text)))] AS bv
+  FROM documents
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       3 AS channels,
+       'PCX' AS format,
+       -- L = 0 guard mirrors the planter's b'\\0' empty-text fallback
+       CAST(CASE WHEN L = 0 THEN 0
+            ELSE (w * h * 3 // L) * list_sum(bv)
+                 + coalesce(list_sum(bv[1:(w * h * 3) % L]), 0)
+            END AS BIGINT) AS px_sum
+FROM s
+""",
+)
+def x_multimodal_pcx_decode(spark, sf_dir):
+    """Multimodal REAL compressed-image decode #4 — PCX (ZSoft public
+    spec), the byte-RLE family: with BMP/PPM (raw), PNG (DEFLATE), QOI
+    (delta ops) and GIF (LZW) this closes every classic lossless
+    compression style on real pixels. Full decode: RLE expansion with
+    the >=0xC0 run-escape rule, per-scanline 3-plane deinterleave,
+    even-padding discard. The oracle states px_sum in closed form over
+    the tiled UTF-8 text bytes (lossless ⇒ run/literal choice
+    invariant); truncation/overflow raise (pytest), roundtrip covers
+    the full byte range including the escape path."""
+    from sparkga1_spark.operators.multimodal import (
+        decode_image_stats,
+        plant_pcx_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return decode_image_stats(plant_pcx_payloads(docs))
+
+
+@query(
     "x_heavy_hitters_cms",
     oracle="""
 WITH toks AS (
@@ -8764,16 +8807,17 @@ def x_sessionize_gaps(spark, sf_dir):
 # (b) ALL 18 round-2-age queries (r5 VERDICT #1 — the only registered
 #     queries whose last driver row is round 2; restoring them to the
 #     window is the round's top task).
-# (c) 19 of the 47 round-3-age queries — the oldest remaining rows,
+# (c) 18 of the 47 round-3-age queries — the oldest remaining rows,
 #     highest-residual-risk first: the 12 money-float TPC-H shapes,
 #     the 4-member ANN family, the 3 r3 multimodal paths, and 4 of the
 #     curation/dedup r3 paths. The other 24 r3-age rows (the simplest
 #     relational/window shapes plus x_lang_id / x_text_quality /
 #     x_flatmap_records / x_pipe_external_tool / x_doc_fingerprint /
 #     x_dedup_ngram_jaccard / x_curation_write_audit /
-#     x_curation_pipeline, displaced by the session-2 additions) carry
-#     full-precision LOCAL_GATE evidence this round and front in r7.
-# That is exactly 13 + 18 + 19 = 50.
+#     x_curation_pipeline / x_multimodal_y4m_frames, displaced by the
+#     session-2 additions) carry full-precision LOCAL_GATE evidence
+#     this round and front in r7.
+# That is exactly 14 + 18 + 18 = 50.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
@@ -8784,6 +8828,7 @@ set_gate_order([
     "x_bpe_train_merges",
     "x_bigram_lm_logprob",
     "x_dedup_containment",
+    "x_multimodal_pcx_decode",
     "x_heavy_hitters_cms",
     "x_stratified_sample_es",
     "x_weighted_sample_es",
@@ -8831,5 +8876,4 @@ set_gate_order([
     "x_ann_lsh_buckets",
     "x_multimodal_bmp_decode",
     "x_multimodal_wav_features",
-    "x_multimodal_y4m_frames",
 ])

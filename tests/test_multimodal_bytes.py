@@ -726,3 +726,48 @@ def test_gif_trailing_blocks_and_animation_refusal():
 
     with _pytest.raises(ValueError, match="index count"):
         build_gif(idx, 8, 9)
+
+
+def test_pcx_roundtrip_and_corners():
+    """build_pcx → parse_pcx exact reconstruction across odd/even
+    widths (the even bytes-per-line padding), full byte range (the
+    >=0xC0 run-escape rule), heavy-run rasters, and 1×1; truncations
+    and run overflow raise ValueError; dispatch routes PCX to the real
+    parser, not the md5 FAKE."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkga1_spark.operators.multimodal import (
+        _decode_image_meta,
+        _decode_image_pixels,
+        build_pcx,
+        parse_pcx,
+        parse_pcx_meta,
+    )
+
+    rng = np.random.RandomState(20260814)
+    cases = [
+        np.zeros((1, 1, 3), np.uint8),
+        np.full((9, 11, 3), 0xC7, np.uint8),  # runs of an escape-range byte
+        rng.randint(0, 256, (17, 23, 3)).astype(np.uint8),  # odd width
+        rng.randint(0, 256, (8, 44, 3)).astype(np.uint8),  # even width
+        np.resize(np.frombuffer("héllo 🚀".encode(), np.uint8), (12, 31, 3)),
+    ]
+    for px in cases:
+        data = build_pcx(px)
+        w, h, out = parse_pcx(data)
+        assert (w, h) == (px.shape[1], px.shape[0])
+        assert (out == px).all()
+        assert parse_pcx_meta(data) == (w, h, 3)
+
+    good = build_pcx(cases[2])
+    for cut in (5, 64, 128, len(good) - 1):
+        with _pytest.raises(ValueError):
+            parse_pcx(good[:cut])
+    # run overflowing the raster: splice a max run at the end
+    with _pytest.raises(ValueError):
+        parse_pcx(good[:-2] + b"\xff\x00")
+
+    data = build_pcx(cases[4])
+    assert _decode_image_meta(data) == (31, 12, 3, "PCX")
+    assert (_decode_image_pixels(data) == cases[4]).all()
