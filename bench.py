@@ -88,6 +88,12 @@ HEADLINE = [
     "x_multimodal_gif_decode",
     "x_heavy_hitters_cms",
     "x_bpe_train_merges",
+    # round 6 session 2, second wave: the distinct-bigram-scored LM
+    # pass, the directional containment self-join, and the PCX RLE
+    # codec chain
+    "x_bigram_lm_logprob",
+    "x_dedup_containment",
+    "x_multimodal_pcx_decode",
 ]
 
 # CONVENTION (r5 VERDICT #8): the headline set only ever GROWS —
