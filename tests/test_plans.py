@@ -389,11 +389,18 @@ def test_funnel_single_event_exchange(spark, sf_dir):
 
 def test_magic_bytes_detect_no_python_after_planting(spark, sf_dir):
     """Format sniffing must stay JVM-side: the only Python stages are
-    the four planters (mapInPandas); classification adds none, and the
-    whole query is exchange-free (map-only over the union)."""
+    the four planters (mapInPandas); classification adds none. The
+    only exchanges allowed are the planters' round-robin codec
+    spreads (multimodal._spread — deliberate CPU parallelism for the
+    Python stages); classification itself must add NO keyed shuffle
+    (no hash/range partitioning anywhere in the plan)."""
     plan = _plan(spark, sf_dir, "x_magic_bytes_detect")
     assert plan.count("MapInPandas") == 4, "expected exactly the 4 planters"
-    assert "Exchange" not in plan, "magic-byte sniffing must not shuffle"
+    assert "hashpartitioning" not in plan, "sniffing must not hash-shuffle"
+    assert "rangepartitioning" not in plan, "sniffing must not sort"
+    assert plan.count("RoundRobinPartitioning") == 4, (
+        "expected exactly the 4 codec-spread exchanges"
+    )
 
 
 def test_drift_chi2_single_aggregate_pass(spark, sf_dir):
