@@ -145,6 +145,22 @@ def build_wav(samples, *, sample_rate: int) -> bytes:
     )
 
 
+def build_wav_ulaw(codes, *, sample_rate: int) -> bytes:
+    """uint8 µ-law code array → WAV (RIFF, format 7, 8-bit) bytes."""
+    import struct
+
+    pcm = bytes(bytearray(codes))
+    fmt = struct.pack("<HHIIHH", 7, 1, sample_rate, sample_rate, 1, 8)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(pcm) + len(pcm) % 2, b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16)
+        + fmt
+        + struct.pack("<4sI", b"data", len(pcm))
+        + pcm
+        + (b"\x00" if len(pcm) % 2 else b"")  # word-align the chunk
+    )
+
+
 def parse_bmp_meta(data: bytes) -> tuple[int, int]:
     """BMP header → (width, height) WITHOUT materializing the raster —
     the metadata path (decode_images) must not pay the full pixel
@@ -193,26 +209,39 @@ def parse_wav(data: bytes):
 
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE")
-    pos, rate, channels, bits, pcm = 12, None, 1, 16, None
+    pos, rate, channels, bits, fmt_code, pcm = 12, None, 1, 16, None, None
     while pos + 8 <= len(data):
         cid, size = struct.unpack_from("<4sI", data, pos)
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             try:
-                _, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+                fmt_code, channels, rate, _, _, bits = struct.unpack_from(
+                    "<HHIIHH", body, 0
+                )
             except struct.error as e:  # truncated fmt chunk
                 raise ValueError("truncated WAV fmt chunk") from e
         elif cid == b"data":
             pcm = body
         pos += 8 + size + (size % 2)  # chunks are word-aligned
-    if rate is None or pcm is None or bits != 16:
+    if rate is None or pcm is None:
         raise ValueError("unsupported WAV variant")
     if channels <= 0 or rate <= 0:
         # declared-zero fields would ZeroDivisionError here and in
         # audio_features' duration math — surface as the documented
         # malformed-blob ValueError instead of killing the task
         raise ValueError("malformed WAV fmt: non-positive channels/rate")
-    samples = np.frombuffer(pcm, "<i2")
+    if fmt_code == 7 and bits == 8:
+        # G.711 µ-law (public ITU-T spec): REAL companding expansion,
+        # vectorized — the audio twin of the compressed-image decodes.
+        # Decode per g711.c: u = ~b; t = ((u&0xF)<<3 + 0x84) << exp;
+        # sample = ±(t - 0x84)
+        u = (~np.frombuffer(pcm, np.uint8)).astype(np.int32) & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+        samples = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+    elif fmt_code == 1 and bits == 16:
+        samples = np.frombuffer(pcm, "<i2")
+    else:
+        raise ValueError("unsupported WAV variant")
     return len(samples) // channels, rate, samples
 
 
@@ -808,6 +837,28 @@ def plant_wav_payloads(df: DataFrame) -> DataFrame:
                 rate = 16_000 if d % 2 == 0 else 8_000
                 samples = ((d * 31 + 7 * np.arange(n, dtype=np.int64)) % 1001 - 500)
                 out.append((doc_id, build_wav(samples, sample_rate=rate)))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def plant_ulaw_payloads(df: DataFrame) -> DataFrame:
+    """(doc_id, …) → (doc_id, payload): a real G.711 µ-law WAV
+    (format 7) with closed-form code bytes b_i = (id·13 + i·7) % 256,
+    n = id%160+40 samples at 8 kHz — the telephony container the
+    µ-law expansion path decodes for real."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 160 + 40
+                codes = (d * 13 + 7 * np.arange(n, dtype=np.int64)) % 256
+                out.append(
+                    (doc_id, build_wav_ulaw(codes.astype(np.uint8), sample_rate=8000))
+                )
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
     return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")

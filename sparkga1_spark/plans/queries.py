@@ -1414,6 +1414,43 @@ def x_multimodal_wav_features(spark, sf_dir):
 
 
 @query(
+    "x_multimodal_ulaw_features",
+    oracle="""
+SELECT doc_id,
+       CAST(doc_id % 160 + 40 AS INTEGER) AS n_samples,
+       8000 AS sample_rate,
+       CAST((doc_id % 160 + 40) * 1000 // 8000 AS INTEGER) AS duration_ms,
+       -- G.711 mu-law expansion in closed form: u = ~b & 0xFF,
+       -- |sample| = (((u&15)*8 + 132) << ((u>>4)&7)) - 132
+       CAST(list_sum([
+              (((((255 - (doc_id*13 + i*7) % 256) & 15) * 8 + 132)
+                << (((255 - (doc_id*13 + i*7) % 256) >> 4) & 7)) - 132)
+              for i in generate_series(0, CAST(doc_id % 160 + 39 AS BIGINT))])
+            AS BIGINT) AS rms
+FROM documents
+""",
+)
+def x_multimodal_ulaw_features(spark, sf_dir):
+    """Multimodal REAL audio decode #2 — G.711 µ-law (public ITU-T
+    spec), the COMPANDED telephony codec: plant a format-7 WAV whose
+    code bytes are closed-form in doc_id, expand every code to linear
+    PCM for real (vectorized ~b → mantissa/exponent → ±((m·8+132)
+    << e) − 132, the g711.c recipe), and emit sample/rate/energy
+    features. The oracle restates the full expansion formula in SQL
+    bit-ops over the same closed-form bytes — a wrong shift, bias, or
+    sign anywhere breaks the hash. With this the audio path mirrors
+    the image story: PCM16 parsed raw, µ-law decompressed for real;
+    only codecs needing a real library stay behind the import guard."""
+    from sparkga1_spark.operators.multimodal import (
+        audio_features,
+        plant_ulaw_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return audio_features(plant_ulaw_payloads(docs))
+
+
+@query(
     "x_multimodal_y4m_frames",
     oracle="""
 SELECT doc_id,
@@ -8807,17 +8844,18 @@ def x_sessionize_gaps(spark, sf_dir):
 # (b) ALL 18 round-2-age queries (r5 VERDICT #1 — the only registered
 #     queries whose last driver row is round 2; restoring them to the
 #     window is the round's top task).
-# (c) 18 of the 47 round-3-age queries — the oldest remaining rows,
+# (c) 17 of the 47 round-3-age queries — the oldest remaining rows,
 #     highest-residual-risk first: the 12 money-float TPC-H shapes,
 #     the 4-member ANN family, the 3 r3 multimodal paths, and 4 of the
 #     curation/dedup r3 paths. The other 24 r3-age rows (the simplest
 #     relational/window shapes plus x_lang_id / x_text_quality /
 #     x_flatmap_records / x_pipe_external_tool / x_doc_fingerprint /
 #     x_dedup_ngram_jaccard / x_curation_write_audit /
-#     x_curation_pipeline / x_multimodal_y4m_frames, displaced by the
-#     session-2 additions) carry full-precision LOCAL_GATE evidence
-#     this round and front in r7.
-# That is exactly 14 + 18 + 18 = 50.
+#     x_curation_pipeline / x_multimodal_y4m_frames /
+#     x_multimodal_wav_features, displaced by the session-2 additions)
+#     carry full-precision LOCAL_GATE evidence this round and front
+#     in r7.
+# That is exactly 15 + 18 + 17 = 50.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
@@ -8829,6 +8867,7 @@ set_gate_order([
     "x_bigram_lm_logprob",
     "x_dedup_containment",
     "x_multimodal_pcx_decode",
+    "x_multimodal_ulaw_features",
     "x_heavy_hitters_cms",
     "x_stratified_sample_es",
     "x_weighted_sample_es",
@@ -8875,5 +8914,4 @@ set_gate_order([
     "x_ann_ivf_topk",
     "x_ann_lsh_buckets",
     "x_multimodal_bmp_decode",
-    "x_multimodal_wav_features",
 ])

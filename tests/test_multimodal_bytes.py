@@ -771,3 +771,46 @@ def test_pcx_roundtrip_and_corners():
     data = build_pcx(cases[4])
     assert _decode_image_meta(data) == (31, 12, 3, "PCX")
     assert (_decode_image_pixels(data) == cases[4]).all()
+
+
+def test_ulaw_decode_reference_vectors():
+    """G.711 µ-law expansion against the published table's anchor
+    points (0x00 → -32124, 0x80 → +32124, 0xFF/0x7F → 0) plus a full
+    256-code pure-Python cross-check; a format-2 (ADPCM) WAV must now
+    refuse instead of silently mis-decoding as PCM16."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkga1_spark.operators.multimodal import build_wav_ulaw, parse_wav
+
+    codes = np.arange(256, dtype=np.uint8)
+    n, rate, samples = parse_wav(build_wav_ulaw(codes, sample_rate=8000))
+    assert (n, rate) == (256, 8000)
+    by_code = dict(zip(codes.tolist(), samples.tolist()))
+    assert by_code[0x00] == -32124
+    assert by_code[0x80] == 32124
+    assert by_code[0xFF] == 0 and by_code[0x7F] == 0
+
+    def py_ulaw(b):
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+        return (0x84 - t) if u & 0x80 else (t - 0x84)
+
+    assert samples.tolist() == [py_ulaw(int(b)) for b in codes]
+
+    # odd-length data chunk must roundtrip (word-alignment pad)
+    n2, _, s2 = parse_wav(build_wav_ulaw(codes[:33], sample_rate=8000))
+    assert n2 == 33 and s2.tolist() == samples[:33].tolist()
+
+    # ADPCM (format 2) refuses — previously any 16-bit fmt decoded as PCM
+    pcm = b"\x01\x02" * 4
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 16000, 2, 16)
+    adpcm = (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(pcm), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16) + fmt
+        + struct.pack("<4sI", b"data", len(pcm)) + pcm
+    )
+    with _pytest.raises(ValueError):
+        parse_wav(adpcm)

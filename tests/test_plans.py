@@ -159,7 +159,7 @@ def test_gate_order_fronts_unproven_queries():
         "x_multimodal_gif_decode", "x_heavy_hitters_cms",
         "x_bpe_train_merges", "x_bigram_lm_logprob",
         "x_dedup_containment", "x_multimodal_pcx_decode",
-        "x_stratified_sample_es",
+        "x_multimodal_ulaw_features", "x_stratified_sample_es",
         "x_weighted_sample_es", "x_hll_accuracy_audit",
         "x_multimodal_qoi_decode", "x_set_similarity_routed",
         "x_host_pagerank", "x_graph_triangles", "x_graph_bfs_hops",
@@ -171,7 +171,7 @@ def test_gate_order_fronts_unproven_queries():
         "x_embedding_quantize", "x_fuzzy_levenshtein",
         "x_json_props_extract", "x_tfidf_top_terms",
         "x_url_host_rollup", "x_vector_stats_hof", "x_vocab_topk",
-        # round-6 (c): 18 round-3-age rotations (the remaining 29
+        # round-6 (c): 17 round-3-age rotations (the remaining 30
         # r3-age rows front in r7)
         "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
         "tpch_q8_market_share", "tpch_q9_product_profit",
@@ -181,7 +181,6 @@ def test_gate_order_fronts_unproven_queries():
         "tpch_q16_supplier_parts", "tpch_q21_waiting_supplier",
         "x_ann_bruteforce_topk", "x_ann_ivf_nprobe2", "x_ann_ivf_topk",
         "x_ann_lsh_buckets", "x_multimodal_bmp_decode",
-        "x_multimodal_wav_features",
     }
     missing = must_have_row - first50
     assert not missing, f"not in the driver's 50-query window: {missing}"
