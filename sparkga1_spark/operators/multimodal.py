@@ -44,6 +44,25 @@ def _payload_hash(data: bytes) -> int:
     return int(hashlib.md5(data).hexdigest()[:15], 16)
 
 
+# Decompression-bomb guard (fuzz-caught): compressed-format headers
+# declare dimensions up to 2^32, and the decoders allocate the raster
+# BEFORE reading any pixel data — a 12-byte corrupt/hostile header
+# could demand a multi-GB bytearray/ndarray and kill the executor with
+# an OOM the ValueError fallback never sees. Raw formats (BMP/PPM) are
+# implicitly bounded because their raster must already BE in the
+# buffer; every compressed decode path checks this cap first. 2^26
+# pixels ≈ 256 MB RGBA — far above any fixture and any sane inline
+# payload (real bulk rasters route through a codec library anyway).
+_MAX_DECODE_PIXELS = 1 << 26
+
+
+def _check_raster_size(w: int, h: int, fmt: str) -> None:
+    if w * h > _MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"{fmt} declares {w}x{h} pixels — beyond the decoder cap"
+        )
+
+
 # --------------------------------------------------------------------------
 # Real container parsing for the UNCOMPRESSED public formats (no codec
 # library needed): BMP (BITMAPINFOHEADER, 24-bit BGR bottom-up rows
@@ -419,6 +438,7 @@ def parse_png_meta(data: bytes) -> tuple[int, int, int]:
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError("bad PNG color type")
+    _check_raster_size(w, h, "PNG")
     return w, h, channels
 
 
@@ -463,12 +483,19 @@ def parse_png(data: bytes):
         pos += 12 + length
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
+    bpp, stride = 3, w * 3
+    expected = h * (stride + 1)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # bounded inflate (fuzz-caught): a tiny hostile IDAT can
+        # declare-small dims but inflate to gigabytes — decompressobj
+        # with max_length caps the output at the raster size the
+        # (already capped) IHDR promises, so a zlib bomb surfaces as
+        # the size-mismatch ValueError instead of an executor OOM
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), expected + 1)
     except zlib.error as e:
         raise ValueError("corrupt PNG IDAT stream") from e
-    bpp, stride = 3, w * 3
-    if len(raw) != h * (stride + 1):
+    if len(raw) != expected or dec.unconsumed_tail:
         raise ValueError("PNG raster size mismatch")
     out = np.zeros((h, stride), np.uint8)
     for r in range(h):
@@ -1106,6 +1133,7 @@ def parse_qoi_meta(data: bytes) -> tuple[int, int, int]:
     w, h, channels, colorspace = struct.unpack_from(">IIBB", data, 4)
     if channels not in (3, 4) or colorspace not in (0, 1) or w == 0 or h == 0:
         raise ValueError("unsupported QOI variant")
+    _check_raster_size(w, h, "QOI")
     return w, h, channels
 
 
@@ -1370,6 +1398,7 @@ def parse_gif_meta(data: bytes) -> tuple[int, int, int]:
         raise ValueError("degenerate GIF dimensions")
     if not packed & 0x80:
         raise ValueError("GIF without a global color table")
+    _check_raster_size(w, h, "GIF")
     return w, h, 3
 
 
@@ -1580,6 +1609,7 @@ def parse_pcx_meta(data: bytes) -> tuple[int, int, int]:
     w, h = xmax - xmin + 1, ymax - ymin + 1
     if w <= 0 or h <= 0:
         raise ValueError("degenerate PCX dimensions")
+    _check_raster_size(w, h, "PCX")
     return w, h, 3
 
 

@@ -814,3 +814,71 @@ def test_ulaw_decode_reference_vectors():
     )
     with _pytest.raises(ValueError):
         parse_wav(adpcm)
+
+
+def test_decoder_fuzz_only_valueerror_and_bounded_alloc():
+    """Every binary parser must reject arbitrary/corrupted bytes with
+    ValueError ONLY — the dispatch fallback catches nothing else, so a
+    struct.error/IndexError/MemoryError would kill the executor task.
+    Fuzz-caught (r6 session 2): random headers declaring up-to-2^32
+    dimensions made compressed-format decoders allocate multi-GB
+    rasters BEFORE reading pixel data (and a zlib bomb could inflate a
+    tiny IDAT to gigabytes) — now capped at _MAX_DECODE_PIXELS / a
+    bounded inflate. This test fuzzes magic-prefixed random blobs and
+    bit-flipped/truncated valid streams across all parsers."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import (
+        build_gif,
+        build_pcx,
+        build_qoi,
+        parse_bmp,
+        parse_gif,
+        parse_gif_meta,
+        parse_pcx,
+        parse_pcx_meta,
+        parse_png,
+        parse_ppm,
+        parse_qoi,
+        parse_qoi_meta,
+        parse_wav,
+    )
+
+    rng = np.random.default_rng(20260814)
+    parsers = [
+        parse_gif, parse_pcx, parse_qoi, parse_wav, parse_bmp, parse_ppm,
+        parse_png, parse_gif_meta, parse_pcx_meta, parse_qoi_meta,
+    ]
+    magics = [
+        b"", b"GIF87a", b"GIF89a", b"\x0a\x05\x01", b"qoif", b"RIFF",
+        b"BM", b"P6", b"\x89PNG\r\n\x1a\n",
+    ]
+    for trial in range(450):
+        m = magics[trial % len(magics)]
+        blob = m + bytes(
+            rng.integers(0, 256, size=int(rng.integers(0, 300)), dtype=np.uint8)
+        )
+        for p in parsers:
+            try:
+                p(blob)
+            except ValueError:
+                pass  # the one allowed failure mode
+
+    px = np.resize(np.arange(300, dtype=np.uint8), (10, 12, 3))
+    idx = np.resize(np.arange(120, dtype=np.uint8), 120)
+    for parser, good in [
+        (parse_gif, build_gif(idx, 12, 10)),
+        (parse_pcx, build_pcx(px)),
+        (parse_qoi, build_qoi(px)),
+    ]:
+        for _ in range(450):
+            b = bytearray(good)
+            for _ in range(int(rng.integers(1, 4))):
+                b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+            blob = bytes(b)
+            if rng.integers(0, 2):
+                blob = blob[: int(rng.integers(0, len(blob)))]
+            try:
+                parser(blob)
+            except ValueError:
+                pass
