@@ -180,6 +180,117 @@ def build_wav_ulaw(codes, *, sample_rate: int) -> bytes:
     )
 
 
+# --------------------------------------------------------------------------
+# IMA ADPCM (WAV format 0x11) — the public-spec STATEFUL audio codec
+# (IMA Digital Audio Focus/Technical Working Groups recommended
+# practices, 1992; also RFC 3551 §4.5.1 "DVI4"). Unlike µ-law (a
+# memoryless per-byte companding table) every 4-bit nibble updates a
+# (predictor, step-index) state carried to the next sample, so the
+# decode is a genuine fold — the oracle restates it as a DuckDB
+# list_reduce over the same step/index tables.
+# --------------------------------------------------------------------------
+
+# 89-entry quantizer step table and 16-entry index-adjust table, both
+# verbatim from the published IMA recommendation (high bit of the
+# nibble is the sign, so entries 8-15 mirror 0-7).
+_ADPCM_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_ADPCM_INDEX_DELTA = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def decode_ima_adpcm(nibbles, predictor: int, index: int) -> list[int]:
+    """4-bit nibble sequence + seed (predictor, step-index) → decoded
+    int16 samples, seed predictor FIRST (the WAV block header's
+    predictor IS sample 0, per the IMA WAV mapping). Pure-spec fold:
+    diff = (step>>3) + b0·(step>>2) + b1·(step>>1) + b2·step, with the
+    per-term truncation the spec's shift-add recipe implies (NOT a
+    single (step·(2m+1))>>3 — the roundings differ); sign bit
+    subtracts; predictor clamps to int16; index moves by the published
+    delta table and clamps to [0, 88]."""
+    if not 0 <= index <= 88:
+        raise ValueError("IMA ADPCM step index out of range")
+    out = [predictor]
+    for n in nibbles:
+        step = _ADPCM_STEPS[index]
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        predictor = predictor - diff if n & 8 else predictor + diff
+        predictor = max(-32768, min(32767, predictor))
+        index = max(0, min(88, index + _ADPCM_INDEX_DELTA[n & 0x0F]))
+        out.append(predictor)
+    return out
+
+
+def build_wav_adpcm(
+    nibbles, *, sample_rate: int, predictor: int = 0, index: int = 0
+) -> bytes:
+    """4-bit nibble sequence (even count) + seed state → WAV (RIFF,
+    format 0x11 IMA ADPCM, mono) bytes: extended fmt chunk (cbSize=2,
+    wSamplesPerBlock) and ONE data block — 4-byte header (int16 seed
+    predictor, step index, reserved 0) then nibbles packed LOW-first
+    per the IMA WAV layout."""
+    import struct
+
+    nibs = [int(n) & 0x0F for n in nibbles]
+    if len(nibs) % 2:
+        raise ValueError("build_wav_adpcm: nibble count must be even")
+    if not 0 <= index <= 88:
+        raise ValueError("build_wav_adpcm: step index out of range")
+    block = struct.pack("<hBB", predictor, index, 0) + bytes(
+        nibs[i] | (nibs[i + 1] << 4) for i in range(0, len(nibs), 2)
+    )
+    block_align = len(block)
+    samples_per_block = 1 + len(nibs)
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, sample_rate,
+        sample_rate * block_align // samples_per_block,
+        block_align, 4, 2, samples_per_block,
+    )
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(block), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(block))
+        + block
+    )
+
+
+def _decode_adpcm_stream(pcm: bytes, block_align: int) -> list[int]:
+    """IMA ADPCM data chunk → int16 samples across all blocks. Each
+    block restarts the fold from its own header state; a trailing
+    partial block is refused (a truncated stream must surface as the
+    documented malformed-blob ValueError, not a silent short decode)."""
+    import struct
+
+    if block_align < 5:
+        raise ValueError("IMA ADPCM block align too small")
+    if not pcm or len(pcm) % block_align:
+        raise ValueError("IMA ADPCM data is not whole blocks")
+    samples: list[int] = []
+    for off in range(0, len(pcm), block_align):
+        predictor, index, _reserved = struct.unpack_from("<hBB", pcm, off)
+        body = pcm[off + 4 : off + block_align]
+        nibs = []
+        for b in body:
+            nibs.append(b & 0x0F)
+            nibs.append(b >> 4)
+        samples.extend(decode_ima_adpcm(nibs, predictor, index))
+    return samples
+
+
 def parse_bmp_meta(data: bytes) -> tuple[int, int]:
     """BMP header → (width, height) WITHOUT materializing the raster —
     the metadata path (decode_images) must not pay the full pixel
@@ -228,13 +339,13 @@ def parse_wav(data: bytes):
 
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE")
-    pos, rate, channels, bits, fmt_code, pcm = 12, None, 1, 16, None, None
+    pos, rate, channels, bits, fmt_code, block_align, pcm = 12, None, 1, 16, None, 0, None
     while pos + 8 <= len(data):
         cid, size = struct.unpack_from("<4sI", data, pos)
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             try:
-                fmt_code, channels, rate, _, _, bits = struct.unpack_from(
+                fmt_code, channels, rate, _, block_align, bits = struct.unpack_from(
                     "<HHIIHH", body, 0
                 )
             except struct.error as e:  # truncated fmt chunk
@@ -259,6 +370,14 @@ def parse_wav(data: bytes):
         samples = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
     elif fmt_code == 1 and bits == 16:
         samples = np.frombuffer(pcm, "<i2")
+    elif fmt_code == 0x11 and bits == 4:
+        # IMA ADPCM (public spec): a genuinely STATEFUL decode — each
+        # block's header seeds (predictor, step-index) and every nibble
+        # advances it. Mono only; stereo interleaves nibbles per
+        # channel in 4-byte groups, which the suite never writes.
+        if channels != 1:
+            raise ValueError("multi-channel IMA ADPCM unsupported")
+        samples = np.array(_decode_adpcm_stream(pcm, block_align), dtype=np.int16)
     else:
         raise ValueError("unsupported WAV variant")
     return len(samples) // channels, rate, samples
@@ -885,6 +1004,38 @@ def plant_ulaw_payloads(df: DataFrame) -> DataFrame:
                 codes = (d * 13 + 7 * np.arange(n, dtype=np.int64)) % 256
                 out.append(
                     (doc_id, build_wav_ulaw(codes.astype(np.uint8), sample_rate=8000))
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def plant_adpcm_payloads(df: DataFrame) -> DataFrame:
+    """(doc_id, …) → (doc_id, payload): a real IMA ADPCM WAV
+    (format 0x11) with closed-form nibbles n_i = (id·11 + i·5) % 16
+    (count 2·(id%60+20), always even) and a closed-form SEED STATE —
+    predictor (id·97)%2001−1000, step index id%89 — so the fixture
+    sweeps the whole 89-entry step table and both signs of the
+    predictor, at 8 kHz."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 2 * (d % 60 + 20)
+                nibs = (d * 11 + 5 * np.arange(n, dtype=np.int64)) % 16
+                out.append(
+                    (
+                        doc_id,
+                        build_wav_adpcm(
+                            nibs.tolist(),
+                            sample_rate=8000,
+                            predictor=(d * 97) % 2001 - 1000,
+                            index=d % 89,
+                        ),
+                    )
                 )
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 

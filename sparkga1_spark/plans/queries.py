@@ -1450,6 +1450,78 @@ def x_multimodal_ulaw_features(spark, sf_dir):
     return audio_features(plant_ulaw_payloads(docs))
 
 
+def _adpcm_oracle() -> str:
+    """DuckDB mirror of the IMA ADPCM decode as a list_reduce fold over
+    the closed-form nibble stream: the accumulator carries [predictor,
+    step-index, Σ|sample|] and every lambda step restates the spec's
+    shift-add diff, sign bit, int16 clamp, and index-delta clamp using
+    the SAME published 89/16-entry tables (imported from the decoder
+    module so SQL and Python cannot drift; the tables themselves are
+    pinned against hand-derived spec vectors in pytest)."""
+    from sparkga1_spark.operators.multimodal import (
+        _ADPCM_INDEX_DELTA,
+        _ADPCM_STEPS,
+    )
+
+    st = "[" + ",".join(map(str, _ADPCM_STEPS)) + "]"
+    it = "[" + ",".join(map(str, _ADPCM_INDEX_DELTA)) + "]"
+    step = f"({st}[acc[2] + 1])"
+    dmag = (
+        f"(({step} >> 3) + (CASE WHEN (x[1] & 1) = 1 THEN {step} >> 2 ELSE 0 END)"
+        f" + (CASE WHEN (x[1] & 2) = 2 THEN {step} >> 1 ELSE 0 END)"
+        f" + (CASE WHEN (x[1] & 4) = 4 THEN {step} ELSE 0 END))"
+    )
+    newpred = (
+        "greatest(-32768, least(32767, acc[1] +"
+        f" (CASE WHEN (x[1] & 8) = 8 THEN -{dmag} ELSE {dmag} END)))"
+    )
+    newidx = f"greatest(0, least(88, acc[2] + {it}[(x[1] & 15) + 1]))"
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         2 * (doc_id % 60 + 20) AS n_nib,
+         (doc_id * 97) % 2001 - 1000 AS p0,
+         doc_id % 89 AS i0
+  FROM documents
+)
+SELECT doc_id,
+       CAST(1 + n_nib AS INTEGER) AS n_samples,
+       8000 AS sample_rate,
+       CAST((1 + n_nib) * 1000 // 8000 AS INTEGER) AS duration_ms,
+       CAST(list_reduce(
+         list_prepend([p0, i0, abs(p0)],
+           [[CAST((doc_id*11 + i*5) % 16 AS BIGINT)]
+            for i in generate_series(0, n_nib - 1)]),
+         (acc, x) -> [{newpred}, {newidx}, acc[3] + abs({newpred})]
+       )[3] AS BIGINT) AS rms
+FROM p
+"""
+
+
+@query("x_multimodal_adpcm_features", oracle=_adpcm_oracle())
+def x_multimodal_adpcm_features(spark, sf_dir):
+    """Multimodal REAL audio decode #3 — IMA ADPCM (WAV format 0x11),
+    the first genuinely STATEFUL codec in the suite: µ-law/PCM16 are
+    memoryless per-sample maps, but ADPCM carries a (predictor,
+    step-index) state nibble-to-nibble, so a single wrong shift,
+    clamp, or table entry derails EVERY subsequent sample — the
+    closed-form seed state sweeps all 89 step-table entries across the
+    corpus. The oracle re-runs the whole state machine in SQL as a
+    list_reduce fold (accumulator = [predictor, index, Σ|sample|]); the
+    planted WAV exercises the real container too (extended fmt chunk,
+    block header seeding, low-nibble-first packing). Per-blob decode is
+    sequential BY SPEC (each sample depends on the previous state) —
+    the parallelism axis at 100 TB is blobs-per-partition, which the
+    planter's _spread repartition and Arrow batching already provide."""
+    from sparkga1_spark.operators.multimodal import (
+        audio_features,
+        plant_adpcm_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return audio_features(plant_adpcm_payloads(docs))
+
+
 @query(
     "x_multimodal_y4m_frames",
     oracle="""

@@ -882,3 +882,72 @@ def test_decoder_fuzz_only_valueerror_and_bounded_alloc():
                 parser(blob)
             except ValueError:
                 pass
+
+
+def test_adpcm_decode_spec_vectors_and_container():
+    """IMA ADPCM: hand-derived spec vectors (seed state 0/0, step
+    table entry 7 → nibble 7 adds 0+1+3+7=11; next step 16 → +30),
+    both clamps, the sign bit, a WAV roundtrip with seeded block
+    header, multi-block decode, and honest refusals (odd nibbles,
+    stereo, partial block, out-of-range step index)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkga1_spark.operators.multimodal import (
+        build_wav_adpcm,
+        decode_ima_adpcm,
+        parse_wav,
+    )
+
+    # hand-walked from the published tables: step[0]=7, step[8]=16
+    assert decode_ima_adpcm([7, 7], 0, 0) == [0, 11, 41]
+    assert decode_ima_adpcm([15], 0, 0) == [0, -11]
+    assert decode_ima_adpcm([0, 0], 0, 0) == [0, 0, 0]  # index clamps at 0
+    # int16 clamps at both rails (step[88]=32767, nibble 7 adds 61436)
+    assert decode_ima_adpcm([7], 32760, 88) == [32760, 32767]
+    assert decode_ima_adpcm([15], -32760, 88) == [-32760, -32768]
+    with _pytest.raises(ValueError):
+        decode_ima_adpcm([0], 0, 89)
+
+    # container roundtrip: header predictor IS sample 0, low nibble first
+    nibs = [3, 12, 7, 15, 0, 8, 1, 9]
+    wav = build_wav_adpcm(nibs, sample_rate=8000, predictor=-500, index=30)
+    n, rate, samples = parse_wav(wav)
+    assert (n, rate) == (9, 8000)
+    assert samples.tolist() == decode_ima_adpcm(nibs, -500, 30)
+    assert samples.dtype == np.int16
+
+    # two concatenated blocks each restart from their own header state
+    one = build_wav_adpcm(nibs, sample_rate=8000, predictor=100, index=10)
+    hdr_off = one.index(b"data") + 8
+    block = one[hdr_off:]
+    two_blocks = block + block
+    fmt = struct.pack("<HHIIHH", 0x11, 1, 8000, 8000, len(block), 4)
+    wav2 = (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(two_blocks), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"data", len(two_blocks)) + two_blocks
+    )
+    n2, _, s2 = parse_wav(wav2)
+    assert n2 == 18 and s2.tolist() == decode_ima_adpcm(nibs, 100, 10) * 2
+
+    with _pytest.raises(ValueError):
+        build_wav_adpcm([1, 2, 3], sample_rate=8000)  # odd nibble count
+    with _pytest.raises(ValueError):
+        build_wav_adpcm(nibs, sample_rate=8000, index=89)
+    # partial trailing block refuses (truncated stream != short decode)
+    wav_trunc = bytearray(wav2)
+    wav_trunc[-3:] = b""
+    size_off = wav2.index(b"data") + 4
+    struct.pack_into("<I", wav_trunc, size_off, len(two_blocks) - 3)
+    struct.pack_into("<I", wav_trunc, 4, len(wav_trunc) - 8)
+    with _pytest.raises(ValueError):
+        parse_wav(bytes(wav_trunc))
+    # stereo IMA ADPCM refuses (interleaved layout the suite never writes)
+    stereo = bytearray(wav)
+    fmt_off = wav.index(b"fmt ") + 8
+    struct.pack_into("<H", stereo, fmt_off + 2, 2)
+    with _pytest.raises(ValueError):
+        parse_wav(bytes(stereo))
