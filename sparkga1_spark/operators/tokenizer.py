@@ -24,15 +24,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from sparkga1_spark.operators.cache import tracked_persist
 
 
-def bpe_train_merges(
-    spark: SparkSession, word_freq: DataFrame, rounds: int = 5
-) -> DataFrame:
-    """(w, f) word-frequency table → one row per learned merge:
-    (rnd, pair, merged, wcount). wcount is the weighted pair count
-    that JUSTIFIED the merge (measured before applying it), so the
-    output pins every round's full count-argmax-merge cycle."""
+def _bpe_rounds(word_freq: DataFrame, rounds: int):
+    """Shared merge loop: (w, f) word-frequency table → (final vocab
+    DataFrame (w, s, f) with all merges applied, merges list of
+    (rnd, pair, merged, wcount)). The trainer returns the merges; the
+    encoder returns the segmented vocab — same loop, so the two can
+    never disagree about what the learned merges do."""
     wf = word_freq.select(
-        F.array_join(F.split("w", ""), " ").alias("s"), F.col("f")
+        "w", F.array_join(F.split("w", ""), " ").alias("s"), F.col("f")
     )
     # the vocab table feeds every round — persist the base once; each
     # round's replace() is a narrow op over the cached rows
@@ -63,6 +62,32 @@ def bpe_train_merges(
         # literal (non-regex) replace via column args — pair text comes
         # from corpus data, so never interpolate it into an expr string
         wf = wf.withColumn("s", F.replace("s", F.lit(pr), F.lit(merged)))
+    return wf, merges
+
+
+def bpe_train_merges(
+    spark: SparkSession, word_freq: DataFrame, rounds: int = 5
+) -> DataFrame:
+    """(w, f) word-frequency table → one row per learned merge:
+    (rnd, pair, merged, wcount). wcount is the weighted pair count
+    that JUSTIFIED the merge (measured before applying it), so the
+    output pins every round's full count-argmax-merge cycle."""
+    _, merges = _bpe_rounds(word_freq, rounds)
     return spark.createDataFrame(
         merges, "rnd int, pair string, merged string, wcount long"
+    )
+
+
+def bpe_segment_vocab(
+    spark: SparkSession, word_freq: DataFrame, rounds: int = 5
+) -> DataFrame:
+    """(w, f) word-frequency table → (w, n_tok): token count per
+    vocabulary word AFTER the learned merges — the ENCODE side of BPE.
+    Tokenizing a corpus never touches document text a second time:
+    the vocab table (corpus-bounded, millions of rows at 100 TB, not
+    trillions) carries the segmentation, and per-doc token counts are
+    one join of the word-occurrence stream against it."""
+    wf, _ = _bpe_rounds(word_freq, rounds)
+    return wf.select(
+        "w", F.size(F.split("s", " ")).cast("long").alias("n_tok")
     )

@@ -103,3 +103,43 @@ def pipe_partitions(
             yield pd.DataFrame({out_field: lines})
 
     return df.mapInPandas(run, schema=f"{out_field} string")
+
+
+# Unicode control/format characters every curation recipe strips before
+# hashing or tokenizing: C0 controls (minus \t\n\r, which whitespace
+# normalization owns), DEL, and ZERO WIDTH SPACE. Same class, same
+# escapes, in Java regex (Spark) and RE2 (DuckDB oracles).
+CONTROL_CHAR_CLASS = r"[\x00-\x08\x0B-\x1F\x7F\x{200B}]"
+
+
+def nfc_normalize(
+    df: DataFrame, *, text_col: str = "text", out_col: str = "text_nfc"
+) -> DataFrame:
+    """Append out_col = Unicode NFC normalization of text_col.
+
+    Spark has no built-in NFC (combining sequences like 'e' + U+0301
+    must become the precomposed 'é' before dedup hashing, or visually
+    identical documents hash apart), so this is a sanctioned Arrow
+    batch stage: unicodedata.normalize over each batch column —
+    map-only, no shuffle, schema = input + one string column. Control
+    character stripping and whitespace collapse stay JVM-side
+    (CONTROL_CHAR_CLASS / normalize_whitespace); only the composition
+    step, which genuinely needs the Unicode tables, enters Python."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import unicodedata
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf[text_col].map(
+                lambda x: None if x is None else unicodedata.normalize("NFC", x)
+            )
+            yield pdf
+
+    # fresh StructType — mutating df.schema in place confuses the
+    # analyzer (the plan's output stays three-column)
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, StringType())]
+    )
+    return df.mapInPandas(run, schema=out_schema)

@@ -2309,17 +2309,20 @@ def x_multimodal_gif_decode(spark, sf_dir):
     return decode_image_stats(plant_gif_payloads(docs))
 
 
-def _bpe_oracle(rounds: int = 5) -> str:
-    """Unrolled DuckDB mirror of bpe_train_merges: rounds × (pair
-    count → argmax → replace) as chained CTEs. Built by a loop so the
-    SQL cannot drift from the round count the Spark side runs."""
+def _bpe_cte_chain(rounds: int) -> str:
+    """Shared unrolled DuckDB mirror of the BPE merge loop: rounds ×
+    (pair count → argmax → replace) as chained CTEs, carrying the
+    vocabulary word `w` through every s{r} so both the trainer oracle
+    (reads m{r}) and the encoder oracle (reads s{rounds}) derive from
+    ONE chain. Built by a loop so the SQL cannot drift from the round
+    count the Spark side runs."""
     parts = [
         """WITH wf AS (
   SELECT w, CAST(count(*) AS BIGINT) AS f
   FROM (SELECT unnest(str_split_regex(trim(text), ' +')) AS w FROM documents)
   GROUP BY w
 ),
-s0 AS (SELECT array_to_string(str_split(w, ''), ' ') AS s, f FROM wf)"""
+s0 AS (SELECT w, array_to_string(str_split(w, ''), ' ') AS s, f FROM wf)"""
     ]
     for r in range(1, rounds + 1):
         parts.append(
@@ -2333,14 +2336,34 @@ p{r} AS (
 ),
 m{r} AS (SELECT {r} AS rnd, pr, replace(pr, ' ', '') AS merged, cnt
          FROM p{r} ORDER BY cnt DESC, pr LIMIT 1),
-s{r} AS (SELECT replace(s, (SELECT pr FROM m{r}), (SELECT merged FROM m{r})) AS s, f
+s{r} AS (SELECT w, replace(s, (SELECT pr FROM m{r}), (SELECT merged FROM m{r})) AS s, f
          FROM s{r - 1})"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle(rounds: int = 5) -> str:
     sel = "\nUNION ALL\n".join(
         f"SELECT rnd, pr AS pair, merged, cnt AS wcount FROM m{r}"
         for r in range(1, rounds + 1)
     )
-    return "".join(parts) + "\n" + sel
+    return _bpe_cte_chain(rounds) + "\n" + sel
+
+
+def _bpe_encode_oracle(rounds: int = 5) -> str:
+    return (
+        _bpe_cte_chain(rounds)
+        + f""",
+tok AS (SELECT w, CAST(len(str_split(s, ' ')) AS BIGINT) AS n_tok FROM s{rounds}),
+dw AS (SELECT doc_id, unnest(str_split_regex(trim(text), ' +')) AS w FROM documents)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       round(sum(n_tok) * 1.0 / count(*), 6) AS tokens_per_word
+FROM dw JOIN tok USING (w)
+GROUP BY doc_id
+"""
+    )
 
 
 @query("x_bpe_train_merges", oracle=_bpe_oracle(5))
@@ -2365,6 +2388,124 @@ def x_bpe_train_merges(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("f"))
     )
     return bpe_train_merges(spark, wf, rounds=5)
+
+
+@query("x_bpe_encode_corpus", oracle=_bpe_encode_oracle(5))
+def x_bpe_encode_corpus(spark, sf_dir):
+    """The ENCODE side of BPE — apply the 5 trained merges back to the
+    corpus and report per-document token counts (the fertility number
+    every token-budget computation actually needs; x_token_budget_sample
+    consumes exactly this kind of count). Scale shape: training already
+    bounded each merge round to the VOCAB table; encoding reuses that —
+    the segmented vocab (w → n_tok) is corpus-bounded, and per-doc
+    counts are ONE join of the word-occurrence stream against it (AQE
+    broadcasts while the vocab fits, the bigram-LM precedent) plus one
+    groupBy(doc). Document text is tokenized once; no per-doc merge
+    loop ever runs. The oracle replays the same five merge rounds as
+    chained CTEs (shared with the trainer oracle, so trainer and
+    encoder SQL cannot disagree) and joins the same word stream."""
+    from sparkga1_spark.operators.tokenizer import bpe_segment_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    words_stream = docs.select(
+        "doc_id", F.explode(T.words(F.col("text"))).alias("w")
+    )
+    wf = words_stream.groupBy("w").agg(F.count("*").cast("long").alias("f"))
+    vocab = bpe_segment_vocab(spark, wf, rounds=5)
+    return (
+        words_stream.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("n_words"), 6).alias(
+                "tokens_per_word"
+            ),
+        )
+    )
+
+
+@query(
+    "x_text_nfc_clean",
+    oracle=r"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' ' || chr(7) ||
+         CASE doc_id % 4 WHEN 0 THEN 'e' || chr(769)
+                         WHEN 1 THEN 'A' || chr(778)
+                         WHEN 2 THEN 'o' || chr(770)
+                         ELSE 'n' || chr(771) END || chr(8203) AS raw
+  FROM documents
+),
+c AS (
+  SELECT doc_id, raw,
+         trim(regexp_replace(
+           nfc_normalize(regexp_replace(
+             raw, '[\x00-\x08\x0B-\x1F\x7F\x{200B}]', '', 'g')),
+           '\s+', ' ', 'g')) AS cleaned
+  FROM p
+)
+SELECT doc_id,
+       CAST(length(raw) AS INTEGER) AS raw_chars,
+       CAST(length(cleaned) AS INTEGER) AS clean_chars,
+       md5(cleaned) AS cleaned_md5
+FROM c
+""",
+)
+def x_text_nfc_clean(spark, sf_dir):
+    """UTF-8 text hygiene — the normalization pass every curation
+    pipeline runs before hashing: strip control/format characters
+    (C0 minus tab/newline, DEL, ZERO WIDTH SPACE — JVM regex),
+    Unicode-NFC compose combining sequences ('e'+U+0301 → 'é'; without
+    this, visually identical docs hash apart in every dedup family),
+    then collapse whitespace and trim. The fixture plants a closed-form
+    combining sequence, a BEL, and a ZWSP per doc so the pass has real
+    work; output pins character counts before/after AND the md5 of the
+    cleaned text, which only matches if both engines produce the same
+    BYTES. NFC runs as one Arrow batch stage (Spark has no built-in;
+    the Unicode tables live in Python's unicodedata) — map-only, no
+    shuffle, so at 100 TB it rides the scan like any projection. The
+    oracle is DuckDB's independent nfc_normalize over the same RE2
+    character class."""
+    from sparkga1_spark.operators.transform import (
+        CONTROL_CHAR_CLASS,
+        nfc_normalize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # DECOMPOSED sequences (base + combining mark) so NFC has real
+    # composition work, matching the oracle plants
+    marks = F.array(
+        F.lit("e\u0301"), F.lit("A\u030a"), F.lit("o\u0302"), F.lit("n\u0303")
+    )
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" \x07"),
+            F.element_at(marks, (F.col("doc_id") % 4 + 1).cast("int")),
+            F.lit("\u200b"),
+        ).alias("raw"),
+    )
+    stripped = planted.withColumn(
+        "s1", F.regexp_replace("raw", CONTROL_CHAR_CLASS, "")
+    )
+    cleaned = nfc_normalize(stripped, text_col="s1", out_col="nfc").select(
+        "doc_id",
+        "raw",
+        F.trim(T.normalize_whitespace(F.col("nfc"))).alias("cleaned"),
+    )
+    return cleaned.select(
+        "doc_id",
+        F.length("raw").alias("raw_chars"),
+        F.length("cleaned").alias("clean_chars"),
+        F.md5(F.col("cleaned").cast("binary")).alias("cleaned_md5"),
+    )
 
 
 @query(
@@ -8902,6 +9043,12 @@ def x_sessionize_gaps(spark, sf_dir):
 # --------------------------------------------------------------------------
 # Gate priority (see registry.set_gate_order docstring). Round 6: the
 # driver records rows for the FIRST 50 queries() only, so front
+# (a0) the 3 queries NEW in session 3: x_multimodal_adpcm_features
+#     (stateful IMA ADPCM codec), x_bpe_encode_corpus (BPE encode side),
+#     x_text_nfc_clean (Unicode NFC hygiene) — these displace the last
+#     3 of the (c) rotation (x_ann_ivf_topk, x_ann_lsh_buckets,
+#     x_multimodal_bmp_decode → r7; all carry r3 driver rows + this
+#     round's LOCAL_GATE evidence).
 # (a) the 5 queries NEW or RESULT-CHANGED this round:
 #     - 2 NEW: x_multimodal_qoi_decode (real QOI pixel decode),
 #       x_set_similarity_routed (threshold-routed similarity join,
@@ -8927,13 +9074,18 @@ def x_sessionize_gaps(spark, sf_dir):
 #     x_multimodal_wav_features, displaced by the session-2 additions)
 #     carry full-precision LOCAL_GATE evidence this round and front
 #     in r7.
-# That is exactly 15 + 18 + 17 = 50.
+# That is exactly 3 + 15 + 18 + 14 = 50.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
 
 set_gate_order([
-    # (a) new / result-changed this round — session 2 additions first
+    # (a) new / result-changed this round — session 3 additions first
+    # (IMA ADPCM stateful codec, BPE encode, NFC text hygiene), then
+    # session 2, then the session-1 new/graph set
+    "x_multimodal_adpcm_features",
+    "x_bpe_encode_corpus",
+    "x_text_nfc_clean",
     "x_multimodal_gif_decode",
     "x_bpe_train_merges",
     "x_bigram_lm_logprob",
@@ -8983,7 +9135,7 @@ set_gate_order([
     "tpch_q21_waiting_supplier",
     "x_ann_bruteforce_topk",
     "x_ann_ivf_nprobe2",
-    "x_ann_ivf_topk",
-    "x_ann_lsh_buckets",
-    "x_multimodal_bmp_decode",
+    # (displaced to r7 by the session-3 additions: x_ann_ivf_topk,
+    # x_ann_lsh_buckets, x_multimodal_bmp_decode — all r3-green and
+    # green in this round's full-precision LOCAL_GATE)
 ])

@@ -802,3 +802,30 @@ def test_normalize_whitespace_feeds_words_contract(spark):
     ).collect()[0]
     assert out["w"] == ["a", "b", "c", "d", "e"]
     assert out["n"] == 5
+
+
+def test_nfc_normalize_composition_and_nulls(spark):
+    """nfc_normalize: combining sequences compose (e+U+0301 → é, one
+    char), already-NFC text is unchanged (idempotent), nulls pass
+    through, and the stage preserves every input column."""
+    import unicodedata
+
+    from sparkga1_spark.operators.transform import nfc_normalize
+
+    rows = [
+        (1, "e\u0301clair"),          # DECOMPOSED: must compose to e-acute
+        (2, "ascii only"),
+        (3, None),
+        (4, "A\u030a ngstro\u0308m"),  # decomposed ring + diaeresis
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    got = {r.doc_id: r.out for r in nfc_normalize(df, text_col="t", out_col="out").collect()}
+    assert got[1] == unicodedata.normalize("NFC", rows[0][1])
+    assert len(got[1]) == 6  # composed: one char shorter than input
+    assert got[2] == "ascii only"
+    assert got[3] is None
+    assert got[4] == unicodedata.normalize("NFC", rows[3][1])
+    # idempotence: running the stage on its own output changes nothing
+    df2 = spark.createDataFrame([(k, v) for k, v in got.items() if v], "doc_id long, t string")
+    again = {r.doc_id: r.out for r in nfc_normalize(df2, text_col="t", out_col="out").collect()}
+    assert all(again[k] == got[k] for k in again)

@@ -152,6 +152,37 @@ def test_bpe_trainer_matches_pure_python(spark):
     assert got == expect
 
 
+def test_bpe_encoder_matches_pure_python(spark):
+    """bpe_segment_vocab must tokenize every vocabulary word exactly as
+    the pure-Python reference does after the same merges — including a
+    word made of ONLY merged symbols (1 token) and a word the merges
+    never touch (len(word) tokens)."""
+    from sparkga1_spark.operators.tokenizer import bpe_segment_vocab
+
+    vocab = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3), ("a", 1)]
+    wf = spark.createDataFrame(vocab, "w string, f long")
+    got = {r.w: r.n_tok for r in bpe_segment_vocab(spark, wf, rounds=6).collect()}
+
+    words = {w: " ".join(w) for w, _ in vocab}
+    pcsrc = {" ".join(w): f for w, f in vocab}
+    for _ in range(6):
+        pc: dict[str, int] = {}
+        for s, f in pcsrc.items():
+            sym = s.split(" ")
+            for i in range(len(sym) - 1):
+                pr = sym[i] + " " + sym[i + 1]
+                pc[pr] = pc.get(pr, 0) + f
+        if not pc:
+            break
+        pair = min(pc, key=lambda p: (-pc[p], p))
+        merged = pair.replace(" ", "")
+        pcsrc = {s.replace(pair, merged): f for s, f in pcsrc.items()}
+        words = {w: s.replace(pair, merged) for w, s in words.items()}
+    expect = {w: len(s.split(" ")) for w, s in words.items()}
+    assert got == expect
+    assert got["a"] == 1  # single char: never merged, one token
+
+
 def test_weighted_sample_rejects_nonpositive_weights(spark):
     """w <= 0 must raise, not silently outrank every valid row (w < 0
     yields keys > 1; w = 0 yields u^inf)."""
