@@ -180,6 +180,22 @@ def build_wav_ulaw(codes, *, sample_rate: int) -> bytes:
     )
 
 
+def build_wav_alaw(codes, *, sample_rate: int) -> bytes:
+    """uint8 A-law code array → WAV (RIFF, format 6, 8-bit) bytes."""
+    import struct
+
+    pcm = bytes(bytearray(codes))
+    fmt = struct.pack("<HHIIHH", 6, 1, sample_rate, sample_rate, 1, 8)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(pcm) + len(pcm) % 2, b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16)
+        + fmt
+        + struct.pack("<4sI", b"data", len(pcm))
+        + pcm
+        + (b"\x00" if len(pcm) % 2 else b"")  # word-align the chunk
+    )
+
+
 # --------------------------------------------------------------------------
 # IMA ADPCM (WAV format 0x11) — the public-spec STATEFUL audio codec
 # (IMA Digital Audio Focus/Technical Working Groups recommended
@@ -368,6 +384,16 @@ def parse_wav(data: bytes):
         u = (~np.frombuffer(pcm, np.uint8)).astype(np.int32) & 0xFF
         t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
         samples = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+    elif fmt_code == 6 and bits == 8:
+        # G.711 A-law (public ITU-T spec), µ-law's European sibling:
+        # a = b ^ 0x55; seg = (a>>4)&7; t = (a&15)<<4;
+        # |sample| = t+8 (seg 0) else (t+0x108) << (seg-1);
+        # sign bit SET means positive (opposite of µ-law's complement)
+        a = np.frombuffer(pcm, np.uint8).astype(np.int32) ^ 0x55
+        seg = (a >> 4) & 7
+        t = (a & 0x0F) << 4
+        mag = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+        samples = np.where(a & 0x80, mag, -mag).astype(np.int16)
     elif fmt_code == 1 and bits == 16:
         samples = np.frombuffer(pcm, "<i2")
     elif fmt_code == 0x11 and bits == 4:
@@ -1004,6 +1030,27 @@ def plant_ulaw_payloads(df: DataFrame) -> DataFrame:
                 codes = (d * 13 + 7 * np.arange(n, dtype=np.int64)) % 256
                 out.append(
                     (doc_id, build_wav_ulaw(codes.astype(np.uint8), sample_rate=8000))
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def plant_alaw_payloads(df: DataFrame) -> DataFrame:
+    """(doc_id, …) → (doc_id, payload): a real G.711 A-law WAV
+    (format 6) with closed-form code bytes b_i = (id·17 + i·11) % 256,
+    n = id%140+50 samples at 8 kHz."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 140 + 50
+                codes = (d * 17 + 11 * np.arange(n, dtype=np.int64)) % 256
+                out.append(
+                    (doc_id, build_wav_alaw(codes.astype(np.uint8), sample_rate=8000))
                 )
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 

@@ -1450,6 +1450,45 @@ def x_multimodal_ulaw_features(spark, sf_dir):
     return audio_features(plant_ulaw_payloads(docs))
 
 
+@query(
+    "x_multimodal_alaw_features",
+    oracle="""
+SELECT doc_id,
+       CAST(doc_id % 140 + 50 AS INTEGER) AS n_samples,
+       8000 AS sample_rate,
+       CAST((doc_id % 140 + 50) * 1000 // 8000 AS INTEGER) AS duration_ms,
+       -- G.711 A-law expansion in closed form: a = b ^ 0x55,
+       -- |sample| = (a&15)*16 + 8           for segment 0,
+       --            ((a&15)*16 + 264) << (seg-1) otherwise
+       CAST(list_sum([
+              CASE WHEN ((xor((doc_id*17 + i*11) % 256, 85) >> 4) & 7) = 0
+                   THEN (xor((doc_id*17 + i*11) % 256, 85) & 15) * 16 + 8
+                   ELSE ((xor((doc_id*17 + i*11) % 256, 85) & 15) * 16 + 264)
+                        << (((xor((doc_id*17 + i*11) % 256, 85) >> 4) & 7) - 1)
+              END
+              for i in generate_series(0, CAST(doc_id % 140 + 49 AS BIGINT))])
+            AS BIGINT) AS rms
+FROM documents
+""",
+)
+def x_multimodal_alaw_features(spark, sf_dir):
+    """Multimodal REAL audio decode #4 — G.711 A-law (format 6), the
+    European telephony companding twin of µ-law: a = code ^ 0x55,
+    segment/mantissa expansion, sign bit SET = positive. With this the
+    G.711 pair is complete; the oracle restates the expansion as SQL
+    bit-ops over the same closed-form code bytes (sum of |sample|, so
+    the sign convention cancels — the sign path itself is pinned by
+    the pytest anchor vectors 0xD5 → +8 / 0x55 → −8 and a full
+    256-code cross-check)."""
+    from sparkga1_spark.operators.multimodal import (
+        audio_features,
+        plant_alaw_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return audio_features(plant_alaw_payloads(docs))
+
+
 def _adpcm_oracle() -> str:
     """DuckDB mirror of the IMA ADPCM decode as a list_reduce fold over
     the closed-form nibble stream: the accumulator carries [predictor,
@@ -9043,11 +9082,12 @@ def x_sessionize_gaps(spark, sf_dir):
 # --------------------------------------------------------------------------
 # Gate priority (see registry.set_gate_order docstring). Round 6: the
 # driver records rows for the FIRST 50 queries() only, so front
-# (a0) the 3 queries NEW in session 3: x_multimodal_adpcm_features
-#     (stateful IMA ADPCM codec), x_bpe_encode_corpus (BPE encode side),
+# (a0) the 4 queries NEW in session 3: x_multimodal_adpcm_features
+#     (stateful IMA ADPCM codec), x_multimodal_alaw_features (G.711
+#     A-law twin), x_bpe_encode_corpus (BPE encode side),
 #     x_text_nfc_clean (Unicode NFC hygiene) — these displace the last
-#     3 of the (c) rotation (x_ann_ivf_topk, x_ann_lsh_buckets,
-#     x_multimodal_bmp_decode → r7; all carry r3 driver rows + this
+#     4 of the (c) rotation (x_ann_ivf_nprobe2, x_ann_ivf_topk,
+#     x_ann_lsh_buckets, x_multimodal_bmp_decode → r7; all carry r3 driver rows + this
 #     round's LOCAL_GATE evidence).
 # (a) the 5 queries NEW or RESULT-CHANGED this round:
 #     - 2 NEW: x_multimodal_qoi_decode (real QOI pixel decode),
@@ -9074,7 +9114,7 @@ def x_sessionize_gaps(spark, sf_dir):
 #     x_multimodal_wav_features, displaced by the session-2 additions)
 #     carry full-precision LOCAL_GATE evidence this round and front
 #     in r7.
-# That is exactly 3 + 15 + 18 + 14 = 50.
+# That is exactly 4 + 15 + 18 + 13 = 50.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
@@ -9084,6 +9124,7 @@ set_gate_order([
     # (IMA ADPCM stateful codec, BPE encode, NFC text hygiene), then
     # session 2, then the session-1 new/graph set
     "x_multimodal_adpcm_features",
+    "x_multimodal_alaw_features",
     "x_bpe_encode_corpus",
     "x_text_nfc_clean",
     "x_multimodal_gif_decode",
@@ -9134,8 +9175,7 @@ set_gate_order([
     "tpch_q16_supplier_parts",
     "tpch_q21_waiting_supplier",
     "x_ann_bruteforce_topk",
-    "x_ann_ivf_nprobe2",
-    # (displaced to r7 by the session-3 additions: x_ann_ivf_topk,
+    # (displaced to r7 by the session-3 additions: x_ann_ivf_nprobe2, x_ann_ivf_topk,
     # x_ann_lsh_buckets, x_multimodal_bmp_decode — all r3-green and
     # green in this round's full-precision LOCAL_GATE)
 ])

@@ -951,3 +951,37 @@ def test_adpcm_decode_spec_vectors_and_container():
     struct.pack_into("<H", stereo, fmt_off + 2, 2)
     with _pytest.raises(ValueError):
         parse_wav(bytes(stereo))
+
+
+def test_alaw_decode_reference_vectors():
+    """G.711 A-law expansion against spec anchors (0xD5 → +8, 0x55 →
+    −8, 0xAA → +32256/0x2A → −32256 at the top segment) plus a full
+    256-code pure-Python cross-check straight from the g711.c recipe."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import build_wav_alaw, parse_wav
+
+    codes = np.arange(256, dtype=np.uint8)
+    n, rate, samples = parse_wav(build_wav_alaw(codes, sample_rate=8000))
+    assert (n, rate) == (256, 8000)
+    by_code = dict(zip(codes.tolist(), samples.tolist()))
+    assert by_code[0xD5] == 8 and by_code[0x55] == -8
+    assert by_code[0xAA] == 32256 and by_code[0x2A] == -32256
+
+    def py_alaw(b):
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        return t if a & 0x80 else -t
+
+    assert samples.tolist() == [py_alaw(int(b)) for b in codes]
+
+    # odd-length data chunk roundtrips through the word-alignment pad
+    n2, _, s2 = parse_wav(build_wav_alaw(codes[:77], sample_rate=8000))
+    assert n2 == 77 and s2.tolist() == samples[:77].tolist()

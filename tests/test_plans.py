@@ -151,8 +151,8 @@ def test_gate_order_fronts_unproven_queries():
     first50 = set(qs[:50])
     must_have_row = {
         # round-6 (a0): session-3 additions
-        "x_multimodal_adpcm_features", "x_bpe_encode_corpus",
-        "x_text_nfc_clean",
+        "x_multimodal_adpcm_features", "x_multimodal_alaw_features",
+        "x_bpe_encode_corpus", "x_text_nfc_clean",
         # round-6 (a): new this round + the three graph queries whose
         # results changed with the sf-scaled host graph. (The dedup
         # family's shared-stage change is plan-only — r5 driver rows
@@ -182,9 +182,9 @@ def test_gate_order_fronts_unproven_queries():
         "tpch_q12_shipmode_priority", "tpch_q13_customer_distribution",
         "tpch_q14_promo_effect", "tpch_q15_top_supplier",
         "tpch_q16_supplier_parts", "tpch_q21_waiting_supplier",
-        "x_ann_bruteforce_topk", "x_ann_ivf_nprobe2",
-        # (x_ann_ivf_topk / x_ann_lsh_buckets / x_multimodal_bmp_decode
-        # displaced to r7 by the session-3 additions)
+        "x_ann_bruteforce_topk",
+        # (x_ann_ivf_nprobe2 / x_ann_ivf_topk / x_ann_lsh_buckets /
+        # x_multimodal_bmp_decode displaced to r7 by the session-3 additions)
     }
     missing = must_have_row - first50
     assert not missing, f"not in the driver's 50-query window: {missing}"
