@@ -94,6 +94,13 @@ HEADLINE = [
     "x_bigram_lm_logprob",
     "x_dedup_containment",
     "x_multimodal_pcx_decode",
+    # round 6 session 3: the stateful IMA ADPCM nibble fold (per-blob
+    # sequential by spec — parallelism axis is blobs/partition), the
+    # BPE encode join (segmented-vocab join + per-doc aggregate), and
+    # the NFC Arrow batch pass over planted combining sequences
+    "x_multimodal_adpcm_features",
+    "x_bpe_encode_corpus",
+    "x_text_nfc_clean",
 ]
 
 # CONVENTION (r5 VERDICT #8): the headline set only ever GROWS —

@@ -500,12 +500,31 @@ def prefix_filter_jaccard_pairs(
         )
         .join(sizes, id_col)
         .filter(F.col("_pos") <= plen)
-        .select(id_col, hash_col)
+        .select(id_col, hash_col, "_sz")
     )
+    # LENGTH filter (Bayardo et al. §3, exact — no false negatives):
+    # J(a,b) >= t forces t*max(|a|,|b|) <= |a n b| <= min(|a|,|b|), so
+    # size-mismatched pairs die INSIDE the candidate join predicate —
+    # ranked already carries _sz for the prefix cut, so this costs one
+    # 8-byte column on the bucket shuffle and prunes before the
+    # distinct and before verification ever expands a pair
     cand = (
-        ranked.select(F.col(id_col).alias("id_a"), hash_col)
-        .join(ranked.select(F.col(id_col).alias("id_b"), hash_col), hash_col)
-        .filter(F.col("id_a") < F.col("id_b"))
+        ranked.select(
+            F.col(id_col).alias("id_a"), hash_col, F.col("_sz").alias("_la")
+        )
+        .join(
+            ranked.select(
+                F.col(id_col).alias("id_b"), hash_col, F.col("_sz").alias("_lb")
+            ),
+            hash_col,
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.lit(den) * F.least("_la", "_lb")
+                >= F.lit(num) * F.greatest("_la", "_lb")
+            )
+        )
         .select("id_a", "id_b")
         .distinct()
     )
