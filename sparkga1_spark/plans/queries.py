@@ -2439,8 +2439,11 @@ def x_bpe_encode_corpus(spark, sf_dir):
     the segmented vocab (w → n_tok) is corpus-bounded, and per-doc
     counts are ONE join of the word-occurrence stream against it (AQE
     broadcasts while the vocab fits, the bigram-LM precedent) plus one
-    groupBy(doc). Document text is tokenized once; no per-doc merge
-    loop ever runs. The oracle replays the same five merge rounds as
+    groupBy(doc). Document text is scanned twice — the vocab aggregate
+    and the count join; persisting the exploded occurrence stream to
+    save the second scan would cache corpus-sized state, strictly worse
+    at 100 TB — and no per-doc merge loop ever runs. The oracle
+    replays the same five merge rounds as
     chained CTEs (shared with the trainer oracle, so trainer and
     encoder SQL cannot disagree) and joins the same word stream."""
     from sparkga1_spark.operators.tokenizer import bpe_segment_vocab

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def write_partitioned_sorted(
@@ -128,6 +128,7 @@ def merge_upsert(
     *,
     keys: Sequence[str],
     validate_unique: bool = False,
+    version_col: str | None = None,
 ) -> DataFrame:
     """MERGE semantics on plain DataFrames (updates win on key match,
     inserts otherwise): anti-join the base against the update keys, then
@@ -141,7 +142,54 @@ def merge_upsert(
     every update) — unlike SQL MERGE, which errors on multiple matches.
     Pass validate_unique=True to get the MERGE behavior: it runs one
     keyed count over `updates` (an extra job, hence opt-in) and raises
-    if any key appears more than once."""
+    if any key appears more than once.
+
+    VERSIONED MERGE (closes the cross-writer replay window): with
+    `version_col` set, a matched key keeps whichever row has the
+    GREATER version — base rows survive incoming rows with version <=
+    theirs, so re-merging stale rows is a no-op BY VALUE, not just by
+    ledger bookkeeping (the lakehouse `MERGE ... WHEN MATCHED AND
+    s.v > t.v` condition, format-agnostic). Updates are first reduced
+    to their greatest-version row per key (deterministic only if
+    versions are unique per key within one updates frame — equal-
+    version rows for one key in one batch are a caller error, same as
+    two writers sharing a writer_id). Ties between base and incoming
+    keep the BASE row, which is what makes replay idempotent."""
+    if version_col is not None:
+        w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc())
+        updates = (
+            updates.withColumn("_vrank", F.row_number().over(w))
+            .filter(F.col("_vrank") == 1)
+            .drop("_vrank")
+        )
+        # updates are now unique per key, so the incoming version per
+        # key is just its row's version — no aggregate needed
+        upd_ver = updates.select(
+            *keys, F.col(version_col).alias("_v_new")
+        )
+        survivors = (
+            base.join(upd_ver, list(keys), "left")
+            .filter(
+                F.col("_v_new").isNull()
+                | (F.col(version_col) >= F.col("_v_new"))
+            )
+            .drop("_v_new")
+        )
+        incoming = (
+            updates.join(
+                base.select(
+                    *keys, F.col(version_col).alias("_v_base")
+                ),
+                list(keys),
+                "left",
+            )
+            .filter(
+                F.col("_v_base").isNull()
+                | (F.col(version_col) > F.col("_v_base"))
+            )
+            .drop("_v_base")
+        )
+        return survivors.unionByName(incoming)
     if validate_unique:
         dup = (
             updates.groupBy(*keys)
@@ -165,6 +213,7 @@ def upsert_parquet(
     updates: DataFrame,
     *,
     keys: Sequence[str],
+    version_col: str | None = None,
 ) -> None:
     """Read-merge-rewrite upsert for a parquet table, commit-by-rename.
 
@@ -182,7 +231,7 @@ def upsert_parquet(
 
     token = uuid.uuid4().hex[:12]
     base = spark.read.parquet(base_path)
-    merged = merge_upsert(base, updates, keys=keys)
+    merged = merge_upsert(base, updates, keys=keys, version_col=version_col)
     stem = base_path.rstrip("/")
     tmp, old = f"{stem}__tmp_{token}", f"{stem}__old_{token}"
     merged.write.mode("overwrite").parquet(tmp)  # phase 1: base untouched

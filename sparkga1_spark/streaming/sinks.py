@@ -118,7 +118,11 @@ def _any_committed_batches(base_path: str) -> bool:
 
 
 def foreach_batch_upsert(
-    base_path: str, *, keys: Sequence[str], writer_id: str = "default"
+    base_path: str,
+    *,
+    keys: Sequence[str],
+    writer_id: str = "default",
+    version_col: str | None = None,
 ):
     """Build a foreachBatch function that MERGEs each micro-batch into
     the parquet table at `base_path`, exactly-once under replay:
@@ -159,17 +163,20 @@ def foreach_batch_upsert(
     one writer_id are NOT detected — that is checkpoint misuse, same
     as pointing two Spark queries at one checkpoint dir.
 
-    RESIDUAL multi-writer window (documented, not closed): if writer A
-    crashes between its upsert commit and its ledger write, and writer
-    B then commits a newer version of a key A's batch also touched,
-    A's replay re-merges its (older) rows over B's — the sequential-
-    per-query argument that makes this window content-neutral for one
-    writer does not order across writers. Closing it needs
-    version-aware merge (keep-greatest-version per key, the lakehouse
-    MERGE condition) rather than last-merge-wins; concurrent writers
-    touching OVERLAPPING keys should carry an explicit version column
-    and reduce per key before the sink, which makes any replay a
-    no-op by value.
+    CROSS-WRITER REPLAY (closed by `version_col`): without it, if
+    writer A crashes between its upsert commit and its ledger write,
+    and writer B then commits a newer version of a key A's batch also
+    touched, A's replay re-merges its (older) rows over B's — the
+    sequential-per-query argument that makes this window
+    content-neutral for one writer does not order across writers. Pass
+    `version_col` (an event-time / monotone sequence column) and every
+    merge keeps the GREATEST version per key (ties keep the table's
+    row), so a stale replay is a no-op BY VALUE — the lakehouse
+    `MERGE ... WHEN MATCHED AND s.v > t.v` condition, format-agnostic.
+    Writers touching overlapping keys without a version column remain
+    exposed to this window and the docstring contract is last-MERGE-
+    wins (test_foreach_batch_versioned_merge_closes_replay_window pins
+    both behaviors).
 
     Use: `stream.writeStream.foreachBatch(foreach_batch_upsert(path,
     keys=[...], writer_id="q1")).option("checkpointLocation", ...)
@@ -211,9 +218,29 @@ def foreach_batch_upsert(
                         "re-bootstrap over committed history"
                     )
             if not os.path.isdir(base_path):
-                batch_df.write.mode("overwrite").parquet(base_path)
+                first = batch_df
+                if version_col is not None:
+                    # bootstrap must honor the same keep-greatest rule
+                    # within the first batch
+                    from pyspark.sql import Window, functions as F
+
+                    w = Window.partitionBy(*keys).orderBy(
+                        F.col(version_col).desc()
+                    )
+                    first = (
+                        first.withColumn("_vrank", F.row_number().over(w))
+                        .filter(F.col("_vrank") == 1)
+                        .drop("_vrank")
+                    )
+                first.write.mode("overwrite").parquet(base_path)
             else:
-                upsert_parquet(spark, base_path, batch_df, keys=list(keys))
+                upsert_parquet(
+                    spark,
+                    base_path,
+                    batch_df,
+                    keys=list(keys),
+                    version_col=version_col,
+                )
             d = _ledger_dir(base_path)
             os.makedirs(d, exist_ok=True)
             entry = (

@@ -834,3 +834,63 @@ def test_stream_cms_cells_match_batch(spark, sf_dir, event_stream_schema, events
         for r in sketch_of(load_table(spark, sf_dir, "events")).collect()
     }
     assert got == want and got
+
+
+def test_merge_upsert_versioned_keeps_greatest(spark):
+    """Versioned MERGE: matched keys keep the greater version, ties
+    keep the BASE row (replay idempotence), a duplicate-keyed updates
+    frame reduces to its greatest-version row first, inserts pass."""
+    from sparkga1_spark.sources.sinks import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, 5, "b5"), (2, 1, "b1"), (4, 3, "b3")], "k long, ver long, v string"
+    )
+    upd = spark.createDataFrame(
+        [(1, 4, "stale"),          # older than base: dropped
+         (2, 2, "u2"), (2, 7, "u7"),  # dup key: greatest wins, then beats base
+         (3, 1, "new"),            # insert
+         (4, 3, "tie")],           # equal version: base row kept
+        "k long, ver long, v string",
+    )
+    got = {
+        r.k: (r.ver, r.v)
+        for r in merge_upsert(base, upd, keys=["k"], version_col="ver").collect()
+    }
+    assert got == {1: (5, "b5"), 2: (7, "u7"), 3: (1, "new"), 4: (3, "b3")}, got
+
+
+def test_foreach_batch_versioned_merge_closes_replay_window(spark, tmp_path):
+    """The cross-writer replay window: writer A commits its upsert but
+    crashes BEFORE its ledger write; writer B then commits a newer
+    version of the same key; A's batch is redelivered. Without a
+    version column the replay re-merges A's older rows over B's (the
+    documented last-MERGE-wins contract — pinned here so the hazard
+    stays visible); with version_col the replay is a no-op by value
+    and B's newer row survives."""
+    import os
+
+    from sparkga1_spark.streaming.sinks import foreach_batch_upsert
+
+    def run(version_col):
+        table = str(tmp_path / f"t_{version_col or 'none'}")
+        a = foreach_batch_upsert(
+            table, keys=["k"], writer_id="wa", version_col=version_col
+        )
+        b = foreach_batch_upsert(
+            table, keys=["k"], writer_id="wb", version_col=version_col
+        )
+
+        def df(rows):
+            return spark.createDataFrame(rows, "k long, ver long, v string")
+
+        a(df([(1, 1, "a.v1")]), 0)          # bootstrap
+        a(df([(1, 2, "a.v2")]), 1)          # A's batch 1 commits...
+        os.remove(os.path.join(table + "__batches", "wa.1"))  # ...crash
+        b(df([(1, 3, "b.v3")]), 0)          # B commits a NEWER version
+        a(df([(1, 2, "a.v2")]), 1)          # A's replay after restart
+        return {r.k: (r.ver, r.v) for r in spark.read.parquet(table).collect()}
+
+    # unversioned: replay clobbers B's newer row — the documented window
+    assert run(None) == {1: (2, "a.v2")}
+    # versioned: stale replay is a value-level no-op
+    assert run("ver") == {1: (3, "b.v3")}
