@@ -154,8 +154,32 @@ def merge_upsert(
     versions are unique per key within one updates frame — equal-
     version rows for one key in one batch are a caller error, same as
     two writers sharing a writer_id). Ties between base and incoming
-    keep the BASE row, which is what makes replay idempotent."""
+    keep the BASE row, which is what makes replay idempotent.
+    `validate_unique` is moot on this path (the reduction enforces
+    one row per key). A NULL version on EITHER side raises in-plan:
+    under SQL three-valued logic a null never wins and never loses a
+    version comparison, so a null-versioned row would silently
+    duplicate its key (null vs null: both filters keep their row) or
+    silently vanish it (null vs v: both filters drop) — the A-ES
+    non-positive-weight precedent, fail loud instead of either."""
     if version_col is not None:
+        def _required(df):
+            vtype = dict(df.dtypes)[version_col]
+            return df.withColumn(
+                version_col,
+                F.when(
+                    F.col(version_col).isNull(),
+                    F.raise_error(
+                        F.lit(
+                            f"merge_upsert: {version_col} must be non-null "
+                            "for versioned merge"
+                        )
+                    ).cast(vtype),
+                ).otherwise(F.col(version_col)),
+            )
+
+        base = _required(base)
+        updates = _required(updates)
         w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc())
         updates = (
             updates.withColumn("_vrank", F.row_number().over(w))

@@ -894,3 +894,24 @@ def test_foreach_batch_versioned_merge_closes_replay_window(spark, tmp_path):
     assert run(None) == {1: (2, "a.v2")}
     # versioned: stale replay is a value-level no-op
     assert run("ver") == {1: (3, "b.v3")}
+
+
+def test_merge_upsert_versioned_rejects_null_versions(spark):
+    """NULL versions must raise in-plan, not silently duplicate or
+    vanish a key under three-valued comparison logic."""
+    import pytest as _pytest
+
+    from sparkga1_spark.sources.sinks import merge_upsert
+
+    base = spark.createDataFrame([(1, 5, "b")], "k long, ver long, v string")
+    upd_null = spark.createDataFrame(
+        [(1, None, "u")], "k long, ver long, v string"
+    )
+    with _pytest.raises(Exception, match="non-null"):
+        merge_upsert(base, upd_null, keys=["k"], version_col="ver").collect()
+    base_null = spark.createDataFrame(
+        [(1, None, "b")], "k long, ver long, v string"
+    )
+    upd = spark.createDataFrame([(1, 2, "u")], "k long, ver long, v string")
+    with _pytest.raises(Exception, match="non-null"):
+        merge_upsert(base_null, upd, keys=["k"], version_col="ver").collect()
