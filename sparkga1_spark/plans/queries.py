@@ -2348,6 +2348,60 @@ def x_multimodal_gif_decode(spark, sf_dir):
     return decode_image_stats(plant_gif_payloads(docs))
 
 
+@query(
+    "x_multimodal_jpeg_decode",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         doc_id % 5 + 1 AS wb, doc_id % 3 + 1 AS hb,
+         octet_length(encode(text)) AS L,
+         [CAST(('0x' || substr(hex(encode(text)), 2*i-1, 2)) AS INTEGER)
+          for i in generate_series(1, octet_length(encode(text)))] AS bv
+  FROM documents
+)
+SELECT doc_id,
+       CAST(8 * wb AS INTEGER) AS width,
+       CAST(8 * hb AS INTEGER) AS height,
+       1 AS channels,
+       'JPEG' AS format,
+       -- one text byte per CONSTANT 8x8 block: flat blocks are DC-only,
+       -- so the lossy codec is exactly lossless here and px_sum is
+       -- 64 x the tiled block-value sum; L = 0 guard mirrors the
+       -- planter's b'\\0' empty-text fallback
+       CAST(CASE WHEN L = 0 THEN 0
+            ELSE 64 * ((wb * hb // L) * list_sum(bv)
+                       + coalesce(list_sum(bv[1:(wb * hb) % L]), 0))
+            END AS BIGINT) AS px_sum
+FROM s
+""",
+)
+def x_multimodal_jpeg_decode(spark, sf_dir):
+    """Multimodal REAL compressed-image decode #6 — baseline JPEG
+    (ITU-T T.81, public spec), the first LOSSY-family codec decoded
+    for real: plant an actual baseline JFIF JPEG per document (8x8
+    blocks constant-tiled with the UTF-8 text bytes, Annex K Huffman
+    tables, quant all-ones), then run the COMPLETE decode — marker
+    walk, DQT/DHT parse, canonical Huffman entropy decode with byte
+    unstuffing, DC prediction, zigzag, dequant, separable IDCT, level
+    shift — and emit pixel statistics. Flat blocks make the round
+    trip exactly lossless (DC-only spectra survive quant 1 and the
+    float IDCT on the nose), so the oracle states px_sum in closed
+    form even though the codec family is lossy; any defect in the
+    Huffman tables, bit packing, DC prediction chain, or IDCT breaks
+    the hash. The decoder also handles 4:4:4/4:2:2/4:2:0 color with
+    RSTn restarts — pinned by foreign real-encoder JPEGs (CPython /
+    Rust-doc test images) in tests/test_multimodal_bytes.py. The md5
+    FAKE branch now covers only video (MP4) and non-baseline JPEG
+    (progressive/arithmetic), which genuinely need a codec library."""
+    from sparkga1_spark.operators.multimodal import (
+        decode_image_stats,
+        plant_jpeg_real_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return decode_image_stats(plant_jpeg_real_payloads(docs))
+
+
 def _bpe_cte_chain(rounds: int) -> str:
     """Shared unrolled DuckDB mirror of the BPE merge loop: rounds ×
     (pair count → argmax → replace) as chained CTEs, carrying the
@@ -9117,15 +9171,17 @@ def x_sessionize_gaps(spark, sf_dir):
 #     x_multimodal_wav_features, displaced by the session-2 additions)
 #     carry full-precision LOCAL_GATE evidence this round and front
 #     in r7.
-# That is exactly 4 + 15 + 18 + 13 = 50.
+# That is exactly 1 (session-4 JPEG) + 4 + 15 + 18 + 12 = 50.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
 
 set_gate_order([
-    # (a) new / result-changed this round — session 3 additions first
-    # (IMA ADPCM stateful codec, BPE encode, NFC text hygiene), then
-    # session 2, then the session-1 new/graph set
+    # (a) new / result-changed this round — session 4 (real baseline
+    # JPEG decode) and session 3 additions first (IMA ADPCM stateful
+    # codec, BPE encode, NFC text hygiene), then session 2, then the
+    # session-1 new/graph set
+    "x_multimodal_jpeg_decode",
     "x_multimodal_adpcm_features",
     "x_multimodal_alaw_features",
     "x_bpe_encode_corpus",
@@ -9177,8 +9233,8 @@ set_gate_order([
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_parts",
     "tpch_q21_waiting_supplier",
-    "x_ann_bruteforce_topk",
-    # (displaced to r7 by the session-3 additions: x_ann_ivf_nprobe2, x_ann_ivf_topk,
-    # x_ann_lsh_buckets, x_multimodal_bmp_decode — all r3-green and
-    # green in this round's full-precision LOCAL_GATE)
+    # (displaced to r7 by the session-3/4 additions: x_ann_bruteforce_topk,
+    # x_ann_ivf_nprobe2, x_ann_ivf_topk, x_ann_lsh_buckets,
+    # x_multimodal_bmp_decode — all r3-green and green in this round's
+    # full-precision LOCAL_GATE)
 ])

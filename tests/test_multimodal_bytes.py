@@ -835,6 +835,8 @@ def test_decoder_fuzz_only_valueerror_and_bounded_alloc():
         parse_bmp,
         parse_gif,
         parse_gif_meta,
+        parse_jpeg,
+        parse_jpeg_meta,
         parse_pcx,
         parse_pcx_meta,
         parse_png,
@@ -847,11 +849,12 @@ def test_decoder_fuzz_only_valueerror_and_bounded_alloc():
     rng = np.random.default_rng(20260814)
     parsers = [
         parse_gif, parse_pcx, parse_qoi, parse_wav, parse_bmp, parse_ppm,
-        parse_png, parse_gif_meta, parse_pcx_meta, parse_qoi_meta,
+        parse_png, parse_jpeg, parse_gif_meta, parse_pcx_meta,
+        parse_qoi_meta, parse_jpeg_meta,
     ]
     magics = [
         b"", b"GIF87a", b"GIF89a", b"\x0a\x05\x01", b"qoif", b"RIFF",
-        b"BM", b"P6", b"\x89PNG\r\n\x1a\n",
+        b"BM", b"P6", b"\x89PNG\r\n\x1a\n", b"\xff\xd8",
     ]
     for trial in range(450):
         m = magics[trial % len(magics)]
@@ -866,10 +869,13 @@ def test_decoder_fuzz_only_valueerror_and_bounded_alloc():
 
     px = np.resize(np.arange(300, dtype=np.uint8), (10, 12, 3))
     idx = np.resize(np.arange(120, dtype=np.uint8), 120)
+    from sparkga1_spark.operators.multimodal import build_jpeg_baseline
+
     for parser, good in [
         (parse_gif, build_gif(idx, 12, 10)),
         (parse_pcx, build_pcx(px)),
         (parse_qoi, build_qoi(px)),
+        (parse_jpeg, build_jpeg_baseline(px[:, :, 0])),
     ]:
         for _ in range(450):
             b = bytearray(good)
@@ -985,3 +991,231 @@ def test_alaw_decode_reference_vectors():
     # odd-length data chunk roundtrips through the word-alignment pad
     n2, _, s2 = parse_wav(build_wav_alaw(codes[:77], sample_rate=8000))
     assert n2 == 77 and s2.tolist() == samples[:77].tolist()
+
+
+def test_jpeg_baseline_flat_block_exact_roundtrip():
+    """Constant 8x8 blocks make baseline JPEG exactly lossless (DC-only
+    spectra, quant 1): build → parse must reproduce every pixel, which
+    is what lets the oracle state px_sum in closed form for a lossy
+    codec family. Also pins the planter's block layout: block (by,bx)
+    carries tiled byte (by*wb+bx) % L."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import build_jpeg_baseline, parse_jpeg
+
+    rng = np.random.default_rng(7)
+    for hb, wb in [(1, 1), (3, 5), (2, 4)]:
+        vals = rng.integers(0, 256, (hb, wb), dtype=np.uint8)
+        img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+        w, h, px = parse_jpeg(build_jpeg_baseline(img))
+        assert (w, h) == (wb * 8, hb * 8)
+        assert px.shape == (hb * 8, wb * 8, 1)
+        assert np.array_equal(px[:, :, 0], img)
+        assert int(px.sum()) == 64 * int(vals.sum())
+
+
+def test_jpeg_baseline_roundtrip_error_bounds():
+    """Random (non-flat) content exercises the full AC path: at quant 1
+    the only loss is coefficient rounding, so grayscale must come back
+    within ±2 and 4:4:4 color within ±4 (YCbCr matrix rounding on
+    top); restart intervals must not change a single pixel; seed 0 is
+    chosen because its entropy stream contains a stuffed 0xFF 0x00,
+    pinning the unstuffing path on real data."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import build_jpeg_baseline, parse_jpeg
+
+    rng = np.random.default_rng(0)
+    g = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    data = build_jpeg_baseline(g)
+    sos = data.find(b"\xff\xda")
+    assert b"\xff\x00" in data[sos + 2 : -2], "seed no longer exercises stuffing"
+    w, h, px = parse_jpeg(data)
+    assert (w, h) == (24, 24)
+    assert np.abs(px[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+
+    # odd dims force edge padding; decoder must crop it back off
+    g2 = rng.integers(0, 256, (17, 23), dtype=np.uint8)
+    w, h, px = parse_jpeg(build_jpeg_baseline(g2))
+    assert (w, h, px.shape) == (23, 17, (17, 23, 1))
+    assert np.abs(px[:, :, 0].astype(int) - g2.astype(int)).max() <= 2
+
+    c = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    w, h, px = parse_jpeg(build_jpeg_baseline(c))
+    assert px.shape == (16, 16, 3)
+    assert np.abs(px.astype(int) - c.astype(int)).max() <= 4
+
+    base = parse_jpeg(build_jpeg_baseline(g))[2]
+    for dri in (1, 2, 7):
+        assert np.array_equal(parse_jpeg(build_jpeg_baseline(g, restart_interval=dri))[2], base)
+
+    # coarser quant still decodes; error bounded by the table scale
+    q = np.full(64, 16, dtype=np.int32)
+    w, h, px = parse_jpeg(build_jpeg_baseline(g, quant=q))
+    assert np.abs(px[:, :, 0].astype(int) - g.astype(int)).max() <= 128
+
+
+def test_jpeg_idct_matches_naive_formula():
+    """The decoder's separable matrix IDCT must equal the direct
+    O(N^4) T.81 A.3.3 double sum — an independent restatement, so a
+    normalization or transpose bug in the fast path cannot hide."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import _jpeg_dct_matrix
+
+    rng = np.random.default_rng(3)
+    m = _jpeg_dct_matrix()
+    coef = rng.integers(-512, 512, (8, 8)).astype(np.float64)
+    fast = m.T @ coef @ m
+    naive = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            acc = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    acc += (
+                        0.25 * cu * cv * coef[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            naive[x, y] = acc
+    assert np.abs(fast - naive).max() < 1e-9
+
+
+def test_jpeg_annexk_tables_complete():
+    """The transcribed Annex K tables must be COMPLETE canonical codes:
+    DC alphabets exactly categories 0-11, AC alphabets exactly
+    {(run 0-15, size 1-10)} + EOB + ZRL (162 symbols), and every BITS
+    vector must build a valid decode table — a mis-transcribed entry
+    would KeyError the encoder or desync the decoder."""
+    from sparkga1_spark.operators.multimodal import (
+        _JPEG_AC_CHR,
+        _JPEG_AC_LUM,
+        _JPEG_DC_CHR,
+        _JPEG_DC_LUM,
+        _jpeg_decode_table,
+        _jpeg_encode_table,
+    )
+
+    ac_expected = {(r << 4) | s for r in range(16) for s in range(1, 11)} | {0x00, 0xF0}
+    for bits, vals in (_JPEG_DC_LUM, _JPEG_DC_CHR):
+        assert sorted(vals) == list(range(12))
+        assert sum(bits) == len(vals)
+        _jpeg_decode_table(bits, vals)
+    for bits, vals in (_JPEG_AC_LUM, _JPEG_AC_CHR):
+        assert set(vals) == ac_expected and len(vals) == 162
+        assert sum(bits) == len(vals)
+        _jpeg_decode_table(bits, vals)
+        enc = _jpeg_encode_table(bits, vals)
+        assert all(ln <= 16 for _, ln in enc.values())
+
+
+def test_jpeg_foreign_streams_decode():
+    """Interop beyond roundtrip (the QOI/GIF lesson): decode JPEGs
+    written by real-world encoders where the host ships any — each
+    must either fully entropy-decode to exactly the SOF dimensions
+    (hundreds of MCUs; any Huffman/unstuffing/prediction bug desyncs
+    and raises) or refuse with the documented honest ValueError
+    (progressive/arithmetic) — never crash, never mis-size."""
+    import glob
+
+    from sparkga1_spark.operators.multimodal import parse_jpeg, parse_jpeg_meta
+
+    roots = [
+        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/**/*.jpg",
+        "/root/.rustup/**/*.jpeg",
+        "/usr/share/**/*.jpg",
+    ]
+    paths = sorted({p for r in roots for p in glob.glob(r, recursive=True)})[:20]
+    decoded = 0
+    for p in paths:
+        with open(p, "rb") as fh:
+            data = fh.read()
+        try:
+            w, h, c = parse_jpeg_meta(data)
+        except ValueError:
+            continue
+        try:
+            pw, ph, px = parse_jpeg(data)
+        except ValueError:
+            continue  # honest refusal (non-baseline)
+        assert (pw, ph) == (w, h)
+        assert px.shape == (h, w, c)
+        assert px.dtype.name == "uint8"
+        decoded += 1
+    if paths:
+        assert decoded >= 1, "no foreign JPEG decoded — interop regressed"
+
+
+def test_jpeg_dispatch_real_pixels_and_legacy_fake():
+    """_decode_image_pixels must route baseline payloads through the
+    REAL decoder (exact pixels for flat blocks) while the legacy
+    header-only fixtures (build_jpeg: garbage entropy, no AC Huffman
+    table declared) keep falling through to the documented md5 FAKE —
+    byte-stable results for every pre-existing query."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import (
+        _decode_image_meta,
+        _decode_image_pixels,
+        build_jpeg,
+        build_jpeg_baseline,
+    )
+
+    vals = np.arange(6, dtype=np.uint8).reshape(2, 3) * 40
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+    data = build_jpeg_baseline(img)
+    assert _decode_image_meta(data) == (24, 16, 1, "JPEG")
+    assert np.array_equal(_decode_image_pixels(data)[:, :, 0], img)
+
+    legacy = build_jpeg(21, 13, b"entropy-bytes")
+    assert _decode_image_meta(legacy) == (21, 13, 3, "JPEG")
+    fake = _decode_image_pixels(legacy)
+    flat = np.frombuffer(legacy, dtype=np.uint8)
+    assert np.array_equal(fake, np.resize(flat, fake.shape))
+
+
+def test_jpeg_refusals_and_bomb_guard():
+    """Non-baseline streams refuse with ValueError (never a crash, and
+    never the fake silently claiming real): progressive SOF2,
+    arithmetic conditioning, restart markers without DRI, truncated
+    entropy, missing Huffman tables, and a header-declared raster
+    beyond the decompression-bomb cap."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from sparkga1_spark.operators.multimodal import build_jpeg_baseline, parse_jpeg
+
+    g = np.zeros((8, 8), dtype=np.uint8)
+    data = build_jpeg_baseline(g)
+
+    sof = data.find(b"\xff\xc0")
+    prog = bytearray(data)
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        parse_jpeg(bytes(prog))
+
+    bomb = bytearray(data)
+    struct.pack_into(">HH", bomb, sof + 5, 0xFFFF, 0xFFFF)
+    with pytest.raises(ValueError, match="decoder cap"):
+        parse_jpeg(bytes(bomb))
+
+    with pytest.raises(ValueError, match="underrun|truncated|terminating"):
+        parse_jpeg(data[:-4])
+
+    # an RST marker in the entropy stream without a DRI declaration
+    eoi = data.rfind(b"\xff\xd9")
+    rst = data[:eoi] + b"\xff\xd0" + data[eoi:]
+    with pytest.raises(ValueError, match="without DRI"):
+        parse_jpeg(rst)
+
+    # strip the DHT segment: entropy decode has no tables to start from
+    dht = data.find(b"\xff\xc4")
+    ln = struct.unpack_from(">H", data, dht + 2)[0]
+    no_dht = data[:dht] + data[dht + 2 + ln :]
+    with pytest.raises(ValueError, match="Huffman"):
+        parse_jpeg(no_dht)
