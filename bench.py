@@ -101,6 +101,9 @@ HEADLINE = [
     "x_multimodal_adpcm_features",
     "x_bpe_encode_corpus",
     "x_text_nfc_clean",
+    # round 6 session 4: real baseline JPEG decode (Huffman entropy
+    # path + IDCT per payload; flat-block fixtures keep streams tiny)
+    "x_multimodal_jpeg_decode",
 ]
 
 # CONVENTION (r5 VERDICT #8): the headline set only ever GROWS —
