@@ -103,7 +103,9 @@ HEADLINE = [
     "x_text_nfc_clean",
     # round 6 session 4: real baseline JPEG decode (Huffman entropy
     # path + IDCT per payload; flat-block fixtures keep streams tiny)
+    # and real FLAC decode (fixed/LPC prediction + Rice entropy coding)
     "x_multimodal_jpeg_decode",
+    "x_multimodal_flac_features",
 ]
 
 # CONVENTION (r5 VERDICT #8): the headline set only ever GROWS —

@@ -760,9 +760,10 @@ def sample_frames(
 
 def audio_features(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
     """Audio feature extraction: sample count / rate / duration /
-    sum-of-|sample| energy ('rms' column). Real path: native RIFF/WAV
-    parse of 16-bit PCM (header fields + numpy sample math — no codec
-    library). Fallback for non-WAV blobs: byte statistics
+    sum-of-|sample| energy ('rms' column). Real paths: native RIFF/WAV
+    parse (16-bit PCM, µ-law/A-law expansion, IMA ADPCM) and the full
+    FLAC decode (fixed/LPC prediction + Rice entropy coding — no codec
+    library). Fallback for other blobs: byte statistics
     (sum of byte values as 'RMS' — deterministic)."""
     import numpy as np
 
@@ -772,7 +773,10 @@ def audio_features(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 data = bytes(payload)
                 try:
-                    n_samples, rate, samples = parse_wav(data)
+                    if data[:4] == FLAC_MAGIC:
+                        n_samples, rate, samples = parse_flac(data)
+                    else:
+                        n_samples, rate, samples = parse_wav(data)
                     energy = int(np.abs(samples.astype(np.int64)).sum())
                 except ValueError:
                     n_samples, rate = len(data), 16_000
@@ -2496,6 +2500,618 @@ def plant_jpeg_real_payloads(df: DataFrame, *, text_col: str = "text") -> DataFr
                 vals = np.resize(np.frombuffer(raw, np.uint8), (hb, wb))
                 img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
                 out.append((doc_id, build_jpeg_baseline(img)))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+
+
+# --------------------------------------------------------------------------
+# FLAC (RFC 9639, public spec) — REAL compressed-audio decode: the last
+# classic compression family (linear prediction + Rice/Golomb entropy
+# coding) decoded for real, completing the audio mirror of the image
+# story (PCM parsed raw, µ-law/A-law expanded, IMA ADPCM state-machine
+# replayed, and now an entropy-coded lossless codec). Decoder: stream
+# marker + metadata-block walk (STREAMINFO mandatory), per-frame sync
+# parse with CRC-8 header / CRC-16 frame verification, UTF-8 coded
+# frame numbers, constant/verbatim/fixed(0-4)/LPC subframes, wasted
+# bits, Rice method 0/1 residuals incl. the verbatim escape, all four
+# channel assignments (independent / left-side / right-side / mid-side),
+# and the STREAMINFO MD5 check over the decoded samples — an
+# end-to-end integrity pin no fake could satisfy. Encoder (fixtures /
+# tests only): 16-bit, blocksize-64 multi-frame streams, per-block
+# best fixed predictor or least-squares quantized LPC, per-partition
+# Rice parameter search with raw escape, correct CRCs and sample MD5.
+# --------------------------------------------------------------------------
+
+FLAC_MAGIC = b"fLaC"
+
+
+def _crc8_flac(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07 if crc & 0x80 else crc << 1) & 0xFF
+    return crc
+
+
+def _crc16_flac(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005 if crc & 0x8000 else crc << 1) & 0xFFFF
+    return crc
+
+
+class _FlacBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+
+class _FlacBitReader:
+    __slots__ = ("data", "bitpos")
+
+    def __init__(self, data: bytes, bitpos: int = 0):
+        self.data = data
+        self.bitpos = bitpos
+
+    def read(self, nbits: int) -> int:
+        end = self.bitpos + nbits
+        if end > len(self.data) * 8:
+            raise ValueError("FLAC bitstream underrun")
+        v = 0
+        pos = self.bitpos
+        while nbits:
+            byte = self.data[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = avail if avail < nbits else nbits
+            v = (v << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+            pos += take
+            nbits -= take
+        self.bitpos = pos
+        return v
+
+    def read_signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        return v - (1 << nbits) if v >> (nbits - 1) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 20:
+                raise ValueError("FLAC unary run overflow")
+        return q
+
+    def align(self) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+
+
+def _flac_utf8_encode(n: int) -> bytes:
+    if n < 0x80:
+        return bytes([n])
+    out, nbytes = [], 2
+    while n >= (1 << (nbytes * 5 + 1)) and nbytes < 7:
+        nbytes += 1
+    lead = (0xFF << (8 - nbytes)) & 0xFF
+    shifts = (nbytes - 1) * 6
+    out.append(lead | (n >> shifts))
+    for i in range(nbytes - 1):
+        shifts -= 6
+        out.append(0x80 | ((n >> shifts) & 0x3F))
+    return bytes(out)
+
+
+def _flac_utf8_decode(br: _FlacBitReader) -> int:
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    mask = 0x80
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    if nbytes < 2 or nbytes > 7:
+        raise ValueError("bad FLAC coded number")
+    v = b0 & (0x7F >> nbytes)
+    for _ in range(nbytes - 1):
+        b = br.read(8)
+        if b >> 6 != 0b10:
+            raise ValueError("bad FLAC coded-number continuation")
+        v = (v << 6) | (b & 0x3F)
+    return v
+
+
+_FLAC_FIXED_COEFS = {
+    0: (),
+    1: (1,),
+    2: (2, -1),
+    3: (3, -3, 1),
+    4: (4, -6, 4, -1),
+}
+
+
+def _flac_rice_cost(residual, k: int) -> int:
+    total = 0
+    for r in residual:
+        u = (r << 1) ^ (r >> 63) if r < 0 else r << 1
+        total += (u >> k) + 1 + k
+    return total
+
+
+def _flac_write_residual(bw: _FlacBitWriter, residual, bps_raw: int,
+                         force_escape: bool = False) -> None:
+    """Rice method 0, partition order 0; per-partition parameter search
+    with the all-ones escape to raw when rice loses (force_escape pins
+    the decoder's escape path in tests — rice rarely loses at bps+4)."""
+    best_k, best_cost = 0, None
+    for k in range(15):
+        c = _flac_rice_cost(residual, k)
+        if best_cost is None or c < best_cost:
+            best_k, best_cost = k, c
+    raw_cost = 5 + len(residual) * bps_raw
+    bw.write(0b00, 2)  # coding method: rice, 4-bit params
+    bw.write(0, 4)  # partition order 0
+    if force_escape or best_cost > raw_cost:
+        bw.write(0b1111, 4)  # escape
+        bw.write(bps_raw, 5)
+        for r in residual:
+            bw.write(r & ((1 << bps_raw) - 1), bps_raw)
+        return
+    bw.write(best_k, 4)
+    for r in residual:
+        u = (r << 1) ^ (r >> 63) if r < 0 else r << 1
+        bw.write_unary(u >> best_k)
+        if best_k:
+            bw.write(u & ((1 << best_k) - 1), best_k)
+
+
+def build_flac(samples, *, sample_rate: int = 8000, block_size: int = 64,
+               predictor: str = "auto", channels: int = 1,
+               channel_mode: str = "independent",
+               force_escape: bool = False) -> bytes:
+    """int16 samples (1-D mono, or interleaved / (n, 2) stereo) → a
+    real FLAC stream: STREAMINFO (+sample MD5), blocksize-`block_size`
+    frames, per-block best fixed predictor (or least-squares quantized
+    LPC with predictor='lpc'), Rice residuals with parameter search
+    and raw escape, CRC-8/CRC-16. `channel_mode` for stereo:
+    independent | left_side | right_side | mid_side (the decorrelation
+    the decoder must undo)."""
+    import hashlib as _hl
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    if channels == 2:
+        s = s.reshape(-1, 2)
+        n = s.shape[0]
+    else:
+        s = s.reshape(-1)
+        n = s.shape[0]
+    if n == 0:
+        raise ValueError("empty sample stream")
+    if s.max() > 32767 or s.min() < -32768:
+        raise ValueError("build_flac writes 16-bit samples")
+    bps = 16
+
+    md5 = _hl.md5(
+        np.asarray(s, dtype="<i2").tobytes()
+    ).digest()
+
+    def encode_subframe(bw: _FlacBitWriter, chan, sub_bps: int, mode: str) -> None:
+        chan = [int(v) for v in chan]
+        if all(v == chan[0] for v in chan):
+            bw.write(0, 1)
+            bw.write(0b000000, 6)
+            bw.write(0, 1)  # no wasted bits
+            bw.write(chan[0] & ((1 << sub_bps) - 1), sub_bps)
+            return
+        if mode == "lpc" and len(chan) > 8:
+            order = 2
+            a = np.array([[chan[i - 1], chan[i - 2]] for i in range(order, len(chan))], dtype=np.float64)
+            y = np.array(chan[order:], dtype=np.float64)
+            coef, *_ = np.linalg.lstsq(a, y, rcond=None)
+            shift = 10
+            qcoef = [max(-2048, min(2047, int(round(c * (1 << shift))))) for c in coef]
+            residual = [
+                chan[i] - ((qcoef[0] * chan[i - 1] + qcoef[1] * chan[i - 2]) >> shift)
+                for i in range(order, len(chan))
+            ]
+            if max(abs(r) for r in residual) < (1 << 30):
+                bw.write(0, 1)
+                bw.write(0b100000 | (order - 1), 6)
+                bw.write(0, 1)
+                for w in chan[:order]:
+                    bw.write(w & ((1 << sub_bps) - 1), sub_bps)
+                bw.write(12 - 1, 4)  # qlp precision 12
+                bw.write(shift, 5)
+                for c in qcoef:
+                    bw.write(c & 0xFFF, 12)
+                _flac_write_residual(bw, residual, min(32, sub_bps + 4), force_escape)
+                return
+        best = None
+        max_order = min(4, len(chan) - 1)
+        for order in range(max_order + 1):
+            coefs = _FLAC_FIXED_COEFS[order]
+            residual = [
+                chan[i] - sum(c * chan[i - 1 - j] for j, c in enumerate(coefs))
+                for i in range(order, len(chan))
+            ]
+            cost = sum(abs(r) for r in residual)
+            if best is None or cost < best[0]:
+                best = (cost, order, residual)
+        _, order, residual = best
+        bw.write(0, 1)
+        bw.write(0b001000 | order, 6)
+        bw.write(0, 1)
+        for w in chan[:order]:
+            bw.write(w & ((1 << sub_bps) - 1), sub_bps)
+        _flac_write_residual(bw, residual, min(32, sub_bps + 4), force_escape)
+
+    frames = bytearray()
+    frame_no = 0
+    for start in range(0, n, block_size):
+        blk = s[start : start + block_size]
+        bs = blk.shape[0]
+        hdr = _FlacBitWriter()
+        hdr.write(0b11111111111110, 14)
+        hdr.write(0, 1)  # reserved
+        hdr.write(0, 1)  # fixed-blocksize strategy
+        hdr.write(0b0110, 4)  # blocksize: 8-bit at end of header
+        hdr.write(0b0000, 4)  # sample rate: STREAMINFO
+        if channels == 1:
+            chan_assign, subchans, sub_bps = 0, [blk.tolist()], [bps]
+        else:
+            left, right = blk[:, 0].tolist(), blk[:, 1].tolist()
+            if channel_mode == "independent":
+                chan_assign, subchans, sub_bps = 1, [left, right], [bps, bps]
+            elif channel_mode == "left_side":
+                side = [l - r for l, r in zip(left, right)]
+                chan_assign, subchans, sub_bps = 0b1000, [left, side], [bps, bps + 1]
+            elif channel_mode == "right_side":
+                side = [l - r for l, r in zip(left, right)]
+                chan_assign, subchans, sub_bps = 0b1001, [side, right], [bps + 1, bps]
+            elif channel_mode == "mid_side":
+                mid = [(l + r) >> 1 for l, r in zip(left, right)]
+                side = [l - r for l, r in zip(left, right)]
+                chan_assign, subchans, sub_bps = 0b1010, [mid, side], [bps, bps + 1]
+            else:
+                raise ValueError(f"unknown channel_mode {channel_mode!r}")
+        hdr.write(chan_assign, 4)
+        hdr.write(0b100, 3)  # 16 bits/sample
+        hdr.write(0, 1)  # reserved
+        hdr.align()
+        hdr_bytes = bytearray(hdr.out)
+        hdr_bytes += _flac_utf8_encode(frame_no)
+        hdr_bytes.append(bs - 1)  # the promised 8-bit blocksize
+        hdr_bytes.append(_crc8_flac(bytes(hdr_bytes)))
+
+        body = _FlacBitWriter()
+        for chan, sb in zip(subchans, sub_bps):
+            encode_subframe(body, chan, sb, predictor)
+        body.align()
+        frame = bytes(hdr_bytes) + bytes(body.out)
+        frame += struct.pack(">H", _crc16_flac(frame))
+        frames += frame
+        frame_no += 1
+
+    info = _FlacBitWriter()
+    info.write(block_size, 16)
+    info.write(block_size, 16)
+    info.write(0, 24)
+    info.write(0, 24)
+    info.write(sample_rate, 20)
+    info.write(channels - 1, 3)
+    info.write(bps - 1, 5)
+    info.write(n, 36)
+    streaminfo = bytes(info.out) + md5
+    header = bytes([0x80, 0, 0, len(streaminfo)])  # last-block, type 0
+    return FLAC_MAGIC + header + streaminfo + bytes(frames)
+
+
+_FLAC_SR_TABLE = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+
+
+def _flac_read_residual(br: _FlacBitReader, block_size: int, order: int) -> list[int]:
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("reserved FLAC residual coding method")
+    pbits = 4 + method
+    escape = (1 << pbits) - 1
+    porder = br.read(4)
+    nparts = 1 << porder
+    if block_size % nparts or (block_size >> porder) <= order and porder:
+        # partition-0 length would go non-positive; the (block_size>>porder)
+        # == order case is only legal for porder 0 streams with no residual
+        if (block_size >> porder) < order or ((block_size >> porder) == order and nparts == 1):
+            raise ValueError("bad FLAC partition order")
+    residual: list[int] = []
+    for p in range(nparts):
+        count = (block_size >> porder) - (order if p == 0 else 0)
+        if count < 0:
+            raise ValueError("bad FLAC partition order")
+        k = br.read(pbits)
+        if k == escape:
+            raw = br.read(5)
+            for _ in range(count):
+                residual.append(br.read_signed(raw) if raw else 0)
+            continue
+        for _ in range(count):
+            q = br.read_unary()
+            u = (q << k) | (br.read(k) if k else 0)
+            residual.append((u >> 1) ^ -(u & 1))
+    return residual
+
+
+def _flac_read_subframe(br: _FlacBitReader, block_size: int, sub_bps: int) -> list[int]:
+    if br.read(1):
+        raise ValueError("bad FLAC subframe padding bit")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = 1
+        while br.read(1) == 0:
+            wasted += 1
+    eff = sub_bps - wasted
+    if eff <= 0:
+        raise ValueError("FLAC wasted bits exceed sample size")
+    if stype == 0b000000:
+        v = br.read_signed(eff)
+        out = [v] * block_size
+    elif stype == 0b000001:
+        out = [br.read_signed(eff) for _ in range(block_size)]
+    elif 0b001000 <= stype <= 0b001100:
+        order = stype & 0b000111
+        if order > block_size:
+            raise ValueError("FLAC predictor order exceeds block size")
+        warm = [br.read_signed(eff) for _ in range(order)]
+        residual = _flac_read_residual(br, block_size, order)
+        coefs = _FLAC_FIXED_COEFS[order]
+        out = list(warm)
+        for r in residual:
+            pred = sum(c * out[-1 - j] for j, c in enumerate(coefs))
+            out.append(r + pred)
+    elif stype >= 0b100000:
+        order = (stype & 0b011111) + 1
+        if order > block_size:
+            raise ValueError("FLAC predictor order exceeds block size")
+        warm = [br.read_signed(eff) for _ in range(order)]
+        prec = br.read(4)
+        if prec == 0b1111:
+            raise ValueError("invalid FLAC qlp precision")
+        prec += 1
+        shift = br.read(5)
+        if shift >> 4:
+            raise ValueError("negative FLAC qlp shift")
+        coefs = [br.read_signed(prec) for _ in range(order)]
+        residual = _flac_read_residual(br, block_size, order)
+        out = list(warm)
+        for r in residual:
+            pred = sum(c * out[-1 - j] for j, c in enumerate(coefs)) >> shift
+            out.append(r + pred)
+    else:
+        raise ValueError("reserved FLAC subframe type")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def parse_flac(data: bytes):
+    """FLAC bytes → (n_samples, sample_rate, samples int32 ndarray —
+    1-D mono / (n, 2) stereo) via a COMPLETE real decode: metadata
+    walk, per-frame CRC-8/CRC-16 verification, constant / verbatim /
+    fixed / LPC subframes, Rice method 0/1 with the raw escape, wasted
+    bits, all four stereo decorrelations, and the STREAMINFO MD5
+    integrity check over the reassembled samples. ValueError on any
+    structural defect — never a crash, never a silent wrong sample."""
+    import hashlib as _hl
+    import struct
+
+    import numpy as np
+
+    if len(data) < 42 or data[:4] != FLAC_MAGIC:
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("truncated FLAC metadata")
+        last = data[pos] >> 7
+        btype = data[pos] & 0x7F
+        blen = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        body = data[pos + 4 : pos + 4 + blen]
+        if len(body) != blen:
+            raise ValueError("truncated FLAC metadata block")
+        if btype == 0:
+            if blen != 34:
+                raise ValueError("bad STREAMINFO length")
+            streaminfo = body
+        elif btype == 127:
+            raise ValueError("invalid FLAC metadata block type")
+        pos += 4 + blen
+        if last:
+            break
+    if streaminfo is None:
+        raise ValueError("FLAC stream missing STREAMINFO")
+    si = _FlacBitReader(streaminfo)
+    si.read(16)  # min blocksize
+    si.read(16)  # max blocksize
+    si.read(24)
+    si.read(24)
+    rate = si.read(20)
+    channels = si.read(3) + 1
+    bps = si.read(5) + 1
+    total = si.read(36)
+    md5_expect = streaminfo[18:34]
+    if rate == 0:
+        raise ValueError("bad FLAC sample rate")
+    if channels > 2:
+        raise ValueError("more than 2 channels unsupported")
+    if bps not in (8, 12, 16, 20, 24):
+        raise ValueError(f"unsupported FLAC bits/sample {bps}")
+    if total:
+        _check_raster_size(total, channels, "FLAC")  # bomb guard, same cap
+
+    chans: list[list[int]] = [[] for _ in range(channels)]
+    got = 0
+    while pos < len(data) and (not total or got < total):
+        if pos + 2 > len(data):
+            break
+        br = _FlacBitReader(data, pos * 8)
+        sync = br.read(14)
+        if sync != 0b11111111111110:
+            raise ValueError("bad FLAC frame sync")
+        if br.read(1):
+            raise ValueError("bad FLAC frame reserved bit")
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        chan_assign = br.read(4)
+        size_code = br.read(3)
+        if br.read(1):
+            raise ValueError("bad FLAC frame reserved bit")
+        _flac_utf8_decode(br)
+        if bs_code == 0:
+            raise ValueError("reserved FLAC blocksize code")
+        if bs_code == 1:
+            bs = 192
+        elif 2 <= bs_code <= 5:
+            bs = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            bs = br.read(8) + 1
+        elif bs_code == 7:
+            bs = br.read(16) + 1
+        else:
+            bs = 256 << (bs_code - 8)
+        if sr_code == 0:
+            pass
+        elif sr_code in _FLAC_SR_TABLE:
+            if _FLAC_SR_TABLE[sr_code] != rate:
+                raise ValueError("frame sample rate contradicts STREAMINFO")
+        elif sr_code == 12:
+            br.read(8)
+        elif sr_code in (13, 14):
+            br.read(16)
+        else:
+            raise ValueError("invalid FLAC sample rate code")
+        if size_code == 0:
+            pass
+        elif size_code in (1, 2, 4, 5, 6, 7):
+            declared = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}[size_code]
+            if declared != bps:
+                raise ValueError("frame sample size contradicts STREAMINFO")
+        else:
+            raise ValueError("reserved FLAC sample size code")
+        hdr_len = (br.bitpos + 7) // 8 - pos + 1  # header incl. CRC byte
+        if _crc8_flac(data[pos : pos + hdr_len - 1]) != data[pos + hdr_len - 1]:
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+        br = _FlacBitReader(data, (pos + hdr_len) * 8)
+
+        if chan_assign <= 0b0111:
+            nsub = chan_assign + 1
+            if nsub != channels:
+                raise ValueError("frame channel count contradicts STREAMINFO")
+            subs = [_flac_read_subframe(br, bs, bps) for _ in range(nsub)]
+            frame_chans = subs
+        elif chan_assign in (0b1000, 0b1001, 0b1010):
+            if channels != 2:
+                raise ValueError("stereo decorrelation in a mono stream")
+            bps_a = bps + (1 if chan_assign == 0b1001 else 0)
+            bps_b = bps + (1 if chan_assign in (0b1000, 0b1010) else 0)
+            a = _flac_read_subframe(br, bs, bps_a)
+            b = _flac_read_subframe(br, bs, bps_b)
+            if chan_assign == 0b1000:  # left / side
+                left = a
+                right = [l - s for l, s in zip(a, b)]
+            elif chan_assign == 0b1001:  # side / right
+                right = b
+                left = [r + s for r, s in zip(b, a)]
+            else:  # mid / side
+                left, right = [], []
+                for m, s in zip(a, b):
+                    t = (m << 1) | (s & 1)
+                    left.append((t + s) >> 1)
+                    right.append((t - s) >> 1)
+            frame_chans = [left, right]
+        else:
+            raise ValueError("reserved FLAC channel assignment")
+        br.align()
+        body_end = br.bitpos // 8
+        if body_end + 2 > len(data):
+            raise ValueError("truncated FLAC frame footer")
+        if _crc16_flac(data[pos:body_end]) != struct.unpack_from(">H", data, body_end)[0]:
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        for c in range(channels):
+            chans[c].extend(frame_chans[c])
+        got += bs
+        pos = body_end + 2
+
+    if total and got < total:
+        raise ValueError("FLAC stream ends before declared total samples")
+    if total:
+        chans = [c[:total] for c in chans]
+    arr = np.array(chans, dtype=np.int64).T  # (n, channels)
+    if md5_expect != b"\x00" * 16:
+        dtype = {8: "<i1", 12: "<i2", 16: "<i2", 20: "<i4", 24: "<i4"}[bps]
+        if bps in (8, 16):
+            raw = np.ascontiguousarray(arr).astype(dtype).tobytes()
+        else:
+            # 12/20/24-bit streams pack ceil(bps/8) little-endian bytes
+            nbytes = (bps + 7) // 8
+            raw = b"".join(
+                int(v).to_bytes(nbytes, "little", signed=True)
+                for v in arr.reshape(-1)
+            )
+        if _hl.md5(raw).digest() != md5_expect:
+            raise ValueError("FLAC sample MD5 mismatch")
+    n = arr.shape[0]
+    samples = arr[:, 0].astype(np.int32) if channels == 1 else arr.astype(np.int32)
+    return n, rate, samples
+
+
+def plant_flac_payloads(df: DataFrame) -> DataFrame:
+    """(doc_id, …) → (doc_id, payload): a REAL multi-frame FLAC stream
+    (blocksize 64, best fixed predictor per block, Rice residuals,
+    CRC-8/16, sample MD5) of n = id%200+50 mono 16-bit samples
+    s_i = ((id·19 + i·13) % 256 − 128)·256 at 8 kHz — the modular ramp
+    produces long constant-residual runs (deep Rice quotients) broken
+    by wrap-around spikes, exercising both the predictor search and
+    the Rice parameter search in every payload."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 200 + 50
+                s = ((d * 19 + 13 * np.arange(n, dtype=np.int64)) % 256 - 128) * 256
+                out.append((doc_id, build_flac(s, sample_rate=8000)))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
     return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")

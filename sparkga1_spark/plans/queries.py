@@ -1562,6 +1562,49 @@ def x_multimodal_adpcm_features(spark, sf_dir):
 
 
 @query(
+    "x_multimodal_flac_features",
+    oracle="""
+SELECT doc_id,
+       CAST(doc_id % 200 + 50 AS INTEGER) AS n_samples,
+       8000 AS sample_rate,
+       CAST((doc_id % 200 + 50) * 1000 // 8000 AS INTEGER) AS duration_ms,
+       -- lossless codec => the energy is a closed form over the
+       -- planted samples s_i = ((id*19 + i*13) % 256 - 128) * 256
+       CAST(256 * list_sum([
+              abs((doc_id*19 + i*13) % 256 - 128)
+              for i in generate_series(0, CAST(doc_id % 200 + 49 AS BIGINT))])
+            AS BIGINT) AS rms
+FROM documents
+""",
+)
+def x_multimodal_flac_features(spark, sf_dir):
+    """Multimodal REAL audio decode #4 — FLAC (RFC 9639, public spec),
+    the first ENTROPY-CODED audio codec decoded for real: plant a
+    multi-frame FLAC stream per document (closed-form modular-ramp
+    samples, blocksize 64, best fixed predictor per block, Rice
+    residuals, CRC-8/16, STREAMINFO sample MD5), then run the complete
+    decode — metadata walk, frame sync + CRC verification, UTF-8 frame
+    numbers, predictor reconstruction, Rice/zigzag expansion, and the
+    MD5 integrity check over the reassembled samples — and emit
+    sample/rate/energy features. Losslessness makes Σ|s| a closed form
+    the oracle states directly; a wrong predictor coefficient, Rice
+    parameter, zigzag sign, or CRC anywhere breaks the hash (and the
+    in-stream MD5 catches it even before the oracle does). With
+    PCM16 / µ-law / A-law / ADPCM this closes every classic audio
+    codec family on real decode paths — linear prediction + Rice
+    coding being the audio twin of the image side's DCT+Huffman JPEG.
+    Per-blob decode is sequential by spec; the 100 TB parallelism axis
+    is blobs-per-partition via _spread + Arrow batching, like ADPCM."""
+    from sparkga1_spark.operators.multimodal import (
+        audio_features,
+        plant_flac_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return audio_features(plant_flac_payloads(docs))
+
+
+@query(
     "x_multimodal_y4m_frames",
     oracle="""
 SELECT doc_id,
@@ -9171,17 +9214,18 @@ def x_sessionize_gaps(spark, sf_dir):
 #     x_multimodal_wav_features, displaced by the session-2 additions)
 #     carry full-precision LOCAL_GATE evidence this round and front
 #     in r7.
-# That is exactly 1 (session-4 JPEG) + 4 + 15 + 18 + 12 = 50.
+# That is exactly 2 (session-4 JPEG + FLAC) + 4 + 15 + 18 + 11 = 50.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
 
 set_gate_order([
     # (a) new / result-changed this round — session 4 (real baseline
-    # JPEG decode) and session 3 additions first (IMA ADPCM stateful
-    # codec, BPE encode, NFC text hygiene), then session 2, then the
-    # session-1 new/graph set
+    # JPEG decode, real FLAC decode) and session 3 additions first
+    # (IMA ADPCM stateful codec, BPE encode, NFC text hygiene), then
+    # session 2, then the session-1 new/graph set
     "x_multimodal_jpeg_decode",
+    "x_multimodal_flac_features",
     "x_multimodal_adpcm_features",
     "x_multimodal_alaw_features",
     "x_bpe_encode_corpus",
@@ -9232,8 +9276,8 @@ set_gate_order([
     "tpch_q14_promo_effect",
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_parts",
-    "tpch_q21_waiting_supplier",
-    # (displaced to r7 by the session-3/4 additions: x_ann_bruteforce_topk,
+    # (displaced to r7 by the session-3/4 additions:
+    # tpch_q21_waiting_supplier, x_ann_bruteforce_topk,
     # x_ann_ivf_nprobe2, x_ann_ivf_topk, x_ann_lsh_buckets,
     # x_multimodal_bmp_decode — all r3-green and green in this round's
     # full-precision LOCAL_GATE)

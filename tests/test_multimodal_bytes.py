@@ -833,6 +833,7 @@ def test_decoder_fuzz_only_valueerror_and_bounded_alloc():
         build_pcx,
         build_qoi,
         parse_bmp,
+        parse_flac,
         parse_gif,
         parse_gif_meta,
         parse_jpeg,
@@ -849,12 +850,12 @@ def test_decoder_fuzz_only_valueerror_and_bounded_alloc():
     rng = np.random.default_rng(20260814)
     parsers = [
         parse_gif, parse_pcx, parse_qoi, parse_wav, parse_bmp, parse_ppm,
-        parse_png, parse_jpeg, parse_gif_meta, parse_pcx_meta,
-        parse_qoi_meta, parse_jpeg_meta,
+        parse_png, parse_jpeg, parse_flac, parse_gif_meta,
+        parse_pcx_meta, parse_qoi_meta, parse_jpeg_meta,
     ]
     magics = [
         b"", b"GIF87a", b"GIF89a", b"\x0a\x05\x01", b"qoif", b"RIFF",
-        b"BM", b"P6", b"\x89PNG\r\n\x1a\n", b"\xff\xd8",
+        b"BM", b"P6", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"fLaC",
     ]
     for trial in range(450):
         m = magics[trial % len(magics)]
@@ -1219,3 +1220,109 @@ def test_jpeg_refusals_and_bomb_guard():
     no_dht = data[:dht] + data[dht + 2 + ln :]
     with pytest.raises(ValueError, match="Huffman"):
         parse_jpeg(no_dht)
+
+
+def test_flac_roundtrip_all_subframe_types():
+    """build_flac → parse_flac must reconstruct samples exactly across
+    every subframe type the encoder can emit: constant blocks, the
+    best-fixed-predictor path (modular ramp with wrap spikes), the
+    least-squares quantized-LPC path, noisy verbatim-grade content,
+    multi-frame streams with a short tail frame, and the forced
+    raw-escape residual. Pure public-spec math (RFC 9639)."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import build_flac, parse_flac
+
+    rng = np.random.default_rng(5)
+
+    ramp = ((np.arange(250) * 13 + 19) % 256 - 128) * 256
+    data = build_flac(ramp.astype(np.int16))
+    n, rate, out = parse_flac(data)
+    assert (n, rate) == (250, 8000)
+    assert np.array_equal(out, ramp)
+
+    noise = rng.integers(-32768, 32768, 500).astype(np.int16)
+    assert np.array_equal(parse_flac(build_flac(noise, predictor="lpc"))[2], noise)
+
+    smooth = (3000 * np.sin(np.arange(600) / 10)).astype(np.int16)
+    for mode in ("auto", "lpc"):
+        assert np.array_equal(parse_flac(build_flac(smooth, predictor=mode))[2], smooth)
+    # prediction must genuinely compress the smooth signal
+    assert len(build_flac(smooth)) < 2 * len(smooth) * 0.5
+
+    const = np.full(100, -777, dtype=np.int16)
+    assert np.array_equal(parse_flac(build_flac(const))[2], const)
+
+    tail = np.clip(((np.arange(99) * 7) % 200 - 100) * 300, -32768, 32767)
+    assert np.array_equal(parse_flac(build_flac(tail.astype(np.int16)))[2], tail)
+
+    esc = build_flac(smooth[:300], force_escape=True)
+    assert np.array_equal(parse_flac(esc)[2], smooth[:300])
+    assert len(esc) > len(build_flac(smooth[:300])), "escape did not change coding"
+
+
+def test_flac_stereo_decorrelation_modes():
+    """All four channel assignments must reconstruct both channels
+    exactly — left/side, right/side, and mid/side pin the decoder's
+    decorrelation arithmetic (the lost-parity-bit reconstruction for
+    mid/side in particular) against the independent baseline."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import build_flac, parse_flac
+
+    t = (3000 * np.sin(np.arange(400) / 9)).astype(np.int16)
+    st = np.stack([t, (t // 2 + 101).astype(np.int16)], axis=1)
+    # odd side values exercise the mid/side parity bit
+    st[7, 0] = 12345
+    st[7, 1] = -12346
+    for cm in ("independent", "left_side", "right_side", "mid_side"):
+        out = parse_flac(build_flac(st, channels=2, channel_mode=cm))[2]
+        assert out.shape == (400, 2) and np.array_equal(out, st), cm
+
+
+def test_flac_crc_md5_and_refusals():
+    """Integrity failures must raise ValueError with the honest cause:
+    frame-body corruption → CRC-16; header corruption → CRC-8 (or a
+    structural error upstream of it); a tampered STREAMINFO MD5 →
+    sample-MD5 mismatch; truncation → underrun/truncation; and random
+    fuzz never escapes ValueError."""
+    import numpy as np
+    import pytest
+
+    from sparkga1_spark.operators.multimodal import build_flac, parse_flac
+
+    s = ((np.arange(200) * 13 + 19) % 256 - 128) * 256
+    data = build_flac(s.astype(np.int16))
+
+    b = bytearray(data)
+    b[-3] ^= 0x40  # inside the last frame body
+    with pytest.raises(ValueError):
+        parse_flac(bytes(b))
+
+    b = bytearray(data)
+    b[4 + 4 + 18] ^= 0xFF  # first byte of the STREAMINFO MD5
+    with pytest.raises(ValueError, match="MD5"):
+        parse_flac(bytes(b))
+
+    with pytest.raises(ValueError):
+        parse_flac(data[: len(data) // 2])
+
+    with pytest.raises(ValueError, match="not a FLAC"):
+        parse_flac(b"fLaX" + data[4:])
+
+
+def test_flac_audio_features_dispatch(spark):
+    """audio_features must route FLAC payloads through the real decoder
+    (exact closed-form energy), not the byte-statistics fallback."""
+    from pyspark.sql import Row
+
+    from sparkga1_spark.operators.multimodal import audio_features, plant_flac_payloads
+
+    df = spark.createDataFrame([Row(doc_id=7), Row(doc_id=123)])
+    rows = {r.doc_id: r for r in audio_features(plant_flac_payloads(df)).collect()}
+    for d in (7, 123):
+        n = d % 200 + 50
+        expect = 256 * sum(abs((d * 19 + i * 13) % 256 - 128) for i in range(n))
+        assert rows[d].n_samples == n
+        assert rows[d].sample_rate == 8000
+        assert rows[d].rms == expect

@@ -181,12 +181,14 @@ def test_gate_order_fronts_unproven_queries():
         "tpch_q10_returned_items", "tpch_q11_important_stock",
         "tpch_q12_shipmode_priority", "tpch_q13_customer_distribution",
         "tpch_q14_promo_effect", "tpch_q15_top_supplier",
-        "tpch_q16_supplier_parts", "tpch_q21_waiting_supplier",
-        # round-6 (a0') session-4 addition: real baseline JPEG decode
-        "x_multimodal_jpeg_decode",
-        # (x_ann_bruteforce_topk / x_ann_ivf_nprobe2 / x_ann_ivf_topk /
-        # x_ann_lsh_buckets / x_multimodal_bmp_decode displaced to r7
-        # by the session-3/4 additions)
+        "tpch_q16_supplier_parts",
+        # round-6 (a0') session-4 additions: real baseline JPEG decode,
+        # real FLAC decode
+        "x_multimodal_jpeg_decode", "x_multimodal_flac_features",
+        # (tpch_q21_waiting_supplier / x_ann_bruteforce_topk /
+        # x_ann_ivf_nprobe2 / x_ann_ivf_topk / x_ann_lsh_buckets /
+        # x_multimodal_bmp_decode displaced to r7 by the session-3/4
+        # additions)
     }
     missing = must_have_row - first50
     assert not missing, f"not in the driver's 50-query window: {missing}"
