@@ -2845,16 +2845,15 @@ def _flac_read_residual(br: _FlacBitReader, block_size: int, order: int) -> list
     escape = (1 << pbits) - 1
     porder = br.read(4)
     nparts = 1 << porder
-    if block_size % nparts or (block_size >> porder) <= order and porder:
-        # partition-0 length would go non-positive; the (block_size>>porder)
-        # == order case is only legal for porder 0 streams with no residual
-        if (block_size >> porder) < order or ((block_size >> porder) == order and nparts == 1):
-            raise ValueError("bad FLAC partition order")
+    if block_size % nparts:
+        # RFC 9639: the block size MUST be evenly divisible by 2^porder —
+        # proceeding would silently mis-size every partition
+        raise ValueError("FLAC block size not divisible by partition count")
+    if (block_size >> porder) < order:
+        raise ValueError("bad FLAC partition order")  # partition 0 < 0 samples
     residual: list[int] = []
     for p in range(nparts):
         count = (block_size >> porder) - (order if p == 0 else 0)
-        if count < 0:
-            raise ValueError("bad FLAC partition order")
         k = br.read(pbits)
         if k == escape:
             raw = br.read(5)
