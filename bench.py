@@ -106,6 +106,8 @@ HEADLINE = [
     # and real FLAC decode (fixed/LPC prediction + Rice entropy coding)
     "x_multimodal_jpeg_decode",
     "x_multimodal_flac_features",
+    # and the three-batch algebraic state merge (union + two-level agg)
+    "x_incremental_rollup_merge",
 ]
 
 # CONVENTION (r5 VERDICT #8): the headline set only ever GROWS —

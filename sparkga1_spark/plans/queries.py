@@ -2726,6 +2726,107 @@ def x_hll_accuracy_audit(spark, sf_dir):
 
 
 @query(
+    "x_incremental_rollup_merge",
+    oracle=f"""
+SELECT event_type,
+       CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+       CAST(count(value) AS BIGINT) AS n_rows,
+       {dsum_sql('value')} AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       {davg_sql('value')} AS avg_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def x_incremental_rollup_merge(spark, sf_dir):
+    """Incremental aggregate-state maintenance (operators/incremental):
+    the events stream arrives as THREE deterministic ingest batches
+    (event_id % 3); each batch folds to per-(type, day) ALGEBRAIC state
+    (count / decimal-guarded sum / min / max), the states merge, and
+    the merged state finalizes into n/sum/min/max/avg. The oracle is
+    the single-pass batch aggregate over ALL events — equality proves
+    the merge is exact, which only holds because every component is
+    associative (the decimal guard removes float summation-order
+    drift; avg is derived at finalize, never merged — avg-of-avgs is
+    the classic wrong fold). At 100 TB this is the difference between
+    O(|batch|) per refresh and a full corpus rescan; the state table
+    lives bucketed by key so only the batch side shuffles. Horizontal
+    twin of x_rollup_chain_daily's vertical (hour→day) reaggregation."""
+    from sparkga1_spark.operators.incremental import (
+        aggregate_state,
+        finalize_state,
+        merge_states,
+    )
+
+    keys = ["event_type", "day"]
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.expr("CAST(unix_timestamp(ts) DIV 86400 AS BIGINT)")
+    )
+    states = [
+        aggregate_state(ev.filter(F.col("event_id") % 3 == i), keys, "value")
+        for i in range(3)
+    ]
+    return finalize_state(merge_states(states, keys), keys).select(
+        "event_type", "day", "n_rows", "sum_value", "min_value",
+        "max_value", "avg_value",
+    )
+
+
+@query(
+    "x_incremental_distinct_hll",
+    oracle="""
+SELECT event_type,
+       CAST(count(value) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_bound
+FROM events
+GROUP BY event_type
+""",
+)
+def x_incremental_distinct_hll(spark, sf_dir):
+    """Mergeable distinct counting for incremental state — the one
+    metric x_rollup_chain_daily's sum/count decomposition CANNOT carry
+    (distinct does not reaggregate). Each of three ingest batches
+    builds per-type state with Datasketches HLL registers
+    (hll_sketch_agg); merge is hll_union_agg (register-wise max —
+    associative, commutative, order-invariant), and the finalized
+    estimate must sit within 5% of the exact distinct over the full
+    stream, stated as a TRUE column the oracle pins (the
+    x_hll_accuracy_audit pattern, now across a UNION of sketches —
+    a union-side register bug would break the bound while each
+    per-batch sketch stays plausible). At 100 TB the exact branch is
+    the audit-only path; production reads the merged registers."""
+    from sparkga1_spark.operators.incremental import (
+        aggregate_state,
+        finalize_state,
+        merge_states,
+    )
+
+    ev = _events(spark, sf_dir)
+    states = [
+        aggregate_state(
+            ev.filter(F.col("event_id") % 3 == i), ["event_type"], "value",
+            distinct_col="user_id",
+        )
+        for i in range(3)
+    ]
+    fin = finalize_state(merge_states(states, ["event_type"]), ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    j = fin.join(exact, "event_type")
+    within = (
+        F.abs(F.col("distinct_est") - F.col("exact_users"))
+        / F.col("exact_users")
+        <= F.lit(0.05)
+    )
+    return j.select(
+        "event_type", "n_rows", "exact_users", within.alias("within_bound")
+    )
+
+
+@query(
     "x_weighted_sample_es",
     oracle="""
 WITH w AS (
@@ -9214,7 +9315,7 @@ def x_sessionize_gaps(spark, sf_dir):
 #     x_multimodal_wav_features, displaced by the session-2 additions)
 #     carry full-precision LOCAL_GATE evidence this round and front
 #     in r7.
-# That is exactly 2 (session-4 JPEG + FLAC) + 4 + 15 + 18 + 11 = 50.
+# That is exactly 4 (session-4 JPEG/FLAC/incremental x2) + 4 + 15 + 18 + 9 = 50.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
@@ -9226,6 +9327,8 @@ set_gate_order([
     # session 2, then the session-1 new/graph set
     "x_multimodal_jpeg_decode",
     "x_multimodal_flac_features",
+    "x_incremental_rollup_merge",
+    "x_incremental_distinct_hll",
     "x_multimodal_adpcm_features",
     "x_multimodal_alaw_features",
     "x_bpe_encode_corpus",
@@ -9274,9 +9377,8 @@ set_gate_order([
     "tpch_q12_shipmode_priority",
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_parts",
     # (displaced to r7 by the session-3/4 additions:
+    # tpch_q15_top_supplier, tpch_q16_supplier_parts,
     # tpch_q21_waiting_supplier, x_ann_bruteforce_topk,
     # x_ann_ivf_nprobe2, x_ann_ivf_topk, x_ann_lsh_buckets,
     # x_multimodal_bmp_decode — all r3-green and green in this round's

@@ -829,3 +829,47 @@ def test_nfc_normalize_composition_and_nulls(spark):
     df2 = spark.createDataFrame([(k, v) for k, v in got.items() if v], "doc_id long, t string")
     again = {r.doc_id: r.out for r in nfc_normalize(df2, text_col="t", out_col="out").collect()}
     assert all(again[k] == got[k] for k in again)
+
+
+def test_incremental_state_merge_is_exact_and_order_free(spark):
+    """operators/incremental: merging per-batch algebraic states must
+    equal the single-pass batch aggregate EXACTLY (decimal-guarded sum
+    ⇒ no float summation-order drift), in any merge order and grouping
+    — including a degenerate empty batch — and the HLL union estimate
+    must track the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from sparkga1_spark.operators.incremental import (
+        aggregate_state,
+        finalize_state,
+        merge_states,
+    )
+
+    df = spark.range(3000).select(
+        (F.col("id") % 7).alias("k"),
+        ((F.col("id") % 100).cast("double") / 3.0).alias("v"),
+        (F.col("id") % 311).alias("u"),
+    )
+
+    batches = [df.filter(F.col("u") % 3 == i) for i in range(3)]
+    states = [aggregate_state(b, ["k"], "v", distinct_col="u") for b in batches]
+    empty = aggregate_state(df.filter(F.lit(False)), ["k"], "v", distinct_col="u")
+
+    def rows(state):
+        return sorted(
+            tuple(r) for r in finalize_state(state, ["k"]).collect()
+        )
+
+    direct = rows(aggregate_state(df, ["k"], "v", distinct_col="u"))
+    assert rows(merge_states(states, ["k"])) == direct
+    assert rows(merge_states(list(reversed(states)) + [empty], ["k"])) == direct
+    # associativity: ((s0 ⊕ s1) ⊕ s2) == (s0 ⊕ (s1 ⊕ s2))
+    left = merge_states([merge_states(states[:2], ["k"]), states[2]], ["k"])
+    right = merge_states([states[0], merge_states(states[1:], ["k"])], ["k"])
+    assert rows(left) == rows(right) == direct
+
+    # the HLL estimate column sits within 5% of exact per key
+    exact = {r.k: r.cnt for r in df.groupBy("k").agg(
+        F.countDistinct("u").alias("cnt")).collect()}
+    for r in finalize_state(merge_states(states, ["k"]), ["k"]).collect():
+        assert abs(r.distinct_est - exact[r.k]) / exact[r.k] <= 0.05
