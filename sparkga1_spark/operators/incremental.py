@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, functions as F
 from sparkga1_spark.functions.numeric import hround
 
 _GUARD = "decimal(18,6)"
+_WIDE = "decimal(38,6)"
 
 
 def aggregate_state(
@@ -51,7 +52,10 @@ def aggregate_state(
     one shuffle of pre-combined partials per batch."""
     aggs = [
         F.count(F.col(value_col)).alias("state_cnt"),
-        F.sum(F.col(value_col).cast(_GUARD)).alias("state_sum"),
+        # pinned to the WIDEST decimal so a state table re-read from
+        # parquet unions with fresh batch state without type widening
+        # drift across merge generations
+        F.sum(F.col(value_col).cast(_GUARD)).cast(_WIDE).alias("state_sum"),
         F.min(value_col).alias("state_min"),
         F.max(value_col).alias("state_max"),
     ]
@@ -70,7 +74,7 @@ def merge_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
     u = reduce(lambda a, b: a.unionByName(b), states)
     aggs = [
         F.sum("state_cnt").alias("state_cnt"),
-        F.sum("state_sum").alias("state_sum"),
+        F.sum("state_sum").cast(_WIDE).alias("state_sum"),
         F.min("state_min").alias("state_min"),
         F.max("state_max").alias("state_max"),
     ]

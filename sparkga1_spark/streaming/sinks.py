@@ -254,3 +254,117 @@ def foreach_batch_upsert(
             os.replace(tmp, os.path.join(d, entry))
 
     return apply
+
+
+def _state_commit_dir(path: str) -> str:
+    # underscore prefix: parquet readers ignore the dir, so the ledger
+    # can live INSIDE the table and publish atomically with it
+    return os.path.join(path, "_state_commits")
+
+
+def state_committed_batches(base_path: str, writer_id: str = "default") -> set[int]:
+    """Batch ids whose state merge is published — read from the ledger
+    INSIDE the table directory (see foreach_batch_state_merge)."""
+    d = _state_commit_dir(base_path)
+    if not os.path.isdir(d):
+        return set()
+    out = set()
+    prefix = f"{writer_id}."
+    for name in os.listdir(d):
+        if name.startswith(prefix):
+            try:
+                out.add(int(name[len(prefix):]))
+            except ValueError:
+                continue
+    return out
+
+
+def foreach_batch_state_merge(
+    base_path: str,
+    *,
+    keys: Sequence[str],
+    value_col: str,
+    distinct_col: str | None = None,
+    writer_id: str = "default",
+):
+    """foreachBatch sink that maintains a per-key ALGEBRAIC state table
+    (operators/incremental) across micro-batches — the streaming form
+    of continuous-aggregate maintenance: each batch folds to partial
+    state and MERGES into the table in O(|batch| + |state|), never a
+    re-scan of history.
+
+    Exactly-once is HARDER here than for the keyed upsert sink: a
+    state merge is ADDITIVE, so replaying a committed batch would
+    double counts — idempotence-by-content does not hold, and a ledger
+    written before the table commit loses the batch while one written
+    after can double it. The fix is a CO-COMMITTED ledger: the batch's
+    commit marker is written into `_state_commits/` INSIDE the staged
+    table directory before the publish rename, so ONE rename makes the
+    merged state and its commit record visible together — there is no
+    ordering window at all. (Parquet readers skip underscore-prefixed
+    dirs, so the ledger rides inside the table invisibly.) The only
+    non-atomic window is between the two swap renames, and BOTH
+    stranded candidates are self-consistent pairs: the new dir's
+    ledger contains the batch (replay skips), the old dir's does not
+    (replay re-merges) — recovery can pick either and remain
+    exactly-once. Same local-filesystem scope and per-table in-process
+    lock as foreach_batch_upsert.
+
+    Use: `stream.writeStream.foreachBatch(foreach_batch_state_merge(
+    path, keys=[...], value_col="value", distinct_col="user_id",
+    writer_id="q1"))`; read back with finalize_state(
+    spark.read.parquet(path), keys)."""
+    _require_local_path(base_path)
+    import re
+    import shutil
+    import uuid
+
+    if not re.fullmatch(r"[A-Za-z0-9_][A-Za-z0-9_.-]*", writer_id):
+        raise ValueError(
+            f"writer_id {writer_id!r} must start with [A-Za-z0-9_] and "
+            "contain only [A-Za-z0-9_.-]"
+        )
+
+    from sparkga1_spark.operators.incremental import aggregate_state, merge_states
+
+    def apply(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        with _table_lock(base_path):
+            if not os.path.isdir(base_path):
+                from sparkga1_spark.sources.sinks import recover_interrupted_upsert
+
+                recover_interrupted_upsert(spark, base_path)
+            if int(batch_id) in state_committed_batches(base_path, writer_id):
+                return  # replayed batch: its merge is already published
+            state = aggregate_state(
+                batch_df, list(keys), value_col, distinct_col=distinct_col
+            )
+            token = uuid.uuid4().hex[:12]
+            stem = base_path.rstrip("/")
+            tmp = f"{stem}__tmp_{token}"
+            if os.path.isdir(base_path):
+                base = spark.read.parquet(base_path)
+                merged = merge_states([base, state], list(keys))
+                merged.write.mode("overwrite").parquet(tmp)
+                # carry the ledger into the staged dir, then co-commit
+                # this batch's marker with the data in one publish
+                if os.path.isdir(_state_commit_dir(base_path)):
+                    shutil.copytree(_state_commit_dir(base_path), _state_commit_dir(tmp),
+                                    dirs_exist_ok=True)
+                else:  # pre-existing table without a ledger (external build)
+                    os.makedirs(_state_commit_dir(tmp), exist_ok=True)
+                open(os.path.join(_state_commit_dir(tmp), f"{writer_id}.{int(batch_id)}"), "w").close()
+                old = f"{stem}__old_{token}"
+                os.rename(base_path, old)
+                os.rename(tmp, base_path)
+                shutil.rmtree(old)
+            else:
+                # bootstrap: first publish IS the atomic commit
+                state.write.mode("overwrite").parquet(tmp)
+                os.makedirs(_state_commit_dir(tmp), exist_ok=True)
+                open(os.path.join(_state_commit_dir(tmp), f"{writer_id}.{int(batch_id)}"), "w").close()
+                os.rename(tmp, base_path)
+
+    return apply

@@ -915,3 +915,128 @@ def test_merge_upsert_versioned_rejects_null_versions(spark):
     upd = spark.createDataFrame([(1, 2, "u")], "k long, ver long, v string")
     with _pytest.raises(Exception, match="non-null"):
         merge_upsert(base_null, upd, keys=["k"], version_col="ver").collect()
+
+
+def test_foreach_batch_state_merge_exactly_once(spark, tmp_path):
+    """The ADDITIVE state-merge sink (streaming/sinks.py
+    foreach_batch_state_merge): counts would double on replay, so the
+    ledger is CO-COMMITTED inside the published table dir. Pins: (a)
+    merging batches equals the single-pass aggregate exactly; (b)
+    redelivering a committed batch changes nothing; (c) a mid-swap
+    crash recovers to a consistent state+ledger pair from EITHER
+    stranded candidate — the new dir skips the replay, the old dir
+    re-merges it — with identical final state either way."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sparkga1_spark.operators.incremental import (
+        aggregate_state,
+        finalize_state,
+        merge_states,
+    )
+    from sparkga1_spark.streaming.sinks import (
+        foreach_batch_state_merge,
+        state_committed_batches,
+    )
+
+    full = spark.range(900).select(
+        (F.col("id") % 5).alias("k"),
+        ((F.col("id") % 97).cast("double") / 7.0).alias("v"),
+        (F.col("id") % 53).alias("u"),
+    )
+    batches = [full.filter(F.col("id") % 3 == i) for i in range(3)]
+
+    def final_rows(path):
+        return sorted(
+            tuple(r)
+            for r in finalize_state(spark.read.parquet(path), ["k"]).collect()
+        )
+
+    expected = sorted(
+        tuple(r)
+        for r in finalize_state(
+            aggregate_state(full, ["k"], "v", distinct_col="u"), ["k"]
+        ).collect()
+    )
+
+    table = str(tmp_path / "state")
+    sink = foreach_batch_state_merge(
+        table, keys=["k"], value_col="v", distinct_col="u"
+    )
+    for i, b in enumerate(batches):
+        sink(b, i)
+    assert state_committed_batches(table) == {0, 1, 2}
+    assert final_rows(table) == expected
+
+    # (b) replay any batch: additive merge would double counts; the
+    # co-committed ledger must make it a no-op
+    for i, b in enumerate(batches):
+        sink(b, i)
+    assert final_rows(table) == expected
+
+    # (c) crash between the two swap renames while applying batch 3:
+    # base gone, old table stranded WITHOUT the marker, staged table
+    # stranded WITH it. Recovery prefers the staged (tmp) dir — its
+    # co-committed marker makes the replay skip.
+    extra = spark.createDataFrame([(1, 7.5, 999), (9, 1.0, 999)], "k long, v double, u long")
+    with_extra = sorted(
+        tuple(r)
+        for r in finalize_state(
+            merge_states(
+                [
+                    aggregate_state(full, ["k"], "v", distinct_col="u"),
+                    aggregate_state(extra, ["k"], "v", distinct_col="u"),
+                ],
+                ["k"],
+            ),
+            ["k"],
+        ).collect()
+    )
+    staged = str(tmp_path / "staged")
+    merged_df = merge_states(
+        [
+            spark.read.parquet(table),
+            aggregate_state(extra, ["k"], "v", distinct_col="u"),
+        ],
+        ["k"],
+    )
+    merged_df.write.parquet(staged)
+    shutil.copytree(os.path.join(table, "_state_commits"),
+                    os.path.join(staged, "_state_commits"))
+    open(os.path.join(staged, "_state_commits", "default.3"), "w").close()
+    os.rename(table, table + "__old_cafe")
+    os.rename(staged, table + "__tmp_cafe")
+
+    sink(extra, 3)  # redelivery after the simulated crash
+    assert final_rows(table) == with_extra
+    assert state_committed_batches(table) == {0, 1, 2, 3}
+    assert not os.path.isdir(table + "__tmp_cafe")
+    assert not os.path.isdir(table + "__old_cafe")
+
+    # and replaying batch 3 once more is still a no-op
+    sink(extra, 3)
+    assert final_rows(table) == with_extra
+
+    # crash flavor 2: only the OLD dir survives (tmp lost before any
+    # marker) — its ledger lacks batch 4, so redelivery re-merges
+    more = spark.createDataFrame([(2, 3.25, 1000)], "k long, v double, u long")
+    os.rename(table, table + "__old_beef")
+    sink(more, 4)
+    with_more = sorted(
+        tuple(r)
+        for r in finalize_state(
+            merge_states(
+                [
+                    aggregate_state(full, ["k"], "v", distinct_col="u"),
+                    aggregate_state(extra, ["k"], "v", distinct_col="u"),
+                    aggregate_state(more, ["k"], "v", distinct_col="u"),
+                ],
+                ["k"],
+            ),
+            ["k"],
+        ).collect()
+    )
+    assert final_rows(table) == with_more
+    assert state_committed_batches(table) == {0, 1, 2, 3, 4}
