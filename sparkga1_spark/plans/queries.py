@@ -5743,6 +5743,88 @@ def x_drift_chi2(spark, sf_dir):
     )
 
 
+@query(
+    "x_drift_psi",
+    oracle="""
+WITH docs AS (SELECT doc_id, n_chars, doc_id % 2 AS side FROM documents),
+e AS (
+  SELECT quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+           AS edges
+  FROM docs WHERE side = 0
+),
+d AS (
+  SELECT len(list_filter(e.edges, x -> x < n_chars)) AS bucket, side
+  FROM docs, e
+),
+p AS (
+  SELECT bucket,
+         sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n_b
+  FROM d GROUP BY bucket
+),
+t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM p)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(floor((n_a / CAST(ta AS DOUBLE) - n_b / CAST(tb AS DOUBLE))
+                  * ln((n_a / CAST(ta AS DOUBLE)) / (n_b / CAST(tb AS DOUBLE)))
+                  * 1000000000 + 0.5) AS BIGINT) AS psi_nano
+FROM p, t
+WHERE n_a > 0 AND n_b > 0
+""",
+)
+def x_drift_psi(spark, sf_dir):
+    """Population stability index — the ML-monitoring drift gate that
+    complements x_drift_chi2: where chi² buckets by FIXED width, PSI
+    bins by QUANTILE EDGES LEARNED FROM THE BASELINE (deciles of the
+    reference slice), so the metric is scale-free and every baseline
+    bin holds ~10% mass by construction. One exact-percentile pass on
+    the baseline produces a 9-edge array that broadcasts to every row
+    (bucket = how many edges sit strictly below the value — a
+    higher-order-function over the array, no join explosion); counts
+    are one 10-key aggregate; totals attach as a broadcast 1-row
+    frame. Per-bucket PSI contribution (p−q)·ln(p/q) is snapped to
+    integer nano-units (the x_unigram_logprob convention: every input
+    to ln() is a correctly-rounded binary fraction identical on both
+    engines). Σ psi_nano / 1e9 is the headline PSI; > 0.25 is the
+    conventional retrain trigger. At 100 TB: one scan for edges (the
+    percentile is over the baseline slice only), one scan to bucket,
+    a 10-row shuffle — zero wide operations."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", (F.col("doc_id") % 2).alias("side")
+    )
+    edges = docs.filter(F.col("side") == 0).agg(
+        F.expr(
+            "percentile(n_chars, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("edges")
+    )
+    d = docs.crossJoin(F.broadcast(edges)).select(
+        F.size(
+            F.filter("edges", lambda x: x < F.col("n_chars").cast("double"))
+        ).cast("long").alias("bucket"),
+        "side",
+    )
+    p = d.groupBy("bucket").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    t = p.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    pa = F.col("n_a") / F.col("ta").cast("double")
+    qb = F.col("n_b") / F.col("tb").cast("double")
+    return (
+        p.crossJoin(F.broadcast(t))
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            F.floor((pa - qb) * F.log(pa / qb) * F.lit(1_000_000_000) + F.lit(0.5))
+            .cast("long")
+            .alias("psi_nano"),
+        )
+    )
+
+
 # Deterministic raw-URL synthesis shared by the Spark plan and the DuckDB
 # oracle for x_dedup_url_canonical: mixed-case hosts, www. prefixes,
 # tracking params, trailing slashes, fragments — one URL per order row.
@@ -9315,7 +9397,7 @@ def x_sessionize_gaps(spark, sf_dir):
 #     x_multimodal_wav_features, displaced by the session-2 additions)
 #     carry full-precision LOCAL_GATE evidence this round and front
 #     in r7.
-# That is exactly 4 (session-4 JPEG/FLAC/incremental x2) + 4 + 15 + 18 + 9 = 50.
+# That is exactly 5 (session-4 JPEG/FLAC/incremental x2/PSI) + 4 + 15 + 18 + 8 = 50.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
@@ -9329,6 +9411,7 @@ set_gate_order([
     "x_multimodal_flac_features",
     "x_incremental_rollup_merge",
     "x_incremental_distinct_hll",
+    "x_drift_psi",
     "x_multimodal_adpcm_features",
     "x_multimodal_alaw_features",
     "x_bpe_encode_corpus",
@@ -9376,8 +9459,8 @@ set_gate_order([
     "tpch_q11_important_stock",
     "tpch_q12_shipmode_priority",
     "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
     # (displaced to r7 by the session-3/4 additions:
+    # tpch_q14_promo_effect,
     # tpch_q15_top_supplier, tpch_q16_supplier_parts,
     # tpch_q21_waiting_supplier, x_ann_bruteforce_topk,
     # x_ann_ivf_nprobe2, x_ann_ivf_topk, x_ann_lsh_buckets,
