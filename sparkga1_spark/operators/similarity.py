@@ -614,3 +614,87 @@ def pq_adc_topk_trained(
             F.col("d_micro").cast("long").alias("d_micro"),
         )
     )
+
+
+def pca_components(
+    df: DataFrame, *, vec_col: str = "embedding", k: int = 8
+):
+    """Distributed PCA over an embedding column: mean and covariance
+    are computed as ONE map-side-combinable aggregate each (posexplode
+    to (position, value) / (position, centered outer-product entry) —
+    d and d² grouping keys, never a row-pair join), the d×d matrix is
+    eigendecomposed on the driver (d-sized model pull, the documented
+    kmeans_fit pattern — similarity.py:229), and the caller projects
+    with the returned components. Returns (mean: list[d],
+    eigenvalues desc: list[d], components: list[k] of list[d]).
+
+    Scale: the shuffle carries at most d² pre-combined partials per
+    map task (d=64 → 4096 doubles); the only driver data is the
+    d-vector and d×d matrix — model-sized, independent of row count.
+    The 100 TB cost is two scans (mean, then centered covariance); a
+    single-scan E[xxᵀ]−μμᵀ variant would halve that at the price of
+    catastrophic cancellation on near-constant dimensions, so the
+    two-pass centered form is deliberate."""
+    import numpy as np
+
+    dim = len(df.select(vec_col).first()[0])
+    pos = F.posexplode(F.col(vec_col).cast("array<double>"))
+    mean_rows = (
+        df.select(pos.alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    mu = [0.0] * dim
+    for r in mean_rows:
+        mu[r["i"]] = float(r["m"])
+    mu_lit = F.array(*[F.lit(v) for v in mu])
+
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), mu_lit, lambda x, m: x - m
+    )
+    outer = F.flatten(
+        F.transform(centered, lambda xi: F.transform(centered, lambda xj: xi * xj))
+    )
+    n = df.count()
+    cov_rows = (
+        df.select(F.posexplode(outer).alias("p", "v"))
+        .groupBy("p")
+        .agg((F.sum("v") / F.lit(float(n))).alias("c"))
+        .collect()
+    )
+    cov = np.zeros((dim, dim))
+    for r in cov_rows:
+        cov[r["p"] // dim, r["p"] % dim] = float(r["c"])
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1]
+    evals = evals[order]
+    evecs = evecs[:, order]
+    comps = [[float(v) for v in evecs[:, j]] for j in range(min(k, dim))]
+    return mu, [float(v) for v in evals], comps
+
+
+def pca_project(
+    df: DataFrame, mean: list[float], components: list[list[float]],
+    *, vec_col: str = "embedding", out_col: str = "pca",
+) -> DataFrame:
+    """Project each vector onto the given components (JVM-side
+    zip_with/aggregate dot products — no Python in the row path):
+    out[j] = (x − μ) · c_j."""
+    mu_lit = F.array(*[F.lit(v) for v in mean])
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), mu_lit, lambda x, m: x - m
+    )
+    projs = [
+        F.aggregate(
+            F.zip_with(
+                centered,
+                F.array(*[F.lit(v) for v in comp]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for comp in components
+    ]
+    return df.withColumn(out_col, F.array(*projs))

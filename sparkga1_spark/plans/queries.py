@@ -7540,6 +7540,69 @@ def x_quality_linear_score(spark, sf_dir):
 
 
 @query(
+    "x_embedding_pca_audit",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(min(len(embedding)) AS INTEGER) AS dim,
+       8 AS k,
+       TRUE AS trace_conserved,
+       TRUE AS ordering_ok,
+       TRUE AS reconstruction_ok
+FROM embeddings
+""",
+)
+def x_embedding_pca_audit(spark, sf_dir):
+    """Distributed PCA over the embedding column with invariant audit
+    (the sketch-audit pattern applied to dimensionality reduction —
+    dim 64 → 8 before ANN is the standard recall/cost lever): mean and
+    covariance are map-side-combinable aggregates over d / d² keys
+    (similarity.pca_components — never a row-pair join; driver pulls
+    only the d×d model, the kmeans_fit precedent), eigendecomposition
+    runs on the driver, and projection is JVM-side zip_with/aggregate
+    dot products. The audited invariants are mathematical identities a
+    broken implementation cannot fake: Σ eigenvalues equals the
+    INDEPENDENTLY-computed trace E‖x−μ‖² (1e-6 rel), eigenvalues are
+    sorted descending, and mean residual energy after projecting onto
+    the top-8 components equals trace − Σ top-8 λ (the Pythagoras
+    identity — wrong centering, a transposed component matrix, or a
+    dropped eigenvector breaks it). numpy-equality cross-check in
+    tests/test_ann_recall.py. Oracle pins row count, dimension, and
+    the three TRUEs."""
+    from sparkga1_spark.operators.similarity import pca_components, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mu, evals, comps = pca_components(emb, k=8)
+    dim = len(mu)
+    projected = pca_project(emb, mu, comps)
+    mu_lit = F.array(*[F.lit(v) for v in mu])
+    centered = F.zip_with(
+        F.col("embedding").cast("array<double>"), mu_lit, lambda x, m: x - m
+    )
+    norm2 = F.aggregate(centered, F.lit(0.0), lambda a, v: a + v * v)
+    proj2 = F.aggregate(F.col("pca"), F.lit(0.0), lambda a, v: a + v * v)
+    stats = projected.agg(
+        F.count("*").alias("n"),
+        F.avg(norm2).alias("trace_data"),
+        F.avg(norm2 - proj2).alias("resid"),
+    ).collect()[0]
+    trace = float(stats["trace_data"])
+    tol = 1e-6 * max(trace, 1e-12)
+    row = (
+        int(stats["n"]),
+        dim,
+        len(comps),
+        abs(sum(evals) - trace) <= tol,
+        all(evals[i] >= evals[i + 1] - tol for i in range(len(evals) - 1)),
+        abs(float(stats["resid"]) - (trace - sum(evals[: len(comps)]))) <= tol,
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_vectors long, dim int, k int, trace_conserved boolean, "
+        "ordering_ok boolean, reconstruction_ok boolean",
+    )
+
+
+@query(
     "x_semdedup_prune",
     oracle=f"""
 WITH emb_aug AS ({fixtures.EMB_NEARDUP_SQL}),
@@ -9397,7 +9460,7 @@ def x_sessionize_gaps(spark, sf_dir):
 #     x_multimodal_wav_features, displaced by the session-2 additions)
 #     carry full-precision LOCAL_GATE evidence this round and front
 #     in r7.
-# That is exactly 5 (session-4 JPEG/FLAC/incremental x2/PSI) + 4 + 15 + 18 + 8 = 50.
+# That is exactly 6 (session-4: JPEG, FLAC, incremental x2, PSI, PCA) + 4 + 15 + 18 + 7 = 50.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
@@ -9412,6 +9475,7 @@ set_gate_order([
     "x_incremental_rollup_merge",
     "x_incremental_distinct_hll",
     "x_drift_psi",
+    "x_embedding_pca_audit",
     "x_multimodal_adpcm_features",
     "x_multimodal_alaw_features",
     "x_bpe_encode_corpus",
@@ -9458,9 +9522,8 @@ set_gate_order([
     "tpch_q10_returned_items",
     "tpch_q11_important_stock",
     "tpch_q12_shipmode_priority",
-    "tpch_q13_customer_distribution",
     # (displaced to r7 by the session-3/4 additions:
-    # tpch_q14_promo_effect,
+    # tpch_q13_customer_distribution, tpch_q14_promo_effect,
     # tpch_q15_top_supplier, tpch_q16_supplier_parts,
     # tpch_q21_waiting_supplier, x_ann_bruteforce_topk,
     # x_ann_ivf_nprobe2, x_ann_ivf_topk, x_ann_lsh_buckets,

@@ -193,3 +193,42 @@ def test_pq_trained_codebook_recall_floors(planted):
         sum(len(truth[k] & got3.get(k, set())) for k in truth) / total
     )
     assert recall3 >= 0.30, recall3
+
+
+def test_pca_matches_numpy_and_finds_planted_axes(spark):
+    """similarity.pca_components must equal a full numpy PCA on the
+    collected matrix (eigenvalues to 1e-8 rel; projections correlate
+    |r| > 0.999 per component — sign is the only legal ambiguity), and
+    on data planted with a dominant axis the top component must align
+    with it. Also pins the trace and Pythagoras identities the audit
+    query asserts."""
+    import numpy as np
+
+    from sparkga1_spark.operators.similarity import pca_components, pca_project
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(400, 6)) @ np.diag([5, 3, 1, 0.5, 0.2, 0.1])
+    rot, _ = np.linalg.qr(rng.normal(size=(6, 6)))
+    X = (base @ rot + rng.normal(0, 0.01, size=(400, 6))).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(400)],
+        "vec_id long, embedding array<float>",
+    )
+    mu, evals, comps = pca_components(df, k=3)
+    Xc = X.astype(np.float64) - X.astype(np.float64).mean(0)
+    cov = Xc.T @ Xc / 400
+    ref_evals, ref_vecs = np.linalg.eigh(cov)
+    ref_evals = ref_evals[::-1]
+    assert np.allclose(evals, ref_evals, rtol=1e-8)
+    assert abs(sum(evals) - np.trace(cov)) <= 1e-9 * np.trace(cov)
+
+    got = pca_project(df, mu, comps).select("vec_id", "pca").collect()
+    P = np.array([r.pca for r in sorted(got, key=lambda r: r.vec_id)])
+    Pref = Xc @ ref_vecs[:, ::-1][:, :3]
+    for j in range(3):
+        assert abs(np.corrcoef(P[:, j], Pref[:, j])[0, 1]) > 0.999, j
+    # top component carries the dominant planted variance share
+    assert evals[0] / sum(evals) > 0.5
+    # Pythagoras: mean residual energy == trailing eigenvalue mass
+    resid = (Xc**2).sum(1).mean() - (P**2).sum(1).mean()
+    assert abs(resid - sum(evals[3:])) <= 1e-6 * sum(evals)
