@@ -1040,3 +1040,67 @@ def test_foreach_batch_state_merge_exactly_once(spark, tmp_path):
     )
     assert final_rows(table) == with_more
     assert state_committed_batches(table) == {0, 1, 2, 3, 4}
+
+
+def test_foreach_batch_state_merge_two_writers(spark, tmp_path):
+    """Two streaming queries maintaining ONE state table: additive
+    merges commute, the per-table lock serializes the swap, and the
+    writer-scoped co-committed ledger keeps each writer's replays
+    independent — writer B's batch 0 must not be mistaken for a replay
+    of writer A's batch 0, and a replay of either writer's batch must
+    not double counts after the other writer has committed since."""
+    from pyspark.sql import functions as F
+
+    from sparkga1_spark.operators.incremental import (
+        aggregate_state,
+        finalize_state,
+    )
+    from sparkga1_spark.streaming.sinks import (
+        foreach_batch_state_merge,
+        state_committed_batches,
+    )
+
+    full = spark.range(600).select(
+        (F.col("id") % 4).alias("k"),
+        (F.col("id") % 31).cast("double").alias("v"),
+        (F.col("id") % 17).alias("u"),
+    )
+    a_rows = full.filter(F.col("id") % 2 == 0)
+    b_rows = full.filter(F.col("id") % 2 == 1)
+
+    table = str(tmp_path / "shared_state")
+    sink_a = foreach_batch_state_merge(
+        table, keys=["k"], value_col="v", distinct_col="u", writer_id="qa"
+    )
+    sink_b = foreach_batch_state_merge(
+        table, keys=["k"], value_col="v", distinct_col="u", writer_id="qb"
+    )
+
+    # interleaved batches, both writers numbering from 0
+    sink_a(a_rows.filter(F.col("u") < 9), 0)
+    sink_b(b_rows.filter(F.col("u") < 9), 0)   # NOT a replay of qa's 0
+    sink_a(a_rows.filter(F.col("u") >= 9), 1)
+    sink_b(b_rows.filter(F.col("u") >= 9), 1)
+    assert state_committed_batches(table, "qa") == {0, 1}
+    assert state_committed_batches(table, "qb") == {0, 1}
+
+    expected = sorted(
+        tuple(r)
+        for r in finalize_state(
+            aggregate_state(full, ["k"], "v", distinct_col="u"), ["k"]
+        ).collect()
+    )
+
+    def final_rows():
+        return sorted(
+            tuple(r)
+            for r in finalize_state(spark.read.parquet(table), ["k"]).collect()
+        )
+
+    assert final_rows() == expected
+
+    # replays from BOTH writers, after the other has committed since:
+    # each must skip via its own ledger slice
+    sink_a(a_rows.filter(F.col("u") < 9), 0)
+    sink_b(b_rows.filter(F.col("u") >= 9), 1)
+    assert final_rows() == expected
