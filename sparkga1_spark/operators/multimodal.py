@@ -2371,6 +2371,8 @@ def parse_jpeg(data: bytes):
         elif marker == 0xDA:
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if not body:
+                raise ValueError("empty SOS segment")
             ns = body[0]
             if ns != len(frame[2]) or len(body) != 4 + 2 * ns:
                 raise ValueError("scan/frame component mismatch")
@@ -3027,6 +3029,8 @@ def parse_flac(data: bytes):
         else:
             raise ValueError("reserved FLAC sample size code")
         hdr_len = (br.bitpos + 7) // 8 - pos + 1  # header incl. CRC byte
+        if pos + hdr_len > len(data):
+            raise ValueError("truncated FLAC frame header")
         if _crc8_flac(data[pos : pos + hdr_len - 1]) != data[pos + hdr_len - 1]:
             raise ValueError("FLAC frame header CRC-8 mismatch")
         br = _FlacBitReader(data, (pos + hdr_len) * 8)

@@ -637,7 +637,10 @@ def pca_components(
     two-pass centered form is deliberate."""
     import numpy as np
 
-    dim = len(df.select(vec_col).first()[0])
+    head = df.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError("pca_components needs a non-empty vector column")
+    dim = len(head[0])
     pos = F.posexplode(F.col(vec_col).cast("array<double>"))
     mean_rows = (
         df.select(pos.alias("i", "x"))

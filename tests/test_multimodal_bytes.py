@@ -1326,3 +1326,39 @@ def test_flac_audio_features_dispatch(spark):
         assert rows[d].n_samples == n
         assert rows[d].sample_rate == 8000
         assert rows[d].rms == expect
+
+
+def test_exhaustive_truncation_valueerror_only():
+    """EVERY prefix of a valid FLAC and a valid baseline JPEG must
+    either parse or raise ValueError — never IndexError/struct.error
+    (review-caught: a FLAC stream cut exactly at a frame-header CRC
+    byte indexed past the buffer; a JPEG SOS with declared length 2
+    read body[0] of an empty body). Exhaustive over every byte length,
+    so the specific offsets random fuzz can miss are all covered."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import (
+        build_flac,
+        build_jpeg_baseline,
+        parse_flac,
+        parse_jpeg,
+    )
+
+    s = ((np.arange(130) * 13 + 19) % 256 - 128) * 256
+    flac = build_flac(s.astype(np.int16))
+    g = np.resize(np.arange(300, dtype=np.uint8), (16, 16))
+    jpeg = build_jpeg_baseline(g)
+    for data, parser in ((flac, parse_flac), (jpeg, parse_jpeg)):
+        for cut in range(len(data)):
+            try:
+                parser(data[:cut])
+            except ValueError:
+                pass  # the only allowed failure mode
+
+    # the crafted empty-SOS segment refuses cleanly
+    import pytest
+
+    sos = jpeg.find(b"\xff\xda")
+    crafted = jpeg[:sos] + b"\xff\xda\x00\x02" + jpeg[sos:]
+    with pytest.raises(ValueError, match="empty SOS"):
+        parse_jpeg(crafted)
