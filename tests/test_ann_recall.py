@@ -232,3 +232,41 @@ def test_pca_matches_numpy_and_finds_planted_axes(spark):
     # Pythagoras: mean residual energy == trailing eigenvalue mass
     resid = (Xc**2).sum(1).mean() - (P**2).sum(1).mean()
     assert abs(resid - sum(evals[3:])) <= 1e-6 * sum(evals)
+
+
+def test_mahalanobis_matches_numpy_and_ranks_planted_outlier(spark):
+    """similarity.mahalanobis_scores must equal numpy's whitened
+    distance² per vector (1e-6 rel) and must rank a planted
+    anisotropic outlier FIRST where raw L2 does not — the reason
+    whitening is the scale-correct curation prune."""
+    import numpy as np
+
+    from sparkga1_spark.operators.similarity import mahalanobis_scores
+
+    rng = np.random.default_rng(11)
+    # wildly unequal variances: dim0 huge, dim3 tiny
+    X = rng.normal(size=(300, 4)) * np.array([100.0, 5.0, 1.0, 0.01])
+    # planted outlier: modest in the huge dimension (L2-invisible),
+    # enormous in the tiny one (Mahalanobis-visible)
+    X[0] = [50.0, 0.0, 0.0, 0.5]
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    scored, retained = mahalanobis_scores(df)
+    assert retained == 4
+    rows = {r.vec_id: r.m2 for r in scored.collect()}
+
+    Xf = X.astype(np.float32).astype(np.float64)  # match the column's float32
+    mu = Xf.mean(0)
+    cov = (Xf - mu).T @ (Xf - mu) / len(Xf)
+    ref = np.einsum("ij,jk,ik->i", Xf - mu, np.linalg.inv(cov), Xf - mu)
+    got = np.array([rows[i] for i in range(300)])
+    assert np.allclose(got, ref, rtol=1e-6)
+
+    # mean identity: E[m^2] == dim, exactly by construction
+    assert abs(got.mean() - 4) <= 1e-9 * 4
+    # the planted outlier tops the whitened ranking but not the L2 one
+    assert np.argmax(got) == 0
+    l2 = ((Xf - mu) ** 2).sum(1)
+    assert np.argmax(l2) != 0
