@@ -2077,6 +2077,87 @@ def x_cohort_retention(spark, sf_dir):
 
 
 @query(
+    "x_touch_attribution",
+    oracle="""
+WITH conv AS (
+  SELECT event_id AS cid, user_id, ts AS tc FROM events
+  WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, event_id AS tid, ts, event_type AS channel FROM events
+  WHERE event_type <> 'purchase'
+),
+j AS (
+  SELECT c.cid, t.tid, t.channel,
+         row_number() OVER (PARTITION BY c.cid ORDER BY t.ts, t.tid) AS rn_f,
+         row_number() OVER (PARTITION BY c.cid ORDER BY t.ts DESC, t.tid DESC)
+           AS rn_l,
+         count(*) OVER (PARTITION BY c.cid) AS n
+  FROM conv c JOIN touch t
+    ON t.user_id = c.user_id
+   AND t.ts < c.tc AND t.ts >= c.tc - INTERVAL 24 HOURS
+)
+SELECT channel,
+       CAST(sum(CASE WHEN rn_f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS first_touch,
+       CAST(sum(CASE WHEN rn_l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS last_touch,
+       CAST(sum(1000000 // n) AS BIGINT) AS linear_micro
+FROM j
+GROUP BY channel
+""",
+)
+def x_touch_attribution(spark, sf_dir):
+    """Multi-touch conversion attribution — the marketing-analytics
+    workload that assigns each 'purchase' to the user's touchpoints
+    (view/click/signup/error) in the 24 h before it, under the three
+    standard credit models at once: FIRST touch, LAST touch, and
+    LINEAR (each of the n touches earns 1/n, accumulated as exact
+    integer micro-credits — floor(1e6/n) per touch, so the sum is
+    deterministic on both engines with no float-order drift). One
+    user-keyed join bounded by per-user activity, then windows
+    partitioned BY CONVERSION (high-cardinality partitions — never a
+    global window) deliver first/last rank and touch count in a
+    single pass; ties break on (ts, event_id) so same-timestamp
+    touches attribute deterministically. At 100 TB the join shuffles
+    both sides once on user_id and the window state is per-conversion
+    — the classic sessionize-shape scaling. Exclusive bounds: a touch
+    at exactly the conversion timestamp is NOT credited (it did not
+    precede the purchase)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("cid"), "user_id", F.col("ts").alias("tc")
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", F.col("event_id").alias("tid"), "ts",
+        F.col("event_type").alias("channel"),
+    )
+    j = conv.join(
+        touch,
+        (touch["user_id"] == conv["user_id"])
+        & (touch["ts"] < conv["tc"])
+        & (touch["ts"] >= conv["tc"] - F.expr("INTERVAL 24 HOURS")),
+    )
+    wc = Window.partitionBy("cid")
+    j = j.select(
+        "cid", "tid", "channel",
+        F.row_number().over(wc.orderBy("ts", "tid")).alias("rn_f"),
+        F.row_number().over(wc.orderBy(F.desc("ts"), F.desc("tid"))).alias("rn_l"),
+        F.count("*").over(wc).alias("n"),
+    )
+    return j.groupBy("channel").agg(
+        F.sum(F.when(F.col("rn_f") == 1, 1).otherwise(0)).cast("long")
+        .alias("first_touch"),
+        F.sum(F.when(F.col("rn_l") == 1, 1).otherwise(0)).cast("long")
+        .alias("last_touch"),
+        F.sum(F.floor(F.lit(1_000_000) / F.col("n"))).cast("long")
+        .alias("linear_micro"),
+    )
+
+
+@query(
     "x_funnel_conversion",
     oracle="""
 WITH s AS (
@@ -9499,7 +9580,7 @@ def x_sessionize_gaps(spark, sf_dir):
 #     x_multimodal_wav_features, displaced by the session-2 additions)
 #     carry full-precision LOCAL_GATE evidence this round and front
 #     in r7.
-# That is exactly 7 (session-4: JPEG, FLAC, incremental x2, PSI, PCA, Mahalanobis) + 4 + 15 + 18 + 6 = 50.
+# That is exactly 8 (session-4: JPEG, FLAC, incremental x2, PSI, PCA, Mahalanobis, attribution) + 4 + 15 + 18 + 5 = 50.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
@@ -9516,6 +9597,7 @@ set_gate_order([
     "x_drift_psi",
     "x_embedding_pca_audit",
     "x_embedding_mahalanobis_audit",
+    "x_touch_attribution",
     "x_multimodal_adpcm_features",
     "x_multimodal_alaw_features",
     "x_bpe_encode_corpus",
@@ -9560,8 +9642,8 @@ set_gate_order([
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
     # (displaced to r7 by the session-3/4 additions:
+    # tpch_q11_important_stock,
     # tpch_q12_shipmode_priority,
     # tpch_q13_customer_distribution, tpch_q14_promo_effect,
     # tpch_q15_top_supplier, tpch_q16_supplier_parts,
