@@ -1104,3 +1104,55 @@ def test_foreach_batch_state_merge_two_writers(spark, tmp_path):
     sink_a(a_rows.filter(F.col("u") < 9), 0)
     sink_b(b_rows.filter(F.col("u") >= 9), 1)
     assert final_rows() == expected
+
+
+def test_foreach_batch_state_merge_real_stream(
+    spark, sf_dir, events_dir, event_stream_schema, tmp_path
+):
+    """End-to-end through a REAL Structured Streaming query (not direct
+    apply calls): streaming the events source into
+    foreach_batch_state_merge must leave a state table whose finalized
+    metrics equal the batch aggregate over the whole source — the
+    continuous-aggregate maintenance contract under the actual
+    foreachBatch execution path (checkpointing, batch-id assignment,
+    micro-batch partitioning)."""
+    from sparkga1_spark.operators.incremental import (
+        aggregate_state,
+        finalize_state,
+    )
+    from sparkga1_spark.sources.catalog import load_table
+    from sparkga1_spark.streaming.ingest import stream_events
+    from sparkga1_spark.streaming.sinks import (
+        foreach_batch_state_merge,
+        state_committed_batches,
+    )
+
+    table = str(tmp_path / "type_state")
+    sink = foreach_batch_state_merge(
+        table, keys=["event_type"], value_col="value", distinct_col="user_id"
+    )
+    stream = stream_events(spark, events_dir, event_stream_schema)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    assert state_committed_batches(table), "no batch ids co-committed"
+
+    got = sorted(
+        tuple(r)
+        for r in finalize_state(
+            spark.read.parquet(table), ["event_type"]
+        ).collect()
+    )
+    ev = load_table(spark, sf_dir, "events")
+    want = sorted(
+        tuple(r)
+        for r in finalize_state(
+            aggregate_state(ev, ["event_type"], "value", distinct_col="user_id"),
+            ["event_type"],
+        ).collect()
+    )
+    assert got == want
