@@ -2158,6 +2158,145 @@ def x_touch_attribution(spark, sf_dir):
 
 
 @query(
+    "x_touch_attribution_decay",
+    oracle="""
+WITH conv AS (
+  SELECT event_id AS cid, user_id, ts AS tc FROM events
+  WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, event_id AS tid, ts, event_type AS channel FROM events
+  WHERE event_type <> 'purchase'
+),
+j AS (
+  SELECT t.channel,
+         CAST((floor(epoch(c.tc)) - floor(epoch(t.ts))) AS BIGINT) // 3600
+           AS age_h
+  FROM conv c JOIN touch t
+    ON t.user_id = c.user_id
+   AND t.ts < c.tc AND t.ts >= c.tc - INTERVAL 24 HOURS
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(1000000 // (1 << age_h)) AS BIGINT) AS decay_micro
+FROM j
+GROUP BY channel
+""",
+)
+def x_touch_attribution_decay(spark, sf_dir):
+    """Time-decay attribution — the fourth standard credit model,
+    completing x_touch_attribution's first/last/linear trio: each
+    touchpoint's credit halves per full hour of age at conversion
+    (half-life 1 h over the 24 h lookback). The decay is DISCRETE on
+    integer hours, so the per-touch credit is floor(1e6 / 2^age_h) —
+    exact integer arithmetic on both engines, no pow()/exp() float to
+    drift (the same determinism discipline as linear's floor(1e6/n)
+    micro-units; a continuous exp(-λΔt) would need the nano-snap
+    convention instead). Age uses floor-epoch seconds (the established
+    cross-engine timestamp convention), integer-divided to hours. Same
+    join/shuffle shape as the base attribution query — user-keyed join
+    bounded by per-user activity, one channel-keyed aggregate, no
+    windows at all (decay needs no per-conversion rank)."""
+    ev = _events(spark, sf_dir)
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("tc")
+    ).alias("c")
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", F.col("event_type").alias("channel")
+    ).alias("t")
+    j = conv.join(
+        touch,
+        (F.col("t.user_id") == F.col("c.user_id"))
+        & (F.col("t.ts") < F.col("c.tc"))
+        & (F.col("t.ts") >= F.col("c.tc") - F.expr("INTERVAL 24 HOURS")),
+    ).select(
+        "channel",
+        (
+            (
+                F.unix_timestamp(F.col("c.tc")) - F.unix_timestamp(F.col("t.ts"))
+            )
+            / F.lit(3600)
+        ).cast("long").alias("age_h"),
+    )
+    return j.groupBy("channel").agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.sum(
+            # python shiftleft() wants a literal bit count; the SQL
+            # form accepts a column
+            F.floor(F.lit(1_000_000) / F.expr("shiftleft(1, cast(age_h AS int))"))
+        ).cast("long").alias("decay_micro"),
+    )
+
+
+@query(
+    "x_benford_digit_audit",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM lineitem WHERE l_extendedprice > 0
+),
+p AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+t AS (SELECT sum(n_obs) AS total FROM p)
+SELECT CAST(digit AS INTEGER) AS digit,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(n_obs * 1000000 // total AS BIGINT) AS share_micro,
+       CAST(floor(log10(1.0 + 1.0 / digit) * 1000000 + 0.5) AS BIGINT)
+         AS benford_micro
+FROM p, t
+ORDER BY digit
+""",
+)
+def x_benford_digit_audit(spark, sf_dir):
+    """Benford's-law first-digit audit — the forensic data-quality
+    check that flags fabricated or truncated numeric columns (a
+    synthesized uniform price column fails it loudly; organically
+    multiplicative ones conform): per leading digit of the price in
+    CENTS, observed count, observed share, and the Benford expectation
+    log10(1+1/d), both in exact integer micro-units. Determinism
+    discipline: the digit comes from the DECIMAL-CENTS integer's
+    string rendering (floor(x·100+0.5) is the established money-snap;
+    integer-to-string is byte-identical on both engines — never
+    floor(log10(x)), whose float edge at powers of ten can misbin),
+    the observed share is integer division n·1e6//total, and the
+    expectation is a 9-value constant table micro-snapped from log10
+    of simple rationals. One scan, a 9-key aggregate, broadcast total
+    — nothing wide at any scale; the deviation |share−benford| is the
+    retrain/forensics trigger downstream."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    d = li.select(
+        F.substring(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    p = d.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    t = p.agg(F.sum("n_obs").alias("total"))
+    return (
+        p.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("n_obs").cast("long").alias("n_obs"),
+            ((F.col("n_obs") * F.lit(1_000_000)) / F.col("total"))
+            .cast("long")
+            .alias("share_micro"),
+            F.floor(
+                F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")) * F.lit(1_000_000)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("benford_micro"),
+        )
+        .orderBy("digit")
+    )
+
+
+@query(
     "x_funnel_conversion",
     oracle="""
 WITH s AS (
@@ -9580,7 +9719,8 @@ def x_sessionize_gaps(spark, sf_dir):
 #     x_multimodal_wav_features, displaced by the session-2 additions)
 #     carry full-precision LOCAL_GATE evidence this round and front
 #     in r7.
-# That is exactly 8 (session-4: JPEG, FLAC, incremental x2, PSI, PCA, Mahalanobis, attribution) + 4 + 15 + 18 + 5 = 50.
+# That is exactly 10 session-4 additions (JPEG, FLAC, incremental x2, PSI,
+# PCA, Mahalanobis, attribution x2, Benford) + 4 + 15 + 18 + 3 = 50.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
@@ -9598,6 +9738,8 @@ set_gate_order([
     "x_embedding_pca_audit",
     "x_embedding_mahalanobis_audit",
     "x_touch_attribution",
+    "x_touch_attribution_decay",
+    "x_benford_digit_audit",
     "x_multimodal_adpcm_features",
     "x_multimodal_alaw_features",
     "x_bpe_encode_corpus",
@@ -9640,9 +9782,8 @@ set_gate_order([
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
     "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
     # (displaced to r7 by the session-3/4 additions:
+    # tpch_q9_product_profit, tpch_q10_returned_items,
     # tpch_q11_important_stock,
     # tpch_q12_shipmode_priority,
     # tpch_q13_customer_distribution, tpch_q14_promo_effect,

@@ -177,14 +177,14 @@ def test_gate_order_fronts_unproven_queries():
         # round-6 (c): 17 round-3-age rotations (the remaining 30
         # r3-age rows front in r7)
         "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
-        "tpch_q8_market_share", "tpch_q9_product_profit",
-        "tpch_q10_returned_items",
+        "tpch_q8_market_share",
         # round-6 (a0') session-4 additions: real baseline JPEG decode,
         # real FLAC decode, incremental state merge + HLL union
         "x_multimodal_jpeg_decode", "x_multimodal_flac_features",
         "x_incremental_rollup_merge", "x_incremental_distinct_hll",
         "x_drift_psi", "x_embedding_pca_audit",
         "x_embedding_mahalanobis_audit", "x_touch_attribution",
+        "x_touch_attribution_decay", "x_benford_digit_audit",
         # (tpch_q21_waiting_supplier / x_ann_bruteforce_topk /
         # x_ann_ivf_nprobe2 / x_ann_ivf_topk / x_ann_lsh_buckets /
         # x_multimodal_bmp_decode displaced to r7 by the session-3/4
