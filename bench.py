@@ -108,6 +108,9 @@ HEADLINE = [
     "x_multimodal_flac_features",
     # and the three-batch algebraic state merge (union + two-level agg)
     "x_incremental_rollup_merge",
+    # session 4 second wave: the user-keyed touchpoint join with
+    # per-conversion windows (the attribution family's heavy shape)
+    "x_touch_attribution",
 ]
 
 # CONVENTION (r5 VERDICT #8): the headline set only ever GROWS —
