@@ -9685,6 +9685,233 @@ def x_sessionize_gaps(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Session-5 wave: concentration / monitoring / experimentation analytics —
+# the reporting layer a training-data pipeline's stakeholders actually
+# read (who supplies the data, did the distribution shift, did the
+# intervention work), each scale-shaped like the operators above: one
+# scan, keyed aggregates, broadcast totals, never a global funnel.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "x_seasonality_dow",
+    oracle="""
+WITH d AS (
+  SELECT event_type, isodow(ts) AS dow,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+g AS (
+  SELECT event_type, dow, count(*) AS n, sum(cents) AS cents
+  FROM d GROUP BY event_type, dow
+),
+t AS (
+  SELECT event_type, sum(n) AS tn, sum(cents) AS tc
+  FROM g GROUP BY event_type
+)
+SELECT g.event_type, CAST(g.dow AS INTEGER) AS dow,
+       CAST(g.n AS BIGINT) AS n_events,
+       CAST(g.cents AS BIGINT) AS cents,
+       round((CAST(g.cents AS DOUBLE) / g.n)
+             / (CAST(t.tc AS DOUBLE) / t.tn), 6) AS dow_index
+FROM g JOIN t USING (event_type)
+ORDER BY event_type, dow
+""",
+)
+def x_seasonality_dow(spark, sf_dir):
+    """Day-of-week seasonality index per event type — the multiplicative
+    seasonal factor (mean value on that weekday / overall mean) a
+    forecasting or anomaly layer divides out before alerting. Money is
+    accumulated as exact integer cents (floor(v*100+0.5), the
+    established snap), so both aggregates are order-independent; the
+    index is a single exact-int division chain rounded at 6dp. ISO
+    weekday (1=Mon) via weekday()+1 on the Spark side mirrors DuckDB's
+    isodow(). One scan, a 35-key aggregate joined to its 5-key rollup
+    via broadcast — nothing wide at any scale."""
+    ev = _events(spark, sf_dir)
+    d = ev.select(
+        "event_type",
+        (F.expr("weekday(ts)") + F.lit(1)).cast("int").alias("dow"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    g = d.groupBy("event_type", "dow").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("cents")
+    )
+    t = g.groupBy("event_type").agg(
+        F.sum("n").alias("tn"), F.sum("cents").alias("tc")
+    )
+    return (
+        g.join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            F.col("n").cast("long").alias("n_events"),
+            F.col("cents").cast("long").alias("cents"),
+            hround(
+                (F.col("cents").cast("double") / F.col("n"))
+                / (F.col("tc").cast("double") / F.col("tn")),
+                6,
+            ).alias("dow_index"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+@query(
+    "x_ab_conversion_ztest",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             > sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT user_id % 2 AS variant, count(*) AS n, sum(conv) AS c
+  FROM u GROUP BY variant
+),
+w AS (
+  SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+         max(CASE WHEN variant = 1 THEN n END) AS n1,
+         max(CASE WHEN variant = 0 THEN c END) AS c0,
+         max(CASE WHEN variant = 1 THEN c END) AS c1
+  FROM v
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
+       round(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
+       round(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
+       round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+             / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 6) AS z_score
+FROM w
+""",
+)
+def x_ab_conversion_ztest(spark, sf_dir):
+    """Two-proportion pooled z-test over a deterministic hash split —
+    the experimentation readout (did variant 1 convert better than
+    variant 0, and is the lift outside noise). Variant assignment is
+    user_id parity (any production system hashes the unit id the same
+    way); conversion is user-level and volume-balanced (more purchases
+    than errors — an any-purchase flag saturates to 1 for every user as
+    per-user event volume grows, which degenerates the pooled variance
+    to 0). All counts are exact ints;
+    the z statistic is one fixed-order chain of correctly-rounded IEEE
+    ops (divisions + sqrt), identical on both engines before the 6dp
+    snap. Two keyed aggregates and a 2-row pivot — per-user state is
+    one bit, so this runs at any scale."""
+    ev = _events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            > F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)),
+            1,
+        )
+        .otherwise(0)
+        .alias("conv")
+    )
+    v = u.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count("*").alias("n"), F.sum("conv").alias("c")
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 0, F.col("c"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("c"))).alias("c1"),
+    )
+    # written as (c0+c1)/(n0+n1) to mirror the oracle's operand order
+    pooled = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    rate0 = F.col("c0").cast("double") / F.col("n0")
+    rate1 = F.col("c1").cast("double") / F.col("n1")
+    return w.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("c0").cast("long").alias("c0"),
+        F.col("c1").cast("long").alias("c1"),
+        hround(rate0, 6).alias("rate0"),
+        hround(rate1, 6).alias("rate1"),
+        hround(
+            (rate1 - rate0)
+            / F.sqrt(
+                pooled
+                * (F.lit(1.0) - pooled)
+                * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+            ),
+            6,
+        ).alias("z_score"),
+    )
+
+
+@query(
+    "x_readability_flesch",
+    oracle="""
+WITH c AS (
+  SELECT source,
+         length(regexp_extract_all(text, '[A-Za-z]+')) AS w,
+         greatest(length(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+         length(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+  FROM documents
+),
+sc AS (
+  SELECT source,
+         206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                 - 84.6 * (CAST(y AS DOUBLE) / w) AS score
+  FROM c WHERE w > 0
+)
+SELECT source, CAST(floor(score / 10.0) AS INTEGER) AS decade,
+       count(*) AS n_docs,
+       round(min(score), 6) AS min_score,
+       round(max(score), 6) AS max_score
+FROM sc GROUP BY source, decade
+ORDER BY source, decade
+""",
+)
+def x_readability_flesch(spark, sf_dir):
+    """Flesch reading-ease distribution per source — the classic
+    surface-statistics quality score (words/sentence, syllables/word
+    with the standard vowel-group syllable proxy), bucketed into
+    10-point decades so the output is a histogram, not a float dump.
+    Per-doc counts are exact regexp-match integers; the score is one
+    fixed-order IEEE chain of those ints, so per-doc scores are
+    bit-identical across engines and floor(score/10) can never misbin;
+    min/max within a bucket are order-free (6dp-snapped for the hash).
+    One scan with three codegen'd regexp counters, then a ~tens-of-keys
+    aggregate — the same shape as the Gopher rules in x_quality_*."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select(
+        "source",
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+")).alias("w"),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+        ).alias("s"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+")).alias("y"),
+    ).filter(F.col("w") > 0)
+    sc = c.select(
+        "source",
+        (
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("w").cast("double") / F.col("s"))
+            - F.lit(84.6) * (F.col("y").cast("double") / F.col("w"))
+        ).alias("score"),
+    )
+    return (
+        sc.groupBy(
+            "source", F.floor(F.col("score") / 10.0).cast("int").alias("decade")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            hround(F.min("score"), 6).alias("min_score"),
+            hround(F.max("score"), 6).alias("max_score"),
+        )
+        .orderBy("source", "decade")
+    )
+
+
+# --------------------------------------------------------------------------
 # Gate priority (see registry.set_gate_order docstring). Round 6: the
 # driver records rows for the FIRST 50 queries() only, so front
 # (a0) the 4 queries NEW in session 3: x_multimodal_adpcm_features
