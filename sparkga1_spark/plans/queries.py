@@ -9911,6 +9911,204 @@ def x_readability_flesch(spark, sf_dir):
     )
 
 
+@query(
+    "x_revenue_gini_lorenz",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+),
+rk AS (
+  SELECT o_custkey, cents,
+         row_number() OVER (ORDER BY cents, o_custkey) AS r
+  FROM rev
+),
+tot AS (
+  SELECT count(*) AS n, sum(cents) AS s,
+         sum(CAST(r AS HUGEINT) * cents) AS s1
+  FROM rk
+),
+dec AS (
+  SELECT ((r - 1) * 10) // n AS decile, count(*) AS n_cust,
+         sum(cents) AS decile_cents
+  FROM rk, tot GROUP BY 1
+),
+cum AS (
+  SELECT decile, n_cust, decile_cents,
+         sum(decile_cents) OVER (ORDER BY decile) AS cumcents
+  FROM dec
+)
+SELECT CAST(decile AS INTEGER) AS decile,
+       CAST(n_cust AS BIGINT) AS n_cust,
+       CAST(decile_cents AS BIGINT) AS decile_cents,
+       round(CAST(cumcents AS DOUBLE) / CAST(s AS DOUBLE), 6) AS cum_share,
+       round(CAST(2 * s1 - (n + 1) * s AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * s AS DOUBLE), 6) AS gini
+FROM cum, tot ORDER BY decile
+""",
+)
+def x_revenue_gini_lorenz(spark, sf_dir):
+    """Lorenz curve (revenue deciles) + Gini coefficient of customer
+    revenue concentration — the inequality readout a per-source token
+    budget or spend-cap policy starts from. Exactness discipline: money
+    is integer cents; the customer rank comes from the distributed
+    two-pass global_rank (never a partitionless window over customers);
+    the rank-weighted sum S1=Σ r·cents and the Gini closed form
+    G = (2·S1 − (n+1)·S) / (n·S) are accumulated in DECIMAL(38,0)
+    (HUGEINT on the oracle side) so nothing overflows or rounds before
+    the single final double division. The Lorenz cumsum runs over
+    exactly 10 decile rows via grouped_cumsum (audit-clean two-pass,
+    not a global window). Shape at 100 TB: one keyed aggregate, one
+    range-exchange rank, a 10-row tail — the rank pass is the only
+    wide stage and it's the operator built for that."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    rk = windows_ops.global_rank(
+        rev, order_cols=["cents", "o_custkey"], rank_col="r"
+    )
+    tot = rk.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("cents")).alias("s1"),
+    )
+    dec = (
+        rk.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("((r - 1) * 10) div n").alias("decile"),
+            "cents",
+        )
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_cust"), F.sum("cents").alias("decile_cents"))
+    )
+    cum = windows_ops.grouped_cumsum(
+        dec,
+        group_cols=[],
+        order_cols=["decile"],
+        value_col="decile_cents",
+        out_col="cumcents",
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n_cust").cast("long").alias("n_cust"),
+            F.col("decile_cents").cast("long").alias("decile_cents"),
+            hround(
+                F.col("cumcents").cast("double") / F.col("s").cast("double"), 6
+            ).alias("cum_share"),
+            hround(
+                (
+                    F.lit(2) * F.col("s1")
+                    - (F.col("n") + F.lit(1)) * F.col("s")
+                ).cast("double")
+                / (F.col("n").cast("decimal(38,0)") * F.col("s")).cast("double"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "x_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+  FROM events GROUP BY event_type, day
+),
+tot AS (
+  SELECT event_type, count(*) AS n, sum(x) AS s
+  FROM daily GROUP BY event_type
+),
+cs AS (
+  SELECT d.event_type, d.day, t.n, t.s,
+         row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS t_idx,
+         sum(d.x) OVER (PARTITION BY d.event_type ORDER BY d.day) AS cx
+  FROM daily d JOIN tot t USING (event_type)
+),
+dev AS (
+  SELECT event_type, day, n,
+         abs(CAST(n AS HUGEINT) * cx - CAST(t_idx AS HUGEINT) * s) AS d_abs
+  FROM cs
+),
+pk AS (
+  SELECT event_type, day, n, d_abs,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY d_abs DESC, day) AS pr
+  FROM dev
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days, day AS peak_day,
+       round((CAST(d_abs AS DOUBLE) / n) / 100.0, 6) AS cusum_peak
+FROM pk WHERE pr = 1 ORDER BY event_type
+""",
+)
+def x_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint detection per event type — the classic
+    level-shift monitor: cumulative sum of deviations from the series
+    mean peaks at the day the regime changed. Run over the DAILY
+    aggregate (so the windows are per-type over ~hundreds of rows, a
+    partitioned window on a pre-aggregated frame — the raw scan never
+    feeds a window). Exactness: deviations are kept integer by scaling
+    — D_t = n·Σx_i − t·S in cents·n units (DECIMAL/HUGEINT, no mean
+    subtraction in floats) — and the peak argmax ties break on the
+    earliest day; the reported peak height converts back to dollars
+    with one fixed-order double division chain at 6dp. At 100 TB the
+    only data-sized stage is the (type, day) aggregate."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("x")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("x").alias("s")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("day")
+    cs = (
+        daily.join(F.broadcast(tot), "event_type")
+        .withColumn("t_idx", F.row_number().over(w))
+        .withColumn(
+            "cx",
+            F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    dev = cs.select(
+        "event_type",
+        "day",
+        "n",
+        F.abs(
+            F.col("n").cast("decimal(38,0)") * F.col("cx")
+            - F.col("t_idx").cast("decimal(38,0)") * F.col("s")
+        ).alias("d_abs"),
+    )
+    wp = Window.partitionBy("event_type").orderBy(
+        F.col("d_abs").desc(), F.col("day")
+    )
+    return (
+        dev.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.col("day").alias("peak_day"),
+            hround(
+                (F.col("d_abs").cast("double") / F.col("n")) / F.lit(100.0), 6
+            ).alias("cusum_peak"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --------------------------------------------------------------------------
 # Gate priority (see registry.set_gate_order docstring). Round 6: the
 # driver records rows for the FIRST 50 queries() only, so front
