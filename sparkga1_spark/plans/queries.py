@@ -10109,6 +10109,163 @@ def x_cusum_changepoint(spark, sf_dir):
     )
 
 
+@query(
+    "x_kmeans_assign_audit",
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+d AS (
+  SELECT e.vec_id, c.cid,
+         list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, c.cv)
+           + list_inner_product(c.cv, c.cv) AS dist
+  FROM e, c
+),
+a AS (
+  SELECT vec_id, cid, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM d
+)
+SELECT CAST(cid AS BIGINT) AS centroid_id,
+       count(*) AS n_assigned,
+       CAST(sum(CAST(floor(dist * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_dist_micro
+FROM a WHERE rn = 1 GROUP BY cid ORDER BY cid
+""",
+)
+def x_kmeans_assign_audit(spark, sf_dir):
+    """One exact Lloyd assignment step, oracle-gated — the k-means
+    family's driver-visible correctness row (the iterative trainer in
+    operators/similarity.py is pytest-verified against numpy; this pins
+    the distance/argmin kernel both share). Distance is the expanded
+    form |x|² − 2x·c + |c|² with every inner product a sequential
+    left fold (V.dot ↔ list_inner_product — bit-identical, the
+    x_ann_* precedent), so argmin ties are decided on identical
+    doubles, with centroid id as the final tiebreak; per-cluster inertia
+    is summed in exact integer micro-units. The k=4 seed centroids are
+    the first four fixture vectors (deterministic, the trainer's own
+    seeding rule). Scale shape: broadcast k rows against the scan —
+    one narrow pass, no shuffle until the k-key aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", V.to_double(F.col("embedding")).alias("v"))
+    c = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    dist = (
+        V.dot(F.col("v"), F.col("v"))
+        - F.lit(2.0) * V.dot(F.col("v"), F.col("cv"))
+        + V.dot(F.col("cv"), F.col("cv"))
+    )
+    d = e.crossJoin(F.broadcast(c)).select("vec_id", "cid", dist.alias("dist"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("cid").cast("long").alias("centroid_id"))
+        .agg(
+            F.count("*").alias("n_assigned"),
+            F.sum(
+                F.floor(F.col("dist") * F.lit(1_000_000) + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("sum_dist_micro"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+@query(
+    "x_knn_label_vote",
+    oracle=f"""
+WITH nn AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round({_ANN_COS}, 6) DESC, c.vec_id)
+             AS rank
+    FROM embeddings q JOIN embeddings c
+      ON q.vec_id % 20 = 0 AND c.vec_id != q.vec_id
+  ) WHERE rank <= 5
+),
+votes AS (
+  SELECT nn.query_id, c.label AS cand_label, count(*) AS n_votes
+  FROM nn JOIN embeddings c ON nn.cand_id = c.vec_id
+  GROUP BY nn.query_id, c.label
+),
+pred AS (
+  SELECT query_id, cand_label AS pred_label FROM (
+    SELECT query_id, cand_label, n_votes,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY n_votes DESC, cand_label) AS vr
+    FROM votes
+  ) WHERE vr = 1
+)
+SELECT CAST(q.label AS INTEGER) AS true_label,
+       count(*) AS n_queries,
+       CAST(sum(CASE WHEN p.pred_label = q.label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct
+FROM pred p JOIN embeddings q ON p.query_id = q.vec_id
+GROUP BY q.label ORDER BY true_label
+""",
+)
+def x_knn_label_vote(spark, sf_dir):
+    """kNN classification audit — 5-NN majority vote over the labeled
+    embedding fixture, reported as per-class accuracy (the confusion
+    diagonal). This is the evaluation layer on top of the ANN family:
+    the neighbor list is the exact brute-force kernel (so the row
+    certifies the vote/accuracy logic, not approximate recall — the
+    approximate routes have their own pinned-floor recall tests); the
+    majority vote ties break deterministically on the smaller label.
+    Scale path: swap the brute-force neighbor stage for the IVF/PQ
+    operator — the vote layer is route-agnostic. Probe set is 5% of
+    vectors; per-query state is k rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 20 == 0)
+    nn = S.brute_force_topk(qs, emb, k=5, dim=64).select("query_id", "cand_id")
+    votes = (
+        nn.join(
+            emb.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("label").alias("cand_label"),
+            ),
+            "cand_id",
+        )
+        .groupBy("query_id", "cand_label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    from pyspark.sql import Window
+
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("cand_label")
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("cand_label").alias("pred_label"))
+    )
+    return (
+        pred.join(
+            emb.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+            ),
+            "query_id",
+        )
+        .groupBy(F.col("true_label").cast("int").alias("true_label"))
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .orderBy("true_label")
+    )
+
+
 # --------------------------------------------------------------------------
 # Gate priority (see registry.set_gate_order docstring). Round 6: the
 # driver records rows for the FIRST 50 queries() only, so front
