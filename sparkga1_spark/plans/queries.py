@@ -10266,6 +10266,136 @@ def x_knn_label_vote(spark, sf_dir):
     )
 
 
+@query(
+    "x_survival_km",
+    oracle="""
+WITH pu AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(ts) AS last_ts
+  FROM events GROUP BY user_id
+),
+cut AS (SELECT max(ts) AS mx FROM events),
+lf AS (
+  SELECT user_id,
+         date_diff('day', d0, CAST(last_ts AS DATE)) AS t_life,
+         CASE WHEN last_ts < mx - INTERVAL 7 DAY THEN 1 ELSE 0 END AS ev
+  FROM pu, cut
+),
+g AS (
+  SELECT t_life, sum(ev) AS d, sum(1 - ev) AS c FROM lf GROUP BY t_life
+),
+n AS (SELECT count(*) AS total FROM lf),
+cs AS (
+  SELECT t_life, d, c, total,
+         total - (sum(d + c) OVER (ORDER BY t_life) - (d + c)) AS n_risk
+  FROM g, n
+),
+tm AS (
+  SELECT t_life, d, c, n_risk,
+         CASE WHEN d < n_risk
+              THEN CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                              * 1000000000 + 0.5) AS BIGINT)
+              ELSE NULL END AS term_nano,
+         CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS dead
+  FROM cs
+),
+km AS (
+  SELECT t_life, d, c, n_risk,
+         sum(term_nano) OVER (ORDER BY t_life) AS cum_nano,
+         sum(dead) OVER (ORDER BY t_life) AS cum_dead
+  FROM tm
+)
+SELECT CAST(t_life AS INTEGER) AS t_day,
+       CAST(d AS BIGINT) AS n_churn,
+       CAST(c AS BIGINT) AS n_censored,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CASE WHEN cum_dead >= 1 THEN 0.0
+            ELSE round(exp(cum_nano / 1000000000.0), 6) END AS survival
+FROM km ORDER BY t_day
+""",
+)
+def x_survival_km(spark, sf_dir):
+    """Kaplan-Meier survival over user lifetimes (days between first
+    and last event; users quiet in the final 7 days are churn events,
+    the rest right-censored) — retention's principled form. The
+    product-limit estimator is computed as exp(Σ ln(1−d/n)) with each
+    ln term snapped to integer NANO-units before the running sum (the
+    x_unigram_logprob convention: both engines fold the identical
+    integers, so the product is order-proof); a risk-set-exhausted day
+    (d=n) drops survival to exactly 0 thereafter rather than feeding
+    ln(0). Every running sum executes via grouped_cumsum's two-pass
+    shape over the per-DAY aggregate (≤ a few hundred rows — the
+    user-level scan collapses first), so nothing is a global window
+    over data-sized input. The lifetimes aggregate is the only wide
+    stage at 100 TB."""
+    ev = _events(spark, sf_dir)
+    pu = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max("ts").alias("last_ts"),
+    )
+    cut = ev.agg(F.max("ts").alias("mx"))
+    lf = pu.crossJoin(F.broadcast(cut)).select(
+        F.datediff(F.col("last_ts").cast("date"), F.col("d0")).alias("t_life"),
+        F.when(
+            F.col("last_ts") < F.col("mx") - F.expr("INTERVAL 7 DAYS"), 1
+        )
+        .otherwise(0)
+        .alias("ev"),
+    )
+    g = lf.groupBy("t_life").agg(
+        F.sum("ev").alias("d"), F.sum(F.lit(1) - F.col("ev")).alias("c")
+    )
+    n = lf.agg(F.count("*").alias("total"))
+    cs = windows_ops.grouped_cumsum(
+        g,
+        group_cols=[],
+        order_cols=["t_life"],
+        value_col=F.col("d") + F.col("c"),
+        out_col="cum_dc",
+    ).crossJoin(F.broadcast(n)).withColumn(
+        "n_risk", F.col("total") - (F.col("cum_dc") - (F.col("d") + F.col("c")))
+    )
+    tm = cs.select(
+        "t_life",
+        "d",
+        "c",
+        "n_risk",
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.floor(
+                F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"))
+                * F.lit(1_000_000_000)
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("term_nano"),
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0).alias("dead"),
+    )
+    km = windows_ops.grouped_cumsum(
+        tm,
+        group_cols=[],
+        order_cols=["t_life"],
+        value_col="term_nano",
+        out_col="cum_nano",
+    )
+    km = windows_ops.grouped_cumsum(
+        km,
+        group_cols=[],
+        order_cols=["t_life"],
+        value_col="dead",
+        out_col="cum_dead",
+    )
+    return km.select(
+        F.col("t_life").cast("int").alias("t_day"),
+        F.col("d").cast("long").alias("n_churn"),
+        F.col("c").cast("long").alias("n_censored"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.when(F.col("cum_dead") >= 1, F.lit(0.0))
+        .otherwise(
+            hround(F.exp(F.col("cum_nano") / F.lit(1_000_000_000.0)), 6)
+        )
+        .alias("survival"),
+    ).orderBy("t_day")
+
+
 # --------------------------------------------------------------------------
 # Gate priority (see registry.set_gate_order docstring). Round 6: the
 # driver records rows for the FIRST 50 queries() only, so front
