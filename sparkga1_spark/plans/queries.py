@@ -10417,31 +10417,35 @@ def x_survival_km(spark, sf_dir):
 #     changed PLAN only (shared memoized pair/label stage — results
 #     identical, r5 driver rows still certify values) and rotate on
 #     LOCAL_GATE + plan-audit evidence, the p2_skew_detect precedent.
-# (b) ALL 18 round-2-age queries (r5 VERDICT #1 — the only registered
-#     queries whose last driver row is round 2; restoring them to the
-#     window is the round's top task).
-# (c) 17 of the 47 round-3-age queries — the oldest remaining rows,
-#     highest-residual-risk first: the 12 money-float TPC-H shapes,
-#     the 4-member ANN family, the 3 r3 multimodal paths, and 4 of the
-#     curation/dedup r3 paths. The other 24 r3-age rows (the simplest
-#     relational/window shapes plus x_lang_id / x_text_quality /
-#     x_flatmap_records / x_pipe_external_tool / x_doc_fingerprint /
-#     x_dedup_ngram_jaccard / x_curation_write_audit /
-#     x_curation_pipeline / x_multimodal_y4m_frames /
-#     x_multimodal_wav_features, displaced by the session-2 additions)
-#     carry full-precision LOCAL_GATE evidence this round and front
-#     in r7.
-# That is exactly 10 session-4 additions (JPEG, FLAC, incremental x2, PSI,
-# PCA, Mahalanobis, attribution x2, Benford) + 4 + 15 + 18 + 3 = 50.
+# (b) 13 of the 18 round-2-age queries (r5 VERDICT #1). Session 5's 8
+#     additions (Gini/Lorenz, CUSUM, Kaplan-Meier, k-means assign, kNN
+#     vote, A/B z-test, seasonality, readability) outrank stale-green
+#     rows — a NEVER-verified query is strictly worse evidence than an
+#     r2 driver row + three rounds of full-precision LOCAL_GATE green —
+#     so the 5 simplest relational/window members of the 18 and the 3
+#     remaining round-3 TPC-H rotations move to the r7 front (named in
+#     the displaced comment below).
+# That is exactly 8 session-5 + 10 session-4 (JPEG, FLAC, incremental
+# x2, PSI, PCA, Mahalanobis, attribution x2, Benford) + 4 session-3 +
+# 15 session-2/1 + 13 round-2-age = 50.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
 
 set_gate_order([
-    # (a) new / result-changed this round — session 4 (real baseline
-    # JPEG decode, real FLAC decode) and session 3 additions first
-    # (IMA ADPCM stateful codec, BPE encode, NFC text hygiene), then
-    # session 2, then the session-1 new/graph set
+    # (a) new / result-changed this round — session 5 first (the
+    # analytics/ML-evaluation wave), then session 4 (real baseline
+    # JPEG decode, real FLAC decode), session 3 (IMA ADPCM stateful
+    # codec, BPE encode, NFC text hygiene), session 2, and the
+    # session-1 new/graph set
+    "x_revenue_gini_lorenz",
+    "x_cusum_changepoint",
+    "x_survival_km",
+    "x_kmeans_assign_audit",
+    "x_knn_label_vote",
+    "x_ab_conversion_ztest",
+    "x_seasonality_dow",
+    "x_readability_flesch",
     "x_multimodal_jpeg_decode",
     "x_multimodal_flac_features",
     "x_incremental_rollup_merge",
@@ -10471,17 +10475,19 @@ set_gate_order([
     "x_host_pagerank",
     "x_graph_triangles",
     "x_graph_bfs_hops",
-    # (b) the 18 round-2-age queries
+    # (b) 13 of the 18 round-2-age queries (r5 VERDICT #1). The
+    # session-5 additions compress this block: every NEVER-verified
+    # query outranks a stale-but-green one (a query with no driver row
+    # at all is strictly worse evidence than an r2 row + three rounds
+    # of full-precision LOCAL_GATE green), so the 5 simplest
+    # relational/window members — a_date_parts, a_minmax_by_bool,
+    # f_null_semantics, w_first_last_nth, w_rank_family — rotate to
+    # the r7 front on LOCAL_GATE evidence.
     "a_cube_revenue",
-    "a_date_parts",
-    "a_minmax_by_bool",
     "f_attrs_map_extract",
     "f_ignore_table_antijoin",
-    "f_null_semantics",
     "o_topk_global_limit",
-    "w_first_last_nth",
     "w_frame_lag_lead_range",
-    "w_rank_family",
     "x_datamix_split",
     "x_embedding_quantize",
     "x_fuzzy_levenshtein",
@@ -10490,18 +10496,17 @@ set_gate_order([
     "x_url_host_rollup",
     "x_vector_stats_hof",
     "x_vocab_topk",
-    # (c) 27 round-3-age rotations, highest residual risk first
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q8_market_share",
-    # (displaced to r7 by the session-3/4 additions:
-    # tpch_q9_product_profit, tpch_q10_returned_items,
-    # tpch_q11_important_stock,
+    # (displaced to r7 by the session-3/4/5 additions:
+    # a_date_parts, a_minmax_by_bool, f_null_semantics,
+    # w_first_last_nth, w_rank_family (r2 rows),
+    # tpch_q4_order_priority, tpch_q6_forecast_revenue,
+    # tpch_q8_market_share, tpch_q9_product_profit,
+    # tpch_q10_returned_items, tpch_q11_important_stock,
     # tpch_q12_shipmode_priority,
     # tpch_q13_customer_distribution, tpch_q14_promo_effect,
     # tpch_q15_top_supplier, tpch_q16_supplier_parts,
     # tpch_q21_waiting_supplier, x_ann_bruteforce_topk,
     # x_ann_ivf_nprobe2, x_ann_ivf_topk, x_ann_lsh_buckets,
-    # x_multimodal_bmp_decode — all r3-green and green in this round's
+    # x_multimodal_bmp_decode — all green in this round's
     # full-precision LOCAL_GATE)
 ])
