@@ -111,6 +111,15 @@ HEADLINE = [
     # session 4 second wave: the user-keyed touchpoint join with
     # per-conversion windows (the attribution family's heavy shape)
     "x_touch_attribution",
+    # session 5: the distributed-rank + decimal-exact Gini path, the
+    # three-cumsum Kaplan-Meier composition, and the kNN vote layer on
+    # the brute-force kernel (the wave's three non-trivial plans)
+    "x_revenue_gini_lorenz",
+    "x_survival_km",
+    "x_knn_label_vote",
+    # and the Heaps growth curve (first-occurrence aggregate over the
+    # exploded token stream — the vocab family's wide stage)
+    "x_heaps_vocab_growth",
 ]
 
 # CONVENTION (r5 VERDICT #8): the headline set only ever GROWS —

@@ -10396,6 +10396,85 @@ def x_survival_km(spark, sf_dir):
     ).orderBy("t_day")
 
 
+@query(
+    "x_heaps_vocab_growth",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(str_split_regex(trim(text), ' +')) AS w
+  FROM documents
+),
+tf AS (SELECT w, min(doc_id) AS first_doc FROM tok GROUP BY w),
+rk AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS r FROM documents
+),
+nn AS (SELECT count(*) AS n FROM documents),
+dd AS (SELECT doc_id, ((r - 1) * 10) // n AS decile FROM rk, nn),
+newt AS (
+  SELECT d.decile, count(*) AS n_new
+  FROM tf JOIN dd d ON tf.first_doc = d.doc_id
+  GROUP BY d.decile
+),
+base AS (SELECT decile, count(*) AS n_docs FROM dd GROUP BY decile)
+SELECT CAST(b.decile AS INTEGER) AS decile,
+       CAST(b.n_docs AS BIGINT) AS n_docs,
+       CAST(coalesce(nw.n_new, 0) AS BIGINT) AS n_new_tokens,
+       CAST(sum(coalesce(nw.n_new, 0)) OVER (ORDER BY b.decile) AS BIGINT)
+         AS cum_vocab
+FROM base b LEFT JOIN newt nw ON b.decile = nw.decile
+ORDER BY decile
+""",
+)
+def x_heaps_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve — distinct tokens seen as the
+    corpus is consumed in ingest order, per corpus decile. This is the
+    tokenizer-sizing statistic (does vocabulary saturate or keep
+    growing → how big must the BPE vocab be; a sub-Heaps curve also
+    flags duplicated/templated corpora). The scale trick: never scan
+    the corpus cumulatively — a token contributes exactly at its FIRST
+    document (min doc_id per token, one aggregate over the exploded
+    stream, the same wide stage x_vocab_topk pays), deciles come from
+    the distributed two-pass rank over doc ids, and the growth curve
+    is a 10-row grouped_cumsum tail. Tokenization = T.words, identical
+    to the vocab/BPE family so the curves compose."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.words(F.col("text"))).alias("w"))
+    tf = tok.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    rk = windows_ops.global_rank(
+        docs.select("doc_id"), order_cols=["doc_id"], rank_col="r"
+    )
+    nn = docs.agg(F.count("*").alias("n"))
+    dd = rk.crossJoin(F.broadcast(nn)).select(
+        "doc_id", F.expr("((r - 1) * 10) div n").alias("decile")
+    )
+    newt = (
+        tf.join(dd, tf["first_doc"] == dd["doc_id"])
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_new"))
+    )
+    base = dd.groupBy("decile").agg(F.count("*").alias("n_docs"))
+    joined = (
+        base.join(newt, "decile", "left")
+        .select(
+            "decile",
+            "n_docs",
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new_tokens"),
+        )
+    )
+    cum = windows_ops.grouped_cumsum(
+        joined,
+        group_cols=[],
+        order_cols=["decile"],
+        value_col="n_new_tokens",
+        out_col="cum_vocab",
+    )
+    return cum.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_new_tokens").cast("long").alias("n_new_tokens"),
+        F.col("cum_vocab").cast("long").alias("cum_vocab"),
+    ).orderBy("decile")
+
+
 # --------------------------------------------------------------------------
 # Gate priority (see registry.set_gate_order docstring). Round 6: the
 # driver records rows for the FIRST 50 queries() only, so front
@@ -10417,17 +10496,18 @@ def x_survival_km(spark, sf_dir):
 #     changed PLAN only (shared memoized pair/label stage — results
 #     identical, r5 driver rows still certify values) and rotate on
 #     LOCAL_GATE + plan-audit evidence, the p2_skew_detect precedent.
-# (b) 13 of the 18 round-2-age queries (r5 VERDICT #1). Session 5's 8
-#     additions (Gini/Lorenz, CUSUM, Kaplan-Meier, k-means assign, kNN
-#     vote, A/B z-test, seasonality, readability) outrank stale-green
-#     rows — a NEVER-verified query is strictly worse evidence than an
-#     r2 driver row + three rounds of full-precision LOCAL_GATE green —
-#     so the 5 simplest relational/window members of the 18 and the 3
-#     remaining round-3 TPC-H rotations move to the r7 front (named in
-#     the displaced comment below).
-# That is exactly 8 session-5 + 10 session-4 (JPEG, FLAC, incremental
+# (b) 12 of the 18 round-2-age queries (r5 VERDICT #1). Session 5's 9
+#     additions (Gini/Lorenz, Heaps growth, CUSUM, Kaplan-Meier,
+#     k-means assign, kNN vote, A/B z-test, seasonality, readability)
+#     outrank stale-green rows — a NEVER-verified query is strictly
+#     worse evidence than an r2 driver row + three rounds of
+#     full-precision LOCAL_GATE green — so the 6 simplest
+#     relational/window members of the 18 and the 3 remaining round-3
+#     TPC-H rotations move to the r7 front (named in the displaced
+#     comment below).
+# That is exactly 9 session-5 + 10 session-4 (JPEG, FLAC, incremental
 # x2, PSI, PCA, Mahalanobis, attribution x2, Benford) + 4 session-3 +
-# 15 session-2/1 + 13 round-2-age = 50.
+# 15 session-2/1 + 12 round-2-age = 50.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
@@ -10439,6 +10519,7 @@ set_gate_order([
     # codec, BPE encode, NFC text hygiene), session 2, and the
     # session-1 new/graph set
     "x_revenue_gini_lorenz",
+    "x_heaps_vocab_growth",
     "x_cusum_changepoint",
     "x_survival_km",
     "x_kmeans_assign_audit",
@@ -10487,7 +10568,6 @@ set_gate_order([
     "f_attrs_map_extract",
     "f_ignore_table_antijoin",
     "o_topk_global_limit",
-    "w_frame_lag_lead_range",
     "x_datamix_split",
     "x_embedding_quantize",
     "x_fuzzy_levenshtein",
@@ -10498,7 +10578,7 @@ set_gate_order([
     "x_vocab_topk",
     # (displaced to r7 by the session-3/4/5 additions:
     # a_date_parts, a_minmax_by_bool, f_null_semantics,
-    # w_first_last_nth, w_rank_family (r2 rows),
+    # w_first_last_nth, w_rank_family, w_frame_lag_lead_range (r2 rows),
     # tpch_q4_order_priority, tpch_q6_forecast_revenue,
     # tpch_q8_market_share, tpch_q9_product_profit,
     # tpch_q10_returned_items, tpch_q11_important_stock,
