@@ -10187,7 +10187,7 @@ WITH nn AS (
                               ORDER BY round({_ANN_COS}, 6) DESC, c.vec_id)
              AS rank
     FROM embeddings q JOIN embeddings c
-      ON q.vec_id % 20 = 0 AND c.vec_id != q.vec_id
+      ON q.vec_id % 20 = 0 AND q.vec_id < 10000 AND c.vec_id != q.vec_id
   ) WHERE rank <= 5
 ),
 votes AS (
@@ -10219,11 +10219,15 @@ def x_knn_label_vote(spark, sf_dir):
     certifies the vote/accuracy logic, not approximate recall — the
     approximate routes have their own pinned-floor recall tests); the
     majority vote ties break deterministically on the smaller label.
-    Scale path: swap the brute-force neighbor stage for the IVF/PQ
-    operator — the vote layer is route-agnostic. Probe set is 5% of
-    vectors; per-query state is k rows."""
+    Scale axes: the probe set is a FIXED benchmark block (every 20th
+    id within the base id block), so corpus growth scales only the
+    candidate side — classify-a-benchmark-against-a-growing-index,
+    linear, not the quadratic both-sides-grow axis (measured: the %20
+    probe alone went 90x at 10x because probes x candidates both
+    grew). For query-side scale, swap the brute-force neighbor stage
+    for the IVF/PQ operator — the vote layer is route-agnostic."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qs = emb.filter(F.col("vec_id") % 20 == 0)
+    qs = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 10000))
     nn = S.brute_force_topk(qs, emb, k=5, dim=64).select("query_id", "cand_id")
     votes = (
         nn.join(

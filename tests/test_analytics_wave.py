@@ -89,7 +89,9 @@ def test_kmeans_assign_matches_bruteforce_python(spark, sf_dir):
 def test_knn_vote_totals(spark, sf_dir):
     rows = all_queries()["x_knn_label_vote"](spark, sf_dir).collect()
     emb = load_table(spark, sf_dir, "embeddings")
-    n_probe = emb.filter(F.col("vec_id") % 20 == 0).count()
+    n_probe = emb.filter(
+        (F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 10000)
+    ).count()
     assert sum(r.n_queries for r in rows) == n_probe
     assert all(0 <= r.n_correct <= r.n_queries for r in rows)
 
