@@ -10479,6 +10479,154 @@ def x_heaps_vocab_growth(spark, sf_dir):
     ).orderBy("decile")
 
 
+@query(
+    "x_target_encode_loo",
+    oracle="""
+WITH o AS (
+  SELECT o_orderpriority AS cat,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+  FROM orders
+),
+st AS (
+  SELECT cat, count(*) AS n, CAST(sum(x) AS BIGINT) AS s FROM o GROUP BY cat
+),
+enc AS (
+  SELECT o.cat, st.n, st.s,
+         ((st.s - o.x) * 1000000) // (st.n - 1) AS enc_micro,
+         st.s - o.x AS loo_sum
+  FROM o JOIN st USING (cat)
+)
+SELECT cat, CAST(any_value(n) AS BIGINT) AS n_rows,
+       CAST(any_value(s) AS BIGINT) AS sum_cents,
+       CAST(min(enc_micro) AS BIGINT) AS loo_min_micro,
+       CAST(max(enc_micro) AS BIGINT) AS loo_max_micro,
+       (CAST(sum(loo_sum) AS BIGINT)
+          = (any_value(n) - 1) * any_value(s)) AS identity_ok
+FROM enc GROUP BY cat ORDER BY cat
+""",
+)
+def x_target_encode_loo(spark, sf_dir):
+    """Leave-one-out target encoding — the leakage-safe categorical
+    feature for training pipelines: each row's encoding is the mean
+    target of its category EXCLUDING itself, enc_i = (S − x_i)/(n−1)
+    (a naive within-fold mean leaks the row's own label into its
+    feature). Exact integer arithmetic end to end: cents target,
+    micro-unit integer division, and the audited closed-form identity
+    Σ(S − x_i) = (n−1)·S that any off-by-one (self-inclusion, wrong
+    denominator) breaks. Long arithmetic holds to ~9e18 micro-cents
+    per category (≈ $90T — switch the two products to DECIMAL(38,0)
+    past that, the gini precedent). Shape: one scan, a category
+    aggregate broadcast back onto the scan, one final category
+    aggregate — nothing wide at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_orderpriority").alias("cat"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+    )
+    st = o.groupBy("cat").agg(
+        F.count("*").alias("n"), F.sum("x").cast("long").alias("s")
+    )
+    enc = o.join(F.broadcast(st), "cat").select(
+        "cat",
+        "n",
+        "s",
+        F.expr("((s - x) * 1000000) div (n - 1)").alias("enc_micro"),
+        (F.col("s") - F.col("x")).alias("loo_sum"),
+    )
+    return (
+        enc.groupBy("cat")
+        .agg(
+            F.any_value(F.col("n")).cast("long").alias("n_rows"),
+            F.any_value(F.col("s")).cast("long").alias("sum_cents"),
+            F.min("enc_micro").cast("long").alias("loo_min_micro"),
+            F.max("enc_micro").cast("long").alias("loo_max_micro"),
+            (
+                F.sum("loo_sum").cast("long")
+                == (F.any_value(F.col("n")) - F.lit(1))
+                * F.any_value(F.col("s"))
+            ).alias("identity_ok"),
+        )
+        .orderBy("cat")
+    )
+
+
+@query(
+    "x_dedup_cluster_size_hist",
+    oracle=f"""
+WITH RECURSIVE {LSH_PAIRS_WITH_SQL},
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM lsh_pairs
+  UNION
+  SELECT id_b, id_a FROM lsh_pairs
+),
+reach(id, comp) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.d, reach.comp FROM reach JOIN edges e ON reach.id = e.s
+),
+comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component),
+hist AS (
+  SELECT sz AS cluster_size, count(*) AS n_clusters,
+         CAST(sum(sz) AS BIGINT) AS n_docs
+  FROM sizes GROUP BY sz
+),
+tot AS (SELECT count(*) AS n FROM documents),
+indup AS (SELECT coalesce(CAST(sum(n_docs) AS BIGINT), 0) AS nd FROM hist)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(n_clusters AS BIGINT) AS n_clusters,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM hist
+UNION ALL
+SELECT 1, CAST(n - nd AS BIGINT), CAST(n - nd AS BIGINT) FROM tot, indup
+ORDER BY cluster_size
+""",
+)
+def x_dedup_cluster_size_hist(spark, sf_dir):
+    """Duplicate-cluster SIZE distribution — the dedup family's
+    management readout (how much mass sits in pairs vs large cliques
+    decides whether keep-canonical or aggressive pruning is the right
+    policy; a sudden large-clique mode flags templated/mirrored
+    ingest). Reuses the session-shared pair/CC-label stage
+    (x_dedup_cc_clusters' memoized fixpoint — zero recompute within a
+    session), aggregates component sizes, and derives the singleton
+    row by subtraction from the corpus total (docs absent from the
+    pair graph are clusters of one — never materialized per doc).
+    Scale: two keyed aggregates over the label frame + a 1-row
+    broadcast; strictly cheaper than the CC stage it consumes."""
+    cc = _dedup_cc_labels_cached(spark, sf_dir)
+    sizes = cc.groupBy("comp").agg(F.count("*").alias("sz"))
+    hist = sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+    )
+    tot = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n")
+    )
+    indup = hist.agg(
+        F.coalesce(F.sum("n_docs").cast("long"), F.lit(0)).alias("nd")
+    )
+    singleton = (
+        tot.crossJoin(F.broadcast(indup))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("n") - F.col("nd")).cast("long").alias("n_clusters"),
+            (F.col("n") - F.col("nd")).cast("long").alias("n_docs"),
+        )
+    )
+    return (
+        hist.select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+        .unionAll(singleton)
+        .orderBy("cluster_size")
+    )
+
+
 # --------------------------------------------------------------------------
 # Gate priority (see registry.set_gate_order docstring). Round 6: the
 # driver records rows for the FIRST 50 queries() only, so front
@@ -10500,18 +10648,18 @@ def x_heaps_vocab_growth(spark, sf_dir):
 #     changed PLAN only (shared memoized pair/label stage — results
 #     identical, r5 driver rows still certify values) and rotate on
 #     LOCAL_GATE + plan-audit evidence, the p2_skew_detect precedent.
-# (b) 12 of the 18 round-2-age queries (r5 VERDICT #1). Session 5's 9
-#     additions (Gini/Lorenz, Heaps growth, CUSUM, Kaplan-Meier,
-#     k-means assign, kNN vote, A/B z-test, seasonality, readability)
-#     outrank stale-green rows — a NEVER-verified query is strictly
-#     worse evidence than an r2 driver row + three rounds of
-#     full-precision LOCAL_GATE green — so the 6 simplest
-#     relational/window members of the 18 and the 3 remaining round-3
-#     TPC-H rotations move to the r7 front (named in the displaced
-#     comment below).
-# That is exactly 9 session-5 + 10 session-4 (JPEG, FLAC, incremental
+# (b) 10 of the 18 round-2-age queries (r5 VERDICT #1). Session 5's 11
+#     additions (Gini/Lorenz, Heaps growth, LOO target encoding,
+#     cluster-size histogram, CUSUM, Kaplan-Meier, k-means assign, kNN
+#     vote, A/B z-test, seasonality, readability) outrank stale-green
+#     rows — a NEVER-verified query is strictly worse evidence than an
+#     r2 driver row + three rounds of full-precision LOCAL_GATE green —
+#     so the 8 plan-guarded/simplest members of the 18 and the 3
+#     remaining round-3 TPC-H rotations move to the r7 front (named in
+#     the displaced comment below).
+# That is exactly 11 session-5 + 10 session-4 (JPEG, FLAC, incremental
 # x2, PSI, PCA, Mahalanobis, attribution x2, Benford) + 4 session-3 +
-# 15 session-2/1 + 12 round-2-age = 50.
+# 15 session-2/1 + 10 round-2-age = 50.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
@@ -10524,6 +10672,8 @@ set_gate_order([
     # session-1 new/graph set
     "x_revenue_gini_lorenz",
     "x_heaps_vocab_growth",
+    "x_target_encode_loo",
+    "x_dedup_cluster_size_hist",
     "x_cusum_changepoint",
     "x_survival_km",
     "x_kmeans_assign_audit",
@@ -10570,8 +10720,6 @@ set_gate_order([
     # the r7 front on LOCAL_GATE evidence.
     "a_cube_revenue",
     "f_attrs_map_extract",
-    "f_ignore_table_antijoin",
-    "o_topk_global_limit",
     "x_datamix_split",
     "x_embedding_quantize",
     "x_fuzzy_levenshtein",
@@ -10582,7 +10730,8 @@ set_gate_order([
     "x_vocab_topk",
     # (displaced to r7 by the session-3/4/5 additions:
     # a_date_parts, a_minmax_by_bool, f_null_semantics,
-    # w_first_last_nth, w_rank_family, w_frame_lag_lead_range (r2 rows),
+    # w_first_last_nth, w_rank_family, w_frame_lag_lead_range,
+    # f_ignore_table_antijoin, o_topk_global_limit (r2 rows),
     # tpch_q4_order_priority, tpch_q6_forecast_revenue,
     # tpch_q8_market_share, tpch_q9_product_profit,
     # tpch_q10_returned_items, tpch_q11_important_stock,

@@ -166,20 +166,21 @@ def test_gate_order_fronts_unproven_queries():
         "x_weighted_sample_es", "x_hll_accuracy_audit",
         "x_multimodal_qoi_decode", "x_set_similarity_routed",
         "x_host_pagerank", "x_graph_triangles", "x_graph_bfs_hops",
-        # round-6 (b): 12 of the 18 round-2-age queries (r5 VERDICT #1;
+        # round-6 (b): 10 of the 18 round-2-age queries (r5 VERDICT #1;
         # a_date_parts / a_minmax_by_bool / f_null_semantics /
-        # w_first_last_nth / w_rank_family / w_frame_lag_lead_range
-        # displaced to the r7 front by the session-5 wave —
-        # never-verified beats stale-green)
+        # w_first_last_nth / w_rank_family / w_frame_lag_lead_range /
+        # f_ignore_table_antijoin / o_topk_global_limit displaced to
+        # the r7 front by the session-5 wave — never-verified beats
+        # stale-green)
         "a_cube_revenue",
-        "f_attrs_map_extract", "f_ignore_table_antijoin",
-        "o_topk_global_limit",
+        "f_attrs_map_extract",
         "x_datamix_split",
         "x_embedding_quantize", "x_fuzzy_levenshtein",
         "x_json_props_extract", "x_tfidf_top_terms",
         "x_url_host_rollup", "x_vector_stats_hof", "x_vocab_topk",
         # round-6 session-5 additions (analytics / ML-evaluation wave)
         "x_revenue_gini_lorenz", "x_heaps_vocab_growth",
+        "x_target_encode_loo", "x_dedup_cluster_size_hist",
         "x_cusum_changepoint",
         "x_survival_km", "x_kmeans_assign_audit", "x_knn_label_vote",
         "x_ab_conversion_ztest", "x_seasonality_dow",
