@@ -10489,6 +10489,7 @@ WITH o AS (
 ),
 st AS (
   SELECT cat, count(*) AS n, CAST(sum(x) AS BIGINT) AS s FROM o GROUP BY cat
+  HAVING count(*) > 1
 ),
 enc AS (
   SELECT o.cat, st.n, st.s,
@@ -10513,7 +10514,9 @@ def x_target_encode_loo(spark, sf_dir):
     feature). Exact integer arithmetic end to end: cents target,
     micro-unit integer division, and the audited closed-form identity
     Σ(S − x_i) = (n−1)·S that any off-by-one (self-inclusion, wrong
-    denominator) breaks. Long arithmetic holds to ~9e18 micro-cents
+    denominator) breaks; single-row categories are excluded on both
+    sides (LOO is undefined at n=1 — and feeds a zero denominator
+    under ANSI mode otherwise). Long arithmetic holds to ~9e18 micro-cents
     per category (≈ $90T — switch the two products to DECIMAL(38,0)
     past that, the gini precedent). Shape: one scan, a category
     aggregate broadcast back onto the scan, one final category
@@ -10527,7 +10530,7 @@ def x_target_encode_loo(spark, sf_dir):
     )
     st = o.groupBy("cat").agg(
         F.count("*").alias("n"), F.sum("x").cast("long").alias("s")
-    )
+    ).filter(F.col("n") > 1)  # a 1-row category has no LOO encoding
     enc = o.join(F.broadcast(st), "cat").select(
         "cat",
         "n",
