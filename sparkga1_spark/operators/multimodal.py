@@ -506,34 +506,37 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def build_png(pixels, *, filters=None) -> bytes:
-    """HxWx3 uint8 RGB → PNG bytes (color type 2, 8-bit, non-interlaced,
-    zlib stdlib). `filters` picks the per-row scanline filter (0..4,
-    int or per-row list; default 0=None) — filtering uses RAW neighbor
-    bytes per the spec, so every mode is exercised end-to-end against
-    parse_png's unfilter."""
-    import struct
-    import zlib
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per PNG spec
+# §8.2 — pass k covers pixels (x0 + i·dx, y0 + j·dy). Each pass is an
+# independent sub-image with its own filtered scanlines; empty passes
+# (zero width or height for small rasters) contribute no bytes.
+ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
 
+
+def _filter_scanlines(raw_rows, bpp: int, ftypes) -> list[bytes]:
+    """Filter a 2D int16 (rows × stride) sub-image into PNG scanlines.
+    `ftypes[r]` is the filter code for row r; prior row is the RAW
+    previous row of the SAME sub-image (pass-local per the spec)."""
     import numpy as np
 
-    h, w, c = pixels.shape
-    assert c == 3, "build_png writes 8-bit RGB (color type 2)"
-    px = pixels.astype(np.uint8)
-    bpp = 3
-    if filters is None:
-        filters = [0] * h
-    elif isinstance(filters, int):
-        filters = [filters] * h
-    raw_rows = px.reshape(h, w * bpp).astype(np.int16)
-    zero = np.zeros(w * bpp, np.int16)
+    h = raw_rows.shape[0]
+    stride = raw_rows.shape[1]
+    zero = np.zeros(stride, np.int16)
     lines = []
     for r in range(h):
         raw = raw_rows[r]
         prior = raw_rows[r - 1] if r > 0 else zero
         left = np.concatenate([np.zeros(bpp, np.int16), raw[:-bpp]])
         ul = np.concatenate([np.zeros(bpp, np.int16), prior[:-bpp]])
-        ft = filters[r]
+        ft = ftypes[r]
         if ft == 0:
             out = raw
         elif ft == 1:
@@ -546,12 +549,57 @@ def build_png(pixels, *, filters=None) -> bytes:
             pred = np.fromiter(
                 (_paeth(int(a), int(b), int(cc))
                  for a, b, cc in zip(left, prior, ul)),
-                np.int16, len(raw),
+                np.int16, stride,
             )
             out = raw - pred
         else:
             raise ValueError(f"bad filter {ft}")
         lines.append(bytes([ft]) + (out % 256).astype(np.uint8).tobytes())
+    return lines
+
+
+def build_png(pixels, *, filters=None, interlace: bool = False) -> bytes:
+    """HxWx3 uint8 RGB → PNG bytes (color type 2, 8-bit, zlib stdlib).
+    `filters` picks the scanline filter (0..4; int, or a list). For the
+    non-interlaced layout a list is strictly per-row. With
+    `interlace=True` the image is written in the seven Adam7 passes and
+    a filter list CYCLES over the global scanline sequence across
+    passes (filters[k % len]) — pass scanline counts depend on the
+    raster dims, so a caller-supplied per-row list still exercises
+    every filter without replicating the pass geometry."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = pixels.shape
+    assert c == 3, "build_png writes 8-bit RGB (color type 2)"
+    px = pixels.astype(np.uint8)
+    bpp = 3
+    if filters is None:
+        filters = [0]
+    elif isinstance(filters, int):
+        filters = [filters]
+    if not interlace:
+        ftypes = [filters[r % len(filters)] for r in range(h)]
+        lines = _filter_scanlines(
+            px.reshape(h, w * bpp).astype(np.int16), bpp, ftypes
+        )
+    else:
+        lines = []
+        k = 0
+        for x0, y0, dx, dy in ADAM7:
+            sub = px[y0::dy, x0::dx, :]
+            ph, pw = sub.shape[0], sub.shape[1]
+            if ph == 0 or pw == 0:
+                continue
+            ftypes = [filters[(k + j) % len(filters)] for j in range(ph)]
+            k += ph
+            lines.extend(
+                _filter_scanlines(
+                    sub.reshape(ph, pw * bpp).astype(np.int16), bpp, ftypes
+                )
+            )
     idat = zlib.compress(b"".join(lines))
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
@@ -562,7 +610,7 @@ def build_png(pixels, *, filters=None) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + body))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
     return (
         PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -590,14 +638,54 @@ def parse_png_meta(data: bytes) -> tuple[int, int, int]:
     return w, h, channels
 
 
-def parse_png(data: bytes):
-    """PNG bytes → (width, height, HxWx3 uint8 RGB). Full real decode
-    for the 8-bit truecolor non-interlaced layout: chunk walk with CRC
-    verification, zlib inflate, and per-row UNFILTERING of all five
-    scanline filters (None/Sub/Up/Average/Paeth). Sub/Average/Paeth
+def _unfilter_rows(raw: bytes, h: int, stride: int, bpp: int, offset: int):
+    """Unfilter `h` PNG scanlines of `stride` raster bytes starting at
+    `offset` in the inflated stream → (h × stride) uint8 array. The
+    prior row is the DECODED previous row of the same sub-image
+    (pass-local for interlaced layouts). Sub/Average/Paeth
     reconstruction is sequential in the decoded left neighbor, so those
     rows run a per-byte loop — fixture images are tiny; a bulk raster
     decode would route through a codec library instead."""
+    import numpy as np
+
+    out = np.zeros((h, stride), np.uint8)
+    for r in range(h):
+        base = offset + r * (stride + 1)
+        ft = raw[base]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=base + 1
+        ).astype(np.int32)
+        prior = out[r - 1].astype(np.int32) if r > 0 else np.zeros(stride, np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 2:
+            rec = (line + prior) % 256
+        elif ft in (1, 3, 4):
+            rec = np.zeros(stride, np.int32)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                c = int(prior[i - bpp]) if i >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = _paeth(int(a), int(b), c)
+                rec[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter {ft}")
+        out[r] = rec.astype(np.uint8)
+    return out
+
+
+def parse_png(data: bytes):
+    """PNG bytes → (width, height, HxWx3 uint8 RGB). Full real decode
+    for the 8-bit truecolor layout, non-interlaced AND Adam7
+    interlaced: chunk walk with CRC verification, zlib inflate, per-row
+    UNFILTERING of all five scanline filters (None/Sub/Up/Average/
+    Paeth) — pass-local for interlaced streams, whose seven sub-images
+    then scatter back onto the raster on the ADAM7 grid."""
     import struct
     import zlib
 
@@ -622,7 +710,7 @@ def parse_png(data: bytes):
             if len(body) < 13:
                 raise ValueError("truncated PNG IHDR")
             w, h, depth, color, _, _, interlace = struct.unpack(">IIBBBBB", body)
-            if depth != 8 or color != 2 or interlace != 0:
+            if depth != 8 or color != 2 or interlace not in (0, 1):
                 raise ValueError("unsupported PNG variant")
         elif ctype == b"IDAT":
             idat.append(body)
@@ -631,8 +719,18 @@ def parse_png(data: bytes):
         pos += 12 + length
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    bpp, stride = 3, w * 3
-    expected = h * (stride + 1)
+    bpp = 3
+    if interlace == 0:
+        passes = [(0, 0, 1, 1)]
+    else:
+        passes = ADAM7
+    # per-pass sub-image dims; empty passes carry no scanlines
+    dims = []
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        dims.append((pw, ph))
+    expected = sum(ph * (pw * bpp + 1) for pw, ph in dims if pw and ph)
     try:
         # bounded inflate (fuzz-caught): a tiny hostile IDAT can
         # declare-small dims but inflate to gigabytes — decompressobj
@@ -645,34 +743,16 @@ def parse_png(data: bytes):
         raise ValueError("corrupt PNG IDAT stream") from e
     if len(raw) != expected or dec.unconsumed_tail:
         raise ValueError("PNG raster size mismatch")
-    out = np.zeros((h, stride), np.uint8)
-    for r in range(h):
-        ft = raw[r * (stride + 1)]
-        line = np.frombuffer(
-            raw, np.uint8, count=stride, offset=r * (stride + 1) + 1
-        ).astype(np.int32)
-        prior = out[r - 1].astype(np.int32) if r > 0 else np.zeros(stride, np.int32)
-        if ft == 0:
-            rec = line
-        elif ft == 2:
-            rec = (line + prior) % 256
-        elif ft in (1, 3, 4):
-            rec = np.zeros(stride, np.int32)
-            for i in range(stride):
-                a = rec[i - bpp] if i >= bpp else 0
-                b = prior[i]
-                c = int(prior[i - bpp]) if i >= bpp else 0
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
-                    pred = (a + b) // 2
-                else:
-                    pred = _paeth(int(a), int(b), c)
-                rec[i] = (line[i] + pred) % 256
-        else:
-            raise ValueError(f"bad PNG filter {ft}")
-        out[r] = rec.astype(np.uint8)
-    return w, h, out.reshape(h, w, 3).copy()
+    img = np.zeros((h, w, bpp), np.uint8)
+    offset = 0
+    for (x0, y0, dx, dy), (pw, ph) in zip(passes, dims):
+        if pw == 0 or ph == 0:
+            continue
+        stride = pw * bpp
+        sub = _unfilter_rows(raw, ph, stride, bpp, offset)
+        offset += ph * (stride + 1)
+        img[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
+    return w, h, img
 
 
 def _decode_image_meta(data: bytes) -> tuple[int, int, int, str]:
@@ -957,7 +1037,10 @@ def plant_png_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     scanline filter of row r set to (id + r) % 5 — every payload
     exercises all five PNG filter codecs, so an encode- or decode-side
     filter bug anywhere breaks the pixel sums the oracle states in
-    closed form (filters are lossless, so px_sum is filter-invariant)."""
+    closed form (filters are lossless, so px_sum is filter-invariant).
+    Odd doc_ids are written ADAM7-INTERLACED (also lossless — the
+    closed-form oracle is layout-invariant too), so the same gate row
+    certifies both the progressive and the sequential decode paths."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -969,7 +1052,9 @@ def plant_png_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
                 raw = (text_val or "").encode("utf-8") or b"\0"
                 px = np.resize(np.frombuffer(raw, np.uint8), (h, w, 3))
                 filters = [(d + r) % 5 for r in range(h)]
-                out.append((doc_id, build_png(px, filters=filters)))
+                out.append(
+                    (doc_id, build_png(px, filters=filters, interlace=d % 2 == 1))
+                )
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
     return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")

@@ -252,6 +252,86 @@ def test_png_roundtrip_all_filters():
         pass
 
 
+def test_png_adam7_interlace_roundtrip_and_layout_equality():
+    """Adam7: (a) build_png(interlace=True) → parse_png reconstructs
+    pixels exactly across shapes that exercise empty passes (any dim
+    < 8 skips some of the seven), every filter, and cycling filter
+    lists; (b) the decoded raster of an interlaced stream equals the
+    decoded raster of the sequential stream of the SAME pixels — two
+    independent layouts agreeing on every byte; (c) each pass's
+    filtering is pass-local (a Paeth row in pass 7 must predict from
+    pass-7 neighbors, not raster neighbors — wrong locality breaks
+    exactness on any non-constant image); (d) truncating the IDAT
+    raster by one pass surfaces as ValueError, not a crash."""
+    import numpy as np
+    import struct
+    import zlib
+
+    from sparkga1_spark.operators.multimodal import (
+        build_png,
+        parse_png,
+        parse_png_meta,
+    )
+
+    # spec conformance first: round-trip is blind to a wrong-but-
+    # bijective pass table (encoder and decoder share it), so pin the
+    # canonical 8x8 pass-number matrix from PNG spec §8.2 verbatim
+    from sparkga1_spark.operators.multimodal import ADAM7
+
+    grid = np.zeros((8, 8), int)
+    for p, (x0, y0, dx, dy) in enumerate(ADAM7, start=1):
+        assert (grid[y0::dy, x0::dx] == 0).all(), f"pass {p} overlaps"
+        grid[y0::dy, x0::dx] = p
+    spec = np.array(
+        [
+            [1, 6, 4, 6, 2, 6, 4, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [5, 6, 5, 6, 5, 6, 5, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [3, 6, 4, 6, 3, 6, 4, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [5, 6, 5, 6, 5, 6, 5, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+        ]
+    )
+    assert (grid == spec).all(), "ADAM7 pass grid deviates from PNG §8.2"
+
+    rng = np.random.RandomState(20260814)
+    shapes = [(1, 1), (1, 7), (9, 1), (5, 5), (8, 8), (17, 23), (33, 12)]
+    for h, w in shapes:
+        px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        for f in [0, 1, 2, 3, 4, [(r * 3 + 1) % 5 for r in range(h)]]:
+            inter = build_png(px, filters=f, interlace=True)
+            w2, h2, px2 = parse_png(inter)
+            assert (w2, h2) == (w, h) and (px2 == px).all(), (h, w, f)
+            assert parse_png_meta(inter) == (w, h, 3)
+            seq = build_png(px, filters=f, interlace=False)
+            assert (parse_png(seq)[2] == px2).all(), (h, w, f)
+
+    # truncated interlaced raster: rebuild IDAT with one pass missing
+    px = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    good = build_png(px, filters=4, interlace=True)
+    # drop the final pass (16x16: pass 7 is 8 rows x 16 px => 8*49 bytes)
+    full = zlib.decompress(
+        good[good.find(b"IDAT") + 4 : good.rfind(b"IEND") - 8]
+    )
+    short = zlib.compress(full[: len(full) - 8 * (16 * 3 + 1)])
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    sig_ihdr = good[: good.find(b"IDAT") - 4]
+    bad = sig_ihdr + chunk(b"IDAT", short) + chunk(b"IEND", b"")
+    try:
+        parse_png(bad)
+        raise AssertionError("pass-truncated interlaced PNG accepted")
+    except ValueError:
+        pass
+
+
 def test_png_decode_dispatch_real_not_fake():
     """_decode_image_meta and _decode_image_pixels must route PNG
     payloads through the real parser (format 'PNG', exact pixels), not
