@@ -1655,23 +1655,48 @@ def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytes:
     return bytes(out)
 
 
-def build_gif(indices, width: int, height: int) -> bytes:
+# GIF interlace row schedule (GIF89a spec Appendix E): four passes over
+# ROWS — (start, step) = (0,8), (4,8), (2,4), (1,2). The pixel stream
+# carries whole rows in pass order; columns are untouched.
+GIF_INTERLACE_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+def gif_interlace_order(height: int) -> list[int]:
+    """Raster row index for each stream position, in pass order."""
+    return [
+        r
+        for start, step in GIF_INTERLACE_PASSES
+        for r in range(start, height, step)
+    ]
+
+
+def build_gif(indices, width: int, height: int, *, interlace: bool = False) -> bytes:
     """HxW uint8 palette-index array → GIF87a bytes with the identity
     grayscale palette (entry i = (i,i,i)), one image, no extensions.
     Pixel i maps to RGB (v,v,v), so px_sum = 3 * sum(indices) — the
-    closed form the oracle states."""
+    closed form the oracle states. `interlace=True` writes the rows in
+    the four-pass GIF interlace order (sets descriptor bit 0x40); the
+    reorder is lossless, so every closed-form pixel statistic is
+    layout-invariant."""
     import struct
 
     indices = bytes(bytearray(indices))
     if len(indices) != width * height:
         raise ValueError("build_gif: index count != width*height")
+    if interlace:
+        indices = b"".join(
+            indices[r * width : (r + 1) * width]
+            for r in gif_interlace_order(height)
+        )
     out = bytearray()
     out += b"GIF87a"
     # logical screen: global color table flag set, 8 bits/pixel, 256 entries
     out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
     for i in range(256):
         out += bytes((i, i, i))
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, width, height, 0x40 if interlace else 0
+    )
     out.append(8)  # LZW minimum code size
     codes = _lzw_encode(indices, 8)
     for off in range(0, len(codes), 255):
@@ -1748,8 +1773,7 @@ def parse_gif(data: bytes):
         raise ValueError("GIF sub-frame images unsupported")
     if ipacked & 0x80:
         raise ValueError("GIF local color tables unsupported")
-    if ipacked & 0x40:
-        raise ValueError("interlaced GIF unsupported")
+    interlaced = bool(ipacked & 0x40)
     if pos >= len(data):
         raise ValueError("truncated GIF image data")
     min_code_size = data[pos]
@@ -1797,7 +1821,13 @@ def parse_gif(data: bytes):
     )
     if int(indices.max(initial=0)) >= gct_n:
         raise ValueError("GIF index beyond the color table")
-    return w, h, palette[indices].reshape(h, w, 3).copy()
+    rows = indices.reshape(h, w)
+    if interlaced:
+        # stream position k carries raster row gif_interlace_order[k]
+        deinter = np.empty_like(rows)
+        deinter[gif_interlace_order(h)] = rows
+        rows = deinter
+    return w, h, palette[rows.reshape(-1)].reshape(h, w, 3).copy()
 
 
 def plant_gif_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
@@ -1805,7 +1835,10 @@ def plant_gif_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     indices tile the UTF-8 bytes of `text` (w = id%36+4, h = id%24+4).
     Natural text repeats, so the LZW table genuinely grows — larger
     docs cross the 9→10-bit width boundary, pinning the transition
-    rule against real data as well as the synthetic boundary pytest."""
+    rule against real data as well as the synthetic boundary pytest.
+    Odd doc_ids are written INTERLACED (lossless row reorder — the
+    closed-form oracle is layout-invariant), so the same gate row
+    certifies both row layouts."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1816,7 +1849,7 @@ def plant_gif_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
                 w, h = d % 36 + 4, d % 24 + 4
                 raw = (text_val or "").encode("utf-8") or b"\0"
                 idx = np.resize(np.frombuffer(raw, np.uint8), h * w)
-                out.append((doc_id, build_gif(idx, w, h)))
+                out.append((doc_id, build_gif(idx, w, h, interlace=d % 2 == 1)))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
     return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")

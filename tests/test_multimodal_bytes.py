@@ -670,6 +670,38 @@ def test_gif_roundtrip_and_boundaries():
         parse_gif_meta(b"GIF87a" + b"\x00" * 4)
 
 
+def test_gif_interlace_roundtrip_and_spec_order():
+    """Four-pass GIF interlace: (a) the row schedule matches the
+    GIF89a Appendix E example verbatim (round-trip alone is blind to a
+    wrong-but-bijective schedule shared by encoder and decoder); (b)
+    build_gif(interlace=True) → parse_gif reconstructs every pixel for
+    shapes exercising empty passes (h < 8, h < 4, h = 1); (c) the
+    interlaced and sequential decodes of the same indices are equal."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import (
+        build_gif,
+        gif_interlace_order,
+        parse_gif,
+    )
+
+    # spec pin: for a 10-row image the stream order is pass 1 (0, 8),
+    # pass 2 (4), pass 3 (2, 6), pass 4 (1, 3, 5, 7, 9)
+    assert gif_interlace_order(10) == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+    assert gif_interlace_order(1) == [0]
+    assert sorted(gif_interlace_order(23)) == list(range(23))
+
+    rng = np.random.RandomState(20260814)
+    for h, w in [(1, 5), (3, 4), (7, 2), (8, 8), (10, 3), (23, 9)]:
+        idx = rng.randint(0, 256, (h, w), dtype=np.uint8)
+        inter = build_gif(idx.reshape(-1), w, h, interlace=True)
+        w2, h2, px2 = parse_gif(inter)
+        assert (w2, h2) == (w, h)
+        assert (px2[:, :, 0] == idx).all(), (h, w)
+        seq = build_gif(idx.reshape(-1), w, h)
+        assert (parse_gif(seq)[2] == px2).all(), (h, w)
+
+
 def test_gif_lzw_width_rule_not_early_change():
     """Pin the encoder's width-transition rule against the 'early
     change' interop bug: the encoder is one table entry ahead of the
