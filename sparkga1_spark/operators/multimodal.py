@@ -9,9 +9,10 @@ DECODE POLICY (r3): public containers whose decode needs nothing
 beyond the stdlib are parsed FOR REAL in pure Python/numpy — BMP and
 binary PPM (header + pixel layout), RIFF/WAV 16-bit PCM (chunk walk +
 sample math), YUV4MPEG2 video, and PNG (chunk walk with CRC checks,
-stdlib-zlib inflate, all five scanline unfilters). Compressed formats
-with pure-Python-feasible codecs decode FOR REAL too: QOI, GIF (LZW),
-PCX (RLE), G.711 µ-law/A-law + IMA ADPCM audio, and baseline JPEG
+stdlib-zlib inflate, all five scanline unfilters, sequential AND Adam7
+interlaced). Compressed formats with pure-Python-feasible codecs
+decode FOR REAL too: QOI, GIF (LZW, both row layouts incl. four-pass
+interlace), PCX (RLE), G.711 µ-law/A-law + IMA ADPCM audio, and baseline JPEG
 (full Huffman entropy decode + IDCT — see the T.81 section). The
 residue — video (MP4) and non-baseline JPEG — tries the library
 (PIL / soundfile / av) behind an import-guard; absent that it uses a

@@ -10156,13 +10156,18 @@ def x_kmeans_assign_audit(spark, sf_dir):
         + V.dot(F.col("cv"), F.col("cv"))
     )
     d = e.crossJoin(F.broadcast(c)).select("vec_id", "cid", dist.alias("dist"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    # argmin as a map-side-combinable min(struct(dist, cid)) — struct
+    # ordering is lexicographic, exactly the oracle's ORDER BY dist,
+    # cid — so the k-way expansion collapses to one row per vector
+    # BEFORE the exchange (a per-vector row_number window would sort
+    # k·n rows post-shuffle instead)
+    assigned = (
+        d.groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("dist"), F.col("cid"))).alias("m"))
+        .select(F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist"))
+    )
     return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .groupBy(F.col("cid").cast("long").alias("centroid_id"))
+        assigned.groupBy(F.col("cid").cast("long").alias("centroid_id"))
         .agg(
             F.count("*").alias("n_assigned"),
             F.sum(
