@@ -155,20 +155,38 @@ def grouped_cumsum(
         .orderBy(*ocols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    sums = part.groupBy("_pid", *group_cols).agg(F.sum(val).alias("_s"))
+    # NULL semantics must match SQL window sums (skip NULLs; the result
+    # is NULL only while the whole group prefix is value-free). The sum
+    # alone cannot express that across partition boundaries: a row
+    # whose PARTITION-LOCAL prefix is all-NULL has _lc = NULL even when
+    # earlier partitions carried values (caught by
+    # test_grouped_cumsum_empty_group_cols_is_global_running_sum at
+    # nparts=16) — so carry a non-null COUNT alongside and decide
+    # NULL-ness from count(local)+count(offset) == 0.
+    sums = part.groupBy("_pid", *group_cols).agg(
+        F.sum(val).alias("_s"), F.count(val).alias("_sn")
+    )
     w_off = (
         Window.partitionBy(*group_cols)
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = sums.withColumn(
-        "_off", F.coalesce(F.sum("_s").over(w_off), F.lit(0))
-    ).select("_pid", *group_cols, "_off")
+    offsets = (
+        sums.withColumn("_off", F.coalesce(F.sum("_s").over(w_off), F.lit(0)))
+        .withColumn("_offn", F.coalesce(F.sum("_sn").over(w_off), F.lit(0)))
+        .select("_pid", *group_cols, "_off", "_offn")
+    )
     return (
         part.withColumn("_lc", F.sum(val).over(w_local))
+        .withColumn("_ln", F.count(val).over(w_local))
         .join(F.broadcast(offsets), ["_pid", *group_cols])
-        .withColumn(out_col, F.col("_lc") + F.col("_off"))
-        .drop("_pid", "_lc", "_off")
+        .withColumn(
+            out_col,
+            F.when(F.col("_ln") + F.col("_offn") == 0, F.lit(None)).otherwise(
+                F.coalesce(F.col("_lc"), F.lit(0)) + F.col("_off")
+            ),
+        )
+        .drop("_pid", "_lc", "_ln", "_off", "_offn")
     )
 
 

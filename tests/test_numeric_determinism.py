@@ -133,3 +133,45 @@ def test_grouped_cumsum_matches_naive_window(spark, sf_dir):
             ).collect()
         }
         assert got == want
+
+
+def test_grouped_cumsum_empty_group_cols_is_global_running_sum(spark, sf_dir):
+    """group_cols=[] (the gini/KM/Heaps tail shape) must equal a plain
+    global running sum — including with rows split across many range
+    partitions and with NULL values (SQL window sums skip NULLs; a row
+    whose local-prefix is all-NULL while the global prefix is not must
+    still pick up the cross-partition offset)."""
+    from sparkga1_spark.operators.windows import grouped_cumsum
+
+    od = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey")
+        .withColumn(
+            "v",
+            F.when(F.col("o_orderkey") % 5 == 0, None).otherwise(
+                (F.col("o_orderkey") % 100).cast("long")
+            ),
+        )
+    )
+    rows = sorted(
+        (r.o_orderkey, r.v) for r in od.collect()
+    )
+    want, run, seen = {}, 0, False
+    for k, v in rows:
+        if v is not None:
+            run += v
+            seen = True
+        want[k] = run if seen else None
+    for nparts in (3, 16):
+        got = {
+            r.o_orderkey: r.c
+            for r in grouped_cumsum(
+                od,
+                group_cols=[],
+                order_cols=["o_orderkey"],
+                value_col="v",
+                out_col="c",
+                num_partitions=nparts,
+            ).collect()
+        }
+        assert got == want, f"nparts={nparts}"
