@@ -2115,6 +2115,25 @@ def _jpeg_dct_matrix():
     return m
 
 
+# Progressive AC scans need EOBn symbols (RS = n<<4, runs of 2^n
+# blocks) that the baseline Annex K alphabet does not contain, so the
+# progressive encoder ships its own table: every symbol it can emit —
+# EOB0..EOB14, ZRL, and (run 0..15 x size 1..10) — at a flat 8-bit
+# code length (176 codes fit the 8-bit space with room to spare, and
+# none is the reserved all-ones pattern). Decoders read it from the
+# DHT like any other table.
+_JPEG_AC_PROG_SYMS = (
+    [0x00]
+    + [n << 4 for n in range(1, 15)]
+    + [0xF0]
+    + [(r << 4) | sz for r in range(16) for sz in range(1, 11)]
+)
+_JPEG_AC_PROG = (
+    (0, 0, 0, 0, 0, 0, 0, len(_JPEG_AC_PROG_SYMS), 0, 0, 0, 0, 0, 0, 0, 0),
+    tuple(_JPEG_AC_PROG_SYMS),
+)
+
+
 def _jpeg_encode_table(bits, vals):
     """(BITS, HUFFVAL) → {symbol: (code, length)} by canonical assignment
     (T.81 Annex C: codes of equal length are consecutive, shorter first)."""
@@ -2314,6 +2333,127 @@ def build_jpeg_baseline(pixels, *, quant=None, restart_interval: int = 0) -> byt
     return bytes(out)
 
 
+def build_jpeg_progressive(pixels, *, quant=None) -> bytes:
+    """HxW GRAYSCALE uint8 → REAL progressive JFIF JPEG (SOF2,
+    spectral selection: scan 1 = DC only, scan 2 = AC 1..63 with
+    EOB-run coding; no successive approximation, Ah=Al=0). The
+    quantized coefficients are computed exactly as in
+    build_jpeg_baseline, so a progressive and a baseline encode of the
+    same pixels decode to IDENTICAL rasters — the cross-layout
+    equality the pytest pins. Trailing all-zero blocks collapse into
+    EOBn runs (2^n..2^{n+1}-1 blocks per code, greedy chunks of at
+    most 32767), which is the machinery baseline JPEG lacks."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 2:
+        raise ValueError("build_jpeg_progressive wants HxW grayscale")
+    h, w = int(px.shape[0]), int(px.shape[1])
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    q = np.ones(64, dtype=np.int32) if quant is None else np.asarray(
+        quant, np.int32
+    ).reshape(64)
+    if q.min() < 1 or q.max() > 255:
+        raise ValueError("quant entries must be 1..255")
+    q88 = q.reshape(8, 8)
+
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge").astype(
+        np.float64
+    )
+    nby, nbx = ph // 8, pw // 8
+    m = _jpeg_dct_matrix()
+    blocks = (padded - 128.0).reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ij,abjk,lk->abil", m, blocks, m)
+    qc = np.round(coef / q88).astype(np.int32)
+    np.clip(qc, -1023, 1023, out=qc)
+    qc[:, :, 0, 0] = np.round(coef[:, :, 0, 0] / q88[0, 0]).astype(np.int32)
+
+    enc_dc = _jpeg_encode_table(*_JPEG_DC_LUM)
+    enc_ac = _jpeg_encode_table(*_JPEG_AC_PROG)
+
+    # scan 1: DC coefficients of every block, ordinary diff coding
+    bw = _JpegBitWriter()
+    pred = 0
+    for mi in range(nby * nbx):
+        by, bx = divmod(mi, nbx)
+        dc = int(qc[by, bx, 0, 0])
+        s, bits_val = _jpeg_category(dc - pred)
+        pred = dc
+        code, ln = enc_dc[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(bits_val, s)
+    bw.flush()
+    dc_entropy = bytes(bw.out)
+
+    # scan 2: AC 1..63 of every block with EOB-run coding
+    bw = _JpegBitWriter()
+    eobrun = 0
+
+    def flush_eobrun():
+        nonlocal eobrun
+        while eobrun:
+            chunk = min(eobrun, 32767)
+            n = chunk.bit_length() - 1
+            code, ln = enc_ac[n << 4]
+            bw.write(code, ln)
+            if n:
+                bw.write(chunk - (1 << n), n)
+            eobrun -= chunk
+
+    for mi in range(nby * nbx):
+        by, bx = divmod(mi, nbx)
+        zz = qc[by, bx].flatten()[list(_JPEG_ZIGZAG)]
+        nz = [k for k in range(1, 64) if zz[k]]
+        if not nz:
+            eobrun += 1
+            continue
+        flush_eobrun()
+        run = 0
+        last = nz[-1]
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = enc_ac[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            s, bits_val = _jpeg_category(v)
+            code, ln = enc_ac[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(bits_val, s)
+            run = 0
+        if last < 63:
+            eobrun += 1  # this block's EOB joins the running EOB run
+    flush_eobrun()
+    bw.flush()
+    ac_entropy = bytes(bw.out)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(q[i]) for i in _JPEG_ZIGZAG))
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = bytearray()
+    for tc_th, (bits, vals) in ((0x00, _JPEG_DC_LUM), (0x10, _JPEG_AC_PROG)):
+        dht += bytes([tc_th]) + bytes(bits) + bytes(vals)
+    out += seg(0xC4, bytes(dht))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))  # DC scan: Ss=Se=0
+    out += dc_entropy
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))  # AC scan: 1..63
+    out += ac_entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _JpegBitReader:
     """MSB-first reader over one de-stuffed entropy segment; underrun
     raises (a conformant stream never reads past its segment)."""
@@ -2386,14 +2526,20 @@ def _jpeg_split_entropy(data: bytes, start: int) -> tuple[list[bytes], int]:
 
 
 def parse_jpeg(data: bytes):
-    """Baseline JPEG bytes → (width, height, HxWxC uint8 pixels) via a
-    COMPLETE real decode: marker walk, DQT/DHT parsing, canonical
-    Huffman entropy decode (byte unstuffing, RSTn restarts, DC
-    prediction, EOB/ZRL), dequant, separable float IDCT, level shift,
-    chroma upsample (sampling factors 1-2), JFIF YCbCr→RGB. Raises
-    ValueError for anything non-baseline (progressive, arithmetic,
-    12-bit, sampling > 2) — callers fall through to the documented
-    fake, keeping legacy header-only fixtures byte-stable."""
+    """JPEG bytes → (width, height, HxWxC uint8 pixels) via a COMPLETE
+    real decode: marker walk, DQT/DHT parsing, canonical Huffman
+    entropy decode (byte unstuffing, RSTn restarts, DC prediction,
+    EOB/ZRL), dequant, separable float IDCT, level shift, chroma
+    upsample (sampling factors 1-2), JFIF YCbCr→RGB. PROGRESSIVE
+    (SOF2) grayscale frames decode for real too: multi-scan
+    spectral-selection accumulation into a persistent coefficient
+    buffer with EOB-run decoding (G.1.2.2); successive approximation
+    (Ah/Al ≠ 0), progressive color, and progressive restart intervals
+    raise honestly — real-world progressive color virtually always
+    uses successive approximation, so a wrong-but-plausible raster is
+    worse than a refusal. Raises ValueError for the rest
+    (arithmetic, 12-bit, sampling > 2) — callers fall through to the
+    documented fake, keeping legacy header-only fixtures byte-stable."""
     import struct
 
     import numpy as np
@@ -2405,6 +2551,9 @@ def parse_jpeg(data: bytes):
     frame = None
     scan = None
     dri = 0
+    progressive = False
+    pcoefs = None  # progressive: persistent (nby, nbx, 8, 8) buffer
+    dc_seen = False
     pos = 2
     n = len(data)
     while True:
@@ -2420,6 +2569,8 @@ def parse_jpeg(data: bytes):
             pos += 2
             continue
         if marker == 0xD9:
+            if progressive and dc_seen:
+                break  # progression complete — reconstruct below
             raise ValueError("EOI before scan data")
         if pos + 4 > n:
             raise ValueError("truncated JPEG segment")
@@ -2463,7 +2614,8 @@ def parse_jpeg(data: bytes):
                 i += 17 + cnt
             if i != len(body):
                 raise ValueError("trailing DHT bytes")
-        elif marker in (0xC0, 0xC1):
+        elif marker in (0xC0, 0xC1, 0xC2):
+            progressive = marker == 0xC2
             prec, fh, fw, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -2478,8 +2630,10 @@ def parse_jpeg(data: bytes):
                 if hs not in (1, 2) or vs not in (1, 2):
                     raise ValueError("unsupported sampling factor")
                 comps.append((cid, hs, vs, tq))
+            if progressive and ncomp != 1:
+                raise ValueError("progressive color JPEG unsupported")
             frame = (fw, fh, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG (progressive/lossless/arithmetic)")
         elif marker == 0xCC:
             raise ValueError("arithmetic coding unsupported")
@@ -2493,21 +2647,108 @@ def parse_jpeg(data: bytes):
             if not body:
                 raise ValueError("empty SOS segment")
             ns = body[0]
-            if ns != len(frame[2]) or len(body) != 4 + 2 * ns:
-                raise ValueError("scan/frame component mismatch")
-            sel = {}
-            for si in range(ns):
-                cs, tdta = body[1 + 2 * si : 3 + 2 * si]
-                sel[cs] = (tdta >> 4, tdta & 15)
-            if body[1 + 2 * ns] != 0 or body[2 + 2 * ns] != 63:
-                raise ValueError("non-sequential spectral selection")
-            scan = sel
-            pos = pos + 2 + length
-            break
+            if len(body) != 4 + 2 * ns:
+                raise ValueError("bad SOS length")
+            if not progressive:
+                if ns != len(frame[2]):
+                    raise ValueError("scan/frame component mismatch")
+                sel = {}
+                for si in range(ns):
+                    cs, tdta = body[1 + 2 * si : 3 + 2 * si]
+                    sel[cs] = (tdta >> 4, tdta & 15)
+                if body[1 + 2 * ns] != 0 or body[2 + 2 * ns] != 63:
+                    raise ValueError("non-sequential spectral selection")
+                scan = sel
+                pos = pos + 2 + length
+                break
+            # --- progressive scan (grayscale; spectral selection) ---
+            if dri:
+                raise ValueError("progressive restart interval unsupported")
+            if ns != 1:
+                raise ValueError("progressive scan must be single-component")
+            tdta = body[2]
+            ss, se, ahal = body[3], body[4], body[5]
+            ah, al = ahal >> 4, ahal & 15
+            if ah != 0 or al != 0:
+                raise ValueError(
+                    "successive-approximation JPEG unsupported"
+                )
+            fw_, fh_, _comps = frame
+            nby = -(-fh_ // 8)
+            nbx = -(-fw_ // 8)
+            if pcoefs is None:
+                pcoefs = np.zeros((nby, nbx, 8, 8), np.int32)
+            segs, endpos = _jpeg_split_entropy(data, pos + 2 + length)
+            if len(segs) != 1:
+                raise ValueError("restart markers in progressive scan")
+            br = _JpegBitReader(segs[0])
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("DC scan must have Se=0")
+                tbl = huff.get((0, tdta >> 4))
+                if tbl is None:
+                    raise ValueError("missing Huffman table")
+                pred0 = 0
+                for mi in range(nby * nbx):
+                    by, bx = divmod(mi, nbx)
+                    t = _jpeg_huff_decode(br, tbl)
+                    if t > 11:
+                        raise ValueError("bad DC category")
+                    diff = _jpeg_extend(br.read_bits(t), t) if t else 0
+                    pred0 += diff
+                    pcoefs[by, bx, 0, 0] = pred0
+                dc_seen = True
+            else:
+                if not (1 <= ss <= se <= 63):
+                    raise ValueError("bad spectral selection band")
+                tbl = huff.get((1, tdta & 15))
+                if tbl is None:
+                    raise ValueError("missing Huffman table")
+                eobrun = 0
+                for mi in range(nby * nbx):
+                    by, bx = divmod(mi, nbx)
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _jpeg_huff_decode(br, tbl)
+                        r, s_ = rs >> 4, rs & 15
+                        if s_ == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC index overflow")
+                        z = _JPEG_ZIGZAG[k]
+                        pcoefs[by, bx, z >> 3, z & 7] = _jpeg_extend(
+                            br.read_bits(s_), s_
+                        )
+                        k += 1
+                if eobrun:
+                    raise ValueError("EOB run past the last block")
+            pos = endpos
+            continue
         pos += 2 + length
 
     w, h, comps = frame
     _check_raster_size(w, h, "JPEG")
+    if progressive:
+        cid, _hs, _vs, tq = comps[0]
+        if tq not in qt:
+            raise ValueError(f"missing quant table {tq}")
+        deq = pcoefs.astype(np.float64) * qt[tq]
+        m = _jpeg_dct_matrix()
+        spatial = np.einsum("ji,abjk,kl->abil", m, deq, m) + 128.0
+        nby, nbx = spatial.shape[:2]
+        plane = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        plane = np.clip(np.round(plane), 0, 255)
+        return w, h, plane[:h, :w].astype(np.uint8)[:, :, None]
     if len(comps) == 1:
         # single-component scans are non-interleaved: one data unit per
         # MCU, declared sampling factors ignored (T.81 A.2.2)
@@ -2608,7 +2849,11 @@ def plant_jpeg_real_payloads(df: DataFrame, *, text_col: str = "text") -> DataFr
     (wb = id%5+1 × hb = id%3+1 blocks ⇒ w = 8·wb, h = 8·hb). Flat
     blocks make the lossy pipeline exactly lossless (DC-only spectra,
     quant 1), so px_sum = 64 · (tiled byte sum) in closed form while
-    the decode still runs the entire real entropy/IDCT path."""
+    the decode still runs the entire real entropy/IDCT path. Odd
+    doc_ids are written PROGRESSIVE (SOF2, DC scan + AC 1..63 scan
+    with EOB-run coding) — also exactly lossless on flat blocks, so
+    the same closed-form oracle certifies the multi-scan decode path
+    at zero gate-window cost (the PNG/GIF interlace precedent)."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2620,7 +2865,12 @@ def plant_jpeg_real_payloads(df: DataFrame, *, text_col: str = "text") -> DataFr
                 raw = (text_val or "").encode("utf-8") or b"\0"
                 vals = np.resize(np.frombuffer(raw, np.uint8), (hb, wb))
                 img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
-                out.append((doc_id, build_jpeg_baseline(img)))
+                blob = (
+                    build_jpeg_progressive(img)
+                    if d % 2
+                    else build_jpeg_baseline(img)
+                )
+                out.append((doc_id, blob))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
     return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")

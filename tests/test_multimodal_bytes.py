@@ -1106,6 +1106,78 @@ def test_alaw_decode_reference_vectors():
     assert n2 == 77 and s2.tolist() == samples[:77].tolist()
 
 
+def test_jpeg_progressive_equals_baseline_and_refusals():
+    """Progressive (SOF2, spectral selection): (a) decodes to the
+    byte-identical raster of the baseline encode of the same pixels
+    (same quantized coefficients, two layouts — the Adam7/GIF
+    cross-layout discipline); (b) a mostly-flat image whose zero
+    blocks span EOBn>0 runs decodes exactly (the EOB-run alphabet the
+    baseline lacks); (c) successive approximation, progressive color,
+    and progressive restart intervals refuse honestly."""
+    import numpy as np
+    import pytest
+
+    from sparkga1_spark.operators.multimodal import (
+        build_jpeg_baseline,
+        build_jpeg_progressive,
+        parse_jpeg,
+    )
+
+    rng = np.random.RandomState(20260814)
+    for h, w in [(1, 1), (5, 5), (8, 8), (16, 24), (33, 9), (64, 64)]:
+        px = rng.randint(0, 256, (h, w), dtype=np.uint8)
+        got = parse_jpeg(build_jpeg_progressive(px))
+        want = parse_jpeg(build_jpeg_baseline(px))
+        assert got[0:2] == (w, h)
+        assert (got[2] == want[2]).all(), (h, w)
+    # quant > 1 path too (coefficients shrink, EOB runs grow)
+    q = np.full(64, 16, np.int32); q[0] = 1
+    px = rng.randint(0, 256, (24, 40), dtype=np.uint8)
+    assert (
+        parse_jpeg(build_jpeg_progressive(px, quant=q))[2]
+        == parse_jpeg(build_jpeg_baseline(px, quant=q))[2]
+    ).all()
+    # long EOB runs: flat field with one hot pixel -> 99 zero-AC blocks
+    sp = np.full((80, 80), 128, np.uint8)
+    sp[40, 40] = 255
+    assert (
+        parse_jpeg(build_jpeg_progressive(sp))[2]
+        == parse_jpeg(build_jpeg_baseline(sp))[2]
+    ).all()
+    # flat blocks are exactly lossless through the multi-scan path
+    flat = np.resize(np.arange(12, dtype=np.uint8) * 17, (3, 2))
+    img = np.repeat(np.repeat(flat, 8, 0), 8, 1)
+    assert (parse_jpeg(build_jpeg_progressive(img))[2][:, :, 0] == img).all()
+
+    good = build_jpeg_progressive(np.full((8, 8), 7, np.uint8))
+    # successive approximation: patch the first SOS tail (Ss=0,Se=0,
+    # AhAl) to Ah=1
+    sos = good.find(b"\xff\xda")
+    assert good[sos + 2 : sos + 4] == b"\x00\x08"
+    sa = good[: sos + 9] + bytes([0x10]) + good[sos + 10 :]
+    with pytest.raises(ValueError, match="successive-approximation"):
+        parse_jpeg(sa)
+    # progressive color: SOF2 with 3 components
+    import struct
+
+    sof = good.find(b"\xff\xc2")
+    body = struct.pack(">BHHB", 8, 8, 8, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    color = (
+        good[:sof]
+        + struct.pack(">BBH", 0xFF, 0xC2, len(body) + 2)
+        + body
+        + good[sof + 13 :]
+    )
+    with pytest.raises(ValueError, match="progressive color"):
+        parse_jpeg(color)
+    # progressive restart interval
+    dri = good[:sof] + b"\xff\xdd\x00\x04\x00\x04" + good[sof:]
+    with pytest.raises(ValueError, match="progressive restart"):
+        parse_jpeg(dri)
+
+
 def test_jpeg_baseline_flat_block_exact_roundtrip():
     """Constant 8x8 blocks make baseline JPEG exactly lossless (DC-only
     spectra, quant 1): build → parse must reproduce every pixel, which
@@ -1306,10 +1378,14 @@ def test_jpeg_refusals_and_bomb_guard():
     g = np.zeros((8, 8), dtype=np.uint8)
     data = build_jpeg_baseline(g)
 
+    # flipping SOF0→SOF2 makes the stream claim progressive; its
+    # baseline full-band SOS (Ss=0, Se=63) is malformed for a
+    # progressive DC scan and must refuse (progressive itself is now
+    # supported — see test_jpeg_progressive_equals_baseline_and_refusals)
     sof = data.find(b"\xff\xc0")
     prog = bytearray(data)
     prog[sof + 1] = 0xC2
-    with pytest.raises(ValueError, match="non-baseline"):
+    with pytest.raises(ValueError, match="DC scan must have Se=0"):
         parse_jpeg(bytes(prog))
 
     bomb = bytearray(data)
@@ -1456,11 +1532,14 @@ def test_exhaustive_truncation_valueerror_only():
         parse_jpeg,
     )
 
+    from sparkga1_spark.operators.multimodal import build_jpeg_progressive
+
     s = ((np.arange(130) * 13 + 19) % 256 - 128) * 256
     flac = build_flac(s.astype(np.int16))
     g = np.resize(np.arange(300, dtype=np.uint8), (16, 16))
     jpeg = build_jpeg_baseline(g)
-    for data, parser in ((flac, parse_flac), (jpeg, parse_jpeg)):
+    prog = build_jpeg_progressive(g)
+    for data, parser in ((flac, parse_flac), (jpeg, parse_jpeg), (prog, parse_jpeg)):
         for cut in range(len(data)):
             try:
                 parser(data[:cut])
