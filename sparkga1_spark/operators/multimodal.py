@@ -2333,10 +2333,14 @@ def build_jpeg_baseline(pixels, *, quant=None, restart_interval: int = 0) -> byt
     return bytes(out)
 
 
-def build_jpeg_progressive(pixels, *, quant=None) -> bytes:
-    """HxW GRAYSCALE uint8 → REAL progressive JFIF JPEG (SOF2,
-    spectral selection: scan 1 = DC only, scan 2 = AC 1..63 with
-    EOB-run coding; no successive approximation, Ah=Al=0). The
+def build_jpeg_progressive(pixels, *, quant=None, successive=False) -> bytes:
+    """HxW GRAYSCALE uint8 → REAL progressive JFIF JPEG (SOF2).
+    Default script: spectral selection only (scan 1 = DC, scan 2 =
+    AC 1..63 with EOB-run coding). `successive=True` adds SUCCESSIVE
+    APPROXIMATION — four scans: DC first at Al=1, AC first at Al=1
+    (point-transformed magnitudes), DC refinement (one raw bit per
+    block), AC refinement (G.1.2.3: ±1<<Al newly-significant symbols
+    with correction bits woven through ZRL spans and EOB runs). The
     quantized coefficients are computed exactly as in
     build_jpeg_baseline, so a progressive and a baseline encode of the
     same pixels decode to IDENTICAL rasters — the cross-layout
@@ -2374,66 +2378,162 @@ def build_jpeg_progressive(pixels, *, quant=None) -> bytes:
 
     enc_dc = _jpeg_encode_table(*_JPEG_DC_LUM)
     enc_ac = _jpeg_encode_table(*_JPEG_AC_PROG)
+    blocks_zz = [
+        qc[by, bx].flatten()[list(_JPEG_ZIGZAG)]
+        for by in range(nby)
+        for bx in range(nbx)
+    ]
 
-    # scan 1: DC coefficients of every block, ordinary diff coding
-    bw = _JpegBitWriter()
-    pred = 0
-    for mi in range(nby * nbx):
-        by, bx = divmod(mi, nbx)
-        dc = int(qc[by, bx, 0, 0])
-        s, bits_val = _jpeg_category(dc - pred)
-        pred = dc
-        code, ln = enc_dc[s]
-        bw.write(code, ln)
-        if s:
-            bw.write(bits_val, s)
-    bw.flush()
-    dc_entropy = bytes(bw.out)
-
-    # scan 2: AC 1..63 of every block with EOB-run coding
-    bw = _JpegBitWriter()
-    eobrun = 0
-
-    def flush_eobrun():
-        nonlocal eobrun
-        while eobrun:
-            chunk = min(eobrun, 32767)
-            n = chunk.bit_length() - 1
-            code, ln = enc_ac[n << 4]
+    def dc_first(al: int) -> bytes:
+        # diff coding over the point-transformed (arithmetic >> Al) DCs
+        bw = _JpegBitWriter()
+        pred = 0
+        for zz in blocks_zz:
+            dc = int(zz[0]) >> al
+            s, bits_val = _jpeg_category(dc - pred)
+            pred = dc
+            code, ln = enc_dc[s]
             bw.write(code, ln)
-            if n:
-                bw.write(chunk - (1 << n), n)
-            eobrun -= chunk
+            if s:
+                bw.write(bits_val, s)
+        bw.flush()
+        return bytes(bw.out)
 
-    for mi in range(nby * nbx):
-        by, bx = divmod(mi, nbx)
-        zz = qc[by, bx].flatten()[list(_JPEG_ZIGZAG)]
-        nz = [k for k in range(1, 64) if zz[k]]
-        if not nz:
-            eobrun += 1
-            continue
-        flush_eobrun()
-        run = 0
-        last = nz[-1]
-        for k in range(1, last + 1):
-            v = int(zz[k])
-            if v == 0:
-                run += 1
-                continue
-            while run >= 16:
-                code, ln = enc_ac[0xF0]
+    def dc_refine(al: int) -> bytes:
+        # one raw bit per block: bit Al of the two's-complement DC
+        bw = _JpegBitWriter()
+        for zz in blocks_zz:
+            bw.write((int(zz[0]) >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.out)
+
+    def ac_first(al: int) -> bytes:
+        bw = _JpegBitWriter()
+        eobrun = 0
+
+        def flush_eobrun():
+            nonlocal eobrun
+            while eobrun:
+                chunk = min(eobrun, 32767)
+                n = chunk.bit_length() - 1
+                code, ln = enc_ac[n << 4]
                 bw.write(code, ln)
-                run -= 16
-            s, bits_val = _jpeg_category(v)
-            code, ln = enc_ac[(run << 4) | s]
-            bw.write(code, ln)
-            bw.write(bits_val, s)
+                if n:
+                    bw.write(chunk - (1 << n), n)
+                eobrun -= chunk
+
+        for zz in blocks_zz:
+            # point transform: magnitude shift (toward zero), sign kept
+            tv = [
+                (1 if int(zz[k]) > 0 else -1) * (abs(int(zz[k])) >> al)
+                for k in range(64)
+            ]
+            nz = [k for k in range(1, 64) if tv[k]]
+            if not nz:
+                eobrun += 1
+                continue
+            flush_eobrun()
             run = 0
-        if last < 63:
-            eobrun += 1  # this block's EOB joins the running EOB run
-    flush_eobrun()
-    bw.flush()
-    ac_entropy = bytes(bw.out)
+            for k in range(1, nz[-1] + 1):
+                v = tv[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, ln = enc_ac[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                s, bits_val = _jpeg_category(v)
+                code, ln = enc_ac[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(bits_val, s)
+                run = 0
+            if nz[-1] < 63:
+                eobrun += 1  # this block's EOB joins the running run
+        flush_eobrun()
+        bw.flush()
+        return bytes(bw.out)
+
+    def ac_refine(al: int) -> bytes:
+        # G.1.2.3 encoder, written as an exact simulation of the
+        # decoder's reads: a positional queue of zero-history slots and
+        # correction bits splits ZRL spans at the right coefficients,
+        # and EOB-run correction bits accumulate in block order
+        bw = _JpegBitWriter()
+        eobrun = 0
+        eob_bits: list[int] = []
+
+        def flush_eobrun():
+            nonlocal eobrun, eob_bits
+            while eobrun:
+                chunk = min(eobrun, 32767)
+                n = chunk.bit_length() - 1
+                code, ln = enc_ac[n << 4]
+                bw.write(code, ln)
+                if n:
+                    bw.write(chunk - (1 << n), n)
+                eobrun -= chunk
+                if eobrun == 0:
+                    for b in eob_bits:
+                        bw.write(b, 1)
+                    eob_bits = []
+
+        for zz in blocks_zz:
+            newly = [
+                k for k in range(1, 64) if abs(int(zz[k])) >> al == 1
+            ]
+            kend = newly[-1] if newly else 0
+            items: list[tuple[str, int]] = []
+            for k in range(1, kend + 1):
+                v = int(zz[k])
+                t = abs(v) >> al
+                if t == 0:
+                    items.append(("z", 0))
+                elif t == 1:
+                    flush_eobrun()
+                    nz_run = sum(1 for it in items if it[0] == "z")
+                    while nz_run > 15:
+                        code, ln = enc_ac[0xF0]
+                        bw.write(code, ln)
+                        seen = 0
+                        while seen < 16:
+                            it = items.pop(0)
+                            if it[0] == "z":
+                                seen += 1
+                            else:
+                                bw.write(it[1], 1)
+                        nz_run -= 16
+                    code, ln = enc_ac[(nz_run << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if v > 0 else 0, 1)
+                    for it in items:
+                        if it[0] == "c":
+                            bw.write(it[1], 1)
+                    items = []
+                else:  # already significant: correction bit
+                    items.append(("c", (abs(v) >> al) & 1))
+            if kend < 63:
+                eobrun += 1
+                eob_bits.extend(
+                    (abs(int(zz[k])) >> al) & 1
+                    for k in range(kend + 1, 64)
+                    if abs(int(zz[k])) >> (al + 1) != 0
+                )
+                if eobrun == 32767:
+                    flush_eobrun()
+        flush_eobrun()
+        bw.flush()
+        return bytes(bw.out)
+
+    if successive:
+        scans = [
+            (dc_first(1), (0, 0, 0, 1)),
+            (ac_first(1), (1, 63, 0, 1)),
+            (dc_refine(0), (0, 0, 1, 0)),
+            (ac_refine(0), (1, 63, 1, 0)),
+        ]
+    else:
+        scans = [(dc_first(0), (0, 0, 0, 0)), (ac_first(0), (1, 63, 0, 0))]
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
@@ -2446,10 +2546,9 @@ def build_jpeg_progressive(pixels, *, quant=None) -> bytes:
     for tc_th, (bits, vals) in ((0x00, _JPEG_DC_LUM), (0x10, _JPEG_AC_PROG)):
         dht += bytes([tc_th]) + bytes(bits) + bytes(vals)
     out += seg(0xC4, bytes(dht))
-    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))  # DC scan: Ss=Se=0
-    out += dc_entropy
-    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))  # AC scan: 1..63
-    out += ac_entropy
+    for entropy, (ss, se, ah, al) in scans:
+        out += seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        out += entropy
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -2533,11 +2632,13 @@ def parse_jpeg(data: bytes):
     upsample (sampling factors 1-2), JFIF YCbCr→RGB. PROGRESSIVE
     (SOF2) grayscale frames decode for real too: multi-scan
     spectral-selection accumulation into a persistent coefficient
-    buffer with EOB-run decoding (G.1.2.2); successive approximation
-    (Ah/Al ≠ 0), progressive color, and progressive restart intervals
-    raise honestly — real-world progressive color virtually always
-    uses successive approximation, so a wrong-but-plausible raster is
-    worse than a refusal. Raises ValueError for the rest
+    buffer with EOB-run decoding (G.1.2.2) and full SUCCESSIVE
+    APPROXIMATION (DC/AC first passes at any Al, DC refinement bits,
+    AC refinement per G.1.2.3 — newly-significant ±1<<Al symbols with
+    correction bits woven through ZRL spans and EOB runs); progressive
+    color and progressive restart intervals raise honestly — a
+    wrong-but-plausible raster is worse than a refusal. Raises
+    ValueError for the rest
     (arithmetic, 12-bit, sampling > 2) — callers fall through to the
     documented fake, keeping legacy header-only fixtures byte-stable."""
     import struct
@@ -2669,10 +2770,8 @@ def parse_jpeg(data: bytes):
             tdta = body[2]
             ss, se, ahal = body[3], body[4], body[5]
             ah, al = ahal >> 4, ahal & 15
-            if ah != 0 or al != 0:
-                raise ValueError(
-                    "successive-approximation JPEG unsupported"
-                )
+            if ah != 0 and ah != al + 1:
+                raise ValueError("bad successive-approximation chain")
             fw_, fh_, _comps = frame
             nby = -(-fh_ // 8)
             nbx = -(-fw_ // 8)
@@ -2685,20 +2784,33 @@ def parse_jpeg(data: bytes):
             if ss == 0:
                 if se != 0:
                     raise ValueError("DC scan must have Se=0")
-                tbl = huff.get((0, tdta >> 4))
-                if tbl is None:
-                    raise ValueError("missing Huffman table")
-                pred0 = 0
-                for mi in range(nby * nbx):
-                    by, bx = divmod(mi, nbx)
-                    t = _jpeg_huff_decode(br, tbl)
-                    if t > 11:
-                        raise ValueError("bad DC category")
-                    diff = _jpeg_extend(br.read_bits(t), t) if t else 0
-                    pred0 += diff
-                    pcoefs[by, bx, 0, 0] = pred0
-                dc_seen = True
-            else:
+                if ah == 0:
+                    # DC first pass: diff-coded point-transformed values
+                    tbl = huff.get((0, tdta >> 4))
+                    if tbl is None:
+                        raise ValueError("missing Huffman table")
+                    pred0 = 0
+                    for mi in range(nby * nbx):
+                        by, bx = divmod(mi, nbx)
+                        t = _jpeg_huff_decode(br, tbl)
+                        if t > 11:
+                            raise ValueError("bad DC category")
+                        diff = _jpeg_extend(br.read_bits(t), t) if t else 0
+                        pred0 += diff
+                        pcoefs[by, bx, 0, 0] = pred0 << al
+                    dc_seen = True
+                else:
+                    # DC refinement: one raw bit per block ORs in bit Al
+                    # (two's-complement OR reconstructs negatives exactly:
+                    # ((v>>1)<<1) | (v&1) == v)
+                    if not dc_seen:
+                        raise ValueError("DC refinement before DC scan")
+                    for mi in range(nby * nbx):
+                        by, bx = divmod(mi, nbx)
+                        if br.read_bit():
+                            pcoefs[by, bx, 0, 0] |= 1 << al
+            elif ah == 0:
+                # AC first pass at point transform Al
                 if not (1 <= ss <= se <= 63):
                     raise ValueError("bad spectral selection band")
                 tbl = huff.get((1, tdta & 15))
@@ -2726,10 +2838,86 @@ def parse_jpeg(data: bytes):
                         if k > se:
                             raise ValueError("AC index overflow")
                         z = _JPEG_ZIGZAG[k]
-                        pcoefs[by, bx, z >> 3, z & 7] = _jpeg_extend(
-                            br.read_bits(s_), s_
+                        pcoefs[by, bx, z >> 3, z & 7] = (
+                            _jpeg_extend(br.read_bits(s_), s_) << al
                         )
                         k += 1
+                if eobrun:
+                    raise ValueError("EOB run past the last block")
+            else:
+                # AC refinement (G.1.2.3): adds bit Al to the band.
+                # Newly significant coefficients arrive as ±1<<Al; every
+                # already-nonzero coefficient passed over consumes one
+                # correction bit (also inside ZRL spans and EOB runs).
+                if not (1 <= ss <= se <= 63):
+                    raise ValueError("bad spectral selection band")
+                tbl = huff.get((1, tdta & 15))
+                if tbl is None:
+                    raise ValueError("missing Huffman table")
+                p1 = 1 << al
+                eobrun = 0
+
+                def _refine_tail(blk, k):
+                    for kk in range(k, se + 1):
+                        z = _JPEG_ZIGZAG[kk]
+                        c = int(blk[z >> 3, z & 7])
+                        if c != 0 and br.read_bit():
+                            if (c & p1) == 0:
+                                blk[z >> 3, z & 7] = (
+                                    c + p1 if c > 0 else c - p1
+                                )
+
+                for mi in range(nby * nbx):
+                    by, bx = divmod(mi, nbx)
+                    blk = pcoefs[by, bx]
+                    if eobrun:
+                        _refine_tail(blk, ss)
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    broke_eob = False
+                    while k <= se:
+                        rs = _jpeg_huff_decode(br, tbl)
+                        r, s_ = rs >> 4, rs & 15
+                        newval = 0
+                        if s_ == 0:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.read_bits(r)
+                                broke_eob = True
+                                break
+                            # ZRL: a run of 16 zero-history positions
+                        elif s_ == 1:
+                            newval = p1 if br.read_bit() else -p1
+                        else:
+                            raise ValueError("bad AC refinement size")
+                        # advance over r zero-history positions, reading
+                        # a correction bit at every nonzero one passed
+                        while k <= se:
+                            z = _JPEG_ZIGZAG[k]
+                            c = int(blk[z >> 3, z & 7])
+                            if c != 0:
+                                if br.read_bit() and (c & p1) == 0:
+                                    blk[z >> 3, z & 7] = (
+                                        c + p1 if c > 0 else c - p1
+                                    )
+                            else:
+                                r -= 1
+                                if r < 0:
+                                    break
+                            k += 1
+                        if newval:
+                            if k > se:
+                                raise ValueError("AC refinement overflow")
+                            z = _JPEG_ZIGZAG[k]
+                            blk[z >> 3, z & 7] = newval
+                        k += 1
+                    if broke_eob:
+                        # the (1<<r)-1 form above already excludes the
+                        # current block — its tail refines here, and
+                        # eobrun counts the FOLLOWING blocks only
+                        _refine_tail(blk, k)
                 if eobrun:
                     raise ValueError("EOB run past the last block")
             pos = endpos
@@ -2850,10 +3038,12 @@ def plant_jpeg_real_payloads(df: DataFrame, *, text_col: str = "text") -> DataFr
     blocks make the lossy pipeline exactly lossless (DC-only spectra,
     quant 1), so px_sum = 64 · (tiled byte sum) in closed form while
     the decode still runs the entire real entropy/IDCT path. Odd
-    doc_ids are written PROGRESSIVE (SOF2, DC scan + AC 1..63 scan
-    with EOB-run coding) — also exactly lossless on flat blocks, so
-    the same closed-form oracle certifies the multi-scan decode path
-    at zero gate-window cost (the PNG/GIF interlace precedent)."""
+    doc_ids are written PROGRESSIVE (SOF2): ids %4==3 with spectral
+    selection only (DC scan + AC 1..63 with EOB-run coding), ids
+    %4==1 with the full SUCCESSIVE-APPROXIMATION script (DC/AC first
+    at Al=1 + DC/AC refinement) — all exactly lossless on flat
+    blocks, so the same closed-form oracle certifies every decode
+    path at zero gate-window cost (the PNG/GIF interlace precedent)."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2865,11 +3055,12 @@ def plant_jpeg_real_payloads(df: DataFrame, *, text_col: str = "text") -> DataFr
                 raw = (text_val or "").encode("utf-8") or b"\0"
                 vals = np.resize(np.frombuffer(raw, np.uint8), (hb, wb))
                 img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
-                blob = (
-                    build_jpeg_progressive(img)
-                    if d % 2
-                    else build_jpeg_baseline(img)
-                )
+                if d % 4 == 1:
+                    blob = build_jpeg_progressive(img, successive=True)
+                elif d % 4 == 3:
+                    blob = build_jpeg_progressive(img)
+                else:
+                    blob = build_jpeg_baseline(img)
                 out.append((doc_id, blob))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 

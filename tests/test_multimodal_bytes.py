@@ -1149,14 +1149,37 @@ def test_jpeg_progressive_equals_baseline_and_refusals():
     img = np.repeat(np.repeat(flat, 8, 0), 8, 1)
     assert (parse_jpeg(build_jpeg_progressive(img))[2][:, :, 0] == img).all()
 
+    # SUCCESSIVE APPROXIMATION: the four-scan script (DC/AC first at
+    # Al=1, DC/AC refinement at Al=0) must reproduce the baseline
+    # raster exactly — correction bits woven through ZRL spans and EOB
+    # runs are the hardest bit-alignment in T.81, and byte equality
+    # with the baseline decode proves every one of them landed
+    for h, w in [(8, 8), (16, 24), (33, 9), (64, 64)]:
+        px = rng.randint(0, 256, (h, w), dtype=np.uint8)
+        assert (
+            parse_jpeg(build_jpeg_progressive(px, successive=True))[2]
+            == parse_jpeg(build_jpeg_baseline(px))[2]
+        ).all(), (h, w)
+    sp2 = np.full((80, 80), 128, np.uint8)
+    sp2[40, 40] = 255
+    sp2[0, 0] = 1  # corrections inside a long EOB run
+    assert (
+        parse_jpeg(build_jpeg_progressive(sp2, successive=True))[2]
+        == parse_jpeg(build_jpeg_baseline(sp2))[2]
+    ).all()
+
     good = build_jpeg_progressive(np.full((8, 8), 7, np.uint8))
-    # successive approximation: patch the first SOS tail (Ss=0,Se=0,
-    # AhAl) to Ah=1
+    # a refinement scan arriving before any DC scan must refuse (an
+    # Ah=1 patch on the first SOS makes it claim refinement)
     sos = good.find(b"\xff\xda")
     assert good[sos + 2 : sos + 4] == b"\x00\x08"
     sa = good[: sos + 9] + bytes([0x10]) + good[sos + 10 :]
-    with pytest.raises(ValueError, match="successive-approximation"):
+    with pytest.raises(ValueError, match="DC refinement before DC scan"):
         parse_jpeg(sa)
+    # a non-contiguous approximation chain (Ah=2, Al=0) must refuse
+    sa2 = good[: sos + 9] + bytes([0x20]) + good[sos + 10 :]
+    with pytest.raises(ValueError, match="bad successive-approximation"):
+        parse_jpeg(sa2)
     # progressive color: SOF2 with 3 components
     import struct
 
@@ -1539,7 +1562,13 @@ def test_exhaustive_truncation_valueerror_only():
     g = np.resize(np.arange(300, dtype=np.uint8), (16, 16))
     jpeg = build_jpeg_baseline(g)
     prog = build_jpeg_progressive(g)
-    for data, parser in ((flac, parse_flac), (jpeg, parse_jpeg), (prog, parse_jpeg)):
+    sa = build_jpeg_progressive(g, successive=True)
+    for data, parser in (
+        (flac, parse_flac),
+        (jpeg, parse_jpeg),
+        (prog, parse_jpeg),
+        (sa, parse_jpeg),
+    ):
         for cut in range(len(data)):
             try:
                 parser(data[:cut])
