@@ -2210,6 +2210,22 @@ def _rgb_to_ycbcr(px):
     return [y, cb, cr]
 
 
+def _ycbcr_planes_to_u8(planes):
+    """1 or 3 decoded float planes → HxWxC uint8 (gray passthrough or
+    the JFIF inverse matrix), the shared tail of both JPEG decode
+    paths (baseline and progressive)."""
+    import numpy as np
+
+    if len(planes) == 1:
+        return planes[0].astype(np.uint8)[:, :, None]
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def build_jpeg_baseline(pixels, *, quant=None, restart_interval: int = 0) -> bytes:
     """HxW grayscale or HxWx3 RGB uint8 → REAL baseline JFIF JPEG
     (SOF0, 4:4:4 / single-component, Annex K Huffman tables, optional
@@ -2334,26 +2350,28 @@ def build_jpeg_baseline(pixels, *, quant=None, restart_interval: int = 0) -> byt
 
 
 def build_jpeg_progressive(pixels, *, quant=None, successive=False) -> bytes:
-    """HxW GRAYSCALE uint8 → REAL progressive JFIF JPEG (SOF2).
-    Default script: spectral selection only (scan 1 = DC, scan 2 =
-    AC 1..63 with EOB-run coding). `successive=True` adds SUCCESSIVE
-    APPROXIMATION — four scans: DC first at Al=1, AC first at Al=1
-    (point-transformed magnitudes), DC refinement (one raw bit per
-    block), AC refinement (G.1.2.3: ±1<<Al newly-significant symbols
-    with correction bits woven through ZRL spans and EOB runs). The
-    quantized coefficients are computed exactly as in
-    build_jpeg_baseline, so a progressive and a baseline encode of the
-    same pixels decode to IDENTICAL rasters — the cross-layout
-    equality the pytest pins. Trailing all-zero blocks collapse into
-    EOBn runs (2^n..2^{n+1}-1 blocks per code, greedy chunks of at
-    most 32767), which is the machinery baseline JPEG lacks."""
+    """HxW grayscale or HxWx3 RGB uint8 → REAL progressive JFIF JPEG
+    (SOF2; color as 4:4:4 YCbCr with an interleaved DC scan and
+    per-component AC scans, the T.81 progressive scan structure).
+    Default script: spectral selection only (DC scan, then AC 1..63
+    per component with EOB-run coding). `successive=True` adds
+    SUCCESSIVE APPROXIMATION — DC/AC first passes at Al=1
+    (point-transformed magnitudes), then DC refinement (one raw bit
+    per block) and AC refinement (G.1.2.3: ±1<<Al newly-significant
+    symbols with correction bits woven through ZRL spans and EOB
+    runs). The quantized coefficients are computed exactly as in
+    build_jpeg_baseline, so a progressive and a baseline encode of
+    the same pixels decode to IDENTICAL rasters — the cross-layout
+    equality the pytest pins. The AC scans use a custom Huffman table
+    (_JPEG_AC_PROG): Annex K has no EOBn symbols."""
     import struct
 
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim != 2:
-        raise ValueError("build_jpeg_progressive wants HxW grayscale")
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError("build_jpeg_progressive wants HxW or HxWx3 uint8")
     h, w = int(px.shape[0]), int(px.shape[1])
     if h == 0 or w == 0:
         raise ValueError("empty image")
@@ -2365,49 +2383,59 @@ def build_jpeg_progressive(pixels, *, quant=None, successive=False) -> bytes:
     q88 = q.reshape(8, 8)
 
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge").astype(
-        np.float64
-    )
+    if gray:
+        padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge")
+        planes = [padded.astype(np.float64)]
+    else:
+        padded = np.pad(px, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+        planes = _rgb_to_ycbcr(padded)
     nby, nbx = ph // 8, pw // 8
     m = _jpeg_dct_matrix()
-    blocks = (padded - 128.0).reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
-    coef = np.einsum("ij,abjk,lk->abil", m, blocks, m)
-    qc = np.round(coef / q88).astype(np.int32)
-    np.clip(qc, -1023, 1023, out=qc)
-    qc[:, :, 0, 0] = np.round(coef[:, :, 0, 0] / q88[0, 0]).astype(np.int32)
+    comp_zz = []
+    for plane in planes:
+        blocks = (plane - 128.0).reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ij,abjk,lk->abil", m, blocks, m)
+        qc = np.round(coef / q88).astype(np.int32)
+        np.clip(qc, -1023, 1023, out=qc)
+        qc[:, :, 0, 0] = np.round(coef[:, :, 0, 0] / q88[0, 0]).astype(np.int32)
+        comp_zz.append(
+            [
+                qc[by, bx].flatten()[list(_JPEG_ZIGZAG)]
+                for by in range(nby)
+                for bx in range(nbx)
+            ]
+        )
+    ncomp = len(comp_zz)
 
     enc_dc = _jpeg_encode_table(*_JPEG_DC_LUM)
     enc_ac = _jpeg_encode_table(*_JPEG_AC_PROG)
-    blocks_zz = [
-        qc[by, bx].flatten()[list(_JPEG_ZIGZAG)]
-        for by in range(nby)
-        for bx in range(nbx)
-    ]
 
     def dc_first(al: int) -> bytes:
-        # diff coding over the point-transformed (arithmetic >> Al) DCs
+        # interleaved over all components (MCU = one block each at
+        # 4:4:4), diff coding over point-transformed (>> Al) DCs
         bw = _JpegBitWriter()
-        pred = 0
-        for zz in blocks_zz:
-            dc = int(zz[0]) >> al
-            s, bits_val = _jpeg_category(dc - pred)
-            pred = dc
-            code, ln = enc_dc[s]
-            bw.write(code, ln)
-            if s:
-                bw.write(bits_val, s)
+        pred = [0] * ncomp
+        for mi in range(nby * nbx):
+            for ci in range(ncomp):
+                dc = int(comp_zz[ci][mi][0]) >> al
+                s, bits_val = _jpeg_category(dc - pred[ci])
+                pred[ci] = dc
+                code, ln = enc_dc[s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(bits_val, s)
         bw.flush()
         return bytes(bw.out)
 
     def dc_refine(al: int) -> bytes:
-        # one raw bit per block: bit Al of the two's-complement DC
         bw = _JpegBitWriter()
-        for zz in blocks_zz:
-            bw.write((int(zz[0]) >> al) & 1, 1)
+        for mi in range(nby * nbx):
+            for ci in range(ncomp):
+                bw.write((int(comp_zz[ci][mi][0]) >> al) & 1, 1)
         bw.flush()
         return bytes(bw.out)
 
-    def ac_first(al: int) -> bytes:
+    def ac_first(ci: int, al: int) -> bytes:
         bw = _JpegBitWriter()
         eobrun = 0
 
@@ -2422,8 +2450,7 @@ def build_jpeg_progressive(pixels, *, quant=None, successive=False) -> bytes:
                     bw.write(chunk - (1 << n), n)
                 eobrun -= chunk
 
-        for zz in blocks_zz:
-            # point transform: magnitude shift (toward zero), sign kept
+        for zz in comp_zz[ci]:
             tv = [
                 (1 if int(zz[k]) > 0 else -1) * (abs(int(zz[k])) >> al)
                 for k in range(64)
@@ -2454,7 +2481,7 @@ def build_jpeg_progressive(pixels, *, quant=None, successive=False) -> bytes:
         bw.flush()
         return bytes(bw.out)
 
-    def ac_refine(al: int) -> bytes:
+    def ac_refine(ci: int, al: int) -> bytes:
         # G.1.2.3 encoder, written as an exact simulation of the
         # decoder's reads: a positional queue of zero-history slots and
         # correction bits splits ZRL spans at the right coefficients,
@@ -2478,10 +2505,8 @@ def build_jpeg_progressive(pixels, *, quant=None, successive=False) -> bytes:
                         bw.write(b, 1)
                     eob_bits = []
 
-        for zz in blocks_zz:
-            newly = [
-                k for k in range(1, 64) if abs(int(zz[k])) >> al == 1
-            ]
+        for zz in comp_zz[ci]:
+            newly = [k for k in range(1, 64) if abs(int(zz[k])) >> al == 1]
             kend = newly[-1] if newly else 0
             items: list[tuple[str, int]] = []
             for k in range(1, kend + 1):
@@ -2525,15 +2550,27 @@ def build_jpeg_progressive(pixels, *, quant=None, successive=False) -> bytes:
         bw.flush()
         return bytes(bw.out)
 
+    dc_hdr = bytes(
+        [ncomp] + [b for ci in range(ncomp) for b in (ci + 1, 0x00)]
+    )
     if successive:
-        scans = [
-            (dc_first(1), (0, 0, 0, 1)),
-            (ac_first(1), (1, 63, 0, 1)),
-            (dc_refine(0), (0, 0, 1, 0)),
-            (ac_refine(0), (1, 63, 1, 0)),
-        ]
+        scans = (
+            [(dc_first(1), dc_hdr + bytes([0, 0, 0x01]))]
+            + [
+                (ac_first(ci, 1), bytes([1, ci + 1, 0x00, 1, 63, 0x01]))
+                for ci in range(ncomp)
+            ]
+            + [(dc_refine(0), dc_hdr + bytes([0, 0, 0x10]))]
+            + [
+                (ac_refine(ci, 0), bytes([1, ci + 1, 0x00, 1, 63, 0x10]))
+                for ci in range(ncomp)
+            ]
+        )
     else:
-        scans = [(dc_first(0), (0, 0, 0, 0)), (ac_first(0), (1, 63, 0, 0))]
+        scans = [(dc_first(0), dc_hdr + bytes([0, 0, 0x00]))] + [
+            (ac_first(ci, 0), bytes([1, ci + 1, 0x00, 1, 63, 0x00]))
+            for ci in range(ncomp)
+        ]
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
@@ -2541,13 +2578,16 @@ def build_jpeg_progressive(pixels, *, quant=None, successive=False) -> bytes:
     out = bytearray(b"\xff\xd8")
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xDB, bytes([0x00]) + bytes(int(q[i]) for i in _JPEG_ZIGZAG))
-    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += seg(0xC2, sof)
     dht = bytearray()
     for tc_th, (bits, vals) in ((0x00, _JPEG_DC_LUM), (0x10, _JPEG_AC_PROG)):
         dht += bytes([tc_th]) + bytes(bits) + bytes(vals)
     out += seg(0xC4, bytes(dht))
-    for entropy, (ss, se, ah, al) in scans:
-        out += seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+    for entropy, sos_body in scans:
+        out += seg(0xDA, sos_body)
         out += entropy
     out += b"\xff\xd9"
     return bytes(out)
@@ -2630,13 +2670,15 @@ def parse_jpeg(data: bytes):
     entropy decode (byte unstuffing, RSTn restarts, DC prediction,
     EOB/ZRL), dequant, separable float IDCT, level shift, chroma
     upsample (sampling factors 1-2), JFIF YCbCr→RGB. PROGRESSIVE
-    (SOF2) grayscale frames decode for real too: multi-scan
-    spectral-selection accumulation into a persistent coefficient
-    buffer with EOB-run decoding (G.1.2.2) and full SUCCESSIVE
-    APPROXIMATION (DC/AC first passes at any Al, DC refinement bits,
-    AC refinement per G.1.2.3 — newly-significant ±1<<Al symbols with
-    correction bits woven through ZRL spans and EOB runs); progressive
-    color and progressive restart intervals raise honestly — a
+    (SOF2) frames decode for real too — grayscale AND 4:4:4 color
+    (interleaved multi-component DC scans, single-component AC scans
+    per T.81 G.1): multi-scan spectral-selection accumulation into
+    per-component persistent coefficient buffers with EOB-run decoding
+    (G.1.2.2) and full SUCCESSIVE APPROXIMATION (DC/AC first passes at
+    any Al, DC refinement bits, AC refinement per G.1.2.3 —
+    newly-significant ±1<<Al symbols with correction bits woven
+    through ZRL spans and EOB runs); progressive SUBSAMPLED color and
+    progressive restart intervals raise honestly — a
     wrong-but-plausible raster is worse than a refusal. Raises
     ValueError for the rest
     (arithmetic, 12-bit, sampling > 2) — callers fall through to the
@@ -2653,8 +2695,8 @@ def parse_jpeg(data: bytes):
     scan = None
     dri = 0
     progressive = False
-    pcoefs = None  # progressive: persistent (nby, nbx, 8, 8) buffer
-    dc_seen = False
+    pcoefs = None  # progressive: per-component (nby, nbx, 8, 8) buffers
+    dc_seen = None  # progressive: per-component DC-scan-seen flags
     pos = 2
     n = len(data)
     while True:
@@ -2670,7 +2712,7 @@ def parse_jpeg(data: bytes):
             pos += 2
             continue
         if marker == 0xD9:
-            if progressive and dc_seen:
+            if progressive and dc_seen is not None and all(dc_seen):
                 break  # progression complete — reconstruct below
             raise ValueError("EOI before scan data")
         if pos + 4 > n:
@@ -2732,7 +2774,11 @@ def parse_jpeg(data: bytes):
                     raise ValueError("unsupported sampling factor")
                 comps.append((cid, hs, vs, tq))
             if progressive and ncomp != 1:
-                raise ValueError("progressive color JPEG unsupported")
+                # the engine's progressive layout is 4:4:4 (T.81 allows
+                # subsampled progressive, but a wrong-but-plausible
+                # raster is worse than a refusal)
+                if any(c[1] != 1 or c[2] != 1 for c in comps):
+                    raise ValueError("progressive subsampled color unsupported")
             frame = (fw, fh, comps)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG (progressive/lossless/arithmetic)")
@@ -2762,58 +2808,82 @@ def parse_jpeg(data: bytes):
                 scan = sel
                 pos = pos + 2 + length
                 break
-            # --- progressive scan (grayscale; spectral selection) ---
+            # --- progressive scan (spectral selection; 4:4:4 color via
+            # interleaved DC scans + single-component AC scans) ---
             if dri:
                 raise ValueError("progressive restart interval unsupported")
-            if ns != 1:
-                raise ValueError("progressive scan must be single-component")
-            tdta = body[2]
-            ss, se, ahal = body[3], body[4], body[5]
+            fw_, fh_, fcomps = frame
+            cid2ci = {c[0]: i for i, c in enumerate(fcomps)}
+            scomps = []  # (component index, DC table id, AC table id)
+            for si in range(ns):
+                cs, tdta = body[1 + 2 * si : 3 + 2 * si]
+                if cs not in cid2ci:
+                    raise ValueError("scan component absent from frame")
+                scomps.append((cid2ci[cs], tdta >> 4, tdta & 15))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 15
             if ah != 0 and ah != al + 1:
                 raise ValueError("bad successive-approximation chain")
-            fw_, fh_, _comps = frame
             nby = -(-fh_ // 8)
             nbx = -(-fw_ // 8)
             if pcoefs is None:
-                pcoefs = np.zeros((nby, nbx, 8, 8), np.int32)
+                pcoefs = [
+                    np.zeros((nby, nbx, 8, 8), np.int32) for _ in fcomps
+                ]
+                dc_seen = [False] * len(fcomps)
             segs, endpos = _jpeg_split_entropy(data, pos + 2 + length)
             if len(segs) != 1:
                 raise ValueError("restart markers in progressive scan")
             br = _JpegBitReader(segs[0])
             if ss == 0:
+                # DC scans may interleave all components (MCU = one
+                # block per component at 4:4:4)
                 if se != 0:
                     raise ValueError("DC scan must have Se=0")
                 if ah == 0:
                     # DC first pass: diff-coded point-transformed values
-                    tbl = huff.get((0, tdta >> 4))
-                    if tbl is None:
-                        raise ValueError("missing Huffman table")
-                    pred0 = 0
+                    tbls = []
+                    for ci, td, _ta in scomps:
+                        tbl = huff.get((0, td))
+                        if tbl is None:
+                            raise ValueError("missing Huffman table")
+                        tbls.append(tbl)
+                    preds = [0] * ns
                     for mi in range(nby * nbx):
                         by, bx = divmod(mi, nbx)
-                        t = _jpeg_huff_decode(br, tbl)
-                        if t > 11:
-                            raise ValueError("bad DC category")
-                        diff = _jpeg_extend(br.read_bits(t), t) if t else 0
-                        pred0 += diff
-                        pcoefs[by, bx, 0, 0] = pred0 << al
-                    dc_seen = True
+                        for si, (ci, _td, _ta) in enumerate(scomps):
+                            t = _jpeg_huff_decode(br, tbls[si])
+                            if t > 11:
+                                raise ValueError("bad DC category")
+                            diff = (
+                                _jpeg_extend(br.read_bits(t), t) if t else 0
+                            )
+                            preds[si] += diff
+                            pcoefs[ci][by, bx, 0, 0] = preds[si] << al
+                    for ci, _td, _ta in scomps:
+                        dc_seen[ci] = True
                 else:
                     # DC refinement: one raw bit per block ORs in bit Al
                     # (two's-complement OR reconstructs negatives exactly:
                     # ((v>>1)<<1) | (v&1) == v)
-                    if not dc_seen:
+                    if not all(dc_seen[ci] for ci, _td, _ta in scomps):
                         raise ValueError("DC refinement before DC scan")
                     for mi in range(nby * nbx):
                         by, bx = divmod(mi, nbx)
-                        if br.read_bit():
-                            pcoefs[by, bx, 0, 0] |= 1 << al
+                        for ci, _td, _ta in scomps:
+                            if br.read_bit():
+                                pcoefs[ci][by, bx, 0, 0] |= 1 << al
             elif ah == 0:
-                # AC first pass at point transform Al
+                # AC first pass at point transform Al (T.81 G.1.1.1.1:
+                # AC progressive scans are always single-component)
+                if ns != 1:
+                    raise ValueError("progressive AC scan must be single-component")
                 if not (1 <= ss <= se <= 63):
                     raise ValueError("bad spectral selection band")
-                tbl = huff.get((1, tdta & 15))
+                aci, _td, ata = scomps[0]
+                acoefs = pcoefs[aci]
+                tbl = huff.get((1, ata))
                 if tbl is None:
                     raise ValueError("missing Huffman table")
                 eobrun = 0
@@ -2838,7 +2908,7 @@ def parse_jpeg(data: bytes):
                         if k > se:
                             raise ValueError("AC index overflow")
                         z = _JPEG_ZIGZAG[k]
-                        pcoefs[by, bx, z >> 3, z & 7] = (
+                        acoefs[by, bx, z >> 3, z & 7] = (
                             _jpeg_extend(br.read_bits(s_), s_) << al
                         )
                         k += 1
@@ -2849,9 +2919,13 @@ def parse_jpeg(data: bytes):
                 # Newly significant coefficients arrive as ±1<<Al; every
                 # already-nonzero coefficient passed over consumes one
                 # correction bit (also inside ZRL spans and EOB runs).
+                if ns != 1:
+                    raise ValueError("progressive AC scan must be single-component")
                 if not (1 <= ss <= se <= 63):
                     raise ValueError("bad spectral selection band")
-                tbl = huff.get((1, tdta & 15))
+                aci, _td, ata = scomps[0]
+                acoefs = pcoefs[aci]
+                tbl = huff.get((1, ata))
                 if tbl is None:
                     raise ValueError("missing Huffman table")
                 p1 = 1 << al
@@ -2869,7 +2943,7 @@ def parse_jpeg(data: bytes):
 
                 for mi in range(nby * nbx):
                     by, bx = divmod(mi, nbx)
-                    blk = pcoefs[by, bx]
+                    blk = acoefs[by, bx]
                     if eobrun:
                         _refine_tail(blk, ss)
                         eobrun -= 1
@@ -2927,16 +3001,17 @@ def parse_jpeg(data: bytes):
     w, h, comps = frame
     _check_raster_size(w, h, "JPEG")
     if progressive:
-        cid, _hs, _vs, tq = comps[0]
-        if tq not in qt:
-            raise ValueError(f"missing quant table {tq}")
-        deq = pcoefs.astype(np.float64) * qt[tq]
         m = _jpeg_dct_matrix()
-        spatial = np.einsum("ji,abjk,kl->abil", m, deq, m) + 128.0
-        nby, nbx = spatial.shape[:2]
-        plane = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
-        plane = np.clip(np.round(plane), 0, 255)
-        return w, h, plane[:h, :w].astype(np.uint8)[:, :, None]
+        pplanes = []
+        for ci, (_cid, _hs, _vs, tq) in enumerate(comps):
+            if tq not in qt:
+                raise ValueError(f"missing quant table {tq}")
+            deq = pcoefs[ci].astype(np.float64) * qt[tq]
+            spatial = np.einsum("ji,abjk,kl->abil", m, deq, m) + 128.0
+            nby, nbx = spatial.shape[:2]
+            plane = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+            pplanes.append(np.clip(np.round(plane), 0, 255)[:h, :w])
+        return w, h, _ycbcr_planes_to_u8(pplanes)
     if len(comps) == 1:
         # single-component scans are non-interleaved: one data unit per
         # MCU, declared sampling factors ignored (T.81 A.2.2)
@@ -3021,14 +3096,7 @@ def parse_jpeg(data: bytes):
             plane = np.repeat(np.repeat(plane, vmax // vs, 0), hmax // hs, 1)
         planes.append(plane[:h, :w])
 
-    if len(planes) == 1:
-        return w, h, planes[0].astype(np.uint8)[:, :, None]
-    y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=2)
-    return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return w, h, _ycbcr_planes_to_u8(planes)
 
 
 def plant_jpeg_real_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
@@ -3040,10 +3108,14 @@ def plant_jpeg_real_payloads(df: DataFrame, *, text_col: str = "text") -> DataFr
     the decode still runs the entire real entropy/IDCT path. Odd
     doc_ids are written PROGRESSIVE (SOF2): ids %4==3 with spectral
     selection only (DC scan + AC 1..63 with EOB-run coding), ids
-    %4==1 with the full SUCCESSIVE-APPROXIMATION script (DC/AC first
-    at Al=1 + DC/AC refinement) — all exactly lossless on flat
-    blocks, so the same closed-form oracle certifies every decode
-    path at zero gate-window cost (the PNG/GIF interlace precedent)."""
+    %4==1 as 4:4:4 COLOR with the full SUCCESSIVE-APPROXIMATION
+    script (interleaved DC scan, per-component AC scans, DC/AC
+    refinement) over gray (v,v,v) tiles — Y = v and Cb = Cr = 128
+    exactly under the JFIF matrix, so the color path is exactly
+    lossless too and px_sum is simply 3 × the grayscale closed form
+    (channels = 3). The same oracle row thus certifies every decode
+    layout at zero gate-window cost (the PNG/GIF interlace
+    precedent)."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3056,7 +3128,8 @@ def plant_jpeg_real_payloads(df: DataFrame, *, text_col: str = "text") -> DataFr
                 vals = np.resize(np.frombuffer(raw, np.uint8), (hb, wb))
                 img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
                 if d % 4 == 1:
-                    blob = build_jpeg_progressive(img, successive=True)
+                    rgb = np.repeat(img[:, :, None], 3, axis=2)
+                    blob = build_jpeg_progressive(rgb, successive=True)
                 elif d % 4 == 3:
                     blob = build_jpeg_progressive(img)
                 else:

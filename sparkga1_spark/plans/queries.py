@@ -2625,16 +2625,21 @@ WITH s AS (
 SELECT doc_id,
        CAST(8 * wb AS INTEGER) AS width,
        CAST(8 * hb AS INTEGER) AS height,
-       1 AS channels,
+       -- ids %4==1 are planted as 4:4:4 COLOR progressive (gray
+       -- (v,v,v) tiles: Y=v, Cb=Cr=128 exactly under the JFIF matrix)
+       CAST(CASE WHEN doc_id % 4 = 1 THEN 3 ELSE 1 END AS INTEGER)
+         AS channels,
        'JPEG' AS format,
        -- one text byte per CONSTANT 8x8 block: flat blocks are DC-only,
        -- so the lossy codec is exactly lossless here and px_sum is
-       -- 64 x the tiled block-value sum; L = 0 guard mirrors the
-       -- planter's b'\\0' empty-text fallback
-       CAST(CASE WHEN L = 0 THEN 0
-            ELSE 64 * ((wb * hb // L) * list_sum(bv)
-                       + coalesce(list_sum(bv[1:(wb * hb) % L]), 0))
-            END AS BIGINT) AS px_sum
+       -- 64 x the tiled block-value sum (x3 channels for the color
+       -- rows); L = 0 guard mirrors the planter's b'\\0' empty-text
+       -- fallback
+       CAST(CASE WHEN doc_id % 4 = 1 THEN 3 ELSE 1 END
+            * CASE WHEN L = 0 THEN 0
+              ELSE 64 * ((wb * hb // L) * list_sum(bv)
+                         + coalesce(list_sum(bv[1:(wb * hb) % L]), 0))
+              END AS BIGINT) AS px_sum
 FROM s
 """,
 )
@@ -2651,11 +2656,16 @@ def x_multimodal_jpeg_decode(spark, sf_dir):
     float IDCT on the nose), so the oracle states px_sum in closed
     form even though the codec family is lossy; any defect in the
     Huffman tables, bit packing, DC prediction chain, or IDCT breaks
-    the hash. The decoder also handles 4:4:4/4:2:2/4:2:0 color with
-    RSTn restarts — pinned by foreign real-encoder JPEGs (CPython /
+    the hash. The planter interleaves layouts so this ONE row
+    certifies them all: ids %4==3 progressive spectral-selection
+    (SOF2, EOB-run alphabet), ids %4==1 COLOR progressive with the
+    full successive-approximation script (interleaved DC scan,
+    per-component AC scans, refinement bits) — channels and px_sum
+    flip to 3x for those rows. Baseline 4:4:4/4:2:2/4:2:0 color with
+    RSTn restarts is pinned by foreign real-encoder JPEGs (CPython /
     Rust-doc test images) in tests/test_multimodal_bytes.py. The md5
-    FAKE branch now covers only video (MP4) and non-baseline JPEG
-    (progressive/arithmetic), which genuinely need a codec library."""
+    FAKE branch now covers only video (MP4) and arithmetic/12-bit
+    JPEG, which genuinely need a codec library."""
     from sparkga1_spark.operators.multimodal import (
         decode_image_stats,
         plant_jpeg_real_payloads,

@@ -1112,8 +1112,11 @@ def test_jpeg_progressive_equals_baseline_and_refusals():
     (same quantized coefficients, two layouts — the Adam7/GIF
     cross-layout discipline); (b) a mostly-flat image whose zero
     blocks span EOBn>0 runs decodes exactly (the EOB-run alphabet the
-    baseline lacks); (c) successive approximation, progressive color,
-    and progressive restart intervals refuse honestly."""
+    baseline lacks); (c) successive approximation and 4:4:4 COLOR
+    (interleaved DC scan + per-component AC scans) reproduce the
+    baseline raster exactly; (d) subsampled progressive color,
+    incomplete progressions, and progressive restart intervals refuse
+    honestly."""
     import numpy as np
     import pytest
 
@@ -1180,7 +1183,20 @@ def test_jpeg_progressive_equals_baseline_and_refusals():
     sa2 = good[: sos + 9] + bytes([0x20]) + good[sos + 10 :]
     with pytest.raises(ValueError, match="bad successive-approximation"):
         parse_jpeg(sa2)
-    # progressive color: SOF2 with 3 components
+    # COLOR progressive (4:4:4): interleaved DC scan + per-component
+    # AC scans decode to the byte-identical raster of the baseline
+    # color encode — identical quantized YCbCr coefficients, third
+    # layout certified by cross-layout equality
+    for h, w in [(1, 1), (8, 8), (16, 24), (33, 9)]:
+        cpx = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        cbase = parse_jpeg(build_jpeg_baseline(cpx))
+        for succ in (False, True):
+            got = parse_jpeg(build_jpeg_progressive(cpx, successive=succ))
+            assert got[0:2] == (w, h)
+            assert (got[2] == cbase[2]).all(), (h, w, succ)
+    # a color progression whose AC scans never arrive for components
+    # 2-3 is incomplete: SOF2 claiming 3 components over a grayscale
+    # scan body must refuse, not emit a half-decoded raster
     import struct
 
     sof = good.find(b"\xff\xc2")
@@ -1193,8 +1209,19 @@ def test_jpeg_progressive_equals_baseline_and_refusals():
         + body
         + good[sof + 13 :]
     )
-    with pytest.raises(ValueError, match="progressive color"):
+    with pytest.raises(ValueError, match="EOI before scan data"):
         parse_jpeg(color)
+    # subsampled progressive color (2x2 luma sampling) refuses — the
+    # engine's progressive layout is 4:4:4 only
+    cgood = build_jpeg_progressive(
+        np.zeros((8, 8, 3), np.uint8), successive=False
+    )
+    csof = cgood.find(b"\xff\xc2")
+    # SOF2: FF C2 len(2) prec(1) h(2) w(2) ncomp(1) [cid hv tq]x3
+    assert cgood[csof + 11] == 0x11
+    sub = cgood[: csof + 11] + bytes([0x22]) + cgood[csof + 12 :]
+    with pytest.raises(ValueError, match="progressive subsampled"):
+        parse_jpeg(sub)
     # progressive restart interval
     dri = good[:sof] + b"\xff\xdd\x00\x04\x00\x04" + good[sof:]
     with pytest.raises(ValueError, match="progressive restart"):
