@@ -3751,3 +3751,288 @@ def plant_flac_payloads(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
     return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+
+
+# --------------------------------------------------------------------------
+# AVI (RIFF) + Motion-JPEG — REAL compressed VIDEO decode with zero
+# codec libraries: the RIFF/AVI container (public Microsoft "AVI RIFF
+# File Reference" layout: RIFF('AVI ' LIST('hdrl' avih LIST('strl'
+# strh strf)) LIST('movi' 00dc...) idx1)) carrying one baseline or
+# progressive JPEG per '00dc' chunk, each decoded by the full parse_jpeg
+# path above. This moves video from "Y4M only" (uncompressed) to a
+# genuinely compressed format; the md5 FAKE branch now covers only
+# inter-frame-predicted codecs (MP4/H.264), which need a codec library.
+# Reference parity: SparkGA1 treats chunk payloads as opaque records
+# for external tools (program/.../SparkGA1.scala chunk pipeline); here
+# the per-chunk payload is decoded natively instead.
+# --------------------------------------------------------------------------
+
+AVI_MAGIC = b"RIFF"
+
+
+def build_avi_mjpeg(frames_jpeg, width: int, height: int, *, fps: int = 25) -> bytes:
+    """list of per-frame JPEG byte strings → a standards-shaped MJPEG
+    AVI: avih main header, one 'vids'/'MJPG' stream (strh scale=1
+    rate=fps, BITMAPINFOHEADER strf with biCompression='MJPG'),
+    word-aligned '00dc' chunks inside LIST 'movi', and an idx1 index
+    whose offsets follow the common convention (relative to the
+    'movi' fourcc position)."""
+    import struct
+
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+    n = len(frames_jpeg)
+    if n == 0:
+        raise ValueError("MJPEG AVI needs at least one frame")
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(listtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", listtype + body)
+
+    max_bytes = max(len(f) for f in frames_jpeg)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        max_bytes * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX
+        n,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        max_bytes,  # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,  # dwReserved[4]
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII4h",
+            0,  # dwFlags
+            0, 0,  # wPriority, wLanguage
+            0,  # dwInitialFrames
+            1,  # dwScale
+            fps,  # dwRate
+            0,  # dwStart
+            n,  # dwLength (frames)
+            max_bytes,  # dwSuggestedBufferSize
+            0,  # dwQuality
+            0,  # dwSampleSize (0: variable-size video samples)
+            0, 0, width, height,  # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40,  # biSize
+        width,
+        height,
+        1,  # biPlanes
+        24,  # biBitCount
+        b"MJPG",  # biCompression
+        width * height * 3,  # biSizeImage
+        0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_chunks = []
+    offsets = []  # offset of each 00dc fourcc, relative to 'movi' fourcc
+    off = 4  # the movi LIST body starts with the 'movi' fourcc itself
+    for f in frames_jpeg:
+        c = chunk(b"00dc", bytes(f))
+        offsets.append(off)
+        movi_chunks.append(c)
+        off += len(c)
+    movi = lst(b"movi", b"".join(movi_chunks))
+    idx1 = b"".join(
+        b"00dc"
+        + struct.pack("<III", 0x10, offsets[i], len(frames_jpeg[i]))
+        for i in range(n)
+    )
+    riff_body = b"AVI " + hdrl + movi + chunk(b"idx1", idx1)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def parse_avi_mjpeg(data: bytes):
+    """AVI bytes → (width, height, fps, [HxWxC uint8 frames]): a real
+    RIFF walk (chunk tree, word alignment, declared-size validation),
+    MJPG stream-header checks, then a FULL JPEG decode of every
+    '00dc' chunk via parse_jpeg — baseline, progressive, and color
+    progressive frames all land on the same raster contract. Raises
+    ValueError on structural damage: bad magic, truncated chunks,
+    stream/frame-count mismatches, frame dimensions disagreeing with
+    the BITMAPINFOHEADER, or idx1 entries that don't match the movi
+    chunks they claim to index."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    riff_size = struct.unpack_from("<I", data, 4)[0]
+    if 8 + riff_size > len(data):
+        raise ValueError("truncated RIFF payload")
+
+    def walk(buf, pos, end):
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            size = struct.unpack_from("<I", buf, pos + 4)[0]
+            body_start = pos + 8
+            if body_start + size > end:
+                raise ValueError("chunk overruns its parent")
+            yield fourcc, body_start, size
+            pos = body_start + size + (size & 1)
+
+    avih = None
+    strh = None
+    strf = None
+    frames_raw = []  # (offset_of_fourcc_rel_to_movi_fourcc, payload)
+    idx1 = None
+    movi_fourcc_pos = None
+    for fourcc, start, size in walk(data, 12, 8 + riff_size):
+        if fourcc == b"LIST":
+            listtype = data[start : start + 4]
+            if listtype == b"hdrl":
+                for f2, s2, z2 in walk(data, start + 4, start + size):
+                    if f2 == b"avih":
+                        avih = data[s2 : s2 + z2]
+                    elif f2 == b"LIST" and data[s2 : s2 + 4] == b"strl":
+                        for f3, s3, z3 in walk(data, s2 + 4, s2 + z2):
+                            if f3 == b"strh" and strh is None:
+                                strh = data[s3 : s3 + z3]
+                            elif f3 == b"strf" and strf is None:
+                                strf = data[s3 : s3 + z3]
+            elif listtype == b"movi":
+                movi_fourcc_pos = start
+                for f2, s2, z2 in walk(data, start + 4, start + size):
+                    if f2 == b"00dc":
+                        frames_raw.append((s2 - 8 - start, data[s2 : s2 + z2]))
+                    else:
+                        raise ValueError("unsupported movi chunk " + repr(f2))
+        elif fourcc == b"idx1":
+            idx1 = data[start : start + size]
+
+    if avih is None or len(avih) < 56:
+        raise ValueError("missing avih header")
+    if strh is None or len(strh) < 48 or strf is None or len(strf) < 40:
+        raise ValueError("missing stream headers")
+    if strh[0:4] != b"vids" or strh[4:8] != b"MJPG":
+        raise ValueError("not an MJPG video stream")
+    scale, rate = struct.unpack_from("<II", strh, 20)
+    if scale <= 0 or rate <= 0 or rate % scale:
+        raise ValueError("bad MJPEG frame rate")
+    fps = rate // scale
+    n_avih = struct.unpack_from("<I", avih, 16)[0]
+    n_strh = struct.unpack_from("<I", strh, 32)[0]
+    bi_w, bi_h = struct.unpack_from("<ii", strf, 4)
+    if strf[16:20] != b"MJPG":
+        raise ValueError("strf compression is not MJPG")
+    if len(frames_raw) != n_avih or len(frames_raw) != n_strh:
+        raise ValueError("frame count disagrees with headers")
+    if idx1 is not None:
+        if len(idx1) != 16 * len(frames_raw):
+            raise ValueError("idx1 entry count mismatch")
+        for i, (off, payload) in enumerate(frames_raw):
+            ckid = idx1[16 * i : 16 * i + 4]
+            _fl, ioff, ilen = struct.unpack_from("<III", idx1, 16 * i + 4)
+            # offsets are movi-fourcc-relative (the common muxer
+            # convention) or absolute file offsets — accept either
+            if ckid != b"00dc" or ilen != len(payload) or (
+                ioff != off and ioff != movi_fourcc_pos + off
+            ):
+                raise ValueError("idx1 entry disagrees with movi chunk")
+    frames = []
+    for _off, payload in frames_raw:
+        w, h, px = parse_jpeg(payload)
+        if w != bi_w or h != abs(bi_h):
+            raise ValueError("frame dimensions disagree with strf")
+        frames.append(px)
+    return bi_w, abs(bi_h), fps, frames
+
+
+MJPEG_FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame_ts_ms int, width int, height int, "
+    "channels int, px_sum long"
+)
+
+
+def decode_mjpeg_frames(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
+    """binary MJPEG AVI → one row per frame with REAL decoded pixel
+    statistics (1→N flatMap, Arrow-batched): the container walk, every
+    per-frame JPEG entropy decode, and the IDCT all run for real, so
+    a defect anywhere from RIFF chunk math to refinement-bit alignment
+    breaks px_sum."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                w, h, fps, frames = parse_avi_mjpeg(bytes(payload))
+                for i, px in enumerate(frames):
+                    out.append(
+                        (
+                            doc_id,
+                            i,
+                            i * 1000 // fps,
+                            w,
+                            h,
+                            int(px.shape[2]),
+                            int(px.sum(dtype=np.int64)),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "frame_idx", "frame_ts_ms", "width", "height",
+                    "channels", "px_sum",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=MJPEG_FRAME_SCHEMA)
+
+
+def plant_avi_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(doc_id, text) → (doc_id, payload): a REAL MJPEG AVI per
+    document. Geometry: w = 8·(id%4+1), h = 8·(id%3+1), n = id%4+2
+    frames at fps = id%5+10. Frame f tiles the UTF-8 text bytes into
+    CONSTANT 8×8 blocks with a per-frame rotation (block j carries
+    byte (j+f) mod L), so every frame's px_sum is closed-form:
+    64·Σ_j bv[(j+f) mod L] — exactly lossless through the lossy codec
+    because flat blocks are DC-only at quant 1. Frames rotate through
+    the JPEG layouts by (id+f)%4 (the planted-image precedent): ==1
+    4:4:4 COLOR successive-approximation progressive over gray
+    (v,v,v) tiles (channels and px_sum ×3), ==3 grayscale
+    spectral-selection progressive, else grayscale baseline — so the
+    ONE video oracle row certifies container walk × every JPEG decode
+    layout."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text_val in zip(pdf["doc_id"], pdf[text_col]):
+                d = int(doc_id)
+                wb, hb = d % 4 + 1, d % 3 + 1
+                n, fps = d % 4 + 2, d % 5 + 10
+                raw = (text_val or "").encode("utf-8") or b"\0"
+                bv = np.frombuffer(raw, np.uint8)
+                frames = []
+                for f in range(n):
+                    vals = bv[(np.arange(hb * wb) + f) % len(bv)].reshape(hb, wb)
+                    img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+                    if (d + f) % 4 == 1:
+                        rgb = np.repeat(img[:, :, None], 3, axis=2)
+                        frames.append(build_jpeg_progressive(rgb, successive=True))
+                    elif (d + f) % 4 == 3:
+                        frames.append(build_jpeg_progressive(img))
+                    else:
+                        frames.append(build_jpeg_baseline(img))
+                out.append((doc_id, build_avi_mjpeg(frames, 8 * wb, 8 * hb, fps=fps)))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")

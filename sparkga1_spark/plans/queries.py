@@ -1642,6 +1642,68 @@ def x_multimodal_y4m_frames(spark, sf_dir):
 
 
 @query(
+    "x_multimodal_mjpeg_frames",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         doc_id % 4 + 1 AS wb, doc_id % 3 + 1 AS hb,
+         doc_id % 4 + 2 AS n, doc_id % 5 + 10 AS fps,
+         octet_length(encode(text)) AS L,
+         [CAST(('0x' || substr(hex(encode(text)), 2*i-1, 2)) AS INTEGER)
+          for i in generate_series(1, octet_length(encode(text)))] AS bv
+  FROM documents
+), fr AS (
+  SELECT doc_id, wb, hb, fps, L, bv,
+         unnest([f for f in generate_series(0, CAST(n - 1 AS BIGINT))]) AS f
+  FROM s
+)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(f * 1000 // fps AS INTEGER) AS frame_ts_ms,
+       CAST(8 * wb AS INTEGER) AS width,
+       CAST(8 * hb AS INTEGER) AS height,
+       CAST(CASE WHEN (doc_id + f) % 4 = 1 THEN 3 ELSE 1 END AS INTEGER)
+         AS channels,
+       -- frame f tiles byte (j+f) mod L into constant block j: flat
+       -- blocks are DC-only at quant 1, so the lossy codec is exactly
+       -- lossless and px_sum = 64 x the rotated byte sum (x3 channels
+       -- for the color progressive frames); L>0 always (the planter
+       -- substitutes b'\\0' for empty text, whose byte sum is 0)
+       CAST(CASE WHEN (doc_id + f) % 4 = 1 THEN 3 ELSE 1 END
+            * CASE WHEN L = 0 THEN 0 ELSE
+              64 * list_sum([bv[CAST((j + f) % L AS BIGINT) + 1]
+                             for j in generate_series(0, CAST(wb * hb - 1 AS BIGINT))])
+              END AS BIGINT) AS px_sum
+FROM fr
+""",
+)
+def x_multimodal_mjpeg_frames(spark, sf_dir):
+    """Multimodal REAL compressed-VIDEO decode — Motion-JPEG in the
+    RIFF/AVI container (public Microsoft AVI RIFF layout + ITU-T T.81
+    frames): plant an actual MJPEG AVI per document (avih/strh/strf
+    headers, word-aligned '00dc' chunks, idx1 index), then run the
+    COMPLETE decode — RIFF chunk walk, MJPG stream validation, and a
+    full JPEG entropy decode + IDCT of every frame — and emit per-frame
+    pixel statistics (1→N flatMap). Frames rotate through baseline,
+    spectral-selection progressive, and 4:4:4 color
+    successive-approximation progressive layouts by (doc_id+f)%4, so
+    this ONE row certifies container math × every JPEG decode path;
+    the oracle restates each frame's px_sum in closed form (constant
+    8×8 blocks tiled from rotated text bytes are exactly lossless
+    through the lossy codec). Video's md5 FAKE branch now covers only
+    inter-frame-predicted codecs (MP4/H.264). Reference parity: the
+    chunked container walk mirrors SparkGA1's chunk→records contract
+    (program/.../SparkGA1.scala X-1) with the payload decoded natively."""
+    from sparkga1_spark.operators.multimodal import (
+        decode_mjpeg_frames,
+        plant_avi_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return decode_mjpeg_frames(plant_avi_payloads(docs))
+
+
+@query(
     "x_multimodal_jpeg_meta",
     oracle="""
 SELECT doc_id,
@@ -10683,11 +10745,14 @@ def x_dedup_cluster_size_hist(spark, sf_dir):
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
 
 set_gate_order([
-    # (a) new / result-changed this round — session 5 first (the
-    # analytics/ML-evaluation wave), then session 4 (real baseline
-    # JPEG decode, real FLAC decode), session 3 (IMA ADPCM stateful
-    # codec, BPE encode, NFC text hygiene), session 2, and the
-    # session-1 new/graph set
+    # (a) new / result-changed this round — session 6 first (MJPEG
+    # AVI real video decode; x_multimodal_jpeg_decode's row below also
+    # changed values: color progressive rows now carry channels=3 and
+    # 3x px_sum), then session 5 (the analytics/ML-evaluation wave),
+    # session 4 (real baseline JPEG decode, real FLAC decode),
+    # session 3 (IMA ADPCM stateful codec, BPE encode, NFC text
+    # hygiene), session 2, and the session-1 new/graph set
+    "x_multimodal_mjpeg_frames",
     "x_revenue_gini_lorenz",
     "x_heaps_vocab_growth",
     "x_target_encode_loo",
@@ -10728,14 +10793,15 @@ set_gate_order([
     "x_host_pagerank",
     "x_graph_triangles",
     "x_graph_bfs_hops",
-    # (b) 13 of the 18 round-2-age queries (r5 VERDICT #1). The
-    # session-5 additions compress this block: every NEVER-verified
-    # query outranks a stale-but-green one (a query with no driver row
-    # at all is strictly worse evidence than an r2 row + three rounds
-    # of full-precision LOCAL_GATE green), so the 5 simplest
+    # (b) round-2-age queries (r5 VERDICT #1). The session-5/6
+    # additions compress this block: every NEVER-verified query
+    # outranks a stale-but-green one (a query with no driver row at
+    # all is strictly worse evidence than an r2 row + three rounds of
+    # full-precision LOCAL_GATE green), so the simplest
     # relational/window members — a_date_parts, a_minmax_by_bool,
     # f_null_semantics, w_first_last_nth, w_rank_family — rotate to
-    # the r7 front on LOCAL_GATE evidence.
+    # the r7 front on LOCAL_GATE evidence; x_vocab_topk sits at
+    # position 51 (first out) after the session-6 MJPEG row fronted.
     "a_cube_revenue",
     "f_attrs_map_extract",
     "x_datamix_split",

@@ -1609,3 +1609,93 @@ def test_exhaustive_truncation_valueerror_only():
     crafted = jpeg[:sos] + b"\xff\xda\x00\x02" + jpeg[sos:]
     with pytest.raises(ValueError, match="empty SOS"):
         parse_jpeg(crafted)
+
+
+def test_avi_mjpeg_roundtrip_and_refusals():
+    """MJPEG AVI: (a) the RIFF walk + per-frame JPEG decode returns
+    every planted frame exactly (flat blocks; baseline, progressive,
+    and color progressive layouts in one container, odd-length frame
+    payloads crossing the word-alignment pad); (b) spec-pinned header
+    offsets (avih dwTotalFrames, strh scale/rate, strf biCompression)
+    — a builder and parser sharing a wrong layout would pass a pure
+    roundtrip; (c) structural damage refuses: bad magic, truncated
+    RIFF, frame-count and dimension mismatches, idx1 disagreement,
+    non-MJPG streams, zero frame rates."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from sparkga1_spark.operators.multimodal import (
+        build_avi_mjpeg,
+        build_jpeg_baseline,
+        build_jpeg_progressive,
+        parse_avi_mjpeg,
+    )
+
+    rng = np.random.RandomState(20260815)
+    tiles = rng.randint(0, 256, (2, 3), np.uint8)
+    gray = np.repeat(np.repeat(tiles, 8, 0), 8, 1)  # 16x24, flat blocks
+    rgb = np.repeat(gray[:, :, None], 3, axis=2)
+    frames = [
+        build_jpeg_baseline(gray),
+        build_jpeg_progressive(rgb, successive=True),
+        build_jpeg_progressive(gray),
+    ]
+    # at least one odd-length payload must exercise the pad byte
+    assert any(len(f) % 2 for f in frames)
+    avi = build_avi_mjpeg(frames, 24, 16, fps=12)
+    w, h, fps, out = parse_avi_mjpeg(avi)
+    assert (w, h, fps) == (24, 16, 12) and len(out) == 3
+    assert (out[0][:, :, 0] == gray).all()
+    assert (out[1] == rgb).all()
+    assert (out[2][:, :, 0] == gray).all()
+
+    # spec-pinned offsets (builder+parser can't both drift): avih
+    # dwTotalFrames at +16, dwWidth/dwHeight at +32/+36; strh
+    # dwScale/dwRate at +20/+24; strf biCompression at +16
+    ah = avi.find(b"avih") + 8
+    assert struct.unpack_from("<I", avi, ah + 16)[0] == 3
+    assert struct.unpack_from("<II", avi, ah + 32) == (24, 16)
+    sh = avi.find(b"strh") + 8
+    assert avi[sh : sh + 8] == b"vidsMJPG"
+    assert struct.unpack_from("<II", avi, sh + 20) == (1, 12)
+    sf = avi.find(b"strf") + 8
+    assert avi[sf + 16 : sf + 20] == b"MJPG"
+
+    with pytest.raises(ValueError, match="not an AVI"):
+        parse_avi_mjpeg(b"RIFX" + avi[4:])
+    with pytest.raises(ValueError, match="truncated RIFF"):
+        parse_avi_mjpeg(avi[:4] + struct.pack("<I", len(avi)) + avi[8:])
+    bad = bytearray(avi)
+    bad[ah + 16 : ah + 20] = struct.pack("<I", 7)
+    with pytest.raises(ValueError, match="frame count disagrees"):
+        parse_avi_mjpeg(bytes(bad))
+    bad = bytearray(avi)
+    bad[sf + 4 : sf + 8] = struct.pack("<i", 32)  # biWidth lies
+    with pytest.raises(ValueError, match="dimensions disagree"):
+        parse_avi_mjpeg(bytes(bad))
+    bad = bytearray(avi)
+    ix = avi.find(b"idx1") + 8
+    bad[ix + 12 : ix + 16] = struct.pack("<I", 1)  # idx1 length lies
+    with pytest.raises(ValueError, match="idx1 entry disagrees"):
+        parse_avi_mjpeg(bytes(bad))
+    bad = bytearray(avi)
+    bad[sh : sh + 4] = b"auds"  # not a video stream
+    with pytest.raises(ValueError, match="not an MJPG video stream"):
+        parse_avi_mjpeg(bytes(bad))
+    bad = bytearray(avi)
+    bad[sh + 24 : sh + 28] = struct.pack("<I", 0)  # dwRate = 0
+    with pytest.raises(ValueError, match="bad MJPEG frame rate"):
+        parse_avi_mjpeg(bytes(bad))
+    with pytest.raises(ValueError, match="at least one frame"):
+        build_avi_mjpeg([], 8, 8)
+
+    # idx1 offsets: the absolute-file-offset convention must also parse
+    # (foreign muxers disagree on the base)
+    alt = bytearray(avi)
+    movi_pos = avi.find(b"movi")
+    for i in range(3):
+        off = struct.unpack_from("<I", alt, ix + 16 * i + 8)[0]
+        struct.pack_into("<I", alt, ix + 16 * i + 8, movi_pos + off)
+    assert parse_avi_mjpeg(bytes(alt))[3][1].shape == (16, 24, 3)
