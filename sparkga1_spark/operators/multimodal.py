@@ -4036,3 +4036,315 @@ def plant_avi_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
     return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+
+
+# --------------------------------------------------------------------------
+# MP4 / ISO BMFF (ISO/IEC 14496-12, public spec) — REAL container
+# METADATA: full box-tree walk (32-bit and 64-bit sizes, version 0/1
+# full boxes), movie/track headers with 16.16 fixed-point dimensions,
+# and the sample tables (stts/stsz/stco) cross-validated against the
+# mdat payload. The frame PIXEL decode stays an honest fake — H.264
+# inter-frame prediction genuinely needs a codec library — but
+# duration, geometry, sample count, per-sample sizes, and codec id
+# are now real parses, mirroring the image family's meta/decode split
+# (parse_jpeg_meta vs parse_jpeg).
+# --------------------------------------------------------------------------
+
+
+def build_mp4_meta(
+    width: int,
+    height: int,
+    sample_sizes,
+    *,
+    timescale: int = 600,
+    sample_delta: int = 20,
+    codec: bytes = b"avc1",
+    version1: bool = False,
+) -> bytes:
+    """Minimal standards-shaped ISO BMFF file: ftyp + moov(mvhd,
+    trak(tkhd, mdia(mdhd, hdlr, minf(stbl(stsd/stts/stsc/stsz/stco)))))
+    + mdat whose payload length equals Σ sample_sizes (per-sample
+    bytes are a deterministic ramp — the sample CONTENT is not claimed
+    real, the TABLES are). `version1=True` writes version-1
+    (64-bit duration) mvhd/tkhd/mdhd so both parse paths are planted."""
+    import struct
+
+    sizes = [int(s) for s in sample_sizes]
+    if not sizes or any(s <= 0 for s in sizes):
+        raise ValueError("sample_sizes must be positive and non-empty")
+    n = len(sizes)
+    duration = n * sample_delta
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    def full(btype: bytes, version: int, body: bytes) -> bytes:
+        return box(btype, struct.pack(">B3x", version) + body)
+
+    v = 1 if version1 else 0
+    q = ">Q" if version1 else ">I"
+    mvhd = full(
+        b"mvhd",
+        v,
+        struct.pack(q, 0) * 2  # creation/modification
+        + struct.pack(">I", timescale)
+        + struct.pack(q, duration)
+        + struct.pack(">i", 0x00010000)  # rate 1.0
+        + struct.pack(">h", 0x0100)  # volume
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = full(
+        b"tkhd",
+        v,
+        struct.pack(q, 0) * 2
+        + struct.pack(">I", 1)  # track id
+        + b"\x00" * 4
+        + struct.pack(q, duration)
+        + b"\x00" * 16
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    mdhd = full(
+        b"mdhd",
+        v,
+        struct.pack(q, 0) * 2
+        + struct.pack(">I", timescale)
+        + struct.pack(q, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = full(b"hdlr", 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00")
+    sample_entry = (
+        struct.pack(">I", 86)
+        + codec
+        + b"\x00" * 6
+        + struct.pack(">H", 1)  # data reference index
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)  # frame count
+        + b"\x00" * 32
+        + struct.pack(">H", 24)  # depth
+        + struct.pack(">h", -1)
+    )
+    stsd = full(b"stsd", 0, struct.pack(">I", 1) + sample_entry)
+    stts = full(b"stts", 0, struct.pack(">III", 1, n, sample_delta))
+    stsc = full(b"stsc", 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = full(
+        b"stsz", 0, struct.pack(">II", 0, n) + struct.pack(f">{n}I", *sizes)
+    )
+    stbl_partial = stsd + stts + stsc + stsz
+    # stco chunk offset = absolute file offset of the mdat payload;
+    # compute from the sizes of everything that precedes it
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+
+    def assemble(chunk_off: int) -> bytes:
+        stco = full(b"stco", 0, struct.pack(">II", 1, chunk_off))
+        stbl = box(b"stbl", stbl_partial + stco)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        trak = box(b"trak", tkhd + mdia)
+        moov = box(b"moov", mvhd + trak)
+        payload = bytes(
+            (i * 131 + j * 7) % 256 for i, s in enumerate(sizes) for j in range(s)
+        )
+        mdat = box(b"mdat", payload)
+        return ftyp + moov + mdat
+
+    # two passes: the first measures moov to learn the mdat offset
+    probe = assemble(0)
+    chunk_off = len(probe) - (sum(sizes))  # payload starts here
+    out = assemble(chunk_off)
+    assert len(out) == len(probe)
+    return out
+
+
+def parse_mp4_meta(data: bytes):
+    """MP4/ISO-BMFF bytes → (width, height, duration_ms, n_samples,
+    codec, sample_bytes): a REAL box-tree walk. Handles 32-bit sizes,
+    size==1 (64-bit largesize), size==0 (box runs to end-of-parent),
+    and version 0/1 full boxes; validates that children exactly tile
+    their parents, that stsz's total equals the mdat payload budget it
+    addresses, that stts's sample total equals stsz's count, and that
+    the tkhd 16.16 geometry matches the stsd sample-entry geometry.
+    Raises ValueError on structural damage — never a guessed row."""
+    import struct
+
+    if len(data) < 16 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file")
+
+    def walk(pos, end):
+        while pos < end:
+            if pos + 8 > end:
+                raise ValueError("truncated box header")
+            size = struct.unpack_from(">I", data, pos)[0]
+            btype = data[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:
+                if pos + 16 > end:
+                    raise ValueError("truncated largesize box")
+                size = struct.unpack_from(">Q", data, pos + 8)[0]
+                body = pos + 16
+            elif size == 0:
+                size = end - pos
+            if size < body - pos or pos + size > end:
+                raise ValueError("box overruns its parent")
+            yield btype, body, pos + size
+            pos += size
+
+    def fullbox(body, end):
+        version = data[body]
+        return version, body + 4
+
+    found = {}
+
+    def descend(pos, end, path=()):
+        for btype, body, bend in walk(pos, end):
+            key = path + (btype,)
+            if btype in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                descend(body, bend, key)
+            else:
+                found.setdefault(key, (body, bend))
+
+    descend(0, len(data))
+
+    def get(*path):
+        hit = [v for k, v in found.items() if k[-len(path):] == path]
+        if not hit:
+            raise ValueError("missing box " + "/".join(p.decode() for p in path))
+        return hit[0]
+
+    # mvhd: movie timescale + duration
+    body, bend = get(b"moov", b"mvhd")
+    v, p = fullbox(body, bend)
+    if v == 1:
+        timescale, duration = struct.unpack_from(">IQ", data, p + 16)
+    elif v == 0:
+        timescale, duration = struct.unpack_from(">II", data, p + 8)
+    else:
+        raise ValueError("bad mvhd version")
+    if timescale <= 0:
+        raise ValueError("zero movie timescale")
+
+    # tkhd: 16.16 fixed-point presentation size (last 8 bytes)
+    body, bend = get(b"trak", b"tkhd")
+    wfx, hfx = struct.unpack_from(">II", data, bend - 8)
+    if wfx % 65536 or hfx % 65536:
+        raise ValueError("fractional track dimensions unsupported")
+    width, height = wfx >> 16, hfx >> 16
+
+    # stsd: codec fourcc + sample-entry pixel dims
+    body, bend = get(b"stbl", b"stsd")
+    v, p = fullbox(body, bend)
+    n_entries = struct.unpack_from(">I", data, p)[0]
+    if n_entries != 1:
+        raise ValueError("expected exactly one sample description")
+    codec = data[p + 8 : p + 12].decode("ascii", "replace")
+    sw, sh = struct.unpack_from(">HH", data, p + 4 + 32)
+    if (sw, sh) != (width, height):
+        raise ValueError("tkhd and sample-entry dimensions disagree")
+
+    # stts: total sample count and total duration in media time
+    body, bend = get(b"stbl", b"stts")
+    v, p = fullbox(body, bend)
+    n_runs = struct.unpack_from(">I", data, p)[0]
+    if p + 4 + 8 * n_runs > bend:
+        raise ValueError("truncated stts")
+    stts_samples = 0
+    stts_ticks = 0
+    for i in range(n_runs):
+        cnt, delta = struct.unpack_from(">II", data, p + 4 + 8 * i)
+        stts_samples += cnt
+        stts_ticks += cnt * delta
+
+    # stsz: per-sample sizes
+    body, bend = get(b"stbl", b"stsz")
+    v, p = fullbox(body, bend)
+    uniform, n_samples = struct.unpack_from(">II", data, p)
+    if uniform:
+        sample_bytes = uniform * n_samples
+    else:
+        if p + 8 + 4 * n_samples > bend:
+            raise ValueError("truncated stsz")
+        sample_bytes = sum(
+            struct.unpack_from(f">{n_samples}I", data, p + 8)
+        )
+    if n_samples != stts_samples:
+        raise ValueError("stts/stsz sample counts disagree")
+
+    # stco + mdat: the chunk offset must land inside mdat and the
+    # declared sample budget must fit the payload it addresses
+    body, bend = get(b"stbl", b"stco")
+    v, p = fullbox(body, bend)
+    n_chunks = struct.unpack_from(">I", data, p)[0]
+    if n_chunks < 1:
+        raise ValueError("empty stco")
+    first_off = struct.unpack_from(">I", data, p + 4)[0]
+    mbody, mend = get(b"mdat")
+    if not (mbody <= first_off <= mend) or first_off + sample_bytes > mend:
+        raise ValueError("sample data overruns mdat")
+
+    duration_ms = duration * 1000 // timescale
+    return width, height, int(duration_ms), int(n_samples), codec, int(sample_bytes)
+
+
+MP4_META_SCHEMA = (
+    "doc_id long, width int, height int, duration_ms long, n_samples int, "
+    "codec string, sample_bytes long"
+)
+
+
+def decode_mp4_meta(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
+    """binary ISO-BMFF → one metadata row per payload via the REAL box
+    walk (geometry, duration, sample tables, codec). Pixel decode is
+    NOT claimed — that is the honest H.264 boundary."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                w, h, dur, n, codec, sb = parse_mp4_meta(bytes(payload))
+                out.append((doc_id, w, h, dur, n, codec, sb))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "width", "height", "duration_ms", "n_samples",
+                    "codec", "sample_bytes",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=MP4_META_SCHEMA)
+
+
+def plant_mp4_payloads(df: DataFrame) -> DataFrame:
+    """(doc_id, …) → (doc_id, payload): a REAL minimal MP4 per document
+    with closed-form metadata: w = id%320+16, h = id%240+16,
+    n = id%30+5 samples, per-sample delta = id%20+10 ticks at
+    timescale 600 (duration_ms = n·delta·1000//600), sample i sized
+    (id·7 + i·13) % 200 + 1 bytes. ids %3==0 write version-1 (64-bit
+    duration) headers so both full-box parse paths carry gate rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                sizes = [(d * 7 + i * 13) % 200 + 1 for i in range(d % 30 + 5)]
+                out.append(
+                    (
+                        doc_id,
+                        build_mp4_meta(
+                            d % 320 + 16,
+                            d % 240 + 16,
+                            sizes,
+                            sample_delta=d % 20 + 10,
+                            version1=(d % 3 == 0),
+                        ),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")

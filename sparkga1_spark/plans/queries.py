@@ -1704,6 +1704,47 @@ def x_multimodal_mjpeg_frames(spark, sf_dir):
 
 
 @query(
+    "x_multimodal_mp4_meta",
+    oracle="""
+SELECT doc_id,
+       CAST(doc_id % 320 + 16 AS INTEGER) AS width,
+       CAST(doc_id % 240 + 16 AS INTEGER) AS height,
+       CAST((doc_id % 30 + 5) * (doc_id % 20 + 10) * 1000 // 600 AS BIGINT)
+         AS duration_ms,
+       CAST(doc_id % 30 + 5 AS INTEGER) AS n_samples,
+       'avc1' AS codec,
+       CAST(list_sum([(doc_id * 7 + i * 13) % 200 + 1
+                      for i in generate_series(0, CAST(doc_id % 30 + 4 AS BIGINT))])
+            AS BIGINT) AS sample_bytes
+FROM documents
+""",
+)
+def x_multimodal_mp4_meta(spark, sf_dir):
+    """Multimodal REAL MP4/ISO-BMFF container METADATA (ISO/IEC
+    14496-12, public spec): plant a minimal standards-shaped MP4 per
+    document (ftyp + moov box tree + mdat; ids %3==0 use version-1
+    64-bit-duration headers) and run the REAL box-tree walk —
+    32/64-bit sizes, version 0/1 full boxes, 16.16 fixed-point tkhd
+    geometry cross-checked against the stsd sample entry, stts/stsz
+    sample-count agreement, and the stco chunk offset bounded inside
+    mdat — emitting geometry, duration, sample count/bytes, and codec
+    fourcc. The PIXEL decode is NOT claimed (H.264 inter-frame
+    prediction genuinely needs a codec library — that honest fake
+    boundary stands); this closes the metadata half, mirroring the
+    image family's meta/decode split (parse_jpeg_meta vs parse_jpeg).
+    The oracle restates every column in closed form from the planting
+    formulas, so a wrong box offset, fixed-point shift, or version-1
+    layout breaks the hash."""
+    from sparkga1_spark.operators.multimodal import (
+        decode_mp4_meta,
+        plant_mp4_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_mp4_meta(plant_mp4_payloads(docs))
+
+
+@query(
     "x_multimodal_jpeg_meta",
     oracle="""
 SELECT doc_id,
@@ -10753,6 +10794,7 @@ set_gate_order([
     # session 3 (IMA ADPCM stateful codec, BPE encode, NFC text
     # hygiene), session 2, and the session-1 new/graph set
     "x_multimodal_mjpeg_frames",
+    "x_multimodal_mp4_meta",
     "x_revenue_gini_lorenz",
     "x_heaps_vocab_growth",
     "x_target_encode_loo",
@@ -10800,8 +10842,9 @@ set_gate_order([
     # full-precision LOCAL_GATE green), so the simplest
     # relational/window members — a_date_parts, a_minmax_by_bool,
     # f_null_semantics, w_first_last_nth, w_rank_family — rotate to
-    # the r7 front on LOCAL_GATE evidence; x_vocab_topk sits at
-    # position 51 (first out) after the session-6 MJPEG row fronted.
+    # the r7 front on LOCAL_GATE evidence; x_vector_stats_hof and
+    # x_vocab_topk sit at positions 51-52 (first out) after the
+    # session-6 MJPEG/MP4 rows fronted.
     "a_cube_revenue",
     "f_attrs_map_extract",
     "x_datamix_split",

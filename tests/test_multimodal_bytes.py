@@ -1699,3 +1699,84 @@ def test_avi_mjpeg_roundtrip_and_refusals():
         off = struct.unpack_from("<I", alt, ix + 16 * i + 8)[0]
         struct.pack_into("<I", alt, ix + 16 * i + 8, movi_pos + off)
     assert parse_avi_mjpeg(bytes(alt))[3][1].shape == (16, 24, 3)
+
+
+def test_mp4_meta_box_walk_and_refusals():
+    """ISO-BMFF metadata: (a) the box walk recovers geometry /
+    duration / sample tables for version-0 AND version-1 headers;
+    (b) size==1 (64-bit largesize) and size==0 (to-end-of-parent)
+    boxes parse; (c) structural damage refuses: bad magic, truncated
+    boxes, tkhd/stsd dimension disagreement, stts/stsz count
+    disagreement, stsz budget overrunning mdat, fractional track
+    dims."""
+    import struct
+
+    import pytest
+
+    from sparkga1_spark.operators.multimodal import (
+        build_mp4_meta,
+        parse_mp4_meta,
+    )
+
+    sizes = [5, 17, 200, 1]
+    for v1 in (False, True):
+        b = build_mp4_meta(320, 240, sizes, sample_delta=25, version1=v1)
+        got = parse_mp4_meta(b)
+        assert got == (320, 240, 4 * 25 * 1000 // 600, 4, "avc1", 223), (v1, got)
+
+    good = build_mp4_meta(64, 48, sizes)
+    # size==0 (runs to end of file) on the trailing mdat is legal
+    md = good.rfind(b"mdat") - 4
+    zero = bytearray(good)
+    zero[md : md + 4] = struct.pack(">I", 0)
+    assert parse_mp4_meta(bytes(zero)) == parse_mp4_meta(good)
+    # size==1: rewrite ftyp with a 64-bit largesize. The rewrite
+    # shifts the mdat payload by 8 bytes, so the stale stco offset
+    # must REFUSE first (the stco-inside-mdat bound at work) …
+    ftyp_size = struct.unpack_from(">I", good, 0)[0]
+    large = bytearray(
+        struct.pack(">I", 1)
+        + b"ftyp"
+        + struct.pack(">Q", ftyp_size + 8)
+        + good[8:ftyp_size]
+        + good[ftyp_size:]
+    )
+    with pytest.raises(ValueError, match="overruns mdat"):
+        parse_mp4_meta(bytes(large))
+    # … and with stco re-pointed, the largesize path parses cleanly
+    sc = bytes(large).find(b"stco") + 8
+    off = struct.unpack_from(">I", large, sc + 4)[0]
+    struct.pack_into(">I", large, sc + 4, off + 8)
+    assert parse_mp4_meta(bytes(large)) == parse_mp4_meta(good)
+
+    with pytest.raises(ValueError, match="not an ISO-BMFF"):
+        parse_mp4_meta(b"\x00" * 32)
+    with pytest.raises(ValueError, match="truncated box header|overruns"):
+        parse_mp4_meta(good[:-7])
+    # tkhd 16.16 width lies vs the stsd sample entry
+    bad = bytearray(good)
+    tk = good.find(b"tkhd") - 4
+    tkend = tk + struct.unpack_from(">I", good, tk)[0]
+    bad[tkend - 8 : tkend - 4] = struct.pack(">I", 65 << 16)
+    with pytest.raises(ValueError, match="dimensions disagree"):
+        parse_mp4_meta(bytes(bad))
+    # fractional dims refuse
+    bad = bytearray(good)
+    bad[tkend - 8 : tkend - 4] = struct.pack(">I", (64 << 16) | 0x8000)
+    with pytest.raises(ValueError, match="fractional track dimensions"):
+        parse_mp4_meta(bytes(bad))
+    # stts claims a different sample total than stsz
+    bad = bytearray(good)
+    st = good.find(b"stts") + 8
+    bad[st : st + 4] = struct.pack(">I", 1)  # keep 1 run
+    bad[st + 4 : st + 8] = struct.pack(">I", 9)  # but 9 samples
+    with pytest.raises(ValueError, match="sample counts disagree"):
+        parse_mp4_meta(bytes(bad))
+    # stsz budget overruns mdat
+    bad = bytearray(good)
+    sz = good.find(b"stsz") + 8 + 8
+    bad[sz : sz + 4] = struct.pack(">I", 10_000_000)
+    with pytest.raises(ValueError, match="overruns mdat"):
+        parse_mp4_meta(bytes(bad))
+    with pytest.raises(ValueError, match="positive and non-empty"):
+        build_mp4_meta(8, 8, [])
