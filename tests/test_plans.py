@@ -166,19 +166,19 @@ def test_gate_order_fronts_unproven_queries():
         "x_weighted_sample_es", "x_hll_accuracy_audit",
         "x_multimodal_qoi_decode", "x_set_similarity_routed",
         "x_host_pagerank", "x_graph_triangles", "x_graph_bfs_hops",
-        # round-6 (b): 8 of the 18 round-2-age queries (r5 VERDICT #1;
+        # round-6 (b): 7 of the 18 round-2-age queries (r5 VERDICT #1;
         # a_date_parts / a_minmax_by_bool / f_null_semantics /
         # w_first_last_nth / w_rank_family / w_frame_lag_lead_range /
         # f_ignore_table_antijoin / o_topk_global_limit displaced to
-        # the r7 front by the session-5 wave; x_vocab_topk and
-        # x_vector_stats_hof by the session-6 MJPEG/MP4 rows —
-        # never-verified beats stale-green)
+        # the r7 front by the session-5 wave; x_vocab_topk,
+        # x_vector_stats_hof, and x_url_host_rollup by the session-6
+        # MJPEG/MP4/bucketed-index rows — never-verified beats
+        # stale-green)
         "a_cube_revenue",
         "f_attrs_map_extract",
         "x_datamix_split",
         "x_embedding_quantize", "x_fuzzy_levenshtein",
         "x_json_props_extract", "x_tfidf_top_terms",
-        "x_url_host_rollup",
         # round-6 session-5 additions (analytics / ML-evaluation wave)
         "x_revenue_gini_lorenz", "x_heaps_vocab_growth",
         "x_target_encode_loo", "x_dedup_cluster_size_hist",
@@ -187,8 +187,10 @@ def test_gate_order_fronts_unproven_queries():
         "x_ab_conversion_ztest", "x_seasonality_dow",
         "x_readability_flesch",
         # round-6 session-6 additions: MJPEG-in-AVI real video decode,
-        # real ISO-BMFF (MP4) container metadata
+        # real ISO-BMFF (MP4) container metadata, standing bucketed
+        # dedup index
         "x_multimodal_mjpeg_frames", "x_multimodal_mp4_meta",
+        "x_incremental_dedup_bucketed",
         # round-6 (a0') session-4 additions: real baseline JPEG decode,
         # real FLAC decode, incremental state merge + HLL union
         "x_multimodal_jpeg_decode", "x_multimodal_flac_features",
@@ -611,3 +613,36 @@ def test_mad_outliers_no_per_group_window_funnel(spark, sf_dir):
     assert specs, "rank selection lost its window form entirely"
     for spec in specs:
         assert "_pid" in spec, f"global per-group window funnel: {spec}"
+
+
+def test_bucketed_dedup_index_no_corpus_exchange(spark, sf_dir):
+    """The standing dedup index (x_incremental_dedup_bucketed): both
+    index tables must join with NO corpus-side Exchange — the bucketed
+    scan satisfies the join's hash distribution, so only the arriving
+    batch shuffles (into the index's bucket count). This is the plan
+    property that makes per-ingest cost |batch|-proportional at
+    100 TB."""
+    from sparkga1_spark.plans.queries import _standing_dedup_index
+
+    hash_idx, band_idx = _standing_dedup_index(spark, sf_dir)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        probe = spark.createDataFrame(
+            [(0, "1:2"), (1, "3:4")], "band int, key string"
+        )
+        plan = (
+            probe.join(band_idx, ["band", "key"], "left_semi")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+        assert "Bucketed: true" in plan, plan[:2000]
+        hprobe = spark.createDataFrame([(1,), (2,)], "_h long")
+        plan = (
+            hprobe.join(hash_idx, "_h", "left_semi")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+        assert "Bucketed: true" in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
