@@ -4200,16 +4200,24 @@ def parse_mp4_meta(data: bytes):
         return version, body + 4
 
     found = {}
+    n_traks = 0
 
     def descend(pos, end, path=()):
+        nonlocal n_traks
         for btype, body, bend in walk(pos, end):
             key = path + (btype,)
+            if btype == b"trak":
+                n_traks += 1
             if btype in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
                 descend(body, bend, key)
             else:
                 found.setdefault(key, (body, bend))
 
     descend(0, len(data))
+    if n_traks > 1:
+        # first-wins path matching would silently pair one trak's tkhd
+        # with another's stbl — refuse rather than guess
+        raise ValueError("multi-track MP4 unsupported")
 
     def get(*path):
         hit = [v for k, v in found.items() if k[-len(path):] == path]
@@ -4217,12 +4225,17 @@ def parse_mp4_meta(data: bytes):
             raise ValueError("missing box " + "/".join(p.decode() for p in path))
         return hit[0]
 
-    # mvhd: movie timescale + duration
+    # mvhd: movie timescale + duration (reads bounded by the box end —
+    # a truncated full box must refuse, not read its sibling's bytes)
     body, bend = get(b"moov", b"mvhd")
     v, p = fullbox(body, bend)
     if v == 1:
+        if p + 28 > bend:
+            raise ValueError("truncated mvhd")
         timescale, duration = struct.unpack_from(">IQ", data, p + 16)
     elif v == 0:
+        if p + 16 > bend:
+            raise ValueError("truncated mvhd")
         timescale, duration = struct.unpack_from(">II", data, p + 8)
     else:
         raise ValueError("bad mvhd version")
@@ -4231,6 +4244,8 @@ def parse_mp4_meta(data: bytes):
 
     # tkhd: 16.16 fixed-point presentation size (last 8 bytes)
     body, bend = get(b"trak", b"tkhd")
+    if bend - body < 12:
+        raise ValueError("truncated tkhd")
     wfx, hfx = struct.unpack_from(">II", data, bend - 8)
     if wfx % 65536 or hfx % 65536:
         raise ValueError("fractional track dimensions unsupported")
@@ -4239,6 +4254,8 @@ def parse_mp4_meta(data: bytes):
     # stsd: codec fourcc + sample-entry pixel dims
     body, bend = get(b"stbl", b"stsd")
     v, p = fullbox(body, bend)
+    if p + 4 + 40 > bend:
+        raise ValueError("truncated stsd")
     n_entries = struct.unpack_from(">I", data, p)[0]
     if n_entries != 1:
         raise ValueError("expected exactly one sample description")
@@ -4250,6 +4267,8 @@ def parse_mp4_meta(data: bytes):
     # stts: total sample count and total duration in media time
     body, bend = get(b"stbl", b"stts")
     v, p = fullbox(body, bend)
+    if p + 4 > bend:
+        raise ValueError("truncated stts")
     n_runs = struct.unpack_from(">I", data, p)[0]
     if p + 4 + 8 * n_runs > bend:
         raise ValueError("truncated stts")
@@ -4263,6 +4282,8 @@ def parse_mp4_meta(data: bytes):
     # stsz: per-sample sizes
     body, bend = get(b"stbl", b"stsz")
     v, p = fullbox(body, bend)
+    if p + 8 > bend:
+        raise ValueError("truncated stsz")
     uniform, n_samples = struct.unpack_from(">II", data, p)
     if uniform:
         sample_bytes = uniform * n_samples
@@ -4279,6 +4300,8 @@ def parse_mp4_meta(data: bytes):
     # declared sample budget must fit the payload it addresses
     body, bend = get(b"stbl", b"stco")
     v, p = fullbox(body, bend)
+    if p + 8 > bend:
+        raise ValueError("truncated stco")
     n_chunks = struct.unpack_from(">I", data, p)[0]
     if n_chunks < 1:
         raise ValueError("empty stco")

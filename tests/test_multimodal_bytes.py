@@ -1780,3 +1780,43 @@ def test_mp4_meta_box_walk_and_refusals():
         parse_mp4_meta(bytes(bad))
     with pytest.raises(ValueError, match="positive and non-empty"):
         build_mp4_meta(8, 8, [])
+
+
+def test_mp4_meta_multitrak_and_truncated_fullbox_refuse():
+    """Review-pass pins: (a) a second trak must refuse — the suffix
+    path matcher would otherwise silently pair one trak's tkhd with
+    another's stbl; (b) a full box whose payload is shorter than its
+    version demands must refuse as truncated, not read its sibling's
+    bytes."""
+    import struct
+
+    import pytest
+
+    from sparkga1_spark.operators.multimodal import (
+        build_mp4_meta,
+        parse_mp4_meta,
+    )
+
+    good = build_mp4_meta(64, 48, [3, 9])
+    trak = good.find(b"trak") - 4
+    trak_size = struct.unpack_from(">I", good, trak)[0]
+    trak_box = good[trak : trak + trak_size]
+    moov = good.find(b"moov") - 4
+    moov_size = struct.unpack_from(">I", good, moov)[0]
+    dup = (
+        good[:moov]
+        + struct.pack(">I", moov_size + trak_size)
+        + good[moov + 4 : moov + moov_size]
+        + trak_box
+        + good[moov + moov_size :]
+    )
+    with pytest.raises(ValueError, match="multi-track"):
+        parse_mp4_meta(dup)
+
+    def box(btype, body):
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    ftyp = box(b"ftyp", b"isom")
+    short = ftyp + box(b"moov", box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 4))
+    with pytest.raises(ValueError, match="truncated mvhd"):
+        parse_mp4_meta(short)
