@@ -120,6 +120,13 @@ HEADLINE = [
     # and the Heaps growth curve (first-occurrence aggregate over the
     # exploded token stream — the vocab family's wide stage)
     "x_heaps_vocab_growth",
+    # round 6 session 6: the MJPEG AVI chain (per-frame full JPEG
+    # decode incl. color progressive — the heaviest codec composition),
+    # and the bucketed standing-index triage (run 1 pays the index
+    # build, runs 2+ measure the batch-proportional steady state — the
+    # spread shows both regimes, the keep_canonical convention)
+    "x_multimodal_mjpeg_frames",
+    "x_incremental_dedup_bucketed",
 ]
 
 # CONVENTION (r5 VERDICT #8): the headline set only ever GROWS —
