@@ -1777,6 +1777,46 @@ def x_multimodal_mp4_meta(spark, sf_dir):
 
 
 @query(
+    "x_multimodal_mp4_demux",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, doc_id % 30 + 5 AS n, doc_id % 20 + 10 AS delta
+  FROM documents
+), sm AS (
+  SELECT doc_id, delta,
+         unnest([i for i in generate_series(0, CAST(n - 1 AS BIGINT))]) AS i
+  FROM s
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS sample_idx,
+       CAST(i * delta * 1000 // 600 AS BIGINT) AS sample_ts_ms,
+       CAST((doc_id * 7 + i * 13) % 200 + 1 AS INTEGER) AS size,
+       CAST(list_sum([(i * 131 + j * 7) % 256
+                      for j in generate_series(0, CAST((doc_id * 7 + i * 13) % 200 AS BIGINT))])
+            AS BIGINT) AS byte_sum
+FROM sm
+""",
+)
+def x_multimodal_mp4_demux(spark, sf_dir):
+    """Multimodal REAL MP4 DEMUX (one level past x_multimodal_mp4_meta):
+    per-sample extraction from the planted ISO-BMFF streams — stts run
+    deltas accumulate into real timestamps, stsz sizes accumulate into
+    real mdat byte ranges, and the emitted byte_sum proves each slice
+    touched the actual sample bytes (the planter's deterministic ramp
+    makes it closed-form). Decoding the sample CONTENT stays honestly
+    unclaimed (H.264); multi-chunk layouts refuse rather than guess
+    the stsc attribution. 1→N flatMap, same Arrow shape as the frame
+    samplers."""
+    from sparkga1_spark.operators.multimodal import (
+        demux_mp4_samples,
+        plant_mp4_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return demux_mp4_samples(plant_mp4_payloads(docs))
+
+
+@query(
     "x_multimodal_jpeg_meta",
     oracle="""
 SELECT doc_id,
@@ -10916,6 +10956,7 @@ set_gate_order([
     # hygiene), session 2, and the session-1 new/graph set
     "x_multimodal_mjpeg_frames",
     "x_multimodal_mp4_meta",
+    "x_multimodal_mp4_demux",
     "x_incremental_dedup_bucketed",
     "x_revenue_gini_lorenz",
     "x_heaps_vocab_growth",
@@ -10964,10 +11005,10 @@ set_gate_order([
     # full-precision LOCAL_GATE green), so the simplest
     # relational/window members — a_date_parts, a_minmax_by_bool,
     # f_null_semantics, w_first_last_nth, w_rank_family — rotate to
-    # the r7 front on LOCAL_GATE evidence; x_url_host_rollup,
-    # x_vector_stats_hof, and x_vocab_topk sit at positions 51-53
-    # (first out) after the session-6 MJPEG/MP4/bucketed-index rows
-    # fronted.
+    # the r7 front on LOCAL_GATE evidence; x_tfidf_top_terms,
+    # x_url_host_rollup, x_vector_stats_hof, and x_vocab_topk sit at
+    # positions 51-54 (first out) after the session-6
+    # MJPEG/MP4-meta/MP4-demux/bucketed-index rows fronted.
     "a_cube_revenue",
     "f_attrs_map_extract",
     "x_datamix_split",

@@ -1820,3 +1820,32 @@ def test_mp4_meta_multitrak_and_truncated_fullbox_refuse():
     short = ftyp + box(b"moov", box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 4))
     with pytest.raises(ValueError, match="truncated mvhd"):
         parse_mp4_meta(short)
+
+
+def test_mp4_demux_samples_and_multichunk_refusal():
+    """Real single-track demux: stts-accumulated timestamps, stsz-
+    accumulated mdat slices (byte-exact vs the builder's ramp); a
+    multi-chunk stco refuses — sample→chunk attribution needs the
+    stsc walk and a wrong slice is worse than a refusal."""
+    import struct
+
+    import pytest
+
+    from sparkga1_spark.operators.multimodal import (
+        build_mp4_meta,
+        parse_mp4_samples,
+    )
+
+    sizes = [5, 17, 200, 1]
+    b = build_mp4_meta(64, 48, sizes, sample_delta=25)
+    got = parse_mp4_samples(b)
+    assert [s for _, _, blob in got for s in [len(blob)]] == sizes
+    assert [ts for _, ts, _ in got] == [i * 25 * 1000 // 600 for i in range(4)]
+    for i, _ts, blob in got:
+        assert bytes(blob) == bytes((i * 131 + j * 7) % 256 for j in range(sizes[i]))
+
+    bad = bytearray(b)
+    sc = b.find(b"stco") + 8
+    bad[sc : sc + 4] = struct.pack(">I", 2)  # claim two chunks
+    with pytest.raises(ValueError, match="multi-chunk"):
+        parse_mp4_samples(bytes(bad))
