@@ -2820,6 +2820,8 @@ def parse_jpeg(data: bytes):
                 if cs not in cid2ci:
                     raise ValueError("scan component absent from frame")
                 scomps.append((cid2ci[cs], tdta >> 4, tdta & 15))
+            if len({ci for ci, _td, _ta in scomps}) != ns:
+                raise ValueError("duplicate component in scan")
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ahal = body[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 15
