@@ -368,3 +368,96 @@ def foreach_batch_state_merge(
                 os.rename(tmp, base_path)
 
     return apply
+
+
+def foreach_batch_dedup_admit(
+    admitted_path: str,
+    *,
+    hash_table: str,
+    band_table: str,
+    writer_id: str = "default",
+):
+    """Streaming ADMISSION gate: per micro-batch, triage arriving
+    documents against (a) the STANDING bucketed corpus index
+    (hash_table bucketed by _h, band_table bucketed by (band, key) —
+    see plans.queries._standing_dedup_index) and (b) everything this
+    stream has already admitted, then MERGE only the genuinely-new
+    documents into the admitted table via foreach_batch_upsert.
+
+    Composition is what makes it exactly-once WITHOUT a second ledger:
+    the classification is a pure function of (batch, index, admitted
+    table), and the only write is the ledger-protected upsert. On
+    replay the admitted table already holds the batch's rows, so the
+    anti-join classifies them as duplicates and the upsert — already
+    skipped by its own ledger — would receive an empty frame anyway;
+    every crash window reduces to foreach_batch_upsert's documented
+    ones.
+
+    Scale shape: the corpus side joins shuffle-free against the
+    bucketed index (only the batch shuffles); the admitted-delta side
+    re-derives hashes/bands from the admitted table, whose cost grows
+    with the session's admissions — the 100 TB deployment periodically
+    compacts admitted deltas INTO the bucketed index (the lakehouse
+    OPTIMIZE shape) to keep that side bounded; the bucketed write is
+    append-compatible (insertInto preserves bucketing), so compaction
+    is a plain maintenance job, not a redesign.
+
+    Intra-batch policy: exact duplicates within one batch collapse to
+    the lowest doc_id; intra-batch NEAR-dups are admitted (resolving
+    them needs the pair/CC machinery — batch-level operators exist for
+    that; the admission gate's contract is dedup against the
+    CORPUS+history, matching x_incremental_dedup_triage)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from sparkga1_spark.functions.hashing import stable_hash64
+    from sparkga1_spark.functions.text import shingle_hash_rows
+    from sparkga1_spark.operators.dedup import minhash_band_keys
+
+    upsert = foreach_batch_upsert(
+        admitted_path, keys=["doc_id"], writer_id=writer_id
+    )
+
+    def apply(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        withh = (
+            batch_df.select(
+                "doc_id", "text", stable_hash64(F.col("text")).alias("_h")
+            )
+            # intra-batch exact dups: deterministic keep-lowest-id
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("_h").orderBy("doc_id")
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        hash_idx = spark.table(hash_table).select("_h")
+        band_idx = spark.table(band_table).select("band", "key")
+        try:
+            adm = spark.read.parquet(admitted_path).select("doc_id", "text", "_h")
+        except Exception:  # first batch: no admitted table yet
+            adm = None
+        if adm is not None:
+            hash_idx = hash_idx.union(adm.select("_h"))
+            band_idx = band_idx.union(
+                minhash_band_keys(
+                    shingle_hash_rows(adm), id_col="doc_id"
+                ).select("band", "key")
+            )
+        exact = withh.join(hash_idx, "_h", "left_semi").select("doc_id")
+        bands = minhash_band_keys(shingle_hash_rows(withh), id_col="doc_id")
+        near = (
+            bands.join(band_idx, ["band", "key"], "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        dup_ids = exact.union(near).distinct()
+        admitted = withh.join(dup_ids, "doc_id", "left_anti")
+        upsert(admitted, batch_id)
+
+    return apply

@@ -1156,3 +1156,109 @@ def test_foreach_batch_state_merge_real_stream(
         ).collect()
     )
     assert got == want
+
+
+def test_foreach_batch_dedup_admit_bucketed(spark, sf_dir, tmp_path):
+    """First-class streaming admission gate (foreach_batch_dedup_admit):
+    micro-batches triage against the STANDING BUCKETED index (exact
+    hash + LSH bands, zero corpus-side shuffle) AND against this
+    stream's own admission history, then MERGE survivors exactly-once.
+    Pins: corpus exact copies never admitted; a near-variant's fate
+    matches the band join's batch-mode verdict; fresh docs admitted
+    once each including a cross-batch exact duplicate pair; replaying
+    a committed batch leaves the table byte-identical."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkga1_spark.functions.hashing import stable_hash64
+    from sparkga1_spark.functions.text import shingle_hash_rows
+    from sparkga1_spark.operators.dedup import minhash_band_keys
+    from sparkga1_spark.plans.queries import _standing_dedup_index
+    from sparkga1_spark.streaming.sinks import (
+        committed_batches,
+        foreach_batch_dedup_admit,
+    )
+
+    hash_idx, band_idx = _standing_dedup_index(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+
+    # arriving data: 3 corpus exact copies, 1 near variant of a corpus
+    # doc, 5 fully-distinct fresh docs, and one fresh text arriving
+    # TWICE across batches under different ids
+    copies = [
+        (10_000_000 + i, r["text"])
+        for i, r in enumerate(corpus.select("text").limit(3).collect())
+    ]
+    base_text = corpus.select("text").limit(1).collect()[0]["text"]
+    near_id, near_text = 11_000_000, base_text + " zzzuniquetail"
+    fresh = [
+        (12_000_000 + i, " ".join(f"tok{i}x{j}" for j in range(30)))
+        for i in range(5)
+    ]
+    dup_text = " ".join(f"dupword{j}" for j in range(30))
+    batch1 = copies[:2] + fresh[:3] + [(20_000_000, dup_text)]
+    batch2 = (
+        copies[2:] + [(near_id, near_text)] + fresh[3:] + [(20_000_001, dup_text)]
+    )
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    admitted_path = str(tmp_path / "admitted")
+    # the table names used by _standing_dedup_index for this sf_dir
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sink = foreach_batch_dedup_admit(
+        admitted_path,
+        hash_table=f"dedup_hash_idx_{tag}",
+        band_table=f"dedup_band_idx_{tag}",
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    adm = spark.read.parquet(admitted_path)
+    texts = {r["text"] for r in adm.collect()}
+    # corpus exact copies: never admitted
+    for _id, t in copies:
+        assert t not in texts
+    # near variant: the stream's verdict must MATCH the batch-mode band
+    # join's verdict (seeded hashes make it deterministic)
+    nv = spark.createDataFrame([(near_id, near_text)], schema)
+    collides = (
+        minhash_band_keys(shingle_hash_rows(nv), id_col="doc_id")
+        .join(band_idx.select("band", "key"), ["band", "key"], "left_semi")
+        .count()
+        > 0
+    )
+    assert (near_text in texts) == (not collides)
+    # fresh docs all admitted; cross-batch duplicate admitted exactly once
+    for _id, t in fresh:
+        assert t in texts
+    assert adm.filter(F.col("text") == dup_text).count() == 1
+
+    # replay a committed batch: table must stay byte-identical
+    before = sorted(map(tuple, adm.collect()))
+    ledger = committed_batches(admitted_path)
+    assert ledger
+    replay = spark.createDataFrame(batch1, schema)
+    sink(replay, min(ledger))
+    after = sorted(map(tuple, spark.read.parquet(admitted_path).collect()))
+    assert after == before
