@@ -500,21 +500,36 @@ def prefix_filter_jaccard_pairs(
         )
         .join(sizes, id_col)
         .filter(F.col("_pos") <= plen)
-        .select(id_col, hash_col, "_sz")
+        .select(id_col, hash_col, "_sz", "_pos")
     )
     # LENGTH filter (Bayardo et al. §3, exact — no false negatives):
     # J(a,b) >= t forces t*max(|a|,|b|) <= |a n b| <= min(|a|,|b|), so
     # size-mismatched pairs die INSIDE the candidate join predicate —
     # ranked already carries _sz for the prefix cut, so this costs one
     # 8-byte column on the bucket shuffle and prunes before the
-    # distinct and before verification ever expands a pair
+    # aggregate and before verification ever expands a pair.
+    # POSITIONAL filter (PPJoin, Xiao et al. 2008 §3.2, exact): for a
+    # pair's ORDER-MINIMAL shared element — positions (i, j) in the
+    # common (df, hash) total order, which the per-pair min(_pos) on
+    # each side recovers because the order-minimal element minimizes
+    # BOTH ranks simultaneously and nothing shared precedes it —
+    # overlap <= 1 + min(|a|-i, |b|-j). J >= num/den forces
+    # inter >= num*(|a|+|b|)/(num+den), so pairs whose first shared
+    # prefix element sits too deep die here, in 64-bit integers,
+    # before the verification join expands them.
     cand = (
         ranked.select(
-            F.col(id_col).alias("id_a"), hash_col, F.col("_sz").alias("_la")
+            F.col(id_col).alias("id_a"),
+            hash_col,
+            F.col("_sz").alias("_la"),
+            F.col("_pos").alias("_pa"),
         )
         .join(
             ranked.select(
-                F.col(id_col).alias("id_b"), hash_col, F.col("_sz").alias("_lb")
+                F.col(id_col).alias("id_b"),
+                hash_col,
+                F.col("_sz").alias("_lb"),
+                F.col("_pos").alias("_pb"),
             ),
             hash_col,
         )
@@ -525,8 +540,24 @@ def prefix_filter_jaccard_pairs(
                 >= F.lit(num) * F.greatest("_la", "_lb")
             )
         )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min("_pa").alias("_pa"),
+            F.min("_pb").alias("_pb"),
+            F.min("_la").alias("_la"),  # constant per id; min = value
+            F.min("_lb").alias("_lb"),
+        )
+        .filter(
+            F.lit(num + den)
+            * (
+                F.lit(1)
+                + F.least(
+                    F.col("_la") - F.col("_pa"), F.col("_lb") - F.col("_pb")
+                )
+            )
+            >= F.lit(num) * (F.col("_la") + F.col("_lb"))
+        )
         .select("id_a", "id_b")
-        .distinct()
     )
     return _verify_candidate_pairs(
         rows,
