@@ -438,9 +438,12 @@ def foreach_batch_dedup_admit(
         )
         hash_idx = spark.table(hash_table).select("_h")
         band_idx = spark.table(band_table).select("band", "key")
-        try:
+        if os.path.isdir(admitted_path):
             adm = spark.read.parquet(admitted_path).select("doc_id", "text", "_h")
-        except Exception:  # first batch: no admitted table yet
+        else:  # first batch: no admitted table yet. Only the
+            # path-missing case may be treated as empty history — a
+            # READ error on an existing table must raise, or corrupt
+            # history would silently re-admit every past duplicate.
             adm = None
         if adm is not None:
             hash_idx = hash_idx.union(adm.select("_h"))
