@@ -1817,6 +1817,54 @@ def x_multimodal_mp4_demux(spark, sf_dir):
 
 
 @query(
+    "x_multimodal_mp3_meta",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         doc_id % 25 + 10 AS n,
+         [44100, 48000, 32000][doc_id % 3 + 1] AS rate
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n AS INTEGER) AS n_frames,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(n * 1152 * 1000 // rate AS BIGINT) AS duration_ms,
+       -- VBR: frame f at bitrate index (doc_id+f)%14+1 of the MPEG-1
+       -- Layer III table, padding bit (doc_id+f)%2; frame length is
+       -- the published 144*bitrate/rate + padding (integer floor)
+       CAST(list_sum([
+         144 * [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+               [(doc_id + f) % 14 + 1] * 1000 // rate + (doc_id + f) % 2
+         for f in generate_series(0, CAST(n - 1 AS BIGINT))])
+         AS BIGINT) AS audio_bytes
+FROM s
+""",
+)
+def x_multimodal_mp3_meta(spark, sf_dir):
+    """Multimodal REAL MP3 frame-walk metadata (ISO/IEC 11172-3
+    framing, public spec): plant a VBR MPEG-1 Layer III stream per
+    document (per-frame bitrate index and padding bit both vary, ids
+    %4==0 behind an ID3v2 tag, every payload ending in an ID3v1
+    trailer) and walk EVERY frame header — sync/version/layer checks,
+    the published bitrate and sample-rate index tables, the
+    144·bitrate/rate+padding length formula — emitting frame count,
+    sample rate, VBR-correct duration (1152 samples/frame), and the
+    exact audio byte span. The oracle restates all of it in closed
+    form, so a wrong table entry, a first-frame-only duration guess
+    (the classic VBR bug), or mishandled tag skipping breaks the
+    hash. Audio sample decode is NOT claimed (hybrid filterbank +
+    Huffman spectrum need a codec library) — the same honest
+    meta/decode split as MP4."""
+    from sparkga1_spark.operators.multimodal import (
+        decode_mp3_meta,
+        plant_mp3_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_mp3_meta(plant_mp3_payloads(docs))
+
+
+@query(
     "x_multimodal_jpeg_meta",
     oracle="""
 SELECT doc_id,
@@ -10957,6 +11005,7 @@ set_gate_order([
     "x_multimodal_mjpeg_frames",
     "x_multimodal_mp4_meta",
     "x_multimodal_mp4_demux",
+    "x_multimodal_mp3_meta",
     "x_incremental_dedup_bucketed",
     "x_revenue_gini_lorenz",
     "x_heaps_vocab_growth",
@@ -11005,10 +11054,10 @@ set_gate_order([
     # full-precision LOCAL_GATE green), so the simplest
     # relational/window members — a_date_parts, a_minmax_by_bool,
     # f_null_semantics, w_first_last_nth, w_rank_family — rotate to
-    # the r7 front on LOCAL_GATE evidence; x_tfidf_top_terms,
-    # x_url_host_rollup, x_vector_stats_hof, and x_vocab_topk sit at
-    # positions 51-54 (first out) after the session-6
-    # MJPEG/MP4-meta/MP4-demux/bucketed-index rows fronted.
+    # the r7 front on LOCAL_GATE evidence; x_json_props_extract,
+    # x_tfidf_top_terms, x_url_host_rollup, x_vector_stats_hof, and
+    # x_vocab_topk sit at positions 51-55 (first out) after the five
+    # session-6 rows fronted.
     "a_cube_revenue",
     "f_attrs_map_extract",
     "x_datamix_split",

@@ -1849,3 +1849,72 @@ def test_mp4_demux_samples_and_multichunk_refusal():
     bad[sc : sc + 4] = struct.pack(">I", 2)  # claim two chunks
     with pytest.raises(ValueError, match="multi-chunk"):
         parse_mp4_samples(bytes(bad))
+
+
+def test_mp3_frame_walk_and_refusals():
+    """MPEG-1 Layer III frame walk: (a) VBR streams report the exact
+    frame count/duration/byte span (every header read, not
+    first-frame-extrapolated); (b) ID3v2 (synchsafe) and ID3v1
+    regions are skipped; (c) the published table values are pinned
+    VERBATIM (a builder+parser sharing a wrong table would pass a
+    pure roundtrip); (d) desync, non-MPEG-1, free-form bitrate,
+    reserved rate index, mid-stream rate changes, non-synchsafe
+    ID3v2, and truncation refuse."""
+    import pytest
+
+    from sparkga1_spark.operators.multimodal import (
+        _MP3_BITRATES,
+        _MP3_RATES,
+        build_mp3,
+        parse_mp3_meta,
+    )
+
+    # spec pins (ISO 11172-3 Layer III bitrate table, MPEG-1 rates)
+    assert _MP3_BITRATES == (
+        0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+    )
+    assert _MP3_RATES == (44100, 48000, 32000)
+
+    n = 12
+    b = build_mp3(
+        n,
+        rate_index=1,
+        bitrate_seq=[f % 14 + 1 for f in range(n)],
+        padding_seq=[f % 2 for f in range(n)],
+        id3v2_bytes=77,
+    )
+    nf, rate, dur, ab = parse_mp3_meta(b)
+    assert (nf, rate) == (n, 48000)
+    assert dur == n * 1152 * 1000 // 48000
+    assert ab == sum(
+        (144 * _MP3_BITRATES[f % 14 + 1] * 1000) // 48000 + f % 2
+        for f in range(n)
+    )
+    # frame-length formula worked example: 128 kbps @ 44100, no pad
+    one = build_mp3(1, rate_index=0, bitrate_seq=[9], padding_seq=[0])
+    assert parse_mp3_meta(one)[3] == (144 * 128 * 1000) // 44100  # 417
+
+    plain = build_mp3(3, rate_index=2, bitrate_seq=[5, 5, 5], padding_seq=[0, 0, 0])
+    with pytest.raises(ValueError, match="sync lost"):
+        parse_mp3_meta(b"\x00" + plain)
+    sync = plain.find(b"\xff\xfb")
+    v2 = bytearray(plain); v2[sync + 1] = 0xF3  # MPEG-2 version bits
+    with pytest.raises(ValueError, match="only MPEG-1"):
+        parse_mp3_meta(bytes(v2))
+    free = bytearray(plain); free[sync + 2] &= 0x0F  # bitrate index 0
+    with pytest.raises(ValueError, match="free-form"):
+        parse_mp3_meta(bytes(free))
+    rsv = bytearray(plain); rsv[sync + 2] |= 0x0C  # rate index 3
+    with pytest.raises(ValueError, match="reserved sample-rate"):
+        parse_mp3_meta(bytes(rsv))
+    # second frame switches sample rate -> refuse
+    f1 = build_mp3(1, rate_index=0, bitrate_seq=[5], padding_seq=[0])
+    f2 = build_mp3(1, rate_index=1, bitrate_seq=[5], padding_seq=[0])
+    mixed = f1[: len(f1) - 128] + f2[: len(f2) - 128] + f2[len(f2) - 128 :]
+    with pytest.raises(ValueError, match="changes mid-stream"):
+        parse_mp3_meta(mixed)
+    with pytest.raises(ValueError, match="overruns the file"):
+        parse_mp3_meta(plain[: len(plain) - 130])
+    bad_ss = bytearray(b); bad_ss[6] = 0x80
+    with pytest.raises(ValueError, match="synchsafe"):
+        parse_mp3_meta(bytes(bad_ss))
