@@ -1899,47 +1899,78 @@ def x_multimodal_jpeg_meta(spark, sf_dir):
     "x_magic_bytes_detect",
     oracle="""
 SELECT doc_id,
-       CASE doc_id % 4 WHEN 0 THEN '424D' WHEN 1 THEN '5249'
-                       WHEN 2 THEN '5955' ELSE 'FFD8' END AS magic,
-       CASE doc_id % 4 WHEN 0 THEN 'BMP' WHEN 1 THEN 'WAV'
-                       WHEN 2 THEN 'Y4M' ELSE 'JPEG' END AS fmt
+       CASE doc_id % 8 WHEN 0 THEN '424D' WHEN 1 THEN '5249'
+                       WHEN 2 THEN '5955' WHEN 3 THEN 'FFD8'
+                       WHEN 4 THEN '5249' WHEN 5 THEN '0000'
+                       WHEN 6 THEN 'FFFB' ELSE '664C' END AS magic,
+       CASE doc_id % 8 WHEN 0 THEN 'BMP' WHEN 1 THEN 'WAV'
+                       WHEN 2 THEN 'Y4M' WHEN 3 THEN 'JPEG'
+                       WHEN 4 THEN 'AVI' WHEN 5 THEN 'MP4'
+                       WHEN 6 THEN 'MP3' ELSE 'FLAC' END AS fmt
 FROM documents
 """,
 )
 def x_magic_bytes_detect(spark, sf_dir):
     """Content-type sniffing over an opaque binary column, entirely
     JVM-side (the triage step a multimodal ingest runs before routing
-    rows to per-format decoders): plant a mixed corpus (BMP / WAV /
-    Y4M / JPEG by doc_id % 4 — every payload a real container from the
-    builders above), then classify from magic bytes with substring/hex
-    on the binary column. No Python touches the payloads after
-    planting: detection is a codegen'd CASE over hex prefixes, so at
-    100 TB it rides the scan (map-only, zero exchanges) and the bytes
-    never cross into Python. The oracle knows which format each doc_id
-    got, so a misrouted slice or wrong signature breaks the hash."""
+    rows to per-format decoders): plant a mixed corpus of EIGHT real
+    containers (BMP / WAV / Y4M / JPEG / AVI / MP4 / MP3 / FLAC by
+    doc_id % 8 — every payload from the real builders above), then
+    classify from magic bytes with substring/hex on the binary
+    column — including the two real-world subtleties a naive
+    prefix-only sniffer gets wrong: RIFF is a FAMILY (bytes 9-12
+    disambiguate 'WAVE' from 'AVI '), and MP4's magic sits at OFFSET
+    4 ('ftyp'; the leading 4 bytes are a box size). No Python touches
+    the payloads after planting: detection is a codegen'd CASE over
+    hex prefixes, so at 100 TB it rides the scan (map-only, zero
+    exchanges) and the bytes never cross into Python. The oracle
+    knows which format each doc_id got, so a misrouted slice or wrong
+    signature breaks the hash. (doc_id %8==6 ⇒ %4==2, so the planted
+    MP3s here are untagged FFFB streams; the ID3-tagged sniff path is
+    pinned in the MP3 pytest.)"""
     from sparkga1_spark.operators.multimodal import (
+        plant_avi_payloads,
         plant_bmp_payloads,
+        plant_flac_payloads,
         plant_jpeg_payloads,
+        plant_mp3_payloads,
+        plant_mp4_payloads,
         plant_wav_payloads,
         plant_y4m_payloads,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    m = F.col("doc_id") % 4
+    ids = docs.select("doc_id")
+    m = F.col("doc_id") % 8
     payloads = (
         plant_bmp_payloads(docs.filter(m == 0))
-        .unionByName(plant_wav_payloads(docs.filter(m == 1).select("doc_id")))
-        .unionByName(plant_y4m_payloads(docs.filter(m == 2).select("doc_id")))
+        .unionByName(plant_wav_payloads(ids.filter(m == 1)))
+        .unionByName(plant_y4m_payloads(ids.filter(m == 2)))
         .unionByName(plant_jpeg_payloads(docs.filter(m == 3)))
+        .unionByName(plant_avi_payloads(docs.filter(m == 4)))
+        .unionByName(plant_mp4_payloads(ids.filter(m == 5)))
+        .unionByName(plant_mp3_payloads(ids.filter(m == 6)))
+        .unionByName(plant_flac_payloads(ids.filter(m == 7)))
     )
     h2 = F.hex(F.substring("payload", 1, 2))
+    h3 = F.hex(F.substring("payload", 1, 3))
     h4 = F.hex(F.substring("payload", 1, 4))
     h9 = F.hex(F.substring("payload", 1, 9))
+    riff_kind = F.hex(F.substring("payload", 9, 4))  # 'WAVE' vs 'AVI '
+    ftyp = F.hex(F.substring("payload", 5, 4))  # MP4: magic at offset 4
     fmt = (
         F.when(h2 == "424D", "BMP")
         .when(h2 == "FFD8", "JPEG")
-        .when(h4 == "52494646", "WAV")
+        .when(
+            h4 == "52494646",
+            F.when(riff_kind == F.hex(F.lit(b"WAVE")), "WAV")
+            .when(riff_kind == F.hex(F.lit(b"AVI ")), "AVI")
+            .otherwise("UNKNOWN"),
+        )
         .when(h9 == F.hex(F.lit(b"YUV4MPEG2")), "Y4M")
+        .when(ftyp == F.hex(F.lit(b"ftyp")), "MP4")
+        .when((h2 == "FFFB") | (h3 == F.hex(F.lit(b"ID3"))), "MP3")
+        .when(h4 == F.hex(F.lit(b"fLaC")), "FLAC")
         .otherwise("UNKNOWN")
     )
     return payloads.select("doc_id", h2.alias("magic"), fmt.alias("fmt"))
@@ -11006,6 +11037,7 @@ set_gate_order([
     "x_multimodal_mp4_meta",
     "x_multimodal_mp4_demux",
     "x_multimodal_mp3_meta",
+    "x_magic_bytes_detect",
     "x_incremental_dedup_bucketed",
     "x_revenue_gini_lorenz",
     "x_heaps_vocab_growth",
@@ -11054,10 +11086,11 @@ set_gate_order([
     # full-precision LOCAL_GATE green), so the simplest
     # relational/window members — a_date_parts, a_minmax_by_bool,
     # f_null_semantics, w_first_last_nth, w_rank_family — rotate to
-    # the r7 front on LOCAL_GATE evidence; x_json_props_extract,
-    # x_tfidf_top_terms, x_url_host_rollup, x_vector_stats_hof, and
-    # x_vocab_topk sit at positions 51-55 (first out) after the five
-    # session-6 rows fronted.
+    # the r7 front on LOCAL_GATE evidence; x_fuzzy_levenshtein,
+    # x_json_props_extract, x_tfidf_top_terms, x_url_host_rollup,
+    # x_vector_stats_hof, and x_vocab_topk sit at positions 51-56
+    # (first out) after the session-6 rows (five new + the
+    # result-changed 8-format magic-bytes sniffer) fronted.
     "a_cube_revenue",
     "f_attrs_map_extract",
     "x_datamix_split",
