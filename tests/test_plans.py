@@ -166,18 +166,18 @@ def test_gate_order_fronts_unproven_queries():
         "x_weighted_sample_es", "x_hll_accuracy_audit",
         "x_multimodal_qoi_decode", "x_set_similarity_routed",
         "x_host_pagerank", "x_graph_triangles", "x_graph_bfs_hops",
-        # round-6 (b): 4 of the 18 round-2-age queries (r5 VERDICT #1;
+        # round-6 (b): 3 of the 18 round-2-age queries (r5 VERDICT #1;
         # a_date_parts / a_minmax_by_bool / f_null_semantics /
         # w_first_last_nth / w_rank_family / w_frame_lag_lead_range /
         # f_ignore_table_antijoin / o_topk_global_limit displaced to
         # the r7 front by the session-5 wave; x_vocab_topk,
         # x_vector_stats_hof, x_url_host_rollup, x_tfidf_top_terms,
-        # x_json_props_extract, and x_fuzzy_levenshtein by the six
-        # session-6 rows — never-verified beats stale-green)
+        # x_json_props_extract, x_fuzzy_levenshtein, and
+        # x_embedding_quantize by the seven session-6 rows —
+        # never-verified beats stale-green)
         "a_cube_revenue",
         "f_attrs_map_extract",
         "x_datamix_split",
-        "x_embedding_quantize",
         # round-6 session-5 additions (analytics / ML-evaluation wave)
         "x_revenue_gini_lorenz", "x_heaps_vocab_growth",
         "x_target_encode_loo", "x_dedup_cluster_size_hist",
@@ -190,6 +190,7 @@ def test_gate_order_fronts_unproven_queries():
         # frame-walk metadata, standing bucketed dedup index
         "x_multimodal_mjpeg_frames", "x_multimodal_mp4_meta",
         "x_multimodal_mp4_demux", "x_multimodal_mp3_meta",
+        "x_multimodal_mp3_tags",
         "x_incremental_dedup_bucketed",
         # result-changed this session: 8-format magic sniffing (RIFF
         # family disambiguation, offset-4 ftyp)
