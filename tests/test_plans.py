@@ -413,17 +413,18 @@ def test_funnel_single_event_exchange(spark, sf_dir):
 
 def test_magic_bytes_detect_no_python_after_planting(spark, sf_dir):
     """Format sniffing must stay JVM-side: the only Python stages are
-    the four planters (mapInPandas); classification adds none. The
-    only exchanges allowed are the planters' round-robin codec
-    spreads (multimodal._spread — deliberate CPU parallelism for the
-    Python stages); classification itself must add NO keyed shuffle
-    (no hash/range partitioning anywhere in the plan)."""
+    the eight planters (mapInPandas, r6 s6: BMP/WAV/Y4M/JPEG/AVI/MP4/
+    MP3/FLAC); classification adds none. The only exchanges allowed
+    are the planters' round-robin codec spreads (multimodal._spread —
+    deliberate CPU parallelism for the Python stages); classification
+    itself must add NO keyed shuffle (no hash/range partitioning
+    anywhere in the plan)."""
     plan = _plan(spark, sf_dir, "x_magic_bytes_detect")
-    assert plan.count("MapInPandas") == 4, "expected exactly the 4 planters"
+    assert plan.count("MapInPandas") == 8, "expected exactly the 8 planters"
     assert "hashpartitioning" not in plan, "sniffing must not hash-shuffle"
     assert "rangepartitioning" not in plan, "sniffing must not sort"
-    assert plan.count("RoundRobinPartitioning") == 4, (
-        "expected exactly the 4 codec-spread exchanges"
+    assert plan.count("RoundRobinPartitioning") == 8, (
+        "expected exactly the 8 codec-spread exchanges"
     )
 
 
