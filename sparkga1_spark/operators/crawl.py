@@ -1,0 +1,526 @@
+"""Web-crawl ingestion: WARC record parsing and HTML main-text
+extraction — the access path a 100 TB LLM-pretraining corpus actually
+arrives through (Common Crawl ships WARC; its payloads are HTML).
+
+Both stages are Arrow-batched mapInPandas chains over opaque binary /
+string columns, map-only end to end: at cluster scale they ride the
+scan partitioning (one pass, no shuffle) and feed straight into the
+existing quality / dedup / curation operators.
+
+Format knowledge is public-spec only:
+- WARC/1.0–1.1 (ISO 28500): version line, named headers, the
+  Content-Length framed block, the CRLF CRLF record separator, and
+  the `.warc.gz` convention of one gzip MEMBER per record (a reader
+  that gunzips the whole file as one stream cannot random-access
+  records; a reader that assumes one member per FILE reads only the
+  first record — the parser here walks members explicitly).
+- HTTP/1.1 message framing (status line, headers, CRLF CRLF body
+  split) for the application/http payload blocks.
+- HTML tokenization rules every real extractor needs: quoted '>' in
+  attributes, <script>/<style> raw-text elements (their content is
+  NOT markup — a '</p>' inside a JS string must not close anything),
+  character/entity references, and block-level segmentation with
+  link-density boilerplate scoring (Kohlschütter-style density rule,
+  public literature).
+
+Reference parity: the reference engine's chunk→records flatMap
+(SparkGA1.scala:268-318, the X-1 shape) is the same 1→N binary
+expansion; WARC records here play the role FASTQ chunks play there.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "build_warc",
+    "parse_warc",
+    "plant_warc_payloads",
+    "parse_warc_records",
+    "build_html",
+    "extract_html",
+    "plant_html_payloads",
+    "extract_html_text",
+]
+
+_CRLF = b"\r\n"
+_WARC_VERSIONS = (b"WARC/1.0", b"WARC/1.1")
+_WARCINFO_BLOCK = b"software: sparkga1-spark/1.0\r\n"
+
+
+# --------------------------------------------------------------------------
+# WARC building (fixture side)
+# --------------------------------------------------------------------------
+
+
+def _warc_uuid(seed: str) -> str:
+    h = hashlib.md5(seed.encode()).hexdigest()
+    return f"urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+
+
+def _warc_record(rec_type: str, block: bytes, *, seed: str,
+                 target_uri: str | None = None,
+                 content_type: str = "application/warc-fields") -> bytes:
+    headers = [
+        b"WARC/1.0",
+        f"WARC-Type: {rec_type}".encode(),
+        f"WARC-Record-ID: <{_warc_uuid(seed)}>".encode(),
+        b"WARC-Date: 2026-08-15T00:00:00Z",
+    ]
+    if target_uri is not None:
+        headers.append(f"WARC-Target-URI: {target_uri}".encode())
+    headers.append(f"Content-Type: {content_type}".encode())
+    headers.append(f"Content-Length: {len(block)}".encode())
+    return _CRLF.join(headers) + _CRLF * 2 + block + _CRLF * 2
+
+
+def build_warc(doc_id: int, source: str, text: str, *,
+               gzip_members: bool = False,
+               html_body: bytes | None = None) -> bytes:
+    """One WARC file for a crawled host: a warcinfo record, then
+    (request, response) pairs for doc_id%3+1 fetches of
+    https://{source}.example.com/doc/{doc_id}/{r}. Response r carries
+    body `{text} r{r}` (or html_body for every fetch when given) and
+    status 404 on (doc_id+r)%5==0, 200 otherwise. gzip_members writes
+    the `.warc.gz` convention: each record its own gzip member,
+    concatenated."""
+    host = f"{source}.example.com"
+    records = [_warc_record("warcinfo", _WARCINFO_BLOCK, seed=f"{doc_id}/info")]
+    for r in range(doc_id % 3 + 1):
+        uri = f"https://{host}/doc/{doc_id}/{r}"
+        req = (
+            f"GET /doc/{doc_id}/{r} HTTP/1.1\r\n"
+            f"Host: {host}\r\n"
+            "User-Agent: sparkga1-crawler\r\n\r\n"
+        ).encode()
+        records.append(
+            _warc_record("request", req, seed=f"{doc_id}/{r}/req",
+                         target_uri=uri,
+                         content_type="application/http;msgtype=request")
+        )
+        status, reason = (404, "Not Found") if (doc_id + r) % 5 == 0 else (200, "OK")
+        body = html_body if html_body is not None else f"{text} r{r}".encode()
+        resp = (
+            f"HTTP/1.1 {status} {reason}\r\n"
+            "Content-Type: text/html\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+        records.append(
+            _warc_record("response", resp, seed=f"{doc_id}/{r}/resp",
+                         target_uri=uri,
+                         content_type="application/http;msgtype=response")
+        )
+    if not gzip_members:
+        return b"".join(records)
+    out = bytearray()
+    for rec in records:
+        co = zlib.compressobj(9, zlib.DEFLATED, 31)  # gzip wrapper, no mtime
+        out += co.compress(rec) + co.flush()
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# WARC parsing (engine side)
+# --------------------------------------------------------------------------
+
+
+def _gzip_members(data: bytes) -> list[bytes]:
+    """Concatenated gzip members → one bytes blob per member, walked
+    via decompressobj.unused_data (the only way to find member
+    boundaries without reading the deflate stream twice)."""
+    out = []
+    buf = data
+    while buf:
+        if buf[:2] != b"\x1f\x8b":
+            raise ValueError("warc: junk between gzip members")
+        d = zlib.decompressobj(wbits=47)  # gzip-or-zlib header autodetect +32
+        out.append(d.decompress(buf))
+        if not d.eof:
+            raise ValueError("warc: truncated gzip member")
+        buf = d.unused_data
+    return out
+
+
+def _parse_one_record(data: bytes, pos: int):
+    """Parse the record starting at pos → (record dict, next pos).
+    Framing is strict: version line, header lines to the blank line,
+    exactly Content-Length block bytes, then the CRLF CRLF separator."""
+    head_end = data.find(_CRLF * 2, pos)
+    if head_end < 0:
+        raise ValueError("warc: record header never terminates")
+    lines = data[pos:head_end].split(_CRLF)
+    if lines[0] not in _WARC_VERSIONS:
+        raise ValueError(f"warc: bad version line {lines[0][:20]!r}")
+    headers: dict[str, str] = {}
+    for ln in lines[1:]:
+        k, sep, v = ln.partition(b":")
+        if not sep:
+            raise ValueError("warc: malformed header line")
+        headers[k.strip().decode().lower()] = v.strip().decode()
+    try:
+        clen = int(headers["content-length"])
+    except (KeyError, ValueError):
+        raise ValueError("warc: missing or non-integer Content-Length") from None
+    block_start = head_end + 4
+    block_end = block_start + clen
+    if data[block_end : block_end + 4] != _CRLF * 2:
+        raise ValueError("warc: record separator missing after block")
+    rec = {
+        "rec_type": headers.get("warc-type", ""),
+        "target_uri": headers.get("warc-target-uri"),
+        "content_type": headers.get("content-type", ""),
+        "block": data[block_start:block_end],
+    }
+    return rec, block_end + 4
+
+
+def _split_http(rec: dict) -> None:
+    """application/http blocks → status (responses only) + body. The
+    head/body split is the first CRLF CRLF; a block without one
+    refuses rather than guessing a zero-length body."""
+    block = rec["block"]
+    if not rec["content_type"].startswith("application/http"):
+        rec["http_status"] = None
+        rec["payload"] = block
+        return
+    split = block.find(_CRLF * 2)
+    if split < 0:
+        raise ValueError("warc: http block has no header/body split")
+    head, body = block[:split], block[split + 4 :]
+    first = head.split(_CRLF, 1)[0].decode(errors="replace")
+    if first.startswith("HTTP/"):
+        parts = first.split(" ")
+        if len(parts) < 2 or not parts[1].isdigit():
+            raise ValueError(f"warc: bad status line {first!r}")
+        rec["http_status"] = int(parts[1])
+    else:
+        rec["http_status"] = None  # request
+    rec["payload"] = body
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """WARC bytes (plain or gzip-member) → list of record dicts with
+    rec_type / target_uri / http_status / payload / compressed. In the
+    gzip path every member must hold exactly one record — the
+    `.warc.gz` random-access contract."""
+    compressed = data[:2] == b"\x1f\x8b"
+    records = []
+    if compressed:
+        for member in _gzip_members(data):
+            rec, nxt = _parse_one_record(member, 0)
+            if nxt != len(member):
+                raise ValueError("warc: gzip member holds more than one record")
+            records.append(rec)
+    else:
+        pos = 0
+        while pos < len(data):
+            rec, pos = _parse_one_record(data, pos)
+            records.append(rec)
+    for rec in records:
+        _split_http(rec)
+        rec["compressed"] = compressed
+    return records
+
+
+WARC_RECORD_SCHEMA = (
+    "doc_id long, rec_index int, rec_type string, target_uri string, "
+    "http_status int, payload_len long, compressed boolean"
+)
+
+
+def parse_warc_records(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
+    """binary WARC → one row per record (1→N flatMap): type, target
+    URI, HTTP status (responses), payload byte length, and whether the
+    source was gzip-per-record. Map-only Arrow stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                for i, rec in enumerate(parse_warc(bytes(payload))):
+                    out.append(
+                        (
+                            doc_id,
+                            i,
+                            rec["rec_type"],
+                            rec["target_uri"],
+                            rec["http_status"],
+                            len(rec["payload"]),
+                            rec["compressed"],
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "rec_index", "rec_type", "target_uri",
+                    "http_status", "payload_len", "compressed",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=WARC_RECORD_SCHEMA)
+
+
+def warc_response_payloads(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
+    """binary WARC → (doc_id, target_uri, http_status, body) for the
+    HTTP 200 response records only — the crawl→curation handoff."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                for rec in parse_warc(bytes(payload)):
+                    if rec["rec_type"] == "response" and rec["http_status"] == 200:
+                        out.append(
+                            (doc_id, rec["target_uri"], rec["http_status"],
+                             rec["payload"])
+                        )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "target_uri", "http_status", "body"]
+            )
+
+    return df.mapInPandas(
+        run,
+        schema="doc_id long, target_uri string, http_status int, body binary",
+    )
+
+
+def plant_warc_payloads(df: DataFrame, *, html_bodies: bool = False) -> DataFrame:
+    """(doc_id, text, source) → (doc_id, payload): one WARC file per
+    document — odd ids written gzip-per-record. html_bodies swaps the
+    plain-text response bodies for real HTML pages (build_html)."""
+    from sparkga1_spark.operators.multimodal import _spread
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text, source in zip(pdf["doc_id"], pdf["text"], pdf["source"]):
+                d = int(doc_id)
+                body = build_html(d, text or "").encode() if html_bodies else None
+                out.append(
+                    (
+                        doc_id,
+                        build_warc(d, source, text or "",
+                                   gzip_members=d % 2 == 1, html_body=body),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+
+
+# --------------------------------------------------------------------------
+# HTML building (fixture side)
+# --------------------------------------------------------------------------
+
+
+def _entity_encode_positions(s: str) -> str:
+    """Deterministically re-express some characters as character
+    references (decimal at i%14==3, hex at the other i%7==3 sites) —
+    lossless, so extraction must decode them to reproduce the
+    original text exactly."""
+    out = []
+    for i, c in enumerate(s):
+        if i % 7 == 3:
+            out.append(f"&#{ord(c)};" if i % 14 == 3 else f"&#x{ord(c):x};")
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def build_html(doc_id: int, text: str) -> str:
+    """A realistic page around the document text: head with title
+    (named entities), style + script raw-text (with markup-looking
+    strings inside), a nav link block, an h1, the text split over
+    three <p> blocks (the middle one entity-encoded), a link-only div
+    (boilerplate by link density), and a footer."""
+    words = (text or "").split()
+    a, b = len(words) // 3, 2 * len(words) // 3
+    p1, p2, p3 = " ".join(words[:a]), " ".join(words[a:b]), " ".join(words[b:])
+    extra = " ".join(
+        f'<a href="/n{k}">nav{k}</a>' for k in range(doc_id % 3)
+    )
+    return (
+        "<!DOCTYPE html><html><head>"
+        f"<title>doc &quot;{doc_id}&quot;</title>"
+        "<style>p { color: #000; } a > span { display: none; }</style>"
+        '<script type="text/javascript">var s = "</p><p>not content</p>"; '
+        'if (s < "x") { s = s + "&amp;"; }</script>'
+        "</head><body>"
+        f'<nav><a href="/home">home</a> '
+        f'<a href="/about?a=1&amp;b=2" title="x>y">about</a> {extra}</nav>'
+        f"<h1>heading {doc_id}</h1>"
+        f"<p>{p1}</p><p>{_entity_encode_positions(p2)}</p><p>{p3}</p>"
+        '<div><a href="/buy">buy</a> <a href="/now">now</a></div>'
+        f"<footer>copyright {1990 + doc_id % 30} footer-{doc_id % 5}</footer>"
+        "</body></html>"
+    )
+
+
+# --------------------------------------------------------------------------
+# HTML extraction (engine side)
+# --------------------------------------------------------------------------
+
+_NAMED_ENTITIES = {
+    "amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'", "nbsp": " ",
+}
+_ENTITY_RE = re.compile(r"&(#x[0-9a-fA-F]+|#[0-9]+|[a-zA-Z]+);")
+
+_BLOCK_TAGS = frozenset(
+    "p h1 h2 h3 h4 h5 h6 div li blockquote td article section pre".split()
+)
+_DROP_CONTAINERS = frozenset("nav footer header aside".split())
+_RAW_TEXT = frozenset(("script", "style"))
+_LINK_DENSITY_MAX = 0.8
+
+
+def _decode_entities(s: str) -> str:
+    def sub(m: re.Match) -> str:
+        e = m.group(1)
+        if e.startswith("#x") or e.startswith("#X"):
+            return chr(int(e[2:], 16))
+        if e.startswith("#"):
+            return chr(int(e[1:]))
+        return _NAMED_ENTITIES.get(e.lower(), m.group(0))  # unknown: keep literal
+
+    return _ENTITY_RE.sub(sub, s)
+
+
+def extract_html(html: str):
+    """HTML → (title, main_text, n_links, n_dropped). A real
+    single-pass tokenizer: quote-aware tag scanning (a '>' inside a
+    quoted attribute does not close the tag), raw-text handling for
+    script/style (content skipped verbatim — markup inside is data),
+    entity decoding per text node, container dropping
+    (nav/footer/header/aside), block segmentation, and the
+    link-density boilerplate rule: a block whose decoded text is
+    ≥80% link text is dropped (n_dropped counts those). main_text is
+    the kept blocks' whitespace-collapsed text joined by single
+    spaces."""
+    i, n = 0, len(html)
+    title_parts: list[str] = []
+    blocks: list[str] = []
+    n_links = 0
+    n_dropped = 0
+    drop_depth = 0
+    a_depth = 0
+    cur_parts: list[str] = []
+    cur_len = 0
+    cur_link_len = 0
+
+    def finalize() -> None:
+        nonlocal cur_parts, cur_len, cur_link_len, n_dropped
+        text = " ".join("".join(cur_parts).split())
+        if text:
+            if cur_len and cur_link_len / cur_len >= _LINK_DENSITY_MAX:
+                n_dropped += 1
+            else:
+                blocks.append(text)
+        cur_parts, cur_len, cur_link_len = [], 0, 0
+
+    while i < n:
+        lt = html.find("<", i)
+        if lt != i:
+            chunk = html[i : lt if lt >= 0 else n]
+            if drop_depth == 0:
+                decoded = _decode_entities(chunk)
+                cur_parts.append(decoded)
+                cur_len += len(decoded)
+                if a_depth > 0:
+                    cur_link_len += len(decoded)
+            if lt < 0:
+                break
+            i = lt
+        if html.startswith("<!--", i):
+            end = html.find("-->", i + 4)  # comments end at -->, not '>'
+            i = n if end < 0 else end + 3
+            continue
+        # scan the tag, honoring quoted attribute values
+        j, quote = i + 1, None
+        while j < n:
+            c = html[j]
+            if quote:
+                if c == quote:
+                    quote = None
+            elif c in ('"', "'"):
+                quote = c
+            elif c == ">":
+                break
+            j += 1
+        tag_body = html[i + 1 : j]
+        i = j + 1
+        if not tag_body or tag_body.startswith("!"):
+            continue  # comment/doctype: ignored
+        closing = tag_body.startswith("/")
+        name = tag_body.lstrip("/").split(None, 1)[0].rstrip("/").lower()
+        if not closing and name in _RAW_TEXT:
+            end = html.lower().find(f"</{name}", i)
+            i = n if end < 0 else end  # content skipped: it is not markup
+            continue
+        if not closing and name == "title":
+            end = html.find("</title>", i)
+            if end >= 0:
+                title_parts.append(_decode_entities(html[i:end]))
+                i = end
+            continue
+        if name in _DROP_CONTAINERS:
+            if closing:
+                drop_depth = max(0, drop_depth - 1)
+            else:
+                finalize()  # a container boundary also ends the open block
+                drop_depth += 1
+            continue
+        if name == "a":
+            if closing:
+                a_depth = max(0, a_depth - 1)
+            else:
+                n_links += 1
+                a_depth += 1
+            continue
+        if name in _BLOCK_TAGS:
+            finalize()
+    finalize()
+    title = " ".join("".join(title_parts).split()) or None
+    return title, " ".join(blocks), n_links, n_dropped
+
+
+HTML_EXTRACT_SCHEMA = (
+    "doc_id long, title string, main_text string, n_links int, n_dropped int"
+)
+
+
+def extract_html_text(df: DataFrame, *, html_col: str = "html") -> DataFrame:
+    """(doc_id, html string) → extraction row per page. Map-only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, html in zip(pdf["doc_id"], pdf[html_col]):
+                title, text, links, dropped = extract_html(html or "")
+                out.append((doc_id, title, text, links, dropped))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "title", "main_text", "n_links", "n_dropped"],
+            )
+
+    return df.mapInPandas(run, schema=HTML_EXTRACT_SCHEMA)
+
+
+def plant_html_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(doc_id, text) → (doc_id, html): the fixture page builder as a
+    Spark stage."""
+    from sparkga1_spark.operators.multimodal import _spread
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                out.append((doc_id, build_html(int(doc_id), text or "")))
+            yield pd.DataFrame(out, columns=["doc_id", "html"])
+
+    return _spread(df).mapInPandas(run, schema="doc_id long, html string")

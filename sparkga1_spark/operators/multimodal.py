@@ -30,6 +30,7 @@ columns without touching bytes.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -782,6 +783,9 @@ def _decode_image_meta(data: bytes) -> tuple[int, int, int, str]:
         if data[:2] == b"\xff\xd8":
             w, h, c = parse_jpeg_meta(data)  # real SOFn marker walk
             return w, h, c, "JPEG"
+        if data[:4] in TIFF_MAGICS:
+            w, h, c = parse_tiff_meta(data)  # real IFD walk, both endians
+            return w, h, c, "TIFF"
     except ValueError:
         pass  # malformed header — fall through like any undecodable blob
     try:  # pragma: no cover - PIL absent in this environment
@@ -910,6 +914,8 @@ def _decode_image_pixels(data: bytes):
             # and the legacy header-only fixtures (which declare no AC
             # Huffman table) raise and keep the documented fake path
             return parse_jpeg(data)[2]
+        if data[:4] in TIFF_MAGICS:
+            return parse_tiff(data)[2]
     except ValueError:
         pass
     try:  # pragma: no cover - PIL absent in this environment
@@ -4736,3 +4742,338 @@ def decode_mp3_tags(df: DataFrame, *, payload_col: str = "payload") -> DataFrame
             )
 
     return df.mapInPandas(run, schema=MP3_TAGS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# TIFF (TIFF 6.0, Adobe public spec): REAL uncompressed-RGB decode in
+# BOTH byte orders. TIFF is the one mainstream image container whose
+# endianness is data-dependent ('II' little / 'MM' big), and whose IFD
+# entries inline small values LEFT-JUSTIFIED in file byte order — the
+# two traps a naive parser gets wrong on exactly one of the two
+# orders. Strips are real: RowsPerStrip < height forces multi-strip
+# raster assembly, not a single contiguous read.
+# --------------------------------------------------------------------------
+
+TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
+
+_TIFF_SHORT = 3
+_TIFF_LONG = 4
+
+
+def _tiff_entry(e: str, tag: int, typ: int, values, ext_offset=None) -> bytes:
+    """One 12-byte IFD entry. Small values are inlined LEFT-JUSTIFIED
+    in file byte order (TIFF 6.0 §2: 'the Value is stored in the
+    left-most bytes of the field'); larger arrays live at ext_offset."""
+    n = len(values)
+    size = 2 if typ == _TIFF_SHORT else 4
+    head = struct.pack(e + "HHI", tag, typ, n)
+    if n * size <= 4:
+        fld = b"".join(
+            struct.pack(e + ("H" if typ == _TIFF_SHORT else "I"), v) for v in values
+        )
+        return head + fld + b"\x00" * (4 - len(fld))
+    return head + struct.pack(e + "I", ext_offset)
+
+
+def build_tiff(pixels, *, big_endian: bool = False, rows_per_strip: int = 8) -> bytes:
+    """HxWx3 uint8 → a real TIFF 6.0 file: chosen byte order,
+    uncompressed chunky RGB, the raster split into ceil(h/rps) strips.
+    IFD entries are written in ascending tag order as the spec
+    requires; BitsPerSample and the multi-strip offset/count arrays
+    are stored out-of-line."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = px.shape
+    if c != 3:
+        raise ValueError("build_tiff writes RGB")
+    e = ">" if big_endian else "<"
+    rps = max(1, int(rows_per_strip))
+    n_strips = (h + rps - 1) // rps
+    raw = px.tobytes()
+    strip_spans = []
+    off = 8  # strip data directly after the 8-byte header
+    for s in range(n_strips):
+        nbytes = (min(h, (s + 1) * rps) - s * rps) * w * 3
+        strip_spans.append((off, nbytes))
+        off += nbytes
+    bits_off = off
+    off += 6  # BitsPerSample: 3 SHORTs, always out-of-line
+    if n_strips > 1:
+        so_off, off = off, off + 4 * n_strips
+        sc_off, off = off, off + 4 * n_strips
+    else:
+        so_off = sc_off = None
+    ifd_off = off
+    entries = [
+        _tiff_entry(e, 256, _TIFF_SHORT, [w]),
+        _tiff_entry(e, 257, _TIFF_SHORT, [h]),
+        _tiff_entry(e, 258, _TIFF_SHORT, [8, 8, 8], bits_off),
+        _tiff_entry(e, 259, _TIFF_SHORT, [1]),  # no compression
+        _tiff_entry(e, 262, _TIFF_SHORT, [2]),  # RGB
+        _tiff_entry(e, 273, _TIFF_LONG, [s for s, _ in strip_spans], so_off),
+        _tiff_entry(e, 274, _TIFF_SHORT, [1]),
+        _tiff_entry(e, 277, _TIFF_SHORT, [3]),
+        _tiff_entry(e, 278, _TIFF_SHORT, [rps]),
+        _tiff_entry(e, 279, _TIFF_LONG, [n for _, n in strip_spans], sc_off),
+    ]
+    out = bytearray()
+    out += (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(e + "I", ifd_off)
+    out += raw
+    out += struct.pack(e + "HHH", 8, 8, 8)
+    if n_strips > 1:
+        out += b"".join(struct.pack(e + "I", s) for s, _ in strip_spans)
+        out += b"".join(struct.pack(e + "I", n) for _, n in strip_spans)
+    out += struct.pack(e + "H", len(entries)) + b"".join(entries)
+    out += struct.pack(e + "I", 0)  # no next IFD
+    return bytes(out)
+
+
+def _tiff_read_values(data: bytes, e: str, entry: bytes):
+    """One IFD entry → (tag, [values]) honoring inline left-justified
+    storage vs out-of-line arrays. Only SHORT/LONG are accepted — the
+    two types the baseline TIFF tags use; anything else refuses."""
+    tag, typ, n = struct.unpack(e + "HHI", entry[:8])
+    if typ not in (_TIFF_SHORT, _TIFF_LONG):
+        raise ValueError(f"tiff: unsupported type {typ} for tag {tag}")
+    size = 2 if typ == _TIFF_SHORT else 4
+    fmt = "H" if typ == _TIFF_SHORT else "I"
+    if n * size <= 4:
+        buf = entry[8 : 8 + n * size]
+    else:
+        (ptr,) = struct.unpack(e + "I", entry[8:12])
+        if ptr + n * size > len(data):
+            raise ValueError("tiff: value array overruns file")
+        buf = data[ptr : ptr + n * size]
+    return tag, list(struct.unpack(e + fmt * n, buf))
+
+
+def parse_tiff(data: bytes):
+    """TIFF bytes → (width, height, HxWx3 uint8) via the real IFD walk:
+    byte-order dispatch, ascending-tag entries, strip reassembly with
+    RowsPerStrip row accounting. Refuses (ValueError) anything but
+    uncompressed 8-bit chunky RGB — never guesses at a codec."""
+    import numpy as np
+
+    if data[:4] not in TIFF_MAGICS:
+        raise ValueError("tiff: bad magic")
+    e = ">" if data[:2] == b"MM" else "<"
+    (ifd_off,) = struct.unpack(e + "I", data[4:8])
+    if ifd_off + 2 > len(data):
+        raise ValueError("tiff: IFD offset out of range")
+    (n_entries,) = struct.unpack(e + "H", data[ifd_off : ifd_off + 2])
+    if ifd_off + 2 + 12 * n_entries + 4 > len(data):
+        raise ValueError("tiff: IFD overruns file")
+    tags = {}
+    for i in range(n_entries):
+        o = ifd_off + 2 + 12 * i
+        tag, vals = _tiff_read_values(data, e, data[o : o + 12])
+        tags[tag] = vals
+    w, h = tags[256][0], tags[257][0]
+    if tags.get(259, [1])[0] != 1:
+        raise ValueError("tiff: compressed TIFF not claimed")
+    if tags.get(277, [1])[0] != 3 or tags.get(258, [8])[:3] != [8, 8, 8]:
+        raise ValueError("tiff: only 8-bit RGB chunky is claimed")
+    offsets, counts = tags[273], tags[279]
+    if len(offsets) != len(counts):
+        raise ValueError("tiff: strip offset/count mismatch")
+    rps = tags.get(278, [h])[0]
+    if len(offsets) != (h + rps - 1) // rps:
+        raise ValueError("tiff: strip count disagrees with RowsPerStrip")
+    raster = bytearray()
+    for s, (so, sc) in enumerate(zip(offsets, counts)):
+        rows = min(h, (s + 1) * rps) - s * rps
+        if sc != rows * w * 3:
+            raise ValueError("tiff: strip byte count disagrees with geometry")
+        if so + sc > len(data):
+            raise ValueError("tiff: strip overruns file")
+        raster += data[so : so + sc]
+    px = np.frombuffer(bytes(raster), np.uint8).reshape(h, w, 3)
+    return w, h, px
+
+
+def parse_tiff_meta(data: bytes):
+    """Header+IFD-only TIFF metadata (no raster build)."""
+    w, h, _ = parse_tiff(data)  # strips are validated, not decoded twice
+    return w, h, 3
+
+
+def plant_tiff_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(doc_id, text) → (doc_id, payload): a real TIFF per document —
+    closed-form dims (w = id%45+4, h = id%29+4), pixels tiling the
+    UTF-8 text bytes, byte order alternating by parity (odd ids are
+    big-endian 'MM'), RowsPerStrip = id%7+3 so most payloads need
+    true multi-strip reassembly."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text_val in zip(pdf["doc_id"], pdf[text_col]):
+                d = int(doc_id)
+                w, h = d % 45 + 4, d % 29 + 4
+                raw = (text_val or "").encode("utf-8") or b"\0"
+                px = np.resize(np.frombuffer(raw, np.uint8), (h, w, 3))
+                out.append(
+                    (
+                        doc_id,
+                        build_tiff(px, big_endian=d % 2 == 1, rows_per_strip=d % 7 + 3),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+
+
+# --------------------------------------------------------------------------
+# WebP (RIFF container; VP8L/VP8/VP8X headers per Google's public
+# container + RFC 6386 specs). Metadata is REAL — dims come from the
+# actual bitstream headers, including the VP8 lossy keyframe start
+# code and the VP8L 14-bit packed fields. Pixel decode is honestly
+# unclaimed (VP8 entropy coding / VP8L Huffman+LZ77 need a codec) —
+# the same meta/decode split as MP4/H.264 and MP3.
+# --------------------------------------------------------------------------
+
+WEBP_VP8L_SIG = 0x2F
+
+
+def _webp_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def build_webp(w: int, h: int, *, variant: str = "VP8L", alpha: bool = False,
+               filler: bytes = b"") -> bytes:
+    """Real WebP container bytes for one image. variant:
+    'VP8L' (lossless: signature byte + the packed 14-bit dims),
+    'VP8'  (lossy: keyframe frame tag + 9d012a start code + 14-bit dims),
+    'VP8X' (extended header with 24-bit canvas dims, then a VP8L
+    bitstream whose dims must agree). filler stands in for the
+    entropy-coded payload the meta walk never claims to decode."""
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError("webp: dims exceed 14-bit field")
+    vp8l_payload = (
+        bytes([WEBP_VP8L_SIG])
+        + struct.pack("<I", (w - 1) | ((h - 1) << 14) | (int(alpha) << 28))
+        + filler
+    )
+    if variant == "VP8L":
+        chunks = _webp_chunk(b"VP8L", vp8l_payload)
+    elif variant == "VP8":
+        if alpha:
+            raise ValueError("webp: lossy VP8 has no alpha channel")
+        part0 = b"\x9d\x01\x2a" + struct.pack("<HH", w & 0x3FFF, h & 0x3FFF) + filler
+        # frame tag: keyframe (bit0=0), version 0, show_frame=1,
+        # first-partition size in bits 5..23
+        tag = (1 << 4) | (len(part0) << 5)
+        chunks = _webp_chunk(b"VP8 ", bytes([tag & 0xFF, (tag >> 8) & 0xFF,
+                                             (tag >> 16) & 0xFF]) + part0)
+    elif variant == "VP8X":
+        flags = 0x10 if alpha else 0
+        vp8x = (
+            bytes([flags]) + b"\x00\x00\x00"
+            + struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3]
+        )
+        chunks = _webp_chunk(b"VP8X", vp8x) + _webp_chunk(b"VP8L", vp8l_payload)
+    else:
+        raise ValueError(f"webp: unknown variant {variant}")
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+
+
+def parse_webp_meta(data: bytes):
+    """WebP bytes → (width, height, has_alpha, variant) via the real
+    RIFF chunk walk (even-byte padding honored) and the real bitstream
+    headers. A VP8X canvas that disagrees with its VP8L bitstream dims
+    refuses — never pick one silently."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("webp: bad container magic")
+    (riff_len,) = struct.unpack("<I", data[4:8])
+    if 8 + riff_len > len(data):
+        raise ValueError("webp: RIFF length overruns file")
+    pos, end = 12, 8 + riff_len
+    canvas = None
+    alpha = False
+    variant = None
+    dims = None
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("webp: chunk overruns file")
+        if fourcc == b"VP8X":
+            if clen != 10:
+                raise ValueError("webp: VP8X payload must be 10 bytes")
+            alpha = bool(body[0] & 0x10)
+            cw = int.from_bytes(body[4:7], "little") + 1
+            ch = int.from_bytes(body[7:10], "little") + 1
+            canvas = (cw, ch)
+            variant = "VP8X"
+        elif fourcc == b"VP8L":
+            if body[0] != WEBP_VP8L_SIG:
+                raise ValueError("webp: bad VP8L signature byte")
+            (packed,) = struct.unpack("<I", body[1:5])
+            dims = ((packed & 0x3FFF) + 1, ((packed >> 14) & 0x3FFF) + 1)
+            alpha = alpha or bool((packed >> 28) & 1)
+            variant = variant or "VP8L"
+        elif fourcc == b"VP8 ":
+            tag = int.from_bytes(body[0:3], "little")
+            if tag & 1:
+                raise ValueError("webp: VP8 chunk is not a keyframe")
+            if body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("webp: missing VP8 keyframe start code")
+            wv, hv = struct.unpack("<HH", body[6:10])
+            dims = (wv & 0x3FFF, hv & 0x3FFF)
+            variant = variant or "VP8"
+        pos += 8 + clen + (clen % 2)
+    if dims is None:
+        raise ValueError("webp: no image bitstream chunk found")
+    if canvas is not None and canvas != dims:
+        raise ValueError("webp: VP8X canvas disagrees with bitstream dims")
+    return dims[0], dims[1], alpha, variant
+
+
+def plant_webp_payloads(df: DataFrame) -> DataFrame:
+    """(doc_id, …) → (doc_id, payload): a real WebP container per
+    document with closed-form dims (w = id%40+5, h = id%33+5), the
+    variant rotating by id%3 (VP8L / lossy VP8 / VP8X+VP8L) and the
+    alpha bit set on ids %5==0 where the variant can carry it."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 40 + 5, d % 33 + 5
+                variant = ("VP8L", "VP8", "VP8X")[d % 3]
+                alpha = d % 5 == 0 and variant != "VP8"
+                filler = hashlib.md5(str(d).encode()).digest()
+                out.append(
+                    (doc_id,
+                     build_webp(w, h, variant=variant, alpha=alpha, filler=filler))
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+
+
+WEBP_META_SCHEMA = (
+    "doc_id long, width int, height int, has_alpha boolean, variant string"
+)
+
+
+def decode_webp_meta(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
+    """binary WebP → one metadata row per payload via the real chunk
+    walk. Pixel decode is NOT claimed (VP8/VP8L entropy coding)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                w, h, alpha, variant = parse_webp_meta(bytes(payload))
+                out.append((doc_id, w, h, alpha, variant))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "has_alpha", "variant"]
+            )
+
+    return df.mapInPandas(run, schema=WEBP_META_SCHEMA)

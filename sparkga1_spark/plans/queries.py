@@ -1932,35 +1932,41 @@ def x_multimodal_jpeg_meta(spark, sf_dir):
     "x_magic_bytes_detect",
     oracle="""
 SELECT doc_id,
-       CASE doc_id % 8 WHEN 0 THEN '424D' WHEN 1 THEN '5249'
-                       WHEN 2 THEN '5955' WHEN 3 THEN 'FFD8'
-                       WHEN 4 THEN '5249' WHEN 5 THEN '0000'
-                       WHEN 6 THEN 'FFFB' ELSE '664C' END AS magic,
-       CASE doc_id % 8 WHEN 0 THEN 'BMP' WHEN 1 THEN 'WAV'
-                       WHEN 2 THEN 'Y4M' WHEN 3 THEN 'JPEG'
-                       WHEN 4 THEN 'AVI' WHEN 5 THEN 'MP4'
-                       WHEN 6 THEN 'MP3' ELSE 'FLAC' END AS fmt
+       CASE doc_id % 10
+            WHEN 0 THEN '424D' WHEN 1 THEN '5249'
+            WHEN 2 THEN '5955' WHEN 3 THEN 'FFD8'
+            WHEN 4 THEN '5249' WHEN 5 THEN '0000'
+            WHEN 6 THEN CASE WHEN doc_id % 20 = 16 THEN '4944' ELSE 'FFFB' END
+            WHEN 7 THEN '664C' WHEN 8 THEN '4949' ELSE '5249' END AS magic,
+       CASE doc_id % 10
+            WHEN 0 THEN 'BMP' WHEN 1 THEN 'WAV'
+            WHEN 2 THEN 'Y4M' WHEN 3 THEN 'JPEG'
+            WHEN 4 THEN 'AVI' WHEN 5 THEN 'MP4'
+            WHEN 6 THEN 'MP3' WHEN 7 THEN 'FLAC'
+            WHEN 8 THEN 'TIFF' ELSE 'WEBP' END AS fmt
 FROM documents
 """,
 )
 def x_magic_bytes_detect(spark, sf_dir):
     """Content-type sniffing over an opaque binary column, entirely
     JVM-side (the triage step a multimodal ingest runs before routing
-    rows to per-format decoders): plant a mixed corpus of EIGHT real
-    containers (BMP / WAV / Y4M / JPEG / AVI / MP4 / MP3 / FLAC by
-    doc_id % 8 — every payload from the real builders above), then
-    classify from magic bytes with substring/hex on the binary
-    column — including the two real-world subtleties a naive
-    prefix-only sniffer gets wrong: RIFF is a FAMILY (bytes 9-12
-    disambiguate 'WAVE' from 'AVI '), and MP4's magic sits at OFFSET
-    4 ('ftyp'; the leading 4 bytes are a box size). No Python touches
-    the payloads after planting: detection is a codegen'd CASE over
-    hex prefixes, so at 100 TB it rides the scan (map-only, zero
-    exchanges) and the bytes never cross into Python. The oracle
-    knows which format each doc_id got, so a misrouted slice or wrong
-    signature breaks the hash. (doc_id %8==6 ⇒ %4==2, so the planted
-    MP3s here are untagged FFFB streams; the ID3-tagged sniff path is
-    pinned in the MP3 pytest.)"""
+    rows to per-format decoders): plant a mixed corpus of TEN real
+    containers (BMP / WAV / Y4M / JPEG / AVI / MP4 / MP3 / FLAC /
+    TIFF / WebP by doc_id % 10 — every payload from the real builders
+    above), then classify from magic bytes with substring/hex on the
+    binary column — including the real-world subtleties a naive
+    prefix-only sniffer gets wrong: RIFF is a FAMILY of THREE here
+    (bytes 9-12 disambiguate 'WAVE' / 'AVI ' / 'WEBP'), MP4's magic
+    sits at OFFSET 4 ('ftyp'; the leading 4 bytes are a box size),
+    TIFF's magic is ENDIAN-PAIRED ('II*\\0' or 'MM\\0*'), and the MP3
+    slice mixes bare FFFB sync streams with ID3-prefixed ones
+    (doc_id%20==16 ⇒ %4==0 ⇒ the planter writes a real ID3v2 tag), so
+    the tag-aware sniff path is certified by this gate row, not just
+    pytest. No Python touches the payloads after planting: detection
+    is a codegen'd CASE over hex prefixes, so at 100 TB it rides the
+    scan (map-only, zero exchanges) and the bytes never cross into
+    Python. The oracle knows which format each doc_id got, so a
+    misrouted slice or wrong signature breaks the hash."""
     from sparkga1_spark.operators.multimodal import (
         plant_avi_payloads,
         plant_bmp_payloads,
@@ -1968,13 +1974,15 @@ def x_magic_bytes_detect(spark, sf_dir):
         plant_jpeg_payloads,
         plant_mp3_payloads,
         plant_mp4_payloads,
+        plant_tiff_payloads,
         plant_wav_payloads,
+        plant_webp_payloads,
         plant_y4m_payloads,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ids = docs.select("doc_id")
-    m = F.col("doc_id") % 8
+    m = F.col("doc_id") % 10
     payloads = (
         plant_bmp_payloads(docs.filter(m == 0))
         .unionByName(plant_wav_payloads(ids.filter(m == 1)))
@@ -1984,12 +1992,14 @@ def x_magic_bytes_detect(spark, sf_dir):
         .unionByName(plant_mp4_payloads(ids.filter(m == 5)))
         .unionByName(plant_mp3_payloads(ids.filter(m == 6)))
         .unionByName(plant_flac_payloads(ids.filter(m == 7)))
+        .unionByName(plant_tiff_payloads(docs.filter(m == 8)))
+        .unionByName(plant_webp_payloads(ids.filter(m == 9)))
     )
     h2 = F.hex(F.substring("payload", 1, 2))
     h3 = F.hex(F.substring("payload", 1, 3))
     h4 = F.hex(F.substring("payload", 1, 4))
     h9 = F.hex(F.substring("payload", 1, 9))
-    riff_kind = F.hex(F.substring("payload", 9, 4))  # 'WAVE' vs 'AVI '
+    riff_kind = F.hex(F.substring("payload", 9, 4))  # 'WAVE'/'AVI '/'WEBP'
     ftyp = F.hex(F.substring("payload", 5, 4))  # MP4: magic at offset 4
     fmt = (
         F.when(h2 == "424D", "BMP")
@@ -1998,15 +2008,351 @@ def x_magic_bytes_detect(spark, sf_dir):
             h4 == "52494646",
             F.when(riff_kind == F.hex(F.lit(b"WAVE")), "WAV")
             .when(riff_kind == F.hex(F.lit(b"AVI ")), "AVI")
+            .when(riff_kind == F.hex(F.lit(b"WEBP")), "WEBP")
             .otherwise("UNKNOWN"),
         )
         .when(h9 == F.hex(F.lit(b"YUV4MPEG2")), "Y4M")
         .when(ftyp == F.hex(F.lit(b"ftyp")), "MP4")
         .when((h2 == "FFFB") | (h3 == F.hex(F.lit(b"ID3"))), "MP3")
         .when(h4 == F.hex(F.lit(b"fLaC")), "FLAC")
+        .when((h4 == F.hex(F.lit(b"II*\x00"))) | (h4 == F.hex(F.lit(b"MM\x00*"))), "TIFF")
         .otherwise("UNKNOWN")
     )
     return payloads.select("doc_id", h2.alias("magic"), fmt.alias("fmt"))
+
+
+@query(
+    "x_dsir_importance",
+    oracle="""
+WITH tok AS (
+  SELECT d.doc_id, d.source IN ('src0', 'src1') AS is_target,
+         unnest(list_filter(str_split_regex(trim(d.text), ' +'),
+                            x -> x <> '')) AS tok
+  FROM documents d
+),
+cg AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+ct AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok
+       WHERE is_target GROUP BY tok),
+tots AS (
+  SELECT (SELECT count(*) FROM cg) AS v,
+         (SELECT sum(c) FROM cg) AS ng,
+         (SELECT coalesce(sum(c), 0) FROM ct) AS nt
+),
+scored AS (
+  SELECT t.doc_id, t.is_target,
+         CAST(floor(ln((coalesce(ct.c, 0) + 1)
+                       / CAST(tots.nt + tots.v AS DOUBLE))
+                    * 1000000000 + 0.5) AS BIGINT)
+         - CAST(floor(ln((cg.c + 1) / CAST(tots.ng + tots.v AS DOUBLE))
+                      * 1000000000 + 0.5) AS BIGINT) AS slr
+  FROM tok t
+  JOIN cg ON cg.tok = t.tok
+  LEFT JOIN ct ON ct.tok = t.tok
+  CROSS JOIN tots
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       round(CAST(sum(slr) AS DOUBLE) / count(*) / 1000000000, 6)
+           AS avg_log_ratio,
+       bool_or(is_target) AS is_target
+FROM scored GROUP BY doc_id
+""",
+)
+def x_dsir_importance(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023, 'Data Selection for
+    Language Models via Importance Resampling' — the public recipe for
+    steering a pretraining mix toward a target domain): a unigram LM
+    of the TARGET slice (sources src0/src1 stand in for the
+    high-quality domain) and one of the full corpus, both add-1
+    smoothed over the shared vocabulary; each document scores the mean
+    log importance ratio ln p_target(w) − ln p_corpus(w) of its
+    tokens. Downstream sampling then resamples by this weight (the
+    A-ES samplers in operators/sampling.py take it directly). Scale
+    shape: both LMs are vocab-sized broadcast tables, totals are a
+    1-row broadcast, scoring is one pass over tokens + one per-doc
+    aggregate — the x_unigram_logprob envelope with a second (smaller)
+    vocab join. Each ln is nano-snapped BEFORE the integer subtraction
+    and per-doc sum, so accumulation is exact and order-independent
+    across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.col("source").isin("src0", "src1").alias("is_target"),
+        F.explode(
+            F.filter(F.split(F.trim(F.col("text")), " +"), lambda x: x != "")
+        ).alias("tok"),
+    )
+    cg = tok.groupBy("tok").agg(F.count("*").cast("long").alias("cg"))
+    ct = (
+        tok.filter("is_target")
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("ct"))
+    )
+    tots = cg.agg(
+        F.count("*").alias("v"), F.sum("cg").alias("ng")
+    ).crossJoin(ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt")))
+
+    def snap(col):
+        return F.floor(col * 1_000_000_000 + 0.5).cast("long")
+
+    scored = (
+        tok.join(F.broadcast(cg), "tok")
+        .join(F.broadcast(ct), "tok", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "doc_id",
+            "is_target",
+            (
+                snap(
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                        / (F.col("nt") + F.col("v")).cast("double")
+                    )
+                )
+                - snap(
+                    F.log(
+                        (F.col("cg") + 1)
+                        / (F.col("ng") + F.col("v")).cast("double")
+                    )
+                )
+            ).alias("slr"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tok"),
+        hround(
+            F.sum("slr").cast("double") / F.count("*") / 1_000_000_000, 6
+        ).alias("avg_log_ratio"),
+        F.max("is_target").alias("is_target"),
+    )
+
+
+@query(
+    "x_warc_records",
+    oracle="""
+WITH s AS (SELECT doc_id, n_chars, source, doc_id % 3 + 1 AS nresp FROM documents),
+r AS (SELECT s.*, CAST(t.r AS BIGINT) AS r
+      FROM s, LATERAL unnest(generate_series(0, CAST(nresp - 1 AS BIGINT))) AS t(r))
+SELECT doc_id, CAST(0 AS INTEGER) AS rec_index, 'warcinfo' AS rec_type,
+       CAST(NULL AS VARCHAR) AS target_uri, CAST(NULL AS INTEGER) AS http_status,
+       CAST(30 AS BIGINT) AS payload_len, doc_id % 2 = 1 AS compressed
+FROM s
+UNION ALL
+SELECT doc_id, CAST(1 + 2*r AS INTEGER), 'request',
+       'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+           || '/' || CAST(r AS VARCHAR),
+       CAST(NULL AS INTEGER), CAST(0 AS BIGINT), doc_id % 2 = 1
+FROM r
+UNION ALL
+SELECT doc_id, CAST(2 + 2*r AS INTEGER), 'response',
+       'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+           || '/' || CAST(r AS VARCHAR),
+       CAST(CASE WHEN (doc_id + r) % 5 = 0 THEN 404 ELSE 200 END AS INTEGER),
+       CAST(n_chars + 3 AS BIGINT), doc_id % 2 = 1
+FROM r
+""",
+)
+def x_warc_records(spark, sf_dir):
+    """WARC ingestion (ISO 28500 — the container Common Crawl ships,
+    i.e. the access path a real 100 TB pretraining corpus arrives
+    through): plant one WARC file per document (warcinfo + doc_id%3+1
+    request/response pairs; HTTP bodies Content-Length-framed; odd
+    ids written GZIP-PER-RECORD, the `.warc.gz` member convention a
+    whole-file gunzip or a one-member assumption both get wrong) and
+    flatMap it into typed record rows with a strict parser — version
+    line, header walk, exact block framing, CRLF CRLF separators,
+    member-boundary accounting via zlib unused_data. The oracle
+    restates every record of every file in closed form (record
+    counts, URIs, the (doc_id+r)%5 status rotation, body lengths from
+    n_chars), so a framing bug, a skipped member, or a mis-split HTTP
+    head/body breaks the hash. Map-only 1→N — at 100 TB it rides the
+    scan exactly like the reference's FASTQ chunk→records flatMap
+    (SparkGA1.scala:268-318)."""
+    from sparkga1_spark.operators.crawl import (
+        parse_warc_records,
+        plant_warc_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return parse_warc_records(plant_warc_payloads(docs))
+
+
+@query(
+    "x_html_extract_text",
+    oracle="""
+SELECT doc_id,
+       'doc "' || CAST(doc_id AS VARCHAR) || '"' AS title,
+       'heading ' || CAST(doc_id AS VARCHAR) || ' ' || text AS main_text,
+       CAST(4 + doc_id % 3 AS INTEGER) AS n_links,
+       1 AS n_dropped
+FROM documents
+""",
+)
+def x_html_extract_text(spark, sf_dir):
+    """HTML main-text extraction (the boilerplate-removal step between
+    crawl and curation): wrap each document's text in a realistic page
+    — head title with named entities, style + script RAW-TEXT blocks
+    whose content contains markup-looking strings ('</p>' inside a JS
+    string must not close anything), a nav link bar with a QUOTED '>'
+    in an attribute (the classic regex-stripper killer), the text
+    split over three <p> blocks with the middle one re-expressed as
+    decimal/hex character references, a link-only div, and a footer —
+    then extract with a real single-pass tokenizer: quote-aware tag
+    scanning, raw-text elements, entity decoding, container dropping
+    (nav/footer/header/aside), and the Kohlschütter-style link-density
+    rule (blocks ≥80% link text are boilerplate). The oracle demands
+    the EXACT original text back (title via named entities, body via
+    numeric references), so any tokenizer shortcut — regex tag
+    stripping, skipped entity forms, script leakage, boilerplate
+    leakage — breaks the hash."""
+    from sparkga1_spark.operators.crawl import (
+        extract_html_text,
+        plant_html_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return extract_html_text(plant_html_payloads(docs))
+
+
+@query(
+    "x_crawl_ingest_pipeline",
+    oracle="""
+WITH s AS (SELECT doc_id, text, source, doc_id % 3 + 1 AS nresp FROM documents),
+r AS (SELECT s.*, CAST(t.r AS BIGINT) AS r
+      FROM s, LATERAL unnest(generate_series(0, CAST(nresp - 1 AS BIGINT))) AS t(r)
+      WHERE (doc_id + r) % 5 <> 0)
+SELECT doc_id,
+       'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+           || '/' || CAST(r AS VARCHAR) AS url,
+       source || '.example.com' AS host,
+       CAST(2 + length(string_split(text, ' ')) AS INTEGER) AS n_words,
+       (2 + length(string_split(text, ' '))) >= 40 AS kept
+FROM r
+""",
+)
+def x_crawl_ingest_pipeline(spark, sf_dir):
+    """The crawl→curation composition, ONE lazy plan end to end: WARC
+    files (HTML response bodies this time) → strict record parse
+    keeping HTTP-200 responses → HTML main-text extraction → JVM-side
+    hygiene (host from the URI, word count, a minimum-length keep
+    flag — the first Gopher rule). Three Arrow stages back to back
+    with zero shuffles between them: at 100 TB the whole path is one
+    map-only pass over the crawl, and its output columns are exactly
+    what the existing dedup/quality/curation operators key on. The
+    oracle enumerates the surviving (doc, fetch) pairs and the word
+    math in closed form."""
+    import pandas as _pd
+
+    from sparkga1_spark.operators.crawl import (
+        extract_html,
+        plant_warc_payloads,
+        warc_response_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    responses = warc_response_payloads(
+        plant_warc_payloads(docs, html_bodies=True)
+    ).select(
+        "doc_id",
+        F.col("target_uri").alias("url"),
+        F.col("body").cast("string").alias("html"),
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, url, html in zip(pdf["doc_id"], pdf["url"], pdf["html"]):
+                _, text, _, _ = extract_html(html or "")
+                out.append((doc_id, url, text))
+            yield _pd.DataFrame(out, columns=["doc_id", "url", "main_text"])
+
+    body_text = responses.mapInPandas(
+        run, schema="doc_id long, url string, main_text string"
+    )
+    n_words = F.size(F.split("main_text", " "))
+    return body_text.select(
+        "doc_id",
+        "url",
+        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"),
+        n_words.cast("int").alias("n_words"),
+        (n_words >= F.lit(40)).alias("kept"),
+    )
+
+
+@query(
+    "x_multimodal_webp_meta",
+    oracle="""
+SELECT doc_id,
+       CAST(doc_id % 40 + 5 AS INTEGER) AS width,
+       CAST(doc_id % 33 + 5 AS INTEGER) AS height,
+       (doc_id % 5 = 0 AND doc_id % 3 <> 1) AS has_alpha,
+       CASE doc_id % 3 WHEN 0 THEN 'VP8L' WHEN 1 THEN 'VP8' ELSE 'VP8X' END
+           AS variant
+FROM documents
+""",
+)
+def x_multimodal_webp_meta(spark, sf_dir):
+    """Multimodal REAL WebP metadata (Google container spec + RFC
+    6386): plant a real WebP per document with the variant rotating
+    through all three container shapes — plain VP8L (signature byte +
+    packed 14-bit dims), lossy VP8 (keyframe frame tag + 9d012a start
+    code), and VP8X extended (24-bit canvas dims CROSS-CHECKED against
+    the embedded VP8L bitstream — disagreement refuses). Dims, alpha
+    flag, and variant are read from the actual bitstream headers, the
+    same walk file(1)/identify perform; pixel decode is honestly
+    unclaimed (VP8 entropy coding), the MP4/H.264 meta/decode split
+    applied to WebP."""
+    from sparkga1_spark.operators.multimodal import (
+        decode_webp_meta,
+        plant_webp_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_webp_meta(plant_webp_payloads(docs))
+
+
+@query(
+    "x_multimodal_tiff_decode",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         doc_id % 45 + 4 AS w, doc_id % 29 + 4 AS h,
+         octet_length(encode(text)) AS L,
+         [CAST(('0x' || substr(hex(encode(text)), 2*i-1, 2)) AS INTEGER)
+          for i in generate_series(1, octet_length(encode(text)))] AS bv
+  FROM documents
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       3 AS channels,
+       'TIFF' AS format,
+       CAST(CASE WHEN L = 0 THEN 0
+            ELSE (w * h * 3 // L) * list_sum(bv)
+                 + coalesce(list_sum(bv[1:(w * h * 3) % L]), 0)
+            END AS BIGINT) AS px_sum
+FROM s
+""",
+)
+def x_multimodal_tiff_decode(spark, sf_dir):
+    """Multimodal REAL TIFF decode (TIFF 6.0, the Adobe public spec):
+    plant a real uncompressed-RGB TIFF per document — byte order
+    alternating 'II'/'MM' by doc parity, RowsPerStrip id%7+3 so most
+    rasters need true multi-strip reassembly — and decode it with a
+    native IFD walk. TIFF is the one mainstream image container whose
+    ENDIANNESS is data-dependent and whose small IFD values are
+    inlined left-justified in file byte order; a parser that gets
+    either wrong decodes exactly one of the two parities, and the
+    closed-form px_sum oracle (pixels tile the text bytes, identical
+    to the PNG/QOI rows) breaks on it. Compressed TIFF refuses —
+    honesty over guessing, as everywhere in the image family."""
+    from sparkga1_spark.operators.multimodal import (
+        decode_image_stats,
+        plant_tiff_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return decode_image_stats(plant_tiff_payloads(docs))
 
 
 @query(
@@ -11059,13 +11405,26 @@ def x_dedup_cluster_size_hist(spark, sf_dir):
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
 
 set_gate_order([
-    # (a) new / result-changed this round — session 6 first (MJPEG
-    # AVI real video decode; x_multimodal_jpeg_decode's row below also
-    # changed values: color progressive rows now carry channels=3 and
-    # 3x px_sum), then session 5 (the analytics/ML-evaluation wave),
-    # session 4 (real baseline JPEG decode, real FLAC decode),
-    # session 3 (IMA ADPCM stateful codec, BPE encode, NFC text
-    # hygiene), session 2, and the session-1 new/graph set
+    # (a) new / result-changed this round. 53 queries are new or
+    # result-changed in round 6 — more than the 50-row driver window
+    # holds — so three sit first-out at 51-53 (LOCAL_GATE_r6 +
+    # corroborating in-window rows carry them; rationale at the
+    # tail). Session 7 first: the crawl-ingestion wave (WARC record
+    # parse, HTML extraction), TIFF real decode, DSIR importance —
+    # never-verified and least corroborated by other rows.
+    "x_warc_records",
+    "x_html_extract_text",
+    "x_multimodal_tiff_decode",
+    "x_dsir_importance",
+    # session 6 (MJPEG AVI real video decode;
+    # x_multimodal_jpeg_decode's row below also changed values: color
+    # progressive rows now carry channels=3 and 3x px_sum), then
+    # session 5 (the analytics/ML-evaluation wave), session 4 (real
+    # baseline JPEG decode, real FLAC decode), session 3 (IMA ADPCM
+    # stateful codec, BPE encode, NFC text hygiene), session 2, and
+    # the session-1 new/graph set. x_magic_bytes_detect changed AGAIN
+    # in session 7 (8 → 10 formats: TIFF endian pair + WEBP as the
+    # third RIFF kind + the ID3-tagged MP3 slice).
     "x_multimodal_mjpeg_frames",
     "x_multimodal_mp4_meta",
     "x_multimodal_mp4_demux",
@@ -11109,22 +11468,34 @@ set_gate_order([
     "x_weighted_sample_es",
     "x_hll_accuracy_audit",
     "x_multimodal_qoi_decode",
-    "x_set_similarity_routed",
     "x_host_pagerank",
     "x_graph_triangles",
     "x_graph_bfs_hops",
-    # (b) round-2-age queries (r5 VERDICT #1). The session-5/6
+    # positions 51-53 — the three new/changed rows the 50-cap squeezes
+    # out, chosen for strongest OTHER evidence: x_multimodal_webp_meta
+    # (variant roundtrips + refusals pytest-pinned; its planter's
+    # magic certified by the in-window sniffer row),
+    # x_crawl_ingest_pipeline (a composition of the in-window
+    # x_warc_records / x_html_extract_text paths), and
+    # x_set_similarity_routed (route-agreement pytest + the r5 driver
+    # row on x_set_similarity_join, whose oracle both routes must
+    # equal). All three are green in this round's full-precision
+    # LOCAL_GATE at driver strength.
+    "x_multimodal_webp_meta",
+    "x_crawl_ingest_pipeline",
+    "x_set_similarity_routed",
+    # (b) round-2-age queries (r5 VERDICT #1). The session-5/6/7
     # additions compress this block: every NEVER-verified query
     # outranks a stale-but-green one (a query with no driver row at
     # all is strictly worse evidence than an r2 row + three rounds of
     # full-precision LOCAL_GATE green), so the simplest
     # relational/window members — a_date_parts, a_minmax_by_bool,
     # f_null_semantics, w_first_last_nth, w_rank_family — rotate to
-    # the r7 front on LOCAL_GATE evidence; x_embedding_quantize,
+    # the r7 front on LOCAL_GATE evidence; a_cube_revenue,
+    # f_attrs_map_extract, x_datamix_split, x_embedding_quantize,
     # x_fuzzy_levenshtein, x_json_props_extract, x_tfidf_top_terms,
-    # x_url_host_rollup, x_vector_stats_hof, and x_vocab_topk sit at
-    # positions 51-57 (first out) after the session-6 rows (six new +
-    # the result-changed 8-format magic-bytes sniffer) fronted.
+    # x_url_host_rollup, x_vector_stats_hof, and x_vocab_topk follow
+    # the three squeezed-out rows (never-verified beats stale-green).
     "a_cube_revenue",
     "f_attrs_map_extract",
     "x_datamix_split",

@@ -1,0 +1,146 @@
+"""WARC framing + HTML tokenizer invariants beyond what the oracle
+rows certify: refusal paths, gzip member accounting, and the
+adversarial HTML shapes (quoted '>', raw-text script content, entity
+forms) a naive extractor silently corrupts."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from sparkga1_spark.operators.crawl import (
+    build_html,
+    build_warc,
+    extract_html,
+    parse_warc,
+)
+
+
+def test_warc_roundtrip_plain_and_gzip_members():
+    text = "alpha bravo charlie delta echo"
+    for d in range(8):
+        for gz in (False, True):
+            recs = parse_warc(build_warc(d, f"src{d}", text, gzip_members=gz))
+            assert len(recs) == 1 + 2 * (d % 3 + 1)
+            assert all(r["compressed"] is gz for r in recs)
+            resp0 = recs[2]
+            assert resp0["payload"].decode() == f"{text} r0"
+            assert resp0["http_status"] == (404 if d % 5 == 0 else 200)
+
+
+def test_warc_gzip_member_boundaries_are_strict():
+    """One member per record is the .warc.gz contract: a member
+    holding two records refuses, junk between members refuses, and a
+    truncated member refuses — never a silently short record list."""
+    plain = build_warc(2, "s", "w x y z", gzip_members=False)
+    recs = parse_warc(plain)
+    assert len(recs) == 7  # doc 2: warcinfo + 3 pairs
+
+    def gz(b: bytes) -> bytes:
+        co = zlib.compressobj(9, zlib.DEFLATED, 31)
+        return co.compress(b) + co.flush()
+
+    # the whole plain file as ONE member = many records in one member
+    with pytest.raises(ValueError, match="more than one record"):
+        parse_warc(gz(plain))
+    ok = build_warc(3, "s", "w", gzip_members=True)
+    with pytest.raises(ValueError, match="junk between gzip members"):
+        parse_warc(ok + b"garbage")
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        parse_warc(ok[:-3])
+
+
+def test_warc_framing_refusals():
+    good = build_warc(1, "s", "a b c", gzip_members=False)
+    with pytest.raises(ValueError, match="bad version line"):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+    # break the Content-Length framing: shrink the first block by one
+    idx = good.find(b"Content-Length: ")
+    end = good.find(b"\r\n", idx)
+    n = int(good[idx + 16 : end])
+    broken = good[:idx] + f"Content-Length: {n - 1}".encode() + good[end:]
+    with pytest.raises(ValueError, match="separator missing"):
+        parse_warc(broken)
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n")
+
+
+def test_warc_http_split_and_status_parse():
+    recs = parse_warc(build_warc(0, "s", "one two", gzip_members=False))
+    req = recs[1]
+    assert req["http_status"] is None and req["payload"] == b""
+    # a response block with no head/body split refuses
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"Content-Type: application/http;msgtype=response\r\n"
+        b"Content-Length: 17\r\n\r\nHTTP/1.1 200 OK\r\n\r\n\r\n"
+    )
+    with pytest.raises(ValueError, match="no header/body split"):
+        parse_warc(bad)
+
+
+def test_html_roundtrip_exact_text():
+    """The planted page must give back the document text EXACTLY:
+    entities decoded, boilerplate gone, script/style content gone."""
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    for d in (0, 1, 2, 5, 14):
+        title, main, links, dropped = extract_html(build_html(d, text))
+        assert title == f'doc "{d}"'
+        assert main == f"heading {d} {text}"
+        assert links == 4 + d % 3
+        assert dropped == 1  # the link-only div
+
+
+def test_html_tokenizer_adversarial_shapes():
+    # quoted '>' inside an attribute must not close the tag
+    _, m, links, _ = extract_html(
+        '<body><p>before <a href="/x" title="a>b">link</a> after</p></body>'
+    )
+    assert m == "before link after" and links == 1
+    # script raw-text: markup inside a JS string is data, not tags
+    _, m, _, _ = extract_html(
+        "<body><p>keep</p><script>if (1<2) { document.write(\"<p>no</p>\"); }"
+        "</script><p>tail</p></body>"
+    )
+    assert m == "keep tail"
+    # style raw-text with a child combinator '>'
+    _, m, _, _ = extract_html(
+        "<body><style>div > p { color: red; }</style><p>only</p></body>"
+    )
+    assert m == "only"
+    # entity forms: named, decimal, hex, unknown-kept-literal, nbsp
+    _, m, _, _ = extract_html(
+        "<body><p>&lt;tag&gt; &amp; &#65;&#x42; &bogus; a&nbsp;b</p></body>"
+    )
+    assert m == "<tag> & AB &bogus; a b"
+    # comments and doctype are ignored
+    _, m, _, _ = extract_html(
+        "<!DOCTYPE html><body><!-- <p>ghost</p> --><p>real</p></body>"
+    )
+    assert m == "real"
+
+
+def test_html_link_density_boundary():
+    # exactly 80% link text drops; below keeps ("12345" link + " abc")
+    _, m, _, dropped = extract_html(
+        '<body><div><a href="/x">12345</a>2345</div></body>'
+    )
+    assert m == "123452345" and dropped == 0  # 5/9 < 0.8
+    _, m, _, dropped = extract_html(
+        '<body><div><a href="/x">12345678</a>12</div></body>'
+    )
+    assert m == "" and dropped == 1  # 8/10 >= 0.8
+    # nav containers drop regardless of density; nested blocks resume
+    _, m, _, _ = extract_html(
+        "<body><nav><p>menu text menu text</p></nav><p>content</p></body>"
+    )
+    assert m == "content"
+
+
+def test_html_empty_and_degenerate():
+    assert extract_html("") == (None, "", 0, 0)
+    assert extract_html("plain text no tags") == (None, "plain text no tags", 0, 0)
+    # unterminated tag at EOF: text before it survives
+    _, m, _, _ = extract_html("<body><p>ok</p><a href=")
+    assert m == "ok"

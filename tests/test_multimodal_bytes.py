@@ -1962,3 +1962,129 @@ def test_id3v2_text_frames_roundtrip_and_refusals():
     with pytest.raises(ValueError, match="overruns the tag"):
         parse_id3v2_frames(bytes(bad))
     assert parse_id3v2_frames(b"no tag here") == {}
+
+
+def test_tiff_roundtrip_both_endians_and_strips():
+    """TIFF 6.0: the same raster written 'II' and 'MM' must decode to
+    identical pixels from different bytes; every RowsPerStrip in
+    1..h+2 (single-strip through strip-per-row) reassembles exactly;
+    inline SHORT values are left-justified in FILE byte order — a
+    parser that reads the 4-byte field as an integer gets w<<16 on
+    exactly one endianness, which the roundtrip catches."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import build_tiff, parse_tiff
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (11, 7, 3), dtype=np.uint8)
+    le = build_tiff(px, big_endian=False, rows_per_strip=4)
+    be = build_tiff(px, big_endian=True, rows_per_strip=4)
+    assert le != be and le[:2] == b"II" and be[:2] == b"MM"
+    for data in (le, be):
+        w, h, got = parse_tiff(data)
+        assert (w, h) == (7, 11) and (got == px).all()
+    for rps in range(1, 14):
+        w, h, got = parse_tiff(build_tiff(px, rows_per_strip=rps))
+        assert (got == px).all(), rps
+
+
+def test_tiff_refusals_structural():
+    """Compressed TIFF, non-RGB, strip-count/geometry disagreement,
+    and overruns all refuse with ValueError — never a guessed raster."""
+    import numpy as np
+    import pytest
+
+    from sparkga1_spark.operators.multimodal import build_tiff, parse_tiff
+
+    px = np.zeros((6, 5, 3), np.uint8)
+    good = build_tiff(px, rows_per_strip=3)
+
+    def patch_ifd_short(data: bytes, tag: int, value: int) -> bytes:
+        import struct as st
+
+        (ifd_off,) = st.unpack("<I", data[4:8])
+        (n,) = st.unpack("<H", data[ifd_off : ifd_off + 2])
+        out = bytearray(data)
+        for i in range(n):
+            o = ifd_off + 2 + 12 * i
+            t, typ, cnt = st.unpack("<HHI", data[o : o + 8])
+            if t == tag:
+                out[o + 8 : o + 10] = st.pack("<H", value)
+                return bytes(out)
+        raise AssertionError("tag not found")
+
+    with pytest.raises(ValueError, match="compressed"):
+        parse_tiff(patch_ifd_short(good, 259, 5))  # LZW
+    with pytest.raises(ValueError, match="8-bit RGB"):
+        parse_tiff(patch_ifd_short(good, 277, 1))
+    with pytest.raises(ValueError, match="RowsPerStrip"):
+        parse_tiff(patch_ifd_short(good, 278, 6))  # 1 strip claimed, 2 stored
+    with pytest.raises(ValueError, match="geometry"):
+        # h=5, rps=3 keeps ceil(h/rps)=2 strips, but the second strip
+        # would now cover 2 rows (30 bytes) while 45 are stored
+        parse_tiff(patch_ifd_short(good, 257, 5))
+    with pytest.raises(ValueError, match="magic"):
+        parse_tiff(b"II+\x00" + good[4:])
+    with pytest.raises(ValueError):
+        parse_tiff(good[:40])
+
+
+def test_webp_variants_roundtrip_and_refusals():
+    """All three container shapes roundtrip (VP8L packed 14-bit dims,
+    VP8 keyframe start code, VP8X canvas + embedded VP8L); the VP8X
+    canvas/bitstream cross-check, non-keyframe VP8, and bad
+    signatures refuse. 14-bit dim extremes survive the packing."""
+    import pytest
+
+    from sparkga1_spark.operators.multimodal import build_webp, parse_webp_meta
+
+    assert parse_webp_meta(build_webp(5, 9)) == (5, 9, False, "VP8L")
+    assert parse_webp_meta(build_webp(5, 9, alpha=True)) == (5, 9, True, "VP8L")
+    assert parse_webp_meta(build_webp(33, 7, variant="VP8")) == (33, 7, False, "VP8")
+    assert parse_webp_meta(build_webp(8, 6, variant="VP8X", alpha=True)) == (
+        8, 6, True, "VP8X",
+    )
+    # 14-bit extremes: 1x1 and 16384x16384
+    assert parse_webp_meta(build_webp(1, 1))[:2] == (1, 1)
+    assert parse_webp_meta(build_webp(1 << 14, 1 << 14))[:2] == (1 << 14, 1 << 14)
+    with pytest.raises(ValueError, match="14-bit"):
+        build_webp((1 << 14) + 1, 4)
+    with pytest.raises(ValueError, match="no alpha"):
+        build_webp(4, 4, variant="VP8", alpha=True)
+    good = build_webp(10, 10, variant="VP8X")
+    bad = bytearray(good)
+    bad[good.find(b"VP8X") + 8 + 4] = 99  # canvas width low byte
+    with pytest.raises(ValueError, match="disagrees"):
+        parse_webp_meta(bytes(bad))
+    vp8 = bytearray(build_webp(6, 6, variant="VP8"))
+    vp8[vp8.find(b"VP8 ") + 8] |= 1  # interframe bit
+    with pytest.raises(ValueError, match="keyframe"):
+        parse_webp_meta(bytes(vp8))
+    with pytest.raises(ValueError, match="magic"):
+        parse_webp_meta(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="no image bitstream"):
+        parse_webp_meta(b"RIFF\x04\x00\x00\x00WEBP")
+
+
+def test_tiff_webp_dispatch_and_bytes_safety():
+    """The image dispatchers route TIFF to the real raster decode and
+    the planted payloads survive the Arrow binary round-trip (the
+    bytes-safety property every planted format carries)."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import (
+        _decode_image_meta,
+        _decode_image_pixels,
+        build_tiff,
+        build_webp,
+    )
+
+    px = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+    t = build_tiff(px, big_endian=True, rows_per_strip=2)
+    assert _decode_image_meta(t) == (5, 4, 3, "TIFF")
+    assert (_decode_image_pixels(t) == px).all()
+    # WebP: meta-only family — the generic image dispatcher must not
+    # claim it as a real decode (no VP8 codec): FAKE fallthrough is
+    # the documented honest path there; the real path is decode_webp_meta
+    w = build_webp(6, 7)
+    assert _decode_image_meta(w)[3] == "FAKE"

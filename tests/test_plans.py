@@ -150,6 +150,14 @@ def test_gate_order_fronts_unproven_queries():
     qs = list(all_queries())
     first50 = set(qs[:50])
     must_have_row = {
+        # round-6 session-7 additions: WARC record parse, HTML
+        # extraction, TIFF real decode, DSIR importance weighting.
+        # (x_multimodal_webp_meta / x_crawl_ingest_pipeline /
+        # x_set_similarity_routed sit first-out at 51-53 — the 50-cap
+        # holds 53 new/changed rows this round; those three carry the
+        # strongest other evidence, see the gate-order comment.)
+        "x_warc_records", "x_html_extract_text",
+        "x_multimodal_tiff_decode", "x_dsir_importance",
         # round-6 (a0): session-3 additions
         "x_multimodal_adpcm_features", "x_multimodal_alaw_features",
         "x_bpe_encode_corpus", "x_text_nfc_clean",
@@ -164,20 +172,11 @@ def test_gate_order_fronts_unproven_queries():
         "x_dedup_containment", "x_multimodal_pcx_decode",
         "x_multimodal_ulaw_features", "x_stratified_sample_es",
         "x_weighted_sample_es", "x_hll_accuracy_audit",
-        "x_multimodal_qoi_decode", "x_set_similarity_routed",
+        "x_multimodal_qoi_decode",
         "x_host_pagerank", "x_graph_triangles", "x_graph_bfs_hops",
-        # round-6 (b): 3 of the 18 round-2-age queries (r5 VERDICT #1;
-        # a_date_parts / a_minmax_by_bool / f_null_semantics /
-        # w_first_last_nth / w_rank_family / w_frame_lag_lead_range /
-        # f_ignore_table_antijoin / o_topk_global_limit displaced to
-        # the r7 front by the session-5 wave; x_vocab_topk,
-        # x_vector_stats_hof, x_url_host_rollup, x_tfidf_top_terms,
-        # x_json_props_extract, x_fuzzy_levenshtein, and
-        # x_embedding_quantize by the seven session-6 rows —
-        # never-verified beats stale-green)
-        "a_cube_revenue",
-        "f_attrs_map_extract",
-        "x_datamix_split",
+        # (the round-2-age a_cube_revenue / f_attrs_map_extract /
+        # x_datamix_split rotate to the r7 front: stale-green r2 rows
+        # are displaced by this round's never-verified additions)
         # round-6 session-5 additions (analytics / ML-evaluation wave)
         "x_revenue_gini_lorenz", "x_heaps_vocab_growth",
         "x_target_encode_loo", "x_dedup_cluster_size_hist",
@@ -413,18 +412,18 @@ def test_funnel_single_event_exchange(spark, sf_dir):
 
 def test_magic_bytes_detect_no_python_after_planting(spark, sf_dir):
     """Format sniffing must stay JVM-side: the only Python stages are
-    the eight planters (mapInPandas, r6 s6: BMP/WAV/Y4M/JPEG/AVI/MP4/
-    MP3/FLAC); classification adds none. The only exchanges allowed
-    are the planters' round-robin codec spreads (multimodal._spread —
-    deliberate CPU parallelism for the Python stages); classification
-    itself must add NO keyed shuffle (no hash/range partitioning
-    anywhere in the plan)."""
+    the ten planters (mapInPandas, r6 s7: BMP/WAV/Y4M/JPEG/AVI/MP4/
+    MP3/FLAC/TIFF/WebP); classification adds none. The only exchanges
+    allowed are the planters' round-robin codec spreads
+    (multimodal._spread — deliberate CPU parallelism for the Python
+    stages); classification itself must add NO keyed shuffle (no
+    hash/range partitioning anywhere in the plan)."""
     plan = _plan(spark, sf_dir, "x_magic_bytes_detect")
-    assert plan.count("MapInPandas") == 8, "expected exactly the 8 planters"
+    assert plan.count("MapInPandas") == 10, "expected exactly the 10 planters"
     assert "hashpartitioning" not in plan, "sniffing must not hash-shuffle"
     assert "rangepartitioning" not in plan, "sniffing must not sort"
-    assert plan.count("RoundRobinPartitioning") == 8, (
-        "expected exactly the 8 codec-spread exchanges"
+    assert plan.count("RoundRobinPartitioning") == 10, (
+        "expected exactly the 10 codec-spread exchanges"
     )
 
 
