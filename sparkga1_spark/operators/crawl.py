@@ -130,19 +130,30 @@ def build_warc(doc_id: int, source: str, text: str, *,
 # --------------------------------------------------------------------------
 
 
+_MAX_MEMBER_BYTES = 1 << 26  # 64 MiB per record: a gzip bomb refuses
+
+
 def _gzip_members(data: bytes) -> list[bytes]:
     """Concatenated gzip members → one bytes blob per member, walked
     via decompressobj.unused_data (the only way to find member
-    boundaries without reading the deflate stream twice)."""
+    boundaries without reading the deflate stream twice). Inflation is
+    bounded per member and corrupt streams surface as ValueError only
+    (zlib.error would kill the executor task at the dispatch layer)."""
     out = []
     buf = data
     while buf:
         if buf[:2] != b"\x1f\x8b":
             raise ValueError("warc: junk between gzip members")
         d = zlib.decompressobj(wbits=47)  # gzip-or-zlib header autodetect +32
-        out.append(d.decompress(buf))
+        try:
+            member = d.decompress(buf, _MAX_MEMBER_BYTES)
+        except zlib.error as exc:
+            raise ValueError(f"warc: corrupt gzip member ({exc})") from None
+        if d.unconsumed_tail:
+            raise ValueError("warc: gzip member exceeds the inflate bound")
         if not d.eof:
             raise ValueError("warc: truncated gzip member")
+        out.append(member)
         buf = d.unused_data
     return out
 

@@ -4857,6 +4857,8 @@ def parse_tiff(data: bytes):
 
     if data[:4] not in TIFF_MAGICS:
         raise ValueError("tiff: bad magic")
+    if len(data) < 8:
+        raise ValueError("tiff: truncated header")
     e = ">" if data[:2] == b"MM" else "<"
     (ifd_off,) = struct.unpack(e + "I", data[4:8])
     if ifd_off + 2 > len(data):
@@ -4869,15 +4871,22 @@ def parse_tiff(data: bytes):
         o = ifd_off + 2 + 12 * i
         tag, vals = _tiff_read_values(data, e, data[o : o + 12])
         tags[tag] = vals
+    for required in (256, 257, 273, 279):
+        if not tags.get(required):
+            raise ValueError(f"tiff: required tag {required} missing or empty")
     w, h = tags[256][0], tags[257][0]
-    if tags.get(259, [1])[0] != 1:
+    if w < 1 or h < 1:
+        raise ValueError("tiff: non-positive dimensions")
+    if (tags.get(259) or [1])[0] != 1:
         raise ValueError("tiff: compressed TIFF not claimed")
-    if tags.get(277, [1])[0] != 3 or tags.get(258, [8])[:3] != [8, 8, 8]:
+    if (tags.get(277) or [1])[0] != 3 or (tags.get(258) or [8])[:3] != [8, 8, 8]:
         raise ValueError("tiff: only 8-bit RGB chunky is claimed")
     offsets, counts = tags[273], tags[279]
     if len(offsets) != len(counts):
         raise ValueError("tiff: strip offset/count mismatch")
-    rps = tags.get(278, [h])[0]
+    rps = (tags.get(278) or [h])[0]
+    if rps < 1:
+        raise ValueError("tiff: non-positive RowsPerStrip")
     if len(offsets) != (h + rps - 1) // rps:
         raise ValueError("tiff: strip count disagrees with RowsPerStrip")
     raster = bytearray()
@@ -4985,7 +4994,7 @@ def parse_webp_meta(data: bytes):
     RIFF chunk walk (even-byte padding honored) and the real bitstream
     headers. A VP8X canvas that disagrees with its VP8L bitstream dims
     refuses — never pick one silently."""
-    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("webp: bad container magic")
     (riff_len,) = struct.unpack("<I", data[4:8])
     if 8 + riff_len > len(data):
@@ -5010,13 +5019,15 @@ def parse_webp_meta(data: bytes):
             canvas = (cw, ch)
             variant = "VP8X"
         elif fourcc == b"VP8L":
-            if body[0] != WEBP_VP8L_SIG:
+            if clen < 5 or body[0] != WEBP_VP8L_SIG:
                 raise ValueError("webp: bad VP8L signature byte")
             (packed,) = struct.unpack("<I", body[1:5])
             dims = ((packed & 0x3FFF) + 1, ((packed >> 14) & 0x3FFF) + 1)
             alpha = alpha or bool((packed >> 28) & 1)
             variant = variant or "VP8L"
         elif fourcc == b"VP8 ":
+            if clen < 10:
+                raise ValueError("webp: VP8 chunk too short for a keyframe")
             tag = int.from_bytes(body[0:3], "little")
             if tag & 1:
                 raise ValueError("webp: VP8 chunk is not a keyframe")

@@ -956,18 +956,24 @@ def test_decoder_fuzz_only_valueerror_and_bounded_alloc():
         parse_ppm,
         parse_qoi,
         parse_qoi_meta,
+        parse_tiff,
         parse_wav,
+        parse_webp_meta,
     )
+    from sparkga1_spark.operators.crawl import parse_warc
 
     rng = np.random.default_rng(20260814)
     parsers = [
         parse_gif, parse_pcx, parse_qoi, parse_wav, parse_bmp, parse_ppm,
         parse_png, parse_jpeg, parse_flac, parse_gif_meta,
         parse_pcx_meta, parse_qoi_meta, parse_jpeg_meta,
+        parse_tiff, parse_webp_meta, parse_warc,
     ]
     magics = [
         b"", b"GIF87a", b"GIF89a", b"\x0a\x05\x01", b"qoif", b"RIFF",
         b"BM", b"P6", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"fLaC",
+        b"II*\x00", b"MM\x00*", b"RIFF\x20\x00\x00\x00WEBP",
+        b"WARC/1.0\r\n", b"\x1f\x8b",
     ]
     for trial in range(450):
         m = magics[trial % len(magics)]
@@ -984,11 +990,18 @@ def test_decoder_fuzz_only_valueerror_and_bounded_alloc():
     idx = np.resize(np.arange(120, dtype=np.uint8), 120)
     from sparkga1_spark.operators.multimodal import build_jpeg_baseline
 
+    from sparkga1_spark.operators.crawl import build_warc
+    from sparkga1_spark.operators.multimodal import build_tiff, build_webp
+
     for parser, good in [
         (parse_gif, build_gif(idx, 12, 10)),
         (parse_pcx, build_pcx(px)),
         (parse_qoi, build_qoi(px)),
         (parse_jpeg, build_jpeg_baseline(px[:, :, 0])),
+        (parse_tiff, build_tiff(px, big_endian=True, rows_per_strip=4)),
+        (parse_webp_meta, build_webp(9, 7, variant="VP8X", alpha=True)),
+        (parse_warc, build_warc(2, "s", "a b c", gzip_members=True)),
+        (parse_warc, build_warc(2, "s", "a b c", gzip_members=False)),
     ]:
         for _ in range(450):
             b = bytearray(good)
