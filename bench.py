@@ -127,6 +127,13 @@ HEADLINE = [
     # spread shows both regimes, the keep_canonical convention)
     "x_multimodal_mjpeg_frames",
     "x_incremental_dedup_bucketed",
+    # round 6 session 7: the crawl-ingestion layer (WARC record parse
+    # with gzip members; the WARC→HTML→hygiene composition), the TIFF
+    # strip-reassembly decode, and the DSIR two-LM scoring pass
+    "x_warc_records",
+    "x_crawl_ingest_pipeline",
+    "x_multimodal_tiff_decode",
+    "x_dsir_importance",
 ]
 
 # CONVENTION (r5 VERDICT #8): the headline set only ever GROWS —

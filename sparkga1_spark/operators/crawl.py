@@ -535,3 +535,238 @@ def plant_html_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
             yield pd.DataFrame(out, columns=["doc_id", "html"])
 
     return _spread(df).mapInPandas(run, schema="doc_id long, html string")
+
+
+# --------------------------------------------------------------------------
+# robots.txt (RFC 9309, public spec): group selection by most-specific
+# user-agent, rule matching by LONGEST-PATH-MATCH with allow-wins-ties,
+# '*' wildcards and '$' end anchors. The crawl-side gate that decides
+# which URLs may enter the corpus at all.
+# --------------------------------------------------------------------------
+
+
+def parse_robots(robots_txt: str, user_agent: str) -> list[tuple[bool, str]]:
+    """robots.txt → the (allow, pattern) rules of the group governing
+    user_agent: the group with the LONGEST user-agent token that is a
+    prefix of user_agent wins; the '*' group is the fallback
+    (RFC 9309 §2.2.1). Unknown directives are ignored; rules before
+    any user-agent line are ignored (spec: rules belong to groups)."""
+    ua = user_agent.lower()
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[bool, str]] = []
+    agents_open = False  # consecutive user-agent lines share one group
+    for raw in robots_txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, value = line.split(":", 1)
+        key, value = key.strip().lower(), value.strip()
+        if key == "user-agent":
+            if not agents_open:
+                if cur_agents:
+                    groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+                agents_open = True
+            cur_agents.append(value.lower())
+        elif key in ("allow", "disallow"):
+            agents_open = False
+            if cur_agents:
+                cur_rules.append((key == "allow", value))
+    if cur_agents:
+        groups.append((cur_agents, cur_rules))
+    best_len, best_rules = -1, []
+    for agents, rules in groups:
+        for agent in agents:
+            if agent == "*":
+                if best_len < 0:
+                    best_rules = rules
+            elif ua.startswith(agent) and len(agent) > best_len:
+                best_len, best_rules = len(agent), rules
+    return best_rules
+
+
+def _robots_pattern_match(pattern: str, path: str) -> bool:
+    """RFC 9309 path patterns: literal prefix with '*' wildcards and an
+    optional '$' end anchor. Empty pattern matches nothing."""
+    if not pattern:
+        return False
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    parts = pattern.split("*")
+    pos = 0
+    for i, part in enumerate(parts):
+        if i == 0:
+            if not path.startswith(part):
+                return False
+            pos = len(part)
+        else:
+            found = path.find(part, pos)
+            if found < 0:
+                return False
+            pos = found + len(part)
+    if anchored:
+        return pos == len(path) if parts[-1] else True
+    return True
+
+
+def robots_allowed(robots_txt: str, user_agent: str, path: str) -> bool:
+    """RFC 9309 §2.2.2 evaluation: the matching rule with the LONGEST
+    pattern wins; on a length tie allow wins; no matching rule means
+    allowed. A '$'-anchored pattern's length counts its literal part
+    (the anchor is not a path octet)."""
+    best_len, allowed = -1, True
+    for allow, pattern in parse_robots(robots_txt, user_agent):
+        if _robots_pattern_match(pattern, path):
+            plen = len(pattern.rstrip("$"))
+            if plen > best_len or (plen == best_len and allow and not allowed):
+                best_len, allowed = plen, allow
+    return allowed
+
+
+def robots_gate(df: DataFrame, *, robots_col: str = "robots_txt",
+                path_col: str = "path",
+                user_agent: str = "sparkga1-crawler") -> DataFrame:
+    """(doc_id, robots_txt, path) → + allowed boolean. Map-only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, robots, path in zip(
+                pdf["doc_id"], pdf[robots_col], pdf[path_col]
+            ):
+                out.append(
+                    (doc_id, path, robots_allowed(robots or "", user_agent, path))
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "path", "allowed"])
+
+    return df.mapInPandas(run, schema="doc_id long, path string, allowed boolean")
+
+
+# --------------------------------------------------------------------------
+# Charset handling (the other half of real crawl ingestion: HTTP
+# bodies arrive in whatever encoding the server declared — or didn't).
+# Declared charsets decode strictly; undeclared bodies use the
+# classic sniff: try UTF-8 strict, fall back to latin-1 (every byte
+# string is valid latin-1, so the fallback is total). Getting this
+# wrong is where mojibake enters a corpus.
+# --------------------------------------------------------------------------
+
+_CHARSET_RE = re.compile(r"charset=([A-Za-z0-9_\-]+)", re.IGNORECASE)
+_SUPPORTED_CHARSETS = {"utf-8", "latin-1", "iso-8859-1", "utf-16le", "utf-16be"}
+
+
+def decode_http_body(body: bytes, content_type: str | None):
+    """(body bytes, Content-Type) → (text, charset_used, declared).
+    A declared-but-unsupported charset refuses (never guess past an
+    explicit label); undeclared bodies sniff utf-8-then-latin-1."""
+    m = _CHARSET_RE.search(content_type or "")
+    if m:
+        cs = m.group(1).lower()
+        if cs not in _SUPPORTED_CHARSETS:
+            raise ValueError(f"charset: unsupported declared charset {cs}")
+        try:
+            return body.decode(cs), cs, True
+        except UnicodeDecodeError:
+            raise ValueError("charset: body does not decode in its declared "
+                             "charset") from None
+    try:
+        return body.decode("utf-8"), "utf-8", False
+    except UnicodeDecodeError:
+        return body.decode("latin-1"), "latin-1", False
+
+
+def transcode_http_bodies(df: DataFrame, *, body_col: str = "body",
+                          ctype_col: str = "content_type") -> DataFrame:
+    """(doc_id, body binary, content_type) → decoded text + the charset
+    actually used + whether it was declared. Map-only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, body, ctype in zip(
+                pdf["doc_id"], pdf[body_col], pdf[ctype_col]
+            ):
+                text, cs, declared = decode_http_body(bytes(body), ctype)
+                out.append((doc_id, cs, declared, text))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "charset", "declared", "text_out"]
+            )
+
+    return df.mapInPandas(
+        run,
+        schema="doc_id long, charset string, declared boolean, text_out string",
+    )
+
+
+def plant_robots_fixture(df: DataFrame) -> DataFrame:
+    """(doc_id, …) → (doc_id, robots_txt, path): a per-host RFC 9309
+    policy (group for our UA with prefix rules, a wildcard '$' rule,
+    an id%4-dependent extra rule, and a deny-all fallback group) and
+    four candidate paths per document covering allow, prefix-deny,
+    anchored-deny, and the policy-dependent case."""
+    from sparkga1_spark.operators.multimodal import _spread
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                extra = "Disallow: /public/\n" if d % 4 == 0 else ""
+                robots = (
+                    "# corpus crawl policy\n"
+                    "User-agent: sparkga1-crawler\n"
+                    "Disallow: /private/\n"
+                    "Allow: /private/ok/\n"
+                    "Disallow: /*.pdf$\n"
+                    f"{extra}"
+                    "Allow: /doc/\n\n"
+                    "User-agent: *\n"
+                    "Disallow: /\n"
+                )
+                for path in (
+                    f"/doc/{d}/0",
+                    f"/private/{d}",
+                    f"/doc/{d}.pdf",
+                    f"/public/{d % 7}",
+                    f"/private/ok/{d}",
+                ):
+                    out.append((doc_id, robots, path))
+            yield pd.DataFrame(out, columns=["doc_id", "robots_txt", "path"])
+
+    return _spread(df).mapInPandas(
+        run, schema="doc_id long, robots_txt string, path string"
+    )
+
+
+def plant_encoded_bodies(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(doc_id, text) → (doc_id, body, content_type): the text with
+    accented characters substituted at positions i%17==5 (so every
+    body contains non-ASCII), encoded by id%3 as utf-8 / latin-1 /
+    utf-16le. The latin-1 slice declares its charset only on even ids
+    — odd ones exercise the sniff path (their accented bytes are
+    invalid UTF-8, so the fallback is deterministic)."""
+    from sparkga1_spark.operators.multimodal import _spread
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                d = int(doc_id)
+                s = "".join(
+                    chr(0xE0 + ord(c) % 16) if i % 17 == 5 else c
+                    for i, c in enumerate(text or "")
+                )
+                cs = ("utf-8", "latin-1", "utf-16le")[d % 3]
+                body = s.encode(cs)
+                if d % 3 == 1 and d % 2 == 1:
+                    ctype = "text/html"  # undeclared: the sniff path
+                else:
+                    ctype = f"text/html; charset={cs}"
+                out.append((doc_id, body, ctype))
+            yield pd.DataFrame(out, columns=["doc_id", "body", "content_type"])
+
+    return _spread(df).mapInPandas(
+        run, schema="doc_id long, body binary, content_type string"
+    )

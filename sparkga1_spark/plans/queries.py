@@ -2022,6 +2022,78 @@ def x_magic_bytes_detect(spark, sf_dir):
 
 
 @query(
+    "x_robots_gate",
+    oracle="""
+SELECT doc_id, '/doc/' || CAST(doc_id AS VARCHAR) || '/0' AS path,
+       TRUE AS allowed
+FROM documents
+UNION ALL
+SELECT doc_id, '/private/' || CAST(doc_id AS VARCHAR), FALSE FROM documents
+UNION ALL
+SELECT doc_id, '/doc/' || CAST(doc_id AS VARCHAR) || '.pdf', FALSE
+FROM documents
+UNION ALL
+SELECT doc_id, '/public/' || CAST(doc_id % 7 AS VARCHAR), doc_id % 4 <> 0
+FROM documents
+UNION ALL
+SELECT doc_id, '/private/ok/' || CAST(doc_id AS VARCHAR), TRUE FROM documents
+""",
+)
+def x_robots_gate(spark, sf_dir):
+    """robots.txt URL gating (RFC 9309 — the admission rule that
+    decides which URLs may enter a crawl corpus at all): per-host
+    policies with the full precedence ladder — most-specific
+    user-agent GROUP selection (our UA's group beats the deny-all '*'
+    fallback), LONGEST-PATH-MATCH rule selection, allow-wins-ties,
+    '*' wildcards and '$' end anchors. The five planted paths per
+    document cover plain allow, prefix deny, anchored wildcard deny
+    ('/*.pdf$' must beat the shorter 'Allow: /doc/'), a
+    policy-dependent case (ids %4==0 carry an extra Disallow), and a
+    longer-allow-under-deny nest ('/private/ok/' inside '/private/').
+    Map-only; the oracle states every verdict in closed form, so any
+    precedence mistake breaks the hash."""
+    from sparkga1_spark.operators.crawl import plant_robots_fixture, robots_gate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return robots_gate(plant_robots_fixture(docs))
+
+
+@query(
+    "x_charset_transcode",
+    oracle="""
+SELECT doc_id,
+       ['utf-8', 'latin-1', 'utf-16le'][doc_id % 3 + 1] AS charset,
+       NOT (doc_id % 3 = 1 AND doc_id % 2 = 1) AS declared,
+       list_aggr([CASE WHEN (i-1)%17=5 THEN chr(224 + unicode(text[i]) % 16)
+                       ELSE text[i] END
+                  for i in generate_series(1, length(text))],
+                 'string_agg', '') AS text_out
+FROM documents
+""",
+)
+def x_charset_transcode(spark, sf_dir):
+    """Charset normalization (where mojibake enters a corpus if done
+    wrong): HTTP bodies planted with real non-ASCII content
+    (accented substitutions at every 17th position) in utf-8 /
+    latin-1 / utf-16le by id%3, with the latin-1 slice UNDECLARED on
+    odd ids — exercising both the declared-charset strict decode and
+    the classic sniff (try UTF-8 strict; the accented latin-1 bytes
+    are invalid UTF-8, so the fallback is deterministic, never a
+    guess). A declared-but-unsupported charset or a body that fails
+    its declared decode refuses. The oracle reconstructs the exact
+    expected unicode per document, so any transcoding slip — double
+    decode, wrong endianness, silent replacement chars — breaks the
+    hash."""
+    from sparkga1_spark.operators.crawl import (
+        plant_encoded_bodies,
+        transcode_http_bodies,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return transcode_http_bodies(plant_encoded_bodies(docs))
+
+
+@query(
     "x_dsir_importance",
     oracle="""
 WITH tok AS (
@@ -11416,6 +11488,8 @@ set_gate_order([
     "x_html_extract_text",
     "x_multimodal_tiff_decode",
     "x_dsir_importance",
+    "x_robots_gate",
+    "x_charset_transcode",
     # session 6 (MJPEG AVI real video decode;
     # x_multimodal_jpeg_decode's row below also changed values: color
     # progressive rows now carry channels=3 and 3x px_sum), then
@@ -11429,9 +11503,7 @@ set_gate_order([
     "x_multimodal_mp4_meta",
     "x_multimodal_mp4_demux",
     "x_multimodal_mp3_meta",
-    "x_multimodal_mp3_tags",
     "x_magic_bytes_detect",
-    "x_incremental_dedup_bucketed",
     "x_revenue_gini_lorenz",
     "x_heaps_vocab_growth",
     "x_target_encode_loo",
@@ -11471,16 +11543,25 @@ set_gate_order([
     "x_host_pagerank",
     "x_graph_triangles",
     "x_graph_bfs_hops",
-    # positions 51-53 — the three new/changed rows the 50-cap squeezes
-    # out, chosen for strongest OTHER evidence: x_multimodal_webp_meta
-    # (variant roundtrips + refusals pytest-pinned; its planter's
-    # magic certified by the in-window sniffer row),
-    # x_crawl_ingest_pipeline (a composition of the in-window
-    # x_warc_records / x_html_extract_text paths), and
+    # positions 51-55 — the five new/changed rows the 50-cap squeezes
+    # out (55 new/changed this round), chosen for strongest OTHER
+    # evidence: x_multimodal_mp3_tags (ID3 roundtrip/encoding/refusal
+    # pytests; its planter and tag-skip walk are certified by the
+    # in-window x_multimodal_mp3_meta row, and the tag-aware SNIFF
+    # path by the in-window 10-format sniffer row),
+    # x_incremental_dedup_bucketed (same oracle as the r5-gated
+    # x_incremental_dedup_triage — identical classification, different
+    # access path — plus the no-corpus-exchange plan pytest),
+    # x_multimodal_webp_meta (variant roundtrips + refusals
+    # pytest-pinned; its planter's magic certified by the in-window
+    # sniffer row), x_crawl_ingest_pipeline (a composition of the
+    # in-window x_warc_records / x_html_extract_text paths), and
     # x_set_similarity_routed (route-agreement pytest + the r5 driver
     # row on x_set_similarity_join, whose oracle both routes must
-    # equal). All three are green in this round's full-precision
+    # equal). All five are green in this round's full-precision
     # LOCAL_GATE at driver strength.
+    "x_multimodal_mp3_tags",
+    "x_incremental_dedup_bucketed",
     "x_multimodal_webp_meta",
     "x_crawl_ingest_pipeline",
     "x_set_similarity_routed",

@@ -144,3 +144,65 @@ def test_html_empty_and_degenerate():
     # unterminated tag at EOF: text before it survives
     _, m, _, _ = extract_html("<body><p>ok</p><a href=")
     assert m == "ok"
+
+
+def test_robots_rfc9309_precedence():
+    """Group selection (most-specific UA prefix), longest-path-match,
+    allow-wins-ties, '*' wildcards, '$' anchors, no-rule-allows."""
+    from sparkga1_spark.operators.crawl import robots_allowed
+
+    R = (
+        "# policy\n"
+        "User-agent: sparkga1-crawler\n"
+        "Disallow: /private/\n"
+        "Allow: /private/ok/\n"
+        "Disallow: /*.pdf$\n"
+        "Allow: /doc/\n\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+    )
+    ua = "sparkga1-crawler"
+    assert robots_allowed(R, ua, "/doc/123")
+    assert not robots_allowed(R, ua, "/private/x")
+    assert robots_allowed(R, ua, "/private/ok/x")  # longer allow wins
+    assert not robots_allowed(R, ua, "/doc/file.pdf")  # anchored wildcard
+    assert robots_allowed(R, ua, "/doc/file.pdfx")  # anchor must END
+    assert robots_allowed(R, ua, "/elsewhere")  # no matching rule
+    assert not robots_allowed(R, "randombot", "/anything")  # '*' group
+    # length tie → allow wins
+    assert robots_allowed("User-agent: *\nDisallow: /a/\nAllow: /a/*\n", ua, "/a/x")
+    # most-specific agent group REPLACES shorter groups (not additive)
+    G = (
+        "User-agent: spark\nDisallow: /s\n"
+        "User-agent: sparkga1\nDisallow: /g\n"
+        "User-agent: *\nDisallow: /\n"
+    )
+    assert not robots_allowed(G, ua, "/g")
+    assert robots_allowed(G, ua, "/s")
+    # consecutive user-agent lines share one group
+    M = "User-agent: a\nUser-agent: sparkga1\nDisallow: /m\n"
+    assert not robots_allowed(M, ua, "/m")
+    # empty Disallow (the 'allow everything' idiom) matches nothing
+    assert robots_allowed("User-agent: *\nDisallow:\n", ua, "/x")
+
+
+def test_charset_decode_paths_and_refusals():
+    from sparkga1_spark.operators.crawl import decode_http_body
+
+    s = "héllo wörld ünïcode"
+    assert decode_http_body(s.encode("utf-8"), "text/html; charset=utf-8") == (
+        s, "utf-8", True,
+    )
+    assert decode_http_body(
+        s.encode("latin-1"), "text/html; charset=iso-8859-1"
+    ) == (s, "iso-8859-1", True)
+    assert decode_http_body(s.encode("utf-16le"), "charset=UTF-16LE") == (
+        s, "utf-16le", True,
+    )
+    # sniff: valid utf-8 wins; invalid utf-8 falls back to latin-1
+    assert decode_http_body(s.encode("utf-8"), "text/html") == (s, "utf-8", False)
+    assert decode_http_body(s.encode("latin-1"), None) == (s, "latin-1", False)
+    with pytest.raises(ValueError, match="unsupported declared"):
+        decode_http_body(b"x", "text/html; charset=klingon")
+    with pytest.raises(ValueError, match="declared charset"):
+        decode_http_body(s.encode("latin-1"), "charset=utf-8")
