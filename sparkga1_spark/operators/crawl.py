@@ -770,3 +770,135 @@ def plant_encoded_bodies(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     return _spread(df).mapInPandas(
         run, schema="doc_id long, body binary, content_type string"
     )
+
+
+# --------------------------------------------------------------------------
+# Link extraction (the crawl-frontier feed): anchor hrefs pulled with
+# the same quote-aware/raw-text/comment discipline as extract_html,
+# then resolved against the page URL (RFC 3986 subset: absolute,
+# host-relative, and path-relative forms).
+# --------------------------------------------------------------------------
+
+_HREF_RE = re.compile(
+    r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
+)
+
+
+def extract_links(html: str) -> list[str]:
+    """HTML → raw href values of every <a> tag, in document order,
+    with the tokenizer discipline that matters: hrefs inside comments
+    or script/style raw-text are NOT links, and a quoted '>' does not
+    end the tag."""
+    links: list[str] = []
+    i, n = 0, len(html)
+    while i < n:
+        lt = html.find("<", i)
+        if lt < 0:
+            break
+        i = lt
+        if html.startswith("<!--", i):
+            end = html.find("-->", i + 4)
+            i = n if end < 0 else end + 3
+            continue
+        j, quote = i + 1, None
+        while j < n:
+            c = html[j]
+            if quote:
+                if c == quote:
+                    quote = None
+            elif c in ('"', "'"):
+                quote = c
+            elif c == ">":
+                break
+            j += 1
+        tag_body = html[i + 1 : j]
+        i = j + 1
+        if not tag_body or tag_body.startswith(("!", "/")):
+            continue
+        name = tag_body.split(None, 1)[0].rstrip("/").lower()
+        if name in _RAW_TEXT:
+            end = html.lower().find(f"</{name}", i)
+            i = n if end < 0 else end
+            continue
+        if name == "a":
+            m = _HREF_RE.search(tag_body)
+            if m:
+                # attribute values carry character references too:
+                # href="?a=1&amp;b=2" means '&', not '&amp;'
+                links.append(
+                    _decode_entities(m.group(1) or m.group(2) or m.group(3) or "")
+                )
+    return links
+
+
+def resolve_url(base: str, href: str) -> str:
+    """RFC 3986 subset used by crawl frontiers: absolute http(s) hrefs
+    pass through; '//host/...' adopts the base scheme; '/path' joins
+    the base origin; anything else resolves against the base
+    directory. Fragments are dropped (same-document references)."""
+    href = href.split("#", 1)[0]
+    if not href:
+        return base
+    if href.startswith(("http://", "https://")):
+        return href
+    scheme, rest = base.split("://", 1)
+    origin = scheme + "://" + rest.split("/", 1)[0]
+    if href.startswith("//"):
+        return scheme + ":" + href
+    if href.startswith("/"):
+        return origin + href
+    directory = base.rsplit("/", 1)[0]
+    return directory + "/" + href
+
+
+def html_link_edges(df: DataFrame, *, html_col: str = "html",
+                    base_col: str = "base_url") -> DataFrame:
+    """(doc_id, html, base_url) → one row per anchor (1→N): the
+    resolved URL and its host — the frontier/link-graph feed.
+    Map-only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, html, base in zip(
+                pdf["doc_id"], pdf[html_col], pdf[base_col]
+            ):
+                for rank, href in enumerate(extract_links(html or "")):
+                    url = resolve_url(base or "", href)
+                    host = url.split("://", 1)[-1].split("/", 1)[0]
+                    out.append((doc_id, rank, url, host))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "link_rank", "url", "dst_host"]
+            )
+
+    return df.mapInPandas(
+        run,
+        schema="doc_id long, link_rank int, url string, dst_host string",
+    )
+
+
+def plant_pages_with_base(df: DataFrame) -> DataFrame:
+    """(doc_id, text, source) → (doc_id, html, base_url) in ONE Arrow
+    stage — the link-graph feed without a self-join back to the
+    documents table."""
+    from sparkga1_spark.operators.multimodal import _spread
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text, source in zip(
+                pdf["doc_id"], pdf["text"], pdf["source"]
+            ):
+                d = int(doc_id)
+                out.append(
+                    (
+                        doc_id,
+                        build_html(d, text or ""),
+                        f"https://{source}.example.com/doc/{d}/0",
+                    )
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "html", "base_url"])
+
+    return _spread(df).mapInPandas(
+        run, schema="doc_id long, html string, base_url string"
+    )

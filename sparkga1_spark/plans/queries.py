@@ -2022,6 +2022,52 @@ def x_magic_bytes_detect(spark, sf_dir):
 
 
 @query(
+    "x_html_link_graph",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, source,
+         'https://' || source || '.example.com' AS origin
+  FROM documents
+),
+fixed AS (
+  SELECT doc_id, 0 AS link_rank, origin || '/home' AS url FROM s
+  UNION ALL
+  SELECT doc_id, 1, origin || '/about?a=1&b=2' FROM s
+  UNION ALL
+  SELECT doc_id, CAST(2 + doc_id % 3 AS INTEGER), origin || '/buy' FROM s
+  UNION ALL
+  SELECT doc_id, CAST(3 + doc_id % 3 AS INTEGER), origin || '/now' FROM s
+),
+nav AS (
+  SELECT s.doc_id, CAST(2 + t.k AS INTEGER) AS link_rank,
+         origin || '/n' || CAST(t.k AS VARCHAR) AS url
+  FROM s, LATERAL unnest(generate_series(0, CAST(doc_id % 3 - 1 AS BIGINT)))
+       AS t(k)
+  WHERE doc_id % 3 > 0
+)
+SELECT f.doc_id, CAST(f.link_rank AS INTEGER) AS link_rank, f.url,
+       split_part(split_part(f.url, '://', 2), '/', 1) AS dst_host
+FROM (SELECT * FROM fixed UNION ALL SELECT * FROM nav) f
+""",
+)
+def x_html_link_graph(spark, sf_dir):
+    """Link extraction + URL resolution (the crawl-frontier feed, and
+    the edge source the host-graph family consumes): anchor hrefs
+    pulled from the planted pages with full tokenizer discipline —
+    hrefs inside comments or script raw-text are NOT links, quoted '>'
+    does not end the tag, and attribute values are entity-decoded
+    ('?a=1&amp;b=2' must become '?a=1&b=2' — the frontier bug
+    otherwise) — then resolved against the page URL (absolute /
+    host-relative / path-relative RFC 3986 forms; fragments dropped).
+    1→N map-only; the oracle enumerates every link of every page with
+    its document-order rank."""
+    from sparkga1_spark.operators.crawl import html_link_edges, plant_pages_with_base
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return html_link_edges(plant_pages_with_base(docs))
+
+
+@query(
     "x_robots_gate",
     oracle="""
 SELECT doc_id, '/doc/' || CAST(doc_id AS VARCHAR) || '/0' AS path,
@@ -11543,9 +11589,12 @@ set_gate_order([
     "x_host_pagerank",
     "x_graph_triangles",
     "x_graph_bfs_hops",
-    # positions 51-55 — the five new/changed rows the 50-cap squeezes
-    # out (55 new/changed this round), chosen for strongest OTHER
-    # evidence: x_multimodal_mp3_tags (ID3 roundtrip/encoding/refusal
+    # positions 51-56 — the six new/changed rows the 50-cap squeezes
+    # out (56 new/changed this round), chosen for strongest OTHER
+    # evidence: x_html_link_graph (its tokenizer discipline is
+    # certified by the in-window x_html_extract_text row; the href
+    # extraction and RFC 3986 resolution forms are pytest-pinned),
+    # x_multimodal_mp3_tags (ID3 roundtrip/encoding/refusal
     # pytests; its planter and tag-skip walk are certified by the
     # in-window x_multimodal_mp3_meta row, and the tag-aware SNIFF
     # path by the in-window 10-format sniffer row),
@@ -11558,8 +11607,9 @@ set_gate_order([
     # in-window x_warc_records / x_html_extract_text paths), and
     # x_set_similarity_routed (route-agreement pytest + the r5 driver
     # row on x_set_similarity_join, whose oracle both routes must
-    # equal). All five are green in this round's full-precision
+    # equal). All six are green in this round's full-precision
     # LOCAL_GATE at driver strength.
+    "x_html_link_graph",
     "x_multimodal_mp3_tags",
     "x_incremental_dedup_bucketed",
     "x_multimodal_webp_meta",

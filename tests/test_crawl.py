@@ -206,3 +206,59 @@ def test_charset_decode_paths_and_refusals():
         decode_http_body(b"x", "text/html; charset=klingon")
     with pytest.raises(ValueError, match="declared charset"):
         decode_http_body(s.encode("latin-1"), "charset=utf-8")
+
+
+def test_streaming_warc_ingest(spark, tmp_path):
+    """The crawl arrival path as a STREAM: .warc.gz files land in a
+    directory, a binaryFile source drains them incrementally
+    (maxFilesPerTrigger=2 ⇒ two micro-batches for four files), and the
+    same strict record parse runs per micro-batch — record counts
+    match the batch parse of the same files exactly."""
+    import pyspark.sql.functions as F
+
+    from sparkga1_spark.operators.crawl import build_warc, parse_warc_records
+
+    src = tmp_path / "warcs"
+    src.mkdir()
+    expected = 0
+    for d in range(4):
+        data = build_warc(d, f"src{d}", "alpha bravo charlie", gzip_members=True)
+        (src / f"crawl-{d}.warc.gz").write_bytes(data)
+        expected += 1 + 2 * (d % 3 + 1)
+
+    # binaryFile's schema is fixed but streaming sources still demand
+    # it explicitly (Spark requires a schema for stream DataFrames)
+    binary_schema = spark.read.format("binaryFile").load(str(src)).schema
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("maxFilesPerTrigger", 2)
+        .load(str(src))
+        .select(
+            F.regexp_extract(F.col("path"), r"crawl-(\d+)\.warc\.gz", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    q = (
+        parse_warc_records(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("warc_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) == 2, [p["numInputRows"] for p in q.recentProgress]
+    got = spark.sql(
+        "SELECT count(*) AS n, sum(CASE WHEN rec_type='response' THEN 1 "
+        "ELSE 0 END) AS resp FROM warc_stream"
+    ).collect()[0]
+    assert got.n == expected
+    assert got.resp == sum(d % 3 + 1 for d in range(4))
+    assert spark.sql(
+        "SELECT count(*) AS n FROM warc_stream WHERE NOT compressed"
+    ).collect()[0].n == 0
