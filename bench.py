@@ -134,6 +134,7 @@ HEADLINE = [
     "x_crawl_ingest_pipeline",
     "x_multimodal_tiff_decode",
     "x_dsir_importance",
+    "x_pdf_extract_text",
 ]
 
 # CONVENTION (r5 VERDICT #8): the headline set only ever GROWS —

@@ -2022,6 +2022,53 @@ def x_magic_bytes_detect(spark, sf_dir):
 
 
 @query(
+    "x_pdf_extract_text",
+    oracle=r"""
+WITH s AS (
+  SELECT doc_id, doc_id % 3 + 1 AS n, string_split(text, ' ') AS w
+  FROM documents
+),
+pages AS (
+  SELECT doc_id, n, t.p AS p,
+         list_aggr([w[i] for i in generate_series(1, len(w))
+                    if (i - 1) % n = t.p],
+                   'string_agg', ' ')
+         || ' marker (' || CAST(doc_id AS VARCHAR) || ') p'
+         || CAST(t.p AS VARCHAR) || ' A\B octal: A' AS ptext
+  FROM s, LATERAL unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS t(p)
+)
+SELECT doc_id, CAST(max(n) AS INTEGER) AS n_pages,
+       string_agg(ptext, ' ' ORDER BY p) AS pdf_text
+FROM pages GROUP BY doc_id
+""",
+)
+def x_pdf_extract_text(spark, sf_dir):
+    """PDF text extraction (ISO 32000 / the Adobe PDF Reference — the
+    other major pretraining source format after HTML): plant a REAL
+    multi-page PDF per document (id%3+1 pages; catalog → page tree →
+    per-page /Contents; FlateDecode streams on odd ids with /Length
+    framing — never 'find endstream'; the text round-robin across
+    pages shown through ALL THREE text operators: Tj, a TJ kerning
+    array, and the ' newline form; every page ends in a marker line
+    exercising escaped parens, double backslashes, and octal \\101)
+    and extract it with a native object scan + page-tree walk +
+    content tokenizer (balanced unescaped parens, hex strings with
+    the odd-digit rule, text counted only inside BT/ET). The oracle
+    rebuilds the exact expected string per document — operator
+    mis-parse, page misorder, escape slips, or Flate mishandling all
+    break the hash. Fonts/encodings beyond latin-1 and positioning
+    are honestly unclaimed (the pdftotext-class boundary). Map-only
+    Arrow chain."""
+    from sparkga1_spark.operators.pdfdoc import (
+        extract_pdf_text_stage,
+        plant_pdf_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return extract_pdf_text_stage(plant_pdf_payloads(docs))
+
+
+@query(
     "x_html_link_graph",
     oracle="""
 WITH s AS (
@@ -11532,6 +11579,7 @@ set_gate_order([
     # never-verified and least corroborated by other rows.
     "x_warc_records",
     "x_html_extract_text",
+    "x_pdf_extract_text",
     "x_multimodal_tiff_decode",
     "x_dsir_importance",
     "x_robots_gate",
@@ -11547,7 +11595,6 @@ set_gate_order([
     # third RIFF kind + the ID3-tagged MP3 slice).
     "x_multimodal_mjpeg_frames",
     "x_multimodal_mp4_meta",
-    "x_multimodal_mp4_demux",
     "x_multimodal_mp3_meta",
     "x_magic_bytes_detect",
     "x_revenue_gini_lorenz",
@@ -11589,9 +11636,12 @@ set_gate_order([
     "x_host_pagerank",
     "x_graph_triangles",
     "x_graph_bfs_hops",
-    # positions 51-56 — the six new/changed rows the 50-cap squeezes
-    # out (56 new/changed this round), chosen for strongest OTHER
-    # evidence: x_html_link_graph (its tokenizer discipline is
+    # positions 51-57 — the seven new/changed rows the 50-cap squeezes
+    # out (57 new/changed this round), chosen for strongest OTHER
+    # evidence: x_multimodal_mp4_demux (its box walk is certified by
+    # the in-window x_multimodal_mp4_meta row; the sample slicing and
+    # multi-chunk refusal are pytest-pinned),
+    # x_html_link_graph (its tokenizer discipline is
     # certified by the in-window x_html_extract_text row; the href
     # extraction and RFC 3986 resolution forms are pytest-pinned),
     # x_multimodal_mp3_tags (ID3 roundtrip/encoding/refusal
@@ -11607,8 +11657,9 @@ set_gate_order([
     # in-window x_warc_records / x_html_extract_text paths), and
     # x_set_similarity_routed (route-agreement pytest + the r5 driver
     # row on x_set_similarity_join, whose oracle both routes must
-    # equal). All six are green in this round's full-precision
+    # equal). All seven are green in this round's full-precision
     # LOCAL_GATE at driver strength.
+    "x_multimodal_mp4_demux",
     "x_html_link_graph",
     "x_multimodal_mp3_tags",
     "x_incremental_dedup_bucketed",

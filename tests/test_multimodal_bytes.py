@@ -961,19 +961,20 @@ def test_decoder_fuzz_only_valueerror_and_bounded_alloc():
         parse_webp_meta,
     )
     from sparkga1_spark.operators.crawl import parse_warc
+    from sparkga1_spark.operators.pdfdoc import extract_pdf_text
 
     rng = np.random.default_rng(20260814)
     parsers = [
         parse_gif, parse_pcx, parse_qoi, parse_wav, parse_bmp, parse_ppm,
         parse_png, parse_jpeg, parse_flac, parse_gif_meta,
         parse_pcx_meta, parse_qoi_meta, parse_jpeg_meta,
-        parse_tiff, parse_webp_meta, parse_warc,
+        parse_tiff, parse_webp_meta, parse_warc, extract_pdf_text,
     ]
     magics = [
         b"", b"GIF87a", b"GIF89a", b"\x0a\x05\x01", b"qoif", b"RIFF",
         b"BM", b"P6", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"fLaC",
         b"II*\x00", b"MM\x00*", b"RIFF\x20\x00\x00\x00WEBP",
-        b"WARC/1.0\r\n", b"\x1f\x8b",
+        b"WARC/1.0\r\n", b"\x1f\x8b", b"%PDF-1.4\n",
     ]
     for trial in range(450):
         m = magics[trial % len(magics)]
@@ -992,6 +993,7 @@ def test_decoder_fuzz_only_valueerror_and_bounded_alloc():
 
     from sparkga1_spark.operators.crawl import build_warc
     from sparkga1_spark.operators.multimodal import build_tiff, build_webp
+    from sparkga1_spark.operators.pdfdoc import build_pdf
 
     for parser, good in [
         (parse_gif, build_gif(idx, 12, 10)),
@@ -1002,6 +1004,7 @@ def test_decoder_fuzz_only_valueerror_and_bounded_alloc():
         (parse_webp_meta, build_webp(9, 7, variant="VP8X", alpha=True)),
         (parse_warc, build_warc(2, "s", "a b c", gzip_members=True)),
         (parse_warc, build_warc(2, "s", "a b c", gzip_members=False)),
+        (extract_pdf_text, build_pdf(3, "a b c d e f", flate=True, n_pages=2)),
     ]:
         for _ in range(450):
             b = bytearray(good)

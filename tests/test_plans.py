@@ -151,14 +151,15 @@ def test_gate_order_fronts_unproven_queries():
     first50 = set(qs[:50])
     must_have_row = {
         # round-6 session-7 additions: WARC record parse, HTML
-        # extraction, TIFF real decode, DSIR importance weighting,
-        # robots.txt gating, charset transcoding.
-        # (x_multimodal_mp3_tags / x_incremental_dedup_bucketed /
+        # extraction, PDF text extraction, TIFF real decode, DSIR
+        # importance weighting, robots.txt gating, charset
+        # transcoding. (x_multimodal_mp4_demux / x_html_link_graph /
+        # x_multimodal_mp3_tags / x_incremental_dedup_bucketed /
         # x_multimodal_webp_meta / x_crawl_ingest_pipeline /
-        # x_set_similarity_routed sit first-out at 51-55 — the 50-cap
-        # holds 55 new/changed rows this round; those five carry the
+        # x_set_similarity_routed sit first-out at 51-57 — the 50-cap
+        # holds 57 new/changed rows this round; those seven carry the
         # strongest other evidence, see the gate-order comment.)
-        "x_warc_records", "x_html_extract_text",
+        "x_warc_records", "x_html_extract_text", "x_pdf_extract_text",
         "x_multimodal_tiff_decode", "x_dsir_importance",
         "x_robots_gate", "x_charset_transcode",
         # round-6 (a0): session-3 additions
@@ -191,7 +192,7 @@ def test_gate_order_fronts_unproven_queries():
         # real ISO-BMFF (MP4) container metadata + sample demux, MP3
         # frame-walk metadata, standing bucketed dedup index
         "x_multimodal_mjpeg_frames", "x_multimodal_mp4_meta",
-        "x_multimodal_mp4_demux", "x_multimodal_mp3_meta",
+        "x_multimodal_mp3_meta",
         # result-changed this session: 8-format magic sniffing (RIFF
         # family disambiguation, offset-4 ftyp)
         "x_magic_bytes_detect",
