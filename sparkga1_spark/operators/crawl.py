@@ -359,6 +359,9 @@ def build_html(doc_id: int, text: str) -> str:
     return (
         "<!DOCTYPE html><html><head>"
         f"<title>doc &quot;{doc_id}&quot;</title>"
+        f'<meta property="og:title" content="OG doc {doc_id}">'
+        f'<meta name="description" content="summary &amp; notes {doc_id % 9}">'
+        f'<link rel="canonical" href="/doc/{doc_id}/canonical">'
         "<style>p { color: #000; } a > span { display: none; }</style>"
         '<script type="text/javascript">var s = "</p><p>not content</p>"; '
         'if (s < "x") { s = s + "&amp;"; }</script>'
@@ -901,4 +904,89 @@ def plant_pages_with_base(df: DataFrame) -> DataFrame:
 
     return _spread(df).mapInPandas(
         run, schema="doc_id long, html string, base_url string"
+    )
+
+
+# --------------------------------------------------------------------------
+# Page metadata (og:/meta/link canonical) — what dedup and provenance
+# tracking key on before any text is read.
+# --------------------------------------------------------------------------
+
+_ATTR_RES = {
+    name: re.compile(
+        name + r"""\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
+    )
+    for name in ("content", "href", "property", "name", "rel")
+}
+
+
+def _attr(tag_body: str, name: str) -> str | None:
+    m = _ATTR_RES[name].search(tag_body)
+    if not m:
+        return None
+    return _decode_entities(m.group(1) or m.group(2) or m.group(3) or "")
+
+
+def extract_page_meta(html: str):
+    """HTML → (og_title, description, canonical) from <meta>/<link>
+    tags, with the same tag-scan discipline as everywhere else
+    (quote-aware, comments skipped, raw-text skipped) and
+    entity-decoded attribute values."""
+    og_title = description = canonical = None
+    i, n = 0, len(html)
+    while i < n:
+        lt = html.find("<", i)
+        if lt < 0:
+            break
+        i = lt
+        if html.startswith("<!--", i):
+            end = html.find("-->", i + 4)
+            i = n if end < 0 else end + 3
+            continue
+        j, quote = i + 1, None
+        while j < n:
+            c = html[j]
+            if quote:
+                if c == quote:
+                    quote = None
+            elif c in ('"', "'"):
+                quote = c
+            elif c == ">":
+                break
+            j += 1
+        tag_body = html[i + 1 : j]
+        i = j + 1
+        if not tag_body or tag_body.startswith(("!", "/")):
+            continue
+        name = tag_body.split(None, 1)[0].rstrip("/").lower()
+        if name in _RAW_TEXT:
+            end = html.lower().find(f"</{name}", i)
+            i = n if end < 0 else end
+            continue
+        if name == "meta":
+            if (_attr(tag_body, "property") or "").lower() == "og:title":
+                og_title = _attr(tag_body, "content")
+            elif (_attr(tag_body, "name") or "").lower() == "description":
+                description = _attr(tag_body, "content")
+        elif name == "link" and (_attr(tag_body, "rel") or "").lower() == "canonical":
+            canonical = _attr(tag_body, "href")
+    return og_title, description, canonical
+
+
+def extract_page_meta_stage(df: DataFrame, *, html_col: str = "html") -> DataFrame:
+    """(doc_id, html) → one metadata row per page. Map-only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, html in zip(pdf["doc_id"], pdf[html_col]):
+                og, desc, canon = extract_page_meta(html or "")
+                out.append((doc_id, og, desc, canon))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "og_title", "description", "canonical"]
+            )
+
+    return df.mapInPandas(
+        run,
+        schema="doc_id long, og_title string, description string, canonical string",
     )

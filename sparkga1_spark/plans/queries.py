@@ -2022,6 +2022,68 @@ def x_magic_bytes_detect(spark, sf_dir):
 
 
 @query(
+    "x_html_page_meta",
+    oracle="""
+SELECT doc_id,
+       'OG doc ' || CAST(doc_id AS VARCHAR) AS og_title,
+       'summary & notes ' || CAST(doc_id % 9 AS VARCHAR) AS description,
+       '/doc/' || CAST(doc_id AS VARCHAR) || '/canonical' AS canonical
+FROM documents
+""",
+)
+def x_html_page_meta(spark, sf_dir):
+    """Page metadata extraction (og:title / meta description / rel
+    canonical — what URL-dedup and provenance tracking key on before
+    any text is read): <meta>/<link> attribute values pulled with the
+    same tag-scan discipline as the text extractor (quote-aware,
+    comments and raw-text skipped) and ENTITY-DECODED ('summary
+    &amp; notes' must come back with a literal '&'). The canonical
+    link is the input x_dedup_url_canonical normalizes at corpus
+    scale. Map-only."""
+    from sparkga1_spark.operators.crawl import (
+        extract_page_meta_stage,
+        plant_html_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return extract_page_meta_stage(plant_html_payloads(docs))
+
+
+@query(
+    "x_mime_extract",
+    oracle="""
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' résumé' AS subject,
+       'Crawl Bot <bot@src' || CAST(doc_id % 20 AS VARCHAR)
+           || '.example.com>' AS from_addr,
+       2 AS n_parts,
+       text AS plain_text,
+       CAST(n_chars + 7 AS INTEGER) AS html_len
+FROM documents
+""",
+)
+def x_mime_extract(spark, sf_dir):
+    """MIME / email extraction (RFC 5322/2045/2046/2047 — mail
+    archives are a classic pretraining family): plant a real
+    multipart/alternative message per document — encoded-word Subject
+    (Q-form on even ids with underscore-as-space and =HH over UTF-8
+    bytes, B-form base64 on odd), a FOLDED From header (continuation
+    line), a quoted-printable text/plain part (deterministic =HH
+    escapes + soft line breaks every 40 chars), a text/html part
+    base64-wrapped at 76 cols on ids %3==0, and planted preamble/
+    epilogue text that a sloppy boundary walk would leak into parts —
+    then parse it for real: header unfolding, encoded-word decode,
+    RFC 2046 delimiter framing, QP and base64 body decode. The oracle
+    demands the subject (with its non-ASCII é), the unfolded address,
+    and the EXACT original text back through the QP roundtrip.
+    Map-only Arrow stage."""
+    from sparkga1_spark.operators.mime import extract_mime, plant_mime_payloads
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return extract_mime(plant_mime_payloads(docs))
+
+
+@query(
     "x_pdf_extract_text",
     oracle=r"""
 WITH s AS (
@@ -11580,6 +11642,8 @@ set_gate_order([
     "x_warc_records",
     "x_html_extract_text",
     "x_pdf_extract_text",
+    "x_mime_extract",
+    "x_html_page_meta",
     "x_multimodal_tiff_decode",
     "x_dsir_importance",
     "x_robots_gate",
@@ -11616,10 +11680,8 @@ set_gate_order([
     "x_embedding_pca_audit",
     "x_embedding_mahalanobis_audit",
     "x_touch_attribution",
-    "x_touch_attribution_decay",
     "x_benford_digit_audit",
     "x_multimodal_adpcm_features",
-    "x_multimodal_alaw_features",
     "x_bpe_encode_corpus",
     "x_text_nfc_clean",
     "x_multimodal_gif_decode",
@@ -11636,8 +11698,8 @@ set_gate_order([
     "x_host_pagerank",
     "x_graph_triangles",
     "x_graph_bfs_hops",
-    # positions 51-57 — the seven new/changed rows the 50-cap squeezes
-    # out (57 new/changed this round), chosen for strongest OTHER
+    # positions 51-59 — the nine new/changed rows the 50-cap squeezes
+    # out (59 new/changed this round), chosen for strongest OTHER
     # evidence: x_multimodal_mp4_demux (its box walk is certified by
     # the in-window x_multimodal_mp4_meta row; the sample slicing and
     # multi-chunk refusal are pytest-pinned),
@@ -11657,8 +11719,13 @@ set_gate_order([
     # in-window x_warc_records / x_html_extract_text paths), and
     # x_set_similarity_routed (route-agreement pytest + the r5 driver
     # row on x_set_similarity_join, whose oracle both routes must
-    # equal). All seven are green in this round's full-precision
-    # LOCAL_GATE at driver strength.
+    # equal), x_touch_attribution_decay (the decay-weighted variant of
+    # the in-window x_touch_attribution — same event scan, same window
+    # frame, only the position weights differ), and
+    # x_multimodal_alaw_features (G.711 sibling of the in-window
+    # ulaw row; the A-law segment expansion is pinned by published
+    # reference-vector pytests). All nine are green in this round's
+    # full-precision LOCAL_GATE at driver strength.
     "x_multimodal_mp4_demux",
     "x_html_link_graph",
     "x_multimodal_mp3_tags",
@@ -11666,6 +11733,8 @@ set_gate_order([
     "x_multimodal_webp_meta",
     "x_crawl_ingest_pipeline",
     "x_set_similarity_routed",
+    "x_touch_attribution_decay",
+    "x_multimodal_alaw_features",
     # (b) round-2-age queries (r5 VERDICT #1). The session-5/6/7
     # additions compress this block: every NEVER-verified query
     # outranks a stale-but-green one (a query with no driver row at

@@ -160,10 +160,12 @@ def test_gate_order_fronts_unproven_queries():
         # holds 57 new/changed rows this round; those seven carry the
         # strongest other evidence, see the gate-order comment.)
         "x_warc_records", "x_html_extract_text", "x_pdf_extract_text",
+        "x_mime_extract", "x_html_page_meta",
         "x_multimodal_tiff_decode", "x_dsir_importance",
         "x_robots_gate", "x_charset_transcode",
-        # round-6 (a0): session-3 additions
-        "x_multimodal_adpcm_features", "x_multimodal_alaw_features",
+        # round-6 (a0): session-3 additions (alaw rotated to the
+        # squeeze-out block: G.711 sibling of the in-window ulaw row)
+        "x_multimodal_adpcm_features",
         "x_bpe_encode_corpus", "x_text_nfc_clean",
         # round-6 (a): new this round + the three graph queries whose
         # results changed with the sf-scaled host graph. (The dedup
@@ -202,7 +204,7 @@ def test_gate_order_fronts_unproven_queries():
         "x_incremental_rollup_merge", "x_incremental_distinct_hll",
         "x_drift_psi", "x_embedding_pca_audit",
         "x_embedding_mahalanobis_audit", "x_touch_attribution",
-        "x_touch_attribution_decay", "x_benford_digit_audit",
+        "x_benford_digit_audit",
         # (tpch_q21_waiting_supplier / x_ann_bruteforce_topk /
         # x_ann_ivf_nprobe2 / x_ann_ivf_topk / x_ann_lsh_buckets /
         # x_multimodal_bmp_decode displaced to r7 by the session-3/4
