@@ -153,3 +153,23 @@ def test_pdf_roundtrip_property(words, doc_id):
         for p in range(n)
     )
     assert got == exp
+
+
+def test_dsir_importance_separates_target(spark):
+    """The DSIR invariant that makes the weights USEFUL, not just
+    deterministic: documents from the target slice must score a higher
+    mean log importance ratio than background documents (their tokens
+    are, by construction, more probable under the target LM). A
+    sign/ratio bug that still hashed consistently would pass the
+    oracle row; this audit pins the semantics."""
+    from sparkga1_spark.plans.registry import all_queries
+
+    df = all_queries()["x_dsir_importance"](spark, "/root/testdata/sf0.01")
+    rows = df.groupBy("is_target").avg("avg_log_ratio").collect()
+    means = {r[0]: r[1] for r in rows}
+    assert set(means) == {True, False}
+    assert means[True] > means[False], means
+    assert means[True] > 0 > means[False], (
+        "target docs should be MORE probable under the target LM, "
+        f"background less: {means}"
+    )
