@@ -43,10 +43,24 @@ __all__ = [
     "parse_warc",
     "plant_warc_payloads",
     "parse_warc_records",
+    "warc_response_payloads",
     "build_html",
     "extract_html",
+    "extract_links",
+    "extract_page_meta",
+    "extract_page_meta_stage",
+    "html_link_edges",
     "plant_html_payloads",
+    "plant_pages_with_base",
     "extract_html_text",
+    "resolve_url",
+    "parse_robots",
+    "robots_allowed",
+    "robots_gate",
+    "plant_robots_fixture",
+    "decode_http_body",
+    "transcode_http_bodies",
+    "plant_encoded_bodies",
 ]
 
 _CRLF = b"\r\n"
@@ -850,7 +864,9 @@ def resolve_url(base: str, href: str) -> str:
         return scheme + ":" + href
     if href.startswith("/"):
         return origin + href
-    directory = base.rsplit("/", 1)[0]
+    # path-relative: resolve against the base directory; a host-only
+    # base ("https://h.com") has the origin itself as its directory
+    directory = base.rsplit("/", 1)[0] if "/" in rest else origin
     return directory + "/" + href
 
 

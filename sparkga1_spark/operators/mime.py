@@ -238,8 +238,12 @@ def parse_mime(data: bytes) -> dict:
         if not m:
             raise ValueError("mime: multipart without boundary parameter")
         boundary = (m.group(1) or m.group(2)).encode()
-        delim = b"--" + boundary
-        chunks = body.split(delim)
+        # RFC 2046 §5.1.1: a delimiter is CRLF + "--" + boundary AT A
+        # LINE START — the same byte sequence mid-line is part DATA.
+        # Prepending CRLF makes a first-line delimiter uniform, and the
+        # CRLF before each delimiter belongs to the delimiter (so part
+        # payloads keep their own trailing newlines exactly).
+        chunks = (b"\r\n" + body).split(b"\r\n--" + boundary)
         if len(chunks) < 2 or not any(
             c.startswith(b"--") for c in chunks[1:]
         ):
@@ -248,7 +252,9 @@ def parse_mime(data: bytes) -> dict:
         for chunk in chunks[1:]:
             if chunk.startswith(b"--"):
                 break  # --boundary-- : epilogue follows, not a part
-            part = chunk.strip(b"\r\n")
+            if not chunk.startswith(b"\r\n"):
+                raise ValueError("mime: trailing bytes on a boundary line")
+            part = chunk[2:]
             psplit = part.find(b"\r\n\r\n")
             if psplit < 0:
                 raise ValueError("mime: part without header/body separator")

@@ -262,3 +262,17 @@ def test_streaming_warc_ingest(spark, tmp_path):
     assert spark.sql(
         "SELECT count(*) AS n FROM warc_stream WHERE NOT compressed"
     ).collect()[0].n == 0
+
+
+def test_resolve_url_host_only_base():
+    """A host-only base URL ('https://h.com', no path) resolves
+    path-relative hrefs against the origin — the rsplit('/') shortcut
+    would otherwise produce 'https:/rel'."""
+    from urllib.parse import urljoin
+
+    from sparkga1_spark.operators.crawl import resolve_url
+
+    for base in ("https://h.example.com", "https://h.example.com/",
+                 "https://h.example.com/a/b"):
+        for href in ("rel", "/abs", "x/y", ""):
+            assert resolve_url(base, href) == urljoin(base, href), (base, href)

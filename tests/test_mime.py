@@ -101,3 +101,24 @@ def test_page_meta_extraction_discipline():
     )
     assert extract_page_meta(html) == ("real", None, None)
     assert extract_page_meta("") == (None, None, None)
+
+
+def test_boundary_sequence_mid_line_is_data():
+    """RFC 2046 §5.1.1: a delimiter exists only at a LINE START
+    (CRLF--boundary); the same bytes mid-line are part data. A naive
+    body.split('--boundary') corrupts exactly this case."""
+    body = (
+        "preamble\r\n"
+        "--bnd\r\n"
+        "Content-Type: text/plain\r\n\r\n"
+        "data with --bnd mid-line stays\r\n"
+        "--bnd--\r\n"
+        "epilogue"
+    )
+    raw = ('Content-Type: multipart/mixed; boundary="bnd"\r\n\r\n' + body).encode()
+    msg = parse_mime(raw)
+    assert msg["parts"] == [("text/plain", b"data with --bnd mid-line stays")]
+    # trailing junk on a delimiter line refuses (mis-framed message)
+    bad = raw.replace(b"--bnd\r\nContent-Type", b"--bnd junk\r\nContent-Type")
+    with pytest.raises(ValueError, match="boundary line"):
+        parse_mime(bad)
