@@ -135,6 +135,7 @@ HEADLINE = [
     "x_multimodal_tiff_decode",
     "x_dsir_importance",
     "x_pdf_extract_text",
+    "x_web_corpus_pipeline",
 ]
 
 # CONVENTION (r5 VERDICT #8): the headline set only ever GROWS —
