@@ -192,6 +192,10 @@ def _parse_one_record(data: bytes, pos: int):
         clen = int(headers["content-length"])
     except (KeyError, ValueError):
         raise ValueError("warc: missing or non-integer Content-Length") from None
+    if clen < 0:
+        # a negative length can alias block_end back INTO the header and
+        # pass the separator check by coincidence — refuse explicitly
+        raise ValueError("warc: negative Content-Length")
     block_start = head_end + 4
     block_end = block_start + clen
     if data[block_end : block_end + 4] != _CRLF * 2:
@@ -419,56 +423,30 @@ def _decode_entities(s: str) -> str:
     return _ENTITY_RE.sub(sub, s)
 
 
-def extract_html(html: str):
-    """HTML → (title, main_text, n_links, n_dropped). A real
-    single-pass tokenizer: quote-aware tag scanning (a '>' inside a
-    quoted attribute does not close the tag), raw-text handling for
-    script/style (content skipped verbatim — markup inside is data),
-    entity decoding per text node, container dropping
-    (nav/footer/header/aside), block segmentation, and the
-    link-density boilerplate rule: a block whose decoded text is
-    ≥80% link text is dropped (n_dropped counts those). main_text is
-    the kept blocks' whitespace-collapsed text joined by single
-    spaces."""
+def _iter_html_tokens(html: str):
+    """The ONE tokenizer every HTML consumer in this module shares
+    (text extraction, link extraction, page metadata): yields
+    ("text", chunk) nodes and ("tag", name, closing, tag_body) tags,
+    handling — in one place — comments (ending at -->, not '>'),
+    quote-aware tag scanning (a '>' inside a quoted attribute does not
+    close the tag), doctype, and script/style RAW-TEXT content (their
+    bodies are data, skipped; close-tag search is case-insensitive
+    over a lowercased copy built ONCE). Extracted from three
+    hand-copied scaffolds after a review found the copies had already
+    diverged (a case-sensitive </title> search in one of them)."""
+    lower = html.lower()
     i, n = 0, len(html)
-    title_parts: list[str] = []
-    blocks: list[str] = []
-    n_links = 0
-    n_dropped = 0
-    drop_depth = 0
-    a_depth = 0
-    cur_parts: list[str] = []
-    cur_len = 0
-    cur_link_len = 0
-
-    def finalize() -> None:
-        nonlocal cur_parts, cur_len, cur_link_len, n_dropped
-        text = " ".join("".join(cur_parts).split())
-        if text:
-            if cur_len and cur_link_len / cur_len >= _LINK_DENSITY_MAX:
-                n_dropped += 1
-            else:
-                blocks.append(text)
-        cur_parts, cur_len, cur_link_len = [], 0, 0
-
     while i < n:
         lt = html.find("<", i)
         if lt != i:
-            chunk = html[i : lt if lt >= 0 else n]
-            if drop_depth == 0:
-                decoded = _decode_entities(chunk)
-                cur_parts.append(decoded)
-                cur_len += len(decoded)
-                if a_depth > 0:
-                    cur_link_len += len(decoded)
+            yield ("text", html[i : lt if lt >= 0 else n], None, None)
             if lt < 0:
-                break
+                return
             i = lt
         if html.startswith("<!--", i):
-            end = html.find("-->", i + 4)  # comments end at -->, not '>'
+            end = html.find("-->", i + 4)
             i = n if end < 0 else end + 3
             continue
-        # scan the tag, honoring quoted attribute values
         j, quote = i + 1, None
         while j < n:
             c = html[j]
@@ -483,34 +461,73 @@ def extract_html(html: str):
         tag_body = html[i + 1 : j]
         i = j + 1
         if not tag_body or tag_body.startswith("!"):
-            continue  # comment/doctype: ignored
+            continue  # doctype / stray markup declaration: ignored
         closing = tag_body.startswith("/")
         name = tag_body.lstrip("/").split(None, 1)[0].rstrip("/").lower()
         if not closing and name in _RAW_TEXT:
-            end = html.lower().find(f"</{name}", i)
+            end = lower.find(f"</{name}", i)
             i = n if end < 0 else end  # content skipped: it is not markup
             continue
-        if not closing and name == "title":
-            end = html.find("</title>", i)
-            if end >= 0:
-                title_parts.append(_decode_entities(html[i:end]))
-                i = end
+        yield ("tag", name, closing, tag_body)
+
+
+def extract_html(html: str):
+    """HTML → (title, main_text, n_links, n_dropped) over the shared
+    tokenizer: entity decoding per text node, container dropping
+    (nav/footer/header/aside), block segmentation, and the
+    link-density boilerplate rule: a block whose decoded text is
+    ≥80% link text is dropped (n_dropped counts those). main_text is
+    the kept blocks' whitespace-collapsed text joined by single
+    spaces. Title text is whatever falls between <title> and its
+    (case-insensitive) close tag."""
+    title_parts: list[str] = []
+    blocks: list[str] = []
+    n_links = 0
+    n_dropped = 0
+    drop_depth = 0
+    a_depth = 0
+    in_title = False
+    cur_parts: list[str] = []
+    cur_len = 0
+    cur_link_len = 0
+
+    def finalize() -> None:
+        nonlocal cur_parts, cur_len, cur_link_len, n_dropped
+        text = " ".join("".join(cur_parts).split())
+        if text:
+            if cur_len and cur_link_len / cur_len >= _LINK_DENSITY_MAX:
+                n_dropped += 1
+            else:
+                blocks.append(text)
+        cur_parts, cur_len, cur_link_len = [], 0, 0
+
+    for kind, a, b, _c in _iter_html_tokens(html):
+        if kind == "text":
+            if in_title:
+                title_parts.append(_decode_entities(a))
+            elif drop_depth == 0:
+                decoded = _decode_entities(a)
+                cur_parts.append(decoded)
+                cur_len += len(decoded)
+                if a_depth > 0:
+                    cur_link_len += len(decoded)
             continue
-        if name in _DROP_CONTAINERS:
+        name, closing = a, b
+        if name == "title":
+            in_title = not closing
+        elif name in _DROP_CONTAINERS:
             if closing:
                 drop_depth = max(0, drop_depth - 1)
             else:
                 finalize()  # a container boundary also ends the open block
                 drop_depth += 1
-            continue
-        if name == "a":
+        elif name == "a":
             if closing:
                 a_depth = max(0, a_depth - 1)
             else:
                 n_links += 1
                 a_depth += 1
-            continue
-        if name in _BLOCK_TAGS:
+        elif name in _BLOCK_TAGS:
             finalize()
     finalize()
     title = " ".join("".join(title_parts).split()) or None
@@ -592,40 +609,40 @@ def parse_robots(robots_txt: str, user_agent: str) -> list[tuple[bool, str]]:
                 cur_rules.append((key == "allow", value))
     if cur_agents:
         groups.append((cur_agents, cur_rules))
-    best_len, best_rules = -1, []
-    for agents, rules in groups:
+    # RFC 9309 §2.2.1: groups sharing the governing user-agent MERGE —
+    # real robots.txt files repeat "User-agent: x" blocks, and dropping
+    # the later ones would silently crawl disallowed URLs
+    best_len = -1
+    for agents, _rules in groups:
         for agent in agents:
-            if agent == "*":
-                if best_len < 0:
-                    best_rules = rules
-            elif ua.startswith(agent) and len(agent) > best_len:
-                best_len, best_rules = len(agent), rules
-    return best_rules
+            if agent != "*" and ua.startswith(agent) and len(agent) > best_len:
+                best_len = len(agent)
+    merged: list[tuple[bool, str]] = []
+    for agents, rules in groups:
+        if best_len >= 0:
+            if any(
+                a != "*" and ua.startswith(a) and len(a) == best_len
+                for a in agents
+            ):
+                merged.extend(rules)
+        elif "*" in agents:
+            merged.extend(rules)
+    return merged
 
 
 def _robots_pattern_match(pattern: str, path: str) -> bool:
     """RFC 9309 path patterns: literal prefix with '*' wildcards and an
-    optional '$' end anchor. Empty pattern matches nothing."""
+    optional '$' end anchor, matched WITH BACKTRACKING (a
+    first-occurrence scan fails '/*.pdf$' against '/a.pdfx.pdf' — the
+    anchor needs the LAST '.pdf', which only a regex/backtracking
+    matcher finds). Empty pattern matches nothing."""
     if not pattern:
         return False
     anchored = pattern.endswith("$")
     if anchored:
         pattern = pattern[:-1]
-    parts = pattern.split("*")
-    pos = 0
-    for i, part in enumerate(parts):
-        if i == 0:
-            if not path.startswith(part):
-                return False
-            pos = len(part)
-        else:
-            found = path.find(part, pos)
-            if found < 0:
-                return False
-            pos = found + len(part)
-    if anchored:
-        return pos == len(path) if parts[-1] else True
-    return True
+    rx = ".*".join(re.escape(part) for part in pattern.split("*"))
+    return re.match(rx + ("$" if anchored else ""), path) is not None
 
 
 def robots_allowed(robots_txt: str, user_agent: str, path: str) -> bool:
@@ -803,41 +820,11 @@ _HREF_RE = re.compile(
 
 def extract_links(html: str) -> list[str]:
     """HTML → raw href values of every <a> tag, in document order,
-    with the tokenizer discipline that matters: hrefs inside comments
-    or script/style raw-text are NOT links, and a quoted '>' does not
-    end the tag."""
+    over the shared tokenizer (hrefs inside comments or script/style
+    raw-text are NOT links; a quoted '>' does not end the tag)."""
     links: list[str] = []
-    i, n = 0, len(html)
-    while i < n:
-        lt = html.find("<", i)
-        if lt < 0:
-            break
-        i = lt
-        if html.startswith("<!--", i):
-            end = html.find("-->", i + 4)
-            i = n if end < 0 else end + 3
-            continue
-        j, quote = i + 1, None
-        while j < n:
-            c = html[j]
-            if quote:
-                if c == quote:
-                    quote = None
-            elif c in ('"', "'"):
-                quote = c
-            elif c == ">":
-                break
-            j += 1
-        tag_body = html[i + 1 : j]
-        i = j + 1
-        if not tag_body or tag_body.startswith(("!", "/")):
-            continue
-        name = tag_body.split(None, 1)[0].rstrip("/").lower()
-        if name in _RAW_TEXT:
-            end = html.lower().find(f"</{name}", i)
-            i = n if end < 0 else end
-            continue
-        if name == "a":
+    for kind, name, closing, tag_body in _iter_html_tokens(html):
+        if kind == "tag" and name == "a" and not closing:
             m = _HREF_RE.search(tag_body)
             if m:
                 # attribute values carry character references too:
@@ -848,26 +835,48 @@ def extract_links(html: str) -> list[str]:
     return links
 
 
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:")
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 over a path that starts with '/': '..' pops a
+    segment (never past the root), '.' disappears, and a trailing
+    dot segment leaves a directory reference (trailing '/')."""
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == "..":
+            if len(out) > 1:
+                out.pop()
+        elif seg != ".":
+            out.append(seg)
+    if path.endswith(("/.", "/..")) and out[-1] != "":
+        out.append("")
+    return "/".join(out) or "/"  # '..' at the root is the root
+
+
 def resolve_url(base: str, href: str) -> str:
-    """RFC 3986 subset used by crawl frontiers: absolute http(s) hrefs
-    pass through; '//host/...' adopts the base scheme; '/path' joins
-    the base origin; anything else resolves against the base
-    directory. Fragments are dropped (same-document references)."""
+    """RFC 3986 subset used by crawl frontiers: any href with its own
+    scheme (http:, mailto:, javascript:, ftp:, tel:, …) passes through
+    untouched; '//host/...' adopts the base scheme; '/path' joins the
+    base origin; anything else resolves against the base directory.
+    Dot segments ('.', '..') are normalized so the same resource gets
+    ONE frontier key. Fragments are dropped (same-document refs)."""
     href = href.split("#", 1)[0]
     if not href:
         return base
-    if href.startswith(("http://", "https://")):
-        return href
+    if _SCHEME_RE.match(href):
+        return href  # absolute URI, any scheme — urljoin parity
     scheme, rest = base.split("://", 1)
-    origin = scheme + "://" + rest.split("/", 1)[0]
+    host = rest.split("/", 1)[0]
+    origin = scheme + "://" + host
     if href.startswith("//"):
         return scheme + ":" + href
     if href.startswith("/"):
-        return origin + href
+        return origin + _remove_dot_segments(href)
     # path-relative: resolve against the base directory; a host-only
     # base ("https://h.com") has the origin itself as its directory
     directory = base.rsplit("/", 1)[0] if "/" in rest else origin
-    return directory + "/" + href
+    return origin + _remove_dot_segments(directory[len(origin):] + "/" + href)
 
 
 def html_link_edges(df: DataFrame, *, html_col: str = "html",

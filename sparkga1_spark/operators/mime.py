@@ -37,18 +37,19 @@ _ENCODED_WORD_RE = re.compile(r"=\?([^?]+)\?([QqBb])\?([^?]*)\?=")
 
 def _qp_encode(s: str, *, every: int = 13, phase: int = 7,
                width: int = 40) -> str:
-    """Deterministic quoted-printable: chars at i%every==phase are
-    escaped as =HH (any octet MAY be escaped, RFC 2045 §6.7), '=' is
-    always escaped, and a soft line break lands every `width` output
-    chars — so the decoder must handle escapes AND unfolding."""
+    """Deterministic quoted-printable over the UTF-8 BYTES of s (QP is
+    an octet encoding — escaping a codepoint like '€' as '=20AC' is
+    structurally invalid, and mixing escaped-latin-1 with raw UTF-8
+    corrupts the part; review-caught): bytes at i%every==phase are
+    escaped as =HH (any octet MAY be escaped, RFC 2045 §6.7), '=',
+    controls, and every non-ASCII byte are ALWAYS escaped, and a soft
+    line break lands every `width` output chars — so the decoder must
+    handle escapes AND unfolding."""
     out = []
     col = 0
-    for i, ch in enumerate(s):
-        tok = (
-            f"={ord(ch):02X}"
-            if ch == "=" or i % every == phase
-            else ch
-        )
+    for i, b in enumerate(s.encode("utf-8")):
+        must = b == 0x3D or b < 0x20 or b >= 0x7F
+        tok = f"={b:02X}" if must or i % every == phase else chr(b)
         if col + len(tok) > width:
             out.append("=\r\n")
             col = 0
@@ -194,6 +195,8 @@ def _qp_decode(data: bytes) -> bytes:
                 i += 3  # soft line break
                 continue
             hx = data[i + 1 : i + 3]
+            if len(hx) != 2:
+                raise ValueError("mime: truncated quoted-printable escape")
             try:
                 out.append(int(hx.decode("ascii"), 16))
             except (UnicodeDecodeError, ValueError):

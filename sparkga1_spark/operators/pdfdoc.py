@@ -205,6 +205,10 @@ def _object_stream(obj: bytes) -> bytes:
             raise ValueError(f"pdf: corrupt Flate stream ({exc})") from None
         if d.unconsumed_tail:
             raise ValueError("pdf: Flate stream exceeds the inflate bound")
+        if not d.eof:
+            # a truncated deflate stream inflates silently to a prefix —
+            # that is corrupt text entering the corpus, not a short read
+            raise ValueError("pdf: truncated Flate stream")
         return out
     return raw
 

@@ -11710,13 +11710,14 @@ def x_dedup_cluster_size_hist(spark, sf_dir):
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
 
 set_gate_order([
-    # (a) new / result-changed this round. 53 queries are new or
+    # (a) new / result-changed this round. 60 queries are new or
     # result-changed in round 6 — more than the 50-row driver window
-    # holds — so three sit first-out at 51-53 (LOCAL_GATE_r6 +
+    # holds — so ten sit first-out at 51-60 (LOCAL_GATE_r6 +
     # corroborating in-window rows carry them; rationale at the
-    # tail). Session 7 first: the crawl-ingestion wave (WARC record
-    # parse, HTML extraction), TIFF real decode, DSIR importance —
-    # never-verified and least corroborated by other rows.
+    # tail). Session 7 first: the crawl-ingestion wave (WARC records,
+    # HTML extraction, PDF, MIME, page metadata, robots, charset),
+    # TIFF real decode, DSIR importance — never-verified and least
+    # corroborated by other rows.
     "x_warc_records",
     "x_html_extract_text",
     "x_pdf_extract_text",
@@ -11802,7 +11803,7 @@ set_gate_order([
     # frame, only the position weights differ), and
     # x_multimodal_alaw_features (G.711 sibling of the in-window
     # ulaw row; the A-law segment expansion is pinned by published
-    # reference-vector pytests). All nine are green in this round's
+    # reference-vector pytests). All ten are green in this round's
     # full-precision LOCAL_GATE at driver strength.
     "x_multimodal_mp4_demux",
     # x_web_corpus_pipeline: a composition of the in-window

@@ -276,3 +276,54 @@ def test_resolve_url_host_only_base():
                  "https://h.example.com/a/b"):
         for href in ("rel", "/abs", "x/y", ""):
             assert resolve_url(base, href) == urljoin(base, href), (base, href)
+
+
+def test_robots_review_findings_regressions():
+    """Round-6 session-7 review catches: (1) anchored wildcard patterns
+    need BACKTRACKING — '/*.pdf$' must match '/a.pdfx.pdf' (the first
+    '.pdf' is not at the end; a first-occurrence scan wrongly ALLOWS
+    it); (2) RFC 9309 §2.2.1 requires groups with the same user-agent
+    to MERGE — rules in a repeated 'User-agent: x' block must not be
+    dropped."""
+    from sparkga1_spark.operators.crawl import robots_allowed
+
+    ua = "bot"
+    assert not robots_allowed("User-agent: *\nDisallow: /*.pdf$\n", ua,
+                              "/a.pdfx.pdf")
+    assert robots_allowed("User-agent: *\nDisallow: /*.pdf$\n", ua,
+                          "/a.pdf.x")
+    merged = "User-agent: bot\nDisallow: /a\n\nUser-agent: bot\nDisallow: /b\n"
+    assert not robots_allowed(merged, ua, "/a")
+    assert not robots_allowed(merged, ua, "/b")  # second group's rule kept
+    # '*' groups merge too
+    star = "User-agent: *\nDisallow: /a\n\nUser-agent: *\nDisallow: /b\n"
+    assert not robots_allowed(star, ua, "/b")
+
+
+def test_warc_negative_content_length_refuses():
+    with pytest.raises(ValueError, match="negative Content-Length"):
+        parse_warc(b"WARC/1.0\r\nWARC-Type: x\r\nContent-Length: -4\r\n\r\n")
+
+
+def test_html_uppercase_title_and_raw_text():
+    """Close-tag searches are case-insensitive for title AND raw-text
+    elements (the copies had diverged — review-caught)."""
+    t, m, _, _ = extract_html("<TITLE>Hi There</TITLE><p>hello world</p>")
+    assert t == "Hi There" and m == "hello world"
+    _, m, _, _ = extract_html("<SCRIPT>var x = '<p>no</p>';</SCRIPT><p>yes</p>")
+    assert m == "yes"
+
+
+def test_resolve_url_schemes_and_dot_segments():
+    """mailto:/javascript:/ftp:/tel: hrefs pass through (never
+    path-joined into garbage frontier URLs); dot segments normalize so
+    one resource gets one frontier key — both pinned against urljoin."""
+    from urllib.parse import urljoin
+
+    from sparkga1_spark.operators.crawl import resolve_url
+
+    for base in ("https://h.com/a/b/c", "https://h.com/a/b", "https://h.com"):
+        for href in ("mailto:x@y.com", "javascript:void(0)", "ftp://f.com/z",
+                     "tel:+15551234", "../x", "./x", "../../x", "/../x",
+                     "a/../b", "/a/./b"):
+            assert resolve_url(base, href) == urljoin(base, href), (base, href)

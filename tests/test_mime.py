@@ -122,3 +122,29 @@ def test_boundary_sequence_mid_line_is_data():
     bad = raw.replace(b"--bnd\r\nContent-Type", b"--bnd junk\r\nContent-Type")
     with pytest.raises(ValueError, match="boundary line"):
         parse_mime(bad)
+
+
+def test_qp_encode_is_octet_based():
+    """QP is an OCTET encoding: non-ASCII text must escape its UTF-8
+    bytes (=C3=A9), never its codepoint (=E9 mixes encodings, =20AC is
+    structurally invalid) — review-caught; the whole mime roundtrip
+    must survive non-ASCII corpus text."""
+    from sparkga1_spark.operators.mime import extract_mime  # noqa: F401
+
+    s = "aaaaaaaé and € too"
+    enc = _qp_encode(s)
+    assert all(ord(c) < 128 for c in enc), "QP output must be pure ASCII"
+    assert _qp_decode(enc.encode()).decode("utf-8") == s
+    msg = parse_mime(build_mime(2, s))
+    assert msg["parts"][0][1].decode("utf-8") == s
+    # stdlib agreement on the non-ASCII payload too
+    import quopri
+
+    assert quopri.decodestring(enc.encode()).decode("utf-8") == s
+
+
+def test_qp_decode_truncated_escape_refuses():
+    with pytest.raises(ValueError, match="truncated quoted-printable"):
+        _qp_decode(b"abc=3")
+    with pytest.raises(ValueError, match="truncated quoted-printable"):
+        _qp_decode(b"abc=")

@@ -138,3 +138,26 @@ def test_pdf_refusals():
     )
     with pytest.raises(ValueError, match="inflate bound"):
         extract_pdf_text(bomb)
+
+
+def test_pdf_truncated_flate_refuses():
+    """A truncated FlateDecode stream inflates silently to a PREFIX —
+    that is corrupt text entering the corpus, so it must refuse
+    (review-caught; the WARC gzip walker had the d.eof check, the PDF
+    path didn't)."""
+    import zlib as _z
+
+    content = b"BT /F1 12 Tf (hello) Tj (world) Tj ET"
+    flate = _z.compress(content, 9)
+    cut = flate[:-5]
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(cut)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + cut
+        + b"\nendstream\nendobj\n"
+    )
+    with pytest.raises(ValueError, match="truncated Flate"):
+        extract_pdf_text(pdf)

@@ -156,9 +156,11 @@ def test_gate_order_fronts_unproven_queries():
         # transcoding. (x_multimodal_mp4_demux / x_html_link_graph /
         # x_multimodal_mp3_tags / x_incremental_dedup_bucketed /
         # x_multimodal_webp_meta / x_crawl_ingest_pipeline /
-        # x_set_similarity_routed sit first-out at 51-57 — the 50-cap
-        # holds 57 new/changed rows this round; those seven carry the
-        # strongest other evidence, see the gate-order comment.)
+        # x_set_similarity_routed / x_web_corpus_pipeline /
+        # x_touch_attribution_decay / x_multimodal_alaw_features sit
+        # first-out at 51-60 — the 50-cap holds 60 new/changed rows
+        # this round; those ten carry the strongest other evidence,
+        # see the gate-order comment.)
         "x_warc_records", "x_html_extract_text", "x_pdf_extract_text",
         "x_mime_extract", "x_html_page_meta",
         "x_multimodal_tiff_decode", "x_dsir_importance",
