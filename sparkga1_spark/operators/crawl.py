@@ -1015,3 +1015,202 @@ def extract_page_meta_stage(df: DataFrame, *, html_col: str = "html") -> DataFra
         run,
         schema="doc_id long, og_title string, description string, canonical string",
     )
+
+
+def extract_main_text_stage(df: DataFrame, *, html_col: str = "html",
+                            keep_cols: tuple = ("url",)) -> DataFrame:
+    """(doc_id, …keep_cols…, html) → (doc_id, …keep_cols…, main_text):
+    the main-text extraction Arrow stage the pipeline queries share
+    (review finding: the identical closure was hand-copied into two
+    queries)."""
+    cols = ["doc_id", *keep_cols]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in zip(*(pdf[c] for c in cols), pdf[html_col]):
+                *keep, html = row
+                _, text, _, _ = extract_html(html or "")
+                out.append((*keep, text))
+            yield pd.DataFrame(out, columns=[*cols, "main_text"])
+
+    schema = "doc_id long, " + ", ".join(f"{c} string" for c in keep_cols) + \
+        ", main_text string"
+    return df.mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Sitemaps (sitemaps.org protocol, public spec) — how a crawler SEEDS
+# its frontier. A real (small) XML reader: prolog/comments, element
+# nesting with matching-close validation, the XML entity set, and
+# CDATA sections (real sitemaps wrap locs containing '&' in CDATA —
+# text inside is NOT markup and may contain '<', '>', '&').
+# --------------------------------------------------------------------------
+
+_XML_ENTITIES = {"amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'"}
+_XML_ENTITY_RE = re.compile(r"&(#x[0-9a-fA-F]+|#[0-9]+|[a-zA-Z]+);")
+_SITEMAP_FIELDS = ("loc", "lastmod", "changefreq", "priority")
+
+
+def _xml_unescape(s: str) -> str:
+    def sub(m: re.Match) -> str:
+        e = m.group(1)
+        if e.startswith(("#x", "#X")):
+            return chr(int(e[2:], 16))
+        if e.startswith("#"):
+            return chr(int(e[1:]))
+        if e.lower() in _XML_ENTITIES:
+            return _XML_ENTITIES[e.lower()]
+        raise ValueError(f"sitemap: undefined XML entity &{e};")
+
+    return _XML_ENTITY_RE.sub(sub, s)
+
+
+def parse_sitemap(xml: str):
+    """sitemap XML → (kind, entries): kind is 'urlset' or
+    'sitemapindex'; each entry is a dict of the protocol fields found
+    under its <url>/<sitemap> element, entity-decoded, CDATA honored.
+    Mismatched close tags, undefined entities, unterminated CDATA, and
+    an unknown root all refuse (ValueError)."""
+    i, n = 0, len(xml)
+    stack: list[str] = []
+    root: str | None = None
+    entries: list[dict] = []
+    cur_entry: dict | None = None
+    text_parts: list[str] = []
+    while i < n:
+        lt = xml.find("<", i)
+        if lt < 0:
+            break
+        if lt != i:
+            text_parts.append(_xml_unescape(xml[i:lt]))
+        i = lt
+        if xml.startswith("<!--", i):
+            end = xml.find("-->", i + 4)
+            if end < 0:
+                raise ValueError("sitemap: unterminated comment")
+            i = end + 3
+            continue
+        if xml.startswith("<![CDATA[", i):
+            end = xml.find("]]>", i + 9)
+            if end < 0:
+                raise ValueError("sitemap: unterminated CDATA section")
+            text_parts.append(xml[i + 9 : end])  # raw — not markup
+            i = end + 3
+            continue
+        if xml.startswith("<?", i):
+            end = xml.find("?>", i + 2)
+            if end < 0:
+                raise ValueError("sitemap: unterminated processing instruction")
+            i = end + 2
+            continue
+        j = xml.find(">", i)
+        if j < 0:
+            raise ValueError("sitemap: unterminated tag")
+        tag_body = xml[i + 1 : j].strip()
+        i = j + 1
+        self_closing = tag_body.endswith("/")
+        closing = tag_body.startswith("/")
+        name = tag_body.strip("/").split(None, 1)[0]
+        if closing:
+            if not stack or stack[-1] != name:
+                raise ValueError(f"sitemap: mismatched close tag </{name}>")
+            stack.pop()
+            if name in _SITEMAP_FIELDS and cur_entry is not None:
+                cur_entry[name] = "".join(text_parts).strip()
+            elif name in ("url", "sitemap") and cur_entry is not None:
+                entries.append(cur_entry)
+                cur_entry = None
+            text_parts = []
+            continue
+        if root is None:
+            if name not in ("urlset", "sitemapindex"):
+                raise ValueError(f"sitemap: unknown root element <{name}>")
+            root = name
+        if not self_closing:
+            stack.append(name)
+        if name in ("url", "sitemap"):
+            cur_entry = {}
+        text_parts = []
+    if stack:
+        raise ValueError(f"sitemap: unclosed element <{stack[-1]}>")
+    if root is None:
+        raise ValueError("sitemap: no root element")
+    return root, entries
+
+
+def build_sitemap(doc_id: int, source: str) -> str:
+    """A real sitemap per host: ids %4==0 are a <sitemapindex> of
+    id%3+1 child sitemaps; others a <urlset> of id%5+1 <url> entries
+    whose locs rotate plain / CDATA-wrapped-with-& / entity-escaped-&
+    forms (the three ways real sitemaps carry query URLs)."""
+    host = f"https://{source}.example.com"
+    lines = ['<?xml version="1.0" encoding="UTF-8"?>']
+    if doc_id % 4 == 0:
+        lines.append('<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">')
+        for k in range(doc_id % 3 + 1):
+            lines.append(
+                f"<sitemap><loc>{host}/sitemap-{k}.xml</loc>"
+                f"<lastmod>2026-{(doc_id + k) % 12 + 1:02d}-"
+                f"{(doc_id + k) % 28 + 1:02d}</lastmod></sitemap>"
+            )
+        lines.append("</sitemapindex>")
+    else:
+        lines.append('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">')
+        lines.append("<!-- generated for crawl seeding -->")
+        for k in range(doc_id % 5 + 1):
+            base = f"{host}/doc/{doc_id}/{k}"
+            if k % 3 == 1:
+                loc = f"<![CDATA[{base}?a=1&b=2]]>"
+            elif k % 3 == 2:
+                loc = f"{base}?x=1&amp;y=2"
+            else:
+                loc = base
+            lines.append(
+                f"<url><loc>{loc}</loc>"
+                f"<lastmod>2026-{(doc_id + k) % 12 + 1:02d}-"
+                f"{(doc_id + k) % 28 + 1:02d}</lastmod>"
+                f"<priority>0.{(doc_id + k) % 10}</priority></url>"
+            )
+        lines.append("</urlset>")
+    return "\n".join(lines)
+
+
+def parse_sitemaps_stage(df: DataFrame, *, xml_col: str = "xml") -> DataFrame:
+    """(doc_id, xml) → one row per sitemap entry (1→N): kind, rank,
+    loc, lastmod, priority. Map-only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, xml in zip(pdf["doc_id"], pdf[xml_col]):
+                kind, entries = parse_sitemap(xml or "")
+                for rank, e in enumerate(entries):
+                    out.append(
+                        (doc_id, kind, rank, e.get("loc"), e.get("lastmod"),
+                         e.get("priority"))
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "kind", "rank", "loc", "lastmod", "priority"],
+            )
+
+    return df.mapInPandas(
+        run,
+        schema=("doc_id long, kind string, rank int, loc string, "
+                "lastmod string, priority string"),
+    )
+
+
+def plant_sitemap_payloads(df: DataFrame) -> DataFrame:
+    """(doc_id, source) → (doc_id, xml)."""
+    from sparkga1_spark.operators.multimodal import _spread
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                out.append((doc_id, build_sitemap(int(doc_id), source)))
+            yield pd.DataFrame(out, columns=["doc_id", "xml"])
+
+    return _spread(df).mapInPandas(run, schema="doc_id long, xml string")

@@ -2022,6 +2022,54 @@ def x_magic_bytes_detect(spark, sf_dir):
 
 
 @query(
+    "x_sitemap_frontier",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, 'https://' || source || '.example.com' AS host
+  FROM documents
+)
+SELECT doc_id, 'sitemapindex' AS kind, CAST(t.k AS INTEGER) AS rank,
+       host || '/sitemap-' || CAST(t.k AS VARCHAR) || '.xml' AS loc,
+       '2026-' || lpad(CAST((doc_id + t.k) % 12 + 1 AS VARCHAR), 2, '0')
+           || '-' || lpad(CAST((doc_id + t.k) % 28 + 1 AS VARCHAR), 2, '0')
+           AS lastmod,
+       CAST(NULL AS VARCHAR) AS priority
+FROM s, LATERAL unnest(generate_series(0, CAST(doc_id % 3 AS BIGINT))) AS t(k)
+WHERE doc_id % 4 = 0
+UNION ALL
+SELECT doc_id, 'urlset', CAST(t.k AS INTEGER),
+       host || '/doc/' || CAST(doc_id AS VARCHAR) || '/' || CAST(t.k AS VARCHAR)
+           || CASE t.k % 3 WHEN 1 THEN '?a=1&b=2'
+                           WHEN 2 THEN '?x=1&y=2' ELSE '' END,
+       '2026-' || lpad(CAST((doc_id + t.k) % 12 + 1 AS VARCHAR), 2, '0')
+           || '-' || lpad(CAST((doc_id + t.k) % 28 + 1 AS VARCHAR), 2, '0'),
+       '0.' || CAST((doc_id + t.k) % 10 AS VARCHAR)
+FROM s, LATERAL unnest(generate_series(0, CAST(doc_id % 5 AS BIGINT))) AS t(k)
+WHERE doc_id % 4 <> 0
+""",
+)
+def x_sitemap_frontier(spark, sf_dir):
+    """Sitemap ingestion (sitemaps.org protocol — how a crawler SEEDS
+    its frontier): per-host sitemaps planted in both protocol shapes
+    (ids %4==0 a <sitemapindex> of child sitemaps, others a <urlset>)
+    and parsed with a real small XML reader — prolog/comments,
+    element nesting with MATCHING-close validation, the XML entity
+    set (undefined entities refuse — XML is not HTML), and CDATA
+    sections (text inside is NOT markup; real sitemaps wrap locs
+    containing '&' in CDATA). The planted locs rotate plain /
+    CDATA-with-raw-& / entity-escaped-& forms, so both decode paths
+    land in the gate row. 1→N map-only; the oracle enumerates every
+    entry of every sitemap in closed form."""
+    from sparkga1_spark.operators.crawl import (
+        parse_sitemaps_stage,
+        plant_sitemap_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return parse_sitemaps_stage(plant_sitemap_payloads(docs))
+
+
+@query(
     "x_web_corpus_pipeline",
     oracle="""
 WITH s AS (SELECT doc_id, text, source, doc_id % 3 + 1 AS nresp FROM documents),
@@ -2052,10 +2100,8 @@ def x_web_corpus_pipeline(spark, sf_dir):
     is the deduplicated corpus. The oracle enumerates surviving
     fetches per document and the canonical-URL/count/word math in
     closed form."""
-    import pandas as _pd
-
     from sparkga1_spark.operators.crawl import (
-        extract_html,
+        extract_main_text_stage,
         plant_warc_payloads,
         warc_response_payloads,
     )
@@ -2068,18 +2114,7 @@ def x_web_corpus_pipeline(spark, sf_dir):
         F.col("target_uri").alias("url"),
         F.col("body").cast("string").alias("html"),
     )
-
-    def run(batches):
-        for pdf in batches:
-            out = []
-            for doc_id, url, html in zip(pdf["doc_id"], pdf["url"], pdf["html"]):
-                _, text, _, _ = extract_html(html or "")
-                out.append((doc_id, url, text))
-            yield _pd.DataFrame(out, columns=["doc_id", "url", "main_text"])
-
-    extracted = responses.mapInPandas(
-        run, schema="doc_id long, url string, main_text string"
-    )
+    extracted = extract_main_text_stage(responses)
     n_words = F.size(F.split("main_text", " "))
     return (
         extracted.select(
@@ -2546,10 +2581,8 @@ def x_crawl_ingest_pipeline(spark, sf_dir):
     what the existing dedup/quality/curation operators key on. The
     oracle enumerates the surviving (doc, fetch) pairs and the word
     math in closed form."""
-    import pandas as _pd
-
     from sparkga1_spark.operators.crawl import (
-        extract_html,
+        extract_main_text_stage,
         plant_warc_payloads,
         warc_response_payloads,
     )
@@ -2562,18 +2595,7 @@ def x_crawl_ingest_pipeline(spark, sf_dir):
         F.col("target_uri").alias("url"),
         F.col("body").cast("string").alias("html"),
     )
-
-    def run(batches):
-        for pdf in batches:
-            out = []
-            for doc_id, url, html in zip(pdf["doc_id"], pdf["url"], pdf["html"]):
-                _, text, _, _ = extract_html(html or "")
-                out.append((doc_id, url, text))
-            yield _pd.DataFrame(out, columns=["doc_id", "url", "main_text"])
-
-    body_text = responses.mapInPandas(
-        run, schema="doc_id long, url string, main_text string"
-    )
+    body_text = extract_main_text_stage(responses)
     n_words = F.size(F.split("main_text", " "))
     return body_text.select(
         "doc_id",
@@ -11710,9 +11732,9 @@ def x_dedup_cluster_size_hist(spark, sf_dir):
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
 
 set_gate_order([
-    # (a) new / result-changed this round. 60 queries are new or
+    # (a) new / result-changed this round. 61 queries are new or
     # result-changed in round 6 — more than the 50-row driver window
-    # holds — so ten sit first-out at 51-60 (LOCAL_GATE_r6 +
+    # holds — so eleven sit first-out at 51-61 (LOCAL_GATE_r6 +
     # corroborating in-window rows carry them; rationale at the
     # tail). Session 7 first: the crawl-ingestion wave (WARC records,
     # HTML extraction, PDF, MIME, page metadata, robots, charset),
@@ -11727,6 +11749,7 @@ set_gate_order([
     "x_dsir_importance",
     "x_robots_gate",
     "x_charset_transcode",
+    "x_sitemap_frontier",
     # session 6 (MJPEG AVI real video decode;
     # x_multimodal_jpeg_decode's row below also changed values: color
     # progressive rows now carry channels=3 and 3x px_sum), then
@@ -11755,7 +11778,6 @@ set_gate_order([
     "x_multimodal_flac_features",
     "x_incremental_rollup_merge",
     "x_incremental_distinct_hll",
-    "x_drift_psi",
     "x_embedding_pca_audit",
     "x_embedding_mahalanobis_audit",
     "x_touch_attribution",
@@ -11803,9 +11825,12 @@ set_gate_order([
     # frame, only the position weights differ), and
     # x_multimodal_alaw_features (G.711 sibling of the in-window
     # ulaw row; the A-law segment expansion is pinned by published
-    # reference-vector pytests). All ten are green in this round's
+    # reference-vector pytests), and x_drift_psi (the PSI variant of
+    # the binned-drift shape whose chi-square sibling x_drift_chi2
+    # carries an r4 driver row). All eleven are green in this round's
     # full-precision LOCAL_GATE at driver strength.
     "x_multimodal_mp4_demux",
+    "x_drift_psi",
     # x_web_corpus_pipeline: a composition of the in-window
     # x_warc_records / x_html_extract_text paths plus the long-gated
     # exact-dedup shape — the same rationale as x_crawl_ingest_pipeline

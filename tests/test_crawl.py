@@ -327,3 +327,32 @@ def test_resolve_url_schemes_and_dot_segments():
                      "tel:+15551234", "../x", "./x", "../../x", "/../x",
                      "a/../b", "/a/./b"):
             assert resolve_url(base, href) == urljoin(base, href), (base, href)
+
+
+def test_sitemap_parser_protocol_and_refusals():
+    """Both protocol shapes roundtrip; CDATA text is not markup; XML's
+    five entities decode and UNDEFINED entities refuse (XML is not
+    HTML); mismatched close tags, unknown roots, unterminated CDATA
+    refuse."""
+    from sparkga1_spark.operators.crawl import build_sitemap, parse_sitemap
+
+    kind, entries = parse_sitemap(build_sitemap(8, "src8"))  # 8%4==0
+    assert kind == "sitemapindex" and len(entries) == 8 % 3 + 1
+    kind, entries = parse_sitemap(build_sitemap(7, "src7"))
+    assert kind == "urlset" and len(entries) == 7 % 5 + 1
+    assert entries[1]["loc"].endswith("?a=1&b=2")   # CDATA raw '&'
+    assert entries[2]["loc"].endswith("?x=1&y=2")   # &amp; decoded
+    # CDATA may contain markup-looking bytes
+    _, e = parse_sitemap(
+        "<urlset><url><loc><![CDATA[https://h/x?a=<1>&b=2]]></loc></url></urlset>"
+    )
+    assert e[0]["loc"] == "https://h/x?a=<1>&b=2"
+    for bad in (
+        "<urlset><url></sitemap></urlset>",       # mismatched close
+        "<feed><entry/></feed>",                  # unknown root
+        "<urlset><url><loc>&nbsp;</loc></url></urlset>",  # HTML-only entity
+        "<urlset><url><loc><![CDATA[x</loc></url></urlset>",  # CDATA EOF
+        "<urlset><url><loc>x</loc></url>",        # unclosed root
+    ):
+        with pytest.raises(ValueError):
+            parse_sitemap(bad)

@@ -164,7 +164,7 @@ def test_gate_order_fronts_unproven_queries():
         "x_warc_records", "x_html_extract_text", "x_pdf_extract_text",
         "x_mime_extract", "x_html_page_meta",
         "x_multimodal_tiff_decode", "x_dsir_importance",
-        "x_robots_gate", "x_charset_transcode",
+        "x_robots_gate", "x_charset_transcode", "x_sitemap_frontier",
         # round-6 (a0): session-3 additions (alaw rotated to the
         # squeeze-out block: G.711 sibling of the in-window ulaw row)
         "x_multimodal_adpcm_features",
@@ -204,7 +204,7 @@ def test_gate_order_fronts_unproven_queries():
         # real FLAC decode, incremental state merge + HLL union
         "x_multimodal_jpeg_decode", "x_multimodal_flac_features",
         "x_incremental_rollup_merge", "x_incremental_distinct_hll",
-        "x_drift_psi", "x_embedding_pca_audit",
+        "x_embedding_pca_audit",
         "x_embedding_mahalanobis_audit", "x_touch_attribution",
         "x_benford_digit_audit",
         # (tpch_q21_waiting_supplier / x_ann_bruteforce_topk /
