@@ -403,6 +403,10 @@ _NAMED_ENTITIES = {
 }
 _ENTITY_RE = re.compile(r"&(#x[0-9a-fA-F]+|#[0-9]+|[a-zA-Z]+);")
 
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
 _BLOCK_TAGS = frozenset(
     "p h1 h2 h3 h4 h5 h6 div li blockquote td article section pre".split()
 )
@@ -412,12 +416,21 @@ _LINK_DENSITY_MAX = 0.8
 
 
 def _decode_entities(s: str) -> str:
+    def cp_or_replacement(cp: int) -> str:
+        # HTML spec: out-of-range, surrogate, and NUL references decode
+        # to U+FFFD — a crash here (chr ValueError) or a lone surrogate
+        # (pyarrow refuses it) would kill the whole Arrow batch for one
+        # bad entity on one page (review-caught)
+        if cp == 0 or cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+            return "\ufffd"
+        return chr(cp)
+
     def sub(m: re.Match) -> str:
         e = m.group(1)
         if e.startswith("#x") or e.startswith("#X"):
-            return chr(int(e[2:], 16))
+            return cp_or_replacement(int(e[2:], 16))
         if e.startswith("#"):
-            return chr(int(e[1:]))
+            return cp_or_replacement(int(e[1:]))
         return _NAMED_ENTITIES.get(e.lower(), m.group(0))  # unknown: keep literal
 
     return _ENTITY_RE.sub(sub, s)
@@ -434,7 +447,7 @@ def _iter_html_tokens(html: str):
     over a lowercased copy built ONCE). Extracted from three
     hand-copied scaffolds after a review found the copies had already
     diverged (a case-sensitive </title> search in one of them)."""
-    lower = html.lower()
+    lower = html.translate(_ASCII_LOWER)
     i, n = 0, len(html)
     while i < n:
         lt = html.find("<", i)
@@ -446,6 +459,13 @@ def _iter_html_tokens(html: str):
         if html.startswith("<!--", i):
             end = html.find("-->", i + 4)
             i = n if end < 0 else end + 3
+            continue
+        nxt = html[i + 1 : i + 2]
+        if not (nxt.isalpha() or nxt in ("/", "!", "?")):
+            # the browser rule: '<' starts a tag only before a letter,
+            # '/', '!' or '?' — a bare '< ' or '<3' is TEXT
+            yield ("text", "<", None, None)
+            i += 1
             continue
         j, quote = i + 1, None
         while j < n:
@@ -463,7 +483,10 @@ def _iter_html_tokens(html: str):
         if not tag_body or tag_body.startswith("!"):
             continue  # doctype / stray markup declaration: ignored
         closing = tag_body.startswith("/")
-        name = tag_body.lstrip("/").split(None, 1)[0].rstrip("/").lower()
+        tokens = tag_body.lstrip("/").split(None, 1)
+        if not tokens:
+            continue  # '</>' : skipped like a browser's bogus-comment path
+        name = tokens[0].rstrip("/").lower()
         if not closing and name in _RAW_TEXT:
             end = lower.find(f"</{name}", i)
             i = n if end < 0 else end  # content skipped: it is not markup
@@ -687,7 +710,7 @@ def robots_gate(df: DataFrame, *, robots_col: str = "robots_txt",
 # wrong is where mojibake enters a corpus.
 # --------------------------------------------------------------------------
 
-_CHARSET_RE = re.compile(r"charset=([A-Za-z0-9_\-]+)", re.IGNORECASE)
+_CHARSET_RE = re.compile(r"charset=\"?([A-Za-z0-9_\-]+)\"?", re.IGNORECASE)
 _SUPPORTED_CHARSETS = {"utf-8", "latin-1", "iso-8859-1", "utf-16le", "utf-16be"}
 
 
@@ -954,39 +977,12 @@ def _attr(tag_body: str, name: str) -> str | None:
 
 def extract_page_meta(html: str):
     """HTML → (og_title, description, canonical) from <meta>/<link>
-    tags, with the same tag-scan discipline as everywhere else
-    (quote-aware, comments skipped, raw-text skipped) and
-    entity-decoded attribute values."""
+    tags over the SHARED tokenizer (this consumer had kept its own
+    inline scaffold — review-caught; the scaffolds had already
+    diverged once before) with entity-decoded attribute values."""
     og_title = description = canonical = None
-    i, n = 0, len(html)
-    while i < n:
-        lt = html.find("<", i)
-        if lt < 0:
-            break
-        i = lt
-        if html.startswith("<!--", i):
-            end = html.find("-->", i + 4)
-            i = n if end < 0 else end + 3
-            continue
-        j, quote = i + 1, None
-        while j < n:
-            c = html[j]
-            if quote:
-                if c == quote:
-                    quote = None
-            elif c in ('"', "'"):
-                quote = c
-            elif c == ">":
-                break
-            j += 1
-        tag_body = html[i + 1 : j]
-        i = j + 1
-        if not tag_body or tag_body.startswith(("!", "/")):
-            continue
-        name = tag_body.split(None, 1)[0].rstrip("/").lower()
-        if name in _RAW_TEXT:
-            end = html.lower().find(f"</{name}", i)
-            i = n if end < 0 else end
+    for kind, name, closing, tag_body in _iter_html_tokens(html):
+        if kind != "tag" or closing:
             continue
         if name == "meta":
             if (_attr(tag_body, "property") or "").lower() == "og:title":

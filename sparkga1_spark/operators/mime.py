@@ -235,9 +235,12 @@ def parse_mime(data: bytes) -> dict:
     subject = _decode_encoded_words(headers.get("subject", ""))
     from_addr = headers.get("from", "")
     ctype = headers.get("content-type", "text/plain")
-    parts: list[tuple[str, bytes]] = []
-    if ctype.startswith("multipart/"):
-        m = re.search(r'boundary="([^"]+)"|boundary=([^;\s]+)', ctype)
+    parts: list[tuple[str, bytes, str | None]] = []
+    # RFC 2045: media types and parameter NAMES are case-insensitive
+    # ('Multipart/Alternative; BOUNDARY=x' is legal) — values are not
+    if ctype.lower().startswith("multipart/"):
+        m = re.search(r'boundary="([^"]+)"|boundary=([^;\s]+)', ctype,
+                      re.IGNORECASE)
         if not m:
             raise ValueError("mime: multipart without boundary parameter")
         boundary = (m.group(1) or m.group(2)).encode()
@@ -255,29 +258,37 @@ def parse_mime(data: bytes) -> dict:
         for chunk in chunks[1:]:
             if chunk.startswith(b"--"):
                 break  # --boundary-- : epilogue follows, not a part
-            if not chunk.startswith(b"\r\n"):
+            # RFC 2046 §5.1.1 allows optional linear whitespace between
+            # the boundary and its CRLF (transport padding)
+            pad = re.match(rb"[ \t]*\r\n", chunk)
+            if not pad:
                 raise ValueError("mime: trailing bytes on a boundary line")
-            part = chunk[2:]
+            part = chunk[pad.end():]
             psplit = part.find(b"\r\n\r\n")
             if psplit < 0:
                 raise ValueError("mime: part without header/body separator")
             ph = _parse_headers(part[:psplit])
+            pct = ph.get("content-type", "text/plain")
+            cs = re.search(r'charset="?([A-Za-z0-9_\-]+)"?', pct, re.IGNORECASE)
             parts.append(
                 (
-                    ph.get("content-type", "text/plain").split(";")[0].strip(),
+                    pct.split(";")[0].strip().lower(),
                     _decode_body(
                         part[psplit + 4 :],
                         ph.get("content-transfer-encoding", "7bit"),
                     ),
+                    cs.group(1).lower() if cs else None,
                 )
             )
     else:
+        cs = re.search(r'charset="?([A-Za-z0-9_\-]+)"?', ctype, re.IGNORECASE)
         parts.append(
             (
-                ctype.split(";")[0].strip(),
+                ctype.split(";")[0].strip().lower(),
                 _decode_body(
                     body, headers.get("content-transfer-encoding", "7bit")
                 ),
+                cs.group(1).lower() if cs else None,
             )
         )
     return {
@@ -295,19 +306,27 @@ MIME_SCHEMA = (
 
 def extract_mime(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
     """binary message → subject (encoded-words decoded), unfolded From,
-    part count, the decoded text/plain body, and the decoded text/html
-    byte length. Map-only."""
+    part count, the decoded text/plain body (honoring the part's
+    DECLARED charset — hardcoding utf-8 mojibakes or crashes on
+    latin-1 mail; review-caught), and the decoded text/html byte
+    length. Map-only."""
+    from sparkga1_spark.operators.crawl import decode_http_body
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 msg = parse_mime(bytes(payload))
-                plain = next(
-                    (b for t, b in msg["parts"] if t == "text/plain"), b""
+                plain, plain_cs = next(
+                    ((b, cs) for t, b, cs in msg["parts"] if t == "text/plain"),
+                    (b"", None),
                 )
                 html = next(
-                    (b for t, b in msg["parts"] if t == "text/html"), b""
+                    (b for t, b, _cs in msg["parts"] if t == "text/html"), b""
+                )
+                text, _, _ = decode_http_body(
+                    plain,
+                    f"text/plain; charset={plain_cs}" if plain_cs else None,
                 )
                 out.append(
                     (
@@ -315,7 +334,7 @@ def extract_mime(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
                         msg["subject"],
                         msg["from"],
                         len(msg["parts"]),
-                        plain.decode("utf-8"),
+                        text,
                         len(html),
                     )
                 )

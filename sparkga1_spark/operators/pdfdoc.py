@@ -42,6 +42,8 @@ _REF_RE = re.compile(rb"/Contents\s+(\d+)\s+(\d+)\s+R\b")
 _KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
 _KID_REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
+_LENGTH_INDIRECT_RE = re.compile(rb"/Length\s+\d+\s+\d+\s+R\b")
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
 _TYPE_PAGE_RE = re.compile(rb"/Type\s*/Page\b")
 
 
@@ -161,6 +163,11 @@ def _scan_objects(data: bytes) -> dict[int, bytes]:
         if end < 0:
             raise ValueError("pdf: object never ends")
         if 0 <= stream_at < end:
+            if _LENGTH_INDIRECT_RE.search(data, start, stream_at):
+                # '/Length 9 0 R' would otherwise match \d+ as 9 and
+                # silently misframe the stream (review-caught): the
+                # indirect form is honestly out of scope — refuse
+                raise ValueError("pdf: indirect /Length not claimed")
             lm = _LENGTH_RE.search(data, start, stream_at)
             if not lm:
                 raise ValueError("pdf: stream without /Length")
@@ -183,6 +190,9 @@ def _object_stream(obj: bytes) -> bytes:
     """A stream object's decoded bytes: /Length framing is authoritative
     (never 'find endstream' — embedded markers are legal), FlateDecode
     inflated with a bound."""
+    at0 = obj.find(b"stream")
+    if _LENGTH_INDIRECT_RE.search(obj, 0, at0 if at0 >= 0 else len(obj)):
+        raise ValueError("pdf: indirect /Length not claimed")
     m = _LENGTH_RE.search(obj)
     if not m:
         raise ValueError("pdf: stream without /Length")
@@ -372,13 +382,21 @@ def extract_pdf_text(data: bytes) -> tuple[str, int]:
         raise ValueError("pdf: page tree holds no pages")
     texts: list[str] = []
     for pnum in pages:
-        m = _REF_RE.search(objs[pnum])
-        if not m:
-            continue
-        cnum = int(m.group(1))
-        if cnum not in objs:
-            raise ValueError(f"pdf: dangling /Contents reference {cnum}")
-        texts.extend(extract_content_text(_object_stream(objs[cnum])))
+        # /Contents may be a single reference OR an array of streams
+        # to be concatenated in order (ISO 32000 §7.7.3.3; real
+        # writers emit the array form — review-caught silent loss)
+        arr = _CONTENTS_ARR_RE.search(objs[pnum])
+        if arr:
+            cnums = [int(km.group(1)) for km in _KID_REF_RE.finditer(arr.group(1))]
+        else:
+            m = _REF_RE.search(objs[pnum])
+            if not m:
+                continue
+            cnums = [int(m.group(1))]
+        for cnum in cnums:
+            if cnum not in objs:
+                raise ValueError(f"pdf: dangling /Contents reference {cnum}")
+            texts.extend(extract_content_text(_object_stream(objs[cnum])))
     return " ".join(texts), len(pages)
 
 

@@ -356,3 +356,32 @@ def test_sitemap_parser_protocol_and_refusals():
     ):
         with pytest.raises(ValueError):
             parse_sitemap(bad)
+
+
+def test_review2_html_robustness():
+    """Second review pass catches: bare '<' before a non-tag char is
+    TEXT (browser rule — '< >' and '<3' must not eat content or
+    crash); '</>' skips like a bogus comment; a length-changing
+    lowercase ('İ'.lower() is two codepoints) must not desync the
+    raw-text close-tag scan; broken numeric character references
+    decode to U+FFFD (never chr() crashes or lone surrogates that
+    kill the Arrow batch); quoted charset parameter values parse."""
+    from sparkga1_spark.operators.crawl import (
+        _decode_entities,
+        decode_http_body,
+        extract_html,
+    )
+
+    assert extract_html("<p>x < > y</p>")[1] == "x < > y"
+    assert extract_html("<p>2 <3 but 5>4</p>")[1] == "2 <3 but 5>4"
+    assert extract_html("<p>a</><p>b</p>")[1] == "a b"
+    t = extract_html(
+        "<p>İİİ</p><script>var a = '</p>hidden';</script><p>after</p>"
+    )
+    assert t[1] == "İİİ after", t
+    assert _decode_entities("x &#1114112; y") == "x � y"
+    assert _decode_entities("&#xD800;&#0;") == "��"
+    s = "résumé"
+    assert decode_http_body(
+        s.encode("utf-16le"), 'text/html; charset="utf-16le"'
+    ) == (s, "utf-16le", True)

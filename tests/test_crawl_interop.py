@@ -123,7 +123,7 @@ def test_mime_agrees_with_stdlib_email(words, doc_id):
         for p in theirs.walk()
         if not p.is_multipart()
     ]
-    assert [(t, b) for t, b in ours["parts"]] == their_parts
+    assert [(t, b) for t, b, _cs in ours["parts"]] == their_parts
 
 
 @given(words=WORDS, doc_id=st.integers(min_value=0, max_value=24))

@@ -22,8 +22,8 @@ def test_mime_roundtrip_both_subject_forms():
         msg = parse_mime(build_mime(d, text))
         assert msg["subject"] == f"Doc {d} résumé"
         assert msg["from"] == f"Crawl Bot <bot@src{d % 20}.example.com>"
-        (t1, b1), (t2, b2) = msg["parts"]
-        assert t1 == "text/plain" and b1.decode() == text
+        (t1, b1, cs1), (t2, b2, cs2) = msg["parts"]
+        assert t1 == "text/plain" and b1.decode() == text and cs1 == "utf-8"
         assert t2 == "text/html" and b2.decode() == f"<p>{text}</p>"
 
 
@@ -117,7 +117,8 @@ def test_boundary_sequence_mid_line_is_data():
     )
     raw = ('Content-Type: multipart/mixed; boundary="bnd"\r\n\r\n' + body).encode()
     msg = parse_mime(raw)
-    assert msg["parts"] == [("text/plain", b"data with --bnd mid-line stays")]
+    assert msg["parts"] == [("text/plain", b"data with --bnd mid-line stays",
+                             None)]
     # trailing junk on a delimiter line refuses (mis-framed message)
     bad = raw.replace(b"--bnd\r\nContent-Type", b"--bnd junk\r\nContent-Type")
     with pytest.raises(ValueError, match="boundary line"):
@@ -148,3 +149,29 @@ def test_qp_decode_truncated_escape_refuses():
         _qp_decode(b"abc=3")
     with pytest.raises(ValueError, match="truncated quoted-printable"):
         _qp_decode(b"abc=")
+
+
+def test_review2_mime_robustness():
+    """Second review pass: media types and parameter NAMES are
+    case-insensitive (RFC 2045); transport padding after a boundary
+    is legal (RFC 2046 §5.1.1); the text/plain part decodes in its
+    DECLARED charset (hardcoded utf-8 crashed on latin-1 mail)."""
+    from sparkga1_spark.operators.crawl import decode_http_body
+
+    raw = build_mime(4, "a b c d").replace(
+        b"Content-Type: multipart/alternative; boundary=",
+        b"Content-Type: Multipart/Alternative; BOUNDARY=",
+    )
+    assert len(parse_mime(raw)["parts"]) == 2
+    padded = build_mime(4, "a b c d").replace(
+        b"----=_bnd_4\r\nContent-Type: text/plain",
+        b"----=_bnd_4 \t\r\nContent-Type: text/plain",
+    )
+    assert len(parse_mime(padded)["parts"]) == 2
+    latin = (
+        'Content-Type: multipart/mixed; boundary="b"\r\n\r\n'
+        "--b\r\nContent-Type: text/plain; charset=iso-8859-1\r\n\r\n"
+    ).encode() + "résumé".encode("latin-1") + b"\r\n--b--\r\n"
+    ctype, body, cs = parse_mime(latin)["parts"][0]
+    assert (ctype, cs) == ("text/plain", "iso-8859-1")
+    assert decode_http_body(body, f"text/plain; charset={cs}")[0] == "résumé"

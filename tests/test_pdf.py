@@ -161,3 +161,28 @@ def test_pdf_truncated_flate_refuses():
     )
     with pytest.raises(ValueError, match="truncated Flate"):
         extract_pdf_text(pdf)
+
+
+def test_review2_pdf_contents_forms():
+    """Second review pass: /Contents arrays concatenate in order (ISO
+    32000 §7.7.3.3 — real writers emit them; silently dropping the
+    page was data loss), and the indirect '/Length N 0 R' form
+    REFUSES instead of misframing the stream as length N."""
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Contents [4 0 R 5 0 R] >>\nendobj\n"
+        b"4 0 obj\n<< /Length 14 >>\nstream\nBT (one) Tj ET\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Length 14 >>\nstream\nBT (two) Tj ET\nendstream\nendobj\n"
+    )
+    assert extract_pdf_text(pdf) == ("one two", 1)
+    ind = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 9 0 R >>\nstream\nBT (x) Tj ET\nendstream\nendobj\n"
+    )
+    with pytest.raises(ValueError, match="indirect /Length"):
+        extract_pdf_text(ind)
