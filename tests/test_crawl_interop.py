@@ -106,12 +106,22 @@ def test_qp_decode_agrees_with_quopri(s):
     assert ours == theirs == s.encode()
 
 
-@given(words=WORDS, doc_id=st.integers(min_value=0, max_value=24))
+UNICODE_WORDS = st.lists(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789éüñß€中",
+            min_size=1, max_size=10),
+    min_size=3,
+    max_size=40,
+)
+
+
+@given(words=UNICODE_WORDS, doc_id=st.integers(min_value=0, max_value=24))
 @SETTINGS
 def test_mime_agrees_with_stdlib_email(words, doc_id):
     """The stdlib email package is a full independent RFC 2045/2047
     implementation: subjects, unfolded froms, and decoded part
-    payloads must match ours exactly."""
+    payloads must match ours exactly — INCLUDING non-ASCII corpus
+    text through the octet-based QP path (the review-caught encoding
+    bug lived exactly in the gap this alphabet now covers)."""
     text = " ".join(words)
     raw = build_mime(doc_id, text)
     ours = parse_mime(raw)
