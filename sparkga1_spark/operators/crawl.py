@@ -61,6 +61,11 @@ __all__ = [
     "decode_http_body",
     "transcode_http_bodies",
     "plant_encoded_bodies",
+    "extract_main_text_stage",
+    "build_sitemap",
+    "parse_sitemap",
+    "parse_sitemaps_stage",
+    "plant_sitemap_payloads",
 ]
 
 _CRLF = b"\r\n"
