@@ -1215,3 +1215,144 @@ def plant_sitemap_payloads(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out, columns=["doc_id", "xml"])
 
     return _spread(df).mapInPandas(run, schema="doc_id long, xml string")
+
+
+# --------------------------------------------------------------------------
+# Image–text pair mining (the LAION-recipe primitive for multimodal
+# training data): <img> sources resolved against the page URL, paired
+# with their alt text and — inside <figure> — the figcaption. The keep
+# rule is the published one: an image with EMPTY or MISSING alt is
+# decorative and yields no pair.
+# --------------------------------------------------------------------------
+
+_IMG_ATTR_RES = {
+    name: re.compile(
+        name + r"""\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
+    )
+    for name in ("src", "alt")
+}
+
+
+def _img_attr(tag_body: str, name: str) -> str | None:
+    m = _IMG_ATTR_RES[name].search(tag_body)
+    if not m:
+        return None
+    return _decode_entities(m.group(1) if m.group(1) is not None
+                            else m.group(2) if m.group(2) is not None
+                            else m.group(3) or "")
+
+
+def extract_image_pairs(html: str, base_url: str) -> list[dict]:
+    """HTML → [{img_url, alt_text, caption}] in document order, over
+    the shared tokenizer: src resolved per RFC 3986, attribute values
+    entity-decoded, captions taken from the enclosing <figure>'s
+    <figcaption>, and decorative images (empty/missing alt) dropped."""
+    pairs: list[dict] = []
+    figure_depth = 0
+    figure_imgs: list[dict] = []  # imgs awaiting their figure's caption
+    in_figcaption = False
+    caption_parts: list[str] = []
+
+    def emit(img: dict, caption: str | None) -> None:
+        if img["alt_text"]:  # the keep rule: meaningful alt only
+            pairs.append({**img, "caption": caption})
+
+    for kind, a, b, tag_body in _iter_html_tokens(html):
+        if kind == "text":
+            if in_figcaption:
+                caption_parts.append(_decode_entities(a))
+            continue
+        name, closing = a, b
+        if name == "img" and not closing:
+            img = {
+                "img_url": resolve_url(base_url, _img_attr(tag_body, "src") or ""),
+                "alt_text": (_img_attr(tag_body, "alt") or "").strip(),
+            }
+            if figure_depth > 0:
+                figure_imgs.append(img)
+            else:
+                emit(img, None)
+        elif name == "figure":
+            if closing:
+                figure_depth = max(0, figure_depth - 1)
+                if figure_depth == 0:
+                    caption = " ".join("".join(caption_parts).split()) or None
+                    for img in figure_imgs:
+                        emit(img, caption)
+                    figure_imgs, caption_parts = [], []
+            else:
+                figure_depth += 1
+        elif name == "figcaption":
+            in_figcaption = not closing
+    for img in figure_imgs:  # unclosed figure at EOF: keep the pairs
+        emit(img, None)
+    return pairs
+
+
+def image_pairs_stage(df: DataFrame, *, html_col: str = "html",
+                      base_col: str = "base_url") -> DataFrame:
+    """(doc_id, html, base_url) → one row per kept image (1→N).
+    Map-only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, html, base in zip(
+                pdf["doc_id"], pdf[html_col], pdf[base_col]
+            ):
+                for rank, p in enumerate(extract_image_pairs(html or "",
+                                                             base or "")):
+                    out.append(
+                        (doc_id, rank, p["img_url"], p["alt_text"],
+                         p["caption"])
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "rank", "img_url", "alt_text", "caption"],
+            )
+
+    return df.mapInPandas(
+        run,
+        schema=("doc_id long, rank int, img_url string, alt_text string, "
+                "caption string"),
+    )
+
+
+def build_gallery_html(doc_id: int, source: str) -> str:
+    """A gallery page per document: a standalone hero image (caption
+    NULL), doc_id%4+1 <figure>s each with an <img alt> and an
+    entity-bearing <figcaption>, plus two DECORATIVE images the keep
+    rule must drop (alt="" and no alt at all)."""
+    host = f"https://{source}.example.com"
+    parts = [
+        "<!DOCTYPE html><html><body>",
+        f'<img src="/hero/{doc_id}.png" alt="hero {doc_id}">',
+        f'<img src="/decor/{doc_id}.gif" alt="">',
+        f'<img src="/spacer/{doc_id}.gif">',
+    ]
+    for j in range(doc_id % 4 + 1):
+        parts.append(
+            f'<figure><img src="/img/{doc_id}/{j}.jpg" '
+            f'alt="alt {doc_id} {j}">'
+            f"<figcaption>caption {doc_id}-{j} &amp; note</figcaption>"
+            "</figure>"
+        )
+    parts.append("</body></html>")
+    return "".join(parts), f"{host}/gallery/{doc_id}"
+
+
+def plant_gallery_pages(df: DataFrame) -> DataFrame:
+    """(doc_id, source) → (doc_id, html, base_url)."""
+    from sparkga1_spark.operators.multimodal import _spread
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                html, base = build_gallery_html(int(doc_id), source)
+                out.append((doc_id, html, base))
+            yield pd.DataFrame(out, columns=["doc_id", "html", "base_url"])
+
+    return _spread(df).mapInPandas(
+        run, schema="doc_id long, html string, base_url string"
+    )

@@ -2022,6 +2022,49 @@ def x_magic_bytes_detect(spark, sf_dir):
 
 
 @query(
+    "x_image_text_pairs",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, 'https://' || source || '.example.com' AS host
+  FROM documents
+)
+SELECT doc_id, 0 AS rank,
+       host || '/hero/' || CAST(doc_id AS VARCHAR) || '.png' AS img_url,
+       'hero ' || CAST(doc_id AS VARCHAR) AS alt_text,
+       CAST(NULL AS VARCHAR) AS caption
+FROM s
+UNION ALL
+SELECT doc_id, CAST(1 + t.j AS INTEGER),
+       host || '/img/' || CAST(doc_id AS VARCHAR) || '/'
+           || CAST(t.j AS VARCHAR) || '.jpg',
+       'alt ' || CAST(doc_id AS VARCHAR) || ' ' || CAST(t.j AS VARCHAR),
+       'caption ' || CAST(doc_id AS VARCHAR) || '-' || CAST(t.j AS VARCHAR)
+           || ' & note'
+FROM s, LATERAL unnest(generate_series(0, CAST(doc_id % 4 AS BIGINT))) AS t(j)
+""",
+)
+def x_image_text_pairs(spark, sf_dir):
+    """Image–text pair mining (the LAION-recipe primitive for
+    multimodal training data): <img> sources resolved against the
+    page URL, paired with entity-decoded alt text and — inside
+    <figure> — the figcaption, with the published keep rule applied
+    (EMPTY or MISSING alt is decorative: two such images are planted
+    per page and must yield no pair). Runs over the shared HTML
+    tokenizer, so every robustness property the extraction rows pin
+    (raw-text, comments, quoted '>', entity forms) holds here too.
+    1→N map-only; the oracle enumerates every kept pair — hero images
+    with NULL captions and figure images with their captions — in
+    closed form."""
+    from sparkga1_spark.operators.crawl import (
+        image_pairs_stage,
+        plant_gallery_pages,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return image_pairs_stage(plant_gallery_pages(docs))
+
+
+@query(
     "x_sitemap_frontier",
     oracle="""
 WITH s AS (
@@ -11732,9 +11775,9 @@ def x_dedup_cluster_size_hist(spark, sf_dir):
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
 
 set_gate_order([
-    # (a) new / result-changed this round. 61 queries are new or
+    # (a) new / result-changed this round. 62 queries are new or
     # result-changed in round 6 — more than the 50-row driver window
-    # holds — so eleven sit first-out at 51-61 (LOCAL_GATE_r6 +
+    # holds — so twelve sit first-out at 51-62 (LOCAL_GATE_r6 +
     # corroborating in-window rows carry them; rationale at the
     # tail). Session 7 first: the crawl-ingestion wave (WARC records,
     # HTML extraction, PDF, MIME, page metadata, robots, charset),
@@ -11750,6 +11793,7 @@ set_gate_order([
     "x_robots_gate",
     "x_charset_transcode",
     "x_sitemap_frontier",
+    "x_image_text_pairs",
     # session 6 (MJPEG AVI real video decode;
     # x_multimodal_jpeg_decode's row below also changed values: color
     # progressive rows now carry channels=3 and 3x px_sum), then
@@ -11779,7 +11823,6 @@ set_gate_order([
     "x_incremental_rollup_merge",
     "x_incremental_distinct_hll",
     "x_embedding_pca_audit",
-    "x_embedding_mahalanobis_audit",
     "x_touch_attribution",
     "x_benford_digit_audit",
     "x_multimodal_adpcm_features",
@@ -11827,10 +11870,14 @@ set_gate_order([
     # ulaw row; the A-law segment expansion is pinned by published
     # reference-vector pytests), and x_drift_psi (the PSI variant of
     # the binned-drift shape whose chi-square sibling x_drift_chi2
-    # carries an r4 driver row). All eleven are green in this round's
-    # full-precision LOCAL_GATE at driver strength.
+    # carries an r4 driver row), and x_embedding_mahalanobis_audit
+    # (it builds on the SAME whitening machinery as the in-window
+    # x_embedding_pca_audit row and carries its own invariant
+    # pytests). All twelve are green in this round's full-precision
+    # LOCAL_GATE at driver strength.
     "x_multimodal_mp4_demux",
     "x_drift_psi",
+    "x_embedding_mahalanobis_audit",
     # x_web_corpus_pipeline: a composition of the in-window
     # x_warc_records / x_html_extract_text paths plus the long-gated
     # exact-dedup shape — the same rationale as x_crawl_ingest_pipeline

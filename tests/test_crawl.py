@@ -385,3 +385,37 @@ def test_review2_html_robustness():
     assert decode_http_body(
         s.encode("utf-16le"), 'text/html; charset="utf-16le"'
     ) == (s, "utf-16le", True)
+
+
+def test_image_text_pair_mining():
+    """The LAION keep rule (empty/missing alt is decorative), figure
+    caption pairing, attribute entity decoding, and src resolution —
+    plus the multi-img figure and unclosed-figure edge cases."""
+    from sparkga1_spark.operators.crawl import (
+        build_gallery_html,
+        extract_image_pairs,
+    )
+
+    html, base = build_gallery_html(5, "src5")
+    pairs = extract_image_pairs(html, base)
+    assert len(pairs) == 1 + 5 % 4 + 1  # hero + figures; decoratives dropped
+    assert pairs[0]["caption"] is None
+    assert pairs[1]["caption"] == "caption 5-0 & note"
+    assert extract_image_pairs(
+        '<img src="/a.png" alt=""><img src="/b.png">', "https://h/x"
+    ) == []
+    # one figure, two imgs: both get the caption
+    pairs = extract_image_pairs(
+        '<figure><img src="a.jpg" alt="one"><img src="b.jpg" alt="two">'
+        "<figcaption>both</figcaption></figure>",
+        "https://h/d/p",
+    )
+    assert [(p["alt_text"], p["caption"]) for p in pairs] == [
+        ("one", "both"), ("two", "both"),
+    ]
+    # unclosed figure at EOF: pairs kept with NULL caption
+    pairs = extract_image_pairs(
+        '<figure><img src="a.jpg" alt="x">', "https://h/p"
+    )
+    assert pairs == [{"img_url": "https://h/a.jpg", "alt_text": "x",
+                      "caption": None}]

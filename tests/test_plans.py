@@ -165,6 +165,7 @@ def test_gate_order_fronts_unproven_queries():
         "x_mime_extract", "x_html_page_meta",
         "x_multimodal_tiff_decode", "x_dsir_importance",
         "x_robots_gate", "x_charset_transcode", "x_sitemap_frontier",
+        "x_image_text_pairs",
         # round-6 (a0): session-3 additions (alaw rotated to the
         # squeeze-out block: G.711 sibling of the in-window ulaw row)
         "x_multimodal_adpcm_features",
@@ -205,7 +206,7 @@ def test_gate_order_fronts_unproven_queries():
         "x_multimodal_jpeg_decode", "x_multimodal_flac_features",
         "x_incremental_rollup_merge", "x_incremental_distinct_hll",
         "x_embedding_pca_audit",
-        "x_embedding_mahalanobis_audit", "x_touch_attribution",
+        "x_touch_attribution",
         "x_benford_digit_audit",
         # (tpch_q21_waiting_supplier / x_ann_bruteforce_topk /
         # x_ann_ivf_nprobe2 / x_ann_ivf_topk / x_ann_lsh_buckets /
