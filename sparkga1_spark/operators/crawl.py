@@ -66,6 +66,10 @@ __all__ = [
     "parse_sitemap",
     "parse_sitemaps_stage",
     "plant_sitemap_payloads",
+    "extract_image_pairs",
+    "image_pairs_stage",
+    "build_gallery_html",
+    "plant_gallery_pages",
 ]
 
 _CRLF = b"\r\n"
@@ -967,9 +971,12 @@ def plant_pages_with_base(df: DataFrame) -> DataFrame:
 
 _ATTR_RES = {
     name: re.compile(
-        name + r"""\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
+        # the lookbehind stops `data-src=` matching as `src=` (the
+        # lazy-loading markup trap: the wrong URL enters the corpus)
+        r"(?<![\w\-])" + name + r"""\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
+        re.IGNORECASE,
     )
-    for name in ("content", "href", "property", "name", "rel")
+    for name in ("content", "href", "property", "name", "rel", "src", "alt")
 }
 
 
@@ -1225,23 +1232,6 @@ def plant_sitemap_payloads(df: DataFrame) -> DataFrame:
 # decorative and yields no pair.
 # --------------------------------------------------------------------------
 
-_IMG_ATTR_RES = {
-    name: re.compile(
-        name + r"""\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
-    )
-    for name in ("src", "alt")
-}
-
-
-def _img_attr(tag_body: str, name: str) -> str | None:
-    m = _IMG_ATTR_RES[name].search(tag_body)
-    if not m:
-        return None
-    return _decode_entities(m.group(1) if m.group(1) is not None
-                            else m.group(2) if m.group(2) is not None
-                            else m.group(3) or "")
-
-
 def extract_image_pairs(html: str, base_url: str) -> list[dict]:
     """HTML → [{img_url, alt_text, caption}] in document order, over
     the shared tokenizer: src resolved per RFC 3986, attribute values
@@ -1264,9 +1254,12 @@ def extract_image_pairs(html: str, base_url: str) -> list[dict]:
             continue
         name, closing = a, b
         if name == "img" and not closing:
+            src = _attr(tag_body, "src")
+            if not src:
+                continue  # src-less (JS-populated) images yield no pair
             img = {
-                "img_url": resolve_url(base_url, _img_attr(tag_body, "src") or ""),
-                "alt_text": (_img_attr(tag_body, "alt") or "").strip(),
+                "img_url": resolve_url(base_url, src) if base_url else src,
+                "alt_text": (_attr(tag_body, "alt") or "").strip(),
             }
             if figure_depth > 0:
                 figure_imgs.append(img)
@@ -1276,6 +1269,7 @@ def extract_image_pairs(html: str, base_url: str) -> list[dict]:
             if closing:
                 figure_depth = max(0, figure_depth - 1)
                 if figure_depth == 0:
+                    in_figcaption = False  # an unclosed figcaption ends here
                     caption = " ".join("".join(caption_parts).split()) or None
                     for img in figure_imgs:
                         emit(img, caption)
@@ -1284,8 +1278,11 @@ def extract_image_pairs(html: str, base_url: str) -> list[dict]:
                 figure_depth += 1
         elif name == "figcaption":
             in_figcaption = not closing
-    for img in figure_imgs:  # unclosed figure at EOF: keep the pairs
-        emit(img, None)
+    # unclosed figure at EOF: keep the pairs WITH whatever caption was
+    # already parsed (truncated crawl payloads are routine)
+    caption = " ".join("".join(caption_parts).split()) or None
+    for img in figure_imgs:
+        emit(img, caption)
     return pairs
 
 
@@ -1318,7 +1315,7 @@ def image_pairs_stage(df: DataFrame, *, html_col: str = "html",
     )
 
 
-def build_gallery_html(doc_id: int, source: str) -> str:
+def build_gallery_html(doc_id: int, source: str) -> tuple[str, str]:
     """A gallery page per document: a standalone hero image (caption
     NULL), doc_id%4+1 <figure>s each with an <img alt> and an
     entity-bearing <figcaption>, plus two DECORATIVE images the keep

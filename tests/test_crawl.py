@@ -419,3 +419,33 @@ def test_image_text_pair_mining():
     )
     assert pairs == [{"img_url": "https://h/a.jpg", "alt_text": "x",
                       "caption": None}]
+
+
+def test_review3_image_pair_regressions():
+    """Third review pass (post-addition code): data-src must not
+    shadow src (attribute-name boundary); an unclosed </figcaption>
+    must not leak body text into the next caption; an unclosed
+    <figure> at EOF keeps its already-parsed caption; src-less images
+    yield no pair; a null base falls back to the raw src instead of
+    crashing the Arrow batch."""
+    from sparkga1_spark.operators.crawl import extract_image_pairs
+
+    p = extract_image_pairs(
+        '<img data-src="/lazy.jpg" src="/real.jpg" alt="x">', "https://h/p"
+    )
+    assert p[0]["img_url"] == "https://h/real.jpg"
+    p = extract_image_pairs(
+        '<figure><img src="a.jpg" alt="x"><figcaption>A</figure><p>BODY</p>'
+        '<figure><img src="b.jpg" alt="y"><figcaption>B</figcaption></figure>',
+        "https://h/p",
+    )
+    assert [q["caption"] for q in p] == ["A", "B"]
+    p = extract_image_pairs(
+        '<figure><img src="a.jpg" alt="x"><figcaption>The cap</figcaption>',
+        "https://h/p",
+    )
+    assert p[0]["caption"] == "The cap"
+    assert extract_image_pairs('<img alt="logo">', "https://h/p") == []
+    assert extract_image_pairs('<img src="/a.png" alt="x">', "")[0][
+        "img_url"
+    ] == "/a.png"
