@@ -136,6 +136,8 @@ HEADLINE = [
     "x_dsir_importance",
     "x_pdf_extract_text",
     "x_web_corpus_pipeline",
+    "x_sitemap_frontier",
+    "x_image_text_pairs",
 ]
 
 # CONVENTION (r5 VERDICT #8): the headline set only ever GROWS —
