@@ -140,10 +140,15 @@ HEADLINE = [
     "x_image_text_pairs",
 ]
 
-# CONVENTION (r5 VERDICT #8): the headline set only ever GROWS —
-# round-over-round comparisons must use the shared-subset total (the
-# r5 35-query set vs r5's numbers; earlier subsets per BENCH notes),
-# never the raw total. NOTE on the dedup family (r6): keep_canonical /
+# CONVENTION (r5 VERDICT #8, made permanent per r6 VERDICT #9): the
+# headline set only ever GROWS — round-over-round comparisons must use
+# the shared-subset total (the r5 35-query set = HEADLINE[:35], whose
+# total is emitted as `shared35` in both JSON lines; earlier subsets
+# per BENCH notes), never the raw total. Same-day variance bracket:
+# three same-day runs of identical code measured 0.95x/1.20x/1.38x on
+# this host — treat any per-query delta inside ±40% with overlapping
+# spreads as host noise, and only non-overlapping spreads as a signal
+# worth a controlled A/B. NOTE on the dedup family (r6): keep_canonical /
 # cc_clusters share a session-memoized pair+CC-label stage whose
 # localCheckpoint blocks survive release_tracked() (freed by GC, not
 # by cache release), so their run-2/3 timings measure the family's
@@ -211,6 +216,7 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    shared35 = round(sum(times[n] for n in HEADLINE[:35] if n in times), 3)
     print(
         json.dumps(
             {
@@ -221,7 +227,25 @@ def main() -> None:
                 "spread": spread,
                 "runs_per_query": 3,
                 "sf": sf,
+                "shared35": shared35,
                 **({"errors": errors} if errors else {}),
+            }
+        )
+    )
+    # r6 VERDICT #2: the driver keeps only the stdout TAIL, so the big
+    # line above arrives front-truncated (its `value` lost) and parses
+    # as null. This compact LAST line always survives in the tail and
+    # carries the headline totals.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "n": len(times),
+                "n_errors": len(errors),
+                "shared35": shared35,
+                "sf": sf,
             }
         )
     )

@@ -664,17 +664,44 @@ def parse_robots(robots_txt: str, user_agent: str) -> list[tuple[bool, str]]:
 
 def _robots_pattern_match(pattern: str, path: str) -> bool:
     """RFC 9309 path patterns: literal prefix with '*' wildcards and an
-    optional '$' end anchor, matched WITH BACKTRACKING (a
-    first-occurrence scan fails '/*.pdf$' against '/a.pdfx.pdf' — the
-    anchor needs the LAST '.pdf', which only a regex/backtracking
-    matcher finds). Empty pattern matches nothing."""
+    optional '$' end anchor. Matched in O(len(path)·segments) — robots.txt
+    is remote attacker-controlled input, so a backtracking regex here is
+    a denial-of-service hole (a 12-wildcard Disallow measured 118s
+    against a 41-char path). Semantics: first segment is a required
+    prefix; with '$', the last segment is the required suffix (pinning
+    the suffix handles '/*.pdf$' vs '/a.pdfx.pdf', where a naive
+    first-occurrence scan of '.pdf' lands on the wrong one); middle
+    segments greedily first-occurrence in between, which is complete
+    because matching a segment as early as possible only leaves more
+    room for the rest. Empty pattern matches nothing."""
     if not pattern:
         return False
     anchored = pattern.endswith("$")
     if anchored:
         pattern = pattern[:-1]
-    rx = ".*".join(re.escape(part) for part in pattern.split("*"))
-    return re.match(rx + ("$" if anchored else ""), path) is not None
+    segs = pattern.split("*")
+    if not path.startswith(segs[0]):
+        return False
+    if len(segs) == 1:
+        return path == segs[0] if anchored else True
+    pos = len(segs[0])
+    if anchored:
+        last = segs[-1]
+        end = len(path) - len(last)
+        if end < pos or not path.endswith(last):
+            return False
+        mid = segs[1:-1]
+    else:
+        mid = segs[1:]
+        end = len(path)
+    for seg in mid:
+        if not seg:
+            continue
+        j = path.find(seg, pos, end)
+        if j < 0:
+            return False
+        pos = j + len(seg)
+    return True
 
 
 def robots_allowed(robots_txt: str, user_agent: str, path: str) -> bool:
@@ -1063,10 +1090,17 @@ _SITEMAP_FIELDS = ("loc", "lastmod", "changefreq", "priority")
 def _xml_unescape(s: str) -> str:
     def sub(m: re.Match) -> str:
         e = m.group(1)
-        if e.startswith(("#x", "#X")):
-            return chr(int(e[2:], 16))
         if e.startswith("#"):
-            return chr(int(e[1:]))
+            cp = int(e[2:], 16) if e[1:2] in ("x", "X") else int(e[1:])
+            # XML 1.0 §2.2 forbids NUL, surrogates, and >U+10FFFF; a
+            # lone surrogate returned here would crash the whole Arrow
+            # batch later with UnicodeEncodeError — a non-ValueError
+            # death violating the module's refusal contract
+            if cp == 0 or cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+                raise ValueError(
+                    f"sitemap: invalid character reference &{e};"
+                )
+            return chr(cp)
         if e.lower() in _XML_ENTITIES:
             return _XML_ENTITIES[e.lower()]
         raise ValueError(f"sitemap: undefined XML entity &{e};")

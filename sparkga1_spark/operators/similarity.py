@@ -731,6 +731,11 @@ def mahalanobis_scores(
     mu, evals, comps = pca_components(df, vec_col=vec_col, k=10**9)
     lmax = max(evals) if evals else 0.0
     keep = [(v, c) for v, c in zip(evals, comps) if v > rel_eps * max(lmax, 1e-300)]
+    if not keep:
+        # a constant/rank-0 embedding column retains no components;
+        # np.array([]).T would otherwise yield shape-(0,) and the
+        # matmul dies with a raw numpy shape error instead of a refusal
+        raise ValueError("mahalanobis: covariance has no retained components")
     # whitening matrix W[:, j] = v_j / sqrt(lambda_j): m2 = ||(x-mu)W||².
     # One Arrow-batch matmul per partition beats r nested JVM HOF dot
     # products (r=64 inflates the codegen'd expression tree ~r·d wide;
@@ -748,6 +753,10 @@ def mahalanobis_scores(
 
     def score(batches):
         for pdf in batches:
+            if any(v is None for v in pdf[vec_col]):
+                # pca_components' partials filter None when fitting;
+                # scoring has no row to skip to — refuse cleanly
+                raise ValueError("mahalanobis: null embedding in score input")
             x = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )

@@ -270,3 +270,32 @@ def test_mahalanobis_matches_numpy_and_ranks_planted_outlier(spark):
     assert np.argmax(got) == 0
     l2 = ((Xf - mu) ** 2).sum(1)
     assert np.argmax(l2) != 0
+
+
+def test_mahalanobis_refusals(spark):
+    """r6 ADVICE (low): a constant (rank-0) embedding column retains no
+    components — must refuse with ValueError, not a numpy shape error;
+    a null embedding in the score input must also refuse cleanly (the
+    fit path filters None, scoring has no row to skip to)."""
+    import pytest as _pytest
+
+    from sparkga1_spark.operators.similarity import mahalanobis_scores
+
+    const = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="no retained components"):
+        mahalanobis_scores(const)
+
+    withnull = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0]),
+         (3, [2.0, -1.0]), (4, None)],
+        "vec_id long, embedding array<float>",
+    )
+    scored, _ = mahalanobis_scores(withnull)
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception) as ei:
+        scored.collect()
+    assert "null embedding" in str(ei.value)

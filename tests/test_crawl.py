@@ -449,3 +449,64 @@ def test_review3_image_pair_regressions():
     assert extract_image_pairs('<img src="/a.png" alt="x">', "")[0][
         "img_url"
     ] == "/a.png"
+
+
+def test_robots_matcher_linear_time_and_regex_equivalent():
+    """r6 ADVICE (high): the old backtracking-regex matcher was a DoS
+    hole — robots.txt is remote attacker-controlled, and a 12-wildcard
+    Disallow measured 118s against a 41-char path. The linear matcher
+    must (1) finish the pathological case instantly and (2) agree with
+    a regex reference on an exhaustive small pattern/path grid."""
+    import itertools
+    import re as _re
+    import time as _time
+
+    from sparkga1_spark.operators.crawl import _robots_pattern_match
+
+    hostile = "/" + "a*" * 12 + "b"
+    path = "/" + "a" * 40
+    t0 = _time.time()
+    assert _robots_pattern_match(hostile, path) is False
+    assert _robots_pattern_match(hostile + "$", path) is False
+    # 118s before the fix; linear matcher is microseconds — 1s is slack
+    assert _time.time() - t0 < 1.0
+
+    def ref(pattern: str, p: str) -> bool:
+        if not pattern:
+            return False
+        anchored = pattern.endswith("$")
+        if anchored:
+            pattern = pattern[:-1]
+        rx = ".*".join(_re.escape(s) for s in pattern.split("*"))
+        return _re.match(rx + ("$" if anchored else ""), p) is not None
+
+    alphabet = "ab*"
+    pats = [
+        "".join(t) + anchor
+        for n in range(0, 5)
+        for t in itertools.product(alphabet, repeat=n)
+        for anchor in ("", "$")
+    ]
+    paths = ["".join(t) for n in range(0, 5)
+             for t in itertools.product("ab", repeat=n)]
+    for pat in pats:
+        for p in paths:
+            assert _robots_pattern_match(pat, p) == ref(pat, p), (pat, p)
+
+
+def test_sitemap_invalid_charref_refuses():
+    """r6 ADVICE (medium): a sitemap loc with &#xD800; must refuse with
+    ValueError, not produce a lone surrogate that later kills the Arrow
+    batch with UnicodeEncodeError (non-ValueError crash = contract
+    violation). Same for NUL and out-of-range references; valid
+    references still decode."""
+    from sparkga1_spark.operators.crawl import _xml_unescape, parse_sitemap
+
+    assert _xml_unescape("&#x48;&#105;&amp;") == "Hi&"
+    for bad in ("&#xD800;", "&#xDFFF;", "&#0;", "&#x110000;"):
+        with pytest.raises(ValueError, match="invalid character reference"):
+            _xml_unescape(bad)
+    with pytest.raises(ValueError, match="invalid character reference"):
+        parse_sitemap(
+            "<urlset><url><loc>https://h/&#xD800;</loc></url></urlset>"
+        )
