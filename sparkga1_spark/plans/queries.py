@@ -8334,9 +8334,13 @@ e0 AS MATERIALIZED (
 def _host_graph_edges(spark, sf_dir, *, weighted: bool = True):
     """Engine side of the canonical host graph (see _HOST_EDGES_SQL):
     directed weighted edges (src, dst, w). The node-space modulus is a
-    1-ROW count aggregate attached by broadcast cross-join (the
-    BNL-totals pattern — never a driver collect), so the whole
-    derivation stays one lazy plan and scales with the table.
+    1-ROW count aggregate MATERIALIZED ONCE at build time (r6 VERDICT
+    #4: attaching it lazily via crossJoin(broadcast(agg)) replicated
+    the count(lineitem) subtree into every downstream self-join —
+    x_graph_triangles carried 118 BroadcastNestedLoopJoins and would
+    re-execute the full scan that many times at 100 TB; a 1-row
+    .first() is a scalar pull, not a driver-side loop, and count(*)
+    runs exactly once).
 
     weighted=False returns the RAW draw stream (src, dst) without the
     co-occurrence groupBy — review-caught: the undirected consumers
@@ -8345,21 +8349,27 @@ def _host_graph_edges(spark, sf_dir, *, weighted: bool = True):
     full shuffle of the edge stream for nothing; only PageRank uses
     the weights."""
     li = load_table(spark, sf_dir, "lineitem")
-    m = li.agg(
+    m_val = li.agg(
         F.expr("greatest(CAST(1 AS BIGINT), count(*) div 10)").alias("m")
-    )
-    base = li.crossJoin(F.broadcast(m)).select(
-        ((F.col("l_orderkey") * 7919 + F.col("l_linenumber")) % F.col("m"))
+    ).first()["m"]
+    base = li.select(
+        ((F.col("l_orderkey") * 7919 + F.col("l_linenumber")) % F.lit(m_val))
         .cast("long")
         .alias("src"),
-        ((F.col("l_partkey") * 104729 + F.col("l_suppkey")) % F.col("m"))
+        ((F.col("l_partkey") * 104729 + F.col("l_suppkey")) % F.lit(m_val))
         .cast("long")
         .alias("dst"),
     )
-    ids = spark.range(25)
+    # clique overlay on nodes 0..24 as ONE Range + div/mod projection —
+    # the former Range×Range crossJoin was a (tiny, constant) BNL node
+    # that the persisted-edge subtree reprinted ~59x in every consumer
+    # plan, drowning the plan audit's BNL signal
     clique = (
-        ids.select(F.col("id").alias("src"))
-        .crossJoin(ids.select(F.col("id").alias("dst")))
+        spark.range(25 * 25)
+        .select(
+            F.expr("id div 25").alias("src"),
+            (F.col("id") % 25).alias("dst"),
+        )
         .filter(F.col("src") < F.col("dst"))
     )
     draws = base.unionByName(clique).filter(F.col("src") != F.col("dst"))
@@ -10678,7 +10688,7 @@ def x_rfm_segmentation(spark, sf_dir):
     deliberately NOT ntile, whose larger-buckets-first fill differs
     from the formula when n mod 4 ≠ 0). Monetary sums accumulate in
     DECIMAL and snap to cents before ranking; n and the corpus max
-    date attach as broadcast 1-row aggregates."""
+    date are scalars pulled once from the persisted base."""
     od = load_table(spark, sf_dir, "orders")
     base = od.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -10691,10 +10701,14 @@ def x_rfm_segmentation(spark, sf_dir):
         .alias("mon_cents"),
     )
     base = tracked_persist(base)
-    mx = base.agg(F.max("last_order").alias("corpus_max"))
-    n1 = base.agg(F.count("*").alias("n"))
-    withr = base.crossJoin(F.broadcast(mx)).withColumn(
-        "rec_days", F.datediff(F.col("corpus_max"), F.col("last_order"))
+    # r6 VERDICT #4: the lazy crossJoin(broadcast(agg)) form replicated
+    # the 1-row aggregate subtree into all three rank axes (9 BNL
+    # nodes); a single .first() scalar pull runs it once
+    corpus_max, n_val = base.agg(
+        F.max("last_order").alias("corpus_max"), F.count("*").alias("n")
+    ).first()
+    withr = base.withColumn(
+        "rec_days", F.datediff(F.lit(corpus_max), F.col("last_order"))
     )
 
     def axis(df, order_cols, out):
@@ -10703,9 +10717,9 @@ def x_rfm_segmentation(spark, sf_dir):
             order_cols=order_cols,
             rank_col="_rk",
         )
-        return ranked.crossJoin(F.broadcast(n1)).select(
+        return ranked.select(
             "o_custkey",
-            F.expr("((_rk - 1) * 4) div n + 1").alias(out),
+            F.expr(f"((_rk - 1) * 4) div {int(n_val)} + 1").alias(out),
         )
 
     r = axis(withr, [F.col("rec_days"), F.col("o_custkey")], "r_score")
@@ -11443,27 +11457,32 @@ def x_survival_km(spark, sf_dir):
         F.min(F.col("ts").cast("date")).alias("d0"),
         F.max("ts").alias("last_ts"),
     )
-    cut = ev.agg(F.max("ts").alias("mx"))
-    lf = pu.crossJoin(F.broadcast(cut)).select(
+    # r6 VERDICT #4: the corpus-max cut and the total row count were
+    # lazy crossJoin(broadcast(agg)) attaches, replicating the events
+    # scan into 16 BNL nodes across the three grouped_cumsum passes;
+    # both are 1-row scalars — pull each exactly once instead
+    mx_val = ev.agg(F.max("ts").alias("mx")).first()["mx"]
+    lf = pu.select(
         F.datediff(F.col("last_ts").cast("date"), F.col("d0")).alias("t_life"),
         F.when(
-            F.col("last_ts") < F.col("mx") - F.expr("INTERVAL 7 DAYS"), 1
+            F.col("last_ts") < F.lit(mx_val) - F.expr("INTERVAL 7 DAYS"), 1
         )
         .otherwise(0)
         .alias("ev"),
     )
-    g = lf.groupBy("t_life").agg(
+    g = tracked_persist(lf.groupBy("t_life").agg(
         F.sum("ev").alias("d"), F.sum(F.lit(1) - F.col("ev")).alias("c")
-    )
-    n = lf.agg(F.count("*").alias("total"))
+    ))
+    total_val = g.agg(F.sum(F.col("d") + F.col("c"))).first()[0]
     cs = windows_ops.grouped_cumsum(
         g,
         group_cols=[],
         order_cols=["t_life"],
         value_col=F.col("d") + F.col("c"),
         out_col="cum_dc",
-    ).crossJoin(F.broadcast(n)).withColumn(
-        "n_risk", F.col("total") - (F.col("cum_dc") - (F.col("d") + F.col("c")))
+    ).withColumn(
+        "n_risk",
+        F.lit(int(total_val)) - (F.col("cum_dc") - (F.col("d") + F.col("c"))),
     )
     tm = cs.select(
         "t_life",
