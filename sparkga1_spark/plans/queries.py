@@ -3684,7 +3684,11 @@ def _bpe_cte_chain(rounds: int) -> str:
     vocabulary word `w` through every s{r} so both the trainer oracle
     (reads m{r}) and the encoder oracle (reads s{rounds}) derive from
     ONE chain. Built by a loop so the SQL cannot drift from the round
-    count the Spark side runs."""
+    count the Spark side runs. Merge application mirrors the engine's
+    BOUNDARY-SAFE wrapped replace (operators/tokenizer.py r7): each
+    symbol is wrapped in chr(31) before the substring replace so
+    'h e' can never match inside 'th e' — the plain space-joined
+    replace both sides previously ran shared that false-match."""
     parts = [
         """WITH wf AS (
   SELECT w, CAST(count(*) AS BIGINT) AS f
@@ -3705,7 +3709,15 @@ p{r} AS (
 ),
 m{r} AS (SELECT {r} AS rnd, pr, replace(pr, ' ', '') AS merged, cnt
          FROM p{r} ORDER BY cnt DESC, pr LIMIT 1),
-s{r} AS (SELECT w, replace(s, (SELECT pr FROM m{r}), (SELECT merged FROM m{r})) AS s, f
+s{r} AS (SELECT w,
+  trim(replace(
+    replace(
+      chr(31) || replace(s, ' ', chr(31) || chr(31)) || chr(31),
+      (SELECT chr(31) || replace(pr, ' ', chr(31) || chr(31)) || chr(31)
+       FROM m{r}),
+      (SELECT chr(31) || merged || chr(31) FROM m{r})
+    ),
+    chr(31) || chr(31), ' '), chr(31)) AS s, f
          FROM s{r - 1})"""
         )
     return "".join(parts)

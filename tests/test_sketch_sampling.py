@@ -120,11 +120,48 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     assert heavy >= 40, f"only {heavy}/50 heavy rows sampled"
 
 
+def _ref_merge(sym, a, b, merged):
+    """True BPE merge on the TOKEN LIST (left-to-right non-overlapping)
+    — not a substring replace, which can false-match across symbol
+    boundaries once merges create multi-char symbols."""
+    out, i = [], 0
+    while i < len(sym):
+        if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return out
+
+
+def _ref_bpe(vocab, rounds):
+    """Pure-Python reference trainer over token lists; returns (merges,
+    final word→token-list segmentation)."""
+    words = {w: (list(w), f) for w, f in vocab}
+    merges = []
+    for rnd in range(1, rounds + 1):
+        pc: dict[str, int] = {}
+        for sym, f in words.values():
+            for i in range(len(sym) - 1):
+                pr = sym[i] + " " + sym[i + 1]
+                pc[pr] = pc.get(pr, 0) + f
+        if not pc:
+            break
+        pair = min(pc, key=lambda p: (-pc[p], p))
+        a, b = pair.split(" ")
+        merged = a + b
+        merges.append((rnd, pair, merged, pc[pair]))
+        words = {w: (_ref_merge(sym, a, b, merged), f)
+                 for w, (sym, f) in words.items()}
+    return merges, {w: sym for w, (sym, f) in words.items()}
+
+
 def test_bpe_trainer_matches_pure_python(spark):
     """bpe_train_merges must learn exactly the merges a from-scratch
     pure-Python BPE (count overlapping adjacent pairs weighted by word
     freq; argmax by count desc then pair asc; left-to-right
-    non-overlapping replace) learns on the same vocabulary."""
+    non-overlapping TOKEN-LIST merge) learns on the same vocabulary."""
     from sparkga1_spark.operators.tokenizer import bpe_train_merges
 
     vocab = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3), ("a", 1)]
@@ -133,23 +170,91 @@ def test_bpe_trainer_matches_pure_python(spark):
         (r.rnd, r.pair, r.merged, r.wcount)
         for r in bpe_train_merges(spark, wf, rounds=6).collect()
     ]
-
-    words = {" ".join(w): f for w, f in vocab}
-    expect = []
-    for rnd in range(1, 7):
-        pc: dict[str, int] = {}
-        for s, f in words.items():
-            sym = s.split(" ")
-            for i in range(len(sym) - 1):
-                pr = sym[i] + " " + sym[i + 1]
-                pc[pr] = pc.get(pr, 0) + f
-        if not pc:
-            break
-        pair = min(pc, key=lambda p: (-pc[p], p))
-        merged = pair.replace(" ", "")
-        expect.append((rnd, pair, merged, pc[pair]))
-        words = {s.replace(pair, merged): f for s, f in words.items()}
+    expect, _ = _ref_bpe(vocab, 6)
     assert got == expect
+
+
+def test_bpe_merge_is_boundary_safe(spark):
+    """r7 fidelity fix: after round 1 merges 't h'->'th', the word
+    'the' is segmented ['th', 'e'] — the round-2 merge 'h e'->'he'
+    must NOT touch it (the token pair is ('th','e'), not ('h','e')).
+    The old substring replace turned 'th e' into 'the', a merge real
+    BPE never performs; its wcount for round 2 also overcounted.
+    Engine vs the token-list reference on a fixture built to trip
+    exactly that."""
+    from sparkga1_spark.operators.tokenizer import (
+        bpe_segment_vocab,
+        bpe_train_merges,
+    )
+
+    vocab = [("the", 5), ("th", 40), ("he", 30)]
+    wf = spark.createDataFrame(vocab, "w string, f long")
+    got = [
+        (r.rnd, r.pair, r.merged, r.wcount)
+        for r in bpe_train_merges(spark, wf, rounds=2).collect()
+    ]
+    expect, seg = _ref_bpe(vocab, 2)
+    assert expect == [(1, "t h", "th", 45), (2, "h e", "he", 30)]
+    assert got == expect
+    toks = {r.w: r.n_tok for r in
+            bpe_segment_vocab(spark, wf, rounds=2).collect()}
+    assert seg["the"] == ["th", "e"]
+    assert toks == {"the": 2, "th": 1, "he": 1}
+
+
+def test_bpe_rejects_delimiter_bearing_words(spark):
+    """Words containing the \x1f wrapping delimiter would break the
+    boundary invariant — the trainer must refuse, not mis-segment."""
+    import pytest as _pytest
+
+    from sparkga1_spark.operators.tokenizer import bpe_train_merges
+
+    wf = spark.createDataFrame([("a\x1fb", 3)], "w string, f long")
+    with _pytest.raises(Exception, match="delimiter"):
+        bpe_train_merges(spark, wf, rounds=1).collect()
+
+
+def test_bpe_batched_agrees_with_sequential(spark):
+    """r6 VERDICT #5: the batched trainer. m=1 must EQUAL the
+    sequential trainer merge-for-merge on the classic fixture; with
+    symbol-disjoint dominant pairs, batched(m=3, 1 round) must learn
+    the same merge set (same wcounts) sequential learns in 3 rounds;
+    overlapping candidates are skipped within a round, not misapplied."""
+    from sparkga1_spark.operators.tokenizer import (
+        bpe_train_merges,
+        bpe_train_merges_batched,
+    )
+
+    vocab = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3), ("a", 1)]
+    wf = spark.createDataFrame(vocab, "w string, f long")
+    seq = [
+        (r.rnd, r.pair, r.merged, r.wcount)
+        for r in bpe_train_merges(spark, wf, rounds=6).collect()
+    ]
+    b1 = [
+        (r.rnd, r.pair, r.merged, r.wcount)
+        for r in bpe_train_merges_batched(spark, wf, rounds=6, m=1).collect()
+    ]
+    assert b1 == seq and all(r.k == 1 for r in
+                             bpe_train_merges_batched(spark, wf, rounds=2,
+                                                      m=1).collect())
+
+    dis = [("ab", 100), ("cd", 90), ("ef", 80), ("gh", 5)]
+    wfd = spark.createDataFrame(dis, "w string, f long")
+    seq3 = {(r.pair, r.merged, r.wcount)
+            for r in bpe_train_merges(spark, wfd, rounds=3).collect()}
+    bat = bpe_train_merges_batched(spark, wfd, rounds=1, m=3).collect()
+    assert {(r.pair, r.merged, r.wcount) for r in bat} == seq3
+    assert [(r.rnd, r.k) for r in sorted(bat, key=lambda r: r.k)] == [
+        (1, 1), (1, 2), (1, 3)
+    ]
+
+    ov = spark.createDataFrame([("abc", 10)], "w string, f long")
+    got = bpe_train_merges_batched(spark, ov, rounds=2, m=2).collect()
+    assert [(r.rnd, r.k, r.pair, r.merged, r.wcount) for r in got] == [
+        (1, 1, "a b", "ab", 10),
+        (2, 1, "ab c", "abc", 10),
+    ]
 
 
 def test_bpe_encoder_matches_pure_python(spark):
@@ -163,22 +268,8 @@ def test_bpe_encoder_matches_pure_python(spark):
     wf = spark.createDataFrame(vocab, "w string, f long")
     got = {r.w: r.n_tok for r in bpe_segment_vocab(spark, wf, rounds=6).collect()}
 
-    words = {w: " ".join(w) for w, _ in vocab}
-    pcsrc = {" ".join(w): f for w, f in vocab}
-    for _ in range(6):
-        pc: dict[str, int] = {}
-        for s, f in pcsrc.items():
-            sym = s.split(" ")
-            for i in range(len(sym) - 1):
-                pr = sym[i] + " " + sym[i + 1]
-                pc[pr] = pc.get(pr, 0) + f
-        if not pc:
-            break
-        pair = min(pc, key=lambda p: (-pc[p], p))
-        merged = pair.replace(" ", "")
-        pcsrc = {s.replace(pair, merged): f for s, f in pcsrc.items()}
-        words = {w: s.replace(pair, merged) for w, s in words.items()}
-    expect = {w: len(s.split(" ")) for w, s in words.items()}
+    _, seg = _ref_bpe(vocab, 6)
+    expect = {w: len(sym) for w, sym in seg.items()}
     assert got == expect
     assert got["a"] == 1  # single char: never merged, one token
 
