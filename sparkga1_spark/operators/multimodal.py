@@ -12,13 +12,17 @@ sample math), YUV4MPEG2 video, and PNG (chunk walk with CRC checks,
 stdlib-zlib inflate, all five scanline unfilters, sequential AND Adam7
 interlaced). Compressed formats with pure-Python-feasible codecs
 decode FOR REAL too: QOI, GIF (LZW, both row layouts incl. four-pass
-interlace), PCX (RLE), G.711 µ-law/A-law + IMA ADPCM audio, and baseline JPEG
-(full Huffman entropy decode + IDCT — see the T.81 section). The
-residue — video (MP4) and non-baseline JPEG — tries the library
-(PIL / soundfile / av) behind an import-guard; absent that it uses a
-clearly-marked DETERMINISTIC FAKE derived from the payload's md5, so
-pipelines stay testable end-to-end and oracle-checkable. Swapping in
-a codec library changes no schema and no plan shape.
+interlace), PCX (RLE), G.711 µ-law/A-law + IMA ADPCM audio, baseline JPEG
+(full Huffman entropy decode + IDCT — see the T.81 section), and
+lossless WebP/VP8L (canonical Huffman + LZ77 + color cache +
+subtract-green; documented refusals for the plane-code table,
+predictor/color/indexing transforms, and meta-Huffman groups — see
+the VP8L section). The residue — video (MP4), lossy VP8, and
+non-baseline JPEG — tries the library (PIL / soundfile / av) behind
+an import-guard; absent that it uses a clearly-marked DETERMINISTIC
+FAKE derived from the payload's md5, so pipelines stay testable
+end-to-end and oracle-checkable. Swapping in a codec library changes
+no schema and no plan shape.
 
 Scale notes: binary payloads ride the scan/shuffle as plain columns —
 size the partitions with spark.sql.files.maxPartitionBytes; transforms
@@ -786,6 +790,9 @@ def _decode_image_meta(data: bytes) -> tuple[int, int, int, str]:
         if data[:4] in TIFF_MAGICS:
             w, h, c = parse_tiff_meta(data)  # real IFD walk, both endians
             return w, h, c, "TIFF"
+        if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+            w, h, alpha, _variant = parse_webp_meta(data)  # real chunk walk
+            return w, h, 4 if alpha else 3, "WEBP"
     except ValueError:
         pass  # malformed header — fall through like any undecodable blob
     try:  # pragma: no cover - PIL absent in this environment
@@ -916,6 +923,10 @@ def _decode_image_pixels(data: bytes):
             return parse_jpeg(data)[2]
         if data[:4] in TIFF_MAGICS:
             return parse_tiff(data)[2]
+        if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+            # real VP8L decode; lossy VP8 raises and keeps the
+            # documented fake path
+            return parse_webp_pixels(data)[2]
     except ValueError:
         pass
     try:  # pragma: no cover - PIL absent in this environment
@@ -4938,9 +4949,10 @@ def plant_tiff_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
 # WebP (RIFF container; VP8L/VP8/VP8X headers per Google's public
 # container + RFC 6386 specs). Metadata is REAL — dims come from the
 # actual bitstream headers, including the VP8 lossy keyframe start
-# code and the VP8L 14-bit packed fields. Pixel decode is honestly
-# unclaimed (VP8 entropy coding / VP8L Huffman+LZ77 need a codec) —
-# the same meta/decode split as MP4/H.264 and MP3.
+# code and the VP8L 14-bit packed fields. VP8L PIXEL decode is real
+# as of r7 (see the VP8L section at the end of this module); lossy
+# VP8 pixel decode remains honestly unclaimed (RFC 6386 boolean
+# arithmetic coding needs a codec) — the MP4/H.264 split.
 # --------------------------------------------------------------------------
 
 WEBP_VP8L_SIG = 0x2F
@@ -5088,3 +5100,587 @@ def decode_webp_meta(df: DataFrame, *, payload_col: str = "payload") -> DataFram
             )
 
     return df.mapInPandas(run, schema=WEBP_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# VP8L — WebP LOSSLESS pixel decode (r7): the fourth real compressed
+# image family after DEFLATE (PNG), byte-delta (QOI), and LZW (GIF) —
+# canonical-Huffman entropy coding with an LZ77 backreference layer
+# over ARGB pixels plus a hashed color cache, per Google's public
+# "WebP Lossless Bitstream Specification".
+#
+# Scope (documented subset, ValueError on everything outside it — the
+# honesty-ledger convention):
+#   REAL: header, simple AND normal Huffman codes (full code-length
+#   code with the 19-symbol order table, zero-RLE 17/18, repeat-16,
+#   max_symbol budget), the 5-tree group (green+length+cache, red,
+#   blue, alpha, distance), LZ77 prefix-coded lengths/distances with
+#   direct distances (dist_code > 120), color cache (0x1e35a7bd
+#   multiplicative hash), and the SUBTRACT_GREEN transform.
+#   REFUSED (ValueError, never guessed): the 120-entry near-distance
+#   plane-code map, PREDICTOR / COLOR_TRANSFORM / COLOR_INDEXING
+#   transforms, and meta-Huffman groups — each is normative spec
+#   table/algorithm data a from-memory implementation could silently
+#   get wrong; refusing keeps the ValueError-only contract and the
+#   fake/real boundary honest. The in-repo encoder never emits them.
+#
+# Encoder and decoder share only the bit-order and canonical-code
+# conventions; tests/test_multimodal_bytes.py carries a STRICT
+# independently-written reference decoder (the QOI lesson:
+# roundtrip-consistency alone hides spec deviations).
+# --------------------------------------------------------------------------
+
+# kCodeLengthCodeOrder — the spec's fixed transmission order for the
+# 19 code-length-code lengths
+_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+_VP8L_HASH_MUL = 0x1E35A7BD
+
+
+class _Vp8lReader:
+    """LSB-first bit reader over bytes."""
+
+    def __init__(self, data: bytes, start: int = 0):
+        self.data = data
+        self.byte = start
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            if self.byte >= len(self.data):
+                raise ValueError("vp8l: bitstream truncated")
+            v |= ((self.data[self.byte] >> self.bit) & 1) << i
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+
+class _Vp8lWriter:
+    """LSB-first bit writer."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, n: int) -> None:
+        self.acc |= (value & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def put_code(self, code: int, length: int) -> None:
+        """Huffman codes transmit MSB-first (the first bit read walks
+        the root of the tree)."""
+        for i in range(length - 1, -1, -1):
+            self.put((code >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc, self.nbits = 0, 0
+        return bytes(self.out)
+
+
+def _vp8l_canonical(lengths: list[int]):
+    """code lengths → decode object (table, max_len, single): codes
+    assigned canonically (DEFLATE convention) in increasing (length,
+    symbol) order. Refuses over-subscribed, incomplete, and
+    single-symbol normal codes — the last is ambiguous bit-consumption
+    territory across implementations, and per the module's
+    refuse-don't-guess rule a spec-compliant encoder transmits a
+    1-symbol alphabet as a SIMPLE code (which consumes zero bits per
+    symbol)."""
+    nz = [(l, s) for s, l in enumerate(lengths) if l > 0]
+    if not nz:
+        raise ValueError("vp8l: empty huffman code")
+    if len(nz) == 1:
+        raise ValueError("vp8l: single-symbol normal code (use a simple code)")
+    max_len = max(l for l, _ in nz)
+    kraft = sum(1 << (max_len - l) for l, _ in nz)
+    if kraft != 1 << max_len:
+        raise ValueError("vp8l: invalid (incomplete/oversubscribed) huffman code")
+    bl_count = [0] * (max_len + 1)
+    for l, _ in nz:
+        bl_count[l] += 1
+    next_code = [0] * (max_len + 2)
+    code = 0
+    for l in range(1, max_len + 1):
+        code = (code + bl_count[l - 1]) << 1
+        next_code[l] = code
+    table = {}
+    for s, l in enumerate(lengths):
+        if l > 0:
+            table[(l, next_code[l])] = s
+            next_code[l] += 1
+    return table, max_len, None
+
+
+def _vp8l_read_symbol(br: _Vp8lReader, code_obj) -> int:
+    table, max_len, single = code_obj
+    if single is not None:
+        return single  # 1-symbol simple code: zero bits per symbol
+    code, length = 0, 0
+    while True:
+        code = (code << 1) | br.read(1)
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+        if length > max_len:
+            raise ValueError("vp8l: bad huffman code in stream")
+
+
+def _vp8l_read_code(br: _Vp8lReader, alphabet_size: int):
+    """One Huffman code: simple (1-2 symbols) or normal (code-length
+    coded)."""
+    if br.read(1):  # simple
+        nsym = br.read(1) + 1
+        s0 = br.read(8) if br.read(1) else br.read(1)
+        syms = [s0]
+        if nsym == 2:
+            syms.append(br.read(8))
+        if any(s >= alphabet_size for s in syms):
+            raise ValueError("vp8l: simple-code symbol out of range")
+        if nsym == 1:
+            return {}, 0, syms[0]
+        if syms[0] == syms[1]:
+            raise ValueError("vp8l: duplicate simple-code symbols")
+        return {(1, 0): syms[0], (1, 1): syms[1]}, 1, None
+    num_cl = 4 + br.read(4)
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_VP8L_CL_ORDER[i]] = br.read(3)
+    cl_table = _vp8l_canonical(cl_lengths)
+    if br.read(1):  # explicit max_symbol budget
+        length_nbits = 2 + 2 * br.read(3)
+        budget = 2 + br.read(length_nbits)
+    else:
+        budget = alphabet_size
+    lengths = [0] * alphabet_size
+    prev, i = 8, 0
+    while i < alphabet_size and budget > 0:
+        budget -= 1
+        sym = _vp8l_read_symbol(br, cl_table)
+        if sym < 16:
+            lengths[i] = sym
+            i += 1
+            if sym != 0:
+                prev = sym
+        elif sym == 16:
+            rep = 3 + br.read(2)
+            if i + rep > alphabet_size:
+                raise ValueError("vp8l: code-length repeat overruns alphabet")
+            for _ in range(rep):
+                lengths[i] = prev
+                i += 1
+        elif sym == 17:
+            i += 3 + br.read(3)
+        else:
+            i += 11 + br.read(7)
+        if i > alphabet_size:
+            raise ValueError("vp8l: code-length zero-run overruns alphabet")
+    return _vp8l_canonical(lengths)
+
+
+def _vp8l_prefix_read(code: int, br: _Vp8lReader) -> int:
+    """length/distance prefix decode: 0..3 → 1..4; above, extra bits."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _vp8l_prefix_code(value: int):
+    """inverse of _vp8l_prefix_read: value → (code, extra_bits, n_extra)."""
+    if value < 1:
+        raise ValueError("vp8l: prefix value must be >= 1")
+    if value <= 4:
+        return value - 1, 0, 0
+    x = value - 1
+    n = x.bit_length() - 1
+    second = (x >> (n - 1)) & 1
+    return 2 * n + second, x & ((1 << (n - 1)) - 1), n - 1
+
+
+def parse_vp8l(body: bytes):
+    """VP8L chunk payload → (width, height, alpha_used, argb list).
+    The real decode within the documented subset; everything else
+    refuses with ValueError."""
+    if len(body) < 5 or body[0] != WEBP_VP8L_SIG:
+        raise ValueError("vp8l: bad signature byte")
+    br = _Vp8lReader(body, start=1)
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    alpha_used = br.read(1)
+    if br.read(3) != 0:
+        raise ValueError("vp8l: unknown version")
+    transforms = []
+    while br.read(1):
+        t = br.read(2)
+        if t == 2:
+            if "subtract_green" in transforms:
+                raise ValueError("vp8l: duplicate subtract-green transform")
+            transforms.append("subtract_green")
+        else:
+            name = ("predictor", "color-transform", None, "color-indexing")[t]
+            raise ValueError(
+                f"vp8l: {name} transform not supported (documented subset)"
+            )
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("vp8l: color-cache bits out of range")
+    if br.read(1):
+        raise ValueError("vp8l: meta-huffman groups not supported (documented subset)")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    trees = [
+        _vp8l_read_code(br, 256 + 24 + cache_size),
+        _vp8l_read_code(br, 256),
+        _vp8l_read_code(br, 256),
+        _vp8l_read_code(br, 256),
+        _vp8l_read_code(br, 40),
+    ]
+    n = w * h
+    out = [0] * n
+    cache = [0] * cache_size
+    shift = 32 - cache_bits if cache_bits else 0
+
+    def insert(argb: int) -> None:
+        cache[(_VP8L_HASH_MUL * argb & 0xFFFFFFFF) >> shift] = argb
+
+    pos = 0
+    while pos < n:
+        g = _vp8l_read_symbol(br, trees[0])
+        if g < 256:
+            r = _vp8l_read_symbol(br, trees[1])
+            b = _vp8l_read_symbol(br, trees[2])
+            a = _vp8l_read_symbol(br, trees[3])
+            px = (a << 24) | (r << 16) | (g << 8) | b
+            out[pos] = px
+            pos += 1
+            if cache_size:
+                insert(px)
+        elif g < 280:
+            length = _vp8l_prefix_read(g - 256, br)
+            dist_code = _vp8l_prefix_read(_vp8l_read_symbol(br, trees[4]), br)
+            if dist_code <= 120:
+                raise ValueError(
+                    "vp8l: near-distance plane codes not supported (documented subset)"
+                )
+            dist = dist_code - 120
+            if dist > pos:
+                raise ValueError("vp8l: backreference before start of image")
+            if pos + length > n:
+                raise ValueError("vp8l: backreference overruns image")
+            for _ in range(length):
+                px = out[pos - dist]
+                out[pos] = px
+                pos += 1
+                if cache_size:
+                    insert(px)
+        else:
+            idx = g - 280
+            if idx >= cache_size:
+                raise ValueError("vp8l: color-cache index out of range")
+            out[pos] = cache[idx]
+            pos += 1
+    if "subtract_green" in transforms:
+        for i in range(n):
+            px = out[i]
+            gch = (px >> 8) & 0xFF
+            r = ((px >> 16) + gch) & 0xFF
+            b = (px + gch) & 0xFF
+            out[i] = (px & 0xFF00FF00) | (r << 16) | b
+    return w, h, bool(alpha_used), out
+
+
+def parse_webp_pixels(data: bytes):
+    """WebP container → (w, h, HxWxC uint8 array) when a VP8L chunk is
+    present (C = 4 when the header declares alpha, else 3). Lossy VP8
+    refuses (its entropy decode is honestly unclaimed)."""
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("webp: bad container magic")
+    (riff_len,) = struct.unpack("<I", data[4:8])
+    pos, end = 12, min(8 + riff_len, len(data))
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + clen]
+        if fourcc == b"VP8L" and len(body) == clen:
+            w, h, alpha, argb = parse_vp8l(body)
+            arr = np.array(argb, dtype=np.uint32).reshape(h, w)
+            chans = [
+                (arr >> 16) & 0xFF,  # R
+                (arr >> 8) & 0xFF,   # G
+                arr & 0xFF,          # B
+            ]
+            if alpha:
+                chans.append((arr >> 24) & 0xFF)
+            return w, h, np.stack(chans, axis=-1).astype(np.uint8)
+        pos += 8 + clen + (clen % 2)
+    raise ValueError("webp: no VP8L chunk (lossy VP8 pixel decode unclaimed)")
+
+
+def _vp8l_huffman_lengths(freqs: dict[int, int], cap: int) -> dict[int, int]:
+    """frequencies → code lengths ≤ cap via standard Huffman; if the
+    tree gets too deep, flatten frequencies and retry (fixture images
+    are tiny — the retry loop converges immediately)."""
+    import heapq
+    import itertools
+
+    if not freqs:
+        raise ValueError("vp8l: empty histogram")
+    if len(freqs) == 1:
+        return {next(iter(freqs)): 1}
+    f = dict(freqs)
+    while True:
+        counter = itertools.count()
+        heap = [(fr, next(counter), {s: 0}) for s, fr in sorted(f.items())]
+        heapq.heapify(heap)
+        while len(heap) > 1:
+            fa, _, da = heapq.heappop(heap)
+            fb, _, db = heapq.heappop(heap)
+            merged = {s: l + 1 for s, l in da.items()}
+            merged.update({s: l + 1 for s, l in db.items()})
+            heapq.heappush(heap, (fa + fb, next(counter), merged))
+        lengths = heap[0][2]
+        if max(lengths.values()) <= cap:
+            return lengths
+        f = {s: (fr + 1) >> 1 for s, fr in f.items()}
+
+
+def _vp8l_canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length), canonical assignment (must mirror
+    _vp8l_canonical exactly)."""
+    max_len = max(lengths.values())
+    bl_count = [0] * (max_len + 1)
+    for l in lengths.values():
+        bl_count[l] += 1
+    next_code = [0] * (max_len + 1)
+    code = 0
+    for l in range(1, max_len + 1):
+        code = (code + bl_count[l - 1]) << 1
+        next_code[l] = code
+    out = {}
+    for s in sorted(lengths):
+        l = lengths[s]
+        out[s] = (next_code[l], l)
+        next_code[l] += 1
+    return out
+
+
+def _vp8l_write_code(bw: _Vp8lWriter, freqs: dict[int, int], alphabet_size: int):
+    """Emit one Huffman code definition; returns symbol → (code, len)
+    for the payload emission. Simple codes when ≤ 2 used symbols all
+    < 256; else a normal code-length-coded definition with zero-RLE."""
+    used = sorted(freqs)
+    if not used:
+        used, freqs = [0], {0: 1}
+    if len(used) <= 2 and used[-1] < 256:
+        bw.put(1, 1)  # simple
+        bw.put(len(used) - 1, 1)
+        if used[0] < 2:
+            bw.put(0, 1)
+            bw.put(used[0], 1)
+        else:
+            bw.put(1, 1)
+            bw.put(used[0], 8)
+        if len(used) == 1:
+            return {used[0]: (0, 0)}
+        bw.put(used[1], 8)
+        return {used[0]: (0, 1), used[1]: (1, 1)}
+    bw.put(0, 1)  # normal
+    lengths = _vp8l_huffman_lengths(freqs, 15)
+    # code-length sequence with zero-RLE (17: 3-10 zeros, 18: 11-138)
+    seq: list[tuple[int, int, int]] = []
+    i = 0
+    while i < alphabet_size:
+        if lengths.get(i, 0) == 0:
+            j = i
+            while j < alphabet_size and lengths.get(j, 0) == 0:
+                j += 1
+            run = j - i
+            while run >= 11:
+                r = min(run, 138)
+                seq.append((18, r - 11, 7))
+                run -= r
+            if run >= 3:
+                seq.append((17, run - 3, 3))
+                run = 0
+            seq.extend((0, 0, 0) for _ in range(run))
+            i = j
+        else:
+            seq.append((lengths[i], 0, 0))
+            i += 1
+    cl_freqs: dict[int, int] = {}
+    for s, _, _ in seq:
+        cl_freqs[s] = cl_freqs.get(s, 0) + 1
+    cl_lengths = _vp8l_huffman_lengths(cl_freqs, 7)
+    if len(cl_lengths) == 1:
+        # pad to a complete 2-symbol code so decoder-side single-symbol
+        # bit-consumption conventions never matter
+        only = next(iter(cl_lengths))
+        cl_lengths = {only: 1, (only + 1) % 16 if only != 15 else 14: 1}
+    cl_codes = _vp8l_canonical_codes(cl_lengths)
+    bw.put(19 - 4, 4)  # num_code_lengths = 19: transmit all slots
+    for sym in _VP8L_CL_ORDER:
+        bw.put(cl_lengths.get(sym, 0), 3)
+    bw.put(0, 1)  # no explicit max_symbol budget
+    for s, extra, n_extra in seq:
+        code, ln = cl_codes[s]
+        bw.put_code(code, ln)
+        if n_extra:
+            bw.put(extra, n_extra)
+    return _vp8l_canonical_codes(lengths)
+
+
+def build_webp_lossless(px, *, cache_bits: int = 0) -> bytes:
+    """HxWx3 uint8 pixels → a real lossless WebP (VP8L in RIFF):
+    SUBTRACT_GREEN transform, optional color cache, run-length LZ77
+    backreferences (distance 1, emitted as direct dist_code 121), and
+    simple/normal Huffman codes as each tree's histogram warrants.
+    Alpha is constant 255 and alpha_is_used stays 0, so decoders
+    surface 3 channels."""
+    import numpy as np
+
+    arr = np.asarray(px, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("vp8l: encoder expects HxWx3 pixels")
+    h, w, _ = arr.shape
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError("webp: dims exceed 14-bit field")
+    if not 0 <= cache_bits <= 11:
+        raise ValueError("vp8l: color-cache bits out of range")
+    r = arr[:, :, 0].astype(np.int64)
+    g = arr[:, :, 1].astype(np.int64)
+    b = arr[:, :, 2].astype(np.int64)
+    # subtract-green (the decoder inverts it after pixel decode)
+    rs = (r - g) & 0xFF
+    bs = (b - g) & 0xFF
+    flat = ((0xFF << 24) | (rs << 16) | (g << 8) | bs).flatten().tolist()
+    n = len(flat)
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [0] * cache_size
+    shift = 32 - cache_bits if cache_bits else 0
+
+    def slot(argb: int) -> int:
+        return (_VP8L_HASH_MUL * argb & 0xFFFFFFFF) >> shift
+
+    tokens = []
+    gf: dict[int, int] = {}
+    rf: dict[int, int] = {}
+    bf: dict[int, int] = {}
+    af: dict[int, int] = {}
+    df_: dict[int, int] = {}
+
+    def bump(d: dict[int, int], k: int) -> None:
+        d[k] = d.get(k, 0) + 1
+
+    pos = 0
+    while pos < n:
+        if pos > 0 and flat[pos] == flat[pos - 1]:
+            run = 0
+            while pos + run < n and flat[pos + run] == flat[pos - 1] and run < 4096:
+                run += 1
+            if run >= 3:
+                code, extra, n_extra = _vp8l_prefix_code(run)
+                dcode, dextra, dn = _vp8l_prefix_code(121)  # dist 1 direct
+                tokens.append(("ref", code, extra, n_extra, dcode, dextra, dn))
+                bump(gf, 256 + code)
+                bump(df_, dcode)
+                if cache_size:
+                    for i in range(run):
+                        cache[slot(flat[pos + i])] = flat[pos + i]
+                pos += run
+                continue
+        v = flat[pos]
+        if cache_size and cache[slot(v)] == v:
+            idx = slot(v)
+            tokens.append(("cache", idx))
+            bump(gf, 280 + idx)
+            pos += 1
+            continue
+        tokens.append(("lit", v))
+        bump(gf, (v >> 8) & 0xFF)
+        bump(rf, (v >> 16) & 0xFF)
+        bump(bf, v & 0xFF)
+        bump(af, (v >> 24) & 0xFF)
+        if cache_size:
+            cache[slot(v)] = v
+        pos += 1
+
+    bw = _Vp8lWriter()
+    bw.put(w - 1, 14)
+    bw.put(h - 1, 14)
+    bw.put(0, 1)  # alpha_is_used
+    bw.put(0, 3)  # version
+    bw.put(1, 1)  # a transform follows
+    bw.put(2, 2)  # SUBTRACT_GREEN
+    bw.put(0, 1)  # no more transforms
+    if cache_bits:
+        bw.put(1, 1)
+        bw.put(cache_bits, 4)
+    else:
+        bw.put(0, 1)
+    bw.put(0, 1)  # no meta-huffman groups
+    gcodes = _vp8l_write_code(bw, gf, 256 + 24 + cache_size)
+    rcodes = _vp8l_write_code(bw, rf, 256)
+    bcodes = _vp8l_write_code(bw, bf, 256)
+    acodes = _vp8l_write_code(bw, af, 256)
+    dcodes = _vp8l_write_code(bw, df_, 40)
+    for tok in tokens:
+        if tok[0] == "lit":
+            v = tok[1]
+            bw.put_code(*gcodes[(v >> 8) & 0xFF])
+            bw.put_code(*rcodes[(v >> 16) & 0xFF])
+            bw.put_code(*bcodes[v & 0xFF])
+            bw.put_code(*acodes[(v >> 24) & 0xFF])
+        elif tok[0] == "ref":
+            _, code, extra, n_extra, dcode, dextra, dn = tok
+            bw.put_code(*gcodes[256 + code])
+            if n_extra:
+                bw.put(extra, n_extra)
+            bw.put_code(*dcodes[dcode])
+            if dn:
+                bw.put(dextra, dn)
+        else:
+            bw.put_code(*gcodes[280 + tok[1]])
+    body = bytes([WEBP_VP8L_SIG]) + bw.bytes()
+    chunk = _webp_chunk(b"VP8L", body)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def plant_webp_lossless_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(doc_id, text) → (doc_id, payload): a REAL lossless WebP per
+    document with closed-form dims (w = id%31+4, h = id%21+4) whose
+    pixels tile the UTF-8 text bytes (the QOI/GIF convention — natural
+    text produces runs for the LZ77 layer, repeats for the color
+    cache, and enough variety for normal Huffman codes). The color
+    cache toggles by parity (even ids: 6-bit cache) so both entropy
+    layouts carry driver-gate coverage."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text_val in zip(pdf["doc_id"], pdf[text_col]):
+                d = int(doc_id)
+                w, h = d % 31 + 4, d % 21 + 4
+                raw = (text_val or "").encode("utf-8") or b"\0"
+                px = np.resize(np.frombuffer(raw, np.uint8), (h, w, 3))
+                out.append(
+                    (doc_id,
+                     build_webp_lossless(px, cache_bits=6 if d % 2 == 0 else 0))
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")

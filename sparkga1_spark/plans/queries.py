@@ -2682,6 +2682,60 @@ def x_multimodal_webp_meta(spark, sf_dir):
 
 
 @query(
+    "x_multimodal_webp_decode",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         doc_id % 31 + 4 AS w, doc_id % 21 + 4 AS h,
+         octet_length(encode(text)) AS L,
+         [CAST(('0x' || substr(hex(encode(text)), 2*i-1, 2)) AS INTEGER)
+          for i in generate_series(1, octet_length(encode(text)))] AS bv
+  FROM documents
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       3 AS channels,
+       'WEBP' AS format,
+       -- lossless roundtrip => px_sum is the tiled text-byte sum;
+       -- L = 0 guard mirrors the planter's b'\\0' empty-text fallback
+       CAST(CASE WHEN L = 0 THEN 0
+            ELSE (w * h * 3 // L) * list_sum(bv)
+                 + coalesce(list_sum(bv[1:(w * h * 3) % L]), 0)
+            END AS BIGINT) AS px_sum
+FROM s
+""",
+)
+def x_multimodal_webp_decode(spark, sf_dir):
+    """Multimodal REAL compressed-image decode #7 — lossless WebP/VP8L
+    (Google's public WebP Lossless Bitstream Specification), the
+    fourth entropy-coding family after DEFLATE (PNG), byte-delta
+    (QOI), LZW (GIF), and Huffman+IDCT (JPEG): plant a real VP8L
+    image per document (pixels tile the UTF-8 text bytes; the color
+    cache toggles by doc parity so both entropy layouts carry a gate
+    row), then run the COMPLETE subset decode — RIFF walk, 14-bit
+    header, simple AND normal canonical Huffman codes (code-length
+    code with zero-RLE), the 5-tree group, LZ77 run backreferences
+    with prefix-coded lengths/direct distances, the 0x1e35a7bd color
+    cache, and the SUBTRACT_GREEN inverse — and emit pixel stats.
+    Outside-subset constructs (plane-code distance table, predictor /
+    color / indexing transforms, meta-Huffman groups) refuse with
+    ValueError rather than guess (operators/multimodal.py VP8L
+    section documents the boundary); the in-repo encoder never emits
+    them. A strict independently-written reference decoder pins the
+    bitstream conventions in tests/test_multimodal_bytes.py (the QOI
+    lesson: roundtrips alone hide spec deviations). Lossy VP8 pixel
+    decode remains honestly unclaimed."""
+    from sparkga1_spark.operators.multimodal import (
+        decode_image_stats,
+        plant_webp_lossless_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return decode_image_stats(plant_webp_lossless_payloads(docs))
+
+
+@query(
     "x_multimodal_tiff_decode",
     oracle="""
 WITH s AS (
