@@ -7889,6 +7889,218 @@ def x_incremental_dedup_bucketed(spark, sf_dir):
     )
 
 
+def _crawl_ingest_stream(spark, src_dir: str, admitted_path: str,
+                         ckpt: str, sf_dir: str) -> None:
+    """Drive the streaming leg of s_crawl_ingest_incremental: a
+    binaryFile stream over landed WARC files → strict 200-response
+    extraction → fetch-suffix canonicalization → the exactly-once
+    dedup ADMISSION gate against the standing bucketed index. Factored
+    out so the checkpoint-recovery pytest can run it in phases against
+    the same checkpoint."""
+    import hashlib as _hl
+
+    from sparkga1_spark.operators.crawl import warc_response_payloads
+    from sparkga1_spark.streaming.sinks import foreach_batch_dedup_admit
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    binary_schema = spark.read.format("binaryFile").load(src_dir).schema
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .option("pathGlobFilter", "*.warc*")
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+        .select(F.lit(-1).cast("long").alias("doc_id"),
+                F.col("content").alias("payload"))
+    )
+    docs = (
+        warc_response_payloads(stream)
+        .select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)/", 1)
+            .cast("long")
+            .alias("doc_id"),
+            # canonicalize the per-fetch suffix the planter appends —
+            # anchored, so a document legitimately ending in " r0"
+            # loses only the fetch copy of it
+            F.regexp_replace(F.decode("body", "utf-8"), " r0$", "")
+            .alias("text"),
+        )
+    )
+    sink = foreach_batch_dedup_admit(
+        admitted_path,
+        hash_table=f"dedup_hash_idx_{tag}",
+        band_table=f"dedup_band_idx_{tag}",
+    )
+    q = (
+        docs.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _plant_warc_chunk_files(spark, sf_dir: str, src_dir: str,
+                            n_files: int = 4) -> None:
+    """FIXTURE planter for the streaming ingest: the arriving batch
+    (doc_id ≡ 0 mod 3) written as n_files multi-document WARC files in
+    doc_id order — contiguous id chunks, ascending mtimes so the file
+    source's arrival order is deterministic, odd chunks gzip-per-record.
+    Driver-side file writes are planting only: a deployment's WARC
+    files already exist on object storage."""
+    import os as _os
+
+    from sparkga1_spark.operators.crawl import build_warc
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "source", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    _os.makedirs(src_dir, exist_ok=True)
+    per = max(1, -(-len(rows) // n_files))
+    for i in range(n_files):
+        chunk = rows[i * per : (i + 1) * per]
+        if not chunk:
+            break
+        blob = b"".join(
+            build_warc(r["doc_id"], r["source"], r["text"],
+                       gzip_members=i % 2 == 1)
+            for r in chunk
+        )
+        ext = ".warc.gz" if i % 2 == 1 else ".warc"
+        path = _os.path.join(src_dir, f"chunk-{i:03d}{ext}")
+        with open(path, "wb") as f:
+            f.write(blob)
+        _os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
+@query(
+    "s_crawl_ingest_incremental",
+    oracle=f"""
+WITH {LSH_PAIRS_WITH_SQL},
+bh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+  FROM documents
+),
+batchd AS (
+  SELECT doc_id, h,
+         CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS rn,
+         doc_id % 5 <> 0 AS ok
+  FROM bh WHERE doc_id % 3 = 0
+),
+per AS (SELECT CAST(ceil(count(*) / 4.0) AS BIGINT) AS p FROM batchd),
+chunks AS (SELECT doc_id, h, ok, rn // (SELECT p FROM per) AS ck FROM batchd),
+corp_h AS (SELECT h FROM bh WHERE doc_id % 3 <> 0),
+rel AS (SELECT id_a AS x, id_b AS y FROM lsh_pairs
+        UNION ALL SELECT id_b, id_a FROM lsh_pairs),
+corpnear AS (
+  SELECT DISTINCT x AS doc_id FROM rel WHERE y % 3 <> 0
+),
+rep0 AS (
+  SELECT h, min(doc_id) AS doc_id FROM chunks
+  WHERE ck = 0 AND ok GROUP BY h
+),
+adm0 AS (
+  SELECT doc_id, h FROM rep0
+  WHERE h NOT IN (SELECT h FROM corp_h)
+    AND doc_id NOT IN (SELECT doc_id FROM corpnear)
+),
+acc0 AS (SELECT * FROM adm0),
+rep1 AS (
+  SELECT h, min(doc_id) AS doc_id FROM chunks
+  WHERE ck = 1 AND ok GROUP BY h
+),
+adm1 AS (
+  SELECT doc_id, h FROM rep1
+  WHERE h NOT IN (SELECT h FROM corp_h)
+    AND doc_id NOT IN (SELECT doc_id FROM corpnear)
+    AND h NOT IN (SELECT h FROM acc0)
+    AND doc_id NOT IN (SELECT x FROM rel WHERE y IN (SELECT doc_id FROM acc0))
+),
+acc1 AS (SELECT * FROM adm1 UNION ALL SELECT * FROM acc0),
+rep2 AS (
+  SELECT h, min(doc_id) AS doc_id FROM chunks
+  WHERE ck = 2 AND ok GROUP BY h
+),
+adm2 AS (
+  SELECT doc_id, h FROM rep2
+  WHERE h NOT IN (SELECT h FROM corp_h)
+    AND doc_id NOT IN (SELECT doc_id FROM corpnear)
+    AND h NOT IN (SELECT h FROM acc1)
+    AND doc_id NOT IN (SELECT x FROM rel WHERE y IN (SELECT doc_id FROM acc1))
+),
+acc2 AS (SELECT * FROM adm2 UNION ALL SELECT * FROM acc1),
+rep3 AS (
+  SELECT h, min(doc_id) AS doc_id FROM chunks
+  WHERE ck = 3 AND ok GROUP BY h
+),
+adm3 AS (
+  SELECT doc_id, h FROM rep3
+  WHERE h NOT IN (SELECT h FROM corp_h)
+    AND doc_id NOT IN (SELECT doc_id FROM corpnear)
+    AND h NOT IN (SELECT h FROM acc2)
+    AND doc_id NOT IN (SELECT x FROM rel WHERE y IN (SELECT doc_id FROM acc2))
+),
+acc3 AS (SELECT * FROM adm3 UNION ALL SELECT * FROM acc2)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM acc3
+""",
+)
+def s_crawl_ingest_incremental(spark, sf_dir):
+    """The crawl ARRIVAL path end-to-end as a STREAM (r6 VERDICT #7 —
+    this composition was pytest-only): multi-document WARC files land
+    in a directory (odd chunks gzip-per-record), a binaryFile source
+    drains them one file per micro-batch (availableNow, so the run is
+    finite and deterministic), each batch runs the strict WARC parse →
+    HTTP-200 response extraction → fetch-suffix canonicalization, and
+    the documents pass through the exactly-once streaming dedup
+    ADMISSION gate (foreach_batch_dedup_admit) against the standing
+    BUCKETED corpus index — exact content-hash semi-join + LSH band
+    semi-join, plus this stream's own admission history, survivors
+    MERGEd under the ledger. Returns the admitted doc_ids. Arrival
+    set: doc_id ≡ 0 (mod 3) docs, minus ids ≡ 0 (mod 5) whose only
+    fetch is a 404 (the planter's status rotation) — a real ingest
+    drops failed fetches exactly like this. DETERMINISM: the file
+    split is 4 contiguous ascending-id chunks with pinned ascending
+    mtimes, so micro-batch order is the chunk order, and the oracle
+    UNROLLS the same four admission rounds as chained CTEs (the BPE
+    oracle pattern): per round, 404s drop, intra-batch exact
+    duplicates collapse to the lowest doc_id, and the representative
+    is rejected iff its hash matches the corpus index or any
+    earlier-round admission, or its LSH bands collide with the corpus
+    or any earlier-round admission — the cross-batch near-dup
+    rejection the fixture REALLY exercises (sf0.001 carries 3
+    arriving-vs-arriving near pairs; test_crawl_ingest_matches_oracle_
+    at_sf0001 pins the query against this oracle exactly where that
+    path is live). Same-round near pairs are both admitted, matching
+    the gate's documented intra-batch policy. Re-running the query in
+    a session is idempotent: the checkpoint says the files are
+    consumed and the ledger skips replayed batches, so the admitted
+    table is simply re-read. Checkpoint recovery is pinned by
+    test_crawl_ingest_stream_checkpoint_recovery (phase 1 drains two
+    files, phase 2 restarts on the same checkpoint with four)."""
+    import os as _os
+
+    base = f"/tmp/sparkga1_stream-{spark.sparkContext.applicationId}"
+    import hashlib as _hl
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    src_dir = f"{base}/{tag}/incoming"
+    admitted = f"{base}/{tag}/admitted"
+    ckpt = f"{base}/{tag}/ckpt"
+    # standing index first (also registers the catalog tables the gate
+    # reads); planting is skipped when the directory already exists —
+    # the stream is then a no-op on a consumed checkpoint (idempotent)
+    _standing_dedup_index(spark, sf_dir)
+    if not _os.path.isdir(src_dir):
+        _plant_warc_chunk_files(spark, sf_dir, src_dir)
+    _crawl_ingest_stream(spark, src_dir, admitted, ckpt, sf_dir)
+    return spark.read.parquet(admitted).select("doc_id")
+
+
 @query(
     "a_grouping_sets_revenue",
     oracle="""

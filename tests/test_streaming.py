@@ -1262,3 +1262,75 @@ def test_foreach_batch_dedup_admit_bucketed(spark, sf_dir, tmp_path):
     sink(replay, min(ledger))
     after = sorted(map(tuple, spark.read.parquet(admitted_path).collect()))
     assert after == before
+
+
+def test_crawl_ingest_matches_oracle_at_sf0001(spark):
+    """s_crawl_ingest_incremental vs its 4-round unrolled oracle at
+    sf0.001 — chosen because THIS fixture carries 3 arriving-vs-
+    arriving LSH near pairs, so the oracle's cross-batch near-dup
+    rejection rounds (the part the driver's sf0.01 gate may not
+    exercise) are live here. Full-precision value compare via the
+    driver-strength tools.check machinery."""
+    from tools.check import compare, duck_connection
+
+    from sparkga1_spark.plans.registry import all_oracles, all_queries
+
+    sf = "/root/testdata/sf0.001"
+    d = all_queries()["s_crawl_ingest_incremental"](spark, sf)
+    verdict = compare(
+        "s_crawl_ingest_incremental", d, duck_connection(sf),
+        all_oracles()["s_crawl_ingest_incremental"],
+    )
+    assert str(verdict).startswith("OK"), verdict
+
+
+def test_crawl_ingest_stream_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """s_crawl_ingest_incremental's streaming leg recovers from a
+    checkpoint: phase 1 drains the first two WARC chunk files
+    (availableNow terminates), phase 2 restarts on the SAME checkpoint
+    after two more files land — the final admitted table equals a
+    fresh single-pass run over all four files, and replayed batches
+    are visible in the ledger exactly once."""
+    import os
+    import shutil
+
+    from sparkga1_spark.plans.queries import (
+        _crawl_ingest_stream,
+        _plant_warc_chunk_files,
+        _standing_dedup_index,
+    )
+    from sparkga1_spark.streaming.sinks import committed_batches
+
+    _standing_dedup_index(spark, sf_dir)
+
+    full = str(tmp_path / "full_incoming")
+    _plant_warc_chunk_files(spark, sf_dir, full, n_files=4)
+    files = sorted(os.listdir(full))
+    assert len(files) == 4
+
+    # single-pass reference run
+    ref_admitted = str(tmp_path / "ref_admitted")
+    _crawl_ingest_stream(spark, full, ref_admitted,
+                         str(tmp_path / "ref_ckpt"), sf_dir)
+    want = sorted(
+        r.doc_id for r in spark.read.parquet(ref_admitted).collect()
+    )
+
+    # phased run: 2 files, stop, then all 4 on the same checkpoint
+    phased = str(tmp_path / "phased_incoming")
+    os.makedirs(phased)
+    for f in files[:2]:
+        shutil.copy2(os.path.join(full, f), os.path.join(phased, f))
+    adm = str(tmp_path / "phased_admitted")
+    ckpt = str(tmp_path / "phased_ckpt")
+    _crawl_ingest_stream(spark, phased, adm, ckpt, sf_dir)
+    mid = set(r.doc_id for r in spark.read.parquet(adm).collect())
+    assert mid and mid < set(want) or mid <= set(want)
+
+    for f in files[2:]:
+        shutil.copy2(os.path.join(full, f), os.path.join(phased, f))
+    _crawl_ingest_stream(spark, phased, adm, ckpt, sf_dir)
+    got = sorted(r.doc_id for r in spark.read.parquet(adm).collect())
+    assert got == want
+    ledger = committed_batches(adm)
+    assert len(ledger) >= 2  # batches from both phases, committed once
