@@ -12035,172 +12035,58 @@ def x_dedup_cluster_size_hist(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Gate priority (see registry.set_gate_order docstring). Round 6: the
-# driver records rows for the FIRST 50 queries() only, so front
-# (a0) the 4 queries NEW in session 3: x_multimodal_adpcm_features
-#     (stateful IMA ADPCM codec), x_multimodal_alaw_features (G.711
-#     A-law twin), x_bpe_encode_corpus (BPE encode side),
-#     x_text_nfc_clean (Unicode NFC hygiene) — these displace the last
-#     4 of the (c) rotation (x_ann_ivf_nprobe2, x_ann_ivf_topk,
-#     x_ann_lsh_buckets, x_multimodal_bmp_decode → r7; all carry r3 driver rows + this
-#     round's LOCAL_GATE evidence).
-# (a) the 5 queries NEW or RESULT-CHANGED this round:
-#     - 2 NEW: x_multimodal_qoi_decode (real QOI pixel decode),
-#       x_set_similarity_routed (threshold-routed similarity join,
-#       lsh_refine route at tau=2/5);
-#     - 3 RESULT-CHANGED by the sf-scaled host graph (r5 VERDICT #2 —
-#       node space now count div 10, so every rank/count/hop value
-#       changed): x_host_pagerank, x_graph_triangles, x_graph_bfs_hops.
-#     x_dedup_minhash_lsh / x_dedup_cc_clusters / x_dedup_keep_canonical
-#     changed PLAN only (shared memoized pair/label stage — results
-#     identical, r5 driver rows still certify values) and rotate on
-#     LOCAL_GATE + plan-audit evidence, the p2_skew_detect precedent.
-# (b) 10 of the 18 round-2-age queries (r5 VERDICT #1). Session 5's 11
-#     additions (Gini/Lorenz, Heaps growth, LOO target encoding,
-#     cluster-size histogram, CUSUM, Kaplan-Meier, k-means assign, kNN
-#     vote, A/B z-test, seasonality, readability) outrank stale-green
-#     rows — a NEVER-verified query is strictly worse evidence than an
-#     r2 driver row + three rounds of full-precision LOCAL_GATE green —
-#     so the 8 plan-guarded/simplest members of the 18 and the 3
-#     remaining round-3 TPC-H rotations move to the r7 front (named in
-#     the displaced comment below).
-# That is exactly 11 session-5 + 10 session-4 (JPEG, FLAC, incremental
-# x2, PSI, PCA, Mahalanobis, attribution x2, Benford) + 4 session-3 +
-# 15 session-2/1 + 10 round-2-age = 50.
+# Gate priority (see registry.set_gate_order docstring). Round 7 is the
+# DRAIN round (r6 VERDICT #1): registry growth is frozen — the only two
+# new registrations are verdict-demanded (x_multimodal_webp_decode from
+# task #6, s_crawl_ingest_incremental from task #7) — and the 50-row
+# driver window is spent entirely on converting local-gate-only
+# evidence back into external CORRECTNESS rows:
+# (a) the 14 queries with NO driver row ever: the 12 round-6
+#     squeeze-outs named in VERDICT "What's missing" #1 plus the two
+#     verdict-demanded round-7 additions;
+# (b) all 18 round-2-age queries (their rows are 5 rounds old — the
+#     oldest evidence in the registry);
+# (c) 18 of the 47 round-3-age queries, oldest-evidence-first picks
+#     named by the r6 gate-order comment as displaced: the ANN family
+#     (bruteforce/ivf x2/lsh) + x_multimodal_bmp_decode, the 12
+#     money-float TPC-H shapes holding r3 rows, and a_dedup_keep_best
+#     (also the drift-watch member — a fresh driver row doubles as the
+#     A/B cross-check).
+# 14 + 18 + 18 = 50. The 29 remaining r3-age rows (exact-percentile /
+# window / curation members) rotate to the r8 front; every one is
+# green in this round's full-precision LOCAL_GATE at driver strength.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
 
 set_gate_order([
-    # (a) new / result-changed this round. 62 queries are new or
-    # result-changed in round 6 — more than the 50-row driver window
-    # holds — so twelve sit first-out at 51-62 (LOCAL_GATE_r6 +
-    # corroborating in-window rows carry them; rationale at the
-    # tail). Session 7 first: the crawl-ingestion wave (WARC records,
-    # HTML extraction, PDF, MIME, page metadata, robots, charset),
-    # TIFF real decode, DSIR importance — never-verified and least
-    # corroborated by other rows.
-    "x_warc_records",
-    "x_html_extract_text",
-    "x_pdf_extract_text",
-    "x_mime_extract",
-    "x_html_page_meta",
-    "x_multimodal_tiff_decode",
-    "x_dsir_importance",
-    "x_robots_gate",
-    "x_charset_transcode",
-    "x_sitemap_frontier",
-    "x_image_text_pairs",
-    # session 6 (MJPEG AVI real video decode;
-    # x_multimodal_jpeg_decode's row below also changed values: color
-    # progressive rows now carry channels=3 and 3x px_sum), then
-    # session 5 (the analytics/ML-evaluation wave), session 4 (real
-    # baseline JPEG decode, real FLAC decode), session 3 (IMA ADPCM
-    # stateful codec, BPE encode, NFC text hygiene), session 2, and
-    # the session-1 new/graph set. x_magic_bytes_detect changed AGAIN
-    # in session 7 (8 → 10 formats: TIFF endian pair + WEBP as the
-    # third RIFF kind + the ID3-tagged MP3 slice).
-    "x_multimodal_mjpeg_frames",
-    "x_multimodal_mp4_meta",
-    "x_multimodal_mp3_meta",
-    "x_magic_bytes_detect",
-    "x_revenue_gini_lorenz",
-    "x_heaps_vocab_growth",
-    "x_target_encode_loo",
-    "x_dedup_cluster_size_hist",
-    "x_cusum_changepoint",
-    "x_survival_km",
-    "x_kmeans_assign_audit",
-    "x_knn_label_vote",
-    "x_ab_conversion_ztest",
-    "x_seasonality_dow",
-    "x_readability_flesch",
-    "x_multimodal_jpeg_decode",
-    "x_multimodal_flac_features",
-    "x_incremental_rollup_merge",
-    "x_incremental_distinct_hll",
-    "x_embedding_pca_audit",
-    "x_touch_attribution",
-    "x_benford_digit_audit",
-    "x_multimodal_adpcm_features",
-    "x_bpe_encode_corpus",
-    "x_text_nfc_clean",
-    "x_multimodal_gif_decode",
-    "x_bpe_train_merges",
-    "x_bigram_lm_logprob",
-    "x_dedup_containment",
-    "x_multimodal_pcx_decode",
-    "x_multimodal_ulaw_features",
-    "x_heavy_hitters_cms",
-    "x_stratified_sample_es",
-    "x_weighted_sample_es",
-    "x_hll_accuracy_audit",
-    "x_multimodal_qoi_decode",
-    "x_host_pagerank",
-    "x_graph_triangles",
-    "x_graph_bfs_hops",
-    # positions 51-60 — the ten new/changed rows the 50-cap squeezes
-    # out (60 new/changed this round), chosen for strongest OTHER
-    # evidence: x_multimodal_mp4_demux (its box walk is certified by
-    # the in-window x_multimodal_mp4_meta row; the sample slicing and
-    # multi-chunk refusal are pytest-pinned),
-    # x_html_link_graph (its tokenizer discipline is
-    # certified by the in-window x_html_extract_text row; the href
-    # extraction and RFC 3986 resolution forms are pytest-pinned),
-    # x_multimodal_mp3_tags (ID3 roundtrip/encoding/refusal
-    # pytests; its planter and tag-skip walk are certified by the
-    # in-window x_multimodal_mp3_meta row, and the tag-aware SNIFF
-    # path by the in-window 10-format sniffer row),
-    # x_incremental_dedup_bucketed (same oracle as the r5-gated
-    # x_incremental_dedup_triage — identical classification, different
-    # access path — plus the no-corpus-exchange plan pytest),
-    # x_multimodal_webp_meta (variant roundtrips + refusals
-    # pytest-pinned; its planter's magic certified by the in-window
-    # sniffer row), x_crawl_ingest_pipeline (a composition of the
-    # in-window x_warc_records / x_html_extract_text paths), and
-    # x_set_similarity_routed (route-agreement pytest + the r5 driver
-    # row on x_set_similarity_join, whose oracle both routes must
-    # equal), x_touch_attribution_decay (the decay-weighted variant of
-    # the in-window x_touch_attribution — same event scan, same window
-    # frame, only the position weights differ), and
-    # x_multimodal_alaw_features (G.711 sibling of the in-window
-    # ulaw row; the A-law segment expansion is pinned by published
-    # reference-vector pytests), and x_drift_psi (the PSI variant of
-    # the binned-drift shape whose chi-square sibling x_drift_chi2
-    # carries an r4 driver row), and x_embedding_mahalanobis_audit
-    # (it builds on the SAME whitening machinery as the in-window
-    # x_embedding_pca_audit row and carries its own invariant
-    # pytests). All twelve are green in this round's full-precision
-    # LOCAL_GATE at driver strength.
-    "x_multimodal_mp4_demux",
-    "x_drift_psi",
-    "x_embedding_mahalanobis_audit",
-    # x_web_corpus_pipeline: a composition of the in-window
-    # x_warc_records / x_html_extract_text paths plus the long-gated
-    # exact-dedup shape — the same rationale as x_crawl_ingest_pipeline
+    # (a) never-driver-verified. Round-7 additions first (newest
+    # evidence need), then the 12 round-6 squeeze-outs.
+    "s_crawl_ingest_incremental",
+    "x_multimodal_webp_decode",
+    "x_crawl_ingest_pipeline",
     "x_web_corpus_pipeline",
     "x_html_link_graph",
-    "x_multimodal_mp3_tags",
-    "x_incremental_dedup_bucketed",
-    "x_multimodal_webp_meta",
-    "x_crawl_ingest_pipeline",
     "x_set_similarity_routed",
-    "x_touch_attribution_decay",
+    "x_incremental_dedup_bucketed",
+    "x_multimodal_mp4_demux",
+    "x_multimodal_mp3_tags",
+    "x_multimodal_webp_meta",
     "x_multimodal_alaw_features",
-    # (b) round-2-age queries (r5 VERDICT #1). The session-5/6/7
-    # additions compress this block: every NEVER-verified query
-    # outranks a stale-but-green one (a query with no driver row at
-    # all is strictly worse evidence than an r2 row + three rounds of
-    # full-precision LOCAL_GATE green), so the simplest
-    # relational/window members — a_date_parts, a_minmax_by_bool,
-    # f_null_semantics, w_first_last_nth, w_rank_family — rotate to
-    # the r7 front on LOCAL_GATE evidence; a_cube_revenue,
-    # f_attrs_map_extract, x_datamix_split, x_embedding_quantize,
-    # x_fuzzy_levenshtein, x_json_props_extract, x_tfidf_top_terms,
-    # x_url_host_rollup, x_vector_stats_hof, and x_vocab_topk follow
-    # the three squeezed-out rows (never-verified beats stale-green).
+    "x_drift_psi",
+    "x_embedding_mahalanobis_audit",
+    "x_touch_attribution_decay",
+    # (b) the 18 round-2-age queries (rows from CORRECTNESS_r02)
     "a_cube_revenue",
+    "a_date_parts",
+    "a_minmax_by_bool",
     "f_attrs_map_extract",
+    "f_ignore_table_antijoin",
+    "f_null_semantics",
+    "o_topk_global_limit",
+    "w_first_last_nth",
+    "w_frame_lag_lead_range",
+    "w_rank_family",
     "x_datamix_split",
     "x_embedding_quantize",
     "x_fuzzy_levenshtein",
@@ -12209,18 +12095,25 @@ set_gate_order([
     "x_url_host_rollup",
     "x_vector_stats_hof",
     "x_vocab_topk",
-    # (displaced to r7 by the session-3/4/5 additions:
-    # a_date_parts, a_minmax_by_bool, f_null_semantics,
-    # w_first_last_nth, w_rank_family, w_frame_lag_lead_range,
-    # f_ignore_table_antijoin, o_topk_global_limit (r2 rows),
-    # tpch_q4_order_priority, tpch_q6_forecast_revenue,
-    # tpch_q8_market_share, tpch_q9_product_profit,
-    # tpch_q10_returned_items, tpch_q11_important_stock,
-    # tpch_q12_shipmode_priority,
-    # tpch_q13_customer_distribution, tpch_q14_promo_effect,
-    # tpch_q15_top_supplier, tpch_q16_supplier_parts,
-    # tpch_q21_waiting_supplier, x_ann_bruteforce_topk,
-    # x_ann_ivf_nprobe2, x_ann_ivf_topk, x_ann_lsh_buckets,
-    # x_multimodal_bmp_decode — all green in this round's
-    # full-precision LOCAL_GATE)
+    # (c) 18 round-3-age picks: the ANN family + bmp (displaced in r6),
+    # a_dedup_keep_best (drift-watch cross-check), and the 12 TPC-H
+    # money-float shapes still on r3 rows.
+    "x_ann_bruteforce_topk",
+    "x_ann_ivf_nprobe2",
+    "x_ann_ivf_topk",
+    "x_ann_lsh_buckets",
+    "x_multimodal_bmp_decode",
+    "a_dedup_keep_best",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_parts",
+    "tpch_q21_waiting_supplier",
 ])

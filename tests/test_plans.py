@@ -150,68 +150,36 @@ def test_gate_order_fronts_unproven_queries():
     qs = list(all_queries())
     first50 = set(qs[:50])
     must_have_row = {
-        # round-6 session-7 additions: WARC record parse, HTML
-        # extraction, PDF text extraction, TIFF real decode, DSIR
-        # importance weighting, robots.txt gating, charset
-        # transcoding. (x_multimodal_mp4_demux / x_html_link_graph /
-        # x_multimodal_mp3_tags / x_incremental_dedup_bucketed /
-        # x_multimodal_webp_meta / x_crawl_ingest_pipeline /
-        # x_set_similarity_routed / x_web_corpus_pipeline /
-        # x_touch_attribution_decay / x_multimodal_alaw_features sit
-        # first-out at 51-60 — the 50-cap holds 60 new/changed rows
-        # this round; those ten carry the strongest other evidence,
-        # see the gate-order comment.)
-        "x_warc_records", "x_html_extract_text", "x_pdf_extract_text",
-        "x_mime_extract", "x_html_page_meta",
-        "x_multimodal_tiff_decode", "x_dsir_importance",
-        "x_robots_gate", "x_charset_transcode", "x_sitemap_frontier",
-        "x_image_text_pairs",
-        # round-6 (a0): session-3 additions (alaw rotated to the
-        # squeeze-out block: G.711 sibling of the in-window ulaw row)
-        "x_multimodal_adpcm_features",
-        "x_bpe_encode_corpus", "x_text_nfc_clean",
-        # round-6 (a): new this round + the three graph queries whose
-        # results changed with the sf-scaled host graph. (The dedup
-        # family's shared-stage change is plan-only — r5 driver rows
-        # still certify values — and rotates on LOCAL_GATE evidence.)
-        # session-2 additions (GIF decode, CMS heavy hitters, A-ES
-        # weighted sample, HLL bound audit)
-        "x_multimodal_gif_decode", "x_heavy_hitters_cms",
-        "x_bpe_train_merges", "x_bigram_lm_logprob",
-        "x_dedup_containment", "x_multimodal_pcx_decode",
-        "x_multimodal_ulaw_features", "x_stratified_sample_es",
-        "x_weighted_sample_es", "x_hll_accuracy_audit",
-        "x_multimodal_qoi_decode",
-        "x_host_pagerank", "x_graph_triangles", "x_graph_bfs_hops",
-        # (the round-2-age a_cube_revenue / f_attrs_map_extract /
-        # x_datamix_split rotate to the r7 front: stale-green r2 rows
-        # are displaced by this round's never-verified additions)
-        # round-6 session-5 additions (analytics / ML-evaluation wave)
-        "x_revenue_gini_lorenz", "x_heaps_vocab_growth",
-        "x_target_encode_loo", "x_dedup_cluster_size_hist",
-        "x_cusum_changepoint",
-        "x_survival_km", "x_kmeans_assign_audit", "x_knn_label_vote",
-        "x_ab_conversion_ztest", "x_seasonality_dow",
-        "x_readability_flesch",
-        # round-6 session-6 additions: MJPEG-in-AVI real video decode,
-        # real ISO-BMFF (MP4) container metadata + sample demux, MP3
-        # frame-walk metadata, standing bucketed dedup index
-        "x_multimodal_mjpeg_frames", "x_multimodal_mp4_meta",
-        "x_multimodal_mp3_meta",
-        # result-changed this session: 8-format magic sniffing (RIFF
-        # family disambiguation, offset-4 ftyp)
-        "x_magic_bytes_detect",
-        # round-6 (a0') session-4 additions: real baseline JPEG decode,
-        # real FLAC decode, incremental state merge + HLL union
-        "x_multimodal_jpeg_decode", "x_multimodal_flac_features",
-        "x_incremental_rollup_merge", "x_incremental_distinct_hll",
-        "x_embedding_pca_audit",
-        "x_touch_attribution",
-        "x_benford_digit_audit",
-        # (tpch_q21_waiting_supplier / x_ann_bruteforce_topk /
-        # x_ann_ivf_nprobe2 / x_ann_ivf_topk / x_ann_lsh_buckets /
-        # x_multimodal_bmp_decode displaced to r7 by the session-3/4
-        # additions)
+        # round 7 is the DRAIN round (r6 VERDICT #1): the window is
+        # spent on queries with the weakest external evidence. (a) the
+        # 14 never-driver-verified queries — the two verdict-demanded
+        # round-7 additions plus the 12 round-6 squeeze-outs:
+        "s_crawl_ingest_incremental", "x_multimodal_webp_decode",
+        "x_crawl_ingest_pipeline", "x_web_corpus_pipeline",
+        "x_html_link_graph", "x_set_similarity_routed",
+        "x_incremental_dedup_bucketed", "x_multimodal_mp4_demux",
+        "x_multimodal_mp3_tags", "x_multimodal_webp_meta",
+        "x_multimodal_alaw_features", "x_drift_psi",
+        "x_embedding_mahalanobis_audit", "x_touch_attribution_decay",
+        # (b) all 18 round-2-age queries (5-round-old rows)
+        "a_cube_revenue", "a_date_parts", "a_minmax_by_bool",
+        "f_attrs_map_extract", "f_ignore_table_antijoin",
+        "f_null_semantics", "o_topk_global_limit", "w_first_last_nth",
+        "w_frame_lag_lead_range", "w_rank_family", "x_datamix_split",
+        "x_embedding_quantize", "x_fuzzy_levenshtein",
+        "x_json_props_extract", "x_tfidf_top_terms",
+        "x_url_host_rollup", "x_vector_stats_hof", "x_vocab_topk",
+        # (c) 18 round-3-age picks: the ANN family + bmp displaced in
+        # r6, the drift-watch dedup query, the 12 TPC-H money shapes
+        "x_ann_bruteforce_topk", "x_ann_ivf_nprobe2", "x_ann_ivf_topk",
+        "x_ann_lsh_buckets", "x_multimodal_bmp_decode",
+        "a_dedup_keep_best",
+        "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
+        "tpch_q8_market_share", "tpch_q9_product_profit",
+        "tpch_q10_returned_items", "tpch_q11_important_stock",
+        "tpch_q12_shipmode_priority", "tpch_q13_customer_distribution",
+        "tpch_q14_promo_effect", "tpch_q15_top_supplier",
+        "tpch_q16_supplier_parts", "tpch_q21_waiting_supplier",
     }
     missing = must_have_row - first50
     assert not missing, f"not in the driver's 50-query window: {missing}"
