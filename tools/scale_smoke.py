@@ -1,8 +1,9 @@
 """N× scale smoke for the heavy trio (r2 VERDICT #6).
 
 Replicates the base-SF big tables (lineitem, orders, documents) by a
-factor with DISTINCT key spaces — orderkeys shift by 10M per replica
-(order↔lineitem join integrity preserved), doc_ids shift by 10M, and
+factor with DISTINCT key spaces — ids shift by r·SHIFT + r²·SCATTER
+per replica (order↔lineitem join integrity preserved; see the SHIFT
+comment for why the scatter term matters), and
 document text gets a per-replica suffix so near-dup/dedup workloads
 keep realistic selectivity instead of exploding into cross-replica
 identical-text cliques. Small dims are copied as-is. Then times:
@@ -33,8 +34,31 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 TRIO = ["x_dedup_minhash_lsh", "o_global_sort_vcf", "x_curation_pipeline"]
-SHIFT = 10_000_000
+# QUADRATIC-SCATTER replica shift (r7). The old flat 10_000_000 stride
+# resonated with the host graph's node modulus m = count(lineitem)/10:
+# at 100x, m = 6M and 10M mod 6M = 4M, so all 100 replicas' orderkeys
+# collapsed onto THREE residue classes — the "100x graph" had 1.14M
+# nodes instead of ~6M, src nodes degraded to degree-1 pendants, and
+# BFS from node 0 reached 350 nodes. A prime stride (10_000_019) is
+# NOT enough: coprimality spreads the offsets' COUNT, not their
+# placement — 10_000_019 mod 6M = (2/3)·6M + 19, three tight clusters
+# with a ±19r drift, measured 773k of 6M src values. Any fixed stride
+# has some rational resonance with some m; the r²·SCATTER term breaks
+# arithmetic-progression structure mod EVERY m (measured 5,997,100 of
+# 6M distinct src at 100x, 599,914 of 600k at 10x). shift(r) is
+# strictly increasing with inter-replica gaps > 10M > every base id
+# (sf0.1 orderkeys ≤ 6M), so replica id spaces stay disjoint and
+# consecutive-block properties (planted residue classes appearing in
+# every replica) are preserved.
+SHIFT = 10_000_019
+SCATTER = 911
 SMALL = "region nation customer supplier part".split()
+
+
+def _rep_shift(F):
+    """Per-replica id shift as a Column: r·SHIFT + r²·SCATTER."""
+    r = F.col("_rep")
+    return r * SHIFT + r * r * SCATTER
 
 
 def gen(factor: int, base: str, out: str) -> None:
@@ -49,7 +73,7 @@ def gen(factor: int, base: str, out: str) -> None:
     li = spark.read.parquet(f"{base}/lineitem.parquet")
     (
         li.crossJoin(reps)
-        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("_rep") * SHIFT)
+        .withColumn("l_orderkey", F.col("l_orderkey") + _rep_shift(F))
         .drop("_rep")
         .write.mode("overwrite")
         .parquet(f"{out}/lineitem.parquet")
@@ -57,7 +81,7 @@ def gen(factor: int, base: str, out: str) -> None:
     od = spark.read.parquet(f"{base}/orders.parquet")
     (
         od.crossJoin(reps)
-        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("_rep") * SHIFT)
+        .withColumn("o_orderkey", F.col("o_orderkey") + _rep_shift(F))
         .drop("_rep")
         .write.mode("overwrite")
         .parquet(f"{out}/orders.parquet")
@@ -81,7 +105,7 @@ def gen(factor: int, base: str, out: str) -> None:
     )
     (
         docs.crossJoin(reps)
-        .withColumn("doc_id", F.col("doc_id") + F.col("_rep") * SHIFT)
+        .withColumn("doc_id", F.col("doc_id") + _rep_shift(F))
         .withColumn("text", renamed)
         .drop("_rep")
         .write.mode("overwrite")
@@ -92,8 +116,8 @@ def gen(factor: int, base: str, out: str) -> None:
     ev = spark.read.parquet(f"{base}/events.parquet")
     (
         ev.crossJoin(reps)
-        .withColumn("event_id", F.col("event_id") + F.col("_rep") * SHIFT)
-        .withColumn("user_id", F.col("user_id") + F.col("_rep") * SHIFT)
+        .withColumn("event_id", F.col("event_id") + _rep_shift(F))
+        .withColumn("user_id", F.col("user_id") + _rep_shift(F))
         .drop("_rep")
         .write.mode("overwrite")
         .parquet(f"{out}/events.parquet")
@@ -111,7 +135,7 @@ def gen(factor: int, base: str, out: str) -> None:
     em = spark.read.parquet(f"{base}/embeddings.parquet")
     (
         em.crossJoin(reps)
-        .withColumn("vec_id", F.col("vec_id") + F.col("_rep") * SHIFT)
+        .withColumn("vec_id", F.col("vec_id") + _rep_shift(F))
         .drop("_rep")
         .write.mode("overwrite")
         .parquet(f"{out}/embeddings.parquet")
