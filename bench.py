@@ -216,7 +216,14 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    shared35 = round(sum(times[n] for n in HEADLINE[:35] if n in times), 3)
+    # shared35 is defined as the FULL r5 35-query subset total; if any
+    # member errored, publish null rather than a silently smaller sum
+    # that would read as a round-over-round speedup (review-caught)
+    shared35 = (
+        round(sum(times[n] for n in HEADLINE[:35]), 3)
+        if all(n in times for n in HEADLINE[:35])
+        else None
+    )
     print(
         json.dumps(
             {

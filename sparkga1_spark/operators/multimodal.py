@@ -5317,6 +5317,7 @@ def parse_vp8l(body: bytes):
     br = _Vp8lReader(body, start=1)
     w = br.read(14) + 1
     h = br.read(14) + 1
+    _check_raster_size(w, h, "VP8L")  # bomb guard BEFORE the raster alloc
     alpha_used = br.read(1)
     if br.read(3) != 0:
         raise ValueError("vp8l: unknown version")

@@ -90,13 +90,22 @@ def _apply_merge(wf: DataFrame, pr: str, merged: str) -> DataFrame:
 
 
 def _prepare(word_freq: DataFrame) -> DataFrame:
-    """(w, f) → (w, s wrapped, f), refusing delimiter-bearing words."""
+    """(w, f) → (w, s wrapped, f), refusing delimiter-bearing and EMPTY
+    words (review-caught: '' wraps to '\\x1f\\x1f', which _unwrap turns
+    into a one-space string — a phantom 2-token segmentation for a
+    zero-character word; a zero-symbol word has no BPE meaning, so it
+    refuses like the delimiter case rather than guessing)."""
     guarded = word_freq.withColumn(
         "w",
         F.when(
             F.col("w").contains(_D),
             F.raise_error(F.lit("bpe: word contains the \\x1f delimiter")),
-        ).otherwise(F.col("w")),
+        )
+        .when(
+            F.col("w") == "",
+            F.raise_error(F.lit("bpe: empty word in the frequency table")),
+        )
+        .otherwise(F.col("w")),
     )
     wf = guarded.select(
         "w",

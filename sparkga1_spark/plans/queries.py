@@ -7903,7 +7903,12 @@ def _crawl_ingest_stream(spark, src_dir: str, admitted_path: str,
     from sparkga1_spark.streaming.sinks import foreach_batch_dedup_admit
 
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
-    binary_schema = spark.read.format("binaryFile").load(src_dir).schema
+    # binaryFile's schema is FIXED by the source (review-caught: deriving
+    # it via spark.read triggered a full driver-side directory listing
+    # per invocation, duplicating the one the stream itself performs)
+    binary_schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
     stream = (
         spark.readStream.format("binaryFile")
         .schema(binary_schema)
@@ -11740,6 +11745,15 @@ def x_survival_km(spark, sf_dir):
     # scan into 16 BNL nodes across the three grouped_cumsum passes;
     # both are 1-row scalars — pull each exactly once instead
     mx_val = ev.agg(F.max("ts").alias("mx")).first()["mx"]
+    if mx_val is None:
+        # zero event rows: the pre-scalar-pull form flowed empty frames
+        # through and returned an empty result — keep that contract
+        # (review-caught: int(None) below was a raw TypeError)
+        return spark.createDataFrame(
+            [],
+            "t_day int, n_churn long, n_censored long, n_risk long,"
+            " survival double",
+        )
     lf = pu.select(
         F.datediff(F.col("last_ts").cast("date"), F.col("d0")).alias("t_life"),
         F.when(

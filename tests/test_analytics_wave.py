@@ -172,3 +172,26 @@ def test_readability_counts(spark, sf_dir):
     for r in rows:
         # the decade bucket must actually contain its min/max
         assert r.decade * 10 <= r.min_score <= r.max_score < (r.decade + 1) * 10
+
+
+def test_survival_km_empty_events_returns_empty(spark, tmp_path):
+    """Zero event rows must yield an empty result, not a TypeError from
+    int(None) on the scalar pulls (review-caught after the r7
+    de-replication moved the corpus-max cut to a build-time .first())."""
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path / "sf_empty_events")
+    import os
+
+    os.makedirs(d)
+    for t in ("events",):
+        spark.read.parquet(f"{src}/{t}.parquet").limit(0).write.parquet(
+            f"{d}/{t}.parquet"
+        )
+    from sparkga1_spark.plans.registry import all_queries
+
+    out = all_queries()["x_survival_km"](spark, d)
+    assert out.count() == 0
+    assert out.columns == ["t_day", "n_churn", "n_censored", "n_risk",
+                           "survival"]

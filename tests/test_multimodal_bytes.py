@@ -2451,3 +2451,18 @@ def test_vp8l_zero_bit_simple_codes():
     assert (w, h) == (1, 1) and np.array_equal(out, px)
     rw, rh, ref = _ref_vp8l_decode(data)
     assert (rw, rh) == (1, 1) and ref == [(10, 20, 30)]
+
+
+def test_vp8l_refuses_decompression_bomb_header():
+    """A 5-byte VP8L body can declare 16384x16384 (2^28 pixels, 4x the
+    module cap) — the raster-size guard must refuse BEFORE allocating
+    the output list (review-caught: parse_vp8l was the one compressed
+    decode path missing _check_raster_size)."""
+    import pytest as _pytest
+
+    from sparkga1_spark.operators.multimodal import parse_vp8l
+
+    # sig 0x2f, then 28 one-bits LSB-first = w-1 = h-1 = 16383
+    body = bytes([0x2F, 0xFF, 0xFF, 0xFF, 0x0F])
+    with _pytest.raises(ValueError, match="(?i)raster|VP8L"):
+        parse_vp8l(body)

@@ -307,3 +307,16 @@ def test_containment_catches_what_jaccard_misses(spark):
     assert [(r.id_contained, r.id_container, r.n_shared, r.containment) for r in cont] == [
         (1, 2, 12, 1.0)
     ]
+
+
+def test_bpe_rejects_empty_word(spark):
+    """'' wraps to back-to-back delimiters, which _unwrap turned into a
+    one-space string — a phantom 2-token segmentation for a
+    zero-character word (review-caught). The trainer refuses instead."""
+    import pytest as _pytest
+
+    from sparkga1_spark.operators.tokenizer import bpe_train_merges
+
+    wf = spark.createDataFrame([("", 3), ("ab", 1)], "w string, f long")
+    with _pytest.raises(Exception, match="empty word"):
+        bpe_train_merges(spark, wf, rounds=1).collect()

@@ -1325,7 +1325,10 @@ def test_crawl_ingest_stream_checkpoint_recovery(spark, sf_dir, tmp_path):
     ckpt = str(tmp_path / "phased_ckpt")
     _crawl_ingest_stream(spark, phased, adm, ckpt, sf_dir)
     mid = set(r.doc_id for r in spark.read.parquet(adm).collect())
-    assert mid and mid < set(want) or mid <= set(want)
+    # phase 1 must have ADMITTED something (review-caught: the former
+    # `a and b or c` form reduced to `mid <= want`, true for empty mid)
+    assert mid, "phase 1 admitted nothing"
+    assert mid <= set(want)
 
     for f in files[2:]:
         shutil.copy2(os.path.join(full, f), os.path.join(phased, f))
