@@ -957,8 +957,10 @@ def test_decoder_fuzz_only_valueerror_and_bounded_alloc():
         parse_qoi,
         parse_qoi_meta,
         parse_tiff,
+        parse_vp8l,
         parse_wav,
         parse_webp_meta,
+        parse_webp_pixels,
     )
     from sparkga1_spark.operators.crawl import parse_warc
     from sparkga1_spark.operators.pdfdoc import extract_pdf_text
@@ -969,12 +971,15 @@ def test_decoder_fuzz_only_valueerror_and_bounded_alloc():
         parse_png, parse_jpeg, parse_flac, parse_gif_meta,
         parse_pcx_meta, parse_qoi_meta, parse_jpeg_meta,
         parse_tiff, parse_webp_meta, parse_warc, extract_pdf_text,
+        parse_webp_pixels, parse_vp8l,
     ]
     magics = [
         b"", b"GIF87a", b"GIF89a", b"\x0a\x05\x01", b"qoif", b"RIFF",
         b"BM", b"P6", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"fLaC",
         b"II*\x00", b"MM\x00*", b"RIFF\x20\x00\x00\x00WEBP",
         b"WARC/1.0\r\n", b"\x1f\x8b", b"%PDF-1.4\n",
+        b"RIFF\x20\x00\x00\x00WEBPVP8L\x10\x00\x00\x00\x2f",
+        b"\x2f",
     ]
     for trial in range(450):
         m = magics[trial % len(magics)]
@@ -992,7 +997,9 @@ def test_decoder_fuzz_only_valueerror_and_bounded_alloc():
     from sparkga1_spark.operators.multimodal import build_jpeg_baseline
 
     from sparkga1_spark.operators.crawl import build_warc
-    from sparkga1_spark.operators.multimodal import build_tiff, build_webp
+    from sparkga1_spark.operators.multimodal import (
+        build_tiff, build_webp, build_webp_lossless,
+    )
     from sparkga1_spark.operators.pdfdoc import build_pdf
 
     for parser, good in [
@@ -1002,6 +1009,9 @@ def test_decoder_fuzz_only_valueerror_and_bounded_alloc():
         (parse_jpeg, build_jpeg_baseline(px[:, :, 0])),
         (parse_tiff, build_tiff(px, big_endian=True, rows_per_strip=4)),
         (parse_webp_meta, build_webp(9, 7, variant="VP8X", alpha=True)),
+        (parse_webp_pixels, build_webp_lossless(
+            np.resize(np.arange(210, dtype=np.uint8), (7, 10, 3)),
+            cache_bits=4)),
         (parse_warc, build_warc(2, "s", "a b c", gzip_members=True)),
         (parse_warc, build_warc(2, "s", "a b c", gzip_members=False)),
         (extract_pdf_text, build_pdf(3, "a b c d e f", flate=True, n_pages=2)),
