@@ -34,12 +34,14 @@ from sparkga1_spark.sources.sinks import upsert_parquet
 # same driver; concurrent writers from SEPARATE drivers are out of
 # scope for the local-filesystem ledger (same honesty line as
 # _require_local_path) and need a lakehouse MERGE with optimistic
-# concurrency instead.
-_TABLE_LOCKS: defaultdict[str, threading.Lock] = defaultdict(threading.Lock)
+# concurrency instead. RLock, not Lock: composed sinks
+# (foreach_batch_dedup_admit) hold the table lock across their whole
+# classify+merge body and re-enter it inside the inner upsert.
+_TABLE_LOCKS: defaultdict[str, threading.RLock] = defaultdict(threading.RLock)
 _TABLE_LOCKS_GUARD = threading.Lock()
 
 
-def _table_lock(base_path: str) -> threading.Lock:
+def _table_lock(base_path: str) -> threading.RLock:
     with _TABLE_LOCKS_GUARD:
         return _TABLE_LOCKS[os.path.abspath(base_path)]
 
@@ -393,6 +395,17 @@ def foreach_batch_dedup_admit(
     every crash window reduces to foreach_batch_upsert's documented
     ones.
 
+    MULTI-WRITER: the WHOLE classify+merge body holds the admitted
+    table's lock (re-entered by the inner upsert — the locks are
+    RLocks), not just the write. Review-caught: with only the upsert
+    serialized, a second admission writer could (a) read the admitted
+    path during another writer's two-rename swap — path briefly
+    missing — and treat committed history as EMPTY, re-admitting every
+    past duplicate, or (b) classify the same arriving text as new
+    concurrently with another writer, admitting both copies. Under the
+    whole-body lock, classification always sees a committed table and
+    admissions serialize (test_dedup_admit_two_writers_serialize).
+
     Scale shape: the corpus side joins shuffle-free against the
     bucketed index (only the batch shuffles); the admitted-delta side
     re-derives hashes/bands from the admitted table, whose cost grows
@@ -421,6 +434,10 @@ def foreach_batch_dedup_admit(
     def apply(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        with _table_lock(admitted_path):
+            _apply_locked(batch_df, batch_id)
+
+    def _apply_locked(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
         withh = (
             batch_df.select(

@@ -1337,3 +1337,69 @@ def test_crawl_ingest_stream_checkpoint_recovery(spark, sf_dir, tmp_path):
     assert got == want
     ledger = committed_batches(adm)
     assert len(ledger) >= 2  # batches from both phases, committed once
+
+
+def test_dedup_admit_two_writers_serialize(spark, sf_dir, tmp_path):
+    """Two admission writers targeting ONE admitted table must hold the
+    table lock across the WHOLE classify+merge body (review-caught:
+    with only the inner upsert serialized, writer B could read the
+    admitted path during writer A's two-rename swap — path briefly
+    missing — and treat committed history as empty, or classify a text
+    as new concurrently with A admitting the same text; either way a
+    duplicate lands). Two threads alternate batches of overlapping
+    texts; the final table must hold each text exactly once and both
+    writers' ledgers must be disjointly scoped."""
+    import threading
+
+    from sparkga1_spark.plans.queries import _standing_dedup_index
+    from sparkga1_spark.streaming.sinks import (
+        committed_batches,
+        foreach_batch_dedup_admit,
+    )
+
+    import hashlib
+
+    _standing_dedup_index(spark, sf_dir)  # registers the catalog tables
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    hash_tab, band_tab = f"dedup_hash_idx_{tag}", f"dedup_band_idx_{tag}"
+    adm_path = str(tmp_path / "admitted_two_writers")
+
+    texts = [
+        " ".join(f"w{i}t{j}xq" for j in range(25)) for i in range(12)
+    ]
+    a_batches = [
+        [(i, texts[i]) for i in range(b * 4, b * 4 + 4)] for b in range(3)
+    ]
+    b_batches = [
+        [(100 + i, texts[i]) for i in range(b * 4, b * 4 + 4)]
+        for b in range(3)
+    ]
+
+    def run(writer_id, batches, errs):
+        try:
+            sink = foreach_batch_dedup_admit(
+                adm_path, hash_table=hash_tab, band_table=band_tab,
+                writer_id=writer_id,
+            )
+            for bid, rows in enumerate(batches):
+                df = spark.createDataFrame(rows, "doc_id long, text string")
+                sink(df, bid)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    errs: list = []
+    ta = threading.Thread(target=run, args=("wa", a_batches, errs))
+    tb = threading.Thread(target=run, args=("wb", b_batches, errs))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not errs, errs
+
+    final = spark.read.parquet(adm_path).select("doc_id", "_h").collect()
+    hs = [r["_h"] for r in final]
+    assert len(hs) == len(set(hs)) == 12, (
+        f"duplicate admissions: {len(hs)} rows, {len(set(hs))} hashes"
+    )
+    led_a = committed_batches(adm_path, "wa")
+    led_b = committed_batches(adm_path, "wb")
+    # each writer's non-empty merges are ledgered in its own slice only
+    assert led_a <= {0, 1, 2} and led_b <= {0, 1, 2}
+    assert led_a | led_b, "no batch committed by either writer"
