@@ -17,7 +17,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
-from sparkga1_spark.operators.cache import tracked_persist
+from sparkga1_spark.operators.cache import attach_scalar_agg, tracked_persist
 
 
 def plan_segments(
@@ -29,16 +29,20 @@ def plan_segments(
     """P2-3: per-key segment count = round(n × factor / avg_n), min 1
     (the reference's formula, SparkGA1.scala:241-242). One aggregate
     pass; output is small (one row per key)."""
-    counts = df.groupBy(*keys).agg(F.count("*").alias("_n"))
-    # scalar average via broadcast cross-join, NOT a global window (a
-    # partitionless Window collapses the table to one partition)
+    # per-key counts are reused (average input + probe side): persist so
+    # the build-time scalar pull and the final plan share one fact scan
+    counts = tracked_persist(df.groupBy(*keys).agg(F.count("*").alias("_n")))
+    # scalar average materialized once at build time, NOT a global
+    # window (a partitionless Window collapses the table to one
+    # partition) and NOT crossJoin(broadcast(agg)) (a BNL whose build
+    # side replicates the counts subtree into every consumer)
     avg = counts.agg(F.avg("_n").alias("_avg"))
     seg = F.greatest(
         F.lit(1).cast("long"),
         F.floor(F.col("_n") * regions_factor / F.col("_avg") + 0.5),
     )
     return (
-        counts.crossJoin(F.broadcast(avg))
+        attach_scalar_agg(counts, avg)
         .withColumn("_segments", seg)
         .drop("_n", "_avg")
     )
@@ -68,10 +72,10 @@ def salt_by_quantiles(
     and pay nothing. The boundary table is tiny → broadcast join.
     """
     df = tracked_persist(df)  # scanned three times: segment plan, bounds, route
-    counts = df.groupBy(*keys).agg(F.count("*").alias("_n"))
+    counts = tracked_persist(df.groupBy(*keys).agg(F.count("*").alias("_n")))
     avg_row = counts.agg(F.avg("_n").alias("_avg"))
     heavy = (
-        counts.crossJoin(F.broadcast(avg_row))
+        attach_scalar_agg(counts, avg_row)
         .filter(F.col("_n") > F.col("_avg") * skew_factor)
         .withColumn(
             "_segments",

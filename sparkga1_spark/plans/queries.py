@@ -28,7 +28,11 @@ from sparkga1_spark.functions.numeric import (
     hround,
 )
 from sparkga1_spark.operators import binning, filters
-from sparkga1_spark.operators.cache import tracked_persist
+from sparkga1_spark.operators.cache import (
+    attach_scalar_agg,
+    scalar_lits,
+    tracked_persist,
+)
 from sparkga1_spark.operators import windows as windows_ops
 from sparkga1_spark.plans.registry import query
 from sparkga1_spark.sources import fixtures
@@ -535,15 +539,20 @@ def p2_skew_detect(spark, sf_dir):
     avgReadsPerRegion) with regionsFactor=4 (SparkGA1.scala:241-242);
     rounding via floor(x+0.5) so both engines agree on .5 ties."""
     binned = binning.bin_by_region(_alignments(spark, sf_dir), _seq_dict(spark, sf_dir))
-    weights = binned.groupBy("chr_index", "reg").agg(F.count("*").alias("n_reads"))
-    # scalar average attached via broadcast of the 1-row aggregate (the
-    # BNL-totals pattern), NOT avg().over(Window.partitionBy()) — a
-    # partition-less window funnels the whole region table through one
-    # task; plan_segments (operators/skew.py) documents the same choice
+    # per-region weights feed both the average and the final projection:
+    # persist so the build-time scalar pull shares one alignment scan
+    weights = tracked_persist(
+        binned.groupBy("chr_index", "reg").agg(F.count("*").alias("n_reads"))
+    )
+    # scalar average materialized once at build time (r7 VERDICT #2:
+    # the crossJoin(broadcast(agg)) form is a BNL whose build side
+    # replicates the weights subtree), NOT avg().over(Window
+    # .partitionBy()) — a partition-less window funnels the whole
+    # region table through one task; plan_segments documents the same
     avg = weights.agg(F.avg("n_reads").alias("_avg"))
     seg = F.floor(F.col("n_reads") * 4.0 / F.col("_avg") + 0.5)
     return (
-        weights.crossJoin(F.broadcast(avg))
+        attach_scalar_agg(weights, avg)
         .withColumn("segments", seg.cast("int"))
         .filter(F.col("segments") > 1)
         .select("chr_index", "reg", "n_reads", "segments")
@@ -2465,15 +2474,23 @@ def x_dsir_importance(spark, sf_dir):
             F.filter(F.split(F.trim(F.col("text")), " +"), lambda x: x != "")
         ).alias("tok"),
     )
-    cg = tok.groupBy("tok").agg(F.count("*").cast("long").alias("cg"))
-    ct = (
+    # both LM tables are reused (broadcast-join probe + totals input):
+    # persist so the build-time scalar pulls share one token scan each
+    cg = tracked_persist(
+        tok.groupBy("tok").agg(F.count("*").cast("long").alias("cg"))
+    )
+    ct = tracked_persist(
         tok.filter("is_target")
         .groupBy("tok")
         .agg(F.count("*").cast("long").alias("ct"))
     )
-    tots = cg.agg(
-        F.count("*").alias("v"), F.sum("cg").alias("ng")
-    ).crossJoin(ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt")))
+    # vocab size + both totals materialized once at build time (r7
+    # VERDICT #2: the lazy crossJoin(broadcast(agg)) pair replicated
+    # both LM subtrees into the scoring plan)
+    tots = {
+        **scalar_lits(cg.agg(F.count("*").alias("v"), F.sum("cg").alias("ng"))),
+        **scalar_lits(ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))),
+    }
 
     def snap(col):
         return F.floor(col * 1_000_000_000 + 0.5).cast("long")
@@ -2481,7 +2498,7 @@ def x_dsir_importance(spark, sf_dir):
     scored = (
         tok.join(F.broadcast(cg), "tok")
         .join(F.broadcast(ct), "tok", "left")
-        .crossJoin(F.broadcast(tots))
+        .withColumns(tots)
         .select(
             "doc_id",
             "is_target",
@@ -3008,7 +3025,7 @@ def x_column_profile_histogram(spark, sf_dir):
     10-row shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
     bounds = li.agg(F.min("l_partkey").alias("mn"), F.max("l_partkey").alias("mx"))
-    binned = li.select("l_partkey").crossJoin(F.broadcast(bounds)).select(
+    binned = attach_scalar_agg(li.select("l_partkey"), bounds).select(
         F.expr(
             "CAST((l_partkey - mn) * 10 DIV (mx - mn + 1) AS BIGINT)"
         ).alias("bin"),
@@ -3048,8 +3065,10 @@ def x_dau_wau_stickiness(spark, sf_dir):
     ends it can serve — a bounded ×7 explode, then the same cheap
     distinct+count machinery as DAU. That turns a non-associative
     rolling distinct into two hash aggregates; no window over the
-    full user timeline, no per-day re-scan. Day bounds arrive as a
-    broadcast 1-row min/max agg. At 100 TB the explode factor stays
+    full user timeline, no per-day re-scan. Day bounds are a 1-row
+    min/max agg materialized once at build time (the scalar_lits
+    pattern — the former broadcast crossJoin was a BNL replicating the
+    distinct subtree). At 100 TB the explode factor stays
     7 regardless of data size — the cost is one extra distinct over
     7× the (user, day) pairs, both keyed exchanges."""
     ev = _events(spark, sf_dir)
@@ -3065,7 +3084,7 @@ def x_dau_wau_stickiness(spark, sf_dir):
     wau = cov.groupBy("wd").agg(F.count("*").alias("wau"))
     return (
         dau.join(wau, dau["d"] == wau["wd"])
-        .crossJoin(F.broadcast(bounds))
+        .withColumns(scalar_lits(bounds))
         .filter((F.col("d") >= F.col("mn")) & (F.col("d") <= F.col("mx")))
         .select(
             F.col("d").alias("day"),
@@ -3332,10 +3351,12 @@ def x_benford_digit_audit(spark, sf_dir):
         .cast("int")
         .alias("digit")
     )
-    p = d.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    # 9-row digit counts reused (total input + projection): persist so
+    # the build-time scalar pull shares one lineitem scan
+    p = tracked_persist(d.groupBy("digit").agg(F.count("*").alias("n_obs")))
     t = p.agg(F.sum("n_obs").alias("total"))
     return (
-        p.crossJoin(F.broadcast(t))
+        attach_scalar_agg(p, t)
         .select(
             "digit",
             F.col("n_obs").cast("long").alias("n_obs"),
@@ -5318,7 +5339,13 @@ WHERE levenshtein(a.n_name, b.n_name) <= 4
 def x_fuzzy_levenshtein(spark, sf_dir):
     """Fuzzy string matching (edit distance ≤ 4) — the small-dimension
     fuzzy-join shape; at scale gate the pairing with an LSH/fingerprint
-    pre-filter (operators/dedup.py) before the exact distance."""
+    pre-filter (operators/dedup.py) before the exact distance.
+
+    Plan note (kept BNL, r8): the `<` self-join over the 25-row NATION
+    dimension is definitionally non-equi, so it compiles to one
+    BroadcastNestedLoopJoin — both sides are a bounded dimension, no
+    fact-table subtree is replicated, and the pre-filter route above is
+    the documented answer for anything corpus-sized."""
     na = load_table(spark, sf_dir, "nation")
     a, b = na.alias("a"), na.alias("b")
     return (
@@ -5462,12 +5489,14 @@ def x_tfidf_top_terms(spark, sf_dir):
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
-    # Corpus size as a broadcast 1-row frame, NOT docs.count(): keeps the
-    # query one lazy plan (no extra job / second scan at build time).
+    # Corpus size materialized once at build time (r7 VERDICT #2: the
+    # lazy crossJoin(broadcast(agg)) form was a BNL that replicated the
+    # docs-count subtree into the scoring plan — one extra full scan
+    # per consumer at 100 TB; the scalar pull runs count(*) exactly once).
     n = docs.agg(F.count("*").cast("double").alias("_n_docs"))
     scored = (
         tf.join(F.broadcast(df_tbl), "term")
-        .crossJoin(F.broadcast(n))
+        .withColumns(scalar_lits(n))
         .withColumn(
             "tfidf",
             F.col("tf") * F.log(F.col("_n_docs") / F.col("df").cast("double")),
@@ -5882,7 +5911,7 @@ def x_mix_temperature_weights(spark, sf_dir):
         F.sum("n_toks").cast("double").alias("t"),
         F.sum(F.col("root").cast("decimal(28,6)")).cast("double").alias("s"),
     )
-    j = stats.crossJoin(F.broadcast(tot))
+    j = attach_scalar_agg(stats, tot)
     p = F.col("n_toks") / F.col("t")
     w = F.col("root") / F.col("s")
     return j.select(
@@ -6065,7 +6094,7 @@ def tpch_q22_dormant_customers(spark, sf_dir):
         davg("c_acctbal").alias("avg_bal")
     )
     rich = (
-        cu.crossJoin(F.broadcast(thr))
+        cu.withColumns(scalar_lits(thr))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
         .drop("avg_bal")
     )
@@ -6539,11 +6568,17 @@ def tpch_q11_important_stock(spark, sf_dir):
     scoped = li.join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey")).select(
         "l_partkey", v.alias("v")
     )
+    # threshold total materialized once at build time: the lazy
+    # crossJoin(broadcast(agg)) form was a BNL replicating the whole
+    # scoped join into the HAVING comparison (a second fact scan per
+    # consumer at 100 TB); scoped is fact-sized, so it is NOT persisted
+    # — two streamed executions (build-time total + final agg), zero
+    # cached fact partitions
     total = scoped.agg(dsum("v").alias("t"))
     return (
         scoped.groupBy(F.col("l_partkey").alias("partkey"))
         .agg(dsum("v").alias("value"))
-        .crossJoin(F.broadcast(total))
+        .withColumns(scalar_lits(total))
         .filter(F.col("value") > 0.001 * F.col("t"))
         .select("partkey", "value")
     )
@@ -6676,15 +6711,20 @@ def tpch_q15_top_supplier(spark, sf_dir):
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     su = load_table(spark, sf_dir, "supplier")
-    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "total_revenue"
+    # the per-supplier 'view' is consumed twice (max scalar + final
+    # join-back): persist so both share one lineitem scan, and pull the
+    # max once at build time instead of a BNL attach
+    rev = tracked_persist(
+        li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
         )
     )
     mx = rev.agg(F.max("total_revenue").alias("_mx"))
     return (
         su.join(rev, F.col("s_suppkey") == F.col("supplier_no"))
-        .crossJoin(F.broadcast(mx))
+        .withColumns(scalar_lits(mx))
         .filter(F.col("total_revenue") == F.col("_mx"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
@@ -7025,10 +7065,13 @@ def x_drift_chi2(spark, sf_dir):
         F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
         F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
     )
+    # 10-row bucket counts reused (totals input + projection): persist
+    # so the build-time scalar pull shares one documents scan
+    p = tracked_persist(p)
     t = p.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
     e = F.col("n_a") * F.col("tb") / F.col("ta").cast("double")
     return (
-        p.crossJoin(F.broadcast(t))
+        attach_scalar_agg(p, t)
         .filter(F.col("n_a") > 0)
         .select(
             "bucket",
@@ -7097,21 +7140,27 @@ def x_drift_psi(spark, sf_dir):
             "percentile(n_chars, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
         ).alias("edges")
     )
-    d = docs.crossJoin(F.broadcast(edges)).select(
+    # the 9-edge array and the 10-row totals are both 1-row aggregates:
+    # materialize each once at build time (the former crossJoin
+    # (broadcast(agg)) attaches replicated the baseline-percentile and
+    # bucket-count subtrees — 3 BNLs in the r7 plan audit)
+    d = docs.withColumns(scalar_lits(edges)).select(
         F.size(
             F.filter("edges", lambda x: x < F.col("n_chars").cast("double"))
         ).cast("long").alias("bucket"),
         "side",
     )
-    p = d.groupBy("bucket").agg(
-        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
-        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    p = tracked_persist(
+        d.groupBy("bucket").agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        )
     )
     t = p.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
     pa = F.col("n_a") / F.col("ta").cast("double")
     qb = F.col("n_b") / F.col("tb").cast("double")
     return (
-        p.crossJoin(F.broadcast(t))
+        attach_scalar_agg(p, t)
         .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
         .select(
             "bucket",
@@ -7256,11 +7305,13 @@ def x_unigram_logprob(spark, sf_dir):
             )
         ).alias("tok"),
     )
-    cnt = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    # vocab table reused (total input + broadcast probe): persist so
+    # the build-time scalar pull shares one token scan
+    cnt = tracked_persist(tok.groupBy("tok").agg(F.count("*").alias("c")))
     tot = cnt.agg(F.sum("c").alias("total"))
     scored = (
         tok.join(F.broadcast(cnt), "tok")
-        .crossJoin(F.broadcast(tot))
+        .withColumns(scalar_lits(tot))
         .select(
             "doc_id",
             F.floor(
@@ -7347,8 +7398,12 @@ def x_bigram_lm_logprob(spark, sf_dir):
         )
         .select("doc_id", "b.w1", "b.w2")
     )
-    uni = arr.select(F.explode("a").alias("w")).groupBy("w").agg(
-        F.count("*").cast("long").alias("c")
+    # unigram table reused (total input + two join probes): persist so
+    # the build-time scalar pull shares one token scan
+    uni = tracked_persist(
+        arr.select(F.explode("a").alias("w")).groupBy("w").agg(
+            F.count("*").cast("long").alias("c")
+        )
     )
     tot = uni.agg(F.sum("c").cast("long").alias("n"))
     big = bi.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
@@ -7366,7 +7421,7 @@ def x_bigram_lm_logprob(spark, sf_dir):
     pair_scores = (
         big.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
         .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
-        .crossJoin(F.broadcast(tot))
+        .withColumns(scalar_lits(tot))
         .select(
             "w1",
             "w2",
@@ -7486,8 +7541,10 @@ def x_bigram_pmi(spark, sf_dir):
         ).alias("gram")
     )
     uni = words.select(F.explode("W").alias("tok"))
-    cb = bi.groupBy("gram").agg(F.count("*").alias("c_ab"))
-    cu = uni.groupBy("tok").agg(F.count("*").alias("c"))
+    # both count tables are reused (totals input + join probes):
+    # persist so each build-time scalar pull shares one token scan
+    cb = tracked_persist(bi.groupBy("gram").agg(F.count("*").alias("c_ab")))
+    cu = tracked_persist(uni.groupBy("tok").agg(F.count("*").alias("c")))
     n_bi = cb.agg(F.sum("c_ab").alias("n_bi"))
     n_uni = cu.agg(F.sum("c").alias("n_uni"))
     ca = cu.select(F.col("tok").alias("_t1"), F.col("c").alias("_c1"))
@@ -7503,8 +7560,8 @@ def x_bigram_pmi(spark, sf_dir):
         cb.filter(F.col("c_ab") >= 5)
         .join(F.broadcast(ca), F.expr("split_part(gram, ' ', 1) = _t1"))
         .join(F.broadcast(cb2), F.expr("split_part(gram, ' ', 2) = _t2"))
-        .crossJoin(F.broadcast(n_bi))
-        .crossJoin(F.broadcast(n_uni))
+        .withColumns(scalar_lits(n_bi))
+        .withColumns(scalar_lits(n_uni))
         .select("gram", F.col("c_ab").cast("long").alias("c_ab"),
                 hround(pmi, 6).alias("pmi"))
         .orderBy(F.desc("pmi"), "gram")
@@ -9638,10 +9695,17 @@ def x_bm25_topk(spark, sf_dir):
             F.filter(F.split(F.trim(F.col("text")), " +"), lambda x: x != "")
         ).alias("term"),
     )
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("sum_dl"),
+    # doc-length table reused (corpus stats input + contribution join):
+    # persist so the build-time scalar pull shares one token scan, then
+    # materialize the 1-row corpus stats ONCE (the two former
+    # crossJoin(broadcast(stats)) attaches each replicated the full
+    # token-scan subtree — 2 BNLs in the r7 plan audit)
+    dl = tracked_persist(tok.groupBy("doc_id").agg(F.count("*").alias("dl")))
+    stats = scalar_lits(
+        dl.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+        )
     )
     tf = (
         tok.filter(F.col("term").isin(terms))
@@ -9649,7 +9713,7 @@ def x_bm25_topk(spark, sf_dir):
         .agg(F.count("*").alias("tf"))
     )
     dft = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = dft.crossJoin(F.broadcast(stats)).select(
+    idf = dft.withColumns(stats).select(
         "term",
         F.floor(
             F.log(
@@ -9667,7 +9731,7 @@ def x_bm25_topk(spark, sf_dir):
     contrib = (
         tf.join(F.broadcast(idf), "term")
         .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
+        .withColumns(stats)
         .select(
             "doc_id",
             F.floor(
@@ -10206,7 +10270,7 @@ def x_assoc_rules_lift(spark, sf_dir):
     scored = (
         pc.join(F.broadcast(ia), "item_a")
         .join(F.broadcast(ib), "item_b")
-        .crossJoin(F.broadcast(nb))
+        .withColumns(scalar_lits(nb))
         .withColumn(
             "lift_nano",
             F.floor(
@@ -10616,7 +10680,9 @@ def x_bloom_fpr_audit(spark, sf_dir):
         F.explode(pos_arr).alias("pos"),
     )
     pos = tracked_persist(pos)
-    bloom = (
+    # ≤m-row filter table reused (bit-count input + probe join):
+    # persist so the build-time scalar pull shares one member scan
+    bloom = tracked_persist(
         pos.filter(F.col("is_member")).select("pos").distinct()
         .withColumn("_in", F.lit(1))
     )
@@ -10631,7 +10697,7 @@ def x_bloom_fpr_audit(spark, sf_dir):
     )
     passed = F.col("n_hit") == 4
     return (
-        hits.crossJoin(F.broadcast(bits))
+        hits.withColumns(scalar_lits(bits))
         .agg(
             F.count("*").cast("long").alias("n_probe"),
             F.sum(F.when(F.col("is_member"), 1).otherwise(0))
@@ -11367,16 +11433,25 @@ def x_revenue_gini_lorenz(spark, sf_dir):
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
         ).alias("cents")
     )
-    rk = windows_ops.global_rank(
-        rev, order_cols=["cents", "o_custkey"], rank_col="r"
+    # ranked table reused (totals input + decile bucketing): persist so
+    # the build-time scalar pull shares one rank pass, then materialize
+    # the 1-row totals ONCE (the two former crossJoin(broadcast(tot))
+    # attaches each replicated the whole rank subtree — 3 BNLs in the
+    # r7 plan audit)
+    rk = tracked_persist(
+        windows_ops.global_rank(
+            rev, order_cols=["cents", "o_custkey"], rank_col="r"
+        )
     )
-    tot = rk.agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
-        F.sum(F.col("r").cast("decimal(38,0)") * F.col("cents")).alias("s1"),
+    tot = scalar_lits(
+        rk.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+            F.sum(F.col("r").cast("decimal(38,0)") * F.col("cents")).alias("s1"),
+        )
     )
     dec = (
-        rk.crossJoin(F.broadcast(tot))
+        rk.withColumns(tot)
         .select(
             F.expr("((r - 1) * 10) div n").alias("decile"),
             "cents",
@@ -11392,7 +11467,7 @@ def x_revenue_gini_lorenz(spark, sf_dir):
         out_col="cumcents",
     )
     return (
-        cum.crossJoin(F.broadcast(tot))
+        cum.withColumns(tot)
         .select(
             F.col("decile").cast("int").alias("decile"),
             F.col("n_cust").cast("long").alias("n_cust"),
@@ -11542,19 +11617,43 @@ def x_kmeans_assign_audit(spark, sf_dir):
     doubles, with centroid id as the final tiebreak; per-cluster inertia
     is summed in exact integer micro-units. The k=4 seed centroids are
     the first four fixture vectors (deterministic, the trainer's own
-    seeding rule). Scale shape: broadcast k rows against the scan —
-    one narrow pass, no shuffle until the k-key aggregate."""
+    seeding rule). Scale shape: the k seed rows are pulled once at
+    build time and ride the scan as an exploded literal array — one
+    narrow pass, zero join nodes, no shuffle until the k-key
+    aggregate."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", V.to_double(F.col("embedding")).alias("v"))
-    c = e.filter(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    # k=4 seed centroids pulled ONCE at build time (a k-sized model
+    # pull, the sanctioned pattern) and attached as a literal
+    # array-of-structs + explode instead of crossJoin(broadcast(df)) —
+    # the former BNL replicated the centroid scan subtree into the
+    # assignment plan (r7 VERDICT #2); the explode is the identical
+    # k-way row expansion with zero join nodes
+    cent_rows = sorted(
+        e.filter(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .collect(),
+        key=lambda r: r["cid"],
+    )
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(r["cid"]).cast("long").alias("cid"),
+                F.lit(r["cv"]).cast("array<double>").alias("cv"),
+            )
+            for r in cent_rows
+        ]
     )
     dist = (
         V.dot(F.col("v"), F.col("v"))
         - F.lit(2.0) * V.dot(F.col("v"), F.col("cv"))
         + V.dot(F.col("cv"), F.col("cv"))
     )
-    d = e.crossJoin(F.broadcast(c)).select("vec_id", "cid", dist.alias("dist"))
+    d = (
+        e.select("vec_id", "v", F.explode(cent_arr).alias("c"))
+        .select("vec_id", "v", F.col("c.cid").alias("cid"), F.col("c.cv").alias("cv"))
+        .select("vec_id", "cid", dist.alias("dist"))
+    )
     # argmin as a map-side-combinable min(struct(dist, cid)) — struct
     # ordering is lexicographic, exactly the oracle's ORDER BY dist,
     # cid — so the k-way expansion collapses to one row per vector
@@ -11864,9 +11963,16 @@ def x_heaps_vocab_growth(spark, sf_dir):
     rk = windows_ops.global_rank(
         docs.select("doc_id"), order_cols=["doc_id"], rank_col="r"
     )
+    # corpus size materialized once at build time, and the decile table
+    # persisted (it feeds BOTH the first-doc join and the per-decile
+    # base counts — the former lazy crossJoin(broadcast(nn)) attach
+    # replicated the docs-count subtree into each consumer: 4 BNLs in
+    # the r7 plan audit, the registry's worst)
     nn = docs.agg(F.count("*").alias("n"))
-    dd = rk.crossJoin(F.broadcast(nn)).select(
-        "doc_id", F.expr("((r - 1) * 10) div n").alias("decile")
+    dd = tracked_persist(
+        rk.withColumns(scalar_lits(nn)).select(
+            "doc_id", F.expr("((r - 1) * 10) div n").alias("decile")
+        )
     )
     newt = (
         tf.join(dd, tf["first_doc"] == dd["doc_id"])
@@ -12019,9 +12125,13 @@ def x_dedup_cluster_size_hist(spark, sf_dir):
     broadcast; strictly cheaper than the CC stage it consumes."""
     cc = _dedup_cc_labels_cached(spark, sf_dir)
     sizes = cc.groupBy("comp").agg(F.count("*").alias("sz"))
-    hist = sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
-        F.count("*").alias("n_clusters"),
-        F.sum("sz").cast("long").alias("n_docs"),
+    # histogram reused (in-dup total input + final projection): persist
+    # so the build-time scalar pull shares one pass over the CC labels
+    hist = tracked_persist(
+        sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+        )
     )
     tot = load_table(spark, sf_dir, "documents").agg(
         F.count("*").alias("n")
@@ -12030,7 +12140,7 @@ def x_dedup_cluster_size_hist(spark, sf_dir):
         F.coalesce(F.sum("n_docs").cast("long"), F.lit(0)).alias("nd")
     )
     singleton = (
-        tot.crossJoin(F.broadcast(indup))
+        tot.withColumns(scalar_lits(indup))
         .select(
             F.lit(1).cast("long").alias("cluster_size"),
             (F.col("n") - F.col("nd")).cast("long").alias("n_clusters"),
@@ -12049,85 +12159,82 @@ def x_dedup_cluster_size_hist(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Gate priority (see registry.set_gate_order docstring). Round 7 is the
-# DRAIN round (r6 VERDICT #1): registry growth is frozen — the only two
-# new registrations are verdict-demanded (x_multimodal_webp_decode from
-# task #6, s_crawl_ingest_incremental from task #7) — and the 50-row
-# driver window is spent entirely on converting local-gate-only
-# evidence back into external CORRECTNESS rows:
-# (a) the 14 queries with NO driver row ever: the 12 round-6
-#     squeeze-outs named in VERDICT "What's missing" #1 plus the two
-#     verdict-demanded round-7 additions;
-# (b) all 18 round-2-age queries (their rows are 5 rounds old — the
-#     oldest evidence in the registry);
-# (c) 18 of the 47 round-3-age queries, oldest-evidence-first picks
-#     named by the r6 gate-order comment as displaced: the ANN family
-#     (bruteforce/ivf x2/lsh) + x_multimodal_bmp_decode, the 12
-#     money-float TPC-H shapes holding r3 rows, and a_dedup_keep_best
-#     (also the drift-watch member — a fresh driver row doubles as the
-#     A/B cross-check).
-# 14 + 18 + 18 = 50. The 29 remaining r3-age rows (exact-percentile /
-# window / curation members) rotate to the r8 front; every one is
-# green in this round's full-precision LOCAL_GATE at driver strength.
+# Gate priority (see registry.set_gate_order docstring). Round 8 runs
+# the steady-state rotation the r7 drain established (r7 VERDICT #1:
+# "front the 29 r3-age + 21 oldest r4-age rows"; registry growth stays
+# frozen at 221 — zero new registrations this round):
+# (a) all 29 round-3-age queries — the oldest driver rows left after
+#     the r7 drain (every one re-verified at sf0.1 in r7's post-close
+#     addendum, and again green in this round's LOCAL_GATE);
+# (b) the 8 round-4-age queries whose PLANS CHANGED this round (the
+#     r7-VERDICT-#2 scalar de-replication touched them: skew/salt
+#     consumers pipeline_end_to_end + x_blackbox_variant_call, and the
+#     1-row-attach conversions) — they satisfy both "oldest row" and
+#     "changed this round";
+# (c) 13 more round-4-age rows, alphabetical (deterministic pick; the
+#     24 remaining r4-age rows front the r9 window, after which the
+#     whole registry sits at r5+ and the ~4.5-round cycle repeats).
+# 29 + 8 + 13 = 50. The round-8-changed queries holding r5+ rows
+# (tfidf, q11/q15/q22, psi, ivf, gini, bm25, heaps, bloom, assoc,
+# kmeans, benford, dsir, bigram_lm, cluster_hist) are covered by this
+# round's full-precision LOCAL_GATE_r8 at driver strength and rotate
+# into r9+ windows by age as usual.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
 
 set_gate_order([
-    # (a) never-driver-verified. Round-7 additions first (newest
-    # evidence need), then the 12 round-6 squeeze-outs.
-    "s_crawl_ingest_incremental",
-    "x_multimodal_webp_decode",
-    "x_crawl_ingest_pipeline",
-    "x_web_corpus_pipeline",
-    "x_html_link_graph",
-    "x_set_similarity_routed",
-    "x_incremental_dedup_bucketed",
-    "x_multimodal_mp4_demux",
-    "x_multimodal_mp3_tags",
-    "x_multimodal_webp_meta",
-    "x_multimodal_alaw_features",
-    "x_drift_psi",
-    "x_embedding_mahalanobis_audit",
-    "x_touch_attribution_decay",
-    # (b) the 18 round-2-age queries (rows from CORRECTNESS_r02)
-    "a_cube_revenue",
-    "a_date_parts",
-    "a_minmax_by_bool",
-    "f_attrs_map_extract",
-    "f_ignore_table_antijoin",
-    "f_null_semantics",
-    "o_topk_global_limit",
-    "w_first_last_nth",
-    "w_frame_lag_lead_range",
-    "w_rank_family",
-    "x_datamix_split",
-    "x_embedding_quantize",
-    "x_fuzzy_levenshtein",
-    "x_json_props_extract",
-    "x_tfidf_top_terms",
-    "x_url_host_rollup",
-    "x_vector_stats_hof",
-    "x_vocab_topk",
-    # (c) 18 round-3-age picks: the ANN family + bmp (displaced in r6),
-    # a_dedup_keep_best (drift-watch cross-check), and the 12 TPC-H
-    # money-float shapes still on r3 rows.
-    "x_ann_bruteforce_topk",
-    "x_ann_ivf_nprobe2",
-    "x_ann_ivf_topk",
-    "x_ann_lsh_buckets",
-    "x_multimodal_bmp_decode",
-    "a_dedup_keep_best",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_parts",
-    "tpch_q21_waiting_supplier",
+    # (a) the 29 round-3-age rows
+    "a_covariate_table",
+    "a_exact_percentiles",
+    "a_global_totals",
+    "a_lpt_schedule",
+    "a_pivot_status_qty",
+    "f_interval_sanity_fix",
+    "f_mapped_clean_projection",
+    "f_regex_readgroup",
+    "j_anti_known_sites",
+    "j_asof_latest_order",
+    "j_range_exome_overlap",
+    "j_semi_known_sites",
+    "o_secondary_sort_first",
+    "o_topk_per_chr",
+    "p2_equal_freq_buckets",
+    "p2_interval_coalesce",
+    "p2_skew_detect",
+    "u_distinct_variants",
+    "u_intersect_except",
+    "x_curation_pipeline",
+    "x_curation_write_audit",
+    "x_dedup_ngram_jaccard",
+    "x_doc_fingerprint",
+    "x_flatmap_records",
+    "x_lang_id",
+    "x_multimodal_wav_features",
+    "x_multimodal_y4m_frames",
+    "x_pipe_external_tool",
+    "x_text_quality",
+    # (b) round-4-age AND plan-changed-this-round (scalar de-replication)
+    "pipeline_end_to_end",
+    "x_bigram_pmi",
+    "x_blackbox_variant_call",
+    "x_column_profile_histogram",
+    "x_dau_wau_stickiness",
+    "x_drift_chi2",
+    "x_mix_temperature_weights",
+    "x_unigram_logprob",
+    # (c) 13 more round-4-age rows, alphabetical
+    "a_grouping_sets_revenue",
+    "a_integrity_manifest",
+    "a_sketch_accuracy_audit",
+    "flagship_region_stats",
+    "j_full_outer_recon",
+    "j_star_revenue",
+    "o_global_sort_vcf",
+    "o_zorder_cluster",
+    "tpch_q1_pricing_summary",
+    "tpch_q21_waiting_agg_form",
+    "w_running_revenue",
+    "x_ann_pq_adc_topk",
+    "x_blocklist_suffix_match",
 ])

@@ -8,11 +8,16 @@ per-query guards in tests/test_plans.py assert piecemeal:
 - Python boundaries: MapInPandas / FlatMapGroupsInPandas (the three
   sanctioned Arrow surfaces) vs scalar Batch/ArrowEvalPython (never
   allowed in relational plans)
-- CartesianProduct (never allowed); BroadcastNestedLoopJoin is counted
-  but EXPECTED where it appears — every instance in this registry is a
-  broadcast of a 1-ROW aggregate (corpus totals / thresholds / bounds),
-  the documented pattern for attaching global scalars without a
-  driver-side collect
+- CartesianProduct (never allowed); BroadcastNestedLoopJoin is counted.
+  As of round 8 the 1-row-aggregate attach pattern
+  (crossJoin(broadcast(agg))) is GONE registry-wide — global scalars
+  are materialized once at build time via operators/cache.scalar_lits
+  (r7 VERDICT #2: the lazy form replicated the aggregate's subtree
+  into every consumer). The only remaining BNLs are definitionally
+  non-equi kernels with per-site rationale in their docstrings:
+  x_fuzzy_levenshtein (25-row dimension self-join),
+  x_ann_bruteforce_topk / x_knn_label_vote (the brute-force all-pairs
+  baseline over a probe-bounded query filter)
 - WholeStageCodegen span count (wider = more of the plan fused)
 
 The companion registry-wide guarantee lives in
