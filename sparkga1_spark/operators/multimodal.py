@@ -5016,6 +5016,7 @@ def parse_webp_meta(data: bytes):
     alpha = False
     variant = None
     dims = None
+    vp8l_alpha = None  # the lossless bitstream's own alpha_is_used bit
     while pos + 8 <= end:
         fourcc = data[pos : pos + 4]
         (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -5035,7 +5036,7 @@ def parse_webp_meta(data: bytes):
                 raise ValueError("webp: bad VP8L signature byte")
             (packed,) = struct.unpack("<I", body[1:5])
             dims = ((packed & 0x3FFF) + 1, ((packed >> 14) & 0x3FFF) + 1)
-            alpha = alpha or bool((packed >> 28) & 1)
+            vp8l_alpha = bool((packed >> 28) & 1)
             variant = variant or "VP8L"
         elif fourcc == b"VP8 ":
             if clen < 10:
@@ -5053,6 +5054,13 @@ def parse_webp_meta(data: bytes):
         raise ValueError("webp: no image bitstream chunk found")
     if canvas is not None and canvas != dims:
         raise ValueError("webp: VP8X canvas disagrees with bitstream dims")
+    # For lossless payloads the VP8L header's alpha_is_used bit is
+    # authoritative (r7 ADVICE): the pixel-decode path derives channels
+    # from exactly that bit, so a VP8X container flag that disagrees
+    # (container alpha=1, alpha_is_used=0) must not make the meta path
+    # report 4 channels while the stats path reports 3.
+    if vp8l_alpha is not None:
+        alpha = vp8l_alpha
     return dims[0], dims[1], alpha, variant
 
 
@@ -5416,7 +5424,12 @@ def parse_webp_pixels(data: bytes):
         fourcc = data[pos : pos + 4]
         (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + clen]
-        if fourcc == b"VP8L" and len(body) == clen:
+        if fourcc == b"VP8L":
+            if len(body) != clen:
+                # r7 ADVICE: a truncated LOSSLESS file must say so —
+                # falling through to the no-chunk error misdiagnosed it
+                # as a lossy (VP8) payload
+                raise ValueError("webp: vp8l chunk truncated")
             w, h, alpha, argb = parse_vp8l(body)
             arr = np.array(argb, dtype=np.uint32).reshape(h, w)
             chans = [

@@ -149,6 +149,32 @@ def bpe_train_merges(
     )
 
 
+def _admit_disjoint_batch(
+    candidates: list[tuple[str, int]], m: int
+) -> list[tuple[str, int]]:
+    """Greedy within-round admission for the batched trainer: keep up
+    to `m` pairs, in candidate order, such that each kept pair's two
+    input symbols AND its merged output symbol are untouched by every
+    earlier keep. Tracking the merged outputs too is what makes the
+    disjointness invariant actually hold (r7 ADVICE): with inputs-only
+    tracking, a kept ('ab','x') could coexist with ('a','b') in the
+    same round — applying ('a','b') first creates new 'ab' symbols the
+    later merge would also consume, making application order material
+    and the recorded wcount stale."""
+    used: set[str] = set()
+    kept: list[tuple[str, int]] = []
+    for pr, cnt in candidates:
+        a, b = pr.split(" ")
+        merged_sym = a + b
+        if a in used or b in used or merged_sym in used:
+            continue
+        used.update((a, b, merged_sym))
+        kept.append((pr, cnt))
+        if len(kept) == m:
+            break
+    return kept
+
+
 def bpe_train_merges_batched(
     spark: SparkSession,
     word_freq: DataFrame,
@@ -161,8 +187,14 @@ def bpe_train_merges_batched(
 
     Per round: one pair-count job; the driver pulls the top 4·m rows
     (deterministic cnt desc, pr order) and greedily keeps pairs whose
-    BOTH symbols are untouched by earlier keeps in this round —
-    disjointness means the kept merges neither invalidate each other's
+    BOTH symbols — and whose MERGED OUTPUT symbol — are untouched by
+    earlier keeps in this round. Tracking the merged outputs too is
+    what makes the disjointness claim actually hold (r7 ADVICE): with
+    inputs-only tracking, a kept ('ab','x') could coexist with
+    ('a','b') in the same round, and applying ('a','b') first creates
+    new 'ab' symbols the later merge would also consume — making
+    application order material and the recorded wcount stale.
+    With full tracking the kept merges neither invalidate each other's
     counts nor interact when applied (their wrapped patterns cannot
     overlap), so within-round application order is immaterial and each
     recorded wcount is still the true count that justified the merge.
@@ -187,16 +219,9 @@ def bpe_train_merges_batched(
         )
         if not top:
             break
-        used: set[str] = set()
-        kept = []
-        for row in top:
-            a, b = row.pr.split(" ")
-            if a in used or b in used:
-                continue
-            used.update((a, b))
-            kept.append((row.pr, int(row.cnt)))
-            if len(kept) == m:
-                break
+        kept = _admit_disjoint_batch(
+            [(row.pr, int(row.cnt)) for row in top], m
+        )
         for k, (pr, cnt) in enumerate(kept, start=1):
             merged = pr.replace(" ", "")
             merges.append((rnd, k, pr, merged, cnt))

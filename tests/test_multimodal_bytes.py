@@ -2092,6 +2092,50 @@ def test_webp_variants_roundtrip_and_refusals():
         parse_webp_meta(b"RIFF\x04\x00\x00\x00WEBP")
 
 
+def test_webp_meta_lossless_alpha_bit_is_authoritative():
+    """r7 ADVICE: for lossless payloads the VP8L header's alpha_is_used
+    bit decides has_alpha — a VP8X container flag that disagrees must
+    not make the meta path report 4 channels while the pixel-decode
+    path (which reads only alpha_is_used) reports 3."""
+    from sparkga1_spark.operators.multimodal import build_webp, parse_webp_meta
+
+    # container alpha=1, bitstream alpha_is_used=0 — the combination
+    # the in-repo planter never emits
+    good = build_webp(8, 6, variant="VP8X", alpha=True)
+    forged = bytearray(good)
+    vp8l_at = good.find(b"VP8L") + 8  # chunk body: sig byte + packed u32
+    packed = int.from_bytes(forged[vp8l_at + 1 : vp8l_at + 5], "little")
+    forged[vp8l_at + 1 : vp8l_at + 5] = (packed & ~(1 << 28)).to_bytes(4, "little")
+    assert parse_webp_meta(bytes(forged)) == (8, 6, False, "VP8X")
+    # and the reverse: bitstream alpha=1 wins over container alpha=0
+    good2 = build_webp(8, 6, variant="VP8X", alpha=False)
+    forged2 = bytearray(good2)
+    at2 = good2.find(b"VP8L") + 8
+    packed2 = int.from_bytes(forged2[at2 + 1 : at2 + 5], "little")
+    forged2[at2 + 1 : at2 + 5] = (packed2 | (1 << 28)).to_bytes(4, "little")
+    assert parse_webp_meta(bytes(forged2)) == (8, 6, True, "VP8X")
+
+
+def test_webp_pixels_truncated_vp8l_says_truncated():
+    """r7 ADVICE: a lossless file whose VP8L chunk length overruns the
+    buffer must refuse as 'vp8l chunk truncated', not be misdiagnosed
+    as a lossy no-VP8L payload."""
+    import numpy as np
+    import pytest
+
+    from sparkga1_spark.operators.multimodal import (
+        build_webp_lossless,
+        parse_webp_pixels,
+    )
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[..., 1] = 77
+    good = build_webp_lossless(px)
+    parse_webp_pixels(good)  # sanity: intact file decodes
+    with pytest.raises(ValueError, match="vp8l chunk truncated"):
+        parse_webp_pixels(good[:-3])
+
+
 def test_tiff_webp_dispatch_and_bytes_safety():
     """The image dispatchers route TIFF to the real raster decode and
     the planted payloads survive the Arrow binary round-trip (the

@@ -257,6 +257,32 @@ def test_bpe_batched_agrees_with_sequential(spark):
     ]
 
 
+def test_bpe_batch_admission_tracks_merged_outputs():
+    """r7 ADVICE: within-round disjointness must cover each kept pair's
+    MERGED OUTPUT symbol, not just its inputs — otherwise ('ab','x')
+    and ('a','b') could be admitted together, and applying ('a','b')
+    first creates new 'ab' symbols the later merge also consumes
+    (order-dependent result, stale wcount). Unit-level because the
+    char-init public API applies merges globally, which makes the
+    collision unreachable end-to-end — the admission filter still must
+    hold the invariant on its own."""
+    from sparkga1_spark.operators.tokenizer import _admit_disjoint_batch
+
+    # kept ('ab','x') must block a later ('a','b') whose OUTPUT 'ab'
+    # is one of the kept pair's inputs (input-vs-output collision)
+    assert _admit_disjoint_batch([("ab x", 9), ("a b", 8)], m=4) == [
+        ("ab x", 9)
+    ]
+    # two splits of the same output symbol must not both be admitted
+    assert _admit_disjoint_batch([("ab c", 9), ("a bc", 8)], m=4) == [
+        ("ab c", 9)
+    ]
+    # genuinely disjoint pairs still batch, and m still caps
+    assert _admit_disjoint_batch(
+        [("a b", 9), ("c d", 8), ("e f", 7)], m=2
+    ) == [("a b", 9), ("c d", 8)]
+
+
 def test_bpe_encoder_matches_pure_python(spark):
     """bpe_segment_vocab must tokenize every vocabulary word exactly as
     the pure-Python reference does after the same merges — including a
