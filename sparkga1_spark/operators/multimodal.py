@@ -5316,37 +5316,19 @@ def _vp8l_prefix_code(value: int):
     return 2 * n + second, x & ((1 << (n - 1)) - 1), n - 1
 
 
-def parse_vp8l(body: bytes):
-    """VP8L chunk payload → (width, height, alpha_used, argb list).
-    The real decode within the documented subset; everything else
-    refuses with ValueError."""
-    if len(body) < 5 or body[0] != WEBP_VP8L_SIG:
-        raise ValueError("vp8l: bad signature byte")
-    br = _Vp8lReader(body, start=1)
-    w = br.read(14) + 1
-    h = br.read(14) + 1
-    _check_raster_size(w, h, "VP8L")  # bomb guard BEFORE the raster alloc
-    alpha_used = br.read(1)
-    if br.read(3) != 0:
-        raise ValueError("vp8l: unknown version")
-    transforms = []
-    while br.read(1):
-        t = br.read(2)
-        if t == 2:
-            if "subtract_green" in transforms:
-                raise ValueError("vp8l: duplicate subtract-green transform")
-            transforms.append("subtract_green")
-        else:
-            name = ("predictor", "color-transform", None, "color-indexing")[t]
-            raise ValueError(
-                f"vp8l: {name} transform not supported (documented subset)"
-            )
+def _vp8l_decode_entropy_image(br, w: int, h: int, *, is_level0: bool) -> list:
+    """One VP8L entropy-coded image stream (spec §5 DecodeImageStream
+    minus the transform header): optional color cache, the meta-prefix
+    flag (spatially-coded / level-0 images only — sub-images such as
+    the predictor tile raster never carry it), the 5-tree group, and
+    the LZ77 loop with prefix-coded lengths and direct distances.
+    Returns the raw ARGB list BEFORE any inverse transforms."""
     cache_bits = 0
     if br.read(1):
         cache_bits = br.read(4)
         if not 1 <= cache_bits <= 11:
             raise ValueError("vp8l: color-cache bits out of range")
-    if br.read(1):
+    if is_level0 and br.read(1):
         raise ValueError("vp8l: meta-huffman groups not supported (documented subset)")
     cache_size = (1 << cache_bits) if cache_bits else 0
     trees = [
@@ -5400,13 +5382,178 @@ def parse_vp8l(body: bytes):
                 raise ValueError("vp8l: color-cache index out of range")
             out[pos] = cache[idx]
             pos += 1
-    if "subtract_green" in transforms:
-        for i in range(n):
-            px = out[i]
-            gch = (px >> 8) & 0xFF
-            r = ((px >> 16) + gch) & 0xFF
-            b = (px + gch) & 0xFF
-            out[i] = (px & 0xFF00FF00) | (r << 16) | b
+    return out
+
+
+def _vp8l_avg2(a: int, b: int) -> int:
+    """Per-channel (a+b)>>1 on packed ARGB."""
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _vp8l_chans(px: int) -> tuple:
+    return (px >> 24) & 0xFF, (px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF
+
+
+def _vp8l_clamp255(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def _vp8l_predict_one(mode: int, left: int, top: int, tl: int, tr: int) -> int:
+    """One spec §4.2 prediction from the four ARGB neighbors — the
+    single source of predictor arithmetic for BOTH the decoder inverse
+    and the encoder forward pass."""
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _vp8l_avg2(_vp8l_avg2(left, tr), top)
+    if mode == 6:
+        return _vp8l_avg2(left, tl)
+    if mode == 7:
+        return _vp8l_avg2(left, top)
+    if mode == 8:
+        return _vp8l_avg2(tl, top)
+    if mode == 9:
+        return _vp8l_avg2(top, tr)
+    if mode == 10:
+        return _vp8l_avg2(_vp8l_avg2(left, tl), _vp8l_avg2(top, tr))
+    if mode == 11:
+        la, lr, lg, lb = _vp8l_chans(left)
+        ta, trd, tg, tb = _vp8l_chans(top)
+        ca, cr, cg, cb = _vp8l_chans(tl)
+        # Select: Manhattan distance of the full-precision estimate
+        # L+T-TL to each of L and T; |p-L| reduces to |T-TL| and
+        # |p-T| to |L-TL|; strictly-less prefers L (spec AMENDED2)
+        p_l = abs(ta - ca) + abs(trd - cr) + abs(tg - cg) + abs(tb - cb)
+        p_t = abs(la - ca) + abs(lr - cr) + abs(lg - cg) + abs(lb - cb)
+        return left if p_l < p_t else top
+    if mode == 12:
+        la, lr, lg, lb = _vp8l_chans(left)
+        ta, trd, tg, tb = _vp8l_chans(top)
+        ca, cr, cg, cb = _vp8l_chans(tl)
+        return (
+            (_vp8l_clamp255(la + ta - ca) << 24)
+            | (_vp8l_clamp255(lr + trd - cr) << 16)
+            | (_vp8l_clamp255(lg + tg - cg) << 8)
+            | _vp8l_clamp255(lb + tb - cb)
+        )
+    if mode == 13:
+        av = _vp8l_avg2(left, top)
+        aa, ar, ag, ab = _vp8l_chans(av)
+        ca, cr, cg, cb = _vp8l_chans(tl)
+
+        def half(a: int, b: int) -> int:
+            d = a - b
+            # C-style truncation toward zero, not Python floor
+            return _vp8l_clamp255(a + (d // 2 if d >= 0 else -((-d) // 2)))
+
+        return (
+            (half(aa, ca) << 24)
+            | (half(ar, cr) << 16)
+            | (half(ag, cg) << 8)
+            | half(ab, cb)
+        )
+    raise ValueError("vp8l: predictor mode out of range")
+
+
+def _vp8l_predictor_inverse(
+    res: list, w: int, h: int, size_bits: int, tiles: list
+) -> None:
+    """In-place inverse of the VP8L predictor transform (spec §4.2,
+    all 14 modes): each decoded value is a per-channel mod-256 residual
+    against a neighbor prediction; the predictor mode for pixel (x, y)
+    is the GREEN channel of tile (x >> size_bits, y >> size_bits).
+    Edge rules are the spec's: (0,0) predicts 0xff000000, the rest of
+    the top row predicts L, the left column predicts T, and the
+    TR-pixel for the rightmost column is exceptionally the leftmost
+    pixel of the SAME row (the contiguous-memory address pos-w+1)."""
+    tile_w = (w + (1 << size_bits) - 1) >> size_bits
+
+    def addpx(r: int, p: int) -> int:
+        return (
+            (((r >> 24) + (p >> 24)) & 0xFF) << 24
+            | ((((r >> 16) & 0xFF) + ((p >> 16) & 0xFF)) & 0xFF) << 16
+            | ((((r >> 8) & 0xFF) + ((p >> 8) & 0xFF)) & 0xFF) << 8
+            | (((r & 0xFF) + (p & 0xFF)) & 0xFF)
+        )
+
+    pos = 0
+    for y in range(h):
+        for x in range(w):
+            if pos == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = res[pos - 1]  # top row: L regardless of mode
+            elif x == 0:
+                pred = res[pos - w]  # left column: T regardless of mode
+            else:
+                mode = (tiles[(y >> size_bits) * tile_w + (x >> size_bits)] >> 8) & 0xFF
+                pred = _vp8l_predict_one(
+                    mode, res[pos - 1], res[pos - w], res[pos - w - 1], res[pos - w + 1]
+                )
+            res[pos] = addpx(res[pos], pred)
+            pos += 1
+
+
+def parse_vp8l(body: bytes):
+    """VP8L chunk payload → (width, height, alpha_used, argb list).
+    The real decode within the documented subset — which as of round 8
+    includes the PREDICTOR transform (all 14 spec §4.2 modes, the
+    construct wild VP8L encoders emit almost always) and
+    SUBTRACT_GREEN, with inverses applied in reverse header-read order;
+    color-transform / color-indexing / meta-Huffman still refuse with
+    ValueError rather than guess."""
+    if len(body) < 5 or body[0] != WEBP_VP8L_SIG:
+        raise ValueError("vp8l: bad signature byte")
+    br = _Vp8lReader(body, start=1)
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    _check_raster_size(w, h, "VP8L")  # bomb guard BEFORE the raster alloc
+    alpha_used = br.read(1)
+    if br.read(3) != 0:
+        raise ValueError("vp8l: unknown version")
+    transforms = []
+    seen = set()
+    while br.read(1):
+        t = br.read(2)
+        if t in seen:
+            raise ValueError("vp8l: duplicate transform")
+        seen.add(t)
+        if t == 2:
+            transforms.append(("subtract_green",))
+        elif t == 0:
+            size_bits = br.read(3) + 2
+            tile_w = (w + (1 << size_bits) - 1) >> size_bits
+            tile_h = (h + (1 << size_bits) - 1) >> size_bits
+            tiles = _vp8l_decode_entropy_image(
+                br, tile_w, tile_h, is_level0=False
+            )
+            transforms.append(("predictor", size_bits, tiles))
+        else:
+            name = (None, "color-transform", None, "color-indexing")[t]
+            raise ValueError(
+                f"vp8l: {name} transform not supported (documented subset)"
+            )
+    out = _vp8l_decode_entropy_image(br, w, h, is_level0=True)
+    n = w * h
+    # inverse transforms run in REVERSE header-read order (spec §4)
+    for tf in reversed(transforms):
+        if tf[0] == "subtract_green":
+            for i in range(n):
+                px = out[i]
+                gch = (px >> 8) & 0xFF
+                r = ((px >> 16) + gch) & 0xFF
+                b = (px + gch) & 0xFF
+                out[i] = (px & 0xFF00FF00) | (r << 16) | b
+        else:
+            _vp8l_predictor_inverse(out, w, h, tf[1], tf[2])
     return w, h, bool(alpha_used), out
 
 
@@ -5557,33 +5704,23 @@ def _vp8l_write_code(bw: _Vp8lWriter, freqs: dict[int, int], alphabet_size: int)
     return _vp8l_canonical_codes(lengths)
 
 
-def build_webp_lossless(px, *, cache_bits: int = 0) -> bytes:
-    """HxWx3 uint8 pixels → a real lossless WebP (VP8L in RIFF):
-    SUBTRACT_GREEN transform, optional color cache, run-length LZ77
-    backreferences (distance 1, emitted as direct dist_code 121), and
-    simple/normal Huffman codes as each tree's histogram warrants.
-    Alpha is constant 255 and alpha_is_used stays 0, so decoders
-    surface 3 channels."""
-    import numpy as np
-
-    arr = np.asarray(px, dtype=np.uint8)
-    if arr.ndim != 3 or arr.shape[2] != 3:
-        raise ValueError("vp8l: encoder expects HxWx3 pixels")
-    h, w, _ = arr.shape
-    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
-        raise ValueError("webp: dims exceed 14-bit field")
-    if not 0 <= cache_bits <= 11:
-        raise ValueError("vp8l: color-cache bits out of range")
-    r = arr[:, :, 0].astype(np.int64)
-    g = arr[:, :, 1].astype(np.int64)
-    b = arr[:, :, 2].astype(np.int64)
-    # subtract-green (the decoder inverts it after pixel decode)
-    rs = (r - g) & 0xFF
-    bs = (b - g) & 0xFF
-    flat = ((0xFF << 24) | (rs << 16) | (g << 8) | bs).flatten().tolist()
+def _vp8l_write_entropy_image(
+    bw, flat: list, cache_bits: int, *, is_level0: bool
+) -> None:
+    """Write one VP8L entropy-coded image stream onto `bw`: color-cache
+    flag(+bits), the meta-prefix flag (level-0 streams only), the
+    5-tree group, and the token stream (literals, run-length LZ77 refs
+    at direct distance 1, cache hits) — the exact mirror of
+    `_vp8l_decode_entropy_image`."""
     n = len(flat)
     cache_size = (1 << cache_bits) if cache_bits else 0
     cache = [0] * cache_size
+    # a slot counts as a hit only after a REAL insert — the zero-filled
+    # initial cache would otherwise match an ARGB of 0x00000000 (which
+    # predictor residual streams produce routinely) and could leave the
+    # green histogram with a lone >255 cache symbol, unrepresentable as
+    # a simple code
+    seeded = [False] * cache_size
     shift = 32 - cache_bits if cache_bits else 0
 
     def slot(argb: int) -> int:
@@ -5613,11 +5750,13 @@ def build_webp_lossless(px, *, cache_bits: int = 0) -> bytes:
                 bump(df_, dcode)
                 if cache_size:
                     for i in range(run):
-                        cache[slot(flat[pos + i])] = flat[pos + i]
+                        s = slot(flat[pos + i])
+                        cache[s] = flat[pos + i]
+                        seeded[s] = True
                 pos += run
                 continue
         v = flat[pos]
-        if cache_size and cache[slot(v)] == v:
+        if cache_size and seeded[slot(v)] and cache[slot(v)] == v:
             idx = slot(v)
             tokens.append(("cache", idx))
             bump(gf, 280 + idx)
@@ -5630,22 +5769,16 @@ def build_webp_lossless(px, *, cache_bits: int = 0) -> bytes:
         bump(af, (v >> 24) & 0xFF)
         if cache_size:
             cache[slot(v)] = v
+            seeded[slot(v)] = True
         pos += 1
 
-    bw = _Vp8lWriter()
-    bw.put(w - 1, 14)
-    bw.put(h - 1, 14)
-    bw.put(0, 1)  # alpha_is_used
-    bw.put(0, 3)  # version
-    bw.put(1, 1)  # a transform follows
-    bw.put(2, 2)  # SUBTRACT_GREEN
-    bw.put(0, 1)  # no more transforms
     if cache_bits:
         bw.put(1, 1)
         bw.put(cache_bits, 4)
     else:
         bw.put(0, 1)
-    bw.put(0, 1)  # no meta-huffman groups
+    if is_level0:
+        bw.put(0, 1)  # no meta-huffman groups
     gcodes = _vp8l_write_code(bw, gf, 256 + 24 + cache_size)
     rcodes = _vp8l_write_code(bw, rf, 256)
     bcodes = _vp8l_write_code(bw, bf, 256)
@@ -5668,6 +5801,124 @@ def build_webp_lossless(px, *, cache_bits: int = 0) -> bytes:
                 bw.put(dextra, dn)
         else:
             bw.put_code(*gcodes[280 + tok[1]])
+
+
+def _vp8l_predictor_forward(
+    argb: list, w: int, h: int, size_bits: int, mode_of
+) -> tuple:
+    """Forward predictor transform for the encoder: per-channel mod-256
+    residuals of each pixel against its prediction, plus the tile
+    raster whose green channel carries each block's mode (`mode_of(bx,
+    by)` picks it). Predictions come from the ORIGINAL neighbor pixels
+    — exactly the values the decoder has reconstructed when it reaches
+    the same position, since mod-256 residual+prediction is lossless —
+    through the same `_vp8l_predict_one` the inverse uses, with the
+    same edge rules (see `_vp8l_predictor_inverse`)."""
+    tile_w = (w + (1 << size_bits) - 1) >> size_bits
+    tile_h = (h + (1 << size_bits) - 1) >> size_bits
+    tiles = [
+        0xFF000000 | ((mode_of(bx, by) & 0xFF) << 8)
+        for by in range(tile_h)
+        for bx in range(tile_w)
+    ]
+
+    def subpx(p: int, q: int) -> int:
+        return (
+            (((p >> 24) - (q >> 24)) & 0xFF) << 24
+            | ((((p >> 16) & 0xFF) - ((q >> 16) & 0xFF)) & 0xFF) << 16
+            | ((((p >> 8) & 0xFF) - ((q >> 8) & 0xFF)) & 0xFF) << 8
+            | (((p & 0xFF) - (q & 0xFF)) & 0xFF)
+        )
+
+    res = [0] * (w * h)
+    pos = 0
+    for y in range(h):
+        for x in range(w):
+            if pos == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = argb[pos - 1]
+            elif x == 0:
+                pred = argb[pos - w]
+            else:
+                mode = (
+                    tiles[(y >> size_bits) * tile_w + (x >> size_bits)] >> 8
+                ) & 0xFF
+                pred = _vp8l_predict_one(
+                    mode,
+                    argb[pos - 1],
+                    argb[pos - w],
+                    argb[pos - w - 1],
+                    argb[pos - w + 1],
+                )
+            res[pos] = subpx(argb[pos], pred)
+            pos += 1
+    return res, tiles
+
+
+def build_webp_lossless(
+    px, *, cache_bits: int = 0, predictor_bits: int = 0, predictor_mode=None
+) -> bytes:
+    """HxWx3 uint8 pixels → a real lossless WebP (VP8L in RIFF):
+    optional PREDICTOR transform (r8 — `predictor_bits` 2..9 sets the
+    spec's size_bits; per-tile mode from `predictor_mode` if given,
+    else cycling (bx + 2·by) % 14 so every mode appears), then
+    SUBTRACT_GREEN, optional color cache, run-length LZ77
+    backreferences (distance 1, emitted as direct dist_code 121), and
+    simple/normal Huffman codes as each tree's histogram warrants.
+    Header order [predictor, subtract_green] means the decoder inverts
+    subtract-green first, then the predictor — so the encoder applies
+    the predictor to the raw raster and subtract-green to the
+    residuals. Alpha is constant 255 and alpha_is_used stays 0, so
+    decoders surface 3 channels."""
+    import numpy as np
+
+    arr = np.asarray(px, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("vp8l: encoder expects HxWx3 pixels")
+    h, w, _ = arr.shape
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError("webp: dims exceed 14-bit field")
+    if not 0 <= cache_bits <= 11:
+        raise ValueError("vp8l: color-cache bits out of range")
+    if predictor_bits and not 2 <= predictor_bits <= 9:
+        raise ValueError("vp8l: predictor size_bits out of range (2..9)")
+    r = arr[:, :, 0].astype(np.int64)
+    g = arr[:, :, 1].astype(np.int64)
+    b = arr[:, :, 2].astype(np.int64)
+    flat = ((0xFF << 24) | (r << 16) | (g << 8) | b).flatten().tolist()
+
+    bw = _Vp8lWriter()
+    bw.put(w - 1, 14)
+    bw.put(h - 1, 14)
+    bw.put(0, 1)  # alpha_is_used
+    bw.put(0, 3)  # version
+    if predictor_bits:
+        if predictor_mode is not None and not 0 <= predictor_mode <= 13:
+            raise ValueError("vp8l: predictor mode out of range")
+        mode_of = (
+            (lambda bx, by: predictor_mode)
+            if predictor_mode is not None
+            else (lambda bx, by: (bx + 2 * by) % 14)
+        )
+        flat, tiles = _vp8l_predictor_forward(flat, w, h, predictor_bits, mode_of)
+        bw.put(1, 1)  # a transform follows
+        bw.put(0, 2)  # PREDICTOR
+        bw.put(predictor_bits - 2, 3)
+        # the tile sub-image stream follows its parameters immediately
+        # (spec §4/§5), BEFORE the next more-transforms bit
+        _vp8l_write_entropy_image(bw, tiles, 0, is_level0=False)
+    # subtract-green ON THE RESIDUALS (see docstring for the ordering)
+    flat = [
+        (v & 0xFF00FF00)
+        | (((((v >> 16) & 0xFF) - ((v >> 8) & 0xFF)) & 0xFF) << 16)
+        | (((v & 0xFF) - ((v >> 8) & 0xFF)) & 0xFF)
+        for v in flat
+    ]
+    bw.put(1, 1)  # a transform follows
+    bw.put(2, 2)  # SUBTRACT_GREEN
+    bw.put(0, 1)  # no more transforms
+    _vp8l_write_entropy_image(bw, flat, cache_bits, is_level0=True)
     body = bytes([WEBP_VP8L_SIG]) + bw.bytes()
     chunk = _webp_chunk(b"VP8L", body)
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
@@ -5679,8 +5930,12 @@ def plant_webp_lossless_payloads(df: DataFrame, *, text_col: str = "text") -> Da
     pixels tile the UTF-8 text bytes (the QOI/GIF convention — natural
     text produces runs for the LZ77 layer, repeats for the color
     cache, and enough variety for normal Huffman codes). The color
-    cache toggles by parity (even ids: 6-bit cache) so both entropy
-    layouts carry driver-gate coverage."""
+    cache toggles by parity (even ids: 6-bit cache) and — r8, r7
+    VERDICT #3 — the PREDICTOR transform rotates by id%3: 0 = none,
+    1 = 4x4 tiles with the mode-cycling default (every spec §4.2 mode
+    appears across the corpus), 2 = 8x8 tiles with the single fixed
+    mode id%14 — so the driver gate covers plain, mixed-mode, and
+    every-fixed-mode predictor coding plus both cache layouts."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -5691,9 +5946,15 @@ def plant_webp_lossless_payloads(df: DataFrame, *, text_col: str = "text") -> Da
                 w, h = d % 31 + 4, d % 21 + 4
                 raw = (text_val or "").encode("utf-8") or b"\0"
                 px = np.resize(np.frombuffer(raw, np.uint8), (h, w, 3))
+                pb, pm = ((0, None), (2, None), (3, d % 14))[d % 3]
                 out.append(
                     (doc_id,
-                     build_webp_lossless(px, cache_bits=6 if d % 2 == 0 else 0))
+                     build_webp_lossless(
+                         px,
+                         cache_bits=6 if d % 2 == 0 else 0,
+                         predictor_bits=pb,
+                         predictor_mode=pm,
+                     ))
                 )
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 

@@ -2729,20 +2729,24 @@ def x_multimodal_webp_decode(spark, sf_dir):
     fourth entropy-coding family after DEFLATE (PNG), byte-delta
     (QOI), LZW (GIF), and Huffman+IDCT (JPEG): plant a real VP8L
     image per document (pixels tile the UTF-8 text bytes; the color
-    cache toggles by doc parity so both entropy layouts carry a gate
-    row), then run the COMPLETE subset decode — RIFF walk, 14-bit
-    header, simple AND normal canonical Huffman codes (code-length
-    code with zero-RLE), the 5-tree group, LZ77 run backreferences
-    with prefix-coded lengths/direct distances, the 0x1e35a7bd color
-    cache, and the SUBTRACT_GREEN inverse — and emit pixel stats.
-    Outside-subset constructs (plane-code distance table, predictor /
-    color / indexing transforms, meta-Huffman groups) refuse with
-    ValueError rather than guess (operators/multimodal.py VP8L
-    section documents the boundary); the in-repo encoder never emits
-    them. A strict independently-written reference decoder pins the
-    bitstream conventions in tests/test_multimodal_bytes.py (the QOI
-    lesson: roundtrips alone hide spec deviations). Lossy VP8 pixel
-    decode remains honestly unclaimed."""
+    cache toggles by doc parity and the PREDICTOR transform rotates
+    by id%3 — none / mode-cycling 4x4 tiles / fixed-mode 8x8 tiles —
+    so every §4.2 mode appears across the corpus), then run the
+    COMPLETE subset decode — RIFF walk, 14-bit header, simple AND
+    normal canonical Huffman codes (code-length code with zero-RLE),
+    the 5-tree group, LZ77 run backreferences with prefix-coded
+    lengths/direct distances, the 0x1e35a7bd color cache, the
+    PREDICTOR inverse (all 14 modes, r8 — the construct wild VP8L
+    encoders emit almost always), and the SUBTRACT_GREEN inverse —
+    and emit pixel stats. Outside-subset constructs (plane-code
+    distance table, color-transform / color-indexing, meta-Huffman
+    groups) refuse with ValueError rather than guess
+    (operators/multimodal.py VP8L section documents the boundary);
+    the in-repo encoder never emits them. A strict
+    independently-written reference decoder pins the bitstream
+    conventions in tests/test_multimodal_bytes.py (the QOI lesson:
+    roundtrips alone hide spec deviations). Lossy VP8 pixel decode
+    remains honestly unclaimed."""
     from sparkga1_spark.operators.multimodal import (
         decode_image_stats,
         plant_webp_lossless_payloads,

@@ -1012,6 +1012,9 @@ def test_decoder_fuzz_only_valueerror_and_bounded_alloc():
         (parse_webp_pixels, build_webp_lossless(
             np.resize(np.arange(210, dtype=np.uint8), (7, 10, 3)),
             cache_bits=4)),
+        (parse_webp_pixels, build_webp_lossless(  # r8: predictor path
+            np.resize(np.arange(210, dtype=np.uint8), (7, 10, 3)),
+            cache_bits=4, predictor_bits=2)),
         (parse_warc, build_warc(2, "s", "a b c", gzip_members=True)),
         (parse_warc, build_warc(2, "s", "a b c", gzip_members=False)),
         (extract_pdf_text, build_pdf(3, "a b c d e f", flate=True, n_pages=2)),
@@ -2285,12 +2288,43 @@ def _ref_vp8l_decode(data: bytes):
     h = bits.take(14) + 1
     bits.take(1)  # alpha flag
     assert bits.take(3) == 0
-    sub_green = False
+    transforms = []
     while bits.take(1):
-        assert bits.take(2) == 2
-        sub_green = True
+        t = bits.take(2)
+        if t == 2:
+            transforms.append(("sub_green",))
+        elif t == 0:
+            sb = bits.take(3) + 2
+            tw = (w + (1 << sb) - 1) >> sb
+            th = (h + (1 << sb) - 1) >> sb
+            transforms.append(
+                ("predictor", sb, _ref_entropy_image(bits, tw * th, level0=False))
+            )
+        else:
+            raise AssertionError(f"ref: unexpected transform {t}")
+    out = _ref_entropy_image(bits, w * h, level0=True)
+    for tf in reversed(transforms):
+        if tf[0] == "sub_green":
+            for i, px in enumerate(out):
+                gg = (px >> 8) & 0xFF
+                r = (((px >> 16) & 0xFF) + gg) & 0xFF
+                b = ((px & 0xFF) + gg) & 0xFF
+                out[i] = (px & 0xFF00FF00) | (r << 16) | b
+        else:
+            _ref_pred_inverse(out, w, h, tf[1], tf[2])
+    rgb = []
+    for px in out:
+        r, gg, b = (px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF
+        rgb.append((r, gg, b))
+    return w, h, rgb
+
+
+def _ref_entropy_image(bits, n, *, level0):
+    """One entropy-coded image stream (cache info, meta flag at level 0
+    only, 5 trees, LZ77 loop) → raw ARGB list of n pixels."""
     cache_bits = bits.take(4) if bits.take(1) else 0
-    assert bits.take(1) == 0  # no meta huffman
+    if level0:
+        assert bits.take(1) == 0  # no meta huffman
     csize = (1 << cache_bits) if cache_bits else 0
     trees = [_ref_read_code(bits, 256 + 24 + csize)]
     trees += [_ref_read_code(bits, 256) for _ in range(3)]
@@ -2301,7 +2335,7 @@ def _ref_vp8l_decode(data: bytes):
         if csize:
             cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
 
-    while len(out) < w * h:
+    while len(out) < n:
         g = _ref_read_sym(bits, trees[0])
         if g < 256:
             r = _ref_read_sym(bits, trees[1])
@@ -2321,13 +2355,79 @@ def _ref_vp8l_decode(data: bytes):
                 ins(px)
         else:
             out.append(cache[g - 280])
-    rgb = []
-    for px in out:
-        r, gg, b = (px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF
-        if sub_green:
-            r, b = (r + gg) & 0xFF, (b + gg) & 0xFF
-        rgb.append((r, gg, b))
-    return w, h, rgb
+    return out
+
+
+def _ref_pred_inverse(out, w, h, size_bits, tiles):
+    """Independent predictor inverse: works on (a, r, g, b) 4-tuples
+    (the engine works on packed u32 with bit-parallel averages), straight
+    from the spec text."""
+    tile_w = (w + (1 << size_bits) - 1) >> size_bits
+
+    def t4(px):
+        return ((px >> 24) & 0xFF, (px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF)
+
+    def pk(c):
+        return (c[0] << 24) | (c[1] << 16) | (c[2] << 8) | c[3]
+
+    def avg(a, b):
+        return tuple((x + y) >> 1 for x, y in zip(a, b))
+
+    def clamp(v):
+        return max(0, min(255, v))
+
+    for pos in range(w * h):
+        y, x = divmod(pos, w)
+        if pos == 0:
+            p = (0xFF, 0, 0, 0)
+        elif y == 0:
+            p = t4(out[pos - 1])
+        elif x == 0:
+            p = t4(out[pos - w])
+        else:
+            mode = (tiles[(y >> size_bits) * tile_w + (x >> size_bits)] >> 8) & 0xFF
+            L, T = t4(out[pos - 1]), t4(out[pos - w])
+            TL, TR = t4(out[pos - w - 1]), t4(out[pos - w + 1])
+            if mode == 0:
+                p = (0xFF, 0, 0, 0)
+            elif mode == 1:
+                p = L
+            elif mode == 2:
+                p = T
+            elif mode == 3:
+                p = TR
+            elif mode == 4:
+                p = TL
+            elif mode == 5:
+                p = avg(avg(L, TR), T)
+            elif mode == 6:
+                p = avg(L, TL)
+            elif mode == 7:
+                p = avg(L, T)
+            elif mode == 8:
+                p = avg(TL, T)
+            elif mode == 9:
+                p = avg(T, TR)
+            elif mode == 10:
+                p = avg(avg(L, TL), avg(T, TR))
+            elif mode == 11:
+                est = tuple(lc + tc - cc for lc, tc, cc in zip(L, T, TL))
+                pl = sum(abs(e - lc) for e, lc in zip(est, L))
+                pt = sum(abs(e - tc) for e, tc in zip(est, T))
+                p = L if pl < pt else T
+            elif mode == 12:
+                p = tuple(
+                    clamp(lc + tc - cc) for lc, tc, cc in zip(L, T, TL)
+                )
+            elif mode == 13:
+                a = avg(L, T)
+                p = tuple(
+                    clamp(ac + int((ac - cc) / 2)) for ac, cc in zip(a, TL)
+                )
+            else:
+                raise AssertionError("ref: bad predictor mode")
+        res = t4(out[pos])
+        out[pos] = pk(tuple((rc + pc) & 0xFF for rc, pc in zip(res, p)))
 
 
 def test_vp8l_engine_matches_independent_reference():
@@ -2361,10 +2461,54 @@ def test_vp8l_engine_matches_independent_reference():
             assert np.array_equal(eng, px)
 
 
+def test_vp8l_predictor_engine_matches_independent_reference():
+    """r8 (r7 VERDICT #3): predictor-coded VP8L across ALL 14 spec §4.2
+    modes, fixed-per-tile AND per-tile cycling, several tile sizes and
+    cache settings, must decode to the same pixels under the engine
+    decoder and the independently-written reference (tuple-channel
+    arithmetic vs the engine's packed-u32 bit tricks), and both must
+    equal the source raster."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import (
+        build_webp_lossless,
+        parse_webp_pixels,
+    )
+
+    rng = np.random.default_rng(8)
+    rasters = [
+        rng.integers(0, 256, (9, 13, 3), dtype=np.uint8),
+        np.full((6, 20, 3), 200, np.uint8),  # runs → LZ77 over residuals
+        rng.integers(0, 256, (5, 17, 3), dtype=np.uint8),
+        np.zeros((1, 1, 3), np.uint8),
+    ]
+    for px in rasters:
+        # every mode once (small tile so multiple tiles exist), plus the
+        # cycling default that mixes modes within one image
+        for mode in list(range(14)) + [None]:
+            data = build_webp_lossless(
+                px, cache_bits=4, predictor_bits=2, predictor_mode=mode
+            )
+            w, h, eng = parse_webp_pixels(data)
+            rw, rh, ref = _ref_vp8l_decode(data)
+            assert (w, h) == (rw, rh) == (px.shape[1], px.shape[0])
+            assert [tuple(p) for p in eng.reshape(-1, 3)] == ref
+            assert np.array_equal(eng, px)
+        # tile-size sweep at the cycling default, cache off
+        for pb in (3, 4, 9):
+            data = build_webp_lossless(px, predictor_bits=pb)
+            w, h, eng = parse_webp_pixels(data)
+            rw, rh, ref = _ref_vp8l_decode(data)
+            assert [tuple(p) for p in eng.reshape(-1, 3)] == ref
+            assert np.array_equal(eng, px)
+
+
 def test_vp8l_documented_refusals():
     """Outside-subset constructs refuse with ValueError, never guess:
-    predictor/color/indexing transforms, meta-Huffman groups,
-    plane-code distances, truncated streams, bad versions."""
+    color/indexing transforms, meta-Huffman groups, plane-code
+    distances, truncated streams, bad versions, duplicate transforms,
+    out-of-range predictor modes. (The predictor transform itself is
+    INSIDE the subset as of r8 — see the interop test above.)"""
     import struct
 
     import numpy as np
@@ -2387,13 +2531,42 @@ def test_vp8l_documented_refusals():
         setup(bw)
         return bytes([0x2F]) + bw.bytes()
 
-    for ttype, name in ((0, "predictor"), (1, "color-transform"),
-                        (3, "color-indexing")):
+    for ttype, name in ((1, "color-transform"), (3, "color-indexing")):
         def tr(bw, t=ttype):
             bw.put(1, 1)
             bw.put(t, 2)
         with pytest.raises(ValueError, match=name):
             parse_vp8l(stream(tr))
+
+    def dup(bw):
+        for _ in range(2):
+            bw.put(1, 1)
+            bw.put(2, 2)  # subtract-green twice
+    with pytest.raises(ValueError, match="duplicate transform"):
+        parse_vp8l(stream(dup))
+
+    # predictor tile raster whose green channel names mode 14: refuse —
+    # hand-assemble a 4x4 predictor-coded stream with a forged tile
+    from sparkga1_spark.operators import multimodal as _mm
+
+    res, _ = _mm._vp8l_predictor_forward(
+        [0xFF000000] * 16, 4, 4, 2, lambda bx, by: 1
+    )
+    bw = _mm._Vp8lWriter()
+    bw.put(3, 14)  # w=4
+    bw.put(3, 14)  # h=4
+    bw.put(0, 1)
+    bw.put(0, 3)
+    bw.put(1, 1)
+    bw.put(0, 2)  # PREDICTOR
+    bw.put(0, 3)  # size_bits=2 -> one 4x4 tile
+    _mm._vp8l_write_entropy_image(
+        bw, [0xFF000000 | (14 << 8)], 0, is_level0=False
+    )
+    bw.put(0, 1)  # no more transforms
+    _mm._vp8l_write_entropy_image(bw, res, 0, is_level0=True)
+    with pytest.raises(ValueError, match="predictor mode"):
+        parse_vp8l(bytes([0x2F]) + bw.bytes())
 
     def meta(bw):
         bw.put(0, 1)  # no transforms
