@@ -138,6 +138,16 @@ HEADLINE = [
     "x_web_corpus_pipeline",
     "x_sitemap_frontier",
     "x_image_text_pairs",
+    # round 8 additions (r7 VERDICT #4): the two r7 registrations that
+    # lacked a bench row — the VP8L real pixel decode (now incl. the
+    # predictor-transform fixtures) and the streaming WARC ingest →
+    # exactly-once dedup admission composition — plus x_gapfill_locf,
+    # the slowest query in the judge's r7 sf0.1 sample (17.1s; cost is
+    # grid density, rows = users × span-hours — benched so a regression
+    # is visible)
+    "x_multimodal_webp_decode",
+    "s_crawl_ingest_incremental",
+    "x_gapfill_locf",
 ]
 
 # CONVENTION (r5 VERDICT #8, made permanent per r6 VERDICT #9): the
@@ -224,6 +234,14 @@ def main() -> None:
         if all(n in times for n in HEADLINE[:35])
         else None
     )
+    # shared65 = the r7 65-query set (HEADLINE[:65]) — the
+    # round-over-round comparison subtotal for r8+ (same null-on-error
+    # rule as shared35)
+    shared65 = (
+        round(sum(times[n] for n in HEADLINE[:65]), 3)
+        if all(n in times for n in HEADLINE[:65])
+        else None
+    )
     print(
         json.dumps(
             {
@@ -235,6 +253,7 @@ def main() -> None:
                 "runs_per_query": 3,
                 "sf": sf,
                 "shared35": shared35,
+                "shared65": shared65,
                 **({"errors": errors} if errors else {}),
             }
         )
@@ -252,6 +271,7 @@ def main() -> None:
                 "n": len(times),
                 "n_errors": len(errors),
                 "shared35": shared35,
+                "shared65": shared65,
                 "sf": sf,
             }
         )

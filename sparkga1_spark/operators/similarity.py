@@ -133,6 +133,70 @@ def lsh_bucketed_neighbors(
     return pairs.filter(F.col("cos_sim") >= threshold)
 
 
+def _ivf_assign_vectorized(
+    base: DataFrame, cent_rows: list, id_col: str, nprobe: int
+) -> DataFrame:
+    """Arrow-batched numpy centroid assignment for `ivf_topk` — the
+    same arithmetic as the expression path, replicated bit-for-bit:
+    the dot product accumulates PER DIMENSION in the identical
+    sequential IEEE order (`acc += v_j * c_j` is one multiply + one add
+    per (row, centroid) element, exactly the zip_with/aggregate left
+    fold), rounding is the same floor(x·1e6 + 0.5)/1e6 on doubles, and
+    ties resolve to the lowest centroid id (cent_rows arrive cid-
+    ascending; argmin/stable argsort take the first minimum). NaN
+    cosines (zero-norm vectors; never in the fixtures) map to +inf so
+    they lose every min, mirroring Spark's NaN-sorts-last. Emits
+    (id, _vd, _vn, cluster_id, _probes[nprobe]) — the probe list is
+    only consumed for query rows."""
+    import numpy as np
+
+    C = np.array([list(r["cv"]) for r in cent_rows], dtype=np.float64)
+    cn = np.array([r["cn"] for r in cent_rows], dtype=np.float64)
+    cids = np.array([r["cid"] for r in cent_rows])
+    n_cent, d = C.shape
+    id_sql = base.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_sql}, _vd array<double>, _vn double, "
+        f"cluster_id {id_sql}, _probes array<{id_sql}>"
+    )
+    chunk = max(1, 32_000_000 // (8 * n_cent))  # ~256 MB of score matrix
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_cluster = np.empty(len(pdf), dtype=cids.dtype)
+            out_probes = []
+            V = np.array(pdf["_vd"].tolist(), dtype=np.float64)
+            vn = pdf["_vn"].to_numpy(dtype=np.float64)
+            for lo in range(0, len(pdf), chunk):
+                hi = min(lo + chunk, len(pdf))
+                dot = np.zeros((hi - lo, n_cent), dtype=np.float64)
+                for j in range(d):
+                    # one multiply + one add per element, dim order —
+                    # the exact left-fold sequence (no reassociation)
+                    dot += V[lo:hi, j : j + 1] * C[:, j][None, :]
+                cos = dot / (vn[lo:hi, None] * cn[None, :])
+                negcos = -(np.floor(cos * 1e6 + 0.5) / 1e6)
+                negcos = np.where(np.isnan(negcos), np.inf, negcos)
+                out_cluster[lo:hi] = cids[np.argmin(negcos, axis=1)]
+                order = np.argsort(negcos, axis=1, kind="stable")[:, :nprobe]
+                out_probes.extend(cids[row].tolist() for row in order)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "_vd": pdf["_vd"],
+                    "_vn": pdf["_vn"],
+                    "cluster_id": out_cluster,
+                    "_probes": out_probes,
+                }
+            )
+
+    return base.mapInPandas(run, schema=schema)
+
+
 def ivf_topk(
     df: DataFrame,
     *,
@@ -143,6 +207,7 @@ def ivf_topk(
     query_pred,
     k: int = 3,
     nprobe: int = 1,
+    vectorized: bool | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: vectors are assigned to their nearest seed
     centroid (cosine, deterministic tiebreak); each query probes its
@@ -169,7 +234,21 @@ def ivf_topk(
     the r7 plan audit — r7 VERDICT #2). The former Window.partitionBy
     (id) shuffled the whole n×n_cent scored stream just to take rn=1.
     The nprobe>1 probe list (query side only, a bounded set) is an
-    array_sort + slice over the same scored array — still no window."""
+    array_sort + slice over the same scored array — still no window.
+
+    SCALE PATH (r8, r7 VERDICT #8): the expression-tree assignment
+    evaluates the centroid transform through Catalyst's higher-order-
+    function interpreter at ~10⁷ pair-ops/s — fine at fixture scale
+    (k≈40), quadratic death at 100× where the %50 seed rule makes
+    k ∝ n (measured 72s at 10×). With `vectorized=None` (auto), k ≥ 64
+    switches assignment to an Arrow-batched numpy kernel that computes
+    THE SAME sequential left-fold dot product (per-dimension
+    accumulation in the identical IEEE order), the same
+    floor(x·1e6+0.5) rounding, and the same (negcos, cid) tiebreak —
+    bit-identical outputs, pinned by
+    test_ivf_vectorized_matches_expression — at numpy matmul-class
+    throughput. The driver-gate fixtures (k=40 at sf0.01/0.1) stay on
+    the oracle-pinned expression path."""
     id_type = df.schema[id_col].dataType
     cent_rows = sorted(
         df.filter(centroid_pred)
@@ -183,54 +262,72 @@ def ivf_topk(
     )
     if not cent_rows:
         raise ValueError("ivf_topk: centroid_pred selected no rows")
-    cents_lit = F.array(
-        *[
-            F.struct(
-                F.lit(r["cid"]).cast(id_type).alias("cid"),
-                F.lit(r["cv"]).cast("array<double>").alias("cv"),
-                F.lit(r["cn"]).cast("double").alias("cn"),
-            )
-            for r in cent_rows
-        ]
-    )
     base = df.select(
         F.col(id_col),
         vectors.to_double(F.col(vec_col)).alias("_vd"),
         vectors.norm(F.col(vec_col), dim).alias("_vn"),
     )
-    scored = base.withColumn(
-        "_sc",
-        F.transform(
-            cents_lit,
-            lambda c: F.struct(
-                (
-                    -hround(
-                        vectors.dot(F.col("_vd"), c["cv"], dim)
-                        / (F.col("_vn") * c["cn"]),
-                        6,
-                    )
-                ).alias("negcos"),
-                c["cid"].alias("cid"),
-            ),
-        ),
-    )
-    scored = tracked_persist(scored)  # candidate assign + query probes
-    assigned = scored.select(
-        id_col,
-        F.array_min("_sc")["cid"].alias("cluster_id"),
-        "_vd",
-        "_vn",
-    )
-    q = (
-        scored.filter(query_pred)
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.explode(F.slice(F.array_sort("_sc"), 1, nprobe)).alias("_p"),
-            F.col("_vd").alias("_qv"),
-            F.col("_vn").alias("_qn"),
+    use_np = vectorized if vectorized is not None else len(cent_rows) >= 64
+    if use_np:
+        scored = tracked_persist(
+            _ivf_assign_vectorized(base, cent_rows, id_col, nprobe)
         )
-        .select("query_id", F.col("_p")["cid"].alias("cluster_id"), "_qv", "_qn")
-    )
+        assigned = scored.select(id_col, "cluster_id", "_vd", "_vn")
+        q = (
+            scored.filter(query_pred)
+            .select(
+                F.col(id_col).alias("query_id"),
+                F.explode("_probes").alias("cluster_id"),
+                F.col("_vd").alias("_qv"),
+                F.col("_vn").alias("_qn"),
+            )
+        )
+    else:
+        cents_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(r["cid"]).cast(id_type).alias("cid"),
+                    F.lit(r["cv"]).cast("array<double>").alias("cv"),
+                    F.lit(r["cn"]).cast("double").alias("cn"),
+                )
+                for r in cent_rows
+            ]
+        )
+        scored = base.withColumn(
+            "_sc",
+            F.transform(
+                cents_lit,
+                lambda c: F.struct(
+                    (
+                        -hround(
+                            vectors.dot(F.col("_vd"), c["cv"], dim)
+                            / (F.col("_vn") * c["cn"]),
+                            6,
+                        )
+                    ).alias("negcos"),
+                    c["cid"].alias("cid"),
+                ),
+            ),
+        )
+        scored = tracked_persist(scored)  # candidate assign + query probes
+        assigned = scored.select(
+            id_col,
+            F.array_min("_sc")["cid"].alias("cluster_id"),
+            "_vd",
+            "_vn",
+        )
+        q = (
+            scored.filter(query_pred)
+            .select(
+                F.col(id_col).alias("query_id"),
+                F.explode(F.slice(F.array_sort("_sc"), 1, nprobe)).alias("_p"),
+                F.col("_vd").alias("_qv"),
+                F.col("_vn").alias("_qn"),
+            )
+            .select(
+                "query_id", F.col("_p")["cid"].alias("cluster_id"), "_qv", "_qn"
+            )
+        )
     pairs = assigned.join(q, on="cluster_id").filter(
         F.col("query_id") != F.col(id_col)
     )

@@ -3076,10 +3076,17 @@ def x_dau_wau_stickiness(spark, sf_dir):
     7 regardless of data size — the cost is one extra distinct over
     7× the (user, day) pairs, both keyed exchanges."""
     ev = _events(spark, sf_dir)
-    act = ev.select(
-        "user_id",
-        F.expr("CAST(unix_timestamp(ts) DIV 86400 AS BIGINT)").alias("d"),
-    ).distinct()
+    # the distinct (user, day) frame feeds THREE consumers (bounds, dau,
+    # the 7-day coverage explode) and the r8 runtime exchange-reuse
+    # audit showed AQE does NOT install a ReusedExchange across the
+    # diverging aggregate branches — without the persist the event scan
+    # + distinct rebuilt per branch (tools/exchange_reuse_audit.py)
+    act = tracked_persist(
+        ev.select(
+            "user_id",
+            F.expr("CAST(unix_timestamp(ts) DIV 86400 AS BIGINT)").alias("d"),
+        ).distinct()
+    )
     bounds = act.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
     dau = act.groupBy("d").agg(F.count("*").alias("dau"))
     cov = act.select(
@@ -3133,10 +3140,15 @@ def x_cohort_retention(spark, sf_dir):
     event stream shuffles once by user; the retention matrix is
     cohorts×ages — tiny."""
     ev = _events(spark, sf_dir)
-    act = ev.select(
-        "user_id",
-        F.expr("CAST(unix_timestamp(ts) DIV 86400 AS BIGINT)").alias("d"),
-    ).distinct()
+    # persisted: consumed by the cohort derivation AND the retention
+    # join; the r8 runtime audit measured three event scans without it
+    # (AQE never reused the distinct's exchange across branches)
+    act = tracked_persist(
+        ev.select(
+            "user_id",
+            F.expr("CAST(unix_timestamp(ts) DIV 86400 AS BIGINT)").alias("d"),
+        ).distinct()
+    )
     coh = act.groupBy("user_id").agg(F.min("d").alias("cd"))
     siz = coh.groupBy("cd").agg(F.count("*").alias("n_cohort"))
     return (

@@ -19,6 +19,14 @@ per-query guards in tests/test_plans.py assert piecemeal:
   x_ann_bruteforce_topk / x_knn_label_vote (the brute-force all-pairs
   baseline over a probe-bounded query filter)
 - WholeStageCodegen span count (wider = more of the plan fused)
+- reused_exchanges is ALWAYS 0 here because this audit records
+  AQE-INITIAL plans; ReusedExchange is installed at runtime. The r8
+  POST-EXECUTION sample (tools/exchange_reuse_audit.py, 5
+  multi-consumer queries) measured it never fires across diverging
+  aggregate branches either — multiply-consumed subtrees really
+  rebuild, which is why the registry persists small reused
+  intermediates via tracked_persist (and deliberately does NOT persist
+  fact-sized shared streams)
 
 The companion registry-wide guarantee lives in
 tests/test_plans.py::test_registry_wide_plan_hygiene.
