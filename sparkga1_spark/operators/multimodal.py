@@ -5463,6 +5463,66 @@ def _vp8l_predict_one(mode: int, left: int, top: int, tl: int, tr: int) -> int:
     raise ValueError("vp8l: predictor mode out of range")
 
 
+def _vp8l_ct_delta(t: int, c: int) -> int:
+    """ColorTransformDelta (spec §4.3): both the transform coefficient
+    and the sample are SIGNED 8-bit; the product shifts right
+    arithmetically by 5 (Python's >> on negative ints floors, matching
+    C's arithmetic shift)."""
+    if t >= 128:
+        t -= 256
+    if c >= 128:
+        c -= 256
+    return (t * c) >> 5
+
+
+def _vp8l_color_inverse(
+    res: list, w: int, h: int, size_bits: int, tiles: list
+) -> None:
+    """In-place inverse of the VP8L color transform (spec §4.3): the
+    tile pixel's BLUE byte is green_to_red, GREEN is green_to_blue,
+    RED is red_to_blue (libwebp's layout); red is reconstructed first
+    and the red_to_blue delta uses the RECONSTRUCTED red."""
+    tile_w = (w + (1 << size_bits) - 1) >> size_bits
+    pos = 0
+    for y in range(h):
+        trow = (y >> size_bits) * tile_w
+        for x in range(w):
+            cte = tiles[trow + (x >> size_bits)]
+            rtb = (cte >> 16) & 0xFF
+            gtb = (cte >> 8) & 0xFF
+            gtr = cte & 0xFF
+            px = res[pos]
+            g = (px >> 8) & 0xFF
+            r = (((px >> 16) & 0xFF) + _vp8l_ct_delta(gtr, g)) & 0xFF
+            b = ((px & 0xFF) + _vp8l_ct_delta(gtb, g) + _vp8l_ct_delta(rtb, r)) & 0xFF
+            res[pos] = (px & 0xFF00FF00) | (r << 16) | b
+            pos += 1
+
+
+def _vp8l_palette_expand(
+    coded: list, w: int, h: int, palette: list, width_bits: int
+) -> list:
+    """Inverse of the VP8L color-indexing transform (spec §4.5): each
+    coded pixel's GREEN byte holds 1, 2, 4 or 8 palette indices
+    (LSB-first bundling for palettes of ≤16 colors); an index past the
+    palette refuses — never guesses a color."""
+    w_coded = (w + (1 << width_bits) - 1) >> width_bits
+    bits = 8 >> width_bits
+    mask = (1 << bits) - 1
+    per = 1 << width_bits
+    out = [0] * (w * h)
+    for y in range(h):
+        row_c = y * w_coded
+        row_o = y * w
+        for x in range(w):
+            packed = (coded[row_c + (x >> width_bits)] >> 8) & 0xFF
+            idx = (packed >> ((x % per) * bits)) & mask
+            if idx >= len(palette):
+                raise ValueError("vp8l: palette index out of range")
+            out[row_o + x] = palette[idx]
+    return out
+
+
 def _vp8l_predictor_inverse(
     res: list, w: int, h: int, size_bits: int, tiles: list
 ) -> None:
@@ -5505,11 +5565,14 @@ def _vp8l_predictor_inverse(
 def parse_vp8l(body: bytes):
     """VP8L chunk payload → (width, height, alpha_used, argb list).
     The real decode within the documented subset — which as of round 8
-    includes the PREDICTOR transform (all 14 spec §4.2 modes, the
-    construct wild VP8L encoders emit almost always) and
-    SUBTRACT_GREEN, with inverses applied in reverse header-read order;
-    color-transform / color-indexing / meta-Huffman still refuse with
-    ValueError rather than guess."""
+    covers the FULL spec §4 transform family: PREDICTOR (all 14 §4.2
+    modes), COLOR_TRANSFORM (§4.3 signed 3.5-fixed cross-channel
+    deltas), SUBTRACT_GREEN, and COLOR_INDEXING (§4.5 delta-coded
+    palette incl. ≤16-color pixel bundling), with inverses applied in
+    reverse header-read order. Remaining refusals: meta-Huffman groups,
+    near-distance plane codes, and color-indexing COMBINED with other
+    transforms (the bundled width change would re-dimension their tile
+    rasters; the in-repo encoder never emits the combination)."""
     if len(body) < 5 or body[0] != WEBP_VP8L_SIG:
         raise ValueError("vp8l: bad signature byte")
     br = _Vp8lReader(body, start=1)
@@ -5521,6 +5584,8 @@ def parse_vp8l(body: bytes):
         raise ValueError("vp8l: unknown version")
     transforms = []
     seen = set()
+    palette = None
+    width_bits = 0
     while br.read(1):
         t = br.read(2)
         if t in seen:
@@ -5528,20 +5593,45 @@ def parse_vp8l(body: bytes):
         seen.add(t)
         if t == 2:
             transforms.append(("subtract_green",))
-        elif t == 0:
+        elif t in (0, 1):
             size_bits = br.read(3) + 2
             tile_w = (w + (1 << size_bits) - 1) >> size_bits
             tile_h = (h + (1 << size_bits) - 1) >> size_bits
             tiles = _vp8l_decode_entropy_image(
                 br, tile_w, tile_h, is_level0=False
             )
-            transforms.append(("predictor", size_bits, tiles))
-        else:
-            name = (None, "color-transform", None, "color-indexing")[t]
-            raise ValueError(
-                f"vp8l: {name} transform not supported (documented subset)"
+            transforms.append(
+                ("predictor" if t == 0 else "color_transform", size_bits, tiles)
             )
-    out = _vp8l_decode_entropy_image(br, w, h, is_level0=True)
+        else:  # t == 3: color indexing
+            psize = br.read(8) + 1
+            raw_pal = _vp8l_decode_entropy_image(br, psize, 1, is_level0=False)
+            # the palette sub-image is DELTA-coded: each entry adds the
+            # previous, per channel mod 256 (spec §4.5)
+            palette = []
+            prev = 0
+            for e in raw_pal:
+                cur = (
+                    ((((prev >> 24) + (e >> 24)) & 0xFF) << 24)
+                    | (((((prev >> 16) & 0xFF) + ((e >> 16) & 0xFF)) & 0xFF) << 16)
+                    | (((((prev >> 8) & 0xFF) + ((e >> 8) & 0xFF)) & 0xFF) << 8)
+                    | (((prev & 0xFF) + (e & 0xFF)) & 0xFF)
+                )
+                palette.append(cur)
+                prev = cur
+            width_bits = (
+                3 if psize <= 2 else 2 if psize <= 4 else 1 if psize <= 16 else 0
+            )
+            transforms.append(("color_indexing",))
+    if palette is not None and len(transforms) != 1:
+        raise ValueError(
+            "vp8l: color-indexing combined with other transforms not "
+            "supported (documented subset)"
+        )
+    dec_w = (
+        (w + (1 << width_bits) - 1) >> width_bits if palette is not None else w
+    )
+    out = _vp8l_decode_entropy_image(br, dec_w, h, is_level0=True)
     n = w * h
     # inverse transforms run in REVERSE header-read order (spec §4)
     for tf in reversed(transforms):
@@ -5552,8 +5642,12 @@ def parse_vp8l(body: bytes):
                 r = ((px >> 16) + gch) & 0xFF
                 b = (px + gch) & 0xFF
                 out[i] = (px & 0xFF00FF00) | (r << 16) | b
-        else:
+        elif tf[0] == "predictor":
             _vp8l_predictor_inverse(out, w, h, tf[1], tf[2])
+        elif tf[0] == "color_transform":
+            _vp8l_color_inverse(out, w, h, tf[1], tf[2])
+        else:
+            out = _vp8l_palette_expand(out, w, h, palette, width_bits)
     return w, h, bool(alpha_used), out
 
 
@@ -5857,20 +5951,32 @@ def _vp8l_predictor_forward(
 
 
 def build_webp_lossless(
-    px, *, cache_bits: int = 0, predictor_bits: int = 0, predictor_mode=None
+    px,
+    *,
+    cache_bits: int = 0,
+    predictor_bits: int = 0,
+    predictor_mode=None,
+    color_bits: int = 0,
+    color_cte=None,
+    palette: bool = False,
 ) -> bytes:
     """HxWx3 uint8 pixels → a real lossless WebP (VP8L in RIFF):
     optional PREDICTOR transform (r8 — `predictor_bits` 2..9 sets the
     spec's size_bits; per-tile mode from `predictor_mode` if given,
-    else cycling (bx + 2·by) % 14 so every mode appears), then
-    SUBTRACT_GREEN, optional color cache, run-length LZ77
+    else cycling (bx + 2·by) % 14 so every mode appears), optional
+    COLOR_TRANSFORM (r8 — `color_bits` 2..9; per-tile (green_to_red,
+    green_to_blue, red_to_blue) from `color_cte` if given, else a
+    deterministic per-tile cycle), then SUBTRACT_GREEN; OR — mutually
+    exclusive with all of those — COLOR_INDEXING (`palette=True`:
+    ≤256 unique colors, delta-coded palette sub-image, LSB-first pixel
+    bundling for ≤16 colors). Optional color cache, run-length LZ77
     backreferences (distance 1, emitted as direct dist_code 121), and
     simple/normal Huffman codes as each tree's histogram warrants.
-    Header order [predictor, subtract_green] means the decoder inverts
-    subtract-green first, then the predictor — so the encoder applies
-    the predictor to the raw raster and subtract-green to the
-    residuals. Alpha is constant 255 and alpha_is_used stays 0, so
-    decoders surface 3 channels."""
+    Header order [predictor, color_transform, subtract_green] means
+    the decoder inverts in the reverse order — so the encoder applies
+    predictor to the raw raster, the color transform to the predictor
+    residuals, and subtract-green last. Alpha is constant 255 and
+    alpha_is_used stays 0, so decoders surface 3 channels."""
     import numpy as np
 
     arr = np.asarray(px, dtype=np.uint8)
@@ -5883,6 +5989,12 @@ def build_webp_lossless(
         raise ValueError("vp8l: color-cache bits out of range")
     if predictor_bits and not 2 <= predictor_bits <= 9:
         raise ValueError("vp8l: predictor size_bits out of range (2..9)")
+    if color_bits and not 2 <= color_bits <= 9:
+        raise ValueError("vp8l: color-transform size_bits out of range (2..9)")
+    if palette and (predictor_bits or color_bits):
+        raise ValueError(
+            "vp8l: color-indexing combined with other transforms not supported"
+        )
     r = arr[:, :, 0].astype(np.int64)
     g = arr[:, :, 1].astype(np.int64)
     b = arr[:, :, 2].astype(np.int64)
@@ -5893,6 +6005,46 @@ def build_webp_lossless(
     bw.put(h - 1, 14)
     bw.put(0, 1)  # alpha_is_used
     bw.put(0, 3)  # version
+
+    if palette:
+        pal = sorted(set(flat))
+        if len(pal) > 256:
+            raise ValueError("vp8l: palette needs <= 256 unique colors")
+        index_of = {c: i for i, c in enumerate(pal)}
+        psize = len(pal)
+        width_bits = (
+            3 if psize <= 2 else 2 if psize <= 4 else 1 if psize <= 16 else 0
+        )
+        per = 1 << width_bits
+        bits = 8 >> width_bits
+        w_coded = (w + per - 1) >> width_bits
+        coded = [0] * (w_coded * h)
+        for y in range(h):
+            for x in range(w):
+                idx = index_of[flat[y * w + x]]
+                coded[y * w_coded + (x >> width_bits)] |= idx << ((x % per) * bits)
+        coded = [0xFF000000 | (v << 8) for v in coded]
+        # delta-code the palette (each entry stores the per-channel
+        # mod-256 difference from its predecessor)
+        deltas, prev = [], 0
+        for c in pal:
+            deltas.append(
+                ((((c >> 24) - (prev >> 24)) & 0xFF) << 24)
+                | (((((c >> 16) & 0xFF) - ((prev >> 16) & 0xFF)) & 0xFF) << 16)
+                | (((((c >> 8) & 0xFF) - ((prev >> 8) & 0xFF)) & 0xFF) << 8)
+                | (((c & 0xFF) - (prev & 0xFF)) & 0xFF)
+            )
+            prev = c
+        bw.put(1, 1)  # a transform follows
+        bw.put(3, 2)  # COLOR_INDEXING
+        bw.put(psize - 1, 8)
+        _vp8l_write_entropy_image(bw, deltas, 0, is_level0=False)
+        bw.put(0, 1)  # no more transforms
+        _vp8l_write_entropy_image(bw, coded, cache_bits, is_level0=True)
+        body = bytes([WEBP_VP8L_SIG]) + bw.bytes()
+        chunk = _webp_chunk(b"VP8L", body)
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
     if predictor_bits:
         if predictor_mode is not None and not 0 <= predictor_mode <= 13:
             raise ValueError("vp8l: predictor mode out of range")
@@ -5908,6 +6060,47 @@ def build_webp_lossless(
         # the tile sub-image stream follows its parameters immediately
         # (spec §4/§5), BEFORE the next more-transforms bit
         _vp8l_write_entropy_image(bw, tiles, 0, is_level0=False)
+    if color_bits:
+        if color_cte is not None:
+            gtr0, gtb0, rtb0 = (int(v) & 0xFF for v in color_cte)
+            cte_of = lambda bx, by: (gtr0, gtb0, rtb0)  # noqa: E731
+        else:
+            cte_of = lambda bx, by: (  # noqa: E731
+                (17 * (bx + 3 * by) + 5) % 256,
+                (29 * bx + 11 * by + 100) % 256,
+                (43 * bx + 7 * by + 200) % 256,
+            )
+        tile_w = (w + (1 << color_bits) - 1) >> color_bits
+        tile_h = (h + (1 << color_bits) - 1) >> color_bits
+        ct_tiles = []
+        for by in range(tile_h):
+            for bx in range(tile_w):
+                gtr, gtb, rtb = cte_of(bx, by)
+                ct_tiles.append(0xFF000000 | (rtb << 16) | (gtb << 8) | gtr)
+        out2 = [0] * (w * h)
+        for y in range(h):
+            trow = (y >> color_bits) * tile_w
+            for x in range(w):
+                cte = ct_tiles[trow + (x >> color_bits)]
+                v = flat[y * w + x]
+                gg = (v >> 8) & 0xFF
+                rr = (v >> 16) & 0xFF
+                bb = v & 0xFF
+                # forward: subtract the deltas the inverse adds; the
+                # red_to_blue delta uses the ORIGINAL red, which the
+                # decoder has reconstructed before it touches blue
+                nr = (rr - _vp8l_ct_delta(cte & 0xFF, gg)) & 0xFF
+                nb = (
+                    bb
+                    - _vp8l_ct_delta((cte >> 8) & 0xFF, gg)
+                    - _vp8l_ct_delta((cte >> 16) & 0xFF, rr)
+                ) & 0xFF
+                out2[y * w + x] = (v & 0xFF00FF00) | (nr << 16) | nb
+        flat = out2
+        bw.put(1, 1)  # a transform follows
+        bw.put(1, 2)  # COLOR_TRANSFORM
+        bw.put(color_bits - 2, 3)
+        _vp8l_write_entropy_image(bw, ct_tiles, 0, is_level0=False)
     # subtract-green ON THE RESIDUALS (see docstring for the ordering)
     flat = [
         (v & 0xFF00FF00)
@@ -5931,11 +6124,17 @@ def plant_webp_lossless_payloads(df: DataFrame, *, text_col: str = "text") -> Da
     text produces runs for the LZ77 layer, repeats for the color
     cache, and enough variety for normal Huffman codes). The color
     cache toggles by parity (even ids: 6-bit cache) and — r8, r7
-    VERDICT #3 — the PREDICTOR transform rotates by id%3: 0 = none,
-    1 = 4x4 tiles with the mode-cycling default (every spec §4.2 mode
-    appears across the corpus), 2 = 8x8 tiles with the single fixed
-    mode id%14 — so the driver gate covers plain, mixed-mode, and
-    every-fixed-mode predictor coding plus both cache layouts."""
+    VERDICT #3 — the spec §4 TRANSFORM rotates by id%5: 0 = none,
+    1 = predictor with 4x4 tiles and the mode-cycling default (every
+    §4.2 mode appears across the corpus), 2 = predictor with 8x8 tiles
+    and the single fixed mode id%14, 3 = color transform with 4x4
+    tiles and the cycling cte, 4 = color indexing (bytes masked to
+    &192 before tiling so the raster has ≤64 unique colors; the oracle
+    mirrors the mask) — so the driver gate covers the whole transform
+    family plus both cache layouts. Low-diversity docs can land under
+    the ≤16-color bundling threshold — the decoder handles every
+    bundling width (pytest interop matrix) and px_sum stays the plain
+    masked-tiled-byte formula regardless of packing."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -5945,15 +6144,21 @@ def plant_webp_lossless_payloads(df: DataFrame, *, text_col: str = "text") -> Da
                 d = int(doc_id)
                 w, h = d % 31 + 4, d % 21 + 4
                 raw = (text_val or "").encode("utf-8") or b"\0"
-                px = np.resize(np.frombuffer(raw, np.uint8), (h, w, 3))
-                pb, pm = ((0, None), (2, None), (3, d % 14))[d % 3]
+                buf = np.frombuffer(raw, np.uint8)
+                kw = (
+                    {},
+                    {"predictor_bits": 2},
+                    {"predictor_bits": 3, "predictor_mode": d % 14},
+                    {"color_bits": 2},
+                    {"palette": True},
+                )[d % 5]
+                if kw.get("palette"):
+                    buf = buf & 0xC0  # ≤4 values/channel → ≤64 colors
+                px = np.resize(buf, (h, w, 3))
                 out.append(
                     (doc_id,
                      build_webp_lossless(
-                         px,
-                         cache_bits=6 if d % 2 == 0 else 0,
-                         predictor_bits=pb,
-                         predictor_mode=pm,
+                         px, cache_bits=6 if d % 2 == 0 else 0, **kw
                      ))
                 )
             yield pd.DataFrame(out, columns=["doc_id", "payload"])

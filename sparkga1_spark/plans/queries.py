@@ -2714,13 +2714,18 @@ SELECT doc_id,
        CAST(h AS INTEGER) AS height,
        3 AS channels,
        'WEBP' AS format,
-       -- lossless roundtrip => px_sum is the tiled text-byte sum;
-       -- L = 0 guard mirrors the planter's b'\\0' empty-text fallback
+       -- lossless roundtrip => px_sum is the tiled text-byte sum
+       -- (bytes masked to &192 for the palette rotation, mirroring
+       -- the planter); L = 0 guard mirrors the b'\\0' empty fallback
        CAST(CASE WHEN L = 0 THEN 0
-            ELSE (w * h * 3 // L) * list_sum(bv)
-                 + coalesce(list_sum(bv[1:(w * h * 3) % L]), 0)
+            ELSE (w * h * 3 // L) * list_sum(mv)
+                 + coalesce(list_sum(mv[1:(w * h * 3) % L]), 0)
             END AS BIGINT) AS px_sum
-FROM s
+FROM (SELECT *,
+             CASE WHEN doc_id % 5 = 4
+                  THEN list_transform(bv, x -> x & 192)
+                  ELSE bv END AS mv
+      FROM s)
 """,
 )
 def x_multimodal_webp_decode(spark, sf_dir):

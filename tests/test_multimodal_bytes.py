@@ -2289,20 +2289,33 @@ def _ref_vp8l_decode(data: bytes):
     bits.take(1)  # alpha flag
     assert bits.take(3) == 0
     transforms = []
+    pal, wbits = None, 0
     while bits.take(1):
         t = bits.take(2)
         if t == 2:
             transforms.append(("sub_green",))
-        elif t == 0:
+        elif t in (0, 1):
             sb = bits.take(3) + 2
             tw = (w + (1 << sb) - 1) >> sb
             th = (h + (1 << sb) - 1) >> sb
             transforms.append(
-                ("predictor", sb, _ref_entropy_image(bits, tw * th, level0=False))
+                ("pred" if t == 0 else "ctrans", sb,
+                 _ref_entropy_image(bits, tw * th, level0=False))
             )
         else:
-            raise AssertionError(f"ref: unexpected transform {t}")
-    out = _ref_entropy_image(bits, w * h, level0=True)
+            psz = bits.take(8) + 1
+            deltas = _ref_entropy_image(bits, psz, level0=False)
+            pal, acc = [], (0, 0, 0, 0)
+            for d in deltas:
+                acc = tuple(
+                    (a + ((d >> s) & 0xFF)) & 0xFF
+                    for a, s in zip(acc, (24, 16, 8, 0))
+                )
+                pal.append(acc)
+            wbits = 3 if psz <= 2 else 2 if psz <= 4 else 1 if psz <= 16 else 0
+            transforms.append(("cindex",))
+    dec_w = (w + (1 << wbits) - 1) >> wbits if pal is not None else w
+    out = _ref_entropy_image(bits, dec_w * h, level0=True)
     for tf in reversed(transforms):
         if tf[0] == "sub_green":
             for i, px in enumerate(out):
@@ -2310,13 +2323,47 @@ def _ref_vp8l_decode(data: bytes):
                 r = (((px >> 16) & 0xFF) + gg) & 0xFF
                 b = ((px & 0xFF) + gg) & 0xFF
                 out[i] = (px & 0xFF00FF00) | (r << 16) | b
-        else:
+        elif tf[0] == "pred":
             _ref_pred_inverse(out, w, h, tf[1], tf[2])
+        elif tf[0] == "ctrans":
+            _ref_ctrans_inverse(out, w, h, tf[1], tf[2])
+        else:
+            nbpp = 8 >> wbits
+            per = 1 << wbits
+            new = []
+            for y in range(h):
+                for x in range(w):
+                    packed = (out[y * dec_w + (x >> wbits)] >> 8) & 0xFF
+                    idx = (packed >> ((x % per) * nbpp)) & ((1 << nbpp) - 1)
+                    a, r, gg, b = pal[idx]
+                    new.append((a << 24) | (r << 16) | (gg << 8) | b)
+            out = new
     rgb = []
     for px in out:
         r, gg, b = (px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF
         rgb.append((r, gg, b))
     return w, h, rgb
+
+
+def _ref_ctrans_inverse(out, w, h, size_bits, tiles):
+    """Independent color-transform inverse: signed-byte deltas as plain
+    Python int arithmetic with an explicit floor-division shift."""
+    def s8(v):
+        return v - 256 if v >= 128 else v
+
+    def delta(t, c):
+        return (s8(t) * s8(c)) // 32 if (s8(t) * s8(c)) >= 0 else -((-(s8(t) * s8(c)) + 31) // 32)
+
+    tw = (w + (1 << size_bits) - 1) >> size_bits
+    for pos in range(w * h):
+        y, x = divmod(pos, w)
+        cte = tiles[(y >> size_bits) * tw + (x >> size_bits)]
+        gtr, gtb, rtb = cte & 0xFF, (cte >> 8) & 0xFF, (cte >> 16) & 0xFF
+        px = out[pos]
+        g = (px >> 8) & 0xFF
+        r = (((px >> 16) & 0xFF) + delta(gtr, g)) & 0xFF
+        b = ((px & 0xFF) + delta(gtb, g) + delta(rtb, r)) & 0xFF
+        out[pos] = (px & 0xFF00FF00) | (r << 16) | b
 
 
 def _ref_entropy_image(bits, n, *, level0):
@@ -2503,12 +2550,146 @@ def test_vp8l_predictor_engine_matches_independent_reference():
             assert np.array_equal(eng, px)
 
 
+def test_vp8l_color_transform_and_palette_match_reference():
+    """r8: the remaining §4 transforms — COLOR_TRANSFORM (signed-byte
+    cross-channel deltas, per-tile cte cycling and fixed, composed with
+    the predictor) and COLOR_INDEXING (delta-coded palette, every
+    bundling width 8/4/2/1 bits-per-pixel) — must agree byte-for-byte
+    between the engine decoder and the independent reference, and both
+    must equal the source raster."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import (
+        build_webp_lossless,
+        parse_webp_pixels,
+    )
+
+    rng = np.random.default_rng(88)
+    px = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+    for kwargs in (
+        {"color_bits": 2},
+        {"color_bits": 3, "color_cte": (32, 200, 96)},
+        {"color_bits": 2, "cache_bits": 4},
+        {"predictor_bits": 2, "color_bits": 3},  # composed transforms
+    ):
+        data = build_webp_lossless(px, **kwargs)
+        w, h, eng = parse_webp_pixels(data)
+        rw, rh, ref = _ref_vp8l_decode(data)
+        assert (w, h) == (rw, rh) == (13, 9), kwargs
+        assert [tuple(p) for p in eng.reshape(-1, 3)] == ref, kwargs
+        assert np.array_equal(eng, px), kwargs
+    # palettes across every bundling width (2 -> 3bpp packing ... 256 -> none)
+    for ncol in (2, 4, 13, 16, 40, 256):
+        colors = np.unique(
+            rng.integers(0, 256, (ncol * 2, 3), dtype=np.uint8), axis=0
+        )[:ncol]
+        pxp = colors[rng.integers(0, len(colors), (7, 11))]
+        for cache in (0, 4):
+            data = build_webp_lossless(pxp, palette=True, cache_bits=cache)
+            w, h, eng = parse_webp_pixels(data)
+            rw, rh, ref = _ref_vp8l_decode(data)
+            assert (w, h) == (rw, rh) == (11, 7)
+            assert [tuple(p) for p in eng.reshape(-1, 3)] == ref, (ncol, cache)
+            assert np.array_equal(eng, pxp), (ncol, cache)
+
+
+def test_vp8l_palette_refusals():
+    """Color-indexing guards: >256 unique colors refuse at encode; an
+    out-of-range palette index refuses at decode; color-indexing
+    combined with another transform refuses on both sides."""
+    import numpy as np
+    import pytest
+
+    from sparkga1_spark.operators import multimodal as _mm
+    from sparkga1_spark.operators.multimodal import (
+        build_webp_lossless,
+        parse_vp8l,
+        parse_webp_pixels,
+    )
+
+    rng = np.random.default_rng(5)
+    big = rng.integers(0, 256, (30, 30, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="256 unique"):
+        build_webp_lossless(big, palette=True)
+    with pytest.raises(ValueError, match="combined with other"):
+        build_webp_lossless(big, palette=True, predictor_bits=2)
+
+    # hand-assemble: 2-color palette but an index byte naming entry 3
+    bw = _mm._Vp8lWriter()
+    bw.put(3, 14)  # w=4
+    bw.put(0, 14)  # h=1
+    bw.put(0, 1)
+    bw.put(0, 3)
+    bw.put(1, 1)
+    bw.put(3, 2)  # COLOR_INDEXING
+    bw.put(1, 8)  # psize-1 = 1 -> 2 colors -> width_bits=3 (8 px/byte)
+    _mm._vp8l_write_entropy_image(
+        bw, [0xFF000000, 0x00000001], 0, is_level0=False
+    )
+    bw.put(0, 1)  # no more transforms
+    # coded width = ceil(4/8) = 1; green byte 0b00000110 names indices
+    # 0,1,1,0 for x=0..3 at 1bpp -> valid; use 0xFF to name index 1 for
+    # all 8 slots (valid), then corrupt with a 2-bit index via psize=3
+    _mm._vp8l_write_entropy_image(
+        bw, [0xFF000000 | (0b00000110 << 8)], 0, is_level0=True
+    )
+    parse_vp8l(bytes([0x2F]) + bw.bytes())  # sanity: in-range decodes
+
+    bw = _mm._Vp8lWriter()
+    bw.put(3, 14)
+    bw.put(0, 14)
+    bw.put(0, 1)
+    bw.put(0, 3)
+    bw.put(1, 1)
+    bw.put(3, 2)
+    bw.put(2, 8)  # psize-1 = 2 -> 3 colors -> width_bits=2 (4 px/byte)
+    _mm._vp8l_write_entropy_image(
+        bw, [0xFF000000, 0x00000001, 0x00000100], 0, is_level0=False
+    )
+    bw.put(0, 1)
+    # 2-bit indices 3,0,0,0 -> 3 >= psize: refuse
+    _mm._vp8l_write_entropy_image(
+        bw, [0xFF000000 | (0b00000011 << 8)], 0, is_level0=True
+    )
+    with pytest.raises(ValueError, match="palette index out of range"):
+        parse_vp8l(bytes([0x2F]) + bw.bytes())
+
+    # decoder side of the combination guard: predictor + color-indexing
+    bw = _mm._Vp8lWriter()
+    bw.put(3, 14)
+    bw.put(3, 14)
+    bw.put(0, 1)
+    bw.put(0, 3)
+    bw.put(1, 1)
+    bw.put(3, 2)  # COLOR_INDEXING, 2 colors
+    bw.put(1, 8)
+    _mm._vp8l_write_entropy_image(
+        bw, [0xFF000000, 0x00000001], 0, is_level0=False
+    )
+    bw.put(1, 1)
+    bw.put(0, 2)  # PREDICTOR
+    bw.put(0, 3)
+    _mm._vp8l_write_entropy_image(bw, [0xFF000000], 0, is_level0=False)
+    bw.put(0, 1)
+    _mm._vp8l_write_entropy_image(bw, [0xFF000000] * 4, 0, is_level0=True)
+    with pytest.raises(ValueError, match="combined with other"):
+        parse_webp_pixels(
+            b"RIFF"
+            + (4 + 8 + len(bytes([0x2F]) + bw.bytes())
+               + (len(bytes([0x2F]) + bw.bytes()) % 2)).to_bytes(4, "little")
+            + b"WEBP"
+            + _mm._webp_chunk(b"VP8L", bytes([0x2F]) + bw.bytes())
+        )
+
+
 def test_vp8l_documented_refusals():
     """Outside-subset constructs refuse with ValueError, never guess:
-    color/indexing transforms, meta-Huffman groups, plane-code
-    distances, truncated streams, bad versions, duplicate transforms,
-    out-of-range predictor modes. (The predictor transform itself is
-    INSIDE the subset as of r8 — see the interop test above.)"""
+    meta-Huffman groups, plane-code distances, truncated streams, bad
+    versions, duplicate transforms, out-of-range predictor modes.
+    (The whole §4 transform family — predictor, color transform,
+    subtract-green, color indexing — is INSIDE the subset as of r8;
+    see the interop tests above. Palette-specific refusals live in
+    test_vp8l_palette_refusals.)"""
     import struct
 
     import numpy as np
@@ -2530,13 +2711,6 @@ def test_vp8l_documented_refusals():
         bw.put(0, 3)
         setup(bw)
         return bytes([0x2F]) + bw.bytes()
-
-    for ttype, name in ((1, "color-transform"), (3, "color-indexing")):
-        def tr(bw, t=ttype):
-            bw.put(1, 1)
-            bw.put(t, 2)
-        with pytest.raises(ValueError, match=name):
-            parse_vp8l(stream(tr))
 
     def dup(bw):
         for _ in range(2):
