@@ -157,27 +157,46 @@ _MAX_MEMBER_BYTES = 1 << 26  # 64 MiB per record: a gzip bomb refuses
 
 
 def _gzip_members(data: bytes) -> list[bytes]:
-    """Concatenated gzip members → one bytes blob per member, walked
-    via decompressobj.unused_data (the only way to find member
-    boundaries without reading the deflate stream twice). Inflation is
-    bounded per member and corrupt streams surface as ValueError only
-    (zlib.error would kill the executor task at the dispatch layer)."""
-    out = []
-    buf = data
-    while buf:
-        if buf[:2] != b"\x1f\x8b":
+    """Concatenated gzip members → one bytes blob per member, walked by
+    feeding each decompressobj FIXED-SIZE memoryview chunks and locating
+    member boundaries from eof + unused_data WITHIN the current chunk.
+    The former one-shot form handed the whole remaining buffer to every
+    member's decompressobj and re-materialized the tail via
+    `unused_data` — O(members × bytes) copying that turned a 36 MB
+    125k-member WARC into 323 s of tail copies (measured, r8 100×
+    ingest smoke; this form parses the same blob in seconds). Inflation
+    stays bounded per member and corrupt streams surface as ValueError
+    only (zlib.error would kill the executor task at the dispatch
+    layer)."""
+    out: list[bytes] = []
+    mv = memoryview(data)
+    n = len(data)
+    pos = 0
+    chunk_len = 1 << 20
+    while pos < n:
+        if data[pos : pos + 2] != b"\x1f\x8b":
             raise ValueError("warc: junk between gzip members")
         d = zlib.decompressobj(wbits=47)  # gzip-or-zlib header autodetect +32
-        try:
-            member = d.decompress(buf, _MAX_MEMBER_BYTES)
-        except zlib.error as exc:
-            raise ValueError(f"warc: corrupt gzip member ({exc})") from None
-        if d.unconsumed_tail:
-            raise ValueError("warc: gzip member exceeds the inflate bound")
-        if not d.eof:
-            raise ValueError("warc: truncated gzip member")
-        out.append(member)
-        buf = d.unused_data
+        parts: list[bytes] = []
+        produced = 0
+        mpos = pos
+        while True:
+            if mpos >= n:
+                raise ValueError("warc: truncated gzip member")
+            chunk = mv[mpos : mpos + chunk_len]
+            try:
+                piece = d.decompress(chunk, _MAX_MEMBER_BYTES + 1 - produced)
+            except zlib.error as exc:
+                raise ValueError(f"warc: corrupt gzip member ({exc})") from None
+            parts.append(piece)
+            produced += len(piece)
+            if produced > _MAX_MEMBER_BYTES:
+                raise ValueError("warc: gzip member exceeds the inflate bound")
+            if d.eof:
+                out.append(b"".join(parts))
+                pos = mpos + (len(chunk) - len(d.unused_data))
+                break
+            mpos += len(chunk)
     return out
 
 

@@ -12187,15 +12187,16 @@ def x_dedup_cluster_size_hist(spark, sf_dir):
 # (a) all 29 round-3-age queries — the oldest driver rows left after
 #     the r7 drain (every one re-verified at sf0.1 in r7's post-close
 #     addendum, and again green in this round's LOCAL_GATE);
-# (b) the 8 round-4-age queries whose PLANS CHANGED this round (the
-#     r7-VERDICT-#2 scalar de-replication touched them: skew/salt
-#     consumers pipeline_end_to_end + x_blackbox_variant_call, and the
-#     1-row-attach conversions) — they satisfy both "oldest row" and
-#     "changed this round";
-# (c) 13 more round-4-age rows, alphabetical (deterministic pick; the
-#     24 remaining r4-age rows front the r9 window, after which the
+# (b) the 10 changed-this-round rows: 8 r4-age queries whose plans the
+#     scalar de-replication touched (skew/salt consumers
+#     pipeline_end_to_end + x_blackbox_variant_call, and the
+#     1-row-attach conversions — both "oldest row" and "changed this
+#     round"), plus the result-changed webp decode and the
+#     persist-changed cohort retention;
+# (c) 11 more round-4-age rows, alphabetical (deterministic pick; the
+#     26 remaining r4-age rows front the r9 window, after which the
 #     whole registry sits at r5+ and the ~4.5-round cycle repeats).
-# 29 + 8 + 13 = 50. The round-8-changed queries holding r5+ rows
+# 29 + 10 + 11 = 50. The round-8-changed queries holding r5+ rows
 # (tfidf, q11/q15/q22, psi, ivf, gini, bm25, heaps, bloom, assoc,
 # kmeans, benford, dsir, bigram_lm, cluster_hist) are covered by this
 # round's full-precision LOCAL_GATE_r8 at driver strength and rotate
@@ -12235,7 +12236,13 @@ set_gate_order([
     "x_multimodal_y4m_frames",
     "x_pipe_external_tool",
     "x_text_quality",
-    # (b) round-4-age AND plan-changed-this-round (scalar de-replication)
+    # (b) changed-this-round: the 8 r4-age scalar-de-replication queries,
+    # plus x_multimodal_webp_decode (r7 row, but the id%5 transform
+    # rotation changed its fixture payloads AND its palette-masked
+    # px_sum values) and x_cohort_retention (r4 row; the exchange-reuse
+    # fix added a persist to its plan)
+    "x_multimodal_webp_decode",
+    "x_cohort_retention",
     "pipeline_end_to_end",
     "x_bigram_pmi",
     "x_blackbox_variant_call",
@@ -12256,6 +12263,7 @@ set_gate_order([
     "tpch_q1_pricing_summary",
     "tpch_q21_waiting_agg_form",
     "w_running_revenue",
-    "x_ann_pq_adc_topk",
-    "x_blocklist_suffix_match",
+    # (x_ann_pq_adc_topk and x_blocklist_suffix_match rotate to r9 —
+    # displaced by the two changed-this-round rows above; pq_adc holds
+    # an r4 driver row plus this round's 100x recall audit)
 ])

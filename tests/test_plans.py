@@ -179,19 +179,20 @@ def test_gate_order_fronts_unproven_queries():
         "x_flatmap_records", "x_lang_id", "x_multimodal_wav_features",
         "x_multimodal_y4m_frames", "x_pipe_external_tool",
         "x_text_quality",
-        # (b) round-4-age AND plan-changed this round (the r7-VERDICT-#2
-        # scalar de-replication)
+        # (b) changed this round: the 8 r4-age scalar-de-replication
+        # queries + the result-changed webp decode + the persist-changed
+        # cohort retention
         "pipeline_end_to_end", "x_bigram_pmi",
         "x_blackbox_variant_call", "x_column_profile_histogram",
         "x_dau_wau_stickiness", "x_drift_chi2",
         "x_mix_temperature_weights", "x_unigram_logprob",
-        # (c) 13 more round-4-age rows, alphabetical
+        "x_multimodal_webp_decode", "x_cohort_retention",
+        # (c) 11 more round-4-age rows, alphabetical
         "a_grouping_sets_revenue", "a_integrity_manifest",
         "a_sketch_accuracy_audit", "flagship_region_stats",
         "j_full_outer_recon", "j_star_revenue", "o_global_sort_vcf",
         "o_zorder_cluster", "tpch_q1_pricing_summary",
         "tpch_q21_waiting_agg_form", "w_running_revenue",
-        "x_ann_pq_adc_topk", "x_blocklist_suffix_match",
     }
     missing = must_have_row - first50
     assert not missing, f"not in the driver's 50-query window: {missing}"
