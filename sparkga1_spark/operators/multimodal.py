@@ -5318,26 +5318,43 @@ def _vp8l_prefix_code(value: int):
 
 def _vp8l_decode_entropy_image(br, w: int, h: int, *, is_level0: bool) -> list:
     """One VP8L entropy-coded image stream (spec §5 DecodeImageStream
-    minus the transform header): optional color cache, the meta-prefix
-    flag (spatially-coded / level-0 images only — sub-images such as
-    the predictor tile raster never carry it), the 5-tree group, and
-    the LZ77 loop with prefix-coded lengths and direct distances.
-    Returns the raw ARGB list BEFORE any inverse transforms."""
+    minus the transform header): optional color cache, meta-prefix
+    GROUPS (spatially-coded / level-0 images only, r8 — the prefix-
+    group image decodes as a recursive entropy sub-image whose tile
+    pixels carry the group index as (red << 8) | green; sub-images such
+    as the predictor tile raster never carry the flag), one 5-tree
+    group per meta code, and the LZ77 loop with prefix-coded lengths
+    and direct distances (each symbol selects its tree group from the
+    tile of its STARTING pixel). Returns the raw ARGB list BEFORE any
+    inverse transforms."""
     cache_bits = 0
     if br.read(1):
         cache_bits = br.read(4)
         if not 1 <= cache_bits <= 11:
             raise ValueError("vp8l: color-cache bits out of range")
+    meta_tiles = None
+    meta_bits = 0
+    n_groups = 1
     if is_level0 and br.read(1):
-        raise ValueError("vp8l: meta-huffman groups not supported (documented subset)")
+        meta_bits = br.read(3) + 2
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta_tiles = _vp8l_decode_entropy_image(br, mw, mh, is_level0=False)
+        meta_codes = [(px >> 8) & 0xFFFF for px in meta_tiles]
+        n_groups = max(meta_codes) + 1
+        meta_tiles = meta_codes
     cache_size = (1 << cache_bits) if cache_bits else 0
-    trees = [
-        _vp8l_read_code(br, 256 + 24 + cache_size),
-        _vp8l_read_code(br, 256),
-        _vp8l_read_code(br, 256),
-        _vp8l_read_code(br, 256),
-        _vp8l_read_code(br, 40),
+    groups = [
+        [
+            _vp8l_read_code(br, 256 + 24 + cache_size),
+            _vp8l_read_code(br, 256),
+            _vp8l_read_code(br, 256),
+            _vp8l_read_code(br, 256),
+            _vp8l_read_code(br, 40),
+        ]
+        for _ in range(n_groups)
     ]
+    meta_w = (w + (1 << meta_bits) - 1) >> meta_bits if meta_tiles else 0
     n = w * h
     out = [0] * n
     cache = [0] * cache_size
@@ -5347,7 +5364,14 @@ def _vp8l_decode_entropy_image(br, w: int, h: int, *, is_level0: bool) -> list:
         cache[(_VP8L_HASH_MUL * argb & 0xFFFFFFFF) >> shift] = argb
 
     pos = 0
+    trees = groups[0]
     while pos < n:
+        if meta_tiles is not None:
+            trees = groups[
+                meta_tiles[
+                    ((pos // w) >> meta_bits) * meta_w + ((pos % w) >> meta_bits)
+                ]
+            ]
         g = _vp8l_read_symbol(br, trees[0])
         if g < 256:
             r = _vp8l_read_symbol(br, trees[1])
@@ -5569,10 +5593,15 @@ def parse_vp8l(body: bytes):
     modes), COLOR_TRANSFORM (§4.3 signed 3.5-fixed cross-channel
     deltas), SUBTRACT_GREEN, and COLOR_INDEXING (§4.5 delta-coded
     palette incl. ≤16-color pixel bundling), with inverses applied in
-    reverse header-read order. Remaining refusals: meta-Huffman groups,
-    near-distance plane codes, and color-indexing COMBINED with other
-    transforms (the bundled width change would re-dimension their tile
-    rasters; the in-repo encoder never emits the combination)."""
+    reverse header-read order — PLUS meta-prefix groups (spec §5.3
+    spatial tree switching, r8). Remaining refusals: near-distance
+    plane codes (the spec's 120-entry 2D offset table — a literal we
+    decline to transcribe unverified, since a wrong entry would decode
+    consistently-but-wrong on both our encoder and our independent
+    reference, the exact QOI failure mode), and color-indexing COMBINED
+    with other transforms (the bundled width change would re-dimension
+    their tile rasters; the in-repo encoder never emits either
+    construct)."""
     if len(body) < 5 or body[0] != WEBP_VP8L_SIG:
         raise ValueError("vp8l: bad signature byte")
     br = _Vp8lReader(body, start=1)
@@ -5799,12 +5828,23 @@ def _vp8l_write_code(bw: _Vp8lWriter, freqs: dict[int, int], alphabet_size: int)
 
 
 def _vp8l_write_entropy_image(
-    bw, flat: list, cache_bits: int, *, is_level0: bool
+    bw,
+    flat: list,
+    cache_bits: int,
+    *,
+    is_level0: bool,
+    meta_bits: int = 0,
+    width: int = 0,
+    n_groups: int = 2,
 ) -> None:
     """Write one VP8L entropy-coded image stream onto `bw`: color-cache
-    flag(+bits), the meta-prefix flag (level-0 streams only), the
-    5-tree group, and the token stream (literals, run-length LZ77 refs
-    at direct distance 1, cache hits) — the exact mirror of
+    flag(+bits), the meta-prefix flag (level-0 streams only — with
+    `meta_bits` > 0 a prefix-group tile image is emitted as a recursive
+    entropy sub-image whose green channel carries each tile's group
+    index, cycling (bx + by) % n_groups, and every token is coded with
+    the tree group of its STARTING pixel), one 5-tree group per meta
+    code, and the token stream (literals, run-length LZ77 refs at
+    direct distance 1, cache hits) — the exact mirror of
     `_vp8l_decode_entropy_image`."""
     n = len(flat)
     cache_size = (1 << cache_bits) if cache_bits else 0
@@ -5820,18 +5860,47 @@ def _vp8l_write_entropy_image(
     def slot(argb: int) -> int:
         return (_VP8L_HASH_MUL * argb & 0xFFFFFFFF) >> shift
 
-    tokens = []
-    gf: dict[int, int] = {}
-    rf: dict[int, int] = {}
-    bf: dict[int, int] = {}
-    af: dict[int, int] = {}
-    df_: dict[int, int] = {}
+    meta_w = 0
+    meta_px: list = []
+    group_of = None
+    if meta_bits:
+        if not is_level0:
+            raise ValueError("vp8l: meta groups only on the level-0 stream")
+        if not 2 <= meta_bits <= 9:
+            raise ValueError("vp8l: meta size_bits out of range (2..9)")
+        if not width:
+            raise ValueError("vp8l: meta groups need the image width")
+        meta_w = (width + (1 << meta_bits) - 1) >> meta_bits
+        meta_h = (len(flat) // width + (1 << meta_bits) - 1) >> meta_bits
+        meta_px = [
+            0xFF000000 | (((bx + by) % n_groups) << 8)
+            for by in range(meta_h)
+            for bx in range(meta_w)
+        ]
+        # the DECODER sizes the group list from the tile raster's max
+        # code, so the encoder must write exactly that many tree groups
+        # (a single-tile image cycles to group 0 only)
+        n_groups = max((px >> 8) & 0xFFFF for px in meta_px) + 1
 
-    def bump(d: dict[int, int], k: int) -> None:
+        def group_of(p: int) -> int:
+            bx = (p % width) >> meta_bits
+            by = (p // width) >> meta_bits
+            return (meta_px[by * meta_w + bx] >> 8) & 0xFFFF
+
+    ng = n_groups if meta_bits else 1
+    tokens = []
+    gf = [dict() for _ in range(ng)]
+    rf = [dict() for _ in range(ng)]
+    bf = [dict() for _ in range(ng)]
+    af = [dict() for _ in range(ng)]
+    df_ = [dict() for _ in range(ng)]
+
+    def bump(d: dict, k: int) -> None:
         d[k] = d.get(k, 0) + 1
 
     pos = 0
     while pos < n:
+        gi = group_of(pos) if meta_bits else 0
         if pos > 0 and flat[pos] == flat[pos - 1]:
             run = 0
             while pos + run < n and flat[pos + run] == flat[pos - 1] and run < 4096:
@@ -5839,9 +5908,9 @@ def _vp8l_write_entropy_image(
             if run >= 3:
                 code, extra, n_extra = _vp8l_prefix_code(run)
                 dcode, dextra, dn = _vp8l_prefix_code(121)  # dist 1 direct
-                tokens.append(("ref", code, extra, n_extra, dcode, dextra, dn))
-                bump(gf, 256 + code)
-                bump(df_, dcode)
+                tokens.append(("ref", gi, code, extra, n_extra, dcode, dextra, dn))
+                bump(gf[gi], 256 + code)
+                bump(df_[gi], dcode)
                 if cache_size:
                     for i in range(run):
                         s = slot(flat[pos + i])
@@ -5852,15 +5921,15 @@ def _vp8l_write_entropy_image(
         v = flat[pos]
         if cache_size and seeded[slot(v)] and cache[slot(v)] == v:
             idx = slot(v)
-            tokens.append(("cache", idx))
-            bump(gf, 280 + idx)
+            tokens.append(("cache", gi, idx))
+            bump(gf[gi], 280 + idx)
             pos += 1
             continue
-        tokens.append(("lit", v))
-        bump(gf, (v >> 8) & 0xFF)
-        bump(rf, (v >> 16) & 0xFF)
-        bump(bf, v & 0xFF)
-        bump(af, (v >> 24) & 0xFF)
+        tokens.append(("lit", gi, v))
+        bump(gf[gi], (v >> 8) & 0xFF)
+        bump(rf[gi], (v >> 16) & 0xFF)
+        bump(bf[gi], v & 0xFF)
+        bump(af[gi], (v >> 24) & 0xFF)
         if cache_size:
             cache[slot(v)] = v
             seeded[slot(v)] = True
@@ -5872,29 +5941,41 @@ def _vp8l_write_entropy_image(
     else:
         bw.put(0, 1)
     if is_level0:
-        bw.put(0, 1)  # no meta-huffman groups
-    gcodes = _vp8l_write_code(bw, gf, 256 + 24 + cache_size)
-    rcodes = _vp8l_write_code(bw, rf, 256)
-    bcodes = _vp8l_write_code(bw, bf, 256)
-    acodes = _vp8l_write_code(bw, af, 256)
-    dcodes = _vp8l_write_code(bw, df_, 40)
+        if meta_bits:
+            bw.put(1, 1)  # meta-huffman groups follow
+            bw.put(meta_bits - 2, 3)
+            _vp8l_write_entropy_image(bw, meta_px, 0, is_level0=False)
+        else:
+            bw.put(0, 1)  # no meta-huffman groups
+    codes = []
+    for gi in range(ng):
+        codes.append(
+            [
+                _vp8l_write_code(bw, gf[gi], 256 + 24 + cache_size),
+                _vp8l_write_code(bw, rf[gi], 256),
+                _vp8l_write_code(bw, bf[gi], 256),
+                _vp8l_write_code(bw, af[gi], 256),
+                _vp8l_write_code(bw, df_[gi], 40),
+            ]
+        )
     for tok in tokens:
+        gc, rc, bc, ac, dc = codes[tok[1]]
         if tok[0] == "lit":
-            v = tok[1]
-            bw.put_code(*gcodes[(v >> 8) & 0xFF])
-            bw.put_code(*rcodes[(v >> 16) & 0xFF])
-            bw.put_code(*bcodes[v & 0xFF])
-            bw.put_code(*acodes[(v >> 24) & 0xFF])
+            v = tok[2]
+            bw.put_code(*gc[(v >> 8) & 0xFF])
+            bw.put_code(*rc[(v >> 16) & 0xFF])
+            bw.put_code(*bc[v & 0xFF])
+            bw.put_code(*ac[(v >> 24) & 0xFF])
         elif tok[0] == "ref":
-            _, code, extra, n_extra, dcode, dextra, dn = tok
-            bw.put_code(*gcodes[256 + code])
+            _, _, code, extra, n_extra, dcode, dextra, dn = tok
+            bw.put_code(*gc[256 + code])
             if n_extra:
                 bw.put(extra, n_extra)
-            bw.put_code(*dcodes[dcode])
+            bw.put_code(*dc[dcode])
             if dn:
                 bw.put(dextra, dn)
         else:
-            bw.put_code(*gcodes[280 + tok[1]])
+            bw.put_code(*gc[280 + tok[2]])
 
 
 def _vp8l_predictor_forward(
@@ -5959,6 +6040,8 @@ def build_webp_lossless(
     color_bits: int = 0,
     color_cte=None,
     palette: bool = False,
+    meta_bits: int = 0,
+    meta_groups: int = 2,
 ) -> bytes:
     """HxWx3 uint8 pixels → a real lossless WebP (VP8L in RIFF):
     optional PREDICTOR transform (r8 — `predictor_bits` 2..9 sets the
@@ -6040,7 +6123,12 @@ def build_webp_lossless(
         bw.put(psize - 1, 8)
         _vp8l_write_entropy_image(bw, deltas, 0, is_level0=False)
         bw.put(0, 1)  # no more transforms
-        _vp8l_write_entropy_image(bw, coded, cache_bits, is_level0=True)
+        # meta groups tile the CODED (bundled-width) raster — the same
+        # dimensions the decoder's group lookup runs against
+        _vp8l_write_entropy_image(
+            bw, coded, cache_bits, is_level0=True,
+            meta_bits=meta_bits, width=w_coded, n_groups=meta_groups,
+        )
         body = bytes([WEBP_VP8L_SIG]) + bw.bytes()
         chunk = _webp_chunk(b"VP8L", body)
         return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
@@ -6111,7 +6199,10 @@ def build_webp_lossless(
     bw.put(1, 1)  # a transform follows
     bw.put(2, 2)  # SUBTRACT_GREEN
     bw.put(0, 1)  # no more transforms
-    _vp8l_write_entropy_image(bw, flat, cache_bits, is_level0=True)
+    _vp8l_write_entropy_image(
+        bw, flat, cache_bits, is_level0=True,
+        meta_bits=meta_bits, width=w, n_groups=meta_groups,
+    )
     body = bytes([WEBP_VP8L_SIG]) + bw.bytes()
     chunk = _webp_chunk(b"VP8L", body)
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
@@ -6130,8 +6221,10 @@ def plant_webp_lossless_payloads(df: DataFrame, *, text_col: str = "text") -> Da
     and the single fixed mode id%14, 3 = color transform with 4x4
     tiles and the cycling cte, 4 = color indexing (bytes masked to
     &192 before tiling so the raster has ≤64 unique colors; the oracle
-    mirrors the mask) — so the driver gate covers the whole transform
-    family plus both cache layouts. Low-diversity docs can land under
+    mirrors the mask), with odd plain-variant ids additionally
+    carrying META-PREFIX GROUPS — so the driver gate covers the whole
+    transform family, spatial tree switching, and both cache layouts.
+    Low-diversity docs can land under
     the ≤16-color bundling threshold — the decoder handles every
     bundling width (pytest interop matrix) and px_sum stays the plain
     masked-tiled-byte formula regardless of packing."""
@@ -6146,7 +6239,10 @@ def plant_webp_lossless_payloads(df: DataFrame, *, text_col: str = "text") -> Da
                 raw = (text_val or "").encode("utf-8") or b"\0"
                 buf = np.frombuffer(raw, np.uint8)
                 kw = (
-                    {},
+                    # plain — but ODD plain ids carry meta-prefix
+                    # groups (r8: spatial tree switching; px_sum is
+                    # coding-agnostic so the oracle is unchanged)
+                    {"meta_bits": 2} if d % 2 == 1 else {},
                     {"predictor_bits": 2},
                     {"predictor_bits": 3, "predictor_mode": d % 14},
                     {"color_bits": 2},

@@ -2742,12 +2742,14 @@ def x_multimodal_webp_decode(spark, sf_dir):
     the 5-tree group, LZ77 run backreferences with prefix-coded
     lengths/direct distances, the 0x1e35a7bd color cache, the
     PREDICTOR inverse (all 14 modes, r8 — the construct wild VP8L
-    encoders emit almost always), and the SUBTRACT_GREEN inverse —
-    and emit pixel stats. Outside-subset constructs (plane-code
-    distance table, color-transform / color-indexing, meta-Huffman
-    groups) refuse with ValueError rather than guess
-    (operators/multimodal.py VP8L section documents the boundary);
-    the in-repo encoder never emits them. A strict
+    encoders emit almost always), the COLOR_TRANSFORM and
+    COLOR_INDEXING inverses (r8 — the full spec §4 family), META-PREFIX
+    group switching (r8), and the SUBTRACT_GREEN inverse — and emit
+    pixel stats. The one remaining outside-subset construct —
+    near-distance plane codes — refuses with ValueError rather than
+    guess (operators/multimodal.py documents why: an unverifiable
+    120-entry literal table would fail consistently-but-wrong on both
+    in-repo sides); the in-repo encoder never emits it. A strict
     independently-written reference decoder pins the bitstream
     conventions in tests/test_multimodal_bytes.py (the QOI lesson:
     roundtrips alone hide spec deviations). Lossy VP8 pixel decode

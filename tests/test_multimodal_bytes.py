@@ -2315,7 +2315,7 @@ def _ref_vp8l_decode(data: bytes):
             wbits = 3 if psz <= 2 else 2 if psz <= 4 else 1 if psz <= 16 else 0
             transforms.append(("cindex",))
     dec_w = (w + (1 << wbits) - 1) >> wbits if pal is not None else w
-    out = _ref_entropy_image(bits, dec_w * h, level0=True)
+    out = _ref_entropy_image(bits, dec_w * h, level0=True, width=dec_w)
     for tf in reversed(transforms):
         if tf[0] == "sub_green":
             for i, px in enumerate(out):
@@ -2366,16 +2366,32 @@ def _ref_ctrans_inverse(out, w, h, size_bits, tiles):
         out[pos] = (px & 0xFF00FF00) | (r << 16) | b
 
 
-def _ref_entropy_image(bits, n, *, level0):
-    """One entropy-coded image stream (cache info, meta flag at level 0
-    only, 5 trees, LZ77 loop) → raw ARGB list of n pixels."""
+def _ref_entropy_image(bits, n, *, level0, width=0):
+    """One entropy-coded image stream (cache info, meta-group image at
+    level 0 only, one 5-tree group per meta code, LZ77 loop) → raw ARGB
+    list of n pixels. Each symbol picks its group from the meta tile of
+    its starting pixel ((red<<8)|green of the tile raster)."""
     cache_bits = bits.take(4) if bits.take(1) else 0
+    meta, mbits, mw = None, 0, 0
+    ngroups = 1
     if level0:
-        assert bits.take(1) == 0  # no meta huffman
+        if bits.take(1):  # meta huffman groups
+            mbits = bits.take(3) + 2
+            assert width > 0
+            mw = (width + (1 << mbits) - 1) >> mbits
+            mh = (n // width + (1 << mbits) - 1) >> mbits
+            raw = _ref_entropy_image(bits, mw * mh, level0=False)
+            meta = [(px >> 8) & 0xFFFF for px in raw]
+            ngroups = max(meta) + 1
     csize = (1 << cache_bits) if cache_bits else 0
-    trees = [_ref_read_code(bits, 256 + 24 + csize)]
-    trees += [_ref_read_code(bits, 256) for _ in range(3)]
-    trees.append(_ref_read_code(bits, 40))
+
+    def one_group():
+        trees = [_ref_read_code(bits, 256 + 24 + csize)]
+        trees += [_ref_read_code(bits, 256) for _ in range(3)]
+        trees.append(_ref_read_code(bits, 40))
+        return trees
+
+    groups = [one_group() for _ in range(ngroups)]
     out, cache = [], [0] * csize
 
     def ins(px):
@@ -2383,6 +2399,13 @@ def _ref_entropy_image(bits, n, *, level0):
             cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
 
     while len(out) < n:
+        if meta is None:
+            trees = groups[0]
+        else:
+            p = len(out)
+            trees = groups[
+                meta[((p // width) >> mbits) * mw + ((p % width) >> mbits)]
+            ]
         g = _ref_read_sym(bits, trees[0])
         if g < 256:
             r = _ref_read_sym(bits, trees[1])
@@ -2593,6 +2616,46 @@ def test_vp8l_color_transform_and_palette_match_reference():
             assert np.array_equal(eng, pxp), (ncol, cache)
 
 
+def test_vp8l_meta_groups_match_reference():
+    """r8: meta-prefix groups — spatial tree switching, the construct
+    large wild VP8L files carry — across group counts, tile sizes,
+    cache settings, and composed with predictor / color transform /
+    palette; engine and independent reference must agree byte-for-byte
+    and equal the source."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import (
+        build_webp_lossless,
+        parse_webp_pixels,
+    )
+
+    rng = np.random.default_rng(21)
+    px = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    for kwargs in (
+        {"meta_bits": 2},
+        {"meta_bits": 2, "meta_groups": 3},
+        {"meta_bits": 3, "meta_groups": 5, "cache_bits": 4},
+        {"meta_bits": 2, "predictor_bits": 2},
+        {"meta_bits": 2, "color_bits": 3},
+        {"meta_bits": 4},  # tiles bigger than the image in one axis
+    ):
+        data = build_webp_lossless(px, **kwargs)
+        w, h, eng = parse_webp_pixels(data)
+        rw, rh, ref = _ref_vp8l_decode(data)
+        assert (w, h) == (rw, rh) == (23, 17), kwargs
+        assert [tuple(p) for p in eng.reshape(-1, 3)] == ref, kwargs
+        assert np.array_equal(eng, px), kwargs
+    # palette + meta: groups tile the bundled-width coded raster
+    colors = np.unique(rng.integers(0, 256, (12, 3), dtype=np.uint8), axis=0)
+    pxp = colors[rng.integers(0, len(colors), (9, 29))]
+    data = build_webp_lossless(pxp, palette=True, meta_bits=2, meta_groups=2)
+    w, h, eng = parse_webp_pixels(data)
+    rw, rh, ref = _ref_vp8l_decode(data)
+    assert (w, h) == (rw, rh) == (29, 9)
+    assert [tuple(p) for p in eng.reshape(-1, 3)] == ref
+    assert np.array_equal(eng, pxp)
+
+
 def test_vp8l_palette_refusals():
     """Color-indexing guards: >256 unique colors refuse at encode; an
     out-of-range palette index refuses at decode; color-indexing
@@ -2684,8 +2747,8 @@ def test_vp8l_palette_refusals():
 
 def test_vp8l_documented_refusals():
     """Outside-subset constructs refuse with ValueError, never guess:
-    meta-Huffman groups, plane-code distances, truncated streams, bad
-    versions, duplicate transforms, out-of-range predictor modes.
+    plane-code distances, truncated streams, bad versions, duplicate
+    transforms, out-of-range predictor modes.
     (The whole §4 transform family — predictor, color transform,
     subtract-green, color indexing — is INSIDE the subset as of r8;
     see the interop tests above. Palette-specific refusals live in
@@ -2742,12 +2805,13 @@ def test_vp8l_documented_refusals():
     with pytest.raises(ValueError, match="predictor mode"):
         parse_vp8l(bytes([0x2F]) + bw.bytes())
 
-    def meta(bw):
+    def meta_truncated(bw):
         bw.put(0, 1)  # no transforms
         bw.put(0, 1)  # no cache
-        bw.put(1, 1)  # meta-huffman present
-    with pytest.raises(ValueError, match="meta-huffman"):
-        parse_vp8l(stream(meta))
+        bw.put(1, 1)  # meta-huffman present (in-subset as of r8) ...
+        # ... but the stream ends before the group image: truncation
+    with pytest.raises(ValueError, match="truncated"):
+        parse_vp8l(stream(meta_truncated))
 
     with pytest.raises(ValueError, match="version"):
         parse_vp8l(bytes([0x2F]) + b"\x00\x00\x00\xe0")
