@@ -2931,3 +2931,43 @@ def test_vp8l_refuses_decompression_bomb_header():
     body = bytes([0x2F, 0xFF, 0xFF, 0xFF, 0x0F])
     with _pytest.raises(ValueError, match="(?i)raster|VP8L"):
         parse_vp8l(body)
+
+
+def test_vp8l_exhaustive_truncation_valueerror_only():
+    """EVERY byte prefix of a transform-rich VP8L file (meta groups +
+    predictor + color transform + cache) and of a palette+meta file
+    must either parse or raise ValueError — never IndexError /
+    struct.error / KeyError (the FLAC/JPEG exhaustive-truncation
+    precedent, extended to the r8 transform surface: truncation can now
+    land inside a tile sub-image, a palette delta stream, or a
+    mid-group tree)."""
+    import numpy as np
+    import pytest
+
+    from sparkga1_spark.operators.multimodal import (
+        build_webp_lossless,
+        parse_webp_pixels,
+    )
+
+    rng = np.random.default_rng(77)
+    px = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    colors = np.unique(rng.integers(0, 256, (10, 3), dtype=np.uint8), axis=0)
+    pxp = colors[rng.integers(0, len(colors), (7, 9))]
+    del pytest
+    for data in (
+        build_webp_lossless(
+            px, cache_bits=4, predictor_bits=2, color_bits=3,
+            meta_bits=2, meta_groups=3,
+        ),
+        build_webp_lossless(pxp, palette=True, meta_bits=2),
+    ):
+        parse_webp_pixels(data)  # sanity: the intact file decodes
+        n_ok = 0
+        for i in range(len(data)):
+            try:
+                parse_webp_pixels(data[:i])
+                n_ok += 1  # legal: the cut removed only RIFF padding
+            except ValueError:
+                pass  # the ONE allowed failure mode
+        # only a trailing-pad cut may succeed — a handful at most
+        assert n_ok <= 2, f"{n_ok} truncated prefixes decoded"
