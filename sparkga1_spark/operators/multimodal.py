@@ -14,10 +14,12 @@ interlaced). Compressed formats with pure-Python-feasible codecs
 decode FOR REAL too: QOI, GIF (LZW, both row layouts incl. four-pass
 interlace), PCX (RLE), G.711 µ-law/A-law + IMA ADPCM audio, baseline JPEG
 (full Huffman entropy decode + IDCT — see the T.81 section), and
-lossless WebP/VP8L (canonical Huffman + LZ77 + color cache +
-subtract-green; documented refusals for the plane-code table,
-predictor/color/indexing transforms, and meta-Huffman groups — see
-the VP8L section). The residue — video (MP4), lossy VP8, and
+lossless WebP/VP8L (canonical Huffman + LZ77 + color cache + the full
+spec §4 transform family — subtract-green, 14-mode predictor, color
+transform, color indexing with pixel bundling — plus §5.3 meta-prefix
+groups, all as of r8; the one remaining refusal is the 120-entry
+near-distance plane-code table — see the VP8L section). The residue —
+video (MP4), lossy VP8, and
 non-baseline JPEG — tries the library (PIL / soundfile / av) behind
 an import-guard; absent that it uses a clearly-marked DETERMINISTIC
 FAKE derived from the payload's md5, so pipelines stay testable
@@ -5119,18 +5121,22 @@ def decode_webp_meta(df: DataFrame, *, payload_col: str = "payload") -> DataFram
 #
 # Scope (documented subset, ValueError on everything outside it — the
 # honesty-ledger convention):
-#   REAL: header, simple AND normal Huffman codes (full code-length
-#   code with the 19-symbol order table, zero-RLE 17/18, repeat-16,
-#   max_symbol budget), the 5-tree group (green+length+cache, red,
-#   blue, alpha, distance), LZ77 prefix-coded lengths/distances with
-#   direct distances (dist_code > 120), color cache (0x1e35a7bd
-#   multiplicative hash), and the SUBTRACT_GREEN transform.
-#   REFUSED (ValueError, never guessed): the 120-entry near-distance
-#   plane-code map, PREDICTOR / COLOR_TRANSFORM / COLOR_INDEXING
-#   transforms, and meta-Huffman groups — each is normative spec
-#   table/algorithm data a from-memory implementation could silently
-#   get wrong; refusing keeps the ValueError-only contract and the
-#   fake/real boundary honest. The in-repo encoder never emits them.
+#   REAL (as of r8): header, simple AND normal Huffman codes (full
+#   code-length code with the 19-symbol order table, zero-RLE 17/18,
+#   repeat-16, max_symbol budget), the 5-tree group (green+length+
+#   cache, red, blue, alpha, distance), LZ77 prefix-coded lengths/
+#   distances with direct distances (dist_code > 120), color cache
+#   (0x1e35a7bd multiplicative hash), the FULL spec §4 transform
+#   family — SUBTRACT_GREEN, PREDICTOR (all 14 §4.2 modes),
+#   COLOR_TRANSFORM (§4.3), COLOR_INDEXING (§4.5 incl. ≤16-color
+#   pixel bundling) — and §5.3 meta-prefix groups (spatial tree
+#   switching).
+#   REFUSED (ValueError, never guessed): the near-distance plane-code
+#   map (dist_code <= 120, see the refusal site), and COLOR_INDEXING
+#   combined with other transforms (the bundled width change would
+#   re-dimension their tile rasters). The in-repo encoder never emits
+#   either construct. Lossy VP8 pixels stay behind the import-guarded
+#   fake (separate codec family, not part of VP8L).
 #
 # Encoder and decoder share only the bit-order and canonical-code
 # conventions; tests/test_multimodal_bytes.py carries a STRICT

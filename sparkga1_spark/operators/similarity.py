@@ -159,7 +159,7 @@ def _ivf_assign_vectorized(
         f"{id_col} {id_sql}, _vd array<double>, _vn double, "
         f"cluster_id {id_sql}, _probes array<{id_sql}>"
     )
-    chunk = max(1, 32_000_000 // (8 * n_cent))  # ~256 MB of score matrix
+    chunk = max(1, 32_000_000 // (8 * n_cent))  # ~32 MB of score matrix
 
     def run(batches):
         import pandas as pd

@@ -2734,9 +2734,12 @@ def x_multimodal_webp_decode(spark, sf_dir):
     fourth entropy-coding family after DEFLATE (PNG), byte-delta
     (QOI), LZW (GIF), and Huffman+IDCT (JPEG): plant a real VP8L
     image per document (pixels tile the UTF-8 text bytes; the color
-    cache toggles by doc parity and the PREDICTOR transform rotates
-    by id%3 — none / mode-cycling 4x4 tiles / fixed-mode 8x8 tiles —
-    so every §4.2 mode appears across the corpus), then run the
+    cache toggles by doc parity and the transform layout rotates by
+    id%5 — none (odd ids adding §5.3 meta-prefix groups) /
+    mode-cycling 4x4 predictor tiles / fixed-mode 8x8 predictor
+    tiles / color transform / color-indexing palette (whose &192 byte
+    masking the oracle mirrors) — so every §4.2 predictor mode and
+    every §4 transform appears across the corpus), then run the
     COMPLETE subset decode — RIFF walk, 14-bit header, simple AND
     normal canonical Huffman codes (code-length code with zero-RLE),
     the 5-tree group, LZ77 run backreferences with prefix-coded
@@ -12253,7 +12256,7 @@ set_gate_order([
     "x_drift_chi2",
     "x_mix_temperature_weights",
     "x_unigram_logprob",
-    # (c) 13 more round-4-age rows, alphabetical
+    # (c) 11 more round-4-age rows, alphabetical
     "a_grouping_sets_revenue",
     "a_integrity_manifest",
     "a_sketch_accuracy_audit",
