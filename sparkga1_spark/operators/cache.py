@@ -48,11 +48,34 @@ def scalar_lits(agg_df: DataFrame) -> dict[str, Column]:
     return out
 
 
+def scalar_subq(agg_df: DataFrame) -> dict[str, Column]:
+    """Lazy twin of `scalar_lits`: the 1-row aggregate rides the FINAL
+    plan as one struct-packed ScalarSubquery instead of an eager
+    build-time `.first()`.
+
+    Catalyst executes an uncorrelated scalar subquery exactly once per
+    query (concurrently with other subqueries, on the subquery thread
+    pool) and folds its value into the consuming expressions at
+    runtime; every additional reference to the same struct compiles to
+    a ReusedSubquery node, so the aggregate's subtree is never
+    replicated — the de-replication guarantee of `scalar_lits` without
+    its fixed build-time job (the r8→r9 drift A/B measured that job at
+    ~0.2-0.5s per query at sf0.1, tools/drift_ab.py).
+
+    Use THIS wherever the scalar is only attached to plan expressions.
+    Keep `scalar_lits` where the value must reach Python at build time
+    (numpy kernel closures, Arrow schemas, driver-side branching) or
+    where a plan-time literal enables parquet predicate pushdown that
+    a runtime value cannot."""
+    s = agg_df.select(F.struct(*agg_df.columns).alias("_s")).scalar()
+    return {f.name: s.getField(f.name) for f in agg_df.schema.fields}
+
+
 def attach_scalar_agg(df: DataFrame, agg_df: DataFrame) -> DataFrame:
     """Drop-in replacement for `df.crossJoin(F.broadcast(agg_df))` when
-    `agg_df` is a 1-row aggregate: same output columns, but the scalar
-    is materialized once at build time (see `scalar_lits`)."""
-    return df.withColumns(scalar_lits(agg_df))
+    `agg_df` is a 1-row aggregate: same output columns, attached as a
+    once-executed runtime ScalarSubquery (see `scalar_subq`)."""
+    return df.withColumns(scalar_subq(agg_df))
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:

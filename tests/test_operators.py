@@ -873,3 +873,46 @@ def test_incremental_state_merge_is_exact_and_order_free(spark):
         F.countDistinct("u").alias("cnt")).collect()}
     for r in finalize_state(merge_states(states, ["k"]), ["k"]).collect():
         assert abs(r.distinct_est - exact[r.k]) / exact[r.k] <= 0.05
+
+
+def test_scalar_subq_zero_build_jobs_reused_once(spark, sf_dir):
+    """scalar_subq (the lazy twin of scalar_lits, r8 VERDICT #2) must
+    (a) launch ZERO Spark jobs at build time — the r8 eager .first()
+    pulls cost a fixed job per scalar, measured at ~0.2-0.5s/query at
+    sf0.1 by the interleaved drift A/B; (b) produce values and dtypes
+    identical to the eager literal form; (c) compile every additional
+    reference to the same aggregate into a ReusedSubquery node, so the
+    aggregate's subtree executes once and is never replicated (the
+    original BNL-attach failure mode)."""
+    from sparkga1_spark.operators.cache import scalar_lits, scalar_subq
+    from sparkga1_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def agg():
+        return docs.agg(
+            F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars")
+        )
+
+    tracker = spark.sparkContext.statusTracker()
+    n0 = len(tracker.getJobIdsForGroup(None))
+    lazy = scalar_subq(agg())
+    assert len(tracker.getJobIdsForGroup(None)) == n0, (
+        "scalar_subq launched a build-time job"
+    )
+
+    eager = scalar_lits(agg())
+    assert set(lazy) == set(eager) == {"n_docs", "chars"}
+    cols = lambda d: [d[k].alias(k) for k in sorted(d)]  # noqa: E731
+    probe_l = docs.limit(1).select(*cols(lazy), (lazy["n_docs"] * 2).alias("d2"))
+    probe_e = docs.limit(1).select(*cols(eager), (eager["n_docs"] * 2).alias("d2"))
+    assert probe_l.collect() == probe_e.collect()
+    # dtypes must match exactly; nullability legitimately differs (a
+    # scalar subquery is nullable by construction, a non-null literal
+    # is not)
+    assert probe_l.dtypes == probe_e.dtypes
+
+    probe_l.collect()
+    plan = probe_l._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedSubquery" in plan, plan[:1200]
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -7,7 +7,10 @@ tree given on argv, printing a single JSON line. The orchestrating
 shell alternates r5/r6 trees in the same session so host state is
 shared across arms; each invocation is its own JVM.
 
-Usage: python tools/drift_ab.py <tree_dir> <label>
+Usage: python tools/drift_ab.py <tree_dir> <label> [query ...]
+(query names on argv override the default r6 watch cluster — the r9
+run passes the r8 driver-bench drift cluster x_bigram_pmi /
+x_dsir_importance / x_bm25_topk / x_ann_ivf_topk).
 """
 
 from __future__ import annotations
@@ -27,6 +30,9 @@ QUERIES = [
 
 def main() -> None:
     tree, label = sys.argv[1], sys.argv[2]
+    queries_arg = sys.argv[3:]
+    if queries_arg:
+        QUERIES[:] = queries_arg
     sys.path.insert(0, tree)
     os.chdir(tree)
 
