@@ -2366,6 +2366,26 @@ def _ref_ctrans_inverse(out, w, h, size_bits, tiles):
         out[pos] = (px & 0xFF00FF00) | (r << 16) | b
 
 
+def _ref_plane_offsets():
+    """Independent derivation of the 120 near-distance plane-code
+    offsets from the spec's rule (r9): the neighborhood is the 8
+    same-row pixels to the left plus the 16-pixel span (8 left .. 7
+    right) of each of the 7 rows above, ordered by proximity —
+    squared Euclidean distance, then the row closer to the top, then
+    the more-leftward pixel. Built as plain sortable tuples (the
+    engine sorts a differently-constructed candidate list with a
+    lambda key — a shared misreading must be made twice)."""
+    neigh = []
+    for dy in range(0, 8):
+        for dx in (range(1, 9) if dy == 0 else range(-7, 9)):
+            neigh.append((dx * dx + dy * dy, -dy, -dx, dx, dy))
+    neigh.sort()
+    return [(dx, dy) for (_, _, _, dx, dy) in neigh]
+
+
+_REF_PLANE = _ref_plane_offsets()
+
+
 def _ref_entropy_image(bits, n, *, level0, width=0):
     """One entropy-coded image stream (cache info, meta-group image at
     level 0 only, one 5-tree group per meta code, LZ77 loop) → raw ARGB
@@ -2417,8 +2437,12 @@ def _ref_entropy_image(bits, n, *, level0, width=0):
         elif g < 280:
             ln = _ref_prefix(g - 256, bits)
             dc = _ref_prefix(_ref_read_sym(bits, trees[4]), bits)
-            assert dc > 120
-            d = dc - 120
+            if dc <= 120:  # near-distance plane code (r9)
+                assert width > 0
+                dx, dy = _REF_PLANE[dc - 1]
+                d = max(1, dx + dy * width)
+            else:
+                d = dc - 120
             for _ in range(ln):
                 px = out[-d]
                 out.append(px)
@@ -2746,12 +2770,13 @@ def test_vp8l_palette_refusals():
 
 
 def test_vp8l_documented_refusals():
-    """Outside-subset constructs refuse with ValueError, never guess:
-    plane-code distances, truncated streams, bad versions, duplicate
-    transforms, out-of-range predictor modes.
+    """Malformed constructs refuse with ValueError, never guess:
+    truncated streams, bad versions, duplicate transforms,
+    out-of-range predictor modes, out-of-bounds plane-code mappings.
     (The whole §4 transform family — predictor, color transform,
-    subtract-green, color indexing — is INSIDE the subset as of r8;
-    see the interop tests above. Palette-specific refusals live in
+    subtract-green, color indexing — is INSIDE the subset as of r8,
+    and near-distance plane codes DECODE as of r9; see the interop
+    tests above. Palette-specific refusals live in
     test_vp8l_palette_refusals.)"""
     import struct
 
@@ -2821,25 +2846,11 @@ def test_vp8l_documented_refusals():
     with pytest.raises(ValueError, match="truncated"):
         parse_vp8l(bytes([0x2F, 0, 0, 0, 0]))  # header only, no stream bits
 
-    # plane-code distance: encode a valid 2x2 stream by hand with a
-    # backref whose dist_code is 5 (<= 120)
-    def plane(bw):
-        bw.put(0, 1)  # no transforms
-        bw.put(0, 1)  # no cache
-        bw.put(0, 1)  # single group
-        for _ in range(4):  # green/red/blue/alpha: simple 1-symbol 0
-            bw.put(1, 1)
-            bw.put(0, 1)
-            bw.put(0, 1)
-            bw.put(0, 1)
-        bw.put(1, 1)  # distance tree: simple 1-symbol = code 4
-        bw.put(0, 1)
-        bw.put(1, 1)
-        bw.put(4, 8)
-        # pixel 1: literal (all trees 1-symbol → zero bits)
-        # pixel 2..: backref g=256 → but green tree has only symbol 0;
-        # need a 2-symbol green: rebuild below instead
-    # simpler: craft with 2-symbol green {0, 256}
+    # plane-code distance mapping OUT OF BOUNDS: dist_code 5 derives
+    # to offset (0, 2) → dist 4 at w=2, but the backref sits at pos=1 —
+    # the decoder must refuse on bounds, never wrap (plane codes
+    # themselves DECODE as of r9; see
+    # test_vp8l_plane_code_hand_built_anchors)
     bw = _Vp8lWriter()
     bw.put(1, 14)  # w=2
     bw.put(1, 14)  # h=2
@@ -2880,7 +2891,7 @@ def test_vp8l_documented_refusals():
     bw.put_code(1, 1)  # backref
     bw.put(0, 1)       # prefix-code-4 extra bit -> dist_code 5 (plane range)
     body = bytes([0x2F]) + bw.bytes()
-    with pytest.raises(ValueError, match="plane codes"):
+    with pytest.raises(ValueError, match="before start"):
         parse_vp8l(body)
 
     # lossy VP8 pixel decode stays unclaimed
@@ -2971,3 +2982,179 @@ def test_vp8l_exhaustive_truncation_valueerror_only():
                 pass  # the ONE allowed failure mode
         # only a trailing-pad cut may succeed — a handful at most
         assert n_ok <= 2, f"{n_ok} truncated prefixes decoded"
+
+
+def test_vp8l_plane_offset_table_derivations_agree():
+    """r9: the 120-entry near-distance plane-code map is DERIVED from
+    the spec's neighborhood-by-proximity rule in BOTH in-repo sides —
+    the engine sorts a differently-built candidate list with a lambda
+    key, the reference sorts plain tuples — and the two independent
+    constructions must agree exactly (the two-sided check a transcribed
+    literal could never give). Head anchors pin the convention to the
+    two publicly documented entries: code 1 is the pixel directly
+    ABOVE, code 2 the pixel directly LEFT."""
+    from sparkga1_spark.operators.multimodal import _vp8l_plane_offsets
+
+    eng = list(_vp8l_plane_offsets())
+    ref = _ref_plane_offsets()
+    assert eng == ref
+    assert len(eng) == 120 == len(set(eng))
+    assert eng[0] == (0, 1)  # code 1: pixel above
+    assert eng[1] == (1, 0)  # code 2: pixel left
+    for dx, dy in eng:
+        assert 0 <= dy <= 7 and -7 <= dx <= 8
+        if dy == 0:
+            assert 1 <= dx <= 8  # same-row entries are strictly left
+    d2 = [dx * dx + dy * dy for dx, dy in eng]
+    assert d2 == sorted(d2)  # proximity-monotone along codes
+
+
+def _hand_vp8l_stream(w, h, toks, dsym):
+    """Hand-assembled single-group VP8L stream: green = normal code
+    over {0 (literal), 256 (length-1 backref)}, red = simple 2-symbol
+    {0, 7}, blue/alpha = simple 1-symbol {0}, distance = simple
+    1-symbol {dsym}. toks: ("lit", r) or ("ref", extra, n_extra)."""
+    from sparkga1_spark.operators.multimodal import _Vp8lWriter
+
+    bw = _Vp8lWriter()
+    bw.put(w - 1, 14)
+    bw.put(h - 1, 14)
+    bw.put(0, 1)  # alpha
+    bw.put(0, 3)  # version
+    bw.put(0, 1)  # no transforms
+    bw.put(0, 1)  # no cache
+    bw.put(0, 1)  # no meta groups
+    # green: normal code, lengths[0] = lengths[256] = 1
+    bw.put(0, 1)
+    bw.put(15, 4)  # num_code_lengths = 19
+    cl = {0: 2, 1: 3, 17: 1, 18: 3}
+    for sym in _REF_CL_ORDER:
+        bw.put(cl.get(sym, 0), 3)
+    bw.put(0, 1)  # no max_symbol budget
+    bw.put_code(0b110, 3)  # lengths[0] = 1
+    bw.put_code(0b111, 3)
+    bw.put(127, 7)  # 138 zeros
+    bw.put_code(0b111, 3)
+    bw.put(106, 7)  # 117 zeros → next symbol is 256
+    bw.put_code(0b110, 3)  # lengths[256] = 1
+    bw.put_code(0b111, 3)
+    bw.put(12, 7)  # 23 trailing zeros → 280
+    # red: simple 2-symbol {0, 7}
+    bw.put(1, 1)
+    bw.put(1, 1)
+    bw.put(0, 1)
+    bw.put(0, 1)  # s0 = 0 (1-bit field)
+    bw.put(7, 8)  # s1 = 7
+    for _ in range(2):  # blue, alpha: simple 1-symbol 0
+        bw.put(1, 1)
+        bw.put(0, 1)
+        bw.put(0, 1)
+        bw.put(0, 1)
+    # distance: simple 1-symbol = dsym
+    bw.put(1, 1)
+    bw.put(0, 1)
+    bw.put(1, 1)
+    bw.put(dsym, 8)
+    for t in toks:
+        if t[0] == "lit":
+            bw.put_code(0, 1)  # green '0' → literal
+            bw.put_code(0 if t[1] == 0 else 1, 1)  # red
+            # blue/alpha: single-symbol trees read zero bits
+        else:
+            bw.put_code(1, 1)  # green '1' → 256 → length 1
+            _, extra, n_extra = t
+            if n_extra:
+                bw.put(extra, n_extra)
+    return bytes([0x2F]) + bw.bytes()
+
+
+def test_vp8l_plane_code_hand_built_anchors():
+    """r9: hand-written bitstreams with hand-computed expected pixels
+    pin plane-code SEMANTICS independently of both derivations' code —
+    the above-copy (code 1), the left-copy (code 2), a beyond-head
+    entry ((0,2) = code 5 at w=2 → dist 4), and the dist<1 clamp
+    ((-7,1) at w=2 → -5 → clamped to 1). Engine and reference must
+    agree with the hand-computed rasters."""
+    import struct as _struct
+
+    from sparkga1_spark.operators import multimodal as _mm
+    from sparkga1_spark.operators.multimodal import (
+        _vp8l_plane_offsets,
+        _vp8l_prefix_code,
+        parse_vp8l,
+    )
+
+    def container(body):
+        chunk = _mm._webp_chunk(b"VP8L", body)
+        return b"RIFF" + _struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    P0, P7 = (0, 0, 0), (7, 0, 0)
+    clamp_code = list(_vp8l_plane_offsets()).index((-7, 1)) + 1
+    csym, cextra, cn = _vp8l_prefix_code(clamp_code)
+    cases = [
+        # (w, h, dsym, toks, expected rgb row-major)
+        (2, 2, 0, [("lit", 0), ("lit", 7), ("ref", 0, 0), ("ref", 0, 0)],
+         [P0, P7, P0, P7]),  # code 1 = above → dist 2 at w=2
+        (2, 2, 1, [("lit", 0), ("lit", 7), ("ref", 0, 0), ("ref", 0, 0)],
+         [P0, P7, P7, P7]),  # code 2 = left → dist 1
+        (2, 3, 4, [("lit", 0), ("lit", 7), ("lit", 7), ("lit", 0),
+                   ("ref", 0, 1), ("ref", 0, 1)],
+         [P0, P7, P7, P0, P0, P7]),  # code 5 = (0,2) → dist 4
+        (2, 2, csym, [("lit", 0), ("lit", 7), ("ref", cextra, cn),
+                      ("ref", cextra, cn)],
+         [P0, P7, P7, P7]),  # (-7,1) at w=2 → dist -5 → clamp to 1
+    ]
+    for w, h, dsym, toks, exp in cases:
+        body = _hand_vp8l_stream(w, h, toks, dsym)
+        gw, gh, alpha, argb = parse_vp8l(body)
+        assert (gw, gh) == (w, h)
+        got = [((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF) for p in argb]
+        assert got == exp, (dsym, got, exp)
+        rw, rh, ref = _ref_vp8l_decode(container(body))
+        assert (rw, rh) == (w, h) and ref == exp
+
+
+def test_vp8l_plane_coded_encoder_matches_reference():
+    """r9: the encoder's plane_codes mode (dist-1 runs as their
+    smallest plane code + the above-row dist-width matcher) must
+    interop — engine decoder == independent reference == source — on
+    vertically-correlated rasters across widths (the (0,1) code maps
+    to a DIFFERENT distance at every width), cache settings, and every
+    transform arm, and must actually emit codes <= 120."""
+    import numpy as np
+
+    from sparkga1_spark.operators import multimodal as _mm
+    from sparkga1_spark.operators.multimodal import (
+        build_webp_lossless,
+        parse_webp_pixels,
+    )
+
+    rng = np.random.default_rng(19)
+    rasters = []
+    for w in (1, 3, 9, 17, 30):
+        base = rng.integers(0, 5, (1, w, 3), dtype=np.uint8) * 40
+        px = np.repeat(base, 7, axis=0)
+        px[3, w // 2, 1] ^= 0x55  # break pure verticality
+        rasters.append(px)
+    arms = [{}, {"cache_bits": 5}, {"predictor_bits": 2}, {"color_bits": 2},
+            {"palette": True}, {"meta_bits": 2}]
+    seen_plane_code = False
+    orig = _mm._vp8l_plane_dist
+    calls = []
+    _mm._vp8l_plane_dist = lambda c, w: (calls.append(c), orig(c, w))[1]
+    try:
+        for px in rasters:
+            for kw in arms:
+                px2 = (px & 0xC0) if kw.get("palette") else px
+                data = build_webp_lossless(px2, plane_codes=True, **kw)
+                calls.clear()
+                w, h, eng = parse_webp_pixels(data)
+                if calls:
+                    seen_plane_code = True
+                rw, rh, ref = _ref_vp8l_decode(data)
+                assert (w, h) == (rw, rh) == (px2.shape[1], px2.shape[0])
+                assert [tuple(p) for p in eng.reshape(-1, 3)] == ref
+                assert np.array_equal(eng, px2)
+    finally:
+        _mm._vp8l_plane_dist = orig
+    assert seen_plane_code, "no plane code was ever decoded"
