@@ -197,6 +197,87 @@ def _ivf_assign_vectorized(
     return base.mapInPandas(run, schema=schema)
 
 
+def _ivf_scored(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    centroid_pred,
+    nprobe: int,
+    vectorized: bool | None,
+) -> DataFrame:
+    """Shared IVF coarse-quantizer pass for `ivf_topk` and
+    `ivfpq_topk`: pull the k-sized centroid model once at build time
+    (the sanctioned model pull) and emit a tracked-persisted frame
+    (id, _vd, _vn, cluster_id, _probes[nprobe]) — map-only, no
+    Exchange between the scan and the cluster-id column. Assignment
+    auto-switches (k ≥ 64, `vectorized=None`) to the Arrow/numpy
+    kernel, which is bit-identical to the expression fold (pinned by
+    test_ivf_vectorized_matches_expression)."""
+    id_type = df.schema[id_col].dataType
+    cent_rows = sorted(
+        df.filter(centroid_pred)
+        .select(
+            F.col(id_col).alias("cid"),
+            vectors.to_double(F.col(vec_col)).alias("cv"),
+            vectors.norm(F.col(vec_col), dim).alias("cn"),
+        )
+        .collect(),
+        key=lambda r: r["cid"],
+    )
+    if not cent_rows:
+        raise ValueError("ivf: centroid_pred selected no rows")
+    base = df.select(
+        F.col(id_col),
+        vectors.to_double(F.col(vec_col)).alias("_vd"),
+        vectors.norm(F.col(vec_col), dim).alias("_vn"),
+    )
+    use_np = vectorized if vectorized is not None else len(cent_rows) >= 64
+    if use_np:
+        return tracked_persist(
+            _ivf_assign_vectorized(base, cent_rows, id_col, nprobe)
+        )
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(r["cid"]).cast(id_type).alias("cid"),
+                F.lit(r["cv"]).cast("array<double>").alias("cv"),
+                F.lit(r["cn"]).cast("double").alias("cn"),
+            )
+            for r in cent_rows
+        ]
+    )
+    sc = F.transform(
+        cents_lit,
+        lambda c: F.struct(
+            (
+                -hround(
+                    vectors.dot(F.col("_vd"), c["cv"], dim)
+                    / (F.col("_vn") * c["cn"]),
+                    6,
+                )
+            ).alias("negcos"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    # cluster_id = argmin; probes = the nprobe best cids — computed
+    # BEFORE the persist so the cache holds nprobe ids per row instead
+    # of k scored structs (narrower for every k > nprobe; the
+    # vectorized kernel emits exactly this schema)
+    return tracked_persist(
+        base.withColumn("_sc", sc).select(
+            id_col,
+            "_vd",
+            "_vn",
+            F.array_min("_sc")["cid"].alias("cluster_id"),
+            F.transform(
+                F.slice(F.array_sort("_sc"), 1, nprobe), lambda p: p["cid"]
+            ).alias("_probes"),
+        )
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     *,
@@ -249,85 +330,22 @@ def ivf_topk(
     test_ivf_vectorized_matches_expression — at numpy matmul-class
     throughput. The driver-gate fixtures (k=40 at sf0.01/0.1) stay on
     the oracle-pinned expression path."""
-    id_type = df.schema[id_col].dataType
-    cent_rows = sorted(
-        df.filter(centroid_pred)
-        .select(
-            F.col(id_col).alias("cid"),
-            vectors.to_double(F.col(vec_col)).alias("cv"),
-            vectors.norm(F.col(vec_col), dim).alias("cn"),
-        )
-        .collect(),
-        key=lambda r: r["cid"],
+    scored = _ivf_scored(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        centroid_pred=centroid_pred,
+        nprobe=nprobe,
+        vectorized=vectorized,
     )
-    if not cent_rows:
-        raise ValueError("ivf_topk: centroid_pred selected no rows")
-    base = df.select(
-        F.col(id_col),
-        vectors.to_double(F.col(vec_col)).alias("_vd"),
-        vectors.norm(F.col(vec_col), dim).alias("_vn"),
+    assigned = scored.select(id_col, "cluster_id", "_vd", "_vn")
+    q = scored.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.explode("_probes").alias("cluster_id"),
+        F.col("_vd").alias("_qv"),
+        F.col("_vn").alias("_qn"),
     )
-    use_np = vectorized if vectorized is not None else len(cent_rows) >= 64
-    if use_np:
-        scored = tracked_persist(
-            _ivf_assign_vectorized(base, cent_rows, id_col, nprobe)
-        )
-        assigned = scored.select(id_col, "cluster_id", "_vd", "_vn")
-        q = (
-            scored.filter(query_pred)
-            .select(
-                F.col(id_col).alias("query_id"),
-                F.explode("_probes").alias("cluster_id"),
-                F.col("_vd").alias("_qv"),
-                F.col("_vn").alias("_qn"),
-            )
-        )
-    else:
-        cents_lit = F.array(
-            *[
-                F.struct(
-                    F.lit(r["cid"]).cast(id_type).alias("cid"),
-                    F.lit(r["cv"]).cast("array<double>").alias("cv"),
-                    F.lit(r["cn"]).cast("double").alias("cn"),
-                )
-                for r in cent_rows
-            ]
-        )
-        scored = base.withColumn(
-            "_sc",
-            F.transform(
-                cents_lit,
-                lambda c: F.struct(
-                    (
-                        -hround(
-                            vectors.dot(F.col("_vd"), c["cv"], dim)
-                            / (F.col("_vn") * c["cn"]),
-                            6,
-                        )
-                    ).alias("negcos"),
-                    c["cid"].alias("cid"),
-                ),
-            ),
-        )
-        scored = tracked_persist(scored)  # candidate assign + query probes
-        assigned = scored.select(
-            id_col,
-            F.array_min("_sc")["cid"].alias("cluster_id"),
-            "_vd",
-            "_vn",
-        )
-        q = (
-            scored.filter(query_pred)
-            .select(
-                F.col(id_col).alias("query_id"),
-                F.explode(F.slice(F.array_sort("_sc"), 1, nprobe)).alias("_p"),
-                F.col("_vd").alias("_qv"),
-                F.col("_vn").alias("_qn"),
-            )
-            .select(
-                "query_id", F.col("_p")["cid"].alias("cluster_id"), "_qv", "_qn"
-            )
-        )
     pairs = assigned.join(q, on="cluster_id").filter(
         F.col("query_id") != F.col(id_col)
     )
@@ -719,6 +737,136 @@ def pq_adc_topk_trained(
     adc = (
         codes.join(F.broadcast(lut), ["subspace", "code"])
         .filter(F.col(id_col) != F.col("_qid"))
+        .groupBy(
+            F.col("_qid").alias("query_id"), F.col(id_col).alias("cand_id")
+        )
+        .agg(F.sum("_dm").alias("d_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy("d_micro", "cand_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("d_micro").cast("long").alias("d_micro"),
+        )
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    centroid_pred,
+    codebook_pred,
+    query_pred,
+    n_subspaces: int = 4,
+    sub_dim: int = 16,
+    k: int = 3,
+    nprobe: int = 1,
+    vectorized: bool | None = None,
+) -> DataFrame:
+    """IVF+PQ composed — the production ANN shape (r8 VERDICT #6): the
+    IVF coarse quantizer routes the PQ asymmetric-distance scan through
+    the query's `nprobe` probed clusters, so ADC cost is
+    Σ probed-cluster sizes × n_subspaces instead of corpus-wide (flat
+    PQ's candidate-linear scan measured 98s at 100× in SCALE_SMOKE_r8;
+    the composition is the textbook IVFADC layout of Jégou et al.'s
+    public PQ paper).
+
+    Mechanics: `_ivf_scored` assigns every vector to its nearest seed
+    centroid map-only (shared with `ivf_topk`, bit-identical kernel
+    auto-switch at k ≥ 64); vectors PQ-encode against the seeded
+    codebook exactly as `pq_adc_topk` (packed-BIGINT argmin — dense
+    codes, hash-aggregable); each query precomputes its LUT and probes
+    its `nprobe` best clusters; scoring joins candidate codes to the
+    broadcast probe list on cluster_id, then to the broadcast LUT on
+    (query, subspace, code), and sums exact integer micro-units. This
+    seeded variant (data-row centroids + data-row codebook) is fully
+    SQL-expressible, so the driver oracle checks the whole composition
+    value-for-value; swap `centroid_pred` rows for kmeans_fit output
+    and the codebook for train_pq_codebooks in production — plan shape
+    unchanged. NOTE the honest simplification vs. the paper: codes
+    quantize the RAW vector, not the residual (v − centroid); residual
+    encoding is a map-only subtraction away but would put float
+    subtraction ahead of the oracle's integer pipeline — recall floors
+    for this variant are pinned in tests/test_ann_recall.py alongside
+    the flat-PQ rows."""
+    from pyspark.sql import Window
+
+    scored = _ivf_scored(
+        emb,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        centroid_pred=centroid_pred,
+        nprobe=nprobe,
+        vectorized=vectorized,
+    )
+    s_ids = F.explode(
+        F.array(*[F.lit(s) for s in range(n_subspaces)])
+    ).alias("subspace")
+    sub = scored.select(
+        id_col,
+        "cluster_id",
+        s_ids,
+        F.col("_vd").alias("_v"),
+    ).withColumn(
+        "xvec", F.slice(F.col("_v"), F.col("subspace") * sub_dim + 1, sub_dim)
+    ).drop("_v")
+    cb = (
+        emb.filter(codebook_pred)
+        .select(F.col(id_col).alias("_cbid"), vec_col, s_ids)
+        .withColumn(
+            "cvec",
+            F.slice(
+                F.col(vec_col), F.col("subspace") * sub_dim + 1, sub_dim
+            ).cast("array<double>"),
+        )
+        .drop(vec_col)
+    )
+    w_cb = Window.partitionBy("subspace").orderBy("_cbid")
+    cb = cb.withColumn("code", F.row_number().over(w_cb) - 1).drop("_cbid")
+    diff = F.zip_with("xvec", "cvec", lambda p, q: p - q)
+    dist = F.aggregate(
+        F.zip_with(diff, diff, lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dmicro = F.floor(hround(dist, 6) * 1_000_000 + 0.5).cast("long")
+    pack_base = 1 << 20
+    codes = (
+        sub.join(F.broadcast(cb), "subspace")
+        .select(
+            id_col,
+            "cluster_id",
+            "subspace",
+            (dmicro * pack_base + F.col("code")).alias("_k"),
+        )
+        .groupBy(id_col, "cluster_id", "subspace")
+        .agg((F.min("_k") % pack_base).alias("code"))
+    )
+    lut = (
+        sub.join(
+            F.broadcast(
+                scored.filter(query_pred).select(F.col(id_col).alias("_qid"))
+            ),
+            F.col(id_col) == F.col("_qid"),
+        )
+        .join(F.broadcast(cb), "subspace")
+        .select("_qid", "subspace", "code", dmicro.alias("_dm"))
+    )
+    probes = scored.filter(query_pred).select(
+        F.col(id_col).alias("_qid"), F.explode("_probes").alias("cluster_id")
+    )
+    adc = (
+        codes.join(F.broadcast(probes), "cluster_id")
+        .filter(F.col(id_col) != F.col("_qid"))
+        .join(F.broadcast(lut), ["_qid", "subspace", "code"])
         .groupBy(
             F.col("_qid").alias("query_id"), F.col(id_col).alias("cand_id")
         )

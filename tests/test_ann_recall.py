@@ -325,3 +325,60 @@ def test_ivf_vectorized_matches_expression(planted):
             ).collect()
         )
         assert expr == vec, f"nprobe={nprobe}: vectorized path diverged"
+
+
+def test_ivfpq_nprobe_all_equals_flat_pq(spark, sf_dir):
+    """IVF routing only ever REMOVES candidates: with nprobe = every
+    cluster, ivfpq_topk must reproduce the flat PQ-ADC scan's output
+    EXACTLY (same seeded codebook, same integer micro-unit arithmetic,
+    same tiebreak) — pinning that the composition adds no scoring
+    drift, only candidate pruning."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_cent = emb.filter("vec_id % 50 = 0").count()
+    flat = S.pq_adc_topk(
+        emb, query_pred=F.col("vec_id").between(4, 8),
+        codebook_pred=F.col("vec_id") < 4, k=3,
+    )
+    comp = S.ivfpq_topk(
+        emb, dim=DIM,
+        centroid_pred=F.col("vec_id") % 50 == 0,
+        codebook_pred=F.col("vec_id") < 4,
+        query_pred=F.col("vec_id").between(4, 8),
+        k=3, nprobe=n_cent,
+    )
+    assert sorted(map(tuple, flat.collect())) == sorted(
+        map(tuple, comp.collect())
+    )
+
+
+def test_ivfpq_planted_twin_recall_floors(planted):
+    """IVF+PQ planted-twin recall (deterministic per fixture SF):
+    measured top-1 at nprobe 1/2/4 = 0.30/0.75/0.40 at sf0.001 and
+    0.40/0.80/0.50 at sf0.01, vs flat seeded PQ's 0.10/0.35 — routing
+    HELPS a coarse quantizer because pruning the candidate pool
+    removes quantization-noise competitors that flat ADC lets outrank
+    the twin, but recall is NON-monotone in nprobe (more probes
+    re-admit competitors faster than they add missed twins). Floors
+    pin nprobe1 >= flat and the nprobe2 sweet spot; the
+    trained-codebook path (train_pq_codebooks) is the production fix
+    for the underlying quantizer coarseness."""
+    def ivfpq(npb):
+        return _top1(
+            S.ivfpq_topk(
+                planted, dim=DIM,
+                centroid_pred=F.col("vec_id") % 50 == 0,
+                codebook_pred=F.col("vec_id") < 4,
+                query_pred=_qpred(), k=3, nprobe=npb,
+            )
+        )
+
+    flat = _top1(
+        S.pq_adc_topk(
+            planted, query_pred=_qpred(),
+            codebook_pred=F.col("vec_id") < 4, k=3,
+        )
+    )
+    r1, r2 = ivfpq(1), ivfpq(2)
+    assert r1 >= flat, (r1, flat)
+    assert r1 >= 0.25, r1
+    assert r2 >= 0.70, r2

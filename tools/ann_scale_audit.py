@@ -125,6 +125,32 @@ def main() -> None:
         print(f"# ivf sqrt-k nprobe={nprobe}: "
               f"{out[f'ivf_sqrtk_nprobe{nprobe}']}", file=sys.stderr)
 
+    # Config 3 — IVF+PQ composed (r8 VERDICT #6): the coarse quantizer
+    # routes the ADC scan through the query's probed clusters, so
+    # search cost is probed-cluster-bounded instead of candidate-linear
+    # (flat trained-PQ measured 98s at 100× in SCALE_SMOKE_r8 — the
+    # pq_trained16 row below is that comparator, same session). Seeded
+    # 4-code codebook = the pytest fixture's (floors pinned there on
+    # the fixture geometry; here recall must stay FLAT as the corpus
+    # grows — replica copies of a base vector are value-identical, so
+    # the (d_micro, cand_id) tiebreak still names the base original).
+    cb4 = (F.col("vec_id") < 4) & (F.col("vec_id") < 1_000_000)
+    for nprobe in (1, 2):
+        t0 = time.time()
+        r = top1_recall(
+            S.ivfpq_topk(planted, dim=64, centroid_pred=cent_fix,
+                         codebook_pred=cb4, query_pred=qpred, k=3,
+                         nprobe=nprobe, vectorized=True)
+        )
+        out[f"ivfpq_seeded4_nprobe{nprobe}"] = {
+            "sec": round(time.time() - t0, 2),
+            "recall_at_1": round(r, 4),
+        }
+        release_tracked()
+        planted = tracked_persist(planted)
+        print(f"# ivfpq seeded4 nprobe={nprobe}: "
+              f"{out[f'ivfpq_seeded4_nprobe{nprobe}']}", file=sys.stderr)
+
     t0 = time.time()
     books = S.train_pq_codebooks(
         planted.filter(F.col("vec_id") < 1_000_000), n_codes=16, iters=3
