@@ -202,6 +202,13 @@ def main() -> None:
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    # r9 (r8 VERDICT "what's wrong" #3): for ingest-style queries run 1
+    # is the COLD regime (index build / actual ingest) and runs 2-3 the
+    # idempotent steady-state re-read — a median can never regress when
+    # the ingest path slows, so the cold run is published as its own
+    # metric alongside it
+    cold_first: dict[str, float] = {}
+    COLD_FIRST_RUN = {"s_crawl_ingest_incremental", "x_incremental_dedup_bucketed"}
     total = 0.0
     for name in HEADLINE:
         runs = []
@@ -219,6 +226,8 @@ def main() -> None:
             continue
         med = round(sorted(runs)[1], 3)
         times[name] = med
+        if name in COLD_FIRST_RUN:
+            cold_first[name] = round(runs[0], 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
         total += med
         print(
@@ -254,6 +263,7 @@ def main() -> None:
                 "sf": sf,
                 "shared35": shared35,
                 "shared65": shared65,
+                "cold_first_run": cold_first,
                 **({"errors": errors} if errors else {}),
             }
         )
@@ -272,6 +282,7 @@ def main() -> None:
                 "n_errors": len(errors),
                 "shared35": shared35,
                 "shared65": shared65,
+                "cold_first_run": cold_first,
                 "sf": sf,
             }
         )

@@ -8077,13 +8077,17 @@ def x_incremental_dedup_bucketed(spark, sf_dir):
 
 
 def _crawl_ingest_stream(spark, src_dir: str, admitted_path: str,
-                         ckpt: str, sf_dir: str) -> None:
+                         ckpt: str, sf_dir: str, *,
+                         files_per_trigger: int = 1) -> None:
     """Drive the streaming leg of s_crawl_ingest_incremental: a
     binaryFile stream over landed WARC files → strict 200-response
     extraction → fetch-suffix canonicalization → the exactly-once
     dedup ADMISSION gate against the standing bucketed index. Factored
     out so the checkpoint-recovery pytest can run it in phases against
-    the same checkpoint."""
+    the same checkpoint. The GATE keeps files_per_trigger=1 (the
+    deterministic 4-round unroll its oracle depends on);
+    tools/ingest_scale_smoke.py's parallel arm raises it to measure
+    per-batch parse parallelism = files-per-batch (r8 VERDICT #7)."""
     import hashlib as _hl
 
     from sparkga1_spark.operators.crawl import warc_response_payloads
@@ -8100,7 +8104,7 @@ def _crawl_ingest_stream(spark, src_dir: str, admitted_path: str,
         spark.readStream.format("binaryFile")
         .schema(binary_schema)
         .option("pathGlobFilter", "*.warc*")
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_trigger)
         .load(src_dir)
         .select(F.lit(-1).cast("long").alias("doc_id"),
                 F.col("content").alias("payload"))

@@ -9,7 +9,18 @@ chunk files) while per-batch volume scales with the corpus, so
 drain-time growth ≈ admitted-volume growth is the pass signal; the
 index build is a one-time cost amortized across every future batch.
 
-Usage: python tools/ingest_scale_smoke.py <sf_dir>
+r9 (r8 VERDICT #7): an optional PARALLEL arm measures the ingest's
+parallelism axis — the same corpus split across 4×N WARC files drained
+with maxFilesPerTrigger=N (4 micro-batches of N files each, so the
+per-batch WARC parse runs N Python tasks instead of 1) against a fresh
+admitted table over the SAME standing index. Pass signal: admitted
+rows IDENTICAL to the oracle arm (admission is batching-invariant) and
+drain time dropping toward min(N, cores)× on the parse-bound fraction.
+The gate query keeps maxFilesPerTrigger=1 — the determinism rule its
+4-round unrolled oracle depends on; the parallel arm is
+measurement-only.
+
+Usage: python tools/ingest_scale_smoke.py <sf_dir> [parallel_N]
 Prints one JSON line.
 """
 
@@ -65,6 +76,34 @@ def main() -> None:
             round(t_drain / (n_admitted / 1000.0), 3) if n_admitted else None
         ),
     }
+
+    par_n = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    if par_n > 1:
+        src_p = f"{base}/{tag}/incoming_par{par_n}"
+        admitted_p = f"{base}/{tag}/admitted_par{par_n}"
+        ckpt_p = f"{base}/{tag}/ckpt_par{par_n}"
+        t0 = time.time()
+        Q._plant_warc_chunk_files(spark, sf_dir, src_p, n_files=4 * par_n)
+        t_plant_p = round(time.time() - t0, 2)
+        t0 = time.time()
+        Q._crawl_ingest_stream(
+            spark, src_p, admitted_p, ckpt_p, sf_dir,
+            files_per_trigger=par_n,
+        )
+        t_drain_p = round(time.time() - t0, 2)
+        n_admitted_p = spark.read.parquet(admitted_p).count()
+        out["parallel_arm"] = {
+            "files": 4 * par_n,
+            "files_per_trigger": par_n,
+            "micro_batches": 4,
+            "fixture_plant_sec": t_plant_p,
+            "stream_drain_sec": t_drain_p,
+            "n_admitted": n_admitted_p,
+            "admitted_matches_oracle_arm": n_admitted_p == n_admitted,
+            "drain_speedup_vs_single": (
+                round(t_drain / t_drain_p, 2) if t_drain_p else None
+            ),
+        }
     print(json.dumps(out))
 
 
