@@ -885,6 +885,111 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_topk_trained(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    centroid_pred,
+    query_pred,
+    sub_dim: int = 16,
+    k: int = 3,
+    nprobe: int = 1,
+    vectorized: bool | None = None,
+) -> DataFrame:
+    """`ivfpq_topk` with TRAINED literal codebooks (from
+    `train_pq_codebooks`) — the full production IVFADC shape: IVF
+    routing bounds the candidate pool at Σ probed-cluster sizes, the
+    trained quantizer keeps ranking quality (flat trained-PQ recall
+    0.975 on the planted fixture), and encode/LUT are MAP-ONLY literal
+    argmins exactly as `pq_adc_topk_trained` (no codebook join).
+    Float-iterative k-means upstream → pytest-pinned recall floors
+    (tests/test_ann_recall.py), not SQL-oracle-gated; the seeded
+    `ivfpq_topk` gate row certifies the routing/ADC arithmetic
+    value-for-value."""
+
+    def _dmicro(xvec: Column, cent: list[float]) -> Column:
+        ca = F.array(*[F.lit(float(x)) for x in cent])
+        diff = F.zip_with(xvec, ca, lambda p, q: p - q)
+        dist = F.aggregate(
+            F.zip_with(diff, diff, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.floor(hround(dist, 6) * 1_000_000 + 0.5).cast("long")
+
+    scored = _ivf_scored(
+        emb,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        centroid_pred=centroid_pred,
+        nprobe=nprobe,
+        vectorized=vectorized,
+    )
+    code_structs = []
+    for s, book in enumerate(codebooks):
+        xvec = F.slice(F.col("_vd"), s * sub_dim + 1, sub_dim)
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _dmicro(xvec, cent).alias("d"), F.lit(c).alias("c")
+                    )
+                    for c, cent in enumerate(book)
+                ]
+            )
+        )
+        code_structs.append(
+            F.struct(F.lit(s).alias("subspace"), best["c"].alias("code"))
+        )
+    codes = scored.select(
+        id_col, "cluster_id", F.explode(F.array(*code_structs)).alias("_sc")
+    ).select(id_col, "cluster_id", F.col("_sc.subspace"), F.col("_sc.code"))
+
+    lut_structs = [
+        F.struct(
+            F.lit(s).alias("subspace"),
+            F.lit(c).alias("code"),
+            _dmicro(
+                F.slice(F.col("_vd"), s * sub_dim + 1, sub_dim), cent
+            ).alias("_dm"),
+        )
+        for s, book in enumerate(codebooks)
+        for c, cent in enumerate(book)
+    ]
+    q_rows = scored.filter(query_pred)
+    lut = q_rows.select(
+        F.col(id_col).alias("_qid"),
+        F.explode(F.array(*lut_structs)).alias("_l"),
+    ).select("_qid", "_l.subspace", "_l.code", "_l._dm")
+    probes = q_rows.select(
+        F.col(id_col).alias("_qid"), F.explode("_probes").alias("cluster_id")
+    )
+    adc = (
+        codes.join(F.broadcast(probes), "cluster_id")
+        .filter(F.col(id_col) != F.col("_qid"))
+        .join(F.broadcast(lut), ["_qid", "subspace", "code"])
+        .groupBy(
+            F.col("_qid").alias("query_id"), F.col(id_col).alias("cand_id")
+        )
+        .agg(F.sum("_dm").alias("d_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy("d_micro", "cand_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("d_micro").cast("long").alias("d_micro"),
+        )
+    )
+
+
 def pca_components(
     df: DataFrame, *, vec_col: str = "embedding", k: int = 8
 ):

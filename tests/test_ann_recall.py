@@ -352,21 +352,23 @@ def test_ivfpq_nprobe_all_equals_flat_pq(spark, sf_dir):
 
 
 def test_ivfpq_planted_twin_recall_floors(planted):
-    """IVF+PQ planted-twin recall (deterministic per fixture SF):
-    measured top-1 at nprobe 1/2/4 = 0.30/0.75/0.40 at sf0.001 and
-    0.40/0.80/0.50 at sf0.01, vs flat seeded PQ's 0.10/0.35 — routing
-    HELPS a coarse quantizer because pruning the candidate pool
-    removes quantization-noise competitors that flat ADC lets outrank
-    the twin, but recall is NON-monotone in nprobe (more probes
-    re-admit competitors faster than they add missed twins). Floors
-    pin nprobe1 >= flat and the nprobe2 sweet spot; the
-    trained-codebook path (train_pq_codebooks) is the production fix
-    for the underlying quantizer coarseness."""
+    """IVF+PQ planted-twin recall with the SEEDED 4-code codebook
+    (deterministic per fixture SF; centroids exclude the twin block,
+    matching test_ivf_planted_recall_floor_and_nprobe_dial's
+    geometry): measured top-1 at nprobe 1/2 = 0.65/0.45 at sf0.001 and
+    0.75/0.50 at sf0.01, vs flat seeded PQ's 0.10/0.35 — routing HELPS
+    a coarse quantizer because pruning the candidate pool removes
+    quantization-noise competitors that flat ADC lets outrank the
+    twin, and recall is NON-monotone in nprobe (more probes re-admit
+    competitors faster than they add missed twins). The trained
+    composition below is the production fix for the quantizer
+    coarseness."""
+    cent = (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 1000000)
+
     def ivfpq(npb):
         return _top1(
             S.ivfpq_topk(
-                planted, dim=DIM,
-                centroid_pred=F.col("vec_id") % 50 == 0,
+                planted, dim=DIM, centroid_pred=cent,
                 codebook_pred=F.col("vec_id") < 4,
                 query_pred=_qpred(), k=3, nprobe=npb,
             )
@@ -380,5 +382,30 @@ def test_ivfpq_planted_twin_recall_floors(planted):
     )
     r1, r2 = ivfpq(1), ivfpq(2)
     assert r1 >= flat, (r1, flat)
-    assert r1 >= 0.25, r1
-    assert r2 >= 0.70, r2
+    assert r1 >= 0.6, r1
+    assert r2 >= 0.4, r2
+
+
+def test_ivfpq_trained_recall_floors(planted):
+    """The full production IVFADC shape — trained 16-code codebooks
+    routed through IVF probes (ivfpq_topk_trained): measured planted
+    top-1 = 0.95 at nprobe=1 and 1.00 at nprobe=2 at BOTH sf0.001 and
+    sf0.01 — equal to IVF-flat's exact rescoring (0.95/1.00) and
+    above flat trained-PQ's 0.975, while the ADC scan only ever
+    touches probed-cluster candidates (the 100x cost story is in
+    tools/ann_scale_audit.py). Floors: 0.90 / 0.95."""
+    cent = (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 1000000)
+    books = S.train_pq_codebooks(
+        planted.filter(F.col("vec_id") < 1000000), n_codes=16, iters=3
+    )
+
+    def run(npb):
+        return _top1(
+            S.ivfpq_topk_trained(
+                planted, books, dim=DIM, centroid_pred=cent,
+                query_pred=_qpred(), k=3, nprobe=npb,
+            )
+        )
+
+    assert run(1) >= 0.90
+    assert run(2) >= 0.95

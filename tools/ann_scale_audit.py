@@ -168,6 +168,32 @@ def main() -> None:
         "pass": r >= 0.95,
     }
     print(f"# pq: {out['pq_trained16']}", file=sys.stderr)
+
+    # Config 4 — TRAINED IVF+PQ (r9, the full production IVFADC): the
+    # same trained 16-code books routed through the fixture-rule IVF
+    # probes. The comparison that closes r8 VERDICT #6: search_sec vs
+    # pq_trained16's flat candidate-linear scan at the same quantizer
+    # quality — cost must be probed-cluster-bounded while recall holds
+    # the same floors as the exact-rescoring IVF arms.
+    release_tracked()
+    planted = tracked_persist(planted)
+    for nprobe, floor in ((1, 0.85), (2, 0.95)):
+        t0 = time.time()
+        r = top1_recall(
+            S.ivfpq_topk_trained(planted, books, dim=64,
+                                 centroid_pred=cent_fix, query_pred=qpred,
+                                 k=3, nprobe=nprobe, vectorized=True)
+        )
+        out[f"ivfpq_trained16_nprobe{nprobe}"] = {
+            "sec": round(time.time() - t0, 2),
+            "recall_at_1": round(r, 4),
+            "floor": floor,
+            "pass": r >= floor,
+        }
+        release_tracked()
+        planted = tracked_persist(planted)
+        print(f"# ivfpq trained16 nprobe={nprobe}: "
+              f"{out[f'ivfpq_trained16_nprobe{nprobe}']}", file=sys.stderr)
     print(json.dumps(out))
 
 
