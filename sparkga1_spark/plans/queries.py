@@ -5603,8 +5603,18 @@ WHERE rn = 1
 )
 def x_tfidf_top_terms(spark, sf_dir):
     """TF-IDF: term frequency × inverse document frequency, top term
-    per document. df table is vocabulary-sized → broadcast join; the
-    only fact-volume shuffle is the (doc, term) aggregation."""
+    per document. df arrives as count().over(Window.partitionBy(term))
+    — the r5 span-dup rule (PLANS.md): an aggregate joined back to its
+    OWN input on the same key is strictly worse than a partitioned
+    window (the broadcast-join form rebuilt the whole scan→explode→
+    (doc,term)-aggregate subtree per consumer — the r9 physical-tree
+    census measured 2 text scans per run; AQE never reuses the
+    exchange across the diverging aggregate). term is vocabulary-
+    cardinality, so the window partitioning is wide — never the
+    low-cardinality funnel this rule must avoid (x_target_encode_loo's
+    5-value category keeps the join-back form for exactly that
+    reason). The only fact-volume shuffles are the (doc, term)
+    aggregation and the term exchange the df count shares with it."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -5612,14 +5622,12 @@ def x_tfidf_top_terms(spark, sf_dir):
         "doc_id", F.explode(T.words(F.col("text"))).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
-    # Corpus size materialized once at build time (r7 VERDICT #2: the
-    # lazy crossJoin(broadcast(agg)) form was a BNL that replicated the
-    # docs-count subtree into the scoring plan — one extra full scan
-    # per consumer at 100 TB; the scalar pull runs count(*) exactly once).
+    # corpus size as a once-executed runtime subquery (r7 VERDICT #2 /
+    # r9: the BNL form replicated the docs-count subtree; the eager
+    # pull cost a build-time job)
     n = docs.agg(F.count("*").cast("double").alias("_n_docs"))
     scored = (
-        tf.join(F.broadcast(df_tbl), "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .withColumns(scalar_subq(n))
         .withColumn(
             "tfidf",
@@ -12176,9 +12184,13 @@ def x_target_encode_loo(spark, sf_dir):
     sides (LOO is undefined at n=1 — and feeds a zero denominator
     under ANSI mode otherwise). Long arithmetic holds to ~9e18 micro-cents
     per category (≈ $90T — switch the two products to DECIMAL(38,0)
-    past that, the gini precedent). Shape: one scan, a category
-    aggregate broadcast back onto the scan, one final category
-    aggregate — nothing wide at 100 TB."""
+    past that, the gini precedent). Shape: TWO streamed scans (the
+    category-stats aggregate + the row pass it broadcasts onto —
+    census-verified, r9), one final category aggregate — nothing wide
+    at 100 TB. The window form would collapse the second scan but
+    partitions by a 5-VALUE category — the whole fact through 5 tasks;
+    the join-back is deliberate here, the inverse of the r5 span-dup
+    rule that high-cardinality keys (x_tfidf's term) follow."""
     orders = load_table(spark, sf_dir, "orders")
     o = orders.select(
         F.col("o_orderpriority").alias("cat"),
