@@ -163,36 +163,36 @@ def test_gate_order_fronts_unproven_queries():
     qs = list(all_queries())
     first50 = set(qs[:50])
     must_have_row = {
-        # round 8 runs the steady-state rotation (r7 VERDICT #1):
-        # (a) all 29 round-3-age queries — the oldest rows left after
-        # the r7 drain:
-        "a_covariate_table", "a_exact_percentiles", "a_global_totals",
-        "a_lpt_schedule", "a_pivot_status_qty", "f_interval_sanity_fix",
-        "f_mapped_clean_projection", "f_regex_readgroup",
-        "j_anti_known_sites", "j_asof_latest_order",
-        "j_range_exome_overlap", "j_semi_known_sites",
-        "o_secondary_sort_first", "o_topk_per_chr",
-        "p2_equal_freq_buckets", "p2_interval_coalesce",
-        "p2_skew_detect", "u_distinct_variants", "u_intersect_except",
-        "x_curation_pipeline", "x_curation_write_audit",
-        "x_dedup_ngram_jaccard", "x_doc_fingerprint",
-        "x_flatmap_records", "x_lang_id", "x_multimodal_wav_features",
-        "x_multimodal_y4m_frames", "x_pipe_external_tool",
-        "x_text_quality",
-        # (b) changed this round: the 8 r4-age scalar-de-replication
-        # queries + the result-changed webp decode + the persist-changed
-        # cohort retention
-        "pipeline_end_to_end", "x_bigram_pmi",
-        "x_blackbox_variant_call", "x_column_profile_histogram",
-        "x_dau_wau_stickiness", "x_drift_chi2",
-        "x_mix_temperature_weights", "x_unigram_logprob",
-        "x_multimodal_webp_decode", "x_cohort_retention",
-        # (c) 11 more round-4-age rows, alphabetical
-        "a_grouping_sets_revenue", "a_integrity_manifest",
-        "a_sketch_accuracy_audit", "flagship_region_stats",
-        "j_full_outer_recon", "j_star_revenue", "o_global_sort_vcf",
-        "o_zorder_cluster", "tpch_q1_pricing_summary",
-        "tpch_q21_waiting_agg_form", "w_running_revenue",
+        # round 9 drains the last pre-r5 rows and fronts the round's
+        # changes (see the set_gate_order comment in plans/queries.py):
+        # (a) all 25 round-4-age rows (CORRECTNESS artifact union)
+        "x_ann_pq_adc_topk", "x_blocklist_suffix_match",
+        "x_boilerplate_shingles", "x_chunk_overlap", "x_corr_exact",
+        "x_decontaminate_overlap", "x_dedup_exact", "x_dedup_simhash",
+        "x_dedup_url_canonical", "x_embedding_neardup",
+        "x_entropy_per_doc", "x_funnel_conversion", "x_gapfill_locf",
+        "x_inverted_index", "x_multimodal_decode",
+        "x_multimodal_jpeg_meta", "x_multimodal_png_decode",
+        "x_pack_context_windows", "x_per_source_cap", "x_pq_encode",
+        "x_quality_quantile_filter", "x_scd2_intervals",
+        "x_simhash_hamming_pairs", "x_string_agg_sorted",
+        "x_vocab_oov_rate",
+        # (b) changed this round: the new ivfpq registration, the
+        # plane-code webp planter, the _ivf_scored refactor, the tfidf
+        # span-dup rewrite, and the scalar_subq conversions
+        # (x_pipe_external_tool displaced by the 50-cap — rationale in
+        # the set_gate_order comment)
+        "x_ann_ivfpq_topk", "x_multimodal_webp_decode",
+        "x_ann_ivf_topk", "x_tfidf_top_terms", "p2_skew_detect",
+        "pipeline_end_to_end", "tpch_q11_important_stock",
+        "tpch_q15_top_supplier", "x_assoc_rules_lift",
+        "x_benford_digit_audit", "x_bigram_lm_logprob", "x_bigram_pmi",
+        "x_blackbox_variant_call", "x_bloom_fpr_audit", "x_bm25_topk",
+        "x_column_profile_histogram", "x_dau_wau_stickiness",
+        "x_dedup_cluster_size_hist", "x_drift_chi2", "x_drift_psi",
+        "x_dsir_importance", "x_heaps_vocab_growth",
+        "x_mix_temperature_weights", "x_revenue_gini_lorenz",
+        "x_unigram_logprob",
     }
     missing = must_have_row - first50
     assert not missing, f"not in the driver's 50-query window: {missing}"
