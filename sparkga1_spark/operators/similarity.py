@@ -659,6 +659,63 @@ def train_pq_codebooks(
     return books
 
 
+def _pq_encode_vectorized(
+    frame: DataFrame,
+    codebooks: list[list[list[float]]],
+    sub_dim: int,
+    id_col: str,
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """Arrow-batched numpy PQ encode (r9) — the r8 IVF-assignment
+    lesson applied to the other Catalyst-HOF wall: the literal-
+    expression encode evaluates n_subspaces × n_codes × sub_dim
+    interpreted ops per row (~1024 for 4×16×16), measured as the
+    dominant cost of the trained ADC path at 100× (encode ≈ 70s of
+    the flat scan's 122s). The kernel replicates the expression fold
+    BIT-FOR-BIT: per-dimension sequential accumulation `acc += d_j²`
+    in dim order (one multiply + one add per element, the exact
+    zip_with/aggregate left fold), the same floor(x·1e6+0.5)/1e6
+    hround then floor(h·1e6+0.5) micro-unit snap on doubles, and
+    argmin taking the FIRST minimum (= lowest code, the array_min
+    struct tiebreak). Pinned by
+    test_pq_encode_vectorized_matches_expression. Emits one
+    (id [, carry...], subspace, code) row per (row, subspace)."""
+    import numpy as np
+
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    fields = {f.name: f.dataType.simpleString() for f in frame.schema.fields}
+    cols = [id_col, *carry_cols]
+    schema = ", ".join(f"{c} {fields[c]}" for c in cols)
+    schema += ", subspace int, code int"
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["_vd"].tolist(), dtype=np.float64)
+            n = len(pdf)
+            parts = []
+            for s, B in enumerate(books):
+                X = V[:, s * sub_dim : (s + 1) * sub_dim]
+                dm = np.empty((n, len(B)), dtype=np.int64)
+                for c in range(len(B)):
+                    acc = np.zeros(n, dtype=np.float64)
+                    for j in range(sub_dim):
+                        dj = X[:, j] - B[c, j]
+                        acc += dj * dj
+                    h = np.floor(acc * 1e6 + 0.5) / 1e6
+                    dm[:, c] = np.floor(h * 1e6 + 0.5).astype(np.int64)
+                out = {c_: pdf[c_] for c_ in cols}
+                out["subspace"] = np.full(n, s, dtype=np.int32)
+                out["code"] = np.argmin(dm, axis=1).astype(np.int32)
+                parts.append(pd.DataFrame(out))
+            yield pd.concat(parts, ignore_index=True)
+
+    return frame.mapInPandas(run, schema=schema)
+
+
 def pq_adc_topk_trained(
     emb: DataFrame,
     codebooks: list[list[list[float]]],
@@ -668,6 +725,7 @@ def pq_adc_topk_trained(
     query_pred: Column,
     sub_dim: int = 16,
     k: int = 3,
+    vectorized: bool | None = None,
 ) -> DataFrame:
     """PQ-ADC top-k against TRAINED literal codebooks (from
     `train_pq_codebooks`). Differences from `pq_adc_topk`'s seeded
@@ -694,26 +752,36 @@ def pq_adc_topk_trained(
     base = emb.select(
         F.col(id_col), vectors.to_double(F.col(vec_col)).alias("_vd")
     )
-    code_structs = []
-    for s, book in enumerate(codebooks):
-        xvec = F.slice(F.col("_vd"), s * sub_dim + 1, sub_dim)
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _dmicro(xvec, cent).alias("d"),
-                        F.lit(c).alias("c"),
-                    )
-                    for c, cent in enumerate(book)
-                ]
+    # corpus ENCODE: auto-switch to the Arrow/numpy kernel past the
+    # HOF-interpreter wall (r9 — 4x16x16 literal expressions per row
+    # dominated the 100x trained-ADC cost; bit-identity pinned by
+    # test_pq_encode_vectorized_matches_expression)
+    use_np = vectorized if vectorized is not None else (
+        sum(len(b) for b in codebooks) * sub_dim >= 512
+    )
+    if use_np:
+        codes = _pq_encode_vectorized(base, codebooks, sub_dim, id_col)
+    else:
+        code_structs = []
+        for s, book in enumerate(codebooks):
+            xvec = F.slice(F.col("_vd"), s * sub_dim + 1, sub_dim)
+            best = F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            _dmicro(xvec, cent).alias("d"),
+                            F.lit(c).alias("c"),
+                        )
+                        for c, cent in enumerate(book)
+                    ]
+                )
             )
-        )
-        code_structs.append(
-            F.struct(F.lit(s).alias("subspace"), best["c"].alias("code"))
-        )
-    codes = base.select(
-        id_col, F.explode(F.array(*code_structs)).alias("_sc")
-    ).select(id_col, F.col("_sc.subspace"), F.col("_sc.code"))
+            code_structs.append(
+                F.struct(F.lit(s).alias("subspace"), best["c"].alias("code"))
+            )
+        codes = base.select(
+            id_col, F.explode(F.array(*code_structs)).alias("_sc")
+        ).select(id_col, F.col("_sc.subspace"), F.col("_sc.code"))
 
     lut_structs = [
         F.struct(
@@ -929,25 +997,36 @@ def ivfpq_topk_trained(
         nprobe=nprobe,
         vectorized=vectorized,
     )
-    code_structs = []
-    for s, book in enumerate(codebooks):
-        xvec = F.slice(F.col("_vd"), s * sub_dim + 1, sub_dim)
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _dmicro(xvec, cent).alias("d"), F.lit(c).alias("c")
-                    )
-                    for c, cent in enumerate(book)
-                ]
+    # corpus ENCODE: same kernel auto-switch as pq_adc_topk_trained
+    # (the assignment already switched inside _ivf_scored)
+    use_np = vectorized if vectorized is not None else (
+        sum(len(b) for b in codebooks) * sub_dim >= 512
+    )
+    if use_np:
+        codes = _pq_encode_vectorized(
+            scored.select(id_col, "cluster_id", "_vd"),
+            codebooks, sub_dim, id_col, carry_cols=("cluster_id",),
+        )
+    else:
+        code_structs = []
+        for s, book in enumerate(codebooks):
+            xvec = F.slice(F.col("_vd"), s * sub_dim + 1, sub_dim)
+            best = F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            _dmicro(xvec, cent).alias("d"), F.lit(c).alias("c")
+                        )
+                        for c, cent in enumerate(book)
+                    ]
+                )
             )
-        )
-        code_structs.append(
-            F.struct(F.lit(s).alias("subspace"), best["c"].alias("code"))
-        )
-    codes = scored.select(
-        id_col, "cluster_id", F.explode(F.array(*code_structs)).alias("_sc")
-    ).select(id_col, "cluster_id", F.col("_sc.subspace"), F.col("_sc.code"))
+            code_structs.append(
+                F.struct(F.lit(s).alias("subspace"), best["c"].alias("code"))
+            )
+        codes = scored.select(
+            id_col, "cluster_id", F.explode(F.array(*code_structs)).alias("_sc")
+        ).select(id_col, "cluster_id", F.col("_sc.subspace"), F.col("_sc.code"))
 
     lut_structs = [
         F.struct(

@@ -409,3 +409,23 @@ def test_ivfpq_trained_recall_floors(planted):
 
     assert run(1) >= 0.90
     assert run(2) >= 0.95
+
+
+def test_pq_encode_vectorized_matches_expression(spark, sf_dir):
+    """The Arrow/numpy PQ encode must be BIT-IDENTICAL to the
+    literal-expression argmin (same per-dimension left-fold, same
+    hround + micro-unit snap, same first-minimum tiebreak) — the r8
+    IVF-assignment discipline applied to the trained-ADC encode, whose
+    4x16x16 interpreted expressions per row dominated the 100x cost."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = S.train_pq_codebooks(emb, n_codes=16, iters=2)
+    qp = F.col("vec_id") % 20 == 0
+    a = S.pq_adc_topk_trained(emb, books, query_pred=qp, k=3, vectorized=False)
+    b = S.pq_adc_topk_trained(emb, books, query_pred=qp, k=3, vectorized=True)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    cent = F.col("vec_id") % 50 == 0
+    c = S.ivfpq_topk_trained(emb, books, dim=DIM, centroid_pred=cent,
+                             query_pred=qp, k=3, nprobe=2, vectorized=False)
+    d = S.ivfpq_topk_trained(emb, books, dim=DIM, centroid_pred=cent,
+                             query_pred=qp, k=3, nprobe=2, vectorized=True)
+    assert sorted(map(tuple, c.collect())) == sorted(map(tuple, d.collect()))
