@@ -148,6 +148,10 @@ HEADLINE = [
     "x_multimodal_webp_decode",
     "s_crawl_ingest_incremental",
     "x_gapfill_locf",
+    # round 9: the one judge-sanctioned registration — the composed
+    # IVF+PQ gate row (shared35/shared65 subsets are unaffected; the
+    # headline only ever grows)
+    "x_ann_ivfpq_topk",
 ]
 
 # CONVENTION (r5 VERDICT #8, made permanent per r6 VERDICT #9): the
