@@ -123,14 +123,12 @@ def test_vocab_topk_takes_before_ranking(spark, sf_dir):
 
 
 def test_tfidf_corpus_size_is_one_build_time_scalar(spark, sf_dir):
-    """Building the query runs EXACTLY ONE scalar job beyond a lazy
-    baseline — the corpus-size pull (scalar_lits, r7 VERDICT #2) — and
-    the resulting plan carries the total as a literal, not a
-    BroadcastNestedLoopJoin that would replicate the docs-count subtree
-    into the scoring plan. (The r1 ancestor of this test pinned the
-    opposite — zero build-time jobs via a lazy 1-row crossJoin — which
-    the r7 plan audit showed re-executes the count scan per consumer
-    at scale.)"""
+    """Building the query launches NO scalar job beyond a lazy
+    baseline (r9: the corpus size rides the plan as a once-executed
+    runtime ScalarSubquery — scalar_subq; the r8 form paid an eager
+    .first() job here, and the r1 ancestor was a lazy 1-row crossJoin
+    whose BNL re-executed the count scan per consumer at scale). The
+    plan must never regress to a BroadcastNestedLoopJoin attach."""
     tracker = spark.sparkContext.statusTracker()
     # baseline: a known-lazy query on the same table still pays the
     # parquet schema-inference job
@@ -642,3 +640,38 @@ def test_bucketed_dedup_index_no_corpus_exchange(spark, sf_dir):
         assert "Bucketed: true" in plan, plan[:2000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_census_pins_tfidf_single_scan_and_q11_exchange_reuse(spark, sf_dir):
+    """Physical-tree census regression pins for the two round-9 wins
+    the text-based audit could not see: (a) x_tfidf_top_terms reads the
+    documents text exactly ONCE per execution (the window-form df — the
+    join-back form rebuilt the scan→explode→aggregate subtree, measured
+    2 scans/run), and (b) tpch_q11's two streamed passes of the scoped
+    fact join share an exchange at runtime via ReusedExchange — the
+    AQE reuse that only the scalar-SUBQUERY total enables (the lazy BNL
+    replicated the subtree; the eager pull was a separate execution)."""
+    import sys as _sys
+
+    _sys.path.insert(0, ".")
+    from tools.exchange_reuse_audit import physical_scan_census
+
+    from sparkga1_spark.operators.cache import release_tracked
+    from sparkga1_spark.plans.registry import all_queries
+
+    release_tracked()
+    tfidf = all_queries()["x_tfidf_top_terms"](spark, sf_dir)
+    tfidf.collect()
+    c = physical_scan_census(tfidf._jdf.queryExecution().executedPlan())
+    text_scans = [
+        (d, n) for d, n in c["file_scans"].items()
+        if "text" in d and "documents" in d
+    ]
+    assert text_scans and all(n == 1 for _, n in text_scans), text_scans
+
+    release_tracked()
+    q11 = all_queries()["tpch_q11_important_stock"](spark, sf_dir)
+    q11.collect()
+    c = physical_scan_census(q11._jdf.queryExecution().executedPlan())
+    assert c["reused_exchanges"] >= 1, c
+    assert not any(n > 1 for n in c["file_scans"].values()), c["file_scans"]
