@@ -1015,6 +1015,10 @@ def test_decoder_fuzz_only_valueerror_and_bounded_alloc():
         (parse_webp_pixels, build_webp_lossless(  # r8: predictor path
             np.resize(np.arange(210, dtype=np.uint8), (7, 10, 3)),
             cache_bits=4, predictor_bits=2)),
+        (parse_webp_pixels, build_webp_lossless(  # r9: plane-coded refs
+            np.repeat(np.resize(np.arange(30, dtype=np.uint8),
+                                (1, 10, 3)), 7, axis=0),
+            cache_bits=4, plane_codes=True)),
         (parse_warc, build_warc(2, "s", "a b c", gzip_members=True)),
         (parse_warc, build_warc(2, "s", "a b c", gzip_members=False)),
         (extract_pdf_text, build_pdf(3, "a b c d e f", flate=True, n_pages=2)),
@@ -2951,7 +2955,9 @@ def test_vp8l_exhaustive_truncation_valueerror_only():
     struct.error / KeyError (the FLAC/JPEG exhaustive-truncation
     precedent, extended to the r8 transform surface: truncation can now
     land inside a tile sub-image, a palette delta stream, or a
-    mid-group tree)."""
+    mid-group tree — and, r9, inside a plane-coded backreference: the
+    third arm repeats vertically so the encoder emits above-row plane
+    codes)."""
     import numpy as np
     import pytest
 
@@ -2965,12 +2971,15 @@ def test_vp8l_exhaustive_truncation_valueerror_only():
     colors = np.unique(rng.integers(0, 256, (10, 3), dtype=np.uint8), axis=0)
     pxp = colors[rng.integers(0, len(colors), (7, 9))]
     del pytest
+    pxv = np.repeat(px[:1], 8, axis=0)  # vertical runs → plane codes
+    pxv[4, 5, 0] ^= 0x3C
     for data in (
         build_webp_lossless(
             px, cache_bits=4, predictor_bits=2, color_bits=3,
             meta_bits=2, meta_groups=3,
         ),
         build_webp_lossless(pxp, palette=True, meta_bits=2),
+        build_webp_lossless(pxv, cache_bits=4, plane_codes=True),
     ):
         parse_webp_pixels(data)  # sanity: the intact file decodes
         n_ok = 0
