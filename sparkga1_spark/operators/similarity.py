@@ -197,6 +197,44 @@ def _ivf_assign_vectorized(
     return base.mapInPandas(run, schema=schema)
 
 
+def _collect_centroids(
+    df: DataFrame, *, id_col: str, vec_col: str, dim: int, centroid_pred
+) -> list:
+    """The k-sized centroid model pull (the sanctioned build-time
+    collect), cid-ascending."""
+    rows = sorted(
+        df.filter(centroid_pred)
+        .select(
+            F.col(id_col).alias("cid"),
+            vectors.to_double(F.col(vec_col)).alias("cv"),
+            vectors.norm(F.col(vec_col), dim).alias("cn"),
+        )
+        .collect(),
+        key=lambda r: r["cid"],
+    )
+    if not rows:
+        raise ValueError("ivf: centroid_pred selected no rows")
+    return rows
+
+
+def _cent_vec_lookup(cent_rows: list, id_type, cluster_col: str = "cluster_id"):
+    """Literal-array centroid-vector lookup by cluster id — the
+    map-only expression `element_at(filter(cents, c.cid == cluster), 1)
+    .cv` used by the residual paths."""
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(r["cid"]).cast(id_type).alias("cid"),
+                F.lit(r["cv"]).cast("array<double>").alias("cv"),
+            )
+            for r in cent_rows
+        ]
+    )
+    return F.element_at(
+        F.filter(cents_lit, lambda c: c["cid"] == F.col(cluster_col)), 1
+    )["cv"]
+
+
 def _ivf_scored(
     df: DataFrame,
     *,
@@ -206,6 +244,7 @@ def _ivf_scored(
     centroid_pred,
     nprobe: int,
     vectorized: bool | None,
+    cent_rows: list | None = None,
 ) -> DataFrame:
     """Shared IVF coarse-quantizer pass for `ivf_topk` and
     `ivfpq_topk`: pull the k-sized centroid model once at build time
@@ -216,18 +255,11 @@ def _ivf_scored(
     kernel, which is bit-identical to the expression fold (pinned by
     test_ivf_vectorized_matches_expression)."""
     id_type = df.schema[id_col].dataType
-    cent_rows = sorted(
-        df.filter(centroid_pred)
-        .select(
-            F.col(id_col).alias("cid"),
-            vectors.to_double(F.col(vec_col)).alias("cv"),
-            vectors.norm(F.col(vec_col), dim).alias("cn"),
+    if cent_rows is None:
+        cent_rows = _collect_centroids(
+            df, id_col=id_col, vec_col=vec_col, dim=dim,
+            centroid_pred=centroid_pred,
         )
-        .collect(),
-        key=lambda r: r["cid"],
-    )
-    if not cent_rows:
-        raise ValueError("ivf: centroid_pred selected no rows")
     base = df.select(
         F.col(id_col),
         vectors.to_double(F.col(vec_col)).alias("_vd"),
@@ -665,6 +697,8 @@ def _pq_encode_vectorized(
     sub_dim: int,
     id_col: str,
     carry_cols: tuple = (),
+    residual_cents: dict | None = None,
+    cluster_col: str = "cluster_id",
 ) -> DataFrame:
     """Arrow-batched numpy PQ encode (r9) — the r8 IVF-assignment
     lesson applied to the other Catalyst-HOF wall: the literal-
@@ -695,6 +729,14 @@ def _pq_encode_vectorized(
             if not len(pdf):
                 continue
             V = np.array(pdf["_vd"].tolist(), dtype=np.float64)
+            if residual_cents is not None:
+                # residual coding (r9): one subtraction per element —
+                # bit-identical to the zip_with(p - q) expression
+                C = np.array(
+                    [residual_cents[c] for c in pdf[cluster_col]],
+                    dtype=np.float64,
+                )
+                V = V - C
             n = len(pdf)
             parts = []
             for s, B in enumerate(books):
@@ -966,6 +1008,7 @@ def ivfpq_topk_trained(
     k: int = 3,
     nprobe: int = 1,
     vectorized: bool | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """`ivfpq_topk` with TRAINED literal codebooks (from
     `train_pq_codebooks`) — the full production IVFADC shape: IVF
@@ -973,6 +1016,19 @@ def ivfpq_topk_trained(
     trained quantizer keeps ranking quality (flat trained-PQ recall
     0.975 on the planted fixture), and encode/LUT are MAP-ONLY literal
     argmins exactly as `pq_adc_topk_trained` (no codebook join).
+
+    `residual=True` is the paper's actual IVFADC: codes quantize
+    v − centroid(v) instead of v (train the books on `ivf_residuals`
+    output), and each query builds one LUT PER PROBED CLUSTER from
+    q − centroid_c — keyed (query, cluster, subspace, code), so the
+    ADC join routes on cluster implicitly. Residual coding resolves
+    WITHIN-cluster structure the raw quantizer wastes its budget on
+    (measured on the clustered pytest fixture:
+    test_ivfpq_residual_beats_raw_on_clustered_data); on
+    structureless uniform data the two are comparable. Plan shape is
+    unchanged — the residual is one extra map-only zip_with (or a
+    vectorized subtraction inside the encode kernel, bit-identical).
+
     Float-iterative k-means upstream → pytest-pinned recall floors
     (tests/test_ann_recall.py), not SQL-oracle-gated; the seeded
     `ivfpq_topk` gate row certifies the routing/ADC arithmetic
@@ -988,6 +1044,11 @@ def ivfpq_topk_trained(
         )
         return F.floor(hround(dist, 6) * 1_000_000 + 0.5).cast("long")
 
+    id_type = emb.schema[id_col].dataType
+    cent_rows = _collect_centroids(
+        emb, id_col=id_col, vec_col=vec_col, dim=dim,
+        centroid_pred=centroid_pred,
+    )
     scored = _ivf_scored(
         emb,
         id_col=id_col,
@@ -996,6 +1057,18 @@ def ivfpq_topk_trained(
         centroid_pred=centroid_pred,
         nprobe=nprobe,
         vectorized=vectorized,
+        cent_rows=cent_rows,
+    )
+    # the vector the codes quantize: raw, or the residual against the
+    # row's ASSIGNED centroid (map-only literal lookup)
+    enc_vec = (
+        F.zip_with(
+            F.col("_vd"),
+            _cent_vec_lookup(cent_rows, id_type),
+            lambda p, q: p - q,
+        )
+        if residual
+        else F.col("_vd")
     )
     # corpus ENCODE: same kernel auto-switch as pq_adc_topk_trained
     # (the assignment already switched inside _ivf_scored)
@@ -1006,11 +1079,16 @@ def ivfpq_topk_trained(
         codes = _pq_encode_vectorized(
             scored.select(id_col, "cluster_id", "_vd"),
             codebooks, sub_dim, id_col, carry_cols=("cluster_id",),
+            residual_cents=(
+                {r["cid"]: list(r["cv"]) for r in cent_rows}
+                if residual else None
+            ),
         )
     else:
+        enc = scored.select(id_col, "cluster_id", enc_vec.alias("_ev"))
         code_structs = []
         for s, book in enumerate(codebooks):
-            xvec = F.slice(F.col("_vd"), s * sub_dim + 1, sub_dim)
+            xvec = F.slice(F.col("_ev"), s * sub_dim + 1, sub_dim)
             best = F.array_min(
                 F.array(
                     *[
@@ -1024,38 +1102,76 @@ def ivfpq_topk_trained(
             code_structs.append(
                 F.struct(F.lit(s).alias("subspace"), best["c"].alias("code"))
             )
-        codes = scored.select(
+        codes = enc.select(
             id_col, "cluster_id", F.explode(F.array(*code_structs)).alias("_sc")
         ).select(id_col, "cluster_id", F.col("_sc.subspace"), F.col("_sc.code"))
 
-    lut_structs = [
-        F.struct(
-            F.lit(s).alias("subspace"),
-            F.lit(c).alias("code"),
-            _dmicro(
-                F.slice(F.col("_vd"), s * sub_dim + 1, sub_dim), cent
-            ).alias("_dm"),
-        )
-        for s, book in enumerate(codebooks)
-        for c, cent in enumerate(book)
-    ]
     q_rows = scored.filter(query_pred)
-    lut = q_rows.select(
-        F.col(id_col).alias("_qid"),
-        F.explode(F.array(*lut_structs)).alias("_l"),
-    ).select("_qid", "_l.subspace", "_l.code", "_l._dm")
-    probes = q_rows.select(
-        F.col(id_col).alias("_qid"), F.explode("_probes").alias("cluster_id")
-    )
-    adc = (
-        codes.join(F.broadcast(probes), "cluster_id")
-        .filter(F.col(id_col) != F.col("_qid"))
-        .join(F.broadcast(lut), ["_qid", "subspace", "code"])
-        .groupBy(
-            F.col("_qid").alias("query_id"), F.col(id_col).alias("cand_id")
+    if residual:
+        # one LUT per (query, PROBED cluster): q − centroid_c, keyed so
+        # the ADC join routes on cluster implicitly
+        qp = q_rows.select(
+            F.col(id_col).alias("_qid"),
+            F.col("_vd"),
+            F.explode("_probes").alias("cluster_id"),
+        ).withColumn(
+            "_ev",
+            F.zip_with(
+                F.col("_vd"),
+                _cent_vec_lookup(cent_rows, id_type),
+                lambda p, q: p - q,
+            ),
         )
-        .agg(F.sum("_dm").alias("d_micro"))
-    )
+        lut_structs = [
+            F.struct(
+                F.lit(s).alias("subspace"),
+                F.lit(c).alias("code"),
+                _dmicro(
+                    F.slice(F.col("_ev"), s * sub_dim + 1, sub_dim), cent
+                ).alias("_dm"),
+            )
+            for s, book in enumerate(codebooks)
+            for c, cent in enumerate(book)
+        ]
+        lut = qp.select(
+            "_qid", "cluster_id", F.explode(F.array(*lut_structs)).alias("_l")
+        ).select("_qid", "cluster_id", "_l.subspace", "_l.code", "_l._dm")
+        adc = (
+            codes.join(F.broadcast(lut), ["cluster_id", "subspace", "code"])
+            .filter(F.col(id_col) != F.col("_qid"))
+            .groupBy(
+                F.col("_qid").alias("query_id"), F.col(id_col).alias("cand_id")
+            )
+            .agg(F.sum("_dm").alias("d_micro"))
+        )
+    else:
+        lut_structs = [
+            F.struct(
+                F.lit(s).alias("subspace"),
+                F.lit(c).alias("code"),
+                _dmicro(
+                    F.slice(F.col("_vd"), s * sub_dim + 1, sub_dim), cent
+                ).alias("_dm"),
+            )
+            for s, book in enumerate(codebooks)
+            for c, cent in enumerate(book)
+        ]
+        lut = q_rows.select(
+            F.col(id_col).alias("_qid"),
+            F.explode(F.array(*lut_structs)).alias("_l"),
+        ).select("_qid", "_l.subspace", "_l.code", "_l._dm")
+        probes = q_rows.select(
+            F.col(id_col).alias("_qid"), F.explode("_probes").alias("cluster_id")
+        )
+        adc = (
+            codes.join(F.broadcast(probes), "cluster_id")
+            .filter(F.col(id_col) != F.col("_qid"))
+            .join(F.broadcast(lut), ["_qid", "subspace", "code"])
+            .groupBy(
+                F.col("_qid").alias("query_id"), F.col(id_col).alias("cand_id")
+            )
+            .agg(F.sum("_dm").alias("d_micro"))
+        )
     w = Window.partitionBy("query_id").orderBy("d_micro", "cand_id")
     return (
         adc.withColumn("rank", F.row_number().over(w))
@@ -1066,6 +1182,43 @@ def ivfpq_topk_trained(
             F.col("rank").cast("int").alias("rank"),
             F.col("d_micro").cast("long").alias("d_micro"),
         )
+    )
+
+
+def ivf_residuals(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    centroid_pred,
+    vectorized: bool | None = None,
+) -> DataFrame:
+    """(id, cluster_id, _res) — each vector minus its ASSIGNED IVF
+    centroid, map-only (the literal-array lookup over the k-sized
+    model). Feed this to `train_pq_codebooks(..., vec_col="_res")` to
+    train residual codebooks for `ivfpq_topk_trained(residual=True)`
+    — the paper's IVFADC training shape: the quantizer spends its
+    budget on within-cluster structure instead of re-describing the
+    coarse geometry the centroids already capture."""
+    id_type = df.schema[id_col].dataType
+    cent_rows = _collect_centroids(
+        df, id_col=id_col, vec_col=vec_col, dim=dim,
+        centroid_pred=centroid_pred,
+    )
+    scored = _ivf_scored(
+        df, id_col=id_col, vec_col=vec_col, dim=dim,
+        centroid_pred=centroid_pred, nprobe=1, vectorized=vectorized,
+        cent_rows=cent_rows,
+    )
+    return scored.select(
+        id_col,
+        "cluster_id",
+        F.zip_with(
+            F.col("_vd"),
+            _cent_vec_lookup(cent_rows, id_type),
+            lambda p, q: p - q,
+        ).alias("_res"),
     )
 
 

@@ -429,3 +429,77 @@ def test_pq_encode_vectorized_matches_expression(spark, sf_dir):
     d = S.ivfpq_topk_trained(emb, books, dim=DIM, centroid_pred=cent,
                              query_pred=qp, k=3, nprobe=2, vectorized=True)
     assert sorted(map(tuple, c.collect())) == sorted(map(tuple, d.collect()))
+
+
+def test_ivfpq_residual_beats_raw_on_clustered_data(spark):
+    """residual=True is the paper's actual IVFADC — codes quantize
+    v − centroid(v), trained on ivf_residuals output. On CLUSTERED
+    data (8 well-separated centers, 60 members each at σ=0.03, twins
+    planted at σ=0.005) a 4-code RAW quantizer is measured at 0.000
+    planted top-1: every cluster member lands on the same code per
+    subspace, all ADC distances tie, and the id tiebreak never picks
+    the twin — the coarse geometry eats the whole code budget. The
+    RESIDUAL quantizer spends the same 4 codes on within-cluster
+    structure: measured 0.583 at both nprobe settings. Floors pin the
+    separation (residual ≥ 0.5, raw ≤ 0.1) and the vectorized encode's
+    bit-identity on the residual path."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    K, PER = 8, 60
+    centers = rng.uniform(0, 1, (K, DIM))
+    rows = []
+    for k in range(K):
+        rows.append((1000 * k, centers[k].tolist()))  # exact center row
+        for i in range(1, PER + 1):
+            v = centers[k] + 0.03 * rng.standard_normal(DIM)
+            rows.append((1000 * k + i, v.tolist()))
+    base = dict(rows)
+    twins = []
+    for k in range(K):
+        for i in range(10, PER + 1, 10):
+            bid = 1000 * k + i
+            twins.append((
+                1_000_000 + bid,
+                (np.array(base[bid]) + 0.005 * rng.standard_normal(DIM)).tolist(),
+            ))
+    emb = spark.createDataFrame(
+        rows + twins, "vec_id long, embedding array<double>"
+    ).persist()
+    pairs = {q: q - 1_000_000 for q, _ in twins}
+    qpred = F.col("vec_id") >= 1_000_000
+    cent = (F.col("vec_id") % 1000 == 0) & (F.col("vec_id") < 1_000_000)
+
+    def top1(df):
+        got = {r.query_id: r.cand_id for r in df.collect() if r.rank == 1}
+        return sum(1 for q, w in pairs.items() if got.get(q) == w) / len(pairs)
+
+    data = emb.filter(F.col("vec_id") < 1_000_000)
+    books_raw = S.train_pq_codebooks(data, n_codes=4, iters=3)
+    books_res = S.train_pq_codebooks(
+        S.ivf_residuals(data, dim=DIM, centroid_pred=cent),
+        vec_col="_res", n_codes=4, iters=3,
+    )
+    raw = top1(S.ivfpq_topk_trained(
+        emb, books_raw, dim=DIM, centroid_pred=cent, query_pred=qpred,
+        k=3, nprobe=2,
+    ))
+    res = top1(S.ivfpq_topk_trained(
+        emb, books_res, dim=DIM, centroid_pred=cent, query_pred=qpred,
+        k=3, nprobe=2, residual=True,
+    ))
+    assert raw <= 0.1, raw
+    assert res >= 0.5, res
+    assert res > raw
+
+    # residual-path bit-identity: vectorized encode == expression encode
+    a = S.ivfpq_topk_trained(
+        emb, books_res, dim=DIM, centroid_pred=cent, query_pred=qpred,
+        k=3, nprobe=2, residual=True, vectorized=False,
+    )
+    b = S.ivfpq_topk_trained(
+        emb, books_res, dim=DIM, centroid_pred=cent, query_pred=qpred,
+        k=3, nprobe=2, residual=True, vectorized=True,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    emb.unpersist()
