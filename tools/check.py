@@ -27,9 +27,13 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
     ).split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables (the /tmp/scaleNx replicas) are parquet
+        # DIRECTORIES — glob their part files so the oracle can run at
+        # replica scale too (r9: 10x correctness points)
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con
 
 
