@@ -19,7 +19,9 @@ spec §4 transform family — subtract-green, 14-mode predictor, color
 transform, color indexing with pixel bundling — plus §5.3 meta-prefix
 groups as of r8 and, as of r9, near-distance plane codes with the
 120-entry map DERIVED from the spec's proximity rule on both in-repo
-sides — VP8L is now decoded in FULL; see the VP8L section). The
+sides AND color-indexing combined with other transforms in either
+read order — VP8L is now decoded in FULL with zero refusals beyond
+genuinely invalid streams; see the VP8L section). The
 residue — video (MP4), lossy VP8, and
 non-baseline JPEG — tries the library (PIL / soundfile / av) behind
 an import-guard; absent that it uses a clearly-marked DETERMINISTIC
@@ -5134,13 +5136,17 @@ def decode_webp_meta(df: DataFrame, *, payload_col: str = "payload") -> DataFram
 #   (0x1e35a7bd multiplicative hash), the FULL spec §4 transform
 #   family — SUBTRACT_GREEN, PREDICTOR (all 14 §4.2 modes),
 #   COLOR_TRANSFORM (§4.3), COLOR_INDEXING (§4.5 incl. ≤16-color
-#   pixel bundling) — and §5.3 meta-prefix groups (spatial tree
-#   switching).
-#   REFUSED (ValueError, never guessed): only COLOR_INDEXING combined
-#   with other transforms (the bundled width change would re-dimension
-#   their tile rasters; the in-repo encoder never emits it). Lossy VP8
-#   pixels stay behind the import-guarded fake (separate codec family,
-#   not part of VP8L).
+#   pixel bundling) — §5.3 meta-prefix groups (spatial tree
+#   switching), AND color-indexing combined with other transforms in
+#   either read order (the bundled width reduction applies to
+#   everything read after it; each transform's inverse runs at its
+#   recorded read-time width). VP8L decodes IN FULL — the only
+#   ValueErrors left are genuinely invalid streams (bad magic,
+#   truncation, duplicate transforms, out-of-range palette indices,
+#   oversized rasters).
+#   REFUSED (ValueError, never guessed): nothing within VP8L. Lossy
+#   VP8 pixels stay behind the import-guarded fake (separate codec
+#   family, not part of VP8L).
 #
 # Encoder and decoder share only the bit-order and canonical-code
 # conventions; tests/test_multimodal_bytes.py carries a STRICT
@@ -5650,10 +5656,20 @@ def parse_vp8l(body: bytes):
     120-entry offset map DERIVED from the spec's proximity rule
     independently on both in-repo sides rather than transcribed — a
     transcription error would decode consistently-but-wrong everywhere,
-    the QOI failure mode; see _vp8l_plane_offsets). The one remaining
-    refusal: color-indexing COMBINED with other transforms (the bundled
-    width change would re-dimension their tile rasters; the in-repo
-    encoder never emits it)."""
+    the QOI failure mode; see _vp8l_plane_offsets).
+
+    Color-indexing COMBINED with other transforms (the last VP8L
+    refusal through r9's first half) now decodes: the spec's rule is
+    that bundling reduces the running image width for everything read
+    AFTER the color-indexing transform — later transforms size their
+    tile rasters against the REDUCED width and their inverses run on
+    the still-bundled raster — so each transform records the width in
+    effect when it was read and its inverse uses exactly that width
+    (libwebp records the same thing as transform->xsize_ in
+    ReadTransform before applying the reduction). Both read orders are
+    legal and handled: color-indexing first (later inverses operate on
+    packed-index pixels) and color-indexing last (the palette maps
+    residual values; earlier inverses then run at full width)."""
     if len(body) < 5 or body[0] != WEBP_VP8L_SIG:
         raise ValueError("vp8l: bad signature byte")
     br = _Vp8lReader(body, start=1)
@@ -5666,7 +5682,9 @@ def parse_vp8l(body: bytes):
     transforms = []
     seen = set()
     palette = None
-    width_bits = 0
+    # the RUNNING width: color-indexing bundling reduces it for every
+    # transform read after it and for the entropy-coded image itself
+    cur_w = w
     while br.read(1):
         t = br.read(2)
         if t in seen:
@@ -5676,13 +5694,18 @@ def parse_vp8l(body: bytes):
             transforms.append(("subtract_green",))
         elif t in (0, 1):
             size_bits = br.read(3) + 2
-            tile_w = (w + (1 << size_bits) - 1) >> size_bits
+            tile_w = (cur_w + (1 << size_bits) - 1) >> size_bits
             tile_h = (h + (1 << size_bits) - 1) >> size_bits
             tiles = _vp8l_decode_entropy_image(
                 br, tile_w, tile_h, is_level0=False
             )
             transforms.append(
-                ("predictor" if t == 0 else "color_transform", size_bits, tiles)
+                (
+                    "predictor" if t == 0 else "color_transform",
+                    size_bits,
+                    tiles,
+                    cur_w,
+                )
             )
         else:  # t == 3: color indexing
             psize = br.read(8) + 1
@@ -5703,32 +5726,27 @@ def parse_vp8l(body: bytes):
             width_bits = (
                 3 if psize <= 2 else 2 if psize <= 4 else 1 if psize <= 16 else 0
             )
-            transforms.append(("color_indexing",))
-    if palette is not None and len(transforms) != 1:
-        raise ValueError(
-            "vp8l: color-indexing combined with other transforms not "
-            "supported (documented subset)"
-        )
-    dec_w = (
-        (w + (1 << width_bits) - 1) >> width_bits if palette is not None else w
-    )
-    out = _vp8l_decode_entropy_image(br, dec_w, h, is_level0=True)
-    n = w * h
-    # inverse transforms run in REVERSE header-read order (spec §4)
+            transforms.append(("color_indexing", cur_w, width_bits))
+            cur_w = (cur_w + (1 << width_bits) - 1) >> width_bits
+    out = _vp8l_decode_entropy_image(br, cur_w, h, is_level0=True)
+    # inverse transforms run in REVERSE header-read order (spec §4);
+    # each one runs at the width recorded when it was READ — a later
+    # color-indexing inverse has already unbundled back to that width
+    # by the time an earlier transform's inverse executes
     for tf in reversed(transforms):
         if tf[0] == "subtract_green":
-            for i in range(n):
+            for i in range(len(out)):
                 px = out[i]
                 gch = (px >> 8) & 0xFF
                 r = ((px >> 16) + gch) & 0xFF
                 b = (px + gch) & 0xFF
                 out[i] = (px & 0xFF00FF00) | (r << 16) | b
         elif tf[0] == "predictor":
-            _vp8l_predictor_inverse(out, w, h, tf[1], tf[2])
+            _vp8l_predictor_inverse(out, tf[3], h, tf[1], tf[2])
         elif tf[0] == "color_transform":
-            _vp8l_color_inverse(out, w, h, tf[1], tf[2])
+            _vp8l_color_inverse(out, tf[3], h, tf[1], tf[2])
         else:
-            out = _vp8l_palette_expand(out, w, h, palette, width_bits)
+            out = _vp8l_palette_expand(out, tf[1], h, palette, tf[2])
     return w, h, bool(alpha_used), out
 
 
@@ -6134,6 +6152,8 @@ def build_webp_lossless(
     color_bits: int = 0,
     color_cte=None,
     palette: bool = False,
+    palette_order: str = "first",
+    sub_green=None,
     meta_bits: int = 0,
     meta_groups: int = 2,
     plane_codes: bool = False,
@@ -6144,19 +6164,27 @@ def build_webp_lossless(
     else cycling (bx + 2·by) % 14 so every mode appears), optional
     COLOR_TRANSFORM (r8 — `color_bits` 2..9; per-tile (green_to_red,
     green_to_blue, red_to_blue) from `color_cte` if given, else a
-    deterministic per-tile cycle), then SUBTRACT_GREEN; OR — mutually
-    exclusive with all of those — COLOR_INDEXING (`palette=True`:
-    ≤256 unique colors, delta-coded palette sub-image, LSB-first pixel
-    bundling for ≤16 colors). Optional color cache, run-length LZ77
+    deterministic per-tile cycle), SUBTRACT_GREEN (`sub_green`;
+    default True without palette, False with — the legacy shapes),
+    and COLOR_INDEXING (`palette=True`: ≤256 unique colors,
+    delta-coded palette sub-image, LSB-first pixel bundling for ≤16
+    colors), now COMPOSABLE with the others (r9, closing the last
+    VP8L refusal): `palette_order="first"` reads color-indexing
+    first, so the later transforms tile and transform the BUNDLED
+    reduced-width index raster; `"last"` reads it last, so the
+    palette maps the residual raster the earlier transforms produced
+    (the residuals must themselves have ≤256 unique values — the
+    caller picks inputs that palettize, e.g. a gradient under
+    predictor mode 1). Optional color cache, run-length LZ77
     backreferences (distance 1, emitted as direct dist_code 121 — or,
     with `plane_codes` (r9), as derived near-distance plane codes plus
     an above-row dist-width matcher), and
     simple/normal Huffman codes as each tree's histogram warrants.
-    Header order [predictor, color_transform, subtract_green] means
-    the decoder inverts in the reverse order — so the encoder applies
-    predictor to the raw raster, the color transform to the predictor
-    residuals, and subtract-green last. Alpha is constant 255 and
-    alpha_is_used stays 0, so decoders surface 3 channels."""
+    Transforms are written in read order and applied forward in that
+    same order (the decoder inverts in reverse), each against the
+    running width in effect when its header is written. Alpha is
+    constant 255 and alpha_is_used stays 0, so decoders surface 3
+    channels."""
     import numpy as np
 
     arr = np.asarray(px, dtype=np.uint8)
@@ -6171,10 +6199,9 @@ def build_webp_lossless(
         raise ValueError("vp8l: predictor size_bits out of range (2..9)")
     if color_bits and not 2 <= color_bits <= 9:
         raise ValueError("vp8l: color-transform size_bits out of range (2..9)")
-    if palette and (predictor_bits or color_bits):
-        raise ValueError(
-            "vp8l: color-indexing combined with other transforms not supported"
-        )
+    if palette_order not in ("first", "last"):
+        raise ValueError("vp8l: palette_order must be 'first' or 'last'")
+    sg = (not palette) if sub_green is None else bool(sub_green)
     r = arr[:, :, 0].astype(np.int64)
     g = arr[:, :, 1].astype(np.int64)
     b = arr[:, :, 2].astype(np.int64)
@@ -6186,8 +6213,13 @@ def build_webp_lossless(
     bw.put(0, 1)  # alpha_is_used
     bw.put(0, 3)  # version
 
-    if palette:
-        pal = sorted(set(flat))
+    def apply_palette(cur, cw):
+        """Write the COLOR_INDEXING header + delta-coded palette
+        sub-image for the current raster; return (bundled raster,
+        reduced width). The palette is over whatever values the
+        pipeline holds here — raw pixels (palette-first) or transform
+        residuals (palette-last)."""
+        pal = sorted(set(cur))
         if len(pal) > 256:
             raise ValueError("vp8l: palette needs <= 256 unique colors")
         index_of = {c: i for i, c in enumerate(pal)}
@@ -6197,11 +6229,11 @@ def build_webp_lossless(
         )
         per = 1 << width_bits
         bits = 8 >> width_bits
-        w_coded = (w + per - 1) >> width_bits
+        w_coded = (cw + per - 1) >> width_bits
         coded = [0] * (w_coded * h)
         for y in range(h):
-            for x in range(w):
-                idx = index_of[flat[y * w + x]]
+            for x in range(cw):
+                idx = index_of[cur[y * cw + x]]
                 coded[y * w_coded + (x >> width_bits)] |= idx << ((x % per) * bits)
         coded = [0xFF000000 | (v << 8) for v in coded]
         # delta-code the palette (each entry stores the per-channel
@@ -6219,19 +6251,9 @@ def build_webp_lossless(
         bw.put(3, 2)  # COLOR_INDEXING
         bw.put(psize - 1, 8)
         _vp8l_write_entropy_image(bw, deltas, 0, is_level0=False)
-        bw.put(0, 1)  # no more transforms
-        # meta groups tile the CODED (bundled-width) raster — the same
-        # dimensions the decoder's group lookup runs against
-        _vp8l_write_entropy_image(
-            bw, coded, cache_bits, is_level0=True,
-            meta_bits=meta_bits, width=w_coded, n_groups=meta_groups,
-            plane_codes=plane_codes,
-        )
-        body = bytes([WEBP_VP8L_SIG]) + bw.bytes()
-        chunk = _webp_chunk(b"VP8L", body)
-        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+        return coded, w_coded
 
-    if predictor_bits:
+    def apply_predictor(cur, cw):
         if predictor_mode is not None and not 0 <= predictor_mode <= 13:
             raise ValueError("vp8l: predictor mode out of range")
         mode_of = (
@@ -6239,14 +6261,16 @@ def build_webp_lossless(
             if predictor_mode is not None
             else (lambda bx, by: (bx + 2 * by) % 14)
         )
-        flat, tiles = _vp8l_predictor_forward(flat, w, h, predictor_bits, mode_of)
+        cur, tiles = _vp8l_predictor_forward(cur, cw, h, predictor_bits, mode_of)
         bw.put(1, 1)  # a transform follows
         bw.put(0, 2)  # PREDICTOR
         bw.put(predictor_bits - 2, 3)
         # the tile sub-image stream follows its parameters immediately
         # (spec §4/§5), BEFORE the next more-transforms bit
         _vp8l_write_entropy_image(bw, tiles, 0, is_level0=False)
-    if color_bits:
+        return cur
+
+    def apply_color(cur, cw):
         if color_cte is not None:
             gtr0, gtb0, rtb0 = (int(v) & 0xFF for v in color_cte)
             cte_of = lambda bx, by: (gtr0, gtb0, rtb0)  # noqa: E731
@@ -6256,19 +6280,19 @@ def build_webp_lossless(
                 (29 * bx + 11 * by + 100) % 256,
                 (43 * bx + 7 * by + 200) % 256,
             )
-        tile_w = (w + (1 << color_bits) - 1) >> color_bits
+        tile_w = (cw + (1 << color_bits) - 1) >> color_bits
         tile_h = (h + (1 << color_bits) - 1) >> color_bits
         ct_tiles = []
         for by in range(tile_h):
             for bx in range(tile_w):
                 gtr, gtb, rtb = cte_of(bx, by)
                 ct_tiles.append(0xFF000000 | (rtb << 16) | (gtb << 8) | gtr)
-        out2 = [0] * (w * h)
+        out2 = [0] * (cw * h)
         for y in range(h):
             trow = (y >> color_bits) * tile_w
-            for x in range(w):
+            for x in range(cw):
                 cte = ct_tiles[trow + (x >> color_bits)]
-                v = flat[y * w + x]
+                v = cur[y * cw + x]
                 gg = (v >> 8) & 0xFF
                 rr = (v >> 16) & 0xFF
                 bb = v & 0xFF
@@ -6281,25 +6305,45 @@ def build_webp_lossless(
                     - _vp8l_ct_delta((cte >> 8) & 0xFF, gg)
                     - _vp8l_ct_delta((cte >> 16) & 0xFF, rr)
                 ) & 0xFF
-                out2[y * w + x] = (v & 0xFF00FF00) | (nr << 16) | nb
-        flat = out2
+                out2[y * cw + x] = (v & 0xFF00FF00) | (nr << 16) | nb
         bw.put(1, 1)  # a transform follows
         bw.put(1, 2)  # COLOR_TRANSFORM
         bw.put(color_bits - 2, 3)
         _vp8l_write_entropy_image(bw, ct_tiles, 0, is_level0=False)
-    # subtract-green ON THE RESIDUALS (see docstring for the ordering)
-    flat = [
-        (v & 0xFF00FF00)
-        | (((((v >> 16) & 0xFF) - ((v >> 8) & 0xFF)) & 0xFF) << 16)
-        | (((v & 0xFF) - ((v >> 8) & 0xFF)) & 0xFF)
-        for v in flat
-    ]
-    bw.put(1, 1)  # a transform follows
-    bw.put(2, 2)  # SUBTRACT_GREEN
+        return out2
+
+    def apply_subgreen(cur):
+        # subtract-green ON THE RESIDUALS (see docstring for the ordering)
+        cur = [
+            (v & 0xFF00FF00)
+            | (((((v >> 16) & 0xFF) - ((v >> 8) & 0xFF)) & 0xFF) << 16)
+            | (((v & 0xFF) - ((v >> 8) & 0xFF)) & 0xFF)
+            for v in cur
+        ]
+        bw.put(1, 1)  # a transform follows
+        bw.put(2, 2)  # SUBTRACT_GREEN
+        return cur
+
+    # transforms applied FORWARD in read order against the running
+    # width; the decoder inverts in reverse-read order, each inverse
+    # at its recorded read-time width
+    cur, cw = flat, w
+    if palette and palette_order == "first":
+        cur, cw = apply_palette(cur, cw)
+    if predictor_bits:
+        cur = apply_predictor(cur, cw)
+    if color_bits:
+        cur = apply_color(cur, cw)
+    if sg:
+        cur = apply_subgreen(cur)
+    if palette and palette_order == "last":
+        cur, cw = apply_palette(cur, cw)
     bw.put(0, 1)  # no more transforms
+    # meta groups tile the CODED (possibly bundled-width) raster — the
+    # same dimensions the decoder's group lookup runs against
     _vp8l_write_entropy_image(
-        bw, flat, cache_bits, is_level0=True,
-        meta_bits=meta_bits, width=w, n_groups=meta_groups,
+        bw, cur, cache_bits, is_level0=True,
+        meta_bits=meta_bits, width=cw, n_groups=meta_groups,
         plane_codes=plane_codes,
     )
     body = bytes([WEBP_VP8L_SIG]) + bw.bytes()
@@ -6325,7 +6369,12 @@ def plant_webp_lossless_payloads(df: DataFrame, *, text_col: str = "text") -> Da
     transform family, spatial tree switching, and both cache layouts —
     and ids %3 == 0 encoding their backreferences as derived
     near-distance PLANE CODES (r9; cuts across every transform arm and
-    both parities). Low-diversity docs can land under
+    both parities). The palette arm additionally COMBINES
+    color-indexing with other transforms (r9, the closed last
+    refusal): ids %5 == 4 layer subtract-green on the bundled raster
+    when id%2 == 1, and a 4x4-tile predictor over the bundled raster
+    when id%10 == 4 — the decoded pixels, and so the oracle, are
+    representation-invariant. Low-diversity docs can land under
     the ≤16-color bundling threshold — the decoder handles every
     bundling width (pytest interop matrix) and px_sum stays the plain
     masked-tiled-byte formula regardless of packing."""
@@ -6347,7 +6396,12 @@ def plant_webp_lossless_payloads(df: DataFrame, *, text_col: str = "text") -> Da
                     {"predictor_bits": 2},
                     {"predictor_bits": 3, "predictor_mode": d % 14},
                     {"color_bits": 2},
-                    {"palette": True},
+                    # r9: the palette arm also exercises the combined
+                    # forms — subtract-green over the bundled raster
+                    # for odd ids, a predictor stacked on the bundled
+                    # raster for ids %10 == 4
+                    {"palette": True, "sub_green": d % 2 == 1,
+                     **({"predictor_bits": 2} if d % 10 == 4 else {})},
                 )[d % 5]
                 if kw.get("palette"):
                     buf = buf & 0xC0  # ≤4 values/channel → ≤64 colors

@@ -2293,18 +2293,22 @@ def _ref_vp8l_decode(data: bytes):
     bits.take(1)  # alpha flag
     assert bits.take(3) == 0
     transforms = []
-    pal, wbits = None, 0
+    pal = None
+    # running width: the spec reduces it at the color-indexing read
+    # for every transform read later and for the coded image itself;
+    # each transform remembers the width in effect when it was read
+    cur_w = w
     while bits.take(1):
         t = bits.take(2)
         if t == 2:
             transforms.append(("sub_green",))
         elif t in (0, 1):
             sb = bits.take(3) + 2
-            tw = (w + (1 << sb) - 1) >> sb
+            tw = (cur_w + (1 << sb) - 1) >> sb
             th = (h + (1 << sb) - 1) >> sb
             transforms.append(
                 ("pred" if t == 0 else "ctrans", sb,
-                 _ref_entropy_image(bits, tw * th, level0=False))
+                 _ref_entropy_image(bits, tw * th, level0=False), cur_w)
             )
         else:
             psz = bits.take(8) + 1
@@ -2317,9 +2321,9 @@ def _ref_vp8l_decode(data: bytes):
                 )
                 pal.append(acc)
             wbits = 3 if psz <= 2 else 2 if psz <= 4 else 1 if psz <= 16 else 0
-            transforms.append(("cindex",))
-    dec_w = (w + (1 << wbits) - 1) >> wbits if pal is not None else w
-    out = _ref_entropy_image(bits, dec_w * h, level0=True, width=dec_w)
+            transforms.append(("cindex", cur_w, wbits))
+            cur_w = (cur_w + (1 << wbits) - 1) >> wbits
+    out = _ref_entropy_image(bits, cur_w * h, level0=True, width=cur_w)
     for tf in reversed(transforms):
         if tf[0] == "sub_green":
             for i, px in enumerate(out):
@@ -2328,15 +2332,17 @@ def _ref_vp8l_decode(data: bytes):
                 b = ((px & 0xFF) + gg) & 0xFF
                 out[i] = (px & 0xFF00FF00) | (r << 16) | b
         elif tf[0] == "pred":
-            _ref_pred_inverse(out, w, h, tf[1], tf[2])
+            _ref_pred_inverse(out, tf[3], h, tf[1], tf[2])
         elif tf[0] == "ctrans":
-            _ref_ctrans_inverse(out, w, h, tf[1], tf[2])
+            _ref_ctrans_inverse(out, tf[3], h, tf[1], tf[2])
         else:
+            full_w, wbits = tf[1], tf[2]
+            dec_w = (full_w + (1 << wbits) - 1) >> wbits
             nbpp = 8 >> wbits
             per = 1 << wbits
             new = []
             for y in range(h):
-                for x in range(w):
+                for x in range(full_w):
                     packed = (out[y * dec_w + (x >> wbits)] >> 8) & 0xFF
                     idx = (packed >> ((x % per) * nbpp)) & ((1 << nbpp) - 1)
                     a, r, gg, b = pal[idx]
@@ -2684,10 +2690,73 @@ def test_vp8l_meta_groups_match_reference():
     assert np.array_equal(eng, pxp)
 
 
+def test_vp8l_palette_combined_transforms_match_reference():
+    """r9 (closing the last VP8L refusal): COLOR_INDEXING combined
+    with the other transforms in BOTH read orders. Palette-first: the
+    later transforms tile against the BUNDLED reduced width and their
+    inverses run on packed-index pixels (the spec's running-width
+    rule; libwebp's transform->xsize_). Palette-last: the palette
+    maps the residual raster, so its inverse unbundles FIRST and the
+    earlier inverses run at full width. Engine decoder, independent
+    reference decoder, and the source raster must all agree, across
+    bundling widths, caches, meta groups, and plane codes."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import (
+        build_webp_lossless,
+        parse_webp_pixels,
+    )
+
+    rng = np.random.default_rng(55)
+    # palette-first: every other transform stacks on the bundled raster
+    for ncol, dims in ((3, (9, 13)), (14, (7, 29)), (40, (11, 8))):
+        colors = np.unique(
+            rng.integers(0, 256, (ncol * 2, 3), dtype=np.uint8), axis=0
+        )[:ncol]
+        pxp = colors[rng.integers(0, len(colors), dims)]
+        for kwargs in (
+            {"sub_green": True},
+            {"predictor_bits": 2},
+            {"color_bits": 2},
+            {"predictor_bits": 2, "color_bits": 3, "sub_green": True,
+             "cache_bits": 4},
+            {"predictor_bits": 2, "meta_bits": 2},
+            {"sub_green": True, "plane_codes": True},
+        ):
+            data = build_webp_lossless(pxp, palette=True, **kwargs)
+            w, h, eng = parse_webp_pixels(data)
+            rw, rh, ref = _ref_vp8l_decode(data)
+            assert (w, h) == (rw, rh) == (dims[1], dims[0]), (ncol, kwargs)
+            assert [tuple(p) for p in eng.reshape(-1, 3)] == ref, (ncol, kwargs)
+            assert np.array_equal(eng, pxp), (ncol, kwargs)
+    # palette-last: a horizontal gradient under predictor mode 1
+    # (left) leaves near-constant residuals -> a tiny residual palette
+    h0, w0 = 8, 16
+    grad = np.zeros((h0, w0, 3), np.uint8)
+    for x in range(w0):
+        grad[:, x, :] = (10 + 3 * x) % 256
+    for kwargs in (
+        {"predictor_bits": 2, "predictor_mode": 1},
+        {"predictor_bits": 2, "predictor_mode": 1, "sub_green": True,
+         "cache_bits": 4},
+    ):
+        data = build_webp_lossless(
+            grad, palette=True, palette_order="last", **kwargs
+        )
+        w, h, eng = parse_webp_pixels(data)
+        rw, rh, ref = _ref_vp8l_decode(data)
+        assert (w, h) == (rw, rh) == (w0, h0), kwargs
+        assert [tuple(p) for p in eng.reshape(-1, 3)] == ref, kwargs
+        assert np.array_equal(eng, grad), kwargs
+
+
 def test_vp8l_palette_refusals():
-    """Color-indexing guards: >256 unique colors refuse at encode; an
-    out-of-range palette index refuses at decode; color-indexing
-    combined with another transform refuses on both sides."""
+    """Color-indexing guards: >256 unique colors refuse at encode
+    (combined or not); an out-of-range palette index refuses at
+    decode. Color-indexing combined with another transform DECODES as
+    of r9 (the closing of the last VP8L refusal) — the hand-assembled
+    combined stream below must now parse and match the independent
+    reference decoder."""
     import numpy as np
     import pytest
 
@@ -2702,7 +2771,7 @@ def test_vp8l_palette_refusals():
     big = rng.integers(0, 256, (30, 30, 3), dtype=np.uint8)
     with pytest.raises(ValueError, match="256 unique"):
         build_webp_lossless(big, palette=True)
-    with pytest.raises(ValueError, match="combined with other"):
+    with pytest.raises(ValueError, match="256 unique"):
         build_webp_lossless(big, palette=True, predictor_bits=2)
 
     # hand-assemble: 2-color palette but an index byte naming entry 3
@@ -2745,7 +2814,12 @@ def test_vp8l_palette_refusals():
     with pytest.raises(ValueError, match="palette index out of range"):
         parse_vp8l(bytes([0x2F]) + bw.bytes())
 
-    # decoder side of the combination guard: predictor + color-indexing
+    # the formerly-refused combination now DECODES: a hand-assembled
+    # color-indexing (read first) + predictor stream — predictor tiles
+    # size against the BUNDLED width (w=4, 2 colors -> width_bits=3 ->
+    # coded width 1), its inverse runs on packed-index pixels, and the
+    # unbundle happens last. Engine and independent reference must
+    # agree on the hand-built bytes.
     bw = _mm._Vp8lWriter()
     bw.put(3, 14)
     bw.put(3, 14)
@@ -2758,19 +2832,35 @@ def test_vp8l_palette_refusals():
         bw, [0xFF000000, 0x00000001], 0, is_level0=False
     )
     bw.put(1, 1)
-    bw.put(0, 2)  # PREDICTOR
+    bw.put(0, 2)  # PREDICTOR over the 1x4 bundled raster
     bw.put(0, 3)
     _mm._vp8l_write_entropy_image(bw, [0xFF000000], 0, is_level0=False)
     bw.put(0, 1)
-    _mm._vp8l_write_entropy_image(bw, [0xFF000000] * 4, 0, is_level0=True)
-    with pytest.raises(ValueError, match="combined with other"):
-        parse_webp_pixels(
-            b"RIFF"
-            + (4 + 8 + len(bytes([0x2F]) + bw.bytes())
-               + (len(bytes([0x2F]) + bw.bytes()) % 2)).to_bytes(4, "little")
-            + b"WEBP"
-            + _mm._webp_chunk(b"VP8L", bytes([0x2F]) + bw.bytes())
-        )
+    # residual rows: (0,0) predicts 0xFF000000; the left column below
+    # predicts T — plant green residuals so the reconstructed packed
+    # bytes name in-range indices (0b0110, 0b1001, ... per row)
+    _mm._vp8l_write_entropy_image(
+        bw,
+        # greens 0x06, +0x09 -> 0x0F, +0xF7 -> 0x06, +0 -> 0x06
+        [0x00000600, 0x00000900, 0x0000F700, 0x00000000],
+        0,
+        is_level0=True,
+    )
+    payload = bytes([0x2F]) + bw.bytes()
+    chunk = _mm._webp_chunk(b"VP8L", payload)
+    data = b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+    w4, h4, eng = parse_webp_pixels(data)
+    rw4, rh4, ref = _ref_vp8l_decode(data)
+    assert (w4, h4) == (rw4, rh4) == (4, 4)
+    assert [tuple(p) for p in eng.reshape(-1, 3)] == ref
+    # reconstructed packed bytes per row: 0x06, 0x0F, 0x06, 0x06
+    # -> 1bpp LSB-first indices per row
+    pal_rgb = [(0, 0, 0), (0, 0, 1)]
+    expect = []
+    for packed in (0x06, 0x0F, 0x06, 0x06):
+        for x in range(4):
+            expect.append(pal_rgb[(packed >> x) & 1])
+    assert ref == expect
 
 
 def test_vp8l_documented_refusals():
@@ -2980,6 +3070,10 @@ def test_vp8l_exhaustive_truncation_valueerror_only():
         ),
         build_webp_lossless(pxp, palette=True, meta_bits=2),
         build_webp_lossless(pxv, cache_bits=4, plane_codes=True),
+        build_webp_lossless(  # r9: palette COMBINED with transforms
+            pxp, palette=True, predictor_bits=2, sub_green=True,
+            cache_bits=4,
+        ),
     ):
         parse_webp_pixels(data)  # sanity: the intact file decodes
         n_ok = 0
