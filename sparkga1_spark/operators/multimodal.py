@@ -21,13 +21,16 @@ groups as of r8 and, as of r9, near-distance plane codes with the
 120-entry map DERIVED from the spec's proximity rule on both in-repo
 sides AND color-indexing combined with other transforms in either
 read order — VP8L is now decoded in FULL with zero refusals beyond
-genuinely invalid streams; see the VP8L section). The
-residue — video (MP4), lossy VP8, and
-non-baseline JPEG — tries the library (PIL / soundfile / av) behind
-an import-guard; absent that it uses a clearly-marked DETERMINISTIC
-FAKE derived from the payload's md5, so pipelines stay testable
-end-to-end and oracle-checkable. Swapping in a codec library changes
-no schema and no plan shape.
+genuinely invalid streams; see the VP8L section). JPEG's DCT/Huffman
+family is fully real too: baseline AND progressive, 4:4:4 AND
+subsampled, successive approximation, DRI/RSTn restart intervals in
+both frame types (r9). The residue — video (MP4), lossy VP8, and the
+non-Huffman JPEG variants (arithmetic coding, 12-bit,
+lossless/hierarchical) — tries the library (PIL / soundfile / av)
+behind an import-guard; absent that it uses a clearly-marked
+DETERMINISTIC FAKE derived from the payload's md5, so pipelines stay
+testable end-to-end and oracle-checkable. Swapping in a codec library
+changes no schema and no plan shape.
 
 Scale notes: binary payloads ride the scan/shuffle as plain columns —
 size the partitions with spark.sql.files.maxPartitionBytes; transforms
@@ -2248,14 +2251,64 @@ def _ycbcr_planes_to_u8(planes):
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
-def build_jpeg_baseline(pixels, *, quant=None, restart_interval: int = 0) -> bytes:
+def _jpeg_prep_planes(px, sampling):
+    """uint8 HxW / HxWx3 (+ optional (hs, vs) luma sampling for color)
+    → list of (float64 plane edge-padded to the MCU grid, hs, vs) per
+    component, one convention shared by BOTH encoders so a baseline
+    and a progressive encode of the same pixels quantize to identical
+    coefficients (the cross-layout equality the tests pin). Chroma is
+    box-mean downsampled from the edge-padded full-res plane — the
+    padded dims are exact multiples of (vs, hs), so the subsampled
+    plane lands exactly on its own MCU grid."""
+    import numpy as np
+
+    gray = px.ndim == 2
+    h, w = int(px.shape[0]), int(px.shape[1])
+    hs, vs = (1, 1) if (gray or not sampling) else sampling
+    mcux = -(-w // (8 * hs))
+    mcuy = -(-h // (8 * vs))
+    ph, pw = mcuy * vs * 8, mcux * hs * 8
+    if gray:
+        padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge")
+        return [(padded.astype(np.float64), 1, 1)]
+    padded = np.pad(px, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    y, cb, cr = _rgb_to_ycbcr(padded)
+    comps = [(y, hs, vs)]
+    for c in (cb, cr):
+        if (hs, vs) != (1, 1):
+            c = c.reshape(mcuy * 8, vs, mcux * 8, hs).mean(axis=(1, 3))
+        comps.append((c, 1, 1))
+    return comps
+
+
+def _jpeg_plane_qcoefs(plane, q88, m):
+    """One MCU-aligned float plane → (nby, nbx, 8, 8) int32 quantized
+    DCT coefficients (AC clamped to ±1023, the largest magnitude the
+    Annex K AC alphabet can code; DC re-derived unclamped — s=11 is
+    in the DC alphabet)."""
+    import numpy as np
+
+    nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = (plane - 128.0).reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ij,abjk,lk->abil", m, blocks, m)
+    qc = np.round(coef / q88).astype(np.int32)
+    np.clip(qc, -1023, 1023, out=qc)
+    qc[:, :, 0, 0] = np.round(coef[:, :, 0, 0] / q88[0, 0]).astype(np.int32)
+    return qc
+
+
+def build_jpeg_baseline(pixels, *, quant=None, restart_interval: int = 0,
+                        sampling=None) -> bytes:
     """HxW grayscale or HxWx3 RGB uint8 → REAL baseline JFIF JPEG
-    (SOF0, 4:4:4 / single-component, Annex K Huffman tables, optional
-    DRI/RSTn restarts). `quant` is the luminance+chrominance quant
-    table (64 ints 1..255, natural order; default all-ones = the exact
-    roundtrip for flat blocks). AC coefficients are clamped to ±1023
-    (the largest magnitude the Annex K AC alphabet can code, s=10) —
-    only adversarial basis-aligned blocks at quant 1 ever reach it."""
+    (SOF0; single-component, 4:4:4, or — r9 — SUBSAMPLED color via
+    `sampling=(hs, vs)` luma factors in {1, 2} with box-mean chroma
+    downsampling and interleaved hs×vs-blocks-per-MCU emission; Annex
+    K Huffman tables; optional DRI/RSTn restarts counting MCUs).
+    `quant` is the luminance+chrominance quant table (64 ints 1..255,
+    natural order; default all-ones = the exact roundtrip for flat
+    blocks). AC coefficients are clamped to ±1023 (the largest
+    magnitude the Annex K AC alphabet can code, s=10) — only
+    adversarial basis-aligned blocks at quant 1 ever reach it."""
     import struct
 
     import numpy as np
@@ -2267,33 +2320,27 @@ def build_jpeg_baseline(pixels, *, quant=None, restart_interval: int = 0) -> byt
     h, w = int(px.shape[0]), int(px.shape[1])
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if sampling is not None:
+        if gray:
+            raise ValueError("sampling applies to color images only")
+        if tuple(sampling) not in ((1, 1), (2, 1), (1, 2), (2, 2)):
+            raise ValueError("sampling factors must be in {1, 2}")
     q = np.ones(64, dtype=np.int32) if quant is None else np.asarray(quant, np.int32).reshape(64)
     if q.min() < 1 or q.max() > 255:
         raise ValueError("quant entries must be 1..255")
     q88 = q.reshape(8, 8)
 
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    if gray:
-        padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge")
-        planes = [padded.astype(np.float64)]
-    else:
-        padded = np.pad(px, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
-        planes = _rgb_to_ycbcr(padded)
-    nby, nbx = ph // 8, pw // 8
-
     m = _jpeg_dct_matrix()
-    comp_coef = []
-    for plane in planes:
-        blocks = (plane - 128.0).reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
-        coef = np.einsum("ij,abjk,lk->abil", m, blocks, m)
-        qc = np.round(coef / q88).astype(np.int32)
-        np.clip(qc[:, :, :, :], -1023, 1023, out=qc)
-        # DC re-derived unclamped: |DC| ≤ 1024 needs s=11, present in the
-        # DC alphabet but not the AC one — the clip above is AC-only.
-        qc[:, :, 0, 0] = np.round(coef[:, :, 0, 0] / q88[0, 0]).astype(np.int32)
-        comp_coef.append(qc)
+    comps_meta = [
+        (hs, vs, _jpeg_plane_qcoefs(plane, q88, m))
+        for plane, hs, vs in _jpeg_prep_planes(px, sampling)
+    ]
+    hmax = max(c[0] for c in comps_meta)
+    vmax = max(c[1] for c in comps_meta)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
 
-    ncomp = 1 if gray else 3
+    ncomp = len(comps_meta)
     enc_dc = [_jpeg_encode_table(*_JPEG_DC_LUM)] + [_jpeg_encode_table(*_JPEG_DC_CHR)] * 2
     enc_ac = [_jpeg_encode_table(*_JPEG_AC_LUM)] + [_jpeg_encode_table(*_JPEG_AC_CHR)] * 2
 
@@ -2301,7 +2348,8 @@ def build_jpeg_baseline(pixels, *, quant=None, restart_interval: int = 0) -> byt
     chunks = []  # entropy byte chunks, restart markers interleaved
     pred = [0] * ncomp
     rst = 0
-    for mi in range(nby * nbx):
+    zig = list(_JPEG_ZIGZAG)
+    for mi in range(mcuy * mcux):
         if restart_interval and mi and mi % restart_interval == 0:
             bw.flush()
             chunks.append(bytes(bw.out))
@@ -2309,35 +2357,37 @@ def build_jpeg_baseline(pixels, *, quant=None, restart_interval: int = 0) -> byt
             rst = (rst + 1) % 8
             bw = _JpegBitWriter()
             pred = [0] * ncomp
-        by, bx = divmod(mi, nbx)
-        for ci in range(ncomp):
-            blk = comp_coef[ci][by, bx]
-            zz = blk.flatten()[list(_JPEG_ZIGZAG)]
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
-            s, bits_val = _jpeg_category(diff)
-            code, ln = enc_dc[ci][s]
-            bw.write(code, ln)
-            if s:
-                bw.write(bits_val, s)
-            run = 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, ln = enc_ac[ci][0xF0]
+        my, mx = divmod(mi, mcux)
+        for ci, (hs, vs, qc) in enumerate(comps_meta):
+            for iby in range(vs):
+                for ibx in range(hs):
+                    blk = qc[my * vs + iby, mx * hs + ibx]
+                    zz = blk.flatten()[zig]
+                    diff = int(zz[0]) - pred[ci]
+                    pred[ci] = int(zz[0])
+                    s, bits_val = _jpeg_category(diff)
+                    code, ln = enc_dc[ci][s]
                     bw.write(code, ln)
-                    run -= 16
-                s, bits_val = _jpeg_category(v)
-                code, ln = enc_ac[ci][(run << 4) | s]
-                bw.write(code, ln)
-                bw.write(bits_val, s)
-                run = 0
-            if run:
-                code, ln = enc_ac[ci][0x00]
-                bw.write(code, ln)
+                    if s:
+                        bw.write(bits_val, s)
+                    run = 0
+                    for k in range(1, 64):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run >= 16:
+                            code, ln = enc_ac[ci][0xF0]
+                            bw.write(code, ln)
+                            run -= 16
+                        s, bits_val = _jpeg_category(v)
+                        code, ln = enc_ac[ci][(run << 4) | s]
+                        bw.write(code, ln)
+                        bw.write(bits_val, s)
+                        run = 0
+                    if run:
+                        code, ln = enc_ac[ci][0x00]
+                        bw.write(code, ln)
     bw.flush()
     chunks.append(bytes(bw.out))
     entropy = b"".join(chunks)
@@ -2349,8 +2399,8 @@ def build_jpeg_baseline(pixels, *, quant=None, restart_interval: int = 0) -> byt
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xDB, bytes([0x00]) + bytes(int(q[i]) for i in _JPEG_ZIGZAG))
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0])
+    for ci, (hs, vs, _qc) in enumerate(comps_meta):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
     out += seg(0xC0, sof)
     dht = bytearray()
     tables = [(0x00, _JPEG_DC_LUM), (0x10, _JPEG_AC_LUM)]
@@ -2371,21 +2421,29 @@ def build_jpeg_baseline(pixels, *, quant=None, restart_interval: int = 0) -> byt
     return bytes(out)
 
 
-def build_jpeg_progressive(pixels, *, quant=None, successive=False) -> bytes:
+def build_jpeg_progressive(pixels, *, quant=None, successive=False,
+                           sampling=None, restart_interval: int = 0) -> bytes:
     """HxW grayscale or HxWx3 RGB uint8 → REAL progressive JFIF JPEG
-    (SOF2; color as 4:4:4 YCbCr with an interleaved DC scan and
-    per-component AC scans, the T.81 progressive scan structure).
-    Default script: spectral selection only (DC scan, then AC 1..63
-    per component with EOB-run coding). `successive=True` adds
-    SUCCESSIVE APPROXIMATION — DC/AC first passes at Al=1
-    (point-transformed magnitudes), then DC refinement (one raw bit
-    per block) and AC refinement (G.1.2.3: ±1<<Al newly-significant
-    symbols with correction bits woven through ZRL spans and EOB
-    runs). The quantized coefficients are computed exactly as in
-    build_jpeg_baseline, so a progressive and a baseline encode of
-    the same pixels decode to IDENTICAL rasters — the cross-layout
-    equality the pytest pins. The AC scans use a custom Huffman table
-    (_JPEG_AC_PROG): Annex K has no EOBn symbols."""
+    (SOF2; color as YCbCr with an interleaved DC scan and
+    per-component AC scans, the T.81 progressive scan structure —
+    4:4:4 or, r9, SUBSAMPLED via `sampling=(hs, vs)` luma factors in
+    {1, 2}: the DC scan interleaves hs×vs luma blocks per MCU and the
+    AC scans cover each component's OWN block raster). Default
+    script: spectral selection only (DC scan, then AC 1..63 per
+    component with EOB-run coding). `successive=True` adds SUCCESSIVE
+    APPROXIMATION — DC/AC first passes at Al=1 (point-transformed
+    magnitudes), then DC refinement (one raw bit per block) and AC
+    refinement (G.1.2.3: ±1<<Al newly-significant symbols with
+    correction bits woven through ZRL spans and EOB runs).
+    `restart_interval` (r9) emits DRI + RSTn restarts — counting MCUs
+    in the DC scans and blocks in the AC scans (T.81 F.2.1.3.1), each
+    byte-aligned with DC predictions reset and EOB runs terminated at
+    the boundary. The quantized coefficients are computed exactly as
+    in build_jpeg_baseline (shared helpers), so a progressive and a
+    baseline encode of the same pixels decode to IDENTICAL rasters —
+    the cross-layout equality the pytest pins. The AC scans use a
+    custom Huffman table (_JPEG_AC_PROG): Annex K has no EOBn
+    symbols."""
     import struct
 
     import numpy as np
@@ -2397,6 +2455,11 @@ def build_jpeg_progressive(pixels, *, quant=None, successive=False) -> bytes:
     h, w = int(px.shape[0]), int(px.shape[1])
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if sampling is not None:
+        if gray:
+            raise ValueError("sampling applies to color images only")
+        if tuple(sampling) not in ((1, 1), (2, 1), (1, 2), (2, 2)):
+            raise ValueError("sampling factors must be in {1, 2}")
     q = np.ones(64, dtype=np.int32) if quant is None else np.asarray(
         quant, np.int32
     ).reshape(64)
@@ -2404,61 +2467,94 @@ def build_jpeg_progressive(pixels, *, quant=None, successive=False) -> bytes:
         raise ValueError("quant entries must be 1..255")
     q88 = q.reshape(8, 8)
 
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    if gray:
-        padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge")
-        planes = [padded.astype(np.float64)]
-    else:
-        padded = np.pad(px, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
-        planes = _rgb_to_ycbcr(padded)
-    nby, nbx = ph // 8, pw // 8
     m = _jpeg_dct_matrix()
-    comp_zz = []
-    for plane in planes:
-        blocks = (plane - 128.0).reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
-        coef = np.einsum("ij,abjk,lk->abil", m, blocks, m)
-        qc = np.round(coef / q88).astype(np.int32)
-        np.clip(qc, -1023, 1023, out=qc)
-        qc[:, :, 0, 0] = np.round(coef[:, :, 0, 0] / q88[0, 0]).astype(np.int32)
-        comp_zz.append(
-            [
-                qc[by, bx].flatten()[list(_JPEG_ZIGZAG)]
-                for by in range(nby)
-                for bx in range(nbx)
-            ]
-        )
-    ncomp = len(comp_zz)
+    zig = list(_JPEG_ZIGZAG)
+    comps_meta = []  # (hs, vs, qc array, comp-grid nbh, comp-grid nbw)
+    prepped = _jpeg_prep_planes(px, sampling)
+    hmax = max(hs for _p, hs, _v in prepped)
+    vmax = max(vs for _p, _h, vs in prepped)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for plane, hs, vs in prepped:
+        qc = _jpeg_plane_qcoefs(plane, q88, m)
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        comps_meta.append((hs, vs, qc, -(-ch // 8), -(-cw // 8)))
+    ncomp = len(comps_meta)
 
     enc_dc = _jpeg_encode_table(*_JPEG_DC_LUM)
     enc_ac = _jpeg_encode_table(*_JPEG_AC_PROG)
 
+    def comp_zz_blocks(ci):
+        # AC scans cover the component's OWN block raster (T.81
+        # A.2.2) — MCU-padding blocks appear only in the DC scans
+        hs, vs, qc, nbh, nbw = comps_meta[ci]
+        for bi in range(nbh * nbw):
+            by, bx = divmod(bi, nbw)
+            yield qc[by, bx].flatten()[zig]
+
+    class _RestartingWriter:
+        """Bit writer that splits into RSTn-separated segments at the
+        caller's unit boundaries (shared by all four scan kinds)."""
+
+        def __init__(self):
+            self.bw = _JpegBitWriter()
+            self.chunks = []
+            self.rst = 0
+
+        def boundary(self):
+            self.bw.flush()
+            self.chunks.append(bytes(self.bw.out))
+            self.chunks.append(bytes((0xFF, 0xD0 + self.rst)))
+            self.rst = (self.rst + 1) % 8
+            self.bw = _JpegBitWriter()
+
+        def done(self) -> bytes:
+            self.bw.flush()
+            self.chunks.append(bytes(self.bw.out))
+            return b"".join(self.chunks)
+
     def dc_first(al: int) -> bytes:
-        # interleaved over all components (MCU = one block each at
-        # 4:4:4), diff coding over point-transformed (>> Al) DCs
-        bw = _JpegBitWriter()
+        # interleaved over all components (hs×vs blocks per MCU),
+        # diff coding over point-transformed (>> Al) DCs
+        rw = _RestartingWriter()
         pred = [0] * ncomp
-        for mi in range(nby * nbx):
-            for ci in range(ncomp):
-                dc = int(comp_zz[ci][mi][0]) >> al
-                s, bits_val = _jpeg_category(dc - pred[ci])
-                pred[ci] = dc
-                code, ln = enc_dc[s]
-                bw.write(code, ln)
-                if s:
-                    bw.write(bits_val, s)
-        bw.flush()
-        return bytes(bw.out)
+        for mi in range(mcuy * mcux):
+            if restart_interval and mi and mi % restart_interval == 0:
+                rw.boundary()
+                pred = [0] * ncomp
+            my, mx = divmod(mi, mcux)
+            for ci, (hs, vs, qc, _nbh, _nbw) in enumerate(comps_meta):
+                for iby in range(vs):
+                    for ibx in range(hs):
+                        dc = int(qc[my * vs + iby, mx * hs + ibx, 0, 0]) >> al
+                        s, bits_val = _jpeg_category(dc - pred[ci])
+                        pred[ci] = dc
+                        code, ln = enc_dc[s]
+                        rw.bw.write(code, ln)
+                        if s:
+                            rw.bw.write(bits_val, s)
+        return rw.done()
 
     def dc_refine(al: int) -> bytes:
-        bw = _JpegBitWriter()
-        for mi in range(nby * nbx):
-            for ci in range(ncomp):
-                bw.write((int(comp_zz[ci][mi][0]) >> al) & 1, 1)
-        bw.flush()
-        return bytes(bw.out)
+        rw = _RestartingWriter()
+        for mi in range(mcuy * mcux):
+            if restart_interval and mi and mi % restart_interval == 0:
+                rw.boundary()
+            my, mx = divmod(mi, mcux)
+            for _ci, (hs, vs, qc, _nbh, _nbw) in enumerate(comps_meta):
+                for iby in range(vs):
+                    for ibx in range(hs):
+                        rw.bw.write(
+                            (int(qc[my * vs + iby, mx * hs + ibx, 0, 0]) >> al)
+                            & 1,
+                            1,
+                        )
+        return rw.done()
 
     def ac_first(ci: int, al: int) -> bytes:
-        bw = _JpegBitWriter()
+        rw = _RestartingWriter()
+        bw = rw.bw
         eobrun = 0
 
         def flush_eobrun():
@@ -2472,7 +2568,11 @@ def build_jpeg_progressive(pixels, *, quant=None, successive=False) -> bytes:
                     bw.write(chunk - (1 << n), n)
                 eobrun -= chunk
 
-        for zz in comp_zz[ci]:
+        for bi, zz in enumerate(comp_zz_blocks(ci)):
+            if restart_interval and bi and bi % restart_interval == 0:
+                flush_eobrun()
+                rw.boundary()
+                bw = rw.bw
             tv = [
                 (1 if int(zz[k]) > 0 else -1) * (abs(int(zz[k])) >> al)
                 for k in range(64)
@@ -2500,15 +2600,15 @@ def build_jpeg_progressive(pixels, *, quant=None, successive=False) -> bytes:
             if nz[-1] < 63:
                 eobrun += 1  # this block's EOB joins the running run
         flush_eobrun()
-        bw.flush()
-        return bytes(bw.out)
+        return rw.done()
 
     def ac_refine(ci: int, al: int) -> bytes:
         # G.1.2.3 encoder, written as an exact simulation of the
         # decoder's reads: a positional queue of zero-history slots and
         # correction bits splits ZRL spans at the right coefficients,
         # and EOB-run correction bits accumulate in block order
-        bw = _JpegBitWriter()
+        rw = _RestartingWriter()
+        bw = rw.bw
         eobrun = 0
         eob_bits: list[int] = []
 
@@ -2527,7 +2627,11 @@ def build_jpeg_progressive(pixels, *, quant=None, successive=False) -> bytes:
                         bw.write(b, 1)
                     eob_bits = []
 
-        for zz in comp_zz[ci]:
+        for bi, zz in enumerate(comp_zz_blocks(ci)):
+            if restart_interval and bi and bi % restart_interval == 0:
+                flush_eobrun()
+                rw.boundary()
+                bw = rw.bw
             newly = [k for k in range(1, 64) if abs(int(zz[k])) >> al == 1]
             kend = newly[-1] if newly else 0
             items: list[tuple[str, int]] = []
@@ -2569,8 +2673,7 @@ def build_jpeg_progressive(pixels, *, quant=None, successive=False) -> bytes:
                 if eobrun == 32767:
                     flush_eobrun()
         flush_eobrun()
-        bw.flush()
-        return bytes(bw.out)
+        return rw.done()
 
     dc_hdr = bytes(
         [ncomp] + [b for ci in range(ncomp) for b in (ci + 1, 0x00)]
@@ -2601,13 +2704,15 @@ def build_jpeg_progressive(pixels, *, quant=None, successive=False) -> bytes:
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xDB, bytes([0x00]) + bytes(int(q[i]) for i in _JPEG_ZIGZAG))
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0])
+    for ci, (hs, vs, _qc, _nbh, _nbw) in enumerate(comps_meta):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
     out += seg(0xC2, sof)
     dht = bytearray()
     for tc_th, (bits, vals) in ((0x00, _JPEG_DC_LUM), (0x10, _JPEG_AC_PROG)):
         dht += bytes([tc_th]) + bytes(bits) + bytes(vals)
     out += seg(0xC4, bytes(dht))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     for entropy, sos_body in scans:
         out += seg(0xDA, sos_body)
         out += entropy
@@ -2692,19 +2797,22 @@ def parse_jpeg(data: bytes):
     entropy decode (byte unstuffing, RSTn restarts, DC prediction,
     EOB/ZRL), dequant, separable float IDCT, level shift, chroma
     upsample (sampling factors 1-2), JFIF YCbCr→RGB. PROGRESSIVE
-    (SOF2) frames decode for real too — grayscale AND 4:4:4 color
-    (interleaved multi-component DC scans, single-component AC scans
-    per T.81 G.1): multi-scan spectral-selection accumulation into
-    per-component persistent coefficient buffers with EOB-run decoding
-    (G.1.2.2) and full SUCCESSIVE APPROXIMATION (DC/AC first passes at
-    any Al, DC refinement bits, AC refinement per G.1.2.3 —
-    newly-significant ±1<<Al symbols with correction bits woven
-    through ZRL spans and EOB runs); progressive SUBSAMPLED color and
-    progressive restart intervals raise honestly — a
-    wrong-but-plausible raster is worse than a refusal. Raises
-    ValueError for the rest
-    (arithmetic, 12-bit, sampling > 2) — callers fall through to the
-    documented fake, keeping legacy header-only fixtures byte-stable."""
+    (SOF2) frames decode for real too — grayscale, 4:4:4 AND (r9)
+    SUBSAMPLED color (interleaved multi-component DC scans carrying
+    hs×vs blocks per MCU, single-component AC scans over each
+    component's OWN block raster per T.81 G.1/A.2.2): multi-scan
+    spectral-selection accumulation into per-component persistent
+    coefficient buffers with EOB-run decoding (G.1.2.2), full
+    SUCCESSIVE APPROXIMATION (DC/AC first passes at any Al, DC
+    refinement bits, AC refinement per G.1.2.3 — newly-significant
+    ±1<<Al symbols with correction bits woven through ZRL spans and
+    EOB runs), and (r9) DRI/RSTn restart intervals — counted in MCUs
+    for interleaved scans and blocks for single-component ones, each
+    restart byte-aligning, resetting DC predictions, and refusing a
+    pending EOB run at the boundary. Raises ValueError for the rest
+    (arithmetic, 12-bit, lossless/hierarchical, sampling > 2) —
+    callers fall through to the documented fake, keeping legacy
+    header-only fixtures byte-stable."""
     import struct
 
     import numpy as np
@@ -2795,12 +2903,6 @@ def parse_jpeg(data: bytes):
                 if hs not in (1, 2) or vs not in (1, 2):
                     raise ValueError("unsupported sampling factor")
                 comps.append((cid, hs, vs, tq))
-            if progressive and ncomp != 1:
-                # the engine's progressive layout is 4:4:4 (T.81 allows
-                # subsampled progressive, but a wrong-but-plausible
-                # raster is worse than a refusal)
-                if any(c[1] != 1 or c[2] != 1 for c in comps):
-                    raise ValueError("progressive subsampled color unsupported")
             frame = (fw, fh, comps)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG (progressive/lossless/arithmetic)")
@@ -2830,11 +2932,31 @@ def parse_jpeg(data: bytes):
                 scan = sel
                 pos = pos + 2 + length
                 break
-            # --- progressive scan (spectral selection; 4:4:4 color via
-            # interleaved DC scans + single-component AC scans) ---
-            if dri:
-                raise ValueError("progressive restart interval unsupported")
+            # --- progressive scan (spectral selection; interleaved DC
+            # scans + single-component AC scans; subsampled color and
+            # DRI/RSTn restarts supported as of r9) ---
             fw_, fh_, fcomps = frame
+            # single-component frames ignore declared sampling (T.81
+            # A.2.2), matching the baseline branch's rule
+            eff = (
+                fcomps
+                if len(fcomps) > 1
+                else [(fcomps[0][0], 1, 1, fcomps[0][3])]
+            )
+            hmax_p = max(c[1] for c in eff)
+            vmax_p = max(c[2] for c in eff)
+            mcux_p = -(-fw_ // (8 * hmax_p))
+            mcuy_p = -(-fh_ // (8 * vmax_p))
+            # per-component grids: non-interleaved scans cover the
+            # component's OWN block raster (ceil of its scaled dims,
+            # T.81 A.2.2); interleaved scans cover the MCU-padded one
+            cgrid = [
+                (
+                    -(-(-(-fh_ * vs // vmax_p)) // 8),
+                    -(-(-(-fw_ * hs // hmax_p)) // 8),
+                )
+                for _cid, hs, vs, _tq in eff
+            ]
             cid2ci = {c[0]: i for i, c in enumerate(fcomps)}
             scomps = []  # (component index, DC table id, AC table id)
             for si in range(ns):
@@ -2849,20 +2971,46 @@ def parse_jpeg(data: bytes):
             ah, al = ahal >> 4, ahal & 15
             if ah != 0 and ah != al + 1:
                 raise ValueError("bad successive-approximation chain")
-            nby = -(-fh_ // 8)
-            nbx = -(-fw_ // 8)
             if pcoefs is None:
                 pcoefs = [
-                    np.zeros((nby, nbx, 8, 8), np.int32) for _ in fcomps
+                    np.zeros((mcuy_p * vs, mcux_p * hs, 8, 8), np.int32)
+                    for _cid, hs, vs, _tq in eff
                 ]
                 dc_seen = [False] * len(fcomps)
             segs, endpos = _jpeg_split_entropy(data, pos + 2 + length)
-            if len(segs) != 1:
-                raise ValueError("restart markers in progressive scan")
+            # restart bookkeeping: the interval counts MCUs in
+            # interleaved scans, data units (blocks) in
+            # single-component ones (T.81 F.2.1.3.1); each restart
+            # byte-aligns (new segment), resets DC predictions, and
+            # may not be crossed by a pending EOB run
+            if ns > 1:
+                n_units = mcux_p * mcuy_p
+
+                def unit_blocks(ui):
+                    my, mx = divmod(ui, mcux_p)
+                    for si_, (ci_, _td, _ta) in enumerate(scomps):
+                        _c, hs_, vs_, _q = eff[ci_]
+                        for by_ in range(vs_):
+                            for bx_ in range(hs_):
+                                yield si_, ci_, my * vs_ + by_, mx * hs_ + bx_
+            else:
+                ci0 = scomps[0][0]
+                nbh0, nbw0 = cgrid[ci0]
+                n_units = nbh0 * nbw0
+
+                def unit_blocks(ui):
+                    yield 0, ci0, ui // nbw0, ui % nbw0
+
+            if dri:
+                if len(segs) < -(-n_units // dri):
+                    raise ValueError("missing restart segment")
+            elif len(segs) != 1:
+                raise ValueError("restart markers without DRI")
+            seg_idx = 0
             br = _JpegBitReader(segs[0])
             if ss == 0:
-                # DC scans may interleave all components (MCU = one
-                # block per component at 4:4:4)
+                # DC scans may interleave all components (an MCU holds
+                # hs×vs blocks per component)
                 if se != 0:
                     raise ValueError("DC scan must have Se=0")
                 if ah == 0:
@@ -2874,9 +3022,12 @@ def parse_jpeg(data: bytes):
                             raise ValueError("missing Huffman table")
                         tbls.append(tbl)
                     preds = [0] * ns
-                    for mi in range(nby * nbx):
-                        by, bx = divmod(mi, nbx)
-                        for si, (ci, _td, _ta) in enumerate(scomps):
+                    for ui in range(n_units):
+                        if dri and ui and ui % dri == 0:
+                            seg_idx += 1
+                            br = _JpegBitReader(segs[seg_idx])
+                            preds = [0] * ns
+                        for si, ci, by, bx in unit_blocks(ui):
                             t = _jpeg_huff_decode(br, tbls[si])
                             if t > 11:
                                 raise ValueError("bad DC category")
@@ -2893,9 +3044,11 @@ def parse_jpeg(data: bytes):
                     # ((v>>1)<<1) | (v&1) == v)
                     if not all(dc_seen[ci] for ci, _td, _ta in scomps):
                         raise ValueError("DC refinement before DC scan")
-                    for mi in range(nby * nbx):
-                        by, bx = divmod(mi, nbx)
-                        for ci, _td, _ta in scomps:
+                    for ui in range(n_units):
+                        if dri and ui and ui % dri == 0:
+                            seg_idx += 1
+                            br = _JpegBitReader(segs[seg_idx])
+                        for _si, ci, by, bx in unit_blocks(ui):
                             if br.read_bit():
                                 pcoefs[ci][by, bx, 0, 0] |= 1 << al
             elif ah == 0:
@@ -2907,12 +3060,18 @@ def parse_jpeg(data: bytes):
                     raise ValueError("bad spectral selection band")
                 aci, _td, ata = scomps[0]
                 acoefs = pcoefs[aci]
+                nbh_a, nbw_a = cgrid[aci]
                 tbl = huff.get((1, ata))
                 if tbl is None:
                     raise ValueError("missing Huffman table")
                 eobrun = 0
-                for mi in range(nby * nbx):
-                    by, bx = divmod(mi, nbx)
+                for mi in range(nbh_a * nbw_a):
+                    if dri and mi and mi % dri == 0:
+                        if eobrun:
+                            raise ValueError("EOB run crosses restart boundary")
+                        seg_idx += 1
+                        br = _JpegBitReader(segs[seg_idx])
+                    by, bx = divmod(mi, nbw_a)
                     if eobrun:
                         eobrun -= 1
                         continue
@@ -2949,6 +3108,7 @@ def parse_jpeg(data: bytes):
                     raise ValueError("bad spectral selection band")
                 aci, _td, ata = scomps[0]
                 acoefs = pcoefs[aci]
+                nbh_a, nbw_a = cgrid[aci]
                 tbl = huff.get((1, ata))
                 if tbl is None:
                     raise ValueError("missing Huffman table")
@@ -2965,8 +3125,13 @@ def parse_jpeg(data: bytes):
                                     c + p1 if c > 0 else c - p1
                                 )
 
-                for mi in range(nby * nbx):
-                    by, bx = divmod(mi, nbx)
+                for mi in range(nbh_a * nbw_a):
+                    if dri and mi and mi % dri == 0:
+                        if eobrun:
+                            raise ValueError("EOB run crosses restart boundary")
+                        seg_idx += 1
+                        br = _JpegBitReader(segs[seg_idx])
+                    by, bx = divmod(mi, nbw_a)
                     blk = acoefs[by, bx]
                     if eobrun:
                         _refine_tail(blk, ss)
@@ -3018,6 +3183,15 @@ def parse_jpeg(data: bytes):
                         _refine_tail(blk, k)
                 if eobrun:
                     raise ValueError("EOB run past the last block")
+            # a conformant scan is consumed to within its final padding
+            # byte — leftover segments or whole unread bytes mean the
+            # stream's geometry (SOF sampling, dims) and its entropy
+            # data disagree; refuse rather than return a plausible
+            # raster built from a prefix
+            if seg_idx != len(segs) - 1:
+                raise ValueError("unconsumed restart segment in progressive scan")
+            if br.pos < len(segs[seg_idx]) - 1:
+                raise ValueError("unconsumed bytes in progressive scan")
             pos = endpos
             continue
         pos += 2 + length
@@ -3026,15 +3200,30 @@ def parse_jpeg(data: bytes):
     _check_raster_size(w, h, "JPEG")
     if progressive:
         m = _jpeg_dct_matrix()
+        eff = (
+            comps
+            if len(comps) > 1
+            else [(comps[0][0], 1, 1, comps[0][3])]
+        )
+        hmax_p = max(c[1] for c in eff)
+        vmax_p = max(c[2] for c in eff)
         pplanes = []
-        for ci, (_cid, _hs, _vs, tq) in enumerate(comps):
+        for ci, (_cid, hs, vs, tq) in enumerate(eff):
             if tq not in qt:
                 raise ValueError(f"missing quant table {tq}")
             deq = pcoefs[ci].astype(np.float64) * qt[tq]
             spatial = np.einsum("ji,abjk,kl->abil", m, deq, m) + 128.0
             nby, nbx = spatial.shape[:2]
             plane = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
-            pplanes.append(np.clip(np.round(plane), 0, 255)[:h, :w])
+            plane = np.clip(np.round(plane), 0, 255)
+            cw = -(-w * hs // hmax_p)
+            ch = -(-h * vs // vmax_p)
+            plane = plane[:ch, :cw]
+            if hs != hmax_p or vs != vmax_p:
+                plane = np.repeat(
+                    np.repeat(plane, vmax_p // vs, 0), hmax_p // hs, 1
+                )
+            pplanes.append(plane[:h, :w])
         return w, h, _ycbcr_planes_to_u8(pplanes)
     if len(comps) == 1:
         # single-component scans are non-interleaved: one data unit per
@@ -3131,15 +3320,20 @@ def plant_jpeg_real_payloads(df: DataFrame, *, text_col: str = "text") -> DataFr
     quant 1), so px_sum = 64 · (tiled byte sum) in closed form while
     the decode still runs the entire real entropy/IDCT path. Odd
     doc_ids are written PROGRESSIVE (SOF2): ids %4==3 with spectral
-    selection only (DC scan + AC 1..63 with EOB-run coding), ids
-    %4==1 as 4:4:4 COLOR with the full SUCCESSIVE-APPROXIMATION
-    script (interleaved DC scan, per-component AC scans, DC/AC
-    refinement) over gray (v,v,v) tiles — Y = v and Cb = Cr = 128
-    exactly under the JFIF matrix, so the color path is exactly
-    lossless too and px_sum is simply 3 × the grayscale closed form
-    (channels = 3). The same oracle row thus certifies every decode
-    layout at zero gate-window cost (the PNG/GIF interlace
-    precedent)."""
+    selection only (DC scan + AC 1..63 with EOB-run coding; ids %8==7
+    additionally with a DRI/RSTn RESTART INTERVAL of 2 — r9), ids
+    %4==1 as COLOR with the full SUCCESSIVE-APPROXIMATION script
+    (interleaved DC scan, per-component AC scans, DC/AC refinement)
+    over gray (v,v,v) tiles — Y = v and Cb = Cr = 128 exactly under
+    the JFIF matrix, so the color path is exactly lossless too and
+    px_sum is simply 3 × the grayscale closed form (channels = 3).
+    The color arm rotates layout by id: ids %8==1 are 4:2:0
+    SUBSAMPLED (r9 — constant-128 chroma box-means to itself, so
+    subsampling stays exactly lossless on gray tiles), ids %8==5 are
+    4:4:4 with restart_interval=2. The same oracle row thus certifies
+    every decode layout — baseline, progressive, successive
+    approximation, subsampled progressive, restart intervals — at
+    zero gate-window cost (the PNG/GIF interlace precedent)."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3153,9 +3347,19 @@ def plant_jpeg_real_payloads(df: DataFrame, *, text_col: str = "text") -> DataFr
                 img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
                 if d % 4 == 1:
                     rgb = np.repeat(img[:, :, None], 3, axis=2)
-                    blob = build_jpeg_progressive(rgb, successive=True)
+                    blob = build_jpeg_progressive(
+                        rgb,
+                        successive=True,
+                        # r9 layout rotation: 4:2:0 subsampled vs
+                        # 4:4:4-with-restarts (both exactly lossless
+                        # on gray tiles — see docstring)
+                        sampling=(2, 2) if d % 8 == 1 else None,
+                        restart_interval=2 if d % 8 == 5 else 0,
+                    )
                 elif d % 4 == 3:
-                    blob = build_jpeg_progressive(img)
+                    blob = build_jpeg_progressive(
+                        img, restart_interval=2 if d % 8 == 7 else 0
+                    )
                 else:
                     blob = build_jpeg_baseline(img)
                 out.append((doc_id, blob))

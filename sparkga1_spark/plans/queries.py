@@ -3765,14 +3765,19 @@ def x_multimodal_jpeg_decode(spark, sf_dir):
     Huffman tables, bit packing, DC prediction chain, or IDCT breaks
     the hash. The planter interleaves layouts so this ONE row
     certifies them all: ids %4==3 progressive spectral-selection
-    (SOF2, EOB-run alphabet), ids %4==1 COLOR progressive with the
-    full successive-approximation script (interleaved DC scan,
-    per-component AC scans, refinement bits) — channels and px_sum
-    flip to 3x for those rows. Baseline 4:4:4/4:2:2/4:2:0 color with
-    RSTn restarts is pinned by foreign real-encoder JPEGs (CPython /
-    Rust-doc test images) in tests/test_multimodal_bytes.py. The md5
-    FAKE branch now covers only video (MP4) and arithmetic/12-bit
-    JPEG, which genuinely need a codec library."""
+    (SOF2, EOB-run alphabet; ids %8==7 with DRI/RSTn restart
+    intervals — r9), ids %4==1 COLOR progressive with the full
+    successive-approximation script (interleaved DC scan,
+    per-component AC scans, refinement bits; ids %8==1 as 4:2:0
+    SUBSAMPLED progressive, ids %8==5 with restart intervals — r9,
+    both exactly lossless on gray tiles because constant chroma
+    box-means to itself) — channels and px_sum flip to 3x for those
+    rows. Baseline 4:4:4/4:2:2/4:2:0 color with RSTn restarts is
+    pinned by foreign real-encoder JPEGs (CPython / Rust-doc test
+    images) in tests/test_multimodal_bytes.py. The md5 FAKE branch
+    now covers only video (MP4) and the non-Huffman JPEG variants
+    (arithmetic, 12-bit, lossless/hierarchical), which genuinely need
+    a codec library."""
     from sparkga1_spark.operators.multimodal import (
         decode_image_stats,
         plant_jpeg_real_payloads,

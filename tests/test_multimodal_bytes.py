@@ -1147,9 +1147,10 @@ def test_jpeg_progressive_equals_baseline_and_refusals():
     blocks span EOBn>0 runs decodes exactly (the EOB-run alphabet the
     baseline lacks); (c) successive approximation and 4:4:4 COLOR
     (interleaved DC scan + per-component AC scans) reproduce the
-    baseline raster exactly; (d) subsampled progressive color,
-    incomplete progressions, and progressive restart intervals refuse
-    honestly."""
+    baseline raster exactly; (d) incomplete progressions and malformed
+    successive-approximation chains refuse honestly. (Subsampled
+    progressive color and progressive restart intervals DECODE as of
+    r9 — see test_jpeg_progressive_subsampled_and_restarts.)"""
     import numpy as np
     import pytest
 
@@ -1244,21 +1245,113 @@ def test_jpeg_progressive_equals_baseline_and_refusals():
     )
     with pytest.raises(ValueError, match="EOI before scan data"):
         parse_jpeg(color)
-    # subsampled progressive color (2x2 luma sampling) refuses — the
-    # engine's progressive layout is 4:4:4 only
+    # a 4:4:4 stream whose SOF is patched to claim 2x2 luma sampling
+    # describes a different MCU geometry than the entropy data carries
+    # — the decode must refuse (desync or unconsumed-bytes strictness),
+    # never mis-size
     cgood = build_jpeg_progressive(
-        np.zeros((8, 8, 3), np.uint8), successive=False
+        rng.randint(0, 256, (24, 24, 3), dtype=np.uint8), successive=False
     )
     csof = cgood.find(b"\xff\xc2")
     # SOF2: FF C2 len(2) prec(1) h(2) w(2) ncomp(1) [cid hv tq]x3
     assert cgood[csof + 11] == 0x11
     sub = cgood[: csof + 11] + bytes([0x22]) + cgood[csof + 12 :]
-    with pytest.raises(ValueError, match="progressive subsampled"):
+    with pytest.raises(ValueError):
         parse_jpeg(sub)
-    # progressive restart interval
-    dri = good[:sof] + b"\xff\xdd\x00\x04\x00\x04" + good[sof:]
-    with pytest.raises(ValueError, match="progressive restart"):
+    # a DRI segment claiming restarts the entropy stream doesn't carry
+    # must refuse (missing restart segment), not decode short — on a
+    # multi-block image so at least one boundary is actually expected
+    big = build_jpeg_progressive(np.full((24, 24), 7, np.uint8))
+    bsof = big.find(b"\xff\xc2")
+    dri = big[:bsof] + b"\xff\xdd\x00\x04\x00\x01" + big[bsof:]
+    with pytest.raises(ValueError, match="missing restart segment"):
         parse_jpeg(dri)
+
+
+def test_jpeg_progressive_subsampled_and_restarts():
+    """r9 (closing the two progressive refusals): SUBSAMPLED
+    progressive color — interleaved DC scans carry hs×vs luma blocks
+    per MCU, AC scans cover each component's OWN block raster — must
+    reproduce the SUBSAMPLED BASELINE raster byte-identically (both
+    encoders share the pixel→coefficient pipeline, so equality proves
+    the two entropy layouts decode the same coefficients), across
+    sampling shapes, non-multiple dims, and successive approximation.
+    DRI/RSTn restart intervals in progressive scans (MCU-counted for
+    DC, block-counted for AC, DC predictions reset, EOB runs
+    terminated at each boundary) must leave the raster bit-identical
+    to the unrestarted encode."""
+    import numpy as np
+    import pytest
+
+    from sparkga1_spark.operators.multimodal import (
+        build_jpeg_baseline,
+        build_jpeg_progressive,
+        parse_jpeg,
+    )
+
+    rng = np.random.RandomState(20260816)
+    for samp in [(2, 2), (2, 1), (1, 2)]:
+        for h, w in [(8, 8), (16, 24), (33, 9), (17, 31)]:
+            cpx = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+            base = parse_jpeg(build_jpeg_baseline(cpx, sampling=samp))
+            assert base[0:2] == (w, h)
+            for succ in (False, True):
+                prog = parse_jpeg(
+                    build_jpeg_progressive(cpx, sampling=samp, successive=succ)
+                )
+                assert prog[0:2] == (w, h)
+                assert (prog[2] == base[2]).all(), (samp, h, w, succ)
+    # quant > 1: EOB runs span blocks inside the subsampled grids too
+    q = np.full(64, 16, np.int32)
+    q[0] = 1
+    cpx = rng.randint(0, 256, (24, 40, 3), dtype=np.uint8)
+    assert (
+        parse_jpeg(build_jpeg_progressive(cpx, sampling=(2, 2), quant=q))[2]
+        == parse_jpeg(build_jpeg_baseline(cpx, sampling=(2, 2), quant=q))[2]
+    ).all()
+    # flat color through 4:2:0 is exactly lossless (constant chroma
+    # box-means to itself) — the closed-form property the gate planter
+    # relies on for its subsampled arm
+    flat = np.full((16, 16, 3), 200, np.uint8)
+    for samp in [(2, 2), (2, 1)]:
+        got = parse_jpeg(build_jpeg_baseline(flat, sampling=samp))
+        assert (got[2] == flat).all(), samp
+        got = parse_jpeg(build_jpeg_progressive(flat, sampling=samp))
+        assert (got[2] == flat).all(), samp
+    # restart intervals: gray, color, subsampled, successive — all
+    # bit-identical with and without DRI
+    for kw in [
+        {},
+        {"successive": True},
+        {"sampling": (2, 2)},
+        {"sampling": (2, 2), "successive": True},
+    ]:
+        for h, w in [(16, 24), (33, 9), (40, 40)]:
+            cpx = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+            a = parse_jpeg(build_jpeg_progressive(cpx, **kw))
+            b = parse_jpeg(
+                build_jpeg_progressive(cpx, restart_interval=2, **kw)
+            )
+            assert (a[2] == b[2]).all(), (kw, h, w)
+    g = rng.randint(0, 256, (24, 40), dtype=np.uint8)
+    for succ in (False, True):
+        a = parse_jpeg(build_jpeg_progressive(g, successive=succ))
+        b = parse_jpeg(
+            build_jpeg_progressive(g, successive=succ, restart_interval=3)
+        )
+        assert (a[2] == b[2]).all(), succ
+    # baseline restarts compose with subsampling too
+    cpx = rng.randint(0, 256, (33, 17, 3), dtype=np.uint8)
+    a = parse_jpeg(build_jpeg_baseline(cpx, sampling=(2, 2)))
+    b = parse_jpeg(
+        build_jpeg_baseline(cpx, sampling=(2, 2), restart_interval=2)
+    )
+    assert (a[2] == b[2]).all()
+    # encoder guards: sampling on grayscale / out-of-range factors
+    with pytest.raises(ValueError, match="color images only"):
+        build_jpeg_progressive(g, sampling=(2, 2))
+    with pytest.raises(ValueError, match="factors must be"):
+        build_jpeg_baseline(cpx, sampling=(4, 1))
 
 
 def test_jpeg_baseline_flat_block_exact_roundtrip():
