@@ -2034,7 +2034,8 @@ def plant_pcx_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
 # zigzag→natural reorder, dequantization, separable floating IDCT, level
 # shift, chroma upsampling (h,v ∈ {1,2} — 4:4:4/4:2:2/4:2:0), and the
 # JFIF YCbCr→RGB matrix. Non-baseline streams (progressive SOF2,
-# lossless SOF3, arithmetic coding, 12-bit precision, sampling > 2)
+# lossless SOF3, arithmetic coding, 12-bit precision, fractional
+# sampling ratios)
 # raise ValueError and fall through to the documented md5 FAKE, which
 # after this section covers ONLY video (MP4) and non-baseline JPEG.
 #
@@ -2323,8 +2324,9 @@ def build_jpeg_baseline(pixels, *, quant=None, restart_interval: int = 0,
     if sampling is not None:
         if gray:
             raise ValueError("sampling applies to color images only")
-        if tuple(sampling) not in ((1, 1), (2, 1), (1, 2), (2, 2)):
-            raise ValueError("sampling factors must be in {1, 2}")
+        hs_, vs_ = sampling
+        if not (1 <= hs_ <= 4) or not (1 <= vs_ <= 4):
+            raise ValueError("sampling factors must be in 1..4")
     q = np.ones(64, dtype=np.int32) if quant is None else np.asarray(quant, np.int32).reshape(64)
     if q.min() < 1 or q.max() > 255:
         raise ValueError("quant entries must be 1..255")
@@ -2458,8 +2460,9 @@ def build_jpeg_progressive(pixels, *, quant=None, successive=False,
     if sampling is not None:
         if gray:
             raise ValueError("sampling applies to color images only")
-        if tuple(sampling) not in ((1, 1), (2, 1), (1, 2), (2, 2)):
-            raise ValueError("sampling factors must be in {1, 2}")
+        hs_, vs_ = sampling
+        if not (1 <= hs_ <= 4) or not (1 <= vs_ <= 4):
+            raise ValueError("sampling factors must be in 1..4")
     q = np.ones(64, dtype=np.int32) if quant is None else np.asarray(
         quant, np.int32
     ).reshape(64)
@@ -2796,7 +2799,8 @@ def parse_jpeg(data: bytes):
     real decode: marker walk, DQT/DHT parsing, canonical Huffman
     entropy decode (byte unstuffing, RSTn restarts, DC prediction,
     EOB/ZRL), dequant, separable float IDCT, level shift, chroma
-    upsample (sampling factors 1-2), JFIF YCbCr→RGB. PROGRESSIVE
+    upsample (sampling factors 1-4, integer ratios — 4:2:0/4:2:2/
+    4:4:0/4:1:1), JFIF YCbCr→RGB. PROGRESSIVE
     (SOF2) frames decode for real too — grayscale, 4:4:4 AND (r9)
     SUBSAMPLED color (interleaved multi-component DC scans carrying
     hs×vs blocks per MCU, single-component AC scans over each
@@ -2810,7 +2814,8 @@ def parse_jpeg(data: bytes):
     for interleaved scans and blocks for single-component ones, each
     restart byte-aligning, resetting DC predictions, and refusing a
     pending EOB run at the boundary. Raises ValueError for the rest
-    (arithmetic, 12-bit, lossless/hierarchical, sampling > 2) —
+    (arithmetic, 12-bit, lossless/hierarchical, fractional sampling
+    ratios) —
     callers fall through to the documented fake, keeping legacy
     header-only fixtures byte-stable."""
     import struct
@@ -2900,9 +2905,17 @@ def parse_jpeg(data: bytes):
             for ci in range(ncomp):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 hs, vs = hv >> 4, hv & 15
-                if hs not in (1, 2) or vs not in (1, 2):
+                if not (1 <= hs <= 4) or not (1 <= vs <= 4):
                     raise ValueError("unsupported sampling factor")
                 comps.append((cid, hs, vs, tq))
+            if ncomp > 1:
+                # integer-ratio upsampling only (covers every layout
+                # real encoders emit — 4:4:4/4:2:2/4:4:0/4:2:0/4:1:1;
+                # fractional ratios like 3-vs-2 stay an honest refusal)
+                hm = max(c[1] for c in comps)
+                vm = max(c[2] for c in comps)
+                if any(hm % c[1] or vm % c[2] for c in comps):
+                    raise ValueError("non-integer sampling ratio unsupported")
             frame = (fw, fh, comps)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG (progressive/lossless/arithmetic)")

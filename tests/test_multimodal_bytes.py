@@ -1347,11 +1347,35 @@ def test_jpeg_progressive_subsampled_and_restarts():
         build_jpeg_baseline(cpx, sampling=(2, 2), restart_interval=2)
     )
     assert (a[2] == b[2]).all()
+    # sampling factors 3-4 (4:1:1 / 4:4:0 / the full integer-ratio
+    # family): progressive == baseline byte-identically, restarts too
+    for samp in [(4, 1), (1, 4), (4, 4), (4, 2), (3, 1)]:
+        cpx = rng.randint(0, 256, (17, 31, 3), dtype=np.uint8)
+        base = parse_jpeg(build_jpeg_baseline(cpx, sampling=samp))
+        assert base[0:2] == (31, 17), samp
+        prog = parse_jpeg(build_jpeg_progressive(cpx, sampling=samp))
+        assert (prog[2] == base[2]).all(), samp
+        rst = parse_jpeg(
+            build_jpeg_progressive(cpx, sampling=samp, restart_interval=2)
+        )
+        assert (rst[2] == base[2]).all(), samp
+    # a fractional sampling ratio (3 luma vs 2 chroma) refuses at the
+    # decoder — integer upsampling only; hand-patch the SOF because
+    # the in-repo encoders only emit 1x1 chroma
+    import struct as _struct
+
+    # SOF0: FF C0 len(2) prec(1) h(2) w(2) ncomp(1) [cid hv tq]x3
+    frac = build_jpeg_baseline(cpx, sampling=(3, 1))
+    fsof = frac.find(b"\xff\xc0")
+    assert frac[fsof + 11] == 0x31 and frac[fsof + 14] == 0x11
+    patched = frac[: fsof + 14] + bytes([0x21]) + frac[fsof + 15 :]
+    with pytest.raises(ValueError, match="non-integer sampling ratio"):
+        parse_jpeg(patched)
     # encoder guards: sampling on grayscale / out-of-range factors
     with pytest.raises(ValueError, match="color images only"):
         build_jpeg_progressive(g, sampling=(2, 2))
     with pytest.raises(ValueError, match="factors must be"):
-        build_jpeg_baseline(cpx, sampling=(4, 1))
+        build_jpeg_baseline(cpx, sampling=(5, 1))
 
 
 def test_jpeg_baseline_flat_block_exact_roundtrip():
