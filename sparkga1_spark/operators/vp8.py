@@ -1,0 +1,946 @@
+"""Lossy VP8 (RFC 6386) keyframe codec — REAL decode within a
+documented subset, plus a minimal in-repo keyframe encoder for
+fixtures.
+
+This closes (part of) the repo's longest-standing multimodal fake:
+lossy WebP pixels. Scope, per the honesty-ledger convention:
+
+  REAL (decoder): keyframes with 16x16 intra prediction (DC_PRED /
+  V_PRED / H_PRED / TM_PRED and the matching 8x8 chroma modes), the
+  full boolean (range) coder, keyframe header parse, per-frame
+  coefficient-probability updates, mb_no_coeff_skip, 1..8 DCT
+  partitions, full token decode (zero runs, categories 1-6 with
+  extra bits), quantizer lookup with all five delta fields and the
+  spec clamps (uv_dc index capped at 117 = value 132, y2_ac floor 8),
+  Y2 WHT inverse, exact integer 4x4 IDCT, and intra reconstruction
+  with the spec border rules (above=127, left=129).
+
+  REFUSED (ValueError, never guessed): interframes, B_PRED
+  macroblocks (per-subblock 4x4 intra — the 900-entry context table
+  ships in vp8_tables for a future extension), segmentation, and
+  loop_filter_level > 0 (returning unfiltered pixels for a stream
+  that mandates filtering would be wrong-but-plausible; the in-repo
+  encoder always emits filter level 0).
+
+All normative constant tables come from
+`sparkga1_spark/operators/vp8_tables.py`, EXTRACTED from the
+container's public libwebp (see tools/extract_vp8_tables.py — a
+hand transcription of ~3000 constants would be undetectably wrong on
+both in-repo sides, the plane-code lesson). The whole chain —
+tables, boolean coder, header layout, token coding, dequant,
+transforms, prediction — is validated in tests/test_vp8_lossy.py by
+BIT-EXACT YUV equality against the system libwebp's own decoder
+(ctypes WebPDecodeYUV) over encoder-generated streams: a single
+wrong table byte or off-by-one in any stage desyncs the range coder
+and fails the gate.
+
+Reference parity note: SparkGA1 has no codec layer (genomics); this
+module exists for the multimodal training-data pipeline surface
+(BASELINE.json north star). Scale shape: decode is a map-only
+per-payload Arrow stage like every other codec here.
+"""
+
+from __future__ import annotations
+
+from .vp8_tables import (
+    AC_Q,
+    CAT12_PROBS,
+    CAT_PROBS,
+    COEFF_PROBS,
+    COEFF_UPDATE_PROBS,
+    DC_Q,
+    KBANDS,
+    KF_UV_MODE_PROBS,
+    KF_YMODE_PROBS,
+    ZIGZAG,
+)
+
+VP8_START_CODE = b"\x9d\x01\x2a"
+
+# intra modes (16x16 / chroma)
+DC_PRED, V_PRED, H_PRED, TM_PRED, B_PRED = 0, 1, 2, 3, 4
+
+
+def _probs_4d(flat):
+    """1056-flat → [type][band][ctx] 11-tuples."""
+    out = []
+    i = 0
+    for _t in range(4):
+        bands = []
+        for _b in range(8):
+            ctxs = []
+            for _c in range(3):
+                ctxs.append(tuple(flat[i : i + 11]))
+                i += 11
+            bands.append(ctxs)
+        out.append(bands)
+    return out
+
+
+_DEFAULT_COEFF_PROBS = _probs_4d(COEFF_PROBS)
+_UPDATE_PROBS = _probs_4d(COEFF_UPDATE_PROBS)
+
+
+class BoolDecoder:
+    """RFC 6386 §7.3 boolean decoder. Reads virtual zero bytes past
+    the end of its partition (the standard tail convention — the
+    final bits of a conformant stream need them); structural checks
+    above this layer catch desyncs."""
+
+    __slots__ = ("buf", "pos", "range", "value", "bitcount")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+        self.range = 255
+        self.value = (self._byte() << 8) | self._byte()
+        self.bitcount = 0
+
+    def _byte(self) -> int:
+        b = self.buf[self.pos] if self.pos < len(self.buf) else 0
+        self.pos += 1
+        return b
+
+    def get(self, prob: int) -> int:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        big = split << 8
+        if self.value >= big:
+            ret = 1
+            self.range -= split
+            self.value -= big
+        else:
+            ret = 0
+            self.range = split
+        while self.range < 128:
+            self.value <<= 1
+            self.range <<= 1
+            self.bitcount += 1
+            if self.bitcount == 8:
+                self.bitcount = 0
+                self.value |= self._byte()
+        return ret
+
+    def literal(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.get(128)
+        return v
+
+    def signed_literal(self, n: int) -> int:
+        v = self.literal(n)
+        return -v if self.get(128) else v
+
+    def tree(self, tree, probs) -> int:
+        i = 0
+        while True:
+            i = tree[i + self.get(probs[i >> 1])]
+            if i <= 0:
+                return -i
+
+
+class BoolEncoder:
+    """RFC 6386 §7.2 boolean encoder (32-bit bottom, carry
+    propagation into emitted bytes)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.range = 255
+        self.bottom = 0
+        self.bitcount = 24
+
+    def put(self, prob: int, boolean: int) -> None:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        if boolean:
+            self.bottom += split
+            self.range -= split
+        else:
+            self.range = split
+        while self.range < 128:
+            self.range <<= 1
+            if self.bottom & (1 << 31):
+                i = len(self.out) - 1
+                while i >= 0 and self.out[i] == 255:
+                    self.out[i] = 0
+                    i -= 1
+                if i < 0:
+                    raise ValueError("vp8: carry out of stream head")
+                self.out[i] += 1
+            self.bottom = (self.bottom << 1) & 0xFFFFFFFF
+            self.bitcount -= 1
+            if self.bitcount == 0:
+                self.out.append((self.bottom >> 24) & 0xFF)
+                self.bottom &= (1 << 24) - 1
+                self.bitcount = 8
+
+    def literal(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.put(128, (v >> i) & 1)
+
+    def signed_literal(self, v: int, n: int) -> None:
+        self.literal(abs(v), n)
+        self.put(128, 1 if v < 0 else 0)
+
+    def tree(self, tree, probs, value: int) -> None:
+        # walk the tree toward -value, emitting each branch bit
+        path = self._find_path(tree, value, 0)
+        for node, bit in path:
+            self.put(probs[node >> 1], bit)
+
+    def _find_path(self, tree, value, i, path=()):
+        for bit in (0, 1):
+            nxt = tree[i + bit]
+            if nxt == -value and nxt <= 0:
+                return path + ((i, bit),)
+            if nxt > 0:
+                r = self._find_path(tree, value, nxt, path + ((i, bit),))
+                if r is not None:
+                    return r
+        return None if path else ()
+
+    def finish(self) -> bytes:
+        for _ in range(32):
+            self.put(128, 0)
+        return bytes(self.out)
+
+
+# --------------------------------------------------------------------------
+# exact integer inverse transforms (RFC 6386 §14.3)
+# --------------------------------------------------------------------------
+
+_C1 = 20091  # sqrt(2)*cos(pi/8) - 1, .16 fixed
+_C2 = 35468  # sqrt(2)*sin(pi/8),     .16 fixed
+
+
+def idct4x4(block):
+    """16 ints (raster order) → 16 spatial residuals, bit-exact."""
+    ip = list(block)
+    tmp = [0] * 16
+    for i in range(4):
+        a1 = ip[i] + ip[8 + i]
+        b1 = ip[i] - ip[8 + i]
+        t1 = (ip[4 + i] * _C2) >> 16
+        t2 = ip[12 + i] + ((ip[12 + i] * _C1) >> 16)
+        c1 = t1 - t2
+        t1 = ip[4 + i] + ((ip[4 + i] * _C1) >> 16)
+        t2 = (ip[12 + i] * _C2) >> 16
+        d1 = t1 + t2
+        tmp[i] = a1 + d1
+        tmp[12 + i] = a1 - d1
+        tmp[4 + i] = b1 + c1
+        tmp[8 + i] = b1 - c1
+    out = [0] * 16
+    for i in range(4):
+        r = 4 * i
+        a1 = tmp[r] + tmp[r + 2]
+        b1 = tmp[r] - tmp[r + 2]
+        t1 = (tmp[r + 1] * _C2) >> 16
+        t2 = tmp[r + 3] + ((tmp[r + 3] * _C1) >> 16)
+        c1 = t1 - t2
+        t1 = tmp[r + 1] + ((tmp[r + 1] * _C1) >> 16)
+        t2 = (tmp[r + 3] * _C2) >> 16
+        d1 = t1 + t2
+        out[r] = (a1 + d1 + 4) >> 3
+        out[r + 3] = (a1 - d1 + 4) >> 3
+        out[r + 1] = (b1 + c1 + 4) >> 3
+        out[r + 2] = (b1 - c1 + 4) >> 3
+    return out
+
+
+def iwalsh4x4(block):
+    """16 ints → 16 DC values for the 16 Y subblocks, bit-exact."""
+    ip = list(block)
+    tmp = [0] * 16
+    for i in range(4):
+        a1 = ip[i] + ip[12 + i]
+        b1 = ip[4 + i] + ip[8 + i]
+        c1 = ip[4 + i] - ip[8 + i]
+        d1 = ip[i] - ip[12 + i]
+        tmp[i] = a1 + b1
+        tmp[4 + i] = c1 + d1
+        tmp[8 + i] = a1 - b1
+        tmp[12 + i] = d1 - c1
+    out = [0] * 16
+    for i in range(4):
+        r = 4 * i
+        a1 = tmp[r] + tmp[r + 3]
+        b1 = tmp[r + 1] + tmp[r + 2]
+        c1 = tmp[r + 1] - tmp[r + 2]
+        d1 = tmp[r] - tmp[r + 3]
+        a2 = a1 + b1 + 3
+        b2 = c1 + d1
+        c2 = a1 - b1
+        d2 = d1 - c1
+        out[r] = a2 >> 3
+        out[r + 1] = (b2 + 3) >> 3
+        out[r + 2] = (c2 + 3) >> 3
+        out[r + 3] = (d2 + 3) >> 3
+    return out
+
+
+def _float_inverse_matrix(transform):
+    """Linearize an exact inverse transform (sans rounding) into a
+    16x16 float matrix by probing unit coefficient vectors at a large
+    scale, then invert — the encoder's forward transform is the exact
+    float inverse of the decoder's integer inverse, so quantized
+    levels reconstruct as intended without transcribing a forward
+    transform."""
+    import numpy as np
+
+    scale = 1 << 16
+    m = np.zeros((16, 16))
+    for j in range(16):
+        e = [0] * 16
+        e[j] = scale
+        m[:, j] = np.asarray(transform(e), dtype=np.float64) / scale
+    return np.linalg.inv(m)
+
+
+# --------------------------------------------------------------------------
+# token (coefficient) layer
+# --------------------------------------------------------------------------
+
+
+def _decode_coeffs(bd, probs_type, ctx, first, dq_dc, dq_ac, out16):
+    """Decode one 4x4 block's tokens into out16 (raster order,
+    DEQUANTIZED). Returns the EOB position n (nonzero present iff
+    n > first)."""
+    p = probs_type[KBANDS[first]][ctx]
+    n = first
+    while n < 16:
+        if not bd.get(p[0]):
+            return n
+        while not bd.get(p[1]):
+            n += 1
+            if n == 16:
+                return 16
+            p = probs_type[KBANDS[n]][0]
+        if not bd.get(p[2]):
+            v = 1
+            nctx = 1
+        else:
+            v = _decode_large(bd, p)
+            nctx = 2
+        if bd.get(128):
+            v = -v
+        z = ZIGZAG[n]
+        out16[z] = v * (dq_dc if n == 0 else dq_ac)
+        n += 1
+        if n == 16:
+            return 16
+        p = probs_type[KBANDS[n]][nctx]
+    return 16
+
+
+def _decode_large(bd, p):
+    if not bd.get(p[3]):
+        if not bd.get(p[4]):
+            return 2
+        return 3 + bd.get(p[5])
+    if not bd.get(p[6]):
+        if not bd.get(p[7]):
+            return 5 + bd.get(CAT12_PROBS[0][0])
+        return 7 + 2 * bd.get(CAT12_PROBS[1][0]) + bd.get(CAT12_PROBS[1][1])
+    bit1 = bd.get(p[8])
+    bit0 = bd.get(p[9 + bit1])
+    cat = 2 * bit1 + bit0
+    v = 0
+    for cp in CAT_PROBS[cat]:
+        v += v + bd.get(cp)
+    return v + 3 + (8 << cat)
+
+
+def _encode_coeffs(be, probs_type, ctx, first, levels16):
+    """Mirror of _decode_coeffs over QUANTIZED levels (zigzag-indexed
+    raster array). Returns nz flag."""
+    lz = [levels16[ZIGZAG[n]] for n in range(16)]
+    last = -1
+    for n in range(first, 16):
+        if lz[n]:
+            last = n
+    p = probs_type[KBANDS[first]][ctx]
+    n = first
+    while n < 16:
+        if last < n:
+            be.put(p[0], 0)  # EOB
+            return last >= first
+        be.put(p[0], 1)
+        while lz[n] == 0:
+            be.put(p[1], 0)
+            n += 1
+            p = probs_type[KBANDS[n]][0]
+        be.put(p[1], 1)
+        v = abs(lz[n])
+        if v == 1:
+            be.put(p[2], 0)
+            nctx = 1
+        else:
+            be.put(p[2], 1)
+            _encode_large(be, p, v)
+            nctx = 2
+        be.put(128, 1 if lz[n] < 0 else 0)
+        n += 1
+        if n == 16:
+            return True
+        p = probs_type[KBANDS[n]][nctx]
+    return True
+
+
+def _encode_large(be, p, v):
+    if v <= 4:
+        be.put(p[3], 0)
+        if v == 2:
+            be.put(p[4], 0)
+        else:
+            be.put(p[4], 1)
+            be.put(p[5], v - 3)
+    else:
+        be.put(p[3], 1)
+        if v <= 10:
+            be.put(p[6], 0)
+            if v <= 6:
+                be.put(p[7], 0)
+                be.put(CAT12_PROBS[0][0], v - 5)
+            else:
+                be.put(p[7], 1)
+                be.put(CAT12_PROBS[1][0], (v - 7) >> 1)
+                be.put(CAT12_PROBS[1][1], (v - 7) & 1)
+        else:
+            be.put(p[6], 1)
+            for cat in range(4):
+                base = 3 + (8 << cat)
+                if v < base + (8 << cat) or cat == 3:
+                    break
+            bit1, bit0 = cat >> 1, cat & 1
+            be.put(p[8], bit1)
+            be.put(p[9 + bit1], bit0)
+            residue = v - base
+            cps = CAT_PROBS[cat]
+            for i, cp in enumerate(cps):
+                be.put(cp, (residue >> (len(cps) - 1 - i)) & 1)
+
+
+def _clamp_q(i):
+    return 0 if i < 0 else 127 if i > 127 else i
+
+
+def _quantizers(qi, deltas):
+    """base index + (y_dc, y2_dc, y2_ac, uv_dc, uv_ac) deltas →
+    per-plane (dc, ac) dequant factors with the spec clamps."""
+    ydc, y2dc, y2ac, uvdc, uvac = deltas
+    y1 = (DC_Q[_clamp_q(qi + ydc)], AC_Q[_clamp_q(qi)])
+    y2 = (
+        DC_Q[_clamp_q(qi + y2dc)] * 2,
+        max(8, AC_Q[_clamp_q(qi + y2ac)] * 155 // 100),
+    )
+    # chroma DC index is additionally capped at 117 (value 132)
+    uv = (DC_Q[min(117, _clamp_q(qi + uvdc))], AC_Q[_clamp_q(qi + uvac)])
+    return y1, y2, uv
+
+
+# --------------------------------------------------------------------------
+# intra prediction (RFC 6386 §12.2-12.3); borders: above=127, left=129
+# --------------------------------------------------------------------------
+
+
+def _predict(mode, plane, x0, y0, size, mbx, mby):
+    """Return a size×size int prediction block for the reconstructed
+    `plane` (numpy 2D, already padded? no — exact dims) at (x0, y0)."""
+    import numpy as np
+
+    have_above = y0 > 0
+    have_left = x0 > 0
+    above = (
+        plane[y0 - 1, x0 : x0 + size].astype(np.int32)
+        if have_above
+        else np.full(size, 127, np.int32)
+    )
+    left = (
+        plane[y0 : y0 + size, x0 - 1].astype(np.int32)
+        if have_left
+        else np.full(size, 129, np.int32)
+    )
+    if mode == DC_PRED:
+        if have_above and have_left:
+            dc = (int(above.sum()) + int(left.sum()) + size) >> (
+                5 if size == 16 else 4
+            )
+        elif have_above:
+            dc = (int(above.sum()) + (size >> 1)) >> (4 if size == 16 else 3)
+        elif have_left:
+            dc = (int(left.sum()) + (size >> 1)) >> (4 if size == 16 else 3)
+        else:
+            dc = 128
+        return np.full((size, size), dc, np.int32)
+    if mode == V_PRED:
+        return np.tile(above, (size, 1))
+    if mode == H_PRED:
+        return np.tile(left[:, None], (1, size))
+    if mode == TM_PRED:
+        # border corners (ground-truth-pinned vs libwebp): a row-0 MB's
+        # above-left belongs to the 127 above row (127, even at col 0);
+        # a col-0 MB below row 0 takes 129 from the left column
+        if have_above and have_left:
+            tl = int(plane[y0 - 1, x0 - 1])
+        elif have_above:
+            tl = 129
+        else:
+            tl = 127
+        return np.clip(left[:, None] + above[None, :] - tl, 0, 255)
+    raise ValueError("vp8: unsupported prediction mode")
+
+# --------------------------------------------------------------------------
+# frame decode
+# --------------------------------------------------------------------------
+
+UV_MODE_TREE = (-0, 2, -1, 4, -2, -3)
+KF_YMODE_TREE = (-4, 2, 4, 6, -0, -1, -2, -3)  # -4 = B_PRED first
+
+
+def decode_vp8_frame(data: bytes):
+    """VP8 payload (RIFF 'VP8 ' chunk body) → (w, h, Y, U, V) numpy
+    uint8 planes (Y: h×w; U/V: ceil-halved dims). Keyframe intra
+    subset only — see the module docstring for the honesty ledger."""
+    import numpy as np
+
+    if len(data) < 10:
+        raise ValueError("vp8: truncated frame header")
+    tag = data[0] | (data[1] << 8) | (data[2] << 16)
+    if tag & 1:
+        raise ValueError("vp8: interframe decode unclaimed (keyframes only)")
+    part0_size = tag >> 5
+    if data[3:6] != VP8_START_CODE:
+        raise ValueError("vp8: bad keyframe start code")
+    w = (data[6] | (data[7] << 8)) & 0x3FFF
+    h = (data[8] | (data[9] << 8)) & 0x3FFF
+    if w == 0 or h == 0:
+        raise ValueError("vp8: zero dimension")
+    if 10 + part0_size > len(data):
+        raise ValueError("vp8: truncated first partition")
+    bd = BoolDecoder(data[10 : 10 + part0_size])
+
+    bd.literal(1)  # color space (0 = YCbCr as specified)
+    bd.literal(1)  # clamping type (decode-identical for in-range preds)
+    if bd.literal(1):
+        raise ValueError("vp8: segmentation unclaimed")
+    bd.literal(1)  # filter type
+    filter_level = bd.literal(6)
+    bd.literal(3)  # sharpness
+    if bd.literal(1):  # loop filter adjustments present
+        if bd.literal(1):  # delta update
+            for _ in range(8):
+                if bd.literal(1):
+                    bd.literal(6)
+                    bd.get(128)
+    if filter_level != 0:
+        raise ValueError(
+            "vp8: loop filter unclaimed (filter_level > 0 would need the "
+            "in-loop deblocking pass; unfiltered output would be "
+            "wrong-but-plausible)"
+        )
+    nparts = 1 << bd.literal(2)
+    part_off = 10 + part0_size
+    sizes = []
+    for i in range(nparts - 1):
+        o = part_off + 3 * i
+        if o + 3 > len(data):
+            raise ValueError("vp8: truncated partition size table")
+        sizes.append(data[o] | (data[o + 1] << 8) | (data[o + 2] << 16))
+    part_off += 3 * (nparts - 1)
+    token_bds = []
+    for i in range(nparts):
+        if i < nparts - 1:
+            end = part_off + sizes[i]
+            if end > len(data):
+                raise ValueError("vp8: truncated token partition")
+            token_bds.append(BoolDecoder(data[part_off:end]))
+            part_off = end
+        else:
+            if part_off > len(data):
+                raise ValueError("vp8: truncated token partition")
+            token_bds.append(BoolDecoder(data[part_off:]))
+
+    qi = bd.literal(7)
+    deltas = tuple(
+        bd.signed_literal(4) if bd.literal(1) else 0 for _ in range(5)
+    )
+    y1q, y2q, uvq = _quantizers(qi, deltas)
+    bd.literal(1)  # refresh entropy probs (keyframe state is transient)
+    probs = [
+        [[list(ctx) for ctx in band] for band in t]
+        for t in _DEFAULT_COEFF_PROBS
+    ]
+    for t in range(4):
+        for b in range(8):
+            for c in range(3):
+                up = _UPDATE_PROBS[t][b][c]
+                row = probs[t][b][c]
+                for pi in range(11):
+                    if bd.get(up[pi]):
+                        row[pi] = bd.literal(8)
+    probs = [
+        [[tuple(ctx) for ctx in band] for band in t] for t in probs
+    ]
+    mb_no_skip = bd.literal(1)
+    skip_prob = bd.literal(8) if mb_no_skip else 0
+
+    mbw = (w + 15) >> 4
+    mbh = (h + 15) >> 4
+    Y = np.zeros((mbh * 16, mbw * 16), np.uint8)
+    U = np.zeros((mbh * 8, mbw * 8), np.uint8)
+    V = np.zeros((mbh * 8, mbw * 8), np.uint8)
+
+    y_above = [0] * (mbw * 4)
+    u_above = [0] * (mbw * 2)
+    v_above = [0] * (mbw * 2)
+    y2_above = [0] * mbw
+
+    for mby in range(mbh):
+        y_left = [0] * 4
+        u_left = [0] * 2
+        v_left = [0] * 2
+        y2_left = 0
+        td = token_bds[mby % nparts]
+        for mbx in range(mbw):
+            skip = bd.get(skip_prob) if mb_no_skip else 0
+            ymode = bd.tree(KF_YMODE_TREE, KF_YMODE_PROBS)
+            if ymode == B_PRED:
+                raise ValueError("vp8: B_PRED macroblocks unclaimed")
+            uvmode = bd.tree(UV_MODE_TREE, KF_UV_MODE_PROBS)
+
+            y_res = [[0] * 16 for _ in range(16)]
+            u_res = [[0] * 16 for _ in range(4)]
+            v_res = [[0] * 16 for _ in range(4)]
+            if skip:
+                for i in range(4):
+                    y_above[mbx * 4 + i] = y_left[i] = 0
+                for i in range(2):
+                    u_above[mbx * 2 + i] = u_left[i] = 0
+                    v_above[mbx * 2 + i] = v_left[i] = 0
+                y2_above[mbx] = y2_left = 0
+            else:
+                y2 = [0] * 16
+                nz = _decode_coeffs(
+                    td, probs[1], y2_above[mbx] + y2_left, 0,
+                    y2q[0], y2q[1], y2,
+                )
+                y2_above[mbx] = y2_left = 1 if nz > 0 else 0
+                y2dc = iwalsh4x4(y2)
+                for sb in range(16):
+                    sby, sbx = divmod(sb, 4)
+                    ctx = y_above[mbx * 4 + sbx] + y_left[sby]
+                    coeffs = [0] * 16
+                    n = _decode_coeffs(
+                        td, probs[0], ctx, 1, y1q[0], y1q[1], coeffs
+                    )
+                    flag = 1 if n > 1 else 0
+                    y_above[mbx * 4 + sbx] = y_left[sby] = flag
+                    coeffs[0] = y2dc[sb]
+                    y_res[sb] = idct4x4(coeffs)
+                for plane_res, above, left in (
+                    (u_res, u_above, u_left),
+                    (v_res, v_above, v_left),
+                ):
+                    for sb in range(4):
+                        sby, sbx = divmod(sb, 2)
+                        ctx = above[mbx * 2 + sbx] + left[sby]
+                        coeffs = [0] * 16
+                        n = _decode_coeffs(
+                            td, probs[2], ctx, 0, uvq[0], uvq[1], coeffs
+                        )
+                        flag = 1 if n > 0 else 0
+                        above[mbx * 2 + sbx] = left[sby] = flag
+                        plane_res[sb] = idct4x4(coeffs)
+
+            _reconstruct_mb(
+                Y, U, V, mbx, mby, ymode, uvmode, y_res, u_res, v_res
+            )
+    return w, h, Y[:h, :w], U[: (h + 1) >> 1, : (w + 1) >> 1], V[
+        : (h + 1) >> 1, : (w + 1) >> 1
+    ]
+
+
+def _reconstruct_mb(Y, U, V, mbx, mby, ymode, uvmode, y_res, u_res, v_res):
+    import numpy as np
+
+    x0, y0 = mbx * 16, mby * 16
+    pred = _predict(ymode, Y, x0, y0, 16, mbx, mby)
+    res = np.zeros((16, 16), np.int32)
+    for sb in range(16):
+        sby, sbx = divmod(sb, 4)
+        res[sby * 4 : sby * 4 + 4, sbx * 4 : sbx * 4 + 4] = np.asarray(
+            y_res[sb], np.int32
+        ).reshape(4, 4)
+    Y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(pred + res, 0, 255).astype(
+        np.uint8
+    )
+    cx0, cy0 = mbx * 8, mby * 8
+    for plane, resids in ((U, u_res), (V, v_res)):
+        pred = _predict(uvmode, plane, cx0, cy0, 8, mbx, mby)
+        res8 = np.zeros((8, 8), np.int32)
+        for sb in range(4):
+            sby, sbx = divmod(sb, 2)
+            res8[sby * 4 : sby * 4 + 4, sbx * 4 : sbx * 4 + 4] = np.asarray(
+                resids[sb], np.int32
+            ).reshape(4, 4)
+        plane[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(
+            pred + res8, 0, 255
+        ).astype(np.uint8)
+
+# --------------------------------------------------------------------------
+# minimal keyframe encoder (fixtures / tests): 16x16 intra modes,
+# filter level 0, one token partition, no segmentation, default probs
+# --------------------------------------------------------------------------
+
+
+def encode_vp8_keyframe(
+    y,
+    u,
+    v,
+    *,
+    q_index: int = 4,
+    deltas=(0, 0, 0, 0, 0),
+    mode_of=None,
+    use_skip: bool = True,
+    partitions: int = 1,
+):
+    """Y (h×w), U, V (ceil-halved) uint8 planes → a VP8 keyframe
+    payload the documented-subset decoder AND libwebp both decode.
+    `mode_of(mbx, mby) -> (ymode, uvmode)` picks intra modes (default
+    cycles DC/V/H/TM so every predictor appears); the encoder
+    maintains decoder-identical reconstructed planes so predictions
+    never drift. Levels are quantized with the same lookup the
+    decoder dequantizes with; the forward transforms are the float
+    inverses of the exact integer inverse transforms (probed and
+    inverted numerically — nothing transcribed). `partitions` (1, 2,
+    4 or 8) stripes token data across DCT partitions by MB row — the
+    layout every conformant decoder must route."""
+    import numpy as np
+
+    y = np.asarray(y, np.uint8)
+    u = np.asarray(u, np.uint8)
+    v = np.asarray(v, np.uint8)
+    h, w = y.shape
+    if not (1 <= w <= 0x3FFF and 1 <= h <= 0x3FFF):
+        raise ValueError("vp8: dims out of 14-bit range")
+    if u.shape != ((h + 1) >> 1, (w + 1) >> 1) or u.shape != v.shape:
+        raise ValueError("vp8: chroma plane dims must be ceil-halved")
+    if not 0 <= q_index <= 127:
+        raise ValueError("vp8: q_index out of range")
+    if partitions not in (1, 2, 4, 8):
+        raise ValueError("vp8: partitions must be 1, 2, 4 or 8")
+    if mode_of is None:
+        mode_of = lambda mbx, mby: (  # noqa: E731
+            (mbx + 2 * mby) % 4,
+            (mbx + 3 * mby) % 4,
+        )
+
+    mbw = (w + 15) >> 4
+    mbh = (h + 15) >> 4
+    # edge-pad sources to the MB grid (decoder reconstructs the full
+    # padded raster; the crop happens at parse time)
+    Yp = np.pad(y, ((0, mbh * 16 - h), (0, mbw * 16 - w)), mode="edge")
+    Up = np.pad(
+        u,
+        ((0, mbh * 8 - u.shape[0]), (0, mbw * 8 - u.shape[1])),
+        mode="edge",
+    )
+    Vp = np.pad(
+        v,
+        ((0, mbh * 8 - v.shape[0]), (0, mbw * 8 - v.shape[1])),
+        mode="edge",
+    )
+    recY = np.zeros_like(Yp)
+    recU = np.zeros_like(Up)
+    recV = np.zeros_like(Vp)
+
+    fdct = _float_inverse_matrix(idct4x4)
+    fwht = _float_inverse_matrix(iwalsh4x4)
+    y1q, y2q, uvq = _quantizers(q_index, deltas)
+
+    def quant16(coefs, dq_dc, dq_ac, first):
+        lv = [0] * 16
+        for n in range(first, 16):
+            z = ZIGZAG[n]
+            q = dq_dc if n == 0 else dq_ac
+            lv[z] = int(round(coefs[z] / q))
+            lv[z] = max(-2114, min(2114, lv[z]))
+        return lv
+
+    # header partition
+    be = BoolEncoder()
+    be.literal(0, 1)  # color space
+    be.literal(0, 1)  # clamping
+    be.literal(0, 1)  # no segmentation
+    be.literal(0, 1)  # filter type
+    be.literal(0, 6)  # filter level 0 (subset contract)
+    be.literal(0, 3)  # sharpness
+    be.literal(0, 1)  # no lf adjustments
+    be.literal({1: 0, 2: 1, 4: 2, 8: 3}[partitions], 2)
+    be.literal(q_index, 7)
+    for d in deltas:
+        if d:
+            be.literal(1, 1)
+            be.signed_literal(d, 4)
+        else:
+            be.literal(0, 1)
+    be.literal(0, 1)  # refresh entropy probs
+    for t in range(4):
+        for b in range(8):
+            for c in range(3):
+                up = _UPDATE_PROBS[t][b][c]
+                for pi in range(11):
+                    be.put(up[pi], 0)  # keep every default prob
+    skip_prob = 128
+    if use_skip:
+        be.literal(1, 1)
+        be.literal(skip_prob, 8)
+    else:
+        be.literal(0, 1)
+
+    te_list = [BoolEncoder() for _ in range(partitions)]
+    probs = _DEFAULT_COEFF_PROBS
+
+    y_above = [0] * (mbw * 4)
+    u_above = [0] * (mbw * 2)
+    v_above = [0] * (mbw * 2)
+    y2_above = [0] * mbw
+
+    for mby in range(mbh):
+        y_left = [0] * 4
+        u_left = [0] * 2
+        v_left = [0] * 2
+        y2_left = 0
+        te = te_list[mby % partitions]
+        for mbx in range(mbw):
+            ymode, uvmode = mode_of(mbx, mby)
+            if not (0 <= ymode <= 3 and 0 <= uvmode <= 3):
+                raise ValueError("vp8: encoder supports DC/V/H/TM only")
+            x0, y0 = mbx * 16, mby * 16
+            predY = _predict(ymode, recY, x0, y0, 16, mbx, mby)
+            resY = Yp[y0 : y0 + 16, x0 : x0 + 16].astype(np.int32) - predY
+            y_levels = []
+            dcs = [0.0] * 16
+            y_coefs = []
+            for sb in range(16):
+                sby, sbx = divmod(sb, 4)
+                blk = resY[
+                    sby * 4 : sby * 4 + 4, sbx * 4 : sbx * 4 + 4
+                ].reshape(16)
+                cf = fdct @ blk
+                dcs[sb] = cf[0]
+                y_coefs.append(cf)
+                y_levels.append(quant16(cf, y1q[0], y1q[1], 1))
+            y2_cf = fwht @ np.asarray(dcs)
+            y2_levels = quant16(y2_cf, y2q[0], y2q[1], 0)
+
+            cx0, cy0 = mbx * 8, mby * 8
+            uv_levels = {}
+            uv_preds = {}
+            for key, src, rec in (("u", Up, recU), ("v", Vp, recV)):
+                pred = _predict(uvmode, rec, cx0, cy0, 8, mbx, mby)
+                uv_preds[key] = pred
+                res = src[cy0 : cy0 + 8, cx0 : cx0 + 8].astype(np.int32) - pred
+                lv = []
+                for sb in range(4):
+                    sby, sbx = divmod(sb, 2)
+                    blk = res[
+                        sby * 4 : sby * 4 + 4, sbx * 4 : sbx * 4 + 4
+                    ].reshape(16)
+                    lv.append(quant16(fdct @ blk, uvq[0], uvq[1], 0))
+                uv_levels[key] = lv
+
+            all_zero = (
+                not any(y2_levels)
+                and not any(any(l) for l in y_levels)
+                and not any(any(l) for l in uv_levels["u"])
+                and not any(any(l) for l in uv_levels["v"])
+            )
+            skip = 1 if (use_skip and all_zero) else 0
+            if use_skip:
+                be.put(skip_prob, skip)
+            be.tree(KF_YMODE_TREE, KF_YMODE_PROBS, ymode)
+            be.tree(UV_MODE_TREE, KF_UV_MODE_PROBS, uvmode)
+
+            if skip:
+                for i in range(4):
+                    y_above[mbx * 4 + i] = y_left[i] = 0
+                for i in range(2):
+                    u_above[mbx * 2 + i] = u_left[i] = 0
+                    v_above[mbx * 2 + i] = v_left[i] = 0
+                y2_above[mbx] = y2_left = 0
+            else:
+                nz = _encode_coeffs(
+                    te, probs[1], y2_above[mbx] + y2_left, 0, y2_levels
+                )
+                y2_above[mbx] = y2_left = 1 if nz else 0
+                for sb in range(16):
+                    sby, sbx = divmod(sb, 4)
+                    ctx = y_above[mbx * 4 + sbx] + y_left[sby]
+                    nz = _encode_coeffs(te, probs[0], ctx, 1, y_levels[sb])
+                    y_above[mbx * 4 + sbx] = y_left[sby] = 1 if nz else 0
+                for key, above, left in (
+                    ("u", u_above, u_left),
+                    ("v", v_above, v_left),
+                ):
+                    for sb in range(4):
+                        sby, sbx = divmod(sb, 2)
+                        ctx = above[mbx * 2 + sbx] + left[sby]
+                        nz = _encode_coeffs(
+                            te, probs[2], ctx, 0, uv_levels[key][sb]
+                        )
+                        above[mbx * 2 + sbx] = left[sby] = 1 if nz else 0
+
+            # decoder-identical reconstruction
+            y2deq = [0] * 16
+            for n in range(16):
+                z = ZIGZAG[n]
+                y2deq[z] = y2_levels[z] * (y2q[0] if n == 0 else y2q[1])
+            y2dc = iwalsh4x4(y2deq)
+            recres = np.zeros((16, 16), np.int32)
+            for sb in range(16):
+                sby, sbx = divmod(sb, 4)
+                deq = [0] * 16
+                for n in range(1, 16):
+                    z = ZIGZAG[n]
+                    deq[z] = y_levels[sb][z] * y1q[1]
+                deq[0] = y2dc[sb]
+                recres[
+                    sby * 4 : sby * 4 + 4, sbx * 4 : sbx * 4 + 4
+                ] = np.asarray(idct4x4(deq), np.int32).reshape(4, 4)
+            recY[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
+                predY + recres, 0, 255
+            ).astype(np.uint8)
+            for key, rec in (("u", recU), ("v", recV)):
+                recres8 = np.zeros((8, 8), np.int32)
+                for sb in range(4):
+                    sby, sbx = divmod(sb, 2)
+                    deq = [0] * 16
+                    for n in range(16):
+                        z = ZIGZAG[n]
+                        deq[z] = uv_levels[key][sb][z] * (
+                            uvq[0] if n == 0 else uvq[1]
+                        )
+                    recres8[
+                        sby * 4 : sby * 4 + 4, sbx * 4 : sbx * 4 + 4
+                    ] = np.asarray(idct4x4(deq), np.int32).reshape(4, 4)
+                rec[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(
+                    uv_preds[key] + recres8, 0, 255
+                ).astype(np.uint8)
+
+    part0 = be.finish()
+    token_parts = [t.finish() for t in te_list]
+    sizes = b"".join(
+        bytes((len(t) & 0xFF, (len(t) >> 8) & 0xFF, (len(t) >> 16) & 0xFF))
+        for t in token_parts[:-1]
+    )
+    tokens = sizes + b"".join(token_parts)
+    tag = (len(part0) << 5) | (1 << 4)  # keyframe(0), version 0, show=1
+    head = bytes(
+        (
+            tag & 0xFF,
+            (tag >> 8) & 0xFF,
+            (tag >> 16) & 0xFF,
+        )
+    )
+    dims = bytes((w & 0xFF, (w >> 8) & 0x3F, h & 0xFF, (h >> 8) & 0x3F))
+    return head + VP8_START_CODE + dims + part0 + tokens
