@@ -29,7 +29,12 @@ non-Huffman JPEG variants (arithmetic coding, 12-bit,
 lossless/hierarchical) — tries the library (PIL / soundfile / av)
 behind an import-guard; absent that it uses a clearly-marked
 DETERMINISTIC FAKE derived from the payload's md5, so pipelines stay
-testable end-to-end and oracle-checkable. Swapping in a codec library
+testable end-to-end and oracle-checkable. Lossy VP8 itself is now
+REAL within a keyframe-intra subset (operators/vp8.py, r9): the full
+boolean coder, token decode, quantizers, WHT/IDCT, and 16x16/chroma
+intra prediction, validated BIT-EXACT against the system libwebp's
+own decoder; B_PRED / loop-filtered / interframe streams refuse and
+fall to the fake. Swapping in a codec library
 changes no schema and no plan shape.
 
 Scale notes: binary payloads ride the scan/shuffle as plain columns —
@@ -932,8 +937,8 @@ def _decode_image_pixels(data: bytes):
         if data[:4] in TIFF_MAGICS:
             return parse_tiff(data)[2]
         if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
-            # real VP8L decode; lossy VP8 raises and keeps the
-            # documented fake path
+            # real VP8L decode + real subset lossy-VP8 decode;
+            # out-of-subset VP8 raises and keeps the documented fake
             return parse_webp_pixels(data)[2]
     except ValueError:
         pass
@@ -5362,8 +5367,9 @@ def decode_webp_meta(df: DataFrame, *, payload_col: str = "payload") -> DataFram
 #   truncation, duplicate transforms, out-of-range palette indices,
 #   oversized rasters).
 #   REFUSED (ValueError, never guessed): nothing within VP8L. Lossy
-#   VP8 pixels stay behind the import-guarded fake (separate codec
-#   family, not part of VP8L).
+#   VP8 pixels (separate codec family) decode for real within the
+#   keyframe-intra subset of operators/vp8.py; outside it they refuse
+#   and callers fall to the import-guarded fake.
 #
 # Encoder and decoder share only the bit-order and canonical-code
 # conventions; tests/test_multimodal_bytes.py carries a STRICT
@@ -5967,10 +5973,77 @@ def parse_vp8l(body: bytes):
     return w, h, bool(alpha_used), out
 
 
+def _yuv420_to_rgb(Y, U, V):
+    """BT.601 limited-range YUV (the VP8 convention) + 4:2:0 nearest
+    upsample → HxWx3 uint8. Documented conversion: the pixel-exact
+    ground truth in tests compares YUV planes (WebPDecodeYUV), which
+    sidesteps any converter's rounding choices; this converter is the
+    plain float BT.601 inverse, clamped."""
+    import numpy as np
+
+    h, w = Y.shape
+    up = np.repeat(np.repeat(U, 2, 0), 2, 1)[:h, :w].astype(np.float64)
+    vp = np.repeat(np.repeat(V, 2, 0), 2, 1)[:h, :w].astype(np.float64)
+    yf = (Y.astype(np.float64) - 16.0) * (255.0 / 219.0)
+    cb = (up - 128.0) * (255.0 / 224.0)
+    cr = (vp - 128.0) * (255.0 / 224.0)
+    r = yf + 1.402 * cr
+    g = yf - 0.344136 * cb - 0.714136 * cr
+    b = yf + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(
+        np.uint8
+    )
+
+
+def _rgb_to_yuv420(px):
+    """HxWx3 uint8 → (Y, U, V) uint8 planes, BT.601 limited-range with
+    box-mean 4:2:0 chroma (the inverse convention of _yuv420_to_rgb;
+    both encoders' fixture pixels flow through this one helper)."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    f = px.astype(np.float64)
+    r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+    y = 16.0 + (219.0 / 255.0) * (0.299 * r + 0.587 * g + 0.114 * b)
+    cb = 128.0 + (224.0 / 255.0) * (-0.168736 * r - 0.331264 * g + 0.5 * b)
+    cr = 128.0 + (224.0 / 255.0) * (0.5 * r - 0.418688 * g - 0.081312 * b)
+    ch, cw = (h + 1) >> 1, (w + 1) >> 1
+    pads = ((0, ch * 2 - h), (0, cw * 2 - w))
+    cb = np.pad(cb, pads, mode="edge").reshape(ch, 2, cw, 2).mean(axis=(1, 3))
+    cr = np.pad(cr, pads, mode="edge").reshape(ch, 2, cw, 2).mean(axis=(1, 3))
+    to8 = lambda a: np.clip(np.round(a), 0, 255).astype(np.uint8)  # noqa: E731
+    return to8(y), to8(cb), to8(cr)
+
+
+def build_webp_vp8(px, *, q_index: int = 4, mode_of=None,
+                   partitions: int = 1) -> bytes:
+    """HxWx3 uint8 RGB → a REAL lossy WebP: BT.601 4:2:0 conversion +
+    the in-repo VP8 keyframe encoder (operators/vp8.py — intra
+    16x16/chroma modes, filter level 0), RIFF-wrapped. Streams decode
+    bit-identically under parse_webp_pixels and the system libwebp
+    (the pytest ground-truth gate)."""
+    from .vp8 import encode_vp8_keyframe
+
+    import numpy as np
+
+    arr = np.asarray(px, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("vp8: encoder expects HxWx3 pixels")
+    y, u, v = _rgb_to_yuv420(arr)
+    payload = encode_vp8_keyframe(
+        y, u, v, q_index=q_index, mode_of=mode_of, partitions=partitions
+    )
+    chunk = _webp_chunk(b"VP8 ", payload)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
 def parse_webp_pixels(data: bytes):
-    """WebP container → (w, h, HxWxC uint8 array) when a VP8L chunk is
-    present (C = 4 when the header declares alpha, else 3). Lossy VP8
-    refuses (its entropy decode is honestly unclaimed)."""
+    """WebP container → (w, h, HxWxC uint8 array): VP8L chunks decode
+    in full (C = 4 when the header declares alpha, else 3); lossy
+    VP8 chunks decode for real within the keyframe-intra subset
+    (operators/vp8.py — B_PRED / loop-filtered / interframe streams
+    refuse honestly and callers fall through to the documented
+    fake)."""
     import numpy as np
 
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
@@ -5997,8 +6070,20 @@ def parse_webp_pixels(data: bytes):
             if alpha:
                 chans.append((arr >> 24) & 0xFF)
             return w, h, np.stack(chans, axis=-1).astype(np.uint8)
+        if fourcc == b"VP8 ":
+            if len(body) != clen:
+                raise ValueError("webp: vp8 chunk truncated")
+            from .vp8 import decode_vp8_frame
+
+            if len(body) >= 10:
+                # bomb guard BEFORE the decoder allocates MB rasters
+                pw = (body[6] | (body[7] << 8)) & 0x3FFF
+                ph = (body[8] | (body[9] << 8)) & 0x3FFF
+                _check_raster_size(pw, ph, "VP8")
+            w, h, Y, U, V = decode_vp8_frame(body)
+            return w, h, _yuv420_to_rgb(Y, U, V)
         pos += 8 + clen + (clen % 2)
-    raise ValueError("webp: no VP8L chunk (lossy VP8 pixel decode unclaimed)")
+    raise ValueError("webp: no VP8L/VP8 image chunk")
 
 
 def _vp8l_huffman_lengths(freqs: dict[int, int], cap: int) -> dict[int, int]:

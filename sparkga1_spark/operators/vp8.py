@@ -702,6 +702,7 @@ def encode_vp8_keyframe(
     mode_of=None,
     use_skip: bool = True,
     partitions: int = 1,
+    echo_prob_updates: bool = False,
 ):
     """Y (h×w), U, V (ceil-halved) uint8 planes → a VP8 keyframe
     payload the documented-subset decoder AND libwebp both decode.
@@ -784,12 +785,22 @@ def encode_vp8_keyframe(
         else:
             be.literal(0, 1)
     be.literal(0, 1)  # refresh entropy probs
+    k = 0
     for t in range(4):
         for b in range(8):
             for c in range(3):
                 up = _UPDATE_PROBS[t][b][c]
+                dflt = _DEFAULT_COEFF_PROBS[t][b][c]
                 for pi in range(11):
-                    be.put(up[pi], 0)  # keep every default prob
+                    # echo_prob_updates exercises the update wire
+                    # format without changing semantics: every 16th
+                    # prob is explicitly re-transmitted at its default
+                    if echo_prob_updates and k % 16 == 0:
+                        be.put(up[pi], 1)
+                        be.literal(dflt[pi], 8)
+                    else:
+                        be.put(up[pi], 0)
+                    k += 1
     skip_prob = 128
     if use_skip:
         be.literal(1, 1)

@@ -3105,10 +3105,12 @@ def test_vp8l_documented_refusals():
     with pytest.raises(ValueError, match="before start"):
         parse_vp8l(body)
 
-    # lossy VP8 pixel decode stays unclaimed
+    # the legacy header-only lossy fixture (md5 filler, not a real
+    # bitstream) must still refuse under the r9 REAL subset decoder —
+    # its first-partition size field points past the payload
     from sparkga1_spark.operators.multimodal import build_webp
 
-    with pytest.raises(ValueError, match="unclaimed"):
+    with pytest.raises(ValueError, match="vp8"):
         parse_webp_pixels(build_webp(4, 4, variant="VP8", filler=b"x" * 16))
 
     # encoder input validation
