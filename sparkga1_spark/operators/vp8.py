@@ -6,21 +6,22 @@ This closes (part of) the repo's longest-standing multimodal fake:
 lossy WebP pixels. Scope, per the honesty-ledger convention:
 
   REAL (decoder): keyframes with 16x16 intra prediction (DC_PRED /
-  V_PRED / H_PRED / TM_PRED and the matching 8x8 chroma modes), the
-  full boolean (range) coder, keyframe header parse, per-frame
-  coefficient-probability updates, mb_no_coeff_skip, 1..8 DCT
-  partitions, full token decode (zero runs, categories 1-6 with
-  extra bits), quantizer lookup with all five delta fields and the
-  spec clamps (uv_dc index capped at 117 = value 132, y2_ac floor 8),
-  Y2 WHT inverse, exact integer 4x4 IDCT, and intra reconstruction
-  with the spec border rules (above=127, left=129).
+  V_PRED / H_PRED / TM_PRED and the matching 8x8 chroma modes) AND
+  B_PRED macroblocks (all ten 4x4 subblock predictors, context-coded
+  submodes with the 16x16-implied-mode mapping, the cached MB
+  top-right rule), the full boolean (range) coder, keyframe header
+  parse, per-frame coefficient-probability updates, mb_no_coeff_skip,
+  1..8 DCT partitions, full token decode (zero runs, categories 1-6
+  with extra bits, block type 3 for Y-without-Y2), quantizer lookup
+  with all five delta fields and the spec clamps (uv_dc index capped
+  at 117 = value 132, y2_ac floor 8), Y2 WHT inverse, exact integer
+  4x4 IDCT, and intra reconstruction with the spec border rules
+  (above=127, left=129, ground-truth-pinned corners).
 
-  REFUSED (ValueError, never guessed): interframes, B_PRED
-  macroblocks (per-subblock 4x4 intra — the 900-entry context table
-  ships in vp8_tables for a future extension), segmentation, and
-  loop_filter_level > 0 (returning unfiltered pixels for a stream
-  that mandates filtering would be wrong-but-plausible; the in-repo
-  encoder always emits filter level 0).
+  REFUSED (ValueError, never guessed): interframes, segmentation,
+  and loop_filter_level > 0 (returning unfiltered pixels for a
+  stream that mandates filtering would be wrong-but-plausible; the
+  in-repo encoder always emits filter level 0).
 
 All normative constant tables come from
 `sparkga1_spark/operators/vp8_tables.py`, EXTRACTED from the
@@ -50,6 +51,7 @@ from .vp8_tables import (
     COEFF_UPDATE_PROBS,
     DC_Q,
     KBANDS,
+    KF_BMODE_PROBS,
     KF_UV_MODE_PROBS,
     KF_YMODE_PROBS,
     ZIGZAG,
@@ -593,18 +595,45 @@ def decode_vp8_frame(data: bytes):
     u_above = [0] * (mbw * 2)
     v_above = [0] * (mbw * 2)
     y2_above = [0] * mbw
+    bmode_above = [0] * (mbw * 4)  # B_DC for out-of-frame / 16x16 MBs
 
     for mby in range(mbh):
         y_left = [0] * 4
         u_left = [0] * 2
         v_left = [0] * 2
         y2_left = 0
+        bmode_left = [0] * 4
         td = token_bds[mby % nparts]
         for mbx in range(mbw):
             skip = bd.get(skip_prob) if mb_no_skip else 0
             ymode = bd.tree(KF_YMODE_TREE, KF_YMODE_PROBS)
+            submodes = None
             if ymode == B_PRED:
-                raise ValueError("vp8: B_PRED macroblocks unclaimed")
+                # 16 subblock modes, each coded against the modes of
+                # the blocks above and to the left (B_DC outside the
+                # frame and under 16x16-mode neighbors)
+                submodes = [0] * 16
+                for sb in range(16):
+                    sby, sbx = divmod(sb, 4)
+                    am = (
+                        submodes[sb - 4]
+                        if sby > 0
+                        else bmode_above[mbx * 4 + sbx]
+                    )
+                    lm = submodes[sb - 1] if sbx > 0 else bmode_left[sby]
+                    submodes[sb] = bd.tree(BMODE_TREE, _KF_BMODE[am][lm])
+                for i in range(4):
+                    bmode_above[mbx * 4 + i] = submodes[12 + i]
+                    bmode_left[i] = submodes[i * 4 + 3]
+            else:
+                # a 16x16-mode MB's implied subblock context is the
+                # MATCHING 4x4 mode (DC->B_DC, V->B_VE, H->B_HE,
+                # TM->B_TM) — ground-truth-pinned: an H_PRED MB left
+                # of a B_PRED MB desyncs under the all-B_DC misreading
+                implied = (B_DC, B_VE, B_HE, B_TM)[ymode]
+                for i in range(4):
+                    bmode_above[mbx * 4 + i] = implied
+                    bmode_left[i] = implied
             uvmode = bd.tree(UV_MODE_TREE, KF_UV_MODE_PROBS)
 
             y_res = [[0] * 16 for _ in range(16)]
@@ -616,7 +645,26 @@ def decode_vp8_frame(data: bytes):
                 for i in range(2):
                     u_above[mbx * 2 + i] = u_left[i] = 0
                     v_above[mbx * 2 + i] = v_left[i] = 0
-                y2_above[mbx] = y2_left = 0
+                if ymode != B_PRED:
+                    # a skipped B_PRED MB has no Y2 block, so its Y2
+                    # contexts pass through untouched
+                    y2_above[mbx] = y2_left = 0
+            elif ymode == B_PRED:
+                # block type 3: Y tokens carry their own DC (no Y2)
+                for sb in range(16):
+                    sby, sbx = divmod(sb, 4)
+                    ctx = y_above[mbx * 4 + sbx] + y_left[sby]
+                    coeffs = [0] * 16
+                    n = _decode_coeffs(
+                        td, probs[3], ctx, 0, y1q[0], y1q[1], coeffs
+                    )
+                    flag = 1 if n > 0 else 0
+                    y_above[mbx * 4 + sbx] = y_left[sby] = flag
+                    y_res[sb] = idct4x4(coeffs)
+                _decode_uv_blocks(
+                    td, probs, uvq, mbx, u_above, u_left, v_above, v_left,
+                    u_res, v_res,
+                )
             else:
                 y2 = [0] * 16
                 nz = _decode_coeffs(
@@ -636,43 +684,76 @@ def decode_vp8_frame(data: bytes):
                     y_above[mbx * 4 + sbx] = y_left[sby] = flag
                     coeffs[0] = y2dc[sb]
                     y_res[sb] = idct4x4(coeffs)
-                for plane_res, above, left in (
-                    (u_res, u_above, u_left),
-                    (v_res, v_above, v_left),
-                ):
-                    for sb in range(4):
-                        sby, sbx = divmod(sb, 2)
-                        ctx = above[mbx * 2 + sbx] + left[sby]
-                        coeffs = [0] * 16
-                        n = _decode_coeffs(
-                            td, probs[2], ctx, 0, uvq[0], uvq[1], coeffs
-                        )
-                        flag = 1 if n > 0 else 0
-                        above[mbx * 2 + sbx] = left[sby] = flag
-                        plane_res[sb] = idct4x4(coeffs)
+                _decode_uv_blocks(
+                    td, probs, uvq, mbx, u_above, u_left, v_above, v_left,
+                    u_res, v_res,
+                )
 
-            _reconstruct_mb(
-                Y, U, V, mbx, mby, ymode, uvmode, y_res, u_res, v_res
-            )
+            if ymode == B_PRED:
+                _reconstruct_bpred_y(Y, mbx, mby, mbw, submodes, y_res)
+                _reconstruct_mb(
+                    Y, U, V, mbx, mby, None, uvmode, y_res, u_res, v_res
+                )
+            else:
+                _reconstruct_mb(
+                    Y, U, V, mbx, mby, ymode, uvmode, y_res, u_res, v_res
+                )
     return w, h, Y[:h, :w], U[: (h + 1) >> 1, : (w + 1) >> 1], V[
         : (h + 1) >> 1, : (w + 1) >> 1
     ]
+
+
+def _decode_uv_blocks(
+    td, probs, uvq, mbx, u_above, u_left, v_above, v_left, u_res, v_res
+):
+    for plane_res, above, left in (
+        (u_res, u_above, u_left),
+        (v_res, v_above, v_left),
+    ):
+        for sb in range(4):
+            sby, sbx = divmod(sb, 2)
+            ctx = above[mbx * 2 + sbx] + left[sby]
+            coeffs = [0] * 16
+            n = _decode_coeffs(td, probs[2], ctx, 0, uvq[0], uvq[1], coeffs)
+            flag = 1 if n > 0 else 0
+            above[mbx * 2 + sbx] = left[sby] = flag
+            plane_res[sb] = idct4x4(coeffs)
+
+
+def _reconstruct_bpred_y(Y, mbx, mby, mbw, submodes, y_res):
+    """Sequential 4x4 reconstruction: each subblock's prediction reads
+    the just-reconstructed neighbors; rightmost-column subblocks use
+    the cached MB top-right pixels as above-right."""
+    x0, y0 = mbx * 16, mby * 16
+    tr4 = _mb_top_right4(Y, mbx, mby, mbw)
+    for sb in range(16):
+        sby, sbx = divmod(sb, 4)
+        px, py = x0 + sbx * 4, y0 + sby * 4
+        pred = _predict4(
+            Y, px, py, submodes[sb], tr4 if sbx == 3 else None
+        )
+        res = y_res[sb]
+        for r in range(4):
+            for c in range(4):
+                v = pred[r][c] + res[r * 4 + c]
+                Y[py + r, px + c] = 0 if v < 0 else 255 if v > 255 else v
 
 
 def _reconstruct_mb(Y, U, V, mbx, mby, ymode, uvmode, y_res, u_res, v_res):
     import numpy as np
 
     x0, y0 = mbx * 16, mby * 16
-    pred = _predict(ymode, Y, x0, y0, 16, mbx, mby)
-    res = np.zeros((16, 16), np.int32)
-    for sb in range(16):
-        sby, sbx = divmod(sb, 4)
-        res[sby * 4 : sby * 4 + 4, sbx * 4 : sbx * 4 + 4] = np.asarray(
-            y_res[sb], np.int32
-        ).reshape(4, 4)
-    Y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(pred + res, 0, 255).astype(
-        np.uint8
-    )
+    if ymode is not None:  # B_PRED luma reconstructs via its own path
+        pred = _predict(ymode, Y, x0, y0, 16, mbx, mby)
+        res = np.zeros((16, 16), np.int32)
+        for sb in range(16):
+            sby, sbx = divmod(sb, 4)
+            res[sby * 4 : sby * 4 + 4, sbx * 4 : sbx * 4 + 4] = np.asarray(
+                y_res[sb], np.int32
+            ).reshape(4, 4)
+        Y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(pred + res, 0, 255).astype(
+            np.uint8
+        )
     cx0, cy0 = mbx * 8, mby * 8
     for plane, resids in ((U, u_res), (V, v_res)):
         pred = _predict(uvmode, plane, cx0, cy0, 8, mbx, mby)
@@ -700,6 +781,7 @@ def encode_vp8_keyframe(
     q_index: int = 4,
     deltas=(0, 0, 0, 0, 0),
     mode_of=None,
+    bmode_of=None,
     use_skip: bool = True,
     partitions: int = 1,
     echo_prob_updates: bool = False,
@@ -707,7 +789,9 @@ def encode_vp8_keyframe(
     """Y (h×w), U, V (ceil-halved) uint8 planes → a VP8 keyframe
     payload the documented-subset decoder AND libwebp both decode.
     `mode_of(mbx, mby) -> (ymode, uvmode)` picks intra modes (default
-    cycles DC/V/H/TM so every predictor appears); the encoder
+    cycles DC/V/H/TM so every predictor appears; ymode 4 = B_PRED
+    with per-subblock modes from `bmode_of(mbx, mby, sb)`, default
+    cycling through all ten 4x4 predictors); the encoder
     maintains decoder-identical reconstructed planes so predictions
     never drift. Levels are quantized with the same lookup the
     decoder dequantizes with; the forward transforms are the float
@@ -734,6 +818,8 @@ def encode_vp8_keyframe(
             (mbx + 2 * mby) % 4,
             (mbx + 3 * mby) % 4,
         )
+    if bmode_of is None:
+        bmode_of = lambda mbx, mby, sb: (sb + mbx + 2 * mby) % 10  # noqa: E731
 
     mbw = (w + 15) >> 4
     mbh = (h + 15) >> 4
@@ -815,34 +901,66 @@ def encode_vp8_keyframe(
     u_above = [0] * (mbw * 2)
     v_above = [0] * (mbw * 2)
     y2_above = [0] * mbw
+    bmode_above = [0] * (mbw * 4)
 
     for mby in range(mbh):
         y_left = [0] * 4
         u_left = [0] * 2
         v_left = [0] * 2
         y2_left = 0
+        bmode_left = [0] * 4
         te = te_list[mby % partitions]
         for mbx in range(mbw):
             ymode, uvmode = mode_of(mbx, mby)
-            if not (0 <= ymode <= 3 and 0 <= uvmode <= 3):
-                raise ValueError("vp8: encoder supports DC/V/H/TM only")
+            if not (0 <= ymode <= 4 and 0 <= uvmode <= 3):
+                raise ValueError("vp8: bad encoder mode")
             x0, y0 = mbx * 16, mby * 16
-            predY = _predict(ymode, recY, x0, y0, 16, mbx, mby)
-            resY = Yp[y0 : y0 + 16, x0 : x0 + 16].astype(np.int32) - predY
-            y_levels = []
-            dcs = [0.0] * 16
-            y_coefs = []
-            for sb in range(16):
-                sby, sbx = divmod(sb, 4)
-                blk = resY[
-                    sby * 4 : sby * 4 + 4, sbx * 4 : sbx * 4 + 4
-                ].reshape(16)
-                cf = fdct @ blk
-                dcs[sb] = cf[0]
-                y_coefs.append(cf)
-                y_levels.append(quant16(cf, y1q[0], y1q[1], 1))
-            y2_cf = fwht @ np.asarray(dcs)
-            y2_levels = quant16(y2_cf, y2q[0], y2q[1], 0)
+            if ymode == B_PRED:
+                # sequential 4x4: each subblock quantizes against a
+                # prediction from the already-reconstructed plane and
+                # reconstructs immediately (decoder-identical)
+                submodes = [bmode_of(mbx, mby, sb) % 10 for sb in range(16)]
+                tr4 = _mb_top_right4(recY, mbx, mby, mbw)
+                y_levels = []
+                for sb in range(16):
+                    sby, sbx = divmod(sb, 4)
+                    px, py = x0 + sbx * 4, y0 + sby * 4
+                    pred = np.asarray(
+                        _predict4(
+                            recY, px, py, submodes[sb],
+                            tr4 if sbx == 3 else None,
+                        ),
+                        np.int32,
+                    )
+                    blk = Yp[py : py + 4, px : px + 4].astype(np.int32) - pred
+                    lv = quant16(fdct @ blk.reshape(16), y1q[0], y1q[1], 0)
+                    y_levels.append(lv)
+                    deq = [0] * 16
+                    for n in range(16):
+                        z = ZIGZAG[n]
+                        deq[z] = lv[z] * (y1q[0] if n == 0 else y1q[1])
+                    rr = np.asarray(idct4x4(deq), np.int32).reshape(4, 4)
+                    recY[py : py + 4, px : px + 4] = np.clip(
+                        pred + rr, 0, 255
+                    ).astype(np.uint8)
+                predY = None
+                y2_levels = None
+            else:
+                submodes = None
+                predY = _predict(ymode, recY, x0, y0, 16, mbx, mby)
+                resY = Yp[y0 : y0 + 16, x0 : x0 + 16].astype(np.int32) - predY
+                y_levels = []
+                dcs = [0.0] * 16
+                for sb in range(16):
+                    sby, sbx = divmod(sb, 4)
+                    blk = resY[
+                        sby * 4 : sby * 4 + 4, sbx * 4 : sbx * 4 + 4
+                    ].reshape(16)
+                    cf = fdct @ blk
+                    dcs[sb] = cf[0]
+                    y_levels.append(quant16(cf, y1q[0], y1q[1], 1))
+                y2_cf = fwht @ np.asarray(dcs)
+                y2_levels = quant16(y2_cf, y2q[0], y2q[1], 0)
 
             cx0, cy0 = mbx * 8, mby * 8
             uv_levels = {}
@@ -861,7 +979,7 @@ def encode_vp8_keyframe(
                 uv_levels[key] = lv
 
             all_zero = (
-                not any(y2_levels)
+                (y2_levels is None or not any(y2_levels))
                 and not any(any(l) for l in y_levels)
                 and not any(any(l) for l in uv_levels["u"])
                 and not any(any(l) for l in uv_levels["v"])
@@ -870,6 +988,24 @@ def encode_vp8_keyframe(
             if use_skip:
                 be.put(skip_prob, skip)
             be.tree(KF_YMODE_TREE, KF_YMODE_PROBS, ymode)
+            if ymode == B_PRED:
+                for sb in range(16):
+                    sby, sbx = divmod(sb, 4)
+                    am = (
+                        submodes[sb - 4]
+                        if sby > 0
+                        else bmode_above[mbx * 4 + sbx]
+                    )
+                    lm = submodes[sb - 1] if sbx > 0 else bmode_left[sby]
+                    be.tree(BMODE_TREE, _KF_BMODE[am][lm], submodes[sb])
+                for i in range(4):
+                    bmode_above[mbx * 4 + i] = submodes[12 + i]
+                    bmode_left[i] = submodes[i * 4 + 3]
+            else:
+                implied = (B_DC, B_VE, B_HE, B_TM)[ymode]
+                for i in range(4):
+                    bmode_above[mbx * 4 + i] = implied
+                    bmode_left[i] = implied
             be.tree(UV_MODE_TREE, KF_UV_MODE_PROBS, uvmode)
 
             if skip:
@@ -878,7 +1014,25 @@ def encode_vp8_keyframe(
                 for i in range(2):
                     u_above[mbx * 2 + i] = u_left[i] = 0
                     v_above[mbx * 2 + i] = v_left[i] = 0
-                y2_above[mbx] = y2_left = 0
+                if ymode != B_PRED:
+                    y2_above[mbx] = y2_left = 0
+            elif ymode == B_PRED:
+                for sb in range(16):
+                    sby, sbx = divmod(sb, 4)
+                    ctx = y_above[mbx * 4 + sbx] + y_left[sby]
+                    nz = _encode_coeffs(te, probs[3], ctx, 0, y_levels[sb])
+                    y_above[mbx * 4 + sbx] = y_left[sby] = 1 if nz else 0
+                for key, above, left in (
+                    ("u", u_above, u_left),
+                    ("v", v_above, v_left),
+                ):
+                    for sb in range(4):
+                        sby, sbx = divmod(sb, 2)
+                        ctx = above[mbx * 2 + sbx] + left[sby]
+                        nz = _encode_coeffs(
+                            te, probs[2], ctx, 0, uv_levels[key][sb]
+                        )
+                        above[mbx * 2 + sbx] = left[sby] = 1 if nz else 0
             else:
                 nz = _encode_coeffs(
                     te, probs[1], y2_above[mbx] + y2_left, 0, y2_levels
@@ -901,26 +1055,31 @@ def encode_vp8_keyframe(
                         )
                         above[mbx * 2 + sbx] = left[sby] = 1 if nz else 0
 
-            # decoder-identical reconstruction
-            y2deq = [0] * 16
-            for n in range(16):
-                z = ZIGZAG[n]
-                y2deq[z] = y2_levels[z] * (y2q[0] if n == 0 else y2q[1])
-            y2dc = iwalsh4x4(y2deq)
-            recres = np.zeros((16, 16), np.int32)
-            for sb in range(16):
-                sby, sbx = divmod(sb, 4)
-                deq = [0] * 16
-                for n in range(1, 16):
+            # decoder-identical reconstruction (B_PRED luma already
+            # reconstructed subblock-sequentially above)
+            if ymode == B_PRED:
+                y2deq = None
+            else:
+                y2deq = [0] * 16
+            if y2deq is not None:
+                for n in range(16):
                     z = ZIGZAG[n]
-                    deq[z] = y_levels[sb][z] * y1q[1]
-                deq[0] = y2dc[sb]
-                recres[
-                    sby * 4 : sby * 4 + 4, sbx * 4 : sbx * 4 + 4
-                ] = np.asarray(idct4x4(deq), np.int32).reshape(4, 4)
-            recY[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
-                predY + recres, 0, 255
-            ).astype(np.uint8)
+                    y2deq[z] = y2_levels[z] * (y2q[0] if n == 0 else y2q[1])
+                y2dc = iwalsh4x4(y2deq)
+                recres = np.zeros((16, 16), np.int32)
+                for sb in range(16):
+                    sby, sbx = divmod(sb, 4)
+                    deq = [0] * 16
+                    for n in range(1, 16):
+                        z = ZIGZAG[n]
+                        deq[z] = y_levels[sb][z] * y1q[1]
+                    deq[0] = y2dc[sb]
+                    recres[
+                        sby * 4 : sby * 4 + 4, sbx * 4 : sbx * 4 + 4
+                    ] = np.asarray(idct4x4(deq), np.int32).reshape(4, 4)
+                recY[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
+                    predY + recres, 0, 255
+                ).astype(np.uint8)
             for key, rec in (("u", recU), ("v", recV)):
                 recres8 = np.zeros((8, 8), np.int32)
                 for sb in range(4):
@@ -955,3 +1114,158 @@ def encode_vp8_keyframe(
     )
     dims = bytes((w & 0xFF, (w >> 8) & 0x3F, h & 0xFF, (h >> 8) & 0x3F))
     return head + VP8_START_CODE + dims + part0 + tokens
+
+# --------------------------------------------------------------------------
+# B_PRED: per-subblock 4x4 intra (RFC 6386 §11.2/§12.3)
+# --------------------------------------------------------------------------
+
+# subblock mode enum in LIBWEBP's numbering (RD/VR/LD ordered
+# differently from libvpx's): the extracted KF_BMODE_PROBS table is
+# indexed by THIS order — pinned by the per-mode ground-truth matrix,
+# which desynced on exactly the three renumbered modes until the
+# enum matched the table
+B_DC, B_TM, B_VE, B_HE, B_RD, B_VR, B_LD, B_VL, B_HD, B_HU = range(10)
+
+# the bmode tree (ground-truth-pinned codewords): DC=0 TM=10 VE=110
+# HE=11100 RD=111010 VR=111011 LD=11110 VL=111110 HD=1111110
+# HU=1111111 — the right branch is UNBALANCED (LD peels off first)
+BMODE_TREE = (-0, 2, -1, 4, -2, 6, 8, 12, -3, 10, -4, -5, -6, 14, -7, 16, -8, -9)
+
+_KF_BMODE = tuple(
+    tuple(
+        tuple(KF_BMODE_PROBS[(a * 10 + l) * 9 : (a * 10 + l) * 9 + 9])
+        for l in range(10)
+    )
+    for a in range(10)
+)
+
+
+def _predict4(plane, px, py, mode, tr_override=None):
+    """One 4x4 subblock prediction from the evolving plane; returns a
+    4x4 int list-of-lists. `tr_override` supplies the above-right 4
+    pixels for rightmost-column subblocks (the MB top-right, cached —
+    rows below the MB top reuse it; interior columns read the
+    just-reconstructed neighbor naturally)."""
+    have_above = py > 0
+    have_left = px > 0
+    A = (
+        [int(v) for v in plane[py - 1, px : px + 4]]
+        if have_above
+        else [127] * 4
+    )
+    if tr_override is not None:
+        AR = list(tr_override)
+    elif have_above:
+        AR = [int(v) for v in plane[py - 1, px + 4 : px + 8]]
+    else:
+        AR = [127] * 4
+    L = (
+        [int(v) for v in plane[py : py + 4, px - 1]]
+        if have_left
+        else [129] * 4
+    )
+    if have_above and have_left:
+        P = int(plane[py - 1, px - 1])
+    elif have_above:
+        P = 129
+    else:
+        P = 127
+
+    def a2(a, b):
+        return (a + b + 1) >> 1
+
+    def a3(a, b, c):
+        return (a + 2 * b + c + 2) >> 2
+
+    if mode == B_DC:
+        dc = (sum(A) + sum(L) + 4) >> 3
+        return [[dc] * 4 for _ in range(4)]
+    if mode == B_TM:
+        return [
+            [max(0, min(255, L[y] + A[x] - P)) for x in range(4)]
+            for y in range(4)
+        ]
+    if mode == B_VE:
+        row = [
+            a3(P, A[0], A[1]),
+            a3(A[0], A[1], A[2]),
+            a3(A[1], A[2], A[3]),
+            a3(A[2], A[3], AR[0]),
+        ]
+        return [row[:] for _ in range(4)]
+    if mode == B_HE:
+        col = [
+            a3(P, L[0], L[1]),
+            a3(L[0], L[1], L[2]),
+            a3(L[1], L[2], L[3]),
+            a3(L[2], L[3], L[3]),
+        ]
+        return [[col[y]] * 4 for y in range(4)]
+    if mode == B_LD:
+        AA = A + AR
+        out = []
+        for y in range(4):
+            row = []
+            for x in range(4):
+                i = x + y
+                row.append(
+                    a3(AA[6], AA[7], AA[7])
+                    if i == 6
+                    else a3(AA[i], AA[i + 1], AA[i + 2])
+                )
+            out.append(row)
+        return out
+    if mode == B_RD:
+        E = [L[3], L[2], L[1], L[0], P, A[0], A[1], A[2], A[3]]
+        return [
+            [a3(E[x - y + 3], E[x - y + 4], E[x - y + 5]) for x in range(4)]
+            for y in range(4)
+        ]
+    if mode == B_VR:
+        r0 = [a2(P, A[0]), a2(A[0], A[1]), a2(A[1], A[2]), a2(A[2], A[3])]
+        r1 = [
+            a3(L[0], P, A[0]),
+            a3(P, A[0], A[1]),
+            a3(A[0], A[1], A[2]),
+            a3(A[1], A[2], A[3]),
+        ]
+        r2 = [a3(L[1], L[0], P)] + r0[:3]
+        r3 = [a3(L[2], L[1], L[0])] + r1[:3]
+        return [r0, r1, r2, r3]
+    if mode == B_VL:
+        AA = A + AR
+        r0 = [a2(AA[0], AA[1]), a2(AA[1], AA[2]), a2(AA[2], AA[3]), a2(AA[3], AA[4])]
+        r1 = [
+            a3(AA[0], AA[1], AA[2]),
+            a3(AA[1], AA[2], AA[3]),
+            a3(AA[2], AA[3], AA[4]),
+            a3(AA[3], AA[4], AA[5]),
+        ]
+        r2 = r0[1:] + [a3(AA[4], AA[5], AA[6])]
+        r3 = r1[1:] + [a3(AA[5], AA[6], AA[7])]
+        return [r0, r1, r2, r3]
+    if mode == B_HD:
+        r0 = [a2(L[0], P), a3(L[0], P, A[0]), a3(P, A[0], A[1]), a3(A[0], A[1], A[2])]
+        r1 = [a2(L[1], L[0]), a3(L[1], L[0], P)] + r0[:2]
+        r2 = [a2(L[2], L[1]), a3(L[2], L[1], L[0])] + r1[:2]
+        r3 = [a2(L[3], L[2]), a3(L[3], L[2], L[1])] + r2[:2]
+        return [r0, r1, r2, r3]
+    if mode == B_HU:
+        r0 = [a2(L[0], L[1]), a3(L[0], L[1], L[2]), a2(L[1], L[2]), a3(L[1], L[2], L[3])]
+        r1 = [r0[2], r0[3], a2(L[2], L[3]), a3(L[2], L[3], L[3])]
+        r2 = [r1[2], r1[3], L[3], L[3]]
+        r3 = [L[3]] * 4
+        return [r0, r1, r2, r3]
+    raise ValueError("vp8: bad subblock mode")
+
+
+def _mb_top_right4(Y, mbx, mby, mbw):
+    """The 4 above-right pixels of an MB (cached for every rightmost-
+    column subblock): from the reconstructed row above, 127s on the
+    frame top, replicated last-above-pixel at the frame right edge."""
+    if mby == 0:
+        return [127] * 4
+    y0, x0 = mby * 16, mbx * 16
+    if mbx < mbw - 1:
+        return [int(v) for v in Y[y0 - 1, x0 + 16 : x0 + 20]]
+    return [int(Y[y0 - 1, x0 + 15])] * 4

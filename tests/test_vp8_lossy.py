@@ -141,6 +141,23 @@ def test_vp8_bit_exact_vs_libwebp_matrix():
         dict(h=64, w=48, q=8, partitions=4),
         dict(h=40, w=40, q=8, partitions=8),
         dict(h=32, w=32, q=6, echo_prob_updates=True),
+        # B_PRED: every 4x4 submode fixed across an all-B frame
+        *[
+            dict(h=32, w=32, q=4, mode_of=(lambda a, b: (4, 0)),
+                 bmode_of=(lambda bm: lambda a, b, s: bm)(bm))
+            for bm in range(10)
+        ],
+        # B_PRED mixed with every 16x16 mode (the implied-context
+        # mapping DC->B_DC V->B_VE H->B_HE TM->B_TM, which desyncs
+        # under any misreading) + cycling submodes + varying uv
+        dict(h=48, w=48, q=7,
+             mode_of=lambda a, b: ((4 if (a + b) % 2 else (a + 2 * b) % 4),
+                                   (a + 3 * b) % 4),
+             bmode_of=lambda a, b, s: (s + a + 2 * b) % 10),
+        dict(h=33, w=49, q=25,
+             mode_of=lambda a, b: ((4 if (a + b) % 2 else (a + 2 * b) % 4),
+                                   (a + 3 * b) % 4),
+             bmode_of=lambda a, b, s: (s + a + 2 * b) % 10),
     ]
     for case in cases:
         h, w, q = case.pop("h"), case.pop("w"), case.pop("q")
@@ -197,7 +214,9 @@ def test_vp8_tables_match_fresh_extraction():
 def test_vp8_refusals():
     """The documented subset boundary refuses with ValueError and a
     named reason — never a guessed raster: interframes, segmentation,
-    loop filter > 0, B_PRED, truncated headers, oversized partitions."""
+    loop filter > 0, truncated headers, oversized partitions.
+    (B_PRED decodes for real as of this round — covered in the
+    ground-truth matrix above.)"""
     y = np.full((16, 16), 77, np.uint8)
     c = np.full((8, 8), 77, np.uint8)
     good = V.encode_vp8_keyframe(y, c, c, q_index=4)
@@ -235,38 +254,6 @@ def test_vp8_refusals():
         V.decode_vp8_frame(
             hdr([(0, 1), (0, 1), (0, 1), (0, 1), (5, 6), (0, 3), (0, 1)])
         )
-
-    # hand-build a stream whose first macroblock mode is B_PRED
-    be = V.BoolEncoder()
-    be.literal(0, 1)  # color space
-    be.literal(0, 1)  # clamping
-    be.literal(0, 1)  # segmentation off
-    be.literal(0, 1)  # filter type
-    be.literal(0, 6)  # level 0
-    be.literal(0, 3)  # sharpness
-    be.literal(0, 1)  # no lf adjust
-    be.literal(0, 2)  # one partition
-    be.literal(4, 7)  # q index
-    for _ in range(5):
-        be.literal(0, 1)
-    be.literal(0, 1)  # refresh entropy
-    for t in range(4):
-        for b in range(8):
-            for cc in range(3):
-                for pi in range(11):
-                    be.put(V._UPDATE_PROBS[t][b][cc][pi], 0)
-    be.literal(0, 1)  # no skip
-    be.tree(V.KF_YMODE_TREE, V.KF_YMODE_PROBS, V.B_PRED)
-    part0 = be.finish()
-    t = (len(part0) << 5) | (1 << 4)
-    stream = (
-        bytes((t & 0xFF, (t >> 8) & 0xFF, (t >> 16) & 0xFF))
-        + V.VP8_START_CODE
-        + bytes((16, 0, 16, 0))
-        + part0
-    )
-    with pytest.raises(ValueError, match="B_PRED"):
-        V.decode_vp8_frame(stream)
 
 
 def test_vp8_fuzz_bitflips_never_crash():
