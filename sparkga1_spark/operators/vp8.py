@@ -18,10 +18,18 @@ lossy WebP pixels. Scope, per the honesty-ledger convention:
   4x4 IDCT, and intra reconstruction with the spec border rules
   (above=127, left=129, ground-truth-pinned corners).
 
-  REFUSED (ValueError, never guessed): interframes, segmentation,
-  and loop_filter_level > 0 (returning unfiltered pixels for a
-  stream that mandates filtering would be wrong-but-plausible; the
-  in-repo encoder always emits filter level 0).
+  REAL (decoder, continued): the §15 in-loop deblocking filter —
+  normal (6-tap MB edges + subblock edges with hev logic, Y+chroma)
+  and simple (Y-only 4-tap) — with sharpness limits, the keyframe
+  hev thresholds, per-MB levels incl. loop-filter adjustment deltas,
+  and the inner-edge rule (filtered iff the MB has nonzero
+  coefficients or is B_PRED). With B_PRED + the filter, REAL
+  libvpx-encoded WebP stills decode BIT-EXACTLY (CPython's
+  python.webp is the pytest pin).
+
+  REFUSED (ValueError, never guessed): interframes (impossible in
+  WebP stills) and segmentation (per-MB segment maps; the next
+  extension).
 
 All normative constant tables come from
 `sparkga1_spark/operators/vp8_tables.py`, EXTRACTED from the
@@ -524,21 +532,18 @@ def decode_vp8_frame(data: bytes):
     bd.literal(1)  # clamping type (decode-identical for in-range preds)
     if bd.literal(1):
         raise ValueError("vp8: segmentation unclaimed")
-    bd.literal(1)  # filter type
+    filter_type = bd.literal(1)
     filter_level = bd.literal(6)
-    bd.literal(3)  # sharpness
-    if bd.literal(1):  # loop filter adjustments present
-        if bd.literal(1):  # delta update
-            for _ in range(8):
+    sharpness = bd.literal(3)
+    lf_adj = bd.literal(1)
+    ref_delta = [0, 0, 0, 0]
+    mode_delta = [0, 0, 0, 0]
+    if lf_adj and bd.literal(1):  # delta update
+        for arr in (ref_delta, mode_delta):
+            for i in range(4):
                 if bd.literal(1):
-                    bd.literal(6)
-                    bd.get(128)
-    if filter_level != 0:
-        raise ValueError(
-            "vp8: loop filter unclaimed (filter_level > 0 would need the "
-            "in-loop deblocking pass; unfiltered output would be "
-            "wrong-but-plausible)"
-        )
+                    mag = bd.literal(6)
+                    arr[i] = -mag if bd.get(128) else mag
     nparts = 1 << bd.literal(2)
     part_off = 10 + part0_size
     sizes = []
@@ -596,6 +601,7 @@ def decode_vp8_frame(data: bytes):
     v_above = [0] * (mbw * 2)
     y2_above = [0] * mbw
     bmode_above = [0] * (mbw * 4)  # B_DC for out-of-frame / 16x16 MBs
+    mb_info = [[(0, False)] * mbw for _ in range(mbh)]
 
     for mby in range(mbh):
         y_left = [0] * 4
@@ -639,6 +645,7 @@ def decode_vp8_frame(data: bytes):
             y_res = [[0] * 16 for _ in range(16)]
             u_res = [[0] * 16 for _ in range(4)]
             v_res = [[0] * 16 for _ in range(4)]
+            nz_any = False
             if skip:
                 for i in range(4):
                     y_above[mbx * 4 + i] = y_left[i] = 0
@@ -659,12 +666,13 @@ def decode_vp8_frame(data: bytes):
                         td, probs[3], ctx, 0, y1q[0], y1q[1], coeffs
                     )
                     flag = 1 if n > 0 else 0
+                    nz_any = nz_any or flag
                     y_above[mbx * 4 + sbx] = y_left[sby] = flag
                     y_res[sb] = idct4x4(coeffs)
-                _decode_uv_blocks(
+                nz_any = _decode_uv_blocks(
                     td, probs, uvq, mbx, u_above, u_left, v_above, v_left,
                     u_res, v_res,
-                )
+                ) or nz_any
             else:
                 y2 = [0] * 16
                 nz = _decode_coeffs(
@@ -672,6 +680,7 @@ def decode_vp8_frame(data: bytes):
                     y2q[0], y2q[1], y2,
                 )
                 y2_above[mbx] = y2_left = 1 if nz > 0 else 0
+                nz_any = nz_any or nz > 0
                 y2dc = iwalsh4x4(y2)
                 for sb in range(16):
                     sby, sbx = divmod(sb, 4)
@@ -681,13 +690,22 @@ def decode_vp8_frame(data: bytes):
                         td, probs[0], ctx, 1, y1q[0], y1q[1], coeffs
                     )
                     flag = 1 if n > 1 else 0
+                    nz_any = nz_any or flag
                     y_above[mbx * 4 + sbx] = y_left[sby] = flag
                     coeffs[0] = y2dc[sb]
                     y_res[sb] = idct4x4(coeffs)
-                _decode_uv_blocks(
+                nz_any = _decode_uv_blocks(
                     td, probs, uvq, mbx, u_above, u_left, v_above, v_left,
                     u_res, v_res,
-                )
+                ) or nz_any
+
+            lvl = filter_level
+            if lf_adj:
+                lvl += ref_delta[0]  # keyframes are intra-reference
+                if ymode == B_PRED:
+                    lvl += mode_delta[0]
+            lvl = 0 if lvl < 0 else 63 if lvl > 63 else lvl
+            mb_info[mby][mbx] = (lvl, nz_any or ymode == B_PRED)
 
             if ymode == B_PRED:
                 _reconstruct_bpred_y(Y, mbx, mby, mbw, submodes, y_res)
@@ -698,6 +716,8 @@ def decode_vp8_frame(data: bytes):
                 _reconstruct_mb(
                     Y, U, V, mbx, mby, ymode, uvmode, y_res, u_res, v_res
                 )
+    if filter_level > 0:
+        loop_filter_frame(Y, U, V, mb_info, mbw, mbh, filter_type, sharpness)
     return w, h, Y[:h, :w], U[: (h + 1) >> 1, : (w + 1) >> 1], V[
         : (h + 1) >> 1, : (w + 1) >> 1
     ]
@@ -706,6 +726,7 @@ def decode_vp8_frame(data: bytes):
 def _decode_uv_blocks(
     td, probs, uvq, mbx, u_above, u_left, v_above, v_left, u_res, v_res
 ):
+    nz_any = False
     for plane_res, above, left in (
         (u_res, u_above, u_left),
         (v_res, v_above, v_left),
@@ -716,8 +737,10 @@ def _decode_uv_blocks(
             coeffs = [0] * 16
             n = _decode_coeffs(td, probs[2], ctx, 0, uvq[0], uvq[1], coeffs)
             flag = 1 if n > 0 else 0
+            nz_any = nz_any or flag
             above[mbx * 2 + sbx] = left[sby] = flag
             plane_res[sb] = idct4x4(coeffs)
+    return nz_any
 
 
 def _reconstruct_bpred_y(Y, mbx, mby, mbw, submodes, y_res):
@@ -785,6 +808,9 @@ def encode_vp8_keyframe(
     use_skip: bool = True,
     partitions: int = 1,
     echo_prob_updates: bool = False,
+    filter_level: int = 0,
+    filter_type: int = 0,
+    sharpness: int = 0,
 ):
     """Y (h×w), U, V (ceil-halved) uint8 planes → a VP8 keyframe
     payload the documented-subset decoder AND libwebp both decode.
@@ -858,9 +884,9 @@ def encode_vp8_keyframe(
     be.literal(0, 1)  # color space
     be.literal(0, 1)  # clamping
     be.literal(0, 1)  # no segmentation
-    be.literal(0, 1)  # filter type
-    be.literal(0, 6)  # filter level 0 (subset contract)
-    be.literal(0, 3)  # sharpness
+    be.literal(filter_type & 1, 1)
+    be.literal(filter_level, 6)
+    be.literal(sharpness, 3)
     be.literal(0, 1)  # no lf adjustments
     be.literal({1: 0, 2: 1, 4: 2, 8: 3}[partitions], 2)
     be.literal(q_index, 7)
@@ -1269,3 +1295,234 @@ def _mb_top_right4(Y, mbx, mby, mbw):
     if mbx < mbw - 1:
         return [int(v) for v in Y[y0 - 1, x0 + 16 : x0 + 20]]
     return [int(Y[y0 - 1, x0 + 15])] * 4
+
+# --------------------------------------------------------------------------
+# in-loop deblocking filter (RFC 6386 §15) — applied to the
+# reconstructed planes MB-by-MB in raster order (left MB edge, inner
+# vertical edges, top MB edge, inner horizontal edges); keyframe intra
+# prediction reads UNFILTERED pixels, so only the output stage changes
+# --------------------------------------------------------------------------
+
+
+def _c7(v):
+    return -128 if v < -128 else 127 if v > 127 else v
+
+
+def _common_adjust(px, i0, step, use_outer):
+    """filter4 on (p1 p0 | q0 q1) at flat index i0 = p0; returns the
+    unshifted `a` for the subblock filter's outer-tap update."""
+    p1 = px[i0 - step] - 128
+    p0 = px[i0] - 128
+    q0 = px[i0 + step] - 128
+    q1 = px[i0 + 2 * step] - 128
+    a = _c7((_c7(p1 - q1) if use_outer else 0) + 3 * (q0 - p0))
+    f = _c7(a + 4) >> 3
+    e = _c7(a + 3) >> 3
+    px[i0 + step] = _c7(q0 - f) + 128
+    px[i0] = _c7(p0 + e) + 128
+    return f
+
+
+def _filter_mask(px, i0, step, interior, edge):
+    p3 = px[i0 - 3 * step]
+    p2 = px[i0 - 2 * step]
+    p1 = px[i0 - step]
+    p0 = px[i0]
+    q0 = px[i0 + step]
+    q1 = px[i0 + 2 * step]
+    q2 = px[i0 + 3 * step]
+    q3 = px[i0 + 4 * step]
+    return (
+        abs(p3 - p2) <= interior
+        and abs(p2 - p1) <= interior
+        and abs(p1 - p0) <= interior
+        and abs(q1 - q0) <= interior
+        and abs(q2 - q1) <= interior
+        and abs(q3 - q2) <= interior
+        and abs(p0 - q0) * 2 + (abs(p1 - q1) >> 1) <= edge
+    )
+
+
+def _hev(px, i0, step, thr):
+    return abs(px[i0 - step] - px[i0]) > thr or abs(
+        px[i0 + 2 * step] - px[i0 + step]
+    ) > thr
+
+
+def _subblock_filter(px, i0, step, hev_thr, interior, edge):
+    if _filter_mask(px, i0, step, interior, edge):
+        hv = _hev(px, i0, step, hev_thr)
+        a = _common_adjust(px, i0, step, hv)
+        if not hv:
+            a = (a + 1) >> 1
+            px[i0 + 2 * step] = _c7(px[i0 + 2 * step] - 128 - a) + 128
+            px[i0 - step] = _c7(px[i0 - step] - 128 + a) + 128
+
+
+def _mbloop_filter(px, i0, step, hev_thr, interior, edge):
+    if not _filter_mask(px, i0, step, interior, edge):
+        return
+    if _hev(px, i0, step, hev_thr):
+        _common_adjust(px, i0, step, True)
+        return
+    p2 = px[i0 - 2 * step] - 128
+    p1 = px[i0 - step] - 128
+    p0 = px[i0] - 128
+    q0 = px[i0 + step] - 128
+    q1 = px[i0 + 2 * step] - 128
+    q2 = px[i0 + 3 * step] - 128
+    w = _c7(_c7(p1 - q1) + 3 * (q0 - p0))
+    a = _c7((27 * w + 63) >> 7)
+    q0 = _c7(q0 - a)
+    p0 = _c7(p0 + a)
+    a = _c7((18 * w + 63) >> 7)
+    q1 = _c7(q1 - a)
+    p1 = _c7(p1 + a)
+    a = _c7((9 * w + 63) >> 7)
+    q2 = _c7(q2 - a)
+    p2 = _c7(p2 + a)
+    px[i0 - 2 * step] = p2 + 128
+    px[i0 - step] = p1 + 128
+    px[i0] = p0 + 128
+    px[i0 + step] = q0 + 128
+    px[i0 + 2 * step] = q1 + 128
+    px[i0 + 3 * step] = q2 + 128
+
+
+def _simple_filter(px, i0, step, edge):
+    p1 = px[i0 - step]
+    p0 = px[i0]
+    q0 = px[i0 + step]
+    q1 = px[i0 + 2 * step]
+    if abs(p0 - q0) * 2 + (abs(p1 - q1) >> 1) <= edge:
+        _common_adjust(px, i0, step, True)
+
+
+def _filter_levels(level, sharpness, hev_kf):
+    """(interior limit, hev threshold, mb-edge limit, subblock-edge
+    limit) for one MB level (§15.1-15.2, keyframe hev rule)."""
+    interior = level
+    if sharpness:
+        interior >>= 2 if sharpness > 4 else 1
+        if interior > 9 - sharpness:
+            interior = 9 - sharpness
+    if interior < 1:
+        interior = 1
+    hev = 2 if level >= 40 else (1 if level >= 15 else 0)
+    return interior, hev, ((level + 2) * 2) + interior, (level * 2) + interior
+
+
+def loop_filter_frame(Y, U, V, mb_info, mbw, mbh, filter_type, sharpness):
+    """Apply the §15 loop filter in place. `mb_info[mby][mbx]` =
+    (level, inner) where `inner` filters subblock edges (the MB had
+    nonzero coefficients or is B_PRED). `filter_type` 0 = normal
+    (Y+U+V, 6-tap MB edges), 1 = simple (Y only, 4-tap)."""
+    yw = mbw * 16
+    cw = mbw * 8
+    # plain int lists: the filter math is signed-char domain and a
+    # numpy uint8 view would wrap mid-expression
+    y_flat = [int(v) for v in Y.reshape(-1)]
+    u_flat = [int(v) for v in U.reshape(-1)]
+    v_flat = [int(v) for v in V.reshape(-1)]
+    for mby in range(mbh):
+        for mbx in range(mbw):
+            level, inner = mb_info[mby][mbx]
+            if level == 0:
+                continue
+            interior, hev_t, mb_lim, sb_lim = _filter_levels(
+                level, sharpness, True
+            )
+            x0, y0 = mbx * 16, mby * 16
+            cx0, cy0 = mbx * 8, mby * 8
+            if filter_type == 1:  # simple: Y only
+                if mbx > 0:
+                    for r in range(16):
+                        _simple_filter(y_flat, (y0 + r) * yw + x0 - 1, 1, mb_lim)
+                if inner:
+                    for dx in (4, 8, 12):
+                        for r in range(16):
+                            _simple_filter(
+                                y_flat, (y0 + r) * yw + x0 + dx - 1, 1,
+                                sb_lim,
+                            )
+                if mby > 0:
+                    for cidx in range(16):
+                        _simple_filter(
+                            y_flat, (y0 - 1) * yw + x0 + cidx, yw, mb_lim
+                        )
+                if inner:
+                    for dy in (4, 8, 12):
+                        for cidx in range(16):
+                            _simple_filter(
+                                y_flat, (y0 + dy - 1) * yw + x0 + cidx, yw,
+                                sb_lim,
+                            )
+                continue
+            # normal filter: Y + chroma
+            if mbx > 0:
+                for r in range(16):
+                    _mbloop_filter(
+                        y_flat, (y0 + r) * yw + x0 - 1, 1,
+                        hev_t, interior, mb_lim,
+                    )
+                for r in range(8):
+                    _mbloop_filter(
+                        u_flat, (cy0 + r) * cw + cx0 - 1, 1,
+                        hev_t, interior, mb_lim,
+                    )
+                    _mbloop_filter(
+                        v_flat, (cy0 + r) * cw + cx0 - 1, 1,
+                        hev_t, interior, mb_lim,
+                    )
+            if inner:
+                for dx in (4, 8, 12):
+                    for r in range(16):
+                        _subblock_filter(
+                            y_flat, (y0 + r) * yw + x0 + dx - 1, 1,
+                            hev_t, interior, sb_lim,
+                        )
+                for r in range(8):
+                    _subblock_filter(
+                        u_flat, (cy0 + r) * cw + cx0 + 3, 1,
+                        hev_t, interior, sb_lim,
+                    )
+                    _subblock_filter(
+                        v_flat, (cy0 + r) * cw + cx0 + 3, 1,
+                        hev_t, interior, sb_lim,
+                    )
+            if mby > 0:
+                for cidx in range(16):
+                    _mbloop_filter(
+                        y_flat, (y0 - 1) * yw + x0 + cidx, yw,
+                        hev_t, interior, mb_lim,
+                    )
+                for cidx in range(8):
+                    _mbloop_filter(
+                        u_flat, (cy0 - 1) * cw + cx0 + cidx, cw,
+                        hev_t, interior, mb_lim,
+                    )
+                    _mbloop_filter(
+                        v_flat, (cy0 - 1) * cw + cx0 + cidx, cw,
+                        hev_t, interior, mb_lim,
+                    )
+            if inner:
+                for dy in (4, 8, 12):
+                    for cidx in range(16):
+                        _subblock_filter(
+                            y_flat, (y0 + dy - 1) * yw + x0 + cidx, yw,
+                            hev_t, interior, sb_lim,
+                        )
+                for cidx in range(8):
+                    _subblock_filter(
+                        u_flat, (cy0 + 3) * cw + cx0 + cidx, cw,
+                        hev_t, interior, sb_lim,
+                    )
+                    _subblock_filter(
+                        v_flat, (cy0 + 3) * cw + cx0 + cidx, cw,
+                        hev_t, interior, sb_lim,
+                    )
+    import numpy as np
+
+    Y[:, :] = np.asarray(y_flat, np.uint8).reshape(Y.shape)
+    U[:, :] = np.asarray(u_flat, np.uint8).reshape(U.shape)
+    V[:, :] = np.asarray(v_flat, np.uint8).reshape(V.shape)

@@ -158,6 +158,17 @@ def test_vp8_bit_exact_vs_libwebp_matrix():
              mode_of=lambda a, b: ((4 if (a + b) % 2 else (a + 2 * b) % 4),
                                    (a + 3 * b) % 4),
              bmode_of=lambda a, b, s: (s + a + 2 * b) % 10),
+        # LOOP FILTER: normal + simple across levels/sharpness over
+        # mixed-mode frames (post-filter output is what WebPDecodeYUV
+        # returns, so equality pins the whole §15 pass)
+        *[
+            dict(h=48, w=48, q=20, filter_level=fl, filter_type=ft,
+                 sharpness=sh,
+                 mode_of=lambda a, b: ((4 if (a + b) % 2 else (a + 2 * b) % 4),
+                                       (a + 3 * b) % 4))
+            for (fl, ft, sh) in [(1, 0, 0), (10, 0, 3), (25, 1, 0),
+                                 (40, 0, 7), (63, 0, 0), (63, 1, 5)]
+        ],
     ]
     for case in cases:
         h, w, q = case.pop("h"), case.pop("w"), case.pop("q")
@@ -214,8 +225,8 @@ def test_vp8_tables_match_fresh_extraction():
 def test_vp8_refusals():
     """The documented subset boundary refuses with ValueError and a
     named reason — never a guessed raster: interframes, segmentation,
-    loop filter > 0, truncated headers, oversized partitions.
-    (B_PRED decodes for real as of this round — covered in the
+    truncated headers, oversized partitions. (B_PRED and the loop
+    filter decode for real as of this round — covered in the
     ground-truth matrix above.)"""
     y = np.full((16, 16), 77, np.uint8)
     c = np.full((8, 8), 77, np.uint8)
@@ -250,10 +261,6 @@ def test_vp8_refusals():
 
     with pytest.raises(ValueError, match="segmentation"):
         V.decode_vp8_frame(hdr([(0, 1), (0, 1), (1, 1)]))
-    with pytest.raises(ValueError, match="loop filter"):
-        V.decode_vp8_frame(
-            hdr([(0, 1), (0, 1), (0, 1), (0, 1), (5, 6), (0, 3), (0, 1)])
-        )
 
 
 def test_vp8_fuzz_bitflips_never_crash():
@@ -276,12 +283,13 @@ def test_vp8_fuzz_bitflips_never_crash():
 
 
 @needs_libwebp
-def test_webp_container_vp8_pixels_and_foreign_refusal():
+def test_webp_container_vp8_pixels_and_foreign_decode():
     """build_webp_vp8 → parse_webp_pixels wiring: dims/meta agree,
     pixels are the documented BT.601 conversion of the bit-exact YUV;
-    a real-world libvpx-encoded file (CPython's python.webp: loop
-    filter on) refuses honestly rather than returning unfiltered
-    pixels; a truncated VP8 chunk says so."""
+    a REAL-WORLD libvpx-encoded file (CPython's python.webp — B_PRED
+    macroblocks + loop filter, nothing the in-repo encoder produced)
+    decodes BIT-EXACTLY against libwebp; a truncated VP8 chunk says
+    so."""
     from sparkga1_spark.operators.multimodal import (
         _yuv420_to_rgb,
         build_webp_vp8,
@@ -306,8 +314,11 @@ def test_webp_container_vp8_pixels_and_foreign_refusal():
         glob.glob("/root/.pyenv/versions/*/lib/python*/test/**/python.webp",
                   recursive=True)
     )
-    if foreign:
-        raw = open(foreign[0], "rb").read()
-        with pytest.raises(ValueError):
-            parse_webp_pixels(raw)
+    for path in foreign[:3]:
+        raw = open(path, "rb").read()
         assert parse_webp_meta(raw)[:2] == (16, 16)
+        fw, fh, frgb = parse_webp_pixels(raw)
+        assert (fw, fh) == (16, 16)
+        ft = _truth_yuv(raw)
+        assert ft is not None
+        assert np.array_equal(frgb, _yuv420_to_rgb(*ft))
