@@ -30,11 +30,12 @@ lossless/hierarchical) — tries the library (PIL / soundfile / av)
 behind an import-guard; absent that it uses a clearly-marked
 DETERMINISTIC FAKE derived from the payload's md5, so pipelines stay
 testable end-to-end and oracle-checkable. Lossy VP8 itself is now
-REAL within a keyframe-intra subset (operators/vp8.py, r9): the full
-boolean coder, token decode, quantizers, WHT/IDCT, and 16x16/chroma
-intra prediction, validated BIT-EXACT against the system libwebp's
-own decoder; B_PRED / loop-filtered / interframe streams refuse and
-fall to the fake. Swapping in a codec library
+REAL and COMPLETE for WebP stills (operators/vp8.py, r9): boolean
+coder, token decode, quantizers, WHT/IDCT, 16x16 AND B_PRED 4x4
+intra prediction, segmentation, the in-loop deblocking filter, and
+ALPH alpha planes — real-world libvpx-encoded files decode BIT-EXACT
+against the system libwebp's own decoder (only interframes, which
+cannot appear in stills, refuse). Swapping in a codec library
 changes no schema and no plan shape.
 
 Scale notes: binary payloads ride the scan/shuffle as plain columns —
@@ -5902,6 +5903,15 @@ def parse_vp8l(body: bytes):
     alpha_used = br.read(1)
     if br.read(3) != 0:
         raise ValueError("vp8l: unknown version")
+    return w, h, bool(alpha_used), _vp8l_decode_stream(br, w, h)
+
+
+def _vp8l_decode_stream(br, w: int, h: int) -> list:
+    """The headerless VP8L image stream — <optional transforms>
+    <spatially-coded image> with inverses applied in reverse read
+    order — shared by full VP8L files and ALPH alpha planes (which
+    carry the stream without the signature/dims header, RFC 9649
+    container §Alpha)."""
     transforms = []
     seen = set()
     palette = None
@@ -5970,7 +5980,64 @@ def parse_vp8l(body: bytes):
             _vp8l_color_inverse(out, tf[3], h, tf[1], tf[2])
         else:
             out = _vp8l_palette_expand(out, tf[1], h, palette, tf[2])
-    return w, h, bool(alpha_used), out
+    return out
+
+
+def parse_alph(body: bytes, w: int, h: int):
+    """ALPH chunk → h×w uint8 alpha plane (WebP container spec):
+    header byte = 2 reserved + 2 preprocessing (encoder-side level
+    reduction — no decode effect) + 2 filtering + 2 compression bits;
+    compression 0 = raw w·h bytes, 1 = a HEADERLESS VP8L image stream
+    (the same <optional transforms><spatially-coded image> grammar as
+    a full VP8L file — shared _vp8l_decode_stream) carrying alpha in
+    the GREEN channel; then per-row unfiltering (horizontal /
+    vertical / gradient predictors, first row horizontal-with-0, row
+    starts predicted by the pixel above — libwebp's unfilter
+    conventions, pinned bit-exact against WebPDecodeRGBA)."""
+    import numpy as np
+
+    if not body:
+        raise ValueError("alph: empty chunk")
+    hdr = body[0]
+    comp = hdr & 3
+    filt = (hdr >> 2) & 3
+    if hdr >> 6:
+        raise ValueError("alph: reserved bits set")
+    if comp == 0:
+        if len(body) - 1 < w * h:
+            raise ValueError("alph: raw payload short")
+        vals = np.frombuffer(body[1 : 1 + w * h], np.uint8).reshape(h, w)
+        vals = vals.copy()
+    elif comp == 1:
+        argb = _vp8l_decode_stream(_Vp8lReader(body, start=1), w, h)
+        vals = (
+            (np.array(argb, np.uint32).reshape(h, w) >> 8) & 0xFF
+        ).astype(np.uint8)
+    else:
+        raise ValueError("alph: unknown compression method")
+    if filt:
+        out = np.zeros_like(vals)
+        for y in range(h):
+            prev = out[y - 1] if y else None
+            row = vals[y]
+            if filt == 1 or prev is None:
+                pred = 0 if prev is None else int(prev[0])
+                for x in range(w):
+                    pred = (pred + int(row[x])) & 0xFF
+                    out[y, x] = pred
+            elif filt == 2:
+                out[y] = (prev.astype(np.int32) + row).astype(np.uint8)
+            else:  # gradient
+                left = tl = int(prev[0])
+                for x in range(w):
+                    top = int(prev[x])
+                    g = left + top - tl
+                    g = 0 if g < 0 else 255 if g > 255 else g
+                    left = (int(row[x]) + g) & 0xFF
+                    tl = top
+                    out[y, x] = left
+        vals = out
+    return vals
 
 
 def _yuv420_to_rgb(Y, U, V):
@@ -6015,13 +6082,47 @@ def _rgb_to_yuv420(px):
     return to8(y), to8(cb), to8(cr)
 
 
+def _alph_forward_filter(a, filt):
+    """Forward (encoder-side) alpha filtering — the exact inverse of
+    parse_alph's unfilter conventions (first row horizontal-with-0,
+    row starts predicted by the pixel above, gradient clamp)."""
+    import numpy as np
+
+    a = np.asarray(a, np.uint8)
+    h, w = a.shape
+    if filt == 0:
+        return a.copy()
+    out = np.zeros_like(a)
+    for y in range(h):
+        for x in range(w):
+            if filt == 1 or y == 0:
+                pred = (
+                    int(a[y, x - 1]) if x else (int(a[y - 1, 0]) if y else 0)
+                )
+            elif filt == 2:
+                pred = int(a[y - 1, x])
+            else:
+                if x == 0:
+                    pred = int(a[y - 1, 0])
+                else:
+                    g = int(a[y, x - 1]) + int(a[y - 1, x]) - int(a[y - 1, x - 1])
+                    pred = 0 if g < 0 else 255 if g > 255 else g
+            out[y, x] = (int(a[y, x]) - pred) & 0xFF
+    return out
+
+
 def build_webp_vp8(px, *, q_index: int = 4, mode_of=None,
-                   partitions: int = 1) -> bytes:
+                   partitions: int = 1, alpha=None, alpha_filter: int = 0,
+                   alpha_raw: bool = False, **enc_kwargs) -> bytes:
     """HxWx3 uint8 RGB → a REAL lossy WebP: BT.601 4:2:0 conversion +
-    the in-repo VP8 keyframe encoder (operators/vp8.py — intra
-    16x16/chroma modes, filter level 0), RIFF-wrapped. Streams decode
-    bit-identically under parse_webp_pixels and the system libwebp
-    (the pytest ground-truth gate)."""
+    the in-repo VP8 keyframe encoder (operators/vp8.py), RIFF-wrapped.
+    With `alpha` (an HxW uint8 plane) the container becomes
+    VP8X + ALPH + VP8: the alpha plane is forward-filtered
+    (`alpha_filter` 0..3) and carried raw (`alpha_raw`) or as a
+    headerless VP8L image stream. Extra keyword args pass through to
+    encode_vp8_keyframe (filter_level, segment_quants, ...). Streams
+    decode bit-identically under parse_webp_pixels and the system
+    libwebp (the pytest ground-truth gate)."""
     from .vp8 import encode_vp8_keyframe
 
     import numpy as np
@@ -6029,32 +6130,61 @@ def build_webp_vp8(px, *, q_index: int = 4, mode_of=None,
     arr = np.asarray(px, dtype=np.uint8)
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError("vp8: encoder expects HxWx3 pixels")
+    h, w = arr.shape[:2]
     y, u, v = _rgb_to_yuv420(arr)
     payload = encode_vp8_keyframe(
-        y, u, v, q_index=q_index, mode_of=mode_of, partitions=partitions
+        y, u, v, q_index=q_index, mode_of=mode_of, partitions=partitions,
+        **enc_kwargs,
     )
-    chunk = _webp_chunk(b"VP8 ", payload)
-    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    vp8_chunk = _webp_chunk(b"VP8 ", payload)
+    if alpha is None:
+        return b"RIFF" + struct.pack("<I", 4 + len(vp8_chunk)) + b"WEBP" + vp8_chunk
+    a = np.asarray(alpha, np.uint8)
+    if a.shape != (h, w):
+        raise ValueError("vp8: alpha plane must be HxW")
+    filtered = _alph_forward_filter(a, alpha_filter)
+    if alpha_raw:
+        body = bytes([alpha_filter << 2]) + filtered.tobytes()
+    else:
+        bw = _Vp8lWriter()
+        bw.put(0, 1)  # no transforms in the alpha image stream
+        argb = [0xFF000000 | (int(vv) << 8) for vv in filtered.reshape(-1)]
+        _vp8l_write_entropy_image(
+            bw, argb, 0, is_level0=True, width=w,
+        )
+        body = bytes([1 | (alpha_filter << 2)]) + bw.bytes()
+    alph_chunk = _webp_chunk(b"ALPH", body)
+    vp8x = bytes([0x10, 0, 0, 0]) + struct.pack("<I", w - 1)[:3] + struct.pack(
+        "<I", h - 1
+    )[:3]
+    vp8x_chunk = _webp_chunk(b"VP8X", vp8x)
+    total = vp8x_chunk + alph_chunk + vp8_chunk
+    return b"RIFF" + struct.pack("<I", 4 + len(total)) + b"WEBP" + total
 
 
 def parse_webp_pixels(data: bytes):
     """WebP container → (w, h, HxWxC uint8 array): VP8L chunks decode
     in full (C = 4 when the header declares alpha, else 3); lossy
-    VP8 chunks decode for real within the keyframe-intra subset
-    (operators/vp8.py — B_PRED / loop-filtered / interframe streams
-    refuse honestly and callers fall through to the documented
-    fake)."""
+    VP8 chunks decode for real and COMPLETELY for stills
+    (operators/vp8.py — 16x16 + B_PRED intra, segmentation, loop
+    filter; only interframes refuse), with VP8X/ALPH alpha planes
+    decoded and stacked as a 4th channel."""
     import numpy as np
 
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("webp: bad container magic")
     (riff_len,) = struct.unpack("<I", data[4:8])
     pos, end = 12, min(8 + riff_len, len(data))
+    alph_body = None
     while pos + 8 <= end:
         fourcc = data[pos : pos + 4]
         (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + clen]
-        if fourcc == b"VP8L":
+        if fourcc == b"ALPH":
+            if len(body) != clen:
+                raise ValueError("webp: alph chunk truncated")
+            alph_body = body
+        elif fourcc == b"VP8L":
             if len(body) != clen:
                 # r7 ADVICE: a truncated LOSSLESS file must say so —
                 # falling through to the no-chunk error misdiagnosed it
@@ -6081,7 +6211,11 @@ def parse_webp_pixels(data: bytes):
                 ph = (body[8] | (body[9] << 8)) & 0x3FFF
                 _check_raster_size(pw, ph, "VP8")
             w, h, Y, U, V = decode_vp8_frame(body)
-            return w, h, _yuv420_to_rgb(Y, U, V)
+            rgb = _yuv420_to_rgb(Y, U, V)
+            if alph_body is not None:
+                a = parse_alph(alph_body, w, h)
+                return w, h, np.dstack([rgb, a])
+            return w, h, rgb
         pos += 8 + clen + (clen % 2)
     raise ValueError("webp: no VP8L/VP8 image chunk")
 

@@ -27,9 +27,14 @@ lossy WebP pixels. Scope, per the honesty-ledger convention:
   libvpx-encoded WebP stills decode BIT-EXACTLY (CPython's
   python.webp is the pytest pin).
 
-  REFUSED (ValueError, never guessed): interframes (impossible in
-  WebP stills) and segmentation (per-MB segment maps; the next
-  extension).
+  REAL (decoder, continued): segmentation — per-MB segment ids via
+  the 3-prob map tree, per-segment quantizers and filter levels in
+  both absolute and delta modes (the construct cwebp enables by
+  default).
+
+  REFUSED (ValueError, never guessed): interframes only — impossible
+  in WebP stills, which are keyframes by construction. For WebP
+  still images the decoder is COMPLETE.
 
 All normative constant tables come from
 `sparkga1_spark/operators/vp8_tables.py`, EXTRACTED from the
@@ -530,8 +535,30 @@ def decode_vp8_frame(data: bytes):
 
     bd.literal(1)  # color space (0 = YCbCr as specified)
     bd.literal(1)  # clamping type (decode-identical for in-range preds)
-    if bd.literal(1):
-        raise ValueError("vp8: segmentation unclaimed")
+    seg_enabled = bd.literal(1)
+    seg_map_update = 0
+    seg_abs = 0
+    seg_quant = [0, 0, 0, 0]
+    seg_lf = [0, 0, 0, 0]
+    seg_tree_probs = [255, 255, 255]
+    if seg_enabled:
+        # §9.3: per-segment quantizer / filter features (absolute or
+        # delta) + the 3-prob segment-id map tree
+        seg_map_update = bd.literal(1)
+        if bd.literal(1):  # update segment feature data
+            seg_abs = bd.literal(1)
+            for i in range(4):
+                if bd.literal(1):
+                    mag = bd.literal(7)
+                    seg_quant[i] = -mag if bd.get(128) else mag
+            for i in range(4):
+                if bd.literal(1):
+                    mag = bd.literal(6)
+                    seg_lf[i] = -mag if bd.get(128) else mag
+        if seg_map_update:
+            for i in range(3):
+                if bd.literal(1):
+                    seg_tree_probs[i] = bd.literal(8)
     filter_type = bd.literal(1)
     filter_level = bd.literal(6)
     sharpness = bd.literal(3)
@@ -570,7 +597,16 @@ def decode_vp8_frame(data: bytes):
     deltas = tuple(
         bd.signed_literal(4) if bd.literal(1) else 0 for _ in range(5)
     )
-    y1q, y2q, uvq = _quantizers(qi, deltas)
+    # per-segment quantizer triples (segment 0 == frame-wide when
+    # segmentation is off)
+    seg_q = []
+    for sid in range(4):
+        if seg_enabled:
+            base = seg_quant[sid] if seg_abs else qi + seg_quant[sid]
+        else:
+            base = qi
+        seg_q.append(_quantizers(_clamp_q(base), deltas))
+    y1q, y2q, uvq = seg_q[0]
     bd.literal(1)  # refresh entropy probs (keyframe state is transient)
     probs = [
         [[list(ctx) for ctx in band] for band in t]
@@ -611,6 +647,12 @@ def decode_vp8_frame(data: bytes):
         bmode_left = [0] * 4
         td = token_bds[mby % nparts]
         for mbx in range(mbw):
+            sid = 0
+            if seg_enabled and seg_map_update:
+                sid = bd.tree(
+                    (2, 4, -0, -1, -2, -3), seg_tree_probs
+                )
+            y1q, y2q, uvq = seg_q[sid]
             skip = bd.get(skip_prob) if mb_no_skip else 0
             ymode = bd.tree(KF_YMODE_TREE, KF_YMODE_PROBS)
             submodes = None
@@ -699,7 +741,11 @@ def decode_vp8_frame(data: bytes):
                     u_res, v_res,
                 ) or nz_any
 
-            lvl = filter_level
+            if seg_enabled:
+                lvl = seg_lf[sid] if seg_abs else filter_level + seg_lf[sid]
+                lvl = 0 if lvl < 0 else 63 if lvl > 63 else lvl
+            else:
+                lvl = filter_level
             if lf_adj:
                 lvl += ref_delta[0]  # keyframes are intra-reference
                 if ymode == B_PRED:
@@ -811,6 +857,8 @@ def encode_vp8_keyframe(
     filter_level: int = 0,
     filter_type: int = 0,
     sharpness: int = 0,
+    segment_quants=None,
+    segment_of=None,
 ):
     """Y (h×w), U, V (ceil-halved) uint8 planes → a VP8 keyframe
     payload the documented-subset decoder AND libwebp both decode.
@@ -883,7 +931,32 @@ def encode_vp8_keyframe(
     be = BoolEncoder()
     be.literal(0, 1)  # color space
     be.literal(0, 1)  # clamping
-    be.literal(0, 1)  # no segmentation
+    if segment_quants is not None:
+        sq = list(segment_quants) + [q_index] * (4 - len(segment_quants))
+        if segment_of is None:
+            segment_of = lambda mbx, mby: (mbx + mby) % len(  # noqa: E731
+                segment_quants
+            )
+        be.literal(1, 1)  # segmentation enabled
+        be.literal(1, 1)  # update the segment map
+        be.literal(1, 1)  # update feature data
+        be.literal(1, 1)  # ABSOLUTE quantizers per segment
+        for v in sq:
+            be.literal(1, 1)
+            be.literal(v, 7)
+            be.put(128, 0)  # sign: positive
+        for _ in range(4):
+            be.literal(0, 1)  # no per-segment filter deltas
+        for _ in range(3):
+            be.literal(1, 1)
+            be.literal(128, 8)  # flat segment-id tree probs
+        seg_q_enc = [
+            _quantizers(_clamp_q(v), deltas) for v in sq
+        ]
+    else:
+        segment_of = None
+        seg_q_enc = None
+        be.literal(0, 1)  # no segmentation
     be.literal(filter_type & 1, 1)
     be.literal(filter_level, 6)
     be.literal(sharpness, 3)
@@ -940,6 +1013,9 @@ def encode_vp8_keyframe(
             ymode, uvmode = mode_of(mbx, mby)
             if not (0 <= ymode <= 4 and 0 <= uvmode <= 3):
                 raise ValueError("vp8: bad encoder mode")
+            if seg_q_enc is not None:
+                sid = segment_of(mbx, mby) & 3
+                y1q, y2q, uvq = seg_q_enc[sid]
             x0, y0 = mbx * 16, mby * 16
             if ymode == B_PRED:
                 # sequential 4x4: each subblock quantizes against a
@@ -1011,6 +1087,8 @@ def encode_vp8_keyframe(
                 and not any(any(l) for l in uv_levels["v"])
             )
             skip = 1 if (use_skip and all_zero) else 0
+            if seg_q_enc is not None:
+                be.tree((2, 4, -0, -1, -2, -3), (128, 128, 128), sid)
             if use_skip:
                 be.put(skip_prob, skip)
             be.tree(KF_YMODE_TREE, KF_YMODE_PROBS, ymode)

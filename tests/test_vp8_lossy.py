@@ -224,10 +224,10 @@ def test_vp8_tables_match_fresh_extraction():
 
 def test_vp8_refusals():
     """The documented subset boundary refuses with ValueError and a
-    named reason — never a guessed raster: interframes, segmentation,
-    truncated headers, oversized partitions. (B_PRED and the loop
-    filter decode for real as of this round — covered in the
-    ground-truth matrix above.)"""
+    named reason — never a guessed raster: interframes, truncated
+    headers, oversized partitions. (B_PRED, segmentation, and the
+    loop filter decode for real as of this round — covered in the
+    ground-truth matrices.)"""
     y = np.full((16, 16), 77, np.uint8)
     c = np.full((8, 8), 77, np.uint8)
     good = V.encode_vp8_keyframe(y, c, c, q_index=4)
@@ -259,8 +259,9 @@ def test_vp8_refusals():
             + part0
         )
 
-    with pytest.raises(ValueError, match="segmentation"):
-        V.decode_vp8_frame(hdr([(0, 1), (0, 1), (1, 1)]))
+    # (segmentation decodes for real now; malformed streams are
+    # covered by the bit-flip fuzz test — an arithmetic-coded stream
+    # truncated into virtual zeros parses as SOME frame by design)
 
 
 def test_vp8_fuzz_bitflips_never_crash():
@@ -319,6 +320,84 @@ def test_webp_container_vp8_pixels_and_foreign_decode():
         assert parse_webp_meta(raw)[:2] == (16, 16)
         fw, fh, frgb = parse_webp_pixels(raw)
         assert (fw, fh) == (16, 16)
+        assert frgb.shape == (16, 16, 4)  # the wild file carries ALPH
         ft = _truth_yuv(raw)
         assert ft is not None
-        assert np.array_equal(frgb, _yuv420_to_rgb(*ft))
+        assert np.array_equal(frgb[:, :, :3], _yuv420_to_rgb(*ft))
+
+
+@needs_libwebp
+def test_vp8_segmentation_bit_exact():
+    """Segmentation (the construct cwebp enables by default): per-MB
+    segment ids coded with the 3-prob map tree, per-segment ABSOLUTE
+    quantizers spanning the q range, composed with the loop filter —
+    bit-exact against libwebp."""
+    rng = np.random.RandomState(31)
+    for segq in [(4, 40), (0, 25, 60, 127), (10,)]:
+        for fl in (0, 20):
+            y, u, v = _planes(rng, 48, 48)
+            blob = V.encode_vp8_keyframe(
+                y, u, v, q_index=7, segment_quants=segq, filter_level=fl,
+                mode_of=lambda a, b: (
+                    (4 if (a + b) % 2 else (a + 2 * b) % 4), (a + 3 * b) % 4
+                ),
+            )
+            t = _truth_yuv(_wrap(blob))
+            assert t is not None, (segq, fl)
+            _, _, Y, U, Vv = V.decode_vp8_frame(blob)
+            assert np.array_equal(t[0], Y), (segq, fl)
+            assert np.array_equal(t[1], U), (segq, fl)
+            assert np.array_equal(t[2], Vv), (segq, fl)
+
+
+@needs_libwebp
+def test_webp_alpha_plane_bit_exact():
+    """ALPH chunks (VP8X containers): the alpha plane — raw or
+    VP8L-stream-coded, through all four prediction filters — must
+    roundtrip LOSSLESSLY and match libwebp's WebPDecodeRGBA alpha
+    bit-for-bit; the wild libvpx file's alpha too."""
+    import ctypes
+
+    from sparkga1_spark.operators.multimodal import (
+        build_webp_vp8,
+        parse_webp_pixels,
+    )
+
+    _LW.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+
+    def truth_alpha(data):
+        ww = ctypes.c_int()
+        hh = ctypes.c_int()
+        buf = _LW.WebPDecodeRGBA(data, len(data), ctypes.byref(ww), ctypes.byref(hh))
+        if not buf:
+            return None
+        return np.frombuffer(
+            ctypes.string_at(buf, ww.value * hh.value * 4), np.uint8
+        ).reshape(hh.value, ww.value, 4)[:, :, 3].copy()
+
+    rng = np.random.RandomState(3)
+    for filt in (0, 1, 2, 3):
+        for raw in (False, True):
+            px = rng.randint(0, 256, (33, 49, 3), dtype=np.uint8)
+            al = rng.randint(0, 256, (33, 49), dtype=np.uint8)
+            data = build_webp_vp8(
+                px, q_index=8, alpha=al, alpha_filter=filt, alpha_raw=raw
+            )
+            w, h, arr = parse_webp_pixels(data)
+            assert arr.shape == (33, 49, 4), (filt, raw)
+            assert np.array_equal(arr[:, :, 3], al), (filt, raw)
+            ta = truth_alpha(data)
+            assert ta is not None and np.array_equal(ta, al), (filt, raw)
+
+    import glob
+
+    foreign = sorted(
+        glob.glob("/root/.pyenv/versions/*/lib/python*/test/**/python.webp",
+                  recursive=True)
+    )
+    if foreign:
+        raw_file = open(foreign[0], "rb").read()
+        w, h, arr = parse_webp_pixels(raw_file)
+        assert arr.shape == (16, 16, 4)
+        ta = truth_alpha(raw_file)
+        assert np.array_equal(arr[:, :, 3], ta)
