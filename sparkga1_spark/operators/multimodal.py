@@ -6824,6 +6824,26 @@ def plant_webp_lossless_payloads(df: DataFrame, *, text_col: str = "text") -> Da
                 w, h = d % 31 + 4, d % 21 + 4
                 raw = (text_val or "").encode("utf-8") or b"\0"
                 buf = np.frombuffer(raw, np.uint8)
+                if d % 8 == 5:
+                    # r9 LOSSY arm: a real VP8 keyframe + ALPH alpha.
+                    # Uniform-130 RGB is EXACTLY reconstructible
+                    # (Y=U=V=128 -> every MB skips -> BT.601 inverse
+                    # rounds back to 130), and the alpha plane is
+                    # lossless by construction — so px_sum stays
+                    # closed-form: 130*3*w*h + the tiled raw text-byte
+                    # sum. The filter rotates (d>>3)%4 and ids %16==13
+                    # carry the alpha RAW instead of VP8L-coded.
+                    rgb = np.full((h, w, 3), 130, np.uint8)
+                    alpha = np.resize(buf, (h, w))
+                    out.append(
+                        (doc_id,
+                         build_webp_vp8(
+                             rgb, q_index=4, alpha=alpha,
+                             alpha_filter=(d >> 3) % 4,
+                             alpha_raw=d % 16 == 13,
+                         ))
+                    )
+                    continue
                 kw = (
                     # plain — but ODD plain ids carry meta-prefix
                     # groups (r8: spatial tree switching; px_sum is

@@ -2716,12 +2716,22 @@ WITH s AS (
 SELECT doc_id,
        CAST(w AS INTEGER) AS width,
        CAST(h AS INTEGER) AS height,
-       3 AS channels,
+       CAST(CASE WHEN doc_id % 8 = 5 THEN 4 ELSE 3 END AS INTEGER)
+           AS channels,
        'WEBP' AS format,
-       -- lossless roundtrip => px_sum is the tiled text-byte sum
+       -- lossless VP8L roundtrip => px_sum is the tiled text-byte sum
        -- (bytes masked to &192 for the palette rotation, mirroring
-       -- the planter); L = 0 guard mirrors the b'\\0' empty fallback
-       CAST(CASE WHEN L = 0 THEN 0
+       -- the planter); the LOSSY arm (ids %8==5, r9) is uniform-130
+       -- RGB (exactly reconstructible through VP8) + the raw text
+       -- bytes as a LOSSLESS alpha plane; L = 0 guard mirrors the
+       -- b'\\0' empty fallback
+       CAST(CASE
+            WHEN doc_id % 8 = 5 THEN
+                 130 * 3 * w * h
+                 + CASE WHEN L = 0 THEN 0
+                   ELSE (w * h // L) * list_sum(bv)
+                        + coalesce(list_sum(bv[1:(w * h) % L]), 0) END
+            WHEN L = 0 THEN 0
             ELSE (w * h * 3 // L) * list_sum(mv)
                  + coalesce(list_sum(mv[1:(w * h * 3) % L]), 0)
             END AS BIGINT) AS px_sum
@@ -2754,12 +2764,19 @@ def x_multimodal_webp_decode(spark, sf_dir):
     0x1e35a7bd color cache, the PREDICTOR inverse (all 14 modes, r8 —
     the construct wild VP8L encoders emit almost always), the
     COLOR_TRANSFORM and COLOR_INDEXING inverses (r8 — the full spec §4
-    family), META-PREFIX group switching (r8), and the SUBTRACT_GREEN
-    inverse — and emit pixel stats. VP8L now decodes in FULL; a strict
+    family, now also COMBINED with other transforms in either read
+    order), META-PREFIX group switching (r8), and the SUBTRACT_GREEN
+    inverse — and emit pixel stats. VP8L decodes in FULL; a strict
     independently-written reference decoder pins the bitstream
     conventions in tests/test_multimodal_bytes.py (the QOI lesson:
-    roundtrips alone hide spec deviations). Lossy VP8 pixel decode
-    remains honestly unclaimed."""
+    roundtrips alone hide spec deviations). The LOSSY arm (ids %8==5,
+    r9): a REAL VP8 keyframe (operators/vp8.py — validated bit-exact
+    against the system libwebp) carrying uniform-130 RGB (exactly
+    reconstructible: Y=U=V=128, every MB skips) plus the raw text
+    bytes as a LOSSLESS ALPH alpha plane (VP8L-stream or raw, all
+    four prediction filters rotating) — so the closed-form oracle
+    also certifies the lossy container path: 130·3·w·h + the tiled
+    byte sum, channels 4."""
     from sparkga1_spark.operators.multimodal import (
         decode_image_stats,
         plant_webp_lossless_payloads,
