@@ -916,3 +916,38 @@ def test_scalar_subq_zero_build_jobs_reused_once(spark, sf_dir):
     plan = probe_l._jdf.queryExecution().executedPlan().toString()
     assert "ReusedSubquery" in plan, plan[:1200]
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_webp_animation_frame_stage(spark):
+    """decode_animation_frames: the REAL 1→N frame-sampling flatMap —
+    plant per-doc animated WebPs (lossless VP8L-with-alpha frames, so
+    composites are exact), run the Arrow stage, and check frame
+    counts, durations, dims, and a hand-computed px_sum."""
+    import numpy as np
+
+    from sparkga1_spark.operators import multimodal
+
+    rows = []
+    expected = {}
+    for doc_id in range(6):
+        n = doc_id % 3 + 1
+        rng = np.random.RandomState(doc_id)
+        frames = [
+            (0, 0, rng.randint(0, 256, (8, 10, 4), dtype=np.uint8),
+             10 * (i + 1), True, False)
+            for i in range(n)
+        ]
+        blob = multimodal.build_webp_anim(frames, 10, 8, loop=doc_id)
+        rows.append((doc_id, bytearray(blob)))
+        _, _, _, _, snaps = multimodal.parse_webp_animation(blob)
+        expected[doc_id] = [
+            (i, d, int(np.asarray(c, np.int64).sum()))
+            for i, (d, c) in enumerate(snaps)
+        ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = multimodal.decode_animation_frames(df).collect()
+    assert len(got) == sum(len(v) for v in expected.values())
+    for r in got:
+        i, dur, px = expected[r.doc_id][r.frame_idx]
+        assert (r.frame_idx, r.duration_ms, r.px_sum) == (i, dur, px)
+        assert (r.width, r.height) == (10, 8)
