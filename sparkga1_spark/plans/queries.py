@@ -12344,6 +12344,13 @@ def x_dedup_cluster_size_hist(spark, sf_dir):
 #     (pipeline_end_to_end, x_blackbox_variant_call) ARE in-window,
 #     and it holds an r8 driver row + this round's LOCAL_GATE +
 #     sf0.1 check.
+# Second r9 session: x_multimodal_jpeg_decode joins (b) — its fixture
+# planter changed (subsampled/restart progressive arms), and fixture
+# changes need a driver row more than value-identical plan
+# conversions do. It displaces tpch_q11_important_stock, the
+# most-redundantly-verified (b) row: values unchanged by its plan
+# conversion, re-verified by the census AND by 10x + 100x replica
+# oracle points this round.
 # 25 + 25 = 50. tpch_q22 is NOT changed (it deliberately keeps the
 # eager literal for parquet pushdown — comment at the site).
 # --------------------------------------------------------------------------
@@ -12380,11 +12387,11 @@ set_gate_order([
     # (b) changed this round
     "x_ann_ivfpq_topk",
     "x_multimodal_webp_decode",
+    "x_multimodal_jpeg_decode",
     "x_ann_ivf_topk",
     "x_tfidf_top_terms",
     "p2_skew_detect",
     "pipeline_end_to_end",
-    "tpch_q11_important_stock",
     "tpch_q15_top_supplier",
     "x_assoc_rules_lift",
     "x_benford_digit_audit",

@@ -181,8 +181,9 @@ def test_gate_order_fronts_unproven_queries():
         # (x_pipe_external_tool displaced by the 50-cap — rationale in
         # the set_gate_order comment)
         "x_ann_ivfpq_topk", "x_multimodal_webp_decode",
+        "x_multimodal_jpeg_decode",  # second-session fixture change
         "x_ann_ivf_topk", "x_tfidf_top_terms", "p2_skew_detect",
-        "pipeline_end_to_end", "tpch_q11_important_stock",
+        "pipeline_end_to_end",
         "tpch_q15_top_supplier", "x_assoc_rules_lift",
         "x_benford_digit_audit", "x_bigram_lm_logprob", "x_bigram_pmi",
         "x_blackbox_variant_call", "x_bloom_fpr_audit", "x_bm25_topk",
