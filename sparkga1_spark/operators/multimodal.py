@@ -6903,22 +6903,38 @@ def plant_webp_lossless_payloads(df: DataFrame, *, text_col: str = "text") -> Da
 def build_webp_anim(frames, canvas_w: int, canvas_h: int, *,
                     bg=(255, 255, 255, 255), loop: int = 0) -> bytes:
     """frames: list of (x, y, pixels HxWx3|HxWx4, duration_ms, blend,
-    dispose) → an animated WebP. Frame offsets must be even (stored in
-    2-pixel units per the spec); sub-images are lossless VP8L (exact
-    pixels, alpha carried when given)."""
+    dispose[, lossy]) → an animated WebP. Frame offsets must be even
+    (stored in 2-pixel units per the spec); sub-images are lossless
+    VP8L by default (exact pixels, alpha carried when given); a frame
+    tuple with a 7th truthy element encodes LOSSY instead — an ANMF
+    wrapping ALPH (when 4-channel) + VP8 chunks, the other wild-file
+    animation shape."""
     import numpy as np
 
     out = bytearray()
     anim = bytes((bg[2], bg[1], bg[0], bg[3]))  # spec stores BGRA
     anim += struct.pack("<H", loop)
     out += _webp_chunk(b"ANIM", anim)
-    for (x, y, px, dur, blend, dispose) in frames:
+    for frame in frames:
+        (x, y, px, dur, blend, dispose) = frame[:6]
+        lossy = frame[6] if len(frame) > 6 else False
         if x % 2 or y % 2:
             raise ValueError("webp: frame offsets must be even")
         arr = np.asarray(px, np.uint8)
         fh, fw = arr.shape[:2]
-        still = build_webp_lossless(arr)
-        sub = still[12:]  # the VP8L chunk (strip RIFF....WEBP)
+        if lossy and arr.shape[2] == 4:
+            still = build_webp_vp8(
+                arr[:, :, :3], q_index=4, alpha=arr[:, :, 3]
+            )
+            # strip RIFF....WEBP (12) and the VP8X chunk (18): the
+            # ANMF carries only the ALPH + VP8 chunks
+            sub = still[12 + 18 :]
+        elif lossy:
+            still = build_webp_vp8(arr, q_index=4)
+            sub = still[12:]
+        else:
+            still = build_webp_lossless(arr)
+            sub = still[12:]  # the VP8L chunk (strip RIFF....WEBP)
         hdr = (
             struct.pack("<I", x >> 1)[:3]
             + struct.pack("<I", y >> 1)[:3]

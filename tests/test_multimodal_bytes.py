@@ -3503,3 +3503,33 @@ def test_webp_animation_refusals_and_truncation():
         except ValueError:
             pass
     assert n_ok <= 2, f"{n_ok} truncated prefixes decoded"
+
+
+def test_webp_animation_lossy_frames():
+    """ANMF frames can wrap the LOSSY still shape (ALPH + VP8 chunks)
+    too: a uniform-130 RGB lossy frame with an exact alpha plane is
+    exactly reconstructible (the all-skip VP8 path), so the composite
+    stays hand-computable alongside lossless frames."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import (
+        build_webp_anim,
+        parse_webp_animation,
+    )
+
+    rng = np.random.RandomState(2)
+    al = rng.randint(0, 256, (8, 10), dtype=np.uint8)
+    lossy = np.dstack([np.full((8, 10, 3), 130, np.uint8), al])
+    crisp = rng.randint(0, 256, (4, 6, 4), dtype=np.uint8)
+    data = build_webp_anim(
+        [(0, 0, lossy, 20, False, False, True),
+         (2, 2, crisp, 30, True, False)],
+        10, 8,
+    )
+    _, _, _, _, snaps = parse_webp_animation(data)
+    assert np.array_equal(snaps[0][1], lossy)
+    want = _ref_anim_composite(
+        [(0, 0, lossy, 20, False, False), (2, 2, crisp, 30, True, False)],
+        10, 8, (255, 255, 255, 255),
+    )
+    assert np.array_equal(snaps[1][1], want[1])
