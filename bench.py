@@ -213,6 +213,13 @@ def main() -> None:
     # metric alongside it
     cold_first: dict[str, float] = {}
     COLD_FIRST_RUN = {"s_crawl_ingest_incremental", "x_incremental_dedup_bucketed"}
+    # r9 VERDICT #8: print the previous round's cold numbers alongside
+    # this round's, so an ingest-path regression is a number, not a
+    # note (values from BENCH_LOCAL_r9.json / BENCH_r09 cold_first_run)
+    COLD_PREV_ROUND = {
+        "s_crawl_ingest_incremental": 12.893,
+        "x_incremental_dedup_bucketed": 2.839,
+    }
     total = 0.0
     for name in HEADLINE:
         runs = []
@@ -268,6 +275,7 @@ def main() -> None:
                 "shared35": shared35,
                 "shared65": shared65,
                 "cold_first_run": cold_first,
+                "cold_first_run_prev": COLD_PREV_ROUND,
                 **({"errors": errors} if errors else {}),
             }
         )
@@ -287,6 +295,7 @@ def main() -> None:
                 "shared35": shared35,
                 "shared65": shared65,
                 "cold_first_run": cold_first,
+                "cold_first_run_prev": COLD_PREV_ROUND,
                 "sf": sf,
             }
         )

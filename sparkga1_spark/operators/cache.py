@@ -87,7 +87,16 @@ def tracked_persist(df: DataFrame) -> DataFrame:
 
 def release_tracked() -> int:
     """Unpersist every tracked DataFrame (blocking=False); returns how
-    many were released. Safe to call at any quiescent point."""
+    many were released. Safe to call at any quiescent point.
+
+    Also drops Python-side cycles promptly (r10): localCheckpoint /
+    broadcast blocks are reclaimed by Spark's ContextCleaner only once
+    the JVM objects become weakly reachable, which in turn waits on
+    the Py4J proxies being collected — an explicit gc.collect() at
+    this quiescent point keeps the driver's retained working set
+    bounded by roughly ONE query instead of the session's history."""
+    import gc
+
     n = 0
     while _TRACKED:
         df = _TRACKED.pop()
@@ -96,4 +105,5 @@ def release_tracked() -> int:
             n += 1
         except Exception:  # session already stopped — nothing to free
             pass
+    gc.collect()
     return n

@@ -2033,17 +2033,18 @@ def plant_pcx_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Baseline JPEG (ITU-T T.81, public spec) — REAL compressed-format decode
-# #6, and the first LOSSY-family codec decoded for real: complete marker
-# walk, DQT/DHT table parsing, canonical Huffman entropy decode with
-# 0xFF00 byte unstuffing and RSTn restart handling, DC prediction,
+# DCT/Huffman JPEG (ITU-T T.81, public spec) — REAL compressed-format
+# decode #6, and the first LOSSY-family codec decoded for real: complete
+# marker walk, DQT/DHT table parsing, canonical Huffman entropy decode
+# with 0xFF00 byte unstuffing and RSTn restart handling, DC prediction,
 # zigzag→natural reorder, dequantization, separable floating IDCT, level
-# shift, chroma upsampling (h,v ∈ {1,2} — 4:4:4/4:2:2/4:2:0), and the
-# JFIF YCbCr→RGB matrix. Non-baseline streams (progressive SOF2,
-# lossless SOF3, arithmetic coding, 12-bit precision, fractional
-# sampling ratios)
+# shift, chroma upsampling (sampling factors 1-4, integer ratios —
+# 4:4:4/4:2:2/4:2:0 and beyond), the JFIF YCbCr→RGB matrix, and (r9)
+# PROGRESSIVE SOF2 scans — spectral selection, successive approximation,
+# EOB runs. Streams outside the DCT/Huffman family (lossless SOF3,
+# arithmetic coding, 12-bit precision, fractional sampling ratios)
 # raise ValueError and fall through to the documented md5 FAKE, which
-# after this section covers ONLY video (MP4) and non-baseline JPEG.
+# after this section covers ONLY video (MP4) and those JPEG variants.
 #
 # The encoder exists for fixtures and tests (no codec library in this
 # image): standard Annex K Huffman tables, quality expressed directly
@@ -4307,19 +4308,33 @@ def build_mp4_meta(
     sample_delta: int = 20,
     codec: bytes = b"avc1",
     version1: bool = False,
+    chunks=None,
+    chunk_gap: int = 0,
+    co64: bool = False,
 ) -> bytes:
     """Minimal standards-shaped ISO BMFF file: ftyp + moov(mvhd,
     trak(tkhd, mdia(mdhd, hdlr, minf(stbl(stsd/stts/stsc/stsz/stco)))))
     + mdat whose payload length equals Σ sample_sizes (per-sample
     bytes are a deterministic ramp — the sample CONTENT is not claimed
     real, the TABLES are). `version1=True` writes version-1
-    (64-bit duration) mvhd/tkhd/mdhd so both parse paths are planted."""
+    (64-bit duration) mvhd/tkhd/mdhd so both parse paths are planted.
+    `chunks` (r10) is a per-chunk sample-count list summing to
+    len(sample_sizes) — the COMMON wild-file layout where mdat holds
+    many chunks and stsc attributes samples to them; the stsc entries
+    are run-length compressed exactly as muxers write them.
+    `chunk_gap` inserts that many 0xAA filler bytes between chunks
+    inside mdat, so a demuxer that ignores the chunk offsets and reads
+    contiguously produces provably wrong sample bytes. `co64` stores
+    the chunk offsets as 64-bit (the large-file table)."""
     import struct
 
     sizes = [int(s) for s in sample_sizes]
     if not sizes or any(s <= 0 for s in sizes):
         raise ValueError("sample_sizes must be positive and non-empty")
     n = len(sizes)
+    chunks = [n] if chunks is None else [int(c) for c in chunks]
+    if any(c <= 0 for c in chunks) or sum(chunks) != n:
+        raise ValueError("chunks must be positive and sum to the sample count")
     duration = n * sample_delta
 
     def box(btype: bytes, body: bytes) -> bytes:
@@ -4379,32 +4394,75 @@ def build_mp4_meta(
     )
     stsd = full(b"stsd", 0, struct.pack(">I", 1) + sample_entry)
     stts = full(b"stts", 0, struct.pack(">III", 1, n, sample_delta))
-    stsc = full(b"stsc", 0, struct.pack(">IIII", 1, 1, n, 1))
+    # stsc: run-length compressed (first_chunk, samples_per_chunk,
+    # sample_description_index=1) — a new entry only where the
+    # per-chunk count changes, exactly the muxer convention
+    stsc_entries = []
+    for ci, spc in enumerate(chunks):
+        if not stsc_entries or stsc_entries[-1][1] != spc:
+            stsc_entries.append((ci + 1, spc))
+    stsc = full(
+        b"stsc",
+        0,
+        struct.pack(">I", len(stsc_entries))
+        + b"".join(
+            struct.pack(">III", fc, spc, 1) for fc, spc in stsc_entries
+        ),
+    )
     stsz = full(
         b"stsz", 0, struct.pack(">II", 0, n) + struct.pack(f">{n}I", *sizes)
     )
     stbl_partial = stsd + stts + stsc + stsz
-    # stco chunk offset = absolute file offset of the mdat payload;
-    # compute from the sizes of everything that precedes it
+    # chunk payloads: per-sample deterministic ramp keyed by the GLOBAL
+    # sample index (chunking never changes a sample's bytes), gap
+    # filler between chunks so chunk offsets are load-bearing
+    chunk_blobs = []
+    s0 = 0
+    for spc in chunks:
+        chunk_blobs.append(
+            bytes(
+                (i * 131 + j * 7) % 256
+                for i in range(s0, s0 + spc)
+                for j in range(sizes[i])
+            )
+        )
+        s0 += spc
+    gap = b"\xaa" * chunk_gap
+    payload = gap.join(chunk_blobs)
     ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
 
-    def assemble(chunk_off: int) -> bytes:
-        stco = full(b"stco", 0, struct.pack(">II", 1, chunk_off))
-        stbl = box(b"stbl", stbl_partial + stco)
+    def assemble(first_off: int) -> bytes:
+        offs = []
+        off = first_off
+        for blob in chunk_blobs:
+            offs.append(off)
+            off += len(blob) + chunk_gap
+        if co64:
+            co = full(
+                b"co64",
+                0,
+                struct.pack(">I", len(offs))
+                + b"".join(struct.pack(">Q", o) for o in offs),
+            )
+        else:
+            co = full(
+                b"stco",
+                0,
+                struct.pack(">I", len(offs))
+                + b"".join(struct.pack(">I", o) for o in offs),
+            )
+        stbl = box(b"stbl", stbl_partial + co)
         minf = box(b"minf", stbl)
         mdia = box(b"mdia", mdhd + hdlr + minf)
         trak = box(b"trak", tkhd + mdia)
         moov = box(b"moov", mvhd + trak)
-        payload = bytes(
-            (i * 131 + j * 7) % 256 for i, s in enumerate(sizes) for j in range(s)
-        )
         mdat = box(b"mdat", payload)
         return ftyp + moov + mdat
 
     # two passes: the first measures moov to learn the mdat offset
     probe = assemble(0)
-    chunk_off = len(probe) - (sum(sizes))  # payload starts here
-    out = assemble(chunk_off)
+    first_off = len(probe) - len(payload)  # payload starts here
+    out = assemble(first_off)
     assert len(out) == len(probe)
     return out
 
@@ -4413,11 +4471,14 @@ def _parse_mp4(data: bytes) -> dict:
     """Shared MP4/ISO-BMFF box-tree walk. Handles 32-bit sizes,
     size==1 (64-bit largesize), size==0 (box runs to end-of-parent),
     and version 0/1 full boxes; validates that children exactly tile
-    their parents, that stsz's total equals the mdat payload budget it
-    addresses, that stts's sample total equals stsz's count, and that
-    the tkhd 16.16 geometry matches the stsd sample-entry geometry.
-    Raises ValueError on structural damage — never a guessed row.
-    Returns the validated tables for the meta and demux fronts."""
+    their parents, that stts's sample total equals stsz's count, that
+    the stsc run walk over the stco/co64 chunk table attributes
+    EXACTLY stsz-many samples (r10 — multi-chunk is real), that every
+    chunk's byte range lands inside mdat, and that the tkhd 16.16
+    geometry matches the stsd sample-entry geometry. Raises ValueError
+    on structural damage — never a guessed row. Returns the validated
+    tables (incl. per-sample absolute offsets) for the meta and demux
+    fronts."""
     import struct
 
     if len(data) < 16 or data[4:8] != b"ftyp":
@@ -4544,21 +4605,81 @@ def _parse_mp4(data: bytes) -> dict:
     if n_samples != stts_samples:
         raise ValueError("stts/stsz sample counts disagree")
 
-    # stco + mdat: the chunk offset must land inside mdat and the
-    # declared sample budget must fit the payload it addresses
-    body, bend = get(b"stbl", b"stco")
+    # stsc: chunk→sample attribution runs (first_chunk,
+    # samples_per_chunk, sample_description_index); each run applies
+    # from its first_chunk until the next run's (§8.7.4)
+    body, bend = get(b"stbl", b"stsc")
     v, p = fullbox(body, bend)
-    if p + 8 > bend:
-        raise ValueError("truncated stco")
+    if p + 4 > bend:
+        raise ValueError("truncated stsc")
+    n_sc = struct.unpack_from(">I", data, p)[0]
+    if n_sc < 1 or p + 4 + 12 * n_sc > bend:
+        raise ValueError("truncated stsc")
+    stsc_runs = []
+    for i in range(n_sc):
+        fc, spc, sdi = struct.unpack_from(">III", data, p + 4 + 12 * i)
+        if sdi != 1:
+            # the stsd above demanded exactly one sample description
+            raise ValueError("stsc references an unknown sample description")
+        if spc < 1:
+            raise ValueError("stsc declares an empty chunk run")
+        if (i == 0 and fc != 1) or (i > 0 and fc <= stsc_runs[-1][0]):
+            raise ValueError("stsc first_chunk must start at 1 and increase")
+        stsc_runs.append((fc, spc))
+
+    # stco (32-bit) or co64 (64-bit): ALL chunk offsets
+    try:
+        body, bend = get(b"stbl", b"stco")
+        owidth, ofmt = 4, ">I"
+    except ValueError:
+        body, bend = get(b"stbl", b"co64")
+        owidth, ofmt = 8, ">Q"
+    v, p = fullbox(body, bend)
+    if p + 4 > bend:
+        raise ValueError("truncated chunk-offset box")
     n_chunks = struct.unpack_from(">I", data, p)[0]
     if n_chunks < 1:
-        raise ValueError("empty stco")
-    first_off = struct.unpack_from(">I", data, p + 4)[0]
+        raise ValueError("empty chunk-offset table")
+    if p + 4 + owidth * n_chunks > bend:
+        raise ValueError("truncated chunk-offset box")
+    offsets = [
+        struct.unpack_from(ofmt, data, p + 4 + owidth * i)[0]
+        for i in range(n_chunks)
+    ]
+    if stsc_runs[-1][0] > n_chunks:
+        raise ValueError("stsc references a chunk past the offset table")
+
+    # expand the runs over the chunk list and demand EXACT agreement
+    # with stsz's sample count — a short final chunk would mean the
+    # tables disagree, and a guessed attribution is worse than refusal
+    spc_by_chunk = []
+    run_i = 0
+    for c in range(1, n_chunks + 1):
+        while run_i + 1 < len(stsc_runs) and stsc_runs[run_i + 1][0] <= c:
+            run_i += 1
+        spc_by_chunk.append(stsc_runs[run_i][1])
+    if sum(spc_by_chunk) != n_samples:
+        raise ValueError("stsc/stco chunk walk disagrees with stsz count")
+
+    # per-sample absolute offsets; every chunk's byte range must land
+    # inside mdat (the chunks need not be contiguous — wild files
+    # interleave tracks and leave gaps)
     mbody, mend = get(b"mdat")
-    if not (mbody <= first_off <= mend) or first_off + sample_bytes > mend:
-        raise ValueError("sample data overruns mdat")
+    sample_offsets = []
+    si = 0
+    for off, spc in zip(offsets, spc_by_chunk):
+        clen = sum(sizes[si : si + spc])
+        if off < mbody or off + clen > mend:
+            raise ValueError("sample data overruns mdat")
+        o = off
+        for s in sizes[si : si + spc]:
+            sample_offsets.append(o)
+            o += s
+        si += spc
+    first_off = offsets[0]
 
     return {
+        "sample_offsets": sample_offsets,
         "width": width,
         "height": height,
         "timescale": int(timescale),
@@ -4590,25 +4711,22 @@ def parse_mp4_meta(data: bytes):
 def parse_mp4_samples(data: bytes):
     """MP4/ISO-BMFF bytes → list of (sample_idx, ts_ms, payload bytes):
     a REAL single-track DEMUX — per-sample timestamps accumulate the
-    stts run deltas and per-sample byte ranges accumulate the stsz
-    sizes from the stco chunk offset. Only the single-chunk layout is
-    claimed (n_chunks > 1 refuses — attributing samples to chunks
-    needs the stsc walk, and a wrong slice is worse than a refusal).
-    The sample CONTENT is returned as opaque bytes: extracting it is
-    real demuxing, decoding it (H.264 …) is not claimed."""
+    stts run deltas, and per-sample byte ranges come from the full
+    stsc chunk-attribution walk over the stco/co64 offsets (r10: the
+    multi-chunk layout — the COMMON wild-file shape — demuxes for
+    real; _parse_mp4 validates the walk against stsz exactly and
+    refuses disagreeing tables). The sample CONTENT is returned as
+    opaque bytes: extracting it is real demuxing, decoding it
+    (H.264 …) is not claimed."""
     t = _parse_mp4(data)
-    if t["n_chunks"] != 1:
-        raise ValueError("multi-chunk MP4 demux unsupported")
     out = []
-    off = t["first_off"]
     ticks = 0
     it = iter(
         delta for cnt, delta in t["stts_runs"] for _ in range(cnt)
     )
     ts = t["timescale"]
-    for i, size in enumerate(t["sizes"]):
+    for i, (size, off) in enumerate(zip(t["sizes"], t["sample_offsets"])):
         out.append((i, ticks * 1000 // ts, data[off : off + size]))
-        off += size
         ticks += next(it)
     return out
 
@@ -4647,14 +4765,33 @@ def plant_mp4_payloads(df: DataFrame) -> DataFrame:
     n = id%30+5 samples, per-sample delta = id%20+10 ticks at
     timescale 600 (duration_ms = n·delta·1000//600), sample i sized
     (id·7 + i·13) % 200 + 1 bytes. ids %3==0 write version-1 (64-bit
-    duration) headers so both full-box parse paths carry gate rows."""
+    duration) headers so both full-box parse paths carry gate rows.
+    r10: the CHUNK LAYOUT rotates on an independent %4 axis — %4==0
+    single-chunk (the legacy shape), %4==1 two samples per chunk,
+    %4==2 three per chunk with 7 filler bytes between chunks, %4==3
+    an irregular 1-then-4 walk stored as co64 with 3-byte gaps — so
+    the stsc/stco/co64 attribution walk is load-bearing (gap bytes
+    make a contiguous read provably wrong) while every closed-form
+    oracle column is UNCHANGED (chunking never alters sample bytes)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                sizes = [(d * 7 + i * 13) % 200 + 1 for i in range(d % 30 + 5)]
+                n = d % 30 + 5
+                sizes = [(d * 7 + i * 13) % 200 + 1 for i in range(n)]
+                m = d % 4
+                if m == 1:
+                    chunks, gap, co64 = [2] * (n // 2) + ([1] if n % 2 else []), 0, False
+                elif m == 2:
+                    chunks, gap, co64 = [3] * (n // 3) + ([n % 3] if n % 3 else []), 7, False
+                elif m == 3:
+                    r = n - 1
+                    chunks = [1] + [4] * (r // 4) + ([r % 4] if r % 4 else [])
+                    gap, co64 = 3, True
+                else:
+                    chunks, gap, co64 = None, 0, False
                 out.append(
                     (
                         doc_id,
@@ -4664,6 +4801,9 @@ def plant_mp4_payloads(df: DataFrame) -> DataFrame:
                             sizes,
                             sample_delta=d % 20 + 10,
                             version1=(d % 3 == 0),
+                            chunks=chunks,
+                            chunk_gap=gap,
+                            co64=co64,
                         ),
                     )
                 )
@@ -6935,15 +7075,26 @@ def build_webp_anim(frames, canvas_w: int, canvas_h: int, *,
         else:
             still = build_webp_lossless(arr)
             sub = still[12:]  # the VP8L chunk (strip RIFF....WEBP)
+        def u24(v: int, what: str) -> bytes:
+            # ANMF stores 24-bit fields; pack('<I')[:3] would silently
+            # WRAP an out-of-range value into a plausible-but-wrong
+            # animation — refuse instead (matches the builder's other
+            # validations: even offsets, palette size)
+            if not 0 <= v < 1 << 24:
+                raise ValueError(f"webp: ANMF {what} {v} out of 24-bit range")
+            return struct.pack("<I", v)[:3]
+
         hdr = (
-            struct.pack("<I", x >> 1)[:3]
-            + struct.pack("<I", y >> 1)[:3]
-            + struct.pack("<I", fw - 1)[:3]
-            + struct.pack("<I", fh - 1)[:3]
-            + struct.pack("<I", int(dur))[:3]
+            u24(x >> 1, "frame x/2")
+            + u24(y >> 1, "frame y/2")
+            + u24(fw - 1, "frame width-1")
+            + u24(fh - 1, "frame height-1")
+            + u24(int(dur), "duration_ms")
             + bytes([(0 if blend else 2) | (1 if dispose else 0)])
         )
         out += _webp_chunk(b"ANMF", hdr + sub)
+    if not (0 < canvas_w <= 1 << 24 and 0 < canvas_h <= 1 << 24):
+        raise ValueError("webp: canvas dims out of 24-bit range")
     vp8x = bytes([0x02 | 0x10, 0, 0, 0]) + struct.pack(
         "<I", canvas_w - 1
     )[:3] + struct.pack("<I", canvas_h - 1)[:3]
@@ -7012,6 +7163,16 @@ def parse_webp_animation(data: bytes):
         raise ValueError("webp: animation carries no ANMF frames")
     cw, ch = canvas
     _check_raster_size(cw, ch, "WEBP-ANIM")
+    # bomb guard: each ANMF yields a full canvas snapshot, so the
+    # animation's TOTAL retained pixels is frames x canvas — a
+    # kilobyte-scale file declaring a max-size canvas plus N tiny
+    # frames would otherwise demand N x 256MB (the per-raster cap
+    # alone only bounds one canvas)
+    if len(frames) * cw * ch > _MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"webp: animation demands {len(frames)}x{cw}x{ch} snapshot"
+            " pixels — beyond the decoder cap"
+        )
     bg_rgba, loop = anim
     out = np.zeros((ch, cw, 4), np.uint8)  # spec: start fully transparent
     snaps = []

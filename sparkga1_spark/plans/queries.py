@@ -1768,9 +1768,11 @@ def x_multimodal_mp4_meta(spark, sf_dir):
     64-bit-duration headers) and run the REAL box-tree walk —
     32/64-bit sizes, version 0/1 full boxes, 16.16 fixed-point tkhd
     geometry cross-checked against the stsd sample entry, stts/stsz
-    sample-count agreement, and the stco chunk offset bounded inside
+    sample-count agreement, and (r10) the full stsc chunk-attribution
+    walk over stco/co64 with every chunk's byte range bounded inside
     mdat — emitting geometry, duration, sample count/bytes, and codec
-    fourcc. The PIXEL decode is NOT claimed (H.264 inter-frame
+    fourcc. The planter rotates multi-chunk/gap/co64 layouts on a %4
+    axis (see plant_mp4_payloads). The PIXEL decode is NOT claimed (H.264 inter-frame
     prediction genuinely needs a codec library — that honest fake
     boundary stands); this closes the metadata half, mirroring the
     image family's meta/decode split (parse_jpeg_meta vs parse_jpeg).
@@ -1813,10 +1815,13 @@ def x_multimodal_mp4_demux(spark, sf_dir):
     deltas accumulate into real timestamps, stsz sizes accumulate into
     real mdat byte ranges, and the emitted byte_sum proves each slice
     touched the actual sample bytes (the planter's deterministic ramp
-    makes it closed-form). Decoding the sample CONTENT stays honestly
-    unclaimed (H.264); multi-chunk layouts refuse rather than guess
-    the stsc attribution. 1→N flatMap, same Arrow shape as the frame
-    samplers."""
+    makes it closed-form). r10: the full stsc chunk-attribution walk
+    over stco/co64 is REAL — the planter rotates single-chunk,
+    2-per-chunk, gap-separated 3-per-chunk, and irregular co64
+    layouts, and the inter-chunk filler bytes make a contiguous read
+    provably wrong while the oracle stays unchanged. Decoding the
+    sample CONTENT stays honestly unclaimed (H.264). 1→N flatMap,
+    same Arrow shape as the frame samplers."""
     from sparkga1_spark.operators.multimodal import (
         demux_mp4_samples,
         plant_mp4_payloads,
@@ -2690,9 +2695,10 @@ def x_multimodal_webp_meta(spark, sf_dir):
     code), and VP8X extended (24-bit canvas dims CROSS-CHECKED against
     the embedded VP8L bitstream — disagreement refuses). Dims, alpha
     flag, and variant are read from the actual bitstream headers, the
-    same walk file(1)/identify perform; pixel decode is honestly
-    unclaimed (VP8 entropy coding), the MP4/H.264 meta/decode split
-    applied to WebP."""
+    same walk file(1)/identify perform. Pixel decode of every one of
+    these shapes is REAL as of r9 (VP8L in full; lossy VP8 keyframes
+    via operators/vp8.py — see x_multimodal_webp_decode); this row
+    keeps the header-only walk as its own cheap surface."""
     from sparkga1_spark.operators.multimodal import (
         decode_webp_meta,
         plant_webp_payloads,

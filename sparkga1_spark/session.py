@@ -62,6 +62,27 @@ def get_spark(app_name: str = "sparkga1_spark", *, cpus: int | None = None) -> S
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Long-session hygiene (r10, the bench-drift investigation):
+        # a session that runs hundreds of queries accumulates state
+        # that is only reclaimed on driver GC or not at all —
+        # (a) broadcast/localCheckpoint/shuffle blocks are freed by
+        #     ContextCleaner via WEAK references, so cleanup waits for
+        #     a driver major GC; the default periodicGC.interval of
+        #     30min means a 40-min bench session gets ONE sweep. 2min
+        #     bounds the block-manager working set round-over-round.
+        # (b) AppStatusListener retains up to 100k task rows + 1000
+        #     jobs/stages/SQL executions EVEN WITH THE UI DISABLED —
+        #     measured as monotone heap growth across the 69-query
+        #     bench (late-position queries read 1.5-3x slower in the
+        #     same session while flat when run first). Bound them.
+        # Same knobs a production long-running driver (Thriftserver /
+        # streaming) ships with; they change no query result.
+        .config("spark.cleaner.periodicGC.interval", "2min")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "2000")
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.worker.ui.retainedExecutors", "50")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

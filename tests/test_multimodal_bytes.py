@@ -1972,15 +1972,9 @@ def test_mp4_meta_multitrak_and_truncated_fullbox_refuse():
         parse_mp4_meta(short)
 
 
-def test_mp4_demux_samples_and_multichunk_refusal():
+def test_mp4_demux_samples_single_chunk():
     """Real single-track demux: stts-accumulated timestamps, stsz-
-    accumulated mdat slices (byte-exact vs the builder's ramp); a
-    multi-chunk stco refuses — sample→chunk attribution needs the
-    stsc walk and a wrong slice is worse than a refusal."""
-    import struct
-
-    import pytest
-
+    accumulated mdat slices (byte-exact vs the builder's ramp)."""
     from sparkga1_spark.operators.multimodal import (
         build_mp4_meta,
         parse_mp4_samples,
@@ -1994,10 +1988,97 @@ def test_mp4_demux_samples_and_multichunk_refusal():
     for i, _ts, blob in got:
         assert bytes(blob) == bytes((i * 131 + j * 7) % 256 for j in range(sizes[i]))
 
+
+def test_mp4_demux_multichunk_stsc_walk():
+    """r10: the full stsc chunk-attribution walk. Hand-computed
+    sample offsets for a gap-separated irregular multi-chunk layout
+    (the COMMON wild-file shape), for both stco and co64 offset
+    tables; the inter-chunk filler bytes mean a contiguous read off
+    the first offset would produce wrong bytes for every sample past
+    chunk 1 — the ramp equality below is therefore load-bearing."""
+    import struct
+
+    from sparkga1_spark.operators.multimodal import (
+        _parse_mp4,
+        build_mp4_meta,
+        parse_mp4_samples,
+    )
+
+    sizes = [5, 17, 200, 1, 33, 9, 2, 40, 11]
+    chunks = [1, 4, 4]  # irregular: stsc compresses to runs (1,1),(2,4)
+    gap = 6
+    for co64 in (False, True):
+        b = build_mp4_meta(
+            64, 48, sizes, sample_delta=25,
+            chunks=chunks, chunk_gap=gap, co64=co64,
+        )
+        t = _parse_mp4(b)
+        # hand-computed offsets: payload (with gaps) ends the file
+        payload_len = sum(sizes) + gap * (len(chunks) - 1)
+        first = len(b) - payload_len
+        expect, off, si = [], first, 0
+        for spc in chunks:
+            o = off
+            for s in sizes[si : si + spc]:
+                expect.append(o)
+                o += s
+            off = o + gap
+            si += spc
+        assert t["sample_offsets"] == expect
+        assert t["n_chunks"] == len(chunks)
+        # stsc was run-length compressed by the builder
+        sc = b.find(b"stsc") + 8
+        assert struct.unpack_from(">I", b, sc)[0] == 2  # two runs
+        got = parse_mp4_samples(b)
+        assert [len(blob) for _, _, blob in got] == sizes
+        for i, _ts, blob in got:
+            assert bytes(blob) == bytes(
+                (i * 131 + j * 7) % 256 for j in range(sizes[i])
+            )
+
+
+def test_mp4_multichunk_refusals():
+    """The walk refuses disagreeing tables rather than guessing:
+    (a) an stsc run total that disagrees with stsz's sample count;
+    (b) a non-increasing stsc first_chunk; (c) an stsc sample-
+    description index pointing past the single stsd entry; (d) a
+    chunk-offset table shorter than its declared count."""
+    import struct
+
+    import pytest
+
+    from sparkga1_spark.operators.multimodal import (
+        build_mp4_meta,
+        parse_mp4_samples,
+    )
+
+    b = build_mp4_meta(64, 48, [5, 17, 200, 1, 33, 9], chunks=[2, 2, 2])
+    sc = b.find(b"stsc") + 8  # full-box body: version/flags then count
+
     bad = bytearray(b)
-    sc = b.find(b"stco") + 8
-    bad[sc : sc + 4] = struct.pack(">I", 2)  # claim two chunks
-    with pytest.raises(ValueError, match="multi-chunk"):
+    spc_off = sc + 4 + 4  # first run's samples_per_chunk
+    bad[spc_off : spc_off + 4] = struct.pack(">I", 3)  # 3+3+3 != 6
+    with pytest.raises(ValueError, match="disagrees with stsz"):
+        parse_mp4_samples(bytes(bad))
+
+    b2 = build_mp4_meta(64, 48, [5, 17, 200, 1], chunks=[1, 3])
+    sc2 = b2.find(b"stsc") + 8
+    bad = bytearray(b2)
+    fc2_off = sc2 + 4 + 12  # second run's first_chunk (=2)
+    bad[fc2_off : fc2_off + 4] = struct.pack(">I", 1)  # not increasing
+    with pytest.raises(ValueError, match="must start at 1 and increase"):
+        parse_mp4_samples(bytes(bad))
+
+    bad = bytearray(b2)
+    sdi_off = sc2 + 4 + 8  # first run's sample_description_index
+    bad[sdi_off : sdi_off + 4] = struct.pack(">I", 2)
+    with pytest.raises(ValueError, match="unknown sample description"):
+        parse_mp4_samples(bytes(bad))
+
+    bad = bytearray(b2)
+    co = b2.find(b"stco") + 8
+    bad[co : co + 4] = struct.pack(">I", 5)  # claims 5 offsets, has 2
+    with pytest.raises(ValueError, match="truncated chunk-offset"):
         parse_mp4_samples(bytes(bad))
 
 

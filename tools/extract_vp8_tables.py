@@ -146,8 +146,9 @@ the same streams; a single wrong byte here desyncs the boolean coder
 and fails that gate. Layout notes:
   - COEFF_PROBS / COEFF_UPDATE_PROBS are [4 block types][8 bands]
     [3 contexts][11 tree probs], flattened row-major (1056 each).
-  - KF_BMODE_PROBS is [10 above][10 left][9 probs] (900), kept for a
-    future B_PRED extension (the current subset refuses B_PRED).
+  - KF_BMODE_PROBS is [10 above][10 left][9 probs] (900), driving the
+    §11.5 context-conditioned B_PRED sub-block mode decode (real since
+    the r9 lossy-keyframe completion).
   - AC_Q / DC_Q are the §14.1 quantizer lookups (indices clamped to
     0..127 by the codec).
 Small tables whose values are published verbatim in the RFC text
