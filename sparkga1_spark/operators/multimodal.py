@@ -21,13 +21,15 @@ groups as of r8 and, as of r9, near-distance plane codes with the
 120-entry map DERIVED from the spec's proximity rule on both in-repo
 sides AND color-indexing combined with other transforms in either
 read order — VP8L is now decoded in FULL with zero refusals beyond
-genuinely invalid streams; see the VP8L section). JPEG's DCT/Huffman
-family is fully real too: baseline AND progressive, 4:4:4 AND
-subsampled, successive approximation, DRI/RSTn restart intervals in
-both frame types (r9). The residue — video (MP4), lossy VP8, and the
-non-Huffman JPEG variants (arithmetic coding, 12-bit,
-lossless/hierarchical) — tries the library (PIL / soundfile / av)
-behind an import-guard; absent that it uses a clearly-marked
+genuinely invalid streams; see the VP8L section). JPEG's DCT family
+is fully real too: baseline AND progressive, 4:4:4 AND subsampled,
+successive approximation, DRI/RSTn restart intervals in both frame
+types (r9), and — r10 — SEQUENTIAL ARITHMETIC (SOF9 + DAC, the T.81
+Annex D/F QM coder in operators/jpeg_arith.py, validated bit-exact
+BOTH ways against the system libjpeg). The residue — video (MP4) and
+the JPEG variants still refused (12-bit, lossless/hierarchical,
+progressive-arithmetic SOF10) — tries the library (PIL / soundfile /
+av) behind an import-guard; absent that it uses a clearly-marked
 DETERMINISTIC FAKE derived from the payload's md5, so pipelines stay
 testable end-to-end and oracle-checkable. Lossy VP8 itself is now
 REAL and COMPLETE for WebP stills (operators/vp8.py, r9): boolean
@@ -931,9 +933,10 @@ def _decode_image_pixels(data: bytes):
         if data[:1] == b"\x0a" and len(data) >= 128 and data[2:3] == b"\x01":
             return parse_pcx(data)[2]
         if data[:2] == b"\xff\xd8":
-            # real baseline decode; non-baseline (progressive/arithmetic)
-            # and the legacy header-only fixtures (which declare no AC
-            # Huffman table) raise and keep the documented fake path
+            # real decode (baseline/progressive/arithmetic); the
+            # refused variants (12-bit, lossless, SOF10) and the legacy
+            # header-only fixtures (which declare no AC Huffman table)
+            # raise and keep the documented fake path
             return parse_jpeg(data)[2]
         if data[:4] in TIFF_MAGICS:
             return parse_tiff(data)[2]
@@ -2041,10 +2044,12 @@ def plant_pcx_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
 # shift, chroma upsampling (sampling factors 1-4, integer ratios —
 # 4:4:4/4:2:2/4:2:0 and beyond), the JFIF YCbCr→RGB matrix, and (r9)
 # PROGRESSIVE SOF2 scans — spectral selection, successive approximation,
-# EOB runs. Streams outside the DCT/Huffman family (lossless SOF3,
-# arithmetic coding, 12-bit precision, fractional sampling ratios)
-# raise ValueError and fall through to the documented md5 FAKE, which
-# after this section covers ONLY video (MP4) and those JPEG variants.
+# EOB runs — and (r10) SEQUENTIAL ARITHMETIC SOF9 via the T.81 QM coder
+# (operators/jpeg_arith.py, bit-exact both ways vs libjpeg). Streams
+# outside that family (lossless SOF3, progressive-arithmetic SOF10,
+# 12-bit precision, fractional sampling ratios) raise ValueError and
+# fall through to the documented md5 FAKE, which after this section
+# covers ONLY video (MP4) and those refused JPEG variants.
 #
 # The encoder exists for fixtures and tests (no codec library in this
 # image): standard Annex K Huffman tables, quality expressed directly
@@ -2426,6 +2431,337 @@ def build_jpeg_baseline(pixels, *, quant=None, restart_interval: int = 0,
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def build_jpeg_arith(pixels, *, quant=None, restart_interval: int = 0,
+                     sampling=None) -> bytes:
+    """HxW grayscale or HxWx3 RGB uint8 → REAL arithmetic-coded
+    sequential JPEG (SOF9 + DAC, T.81 Annex D/F QM coder — see
+    operators/jpeg_arith.py; the entropy bytes are byte-identical to
+    libjpeg's for the same coefficients, pinned by
+    tests/test_jpeg_arith.py). Same coefficient pipeline as
+    build_jpeg_baseline (_jpeg_prep_planes + _jpeg_plane_qcoefs), so a
+    flat-block image at all-ones quant roundtrips EXACTLY and the
+    three entropy layers (baseline Huffman / progressive / arithmetic)
+    of the same pixels decode identically. Restart intervals count
+    MCUs; each restart flushes the QM coder and resets statistics,
+    conditioning contexts, and DC predictions (F.2.4)."""
+    import struct
+
+    import numpy as np
+
+    from sparkga1_spark.operators import jpeg_arith as _JA
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError("build_jpeg_arith wants HxW or HxWx3 uint8")
+    h, w = int(px.shape[0]), int(px.shape[1])
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if sampling is not None:
+        if gray:
+            raise ValueError("sampling applies to color images only")
+        hs_, vs_ = sampling
+        if not (1 <= hs_ <= 4) or not (1 <= vs_ <= 4):
+            raise ValueError("sampling factors must be in 1..4")
+    q = (
+        np.ones(64, dtype=np.int32)
+        if quant is None
+        else np.asarray(quant, np.int32).reshape(64)
+    )
+    if q.min() < 1 or q.max() > 255:
+        raise ValueError("quant entries must be 1..255")
+    q88 = q.reshape(8, 8)
+
+    m = _jpeg_dct_matrix()
+    comps_meta = [
+        (hs, vs, _jpeg_plane_qcoefs(plane, q88, m))
+        for plane, hs, vs in _jpeg_prep_planes(px, sampling)
+    ]
+    hmax = max(c[0] for c in comps_meta)
+    vmax = max(c[1] for c in comps_meta)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    ncomp = len(comps_meta)
+    # table ids per component (luma 0, chroma 1) + default conditioning
+    tids = [0] + [1] * (ncomp - 1)
+    L, U, Kx = 0, 1, 5
+
+    def fresh():
+        ids = sorted(set(tids))
+        return (
+            {t: bytearray(_JA.DC_STAT_BINS) for t in ids},
+            {t: bytearray(_JA.AC_STAT_BINS) for t in ids},
+            _JA.new_fixed_bin(),
+            [_JA.DCState() for _ in range(ncomp)],
+        )
+
+    zig = list(_JPEG_ZIGZAG)
+    enc = _JA.QMEncoder()
+    dcs, acs, fixed, dstates = fresh()
+    chunks = []
+    rst = 0
+    for mi in range(mcuy * mcux):
+        if restart_interval and mi and mi % restart_interval == 0:
+            chunks.append(enc.flush())
+            chunks.append(bytes((0xFF, 0xD0 + rst)))
+            rst = (rst + 1) % 8
+            enc = _JA.QMEncoder()
+            dcs, acs, fixed, dstates = fresh()
+        my, mx = divmod(mi, mcux)
+        for ci, (hs, vs, qc) in enumerate(comps_meta):
+            t = tids[ci]
+            for iby in range(vs):
+                for ibx in range(hs):
+                    blk = qc[my * vs + iby, mx * hs + ibx]
+                    zz = blk.flatten()[zig]
+                    _JA.dc_encode(enc, dcs[t], dstates[ci], L, U, int(zz[0]))
+                    _JA.ac_encode(enc, acs[t], fixed, Kx, zz)
+    chunks.append(enc.flush())
+    entropy = b"".join(chunks)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(q[i]) for i in _JPEG_ZIGZAG))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (hs, vs, _qc) in enumerate(comps_meta):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += seg(0xC9, sof)
+    # DAC: explicit default conditioning for every table in use
+    dac = bytearray()
+    for t in sorted(set(tids)):
+        dac += bytes([0x00 | t, (U << 4) | L])
+        dac += bytes([0x10 | t, Kx])
+    out += seg(0xCC, bytes(dac))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, (tids[ci] << 4) | tids[ci]])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def build_jpeg_arith_progressive(pixels, *, quant=None, successive=False,
+                                 sampling=None,
+                                 restart_interval: int = 0) -> bytes:
+    """HxW grayscale or HxWx3 RGB uint8 → REAL progressive
+    ARITHMETIC-coded JPEG (SOF10 + DAC): the build_jpeg_progressive
+    scan script (spectral selection; `successive=True` adds the full
+    successive-approximation chain) with the T.81 G.2 arithmetic
+    models over the QM coder instead of Huffman tables — DC first =
+    the sequential F.1.4.4.1 model on point-transformed values, DC
+    refinement = one fixed-probability decision per block, AC first =
+    the F.1.4.4.2 band walk, AC refinement = kex-gated EOB /
+    newly-significant / correction-bit decisions (no Huffman EOB-run
+    machinery: the per-position EOB decision replaces it). Shares
+    _jpeg_prep_planes/_jpeg_plane_qcoefs, so all four entropy layers
+    of the same pixels decode identically; validated against libjpeg
+    SOF10 output in tests/test_jpeg_arith.py."""
+    import struct
+
+    import numpy as np
+
+    from sparkga1_spark.operators import jpeg_arith as _JA
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError("build_jpeg_arith_progressive wants HxW or HxWx3")
+    h, w = int(px.shape[0]), int(px.shape[1])
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if sampling is not None:
+        if gray:
+            raise ValueError("sampling applies to color images only")
+        hs_, vs_ = sampling
+        if not (1 <= hs_ <= 4) or not (1 <= vs_ <= 4):
+            raise ValueError("sampling factors must be in 1..4")
+    q = np.ones(64, dtype=np.int32) if quant is None else np.asarray(
+        quant, np.int32
+    ).reshape(64)
+    if q.min() < 1 or q.max() > 255:
+        raise ValueError("quant entries must be 1..255")
+    q88 = q.reshape(8, 8)
+
+    m = _jpeg_dct_matrix()
+    zig = list(_JPEG_ZIGZAG)
+    comps_meta = []
+    prepped = _jpeg_prep_planes(px, sampling)
+    hmax = max(hs for _p, hs, _v in prepped)
+    vmax = max(vs for _p, _h, vs in prepped)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for plane, hs, vs in prepped:
+        qc = _jpeg_plane_qcoefs(plane, q88, m)
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        comps_meta.append((hs, vs, qc, -(-ch // 8), -(-cw // 8)))
+    ncomp = len(comps_meta)
+    L, U, Kx = 0, 1, 5  # default conditioning, written in the DAC
+
+    def comp_zz_blocks(ci):
+        hs, vs, qc, nbh, nbw = comps_meta[ci]
+        for bi in range(nbh * nbw):
+            by, bx = divmod(bi, nbw)
+            yield qc[by, bx].flatten()[zig]
+
+    class _RestartingQM:
+        """QM encoder that splits into RSTn-separated segments at the
+        caller's unit boundaries; stats/conditioning reset per segment
+        via the caller-provided fresh() hook."""
+
+        def __init__(self, fresh):
+            self.fresh = fresh
+            self.enc = _JA.QMEncoder()
+            self.state = fresh()
+            self.chunks = []
+            self.rst = 0
+
+        def boundary(self):
+            self.chunks.append(self.enc.flush())
+            self.chunks.append(bytes((0xFF, 0xD0 + self.rst)))
+            self.rst = (self.rst + 1) % 8
+            self.enc = _JA.QMEncoder()
+            self.state = self.fresh()
+
+        def done(self) -> bytes:
+            self.chunks.append(self.enc.flush())
+            return b"".join(self.chunks)
+
+    def dc_first(al: int) -> bytes:
+        rw = _RestartingQM(
+            lambda: (bytearray(_JA.DC_STAT_BINS),
+                     [_JA.DCState() for _ in range(ncomp)])
+        )
+        for mi in range(mcuy * mcux):
+            if restart_interval and mi and mi % restart_interval == 0:
+                rw.boundary()
+            st, states = rw.state
+            my, mx = divmod(mi, mcux)
+            for ci, (hs, vs, qc, _nbh, _nbw) in enumerate(comps_meta):
+                for iby in range(vs):
+                    for ibx in range(hs):
+                        dc = int(qc[my * vs + iby, mx * hs + ibx, 0, 0]) >> al
+                        _JA.dc_encode(rw.enc, st, states[ci], L, U, dc)
+        return rw.done()
+
+    def dc_refine(al: int) -> bytes:
+        rw = _RestartingQM(_JA.new_fixed_bin)
+        for mi in range(mcuy * mcux):
+            if restart_interval and mi and mi % restart_interval == 0:
+                rw.boundary()
+            my, mx = divmod(mi, mcux)
+            for _ci, (hs, vs, qc, _nbh, _nbw) in enumerate(comps_meta):
+                for iby in range(vs):
+                    for ibx in range(hs):
+                        bit = (
+                            int(qc[my * vs + iby, mx * hs + ibx, 0, 0]) >> al
+                        ) & 1
+                        rw.enc.encode(rw.state, 0, bit)
+        return rw.done()
+
+    def ac_first(ci: int, al: int) -> bytes:
+        rw = _RestartingQM(
+            lambda: (bytearray(_JA.AC_STAT_BINS), _JA.new_fixed_bin())
+        )
+        for bi, zz in enumerate(comp_zz_blocks(ci)):
+            if restart_interval and bi and bi % restart_interval == 0:
+                rw.boundary()
+            st, fixed = rw.state
+            tv = [
+                (1 if int(zz[k]) > 0 else -1) * (abs(int(zz[k])) >> al)
+                for k in range(64)
+            ]
+            _JA.ac_encode(rw.enc, st, fixed, Kx, tv)
+        return rw.done()
+
+    def ac_refine(ci: int, al: int) -> bytes:
+        # G.2 AC refinement: per-position decisions, kex-gated EOB —
+        # written as the exact mirror of the decoder walk
+        rw = _RestartingQM(
+            lambda: (bytearray(_JA.AC_STAT_BINS), _JA.new_fixed_bin())
+        )
+        for bi, zz in enumerate(comp_zz_blocks(ci)):
+            if restart_interval and bi and bi % restart_interval == 0:
+                rw.boundary()
+            st, fixed = rw.state
+            enc = rw.enc
+            ke = 63
+            while ke > 0 and (abs(int(zz[ke])) >> al) == 0:
+                ke -= 1
+            kex = ke
+            while kex > 0 and (abs(int(zz[kex])) >> (al + 1)) == 0:
+                kex -= 1
+            k = 1
+            while k <= ke:
+                o = 3 * (k - 1)
+                if k > kex:
+                    enc.encode(st, o, 0)  # not EOB yet
+                while True:
+                    v = int(zz[k])
+                    if abs(v) >> (al + 1):  # previously significant
+                        enc.encode(st, o + 2, (abs(v) >> al) & 1)
+                        break
+                    if (abs(v) >> al) == 1:  # newly significant
+                        enc.encode(st, o + 1, 1)
+                        enc.encode(fixed, 0, 1 if v < 0 else 0)
+                        break
+                    enc.encode(st, o + 1, 0)
+                    o += 3
+                    k += 1
+                k += 1
+            if k <= 63:
+                enc.encode(st, 3 * (k - 1), 1)  # EOB
+        return rw.done()
+
+    dc_hdr = bytes(
+        [ncomp] + [b for ci in range(ncomp) for b in (ci + 1, 0x00)]
+    )
+    if successive:
+        scans = (
+            [(dc_first(1), dc_hdr + bytes([0, 0, 0x01]))]
+            + [
+                (ac_first(ci, 1), bytes([1, ci + 1, 0x00, 1, 63, 0x01]))
+                for ci in range(ncomp)
+            ]
+            + [(dc_refine(0), dc_hdr + bytes([0, 0, 0x10]))]
+            + [
+                (ac_refine(ci, 0), bytes([1, ci + 1, 0x00, 1, 63, 0x10]))
+                for ci in range(ncomp)
+            ]
+        )
+    else:
+        scans = [(dc_first(0), dc_hdr + bytes([0, 0, 0x00]))] + [
+            (ac_first(ci, 0), bytes([1, ci + 1, 0x00, 1, 63, 0x00]))
+            for ci in range(ncomp)
+        ]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(q[i]) for i in _JPEG_ZIGZAG))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (hs, vs, _qc, _nbh, _nbw) in enumerate(comps_meta):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += seg(0xCA, sof)
+    out += seg(0xCC, bytes([0x00, (U << 4) | L, 0x10, Kx]))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    for entropy, sos_body in scans:
+        out += seg(0xDA, sos_body)
+        out += entropy
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -2820,11 +3156,14 @@ def parse_jpeg(data: bytes):
     EOB runs), and (r9) DRI/RSTn restart intervals — counted in MCUs
     for interleaved scans and blocks for single-component ones, each
     restart byte-aligning, resetting DC predictions, and refusing a
-    pending EOB run at the boundary. Raises ValueError for the rest
-    (arithmetic, 12-bit, lossless/hierarchical, fractional sampling
-    ratios) —
-    callers fall through to the documented fake, keeping legacy
-    header-only fixtures byte-stable."""
+    pending EOB run at the boundary. SEQUENTIAL ARITHMETIC (SOF9 +
+    DAC) decodes for real as of r10 via the T.81 Annex D/F QM coder
+    (operators/jpeg_arith.py — per-table statistics bins, F.1.4.4
+    DC/AC models, restart resets; validated bit-exact both ways
+    against libjpeg). Raises ValueError for the rest (12-bit,
+    lossless/hierarchical, progressive-arithmetic SOF10, fractional
+    sampling ratios) — callers fall through to the documented fake,
+    keeping legacy header-only fixtures byte-stable."""
     import struct
 
     import numpy as np
@@ -2837,6 +3176,9 @@ def parse_jpeg(data: bytes):
     scan = None
     dri = 0
     progressive = False
+    arith = False  # SOF9: sequential DCT, arithmetic entropy coding
+    arith_dc: dict[int, tuple[int, int]] = {}  # table id -> (L, U)
+    arith_ac: dict[int, int] = {}  # table id -> Kx
     pcoefs = None  # progressive: per-component (nby, nbx, 8, 8) buffers
     dc_seen = None  # progressive: per-component DC-scan-seen flags
     pos = 2
@@ -2899,8 +3241,9 @@ def parse_jpeg(data: bytes):
                 i += 17 + cnt
             if i != len(body):
                 raise ValueError("trailing DHT bytes")
-        elif marker in (0xC0, 0xC1, 0xC2):
-            progressive = marker == 0xC2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             prec, fh, fw, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -2924,10 +3267,35 @@ def parse_jpeg(data: bytes):
                 if any(hm % c[1] or vm % c[2] for c in comps):
                     raise ValueError("non-integer sampling ratio unsupported")
             frame = (fw, fh, comps)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/lossless/arithmetic)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+            # the full DCT family (sequential/progressive x Huffman/
+            # arithmetic) is REAL as of r10; lossless and hierarchical
+            # frames stay refused
+            raise ValueError(
+                "unsupported JPEG frame (lossless/hierarchical)"
+            )
         elif marker == 0xCC:
-            raise ValueError("arithmetic coding unsupported")
+            # DAC: arithmetic conditioning (T.81 B.2.4.3)
+            i = 0
+            while i + 2 <= len(body):
+                tc, tb = body[i] >> 4, body[i] & 15
+                cs = body[i + 1]
+                if tb > 3:
+                    raise ValueError("bad DAC table id")
+                if tc == 0:
+                    L, U = cs & 15, cs >> 4
+                    if L > U:
+                        raise ValueError("bad DAC DC conditioning")
+                    arith_dc[tb] = (L, U)
+                elif tc == 1:
+                    if not 1 <= cs <= 63:
+                        raise ValueError("bad DAC AC conditioning")
+                    arith_ac[tb] = cs
+                else:
+                    raise ValueError("bad DAC table class")
+                i += 2
+            if i != len(body):
+                raise ValueError("trailing DAC bytes")
         elif marker == 0xDD:
             if len(body) != 2:
                 raise ValueError("bad DRI")
@@ -3026,6 +3394,161 @@ def parse_jpeg(data: bytes):
                     raise ValueError("missing restart segment")
             elif len(segs) != 1:
                 raise ValueError("restart markers without DRI")
+            if arith:
+                # --- SOF10: progressive ARITHMETIC scans (r10) — the
+                # T.81 G.2 models over the QM coder: DC first = the
+                # sequential F.1.4.4.1 model on point-transformed
+                # values, DC refinement = one fixed-bin decision per
+                # block, AC first = the sequential F.1.4.4.2 walk over
+                # the band, AC refinement = per-position EOB(kex-gated)
+                # / newly-significant / correction-bit decisions.
+                # Statistics reset per scan and per restart.
+                from sparkga1_spark.operators import jpeg_arith as _JA
+
+                def _fresh_p():
+                    return (
+                        {td_: bytearray(_JA.DC_STAT_BINS)
+                         for _c, td_, _a in scomps},
+                        {ta_: bytearray(_JA.AC_STAT_BINS)
+                         for _c, _t, ta_ in scomps},
+                        _JA.new_fixed_bin(),
+                        [_JA.DCState() for _ in scomps],
+                    )
+
+                dcs_p, acs_p, fixed_p, dst_p = _fresh_p()
+                dec = _JA.QMDecoder(segs[0])
+                seg_idx = 0
+                if ss == 0:
+                    if se != 0:
+                        raise ValueError("DC scan must have Se=0")
+                    if ah == 0:
+                        for ui in range(n_units):
+                            if dri and ui and ui % dri == 0:
+                                seg_idx += 1
+                                dec = _JA.QMDecoder(segs[seg_idx])
+                                dcs_p, acs_p, fixed_p, dst_p = _fresh_p()
+                            for si, ci, by, bx in unit_blocks(ui):
+                                td = scomps[si][1]
+                                L, U = arith_dc.get(td, (0, 1))
+                                dc = _JA.dc_decode(
+                                    dec, dcs_p[td], dst_p[si], L, U
+                                )
+                                pcoefs[ci][by, bx, 0, 0] = dc << al
+                        for ci, _td, _ta in scomps:
+                            dc_seen[ci] = True
+                    else:
+                        if not all(dc_seen[ci] for ci, _td, _ta in scomps):
+                            raise ValueError("DC refinement before DC scan")
+                        for ui in range(n_units):
+                            if dri and ui and ui % dri == 0:
+                                seg_idx += 1
+                                dec = _JA.QMDecoder(segs[seg_idx])
+                                dcs_p, acs_p, fixed_p, dst_p = _fresh_p()
+                            for _si, ci, by, bx in unit_blocks(ui):
+                                if dec.decode(fixed_p, 0):
+                                    pcoefs[ci][by, bx, 0, 0] |= 1 << al
+                else:
+                    if ns != 1:
+                        raise ValueError(
+                            "progressive AC scan must be single-component"
+                        )
+                    if not (1 <= ss <= se <= 63):
+                        raise ValueError("bad spectral selection band")
+                    aci, _td, ata = scomps[0]
+                    Kx = arith_ac.get(ata, 5)
+                    acoefs = pcoefs[aci]
+                    nbh_a, nbw_a = cgrid[aci]
+                    ast = acs_p[ata]
+                    if ah == 0:
+                        for mi in range(nbh_a * nbw_a):
+                            if dri and mi and mi % dri == 0:
+                                seg_idx += 1
+                                dec = _JA.QMDecoder(segs[seg_idx])
+                                dcs_p, acs_p, fixed_p, dst_p = _fresh_p()
+                                ast = acs_p[ata]
+                            by, bx = divmod(mi, nbw_a)
+                            blk = acoefs[by, bx]
+                            k = ss
+                            while k <= se:
+                                o = 3 * (k - 1)
+                                if dec.decode(ast, o):
+                                    break  # EOB
+                                while dec.decode(ast, o + 1) == 0:
+                                    o += 3
+                                    k += 1
+                                    if k > se:
+                                        raise ValueError("AC index overflow")
+                                sign = dec.decode(fixed_p, 0)
+                                o += 2
+                                m = dec.decode(ast, o)
+                                if m:
+                                    if dec.decode(ast, o):
+                                        m <<= 1
+                                        o = 189 if k <= Kx else 217
+                                        while dec.decode(ast, o):
+                                            m <<= 1
+                                            if m == 0x8000:
+                                                raise ValueError(
+                                                    "corrupt AC magnitude"
+                                                )
+                                            o += 1
+                                v = m
+                                o += 14
+                                while m := m >> 1:
+                                    if dec.decode(ast, o):
+                                        v |= m
+                                v += 1
+                                z = _JPEG_ZIGZAG[k]
+                                blk[z >> 3, z & 7] = (-v if sign else v) << al
+                                k += 1
+                    else:
+                        p1 = 1 << al
+                        for mi in range(nbh_a * nbw_a):
+                            if dri and mi and mi % dri == 0:
+                                seg_idx += 1
+                                dec = _JA.QMDecoder(segs[seg_idx])
+                                dcs_p, acs_p, fixed_p, dst_p = _fresh_p()
+                                ast = acs_p[ata]
+                            by, bx = divmod(mi, nbw_a)
+                            blk = acoefs[by, bx]
+                            kex = se
+                            while kex > 0 and blk[
+                                _JPEG_ZIGZAG[kex] >> 3, _JPEG_ZIGZAG[kex] & 7
+                            ] == 0:
+                                kex -= 1
+                            k = ss
+                            while k <= se:
+                                o = 3 * (k - 1)
+                                if k > kex and dec.decode(ast, o):
+                                    break  # EOB
+                                while True:
+                                    z = _JPEG_ZIGZAG[k]
+                                    c = int(blk[z >> 3, z & 7])
+                                    if c:
+                                        if dec.decode(ast, o + 2):
+                                            blk[z >> 3, z & 7] = (
+                                                c + p1 if c > 0 else c - p1
+                                            )
+                                        break
+                                    if dec.decode(ast, o + 1):
+                                        blk[z >> 3, z & 7] = (
+                                            -p1 if dec.decode(fixed_p, 0)
+                                            else p1
+                                        )
+                                        break
+                                    o += 3
+                                    k += 1
+                                    if k > se:
+                                        raise ValueError(
+                                            "AC refinement overflow"
+                                        )
+                                k += 1
+                if seg_idx != len(segs) - 1:
+                    raise ValueError(
+                        "unconsumed restart segment in progressive scan"
+                    )
+                pos = endpos
+                continue
             seg_idx = 0
             br = _JpegBitReader(segs[0])
             if ss == 0:
@@ -3270,49 +3793,89 @@ def parse_jpeg(data: bytes):
         if cid not in scan:
             raise ValueError(f"component {cid} absent from scan")
         td, ta = scan[cid]
-        if (0, td) not in huff or (1, ta) not in huff:
+        if not arith and ((0, td) not in huff or (1, ta) not in huff):
             raise ValueError("missing Huffman table")
-        tables.append((huff[(0, td)], huff[(1, ta)], qt[tq]))
+        tables.append((td, ta, qt[tq]))
 
     coefs = [
         np.zeros((mcuy * vs, mcux * hs, 8, 8), np.int32)
         for _, hs, vs, _ in comps
     ]
-    pred = [0] * len(comps)
-    br = readers[0]
-    seg_idx = 0
-    for mi in range(mcux * mcuy):
-        if dri and mi and mi % dri == 0:
-            seg_idx += 1
-            br = readers[seg_idx]
-            pred = [0] * len(comps)
-        my, mx = divmod(mi, mcux)
-        for ci, (_, hs, vs, _) in enumerate(comps):
-            dct, act, _q = tables[ci]
-            for by in range(vs):
-                for bx in range(hs):
-                    blk = coefs[ci][my * vs + by, mx * hs + bx]
-                    t = _jpeg_huff_decode(br, dct)
-                    if t > 11:
-                        raise ValueError("bad DC category")
-                    diff = _jpeg_extend(br.read_bits(t), t) if t else 0
-                    pred[ci] += diff
-                    blk[0, 0] = pred[ci]
-                    k = 1
-                    while k <= 63:
-                        rs = _jpeg_huff_decode(br, act)
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if rs == 0xF0:
-                                k += 16
-                                continue
-                            break
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC index overflow")
-                        z = _JPEG_ZIGZAG[k]
-                        blk[z >> 3, z & 7] = _jpeg_extend(br.read_bits(s), s)
-                        k += 1
+    if arith:
+        # sequential arithmetic (SOF9): QM decode with per-TABLE stats
+        # and per-COMPONENT DC conditioning; restarts reset the coder,
+        # the statistics, and the DC states (F.2.4)
+        from sparkga1_spark.operators import jpeg_arith as _JA
+
+        def _fresh_arith():
+            return (
+                {td: bytearray(_JA.DC_STAT_BINS) for td, _ta, _q in tables},
+                {ta: bytearray(_JA.AC_STAT_BINS) for _td, ta, _q in tables},
+                _JA.new_fixed_bin(),
+                [_JA.DCState() for _ in comps],
+            )
+
+        dcs, acs, fixed, dstates = _fresh_arith()
+        dec = _JA.QMDecoder(segs[0])
+        seg_idx = 0
+        for mi in range(mcux * mcuy):
+            if dri and mi and mi % dri == 0:
+                seg_idx += 1
+                dec = _JA.QMDecoder(segs[seg_idx])
+                dcs, acs, fixed, dstates = _fresh_arith()
+            my, mx = divmod(mi, mcux)
+            for ci, (_, hs, vs, _) in enumerate(comps):
+                td, ta, _q = tables[ci]
+                L, U = arith_dc.get(td, (0, 1))
+                Kx = arith_ac.get(ta, 5)
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = coefs[ci][my * vs + by, mx * hs + bx]
+                        blk[0, 0] = _JA.dc_decode(
+                            dec, dcs[td], dstates[ci], L, U
+                        )
+                        _JA.ac_decode(
+                            dec, acs[ta], fixed, Kx,
+                            blk.reshape(64), _JPEG_ZIGZAG,
+                        )
+    else:
+        pred = [0] * len(comps)
+        br = readers[0]
+        seg_idx = 0
+        for mi in range(mcux * mcuy):
+            if dri and mi and mi % dri == 0:
+                seg_idx += 1
+                br = readers[seg_idx]
+                pred = [0] * len(comps)
+            my, mx = divmod(mi, mcux)
+            for ci, (_, hs, vs, _) in enumerate(comps):
+                dct, act = huff[(0, tables[ci][0])], huff[(1, tables[ci][1])]
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = coefs[ci][my * vs + by, mx * hs + bx]
+                        t = _jpeg_huff_decode(br, dct)
+                        if t > 11:
+                            raise ValueError("bad DC category")
+                        diff = _jpeg_extend(br.read_bits(t), t) if t else 0
+                        pred[ci] += diff
+                        blk[0, 0] = pred[ci]
+                        k = 1
+                        while k <= 63:
+                            rs = _jpeg_huff_decode(br, act)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if rs == 0xF0:
+                                    k += 16
+                                    continue
+                                break
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            z = _JPEG_ZIGZAG[k]
+                            blk[z >> 3, z & 7] = _jpeg_extend(
+                                br.read_bits(s), s
+                            )
+                            k += 1
 
     m = _jpeg_dct_matrix()
     planes = []
@@ -3350,10 +3913,15 @@ def plant_jpeg_real_payloads(df: DataFrame, *, text_col: str = "text") -> DataFr
     The color arm rotates layout by id: ids %8==1 are 4:2:0
     SUBSAMPLED (r9 — constant-128 chroma box-means to itself, so
     subsampling stays exactly lossless on gray tiles), ids %8==5 are
-    4:4:4 with restart_interval=2. The same oracle row thus certifies
-    every decode layout — baseline, progressive, successive
-    approximation, subsampled progressive, restart intervals — at
-    zero gate-window cost (the PNG/GIF interlace precedent)."""
+    4:4:4 with restart_interval=2. ids %4==2 are ARITHMETIC-coded
+    (r10 — the T.81 QM coder of operators/jpeg_arith.py, entropy
+    bytes byte-identical to libjpeg's): %8==2 sequential SOF9 + DAC,
+    %8==6 PROGRESSIVE SOF10 with full successive approximation and a
+    restart interval. The same oracle row thus certifies every
+    decode layout — baseline, progressive, successive approximation,
+    subsampled progressive, restart intervals, sequential AND
+    progressive arithmetic — at zero gate-window cost (the PNG/GIF
+    interlace precedent)."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3380,6 +3948,19 @@ def plant_jpeg_real_payloads(df: DataFrame, *, text_col: str = "text") -> DataFr
                     blob = build_jpeg_progressive(
                         img, restart_interval=2 if d % 8 == 7 else 0
                     )
+                elif d % 4 == 2:
+                    # r10: ARITHMETIC entropy coding (T.81 QM coder) —
+                    # ids %8==2 sequential (SOF9 + DAC), ids %8==6
+                    # PROGRESSIVE arithmetic (SOF10) with the full
+                    # successive-approximation script AND a restart
+                    # interval; flat blocks stay exactly lossless, so
+                    # the closed-form oracle is untouched
+                    if d % 8 == 6:
+                        blob = build_jpeg_arith_progressive(
+                            img, successive=True, restart_interval=2
+                        )
+                    else:
+                        blob = build_jpeg_arith(img)
                 else:
                     blob = build_jpeg_baseline(img)
                 out.append((doc_id, blob))

@@ -106,11 +106,13 @@ def _seti(buf, off, v):
     )[0] = v
 
 
-def compress(px, *, quality: int = 100, arith: bool = True) -> bytes:
+def compress(px, *, quality: int = 100, arith: bool = True,
+             progressive: bool = False) -> bytes:
     """uint8 HxW (gray) or HxWx3 (RGB) → JPEG bytes via libjpeg.
     quality=100 + force_baseline=False gives all-ones quant tables
     (the flat-block-lossless fixture convention); arith=True writes
-    SOF9 arithmetic-coded streams."""
+    arithmetic-coded streams; progressive=True applies libjpeg's
+    jpeg_simple_progression scan script (SOF2, or SOF10 with arith)."""
     import numpy as np
 
     lj = _lib()
@@ -142,6 +144,9 @@ def compress(px, *, quality: int = 100, arith: bool = True) -> bytes:
         ]
         lj.jpeg_set_quality(cinfo, quality, 0)
         _seti(cinfo, _C_ARITH_CODE, 1 if arith else 0)
+        if progressive:
+            lj.jpeg_simple_progression.argtypes = [ctypes.c_void_p]
+            lj.jpeg_simple_progression(cinfo)
         lj.jpeg_start_compress.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lj.jpeg_start_compress(cinfo, 1)
         lj.jpeg_write_scanlines.argtypes = [

@@ -161,37 +161,35 @@ def test_gate_order_fronts_unproven_queries():
     qs = list(all_queries())
     first50 = set(qs[:50])
     must_have_row = {
-        # round 9 drains the last pre-r5 rows and fronts the round's
-        # changes (see the set_gate_order comment in plans/queries.py):
-        # (a) all 25 round-4-age rows (CORRECTNESS artifact union)
-        "x_ann_pq_adc_topk", "x_blocklist_suffix_match",
-        "x_boilerplate_shingles", "x_chunk_overlap", "x_corr_exact",
-        "x_decontaminate_overlap", "x_dedup_exact", "x_dedup_simhash",
-        "x_dedup_url_canonical", "x_embedding_neardup",
-        "x_entropy_per_doc", "x_funnel_conversion", "x_gapfill_locf",
-        "x_inverted_index", "x_multimodal_decode",
-        "x_multimodal_jpeg_meta", "x_multimodal_png_decode",
-        "x_pack_context_windows", "x_per_source_cap", "x_pq_encode",
-        "x_quality_quantile_filter", "x_scd2_intervals",
-        "x_simhash_hamming_pairs", "x_string_agg_sorted",
-        "x_vocab_oov_rate",
-        # (b) changed this round: the new ivfpq registration, the
-        # plane-code webp planter, the _ivf_scored refactor, the tfidf
-        # span-dup rewrite, and the scalar_subq conversions
-        # (x_pipe_external_tool displaced by the 50-cap — rationale in
-        # the set_gate_order comment)
-        "x_ann_ivfpq_topk", "x_multimodal_webp_decode",
-        "x_multimodal_jpeg_decode",  # second-session fixture change
-        "x_ann_ivf_topk", "x_tfidf_top_terms", "p2_skew_detect",
-        "pipeline_end_to_end",
-        "tpch_q15_top_supplier", "x_assoc_rules_lift",
-        "x_benford_digit_audit", "x_bigram_lm_logprob", "x_bigram_pmi",
-        "x_blackbox_variant_call", "x_bloom_fpr_audit", "x_bm25_topk",
-        "x_column_profile_histogram", "x_dau_wau_stickiness",
-        "x_dedup_cluster_size_hist", "x_drift_chi2", "x_drift_psi",
-        "x_dsir_importance", "x_heaps_vocab_growth",
-        "x_mix_temperature_weights", "x_revenue_gini_lorenz",
-        "x_unigram_logprob",
+        # round 10 steady-state rotation (see the set_gate_order
+        # comment in plans/queries.py):
+        # (a) all 44 round-5-age rows (CORRECTNESS artifact union)
+        "a_rollup_revenue", "f_permissive_line_parse",
+        "s_paired_interleave", "s_session_windows", "s_sliding_avg",
+        "s_tumbling_counts", "tpch_q17_small_quantity",
+        "tpch_q18_large_orders", "tpch_q19_disjunctive",
+        "tpch_q20_excess_stock", "tpch_q22_dormant_customers",
+        "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier", "tpch_q7_nation_volume",
+        "x_bpe_pair_counts", "x_curation_pipeline_v2",
+        "x_dedup_cc_clusters", "x_dedup_keep_canonical",
+        "x_dedup_minhash_lsh", "x_dq_expectations",
+        "x_event_transitions", "x_fk_orphan_audit",
+        "x_group_ols_trend", "x_incremental_dedup_triage",
+        "x_mad_outliers", "x_minhash_accuracy_audit",
+        "x_multimodal_audio_features", "x_multimodal_framesample",
+        "x_pareto_frontier", "x_pii_scrub",
+        "x_pivot_returnflag_matrix", "x_quality_linear_score",
+        "x_quality_repetition", "x_rfm_segmentation",
+        "x_rolling_zscore_anomaly", "x_rollup_chain_daily",
+        "x_semdedup_prune", "x_sessionize_gaps",
+        "x_set_similarity_join", "x_simhash_longdoc_pairs",
+        "x_span_dup_mass", "x_token_budget_sample",
+        "x_unpivot_metrics",
+        # (b) fixture-changed this round + the oldest r6-age rows
+        "x_multimodal_mp4_meta", "x_multimodal_mp4_demux",
+        "x_multimodal_jpeg_decode", "x_ab_conversion_ztest",
+        "x_bpe_encode_corpus", "x_bpe_train_merges",
     }
     missing = must_have_row - first50
     assert not missing, f"not in the driver's 50-query window: {missing}"
