@@ -296,7 +296,13 @@ def _ivf_scored(
         vectors.to_double(F.col(vec_col)).alias("_vd"),
         vectors.norm(F.col(vec_col), dim).alias("_vn"),
     )
-    use_np = vectorized if vectorized is not None else len(cent_rows) >= 64
+    # auto-switch threshold lowered 64→16 in r10: a same-session A/B at
+    # sf0.1 (k=40, 2000 vectors) measured the Arrow/numpy kernel at
+    # 1.4-1.5s steady-state vs 4.3-4.4s for the expression fold — the
+    # k-term dot-product expression's codegen cost dominates well below
+    # the old threshold, and the kernel is pinned bit-identical to the
+    # expression path (test_ivf_vectorized_matches_expression)
+    use_np = vectorized if vectorized is not None else len(cent_rows) >= 16
     if use_np:
         return tracked_persist(
             _ivf_assign_vectorized(base, cent_rows, id_col, nprobe)
