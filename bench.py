@@ -152,6 +152,12 @@ HEADLINE = [
     # IVF+PQ gate row (shared35/shared65 subsets are unaffected; the
     # headline only ever grows)
     "x_ann_ivfpq_topk",
+    # round 10: the multi-chunk stsc/stco/co64 MP4 demux — real new
+    # per-round work (the r10 feature) with no prior bench row; added
+    # AFTER this round's BENCH_LOCAL_r10 windows ran, so its first
+    # timing lands in the driver's BENCH_r10 (shared subsets and the
+    # round-over-round comparators are unaffected)
+    "x_multimodal_mp4_demux",
 ]
 
 # CONVENTION (r5 VERDICT #8, made permanent per r6 VERDICT #9): the
