@@ -216,3 +216,60 @@ def decompress(data: bytes):
     if comps == 1:
         return out.reshape(h, w), arith
     return out.reshape(h, w, comps), arith
+
+
+def transcode(data: bytes, *, arith: bool) -> bytes:
+    """LOSSLESS transcode (the jpegtran flow): read the source's DCT
+    coefficients with jpeg_read_coefficients, copy critical
+    parameters, and re-write them arithmetic- or Huffman-coded —
+    coefficient-identical twins of REAL photographic content for the
+    entropy-layer equivalence tests."""
+    lj = _lib()
+    src = ctypes.create_string_buffer(_D_SIZE)
+    ctypes.memmove(src, _err.to_bytes(8, "little"), 8)
+    lj.jpeg_CreateDecompress(src, 62, _D_SIZE)
+    dst = ctypes.create_string_buffer(_C_SIZE)
+    ctypes.memmove(dst, _err.to_bytes(8, "little"), 8)
+    lj.jpeg_CreateCompress(dst, 62, _C_SIZE)
+    try:
+        buf = ctypes.create_string_buffer(data, len(data))
+        lj.jpeg_mem_src.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_ulong,
+        ]
+        lj.jpeg_mem_src(src, buf, len(data))
+        lj.jpeg_read_header.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lj.jpeg_read_header(src, 1)
+        lj.jpeg_read_coefficients.argtypes = [ctypes.c_void_p]
+        lj.jpeg_read_coefficients.restype = ctypes.c_void_p
+        coefs = lj.jpeg_read_coefficients(src)
+        if not coefs:
+            raise JpegError("jpeg_read_coefficients failed")
+        outbuf = ctypes.c_void_p(0)
+        outsize = ctypes.c_ulong(0)
+        lj.jpeg_mem_dest.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lj.jpeg_mem_dest(dst, ctypes.byref(outbuf), ctypes.byref(outsize))
+        lj.jpeg_copy_critical_parameters.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lj.jpeg_copy_critical_parameters(src, dst)
+        _seti(dst, _C_ARITH_CODE, 1 if arith else 0)
+        _seti(dst, _C_OPTIMIZE_CODING, 0 if arith else 1)
+        lj.jpeg_write_coefficients.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lj.jpeg_write_coefficients(dst, ctypes.c_void_p(coefs))
+        lj.jpeg_finish_compress.argtypes = [ctypes.c_void_p]
+        lj.jpeg_finish_compress(dst)
+        lj.jpeg_finish_decompress.argtypes = [ctypes.c_void_p]
+        lj.jpeg_finish_decompress(src)
+        out = ctypes.string_at(outbuf.value, outsize.value)
+    finally:
+        lj.jpeg_destroy_compress.argtypes = [ctypes.c_void_p]
+        lj.jpeg_destroy_compress(dst)
+        lj.jpeg_destroy_decompress.argtypes = [ctypes.c_void_p]
+        lj.jpeg_destroy_decompress(src)
+        if 'outbuf' in dir() and outbuf.value:
+            ctypes.CDLL(None).free(ctypes.c_void_p(outbuf.value))
+    return out

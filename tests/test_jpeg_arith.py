@@ -317,3 +317,48 @@ def test_arith_bitflip_fuzz_never_crashes():
                     assert px.dtype.name == "uint8"
                 except ValueError:
                     pass
+
+
+@pytest.mark.skipif(not HAVE_LIBJPEG, reason="no libjpeg")
+def test_arith_foreign_photo_transcode_equivalence():
+    """Real-content validation at photographic scale (the foreign-
+    interop discipline): losslessly transcode the host's real-encoder
+    JPEGs (CPython / Rust-doc test images, incl. a 720x477 4:2:0
+    photo — thousands of MCUs of genuine AC statistics churn) into
+    coefficient-identical ARITHMETIC and HUFFMAN twins via libjpeg's
+    jpeg_read/write_coefficients, and demand the in-repo decodes of
+    the two twins are byte-identical rasters. Any QM-coder register,
+    statistics-bin, or conditioning defect desyncs within a few MCUs
+    and breaks the equality."""
+    import glob
+
+    import jpeg_interop as J
+
+    from sparkga1_spark.operators.multimodal import parse_jpeg
+
+    roots = [
+        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/**/*.jpg",
+        "/root/.rustup/**/*.jpeg",
+        "/usr/share/**/*.jpg",
+    ]
+    paths = sorted({p for r in roots for p in glob.glob(r, recursive=True)})[:8]
+    if not paths:
+        pytest.skip("no foreign JPEGs on this host")
+    checked = 0
+    for p in paths:
+        with open(p, "rb") as fh:
+            data = fh.read()
+        try:
+            ar = J.transcode(data, arith=True)
+            hf = J.transcode(data, arith=False)
+        except J.JpegError:
+            continue
+        assert b"\xff\xc9" in ar  # SOF9
+        try:
+            a = parse_jpeg(ar)[2]
+        except ValueError:
+            continue  # source geometry outside the decoder's claims
+        h = parse_jpeg(hf)[2]
+        assert np.array_equal(a, h), p
+        checked += 1
+    assert checked >= 4, "too few foreign transcodes validated"

@@ -3614,3 +3614,42 @@ def test_webp_animation_lossy_frames():
         10, 8, (255, 255, 255, 255),
     )
     assert np.array_equal(snaps[1][1], want[1])
+
+
+def test_mp4_mdat_before_moov_layout():
+    """The COMMON live-recording layout puts mdat BEFORE moov (the
+    muxer can't know the sample tables until recording ends). The box
+    walk must be order-independent: reordering a multi-chunk file to
+    ftyp+mdat+moov (with the stco offsets rebased for the move) must
+    demux to byte-identical samples."""
+    import struct
+
+    from sparkga1_spark.operators.multimodal import (
+        build_mp4_meta,
+        parse_mp4_samples,
+    )
+
+    sizes = [5, 17, 200, 1, 33, 9, 2, 40, 11]
+    b = build_mp4_meta(64, 48, sizes, sample_delta=25,
+                       chunks=[1, 4, 4], chunk_gap=6)
+    boxes, pos = [], 0
+    while pos < len(b):
+        sz = struct.unpack_from(">I", b, pos)[0]
+        boxes.append((b[pos + 4 : pos + 8], b[pos : pos + sz]))
+        pos += sz
+    ftyp = next(x for t, x in boxes if t == b"ftyp")
+    moov = next(x for t, x in boxes if t == b"moov")
+    mdat = next(x for t, x in boxes if t == b"mdat")
+    moov2 = bytearray(moov)
+    sc = moov2.find(b"stco")
+    n = struct.unpack_from(">I", moov2, sc + 8)[0]
+    for i in range(n):
+        off = sc + 12 + 4 * i
+        v = struct.unpack_from(">I", moov2, off)[0]
+        struct.pack_into(">I", moov2, off, v - len(moov))
+    reordered = ftyp + mdat + bytes(moov2)
+    got = parse_mp4_samples(reordered)
+    ref = parse_mp4_samples(b)
+    assert [(i, t, bytes(x)) for i, t, x in got] == [
+        (i, t, bytes(x)) for i, t, x in ref
+    ]
