@@ -106,8 +106,14 @@ def _seti(buf, off, v):
     )[0] = v
 
 
+_C_ARITH_DC_U = 208
+_C_ARITH_AC_K = 224
+_C_RESTART_INTERVAL = 280
+
+
 def compress(px, *, quality: int = 100, arith: bool = True,
-             progressive: bool = False) -> bytes:
+             progressive: bool = False, dc_U: int | None = None,
+             ac_K: int | None = None, restart: int = 0) -> bytes:
     """uint8 HxW (gray) or HxWx3 (RGB) → JPEG bytes via libjpeg.
     quality=100 + force_baseline=False gives all-ones quant tables
     (the flat-block-lossless fixture convention); arith=True writes
@@ -144,6 +150,17 @@ def compress(px, *, quality: int = 100, arith: bool = True,
         ]
         lj.jpeg_set_quality(cinfo, quality, 0)
         _seti(cinfo, _C_ARITH_CODE, 1 if arith else 0)
+        base = ctypes.addressof(cinfo)
+        if dc_U is not None:  # non-default DAC conditioning (v6b layout)
+            for t in range(2):
+                ctypes.cast(base + _C_ARITH_DC_U + t,
+                            ctypes.POINTER(ctypes.c_uint8))[0] = dc_U
+        if ac_K is not None:
+            for t in range(2):
+                ctypes.cast(base + _C_ARITH_AC_K + t,
+                            ctypes.POINTER(ctypes.c_uint8))[0] = ac_K
+        if restart:
+            _seti(cinfo, _C_RESTART_INTERVAL, restart)
         if progressive:
             lj.jpeg_simple_progression.argtypes = [ctypes.c_void_p]
             lj.jpeg_simple_progression(cinfo)

@@ -362,3 +362,30 @@ def test_arith_foreign_photo_transcode_equivalence():
         assert np.array_equal(a, h), p
         checked += 1
     assert checked >= 4, "too few foreign transcodes validated"
+
+
+@pytest.mark.skipif(not HAVE_LIBJPEG, reason="no libjpeg")
+def test_arith_libjpeg_custom_conditioning_and_restarts():
+    """DAC conditioning and restart handling validated against the
+    REAL encoder (not just the in-repo mirror): libjpeg streams with
+    NON-DEFAULT conditioning (dc_U=2, ac_K=10 — written into the DAC
+    and driving different context selections) and with every restart
+    interval in {1,2,7} (coder + statistics + DC-state resets at each
+    RSTn) must decode exactly."""
+    import jpeg_interop as J
+
+    from sparkga1_spark.operators.multimodal import parse_jpeg
+
+    rng = np.random.default_rng(21)
+    tile = _flat(rng, 3, 4)
+    b = J.compress(tile, quality=100, arith=True, dc_U=2, ac_K=10)
+    dac = b.find(b"\xff\xcc")
+    body = b[dac + 4 : dac + 2 + int.from_bytes(b[dac + 2 : dac + 4], "big")]
+    assert body[1] == 0x20 and body[3] == 10  # U=2/L=0, Kx=10 on the wire
+    assert np.array_equal(_gray(parse_jpeg(b)[2]), tile)
+
+    tile = _flat(rng, 4, 5)
+    for ri in (1, 2, 7):
+        b = J.compress(tile, quality=100, arith=True, restart=ri)
+        assert any(bytes([0xFF, 0xD0 + i]) in b for i in range(8))
+        assert np.array_equal(_gray(parse_jpeg(b)[2]), tile), ri
