@@ -24,11 +24,12 @@ read order — VP8L is now decoded in FULL with zero refusals beyond
 genuinely invalid streams; see the VP8L section). JPEG's DCT family
 is fully real too: baseline AND progressive, 4:4:4 AND subsampled,
 successive approximation, DRI/RSTn restart intervals in both frame
-types (r9), and — r10 — SEQUENTIAL ARITHMETIC (SOF9 + DAC, the T.81
-Annex D/F QM coder in operators/jpeg_arith.py, validated bit-exact
-BOTH ways against the system libjpeg). The residue — video (MP4) and
-the JPEG variants still refused (12-bit, lossless/hierarchical,
-progressive-arithmetic SOF10) — tries the library (PIL / soundfile /
+types (r9), and — r10 — the ENTIRE ARITHMETIC family: SEQUENTIAL
+(SOF9 + DAC) and PROGRESSIVE (SOF10, full successive approximation),
+both via the T.81 Annex D/F QM coder in operators/jpeg_arith.py,
+validated bit-exact BOTH ways against the system libjpeg. The
+residue — video (MP4) and the JPEG variants still refused (12-bit,
+lossless/hierarchical) — tries the library (PIL / soundfile /
 av) behind an import-guard; absent that it uses a clearly-marked
 DETERMINISTIC FAKE derived from the payload's md5, so pipelines stay
 testable end-to-end and oracle-checkable. Lossy VP8 itself is now
@@ -933,10 +934,11 @@ def _decode_image_pixels(data: bytes):
         if data[:1] == b"\x0a" and len(data) >= 128 and data[2:3] == b"\x01":
             return parse_pcx(data)[2]
         if data[:2] == b"\xff\xd8":
-            # real decode (baseline/progressive/arithmetic); the
-            # refused variants (12-bit, lossless, SOF10) and the legacy
-            # header-only fixtures (which declare no AC Huffman table)
-            # raise and keep the documented fake path
+            # real decode (baseline/progressive/arithmetic incl.
+            # SOF9+SOF10); the refused variants (12-bit, lossless/
+            # hierarchical) and the legacy header-only fixtures (which
+            # declare no AC Huffman table) raise and keep the
+            # documented fake path
             return parse_jpeg(data)[2]
         if data[:4] in TIFF_MAGICS:
             return parse_tiff(data)[2]
@@ -2044,12 +2046,13 @@ def plant_pcx_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
 # shift, chroma upsampling (sampling factors 1-4, integer ratios —
 # 4:4:4/4:2:2/4:2:0 and beyond), the JFIF YCbCr→RGB matrix, and (r9)
 # PROGRESSIVE SOF2 scans — spectral selection, successive approximation,
-# EOB runs — and (r10) SEQUENTIAL ARITHMETIC SOF9 via the T.81 QM coder
-# (operators/jpeg_arith.py, bit-exact both ways vs libjpeg). Streams
-# outside that family (lossless SOF3, progressive-arithmetic SOF10,
-# 12-bit precision, fractional sampling ratios) raise ValueError and
-# fall through to the documented md5 FAKE, which after this section
-# covers ONLY video (MP4) and those refused JPEG variants.
+# EOB runs — and (r10) the ARITHMETIC family, both SEQUENTIAL SOF9 and
+# PROGRESSIVE SOF10, via the T.81 QM coder (operators/jpeg_arith.py,
+# bit-exact both ways vs libjpeg). Streams outside that family
+# (lossless SOF3, hierarchical, 12-bit precision, fractional sampling
+# ratios) raise ValueError and fall through to the documented md5
+# FAKE, which after this section covers ONLY video (MP4) and those
+# refused JPEG variants.
 #
 # The encoder exists for fixtures and tests (no codec library in this
 # image): standard Annex K Huffman tables, quality expressed directly
@@ -3156,14 +3159,15 @@ def parse_jpeg(data: bytes):
     EOB runs), and (r9) DRI/RSTn restart intervals — counted in MCUs
     for interleaved scans and blocks for single-component ones, each
     restart byte-aligning, resetting DC predictions, and refusing a
-    pending EOB run at the boundary. SEQUENTIAL ARITHMETIC (SOF9 +
-    DAC) decodes for real as of r10 via the T.81 Annex D/F QM coder
-    (operators/jpeg_arith.py — per-table statistics bins, F.1.4.4
-    DC/AC models, restart resets; validated bit-exact both ways
-    against libjpeg). Raises ValueError for the rest (12-bit,
-    lossless/hierarchical, progressive-arithmetic SOF10, fractional
-    sampling ratios) — callers fall through to the documented fake,
-    keeping legacy header-only fixtures byte-stable."""
+    pending EOB run at the boundary. The ARITHMETIC family decodes
+    for real as of r10 — SEQUENTIAL (SOF9 + DAC) and PROGRESSIVE
+    (SOF10, full successive approximation) — via the T.81 Annex D/F
+    QM coder (operators/jpeg_arith.py — per-table statistics bins,
+    F.1.4.4 DC/AC and G.2 progressive models, restart resets;
+    validated bit-exact both ways against libjpeg). Raises ValueError
+    for the rest (12-bit, lossless/hierarchical, fractional sampling
+    ratios) — callers fall through to the documented fake, keeping
+    legacy header-only fixtures byte-stable."""
     import struct
 
     import numpy as np

@@ -3799,13 +3799,14 @@ def x_multimodal_jpeg_decode(spark, sf_dir):
     Annex D/F QM coder in operators/jpeg_arith.py, whose entropy
     bytes are byte-identical to libjpeg's for the same coefficients
     and which decodes real libjpeg streams bit-exact —
-    tests/test_jpeg_arith.py; ids %8==6 with restart intervals).
+    tests/test_jpeg_arith.py; ids %8==2 sequential SOF9, ids %8==6
+    PROGRESSIVE arithmetic SOF10 with successive approximation and
+    restart intervals — both decoded for REAL as of r10).
     Baseline 4:4:4/4:2:2/4:2:0 color with RSTn restarts is pinned by
     foreign real-encoder JPEGs (CPython / Rust-doc test images) in
     tests/test_multimodal_bytes.py. The md5 FAKE branch now covers
     only video (MP4) and the JPEG variants that remain honestly
-    refused (12-bit, lossless/hierarchical, progressive-arithmetic
-    SOF10)."""
+    refused (12-bit, lossless/hierarchical)."""
     from sparkga1_spark.operators.multimodal import (
         decode_image_stats,
         plant_jpeg_real_payloads,
