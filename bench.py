@@ -177,6 +177,126 @@ HEADLINE = [
 # being measured) and is visible, not hidden, in the published spread.
 
 
+# --- host-state probes (r10 VERDICT #2: the official bench runs on a
+# host the builder doesn't control, and three rounds re-litigated
+# whether inflation was code or contention — so the artifact itself now
+# carries per-query evidence). /proc/stat gives whole-host CPU time;
+# the subtree walk gives CPU burned by THIS bench (python driver + the
+# JVM + pyspark workers); the difference is foreign CPU — other
+# processes competing for the cores during the timed window. ---
+
+
+def _proc_stat():
+    """First /proc/stat line → (user,nice,system,idle,iowait,irq,
+    softirq,steal) jiffies summed over all CPUs."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    return [int(x) for x in parts[1:9]]
+
+
+def _tree_cpu() -> int:
+    """utime+stime jiffies summed over this process's /proc subtree,
+    plus cutime+cstime of live members (reaped descendants counted
+    exactly once; zombies via their own utime). Short-lived workers
+    that die AND get reaped by init between probes are lost, so
+    foreign CPU derived from this is an upper bound."""
+    me = os.getpid()
+    procs: dict[int, tuple[int, int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat", "rb") as f:
+                raw = f.read()
+        except OSError:
+            continue
+        fields = raw[raw.rfind(b")") + 2:].split()
+        if len(fields) < 15:
+            continue
+        cpu = int(fields[11]) + int(fields[12]) + int(fields[13]) + int(fields[14])
+        procs[int(d)] = (int(fields[1]), cpu)
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _c) in procs.items():
+        kids.setdefault(ppid, []).append(pid)
+    total = 0
+    stack = [me]
+    while stack:
+        p = stack.pop()
+        if p in procs:
+            total += procs[p][1]
+        stack.extend(kids.get(p, []))
+    return total
+
+
+def _load1() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def _host_probe():
+    return (_proc_stat(), _tree_cpu(), _load1())
+
+
+# contamination thresholds: >10% of the window's CPU burned by foreign
+# processes, or >5% lost to steal/iowait, marks the sample as measured
+# under contention (the spread heuristic applied by hand in r9/r10,
+# now data in the artifact)
+_FOREIGN_FRAC_MAX = 0.10
+_STEAL_IOWAIT_MAX = 0.05
+
+
+def _host_delta(before, after):
+    (s0, t0, l0), (s1, t1, l1) = before, after
+    d = [b - a for a, b in zip(s0, s1)]
+    user, nice, system, idle, iowait, irq, softirq, steal = d
+    busy = user + nice + system + irq + softirq + steal
+    total = busy + idle + iowait
+    foreign = max(0, busy - (t1 - t0))
+    ff = round(foreign / total, 4) if total else 0.0
+    si = round((steal + iowait) / total, 4) if total else 0.0
+    return {
+        "load1_before": l0,
+        "load1_after": l1,
+        "host_busy_frac": round(busy / total, 4) if total else 0.0,
+        "foreign_cpu_frac": ff,
+        "steal_iowait_frac": si,
+        "contaminated": ff > _FOREIGN_FRAC_MAX or si > _STEAL_IOWAIT_MAX,
+    }
+
+
+def _prev_cold():
+    """Previous round's cold_first_run numbers, read from the newest
+    committed bench artifact at runtime (the r10 ADVICE: hardcoded
+    comparators silently go stale). Handles both the local shape
+    (top-level cold_first_run) and the driver shape (under 'parsed')."""
+    import glob
+    import re
+
+    best: tuple[dict, str | None, int] = ({}, None, -1)
+    for path in glob.glob(os.path.join(_REPO, "BENCH*_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        if rnd <= best[2]:
+            continue
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except Exception:
+            continue
+        if not isinstance(doc, dict):
+            continue
+        cold = doc.get("cold_first_run") or (
+            (doc.get("parsed") or {}).get("cold_first_run")
+            if isinstance(doc.get("parsed"), dict)
+            else None
+        )
+        if cold:
+            best = (cold, os.path.basename(path), rnd)
+    return best[0], best[1]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -221,20 +341,22 @@ def main() -> None:
     COLD_FIRST_RUN = {"s_crawl_ingest_incremental", "x_incremental_dedup_bucketed"}
     # r9 VERDICT #8: print the previous round's cold numbers alongside
     # this round's, so an ingest-path regression is a number, not a
-    # note (values from BENCH_LOCAL_r9.json / BENCH_r09 cold_first_run)
-    COLD_PREV_ROUND = {
-        "s_crawl_ingest_incremental": 12.893,
-        "x_incremental_dedup_bucketed": 2.839,
-    }
+    # note. Read from the newest committed bench artifact at runtime
+    # (r10 ADVICE: a hardcoded comparator silently goes stale).
+    COLD_PREV_ROUND, cold_prev_src = _prev_cold()
+    host: dict[str, dict] = {}  # per-query host-state evidence
     total = 0.0
     for name in HEADLINE:
         runs = []
+        run_host = []
         try:
             for _ in range(3):
                 release_tracked()  # each run re-materializes its own caches
+                hp0 = _host_probe()
                 t0 = time.time()
                 n = queries[name](spark, sf_dir).count()
                 runs.append(time.time() - t0)
+                run_host.append(_host_delta(hp0, _host_probe()))
         except Exception as e:  # noqa: BLE001
             # one broken query must not discard the whole bench after
             # the long warm-up — record it and keep timing the rest
@@ -246,9 +368,18 @@ def main() -> None:
         if name in COLD_FIRST_RUN:
             cold_first[name] = round(runs[0], 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+        host[name] = {
+            "load1_before": run_host[0]["load1_before"],
+            "load1_after": run_host[-1]["load1_after"],
+            "foreign_cpu_frac": [r["foreign_cpu_frac"] for r in run_host],
+            "steal_iowait_frac": max(r["steal_iowait_frac"] for r in run_host),
+            "contaminated": any(r["contaminated"] for r in run_host),
+        }
         total += med
+        flag = " CONTAMINATED" if host[name]["contaminated"] else ""
         print(
-            f"# {name}: {med:.2f}s [{min(runs):.2f}-{max(runs):.2f}] ({n} rows)",
+            f"# {name}: {med:.2f}s [{min(runs):.2f}-{max(runs):.2f}]"
+            f" ({n} rows){flag}",
             file=sys.stderr,
         )
 
@@ -268,6 +399,8 @@ def main() -> None:
         if all(n in times for n in HEADLINE[:65])
         else None
     )
+    n_contam = sum(1 for v in host.values() if v["contaminated"])
+    contam_names = sorted(k for k, v in host.items() if v["contaminated"])
     print(
         json.dumps(
             {
@@ -282,6 +415,9 @@ def main() -> None:
                 "shared65": shared65,
                 "cold_first_run": cold_first,
                 "cold_first_run_prev": COLD_PREV_ROUND,
+                "cold_prev_source": cold_prev_src,
+                "host": host,
+                "n_contaminated": n_contam,
                 **({"errors": errors} if errors else {}),
             }
         )
@@ -302,6 +438,9 @@ def main() -> None:
                 "shared65": shared65,
                 "cold_first_run": cold_first,
                 "cold_first_run_prev": COLD_PREV_ROUND,
+                "cold_prev_source": cold_prev_src,
+                "n_contaminated": n_contam,
+                "contaminated_queries": contam_names,
                 "sf": sf,
             }
         )

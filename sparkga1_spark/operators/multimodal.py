@@ -27,9 +27,15 @@ successive approximation, DRI/RSTn restart intervals in both frame
 types (r9), and — r10 — the ENTIRE ARITHMETIC family: SEQUENTIAL
 (SOF9 + DAC) and PROGRESSIVE (SOF10, full successive approximation),
 both via the T.81 Annex D/F QM coder in operators/jpeg_arith.py,
-validated bit-exact BOTH ways against the system libjpeg. The
-residue — video (MP4) and the JPEG variants still refused (12-bit,
-lossless/hierarchical) — tries the library (PIL / soundfile /
+validated bit-exact BOTH ways against the system libjpeg. As of r11
+LOSSLESS SOF3 (Annex H spatial predictors 1-7, point transform,
+restarts, any precision 2-16) and 12-BIT extended sequential SOF1
+decode for real too — the system libjpeg is the 8-bit v6b ABI and
+cannot oracle either, so their pins are hand-built known-answer
+streams plus the lossless contract itself (tests). The residue —
+video (MP4) and the JPEG variants still refused (hierarchical,
+arithmetic-lossless SOF11, 12-bit progressive/arithmetic) — tries
+the library (PIL / soundfile /
 av) behind an import-guard; absent that it uses a clearly-marked
 DETERMINISTIC FAKE derived from the payload's md5, so pipelines stay
 testable end-to-end and oracle-checkable. Lossy VP8 itself is now
@@ -935,10 +941,10 @@ def _decode_image_pixels(data: bytes):
             return parse_pcx(data)[2]
         if data[:2] == b"\xff\xd8":
             # real decode (baseline/progressive/arithmetic incl.
-            # SOF9+SOF10); the refused variants (12-bit, lossless/
-            # hierarchical) and the legacy header-only fixtures (which
-            # declare no AC Huffman table) raise and keep the
-            # documented fake path
+            # SOF9+SOF10, lossless SOF3, 12-bit SOF1); the refused
+            # variants (hierarchical, SOF11, 12-bit progressive) and
+            # the legacy header-only fixtures (which declare no AC
+            # Huffman table) raise and keep the documented fake path
             return parse_jpeg(data)[2]
         if data[:4] in TIFF_MAGICS:
             return parse_tiff(data)[2]
@@ -2048,11 +2054,12 @@ def plant_pcx_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
 # PROGRESSIVE SOF2 scans — spectral selection, successive approximation,
 # EOB runs — and (r10) the ARITHMETIC family, both SEQUENTIAL SOF9 and
 # PROGRESSIVE SOF10, via the T.81 QM coder (operators/jpeg_arith.py,
-# bit-exact both ways vs libjpeg). Streams outside that family
-# (lossless SOF3, hierarchical, 12-bit precision, fractional sampling
-# ratios) raise ValueError and fall through to the documented md5
-# FAKE, which after this section covers ONLY video (MP4) and those
-# refused JPEG variants.
+# bit-exact both ways vs libjpeg), and (r11) LOSSLESS SOF3 (Annex H
+# spatial prediction) and 12-BIT extended sequential SOF1. Streams
+# outside that family (hierarchical, arithmetic-lossless SOF11, 12-bit
+# progressive/arithmetic, fractional sampling ratios) raise ValueError
+# and fall through to the documented md5 FAKE, which after this
+# section covers ONLY video (MP4) and those refused JPEG variants.
 #
 # The encoder exists for fixtures and tests (no codec library in this
 # image): standard Annex K Huffman tables, quality expressed directly
@@ -2251,20 +2258,25 @@ def _rgb_to_ycbcr(px):
     return [y, cb, cr]
 
 
-def _ycbcr_planes_to_u8(planes):
-    """1 or 3 decoded float planes → HxWxC uint8 (gray passthrough or
-    the JFIF inverse matrix), the shared tail of both JPEG decode
-    paths (baseline and progressive)."""
+def _ycbcr_planes_to_u8(planes, prec: int = 8):
+    """1 or 3 decoded float planes → HxWxC integer array (gray
+    passthrough or the JFIF inverse matrix), the shared tail of both
+    JPEG decode paths (baseline and progressive). `prec` centers the
+    chroma axis and picks the dtype — uint8 for 8-bit, uint16 for the
+    12-bit extended-sequential path (r11)."""
     import numpy as np
 
+    dt = np.uint8 if prec <= 8 else np.uint16
+    maxv = (1 << prec) - 1
     if len(planes) == 1:
-        return planes[0].astype(np.uint8)[:, :, None]
+        return planes[0].astype(dt)[:, :, None]
+    half = float(1 << (prec - 1))
     y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - half)
+    g = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
+    b = y + 1.772 * (cb - half)
     rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, maxv).astype(dt)
 
 
 def _jpeg_prep_planes(px, sampling):
@@ -2434,6 +2446,241 @@ def build_jpeg_baseline(pixels, *, quant=None, restart_interval: int = 0,
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# Lossless difference categories 0..16 at a flat 5-bit code length
+# (17 codes fit; the all-ones pattern stays unused). Category 16 is
+# the no-extra-bits 32768 symbol (T.81 H.1.2.2) — the DCT alphabets
+# never need it, so lossless ships its own table.
+_JPEG_DC_LOSSLESS = (
+    (0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(17)),
+)
+
+
+def build_jpeg_lossless(pixels, *, predictor: int = 1,
+                        point_transform: int = 0, precision: int = 8,
+                        restart_interval: int = 0) -> bytes:
+    """HxW or HxWxC integer samples (< 2^precision) → REAL lossless
+    JPEG (SOF3, T.81 Annex H): spatial prediction (selector 1-7),
+    optional point transform (Al=Pt) and DRI/RSTn restarts (counted
+    in MCUs, resetting prediction), Huffman-coded mod-2^16
+    differences. All components 1x1-sampled, one interleaved scan.
+    Fixture/test encoder (no lossless-capable codec library exists in
+    this image — the system libjpeg.so.62 is the 8-bit v6b ABI and
+    REFUSES SOF3, see tests); the engine decodes with parse_jpeg.
+    decode(encode(x)) == (x >> Pt) << Pt exactly, for ANY content —
+    the lossless guarantee, unlike the flat-block-only exactness of
+    the DCT fixture convention."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.ndim != 3 or not (1 <= px.shape[2] <= 4):
+        raise ValueError("build_jpeg_lossless wants HxW or HxWxC")
+    if not (2 <= precision <= 16):
+        raise ValueError("precision must be 2..16")
+    if not (1 <= predictor <= 7):
+        raise ValueError("predictor must be 1..7")
+    if not (0 <= point_transform < precision):
+        raise ValueError("bad point transform")
+    h, w, ncomp = int(px.shape[0]), int(px.shape[1]), int(px.shape[2])
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if px.min() < 0 or px.max() >= (1 << precision):
+        raise ValueError("samples exceed declared precision")
+    planes = px.astype(np.int64) >> point_transform
+    default = 1 << (precision - point_transform - 1)
+    enc = _jpeg_encode_table(*_JPEG_DC_LOSSLESS)
+
+    bw = _JpegBitWriter()
+    chunks = []  # entropy chunks with restart markers interleaved
+    rst = 0
+    reset = [None] * ncomp  # mirrors the decoder's H.1.2.2 tracking
+    for ui in range(h * w):
+        if restart_interval and ui and ui % restart_interval == 0:
+            bw.flush()
+            chunks.append(bytes(bw.out))
+            chunks.append(bytes((0xFF, 0xD0 + rst)))
+            rst = (rst + 1) % 8
+            bw = _JpegBitWriter()
+            reset = [None] * ncomp
+        r, c = divmod(ui, w)
+        for ci in range(ncomp):
+            G = planes[:, :, ci]
+            rs = reset[ci]
+            if rs is None:
+                pred = default
+                reset[ci] = (r, c)
+            elif r == rs[0]:
+                pred = int(G[r, c - 1])
+            elif c == 0:
+                pred = int(G[r - 1, c])
+            else:
+                a = int(G[r, c - 1])
+                b = int(G[r - 1, c])
+                cc = int(G[r - 1, c - 1])
+                pred = (
+                    a, b, cc, a + b - cc, a + ((b - cc) >> 1),
+                    b + ((a - cc) >> 1), (a + b) >> 1,
+                )[predictor - 1]
+            diff = (int(G[r, c]) - pred) & 0xFFFF
+            if diff == 0x8000:
+                code, ln = enc[16]
+                bw.write(code, ln)
+                continue
+            if diff > 0x8000:
+                diff -= 0x10000
+            s, bits_val = _jpeg_category(diff)
+            code, ln = enc[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(bits_val, s)
+    bw.flush()
+    chunks.append(bytes(bw.out))
+    entropy = b"".join(chunks)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += seg(0xC3, sof)
+    out += seg(
+        0xC4,
+        bytes([0x00])
+        + bytes(_JPEG_DC_LOSSLESS[0])
+        + bytes(_JPEG_DC_LOSSLESS[1]),
+    )
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, point_transform])
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# 12-bit AC alphabet: runs 0..15 × sizes 1..14 (T.81 Table F.2 extends
+# AC magnitudes to 14 bits at 12-bit precision) plus EOB and ZRL — 226
+# symbols at a flat 8-bit code length (all-ones unused).
+_JPEG_AC_EXT12_SYMS = (
+    [0x00, 0xF0] + [(r << 4) | sz for r in range(16) for sz in range(1, 15)]
+)
+_JPEG_AC_EXT12 = (
+    (0, 0, 0, 0, 0, 0, 0, len(_JPEG_AC_EXT12_SYMS), 0, 0, 0, 0, 0, 0, 0, 0),
+    tuple(_JPEG_AC_EXT12_SYMS),
+)
+
+
+def build_jpeg_ext12(pixels, *, quant=None) -> bytes:
+    """HxW 12-bit grayscale samples (0..4095) → REAL extended
+    sequential JPEG (SOF1, precision 12): level shift 2048, all-ones
+    quant by default, DC differences in categories up to 15 and AC
+    magnitudes up to 14 bits (T.81 F.1.2 at 12-bit precision) on
+    flat 8-bit-length Huffman tables. Fixture/test encoder (the
+    system libjpeg.so.62 is compiled for BITS_IN_JSAMPLE=8 and cannot
+    produce or consume 12-bit streams); the engine decodes with
+    parse_jpeg. A planted image whose 8×8 blocks are CONSTANT is
+    exactly lossless through the real pipeline — the DC coefficient
+    8·(v−2048) is an exact integer in float64, quant ÷1 keeps it, and
+    the IDCT returns v on the nose — the same closed-form-oracle
+    convention as the 8-bit builders."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels)
+    if px.ndim != 2:
+        raise ValueError("build_jpeg_ext12 wants HxW grayscale")
+    h, w = int(px.shape[0]), int(px.shape[1])
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if px.min() < 0 or px.max() > 4095:
+        raise ValueError("samples exceed 12-bit range")
+    q = (
+        np.ones(64, dtype=np.int32)
+        if quant is None
+        else np.asarray(quant, np.int32).reshape(64)
+    )
+    if q.min() < 1 or q.max() > 255:
+        raise ValueError("quant entries must be 1..255")
+    q88 = q.reshape(8, 8)
+
+    m = _jpeg_dct_matrix()
+    nby, nbx = -(-h // 8), -(-w // 8)
+    padded = np.pad(
+        px.astype(np.float64), ((0, nby * 8 - h), (0, nbx * 8 - w)),
+        mode="edge",
+    )
+    blocks = (padded - 2048.0).reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ij,abjk,lk->abil", m, blocks, m)
+    qc = np.round(coef / q88).astype(np.int32)
+    np.clip(qc, -16383, 16383, out=qc)  # size-14 AC cap; DC re-derived
+    qc[:, :, 0, 0] = np.round(coef[:, :, 0, 0] / q88[0, 0]).astype(np.int32)
+
+    enc_dc = _jpeg_encode_table(*_JPEG_DC_LOSSLESS)
+    enc_ac = _jpeg_encode_table(*_JPEG_AC_EXT12)
+    bw = _JpegBitWriter()
+    pred = 0
+    zig = list(_JPEG_ZIGZAG)
+    for bi in range(nby * nbx):
+        by, bx = divmod(bi, nbx)
+        zz = qc[by, bx].flatten()[zig]
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        s, bits_val = _jpeg_category(diff)
+        code, ln = enc_dc[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(bits_val, s)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = enc_ac[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            s, bits_val = _jpeg_category(v)
+            code, ln = enc_ac[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(bits_val, s)
+            run = 0
+        if run:
+            code, ln = enc_ac[0x00]
+            bw.write(code, ln)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(q[i]) for i in _JPEG_ZIGZAG))
+    out += seg(0xC1, struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = (
+        bytes([0x00])
+        + bytes(_JPEG_DC_LOSSLESS[0])
+        + bytes(_JPEG_DC_LOSSLESS[1])
+        + bytes([0x10])
+        + bytes(_JPEG_AC_EXT12[0])
+        + bytes(_JPEG_AC_EXT12[1])
+    )
+    out += seg(0xC4, dht)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bytes(bw.out)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -3164,10 +3411,17 @@ def parse_jpeg(data: bytes):
     (SOF10, full successive approximation) — via the T.81 Annex D/F
     QM coder (operators/jpeg_arith.py — per-table statistics bins,
     F.1.4.4 DC/AC and G.2 progressive models, restart resets;
-    validated bit-exact both ways against libjpeg). Raises ValueError
-    for the rest (12-bit, lossless/hierarchical, fractional sampling
-    ratios) — callers fall through to the documented fake, keeping
-    legacy header-only fixtures byte-stable."""
+    validated bit-exact both ways against libjpeg). LOSSLESS SOF3
+    decodes for real as of r11 (Annex H: spatial predictors 1-7,
+    point transform, mod-2^16 differences with the category-16
+    symbol, restarts, multi-scan non-interleaved layouts, precision
+    2-16 — raw component planes out, no color transform), as does
+    12-BIT extended sequential SOF1 (level shift 2048, DC categories
+    to 15, uint16 output). Raises ValueError for the rest
+    (hierarchical, arithmetic-lossless SOF11, 12-bit progressive/
+    arithmetic, fractional sampling ratios) — callers fall through
+    to the documented fake, keeping legacy header-only fixtures
+    byte-stable."""
     import struct
 
     import numpy as np
@@ -3185,6 +3439,11 @@ def parse_jpeg(data: bytes):
     arith_ac: dict[int, int] = {}  # table id -> Kx
     pcoefs = None  # progressive: per-component (nby, nbx, 8, 8) buffers
     dc_seen = None  # progressive: per-component DC-scan-seen flags
+    lossless = False  # SOF3: spatial-predictor lossless (T.81 Annex H)
+    prec_bits = 8
+    lsamples = None  # lossless: per-component sample grids
+    ls_done = None  # lossless: per-component scan-decoded flags
+    ls_pt = None  # lossless: per-component point transform (Al)
     pos = 2
     n = len(data)
     while True:
@@ -3202,6 +3461,8 @@ def parse_jpeg(data: bytes):
         if marker == 0xD9:
             if progressive and dc_seen is not None and all(dc_seen):
                 break  # progression complete — reconstruct below
+            if lossless and ls_done is not None and all(ls_done):
+                break  # every component's scan decoded — reconstruct
             raise ValueError("EOI before scan data")
         if pos + 4 > n:
             raise ValueError("truncated JPEG segment")
@@ -3245,13 +3506,31 @@ def parse_jpeg(data: bytes):
                 i += 17 + cnt
             if i != len(body):
                 raise ValueError("trailing DHT bytes")
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
             progressive = marker in (0xC2, 0xCA)
             arith = marker in (0xC9, 0xCA)
+            lossless = marker == 0xC3
             prec, fh, fw, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
+            if lossless:
+                # T.81 Annex H frames carry any precision 2..16 —
+                # predictive coding, no DCT/quantization to generalize
+                if not (2 <= prec <= 16):
+                    raise ValueError("bad lossless precision")
+            elif prec == 12:
+                # r11: 12-bit DCT precision — EXTENDED SEQUENTIAL
+                # (SOF1) only: dequant/IDCT/level-shift generalize and
+                # the DC difference alphabet widens to category 15
+                # (T.81 Table F.1). 12-bit progressive/arithmetic stay
+                # refused: no fixture encoder exists for them, and an
+                # untested path must refuse rather than guess.
+                if marker != 0xC1:
+                    raise ValueError(
+                        "12-bit only for extended sequential (SOF1)"
+                    )
+            elif prec != 8:
                 raise ValueError("only 8-bit precision supported")
-            if ncomp not in (1, 3):
+            prec_bits = prec
+            if ncomp not in (1, 3) and not (lossless and 1 <= ncomp <= 4):
                 raise ValueError(f"unsupported component count {ncomp}")
             if fw <= 0 or fh <= 0 or len(body) != 6 + 3 * ncomp:
                 raise ValueError("bad SOF")
@@ -3271,12 +3550,13 @@ def parse_jpeg(data: bytes):
                 if any(hm % c[1] or vm % c[2] for c in comps):
                     raise ValueError("non-integer sampling ratio unsupported")
             frame = (fw, fh, comps)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             # the full DCT family (sequential/progressive x Huffman/
-            # arithmetic) is REAL as of r10; lossless and hierarchical
-            # frames stay refused
+            # arithmetic) is REAL as of r10 and spatial-predictor
+            # LOSSLESS (SOF3) as of r11; hierarchical frames and
+            # arithmetic-coded lossless (SOF11) stay refused
             raise ValueError(
-                "unsupported JPEG frame (lossless/hierarchical)"
+                "unsupported JPEG frame (hierarchical/arith-lossless)"
             )
         elif marker == 0xCC:
             # DAC: arithmetic conditioning (T.81 B.2.4.3)
@@ -3312,6 +3592,152 @@ def parse_jpeg(data: bytes):
             ns = body[0]
             if len(body) != 4 + 2 * ns:
                 raise ValueError("bad SOS length")
+            if lossless:
+                # --- SOF3 scan (r11, T.81 Annex H): each sample is a
+                # Huffman-coded DIFFERENCE (category 0-16; 16 = the
+                # no-extra-bits 32768 symbol) from a spatial predictor
+                # (Ss selects 1-7), computed mod 2^16 on the
+                # point-transformed (Al=Pt) values. Scan-start and
+                # restart rules per H.1.2.2: the reset sample predicts
+                # 2^(P-Pt-1), the remainder of its line predictor 1,
+                # the first sample of later lines predictor 2. ---
+                fw_, fh_, fcomps = frame
+                eff = (
+                    fcomps
+                    if len(fcomps) > 1
+                    else [(fcomps[0][0], 1, 1, fcomps[0][3])]
+                )
+                hmax_l = max(c[1] for c in eff)
+                vmax_l = max(c[2] for c in eff)
+                mcux_l = -(-fw_ // hmax_l)
+                mcuy_l = -(-fh_ // vmax_l)
+                cid2ci = {c[0]: i for i, c in enumerate(fcomps)}
+                scomps = []  # (component index, DC table id)
+                for si in range(ns):
+                    cs, tdta = body[1 + 2 * si : 3 + 2 * si]
+                    if cs not in cid2ci:
+                        raise ValueError("scan component absent from frame")
+                    scomps.append((cid2ci[cs], tdta >> 4))
+                if len({ci for ci, _td in scomps}) != ns:
+                    raise ValueError("duplicate component in scan")
+                sel = body[1 + 2 * ns]  # Ss = predictor selector
+                if not 1 <= sel <= 7:
+                    raise ValueError("bad lossless predictor")
+                if body[2 + 2 * ns] != 0:
+                    raise ValueError("lossless scan must have Se=0")
+                ahal = body[3 + 2 * ns]
+                if ahal >> 4:
+                    raise ValueError("lossless scan must have Ah=0")
+                pt = ahal & 15
+                if pt >= prec_bits:
+                    raise ValueError("point transform exceeds precision")
+                if lsamples is None:
+                    lsamples = [
+                        np.zeros((mcuy_l * vs, mcux_l * hs), np.int32)
+                        for _cid, hs, vs, _tq in eff
+                    ]
+                    ls_done = [False] * len(fcomps)
+                    ls_pt = [0] * len(fcomps)
+                for ci, _td in scomps:
+                    if ls_done[ci]:
+                        raise ValueError("component decoded twice")
+                tbls = []
+                for _ci, td in scomps:
+                    tbl = huff.get((0, td))
+                    if tbl is None:
+                        raise ValueError("missing Huffman table")
+                    tbls.append(tbl)
+                segs, endpos = _jpeg_split_entropy(data, pos + 2 + length)
+                if ns > 1:
+                    # interleaved: an MCU holds hs×vs SAMPLES per
+                    # component (T.81 H.2.1 — samples, not blocks)
+                    n_units = mcux_l * mcuy_l
+
+                    def unit_samples(ui):
+                        my, mx = divmod(ui, mcux_l)
+                        for si_, (ci_, _t) in enumerate(scomps):
+                            _c, hs_, vs_, _q = eff[ci_]
+                            for v_ in range(vs_):
+                                for u_ in range(hs_):
+                                    yield (
+                                        si_,
+                                        ci_,
+                                        my * vs_ + v_,
+                                        mx * hs_ + u_,
+                                    )
+                else:
+                    ci0 = scomps[0][0]
+                    _c0, hs0, vs0, _q0 = eff[ci0]
+                    gh0 = -(-fh_ * vs0 // vmax_l)
+                    gw0 = -(-fw_ * hs0 // hmax_l)
+                    n_units = gh0 * gw0
+
+                    def unit_samples(ui):
+                        yield 0, ci0, ui // gw0, ui % gw0
+
+                if dri:
+                    if len(segs) < -(-n_units // dri):
+                        raise ValueError("missing restart segment")
+                elif len(segs) != 1:
+                    raise ValueError("restart markers without DRI")
+                default = 1 << (prec_bits - pt - 1)
+                reset = [None] * ns  # (row, col) of each comp's reset
+                br = _JpegBitReader(segs[0])
+                seg_idx = 0
+                for ui in range(n_units):
+                    if dri and ui and ui % dri == 0:
+                        seg_idx += 1
+                        br = _JpegBitReader(segs[seg_idx])
+                        reset = [None] * ns
+                    for si, ci, r, c in unit_samples(ui):
+                        t = _jpeg_huff_decode(br, tbls[si])
+                        if t > 16:
+                            raise ValueError("bad lossless diff category")
+                        if t == 16:  # H.1.2.2: 32768, no appended bits
+                            diff = 32768
+                        elif t:
+                            diff = _jpeg_extend(br.read_bits(t), t)
+                        else:
+                            diff = 0
+                        G = lsamples[ci]
+                        rs = reset[si]
+                        if rs is None:
+                            px_ = default
+                            reset[si] = (r, c)
+                        elif r == rs[0]:
+                            px_ = int(G[r, c - 1])  # reset line: pred 1
+                        elif c == 0:
+                            px_ = int(G[r - 1, c])  # line start: pred 2
+                        else:
+                            a = int(G[r, c - 1])
+                            b = int(G[r - 1, c])
+                            cc = int(G[r - 1, c - 1])
+                            if sel == 1:
+                                px_ = a
+                            elif sel == 2:
+                                px_ = b
+                            elif sel == 3:
+                                px_ = cc
+                            elif sel == 4:
+                                px_ = a + b - cc
+                            elif sel == 5:
+                                px_ = a + ((b - cc) >> 1)
+                            elif sel == 6:
+                                px_ = b + ((a - cc) >> 1)
+                            else:
+                                px_ = (a + b) >> 1
+                        G[r, c] = (px_ + diff) & 0xFFFF
+                if seg_idx != len(segs) - 1:
+                    raise ValueError(
+                        "unconsumed restart segment in lossless scan"
+                    )
+                if br.pos < len(segs[seg_idx]) - 1:
+                    raise ValueError("unconsumed bytes in lossless scan")
+                for ci, _td in scomps:
+                    ls_done[ci] = True
+                    ls_pt[ci] = pt
+                pos = endpos
+                continue
             if not progressive:
                 if ns != len(frame[2]):
                     raise ValueError("scan/frame component mismatch")
@@ -3745,6 +4171,30 @@ def parse_jpeg(data: bytes):
 
     w, h, comps = frame
     _check_raster_size(w, h, "JPEG")
+    if lossless:
+        # predictive reconstruction is already the sample values —
+        # undo the point transform, crop the MCU padding, upsample
+        # subsampled components, and emit raw planes (T.81/JFIF define
+        # no color transform for lossless; components pass through)
+        eff = (
+            comps if len(comps) > 1 else [(comps[0][0], 1, 1, comps[0][3])]
+        )
+        hmax_l = max(c[1] for c in eff)
+        vmax_l = max(c[2] for c in eff)
+        maxv = (1 << prec_bits) - 1
+        planes = []
+        for ci, (_cid, hs, vs, _tq) in enumerate(eff):
+            cw = -(-w * hs // hmax_l)
+            ch = -(-h * vs // vmax_l)
+            plane = lsamples[ci][:ch, :cw].astype(np.int64) << ls_pt[ci]
+            plane = np.clip(plane, 0, maxv)
+            if hs != hmax_l or vs != vmax_l:
+                plane = np.repeat(
+                    np.repeat(plane, vmax_l // vs, 0), hmax_l // hs, 1
+                )
+            planes.append(plane[:h, :w])
+        dt = np.uint8 if prec_bits <= 8 else np.uint16
+        return w, h, np.stack(planes, axis=2).astype(dt)
     if progressive:
         m = _jpeg_dct_matrix()
         eff = (
@@ -3858,7 +4308,7 @@ def parse_jpeg(data: bytes):
                     for bx in range(hs):
                         blk = coefs[ci][my * vs + by, mx * hs + bx]
                         t = _jpeg_huff_decode(br, dct)
-                        if t > 11:
+                        if t > (11 if prec_bits == 8 else 15):
                             raise ValueError("bad DC category")
                         diff = _jpeg_extend(br.read_bits(t), t) if t else 0
                         pred[ci] += diff
@@ -3883,12 +4333,13 @@ def parse_jpeg(data: bytes):
 
     m = _jpeg_dct_matrix()
     planes = []
+    center = float(1 << (prec_bits - 1))
     for ci, (_, hs, vs, _) in enumerate(comps):
         deq = coefs[ci].astype(np.float64) * tables[ci][2]
-        spatial = np.einsum("ji,abjk,kl->abil", m, deq, m) + 128.0
+        spatial = np.einsum("ji,abjk,kl->abil", m, deq, m) + center
         nby, nbx = spatial.shape[:2]
         plane = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
-        plane = np.clip(np.round(plane), 0, 255)
+        plane = np.clip(np.round(plane), 0, (1 << prec_bits) - 1)
         cw = -(-w * hs // hmax)
         ch = -(-h * vs // vmax)
         plane = plane[:ch, :cw]
@@ -3896,7 +4347,7 @@ def parse_jpeg(data: bytes):
             plane = np.repeat(np.repeat(plane, vmax // vs, 0), hmax // hs, 1)
         planes.append(plane[:h, :w])
 
-    return w, h, _ycbcr_planes_to_u8(planes)
+    return w, h, _ycbcr_planes_to_u8(planes, prec_bits)
 
 
 def plant_jpeg_real_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
@@ -3921,11 +4372,16 @@ def plant_jpeg_real_payloads(df: DataFrame, *, text_col: str = "text") -> DataFr
     (r10 — the T.81 QM coder of operators/jpeg_arith.py, entropy
     bytes byte-identical to libjpeg's): %8==2 sequential SOF9 + DAC,
     %8==6 PROGRESSIVE SOF10 with full successive approximation and a
-    restart interval. The same oracle row thus certifies every
-    decode layout — baseline, progressive, successive approximation,
-    subsampled progressive, restart intervals, sequential AND
-    progressive arithmetic — at zero gate-window cost (the PNG/GIF
-    interlace precedent)."""
+    restart interval. As of r11 two %4==0 slots rotate further: ids
+    %16==0 are LOSSLESS SOF3 (spatial predictor (id//16)%7+1 — exact
+    on ANY content, so the closed form holds trivially) and ids
+    %16==4 are 12-BIT SOF1 (byte values in the 0..4095 range; flat
+    blocks exact, px_sum unchanged, decode dtype widens to uint16).
+    The same oracle row thus certifies every decode layout —
+    baseline, progressive, successive approximation, subsampled
+    progressive, restart intervals, sequential AND progressive
+    arithmetic, lossless, 12-bit — at zero gate-window cost (the
+    PNG/GIF interlace precedent)."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3965,6 +4421,20 @@ def plant_jpeg_real_payloads(df: DataFrame, *, text_col: str = "text") -> DataFr
                         )
                     else:
                         blob = build_jpeg_arith(img)
+                elif d % 16 == 0:
+                    # r11: LOSSLESS SOF3 — same tiled pixels, exact by
+                    # the codec's own contract (not just flat blocks);
+                    # the spatial predictor rotates with the id so the
+                    # row covers all seven over the corpus
+                    blob = build_jpeg_lossless(
+                        img, predictor=(d // 16) % 7 + 1
+                    )
+                elif d % 16 == 4:
+                    # r11: 12-bit EXTENDED SEQUENTIAL SOF1 — the byte
+                    # values land in 0..255 of the 0..4095 range and
+                    # flat blocks stay exactly lossless, so channels
+                    # and the closed-form px_sum are untouched
+                    blob = build_jpeg_ext12(img)
                 else:
                     blob = build_jpeg_baseline(img)
                 out.append((doc_id, blob))

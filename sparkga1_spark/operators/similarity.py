@@ -198,6 +198,29 @@ def _ivf_assign_vectorized(
 
 
 _CENTROID_MEMO: dict[tuple, list] = {}
+_CENTROID_MEMO_MAX = 32
+
+
+def _file_identities(files: tuple) -> tuple:
+    """file URI list → ((uri, size, mtime_ns), ...): content identity
+    for local files so an in-place rewrite under the same names misses
+    the memo. Non-file schemes (and stat failures) contribute
+    (uri, None, None) — path-only, as before."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    out = []
+    for uri in files:
+        size = mtime = None
+        p = urlparse(uri)
+        if p.scheme in ("", "file"):
+            try:
+                st = os.stat(unquote(p.path))
+                size, mtime = st.st_size, st.st_mtime_ns
+            except OSError:
+                pass
+        out.append((uri, size, mtime))
+    return tuple(out)
 
 
 def _collect_centroids(
@@ -210,12 +233,18 @@ def _collect_centroids(
     resolved input files and the selection arguments, but it re-ran on
     every query build — a fixed ~2s job per bench iteration at sf0.1
     with zero information gain. The memo key is (resolved input file
-    list, id/vec column, dim, the unresolved predicate expression
-    string); frames not backed by files (inputFiles() empty — in-memory
-    fixtures) skip the memo, so a rebuilt fixture can never read stale
-    centroids. The cached value is the k-sized model (a few KB), kept
-    for the session on purpose — `release_tracked()` frees executor
-    caches between queries and must NOT drop a driver-side model."""
+    list WITH per-file (size, mtime) for local files — r10 ADVICE: a
+    dataset rewritten in place under identical filenames must miss;
+    non-local URIs contribute path-only and rely on object-store
+    immutability), id/vec column, dim, and the unresolved predicate
+    expression string; frames not backed by files (inputFiles() empty —
+    in-memory fixtures) skip the memo, so a rebuilt fixture can never
+    read stale centroids. The cached value is the k-sized model (a few
+    KB), kept for the session on purpose — `release_tracked()` frees
+    executor caches between queries and must NOT drop a driver-side
+    model. The memo is bounded (oldest-inserted evicted past
+    _CENTROID_MEMO_MAX) so a long session cannot grow it without
+    limit."""
     key = None
     try:
         files = tuple(sorted(df.inputFiles()))
@@ -227,7 +256,14 @@ def _collect_centroids(
         files = ()
         plan_hash = None
     if files:
-        key = (files, plan_hash, id_col, vec_col, dim, str(centroid_pred))
+        key = (
+            _file_identities(files),
+            plan_hash,
+            id_col,
+            vec_col,
+            dim,
+            str(centroid_pred),
+        )
         hit = _CENTROID_MEMO.get(key)
         if hit is not None:
             return hit
@@ -244,6 +280,8 @@ def _collect_centroids(
     if not rows:
         raise ValueError("ivf: centroid_pred selected no rows")
     if key is not None:
+        while len(_CENTROID_MEMO) >= _CENTROID_MEMO_MAX:
+            _CENTROID_MEMO.pop(next(iter(_CENTROID_MEMO)))
         _CENTROID_MEMO[key] = rows
     return rows
 

@@ -3653,3 +3653,265 @@ def test_mp4_mdat_before_moov_layout():
     assert [(i, t, bytes(x)) for i, t, x in got] == [
         (i, t, bytes(x)) for i, t, x in ref
     ]
+
+
+def test_jpeg_lossless_roundtrip_all_predictors():
+    """SOF3 lossless (T.81 Annex H, r11): decode(encode(x)) == x
+    EXACTLY for arbitrary content — every predictor 1-7, gray and
+    3-component, point transform, DRI/RSTn restarts (incl. mid-line
+    resets), and 12/16-bit precision. No lossless-capable independent
+    codec exists in this image (the system libjpeg.so.62 is the 8-bit
+    v6b ABI; lossless only arrived in libjpeg-turbo 3.0), so the
+    oracle here is the lossless CONTRACT itself plus the hand-built
+    known-answer stream in test_jpeg_lossless_known_answer."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import (
+        build_jpeg_lossless,
+        parse_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    for pred in range(1, 8):
+        for pt, comps, dri in ((0, 1, 0), (0, 3, 0), (2, 1, 0), (0, 1, 5)):
+            shape = (13, 17) if comps == 1 else (13, 17, comps)
+            img = rng.integers(0, 256, shape, dtype=np.int64)
+            blob = build_jpeg_lossless(
+                img, predictor=pred, point_transform=pt, restart_interval=dri
+            )
+            w, h, px = parse_jpeg(blob)
+            want = (img >> pt) << pt
+            if want.ndim == 2:
+                want = want[:, :, None]
+            assert (w, h) == (17, 13)
+            assert px.dtype == np.uint8
+            assert (px.astype(np.int64) == want).all(), (pred, pt, comps, dri)
+
+    # 16-bit: mod-2^16 difference arithmetic exercised by full-range
+    # content (diffs wrap; category 16 = the no-extra-bits 32768)
+    img16 = rng.integers(0, 1 << 16, (9, 11), dtype=np.int64)
+    w, h, px = parse_jpeg(build_jpeg_lossless(img16, predictor=4, precision=16))
+    assert px.dtype == np.uint16
+    assert (px[:, :, 0].astype(np.int64) == img16).all()
+    # force the 32768 symbol explicitly: consecutive samples 0, 32768
+    imgx = np.array([[0, 32768, 0, 32768]])
+    w, h, px = parse_jpeg(build_jpeg_lossless(imgx, predictor=1, precision=16))
+    assert (px[:, :, 0].astype(np.int64) == imgx).all()
+
+    img12 = rng.integers(0, 4096, (8, 8), dtype=np.int64)
+    w, h, px = parse_jpeg(build_jpeg_lossless(img12, predictor=7, precision=12))
+    assert px.dtype == np.uint16
+    assert (px[:, :, 0].astype(np.int64) == img12).all()
+
+
+def test_jpeg_lossless_known_answer():
+    """Hand-assembled SOF3 stream (every byte written out from the
+    T.81 text, NOT via the encoder) must decode to the hand-predicted
+    samples; and the encoder must emit the hand-packed entropy bytes.
+    Image [[100,102],[103,101]], predictor 1, Pt 0: diffs are
+    -28 (cat 5, code 00101 bits 00011), +2 (cat 2, code 00010 bits
+    10), +3 (via predictor 2 at line start: 00010 bits 11), -2
+    (00010 bits 01) → packed 0x28 0xC5 0x0B 0x13."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import (
+        build_jpeg_lossless,
+        parse_jpeg,
+    )
+
+    dht = bytes([0x00]) + bytes(
+        (0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    ) + bytes(range(17))
+    stream = (
+        b"\xff\xd8"
+        + b"\xff\xc3" + (11).to_bytes(2, "big")  # SOF3, 1 comp, 2x2, P=8
+        + bytes([8]) + (2).to_bytes(2, "big") + (2).to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0])
+        + b"\xff\xc4" + (2 + len(dht)).to_bytes(2, "big") + dht
+        + b"\xff\xda" + (8).to_bytes(2, "big")
+        + bytes([1, 1, 0x00, 1, 0, 0])  # Ss=1 (predictor), Se=0, Pt=0
+        + bytes([0x28, 0xC5, 0x0B, 0x13])
+        + b"\xff\xd9"
+    )
+    w, h, px = parse_jpeg(stream)
+    assert (w, h) == (2, 2)
+    assert px[:, :, 0].tolist() == [[100, 102], [103, 101]]
+
+    blob = build_jpeg_lossless(np.array([[100, 102], [103, 101]]), predictor=1)
+    sos = blob.find(b"\xff\xda")
+    ln = int.from_bytes(blob[sos + 2 : sos + 4], "big")
+    assert blob[sos + 2 + ln : blob.rfind(b"\xff\xd9")] == bytes(
+        [0x28, 0xC5, 0x0B, 0x13]
+    )
+
+
+def test_jpeg_lossless_multiscan_and_refusals():
+    """Non-interleaved lossless (one SOS per component — the DNG-style
+    layout) decodes; malformed lossless scans and the still-refused
+    frame types raise ValueError (never the fake claiming real)."""
+    import numpy as np
+    import pytest
+
+    from sparkga1_spark.operators.multimodal import (
+        build_jpeg_lossless,
+        parse_jpeg,
+    )
+
+    # splice two single-component scans into one 2-component frame:
+    # per-scan prediction is independent, so each plane's entropy
+    # bytes equal its single-component encode's
+    rng = np.random.default_rng(11)
+    planes = [rng.integers(0, 256, (5, 7), dtype=np.int64) for _ in range(2)]
+    parts = []
+    for plane in planes:
+        blob = build_jpeg_lossless(plane, predictor=5)
+        sos = blob.find(b"\xff\xda")
+        parts.append(blob[sos : blob.rfind(b"\xff\xd9")])
+    dht = bytes([0x00]) + bytes(
+        (0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    ) + bytes(range(17))
+    sof = bytes([8]) + (5).to_bytes(2, "big") + (7).to_bytes(2, "big")
+    sof += bytes([2, 1, 0x11, 0, 2, 0x11, 0])
+    scan1 = bytearray(parts[0])
+    scan2 = bytearray(parts[1])
+    scan2[5] = 2  # second scan selects component id 2
+    stream = (
+        b"\xff\xd8"
+        + b"\xff\xc3" + (2 + len(sof)).to_bytes(2, "big") + sof
+        + b"\xff\xc4" + (2 + len(dht)).to_bytes(2, "big") + dht
+        + bytes(scan1)
+        + bytes(scan2)
+        + b"\xff\xd9"
+    )
+    w, h, px = parse_jpeg(stream)
+    assert (w, h) == (7, 5)
+    assert (px[:, :, 0].astype(np.int64) == planes[0]).all()
+    assert (px[:, :, 1].astype(np.int64) == planes[1]).all()
+
+    good = build_jpeg_lossless(np.arange(64).reshape(8, 8) * 2)
+    sos = good.find(b"\xff\xda")
+
+    bad = bytearray(good)
+    bad[sos + 7] = 0  # Ss=0: no predictor selected
+    with pytest.raises(ValueError, match="predictor"):
+        parse_jpeg(bytes(bad))
+
+    bad = bytearray(good)
+    bad[sos + 8] = 3  # Se must be 0 in lossless scans
+    with pytest.raises(ValueError, match="Se=0"):
+        parse_jpeg(bytes(bad))
+
+    bad = bytearray(good)
+    bad[sos + 9] = 9  # Pt >= precision
+    with pytest.raises(ValueError, match="point transform"):
+        parse_jpeg(bytes(bad))
+
+    # hierarchical and arithmetic-lossless frames remain refused
+    for marker in (0xC5, 0xC7, 0xCB, 0xCE):
+        bad = bytearray(good)
+        bad[good.find(b"\xff\xc3") + 1] = marker
+        with pytest.raises(ValueError, match="hierarchical|arith-lossless"):
+            parse_jpeg(bytes(bad))
+
+    # truncated entropy + EOI before all components decoded
+    with pytest.raises(ValueError, match="underrun|truncated|terminating"):
+        parse_jpeg(good[:-4])
+
+
+def test_jpeg_ext12_flat_exact_and_error_bounds():
+    """12-bit extended sequential (SOF1, r11): constant 8×8 blocks of
+    ANY 12-bit value round-trip EXACTLY (DC = 8·(v−2048) is an exact
+    float64 integer at quant 1 — the closed-form-oracle convention),
+    arbitrary content stays within 1 LSB of IDCT rounding, odd
+    dimensions pad/crop correctly, and the output dtype widens to
+    uint16. The system libjpeg (8-bit v6b ABI) can neither produce
+    nor consume 12-bit streams, so the oracle is the analytic flat-
+    block closed form plus the encoder/decoder error bound."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import (
+        build_jpeg_ext12,
+        parse_jpeg,
+        parse_jpeg_meta,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 4096, (3, 5))
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+    blob = build_jpeg_ext12(img)
+    assert parse_jpeg_meta(blob) == (40, 24, 1)
+    w, h, px = parse_jpeg(blob)
+    assert px.dtype == np.uint16
+    assert (px[:, :, 0].astype(np.int64) == img).all()
+    # closed form: px_sum = 64 * sum(vals)
+    assert int(px.sum(dtype=np.int64)) == 64 * int(vals.sum())
+
+    img = rng.integers(0, 4096, (13, 19))
+    w, h, px = parse_jpeg(build_jpeg_ext12(img))
+    assert (w, h) == (19, 13)
+    assert np.abs(px[:, :, 0].astype(np.int64) - img).max() <= 1
+
+    # a non-trivial quant table still decodes (values dequantized)
+    q = np.ones(64, dtype=np.int32)
+    q[0] = 16
+    flat = np.full((8, 8), 2048 + 16 * 7)  # DC multiple of quant step
+    w, h, px = parse_jpeg(build_jpeg_ext12(flat, quant=q))
+    assert (px[:, :, 0] == flat).all()
+
+
+def test_jpeg_ext12_refusals():
+    """12-bit claims only what is tested: SOF2/SOF9/SOF10 at 12-bit
+    refuse (no fixture encoder — untested paths must not guess), and
+    baseline SOF0 remains 8-bit-only per T.81."""
+    import numpy as np
+    import pytest
+
+    from sparkga1_spark.operators.multimodal import (
+        build_jpeg_ext12,
+        parse_jpeg,
+    )
+
+    good = build_jpeg_ext12(np.zeros((8, 8), dtype=int))
+    sof = good.find(b"\xff\xc1")
+    for marker in (0xC2, 0xC9, 0xCA):
+        bad = bytearray(good)
+        bad[sof + 1] = marker
+        with pytest.raises(ValueError, match="12-bit only"):
+            parse_jpeg(bytes(bad))
+    bad = bytearray(good)
+    bad[sof + 1] = 0xC0  # baseline frames are 8-bit by definition
+    with pytest.raises(ValueError, match="12-bit only"):
+        parse_jpeg(bytes(bad))
+
+
+def test_planter_rotation_includes_lossless_and_12bit_classes():
+    """plant_jpeg_real_payloads ids %16==0 carry SOF3 lossless and ids
+    %16==4 carry 12-bit SOF1 streams (r11) that decode exactly — the
+    gate row's closed-form oracle is unchanged because both classes
+    are exact on the tiled content."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import (
+        build_jpeg_ext12,
+        build_jpeg_lossless,
+        parse_jpeg,
+    )
+
+    # builder-level replica of the planter's %16==0 / %16==4 arms
+    for d, text in [(0, "hello"), (16, "predictor two"), (32, "third"),
+                    (4, "twelve bits"), (20, "wide gamut")]:
+        wb, hb = d % 5 + 1, d % 3 + 1
+        raw = text.encode()
+        vals = np.resize(np.frombuffer(raw, np.uint8), (hb, wb))
+        img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+        if d % 16 == 0:
+            blob = build_jpeg_lossless(img, predictor=(d // 16) % 7 + 1)
+            assert b"\xff\xc3" in blob
+        else:
+            blob = build_jpeg_ext12(img)
+            assert b"\xff\xc1" in blob and blob[blob.find(b"\xff\xc1") + 4] == 12
+        w, h, px = parse_jpeg(blob)
+        assert px.shape == (8 * hb, 8 * wb, 1)
+        assert int(px.astype(np.int64).sum()) == 64 * int(
+            vals.astype(np.int64).sum()
+        )
