@@ -12347,89 +12347,79 @@ def x_dedup_cluster_size_hist(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Gate priority (see registry.set_gate_order docstring). Round 10
-# runs the steady-state rotation (r9 VERDICT #3): the window is the
-# 44 round-5-age rows — the oldest driver coverage left after r9
-# drained everything pre-r5 — plus 6 slots split between this round's
-# fixture-changed rows and the oldest r6-age rows. After this window
-# nothing older than r6 remains. List regenerated from the
-# CORRECTNESS r1-r9 artifact union (44 r5-age, 43 r6-age — matches
-# the judge's independent recount). Rationale for each (b) slot and
-# for the three displaced r6-age rows is inline in the list below.
+# Gate priority (see registry.set_gate_order docstring). Round 11
+# runs the steady-state rotation (r10 VERDICT #1): the window is
+# regenerated mechanically by tools/rotation_union.py from the
+# CORRECTNESS r1-r10 artifact union (age histogram r6:39 r7:44 r8:40
+# r9:49 r10:50, zero never-green) — ALL 39 r6-age rows (the oldest
+# driver coverage left) plus the oldest r7-age rows, with this
+# round's fixture-changed row swapped in first (the r9/r10
+# precedent). After this window nothing older than r7 remains.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
 
 set_gate_order([
-    # (a) ALL 44 round-5-age rows (CORRECTNESS r1-r9 union, recomputed
-    # this round from the artifacts per the r7/r8 convention),
-    # alphabetical — after this window nothing older than r6 remains
-    "a_rollup_revenue",
-    "f_permissive_line_parse",
-    "s_paired_interleave",
-    "s_session_windows",
-    "s_sliding_avg",
-    "s_tumbling_counts",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "tpch_q20_excess_stock",
-    "tpch_q22_dormant_customers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q7_nation_volume",
-    "x_bpe_pair_counts",
-    "x_curation_pipeline_v2",
-    "x_dedup_cc_clusters",
-    "x_dedup_keep_canonical",
-    "x_dedup_minhash_lsh",
-    "x_dq_expectations",
-    "x_event_transitions",
-    "x_fk_orphan_audit",
-    "x_group_ols_trend",
-    "x_incremental_dedup_triage",
-    "x_mad_outliers",
-    "x_minhash_accuracy_audit",
-    "x_multimodal_audio_features",
-    "x_multimodal_framesample",
-    "x_pareto_frontier",
-    "x_pii_scrub",
-    "x_pivot_returnflag_matrix",
-    "x_quality_linear_score",
-    "x_quality_repetition",
-    "x_rfm_segmentation",
-    "x_rolling_zscore_anomaly",
-    "x_rollup_chain_daily",
-    "x_semdedup_prune",
-    "x_sessionize_gaps",
-    "x_set_similarity_join",
-    "x_simhash_longdoc_pairs",
-    "x_span_dup_mass",
-    "x_token_budget_sample",
-    "x_unpivot_metrics",
-    # (b) 6 slots: fixture-changed rows first (the r9 precedent —
-    # fixture changes need a driver row more than value-identical
-    # plan conversions do), then the oldest r6-age rows alphabetical.
-    #   x_multimodal_mp4_meta  — r6-age AND planter now rotates
-    #     multi-chunk/gap/co64 layouts (r10 stsc walk)
-    #   x_multimodal_mp4_demux — same planter change; the demux walk
-    #     itself is the r10 feature
-    #   x_multimodal_jpeg_decode — planter adds the %4==2
-    #     ARITHMETIC (SOF9) class (r10 QM coder)
-    #   x_ab_conversion_ztest / x_bpe_encode_corpus /
-    #     x_bpe_train_merges — the 3 oldest r6-age rows alphabetical.
-    # Displaced vs the plain 44+6-oldest-r6 plan: x_charset_transcode,
-    # x_cusum_changepoint, x_dedup_containment (all r6-age,
-    # UNCHANGED this round; each holds an r6 driver row + this
-    # round's 222/222 local gates). The memo-refactored
-    # x_ann_ivf_topk / x_ann_ivfpq_topk hold r9 driver rows and are
-    # value-identical by construction (the memo returns the same
-    # collected rows) — local gate + sf0.01 checks cover them.
-    "x_multimodal_mp4_meta",
-    "x_multimodal_mp4_demux",
+    # (a) fixture-changed this round: the jpeg planter rotates two
+    # NEW classes (ids %16==0 lossless SOF3, ids %16==4 12-bit SOF1 —
+    # the r11 decode features); a fixture change needs a driver row
+    # more than an unchanged old row does
     "x_multimodal_jpeg_decode",
-    "x_ab_conversion_ztest",
-    "x_bpe_encode_corpus",
-    "x_bpe_train_merges",
+    # (b) ALL 39 round-6-age rows (tools/rotation_union.py output,
+    # recomputed from the artifacts per the r7/r8 convention),
+    # alphabetical
+    "x_charset_transcode",
+    "x_cusum_changepoint",
+    "x_dedup_containment",
+    "x_embedding_pca_audit",
+    "x_graph_bfs_hops",
+    "x_graph_triangles",
+    "x_heavy_hitters_cms",
+    "x_hll_accuracy_audit",
+    "x_host_pagerank",
+    "x_html_extract_text",
+    "x_html_page_meta",
+    "x_image_text_pairs",
+    "x_incremental_distinct_hll",
+    "x_incremental_rollup_merge",
+    "x_kmeans_assign_audit",
+    "x_knn_label_vote",
+    "x_magic_bytes_detect",
+    "x_mime_extract",
+    "x_multimodal_adpcm_features",
+    "x_multimodal_flac_features",
+    "x_multimodal_gif_decode",
+    "x_multimodal_mjpeg_frames",
+    "x_multimodal_mp3_meta",
+    "x_multimodal_pcx_decode",
+    "x_multimodal_qoi_decode",
+    "x_multimodal_tiff_decode",
+    "x_multimodal_ulaw_features",
+    "x_pdf_extract_text",
+    "x_readability_flesch",
+    "x_robots_gate",
+    "x_seasonality_dow",
+    "x_sitemap_frontier",
+    "x_stratified_sample_es",
+    "x_survival_km",
+    "x_target_encode_loo",
+    "x_text_nfc_clean",
+    "x_touch_attribution",
+    "x_warc_records",
+    "x_weighted_sample_es",
+    # (c) the 10 oldest r7-age rows, alphabetical. Displaced vs the
+    # plain 39+11 tool window: tpch_q11_important_stock (r7-age,
+    # UNCHANGED this round, alphabetically last of the 11 candidates;
+    # holds an r7 driver row + this round's full local gate) — one
+    # slot ceded to the fixture-changed row in (a).
+    "a_cube_revenue",
+    "a_date_parts",
+    "a_dedup_keep_best",
+    "a_minmax_by_bool",
+    "f_attrs_map_extract",
+    "f_ignore_table_antijoin",
+    "f_null_semantics",
+    "o_topk_global_limit",
+    "s_crawl_ingest_incremental",
+    "tpch_q10_returned_items",
 ])

@@ -161,35 +161,38 @@ def test_gate_order_fronts_unproven_queries():
     qs = list(all_queries())
     first50 = set(qs[:50])
     must_have_row = {
-        # round 10 steady-state rotation (see the set_gate_order
-        # comment in plans/queries.py):
-        # (a) all 44 round-5-age rows (CORRECTNESS artifact union)
-        "a_rollup_revenue", "f_permissive_line_parse",
-        "s_paired_interleave", "s_session_windows", "s_sliding_avg",
-        "s_tumbling_counts", "tpch_q17_small_quantity",
-        "tpch_q18_large_orders", "tpch_q19_disjunctive",
-        "tpch_q20_excess_stock", "tpch_q22_dormant_customers",
-        "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
-        "tpch_q5_local_supplier", "tpch_q7_nation_volume",
-        "x_bpe_pair_counts", "x_curation_pipeline_v2",
-        "x_dedup_cc_clusters", "x_dedup_keep_canonical",
-        "x_dedup_minhash_lsh", "x_dq_expectations",
-        "x_event_transitions", "x_fk_orphan_audit",
-        "x_group_ols_trend", "x_incremental_dedup_triage",
-        "x_mad_outliers", "x_minhash_accuracy_audit",
-        "x_multimodal_audio_features", "x_multimodal_framesample",
-        "x_pareto_frontier", "x_pii_scrub",
-        "x_pivot_returnflag_matrix", "x_quality_linear_score",
-        "x_quality_repetition", "x_rfm_segmentation",
-        "x_rolling_zscore_anomaly", "x_rollup_chain_daily",
-        "x_semdedup_prune", "x_sessionize_gaps",
-        "x_set_similarity_join", "x_simhash_longdoc_pairs",
-        "x_span_dup_mass", "x_token_budget_sample",
-        "x_unpivot_metrics",
-        # (b) fixture-changed this round + the oldest r6-age rows
-        "x_multimodal_mp4_meta", "x_multimodal_mp4_demux",
-        "x_multimodal_jpeg_decode", "x_ab_conversion_ztest",
-        "x_bpe_encode_corpus", "x_bpe_train_merges",
+        # round 11 steady-state rotation (see the set_gate_order
+        # comment in plans/queries.py; regenerated by
+        # tools/rotation_union.py from the r1-r10 artifact union):
+        # (a) fixture-changed this round (jpeg planter rotates the
+        # new lossless SOF3 + 12-bit SOF1 classes)
+        "x_multimodal_jpeg_decode",
+        # (b) all 39 round-6-age rows
+        "x_charset_transcode", "x_cusum_changepoint",
+        "x_dedup_containment", "x_embedding_pca_audit",
+        "x_graph_bfs_hops", "x_graph_triangles",
+        "x_heavy_hitters_cms", "x_hll_accuracy_audit",
+        "x_host_pagerank", "x_html_extract_text", "x_html_page_meta",
+        "x_image_text_pairs", "x_incremental_distinct_hll",
+        "x_incremental_rollup_merge", "x_kmeans_assign_audit",
+        "x_knn_label_vote", "x_magic_bytes_detect", "x_mime_extract",
+        "x_multimodal_adpcm_features", "x_multimodal_flac_features",
+        "x_multimodal_gif_decode", "x_multimodal_mjpeg_frames",
+        "x_multimodal_mp3_meta", "x_multimodal_pcx_decode",
+        "x_multimodal_qoi_decode", "x_multimodal_tiff_decode",
+        "x_multimodal_ulaw_features", "x_pdf_extract_text",
+        "x_readability_flesch", "x_robots_gate", "x_seasonality_dow",
+        "x_sitemap_frontier", "x_stratified_sample_es",
+        "x_survival_km", "x_target_encode_loo", "x_text_nfc_clean",
+        "x_touch_attribution", "x_warc_records",
+        "x_weighted_sample_es",
+        # (c) the 10 oldest r7-age rows (tpch_q11_important_stock
+        # displaced by the fixture-changed slot)
+        "a_cube_revenue", "a_date_parts", "a_dedup_keep_best",
+        "a_minmax_by_bool", "f_attrs_map_extract",
+        "f_ignore_table_antijoin", "f_null_semantics",
+        "o_topk_global_limit", "s_crawl_ingest_incremental",
+        "tpch_q10_returned_items",
     }
     missing = must_have_row - first50
     assert not missing, f"not in the driver's 50-query window: {missing}"
