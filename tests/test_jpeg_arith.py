@@ -176,8 +176,10 @@ def test_arith_conditioning_is_load_bearing():
 def test_arith_refusals():
     """Frames outside the DCT family (lossless SOF3) and malformed
     DAC conditioning refuse with ValueError — never a guessed
-    raster. (SOF10 progressive-arithmetic DECODES as of r10 — see
-    test_arith_progressive_sof10.)"""
+    raster. (SOF10 progressive-arithmetic DECODES as of r10, and
+    SOF3 lossless as of r11 — see test_arith_progressive_sof10 and
+    the lossless suite in test_multimodal_bytes.py; the still-refused
+    frame here is arithmetic-coded lossless, SOF11.)"""
     from sparkga1_spark.operators.multimodal import (
         build_jpeg_arith,
         build_jpeg_progressive,
@@ -188,9 +190,16 @@ def test_arith_refusals():
     tile = _flat(rng, 2, 2)
     prog = build_jpeg_progressive(tile)
     sof = prog.find(b"\xff\xc2")
+    sof11 = bytearray(prog)
+    sof11[sof + 1] = 0xCB
+    with pytest.raises(ValueError, match="hierarchical|arith-lossless"):
+        parse_jpeg(bytes(sof11))
+    # a SOF2 header flipped to SOF3 is a MALFORMED lossless stream
+    # (full-band Se on a predictive scan) — still a refusal, never a
+    # guessed raster
     sof3 = bytearray(prog)
     sof3[sof + 1] = 0xC3
-    with pytest.raises(ValueError, match="lossless/hierarchical"):
+    with pytest.raises(ValueError):
         parse_jpeg(bytes(sof3))
 
     good = build_jpeg_arith(tile)
