@@ -2494,7 +2494,12 @@ def build_jpeg_lossless(pixels, *, predictor: int = 1,
         raise ValueError("empty image")
     if px.min() < 0 or px.max() >= (1 << precision):
         raise ValueError("samples exceed declared precision")
-    planes = px.astype(np.int64) >> point_transform
+    # list-of-lists per component: the per-sample loop is pure-Python-
+    # hot and plain int rows beat numpy scalar indexing ~4x
+    grids = [
+        (px[:, :, ci].astype(np.int64) >> point_transform).tolist()
+        for ci in range(ncomp)
+    ]
     default = 1 << (precision - point_transform - 1)
     enc = _jpeg_encode_table(*_JPEG_DC_LOSSLESS)
 
@@ -2502,6 +2507,7 @@ def build_jpeg_lossless(pixels, *, predictor: int = 1,
     chunks = []  # entropy chunks with restart markers interleaved
     rst = 0
     reset = [None] * ncomp  # mirrors the decoder's H.1.2.2 tracking
+    cat = _jpeg_category
     for ui in range(h * w):
         if restart_interval and ui and ui % restart_interval == 0:
             bw.flush()
@@ -2512,31 +2518,37 @@ def build_jpeg_lossless(pixels, *, predictor: int = 1,
             reset = [None] * ncomp
         r, c = divmod(ui, w)
         for ci in range(ncomp):
-            G = planes[:, :, ci]
+            G = grids[ci]
             rs = reset[ci]
             if rs is None:
                 pred = default
                 reset[ci] = (r, c)
             elif r == rs[0]:
-                pred = int(G[r, c - 1])
+                pred = G[r][c - 1]
             elif c == 0:
-                pred = int(G[r - 1, c])
+                pred = G[r - 1][c]
+            elif predictor == 1:
+                pred = G[r][c - 1]
+            elif predictor == 2:
+                pred = G[r - 1][c]
+            elif predictor == 3:
+                pred = G[r - 1][c - 1]
+            elif predictor == 4:
+                pred = G[r][c - 1] + G[r - 1][c] - G[r - 1][c - 1]
+            elif predictor == 5:
+                pred = G[r][c - 1] + ((G[r - 1][c] - G[r - 1][c - 1]) >> 1)
+            elif predictor == 6:
+                pred = G[r - 1][c] + ((G[r][c - 1] - G[r - 1][c - 1]) >> 1)
             else:
-                a = int(G[r, c - 1])
-                b = int(G[r - 1, c])
-                cc = int(G[r - 1, c - 1])
-                pred = (
-                    a, b, cc, a + b - cc, a + ((b - cc) >> 1),
-                    b + ((a - cc) >> 1), (a + b) >> 1,
-                )[predictor - 1]
-            diff = (int(G[r, c]) - pred) & 0xFFFF
+                pred = (G[r][c - 1] + G[r - 1][c]) >> 1
+            diff = (G[r][c] - pred) & 0xFFFF
             if diff == 0x8000:
                 code, ln = enc[16]
                 bw.write(code, ln)
                 continue
             if diff > 0x8000:
                 diff -= 0x10000
-            s, bits_val = _jpeg_category(diff)
+            s, bits_val = cat(diff)
             code, ln = enc[s]
             bw.write(code, ln)
             if s:
@@ -3632,8 +3644,12 @@ def parse_jpeg(data: bytes):
                 if pt >= prec_bits:
                     raise ValueError("point transform exceeds precision")
                 if lsamples is None:
+                    # list-of-lists grids: the per-sample loop below is
+                    # pure-Python-hot, and plain int rows beat numpy
+                    # scalar indexing ~4x (converted to arrays at
+                    # reconstruction)
                     lsamples = [
-                        np.zeros((mcuy_l * vs, mcux_l * hs), np.int32)
+                        [[0] * (mcux_l * hs) for _ in range(mcuy_l * vs)]
                         for _cid, hs, vs, _tq in eff
                     ]
                     ls_done = [False] * len(fcomps)
@@ -3652,29 +3668,16 @@ def parse_jpeg(data: bytes):
                     # interleaved: an MCU holds hs×vs SAMPLES per
                     # component (T.81 H.2.1 — samples, not blocks)
                     n_units = mcux_l * mcuy_l
-
-                    def unit_samples(ui):
-                        my, mx = divmod(ui, mcux_l)
-                        for si_, (ci_, _t) in enumerate(scomps):
-                            _c, hs_, vs_, _q = eff[ci_]
-                            for v_ in range(vs_):
-                                for u_ in range(hs_):
-                                    yield (
-                                        si_,
-                                        ci_,
-                                        my * vs_ + v_,
-                                        mx * hs_ + u_,
-                                    )
+                    unit_geom = [
+                        (si_, ci_, eff[ci_][1], eff[ci_][2])
+                        for si_, (ci_, _t) in enumerate(scomps)
+                    ]
                 else:
                     ci0 = scomps[0][0]
                     _c0, hs0, vs0, _q0 = eff[ci0]
                     gh0 = -(-fh_ * vs0 // vmax_l)
                     gw0 = -(-fw_ * hs0 // hmax_l)
                     n_units = gh0 * gw0
-
-                    def unit_samples(ui):
-                        yield 0, ci0, ui // gw0, ui % gw0
-
                 if dri:
                     if len(segs) < -(-n_units // dri):
                         raise ValueError("missing restart segment")
@@ -3684,49 +3687,61 @@ def parse_jpeg(data: bytes):
                 reset = [None] * ns  # (row, col) of each comp's reset
                 br = _JpegBitReader(segs[0])
                 seg_idx = 0
+                hd, ext = _jpeg_huff_decode, _jpeg_extend
+
+                def decode_sample(si, ci, r, c):
+                    t = hd(br, tbls[si])
+                    if t > 16:
+                        raise ValueError("bad lossless diff category")
+                    if t == 16:  # H.1.2.2: 32768, no appended bits
+                        diff = 32768
+                    elif t:
+                        diff = ext(br.read_bits(t), t)
+                    else:
+                        diff = 0
+                    G = lsamples[ci]
+                    rs = reset[si]
+                    if rs is None:
+                        px_ = default
+                        reset[si] = (r, c)
+                    elif r == rs[0]:
+                        px_ = G[r][c - 1]  # reset line: predictor 1
+                    elif c == 0:
+                        px_ = G[r - 1][c]  # line start: predictor 2
+                    elif sel == 1:
+                        px_ = G[r][c - 1]
+                    elif sel == 2:
+                        px_ = G[r - 1][c]
+                    elif sel == 3:
+                        px_ = G[r - 1][c - 1]
+                    elif sel == 4:
+                        px_ = G[r][c - 1] + G[r - 1][c] - G[r - 1][c - 1]
+                    elif sel == 5:
+                        px_ = G[r][c - 1] + (
+                            (G[r - 1][c] - G[r - 1][c - 1]) >> 1
+                        )
+                    elif sel == 6:
+                        px_ = G[r - 1][c] + (
+                            (G[r][c - 1] - G[r - 1][c - 1]) >> 1
+                        )
+                    else:
+                        px_ = (G[r][c - 1] + G[r - 1][c]) >> 1
+                    G[r][c] = (px_ + diff) & 0xFFFF
+
                 for ui in range(n_units):
                     if dri and ui and ui % dri == 0:
                         seg_idx += 1
                         br = _JpegBitReader(segs[seg_idx])
                         reset = [None] * ns
-                    for si, ci, r, c in unit_samples(ui):
-                        t = _jpeg_huff_decode(br, tbls[si])
-                        if t > 16:
-                            raise ValueError("bad lossless diff category")
-                        if t == 16:  # H.1.2.2: 32768, no appended bits
-                            diff = 32768
-                        elif t:
-                            diff = _jpeg_extend(br.read_bits(t), t)
-                        else:
-                            diff = 0
-                        G = lsamples[ci]
-                        rs = reset[si]
-                        if rs is None:
-                            px_ = default
-                            reset[si] = (r, c)
-                        elif r == rs[0]:
-                            px_ = int(G[r, c - 1])  # reset line: pred 1
-                        elif c == 0:
-                            px_ = int(G[r - 1, c])  # line start: pred 2
-                        else:
-                            a = int(G[r, c - 1])
-                            b = int(G[r - 1, c])
-                            cc = int(G[r - 1, c - 1])
-                            if sel == 1:
-                                px_ = a
-                            elif sel == 2:
-                                px_ = b
-                            elif sel == 3:
-                                px_ = cc
-                            elif sel == 4:
-                                px_ = a + b - cc
-                            elif sel == 5:
-                                px_ = a + ((b - cc) >> 1)
-                            elif sel == 6:
-                                px_ = b + ((a - cc) >> 1)
-                            else:
-                                px_ = (a + b) >> 1
-                        G[r, c] = (px_ + diff) & 0xFFFF
+                    if ns > 1:
+                        my, mx = divmod(ui, mcux_l)
+                        for si, ci, hs_, vs_ in unit_geom:
+                            r0, c0 = my * vs_, mx * hs_
+                            for v_ in range(vs_):
+                                for u_ in range(hs_):
+                                    decode_sample(si, ci, r0 + v_, c0 + u_)
+                    else:
+                        decode_sample(0, ci0, ui // gw0, ui % gw0)
                 if seg_idx != len(segs) - 1:
                     raise ValueError(
                         "unconsumed restart segment in lossless scan"
@@ -4186,7 +4201,10 @@ def parse_jpeg(data: bytes):
         for ci, (_cid, hs, vs, _tq) in enumerate(eff):
             cw = -(-w * hs // hmax_l)
             ch = -(-h * vs // vmax_l)
-            plane = lsamples[ci][:ch, :cw].astype(np.int64) << ls_pt[ci]
+            plane = (
+                np.array(lsamples[ci], dtype=np.int64)[:ch, :cw]
+                << ls_pt[ci]
+            )
             plane = np.clip(plane, 0, maxv)
             if hs != hmax_l or vs != vmax_l:
                 plane = np.repeat(
