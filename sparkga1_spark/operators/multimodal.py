@@ -29,13 +29,14 @@ types (r9), and — r10 — the ENTIRE ARITHMETIC family: SEQUENTIAL
 both via the T.81 Annex D/F QM coder in operators/jpeg_arith.py,
 validated bit-exact BOTH ways against the system libjpeg. As of r11
 LOSSLESS SOF3 (Annex H spatial predictors 1-7, point transform,
-restarts, any precision 2-16) and 12-BIT extended sequential SOF1
-decode for real too — the system libjpeg is the 8-bit v6b ABI and
-cannot oracle either, so their pins are hand-built known-answer
-streams plus the lossless contract itself (tests). The residue —
-video (MP4) and the JPEG variants still refused (hierarchical,
-arithmetic-lossless SOF11, 12-bit progressive/arithmetic) — tries
-the library (PIL / soundfile /
+restarts, any precision 2-16) and 12-BIT Huffman frames — extended
+sequential SOF1 AND progressive SOF2 — decode for real too; the
+system libjpeg is the 8-bit v6b ABI and cannot oracle any of them,
+so their pins are hand-built known-answer streams, the lossless
+contract itself, and 12-bit progressive==sequential raster identity
+(tests). The residue — video (MP4) and the JPEG variants still
+refused (hierarchical, arithmetic-lossless SOF11, 12-bit
+arithmetic) — tries the library (PIL / soundfile /
 av) behind an import-guard; absent that it uses a clearly-marked
 DETERMINISTIC FAKE derived from the payload's md5, so pipelines stay
 testable end-to-end and oracle-checkable. Lossy VP8 itself is now
@@ -941,10 +942,11 @@ def _decode_image_pixels(data: bytes):
             return parse_pcx(data)[2]
         if data[:2] == b"\xff\xd8":
             # real decode (baseline/progressive/arithmetic incl.
-            # SOF9+SOF10, lossless SOF3, 12-bit SOF1); the refused
-            # variants (hierarchical, SOF11, 12-bit progressive) and
-            # the legacy header-only fixtures (which declare no AC
-            # Huffman table) raise and keep the documented fake path
+            # SOF9+SOF10, lossless SOF3, 12-bit SOF1/SOF2); the
+            # refused variants (hierarchical, SOF11, 12-bit
+            # arithmetic) and the legacy header-only fixtures (which
+            # declare no AC Huffman table) raise and keep the
+            # documented fake path
             return parse_jpeg(data)[2]
         if data[:4] in TIFF_MAGICS:
             return parse_tiff(data)[2]
@@ -2055,11 +2057,12 @@ def plant_pcx_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
 # EOB runs — and (r10) the ARITHMETIC family, both SEQUENTIAL SOF9 and
 # PROGRESSIVE SOF10, via the T.81 QM coder (operators/jpeg_arith.py,
 # bit-exact both ways vs libjpeg), and (r11) LOSSLESS SOF3 (Annex H
-# spatial prediction) and 12-BIT extended sequential SOF1. Streams
-# outside that family (hierarchical, arithmetic-lossless SOF11, 12-bit
-# progressive/arithmetic, fractional sampling ratios) raise ValueError
-# and fall through to the documented md5 FAKE, which after this
-# section covers ONLY video (MP4) and those refused JPEG variants.
+# spatial prediction) and the 12-BIT Huffman frames (extended
+# sequential SOF1 and progressive SOF2). Streams outside that family
+# (hierarchical, arithmetic-lossless SOF11, 12-bit arithmetic,
+# fractional sampling ratios) raise ValueError and fall through to
+# the documented md5 FAKE, which after this section covers ONLY video
+# (MP4) and those refused JPEG variants.
 #
 # The encoder exists for fixtures and tests (no codec library in this
 # image): standard Annex K Huffman tables, quality expressed directly
@@ -2179,6 +2182,20 @@ _JPEG_AC_PROG_SYMS = (
 _JPEG_AC_PROG = (
     (0, 0, 0, 0, 0, 0, 0, len(_JPEG_AC_PROG_SYMS), 0, 0, 0, 0, 0, 0, 0, 0),
     tuple(_JPEG_AC_PROG_SYMS),
+)
+
+# 12-bit progressive AC alphabet (r11): EOB0..EOB14, ZRL, and
+# (run 0..15 x size 1..14 — T.81 F.1.2 extends AC magnitudes to 14
+# bits at 12-bit precision) — 240 codes at a flat 8-bit length
+# (all-ones unused).
+_JPEG_AC_PROG12_SYMS = (
+    [n << 4 for n in range(15)]
+    + [0xF0]
+    + [(r << 4) | sz for r in range(16) for sz in range(1, 15)]
+)
+_JPEG_AC_PROG12 = (
+    (0, 0, 0, 0, 0, 0, 0, len(_JPEG_AC_PROG12_SYMS), 0, 0, 0, 0, 0, 0, 0, 0),
+    tuple(_JPEG_AC_PROG12_SYMS),
 )
 
 
@@ -2309,18 +2326,20 @@ def _jpeg_prep_planes(px, sampling):
     return comps
 
 
-def _jpeg_plane_qcoefs(plane, q88, m):
+def _jpeg_plane_qcoefs(plane, q88, m, center: float = 128.0,
+                       ac_clamp: int = 1023):
     """One MCU-aligned float plane → (nby, nbx, 8, 8) int32 quantized
-    DCT coefficients (AC clamped to ±1023, the largest magnitude the
-    Annex K AC alphabet can code; DC re-derived unclamped — s=11 is
-    in the DC alphabet)."""
+    DCT coefficients (AC clamped to ±ac_clamp — ±1023 is the largest
+    magnitude the Annex K AC alphabet can code at 8-bit precision,
+    ±16383 the size-14 cap at 12-bit; DC re-derived unclamped — the
+    DC alphabets reach further)."""
     import numpy as np
 
     nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
-    blocks = (plane - 128.0).reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+    blocks = (plane - center).reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
     coef = np.einsum("ij,abjk,lk->abil", m, blocks, m)
     qc = np.round(coef / q88).astype(np.int32)
-    np.clip(qc, -1023, 1023, out=qc)
+    np.clip(qc, -ac_clamp, ac_clamp, out=qc)
     qc[:, :, 0, 0] = np.round(coef[:, :, 0, 0] / q88[0, 0]).astype(np.int32)
     return qc
 
@@ -3029,7 +3048,8 @@ def build_jpeg_arith_progressive(pixels, *, quant=None, successive=False,
 
 
 def build_jpeg_progressive(pixels, *, quant=None, successive=False,
-                           sampling=None, restart_interval: int = 0) -> bytes:
+                           sampling=None, restart_interval: int = 0,
+                           precision: int = 8) -> bytes:
     """HxW grayscale or HxWx3 RGB uint8 → REAL progressive JFIF JPEG
     (SOF2; color as YCbCr with an interleaved DC scan and
     per-component AC scans, the T.81 progressive scan structure —
@@ -3050,12 +3070,24 @@ def build_jpeg_progressive(pixels, *, quant=None, successive=False,
     baseline encode of the same pixels decode to IDENTICAL rasters —
     the cross-layout equality the pytest pins. The AC scans use a
     custom Huffman table (_JPEG_AC_PROG): Annex K has no EOBn
-    symbols."""
+    symbols. `precision=12` (r11) emits a 12-BIT progressive frame —
+    grayscale only, level shift 2048, DC categories to 15 and AC
+    sizes to 14 on flat tables (the scan scripts, EOB runs, restarts,
+    and successive approximation are precision-independent)."""
     import struct
 
     import numpy as np
 
-    px = np.asarray(pixels, dtype=np.uint8)
+    if precision == 12:
+        px = np.asarray(pixels)
+        if px.ndim != 2:
+            raise ValueError("12-bit progressive fixtures are grayscale")
+        if px.size and (px.min() < 0 or px.max() > 4095):
+            raise ValueError("samples exceed 12-bit range")
+    elif precision == 8:
+        px = np.asarray(pixels, dtype=np.uint8)
+    else:
+        raise ValueError("precision must be 8 or 12")
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
         raise ValueError("build_jpeg_progressive wants HxW or HxWx3 uint8")
@@ -3083,15 +3115,19 @@ def build_jpeg_progressive(pixels, *, quant=None, successive=False,
     vmax = max(vs for _p, _h, vs in prepped)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+    center = float(1 << (precision - 1))
+    ac_clamp = 1023 if precision == 8 else 16383
     for plane, hs, vs in prepped:
-        qc = _jpeg_plane_qcoefs(plane, q88, m)
+        qc = _jpeg_plane_qcoefs(plane, q88, m, center, ac_clamp)
         cw = -(-w * hs // hmax)
         ch = -(-h * vs // vmax)
         comps_meta.append((hs, vs, qc, -(-ch // 8), -(-cw // 8)))
     ncomp = len(comps_meta)
 
-    enc_dc = _jpeg_encode_table(*_JPEG_DC_LUM)
-    enc_ac = _jpeg_encode_table(*_JPEG_AC_PROG)
+    dc_tbl = _JPEG_DC_LUM if precision == 8 else _JPEG_DC_LOSSLESS
+    ac_tbl = _JPEG_AC_PROG if precision == 8 else _JPEG_AC_PROG12
+    enc_dc = _jpeg_encode_table(*dc_tbl)
+    enc_ac = _jpeg_encode_table(*ac_tbl)
 
     def comp_zz_blocks(ci):
         # AC scans cover the component's OWN block raster (T.81
@@ -3309,14 +3345,15 @@ def build_jpeg_progressive(pixels, *, quant=None, successive=False,
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
     out = bytearray(b"\xff\xd8")
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if precision == 8:  # JFIF declares 8-bit samples; omit at 12
+        out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xDB, bytes([0x00]) + bytes(int(q[i]) for i in _JPEG_ZIGZAG))
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
     for ci, (hs, vs, _qc, _nbh, _nbw) in enumerate(comps_meta):
         sof += bytes([ci + 1, (hs << 4) | vs, 0])
     out += seg(0xC2, sof)
     dht = bytearray()
-    for tc_th, (bits, vals) in ((0x00, _JPEG_DC_LUM), (0x10, _JPEG_AC_PROG)):
+    for tc_th, (bits, vals) in ((0x00, dc_tbl), (0x10, ac_tbl)):
         dht += bytes([tc_th]) + bytes(bits) + bytes(vals)
     out += seg(0xC4, bytes(dht))
     if restart_interval:
@@ -3427,13 +3464,13 @@ def parse_jpeg(data: bytes):
     decodes for real as of r11 (Annex H: spatial predictors 1-7,
     point transform, mod-2^16 differences with the category-16
     symbol, restarts, multi-scan non-interleaved layouts, precision
-    2-16 — raw component planes out, no color transform), as does
-    12-BIT extended sequential SOF1 (level shift 2048, DC categories
-    to 15, uint16 output). Raises ValueError for the rest
-    (hierarchical, arithmetic-lossless SOF11, 12-bit progressive/
-    arithmetic, fractional sampling ratios) — callers fall through
-    to the documented fake, keeping legacy header-only fixtures
-    byte-stable."""
+    2-16 — raw component planes out, no color transform), as do the
+    12-BIT Huffman frames — extended sequential SOF1 and progressive
+    SOF2 (level shift 2048, DC categories to 15, AC sizes to 14,
+    uint16 output). Raises ValueError for the rest (hierarchical,
+    arithmetic-lossless SOF11, 12-bit arithmetic, fractional sampling
+    ratios) — callers fall through to the documented fake, keeping
+    legacy header-only fixtures byte-stable."""
     import struct
 
     import numpy as np
@@ -3529,15 +3566,16 @@ def parse_jpeg(data: bytes):
                 if not (2 <= prec <= 16):
                     raise ValueError("bad lossless precision")
             elif prec == 12:
-                # r11: 12-bit DCT precision — EXTENDED SEQUENTIAL
-                # (SOF1) only: dequant/IDCT/level-shift generalize and
-                # the DC difference alphabet widens to category 15
-                # (T.81 Table F.1). 12-bit progressive/arithmetic stay
-                # refused: no fixture encoder exists for them, and an
-                # untested path must refuse rather than guess.
-                if marker != 0xC1:
+                # r11: 12-bit DCT precision for the HUFFMAN frames —
+                # extended sequential (SOF1) and progressive (SOF2):
+                # dequant/IDCT/level-shift generalize and the DC
+                # difference alphabet widens to category 15 (T.81
+                # Table F.1). 12-bit ARITHMETIC stays refused: no
+                # fixture encoder exists for it, and an untested path
+                # must refuse rather than guess.
+                if marker not in (0xC1, 0xC2):
                     raise ValueError(
-                        "12-bit only for extended sequential (SOF1)"
+                        "12-bit only for Huffman SOF1/SOF2 frames"
                     )
             elif prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -4017,7 +4055,7 @@ def parse_jpeg(data: bytes):
                             preds = [0] * ns
                         for si, ci, by, bx in unit_blocks(ui):
                             t = _jpeg_huff_decode(br, tbls[si])
-                            if t > 11:
+                            if t > (11 if prec_bits == 8 else 15):
                                 raise ValueError("bad DC category")
                             diff = (
                                 _jpeg_extend(br.read_bits(t), t) if t else 0
@@ -4223,14 +4261,15 @@ def parse_jpeg(data: bytes):
         hmax_p = max(c[1] for c in eff)
         vmax_p = max(c[2] for c in eff)
         pplanes = []
+        center_p = float(1 << (prec_bits - 1))
         for ci, (_cid, hs, vs, tq) in enumerate(eff):
             if tq not in qt:
                 raise ValueError(f"missing quant table {tq}")
             deq = pcoefs[ci].astype(np.float64) * qt[tq]
-            spatial = np.einsum("ji,abjk,kl->abil", m, deq, m) + 128.0
+            spatial = np.einsum("ji,abjk,kl->abil", m, deq, m) + center_p
             nby, nbx = spatial.shape[:2]
             plane = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
-            plane = np.clip(np.round(plane), 0, 255)
+            plane = np.clip(np.round(plane), 0, (1 << prec_bits) - 1)
             cw = -(-w * hs // hmax_p)
             ch = -(-h * vs // vmax_p)
             plane = plane[:ch, :cw]
@@ -4239,7 +4278,7 @@ def parse_jpeg(data: bytes):
                     np.repeat(plane, vmax_p // vs, 0), hmax_p // hs, 1
                 )
             pplanes.append(plane[:h, :w])
-        return w, h, _ycbcr_planes_to_u8(pplanes)
+        return w, h, _ycbcr_planes_to_u8(pplanes, prec_bits)
     if len(comps) == 1:
         # single-component scans are non-interleaved: one data unit per
         # MCU, declared sampling factors ignored (T.81 A.2.2)
@@ -4393,8 +4432,10 @@ def plant_jpeg_real_payloads(df: DataFrame, *, text_col: str = "text") -> DataFr
     restart interval. As of r11 two %4==0 slots rotate further: ids
     %16==0 are LOSSLESS SOF3 (spatial predictor (id//16)%7+1 — exact
     on ANY content, so the closed form holds trivially) and ids
-    %16==4 are 12-BIT SOF1 (byte values in the 0..4095 range; flat
-    blocks exact, px_sum unchanged, decode dtype widens to uint16).
+    %16==4 are 12-BIT (byte values in the 0..4095 range; flat blocks
+    exact, px_sum unchanged, decode dtype widens to uint16): %32==4
+    extended sequential SOF1, %32==20 progressive SOF2 with
+    successive approximation and restart intervals.
     The same oracle row thus certifies every decode layout —
     baseline, progressive, successive approximation, subsampled
     progressive, restart intervals, sequential AND progressive
@@ -4448,11 +4489,19 @@ def plant_jpeg_real_payloads(df: DataFrame, *, text_col: str = "text") -> DataFr
                         img, predictor=(d // 16) % 7 + 1
                     )
                 elif d % 16 == 4:
-                    # r11: 12-bit EXTENDED SEQUENTIAL SOF1 — the byte
-                    # values land in 0..255 of the 0..4095 range and
-                    # flat blocks stay exactly lossless, so channels
-                    # and the closed-form px_sum are untouched
-                    blob = build_jpeg_ext12(img)
+                    # r11: 12-BIT frames — the byte values land in
+                    # 0..255 of the 0..4095 range and flat blocks stay
+                    # exactly lossless, so channels and the closed-form
+                    # px_sum are untouched. ids %32==4 extended
+                    # sequential SOF1; ids %32==20 PROGRESSIVE SOF2
+                    # with successive approximation and restarts
+                    if d % 32 == 20:
+                        blob = build_jpeg_progressive(
+                            img, precision=12, successive=True,
+                            restart_interval=2,
+                        )
+                    else:
+                        blob = build_jpeg_ext12(img)
                 else:
                     blob = build_jpeg_baseline(img)
                 out.append((doc_id, blob))

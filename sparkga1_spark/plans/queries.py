@@ -3804,17 +3804,20 @@ def x_multimodal_jpeg_decode(spark, sf_dir):
     restart intervals — both decoded for REAL as of r10). As of r11
     ids %16==0 are LOSSLESS SOF3 (T.81 Annex H spatial prediction,
     predictor rotating (id//16)%7+1 — exact on any content) and ids
-    %16==4 are 12-BIT extended sequential SOF1 (flat blocks exact at
-    level shift 2048, so channels and px_sum are unchanged); the
-    system libjpeg (8-bit v6b ABI) cannot oracle either family, so
-    their pins are hand-assembled known-answer streams and the
-    lossless contract (tests/test_multimodal_bytes.py). Baseline
+    %16==4 are 12-BIT Huffman frames (flat blocks exact at level
+    shift 2048, so channels and px_sum are unchanged): %32==4
+    extended sequential SOF1, %32==20 progressive SOF2 with
+    successive approximation and restarts; the system libjpeg (8-bit
+    v6b ABI) cannot oracle these families, so their pins are
+    hand-assembled known-answer streams, the lossless contract, and
+    12-bit progressive==sequential raster identity
+    (tests/test_multimodal_bytes.py). Baseline
     4:4:4/4:2:2/4:2:0 color with RSTn restarts is pinned by foreign
     real-encoder JPEGs (CPython / Rust-doc test images) in
     tests/test_multimodal_bytes.py. The md5 FAKE branch now covers
     only video (MP4) and the JPEG variants that remain honestly
     refused (hierarchical, arithmetic-lossless SOF11, 12-bit
-    progressive/arithmetic)."""
+    arithmetic)."""
     from sparkga1_spark.operators.multimodal import (
         decode_image_stats,
         plant_jpeg_real_payloads,

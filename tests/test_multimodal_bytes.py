@@ -3860,9 +3860,11 @@ def test_jpeg_ext12_flat_exact_and_error_bounds():
 
 
 def test_jpeg_ext12_refusals():
-    """12-bit claims only what is tested: SOF2/SOF9/SOF10 at 12-bit
-    refuse (no fixture encoder — untested paths must not guess), and
-    baseline SOF0 remains 8-bit-only per T.81."""
+    """12-bit claims only what is tested: the ARITHMETIC frames
+    (SOF9/SOF10) at 12-bit refuse (no fixture encoder — untested
+    paths must not guess), baseline SOF0 remains 8-bit-only per T.81,
+    and a SOF1 stream flipped to SOF2 is a MALFORMED progressive
+    stream (full-band sequential SOS) — still a refusal."""
     import numpy as np
     import pytest
 
@@ -3873,7 +3875,7 @@ def test_jpeg_ext12_refusals():
 
     good = build_jpeg_ext12(np.zeros((8, 8), dtype=int))
     sof = good.find(b"\xff\xc1")
-    for marker in (0xC2, 0xC9, 0xCA):
+    for marker in (0xC9, 0xCA):
         bad = bytearray(good)
         bad[sof + 1] = marker
         with pytest.raises(ValueError, match="12-bit only"):
@@ -3882,6 +3884,49 @@ def test_jpeg_ext12_refusals():
     bad[sof + 1] = 0xC0  # baseline frames are 8-bit by definition
     with pytest.raises(ValueError, match="12-bit only"):
         parse_jpeg(bytes(bad))
+    bad = bytearray(good)
+    bad[sof + 1] = 0xC2  # 12-bit progressive DECODES (r11) — but this
+    with pytest.raises(ValueError, match="Se=0"):  # SOS is malformed
+        parse_jpeg(bytes(bad))
+
+
+def test_jpeg_ext12_progressive_matches_sequential():
+    """12-bit PROGRESSIVE (SOF2 at precision 12, r11): the progressive
+    scan scripts are precision-independent, so a progressive and a
+    sequential encode of the same 12-bit pixels — sharing the exact
+    quantized coefficients — must decode to IDENTICAL uint16 rasters,
+    across spectral-selection-only, full successive approximation, and
+    restart intervals; flat blocks keep the closed form exactly."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import (
+        build_jpeg_ext12,
+        build_jpeg_progressive,
+        parse_jpeg,
+    )
+
+    rng = np.random.default_rng(29)
+    for shape in [(8, 8), (13, 19), (24, 40)]:
+        img = rng.integers(0, 4096, shape)
+        seq = parse_jpeg(build_jpeg_ext12(img))[2]
+        for succ in (False, True):
+            for dri in (0, 3):
+                prog = parse_jpeg(
+                    build_jpeg_progressive(
+                        img, precision=12, successive=succ,
+                        restart_interval=dri,
+                    )
+                )[2]
+                assert prog.dtype == np.uint16
+                assert (prog == seq).all(), (shape, succ, dri)
+
+    vals = rng.integers(0, 4096, (2, 3))
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+    px = parse_jpeg(
+        build_jpeg_progressive(img, precision=12, successive=True)
+    )[2]
+    assert (px[:, :, 0].astype(np.int64) == img).all()
+    assert int(px.sum(dtype=np.int64)) == 64 * int(vals.sum())
 
 
 def test_planter_rotation_includes_lossless_and_12bit_classes():
@@ -3894,12 +3939,15 @@ def test_planter_rotation_includes_lossless_and_12bit_classes():
     from sparkga1_spark.operators.multimodal import (
         build_jpeg_ext12,
         build_jpeg_lossless,
+        build_jpeg_progressive,
         parse_jpeg,
     )
 
     # builder-level replica of the planter's %16==0 / %16==4 arms
+    # (%32==20 sub-rotates 12-bit PROGRESSIVE with SA + restarts)
     for d, text in [(0, "hello"), (16, "predictor two"), (32, "third"),
-                    (4, "twelve bits"), (20, "wide gamut")]:
+                    (4, "twelve bits"), (20, "wide gamut"),
+                    (36, "seq again")]:
         wb, hb = d % 5 + 1, d % 3 + 1
         raw = text.encode()
         vals = np.resize(np.frombuffer(raw, np.uint8), (hb, wb))
@@ -3907,6 +3955,12 @@ def test_planter_rotation_includes_lossless_and_12bit_classes():
         if d % 16 == 0:
             blob = build_jpeg_lossless(img, predictor=(d // 16) % 7 + 1)
             assert b"\xff\xc3" in blob
+        elif d % 32 == 20:
+            blob = build_jpeg_progressive(
+                img, precision=12, successive=True, restart_interval=2
+            )
+            assert b"\xff\xdd" in blob
+            assert blob[blob.find(b"\xff\xc2") + 4] == 12
         else:
             blob = build_jpeg_ext12(img)
             assert b"\xff\xc1" in blob and blob[blob.find(b"\xff\xc1") + 4] == 12
@@ -3915,3 +3969,46 @@ def test_planter_rotation_includes_lossless_and_12bit_classes():
         assert int(px.astype(np.int64).sum()) == 64 * int(
             vals.astype(np.int64).sum()
         )
+
+
+def test_jpeg_lossless_and_ext12_bitflip_fuzz():
+    """Adversarial robustness (the codec-family fuzz convention):
+    flipping any single entropy bit of an SOF3 lossless or 12-bit SOF1
+    stream must either decode to SOME bounded raster or refuse with
+    ValueError — never crash, hang, or over-allocate (the mod-2^16
+    difference arithmetic absorbs any diff; the category guard and the
+    segment underrun/unconsumed checks bound the walk)."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import (
+        build_jpeg_ext12,
+        build_jpeg_lossless,
+        parse_jpeg,
+    )
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (10, 9), dtype=np.int64)
+    for blob, dt in (
+        (build_jpeg_lossless(img, predictor=4, restart_interval=7), "uint8"),
+        (build_jpeg_ext12(rng.integers(0, 4096, (9, 10))), "uint16"),
+    ):
+        sos = blob.find(b"\xff\xda")
+        ls = int.from_bytes(blob[sos + 2 : sos + 4], "big")
+        start, end = sos + 2 + ls, len(blob) - 2
+        for pos in range(start, end):
+            for mask in (0x01, 0x80):
+                bad = bytearray(blob)
+                bad[pos] ^= mask
+                try:
+                    _w, _h, px = parse_jpeg(bytes(bad))
+                    assert px.dtype.name == dt
+                except ValueError:
+                    pass
+        # header-field fuzz: every byte of SOF and SOS flipped once
+        for pos in list(range(2, 2 + 19)) + list(range(sos, sos + 2 + ls)):
+            bad = bytearray(blob)
+            bad[pos] ^= 0x55
+            try:
+                parse_jpeg(bytes(bad))
+            except ValueError:
+                pass
