@@ -29,14 +29,14 @@ types (r9), and — r10 — the ENTIRE ARITHMETIC family: SEQUENTIAL
 both via the T.81 Annex D/F QM coder in operators/jpeg_arith.py,
 validated bit-exact BOTH ways against the system libjpeg. As of r11
 LOSSLESS SOF3 (Annex H spatial predictors 1-7, point transform,
-restarts, any precision 2-16) and 12-BIT Huffman frames — extended
-sequential SOF1 AND progressive SOF2 — decode for real too; the
-system libjpeg is the 8-bit v6b ABI and cannot oracle any of them,
-so their pins are hand-built known-answer streams, the lossless
-contract itself, and 12-bit progressive==sequential raster identity
-(tests). The residue — video (MP4) and the JPEG variants still
-refused (hierarchical, arithmetic-lossless SOF11, 12-bit
-arithmetic) — tries the library (PIL / soundfile /
+restarts, any precision 2-16) and the COMPLETE 12-BIT DCT family —
+extended sequential SOF1, progressive SOF2, arithmetic SOF9/SOF10 —
+decode for real too; the system libjpeg is the 8-bit v6b ABI and
+cannot oracle any of them, so their pins are hand-built known-answer
+streams, the lossless contract itself, and cross-entropy-layer
+raster identity at identical coefficients (tests). The residue —
+video (MP4) and the JPEG variants still refused (hierarchical,
+arithmetic-lossless SOF11) — tries the library (PIL / soundfile /
 av) behind an import-guard; absent that it uses a clearly-marked
 DETERMINISTIC FAKE derived from the payload's md5, so pipelines stay
 testable end-to-end and oracle-checkable. Lossy VP8 itself is now
@@ -942,11 +942,10 @@ def _decode_image_pixels(data: bytes):
             return parse_pcx(data)[2]
         if data[:2] == b"\xff\xd8":
             # real decode (baseline/progressive/arithmetic incl.
-            # SOF9+SOF10, lossless SOF3, 12-bit SOF1/SOF2); the
-            # refused variants (hierarchical, SOF11, 12-bit
-            # arithmetic) and the legacy header-only fixtures (which
-            # declare no AC Huffman table) raise and keep the
-            # documented fake path
+            # SOF9+SOF10, lossless SOF3, the full 12-bit DCT family);
+            # the refused variants (hierarchical, SOF11) and the
+            # legacy header-only fixtures (which declare no AC
+            # Huffman table) raise and keep the documented fake path
             return parse_jpeg(data)[2]
         if data[:4] in TIFF_MAGICS:
             return parse_tiff(data)[2]
@@ -2057,12 +2056,12 @@ def plant_pcx_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
 # EOB runs — and (r10) the ARITHMETIC family, both SEQUENTIAL SOF9 and
 # PROGRESSIVE SOF10, via the T.81 QM coder (operators/jpeg_arith.py,
 # bit-exact both ways vs libjpeg), and (r11) LOSSLESS SOF3 (Annex H
-# spatial prediction) and the 12-BIT Huffman frames (extended
-# sequential SOF1 and progressive SOF2). Streams outside that family
-# (hierarchical, arithmetic-lossless SOF11, 12-bit arithmetic,
-# fractional sampling ratios) raise ValueError and fall through to
-# the documented md5 FAKE, which after this section covers ONLY video
-# (MP4) and those refused JPEG variants.
+# spatial prediction) and the COMPLETE 12-BIT DCT family (SOF1/SOF2/
+# SOF9/SOF10). Streams outside that family (hierarchical,
+# arithmetic-lossless SOF11, fractional sampling ratios) raise
+# ValueError and fall through to the documented md5 FAKE, which after
+# this section covers ONLY video (MP4) and those refused JPEG
+# variants.
 #
 # The encoder exists for fixtures and tests (no codec library in this
 # image): standard Annex K Huffman tables, quality expressed directly
@@ -2717,7 +2716,7 @@ def build_jpeg_ext12(pixels, *, quant=None) -> bytes:
 
 
 def build_jpeg_arith(pixels, *, quant=None, restart_interval: int = 0,
-                     sampling=None) -> bytes:
+                     sampling=None, precision: int = 8) -> bytes:
     """HxW grayscale or HxWx3 RGB uint8 → REAL arithmetic-coded
     sequential JPEG (SOF9 + DAC, T.81 Annex D/F QM coder — see
     operators/jpeg_arith.py; the entropy bytes are byte-identical to
@@ -2728,14 +2727,26 @@ def build_jpeg_arith(pixels, *, quant=None, restart_interval: int = 0,
     three entropy layers (baseline Huffman / progressive / arithmetic)
     of the same pixels decode identically. Restart intervals count
     MCUs; each restart flushes the QM coder and resets statistics,
-    conditioning contexts, and DC predictions (F.2.4)."""
+    conditioning contexts, and DC predictions (F.2.4). `precision=12`
+    (r11) emits a 12-BIT arithmetic frame — grayscale, level shift
+    2048; the QM magnitude chains are unbounded below their corrupt-
+    stream guards, so only the coefficient prep and headers change."""
     import struct
 
     import numpy as np
 
     from sparkga1_spark.operators import jpeg_arith as _JA
 
-    px = np.asarray(pixels, dtype=np.uint8)
+    if precision == 12:
+        px = np.asarray(pixels)
+        if px.ndim != 2:
+            raise ValueError("12-bit arithmetic fixtures are grayscale")
+        if px.size and (px.min() < 0 or px.max() > 4095):
+            raise ValueError("samples exceed 12-bit range")
+    elif precision == 8:
+        px = np.asarray(pixels, dtype=np.uint8)
+    else:
+        raise ValueError("precision must be 8 or 12")
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
         raise ValueError("build_jpeg_arith wants HxW or HxWx3 uint8")
@@ -2758,8 +2769,10 @@ def build_jpeg_arith(pixels, *, quant=None, restart_interval: int = 0,
     q88 = q.reshape(8, 8)
 
     m = _jpeg_dct_matrix()
+    center = float(1 << (precision - 1))
+    ac_clamp = 1023 if precision == 8 else 16383
     comps_meta = [
-        (hs, vs, _jpeg_plane_qcoefs(plane, q88, m))
+        (hs, vs, _jpeg_plane_qcoefs(plane, q88, m, center, ac_clamp))
         for plane, hs, vs in _jpeg_prep_planes(px, sampling)
     ]
     hmax = max(c[0] for c in comps_meta)
@@ -2808,9 +2821,10 @@ def build_jpeg_arith(pixels, *, quant=None, restart_interval: int = 0,
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
     out = bytearray(b"\xff\xd8")
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if precision == 8:  # JFIF declares 8-bit samples; omit at 12
+        out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xDB, bytes([0x00]) + bytes(int(q[i]) for i in _JPEG_ZIGZAG))
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
     for ci, (hs, vs, _qc) in enumerate(comps_meta):
         sof += bytes([ci + 1, (hs << 4) | vs, 0])
     out += seg(0xC9, sof)
@@ -2833,8 +2847,8 @@ def build_jpeg_arith(pixels, *, quant=None, restart_interval: int = 0,
 
 
 def build_jpeg_arith_progressive(pixels, *, quant=None, successive=False,
-                                 sampling=None,
-                                 restart_interval: int = 0) -> bytes:
+                                 sampling=None, restart_interval: int = 0,
+                                 precision: int = 8) -> bytes:
     """HxW grayscale or HxWx3 RGB uint8 → REAL progressive
     ARITHMETIC-coded JPEG (SOF10 + DAC): the build_jpeg_progressive
     scan script (spectral selection; `successive=True` adds the full
@@ -2847,14 +2861,25 @@ def build_jpeg_arith_progressive(pixels, *, quant=None, successive=False,
     machinery: the per-position EOB decision replaces it). Shares
     _jpeg_prep_planes/_jpeg_plane_qcoefs, so all four entropy layers
     of the same pixels decode identically; validated against libjpeg
-    SOF10 output in tests/test_jpeg_arith.py."""
+    SOF10 output in tests/test_jpeg_arith.py. `precision=12` (r11)
+    emits a 12-BIT progressive arithmetic frame (grayscale, level
+    shift 2048 — see build_jpeg_arith)."""
     import struct
 
     import numpy as np
 
     from sparkga1_spark.operators import jpeg_arith as _JA
 
-    px = np.asarray(pixels, dtype=np.uint8)
+    if precision == 12:
+        px = np.asarray(pixels)
+        if px.ndim != 2:
+            raise ValueError("12-bit arithmetic fixtures are grayscale")
+        if px.size and (px.min() < 0 or px.max() > 4095):
+            raise ValueError("samples exceed 12-bit range")
+    elif precision == 8:
+        px = np.asarray(pixels, dtype=np.uint8)
+    else:
+        raise ValueError("precision must be 8 or 12")
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
         raise ValueError("build_jpeg_arith_progressive wants HxW or HxWx3")
@@ -2882,8 +2907,10 @@ def build_jpeg_arith_progressive(pixels, *, quant=None, successive=False,
     vmax = max(vs for _p, _h, vs in prepped)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+    center = float(1 << (precision - 1))
+    ac_clamp = 1023 if precision == 8 else 16383
     for plane, hs, vs in prepped:
-        qc = _jpeg_plane_qcoefs(plane, q88, m)
+        qc = _jpeg_plane_qcoefs(plane, q88, m, center, ac_clamp)
         cw = -(-w * hs // hmax)
         ch = -(-h * vs // vmax)
         comps_meta.append((hs, vs, qc, -(-ch // 8), -(-cw // 8)))
@@ -3031,9 +3058,10 @@ def build_jpeg_arith_progressive(pixels, *, quant=None, successive=False,
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
     out = bytearray(b"\xff\xd8")
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if precision == 8:  # JFIF declares 8-bit samples; omit at 12
+        out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xDB, bytes([0x00]) + bytes(int(q[i]) for i in _JPEG_ZIGZAG))
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
     for ci, (hs, vs, _qc, _nbh, _nbw) in enumerate(comps_meta):
         sof += bytes([ci + 1, (hs << 4) | vs, 0])
     out += seg(0xCA, sof)
@@ -3464,11 +3492,12 @@ def parse_jpeg(data: bytes):
     decodes for real as of r11 (Annex H: spatial predictors 1-7,
     point transform, mod-2^16 differences with the category-16
     symbol, restarts, multi-scan non-interleaved layouts, precision
-    2-16 — raw component planes out, no color transform), as do the
-    12-BIT Huffman frames — extended sequential SOF1 and progressive
-    SOF2 (level shift 2048, DC categories to 15, AC sizes to 14,
-    uint16 output). Raises ValueError for the rest (hierarchical,
-    arithmetic-lossless SOF11, 12-bit arithmetic, fractional sampling
+    2-16 — raw component planes out, no color transform), as does
+    the COMPLETE 12-BIT DCT family — SOF1/SOF2 Huffman and
+    SOF9/SOF10 arithmetic (level shift 2048, DC categories to 15, AC
+    sizes to 14, uint16 output; the QM magnitude chains reach 12-bit
+    ranges below their guards). Raises ValueError for the rest
+    (hierarchical, arithmetic-lossless SOF11, fractional sampling
     ratios) — callers fall through to the documented fake, keeping
     legacy header-only fixtures byte-stable."""
     import struct
@@ -3566,17 +3595,16 @@ def parse_jpeg(data: bytes):
                 if not (2 <= prec <= 16):
                     raise ValueError("bad lossless precision")
             elif prec == 12:
-                # r11: 12-bit DCT precision for the HUFFMAN frames —
-                # extended sequential (SOF1) and progressive (SOF2):
-                # dequant/IDCT/level-shift generalize and the DC
-                # difference alphabet widens to category 15 (T.81
-                # Table F.1). 12-bit ARITHMETIC stays refused: no
-                # fixture encoder exists for it, and an untested path
-                # must refuse rather than guess.
-                if marker not in (0xC1, 0xC2):
-                    raise ValueError(
-                        "12-bit only for Huffman SOF1/SOF2 frames"
-                    )
+                # r11: 12-bit DCT precision for every non-baseline
+                # DCT frame — extended sequential SOF1, progressive
+                # SOF2, and the arithmetic twins SOF9/SOF10:
+                # dequant/IDCT/level-shift generalize, the DC Huffman
+                # alphabet widens to category 15 (T.81 Table F.1),
+                # and the QM magnitude chains already reach 12-bit
+                # ranges below their corrupt-stream guards. Baseline
+                # SOF0 is 8-bit by definition (B.2.2).
+                if marker == 0xC0:
+                    raise ValueError("baseline frames are 8-bit only")
             elif prec != 8:
                 raise ValueError("only 8-bit precision supported")
             prec_bits = prec

@@ -3814,10 +3814,12 @@ def x_multimodal_jpeg_decode(spark, sf_dir):
     (tests/test_multimodal_bytes.py). Baseline
     4:4:4/4:2:2/4:2:0 color with RSTn restarts is pinned by foreign
     real-encoder JPEGs (CPython / Rust-doc test images) in
-    tests/test_multimodal_bytes.py. The md5 FAKE branch now covers
-    only video (MP4) and the JPEG variants that remain honestly
-    refused (hierarchical, arithmetic-lossless SOF11, 12-bit
-    arithmetic)."""
+    tests/test_multimodal_bytes.py; 12-bit ARITHMETIC (SOF9/SOF10)
+    also decodes as of late r11, pinned by cross-entropy-layer raster
+    identity, with gate rotation deferred to r12 (the planter was
+    frozen after this round's bench windows). The md5 FAKE branch now
+    covers only video (MP4) and the JPEG variants that remain
+    honestly refused (hierarchical, arithmetic-lossless SOF11)."""
     from sparkga1_spark.operators.multimodal import (
         decode_image_stats,
         plant_jpeg_real_payloads,

@@ -3860,11 +3860,12 @@ def test_jpeg_ext12_flat_exact_and_error_bounds():
 
 
 def test_jpeg_ext12_refusals():
-    """12-bit claims only what is tested: the ARITHMETIC frames
-    (SOF9/SOF10) at 12-bit refuse (no fixture encoder — untested
-    paths must not guess), baseline SOF0 remains 8-bit-only per T.81,
-    and a SOF1 stream flipped to SOF2 is a MALFORMED progressive
-    stream (full-band sequential SOS) — still a refusal."""
+    """12-bit boundary pins: baseline SOF0 remains 8-bit-only per
+    T.81 B.2.2, and a SOF1 stream flipped to SOF2 is a MALFORMED
+    progressive stream (full-band sequential SOS) — still a refusal.
+    (SOF2/SOF9/SOF10 at 12-bit all DECODE as of r11 — see
+    test_jpeg_ext12_progressive_matches_sequential and
+    test_jpeg_12bit_arithmetic_matches_huffman.)"""
     import numpy as np
     import pytest
 
@@ -3875,19 +3876,59 @@ def test_jpeg_ext12_refusals():
 
     good = build_jpeg_ext12(np.zeros((8, 8), dtype=int))
     sof = good.find(b"\xff\xc1")
-    for marker in (0xC9, 0xCA):
-        bad = bytearray(good)
-        bad[sof + 1] = marker
-        with pytest.raises(ValueError, match="12-bit only"):
-            parse_jpeg(bytes(bad))
     bad = bytearray(good)
     bad[sof + 1] = 0xC0  # baseline frames are 8-bit by definition
-    with pytest.raises(ValueError, match="12-bit only"):
+    with pytest.raises(ValueError, match="8-bit only"):
         parse_jpeg(bytes(bad))
     bad = bytearray(good)
     bad[sof + 1] = 0xC2  # 12-bit progressive DECODES (r11) — but this
     with pytest.raises(ValueError, match="Se=0"):  # SOS is malformed
         parse_jpeg(bytes(bad))
+
+
+def test_jpeg_12bit_arithmetic_matches_huffman():
+    """12-bit ARITHMETIC (SOF9 sequential + SOF10 progressive, r11):
+    the QM coder's magnitude chains are precision-independent below
+    their corrupt-stream guards, so arithmetic and Huffman encodes of
+    the same 12-bit quantized coefficients must decode to IDENTICAL
+    uint16 rasters — across spectral-selection-only, full successive
+    approximation, and restart intervals (the entropy-layer
+    equivalence pin the 8-bit family gets from libjpeg, restated
+    in-repo because the system libjpeg has no 12-bit build)."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import (
+        build_jpeg_arith,
+        build_jpeg_arith_progressive,
+        build_jpeg_ext12,
+        parse_jpeg,
+    )
+
+    rng = np.random.default_rng(31)
+    for shape in [(8, 8), (13, 19), (24, 40)]:
+        img = rng.integers(0, 4096, shape)
+        seq = parse_jpeg(build_jpeg_ext12(img))[2]
+        a9 = parse_jpeg(build_jpeg_arith(img, precision=12))[2]
+        assert a9.dtype == np.uint16
+        assert (a9 == seq).all(), ("SOF9@12", shape)
+        a9r = parse_jpeg(
+            build_jpeg_arith(img, precision=12, restart_interval=4)
+        )[2]
+        assert (a9r == seq).all()
+        for succ in (False, True):
+            for dri in (0, 3):
+                a10 = parse_jpeg(
+                    build_jpeg_arith_progressive(
+                        img, precision=12, successive=succ,
+                        restart_interval=dri,
+                    )
+                )[2]
+                assert (a10 == seq).all(), ("SOF10@12", shape, succ, dri)
+
+    vals = rng.integers(0, 4096, (2, 3))
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+    px = parse_jpeg(build_jpeg_arith(img, precision=12))[2]
+    assert int(px.sum(dtype=np.int64)) == 64 * int(vals.sum())
 
 
 def test_jpeg_ext12_progressive_matches_sequential():
