@@ -252,6 +252,11 @@ def _host_delta(before, after):
     d = [b - a for a, b in zip(s0, s1)]
     user, nice, system, idle, iowait, irq, softirq, steal = d
     busy = user + nice + system + irq + softirq + steal
+    # foreign-CPU numerator EXCLUDES steal (r11 ADVICE): steal jiffies
+    # are hypervisor time, already attributed via steal_frac — folding
+    # them into busy double-counted a steal-only contention window as
+    # foreign-process CPU too
+    busy_procs = busy - steal
     total = busy + idle + iowait
     tree = t1 - t0
     if total <= 0:
@@ -265,7 +270,7 @@ def _host_delta(before, after):
         sf = round(steal / total, 4)
         iw = round(iowait / total, 4)
     else:
-        ff = round(min(1.0, max(0, busy - tree) / total), 4)
+        ff = round(min(1.0, max(0, busy_procs - tree) / total), 4)
         sf = round(steal / total, 4)
         iw = round(iowait / total, 4)
     return {
@@ -280,28 +285,60 @@ def _host_delta(before, after):
     }
 
 
-def _prev_cold():
-    """Previous round's cold_first_run numbers, read from the newest
-    committed bench artifact at runtime (the r10 ADVICE: hardcoded
-    comparators silently go stale). Handles both the local shape
-    (top-level cold_first_run) and the driver shape (under 'parsed')."""
+def _current_round() -> int:
+    """The round in progress. CORRECTNESS_r{N}.json is written by the
+    external driver when it judges round N, so during round N+1 the
+    newest correctness artifact is N — current = max + 1. Overridable
+    via SPARK_GRAFT_BENCH_ROUND for out-of-band runs."""
     import glob
     import re
 
-    best: tuple[dict, str | None, int] = ({}, None, -1)
+    env = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    if env:
+        return int(env)
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"_r0*(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 0
+
+
+def _bench_artifacts():
+    """(round, path, doc) for every parseable committed BENCH*_r*.json."""
+    import glob
+    import re
+
+    out = []
     for path in glob.glob(os.path.join(_REPO, "BENCH*_r*.json")):
-        m = re.search(r"_r(\d+)\.json$", path)
+        m = re.search(r"_r0*(\d+)\.json$", path)
         if not m:
-            continue
-        rnd = int(m.group(1))
-        if rnd <= best[2]:
             continue
         try:
             with open(path) as f:
                 doc = json.load(f)
         except Exception:
             continue
-        if not isinstance(doc, dict):
+        if isinstance(doc, dict):
+            out.append((int(m.group(1)), path, doc))
+    return out
+
+
+def _prev_cold():
+    """Previous round's cold_first_run numbers, read from the newest
+    committed bench artifact STRICTLY OLDER than the current round
+    (r11 ADVICE: picking the plain newest meant that once this round's
+    artifact was committed, the cross-round ingest comparator became
+    self-referential and masked regressions). Handles both the local
+    shape (top-level cold_first_run) and the driver shape (under
+    'parsed')."""
+    cur = _current_round()
+    best: tuple[dict, str | None, int, bool] = ({}, None, -1, False)
+    for rnd, path, doc in _bench_artifacts():
+        is_local = "LOCAL" in os.path.basename(path)
+        # newest round wins; at the same round the LOCAL (controlled
+        # idle-window) artifact beats the driver run
+        if rnd >= cur or (rnd, is_local) <= (best[2], best[3]):
             continue
         cold = doc.get("cold_first_run") or (
             (doc.get("parsed") or {}).get("cold_first_run")
@@ -309,7 +346,36 @@ def _prev_cold():
             else None
         )
         if cold:
-            best = (cold, os.path.basename(path), rnd)
+            best = (cold, os.path.basename(path), rnd, is_local)
+    return best[0], best[1]
+
+
+def _clean_substitutes():
+    """Per-query medians from the newest committed LOCAL bench window
+    (any round, INCLUDING the current one — a contaminated driver run
+    should borrow this round's controlled idle-window numbers), used to
+    back-fill contaminated rows in the *_clean totals (r11 VERDICT #4).
+    Only windows that were themselves substantially clean qualify."""
+    best: tuple[dict, str | None, int] = ({}, None, -1)
+    for rnd, path, doc in _bench_artifacts():
+        if "LOCAL" not in os.path.basename(path) or rnd <= best[2]:
+            continue
+        qs = doc.get("queries")
+        host = doc.get("host") or {}
+        if not isinstance(qs, dict) or not qs:
+            continue
+        n_contam = sum(
+            1 for v in host.values()
+            if isinstance(v, dict) and v.get("contaminated")
+        )
+        if host and n_contam > max(3, len(host) // 10):
+            continue  # a dirty window is no substitute
+        clean_qs = {
+            q: t for q, t in qs.items()
+            if not (isinstance(host.get(q), dict)
+                    and host[q].get("contaminated"))
+        }
+        best = (clean_qs, os.path.basename(path), rnd)
     return best[0], best[1]
 
 
@@ -355,6 +421,20 @@ def main() -> None:
     # metric alongside it
     cold_first: dict[str, float] = {}
     COLD_FIRST_RUN = {"s_crawl_ingest_incremental", "x_incremental_dedup_bucketed"}
+    # r12 (r11 VERDICT #3): four rows showed up-to-5x spread WITHIN an
+    # uncontaminated window (multi-job / iterative plans whose wall
+    # time is dominated by job-scheduling + GC timing, not data) — at
+    # 3 runs their median can't distinguish a real 2x regression from
+    # session noise, so they get more samples; the published spread
+    # [min, max] is the comparison instrument for these (min tracks
+    # code cost, median tracks typical session cost)
+    HIGH_VARIANCE_RUNS = 7
+    HIGH_VARIANCE = {
+        "x_bpe_train_merges",
+        "x_multimodal_qoi_decode",
+        "x_heavy_hitters_cms",
+        "x_dedup_keep_canonical",
+    }
     # r9 VERDICT #8: print the previous round's cold numbers alongside
     # this round's, so an ingest-path regression is a number, not a
     # note. Read from the newest committed bench artifact at runtime
@@ -365,8 +445,9 @@ def main() -> None:
     for name in HEADLINE:
         runs = []
         run_host = []
+        n_runs = HIGH_VARIANCE_RUNS if name in HIGH_VARIANCE else 3
         try:
-            for _ in range(3):
+            for _ in range(n_runs):
                 release_tracked()  # each run re-materializes its own caches
                 hp0 = _host_probe()
                 t0 = time.time()
@@ -379,7 +460,7 @@ def main() -> None:
             errors[name] = f"{type(e).__name__}: {e}"
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
-        med = round(sorted(runs)[1], 3)
+        med = round(sorted(runs)[len(runs) // 2], 3)
         times[name] = med
         if name in COLD_FIRST_RUN:
             cold_first[name] = round(runs[0], 3)
@@ -418,6 +499,32 @@ def main() -> None:
     )
     n_contam = sum(1 for v in host.values() if v["contaminated"])
     contam_names = sorted(k for k, v in host.items() if v["contaminated"])
+    # *_clean totals (r11 VERDICT #4): same subsets with contaminated
+    # rows substituted from the newest committed clean LOCAL window, so
+    # a driver run under hypervisor contention still publishes a
+    # directly comparable number next to the raw one. Rows with no
+    # substitute keep their own (contaminated) time and are listed.
+    subs, subs_src = _clean_substitutes()
+
+    def _clean_total(names):
+        if not all(n in times for n in names):
+            return None, []
+        used = []
+        tot = 0.0
+        for n in names:
+            if host[n]["contaminated"] and n in subs:
+                tot += subs[n]
+                used.append(n)
+            else:
+                tot += times[n]
+        return round(tot, 3), used
+
+    shared35_clean, sub35 = _clean_total(HEADLINE[:35])
+    shared65_clean, sub65 = _clean_total(HEADLINE[:65])
+    clean_substituted = sorted(set(sub35) | set(sub65))
+    clean_unsubstituted = sorted(
+        n for n in contam_names if n in set(HEADLINE[:65]) and n not in subs
+    )
     print(
         json.dumps(
             {
@@ -427,9 +534,17 @@ def main() -> None:
                 "queries": times,
                 "spread": spread,
                 "runs_per_query": 3,
+                "high_variance_runs": {
+                    n: HIGH_VARIANCE_RUNS for n in sorted(HIGH_VARIANCE)
+                },
                 "sf": sf,
                 "shared35": shared35,
                 "shared65": shared65,
+                "shared35_clean": shared35_clean,
+                "shared65_clean": shared65_clean,
+                "clean_substituted": clean_substituted,
+                "clean_unsubstituted": clean_unsubstituted,
+                "clean_source": subs_src,
                 "cold_first_run": cold_first,
                 "cold_first_run_prev": COLD_PREV_ROUND,
                 "cold_prev_source": cold_prev_src,
@@ -453,6 +568,10 @@ def main() -> None:
                 "n_errors": len(errors),
                 "shared35": shared35,
                 "shared65": shared65,
+                "shared35_clean": shared35_clean,
+                "shared65_clean": shared65_clean,
+                "clean_substituted": clean_substituted,
+                "clean_source": subs_src,
                 "cold_first_run": cold_first,
                 "cold_first_run_prev": COLD_PREV_ROUND,
                 "cold_prev_source": cold_prev_src,

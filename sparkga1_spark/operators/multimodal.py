@@ -3698,6 +3698,19 @@ def parse_jpeg(data: bytes):
                     scomps.append((cid2ci[cs], tdta >> 4))
                 if len({ci for ci, _td in scomps}) != ns:
                     raise ValueError("duplicate component in scan")
+                if ns > 1 and ns != len(fcomps):
+                    # T.81 A.2.3 defines an interleaved scan's MCU
+                    # structure over the SCAN's component subset; the
+                    # geometry below (hmax/vmax, mcux_l/mcuy_l) is
+                    # derived from the frame's full set, which only
+                    # coincides when the scan carries every component.
+                    # No in-repo encoder emits partial interleave, so
+                    # refuse foreign streams rather than mis-decode
+                    # (r11 ADVICE).
+                    raise ValueError(
+                        "partial-interleave lossless scan unsupported "
+                        "(scan must carry all frame components)"
+                    )
                 sel = body[1 + 2 * ns]  # Ss = predictor selector
                 if not 1 <= sel <= 7:
                     raise ValueError("bad lossless predictor")
@@ -4457,7 +4470,10 @@ def plant_jpeg_real_payloads(df: DataFrame, *, text_col: str = "text") -> DataFr
     (r10 — the T.81 QM coder of operators/jpeg_arith.py, entropy
     bytes byte-identical to libjpeg's): %8==2 sequential SOF9 + DAC,
     %8==6 PROGRESSIVE SOF10 with full successive approximation and a
-    restart interval. As of r11 two %4==0 slots rotate further: ids
+    restart interval; as of r12 the %32==2 / %32==6 slots of that arm
+    run at 12-BIT precision (the late-r11 arithmetic-12 decode
+    feature, previously pytest-pinned only — planter frozen after the
+    r11 bench windows). As of r11 two %4==0 slots rotate further: ids
     %16==0 are LOSSLESS SOF3 (spatial predictor (id//16)%7+1 — exact
     on ANY content, so the closed form holds trivially) and ids
     %16==4 are 12-BIT (byte values in the 0..4095 range; flat blocks
@@ -4501,13 +4517,20 @@ def plant_jpeg_real_payloads(df: DataFrame, *, text_col: str = "text") -> DataFr
                     # PROGRESSIVE arithmetic (SOF10) with the full
                     # successive-approximation script AND a restart
                     # interval; flat blocks stay exactly lossless, so
-                    # the closed-form oracle is untouched
+                    # the closed-form oracle is untouched. r12 rotates
+                    # the late-r11 12-BIT arithmetic classes into the
+                    # gate row: ids %32==2 are 12-bit SOF9, ids %32==6
+                    # 12-bit SOF10 (flat blocks exact at either level
+                    # shift, so channels/px_sum are unchanged; decode
+                    # dtype widens to uint16 as in the %16==4 slot)
+                    prec = 12 if d % 32 in (2, 6) else 8
                     if d % 8 == 6:
                         blob = build_jpeg_arith_progressive(
-                            img, successive=True, restart_interval=2
+                            img, successive=True, restart_interval=2,
+                            precision=prec,
                         )
                     else:
-                        blob = build_jpeg_arith(img)
+                        blob = build_jpeg_arith(img, precision=prec)
                 elif d % 16 == 0:
                     # r11: LOSSLESS SOF3 — same tiled pixels, exact by
                     # the codec's own contract (not just flat blocks);

@@ -3814,10 +3814,12 @@ def x_multimodal_jpeg_decode(spark, sf_dir):
     (tests/test_multimodal_bytes.py). Baseline
     4:4:4/4:2:2/4:2:0 color with RSTn restarts is pinned by foreign
     real-encoder JPEGs (CPython / Rust-doc test images) in
-    tests/test_multimodal_bytes.py; 12-bit ARITHMETIC (SOF9/SOF10)
-    also decodes as of late r11, pinned by cross-entropy-layer raster
-    identity, with gate rotation deferred to r12 (the planter was
-    frozen after this round's bench windows). The md5 FAKE branch now
+    tests/test_multimodal_bytes.py; 12-bit ARITHMETIC (SOF9/SOF10,
+    late r11, pinned by cross-entropy-layer raster identity) ROTATED
+    INTO THIS ROW in r12 — ids %32==2 run 12-bit sequential SOF9 and
+    ids %32==6 12-bit progressive SOF10 (flat blocks exact at either
+    precision, so the closed-form oracle is untouched; the r11
+    planter freeze is lifted). The md5 FAKE branch now
     covers only video (MP4) and the JPEG variants that remain
     honestly refused (hierarchical, arithmetic-lossless SOF11)."""
     from sparkga1_spark.operators.multimodal import (
@@ -12352,79 +12354,81 @@ def x_dedup_cluster_size_hist(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Gate priority (see registry.set_gate_order docstring). Round 11
-# runs the steady-state rotation (r10 VERDICT #1): the window is
+# Gate priority (see registry.set_gate_order docstring). Round 12
+# runs the steady-state rotation (r11 VERDICT #1): the window is
 # regenerated mechanically by tools/rotation_union.py from the
-# CORRECTNESS r1-r10 artifact union (age histogram r6:39 r7:44 r8:40
-# r9:49 r10:50, zero never-green) — ALL 39 r6-age rows (the oldest
-# driver coverage left) plus the oldest r7-age rows, with this
-# round's fixture-changed row swapped in first (the r9/r10
-# precedent). After this window nothing older than r7 remains.
+# CORRECTNESS r1-r11 artifact union (age histogram r7:34 r8:40 r9:49
+# r10:49 r11:50, zero never-green) — ALL 34 r7-age rows (the oldest
+# driver coverage left) plus the oldest r8-age rows, with this
+# round's fixture-changed row swapped in first (the r9/r10/r11
+# precedent). After this window nothing older than r8 remains.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
 
 set_gate_order([
-    # (a) fixture-changed this round: the jpeg planter rotates two
-    # NEW classes (ids %16==0 lossless SOF3, ids %16==4 12-bit SOF1 —
-    # the r11 decode features); a fixture change needs a driver row
-    # more than an unchanged old row does
+    # (a) fixture-changed this round: the jpeg planter rotates the
+    # 12-BIT ARITHMETIC classes in (ids %32==2 sequential SOF9,
+    # %32==6 progressive SOF10 — the late-r11 decode feature whose
+    # rotation was deliberately deferred past the r11 bench windows);
+    # a fixture change needs a driver row more than an unchanged old
+    # row does
     "x_multimodal_jpeg_decode",
-    # (b) ALL 39 round-6-age rows (tools/rotation_union.py output,
+    # (b) ALL 34 round-7-age rows (tools/rotation_union.py output,
     # recomputed from the artifacts per the r7/r8 convention),
     # alphabetical
-    "x_charset_transcode",
-    "x_cusum_changepoint",
-    "x_dedup_containment",
-    "x_embedding_pca_audit",
-    "x_graph_bfs_hops",
-    "x_graph_triangles",
-    "x_heavy_hitters_cms",
-    "x_hll_accuracy_audit",
-    "x_host_pagerank",
-    "x_html_extract_text",
-    "x_html_page_meta",
-    "x_image_text_pairs",
-    "x_incremental_distinct_hll",
-    "x_incremental_rollup_merge",
-    "x_kmeans_assign_audit",
-    "x_knn_label_vote",
-    "x_magic_bytes_detect",
-    "x_mime_extract",
-    "x_multimodal_adpcm_features",
-    "x_multimodal_flac_features",
-    "x_multimodal_gif_decode",
-    "x_multimodal_mjpeg_frames",
-    "x_multimodal_mp3_meta",
-    "x_multimodal_pcx_decode",
-    "x_multimodal_qoi_decode",
-    "x_multimodal_tiff_decode",
-    "x_multimodal_ulaw_features",
-    "x_pdf_extract_text",
-    "x_readability_flesch",
-    "x_robots_gate",
-    "x_seasonality_dow",
-    "x_sitemap_frontier",
-    "x_stratified_sample_es",
-    "x_survival_km",
-    "x_target_encode_loo",
-    "x_text_nfc_clean",
-    "x_touch_attribution",
-    "x_warc_records",
-    "x_weighted_sample_es",
-    # (c) the 10 oldest r7-age rows, alphabetical. Displaced vs the
-    # plain 39+11 tool window: tpch_q11_important_stock (r7-age,
-    # UNCHANGED this round, alphabetically last of the 11 candidates;
-    # holds an r7 driver row + this round's full local gate) — one
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q16_supplier_parts",
+    "tpch_q21_waiting_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "w_first_last_nth",
+    "w_frame_lag_lead_range",
+    "w_rank_family",
+    "x_ann_bruteforce_topk",
+    "x_ann_ivf_nprobe2",
+    "x_ann_lsh_buckets",
+    "x_crawl_ingest_pipeline",
+    "x_datamix_split",
+    "x_embedding_mahalanobis_audit",
+    "x_embedding_quantize",
+    "x_fuzzy_levenshtein",
+    "x_html_link_graph",
+    "x_incremental_dedup_bucketed",
+    "x_json_props_extract",
+    "x_multimodal_alaw_features",
+    "x_multimodal_bmp_decode",
+    "x_multimodal_mp3_tags",
+    "x_multimodal_webp_meta",
+    "x_set_similarity_routed",
+    "x_touch_attribution_decay",
+    "x_url_host_rollup",
+    "x_vector_stats_hof",
+    "x_vocab_topk",
+    "x_web_corpus_pipeline",
+    # (c) the 15 oldest r8-age rows, alphabetical. Displaced vs the
+    # plain 34+16 tool window: j_range_exome_overlap (r8-age,
+    # UNCHANGED this round, alphabetically last of the 16 candidates;
+    # holds an r8 driver row + this round's full local gate) — one
     # slot ceded to the fixture-changed row in (a).
-    "a_cube_revenue",
-    "a_date_parts",
-    "a_dedup_keep_best",
-    "a_minmax_by_bool",
-    "f_attrs_map_extract",
-    "f_ignore_table_antijoin",
-    "f_null_semantics",
-    "o_topk_global_limit",
-    "s_crawl_ingest_incremental",
-    "tpch_q10_returned_items",
+    "a_covariate_table",
+    "a_exact_percentiles",
+    "a_global_totals",
+    "a_grouping_sets_revenue",
+    "a_integrity_manifest",
+    "a_lpt_schedule",
+    "a_pivot_status_qty",
+    "a_sketch_accuracy_audit",
+    "f_interval_sanity_fix",
+    "f_mapped_clean_projection",
+    "f_regex_readgroup",
+    "flagship_region_stats",
+    "j_anti_known_sites",
+    "j_asof_latest_order",
+    "j_full_outer_recon",
 ])

@@ -3806,6 +3806,21 @@ def test_jpeg_lossless_multiscan_and_refusals():
     with pytest.raises(ValueError, match="point transform"):
         parse_jpeg(bytes(bad))
 
+    # partial-interleave lossless scan (1 < ns < frame components) is
+    # refused rather than mis-decoded with frame-derived MCU geometry
+    # (T.81 A.2.3 defines interleaved MCUs over the SCAN's subset —
+    # r11 ADVICE; no in-repo encoder emits this layout)
+    rgb = np.repeat(planes[0][:, :, None], 3, axis=2)
+    cblob = build_jpeg_lossless(rgb, predictor=2)
+    csos = cblob.find(b"\xff\xda")
+    assert cblob[csos + 4] == 3  # interleaved 3-component scan
+    bad = bytearray(cblob)
+    del bad[csos + 9 : csos + 11]  # drop the third (cs, td) pair
+    bad[csos + 3] = 10  # Ls: 12 -> 10
+    bad[csos + 4] = 2  # ns: 3 -> 2
+    with pytest.raises(ValueError, match="partial-interleave"):
+        parse_jpeg(bytes(bad))
+
     # hierarchical and arithmetic-lossless frames remain refused
     for marker in (0xC5, 0xC7, 0xCB, 0xCE):
         bad = bytearray(good)
@@ -4006,6 +4021,46 @@ def test_planter_rotation_includes_lossless_and_12bit_classes():
             blob = build_jpeg_ext12(img)
             assert b"\xff\xc1" in blob and blob[blob.find(b"\xff\xc1") + 4] == 12
         w, h, px = parse_jpeg(blob)
+        assert px.shape == (8 * hb, 8 * wb, 1)
+        assert int(px.astype(np.int64).sum()) == 64 * int(
+            vals.astype(np.int64).sum()
+        )
+
+
+def test_planter_rotation_includes_arith12_classes():
+    """plant_jpeg_real_payloads ids %32==2 / %32==6 carry 12-BIT
+    arithmetic streams as of r12 (SOF9 sequential / SOF10 progressive
+    with SA + restarts), while the other %4==2 slots stay 8-bit — the
+    gate row's closed-form oracle is unchanged because flat blocks are
+    exact at either precision."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import (
+        build_jpeg_arith,
+        build_jpeg_arith_progressive,
+        parse_jpeg,
+    )
+
+    # builder-level replica of the planter's %4==2 arm incl. the r12
+    # precision sub-rotation
+    for d, text in [(2, "arith twelve"), (6, "prog twelve"),
+                    (10, "arith eight"), (14, "prog eight"),
+                    (34, "twelve again"), (38, "ten at twelve")]:
+        wb, hb = d % 5 + 1, d % 3 + 1
+        vals = np.resize(np.frombuffer(text.encode(), np.uint8), (hb, wb))
+        img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+        prec = 12 if d % 32 in (2, 6) else 8
+        if d % 8 == 6:
+            blob = build_jpeg_arith_progressive(
+                img, successive=True, restart_interval=2, precision=prec
+            )
+            sof = blob.find(b"\xff\xca")
+        else:
+            blob = build_jpeg_arith(img, precision=prec)
+            sof = blob.find(b"\xff\xc9")
+        assert sof >= 0 and blob[sof + 4] == prec
+        w, h, px = parse_jpeg(blob)
+        assert px.dtype == (np.uint16 if prec == 12 else np.uint8)
         assert px.shape == (8 * hb, 8 * wb, 1)
         assert int(px.astype(np.int64).sum()) == 64 * int(
             vals.astype(np.int64).sum()

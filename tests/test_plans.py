@@ -161,38 +161,38 @@ def test_gate_order_fronts_unproven_queries():
     qs = list(all_queries())
     first50 = set(qs[:50])
     must_have_row = {
-        # round 11 steady-state rotation (see the set_gate_order
+        # round 12 steady-state rotation (see the set_gate_order
         # comment in plans/queries.py; regenerated by
-        # tools/rotation_union.py from the r1-r10 artifact union):
+        # tools/rotation_union.py from the r1-r11 artifact union):
         # (a) fixture-changed this round (jpeg planter rotates the
-        # new lossless SOF3 + 12-bit SOF1 classes)
+        # 12-bit arithmetic SOF9/SOF10 classes in)
         "x_multimodal_jpeg_decode",
-        # (b) all 39 round-6-age rows
-        "x_charset_transcode", "x_cusum_changepoint",
-        "x_dedup_containment", "x_embedding_pca_audit",
-        "x_graph_bfs_hops", "x_graph_triangles",
-        "x_heavy_hitters_cms", "x_hll_accuracy_audit",
-        "x_host_pagerank", "x_html_extract_text", "x_html_page_meta",
-        "x_image_text_pairs", "x_incremental_distinct_hll",
-        "x_incremental_rollup_merge", "x_kmeans_assign_audit",
-        "x_knn_label_vote", "x_magic_bytes_detect", "x_mime_extract",
-        "x_multimodal_adpcm_features", "x_multimodal_flac_features",
-        "x_multimodal_gif_decode", "x_multimodal_mjpeg_frames",
-        "x_multimodal_mp3_meta", "x_multimodal_pcx_decode",
-        "x_multimodal_qoi_decode", "x_multimodal_tiff_decode",
-        "x_multimodal_ulaw_features", "x_pdf_extract_text",
-        "x_readability_flesch", "x_robots_gate", "x_seasonality_dow",
-        "x_sitemap_frontier", "x_stratified_sample_es",
-        "x_survival_km", "x_target_encode_loo", "x_text_nfc_clean",
-        "x_touch_attribution", "x_warc_records",
-        "x_weighted_sample_es",
-        # (c) the 10 oldest r7-age rows (tpch_q11_important_stock
+        # (b) all 34 round-7-age rows
+        "tpch_q11_important_stock", "tpch_q12_shipmode_priority",
+        "tpch_q13_customer_distribution", "tpch_q14_promo_effect",
+        "tpch_q16_supplier_parts", "tpch_q21_waiting_supplier",
+        "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
+        "tpch_q8_market_share", "tpch_q9_product_profit",
+        "w_first_last_nth", "w_frame_lag_lead_range", "w_rank_family",
+        "x_ann_bruteforce_topk", "x_ann_ivf_nprobe2",
+        "x_ann_lsh_buckets", "x_crawl_ingest_pipeline",
+        "x_datamix_split", "x_embedding_mahalanobis_audit",
+        "x_embedding_quantize", "x_fuzzy_levenshtein",
+        "x_html_link_graph", "x_incremental_dedup_bucketed",
+        "x_json_props_extract", "x_multimodal_alaw_features",
+        "x_multimodal_bmp_decode", "x_multimodal_mp3_tags",
+        "x_multimodal_webp_meta", "x_set_similarity_routed",
+        "x_touch_attribution_decay", "x_url_host_rollup",
+        "x_vector_stats_hof", "x_vocab_topk", "x_web_corpus_pipeline",
+        # (c) the 15 oldest r8-age rows (j_range_exome_overlap
         # displaced by the fixture-changed slot)
-        "a_cube_revenue", "a_date_parts", "a_dedup_keep_best",
-        "a_minmax_by_bool", "f_attrs_map_extract",
-        "f_ignore_table_antijoin", "f_null_semantics",
-        "o_topk_global_limit", "s_crawl_ingest_incremental",
-        "tpch_q10_returned_items",
+        "a_covariate_table", "a_exact_percentiles", "a_global_totals",
+        "a_grouping_sets_revenue", "a_integrity_manifest",
+        "a_lpt_schedule", "a_pivot_status_qty",
+        "a_sketch_accuracy_audit", "f_interval_sanity_fix",
+        "f_mapped_clean_projection", "f_regex_readgroup",
+        "flagship_region_stats", "j_anti_known_sites",
+        "j_asof_latest_order", "j_full_outer_recon",
     }
     missing = must_have_row - first50
     assert not missing, f"not in the driver's 50-query window: {missing}"

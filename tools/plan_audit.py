@@ -17,7 +17,10 @@ per-query guards in tests/test_plans.py assert piecemeal:
   non-equi kernels with per-site rationale in their docstrings:
   x_fuzzy_levenshtein (25-row dimension self-join),
   x_ann_bruteforce_topk / x_knn_label_vote (the brute-force all-pairs
-  baseline over a probe-bounded query filter)
+  baseline over a probe-bounded query filter). As of r12 that list is
+  ENFORCED: BNL_SANCTIONED below carries the per-query rationale into
+  the artifact (summary key `bnl_sanctioned`), and a BNL in any OTHER
+  query flags the audit
 - WholeStageCodegen span count (wider = more of the plan fused)
 - reused_exchanges is ALWAYS 0 here because this audit records
   AQE-INITIAL plans; ReusedExchange is installed at runtime. The r8
@@ -60,6 +63,28 @@ MARKS = {
     "bnl_joins": "BroadcastNestedLoopJoin",
     "map_in_pandas": "MapInPandas",
     "grouped_pandas": "FlatMapGroupsInPandas",
+}
+
+# The ONLY queries sanctioned to carry a BroadcastNestedLoopJoin
+# (r11 VERDICT #6: the count must be self-explaining). Each is a
+# definitionally non-equi kernel whose BUILD side is tiny by
+# construction; a BNL appearing anywhere else flags the audit.
+BNL_SANCTIONED = {
+    "x_fuzzy_levenshtein": (
+        "non-equi edit-distance candidate join against a 25-row "
+        "broadcast dimension (name-length band predicate has no equi "
+        "key); build side is the 25-row dim, probe is streamed"
+    ),
+    "x_ann_bruteforce_topk": (
+        "the brute-force all-pairs ANN BASELINE (the oracle the "
+        "bucketed/IVF paths are judged against): every probe must see "
+        "every corpus vector by definition; build side is the "
+        "probe-bounded query set (k rows), corpus is streamed"
+    ),
+    "x_knn_label_vote": (
+        "kNN vote layer on the same brute-force kernel: deliberate "
+        "all-pairs distance scan, probe-bounded broadcast build side"
+    ),
 }
 
 
@@ -186,6 +211,7 @@ def main() -> int:
             row.get("cartesian")
             or row.get("scalar_python")
             or row.get("global_windows")
+            or (row.get("bnl_joins") and name not in BNL_SANCTIONED)
         ):
             flagged.append(name)
         print(f"{name:40s} {row}", file=sys.stderr)
@@ -194,9 +220,24 @@ def main() -> int:
         "round": rnd,
         "sf_dir": sf_dir,
         "n_queries": len(results),
-        "flagged": flagged,  # cartesian OR scalar-python OR global-window hits
+        "flagged": flagged,  # cartesian OR scalar-python OR global-window
+        # OR unsanctioned-BNL hits
         "errors": errors,  # queries whose PLAN BUILD raised — a broken
         # query must fail the audit, not shrink its denominator
+        "bnl_sanctioned": {
+            n: r for n, r in BNL_SANCTIONED.items()
+            if results.get(n, {}).get("bnl_joins")
+        },
+        "reused_exchanges_note": (
+            "always 0 by construction: this audit builds AQE-INITIAL "
+            "plans without executing them, and ReusedExchange is "
+            "installed by AQE at RUNTIME. The post-execution census is "
+            "EXCHANGE_AUDIT_r{N}.json (tools/exchange_reuse_audit.py "
+            "--all, physical-tree walk): r10 measured 11 queries firing "
+            "a runtime ReusedExchange, incl. tpch_q11_important_stock's "
+            "shared fact pass — the two artifacts measure different "
+            "plan stages and are both correct."
+        ),
         "totals": {
             k: sum(r.get(k, 0) for r in results.values() if "error" not in r)
             for k in [
