@@ -34,8 +34,13 @@ extended sequential SOF1, progressive SOF2, arithmetic SOF9/SOF10 —
 decode for real too; the system libjpeg is the 8-bit v6b ABI and
 cannot oracle any of them, so their pins are hand-built known-answer
 streams, the lossless contract itself, and cross-entropy-layer
-raster identity at identical coefficients (tests). The residue —
-video (MP4) and the JPEG variants still refused (hierarchical,
+raster identity at identical coefficients (tests). As of r12
+HIERARCHICAL streams (Annex J: DHP pyramid, EXP reference expansion,
+differential SOF5 sequential and SOF7 lossless frames) decode for
+real in grayscale scope — color pyramids, differential progressive
+SOF6, and the arithmetic differential family SOF13-15 refuse with
+precise messages. The residue — video (MP4) and the JPEG variants
+still refused (color-hierarchical, SOF6/SOF13-15 differential,
 arithmetic-lossless SOF11) — tries the library (PIL / soundfile /
 av) behind an import-guard; absent that it uses a clearly-marked
 DETERMINISTIC FAKE derived from the payload's md5, so pipelines stay
@@ -512,7 +517,10 @@ def parse_jpeg_meta(data: bytes) -> tuple[int, int, int]:
         length = struct.unpack_from(">H", data, pos + 2)[0]
         if length < 2 or pos + 2 + length > len(data):
             raise ValueError("bad JPEG segment length")
-        if marker in _JPEG_SOF_MARKERS:
+        if marker in _JPEG_SOF_MARKERS or marker == 0xDE:
+            # DHP (hierarchical, r12) shares the SOF payload syntax and
+            # carries the FULL image dims — in a hierarchical stream it
+            # precedes every frame, so first match wins either way
             if pos + 10 > len(data):  # SOF payload: precision+dims+ncomp
                 raise ValueError("truncated JPEG frame header")
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", data, pos + 4)
@@ -942,8 +950,9 @@ def _decode_image_pixels(data: bytes):
             return parse_pcx(data)[2]
         if data[:2] == b"\xff\xd8":
             # real decode (baseline/progressive/arithmetic incl.
-            # SOF9+SOF10, lossless SOF3, the full 12-bit DCT family);
-            # the refused variants (hierarchical, SOF11) and the
+            # SOF9+SOF10, lossless SOF3, the full 12-bit DCT family,
+            # r12 grayscale hierarchical); the refused variants
+            # (color-hierarchical, SOF6/SOF13-15, SOF11) and the
             # legacy header-only fixtures (which declare no AC
             # Huffman table) raise and keep the documented fake path
             return parse_jpeg(data)[2]
@@ -2057,7 +2066,10 @@ def plant_pcx_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
 # PROGRESSIVE SOF10, via the T.81 QM coder (operators/jpeg_arith.py,
 # bit-exact both ways vs libjpeg), and (r11) LOSSLESS SOF3 (Annex H
 # spatial prediction) and the COMPLETE 12-BIT DCT family (SOF1/SOF2/
-# SOF9/SOF10). Streams outside that family (hierarchical,
+# SOF9/SOF10), and (r12) HIERARCHICAL (Annex J — DHP pyramid, EXP
+# reference expansion, differential SOF5/SOF7 frames; grayscale
+# scope). Streams outside that family (color-hierarchical,
+# differential progressive SOF6, arithmetic differential SOF13-15,
 # arithmetic-lossless SOF11, fractional sampling ratios) raise
 # ValueError and fall through to the documented md5 FAKE, which after
 # this section covers ONLY video (MP4) and those refused JPEG
@@ -2711,6 +2723,201 @@ def build_jpeg_ext12(pixels, *, quant=None) -> bytes:
     out += seg(0xC4, dht)
     out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     out += bytes(bw.out)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def build_jpeg_hierarchical(pixels, *, mode: str = "lossless",
+                            levels: int = 2, precision: int = 8,
+                            restart_interval: int = 0,
+                            split_bits: int = 3) -> bytes:
+    """HxW integer samples → REAL hierarchical JPEG (T.81 Annex J,
+    r12), grayscale. Two layouts:
+
+    mode="lossless": a resolution PYRAMID — the base level (decimated
+    ``levels-1`` times by 2) is a plain SOF3 lossless frame, then each
+    finer level is an EXP expansion (J.1.1.2 interpolation) followed
+    by a DIFFERENTIAL LOSSLESS frame (SOF7) coding the exact mod-2^16
+    corrections. decode == input EXACTLY for ANY content at any
+    precision 2..16 (the downsampling filter is the encoder's free
+    choice — the differences repair whatever it loses).
+
+    mode="dct": same-resolution QUALITY refinement — the base frame
+    (SOF0 at 8-bit / SOF1 at 12-bit) codes the input with its low
+    ``split_bits`` bits zeroed (flat 8x8 tiles stay flat, so the base
+    decodes them exactly), then ONE differential sequential frame
+    (SOF5) codes input minus the DECODED base at quant 1. Flat-tile
+    content roundtrips exactly (the closed-form-oracle convention);
+    arbitrary content is within 1 LSB of IDCT rounding per frame.
+
+    Fixture/test encoder (the system libjpeg's v6b ABI predates any
+    hierarchical support); the engine decodes with parse_jpeg →
+    _parse_jpeg_hier. Restart intervals, counted in MCUs (samples for
+    lossless scans, blocks for the DCT frame), apply to every frame."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels)
+    if px.ndim != 2:
+        raise ValueError("build_jpeg_hierarchical wants HxW grayscale")
+    h, w = int(px.shape[0]), int(px.shape[1])
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def frame_body(fh: int, fw: int) -> bytes:
+        return struct.pack(">BHHB", precision, fh, fw, 1) + bytes([1, 0x11, 0])
+
+    enc_ll = _jpeg_encode_table(*_JPEG_DC_LOSSLESS)
+
+    def lossless_diff_entropy(diff16) -> bytes:
+        """Category-code a mod-2^16 difference grid (predictor zero,
+        the build_jpeg_lossless conventions incl. the 32768 symbol and
+        RSTn byte-aligned restarts)."""
+        bw = _JpegBitWriter()
+        chunks = []
+        rst = 0
+        flat = diff16.reshape(-1)
+        for ui in range(flat.shape[0]):
+            if restart_interval and ui and ui % restart_interval == 0:
+                bw.flush()
+                chunks.append(bytes(bw.out))
+                chunks.append(bytes((0xFF, 0xD0 + rst)))
+                rst = (rst + 1) % 8
+                bw = _JpegBitWriter()
+            d = int(flat[ui])
+            if d == 0x8000:
+                code, ln = enc_ll[16]
+                bw.write(code, ln)
+                continue
+            if d > 0x8000:
+                d -= 0x10000
+            s, bits_val = _jpeg_category(d)
+            code, ln = enc_ll[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(bits_val, s)
+        bw.flush()
+        chunks.append(bytes(bw.out))
+        return b"".join(chunks)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDE, frame_body(h, w))
+
+    if mode == "lossless":
+        if not (2 <= precision <= 16):
+            raise ValueError("precision must be 2..16")
+        if px.min() < 0 or px.max() >= (1 << precision):
+            raise ValueError("samples exceed declared precision")
+        planes = [px.astype(np.int64)]
+        for _ in range(levels - 1):
+            planes.append(planes[-1][::2, ::2])
+        base = build_jpeg_lossless(
+            planes[-1], predictor=1, precision=precision,
+            restart_interval=restart_interval,
+        )
+        out += base[2:-2]  # DHT + SOF3 [+ DRI] + SOS + entropy
+        ref = planes[-1]
+        for k in range(levels - 2, -1, -1):
+            tgt = planes[k]
+            th, tw = tgt.shape
+            out += seg(0xDF, bytes([0x11]))
+            up = _jpeg_exp_expand(ref, 1, 1)[:th, :tw]
+            diff16 = (tgt - up) & 0xFFFF
+            out += seg(0xC7, frame_body(th, tw))
+            out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+            out += lossless_diff_entropy(diff16)
+            ref = tgt
+    elif mode == "dct":
+        if precision not in (8, 12):
+            raise ValueError("dct mode supports precision 8 or 12")
+        if not (1 <= split_bits < precision):
+            raise ValueError("bad split_bits")
+        if px.min() < 0 or px.max() >= (1 << precision):
+            raise ValueError("samples exceed declared precision")
+        vq = ((px.astype(np.int64) >> split_bits) << split_bits)
+        if precision == 8:
+            base = build_jpeg_baseline(
+                vq.astype(np.uint8), restart_interval=restart_interval
+            )
+            enc_dc = _jpeg_encode_table(*_JPEG_DC_LUM)
+            enc_ac = _jpeg_encode_table(*_JPEG_AC_LUM)
+        else:
+            base = build_jpeg_ext12(vq)
+            if restart_interval:
+                raise ValueError("12-bit dct base has no restart support")
+            enc_dc = _jpeg_encode_table(*_JPEG_DC_LOSSLESS)
+            enc_ac = _jpeg_encode_table(*_JPEG_AC_EXT12)
+        out += base[2:-2]
+        # the correction is computed against the DECODED base, so the
+        # differential frame also repairs the base's IDCT rounding
+        ref = parse_jpeg(base)[2][:, :, 0].astype(np.int64)
+        diff = px.astype(np.int64) - ref
+        m = _jpeg_dct_matrix()
+        nby, nbx = -(-h // 8), -(-w // 8)
+        padded = np.pad(
+            diff.astype(np.float64),
+            ((0, nby * 8 - h), (0, nbx * 8 - w)), mode="edge",
+        )
+        blocks = padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+        qc = np.round(np.einsum("ij,abjk,lk->abil", m, blocks, m)).astype(
+            np.int64
+        )
+        ac_cap = 1023 if precision == 8 else 16383
+        if np.abs(qc).max() > 8 * ((1 << precision) - 1):
+            raise ValueError("differential coefficients out of range")
+        dc = qc[:, :, 0, 0].copy()  # DC categories reach 15 at 12-bit —
+        np.clip(qc, -ac_cap, ac_cap, out=qc)  # the cap is AC-only
+        qc[:, :, 0, 0] = dc
+        bw = _JpegBitWriter()
+        chunks = []
+        rst = 0
+        zig = list(_JPEG_ZIGZAG)
+        for bi in range(nby * nbx):
+            if restart_interval and bi and bi % restart_interval == 0:
+                bw.flush()
+                chunks.append(bytes(bw.out))
+                chunks.append(bytes((0xFF, 0xD0 + rst)))
+                rst = (rst + 1) % 8
+                bw = _JpegBitWriter()
+            by, bx = divmod(bi, nbx)
+            zz = qc[by, bx].flatten()[zig]
+            s, bits_val = _jpeg_category(int(zz[0]))  # PRED = 0
+            code, ln = enc_dc[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(bits_val, s)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, ln = enc_ac[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                s, bits_val = _jpeg_category(v)
+                code, ln = enc_ac[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(bits_val, s)
+                run = 0
+            if run:
+                code, ln = enc_ac[0x00]
+                bw.write(code, ln)
+        bw.flush()
+        chunks.append(bytes(bw.out))
+        out += seg(0xC5, frame_body(h, w))
+        out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        out += b"".join(chunks)
+    else:
+        raise ValueError("mode must be 'lossless' or 'dct'")
+
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -3464,6 +3671,433 @@ def _jpeg_split_entropy(data: bytes, start: int) -> tuple[list[bytes], int]:
     raise ValueError("JPEG entropy stream missing terminating marker")
 
 
+def _jpeg_exp_expand(plane, eh: int, ev: int):
+    """T.81 J.1.1.2 reference-component expansion: doubling along each
+    requested axis — even outputs copy the input, odd outputs are the
+    rounded mean of the two neighbours, the last output replicates the
+    final input sample. int64 in/out (used at precisions up to 16)."""
+    import numpy as np
+
+    if eh:
+        h_, w_ = plane.shape
+        out = np.empty((h_, 2 * w_), np.int64)
+        out[:, 0::2] = plane
+        if w_ > 1:
+            out[:, 1 : 2 * w_ - 1 : 2] = (plane[:, :-1] + plane[:, 1:] + 1) >> 1
+        out[:, -1] = plane[:, -1]
+        plane = out
+    if ev:
+        h_, w_ = plane.shape
+        out = np.empty((2 * h_, w_), np.int64)
+        out[0::2, :] = plane
+        if h_ > 1:
+            out[1 : 2 * h_ - 1 : 2, :] = (plane[:-1, :] + plane[1:, :] + 1) >> 1
+        out[-1, :] = plane[-1, :]
+        plane = out
+    return plane
+
+
+def _parse_jpeg_hier(data: bytes):
+    """Hierarchical JPEG (T.81 Annex J, r12) → (w, h, HxWx1 pixels),
+    GRAYSCALE scope (the wild hierarchical population is DICOM-style
+    single-component; color pyramids would need per-component reference
+    planes threaded through the one-frame decoder and stay refused with
+    a precise message). The stream is a DHP header followed by a
+    pyramid of frames: the FIRST frame is any supported non-differential
+    process — it is carved out byte-exactly, wrapped as a standalone
+    one-frame JPEG, and decoded by parse_jpeg itself (so sequential,
+    progressive, lossless, arithmetic and 12/16-bit first frames all
+    work for free) — and each LATER frame is differential: EXP doubles
+    the reference along the flagged axes (J.1.1.2 interpolation), then
+    SOF5 (differential sequential DCT: PRED=0 DC coding, dequant+IDCT
+    WITHOUT level shift, added to the reference and clamped) or SOF7
+    (differential lossless: category-coded differences, no spatial
+    predictor, added mod 2^16) refines it. Differential progressive
+    (SOF6) and the arithmetic differential family (SOF13-15) remain
+    refused, as does arithmetic lossless (SOF11)."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos, n = 2, len(data)
+    dhp = None  # (prec, fh, fw)
+    ref = None  # reference plane, int64 HxW
+    exp_pending = None  # (Eh, Ev) awaiting the next differential frame
+    acc: list[bytes] = []  # table/misc segments for first-frame carving
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], tuple] = {}
+    dri = 0
+
+    def _read_seg():
+        if pos + 4 > n:
+            raise ValueError("truncated JPEG segment")
+        length = struct.unpack_from(">H", data, pos + 2)[0]
+        if length < 2 or pos + 2 + length > n:
+            raise ValueError("bad JPEG segment length")
+        return data[pos + 4 : pos + 2 + length], data[pos : pos + 2 + length]
+
+    def _parse_dqt(body):
+        i = 0
+        while i < len(body):
+            pq, tq = body[i] >> 4, body[i] & 15
+            if pq not in (0, 1) or tq > 3:
+                raise ValueError("bad DQT")
+            step = 1 + (64 << pq)
+            if i + step > len(body):
+                raise ValueError("truncated DQT")
+            vals = (
+                struct.unpack_from(">64H", body, i + 1)
+                if pq
+                else body[i + 1 : i + 65]
+            )
+            tbl = np.zeros(64, np.int32)
+            for k, z in enumerate(_JPEG_ZIGZAG):
+                tbl[z] = vals[k]
+            if tbl.min() < 1:
+                raise ValueError("zero DQT entry")
+            qt[tq] = tbl.reshape(8, 8)
+            i += step
+
+    def _parse_dht(body):
+        i = 0
+        while i + 17 <= len(body):
+            tc, th = body[i] >> 4, body[i] & 15
+            if tc not in (0, 1) or th > 3:
+                raise ValueError("bad DHT")
+            bits = tuple(body[i + 1 : i + 17])
+            cnt = sum(bits)
+            if i + 17 + cnt > len(body):
+                raise ValueError("truncated DHT")
+            huff[(tc, th)] = _jpeg_decode_table(
+                bits, tuple(body[i + 17 : i + 17 + cnt])
+            )
+            i += 17 + cnt
+        if i != len(body):
+            raise ValueError("trailing DHT bytes")
+
+    def _diff_frame_header(body):
+        prec, fh, fw, ncomp = struct.unpack_from(">BHHB", body, 0)
+        if dhp is None:
+            raise ValueError("differential frame before DHP")
+        if prec != dhp[0]:
+            raise ValueError("differential frame precision mismatch")
+        if ncomp != 1 or len(body) != 9:
+            raise ValueError(
+                "hierarchical decode is grayscale-scoped "
+                "(multi-component pyramid unsupported)"
+            )
+        _cid, _hv, tq = body[6], body[7], body[8]
+        return fh, fw, tq
+
+    def _apply_exp_and_crop(fh, fw):
+        nonlocal ref, exp_pending
+        if ref is None:
+            raise ValueError("differential frame before a reference frame")
+        if exp_pending is not None:
+            ref = _jpeg_exp_expand(ref, *exp_pending)
+            exp_pending = None
+        rh, rw = ref.shape
+        if not (0 <= rh - fh <= 1 and 0 <= rw - fw <= 1):
+            raise ValueError("differential frame dims mismatch reference")
+        ref = ref[:fh, :fw]
+
+    def _diff_sos(body):
+        if not body or body[0] != 1 or len(body) != 6:
+            raise ValueError("differential scan must be single-component")
+        return body[1], body[2] >> 4, body[2] & 15, body[3], body[4], body[5]
+
+    while True:
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG (no EOI)")
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0x01, *range(0xD0, 0xD8)):
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        body, raw = _read_seg()
+        seg_end = pos + 2 + len(raw) - 2  # == pos + 2 + length
+        if marker == 0xDE:
+            if dhp is not None:
+                raise ValueError("duplicate DHP")
+            prec, fh, fw, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if ncomp != 1 or len(body) != 9:
+                raise ValueError(
+                    "hierarchical decode is grayscale-scoped "
+                    "(multi-component pyramid unsupported)"
+                )
+            if fw <= 0 or fh <= 0:
+                raise ValueError("bad DHP dims")
+            dhp = (prec, fh, fw)
+            pos = seg_end
+            continue
+        if marker == 0xDF:
+            if len(body) != 1:
+                raise ValueError("bad EXP")
+            eh, ev = body[0] >> 4, body[0] & 15
+            if eh not in (0, 1) or ev not in (0, 1) or not (eh or ev):
+                raise ValueError("bad EXP expansion flags")
+            if ref is None:
+                raise ValueError("EXP before a reference frame")
+            if exp_pending is not None:
+                raise ValueError("consecutive EXP markers")
+            exp_pending = (eh, ev)
+            pos = seg_end
+            continue
+        if marker == 0xDB:
+            _parse_dqt(body)
+            acc.append(raw)
+            pos = seg_end
+            continue
+        if marker == 0xC4:
+            _parse_dht(body)
+            acc.append(raw)
+            pos = seg_end
+            continue
+        if marker == 0xDD:
+            if len(body) != 2:
+                raise ValueError("bad DRI")
+            dri = struct.unpack(">H", body)[0]
+            acc.append(raw)
+            pos = seg_end
+            continue
+        if marker in (0xC6, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "unsupported differential frame (progressive SOF6 / "
+                "arithmetic SOF13-15)"
+            )
+        if marker == 0xCB:
+            raise ValueError("unsupported JPEG frame (hierarchical/arith-lossless)")
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # non-differential frame: only valid as the pyramid base
+            if ref is not None:
+                raise ValueError(
+                    "non-differential frame after the hierarchical base"
+                )
+            if exp_pending is not None:
+                raise ValueError("EXP before a non-differential frame")
+            if dhp is None:
+                raise ValueError("hierarchical frame before DHP")
+            prec, fh, fw, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if ncomp != 1:
+                raise ValueError(
+                    "hierarchical decode is grayscale-scoped "
+                    "(multi-component pyramid unsupported)"
+                )
+            if prec != dhp[0]:
+                raise ValueError("hierarchical frame precision mismatch")
+            # carve the frame (SOF .. end of its scans) byte-exactly and
+            # decode it as a standalone one-frame JPEG — all supported
+            # non-differential processes work unchanged
+            fstart = pos
+            pos = seg_end
+            while True:
+                if pos + 2 > n:
+                    raise ValueError("truncated hierarchical frame")
+                if data[pos] != 0xFF:
+                    raise ValueError("JPEG marker desync")
+                m2 = data[pos + 1]
+                if m2 == 0xFF:
+                    pos += 1
+                    continue
+                if m2 in (0x01, *range(0xD0, 0xD8)):
+                    pos += 2
+                    continue
+                if m2 in (0xD9, 0xDF, 0xDE) or m2 in (
+                    0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF,
+                ) or m2 in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+                    break  # frame complete
+                if pos + 4 > n:
+                    raise ValueError("truncated JPEG segment")
+                ln2 = struct.unpack_from(">H", data, pos + 2)[0]
+                if ln2 < 2 or pos + 2 + ln2 > n:
+                    raise ValueError("bad JPEG segment length")
+                if m2 == 0xDA:
+                    _segs, pos = _jpeg_split_entropy(data, pos + 2 + ln2)
+                else:
+                    if m2 == 0xDD:  # DRI persists into later diff frames
+                        dri = struct.unpack_from(">H", data, pos + 4)[0]
+                    if m2 == 0xDB:
+                        _parse_dqt(data[pos + 4 : pos + 2 + ln2])
+                    if m2 == 0xC4:
+                        _parse_dht(data[pos + 4 : pos + 2 + ln2])
+                    pos = pos + 2 + ln2
+            sub = b"\xff\xd8" + b"".join(acc) + data[fstart:pos] + b"\xff\xd9"
+            _w0, _h0, px0 = parse_jpeg(sub)
+            ref = px0[:, :, 0].astype(np.int64)
+            if ref.shape != (fh, fw):
+                raise ValueError("hierarchical base frame dims mismatch")
+            continue
+        if marker == 0xC5:
+            # --- differential sequential DCT (Annex J + F.2.1.3.1:
+            # DC prediction is ZERO in differential frames; the IDCT
+            # output is a signed correction added to the reference,
+            # no level shift, clamped to [0, 2^P-1]) ---
+            fh, fw, tq = _diff_frame_header(body)
+            _apply_exp_and_crop(fh, fw)
+            pos = seg_end
+            # frame-local segments up to its single SOS
+            while (
+                pos + 2 <= n
+                and data[pos] == 0xFF
+                and data[pos + 1] in (0xDB, 0xC4, 0xDD)
+            ):
+                b2, r2 = _read_seg()
+                if data[pos + 1] == 0xDB:
+                    _parse_dqt(b2)
+                elif data[pos + 1] == 0xC4:
+                    _parse_dht(b2)
+                else:
+                    dri = struct.unpack(">H", b2)[0]
+                pos = pos + 2 + len(r2) - 2
+            if pos + 2 > n or data[pos] != 0xFF or data[pos + 1] != 0xDA:
+                raise ValueError("differential frame missing SOS")
+            sbody, sraw = _read_seg()
+            _cs, td, ta, ss, se, ahal = _diff_sos(sbody)
+            if ss != 0 or se != 63 or ahal != 0:
+                raise ValueError("bad differential sequential scan header")
+            if tq not in qt:
+                raise ValueError(f"missing quant table {tq}")
+            dc_tbl = huff.get((0, td))
+            ac_tbl = huff.get((1, ta))
+            if dc_tbl is None or ac_tbl is None:
+                raise ValueError("missing Huffman table")
+            segs, pos = _jpeg_split_entropy(data, pos + 2 + len(sraw) - 2)
+            nbh, nbw = -(-fh // 8), -(-fw // 8)
+            if dri:
+                if len(segs) < -(-(nbh * nbw) // dri):
+                    raise ValueError("missing restart segment")
+            elif len(segs) != 1:
+                raise ValueError("restart markers without DRI")
+            coefs = np.zeros((nbh, nbw, 8, 8), np.int32)
+            br = _JpegBitReader(segs[0])
+            seg_idx = 0
+            for bi in range(nbh * nbw):
+                if dri and bi and bi % dri == 0:
+                    seg_idx += 1
+                    br = _JpegBitReader(segs[seg_idx])
+                by, bx = divmod(bi, nbw)
+                t = _jpeg_huff_decode(br, dc_tbl)
+                if t > 15:
+                    raise ValueError("bad differential DC category")
+                coefs[by, bx, 0, 0] = (
+                    _jpeg_extend(br.read_bits(t), t) if t else 0
+                )
+                k = 1
+                while k < 64:
+                    rs = _jpeg_huff_decode(br, ac_tbl)
+                    r, s_ = rs >> 4, rs & 15
+                    if s_ == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC index overflow")
+                    if s_ > 14:
+                        raise ValueError("bad AC size")
+                    z = _JPEG_ZIGZAG[k]
+                    coefs[by, bx, z >> 3, z & 7] = _jpeg_extend(
+                        br.read_bits(s_), s_
+                    )
+                    k += 1
+            if seg_idx != len(segs) - 1 or br.pos < len(segs[seg_idx]) - 1:
+                raise ValueError("unconsumed bytes in differential scan")
+            m = _jpeg_dct_matrix()
+            deq = coefs.astype(np.float64) * qt[tq]
+            spatial = np.einsum("ji,abjk,kl->abil", m, deq, m)
+            diffp = np.round(spatial).astype(np.int64)
+            diffp = diffp.transpose(0, 2, 1, 3).reshape(nbh * 8, nbw * 8)
+            maxv = (1 << dhp[0]) - 1
+            ref = np.clip(ref + diffp[:fh, :fw], 0, maxv)
+            continue
+        if marker == 0xC7:
+            # --- differential lossless (Annex J + H: the category-coded
+            # values ARE the corrections — no spatial predictor — added
+            # to the reference mod 2^16) ---
+            fh, fw, _tq = _diff_frame_header(body)
+            _apply_exp_and_crop(fh, fw)
+            pos = seg_end
+            while (
+                pos + 2 <= n
+                and data[pos] == 0xFF
+                and data[pos + 1] in (0xC4, 0xDD)
+            ):
+                b2, r2 = _read_seg()
+                if data[pos + 1] == 0xC4:
+                    _parse_dht(b2)
+                else:
+                    dri = struct.unpack(">H", b2)[0]
+                pos = pos + 2 + len(r2) - 2
+            if pos + 2 > n or data[pos] != 0xFF or data[pos + 1] != 0xDA:
+                raise ValueError("differential frame missing SOS")
+            sbody, sraw = _read_seg()
+            _cs, td, _ta, ss, se, ahal = _diff_sos(sbody)
+            if ss != 0 or se != 0:
+                raise ValueError(
+                    "differential lossless scan must have Ss=0, Se=0"
+                )
+            if ahal & 15:
+                raise ValueError(
+                    "point transform in differential lossless unsupported"
+                )
+            tbl = huff.get((0, td))
+            if tbl is None:
+                raise ValueError("missing Huffman table")
+            segs, pos = _jpeg_split_entropy(data, pos + 2 + len(sraw) - 2)
+            if dri:
+                if len(segs) < -(-(fh * fw) // dri):
+                    raise ValueError("missing restart segment")
+            elif len(segs) != 1:
+                raise ValueError("restart markers without DRI")
+            out = np.empty((fh, fw), np.int64)
+            br = _JpegBitReader(segs[0])
+            seg_idx = 0
+            flat_ref = ref.reshape(-1)
+            flat_out = out.reshape(-1)
+            for ui in range(fh * fw):
+                if dri and ui and ui % dri == 0:
+                    seg_idx += 1
+                    br = _JpegBitReader(segs[seg_idx])
+                t = _jpeg_huff_decode(br, tbl)
+                if t > 16:
+                    raise ValueError("bad lossless difference category")
+                if t == 16:
+                    diff = 32768
+                elif t:
+                    diff = _jpeg_extend(br.read_bits(t), t)
+                else:
+                    diff = 0
+                flat_out[ui] = (int(flat_ref[ui]) + diff) & 0xFFFF
+            if seg_idx != len(segs) - 1 or br.pos < len(segs[seg_idx]) - 1:
+                raise ValueError("unconsumed bytes in differential scan")
+            ref = out
+            continue
+        # other segments (APPn, COM, DAC, ...) accumulate for carving
+        acc.append(raw)
+        pos = seg_end
+
+    if dhp is None or ref is None:
+        raise ValueError("hierarchical stream without DHP + frames")
+    if exp_pending is not None:
+        raise ValueError("EXP without a following frame")
+    prec, fh, fw = dhp
+    if ref.shape != (fh, fw):
+        raise ValueError("hierarchical progression incomplete at EOI")
+    maxv = (1 << prec) - 1
+    ref = np.clip(ref, 0, maxv)
+    dt = np.uint8 if prec <= 8 else np.uint16
+    return fw, fh, ref[:, :, None].astype(dt)
+
+
 def parse_jpeg(data: bytes):
     """JPEG bytes → (width, height, HxWxC uint8 pixels) via a COMPLETE
     real decode: marker walk, DQT/DHT parsing, canonical Huffman
@@ -3496,10 +4130,14 @@ def parse_jpeg(data: bytes):
     the COMPLETE 12-BIT DCT family — SOF1/SOF2 Huffman and
     SOF9/SOF10 arithmetic (level shift 2048, DC categories to 15, AC
     sizes to 14, uint16 output; the QM magnitude chains reach 12-bit
-    ranges below their guards). Raises ValueError for the rest
-    (hierarchical, arithmetic-lossless SOF11, fractional sampling
-    ratios) — callers fall through to the documented fake, keeping
-    legacy header-only fixtures byte-stable."""
+    ranges below their guards). HIERARCHICAL streams (r12, Annex J)
+    decode for real in grayscale scope — a DHP marker delegates to
+    _parse_jpeg_hier (pyramid base by recursion, EXP expansion,
+    differential SOF5/SOF7 frames). Raises ValueError for the rest
+    (color-hierarchical, differential progressive SOF6, arithmetic
+    differential SOF13-15, arithmetic-lossless SOF11, fractional
+    sampling ratios) — callers fall through to the documented fake,
+    keeping legacy header-only fixtures byte-stable."""
     import struct
 
     import numpy as np
@@ -3628,11 +4266,18 @@ def parse_jpeg(data: bytes):
                 if any(hm % c[1] or vm % c[2] for c in comps):
                     raise ValueError("non-integer sampling ratio unsupported")
             frame = (fw, fh, comps)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
-            # the full DCT family (sequential/progressive x Huffman/
-            # arithmetic) is REAL as of r10 and spatial-predictor
-            # LOSSLESS (SOF3) as of r11; hierarchical frames and
-            # arithmetic-coded lossless (SOF11) stay refused
+        elif marker == 0xDE:
+            # DHP: hierarchical progression (T.81 Annex J) — delegate
+            # the whole stream to the multi-frame pyramid decoder
+            # (r12; grayscale scope, SOF5/SOF7 differential frames)
+            return _parse_jpeg_hier(data)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
+            # differential frames are only meaningful inside a
+            # hierarchical stream (after DHP, handled above); one in a
+            # plain stream is malformed
+            raise ValueError("differential JPEG frame outside DHP stream")
+        elif marker == 0xCB:
+            # arithmetic-coded lossless (SOF11) stays an honest refusal
             raise ValueError(
                 "unsupported JPEG frame (hierarchical/arith-lossless)"
             )

@@ -3819,9 +3819,14 @@ def x_multimodal_jpeg_decode(spark, sf_dir):
     INTO THIS ROW in r12 — ids %32==2 run 12-bit sequential SOF9 and
     ids %32==6 12-bit progressive SOF10 (flat blocks exact at either
     precision, so the closed-form oracle is untouched; the r11
-    planter freeze is lifted). The md5 FAKE branch now
-    covers only video (MP4) and the JPEG variants that remain
-    honestly refused (hierarchical, arithmetic-lossless SOF11)."""
+    planter freeze is lifted). HIERARCHICAL (Annex J, grayscale — DHP
+    pyramid, EXP expansion, differential SOF5/SOF7 frames) also
+    decodes for real as of r12, pinned by exact-roundtrip/closed-form/
+    fuzz pytests; its planter class rotates in r13 (the same
+    freeze-after-bench-windows convention the arith-12 classes
+    followed). The md5 FAKE branch now covers only video (MP4) and the
+    JPEG variants that remain honestly refused (color-hierarchical,
+    differential SOF6/SOF13-15, arithmetic-lossless SOF11)."""
     from sparkga1_spark.operators.multimodal import (
         decode_image_stats,
         plant_jpeg_real_payloads,

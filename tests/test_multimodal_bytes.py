@@ -3821,11 +3821,12 @@ def test_jpeg_lossless_multiscan_and_refusals():
     with pytest.raises(ValueError, match="partial-interleave"):
         parse_jpeg(bytes(bad))
 
-    # hierarchical and arithmetic-lossless frames remain refused
+    # differential frames outside a DHP stream and arithmetic-lossless
+    # frames are refused (hierarchical itself decodes as of r12)
     for marker in (0xC5, 0xC7, 0xCB, 0xCE):
         bad = bytearray(good)
         bad[good.find(b"\xff\xc3") + 1] = marker
-        with pytest.raises(ValueError, match="hierarchical|arith-lossless"):
+        with pytest.raises(ValueError, match="differential|arith-lossless"):
             parse_jpeg(bytes(bad))
 
     # truncated entropy + EOI before all components decoded
@@ -4102,6 +4103,212 @@ def test_jpeg_lossless_and_ext12_bitflip_fuzz():
                     pass
         # header-field fuzz: every byte of SOF and SOS flipped once
         for pos in list(range(2, 2 + 19)) + list(range(sos, sos + 2 + ls)):
+            bad = bytearray(blob)
+            bad[pos] ^= 0x55
+            try:
+                parse_jpeg(bytes(bad))
+            except ValueError:
+                pass
+
+
+def test_jpeg_hierarchical_lossless_pyramid_roundtrip():
+    """Hierarchical JPEG (T.81 Annex J, r12), lossless pyramid: SOF3
+    base + EXP-expanded SOF7 differential frames reconstruct the input
+    EXACTLY for ANY content — across dims, pyramid depths, precisions
+    2..16, and restart intervals (the mod-2^16 differences repair
+    whatever the encoder's downsampling filter lost)."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import (
+        build_jpeg_hierarchical,
+        parse_jpeg,
+        parse_jpeg_meta,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape in [(8, 8), (13, 19), (24, 40), (5, 7), (1, 1)]:
+        for prec, lv, dri in [(8, 2, 0), (8, 3, 3), (12, 2, 0),
+                              (16, 3, 5), (2, 2, 0), (8, 1, 0)]:
+            img = rng.integers(0, 1 << prec, shape, dtype=np.int64)
+            blob = build_jpeg_hierarchical(
+                img, mode="lossless", levels=lv, precision=prec,
+                restart_interval=dri,
+            )
+            assert b"\xff\xde" in blob  # DHP
+            assert b"\xff\xc3" in blob  # lossless base frame
+            if lv > 1 and min(shape) > 1:
+                assert b"\xff\xc7" in blob and b"\xff\xdf" in blob
+            w, h, px = parse_jpeg(blob)
+            assert (w, h) == (shape[1], shape[0])
+            assert px.dtype == (np.uint8 if prec <= 8 else np.uint16)
+            assert px.shape == (shape[0], shape[1], 1)
+            assert (px[:, :, 0].astype(np.int64) == img).all(), (
+                shape, prec, lv, dri,
+            )
+            assert parse_jpeg_meta(blob) == (shape[1], shape[0], 1)
+
+
+def test_jpeg_hierarchical_dct_refinement():
+    """Hierarchical DCT quality refinement: SOF0/SOF1 base (low bits
+    zeroed — flat 8x8 tiles decode exactly) + ONE differential
+    sequential SOF5 frame coding input minus the DECODED base at
+    quant 1. Flat-tile content roundtrips EXACTLY (the closed-form
+    oracle convention, incl. the 3x px_sum arithmetic); arbitrary
+    content lands within 1 LSB of per-frame IDCT rounding. Restart
+    intervals apply to both frames."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import (
+        build_jpeg_hierarchical,
+        parse_jpeg,
+    )
+
+    rng = np.random.default_rng(13)
+    # flat-tile exactness at 8 and 12 bits, with and without restarts
+    for prec in (8, 12):
+        for dri in (0, 2) if prec == 8 else (0,):
+            vals = rng.integers(0, 1 << prec, (3, 5))
+            img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+            blob = build_jpeg_hierarchical(
+                img, mode="dct", precision=prec, restart_interval=dri
+            )
+            assert b"\xff\xc5" in blob  # differential sequential frame
+            assert (b"\xff\xc0" in blob) == (prec == 8)
+            assert (b"\xff\xc1" in blob) == (prec == 12)
+            w, h, px = parse_jpeg(blob)
+            assert px.dtype == (np.uint8 if prec == 8 else np.uint16)
+            assert (px[:, :, 0].astype(np.int64) == img).all(), (prec, dri)
+            assert int(px.sum(dtype=np.int64)) == 64 * int(vals.sum())
+    # arbitrary content: within 1 LSB
+    for shape in [(8, 8), (13, 19), (24, 40)]:
+        img = rng.integers(0, 256, shape, dtype=np.int64)
+        px = parse_jpeg(build_jpeg_hierarchical(img, mode="dct"))[2]
+        assert np.abs(px[:, :, 0].astype(np.int64) - img).max() <= 1
+        img12 = rng.integers(0, 4096, shape, dtype=np.int64)
+        px12 = parse_jpeg(
+            build_jpeg_hierarchical(img12, mode="dct", precision=12)
+        )[2]
+        assert np.abs(px12[:, :, 0].astype(np.int64) - img12).max() <= 1
+
+
+def test_jpeg_hierarchical_refusals():
+    """The hierarchical decoder's honest boundaries: color pyramids,
+    differential progressive (SOF6) / arithmetic differential
+    (SOF13-15), malformed EXP, duplicate DHP, point transform in
+    differential lossless, and dims drift all refuse with precise
+    messages — never a wrong raster."""
+    import numpy as np
+    import pytest
+
+    from sparkga1_spark.operators.multimodal import (
+        build_jpeg_hierarchical,
+        parse_jpeg,
+    )
+
+    rng = np.random.default_rng(19)
+    img = rng.integers(0, 256, (10, 12), dtype=np.int64)
+    good = build_jpeg_hierarchical(img, mode="lossless", levels=2)
+    dhp = good.find(b"\xff\xde")
+
+    bad = bytearray(good)
+    bad[dhp + 9] = 3  # DHP ncomp: grayscale scope only
+    with pytest.raises(ValueError, match="grayscale"):
+        parse_jpeg(bytes(bad))
+
+    bad = bytearray(good)
+    bad[good.find(b"\xff\xc7") + 1] = 0xC6  # differential progressive
+    with pytest.raises(ValueError, match="differential frame"):
+        parse_jpeg(bytes(bad))
+
+    bad = bytearray(good)
+    bad[good.find(b"\xff\xc7") + 1] = 0xCD  # arithmetic differential
+    with pytest.raises(ValueError, match="differential frame"):
+        parse_jpeg(bytes(bad))
+
+    exp = good.find(b"\xff\xdf")
+    bad = bytearray(good)
+    bad[exp + 4] = 0x00  # EXP with neither axis flagged
+    with pytest.raises(ValueError, match="EXP"):
+        parse_jpeg(bytes(bad))
+
+    bad = bytearray(good)
+    bad[exp + 4] = 0x21  # Eh=2: flags are 0/1 only
+    with pytest.raises(ValueError, match="EXP"):
+        parse_jpeg(bytes(bad))
+
+    # duplicate DHP
+    seg = good[dhp : dhp + 13]
+    with pytest.raises(ValueError, match="duplicate DHP"):
+        parse_jpeg(good[: dhp + 13] + seg + good[dhp + 13 :])
+
+    # point transform in the differential lossless scan
+    sos2 = good.rfind(b"\xff\xda")
+    bad = bytearray(good)
+    bad[sos2 + 9] = 1  # AhAl of the SOF7 scan
+    with pytest.raises(ValueError, match="point transform"):
+        parse_jpeg(bytes(bad))
+
+    # differential frame dims drifting from the expanded reference
+    sof7 = good.find(b"\xff\xc7")
+    bad = bytearray(good)
+    bad[sof7 + 6] = 0  # fh high byte stays 0, low byte:
+    bad[sof7 + 7] = 4  # fh 10 -> 4
+    with pytest.raises(ValueError, match="mismatch"):
+        parse_jpeg(bytes(bad))
+
+    # EXP with no frame following (truncate after the EXP segment)
+    with pytest.raises(ValueError):
+        parse_jpeg(good[: exp + 6] + b"\xff\xd9")
+
+    # color input refused at the encoder
+    with pytest.raises(ValueError, match="grayscale"):
+        build_jpeg_hierarchical(
+            np.zeros((8, 8, 3), dtype=np.int64), mode="lossless"
+        )
+
+
+def test_jpeg_hierarchical_bitflip_fuzz():
+    """Adversarial robustness (the codec-family fuzz convention): any
+    single-bit flip over a hierarchical stream's entropy region, and
+    any header byte xored 0x55 across DHP/SOF/SOS segments, must
+    either decode to SOME bounded raster or refuse with ValueError —
+    never crash, hang, or over-allocate."""
+    import numpy as np
+    import pytest  # noqa: F401
+
+    from sparkga1_spark.operators.multimodal import (
+        build_jpeg_hierarchical,
+        parse_jpeg,
+    )
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (9, 10), dtype=np.int64)
+    for blob, dt in (
+        (build_jpeg_hierarchical(img, mode="lossless", levels=2,
+                                 restart_interval=5), "uint8"),
+        (build_jpeg_hierarchical(img, mode="dct"), "uint8"),
+    ):
+        sos = blob.find(b"\xff\xda")
+        start, end = sos + 2 + int.from_bytes(blob[sos + 2 : sos + 4],
+                                              "big"), len(blob) - 2
+        for pos in range(start, end):
+            for mask in (0x01, 0x80):
+                bad = bytearray(blob)
+                bad[pos] ^= mask
+                try:
+                    _w, _h, px = parse_jpeg(bytes(bad))
+                    assert px.dtype.name == dt
+                except ValueError:
+                    pass
+        # header fuzz: DHP + every frame header + scan headers
+        spots = list(range(2, 2 + 15))
+        for pat in (b"\xff\xc0", b"\xff\xc3", b"\xff\xc5", b"\xff\xc7",
+                    b"\xff\xda", b"\xff\xdf"):
+            p = blob.find(pat)
+            while p != -1:
+                spots.extend(range(p, min(p + 12, len(blob))))
+                p = blob.find(pat, p + 2)
+        for pos in spots:
             bad = bytearray(blob)
             bad[pos] ^= 0x55
             try:
