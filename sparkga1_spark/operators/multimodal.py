@@ -2728,7 +2728,7 @@ def build_jpeg_ext12(pixels, *, quant=None) -> bytes:
 
 
 def build_jpeg_hierarchical(pixels, *, mode: str = "lossless",
-                            levels: int = 2, precision: int = 8,
+                            levels: int | None = None, precision: int = 8,
                             restart_interval: int = 0,
                             split_bits: int = 3) -> bytes:
     """HxW integer samples → REAL hierarchical JPEG (T.81 Annex J,
@@ -2742,13 +2742,19 @@ def build_jpeg_hierarchical(pixels, *, mode: str = "lossless",
     precision 2..16 (the downsampling filter is the encoder's free
     choice — the differences repair whatever it loses).
 
-    mode="dct": same-resolution QUALITY refinement — the base frame
-    (SOF0 at 8-bit / SOF1 at 12-bit) codes the input with its low
-    ``split_bits`` bits zeroed (flat 8x8 tiles stay flat, so the base
-    decodes them exactly), then ONE differential sequential frame
-    (SOF5) codes input minus the DECODED base at quant 1. Flat-tile
-    content roundtrips exactly (the closed-form-oracle convention);
-    arbitrary content is within 1 LSB of IDCT rounding per frame.
+    mode="dct": DCT refinement. With ``levels=1`` (default) it is a
+    same-resolution QUALITY ladder — the base frame (SOF0 at 8-bit /
+    SOF1 at 12-bit) codes the input with its low ``split_bits`` bits
+    zeroed (flat 8x8 tiles stay flat, so the base decodes them
+    exactly), then ONE differential sequential frame (SOF5) codes
+    input minus the DECODED base at quant 1. Flat-tile content
+    roundtrips exactly (the closed-form-oracle convention); arbitrary
+    content is within 1 LSB of IDCT rounding per frame. With
+    ``levels>1`` it is a RESOLUTION pyramid like the lossless mode —
+    each finer level is an EXP expansion followed by a SOF5 frame
+    coding target minus the upsampled DECODED reference (each DCT
+    layer contributes at most 1 LSB of rounding, so the result is
+    within ``levels`` LSBs; exact for globally-constant content).
 
     Fixture/test encoder (the system libjpeg's v6b ABI predates any
     hierarchical support); the engine decodes with parse_jpeg →
@@ -2764,6 +2770,8 @@ def build_jpeg_hierarchical(pixels, *, mode: str = "lossless",
     h, w = int(px.shape[0]), int(px.shape[1])
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if levels is None:
+        levels = 2 if mode == "lossless" else 1
     if levels < 1:
         raise ValueError("levels must be >= 1")
 
@@ -2840,7 +2848,11 @@ def build_jpeg_hierarchical(pixels, *, mode: str = "lossless",
             raise ValueError("bad split_bits")
         if px.min() < 0 or px.max() >= (1 << precision):
             raise ValueError("samples exceed declared precision")
-        vq = ((px.astype(np.int64) >> split_bits) << split_bits)
+        planes = [px.astype(np.int64)]
+        for _ in range(levels - 1):
+            planes.append(planes[-1][::2, ::2])
+        bh, bw_ = planes[-1].shape
+        vq = (planes[-1] >> split_bits) << split_bits
         if precision == 8:
             base = build_jpeg_baseline(
                 vq.astype(np.uint8), restart_interval=restart_interval
@@ -2854,67 +2866,92 @@ def build_jpeg_hierarchical(pixels, *, mode: str = "lossless",
             enc_dc = _jpeg_encode_table(*_JPEG_DC_LOSSLESS)
             enc_ac = _jpeg_encode_table(*_JPEG_AC_EXT12)
         out += base[2:-2]
-        # the correction is computed against the DECODED base, so the
-        # differential frame also repairs the base's IDCT rounding
         ref = parse_jpeg(base)[2][:, :, 0].astype(np.int64)
-        diff = px.astype(np.int64) - ref
         m = _jpeg_dct_matrix()
-        nby, nbx = -(-h // 8), -(-w // 8)
-        padded = np.pad(
-            diff.astype(np.float64),
-            ((0, nby * 8 - h), (0, nbx * 8 - w)), mode="edge",
-        )
-        blocks = padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
-        qc = np.round(np.einsum("ij,abjk,lk->abil", m, blocks, m)).astype(
-            np.int64
-        )
-        ac_cap = 1023 if precision == 8 else 16383
-        if np.abs(qc).max() > 8 * ((1 << precision) - 1):
-            raise ValueError("differential coefficients out of range")
-        dc = qc[:, :, 0, 0].copy()  # DC categories reach 15 at 12-bit —
-        np.clip(qc, -ac_cap, ac_cap, out=qc)  # the cap is AC-only
-        qc[:, :, 0, 0] = dc
-        bw = _JpegBitWriter()
-        chunks = []
-        rst = 0
         zig = list(_JPEG_ZIGZAG)
-        for bi in range(nby * nbx):
-            if restart_interval and bi and bi % restart_interval == 0:
-                bw.flush()
-                chunks.append(bytes(bw.out))
-                chunks.append(bytes((0xFF, 0xD0 + rst)))
-                rst = (rst + 1) % 8
-                bw = _JpegBitWriter()
-            by, bx = divmod(bi, nbx)
-            zz = qc[by, bx].flatten()[zig]
-            s, bits_val = _jpeg_category(int(zz[0]))  # PRED = 0
-            code, ln = enc_dc[s]
-            bw.write(code, ln)
-            if s:
-                bw.write(bits_val, s)
-            run = 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, ln = enc_ac[0xF0]
-                    bw.write(code, ln)
-                    run -= 16
-                s, bits_val = _jpeg_category(v)
-                code, ln = enc_ac[(run << 4) | s]
+        maxv = (1 << precision) - 1
+
+        def sof5_frame(diff, fh, fw):
+            """One differential sequential frame of `diff` (quant 1,
+            PRED=0): returns (SOF5+SOS+entropy bytes, the decoder's
+            reconstruction of the correction) — the encoder tracks the
+            decoded reference exactly so later layers repair this
+            layer's IDCT rounding."""
+            nby, nbx = -(-fh // 8), -(-fw // 8)
+            padded = np.pad(
+                diff.astype(np.float64),
+                ((0, nby * 8 - fh), (0, nbx * 8 - fw)), mode="edge",
+            )
+            blocks = padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+            qc = np.round(
+                np.einsum("ij,abjk,lk->abil", m, blocks, m)
+            ).astype(np.int64)
+            ac_cap = 1023 if precision == 8 else 16383
+            if np.abs(qc).max() > 8 * ((1 << precision) - 1):
+                raise ValueError("differential coefficients out of range")
+            dc = qc[:, :, 0, 0].copy()  # DC categories reach 15 at
+            np.clip(qc, -ac_cap, ac_cap, out=qc)  # 12-bit — AC-only cap
+            qc[:, :, 0, 0] = dc
+            bw = _JpegBitWriter()
+            chunks = []
+            rst = 0
+            for bi in range(nby * nbx):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    bw.flush()
+                    chunks.append(bytes(bw.out))
+                    chunks.append(bytes((0xFF, 0xD0 + rst)))
+                    rst = (rst + 1) % 8
+                    bw = _JpegBitWriter()
+                by, bx = divmod(bi, nbx)
+                zz = qc[by, bx].flatten()[zig]
+                s, bits_val = _jpeg_category(int(zz[0]))  # PRED = 0
+                code, ln = enc_dc[s]
                 bw.write(code, ln)
-                bw.write(bits_val, s)
+                if s:
+                    bw.write(bits_val, s)
                 run = 0
-            if run:
-                code, ln = enc_ac[0x00]
-                bw.write(code, ln)
-        bw.flush()
-        chunks.append(bytes(bw.out))
-        out += seg(0xC5, frame_body(h, w))
-        out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-        out += b"".join(chunks)
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, ln = enc_ac[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    s, bits_val = _jpeg_category(v)
+                    code, ln = enc_ac[(run << 4) | s]
+                    bw.write(code, ln)
+                    bw.write(bits_val, s)
+                    run = 0
+                if run:
+                    code, ln = enc_ac[0x00]
+                    bw.write(code, ln)
+            bw.flush()
+            chunks.append(bytes(bw.out))
+            body = (
+                seg(0xC5, frame_body(fh, fw))
+                + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+                + b"".join(chunks)
+            )
+            spatial = np.einsum("ji,abjk,kl->abil", m, qc.astype(np.float64), m)
+            rec = np.round(spatial).astype(np.int64)
+            rec = rec.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+            return body, rec[:fh, :fw]
+
+        # refine the base level to its true values (same resolution)
+        body, rec = sof5_frame(planes[-1] - ref, bh, bw_)
+        out += body
+        ref = np.clip(ref + rec, 0, maxv)
+        # then climb the pyramid: EXP + one SOF5 correction per level
+        for k in range(levels - 2, -1, -1):
+            tgt = planes[k]
+            th, tw = tgt.shape
+            out += seg(0xDF, bytes([0x11]))
+            up = _jpeg_exp_expand(ref, 1, 1)[:th, :tw]
+            body, rec = sof5_frame(tgt - up, th, tw)
+            out += body
+            ref = np.clip(up + rec, 0, maxv)
     else:
         raise ValueError("mode must be 'lossless' or 'dct'")
 

@@ -4189,6 +4189,20 @@ def test_jpeg_hierarchical_dct_refinement():
             build_jpeg_hierarchical(img12, mode="dct", precision=12)
         )[2]
         assert np.abs(px12[:, :, 0].astype(np.int64) - img12).max() <= 1
+    # DCT resolution PYRAMID (levels > 1): exercises the EXP -> SOF5
+    # decoder path (expansion before a DCT differential frame). Each
+    # layer corrects against the exactly-tracked decoded reference, so
+    # the final error is the LAST layer's own IDCT rounding only
+    for shape in [(16, 24), (13, 19)]:
+        img = rng.integers(0, 256, shape, dtype=np.int64)
+        blob = build_jpeg_hierarchical(img, mode="dct", levels=3)
+        assert blob.count(b"\xff\xc5") == 3 and blob.count(b"\xff\xdf") == 2
+        px = parse_jpeg(blob)[2]
+        assert np.abs(px[:, :, 0].astype(np.int64) - img).max() <= 1
+    # globally-constant content is exact through the whole pyramid
+    flat = np.full((24, 40), 177, dtype=np.int64)
+    px = parse_jpeg(build_jpeg_hierarchical(flat, mode="dct", levels=3))[2]
+    assert (px[:, :, 0] == 177).all()
 
 
 def test_jpeg_hierarchical_refusals():
