@@ -4329,3 +4329,39 @@ def test_jpeg_hierarchical_bitflip_fuzz():
                 parse_jpeg(bytes(bad))
             except ValueError:
                 pass
+
+
+def test_jpeg_hierarchical_nonbaseline_base_frames():
+    """The pyramid base is decoded by parse_jpeg recursion, so ANY
+    supported non-differential process works as the first frame —
+    pin it for progressive (SOF2, multi-scan) and arithmetic (SOF9)
+    bases by hand-assembling DHP + standalone-frame-body streams and
+    checking raster identity with the standalone decode."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import (
+        build_jpeg_arith,
+        build_jpeg_progressive,
+        parse_jpeg,
+    )
+
+    rng = np.random.default_rng(29)
+    vals = rng.integers(0, 256, (2, 3))
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+    h, w = img.shape
+    dhp = (
+        b"\xff\xde" + (2 + 9).to_bytes(2, "big")
+        + bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0])
+    )
+    for standalone in (
+        build_jpeg_progressive(img, successive=True),
+        build_jpeg_arith(img),
+    ):
+        assert standalone[:2] == b"\xff\xd8"
+        hier = b"\xff\xd8" + dhp + standalone[2:]
+        w1, h1, px1 = parse_jpeg(hier)
+        w0, h0, px0 = parse_jpeg(standalone)
+        assert (w1, h1) == (w0, h0) == (w, h)
+        assert (px1 == px0).all()
+        assert int(px1.astype(np.int64).sum()) == 64 * int(vals.sum())
