@@ -350,15 +350,22 @@ def _prev_cold():
     return best[0], best[1]
 
 
-def _clean_substitutes():
+def _clean_substitutes(sf):
     """Per-query medians from the newest committed LOCAL bench window
     (any round, INCLUDING the current one — a contaminated driver run
     should borrow this round's controlled idle-window numbers), used to
     back-fill contaminated rows in the *_clean totals (r11 VERDICT #4).
-    Only windows that were themselves substantially clean qualify."""
+    Only windows that were themselves substantially clean AND measured
+    at the SAME scale factor qualify — substituting an sf0.1 median
+    into a 10x-scale run would silently understate the clean total
+    (custom dirs have sf=None and get no substitutes at all)."""
     best: tuple[dict, str | None, int] = ({}, None, -1)
+    if sf is None:
+        return best[0], best[1]
     for rnd, path, doc in _bench_artifacts():
         if "LOCAL" not in os.path.basename(path) or rnd <= best[2]:
+            continue
+        if doc.get("sf") != sf:
             continue
         qs = doc.get("queries")
         host = doc.get("host") or {}
@@ -504,7 +511,7 @@ def main() -> None:
     # a driver run under hypervisor contention still publishes a
     # directly comparable number next to the raw one. Rows with no
     # substitute keep their own (contaminated) time and are listed.
-    subs, subs_src = _clean_substitutes()
+    subs, subs_src = _clean_substitutes(sf)
 
     def _clean_total(names):
         if not all(n in times for n in names):
@@ -533,9 +540,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "spread": spread,
-                "runs_per_query": 3,
-                "high_variance_runs": {
-                    n: HIGH_VARIANCE_RUNS for n in sorted(HIGH_VARIANCE)
+                # per-query run counts — a flat 3 contradicted the four
+                # 7-run high-variance rows (review-caught)
+                "runs_per_query": {
+                    "default": 3,
+                    **{n: HIGH_VARIANCE_RUNS for n in sorted(HIGH_VARIANCE)},
                 },
                 "sf": sf,
                 "shared35": shared35,

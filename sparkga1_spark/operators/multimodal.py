@@ -2887,11 +2887,21 @@ def build_jpeg_hierarchical(pixels, *, mode: str = "lossless",
                 np.einsum("ij,abjk,lk->abil", m, blocks, m)
             ).astype(np.int64)
             ac_cap = 1023 if precision == 8 else 16383
-            if np.abs(qc).max() > 8 * ((1 << precision) - 1):
-                raise ValueError("differential coefficients out of range")
-            dc = qc[:, :, 0, 0].copy()  # DC categories reach 15 at
-            np.clip(qc, -ac_cap, ac_cap, out=qc)  # 12-bit — AC-only cap
-            qc[:, :, 0, 0] = dc
+            dc = qc[:, :, 0, 0].copy()
+            qc[:, :, 0, 0] = 0
+            if np.abs(qc).max() > ac_cap:
+                # clipping here would silently break the documented
+                # reconstruction bound on the LAST layer (earlier
+                # layers' clips are repaired by later corrections, the
+                # final one is not) — refuse instead; high-contrast
+                # content should use mode="lossless"
+                raise ValueError(
+                    "differential AC coefficient exceeds the table's "
+                    f"±{ac_cap} range — use mode='lossless'"
+                )
+            if np.abs(dc).max() > 8 * ((1 << precision) - 1):
+                raise ValueError("differential DC out of range")
+            qc[:, :, 0, 0] = dc  # DC categories reach 15 at 12-bit
             bw = _JpegBitWriter()
             chunks = []
             rst = 0
@@ -3775,6 +3785,12 @@ def _parse_jpeg_hier(data: bytes):
             raise ValueError("bad JPEG segment length")
         return data[pos + 4 : pos + 2 + length], data[pos : pos + 2 + length]
 
+    # NOTE: _parse_dqt/_parse_dht mirror parse_jpeg's inline DQT/DHT
+    # blocks (and the carve path re-parses what the recursion will
+    # parse again) — keep the validation rules IN SYNC with the plain
+    # decoder's when either changes; a deliberate duplication, because
+    # extracting the plain path's inline blocks would churn the most
+    # heavily verified loop in the module for a cosmetic win.
     def _parse_dqt(body):
         i = 0
         while i < len(body):
@@ -3815,6 +3831,8 @@ def _parse_jpeg_hier(data: bytes):
             raise ValueError("trailing DHT bytes")
 
     def _diff_frame_header(body):
+        if len(body) < 6:
+            raise ValueError("truncated differential frame header")
         prec, fh, fw, ncomp = struct.unpack_from(">BHHB", body, 0)
         if dhp is None:
             raise ValueError("differential frame before DHP")
@@ -3825,6 +3843,9 @@ def _parse_jpeg_hier(data: bytes):
                 "hierarchical decode is grayscale-scoped "
                 "(multi-component pyramid unsupported)"
             )
+        _check_raster_size(fw, fh, "JPEG")  # bomb guard BEFORE the
+        # frame's coefficient/sample allocations (the plain path's
+        # reconstruction-time check never sees these)
         _cid, _hv, tq = body[6], body[7], body[8]
         return fh, fw, tq
 
@@ -3833,7 +3854,14 @@ def _parse_jpeg_hier(data: bytes):
         if ref is None:
             raise ValueError("differential frame before a reference frame")
         if exp_pending is not None:
-            ref = _jpeg_exp_expand(ref, *exp_pending)
+            eh_, ev_ = exp_pending
+            rh0, rw0 = ref.shape
+            if (rh0 << ev_) * (rw0 << eh_) > 2 * _MAX_DECODE_PIXELS:
+                # a conformant pyramid's expanded reference is at most
+                # one capped frame's size; anything larger is a crafted
+                # allocation-amplification chain — refuse pre-alloc
+                raise ValueError("JPEG expansion beyond the decoder cap")
+            ref = _jpeg_exp_expand(ref, eh_, ev_)
             exp_pending = None
         rh, rw = ref.shape
         if not (0 <= rh - fh <= 1 and 0 <= rw - fw <= 1):
@@ -3864,6 +3892,8 @@ def _parse_jpeg_hier(data: bytes):
         if marker == 0xDE:
             if dhp is not None:
                 raise ValueError("duplicate DHP")
+            if len(body) < 6:
+                raise ValueError("truncated DHP")
             prec, fh, fw, ncomp = struct.unpack_from(">BHHB", body, 0)
             if ncomp != 1 or len(body) != 9:
                 raise ValueError(
@@ -3872,6 +3902,8 @@ def _parse_jpeg_hier(data: bytes):
                 )
             if fw <= 0 or fh <= 0:
                 raise ValueError("bad DHP dims")
+            _check_raster_size(fw, fh, "JPEG")  # bomb guard on the
+            # declared full-image dims before any frame decodes
             dhp = (prec, fh, fw)
             pos = seg_end
             continue
@@ -3922,6 +3954,8 @@ def _parse_jpeg_hier(data: bytes):
                 raise ValueError("EXP before a non-differential frame")
             if dhp is None:
                 raise ValueError("hierarchical frame before DHP")
+            if len(body) < 6:
+                raise ValueError("truncated hierarchical frame header")
             prec, fh, fw, ncomp = struct.unpack_from(">BHHB", body, 0)
             if ncomp != 1:
                 raise ValueError(
@@ -4306,8 +4340,16 @@ def parse_jpeg(data: bytes):
         elif marker == 0xDE:
             # DHP: hierarchical progression (T.81 Annex J) — delegate
             # the whole stream to the multi-frame pyramid decoder
-            # (r12; grayscale scope, SOF5/SOF7 differential frames)
-            return _parse_jpeg_hier(data)
+            # (r12; grayscale scope, SOF5/SOF7 differential frames).
+            # struct.error from a truncated fixed-width field is a
+            # malformed stream, not a crash: keep the ValueError
+            # contract the fake-path fallback depends on
+            try:
+                return _parse_jpeg_hier(data)
+            except struct.error as e:
+                raise ValueError(
+                    f"truncated hierarchical segment: {e}"
+                ) from None
         elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
             # differential frames are only meaningful inside a
             # hierarchical stream (after DHP, handled above); one in a

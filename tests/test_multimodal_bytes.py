@@ -4280,6 +4280,30 @@ def test_jpeg_hierarchical_refusals():
             np.zeros((8, 8, 3), dtype=np.int64), mode="lossless"
         )
 
+    # truncated fixed-width fields raise ValueError, never struct.error
+    # (the fake-path fallback catches ValueError only — review-caught)
+    with pytest.raises(ValueError):
+        parse_jpeg(b"\xff\xd8\xff\xde\x00\x02\xff\xd9")
+    with pytest.raises(ValueError):
+        parse_jpeg(b"\xff\xd8\xff\xde\x00\x05\x08\x00\x10\xff\xd9")
+    bad = bytearray(good)
+    sof7b = bad.find(b"\xff\xc7")
+    bad[sof7b + 3] = 5  # SOF7 length 11 -> 5: three-byte body
+    with pytest.raises(ValueError):
+        parse_jpeg(bytes(bad))
+
+    # decompression-bomb guard: DHP dims and differential frame dims
+    # beyond the decoder cap refuse BEFORE any allocation
+    bomb = bytearray(good)
+    bomb[dhp + 5 : dhp + 9] = (60000).to_bytes(2, "big") * 2
+    with pytest.raises(ValueError, match="decoder cap"):
+        parse_jpeg(bytes(bomb))
+    bomb = bytearray(good)
+    s7 = bomb.find(b"\xff\xc7")
+    bomb[s7 + 5 : s7 + 9] = (60000).to_bytes(2, "big") * 2
+    with pytest.raises(ValueError, match="decoder cap|mismatch"):
+        parse_jpeg(bytes(bomb))
+
 
 def test_jpeg_hierarchical_bitflip_fuzz():
     """Adversarial robustness (the codec-family fuzz convention): any
