@@ -4389,3 +4389,60 @@ def test_jpeg_hierarchical_nonbaseline_base_frames():
         assert (w1, h1) == (w0, h0) == (w, h)
         assert (px1 == px0).all()
         assert int(px1.astype(np.int64).sum()) == 64 * int(vals.sum())
+
+
+def test_parser_truncation_sweep_valueerror_only():
+    """Systematic malformed-length net for the WHOLE codec family
+    (r12, after the hierarchical struct.error escape): every builder's
+    output, truncated at ~80 points (bare and zero-padded) plus
+    magic+garbage tails, must make its parser either return or raise
+    ValueError — never struct.error / IndexError / anything else the
+    decode UDFs' fallback cannot catch. The per-format bitflip fuzz
+    mutates VALID streams; this sweep covers the short-segment class
+    those tests structurally cannot reach."""
+    import numpy as np
+
+    from sparkga1_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(41)
+    vals = rng.integers(0, 256, (2, 3))
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+    rgb = np.repeat(img[:, :, None], 3, 2)
+    pcm = rng.integers(-1000, 1000, 256).astype(np.int16)
+
+    cases = [
+        (M.build_bmp(rgb), M.parse_bmp),
+        (M.build_ppm(rgb), M.parse_ppm),
+        (M.build_png(rgb), M.parse_png),
+        (M.build_qoi(rgb), M.parse_qoi),
+        (M.build_gif(img % 4, img.shape[1], img.shape[0]), M.parse_gif),
+        (M.build_pcx(rgb), M.parse_pcx),
+        (M.build_jpeg_baseline(img), M.parse_jpeg),
+        (M.build_jpeg_progressive(img, successive=True), M.parse_jpeg),
+        (M.build_jpeg_arith(img), M.parse_jpeg),
+        (M.build_jpeg_lossless(img.astype(np.int64)), M.parse_jpeg),
+        (M.build_jpeg_hierarchical(img.astype(np.int64)), M.parse_jpeg),
+        (M.build_jpeg_hierarchical(img.astype(np.int64), mode="dct"),
+         M.parse_jpeg),
+        (M.build_flac(pcm), M.parse_flac),
+        (M.build_wav(pcm, sample_rate=8000), M.parse_wav),
+        (M.build_y4m([img[:16, :16]] * 2), M.parse_y4m),
+        (M.build_mp4_meta(64, 48, [100, 120, 80], chunks=[2, 1]),
+         M.parse_mp4_samples),
+    ]
+    for blob, parser in cases:
+        if parser is None:
+            continue
+        step = max(1, len(blob) // 80)
+        for cut in range(2, len(blob), step):
+            for extra in (b"", b"\x00" * 4):
+                try:
+                    parser(blob[:cut] + extra)
+                except ValueError:
+                    pass  # the one sanctioned refusal channel
+        for _ in range(40):
+            tail = rng.integers(0, 256, 60, dtype=np.uint8).tobytes()
+            try:
+                parser(blob[:10] + tail)
+            except ValueError:
+                pass
