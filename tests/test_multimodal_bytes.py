@@ -4430,6 +4430,18 @@ def test_parser_truncation_sweep_valueerror_only():
         (M.build_mp4_meta(64, 48, [100, 120, 80], chunks=[2, 1]),
          M.parse_mp4_samples),
     ]
+    from sparkga1_spark.operators import crawl as C
+    from sparkga1_spark.operators import mime as MM
+    from sparkga1_spark.operators import pdfdoc as P
+
+    cases += [
+        (C.build_warc(7, "https://ex.com/a", "hello world " * 20,
+                      gzip_members=True), C.parse_warc),
+        (C.build_warc(7, "https://ex.com/a", "hello " * 30), C.parse_warc),
+        (P.build_pdf(7, "some text " * 30, flate=True, n_pages=2),
+         P.extract_pdf_text),
+        (MM.build_mime(7, "body text " * 20), MM.parse_mime),
+    ]
     for blob, parser in cases:
         if parser is None:
             continue
