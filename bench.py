@@ -295,7 +295,17 @@ def _current_round() -> int:
 
     env = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
     if env:
-        return int(env)
+        try:
+            return int(env)
+        except ValueError:
+            # r12 ADVICE: a malformed override must not abort the whole
+            # bench before any measurement — fall back to the
+            # artifact-derived round and say so
+            print(
+                f"# SPARK_GRAFT_BENCH_ROUND={env!r} is not an int; "
+                "using the artifact-derived round",
+                file=sys.stderr,
+            )
     rounds = [
         int(m.group(1))
         for p in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))
@@ -352,18 +362,25 @@ def _prev_cold():
 
 def _clean_substitutes(sf):
     """Per-query medians from the newest committed LOCAL bench window
-    (any round, INCLUDING the current one — a contaminated driver run
-    should borrow this round's controlled idle-window numbers), used to
-    back-fill contaminated rows in the *_clean totals (r11 VERDICT #4).
-    Only windows that were themselves substantially clean AND measured
-    at the SAME scale factor qualify — substituting an sf0.1 median
-    into a 10x-scale run would silently understate the clean total
-    (custom dirs have sf=None and get no substitutes at all)."""
+    of the CURRENT round only, used to back-fill contaminated rows in
+    the *_clean totals (r11 VERDICT #4). r12 ADVICE: a cross-round
+    substitute silently reports the OLDER code's timing for a query
+    that may have regressed this round — the driver's round-N run may
+    only borrow from round-N controlled idle windows (BENCH_LOCAL_rN is
+    committed before the driver runs, so one always exists in the
+    steady state; if none does, the clean totals honestly equal the raw
+    ones). Only windows that were themselves substantially clean AND
+    measured at the SAME scale factor qualify — substituting an sf0.1
+    median into a 10x-scale run would silently understate the clean
+    total (custom dirs have sf=None and get no substitutes at all)."""
     best: tuple[dict, str | None, int] = ({}, None, -1)
     if sf is None:
         return best[0], best[1]
+    cur = _current_round()
     for rnd, path, doc in _bench_artifacts():
         if "LOCAL" not in os.path.basename(path) or rnd <= best[2]:
+            continue
+        if rnd != cur:
             continue
         if doc.get("sf") != sf:
             continue
@@ -540,11 +557,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "spread": spread,
-                # per-query run counts — a flat 3 contradicted the four
-                # 7-run high-variance rows (review-caught)
-                "runs_per_query": {
-                    "default": 3,
-                    **{n: HIGH_VARIANCE_RUNS for n in sorted(HIGH_VARIANCE)},
+                # r12 ADVICE: keep runs_per_query the backward-compatible
+                # default int; the four 7-run high-variance rows live
+                # under their own key
+                "runs_per_query": 3,
+                "runs_per_query_overrides": {
+                    n: HIGH_VARIANCE_RUNS for n in sorted(HIGH_VARIANCE)
                 },
                 "sf": sf,
                 "shared35": shared35,
@@ -566,30 +584,44 @@ def main() -> None:
     # r6 VERDICT #2: the driver keeps only the stdout TAIL, so the big
     # line above arrives front-truncated (its `value` lost) and parses
     # as null. This compact LAST line always survives in the tail and
-    # carries the headline totals.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "n": len(times),
-                "n_errors": len(errors),
-                "shared35": shared35,
-                "shared65": shared65,
-                "shared35_clean": shared35_clean,
-                "shared65_clean": shared65_clean,
-                "clean_substituted": clean_substituted,
-                "clean_source": subs_src,
-                "cold_first_run": cold_first,
-                "cold_first_run_prev": COLD_PREV_ROUND,
-                "cold_prev_source": cold_prev_src,
-                "n_contaminated": n_contam,
-                "contaminated_queries": contam_names,
-                "sf": sf,
-            }
-        )
+    # carries the headline totals. r12 VERDICT #3 / ADVICE: in r12 the
+    # compact line itself outgrew the driver's ~2 KB capture window
+    # (42 contaminated-row names + the substituted-row list) and the
+    # round's driver artifact was lost to parsed:null — so the last
+    # line now carries ONLY bounded scalars (counts, never name lists;
+    # the lists stay in the big LOCAL-artifact line above) and a hard
+    # length assertion fails loudly at emit time if it ever grows past
+    # the budget again.
+    compact = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": round(total, 3),
+            "unit": "sec",
+            "n": len(times),
+            "n_errors": len(errors),
+            "shared35": shared35,
+            "shared65": shared65,
+            "shared35_clean": shared35_clean,
+            "shared65_clean": shared65_clean,
+            "n_clean_substituted": len(clean_substituted),
+            "n_clean_unsubstituted": len(clean_unsubstituted),
+            "clean_source": subs_src,
+            "cold_first_run": cold_first,
+            "cold_first_run_prev": COLD_PREV_ROUND,
+            "cold_prev_source": cold_prev_src,
+            "n_contaminated": n_contam,
+            "sf": sf,
+        }
     )
+    # every field above is a scalar, a 2-key cold dict, or a filename —
+    # worst case measured ~700 bytes; 1500 leaves 2x headroom under the
+    # ~2245-byte capture observed on BENCH_r12
+    assert len(compact) <= 1500, (
+        f"compact bench line grew to {len(compact)} bytes — it would be "
+        "truncated by the external driver's capture window; move the new "
+        "field to the LOCAL artifact line"
+    )
+    print(compact)
 
 
 if __name__ == "__main__":

@@ -4056,11 +4056,17 @@ def _parse_jpeg_hier(data: bytes):
                     br = _JpegBitReader(segs[seg_idx])
                 by, bx = divmod(bi, nbw)
                 t = _jpeg_huff_decode(br, dc_tbl)
-                if t > 15:
+                if t > 16:
                     raise ValueError("bad differential DC category")
-                coefs[by, bx, 0, 0] = (
-                    _jpeg_extend(br.read_bits(t), t) if t else 0
-                )
+                if t == 16:
+                    # T.81 permits SSSS=16 (a 32768 correction, no
+                    # appended bits) in differential DCT frames —
+                    # mirror of the SOF7 handling (r12 ADVICE)
+                    coefs[by, bx, 0, 0] = 32768
+                else:
+                    coefs[by, bx, 0, 0] = (
+                        _jpeg_extend(br.read_bits(t), t) if t else 0
+                    )
                 k = 1
                 while k < 64:
                     rs = _jpeg_huff_decode(br, ac_tbl)
@@ -5203,12 +5209,20 @@ def plant_jpeg_real_payloads(df: DataFrame, *, text_col: str = "text") -> DataFr
     %16==4 are 12-BIT (byte values in the 0..4095 range; flat blocks
     exact, px_sum unchanged, decode dtype widens to uint16): %32==4
     extended sequential SOF1, %32==20 progressive SOF2 with
-    successive approximation and restart intervals.
+    successive approximation and restart intervals. As of r13 the
+    remaining %4==0 slots rotate HIERARCHICAL streams (T.81 Annex J,
+    the r12 decode feature — planter frozen after the r12 bench
+    windows per convention): ids %32==8 are lossless resolution
+    PYRAMIDS (DHP + SOF3 base + EXP expansion + differential SOF7;
+    exact for ANY content, %64==40 as a deeper 12-bit pyramid with
+    restarts) and ids %32==24 are DCT QUALITY LADDERS (SOF0 base +
+    differential SOF5 refinement at quant 1; flat tiles exact,
+    %64==56 with restarts); ids %16==12 stay plain baseline.
     The same oracle row thus certifies every decode layout —
     baseline, progressive, successive approximation, subsampled
     progressive, restart intervals, sequential AND progressive
-    arithmetic, lossless, 12-bit — at zero gate-window cost (the
-    PNG/GIF interlace precedent)."""
+    arithmetic, lossless, 12-bit, hierarchical — at zero gate-window
+    cost (the PNG/GIF interlace precedent)."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -5277,6 +5291,35 @@ def plant_jpeg_real_payloads(df: DataFrame, *, text_col: str = "text") -> DataFr
                         )
                     else:
                         blob = build_jpeg_ext12(img)
+                elif d % 32 == 8:
+                    # r13: HIERARCHICAL lossless pyramid (T.81 Annex J
+                    # — DHP, SOF3 base, EXP expansion, differential
+                    # SOF7 frames). Exact for ANY content at any
+                    # precision by the codec's own contract, so the
+                    # closed form holds trivially; ids %64==40 rotate
+                    # a deeper 12-BIT pyramid with restart intervals
+                    # (decode dtype widens to uint16, px_sum
+                    # unchanged)
+                    if d % 64 == 40:
+                        blob = build_jpeg_hierarchical(
+                            img, mode="lossless", levels=3,
+                            precision=12, restart_interval=2,
+                        )
+                    else:
+                        blob = build_jpeg_hierarchical(
+                            img, mode="lossless", levels=2
+                        )
+                elif d % 32 == 24:
+                    # r13: HIERARCHICAL DCT quality ladder (SOF0 base
+                    # with low bits split off + ONE differential SOF5
+                    # refinement at quant 1) — flat 8x8 tiles decode
+                    # exactly through both frames, so the closed-form
+                    # oracle is untouched; ids %64==56 add restart
+                    # intervals to every frame
+                    blob = build_jpeg_hierarchical(
+                        img, mode="dct",
+                        restart_interval=2 if d % 64 == 56 else 0,
+                    )
                 else:
                     blob = build_jpeg_baseline(img)
                 out.append((doc_id, blob))

@@ -3820,11 +3820,15 @@ def x_multimodal_jpeg_decode(spark, sf_dir):
     ids %32==6 12-bit progressive SOF10 (flat blocks exact at either
     precision, so the closed-form oracle is untouched; the r11
     planter freeze is lifted). HIERARCHICAL (Annex J, grayscale — DHP
-    pyramid, EXP expansion, differential SOF5/SOF7 frames) also
-    decodes for real as of r12, pinned by exact-roundtrip/closed-form/
-    fuzz pytests; its planter class rotates in r13 (the same
-    freeze-after-bench-windows convention the arith-12 classes
-    followed). The md5 FAKE branch now covers only video (MP4) and the
+    pyramid, EXP expansion, differential SOF5/SOF7 frames) decodes
+    for real as of r12, pinned by exact-roundtrip/closed-form/fuzz
+    pytests, and ROTATED INTO THIS ROW in r13 (the arith-12
+    freeze-after-bench-windows convention): ids %32==8 are lossless
+    pyramids (DHP/SOF3/EXP/SOF7, %64==40 12-bit with restarts), ids
+    %32==24 DCT quality ladders (SOF0 base + differential SOF5) —
+    the lossless pyramid is exact on ANY content and the DCT ladder
+    on flat tiles, so the closed-form oracle is again untouched.
+    The md5 FAKE branch now covers only video (MP4) and the
     JPEG variants that remain honestly refused (color-hierarchical,
     differential SOF6/SOF13-15, arithmetic-lossless SOF11)."""
     from sparkga1_spark.operators.multimodal import (
@@ -12359,81 +12363,82 @@ def x_dedup_cluster_size_hist(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Gate priority (see registry.set_gate_order docstring). Round 12
-# runs the steady-state rotation (r11 VERDICT #1): the window is
+# Gate priority (see registry.set_gate_order docstring). Round 13
+# runs the steady-state rotation (r12 VERDICT #1): the window is
 # regenerated mechanically by tools/rotation_union.py from the
-# CORRECTNESS r1-r11 artifact union (age histogram r7:34 r8:40 r9:49
-# r10:49 r11:50, zero never-green) — ALL 34 r7-age rows (the oldest
-# driver coverage left) plus the oldest r8-age rows, with this
-# round's fixture-changed row swapped in first (the r9/r10/r11
-# precedent). After this window nothing older than r8 remains.
+# CORRECTNESS r1-r12 artifact union (age histogram r8:25 r9:49
+# r10:49 r11:49 r12:50, zero never-green) — ALL 25 r8-age rows (the
+# oldest driver coverage left) plus the oldest r9-age rows, with this
+# round's fixture-changed row swapped in first (the r9-r12
+# precedent). After this window nothing older than r9 remains.
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
 
 set_gate_order([
     # (a) fixture-changed this round: the jpeg planter rotates the
-    # 12-BIT ARITHMETIC classes in (ids %32==2 sequential SOF9,
-    # %32==6 progressive SOF10 — the late-r11 decode feature whose
-    # rotation was deliberately deferred past the r11 bench windows);
-    # a fixture change needs a driver row more than an unchanged old
-    # row does
+    # HIERARCHICAL classes in (ids %32==8 lossless pyramids with a
+    # 12-bit %64==40 sub-class, ids %32==24 DCT quality ladders — the
+    # r12 Annex J decode feature whose rotation was deliberately
+    # deferred past the r12 bench windows); a fixture change needs a
+    # driver row more than an unchanged old row does
     "x_multimodal_jpeg_decode",
-    # (b) ALL 34 round-7-age rows (tools/rotation_union.py output,
+    # (b) ALL 25 round-8-age rows (tools/rotation_union.py output,
     # recomputed from the artifacts per the r7/r8 convention),
-    # alphabetical
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q16_supplier_parts",
-    "tpch_q21_waiting_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "w_first_last_nth",
-    "w_frame_lag_lead_range",
-    "w_rank_family",
-    "x_ann_bruteforce_topk",
-    "x_ann_ivf_nprobe2",
-    "x_ann_lsh_buckets",
-    "x_crawl_ingest_pipeline",
-    "x_datamix_split",
-    "x_embedding_mahalanobis_audit",
-    "x_embedding_quantize",
-    "x_fuzzy_levenshtein",
-    "x_html_link_graph",
-    "x_incremental_dedup_bucketed",
-    "x_json_props_extract",
-    "x_multimodal_alaw_features",
-    "x_multimodal_bmp_decode",
-    "x_multimodal_mp3_tags",
-    "x_multimodal_webp_meta",
-    "x_set_similarity_routed",
-    "x_touch_attribution_decay",
-    "x_url_host_rollup",
-    "x_vector_stats_hof",
-    "x_vocab_topk",
-    "x_web_corpus_pipeline",
-    # (c) the 15 oldest r8-age rows, alphabetical. Displaced vs the
-    # plain 34+16 tool window: j_range_exome_overlap (r8-age,
-    # UNCHANGED this round, alphabetically last of the 16 candidates;
-    # holds an r8 driver row + this round's full local gate) — one
-    # slot ceded to the fixture-changed row in (a).
-    "a_covariate_table",
-    "a_exact_percentiles",
-    "a_global_totals",
-    "a_grouping_sets_revenue",
-    "a_integrity_manifest",
-    "a_lpt_schedule",
-    "a_pivot_status_qty",
-    "a_sketch_accuracy_audit",
-    "f_interval_sanity_fix",
-    "f_mapped_clean_projection",
-    "f_regex_readgroup",
-    "flagship_region_stats",
-    "j_anti_known_sites",
-    "j_asof_latest_order",
-    "j_full_outer_recon",
+    # alphabetical — incl. j_range_exome_overlap, displaced from the
+    # r12 window exactly for this slot
+    "j_range_exome_overlap",
+    "j_semi_known_sites",
+    "j_star_revenue",
+    "o_global_sort_vcf",
+    "o_secondary_sort_first",
+    "o_topk_per_chr",
+    "o_zorder_cluster",
+    "p2_equal_freq_buckets",
+    "p2_interval_coalesce",
+    "tpch_q1_pricing_summary",
+    "tpch_q21_waiting_agg_form",
+    "u_distinct_variants",
+    "u_intersect_except",
+    "w_running_revenue",
+    "x_cohort_retention",
+    "x_curation_pipeline",
+    "x_curation_write_audit",
+    "x_dedup_ngram_jaccard",
+    "x_doc_fingerprint",
+    "x_flatmap_records",
+    "x_lang_id",
+    "x_multimodal_wav_features",
+    "x_multimodal_y4m_frames",
+    "x_pipe_external_tool",
+    "x_text_quality",
+    # (c) the 24 oldest r9-age rows, alphabetical. Displaced vs the
+    # plain 25+25 tool window: x_drift_chi2 (r9-age, UNCHANGED this
+    # round, alphabetically last of the 25 candidates; holds an r9
+    # driver row + this round's full local gate) — one slot ceded to
+    # the fixture-changed row in (a).
+    "p2_skew_detect",
+    "pipeline_end_to_end",
+    "tpch_q15_top_supplier",
+    "x_ann_ivf_topk",
+    "x_ann_ivfpq_topk",
+    "x_ann_pq_adc_topk",
+    "x_assoc_rules_lift",
+    "x_benford_digit_audit",
+    "x_bigram_lm_logprob",
+    "x_bigram_pmi",
+    "x_blackbox_variant_call",
+    "x_blocklist_suffix_match",
+    "x_bloom_fpr_audit",
+    "x_bm25_topk",
+    "x_boilerplate_shingles",
+    "x_chunk_overlap",
+    "x_column_profile_histogram",
+    "x_corr_exact",
+    "x_dau_wau_stickiness",
+    "x_decontaminate_overlap",
+    "x_dedup_cluster_size_hist",
+    "x_dedup_exact",
+    "x_dedup_simhash",
+    "x_dedup_url_canonical",
 ])

@@ -4068,6 +4068,64 @@ def test_planter_rotation_includes_arith12_classes():
         )
 
 
+def test_planter_rotation_includes_hierarchical_classes():
+    """plant_jpeg_real_payloads ids %32==8 carry HIERARCHICAL lossless
+    pyramids (DHP + SOF3 base + EXP + differential SOF7; %64==40 as a
+    deeper 12-bit pyramid with restarts) and ids %32==24 the
+    hierarchical DCT quality ladder (SOF0 base + differential SOF5) as
+    of r13, while %16==12 stays plain baseline — the gate row's
+    closed-form oracle is unchanged because the lossless pyramid is
+    exact on any content and the DCT ladder is exact on flat tiles."""
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import (
+        build_jpeg_baseline,
+        build_jpeg_hierarchical,
+        parse_jpeg,
+    )
+
+    # builder-level replica of the planter's %4==0 hierarchical arm
+    # incl. the %64 sub-rotation (r13)
+    for d, text in [(8, "pyramid eight"), (40, "twelve pyramid"),
+                    (72, "pyramid again"), (24, "dct ladder"),
+                    (56, "ladder restarts"), (88, "ladder again"),
+                    (12, "still baseline"), (28, "baseline too")]:
+        wb, hb = d % 5 + 1, d % 3 + 1
+        vals = np.resize(np.frombuffer(text.encode(), np.uint8), (hb, wb))
+        img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+        if d % 32 == 8:
+            if d % 64 == 40:
+                blob = build_jpeg_hierarchical(
+                    img, mode="lossless", levels=3, precision=12,
+                    restart_interval=2,
+                )
+                prec = 12
+            else:
+                blob = build_jpeg_hierarchical(img, mode="lossless",
+                                               levels=2)
+                prec = 8
+            # DHP pyramid header + differential lossless frame(s)
+            assert blob.find(b"\xff\xde") > 0 and b"\xff\xc7" in blob
+        elif d % 32 == 24:
+            blob = build_jpeg_hierarchical(
+                img, mode="dct",
+                restart_interval=2 if d % 64 == 56 else 0,
+            )
+            prec = 8
+            # DHP + SOF0 base + differential sequential DCT frame
+            assert blob.find(b"\xff\xde") > 0 and b"\xff\xc5" in blob
+        else:
+            blob = build_jpeg_baseline(img)
+            prec = 8
+            assert b"\xff\xde" not in blob
+        w, h, px = parse_jpeg(blob)
+        assert px.dtype == (np.uint16 if prec == 12 else np.uint8)
+        assert px.shape == (8 * hb, 8 * wb, 1)
+        assert int(px.astype(np.int64).sum()) == 64 * int(
+            vals.astype(np.int64).sum()
+        )
+
+
 def test_jpeg_lossless_and_ext12_bitflip_fuzz():
     """Adversarial robustness (the codec-family fuzz convention):
     flipping any single entropy bit of an SOF3 lossless or 12-bit SOF1
@@ -4303,6 +4361,53 @@ def test_jpeg_hierarchical_refusals():
     bomb[s7 + 5 : s7 + 9] = (60000).to_bytes(2, "big") * 2
     with pytest.raises(ValueError, match="decoder cap|mismatch"):
         parse_jpeg(bytes(bomb))
+
+
+def test_jpeg_hierarchical_sof5_dc_ssss16():
+    """T.81 permits SSSS=16 in differential DCT DC scans (a 32768
+    correction with NO appended bits — F.1.2.1 doubles the difference
+    range in differential frames); the SOF5 branch must accept it like
+    the SOF7 path does (r12 ADVICE). Hand-assembled stream: a 12-bit
+    flat-zero SOF1 base (its DHT is the DC_LOSSLESS table, symbols
+    0..16) + one differential SOF5 frame whose single block codes DC
+    symbol 16 then EOB — dequant 32768 at quant 1, IDCT adds
+    32768/8 = 4096 to every sample, clipped to the 12-bit max 4095."""
+    import struct
+
+    import numpy as np
+
+    from sparkga1_spark.operators.multimodal import (
+        _JPEG_AC_EXT12,
+        _JPEG_DC_LOSSLESS,
+        _jpeg_encode_table,
+        _JpegBitWriter,
+        build_jpeg_ext12,
+        parse_jpeg,
+    )
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    frame_body = struct.pack(">BHHB", 12, 8, 8, 1) + bytes([1, 0x11, 0])
+    base = build_jpeg_ext12(np.zeros((8, 8), np.int64))
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDE, frame_body)
+    out += base[2:-2]  # DQT(all-1) + SOF1 + DHT + SOS + entropy
+    bw = _JpegBitWriter()
+    code, ln = _jpeg_encode_table(*_JPEG_DC_LOSSLESS)[16]
+    bw.write(code, ln)  # SSSS=16: diff 32768, no appended bits
+    code, ln = _jpeg_encode_table(*_JPEG_AC_EXT12)[0x00]
+    bw.write(code, ln)  # EOB
+    bw.flush()
+    out += seg(0xC5, frame_body)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bytes(bw.out)
+    out += b"\xff\xd9"
+
+    w, h, px = parse_jpeg(bytes(out))
+    assert (w, h) == (8, 8)
+    assert px.dtype == np.uint16 and px.shape == (8, 8, 1)
+    assert int(px.min()) == 4095 and int(px.max()) == 4095
 
 
 def test_jpeg_hierarchical_bitflip_fuzz():

@@ -161,38 +161,39 @@ def test_gate_order_fronts_unproven_queries():
     qs = list(all_queries())
     first50 = set(qs[:50])
     must_have_row = {
-        # round 12 steady-state rotation (see the set_gate_order
+        # round 13 steady-state rotation (see the set_gate_order
         # comment in plans/queries.py; regenerated by
-        # tools/rotation_union.py from the r1-r11 artifact union):
+        # tools/rotation_union.py from the r1-r12 artifact union):
         # (a) fixture-changed this round (jpeg planter rotates the
-        # 12-bit arithmetic SOF9/SOF10 classes in)
+        # hierarchical Annex J classes in)
         "x_multimodal_jpeg_decode",
-        # (b) all 34 round-7-age rows
-        "tpch_q11_important_stock", "tpch_q12_shipmode_priority",
-        "tpch_q13_customer_distribution", "tpch_q14_promo_effect",
-        "tpch_q16_supplier_parts", "tpch_q21_waiting_supplier",
-        "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
-        "tpch_q8_market_share", "tpch_q9_product_profit",
-        "w_first_last_nth", "w_frame_lag_lead_range", "w_rank_family",
-        "x_ann_bruteforce_topk", "x_ann_ivf_nprobe2",
-        "x_ann_lsh_buckets", "x_crawl_ingest_pipeline",
-        "x_datamix_split", "x_embedding_mahalanobis_audit",
-        "x_embedding_quantize", "x_fuzzy_levenshtein",
-        "x_html_link_graph", "x_incremental_dedup_bucketed",
-        "x_json_props_extract", "x_multimodal_alaw_features",
-        "x_multimodal_bmp_decode", "x_multimodal_mp3_tags",
-        "x_multimodal_webp_meta", "x_set_similarity_routed",
-        "x_touch_attribution_decay", "x_url_host_rollup",
-        "x_vector_stats_hof", "x_vocab_topk", "x_web_corpus_pipeline",
-        # (c) the 15 oldest r8-age rows (j_range_exome_overlap
-        # displaced by the fixture-changed slot)
-        "a_covariate_table", "a_exact_percentiles", "a_global_totals",
-        "a_grouping_sets_revenue", "a_integrity_manifest",
-        "a_lpt_schedule", "a_pivot_status_qty",
-        "a_sketch_accuracy_audit", "f_interval_sanity_fix",
-        "f_mapped_clean_projection", "f_regex_readgroup",
-        "flagship_region_stats", "j_anti_known_sites",
-        "j_asof_latest_order", "j_full_outer_recon",
+        # (b) all 25 round-8-age rows
+        "j_range_exome_overlap", "j_semi_known_sites",
+        "j_star_revenue", "o_global_sort_vcf",
+        "o_secondary_sort_first", "o_topk_per_chr",
+        "o_zorder_cluster", "p2_equal_freq_buckets",
+        "p2_interval_coalesce", "tpch_q1_pricing_summary",
+        "tpch_q21_waiting_agg_form", "u_distinct_variants",
+        "u_intersect_except", "w_running_revenue",
+        "x_cohort_retention", "x_curation_pipeline",
+        "x_curation_write_audit", "x_dedup_ngram_jaccard",
+        "x_doc_fingerprint", "x_flatmap_records", "x_lang_id",
+        "x_multimodal_wav_features", "x_multimodal_y4m_frames",
+        "x_pipe_external_tool", "x_text_quality",
+        # (c) the 24 oldest r9-age rows (x_drift_chi2 displaced by
+        # the fixture-changed slot)
+        "p2_skew_detect", "pipeline_end_to_end",
+        "tpch_q15_top_supplier", "x_ann_ivf_topk",
+        "x_ann_ivfpq_topk", "x_ann_pq_adc_topk",
+        "x_assoc_rules_lift", "x_benford_digit_audit",
+        "x_bigram_lm_logprob", "x_bigram_pmi",
+        "x_blackbox_variant_call", "x_blocklist_suffix_match",
+        "x_bloom_fpr_audit", "x_bm25_topk",
+        "x_boilerplate_shingles", "x_chunk_overlap",
+        "x_column_profile_histogram", "x_corr_exact",
+        "x_dau_wau_stickiness", "x_decontaminate_overlap",
+        "x_dedup_cluster_size_hist", "x_dedup_exact",
+        "x_dedup_simhash", "x_dedup_url_canonical",
     }
     missing = must_have_row - first50
     assert not missing, f"not in the driver's 50-query window: {missing}"
