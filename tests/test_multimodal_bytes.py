@@ -4563,3 +4563,35 @@ def test_parser_truncation_sweep_valueerror_only():
                 parser(blob[:10] + tail)
             except ValueError:
                 pass
+
+    # text-parser arm (r12 VERDICT #7): the two crawl TEXT entry
+    # points (robots.txt and sitemap XML) complete the
+    # ValueError-only contract across every public parse_* dispatch
+    # surface — truncation at every point plus mojibake tails, same
+    # net, str instead of bytes
+    text_cases = [
+        (C.build_sitemap(7, "src"), C.parse_sitemap),
+        (C.build_sitemap(8, "idx"), C.parse_sitemap),
+        (
+            "User-agent: spark-graft\nDisallow: /private/*\n"
+            "Allow: /private/ok$\n# comment\nUser-agent: *\n"
+            "Crawl-delay: 3\nDisallow: /tmp\n",
+            lambda t: C.parse_robots(t, "spark-graft/1.0"),
+        ),
+    ]
+    for text, tparser in text_cases:
+        step = max(1, len(text) // 80)
+        for cut in range(0, len(text), step):
+            for extra in ("", "\x00<&]]>"):
+                try:
+                    tparser(text[:cut] + extra)
+                except ValueError:
+                    pass  # the one sanctioned refusal channel
+        for _ in range(40):
+            tail = "".join(
+                chr(c) for c in rng.integers(1, 0x2FF, 60)
+            )
+            try:
+                tparser(text[:10] + tail)
+            except ValueError:
+                pass
