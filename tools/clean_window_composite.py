@@ -1,0 +1,136 @@
+"""Clean-row composite across same-day bench windows (r13).
+
+When EVERY same-day sf0.1 window is hypervisor-contaminated past the
+substitute threshold (r13: six windows, 15-35 of 70 rows flagged by
+their own host evidence), no single window qualifies as
+BENCH_LOCAL_r{N} under the r12 clean-window protocol. This tool builds
+the honest alternative: for each query, the median of its CLEAN
+per-window medians (rows whose own timed windows showed
+steal/foreign-CPU below the bench.py contamination thresholds),
+pooled across all provided windows, with per-query provenance — how
+many clean samples, which windows they came from, and the pooled
+spread [min of clean mins, max of clean maxs].
+
+The output keeps the BENCH_LOCAL shape (queries / spread / host /
+shared35 / shared65 / cold_first_run / sf) so downstream consumers —
+bench.py's _clean_substitutes, the round-over-round comparison —
+read it unchanged; `composite` carries the construction record.
+Queries with NO clean sample anywhere keep their best (lowest-steal)
+contaminated value and stay flagged in `host`, so the composite's
+n_contaminated honestly reports the residue instead of laundering it.
+
+This is the same estimator bench.py already publishes (median of
+timed runs) pooled over more samples with per-run host evidence — not
+a new metric; the per-window raw lines remain in the committed record
+via `composite.windows`.
+
+Usage:
+    python tools/clean_window_composite.py out.json window1.out [window2.out ...]
+
+Each window*.out is a bench.py stdout capture (big line first).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def main() -> None:
+    out_path = sys.argv[1]
+    paths = sys.argv[2:]
+    wins = []
+    for p in paths:
+        with open(p) as f:
+            wins.append((os.path.basename(p), json.loads(f.readline())))
+    if not wins:
+        raise SystemExit("no windows given")
+
+    names = list(wins[0][1]["queries"])
+    sf = wins[0][1].get("sf")
+    queries, spread, host, prov = {}, {}, {}, {}
+    cold = {}
+    for n in names:
+        clean = [
+            (w[1]["queries"][n], w[1]["spread"][n], w[1]["host"][n], w[0])
+            for w in wins
+            if n in w[1]["queries"] and not w[1]["host"][n]["contaminated"]
+        ]
+        if clean:
+            vals = sorted(c[0] for c in clean)
+            queries[n] = vals[len(vals) // 2]
+            spread[n] = [
+                round(min(c[1][0] for c in clean), 3),
+                round(max(c[1][1] for c in clean), 3),
+            ]
+            # host evidence of the sample whose median was chosen
+            chosen = min(clean, key=lambda c: abs(c[0] - queries[n]))
+            host[n] = chosen[2]
+            prov[n] = {
+                "n_clean_samples": len(clean),
+                "windows": [c[3] for c in clean],
+            }
+        else:
+            dirty = [
+                (w[1]["queries"][n], w[1]["spread"][n], w[1]["host"][n], w[0])
+                for w in wins if n in w[1]["queries"]
+            ]
+            best = min(dirty, key=lambda c: c[2]["steal_frac"])
+            queries[n], spread[n], host[n] = best[0], best[1], best[2]
+            prov[n] = {
+                "n_clean_samples": 0,
+                "windows": [best[3]],
+                "note": "no clean sample in any window; lowest-steal "
+                        "contaminated value kept, still flagged",
+            }
+        for w in wins:
+            for cn, cv in (w[1].get("cold_first_run") or {}).items():
+                cold.setdefault(cn, []).append(cv)
+
+    n_contam = sum(1 for v in host.values() if v["contaminated"])
+    shared35 = round(sum(queries[n] for n in names[:35]), 3)
+    shared65 = round(sum(queries[n] for n in names[:65]), 3)
+    artifact = {
+        "metric": "headline_queries_total",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "spread": spread,
+        "host": host,
+        "sf": sf,
+        "shared35": shared35,
+        "shared65": shared65,
+        "n_contaminated": n_contam,
+        "cold_first_run": {
+            n: sorted(v)[len(v) // 2] for n, v in cold.items()
+        },
+        "composite": {
+            "protocol": (
+                "per-query median of CLEAN per-window medians pooled "
+                "across same-day windows (bench.py host evidence per "
+                "row); spread = [min clean min, max clean max]; "
+                "queries with zero clean samples keep their "
+                "lowest-steal contaminated value and stay flagged"
+            ),
+            "windows": {
+                w[0]: {
+                    "shared65": w[1].get("shared65"),
+                    "n_contaminated": w[1].get("n_contaminated"),
+                }
+                for w in wins
+            },
+            "per_query": prov,
+        },
+    }
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps({
+        "value": artifact["value"], "shared35": shared35,
+        "shared65": shared65, "n_contaminated": n_contam,
+        "n_windows": len(wins),
+    }))
+
+
+if __name__ == "__main__":
+    main()
