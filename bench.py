@@ -615,12 +615,15 @@ def main() -> None:
     )
     # every field above is a scalar, a 2-key cold dict, or a filename —
     # worst case measured ~700 bytes; 1500 leaves 2x headroom under the
-    # ~2245-byte capture observed on BENCH_r12
-    assert len(compact) <= 1500, (
-        f"compact bench line grew to {len(compact)} bytes — it would be "
-        "truncated by the external driver's capture window; move the new "
-        "field to the LOCAL artifact line"
-    )
+    # ~2245-byte capture observed on BENCH_r12. Explicit raise, not
+    # assert: python -O would compile an assert out and silently
+    # reintroduce the r12 truncation failure (review-caught)
+    if len(compact) > 1500:
+        raise RuntimeError(
+            f"compact bench line grew to {len(compact)} bytes — it would "
+            "be truncated by the external driver's capture window; move "
+            "the new field to the LOCAL artifact line"
+        )
     print(compact)
 
 

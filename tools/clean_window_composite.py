@@ -36,6 +36,8 @@ import json
 import os
 import sys
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def main() -> None:
     out_path = sys.argv[1]
@@ -47,10 +49,26 @@ def main() -> None:
     if not wins:
         raise SystemExit("no windows given")
 
-    names = list(wins[0][1]["queries"])
-    sf = wins[0][1].get("sf")
+    # cross-scale pooling would publish medians no downstream consumer
+    # could compare (review-caught): every window must carry the same sf
+    sfs = {w[1].get("sf") for w in wins}
+    if len(sfs) != 1:
+        raise SystemExit(f"windows span multiple scale factors {sfs}; "
+                         "pool same-sf windows only")
+    sf = sfs.pop()
+
+    # canonical name set/order comes from bench.HEADLINE, not window
+    # 1's queries dict — an errored query in window 1 would otherwise
+    # shift the shared35/shared65 slices to a different subset
+    # (review-caught); queries missing from window 1 but present in
+    # others are pooled like any other
+    sys.path.insert(0, _REPO)
+    import bench
+    names = [
+        n for n in bench.HEADLINE
+        if any(n in w[1]["queries"] for w in wins)
+    ]
     queries, spread, host, prov = {}, {}, {}, {}
-    cold = {}
     for n in names:
         clean = [
             (w[1]["queries"][n], w[1]["spread"][n], w[1]["host"][n], w[0])
@@ -84,13 +102,30 @@ def main() -> None:
                 "note": "no clean sample in any window; lowest-steal "
                         "contaminated value kept, still flagged",
             }
-        for w in wins:
-            for cn, cv in (w[1].get("cold_first_run") or {}).items():
-                cold.setdefault(cn, []).append(cv)
+
+    # cold pooling: once per window (was nested per-query — 70x
+    # replication), and only from windows whose own host row for that
+    # query is uncontaminated, matching the clean-row protocol the
+    # warm rows get (review-caught)
+    cold: dict[str, list] = {}
+    for w in wins:
+        for cn, cv in (w[1].get("cold_first_run") or {}).items():
+            h = w[1].get("host", {}).get(cn)
+            if isinstance(h, dict) and h.get("contaminated"):
+                continue
+            cold.setdefault(cn, []).append(cv)
 
     n_contam = sum(1 for v in host.values() if v["contaminated"])
-    shared35 = round(sum(queries[n] for n in names[:35]), 3)
-    shared65 = round(sum(queries[n] for n in names[:65]), 3)
+
+    # same null-on-missing rule as bench.py: a subset total over a
+    # DIFFERENT query set would read as a round-over-round delta
+    def _shared(subset):
+        if all(n in queries for n in subset):
+            return round(sum(queries[n] for n in subset), 3)
+        return None
+
+    shared35 = _shared(bench.HEADLINE[:35])
+    shared65 = _shared(bench.HEADLINE[:65])
     artifact = {
         "metric": "headline_queries_total",
         "value": round(sum(queries.values()), 3),
@@ -103,7 +138,7 @@ def main() -> None:
         "shared65": shared65,
         "n_contaminated": n_contam,
         "cold_first_run": {
-            n: sorted(v)[len(v) // 2] for n, v in cold.items()
+            n: sorted(v)[len(v) // 2] for n, v in cold.items() if v
         },
         "composite": {
             "protocol": (

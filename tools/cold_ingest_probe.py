@@ -47,9 +47,15 @@ sf_dir = %(sf_dir)r
 spark = get_spark("cold-ingest-probe")
 qs = all_queries()
 warm = "/root/testdata/sf0.001"
+if not os.path.isdir(warm):
+    # warming at sf_dir would pre-build the index and consume the
+    # checkpoint under the SAME tag the timed run uses — the "cold"
+    # numbers would silently be warm ones (review-caught). Refuse.
+    raise SystemExit(f"warm-up dir {warm} missing; cold probe needs a "
+                     "distinct-tag warm-up scale")
 for _ in range(2):
     for name in %(pair)r:
-        qs[name](spark, warm if os.path.isdir(warm) else sf_dir).count()
+        qs[name](spark, warm).count()
 
 rows = {}
 for name in %(pair)r:
@@ -79,17 +85,26 @@ def main() -> None:
     out_path = sys.argv[3] if len(sys.argv) > 3 else None
 
     per_sample = []
+    n_failed = 0
     for i in range(samples):
         child = _CHILD % {"repo": _REPO, "sf_dir": sf_dir, "pair": PAIR}
-        proc = subprocess.run(
-            [sys.executable, "-c", child],
-            capture_output=True, text=True, cwd=_REPO, timeout=1800,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", child],
+                capture_output=True, text=True, cwd=_REPO, timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            # one hung sample must not discard the completed samples'
+            # evidence (review-caught) — record and keep probing
+            n_failed += 1
+            print(f"# sample {i}: TIMEOUT after 1800s", file=sys.stderr)
+            continue
         row = None
         for line in proc.stdout.splitlines():
             if line.startswith("COLDPROBE "):
                 row = json.loads(line[len("COLDPROBE "):])
         if row is None:
+            n_failed += 1
             print(f"# sample {i}: FAILED rc={proc.returncode} "
                   f"{proc.stderr.strip().splitlines()[-1:] or ''}",
                   file=sys.stderr)
@@ -126,7 +141,12 @@ def main() -> None:
             "query in bench HEADLINE order; clean iff steal_frac <= "
             f"{STEAL_MAX} and no contamination flag in either window"
         ),
-        "n_samples": samples,
+        # crashed/hung samples are a protocol-health signal distinct
+        # from steal-discarded ones (review-caught): n_requested =
+        # n_completed + n_failed; steal-discarded = n_completed - n_clean
+        "n_requested": samples,
+        "n_completed": len(per_sample),
+        "n_failed": n_failed,
         "n_clean": sum(1 for s in per_sample if s["clean"]),
         "cold": {n: bracket(n) for n in PAIR},
         "samples": per_sample,
