@@ -55,6 +55,22 @@ def brute_force_topk(
         vectors.to_double(F.col(vec_col)).alias("_cv"),
         vectors.norm(F.col(vec_col), dim).alias("_cn"),
     )
+    # r13 optimization (guide §2.5 input skew / §1.2 per-task work): the
+    # testdata embeddings parquet is a single row group, so the BNL's
+    # stream side is ONE scan partition and the whole dot-product kernel
+    # serializes on one core (measured: 1.1 s single-task stages on
+    # x_knn_label_vote at sf0.1). Hash-repartition the candidate side by
+    # id before the pairing so the kernel runs at full parallelism.
+    # Explicit N (conf-derived, scale-adaptive) because an AQE-coalescible
+    # REPARTITION_BY_COL would be folded back to ~1 partition on byte
+    # grounds — bytes are the wrong proxy for the per-pair compute. The
+    # extra exchange ships one pass of the (already-projected) vectors;
+    # this kernel is the sanctioned small/oracle baseline (see plan
+    # note above), never the 100 TB path.
+    n_parts = int(
+        candidates.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    c = c.repartition(n_parts, "cand_id")
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
         .withColumn(

@@ -44,9 +44,29 @@ def apply_per_group(
     per (key..., salt) — valid whenever `fn` is position-local, i.e.
     distributes over a position split (all X-* analogs are: they process
     coordinate-sorted slices). The salt column is not exposed to `fn`.
+
+    Partitioning (r13 optimization, guide §2.2/§4.2): the Exchange that
+    `groupBy().applyInPandas` inserts is AQE-coalescible, and AQE's
+    byte-based heuristic starves the Python stage — measured on
+    pipeline_end_to_end at sf0.1: 20 MiB of shuffle output coalesced to
+    6 partitions, so the pandas variant caller ran 6-wide on 32 cores
+    (per-task Python time 1.7–3.1 s, the query's dominant cost). Bytes
+    are the wrong proxy for an expensive opaque per-row stage, so the
+    group exchange is pinned with an explicit `repartition(n, keys)`
+    (REPARTITION_BY_NUM is exempt from AQE coalescing; the hash
+    partitioning satisfies the applyInPandas ClusteredDistribution, so
+    no second exchange appears). n = spark.sql.shuffle.partitions —
+    conf-derived, scale-adaptive: at cluster scale that conf is sized to
+    the cluster, and the exchange it pins replaces (not augments) the
+    one the groupBy would insert anyway.
     """
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     if salt_on is None:
-        return df.groupBy(*keys).applyInPandas(fn, schema=schema)
+        return (
+            df.repartition(n_parts, *keys)
+            .groupBy(*keys)
+            .applyInPandas(fn, schema=schema)
+        )
     from sparkga1_spark.operators.skew import salt_by_quantiles
 
     salted = salt_by_quantiles(
@@ -56,8 +76,10 @@ def apply_per_group(
     def drop_salt_then(pdf: pd.DataFrame) -> pd.DataFrame:
         return fn(pdf.drop(columns=["salt"]))
 
-    return salted.groupBy(*keys, "salt").applyInPandas(
-        drop_salt_then, schema=schema
+    return (
+        salted.repartition(n_parts, *keys, "salt")
+        .groupBy(*keys, "salt")
+        .applyInPandas(drop_salt_then, schema=schema)
     )
 
 

@@ -120,6 +120,7 @@ def grouped_cumsum(
     value_col: Column | str,
     out_col: str = "cumsum",
     num_partitions: int | None = None,
+    extra_specs: Sequence[tuple[Column | str, str]] = (),
 ) -> DataFrame:
     """Distributed running sum of `value_col` within each group under a
     UNIQUE (group, order) total order — the scale-safe replacement for
@@ -135,10 +136,20 @@ def grouped_cumsum(
     tiny — and its prefix window is per-group over ≤ num_partitions
     rows, then broadcast back. Results are independent of where the
     sampled range boundaries land because the order is total.
+
+    `extra_specs` (r13 optimization, guide §2.4): additional
+    (value_col, out_col) running sums computed in the SAME two-pass
+    shape — one range exchange, one sample job, one persisted slice
+    shared by every sum, instead of one full pass per value column
+    (x_survival_km's cum_nano/cum_dead pair measured 2.0 s → 1.2 s at
+    sf0.1 when its two back-to-back passes merged into one).
     """
     gcols = [F.col(c) for c in group_cols]
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    specs = [
+        (F.col(v) if isinstance(v, str) else v, out)
+        for v, out in [(value_col, out_col), *extra_specs]
+    ]
     if num_partitions is None:
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
@@ -164,30 +175,42 @@ def grouped_cumsum(
     # nparts=16) — so carry a non-null COUNT alongside and decide
     # NULL-ness from count(local)+count(offset) == 0.
     sums = part.groupBy("_pid", *group_cols).agg(
-        F.sum(val).alias("_s"), F.count(val).alias("_sn")
+        *[
+            a
+            for i, (val, _) in enumerate(specs)
+            for a in (F.sum(val).alias(f"_s{i}"), F.count(val).alias(f"_sn{i}"))
+        ]
     )
     w_off = (
         Window.partitionBy(*group_cols)
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = (
-        sums.withColumn("_off", F.coalesce(F.sum("_s").over(w_off), F.lit(0)))
-        .withColumn("_offn", F.coalesce(F.sum("_sn").over(w_off), F.lit(0)))
-        .select("_pid", *group_cols, "_off", "_offn")
-    )
-    return (
-        part.withColumn("_lc", F.sum(val).over(w_local))
-        .withColumn("_ln", F.count(val).over(w_local))
-        .join(F.broadcast(offsets), ["_pid", *group_cols])
-        .withColumn(
-            out_col,
-            F.when(F.col("_ln") + F.col("_offn") == 0, F.lit(None)).otherwise(
-                F.coalesce(F.col("_lc"), F.lit(0)) + F.col("_off")
-            ),
+    offsets = sums
+    off_cols = []
+    for i in range(len(specs)):
+        offsets = offsets.withColumn(
+            f"_off{i}", F.coalesce(F.sum(f"_s{i}").over(w_off), F.lit(0))
+        ).withColumn(
+            f"_offn{i}", F.coalesce(F.sum(f"_sn{i}").over(w_off), F.lit(0))
         )
-        .drop("_pid", "_lc", "_ln", "_off", "_offn")
-    )
+        off_cols += [f"_off{i}", f"_offn{i}"]
+    offsets = offsets.select("_pid", *group_cols, *off_cols)
+    res = part.join(F.broadcast(offsets), ["_pid", *group_cols])
+    drop = ["_pid", *off_cols]
+    for i, (val, out) in enumerate(specs):
+        res = (
+            res.withColumn(f"_lc{i}", F.sum(val).over(w_local))
+            .withColumn(f"_ln{i}", F.count(val).over(w_local))
+            .withColumn(
+                out,
+                F.when(
+                    F.col(f"_ln{i}") + F.col(f"_offn{i}") == 0, F.lit(None)
+                ).otherwise(F.coalesce(F.col(f"_lc{i}"), F.lit(0)) + F.col(f"_off{i}")),
+            )
+        )
+        drop += [f"_lc{i}", f"_ln{i}"]
+    return res.drop(*drop)
 
 
 def global_rank(
