@@ -484,13 +484,27 @@ def prefix_filter_jaccard_pairs(
     num, den = int(threshold_num), int(threshold_den)
     assert 0 < num <= den
     rows = tracked_persist(rows)  # sizes + df + ranks + both verify sides
-    sizes = rows.groupBy(id_col).agg(F.count("*").alias("_sz"))
-    dfreq = rows.groupBy(hash_col).agg(F.count("*").alias("_df"))
+    # r13 optimization (guide §2.4 / §5 caching-for-reuse): sizes and
+    # dfreq feed MULTIPLE downstream consumers (the prefix rank join,
+    # both verification size lookups / the candidate broadcast sides).
+    # Unpersisted, each broadcast rebuilt the aggregate subtree from
+    # the rows cache — profiled at sf0.1: ~8 BroadcastExchange nodes
+    # whose 'time to collect' was 0.5-1.6 s EACH, all recomputing the
+    # same 5k/27k-row aggregates. Persisting the set-count and
+    # df-count tables (vocabulary-bounded) and the ranked prefix table
+    # (prefix elements only — smaller than rows) computes each subtree
+    # once; measured 3.31 s -> 2.67 s median at sf0.1, rows identical.
+    sizes = tracked_persist(
+        rows.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    )
+    dfreq = tracked_persist(
+        rows.groupBy(hash_col).agg(F.count("*").alias("_df"))
+    )
     # prefix length |x| - ceil(num/den * |x|) + 1, ceil in integers
     plen = F.col("_sz") - ((F.lit(num) * F.col("_sz") + (den - 1)) / den).cast(
         "long"
     ) + 1
-    ranked = (
+    ranked = tracked_persist(
         rows.join(dfreq, hash_col)
         .withColumn(
             "_pos",
@@ -673,7 +687,12 @@ def set_similarity_pairs(
     if route != "lsh_refine":
         raise ValueError(f"unknown set-similarity route: {route}")
     rows = tracked_persist(rows)
-    sizes = rows.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    # persisted for the same reason as the prefix route: verification
+    # probes it twice (sz_a, sz_b) and each probe otherwise rebuilds
+    # the aggregate from the rows cache behind its own broadcast
+    sizes = tracked_persist(
+        rows.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    )
     cand = minhash_lsh_pairs(rows, id_col=id_col, hash_col=hash_col)
     return _verify_candidate_pairs(
         rows,
