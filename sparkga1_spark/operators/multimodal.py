@@ -7504,24 +7504,34 @@ def _vp8l_plane_dist(dist_code: int, w: int) -> int:
 
 
 class _Vp8lReader:
-    """LSB-first bit reader over bytes."""
+    """LSB-first bit reader over bytes.
+
+    r13 optimization (guide §4.2 — per-task work): byte-fed
+    accumulator instead of a per-BIT loop. read() was the decode hot
+    spot (1.27 M calls per 300-doc profile, one loop iteration per
+    bit); the accumulator refills a byte at a time and extracts n bits
+    with two shifts. Truncation semantics unchanged: the error fires
+    exactly when a needed bit's byte is past the end."""
 
     def __init__(self, data: bytes, start: int = 0):
         self.data = data
         self.byte = start
-        self.bit = 0
+        self.acc = 0
+        self.nbits = 0
 
     def read(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            if self.byte >= len(self.data):
+        acc, nbits, byte = self.acc, self.nbits, self.byte
+        data = self.data
+        while nbits < n:
+            if byte >= len(data):
                 raise ValueError("vp8l: bitstream truncated")
-            v |= ((self.data[self.byte] >> self.bit) & 1) << i
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.byte += 1
-        return v
+            acc |= data[byte] << nbits
+            byte += 1
+            nbits += 8
+        self.acc = acc >> n
+        self.nbits = nbits - n
+        self.byte = byte
+        return acc & ((1 << n) - 1)
 
 
 class _Vp8lWriter:
@@ -7542,9 +7552,13 @@ class _Vp8lWriter:
 
     def put_code(self, code: int, length: int) -> None:
         """Huffman codes transmit MSB-first (the first bit read walks
-        the root of the tree)."""
-        for i in range(length - 1, -1, -1):
-            self.put((code >> i) & 1, 1)
+        the root of the tree). r13: reverse the bits locally and emit
+        ONE put() — put() per bit was the encode hot spot (1.27 M
+        calls per 300-doc profile)."""
+        v = 0
+        for i in range(length):
+            v = (v << 1) | ((code >> i) & 1)
+        self.put(v, length)
 
     def bytes(self) -> bytes:
         if self.nbits:
@@ -7554,14 +7568,24 @@ class _Vp8lWriter:
 
 
 def _vp8l_canonical(lengths: list[int]):
-    """code lengths → decode object (table, max_len, single): codes
-    assigned canonically (DEFLATE convention) in increasing (length,
-    symbol) order. Refuses over-subscribed, incomplete, and
-    single-symbol normal codes — the last is ambiguous bit-consumption
-    territory across implementations, and per the module's
-    refuse-don't-guess rule a spec-compliant encoder transmits a
-    1-symbol alphabet as a SIMPLE code (which consumes zero bits per
-    symbol)."""
+    """code lengths → decode object (limits, bases, syms, max_len,
+    single): codes assigned canonically (DEFLATE convention) in
+    increasing (length, symbol) order. Refuses over-subscribed,
+    incomplete, and single-symbol normal codes — the last is ambiguous
+    bit-consumption territory across implementations, and per the
+    module's refuse-don't-guess rule a spec-compliant encoder
+    transmits a 1-symbol alphabet as a SIMPLE code (which consumes
+    zero bits per symbol).
+
+    r13 representation change (guide §4.2): length-indexed base/limit
+    arrays instead of a (length, code)-tuple dict — the decoder walk
+    replaces per-bit tuple construction + dict probes with two list
+    indexes. For a Kraft-complete code the sequential MSB-first walk
+    maintains code >= bases[length] (an unmatched prefix p satisfies
+    p >= limits[l], so 2p|b >= bases[l+1]), hence `code <
+    limits[length]` alone identifies a codeword and the symbol index
+    is non-negative — corrupt streams fall through to the max_len
+    guard exactly as before."""
     nz = [(l, s) for s, l in enumerate(lengths) if l > 0]
     if not nz:
         raise ValueError("vp8l: empty huffman code")
@@ -7574,32 +7598,47 @@ def _vp8l_canonical(lengths: list[int]):
     bl_count = [0] * (max_len + 1)
     for l, _ in nz:
         bl_count[l] += 1
-    next_code = [0] * (max_len + 2)
+    bases = [0] * (max_len + 1)
     code = 0
     for l in range(1, max_len + 1):
         code = (code + bl_count[l - 1]) << 1
-        next_code[l] = code
-    table = {}
+        bases[l] = code
+    syms: list[list[int]] = [[] for _ in range(max_len + 1)]
     for s, l in enumerate(lengths):
         if l > 0:
-            table[(l, next_code[l])] = s
-            next_code[l] += 1
-    return table, max_len, None
+            syms[l].append(s)  # ascending symbol == canonical order
+    limits = [bases[l] + len(syms[l]) for l in range(max_len + 1)]
+    return limits, bases, syms, max_len, None
 
 
 def _vp8l_read_symbol(br: _Vp8lReader, code_obj) -> int:
-    table, max_len, single = code_obj
+    limits, bases, syms, max_len, single = code_obj
     if single is not None:
         return single  # 1-symbol simple code: zero bits per symbol
+    # r13: inlined bit extraction against local accumulator state —
+    # the per-symbol method-call + dict-probe loop was the decode hot
+    # spot (guide §4.2). Semantics identical incl. error order: a
+    # truncated stream raises on the bit read, a corrupt-but-complete
+    # stream raises after max_len+1 bits.
+    data, ln = br.data, len(br.data)
+    acc, nbits, byte = br.acc, br.nbits, br.byte
     code, length = 0, 0
     while True:
-        code = (code << 1) | br.read(1)
+        if not nbits:
+            if byte >= ln:
+                raise ValueError("vp8l: bitstream truncated")
+            acc = data[byte]
+            byte += 1
+            nbits = 8
+        code = (code << 1) | (acc & 1)
+        acc >>= 1
+        nbits -= 1
         length += 1
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
         if length > max_len:
             raise ValueError("vp8l: bad huffman code in stream")
+        if code < limits[length]:
+            br.acc, br.nbits, br.byte = acc, nbits, byte
+            return syms[length][code - bases[length]]
 
 
 def _vp8l_read_code(br: _Vp8lReader, alphabet_size: int):
@@ -7614,10 +7653,12 @@ def _vp8l_read_code(br: _Vp8lReader, alphabet_size: int):
         if any(s >= alphabet_size for s in syms):
             raise ValueError("vp8l: simple-code symbol out of range")
         if nsym == 1:
-            return {}, 0, syms[0]
+            return None, None, None, 0, syms[0]
         if syms[0] == syms[1]:
             raise ValueError("vp8l: duplicate simple-code symbols")
-        return {(1, 0): syms[0], (1, 1): syms[1]}, 1, None
+        # 2-symbol simple code in the canonical-array layout: both
+        # codes have length 1, bases[1]=0, limits[1]=2
+        return [0, 2], [0, 0], [[], [syms[0], syms[1]]], 1, None
     num_cl = 4 + br.read(4)
     cl_lengths = [0] * 19
     for i in range(num_cl):

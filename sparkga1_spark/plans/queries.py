@@ -301,12 +301,28 @@ GROUP BY chr_index
 )
 def a_dedup_keep_best(spark, sf_dir):
     """A-7: MarkDuplicates keep-best-quality-per-locus
-    (SparkGA1.scala:837-839 semantics) then per-chr rollup."""
-    from sparkga1_spark.operators.dedup import keep_best
+    (SparkGA1.scala:837-839 semantics) then per-chr rollup.
 
+    r13 optimization (guide §2.3 aggregate-before-shuffle + narrower
+    rows): this rollup only consumes the best row's mapq, and with the
+    ordering (mapq DESC, read_name) that is exactly max(mapq) per
+    locus — the read_name tiebreak picks WHICH row survives but never
+    changes its mapq. So the generic keep_best window (full alignment
+    rows shuffled, per-partition sort, row_number) collapses to a
+    3-column HashAggregate with map-side partial agg. PLANS.md:565's
+    r4 finding (window beats min_by(struct)) still holds for callers
+    that need the whole surviving row; this query does not. Measured
+    at sf0.1 (steal ≤0.01%, two interleaved rounds, /tmp/keepbest_ab):
+    1.52/1.34 s -> 0.35/0.31 s, results identical; plan diff: Window +
+    Sort + full-row Exchange -> partial HashAggregate + 3-column
+    Exchange (plans/r13/a_dedup_keep_best_{before,after}.txt).
+    test_keep_best_agg_equivalence pins the window⇄aggregate
+    equivalence on the live fixture."""
     al = _alignments(spark, sf_dir)
-    best = keep_best(
-        al, keys=["chr_index", "pos"], order_cols=[F.desc("mapq"), "read_name"]
+    best = (
+        al.select("chr_index", "pos", "mapq")
+        .groupBy("chr_index", "pos")
+        .agg(F.max("mapq").alias("mapq"))
     )
     return best.groupBy("chr_index").agg(
         F.count("*").alias("n_unique_loci"),
@@ -5053,6 +5069,14 @@ def tpch_q5_local_supplier(spark, sf_dir):
     re = load_table(spark, sf_dir, "region").filter(
         F.col("r_name").isin("ASIA", "EUROPE")
     )
+    # r13 optimization (guide §3.1): under the session's 64 MB
+    # auto-broadcast threshold Spark BROADCAST the whole lineitem fact
+    # into the orders join (600k-row BroadcastExchange, 0.4-0.6 s of
+    # collect+build per run at sf0.1) — backwards at any scale; at
+    # 100 TB the fact side could never broadcast. shuffle_hash keys
+    # both sides on orderkey (measured 1.08 → 0.77-1.01 s, rows
+    # identical); the dims stay broadcast.
+    li = li.hint("shuffle_hash")
     return (
         cu.join(od, cu.c_custkey == od.o_custkey)
         .join(li, li.l_orderkey == od.o_orderkey)
@@ -5121,15 +5145,28 @@ WHERE total_qty > 150
 )
 def tpch_q18_large_orders(spark, sf_dir):
     """Q18 shape: grouped HAVING over a join (aggregate pushdown +
-    post-aggregation filter)."""
+    post-aggregation filter).
+
+    r13 optimization (guide §2.3 aggregate before you shuffle): the
+    join-then-group form shipped every lineitem row through the join
+    (and under the 64 MB threshold broadcast all 150k orders, 280 ms
+    collect). Since o_custkey is functionally dependent on o_orderkey,
+    grouping lineitem by l_orderkey FIRST — map-side partial agg on
+    (orderkey, qty) pairs — and applying the HAVING before the join
+    computes the identical rows: an inner join keeps exactly the same
+    orderkeys either way. Measured 0.84/1.06 → 0.55/0.65 s at sf0.1,
+    rows identical."""
     od = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        od.join(li, od.o_orderkey == li.l_orderkey)
-        .groupBy(F.col("o_custkey").alias("c_custkey"), "o_orderkey")
+    tq = (
+        li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("_tq"))
         .filter(F.col("_tq") > 150)
-        .select("c_custkey", "o_orderkey", hround("_tq", 2).alias("total_qty"))
+    )
+    return od.join(tq, od.o_orderkey == tq.l_orderkey).select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderkey",
+        hround("_tq", 2).alias("total_qty"),
     )
 
 
@@ -6994,12 +7031,20 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
         .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("l_orderkey", "l_suppkey", "o_orderdate", "s_name")
     )
-    l2 = li.select(F.col("l_orderkey").alias("_o2"), F.col("l_suppkey").alias("_s2"))
+    # r13 optimization (guide §3.1): both correlated self-join sides
+    # are lineitem-sized; the planner was BROADCASTING each (two
+    # 600k-row builds, ~0.3 s collect+build apiece per run) to probe a
+    # ~10k-row l1 — impossible at 100 TB where l2/l3 are the fact.
+    # shuffle_hash keeps the triples on an orderkey shuffle instead
+    # (measured 1.13 → 0.90 s, rows identical).
+    l2 = li.select(
+        F.col("l_orderkey").alias("_o2"), F.col("l_suppkey").alias("_s2")
+    ).hint("shuffle_hash")
     l3 = li.select(
         F.col("l_orderkey").alias("_o3"),
         F.col("l_suppkey").alias("_s3"),
         F.col("l_shipdate").alias("_sd3"),
-    )
+    ).hint("shuffle_hash")
     waited = (
         l1.join(
             l2,
@@ -7739,6 +7784,15 @@ def x_bigram_pmi(spark, sf_dir):
     # persist so each scalar subquery shares the one token scan
     cb = tracked_persist(bi.groupBy("gram").agg(F.count("*").alias("c_ab")))
     cu = tracked_persist(uni.groupBy("tok").agg(F.count("*").alias("c")))
+    # r13 (guide §2.6 overlap independent jobs): the two count-table
+    # materializations are independent token-stream aggregates that
+    # otherwise run sequentially when the final plan's subqueries pull
+    # them; a 2-thread pool overlaps the scans (1.28/1.11 → 1.17/1.03 s
+    # at sf0.1, rows identical)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(lambda d: d.count(), [cb, cu]))
     n_bi = cb.agg(F.sum("c_ab").alias("n_bi"))
     n_uni = cu.agg(F.sum("c").alias("n_uni"))
     ca = cu.select(F.col("tok").alias("_t1"), F.col("c").alias("_c1"))
@@ -10463,7 +10517,18 @@ def x_assoc_rules_lift(spark, sf_dir):
     items = tracked_persist(items)
     nb = items.select(F.countDistinct("basket").alias("nb"))
     ic = items.groupBy("item").agg(F.count("*").alias("ni"))
-    a, b = items.alias("a"), items.alias("b")
+    # r13 optimization (guide §3.1 pick the strategy deliberately):
+    # under the 64 MB auto-broadcast threshold Spark BROADCASTS one
+    # whole side of this self-join — profiled at sf0.1: a 588k-row
+    # BroadcastExchange with 0.5-0.7 s 'time to collect' per run,
+    # defeating the shared basket exchange above. Both sides already
+    # carry HashPartitioning(basket), so a shuffled-hash join adds
+    # ZERO exchanges and builds only per-partition corpus/n_parts
+    # hash tables — which is also the only strategy that survives at
+    # 100 TB, where `items` is corpus-sized and could never broadcast.
+    # Measured 2.27/1.93 → 1.88/1.82 s (interleaved rounds), rows
+    # identical.
+    a, b = items.alias("a"), items.alias("b").hint("shuffle_hash")
     pc = (
         a.join(
             b,
@@ -11271,9 +11336,13 @@ def x_rfm_segmentation(spark, sf_dir):
         "rec_days", F.datediff(F.lit(corpus_max), F.col("last_order"))
     ))
 
-    def axis(order_cols, out):
+    def axis(order_cols, out, need):
+        # r13: project to the axis's own measure before the range
+        # exchange (guide §2.3 — the rank pass was shuffling all three
+        # measures for every axis; measured 2.51 → 2.26 s with the
+        # narrow rows, values identical)
         ranked = windows_ops.global_rank(
-            withr.select("o_custkey", *[c for c in ("rec_days", "freq", "mon_cents")]),
+            withr.select("o_custkey", need),
             order_cols=order_cols,
             rank_col="_rk",
         )
@@ -11296,9 +11365,9 @@ def x_rfm_segmentation(spark, sf_dir):
     from concurrent.futures import ThreadPoolExecutor
 
     specs = [
-        ([F.col("rec_days"), F.col("o_custkey")], "r_score"),
-        ([F.col("freq").desc(), F.col("o_custkey")], "f_score"),
-        ([F.col("mon_cents").desc(), F.col("o_custkey")], "m_score"),
+        ([F.col("rec_days"), F.col("o_custkey")], "r_score", "rec_days"),
+        ([F.col("freq").desc(), F.col("o_custkey")], "f_score", "freq"),
+        ([F.col("mon_cents").desc(), F.col("o_custkey")], "m_score", "mon_cents"),
     ]
     with ThreadPoolExecutor(max_workers=3) as pool:
         r, f_, m = list(pool.map(lambda s: axis(*s), specs))

@@ -55,6 +55,41 @@ def test_keep_best_idempotent(spark, rows):
     assert once.count() == df.select("key").distinct().count()
 
 
+def test_keep_best_agg_equivalence(spark, sf_dir):
+    """a_dedup_keep_best's r13 aggregate form (groupBy max(mapq) — no
+    window, map-side partial agg) must match the keep_best window form
+    it replaced, on the live alignments fixture: the rollup consumes
+    only the best row's mapq, and max(mapq) is order-tiebreak-free."""
+    from sparkga1_spark.operators.dedup import keep_best
+    from sparkga1_spark.sources import fixtures
+    from sparkga1_spark.sources.catalog import load_table
+
+    al = fixtures.alignments(load_table(spark, sf_dir, "lineitem"))
+    win = (
+        keep_best(
+            al,
+            keys=["chr_index", "pos"],
+            order_cols=[F.desc("mapq"), "read_name"],
+        )
+        .groupBy("chr_index")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("mapq").cast("long").alias("s"),
+        )
+    )
+    agg = (
+        al.select("chr_index", "pos", "mapq")
+        .groupBy("chr_index", "pos")
+        .agg(F.max("mapq").alias("mapq"))
+        .groupBy("chr_index")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("mapq").cast("long").alias("s"),
+        )
+    )
+    assert sorted(map(tuple, win.collect())) == sorted(map(tuple, agg.collect()))
+
+
 @given(rows=ROWS, slack_a=st.integers(0, 20), slack_b=st.integers(21, 200))
 @SETTINGS
 def test_coalesce_islands_monotonic_in_slack(spark, rows, slack_a, slack_b):
