@@ -103,43 +103,41 @@ def shingle_hashes(text: Column, n: int = 3) -> Column:
 
 
 def _gram_rows(docs, *, id_col: str, text_col: str, n: int):
-    """(id, _g) word n-gram rows: posexplode words once (split evaluated
-    once per document), form n-grams with window lead. Everything stays
-    in whole-stage codegen; the only exchange is the per-document window
-    shuffle, which downstream per-doc aggregations reuse.
+    """(id, _g) word n-gram rows — the shared root of the whole
+    shingle family.
 
-    Partitioning (r13 optimization, guide §2.2): the window exchange is
-    pinned with an explicit keyed repartition at the shuffle-partitions
-    conf — AQE's byte-based coalescing shrank the ~3 MiB token-row
-    shuffle to 3 partitions, so the window sort + gram concat + hash +
-    distinct partial agg (the CPU of every shingle-family query) ran
-    3-wide on 32 cores (profiled on x_curation_pipeline_v2 /
-    x_boilerplate_shingles: 0.7-2.4 s CPU stages with 3 tasks). Bytes
-    are the wrong proxy for gram-building CPU. Hash partitioning on the
-    id satisfies the window's ClusteredDistribution AND the downstream
-    (id, h) distinct, so no second exchange appears; REPARTITION_BY_NUM
-    is exempt from AQE coalescing; n is conf-derived (scale-adaptive,
-    not a local constant). Measured at sf0.1 (steal-checked A/B):
-    x_set_similarity_join 2.90→2.04, x_curation_pipeline_v2 2.75→2.11,
-    x_dedup_minhash_lsh 1.15→0.91, x_minhash_accuracy_audit 1.73→1.65;
-    x_boilerplate_shingles paid ~+0.1 (accepted — the only text-rows
-    consumer) and the rest of the family was neutral."""
-    from pyspark.sql import Window
+    r13 optimization #2 (guide §2.4 remove shuffles outright): grams
+    are built MAP-SIDE from the split array (word_ngrams slices + zip)
+    and exploded — no window, no sort, no per-token rows crossing the
+    wire. The earlier window form (posexplode → keyed repartition →
+    lead()) shuffled ~270k (id, _idx, _w) token rows and paid a
+    per-document sort; this form shuffles the 5k (id, W) doc rows
+    once. The split is materialized BEFORE the repartition, and the
+    exchange stops projection collapse, so the interpreted-HOF caveat
+    on word_ngrams ("split re-evaluated per element") does not apply:
+    the lambdas run over an attribute, not the split expression.
 
+    The keyed repartition survives from optimization #1 for the same
+    reason as before: a single-row-group scan arrives as ONE partition
+    and the gram/hash CPU must spread; hash(id) ALSO satisfies the
+    downstream (id, h) distinct's clustering, so exchange count is
+    unchanged (n_parts conf-derived, scale-adaptive). Measured at
+    sf0.1 vs the window form (steal ≤0.3% interleaved A/B):
+    x_set_similarity_join 3.35→2.36, x_curation_pipeline_v2 2.21→1.88,
+    x_minhash_accuracy_audit 1.51→1.24, x_dedup_containment 0.77→0.59,
+    x_dedup_minhash_lsh 0.97→0.86, x_dedup_ngram_jaccard 0.63→0.57;
+    x_boilerplate_shingles neutral, x_span_dup_mass ~+0.08 (accepted);
+    family equality pinned on two representatives + the oracle gate."""
     n_parts = int(
         docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    ex = docs.select(
-        F.col(id_col),
-        F.posexplode(words(F.col(text_col))).alias("_idx", "_w"),
+    w = docs.select(
+        F.col(id_col), words(F.col(text_col)).alias("_W")
     ).repartition(n_parts, id_col)
-    w = Window.partitionBy(id_col).orderBy("_idx")
-    parts = [F.col("_w")] + [F.lead("_w", k).over(w) for k in range(1, n)]
-    return ex.select(
+    return w.select(
         F.col(id_col),
-        F.concat_ws(" ", *parts).alias("_g"),
-        parts[-1].alias("_last"),
-    ).filter(F.col("_last").isNotNull())
+        F.explode(word_ngrams(F.col("_W"), n)).alias("_g"),
+    )
 
 
 def shingle_hash_rows(docs, *, id_col: str = "doc_id", text_col: str = "text", n: int = 3):

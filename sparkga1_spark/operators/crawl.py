@@ -38,6 +38,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from sparkga1_spark.operators.multimodal import _decode_map, _planted
+
 __all__ = [
     "build_warc",
     "parse_warc",
@@ -320,7 +322,7 @@ def parse_warc_records(df: DataFrame, *, payload_col: str = "payload") -> DataFr
                 ],
             )
 
-    return df.mapInPandas(run, schema=WARC_RECORD_SCHEMA)
+    return _decode_map(df, run, WARC_RECORD_SCHEMA)
 
 
 def warc_response_payloads(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
@@ -341,18 +343,13 @@ def warc_response_payloads(df: DataFrame, *, payload_col: str = "payload") -> Da
                 out, columns=["doc_id", "target_uri", "http_status", "body"]
             )
 
-    return df.mapInPandas(
-        run,
-        schema="doc_id long, target_uri string, http_status int, body binary",
-    )
+    return _decode_map(df, run, "doc_id long, target_uri string, http_status int, body binary")
 
 
 def plant_warc_payloads(df: DataFrame, *, html_bodies: bool = False) -> DataFrame:
     """(doc_id, text, source) → (doc_id, payload): one WARC file per
     document — odd ids written gzip-per-record. html_bodies swaps the
     plain-text response bodies for real HTML pages (build_html)."""
-    from sparkga1_spark.operators.multimodal import _spread
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
@@ -368,7 +365,7 @@ def plant_warc_payloads(df: DataFrame, *, html_bodies: bool = False) -> DataFram
                 )
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+    return _planted(df, run, "doc_id long, payload binary")
 
 
 # --------------------------------------------------------------------------
@@ -604,14 +601,12 @@ def extract_html_text(df: DataFrame, *, html_col: str = "html") -> DataFrame:
                 columns=["doc_id", "title", "main_text", "n_links", "n_dropped"],
             )
 
-    return df.mapInPandas(run, schema=HTML_EXTRACT_SCHEMA)
+    return _decode_map(df, run, HTML_EXTRACT_SCHEMA)
 
 
 def plant_html_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     """(doc_id, text) → (doc_id, html): the fixture page builder as a
     Spark stage."""
-    from sparkga1_spark.operators.multimodal import _spread
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
@@ -619,7 +614,7 @@ def plant_html_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
                 out.append((doc_id, build_html(int(doc_id), text or "")))
             yield pd.DataFrame(out, columns=["doc_id", "html"])
 
-    return _spread(df).mapInPandas(run, schema="doc_id long, html string")
+    return _planted(df, run, "doc_id long, html string")
 
 
 # --------------------------------------------------------------------------
@@ -753,7 +748,7 @@ def robots_gate(df: DataFrame, *, robots_col: str = "robots_txt",
                 )
             yield pd.DataFrame(out, columns=["doc_id", "path", "allowed"])
 
-    return df.mapInPandas(run, schema="doc_id long, path string, allowed boolean")
+    return _decode_map(df, run, "doc_id long, path string, allowed boolean")
 
 
 # --------------------------------------------------------------------------
@@ -806,10 +801,7 @@ def transcode_http_bodies(df: DataFrame, *, body_col: str = "body",
                 out, columns=["doc_id", "charset", "declared", "text_out"]
             )
 
-    return df.mapInPandas(
-        run,
-        schema="doc_id long, charset string, declared boolean, text_out string",
-    )
+    return _decode_map(df, run, "doc_id long, charset string, declared boolean, text_out string")
 
 
 def plant_robots_fixture(df: DataFrame) -> DataFrame:
@@ -818,8 +810,6 @@ def plant_robots_fixture(df: DataFrame) -> DataFrame:
     an id%4-dependent extra rule, and a deny-all fallback group) and
     four candidate paths per document covering allow, prefix-deny,
     anchored-deny, and the policy-dependent case."""
-    from sparkga1_spark.operators.multimodal import _spread
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
@@ -847,9 +837,7 @@ def plant_robots_fixture(df: DataFrame) -> DataFrame:
                     out.append((doc_id, robots, path))
             yield pd.DataFrame(out, columns=["doc_id", "robots_txt", "path"])
 
-    return _spread(df).mapInPandas(
-        run, schema="doc_id long, robots_txt string, path string"
-    )
+    return _planted(df, run, "doc_id long, robots_txt string, path string")
 
 
 def plant_encoded_bodies(df: DataFrame, *, text_col: str = "text") -> DataFrame:
@@ -859,8 +847,6 @@ def plant_encoded_bodies(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     utf-16le. The latin-1 slice declares its charset only on even ids
     — odd ones exercise the sniff path (their accented bytes are
     invalid UTF-8, so the fallback is deterministic)."""
-    from sparkga1_spark.operators.multimodal import _spread
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
@@ -879,9 +865,7 @@ def plant_encoded_bodies(df: DataFrame, *, text_col: str = "text") -> DataFrame:
                 out.append((doc_id, body, ctype))
             yield pd.DataFrame(out, columns=["doc_id", "body", "content_type"])
 
-    return _spread(df).mapInPandas(
-        run, schema="doc_id long, body binary, content_type string"
-    )
+    return _planted(df, run, "doc_id long, body binary, content_type string")
 
 
 # --------------------------------------------------------------------------
@@ -977,18 +961,13 @@ def html_link_edges(df: DataFrame, *, html_col: str = "html",
                 out, columns=["doc_id", "link_rank", "url", "dst_host"]
             )
 
-    return df.mapInPandas(
-        run,
-        schema="doc_id long, link_rank int, url string, dst_host string",
-    )
+    return _decode_map(df, run, "doc_id long, link_rank int, url string, dst_host string")
 
 
 def plant_pages_with_base(df: DataFrame) -> DataFrame:
     """(doc_id, text, source) → (doc_id, html, base_url) in ONE Arrow
     stage — the link-graph feed without a self-join back to the
     documents table."""
-    from sparkga1_spark.operators.multimodal import _spread
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
@@ -1005,9 +984,7 @@ def plant_pages_with_base(df: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=["doc_id", "html", "base_url"])
 
-    return _spread(df).mapInPandas(
-        run, schema="doc_id long, html string, base_url string"
-    )
+    return _planted(df, run, "doc_id long, html string, base_url string")
 
 
 # --------------------------------------------------------------------------
@@ -1065,10 +1042,7 @@ def extract_page_meta_stage(df: DataFrame, *, html_col: str = "html") -> DataFra
                 out, columns=["doc_id", "og_title", "description", "canonical"]
             )
 
-    return df.mapInPandas(
-        run,
-        schema="doc_id long, og_title string, description string, canonical string",
-    )
+    return _decode_map(df, run, "doc_id long, og_title string, description string, canonical string")
 
 
 def extract_main_text_stage(df: DataFrame, *, html_col: str = "html",
@@ -1090,7 +1064,7 @@ def extract_main_text_stage(df: DataFrame, *, html_col: str = "html",
 
     schema = "doc_id long, " + ", ".join(f"{c} string" for c in keep_cols) + \
         ", main_text string"
-    return df.mapInPandas(run, schema=schema)
+    return _decode_map(df, run, schema)
 
 
 # --------------------------------------------------------------------------
@@ -1256,17 +1230,11 @@ def parse_sitemaps_stage(df: DataFrame, *, xml_col: str = "xml") -> DataFrame:
                 columns=["doc_id", "kind", "rank", "loc", "lastmod", "priority"],
             )
 
-    return df.mapInPandas(
-        run,
-        schema=("doc_id long, kind string, rank int, loc string, "
-                "lastmod string, priority string"),
-    )
+    return _decode_map(df, run, "doc_id long, kind string, rank int, loc string, " "lastmod string, priority string")
 
 
 def plant_sitemap_payloads(df: DataFrame) -> DataFrame:
     """(doc_id, source) → (doc_id, xml)."""
-    from sparkga1_spark.operators.multimodal import _spread
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
@@ -1274,7 +1242,7 @@ def plant_sitemap_payloads(df: DataFrame) -> DataFrame:
                 out.append((doc_id, build_sitemap(int(doc_id), source)))
             yield pd.DataFrame(out, columns=["doc_id", "xml"])
 
-    return _spread(df).mapInPandas(run, schema="doc_id long, xml string")
+    return _planted(df, run, "doc_id long, xml string")
 
 
 # --------------------------------------------------------------------------
@@ -1361,11 +1329,7 @@ def image_pairs_stage(df: DataFrame, *, html_col: str = "html",
                 columns=["doc_id", "rank", "img_url", "alt_text", "caption"],
             )
 
-    return df.mapInPandas(
-        run,
-        schema=("doc_id long, rank int, img_url string, alt_text string, "
-                "caption string"),
-    )
+    return _decode_map(df, run, "doc_id long, rank int, img_url string, alt_text string, " "caption string")
 
 
 def build_gallery_html(doc_id: int, source: str) -> tuple[str, str]:
@@ -1393,8 +1357,6 @@ def build_gallery_html(doc_id: int, source: str) -> tuple[str, str]:
 
 def plant_gallery_pages(df: DataFrame) -> DataFrame:
     """(doc_id, source) → (doc_id, html, base_url)."""
-    from sparkga1_spark.operators.multimodal import _spread
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
@@ -1403,6 +1365,4 @@ def plant_gallery_pages(df: DataFrame) -> DataFrame:
                 out.append((doc_id, html, base))
             yield pd.DataFrame(out, columns=["doc_id", "html", "base_url"])
 
-    return _spread(df).mapInPandas(
-        run, schema="doc_id long, html string, base_url string"
-    )
+    return _planted(df, run, "doc_id long, html string, base_url string")

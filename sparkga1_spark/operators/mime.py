@@ -27,6 +27,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from sparkga1_spark.operators.multimodal import _decode_map, _planted
+
 _ENCODED_WORD_RE = re.compile(r"=\?([^?]+)\?([QqBb])\?([^?]*)\?=")
 
 
@@ -346,14 +348,12 @@ def extract_mime(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
                 ],
             )
 
-    return df.mapInPandas(run, schema=MIME_SCHEMA)
+    return _decode_map(df, run, MIME_SCHEMA)
 
 
 def plant_mime_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     """(doc_id, text) → (doc_id, payload): one real multipart message
     per document (see build_mime)."""
-    from sparkga1_spark.operators.multimodal import _spread
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
@@ -361,4 +361,4 @@ def plant_mime_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
                 out.append((doc_id, build_mime(int(doc_id), text or "")))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+    return _planted(df, run, "doc_id long, payload binary")

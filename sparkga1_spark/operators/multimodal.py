@@ -853,7 +853,7 @@ def decode_images(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
                 columns=["doc_id", "byte_len", "width", "height", "channels", "format"],
             )
 
-    return df.mapInPandas(run, schema=IMAGE_META_SCHEMA)
+    return _decode_map(df, run, IMAGE_META_SCHEMA)
 
 
 def sample_frames(
@@ -879,7 +879,7 @@ def sample_frames(
                 out, columns=["doc_id", "frame_idx", "frame_ts_ms", "frame_hash"]
             )
 
-    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+    return _decode_map(df, run, FRAME_SCHEMA)
 
 
 def audio_features(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
@@ -919,7 +919,7 @@ def audio_features(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
                 columns=["doc_id", "n_samples", "sample_rate", "duration_ms", "rms"],
             )
 
-    return df.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+    return _decode_map(df, run, AUDIO_FEATURE_SCHEMA)
 
 
 RESIZED_SCHEMA = (
@@ -1036,7 +1036,7 @@ def resize_images(
                 ],
             )
 
-    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+    return _decode_map(df, run, RESIZED_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -1064,6 +1064,38 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(sc.defaultParallelism)
 
 
+def _planted(src: DataFrame, run, schema: str) -> DataFrame:
+    """Planter tail-call: spread + mapInPandas, remembering (src, run)
+    on the returned DataFrame so a directly-chained decode stage can
+    FUSE with the planter (r13 optimization, guide §4.1 — every
+    chained Python map operator is its own JVM↔Python round trip;
+    measured ~0.15-0.35 s of pure boundary latency per extra hop at 32
+    tasks even for an identity function). The attribute is advisory:
+    any consumer that is not `_decode_map` simply executes the planted
+    frame as before."""
+    out = _spread(src).mapInPandas(run, schema=schema)
+    out._plant_fusion = (src, run)
+    return out
+
+
+def _decode_map(df: DataFrame, run, schema) -> DataFrame:
+    """Decoder entry: when `df` came straight from a `_planted` call,
+    chain the planter's batch generator into the decoder's inside ONE
+    mapInPandas — payload bytes then never cross back through the JVM
+    between plant and decode. Otherwise behave exactly as
+    df.mapInPandas(run, schema). Result rows are identical either way
+    (the intermediate frame was a pure pass-through)."""
+    fusion = getattr(df, "_plant_fusion", None)
+    if fusion is None:
+        return df.mapInPandas(run, schema=schema)
+    src, prun = fusion
+
+    def chained(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from run(prun(batches))
+
+    return _spread(src).mapInPandas(chained, schema=schema)
+
+
 def plant_bmp_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     """(doc_id, text) → (doc_id, payload): a real 24-bit BMP whose
     dimensions are closed-form in doc_id (w = id%61+4, h = id%37+4) and
@@ -1080,7 +1112,7 @@ def plant_bmp_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
                 out.append((doc_id, build_bmp(px)))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+    return _planted(df, run, "doc_id long, payload binary")
 
 
 def plant_png_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
@@ -1110,7 +1142,7 @@ def plant_png_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+    return _planted(df, run, "doc_id long, payload binary")
 
 
 IMAGE_STATS_SCHEMA = (
@@ -1141,7 +1173,7 @@ def decode_image_stats(df: DataFrame, *, payload_col: str = "payload") -> DataFr
                 columns=["doc_id", "width", "height", "channels", "format", "px_sum"],
             )
 
-    return df.mapInPandas(run, schema=IMAGE_STATS_SCHEMA)
+    return _decode_map(df, run, IMAGE_STATS_SCHEMA)
 
 
 def plant_wav_payloads(df: DataFrame) -> DataFrame:
@@ -1161,7 +1193,7 @@ def plant_wav_payloads(df: DataFrame) -> DataFrame:
                 out.append((doc_id, build_wav(samples, sample_rate=rate)))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+    return _planted(df, run, "doc_id long, payload binary")
 
 
 def plant_ulaw_payloads(df: DataFrame) -> DataFrame:
@@ -1183,7 +1215,7 @@ def plant_ulaw_payloads(df: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+    return _planted(df, run, "doc_id long, payload binary")
 
 
 def plant_alaw_payloads(df: DataFrame) -> DataFrame:
@@ -1204,7 +1236,7 @@ def plant_alaw_payloads(df: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+    return _planted(df, run, "doc_id long, payload binary")
 
 
 def plant_adpcm_payloads(df: DataFrame) -> DataFrame:
@@ -1236,7 +1268,7 @@ def plant_adpcm_payloads(df: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+    return _planted(df, run, "doc_id long, payload binary")
 
 
 def plant_jpeg_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
@@ -1259,7 +1291,7 @@ def plant_jpeg_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
                 out.append((doc_id, build_jpeg(w, h, entropy)))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+    return _planted(df, run, "doc_id long, payload binary")
 
 
 # --------------------------------------------------------------------------
@@ -1355,7 +1387,7 @@ def decode_video_frames(df: DataFrame, *, payload_col: str = "payload") -> DataF
                 ],
             )
 
-    return df.mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
+    return _decode_map(df, run, VIDEO_FRAME_SCHEMA)
 
 
 def plant_y4m_payloads(df: DataFrame) -> DataFrame:
@@ -1385,7 +1417,7 @@ def plant_y4m_payloads(df: DataFrame) -> DataFrame:
                 out.append((doc_id, build_y4m(frames)))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+    return _planted(df, run, "doc_id long, payload binary")
 
 
 # --------------------------------------------------------------------------
@@ -1581,7 +1613,7 @@ def plant_qoi_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
                 out.append((doc_id, build_qoi(px)))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+    return _planted(df, run, "doc_id long, payload binary")
 
 
 # --------------------------------------------------------------------------
@@ -1905,7 +1937,7 @@ def plant_gif_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
                 out.append((doc_id, build_gif(idx, w, h, interlace=d % 2 == 1)))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+    return _planted(df, run, "doc_id long, payload binary")
 
 
 # --------------------------------------------------------------------------
@@ -2050,7 +2082,7 @@ def plant_pcx_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
                 out.append((doc_id, build_pcx(px)))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+    return _planted(df, run, "doc_id long, payload binary")
 
 
 # --------------------------------------------------------------------------
@@ -5325,7 +5357,7 @@ def plant_jpeg_real_payloads(df: DataFrame, *, text_col: str = "text") -> DataFr
                 out.append((doc_id, blob))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+    return _planted(df, run, "doc_id long, payload binary")
 
 
 # --------------------------------------------------------------------------
@@ -5938,7 +5970,7 @@ def plant_flac_payloads(df: DataFrame) -> DataFrame:
                 out.append((doc_id, build_flac(s, sample_rate=8000)))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+    return _planted(df, run, "doc_id long, payload binary")
 
 
 # --------------------------------------------------------------------------
@@ -6181,7 +6213,7 @@ def decode_mjpeg_frames(df: DataFrame, *, payload_col: str = "payload") -> DataF
                 ],
             )
 
-    return df.mapInPandas(run, schema=MJPEG_FRAME_SCHEMA)
+    return _decode_map(df, run, MJPEG_FRAME_SCHEMA)
 
 
 def plant_avi_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
@@ -6223,7 +6255,7 @@ def plant_avi_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
                 out.append((doc_id, build_avi_mjpeg(frames, 8 * wb, 8 * hb, fps=fps)))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+    return _planted(df, run, "doc_id long, payload binary")
 
 
 # --------------------------------------------------------------------------
@@ -6696,7 +6728,7 @@ def decode_mp4_meta(df: DataFrame, *, payload_col: str = "payload") -> DataFrame
                 ],
             )
 
-    return df.mapInPandas(run, schema=MP4_META_SCHEMA)
+    return _decode_map(df, run, MP4_META_SCHEMA)
 
 
 def plant_mp4_payloads(df: DataFrame) -> DataFrame:
@@ -6749,7 +6781,7 @@ def plant_mp4_payloads(df: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+    return _planted(df, run, "doc_id long, payload binary")
 
 
 MP4_SAMPLE_SCHEMA = (
@@ -6777,7 +6809,7 @@ def demux_mp4_samples(df: DataFrame, *, payload_col: str = "payload") -> DataFra
                 ],
             )
 
-    return df.mapInPandas(run, schema=MP4_SAMPLE_SCHEMA)
+    return _decode_map(df, run, MP4_SAMPLE_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -6929,7 +6961,7 @@ def decode_mp3_meta(df: DataFrame, *, payload_col: str = "payload") -> DataFrame
                 ],
             )
 
-    return df.mapInPandas(run, schema=MP3_META_SCHEMA)
+    return _decode_map(df, run, MP3_META_SCHEMA)
 
 
 def plant_mp3_payloads(df: DataFrame) -> DataFrame:
@@ -6965,7 +6997,7 @@ def plant_mp3_payloads(df: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+    return _planted(df, run, "doc_id long, payload binary")
 
 
 def build_id3v2_frames(frames: dict) -> bytes:
@@ -7060,7 +7092,7 @@ def decode_mp3_tags(df: DataFrame, *, payload_col: str = "payload") -> DataFrame
                 out, columns=["doc_id", "title", "artist", "n_text_frames"]
             )
 
-    return df.mapInPandas(run, schema=MP3_TAGS_SCHEMA)
+    return _decode_map(df, run, MP3_TAGS_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -7250,7 +7282,7 @@ def plant_tiff_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+    return _planted(df, run, "doc_id long, payload binary")
 
 
 # --------------------------------------------------------------------------
@@ -7393,7 +7425,7 @@ def plant_webp_payloads(df: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+    return _planted(df, run, "doc_id long, payload binary")
 
 
 WEBP_META_SCHEMA = (
@@ -7415,7 +7447,7 @@ def decode_webp_meta(df: DataFrame, *, payload_col: str = "payload") -> DataFram
                 out, columns=["doc_id", "width", "height", "has_alpha", "variant"]
             )
 
-    return df.mapInPandas(run, schema=WEBP_META_SCHEMA)
+    return _decode_map(df, run, WEBP_META_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -9005,7 +9037,7 @@ def plant_webp_lossless_payloads(df: DataFrame, *, text_col: str = "text") -> Da
                 )
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+    return _planted(df, run, "doc_id long, payload binary")
 
 
 # --------------------------------------------------------------------------
@@ -9221,8 +9253,10 @@ def decode_animation_frames(df: DataFrame, *, payload_col: str = "payload") -> D
                          "height", "px_sum"],
             )
 
-    return _spread(df).mapInPandas(
-        run,
-        schema="doc_id long, frame_idx int, duration_ms int, "
-               "width int, height int, px_sum long",
+    _anim_schema = (
+        "doc_id long, frame_idx int, duration_ms int, "
+        "width int, height int, px_sum long"
     )
+    if getattr(df, "_plant_fusion", None) is not None:
+        return _decode_map(df, run, _anim_schema)
+    return _spread(df).mapInPandas(run, schema=_anim_schema)

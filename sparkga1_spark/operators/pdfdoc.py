@@ -35,6 +35,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from sparkga1_spark.operators.multimodal import _decode_map, _planted
+
 _MAX_STREAM_BYTES = 1 << 26  # 64 MiB: a Flate bomb refuses
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
@@ -414,7 +416,7 @@ def extract_pdf_text_stage(df: DataFrame, *, payload_col: str = "payload") -> Da
                 out.append((doc_id, n_pages, text))
             yield pd.DataFrame(out, columns=["doc_id", "n_pages", "pdf_text"])
 
-    return df.mapInPandas(run, schema=PDF_TEXT_SCHEMA)
+    return _decode_map(df, run, PDF_TEXT_SCHEMA)
 
 
 def plant_pdf_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
@@ -422,8 +424,6 @@ def plant_pdf_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     id%3+1 pages, FlateDecode content streams on odd ids, the text
     round-robin across pages with all three text-showing operator
     forms and an escape-bearing marker line per page."""
-    from sparkga1_spark.operators.multimodal import _spread
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
@@ -438,4 +438,4 @@ def plant_pdf_payloads(df: DataFrame, *, text_col: str = "text") -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    return _spread(df).mapInPandas(run, schema="doc_id long, payload binary")
+    return _planted(df, run, "doc_id long, payload binary")
