@@ -102,7 +102,7 @@ def shingle_hashes(text: Column, n: int = 3) -> Column:
     )
 
 
-def _gram_rows(docs, *, id_col: str, text_col: str, n: int):
+def _gram_rows(docs, *, id_col: str, text_col: str, n: int, spread: bool = True):
     """(id, _g) word n-gram rows — the shared root of the whole
     shingle family.
 
@@ -127,13 +127,20 @@ def _gram_rows(docs, *, id_col: str, text_col: str, n: int):
     x_minhash_accuracy_audit 1.51→1.24, x_dedup_containment 0.77→0.59,
     x_dedup_minhash_lsh 0.97→0.86, x_dedup_ngram_jaccard 0.63→0.57;
     x_boilerplate_shingles neutral, x_span_dup_mass ~+0.08 (accepted);
-    family equality pinned on two representatives + the oracle gate."""
-    n_parts = int(
-        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    w = docs.select(
-        F.col(id_col), words(F.col(text_col)).alias("_W")
-    ).repartition(n_parts, id_col)
+    family equality pinned on two representatives + the oracle gate.
+
+    spread=False skips the keyed repartition for TINY inputs (e.g. the
+    boilerplate recovery pass over ~20 representative docs, where a
+    200-partition exchange is pure scheduling overhead). Note the
+    interpreted-HOF caveat returns without the exchange (projection
+    collapse can re-evaluate the split per element) — only use it when
+    the input is a bounded handful of rows."""
+    w = docs.select(F.col(id_col), words(F.col(text_col)).alias("_W"))
+    if spread:
+        n_parts = int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        w = w.repartition(n_parts, id_col)
     return w.select(
         F.col(id_col),
         F.explode(word_ngrams(F.col("_W"), n)).alias("_g"),
@@ -154,17 +161,26 @@ def shingle_hash_rows(docs, *, id_col: str = "doc_id", text_col: str = "text", n
     ).distinct()
 
 
-def shingle_text_rows(docs, *, id_col: str = "doc_id", text_col: str = "text", n: int = 3):
-    """Distinct (id, gram, h) rows — the string-keeping variant used by
-    top-k RECOVERY passes (e.g. boilerplate detection reports the
-    shingle text for a handful of hashes). Never shuffle this stream by
-    gram at scale; filter it against a broadcast hash set first."""
-    grams = _gram_rows(docs, id_col=id_col, text_col=text_col, n=n)
-    return grams.select(
+def shingle_text_rows(docs, *, id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3, distinct: bool = True, spread: bool = True):
+    """(id, gram, h) rows — the string-keeping variant used by top-k
+    RECOVERY passes (e.g. boilerplate detection reports the shingle
+    text for a handful of hashes). Never shuffle this stream by gram at
+    scale; filter it against a broadcast hash set first.
+
+    distinct=False (r13, guide §2.2 shuffle fewer bytes): skips the
+    per-doc dedup entirely — correct whenever the consumer is invariant
+    under within-document duplicates (min/max/any over gram per hash),
+    which every recovery pass is. The distinct was a full-corpus
+    shuffle of the STRING gram rows purely to drop repeats the
+    downstream aggregate ignores."""
+    grams = _gram_rows(docs, id_col=id_col, text_col=text_col, n=n, spread=spread)
+    rows = grams.select(
         F.col(id_col),
         F.col("_g").alias("gram"),
         stable_hash64(F.col("_g")).alias("h"),
-    ).distinct()
+    )
+    return rows.distinct() if distinct else rows
 
 
 def alpha_ratio(text: Column) -> Column:

@@ -3601,9 +3601,33 @@ def x_boilerplate_shingles(spark, sf_dir):
     scan re-reads the text column but shuffles ~nothing."""
     docs = load_table(spark, sf_dir, "documents")
     hashes = T.shingle_hash_rows(docs)
-    dfc = hashes.groupBy("h").agg(F.count("*").cast("long").alias("df"))
-    top = dfc.orderBy(F.desc("df"), "h").limit(20)
-    texts = T.shingle_text_rows(docs)
+    # r13 (guide §1.2/§2.2): the COUNT pass additionally remembers ONE
+    # representative document per hash (min(doc_id) — map-side partial
+    # agg, no extra shuffle), so the RECOVERY pass builds gram strings
+    # for <= 20 documents instead of re-shingling the whole corpus —
+    # profiled: the old recovery was a second full 12-15 task-s
+    # gram+hash stage plus a corpus-wide string-row distinct shuffle.
+    # min(gram) per h is unchanged: every doc containing h contributes
+    # the identical gram string (the no-60-bit-collision regime the
+    # df-per-hash = df-per-gram oracle equality already assumes), and
+    # distinct=False is safe because min() ignores within-doc repeats.
+    # At 100 TB the recovery scan now reads ~20 documents, not the
+    # corpus.
+    dfc = hashes.groupBy("h").agg(
+        F.count("*").cast("long").alias("df"),
+        F.min("doc_id").alias("_rep"),
+    )
+    # 20-row result consumed by TWO broadcast builds (rep-doc semi-join
+    # + final h join) — persist so the expensive count pass runs once
+    # (Spark does not CSE across broadcast builds; batch-2 finding).
+    top = tracked_persist(dfc.orderBy(F.desc("df"), "h").limit(20))
+    rep_docs = docs.join(
+        F.broadcast(top.select(F.col("_rep").alias("doc_id"))),
+        "doc_id",
+        "left_semi",
+    )
+    texts = T.shingle_text_rows(rep_docs, distinct=False, spread=False)
+    top = top.select("h", "df")
     return (
         texts.join(F.broadcast(top), "h")
         .groupBy("h", "df")
