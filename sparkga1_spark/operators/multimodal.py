@@ -2439,7 +2439,19 @@ def build_jpeg_baseline(pixels, *, quant=None, restart_interval: int = 0,
     chunks = []  # entropy byte chunks, restart markers interleaved
     pred = [0] * ncomp
     rst = 0
-    zig = list(_JPEG_ZIGZAG)
+    zigarr = np.asarray(list(_JPEG_ZIGZAG))
+    # One zigzag gather + AC-presence mask per component (r13 §4.2):
+    # the per-block inner loop then touches only the nonzero AC
+    # positions instead of scanning all 63 with numpy-scalar reads —
+    # flat blocks (the planted population) reduce to DC + EOB.
+    comps_enc = []
+    for hs, vs, qc in comps_meta:
+        nby, nbx = qc.shape[0], qc.shape[1]
+        zz_all = qc.reshape(nby * nbx, 64)[:, zigarr]
+        comps_enc.append(
+            (hs, vs, nbx, zz_all, (zz_all[:, 1:] != 0).any(axis=1),
+             zz_all[:, 0].tolist())
+        )
     for mi in range(mcuy * mcux):
         if restart_interval and mi and mi % restart_interval == 0:
             bw.flush()
@@ -2449,34 +2461,37 @@ def build_jpeg_baseline(pixels, *, quant=None, restart_interval: int = 0,
             bw = _JpegBitWriter()
             pred = [0] * ncomp
         my, mx = divmod(mi, mcux)
-        for ci, (hs, vs, qc) in enumerate(comps_meta):
+        for ci, (hs, vs, nbx, zz_all, has_ac, dcs) in enumerate(comps_enc):
             for iby in range(vs):
                 for ibx in range(hs):
-                    blk = qc[my * vs + iby, mx * hs + ibx]
-                    zz = blk.flatten()[zig]
-                    diff = int(zz[0]) - pred[ci]
-                    pred[ci] = int(zz[0])
+                    r = (my * vs + iby) * nbx + (mx * hs + ibx)
+                    dc = dcs[r]
+                    diff = dc - pred[ci]
+                    pred[ci] = dc
                     s, bits_val = _jpeg_category(diff)
                     code, ln = enc_dc[ci][s]
                     bw.write(code, ln)
                     if s:
                         bw.write(bits_val, s)
-                    run = 0
-                    for k in range(1, 64):
-                        v = int(zz[k])
-                        if v == 0:
-                            run += 1
-                            continue
+                    if not has_ac[r]:
+                        code, ln = enc_ac[ci][0x00]
+                        bw.write(code, ln)
+                        continue
+                    row = zz_all[r].tolist()
+                    nzp = (np.nonzero(zz_all[r, 1:])[0] + 1).tolist()
+                    prev = 0
+                    for k in nzp:
+                        run = k - prev - 1
                         while run >= 16:
                             code, ln = enc_ac[ci][0xF0]
                             bw.write(code, ln)
                             run -= 16
-                        s, bits_val = _jpeg_category(v)
+                        s, bits_val = _jpeg_category(row[k])
                         code, ln = enc_ac[ci][(run << 4) | s]
                         bw.write(code, ln)
                         bw.write(bits_val, s)
-                        run = 0
-                    if run:
+                        prev = k
+                    if nzp[-1] < 63:
                         code, ln = enc_ac[ci][0x00]
                         bw.write(code, ln)
     bw.flush()
@@ -3443,13 +3458,19 @@ def build_jpeg_progressive(pixels, *, quant=None, successive=False,
     enc_dc = _jpeg_encode_table(*dc_tbl)
     enc_ac = _jpeg_encode_table(*ac_tbl)
 
-    def comp_zz_blocks(ci):
+    zigarr = np.asarray(zig)
+
+    def comp_zz_matrix(ci):
         # AC scans cover the component's OWN block raster (T.81
-        # A.2.2) — MCU-padding blocks appear only in the DC scans
+        # A.2.2) — MCU-padding blocks appear only in the DC scans.
+        # One (nblocks, 64) zigzag gather per component: the AC scans
+        # below classify blocks with matrix-wide numpy masks instead
+        # of three 64-iteration Python list comprehensions per block
+        # (r13 §4.2 — the planted flat-block population makes almost
+        # every block a pure EOB-run member).
         hs, vs, qc, nbh, nbw = comps_meta[ci]
-        for bi in range(nbh * nbw):
-            by, bx = divmod(bi, nbw)
-            yield qc[by, bx].flatten()[zig]
+        # qc covers the MCU-padded grid; the scan rasters only nbh×nbw
+        return qc[:nbh, :nbw].reshape(nbh * nbw, 64)[:, zigarr]
 
     class _RestartingWriter:
         """Bit writer that splits into RSTn-separated segments at the
@@ -3526,36 +3547,35 @@ def build_jpeg_progressive(pixels, *, quant=None, successive=False,
                     bw.write(chunk - (1 << n), n)
                 eobrun -= chunk
 
-        for bi, zz in enumerate(comp_zz_blocks(ci)):
+        zz_all = comp_zz_matrix(ci)
+        tv_all = zz_all if al == 0 else np.sign(zz_all) * (
+            np.abs(zz_all) >> al
+        )
+        has_ac = (tv_all[:, 1:] != 0).any(axis=1)
+        for bi in range(tv_all.shape[0]):
             if restart_interval and bi and bi % restart_interval == 0:
                 flush_eobrun()
                 rw.boundary()
                 bw = rw.bw
-            tv = [
-                (1 if int(zz[k]) > 0 else -1) * (abs(int(zz[k])) >> al)
-                for k in range(64)
-            ]
-            nz = [k for k in range(1, 64) if tv[k]]
-            if not nz:
+            if not has_ac[bi]:
                 eobrun += 1
                 continue
             flush_eobrun()
-            run = 0
-            for k in range(1, nz[-1] + 1):
-                v = tv[k]
-                if v == 0:
-                    run += 1
-                    continue
+            row = tv_all[bi].tolist()
+            nzp = (np.nonzero(tv_all[bi, 1:])[0] + 1).tolist()
+            prev = 0
+            for k in nzp:
+                run = k - prev - 1
                 while run >= 16:
                     code, ln = enc_ac[0xF0]
                     bw.write(code, ln)
                     run -= 16
-                s, bits_val = _jpeg_category(v)
+                s, bits_val = _jpeg_category(row[k])
                 code, ln = enc_ac[(run << 4) | s]
                 bw.write(code, ln)
                 bw.write(bits_val, s)
-                run = 0
-            if nz[-1] < 63:
+                prev = k
+            if nzp[-1] < 63:
                 eobrun += 1  # this block's EOB joins the running run
         flush_eobrun()
         return rw.done()
@@ -3585,17 +3605,34 @@ def build_jpeg_progressive(pixels, *, quant=None, successive=False,
                         bw.write(b, 1)
                     eob_bits = []
 
-        for bi, zz in enumerate(comp_zz_blocks(ci)):
+        zz_all = comp_zz_matrix(ci)
+        t_all = np.abs(zz_all) >> al
+        newly_any = (t_all[:, 1:] == 1).any(axis=1)
+        corr_any = (t_all[:, 1:] >= 2).any(axis=1)
+        for bi in range(t_all.shape[0]):
             if restart_interval and bi and bi % restart_interval == 0:
                 flush_eobrun()
                 rw.boundary()
                 bw = rw.bw
-            newly = [k for k in range(1, 64) if abs(int(zz[k])) >> al == 1]
-            kend = newly[-1] if newly else 0
+            if not newly_any[bi]:
+                # kend = 0 path of the generic loop: the whole block
+                # joins the EOB run; already-significant slots queue
+                # their correction bits in block order
+                eobrun += 1
+                if corr_any[bi]:
+                    trow = t_all[bi].tolist()
+                    eob_bits.extend(
+                        trow[k] & 1 for k in range(1, 64) if trow[k] >= 2
+                    )
+                if eobrun == 32767:
+                    flush_eobrun()
+                continue
+            trow = t_all[bi].tolist()
+            vrow = zz_all[bi].tolist()
+            kend = int(np.nonzero(t_all[bi, 1:] == 1)[0][-1]) + 1
             items: list[tuple[str, int]] = []
             for k in range(1, kend + 1):
-                v = int(zz[k])
-                t = abs(v) >> al
+                t = trow[k]
                 if t == 0:
                     items.append(("z", 0))
                 elif t == 1:
@@ -3614,19 +3651,19 @@ def build_jpeg_progressive(pixels, *, quant=None, successive=False,
                         nz_run -= 16
                     code, ln = enc_ac[(nz_run << 4) | 1]
                     bw.write(code, ln)
-                    bw.write(1 if v > 0 else 0, 1)
+                    bw.write(1 if vrow[k] > 0 else 0, 1)
                     for it in items:
                         if it[0] == "c":
                             bw.write(it[1], 1)
                     items = []
                 else:  # already significant: correction bit
-                    items.append(("c", (abs(v) >> al) & 1))
+                    items.append(("c", t & 1))
             if kend < 63:
                 eobrun += 1
                 eob_bits.extend(
-                    (abs(int(zz[k])) >> al) & 1
+                    trow[k] & 1
                     for k in range(kend + 1, 64)
-                    if abs(int(zz[k])) >> (al + 1) != 0
+                    if trow[k] >= 2
                 )
                 if eobrun == 32767:
                     flush_eobrun()
