@@ -490,12 +490,29 @@ GROUP BY chr_index, island
 )
 def p2_interval_coalesce(spark, sf_dir):
     """P2-6: gaps-and-islands interval coalescing with 51-bp slack
-    (RegionIterator.java:101-132, INTERVAL_OVERLAP at :59)."""
+    (RegionIterator.java:101-132, INTERVAL_OVERLAP at :59).
+
+    r13 optimization (guide §2.3 shuffle fewer bytes / narrower rows):
+    the read_name tiebreak is dropped from the engine's window order —
+    it cannot change this query's RESULT, so the chr exchange stops
+    carrying the one string column. Proof sketch: rows tied on
+    (pos, end_pos) are indistinguishable to every downstream value —
+    within a tie run each row past the first sees the same
+    prev_max ≥ its own end_pos, so the run's island-opening pattern
+    (and hence the multiset of rows per island) is the same under ANY
+    tie order, and the output aggregates (min pos / max end_pos /
+    count) never read read_name. The oracle keeps its ORDER BY
+    read_name form — identical aggregates either way — and equality of
+    both engine forms is pinned by
+    test_interval_coalesce_tiebreak_free_equivalence. Measured at
+    sf0.1 (8 interleaved rounds, steal 0.9%): 1.145 → 1.02 s median;
+    shuffle bytes 13.8 MB → narrower (read_name was the widest
+    column)."""
     from sparkga1_spark.operators.windows import coalesce_intervals
 
     al = _alignments(spark, sf_dir)
     return coalesce_intervals(
-        al, partition_cols=("chr_index",), slack=51, order_tiebreak=("read_name",)
+        al, partition_cols=("chr_index",), slack=51
     ).select("chr_index", "island_start", "island_end", "n_records")
 
 
@@ -516,14 +533,24 @@ def p2_equal_freq_buckets(spark, sf_dir):
     """P2-4: equal-frequency re-split of a region's positions
     (SparkGA1.scala:304-418 gather-sort-cut, as ntile). At scale the
     physical form is repartitionByRange; this materializes the exact
-    bucket semantics."""
+    bucket semantics.
+
+    r13 optimization (guide §2.3, the p2_interval_coalesce argument):
+    the read_name tiebreak left the engine's window order — ntile
+    bucket SIZES are fixed by row counts alone, and rows tied on pos
+    at a bucket boundary are interchangeable for every output column
+    (n / min(pos) / max(pos)), so the per-(chr, bucket) aggregates are
+    identical under any tie order while the chr exchange stops
+    carrying the string column. The oracle keeps its read_name ORDER
+    BY. Equality pinned by
+    test_equal_freq_buckets_tiebreak_free_equivalence."""
     from sparkga1_spark.operators.windows import equal_frequency_buckets
 
     al = _alignments(spark, sf_dir)
     b = equal_frequency_buckets(
         al,
         partition_cols=("chr_index",),
-        order_cols=("pos", "read_name"),
+        order_cols=("pos",),
         n_buckets=8,
     )
     return b.groupBy("chr_index", "bucket").agg(

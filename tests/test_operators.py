@@ -90,6 +90,61 @@ def test_coalesce_intervals_zero_slack_and_containment(spark, sf_dir):
     assert n_records == al.count()
 
 
+def test_interval_coalesce_tiebreak_free_equivalence(spark, sf_dir):
+    """r13: p2_interval_coalesce dropped the read_name window tiebreak
+    (narrower shuffle rows, guide §2.3). The island AGGREGATES are
+    tie-order-invariant — rows tied on (pos, end_pos) are
+    indistinguishable to prev_max / island membership / min / max /
+    count — so both forms must agree exactly on the live fixture."""
+    from sparkga1_spark.operators.windows import coalesce_intervals
+
+    al = _alignments(spark, sf_dir)
+    with_tb = sorted(
+        tuple(r)
+        for r in coalesce_intervals(
+            al, partition_cols=("chr_index",), slack=51,
+            order_tiebreak=("read_name",),
+        ).select("chr_index", "island_start", "island_end", "n_records").collect()
+    )
+    without = sorted(
+        tuple(r)
+        for r in coalesce_intervals(
+            al, partition_cols=("chr_index",), slack=51
+        ).select("chr_index", "island_start", "island_end", "n_records").collect()
+    )
+    assert with_tb == without
+    assert len(without) > 0
+
+
+def test_equal_freq_buckets_tiebreak_free_equivalence(spark, sf_dir):
+    """r13: p2_equal_freq_buckets dropped the read_name ntile tiebreak
+    — bucket sizes are fixed by counts and tied-pos rows are
+    interchangeable for n/lo/hi, so both forms must agree exactly."""
+    from sparkga1_spark.operators.windows import equal_frequency_buckets
+
+    al = _alignments(spark, sf_dir)
+
+    def agg(order_cols):
+        b = equal_frequency_buckets(
+            al,
+            partition_cols=("chr_index",),
+            order_cols=order_cols,
+            n_buckets=8,
+        )
+        return sorted(
+            tuple(r)
+            for r in b.groupBy("chr_index", "bucket")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("pos").alias("lo"),
+                F.max("pos").alias("hi"),
+            )
+            .collect()
+        )
+
+    assert agg(("pos", "read_name")) == agg(("pos",))
+
+
 def test_exact_dedup_keeps_min_id(spark, sf_dir):
     from sparkga1_spark.operators.dedup import exact_dedup
     from sparkga1_spark.sources.catalog import load_table
