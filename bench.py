@@ -458,6 +458,15 @@ def main() -> None:
         "x_multimodal_qoi_decode",
         "x_heavy_hitters_cms",
         "x_dedup_keep_canonical",
+        # r13 (declared in OPTIMIZATION_r13.md): across three
+        # post-optimization windows these two read 0.92/2.98/4.19 and
+        # [2.24, 4.63] IN-SESSION while a 12-run dedicated-session
+        # variance probe pinned them stable (minhash_lsh median 0.78,
+        # max 1.39, GC ≤ 34 ms, steal ≈ 0) — the same full-session
+        # heap/scheduling noise class as the four r12 rows, so the
+        # same 7-run median treatment
+        "x_dedup_minhash_lsh",
+        "x_set_similarity_join",
     }
     # r9 VERDICT #8: print the previous round's cold numbers alongside
     # this round's, so an ingest-path regression is a number, not a
