@@ -8413,9 +8413,16 @@ def parse_webp_pixels(data: bytes):
 def _vp8l_huffman_lengths(freqs: dict[int, int], cap: int) -> dict[int, int]:
     """frequencies → code lengths ≤ cap via standard Huffman; if the
     tree gets too deep, flatten frequencies and retry (fixture images
-    are tiny — the retry loop converges immediately)."""
+    are tiny — the retry loop converges immediately).
+
+    r13 (guide §4.2, encoder hot spot): parent-pointer tree + a depth
+    walk instead of merging symbol→depth DICTS at every heap pop (the
+    dict merge made tree building O(n²) in allocated entries — 186k
+    heappops per 400-doc plant profile). The heap keys (freq,
+    insertion counter) and pop order are exactly the old ones, so the
+    resulting lengths — and every planted bitstream — are unchanged
+    (pinned by the old-vs-new fuzz in the batch ledger)."""
     import heapq
-    import itertools
 
     if not freqs:
         raise ValueError("vp8l: empty histogram")
@@ -8423,16 +8430,25 @@ def _vp8l_huffman_lengths(freqs: dict[int, int], cap: int) -> dict[int, int]:
         return {next(iter(freqs)): 1}
     f = dict(freqs)
     while True:
-        counter = itertools.count()
-        heap = [(fr, next(counter), {s: 0}) for s, fr in sorted(f.items())]
+        syms = sorted(f)
+        n = len(syms)
+        # node ids 0..n-1 = leaves (in sorted-symbol order, matching
+        # the old insertion counter), n.. = internal merge nodes
+        parent = [0] * (2 * n - 1)
+        heap = [(f[s], i) for i, s in enumerate(syms)]
         heapq.heapify(heap)
+        nxt = n
         while len(heap) > 1:
-            fa, _, da = heapq.heappop(heap)
-            fb, _, db = heapq.heappop(heap)
-            merged = {s: l + 1 for s, l in da.items()}
-            merged.update({s: l + 1 for s, l in db.items()})
-            heapq.heappush(heap, (fa + fb, next(counter), merged))
-        lengths = heap[0][2]
+            fa, ia = heapq.heappop(heap)
+            fb, ib = heapq.heappop(heap)
+            parent[ia] = nxt
+            parent[ib] = nxt
+            heapq.heappush(heap, (fa + fb, nxt))
+            nxt += 1
+        depth = [0] * (2 * n - 1)
+        for node in range(nxt - 2, -1, -1):  # root (nxt-1) stays 0;
+            depth[node] = depth[parent[node]] + 1  # children after parents
+        lengths = {s: depth[i] for i, s in enumerate(syms)}
         if max(lengths.values()) <= cap:
             return lengths
         f = {s: (fr + 1) >> 1 for s, fr in f.items()}
@@ -8458,10 +8474,26 @@ def _vp8l_canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]
     return out
 
 
+def _vp8l_rev_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """symbol → (bit-REVERSED canonical code, length). Huffman codes
+    transmit MSB-first while the writer is LSB-first; reversing once
+    per table (r13, guide §4.2) replaces the per-emission bit loop in
+    put_code — the encode hot spot at ~478k calls per 400-doc plant."""
+    out = {}
+    for s, (code, ln) in _vp8l_canonical_codes(lengths).items():
+        v = 0
+        for i in range(ln):
+            v = (v << 1) | ((code >> i) & 1)
+        out[s] = (v, ln)
+    return out
+
+
 def _vp8l_write_code(bw: _Vp8lWriter, freqs: dict[int, int], alphabet_size: int):
-    """Emit one Huffman code definition; returns symbol → (code, len)
-    for the payload emission. Simple codes when ≤ 2 used symbols all
-    < 256; else a normal code-length-coded definition with zero-RLE."""
+    """Emit one Huffman code definition; returns symbol →
+    (bit-reversed code, len) ready for LSB-first `put` in the payload
+    emission (reversal of the ≤1-bit simple codes is the identity).
+    Simple codes when ≤ 2 used symbols all < 256; else a normal
+    code-length-coded definition with zero-RLE."""
     used = sorted(freqs)
     if not used:
         used, freqs = [0], {0: 1}
@@ -8510,17 +8542,16 @@ def _vp8l_write_code(bw: _Vp8lWriter, freqs: dict[int, int], alphabet_size: int)
         # bit-consumption conventions never matter
         only = next(iter(cl_lengths))
         cl_lengths = {only: 1, (only + 1) % 16 if only != 15 else 14: 1}
-    cl_codes = _vp8l_canonical_codes(cl_lengths)
+    cl_codes = _vp8l_rev_codes(cl_lengths)
     bw.put(19 - 4, 4)  # num_code_lengths = 19: transmit all slots
     for sym in _VP8L_CL_ORDER:
         bw.put(cl_lengths.get(sym, 0), 3)
     bw.put(0, 1)  # no explicit max_symbol budget
     for s, extra, n_extra in seq:
         code, ln = cl_codes[s]
-        bw.put_code(code, ln)
-        if n_extra:
-            bw.put(extra, n_extra)
-    return _vp8l_canonical_codes(lengths)
+        # extra bits ride raw above the reversed code — one put
+        bw.put(code | (extra << ln), ln + n_extra)
+    return _vp8l_rev_codes(lengths)
 
 
 def _vp8l_write_entropy_image(
@@ -8696,24 +8727,41 @@ def _vp8l_write_entropy_image(
                 _vp8l_write_code(bw, df_[gi], 40),
             ]
         )
+    # r13 (guide §4.2): codes arrive pre-reversed, so each token is ONE
+    # LSB-first put — the four literal channel codes fuse into a single
+    # (value, nbits) pair memoized per distinct ARGB (text rasters
+    # repeat few colors), and a ref's length code + extra bits +
+    # distance code + distance extras concatenate the same way the old
+    # sequential put_code/put calls laid them out. Bitstreams are
+    # byte-identical (old-vs-new fuzz in the batch ledger).
+    lit_cache: list[dict] = [dict() for _ in range(ng)]
     for tok in tokens:
-        gc, rc, bc, ac, dc = codes[tok[1]]
+        gi = tok[1]
+        gc, rc, bc, ac, dc = codes[gi]
         if tok[0] == "lit":
             v = tok[2]
-            bw.put_code(*gc[(v >> 8) & 0xFF])
-            bw.put_code(*rc[(v >> 16) & 0xFF])
-            bw.put_code(*bc[v & 0xFF])
-            bw.put_code(*ac[(v >> 24) & 0xFF])
+            ent = lit_cache[gi].get(v)
+            if ent is None:
+                gv, gn = gc[(v >> 8) & 0xFF]
+                rv, rn = rc[(v >> 16) & 0xFF]
+                bv, bn = bc[v & 0xFF]
+                av, an = ac[(v >> 24) & 0xFF]
+                ent = (
+                    gv | rv << gn | bv << (gn + rn) | av << (gn + rn + bn),
+                    gn + rn + bn + an,
+                )
+                lit_cache[gi][v] = ent
+            bw.put(*ent)
         elif tok[0] == "ref":
             _, _, code, extra, n_extra, dcode, dextra, dn = tok
-            bw.put_code(*gc[256 + code])
-            if n_extra:
-                bw.put(extra, n_extra)
-            bw.put_code(*dc[dcode])
-            if dn:
-                bw.put(dextra, dn)
+            gv, gn = gc[256 + code]
+            dv, dln = dc[dcode]
+            sh = gn + n_extra
+            acc = gv | extra << gn | dv << sh
+            sh += dln
+            bw.put(acc | dextra << sh, sh + dn)
         else:
-            bw.put_code(*gc[280 + tok[2]])
+            bw.put(*gc[280 + tok[2]])
 
 
 def _vp8l_predictor_forward(

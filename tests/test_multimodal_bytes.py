@@ -4595,3 +4595,72 @@ def test_parser_truncation_sweep_valueerror_only():
                 tparser(text[:10] + tail)
             except ValueError:
                 pass
+
+
+def test_vp8l_huffman_lengths_match_dict_merge_reference():
+    """r13 batch 28 pins: the parent-pointer Huffman builder must
+    reproduce the dict-merging original EXACTLY (same heap keys, same
+    pop order, same lengths) — any drift re-codes every planted VP8L
+    stream. The reference below IS the pre-r13 implementation."""
+    import heapq
+    import itertools
+    import random
+
+    from sparkga1_spark.operators.multimodal import _vp8l_huffman_lengths
+
+    def reference(freqs, cap):
+        if len(freqs) == 1:
+            return {next(iter(freqs)): 1}
+        f = dict(freqs)
+        while True:
+            counter = itertools.count()
+            heap = [(fr, next(counter), {s: 0}) for s, fr in sorted(f.items())]
+            heapq.heapify(heap)
+            while len(heap) > 1:
+                fa, _, da = heapq.heappop(heap)
+                fb, _, db = heapq.heappop(heap)
+                merged = {s: l + 1 for s, l in da.items()}
+                merged.update({s: l + 1 for s, l in db.items()})
+                heapq.heappush(heap, (fa + fb, next(counter), merged))
+            lengths = heap[0][2]
+            if max(lengths.values()) <= cap:
+                return lengths
+            f = {s: (fr + 1) >> 1 for s, fr in f.items()}
+
+    rng = random.Random(13)
+    cases = [
+        {0: 1},
+        {5: 3, 7: 3},
+        {i: 1 for i in range(19)},  # uniform: deep tie-break ladder
+        {i: 2**i for i in range(14)},  # fibonacci-ish: hits the cap
+        {i: (i % 7) + 1 for i in range(40)},
+    ]
+    for _ in range(40):
+        n = rng.randint(2, 60)
+        cases.append(
+            {rng.randrange(280): rng.randint(1, 1 << rng.randint(0, 12))
+             for _ in range(n)}
+        )
+    for freqs in cases:
+        for cap in (7, 15):
+            assert _vp8l_huffman_lengths(dict(freqs), cap) == reference(
+                freqs, cap
+            ), freqs
+
+
+def test_vp8l_rev_codes_are_bit_reversed_canonical():
+    """r13 batch 28: the emission tables are the canonical codes with
+    each codeword bit-reversed (LSB-first writer, MSB-first codes)."""
+    from sparkga1_spark.operators.multimodal import (
+        _vp8l_canonical_codes,
+        _vp8l_rev_codes,
+    )
+
+    lengths = {0: 2, 3: 2, 7: 3, 9: 3, 12: 3, 20: 4, 21: 4}
+    canon = _vp8l_canonical_codes(lengths)
+    rev = _vp8l_rev_codes(lengths)
+    assert set(canon) == set(rev)
+    for s, (code, ln) in canon.items():
+        v, ln2 = rev[s]
+        assert ln2 == ln
+        assert v == int(format(code, f"0{ln}b")[::-1], 2)
