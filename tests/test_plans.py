@@ -129,15 +129,24 @@ def test_tfidf_corpus_size_is_one_build_time_scalar(spark, sf_dir):
     .first() job here, and the r1 ancestor was a lazy 1-row crossJoin
     whose BNL re-executed the count scan per consumer at scale). The
     plan must never regress to a BroadcastNestedLoopJoin attach."""
-    tracker = spark.sparkContext.statusTracker()
+    import uuid
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    # Count jobs inside dedicated job groups: the default-group id list
+    # is capped by spark.ui.retainedJobs, so in a long session eviction
+    # makes len()-deltas on it unreliable (observed going negative).
     # baseline: a known-lazy query on the same table still pays the
     # parquet schema-inference job
-    n0 = len(tracker.getJobIdsForGroup(None))
+    g_lazy = f"tfidf-lazy-{uuid.uuid4().hex[:8]}"
+    sc.setJobGroup(g_lazy, "lazy baseline")
     all_queries()["x_vocab_topk"](spark, sf_dir)
-    lazy_delta = len(tracker.getJobIdsForGroup(None)) - n0
-    n1 = len(tracker.getJobIdsForGroup(None))
+    g_build = f"tfidf-build-{uuid.uuid4().hex[:8]}"
+    sc.setJobGroup(g_build, "tfidf build")
     df = all_queries()["x_tfidf_top_terms"](spark, sf_dir)
-    tfidf_delta = len(tracker.getJobIdsForGroup(None)) - n1
+    sc.setJobGroup(None, None)
+    lazy_delta = len(tracker.getJobIdsForGroup(g_lazy))
+    tfidf_delta = len(tracker.getJobIdsForGroup(g_build))
     # the one scalar action surfaces as up to TWO job ids under AQE
     # (shuffle stage + result stage); anything beyond that is a real
     # extra action
