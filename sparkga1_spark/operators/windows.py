@@ -121,6 +121,7 @@ def grouped_cumsum(
     out_col: str = "cumsum",
     num_partitions: int | None = None,
     extra_specs: Sequence[tuple[Column | str, str]] = (),
+    persist_input: bool = False,
 ) -> DataFrame:
     """Distributed running sum of `value_col` within each group under a
     UNIQUE (group, order) total order — the scale-safe replacement for
@@ -143,6 +144,14 @@ def grouped_cumsum(
     shared by every sum, instead of one full pass per value column
     (x_survival_km's cum_nano/cum_dead pair measured 2.0 s → 1.2 s at
     sf0.1 when its two back-to-back passes merged into one).
+
+    `persist_input` (r13 optimization, guide §1.2/§5): the
+    repartitionByRange below pays a range-boundary SAMPLE job that
+    evaluates `df` once more than the persisted slice's fill does —
+    an input whose subtree is expensive (a shingle window, a join
+    chain) is computed twice per action. Setting persist_input caches
+    `df` so sample + fill share one evaluation. Off by default: for
+    inputs that are cheap or already cached it only adds memory.
     """
     gcols = [F.col(c) for c in group_cols]
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
@@ -156,6 +165,8 @@ def grouped_cumsum(
         )
     from sparkga1_spark.operators.cache import tracked_persist
 
+    if persist_input:
+        df = tracked_persist(df)
     part = tracked_persist(  # consumed by the local-cumsum pass AND the sums
         df.repartitionByRange(num_partitions, *gcols, *ocols).withColumn(
             "_pid", F.spark_partition_id()
@@ -219,6 +230,7 @@ def global_rank(
     order_cols: Sequence[Column | str],
     rank_col: str = "global_rank",
     num_partitions: int | None = None,
+    persist_input: bool = False,
 ) -> DataFrame:
     """Distributed global row_number over a UNIQUE total order — the
     scale-safe replacement for `Window.orderBy(...)` (which funnels the
@@ -232,7 +244,11 @@ def global_rank(
     window is single-partition over ~num_shuffle_partitions rows (like
     vocab's 20-row window, deliberately tiny), broadcast back. Rank
     values are independent of where the sampled range boundaries land
-    because the order is total."""
+    because the order is total.
+
+    `persist_input`: same contract as `grouped_cumsum` — cache `df` so
+    the range-boundary sample job and the persisted slice's fill share
+    one evaluation of an expensive input subtree (r13, guide §1.2)."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     if num_partitions is None:
         num_partitions = int(
@@ -240,6 +256,8 @@ def global_rank(
         )
     from sparkga1_spark.operators.cache import tracked_persist
 
+    if persist_input:
+        df = tracked_persist(df)
     part = tracked_persist(  # consumed by the rank pass AND the counts
         df.repartitionByRange(num_partitions, *cols).withColumn(
             "_pid", F.spark_partition_id()

@@ -281,6 +281,9 @@ def a_lpt_schedule(spark, sf_dir):
         weights,
         order_cols=[F.desc("n_reads"), "chr_index", "reg"],
         rank_col="schedule_order",
+        # r13 (guide §1.2): weights is region-bounded (tiny) but embeds
+        # the scan+join+aggregate — one evaluation, not two
+        persist_input=True,
     )
 
 
@@ -2926,6 +2929,10 @@ def x_pack_context_windows(spark, sf_dir):
         order_cols=["doc_id"],
         value_col="tok",
         out_col="cum",
+        # r13 (guide §1.2): the range-boundary sample job otherwise
+        # re-tokenizes every document; the persisted rows are narrow
+        # (lang, doc_id, tok) — the text never enters the cache
+        persist_input=True,
     )
     return (
         c.withColumn(
@@ -2985,6 +2992,8 @@ def x_quality_quantile_filter(spark, sf_dir):
         order_cols=["score", "doc_id"],
         value_col="_one",
         out_col="_rk",
+        # r13 (guide §1.2): one alpha-ratio regex pass instead of two
+        persist_input=True,
     )
     n_per_lang = scored.groupBy("lang").agg(F.count("*").alias("_n"))
     return (
@@ -9358,6 +9367,9 @@ def x_token_budget_sample(spark, sf_dir):
         order_cols=["pri", "doc_id"],
         value_col="n_tok",
         out_col="cum",
+        # r13 (guide §1.2): one tokenize+hash pass instead of two
+        # (sample job + fill); cached rows are narrow, no text
+        persist_input=True,
     )
     return (
         c.filter(F.col("cum") <= 2000)
@@ -9829,6 +9841,11 @@ def x_curation_pipeline_v2(spark, sf_dir):
         order_cols=["pri", "doc_id"],
         value_col="contrib",
         out_col="cum",
+        # r13 (guide §1.2): s embeds the dupm shingle window — without
+        # the input persist, the range-boundary sample job re-evaluated
+        # that whole subtree (profiled: the Generate(235k)+window chain
+        # appeared twice per execution)
+        persist_input=True,
     )
     final = F.col("keep") & (F.col("cum") <= 2000)
     return c.groupBy("source").agg(
@@ -11788,7 +11805,12 @@ def x_revenue_gini_lorenz(spark, sf_dir):
     # now ride the plan as ONE once-executed scalar subquery)
     rk = tracked_persist(
         windows_ops.global_rank(
-            rev, order_cols=["cents", "o_custkey"], rank_col="r"
+            rev,
+            order_cols=["cents", "o_custkey"],
+            rank_col="r",
+            # r13 (guide §1.2): one orders scan+aggregate instead of two
+            # (range-boundary sample job + persisted-slice fill)
+            persist_input=True,
         )
     )
     tot = scalar_subq(
@@ -11813,6 +11835,9 @@ def x_revenue_gini_lorenz(spark, sf_dir):
         order_cols=["decile"],
         value_col="decile_cents",
         out_col="cumcents",
+        # r13: dec is 10 rows but re-aggregates the cached rank table
+        # per evaluation; persist it once
+        persist_input=True,
     )
     return (
         cum.withColumns(tot)
@@ -12338,6 +12363,10 @@ def x_heaps_vocab_growth(spark, sf_dir):
         order_cols=["decile"],
         value_col="n_new_tokens",
         out_col="cum_vocab",
+        # r13 (guide §1.2): joined is 10 rows but embeds the corpus-wide
+        # explode+min-agg (newt); without the persist the range-boundary
+        # sample job re-ran that whole wide stage
+        persist_input=True,
     )
     return cum.select(
         F.col("decile").cast("int").alias("decile"),

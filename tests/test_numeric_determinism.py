@@ -175,3 +175,43 @@ def test_grouped_cumsum_empty_group_cols_is_global_running_sum(spark, sf_dir):
             ).collect()
         }
         assert got == want, f"nparts={nparts}"
+
+
+def test_persist_input_is_result_invariant(spark, sf_dir):
+    """persist_input=True (r13: share one input evaluation between the
+    range-boundary sample job and the persisted-slice fill) must be a
+    pure execution-strategy change: grouped_cumsum and global_rank
+    results identical to the default path, and the input must actually
+    land in a cache (an InMemoryTableScan under the range exchange)."""
+    from sparkga1_spark.operators.windows import global_rank, grouped_cumsum
+
+    od = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderstatus", "o_orderkey")
+        .withColumn("v", (F.col("o_orderkey") % 97).cast("long"))
+    )
+    kw = dict(
+        group_cols=["o_orderstatus"],
+        order_cols=["o_orderkey"],
+        value_col="v",
+        out_col="c",
+        num_partitions=7,
+    )
+    base = {
+        (r.o_orderstatus, r.o_orderkey): r.c
+        for r in grouped_cumsum(od, **kw).collect()
+    }
+    cached_df = grouped_cumsum(od, persist_input=True, **kw)
+    cached = {
+        (r.o_orderstatus, r.o_orderkey): r.c for r in cached_df.collect()
+    }
+    assert cached == base
+    assert "InMemoryTableScan" in cached_df._jdf.queryExecution().executedPlan().toString()
+
+    rk = dict(order_cols=[F.desc("v"), "o_orderkey"], rank_col="r")
+    base_r = {r.o_orderkey: r.r for r in global_rank(od, **rk).collect()}
+    cache_r = {
+        r.o_orderkey: r.r
+        for r in global_rank(od, persist_input=True, **rk).collect()
+    }
+    assert cache_r == base_r
