@@ -20,6 +20,24 @@ from pyspark.sql import DataFrame, functions as F
 from sparkga1_spark.operators.cache import attach_scalar_agg, tracked_persist
 
 
+def spread_if_narrow(df: DataFrame, *cols: str, factor: int = 2) -> DataFrame:
+    """Input-skew fix (guide §2.5 "one huge unsplittable file"): when
+    the planned scan yields far fewer partitions than the session's
+    shuffle parallelism (single-row-group / tiny-file inputs), hash-
+    repartition on `cols` so a downstream map-heavy chain (broadcast
+    join + Generate + partial aggregate) runs cluster-wide instead of
+    serializing on the scan task. A NO-OP whenever the input already
+    splits to >= shuffle.partitions / factor tasks — the 100 TB case —
+    so production plans never pay the extra exchange. The partition
+    probe is planning-only (queryExecution.toRdd builds no job).
+    """
+    spark = df.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() * factor >= target:
+        return df
+    return df.repartition(target, *cols)
+
+
 def plan_segments(
     df: DataFrame,
     *,

@@ -444,8 +444,14 @@ def j_range_exome_overlap(spark, sf_dir):
     DuckDB's oracle does the plain theta join; the engine's plan is a
     shuffled equi-join on (chr, bin) that AQE can balance at scale."""
     from sparkga1_spark.operators.joins import interval_overlap_join
+    from sparkga1_spark.operators.skew import spread_if_narrow
 
-    al = _alignments(spark, sf_dir)
+    # r13 (guide §2.5 input skew): sf-scale lineitem is one row group →
+    # one scan task, and this plan has NO other exchange before the
+    # 25-row aggregate, so the whole explode+broadcast-probe chain
+    # serialized on one core. spread_if_narrow is a no-op once the scan
+    # splits (the 100 TB case). Measured 1.556 → 1.374 s median.
+    al = spread_if_narrow(_alignments(spark, sf_dir), "chr_index", "pos")
     ivl = filters.fix_intervals(
         fixtures.exome_intervals(load_table(spark, sf_dir, "part"))
     )

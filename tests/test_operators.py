@@ -1006,3 +1006,25 @@ def test_webp_animation_frame_stage(spark):
         i, dur, px = expected[r.doc_id][r.frame_idx]
         assert (r.frame_idx, r.duration_ms, r.px_sum) == (i, dur, px)
         assert (r.width, r.height) == (10, 8)
+
+
+def test_spread_if_narrow_fires_only_on_narrow_scans(spark, sf_dir):
+    """spread_if_narrow (r13, guide §2.5 input skew) must repartition a
+    single-partition input to the session's shuffle parallelism, leave
+    an already-parallel input untouched (the 100 TB case: scans split
+    naturally, no extra exchange may ride the plan), and never change
+    results."""
+    from sparkga1_spark.operators.skew import spread_if_narrow
+
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    narrow = li.coalesce(1)
+    spread = spread_if_narrow(narrow, "l_orderkey")
+    assert spread.rdd.getNumPartitions() == target
+    assert spread.count() == narrow.count()
+
+    wide = li.repartition(target, "l_orderkey")
+    # already at target parallelism: the helper must be an exact no-op
+    assert spread_if_narrow(wide, "l_partkey") is wide
