@@ -59,27 +59,86 @@ def apply_per_group(
     conf-derived, scale-adaptive: at cluster scale that conf is sized to
     the cluster, and the exchange it pins replaces (not augments) the
     one the groupBy would insert anyway.
+
+    Group iteration (r13 optimization, guide §4.1/§4.2): applyInPandas
+    builds one Arrow batch + pandas frame PER GROUP in both directions —
+    measured ~20 ms/group of pure machinery on the sf0.1 variant-caller
+    stage (837 groups, 0.44 s of fn CPU inside ~17 task-seconds of
+    stage time). The same ClusteredDistribution is realized manually:
+    hash-repartition on the group keys, sortWithinPartitions so groups
+    arrive contiguous, and ONE mapInPandas whose generator walks key
+    runs with pandas groupby, buffering only the batch-spanning
+    trailing run. fn still sees exactly one group per call (keys
+    included, salt dropped — the applyInPandas contract); outputs
+    concatenate per input batch so the return path ships a few large
+    Arrow batches instead of one per group.
     """
+    import numpy as np
+
     n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     if salt_on is None:
-        return (
-            df.repartition(n_parts, *keys)
-            .groupBy(*keys)
-            .applyInPandas(fn, schema=schema)
+        group_cols = list(keys)
+        call = fn
+        src = df
+    else:
+        from sparkga1_spark.operators.skew import salt_by_quantiles
+
+        group_cols = [*keys, "salt"]
+        src = salt_by_quantiles(
+            df, keys=keys, pos_col=salt_on, regions_factor=regions_factor
         )
-    from sparkga1_spark.operators.skew import salt_by_quantiles
 
-    salted = salt_by_quantiles(
-        df, keys=keys, pos_col=salt_on, regions_factor=regions_factor
-    )
+        def call(pdf: pd.DataFrame) -> pd.DataFrame:
+            return fn(pdf.drop(columns=["salt"]))
 
-    def drop_salt_then(pdf: pd.DataFrame) -> pd.DataFrame:
-        return fn(pdf.drop(columns=["salt"]))
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: pd.DataFrame | None = None
+
+        def run_groups(pdf: pd.DataFrame) -> pd.DataFrame | None:
+            outs = [
+                call(g)
+                for _, g in pdf.groupby(group_cols, sort=False, dropna=False)
+            ]
+            outs = [o for o in outs if o is not None and len(o)]
+            if not outs:
+                return None
+            return pd.concat(outs, ignore_index=True)
+
+        for pdf in batches:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            buf = None
+            n = len(pdf)
+            if n == 0:
+                continue
+            # the maximal suffix sharing the final row's key may continue
+            # into the next batch — hold it back, flush complete runs
+            suffix = np.ones(n, dtype=bool)
+            for c in group_cols:
+                col = pdf[c].to_numpy()
+                eq = col == col[-1]
+                if eq.dtype != bool:  # object comparisons may stay object
+                    eq = eq.astype(bool)
+                na = pd.isna(col)
+                if na.any() and pd.isna(col[-1]):
+                    eq = eq | na
+                suffix &= eq
+            brk = np.nonzero(~suffix)[0]
+            start_last = int(brk[-1]) + 1 if len(brk) else 0
+            head, buf = pdf.iloc[:start_last], pdf.iloc[start_last:]
+            if len(head):
+                out = run_groups(head)
+                if out is not None:
+                    yield out
+        if buf is not None and len(buf):
+            out = run_groups(buf)
+            if out is not None:
+                yield out
 
     return (
-        salted.repartition(n_parts, *keys, "salt")
-        .groupBy(*keys, "salt")
-        .applyInPandas(drop_salt_then, schema=schema)
+        src.repartition(n_parts, *group_cols)
+        .sortWithinPartitions(*group_cols)
+        .mapInPandas(gen, schema=schema)
     )
 
 

@@ -1028,3 +1028,58 @@ def test_spread_if_narrow_fires_only_on_narrow_scans(spark, sf_dir):
     wide = li.repartition(target, "l_orderkey")
     # already at target parallelism: the helper must be an exact no-op
     assert spread_if_narrow(wide, "l_partkey") is wide
+
+
+def test_apply_per_group_walk_matches_applyinpandas(spark):
+    """apply_per_group's mapInPandas group walk (r13, guide §4.1) must
+    be observationally identical to groupBy().applyInPandas: every
+    group seen exactly once with its key columns included — also when
+    a group spans Arrow batch boundaries (forced via a 7-row batch
+    size) — and null keys preserved (pandas groupby drops NaN keys by
+    default; the walk must not)."""
+    import pandas as pd
+
+    from sparkga1_spark.operators.transform import apply_per_group
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        assert list(pdf.columns) == ["k", "sub", "v"], list(pdf.columns)
+        assert pdf["k"].nunique(dropna=False) == 1, "mixed group leaked to fn"
+        assert pdf["sub"].nunique(dropna=False) == 1
+        return pd.DataFrame(
+            {
+                "k": [pdf["k"].iloc[0]],
+                "sub": [pdf["sub"].iloc[0]],
+                "n": [len(pdf)],
+                "s": [float(pdf["v"].sum())],
+            }
+        )
+
+    rows = [
+        (k, s, float(k or 0) * 100 + s * 10 + i)
+        for k in [1, 2, None, 3]
+        for s in (0, 1)
+        for i in range((k or 4) * 9)  # groups of 9..36 rows
+    ]
+    df = spark.createDataFrame(rows, "k int, sub int, v double")
+    schema = "k int, sub int, n long, s double"
+    def norm(rows):
+        return sorted(
+            map(tuple, rows), key=lambda t: tuple((x is None, x) for x in t)
+        )
+
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        got = norm(
+            apply_per_group(df, keys=("k", "sub"), fn=fn, schema=schema).collect()
+        )
+        want = norm(
+            df.repartition(4, "k", "sub")
+            .groupBy("k", "sub")
+            .applyInPandas(fn, schema=schema)
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_batch)
+    assert got == want
+    assert len(got) == 8  # 4 k-values x 2 subs, null key included
