@@ -7535,8 +7535,18 @@ def x_dedup_url_canonical(spark, sf_dir):
     The oracle mirrors the same canonicalization in DuckDB, so a
     regex-semantics divergence between engines would surface as a red
     row rather than hide."""
+    from sparkga1_spark.operators.skew import spread_if_narrow
+
     orders = load_table(spark, sf_dir, "orders")
-    raw = orders.select(F.expr(_RAW_URL_SQL).alias("url"))
+    # r13 (guide §2.5 input skew): the whole canonicalization regex
+    # chain is map-side before the one aggregate, and sf-scale orders
+    # is a single scan split — spread the 16-byte key base (never the
+    # URL strings) so the regex work parallelizes; no-op once the scan
+    # splits. Measured 1.749 → 1.376 s median.
+    base = spread_if_narrow(
+        orders.select("o_orderkey", "o_custkey"), "o_orderkey"
+    )
+    raw = base.select(F.expr(_RAW_URL_SQL).alias("url"))
     nofrag = F.regexp_replace("url", "#.*", "")
     host = F.regexp_replace(
         F.lower(F.regexp_extract(nofrag, "https?://([^/?#]+)", 1)),
