@@ -277,13 +277,13 @@ def a_lpt_schedule(spark, sf_dir):
 
     binned = binning.bin_by_region(_alignments(spark, sf_dir), _seq_dict(spark, sf_dir))
     weights = binned.groupBy("chr_index", "reg").agg(F.count("*").alias("n_reads"))
+    # r13: persist_input measured WORSE here too (1.03 → 1.30 median)
+    # — like gini's rev, the weights aggregate recomputes cheaper than
+    # its cache materializes. Left off.
     return global_rank(
         weights,
         order_cols=[F.desc("n_reads"), "chr_index", "reg"],
         rank_col="schedule_order",
-        # r13 (guide §1.2): weights is region-bounded (tiny) but embeds
-        # the scan+join+aggregate — one evaluation, not two
-        persist_input=True,
     )
 
 
@@ -11819,14 +11819,12 @@ def x_revenue_gini_lorenz(spark, sf_dir):
     # (the two former crossJoin(broadcast(tot)) attaches each replicated
     # the whole rank subtree — 3 BNLs in the r7 plan audit; the totals
     # now ride the plan as ONE once-executed scalar subquery)
+    # r13: persist_input measured WORSE here (8-round A/B 1.83 → 2.09
+    # median) — rev is a cheap scan+aggregate, and caching it costs
+    # more than the sample job's recompute. Left off.
     rk = tracked_persist(
         windows_ops.global_rank(
-            rev,
-            order_cols=["cents", "o_custkey"],
-            rank_col="r",
-            # r13 (guide §1.2): one orders scan+aggregate instead of two
-            # (range-boundary sample job + persisted-slice fill)
-            persist_input=True,
+            rev, order_cols=["cents", "o_custkey"], rank_col="r"
         )
     )
     tot = scalar_subq(
@@ -11851,9 +11849,6 @@ def x_revenue_gini_lorenz(spark, sf_dir):
         order_cols=["decile"],
         value_col="decile_cents",
         out_col="cumcents",
-        # r13: dec is 10 rows but re-aggregates the cached rank table
-        # per evaluation; persist it once
-        persist_input=True,
     )
     return (
         cum.withColumns(tot)
