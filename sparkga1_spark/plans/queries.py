@@ -12547,82 +12547,77 @@ def x_dedup_cluster_size_hist(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Gate priority (see registry.set_gate_order docstring). Round 13
-# runs the steady-state rotation (r12 VERDICT #1): the window is
-# regenerated mechanically by tools/rotation_union.py from the
-# CORRECTNESS r1-r12 artifact union (age histogram r8:25 r9:49
-# r10:49 r11:49 r12:50, zero never-green) — ALL 25 r8-age rows (the
-# oldest driver coverage left) plus the oldest r9-age rows, with this
-# round's fixture-changed row swapped in first (the r9-r12
-# precedent). After this window nothing older than r9 remains.
+# Gate priority (see registry.set_gate_order docstring). Round 14
+# (r13 VERDICT #1): the r13 optimizer rewrote 28 queries AFTER the
+# r13 rotation was fixed, so 18 rewritten queries were never
+# re-checked by the independent driver oracle. This window fronts
+# ALL 18 (semantics-affecting rewrites first), then fills the
+# remaining 32 slots from tools/rotation_union.py's oldest-first
+# candidate window (age histogram r9:25 r10:49 r11:49 r12:49 r13:50;
+# 7 of the 18 are themselves r9-age, so this window also retires
+# every remaining r9-age row).
 # --------------------------------------------------------------------------
 
 from sparkga1_spark.plans.registry import set_gate_order  # noqa: E402
 
 set_gate_order([
-    # (a) fixture-changed this round: the jpeg planter rotates the
-    # HIERARCHICAL classes in (ids %32==8 lossless pyramids with a
-    # 12-bit %64==40 sub-class, ids %32==24 DCT quality ladders — the
-    # r12 Annex J decode feature whose rotation was deliberately
-    # deferred past the r12 bench windows); a fixture change needs a
-    # driver row more than an unchanged old row does
-    "x_multimodal_jpeg_decode",
-    # (b) ALL 25 round-8-age rows (tools/rotation_union.py output,
-    # recomputed from the artifacts per the r7/r8 convention),
-    # alphabetical — incl. j_range_exome_overlap, displaced from the
-    # r12 window exactly for this slot
-    "j_range_exome_overlap",
-    "j_semi_known_sites",
-    "j_star_revenue",
-    "o_global_sort_vcf",
-    "o_secondary_sort_first",
-    "o_topk_per_chr",
-    "o_zorder_cluster",
-    "p2_equal_freq_buckets",
-    "p2_interval_coalesce",
-    "tpch_q1_pricing_summary",
-    "tpch_q21_waiting_agg_form",
-    "u_distinct_variants",
-    "u_intersect_except",
-    "w_running_revenue",
-    "x_cohort_retention",
-    "x_curation_pipeline",
-    "x_curation_write_audit",
-    "x_dedup_ngram_jaccard",
-    "x_doc_fingerprint",
-    "x_flatmap_records",
-    "x_lang_id",
-    "x_multimodal_wav_features",
-    "x_multimodal_y4m_frames",
-    "x_pipe_external_tool",
-    "x_text_quality",
-    # (c) the 24 oldest r9-age rows, alphabetical. Displaced vs the
-    # plain 25+25 tool window: x_drift_chi2 (r9-age, UNCHANGED this
-    # round, alphabetically last of the 25 candidates; holds an r9
-    # driver row + this round's full local gate) — one slot ceded to
-    # the fixture-changed row in (a).
-    "p2_skew_detect",
-    "pipeline_end_to_end",
-    "tpch_q15_top_supplier",
-    "x_ann_ivf_topk",
-    "x_ann_ivfpq_topk",
-    "x_ann_pq_adc_topk",
-    "x_assoc_rules_lift",
-    "x_benford_digit_audit",
-    "x_bigram_lm_logprob",
-    "x_bigram_pmi",
-    "x_blackbox_variant_call",
-    "x_blocklist_suffix_match",
-    "x_bloom_fpr_audit",
-    "x_bm25_topk",
-    "x_boilerplate_shingles",
-    "x_chunk_overlap",
-    "x_column_profile_histogram",
-    "x_corr_exact",
-    "x_dau_wau_stickiness",
-    "x_decontaminate_overlap",
-    "x_dedup_cluster_size_hist",
-    "x_dedup_exact",
-    "x_dedup_simhash",
-    "x_dedup_url_canonical",
+    # (a) the 18 r13-optimizer-rewritten queries with no post-rewrite
+    # driver row (VERDICT r13 "what's wrong" #1), most semantically
+    # aggressive rewrites first: window→max-aggregate fold,
+    # aggregate-before-join, shuffle-hash forms, map-side gram
+    # rewrites, persist/pin restructurings
+    "a_dedup_keep_best",
+    "tpch_q18_large_orders",
+    "tpch_q5_local_supplier",
+    "tpch_q21_waiting_supplier",
+    "x_set_similarity_join",
+    "x_set_similarity_routed",
+    "x_graph_triangles",
+    "x_survival_km",
+    "x_rfm_segmentation",
+    "x_dedup_minhash_lsh",
+    "x_multimodal_webp_decode",
+    "x_knn_label_vote",
+    "x_ann_bruteforce_topk",
+    "x_curation_pipeline_v2",
+    "x_pack_context_windows",
+    "x_heaps_vocab_growth",
+    "x_token_budget_sample",
+    "x_crawl_ingest_pipeline",
+    # (b) the 22 remaining r9-age rows (oldest driver coverage left;
+    # tools/rotation_union.py candidate order)
+    "x_drift_chi2",
+    "x_drift_psi",
+    "x_dsir_importance",
+    "x_embedding_neardup",
+    "x_entropy_per_doc",
+    "x_funnel_conversion",
+    "x_gapfill_locf",
+    "x_inverted_index",
+    "x_mix_temperature_weights",
+    "x_multimodal_decode",
+    "x_multimodal_jpeg_meta",
+    "x_multimodal_png_decode",
+    "x_per_source_cap",
+    "x_pq_encode",
+    "x_quality_quantile_filter",
+    "x_revenue_gini_lorenz",
+    "x_scd2_intervals",
+    "x_simhash_hamming_pairs",
+    "x_string_agg_sorted",
+    "x_tfidf_top_terms",
+    "x_unigram_logprob",
+    "x_vocab_oov_rate",
+    # (c) the 10 oldest r10-age rows (tool candidate order), filling
+    # the window to 50
+    "a_rollup_revenue",
+    "f_permissive_line_parse",
+    "s_paired_interleave",
+    "s_session_windows",
+    "s_sliding_avg",
+    "s_tumbling_counts",
+    "tpch_q17_small_quantity",
+    "tpch_q19_disjunctive",
+    "tpch_q20_excess_stock",
+    "tpch_q22_dormant_customers",
 ])

@@ -170,39 +170,36 @@ def test_gate_order_fronts_unproven_queries():
     qs = list(all_queries())
     first50 = set(qs[:50])
     must_have_row = {
-        # round 13 steady-state rotation (see the set_gate_order
-        # comment in plans/queries.py; regenerated by
-        # tools/rotation_union.py from the r1-r12 artifact union):
-        # (a) fixture-changed this round (jpeg planter rotates the
-        # hierarchical Annex J classes in)
-        "x_multimodal_jpeg_decode",
-        # (b) all 25 round-8-age rows
-        "j_range_exome_overlap", "j_semi_known_sites",
-        "j_star_revenue", "o_global_sort_vcf",
-        "o_secondary_sort_first", "o_topk_per_chr",
-        "o_zorder_cluster", "p2_equal_freq_buckets",
-        "p2_interval_coalesce", "tpch_q1_pricing_summary",
-        "tpch_q21_waiting_agg_form", "u_distinct_variants",
-        "u_intersect_except", "w_running_revenue",
-        "x_cohort_retention", "x_curation_pipeline",
-        "x_curation_write_audit", "x_dedup_ngram_jaccard",
-        "x_doc_fingerprint", "x_flatmap_records", "x_lang_id",
-        "x_multimodal_wav_features", "x_multimodal_y4m_frames",
-        "x_pipe_external_tool", "x_text_quality",
-        # (c) the 24 oldest r9-age rows (x_drift_chi2 displaced by
-        # the fixture-changed slot)
-        "p2_skew_detect", "pipeline_end_to_end",
-        "tpch_q15_top_supplier", "x_ann_ivf_topk",
-        "x_ann_ivfpq_topk", "x_ann_pq_adc_topk",
-        "x_assoc_rules_lift", "x_benford_digit_audit",
-        "x_bigram_lm_logprob", "x_bigram_pmi",
-        "x_blackbox_variant_call", "x_blocklist_suffix_match",
-        "x_bloom_fpr_audit", "x_bm25_topk",
-        "x_boilerplate_shingles", "x_chunk_overlap",
-        "x_column_profile_histogram", "x_corr_exact",
-        "x_dau_wau_stickiness", "x_decontaminate_overlap",
-        "x_dedup_cluster_size_hist", "x_dedup_exact",
-        "x_dedup_simhash", "x_dedup_url_canonical",
+        # round 14 window (see the set_gate_order comment in
+        # plans/queries.py): (a) the 18 r13-optimizer-rewritten
+        # queries with no post-rewrite driver row (r13 VERDICT #1)
+        "a_dedup_keep_best", "tpch_q18_large_orders",
+        "tpch_q5_local_supplier", "tpch_q21_waiting_supplier",
+        "x_set_similarity_join", "x_set_similarity_routed",
+        "x_graph_triangles", "x_survival_km",
+        "x_rfm_segmentation", "x_dedup_minhash_lsh",
+        "x_multimodal_webp_decode", "x_knn_label_vote",
+        "x_ann_bruteforce_topk", "x_curation_pipeline_v2",
+        "x_pack_context_windows", "x_heaps_vocab_growth",
+        "x_token_budget_sample", "x_crawl_ingest_pipeline",
+        # (b) the 22 remaining r9-age rows
+        "x_drift_chi2", "x_drift_psi", "x_dsir_importance",
+        "x_embedding_neardup", "x_entropy_per_doc",
+        "x_funnel_conversion", "x_gapfill_locf",
+        "x_inverted_index", "x_mix_temperature_weights",
+        "x_multimodal_decode", "x_multimodal_jpeg_meta",
+        "x_multimodal_png_decode", "x_per_source_cap",
+        "x_pq_encode", "x_quality_quantile_filter",
+        "x_revenue_gini_lorenz", "x_scd2_intervals",
+        "x_simhash_hamming_pairs", "x_string_agg_sorted",
+        "x_tfidf_top_terms", "x_unigram_logprob",
+        "x_vocab_oov_rate",
+        # (c) the 10 oldest r10-age rows
+        "a_rollup_revenue", "f_permissive_line_parse",
+        "s_paired_interleave", "s_session_windows",
+        "s_sliding_avg", "s_tumbling_counts",
+        "tpch_q17_small_quantity", "tpch_q19_disjunctive",
+        "tpch_q20_excess_stock", "tpch_q22_dormant_customers",
     }
     missing = must_have_row - first50
     assert not missing, f"not in the driver's 50-query window: {missing}"
