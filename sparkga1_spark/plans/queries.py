@@ -8197,20 +8197,38 @@ def _standing_dedup_index(spark, sf_dir):
             jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(
                 jpath, True
             )
-        write_bucketed_table(
-            corpus.select(stable_hash64(F.col("text")).alias("_h")).distinct(),
-            hname,
-            bucket_cols=["_h"],
-            n_buckets=16,
-        )
-        write_bucketed_table(
-            minhash_band_keys(
-                T.shingle_hash_rows(corpus), id_col="doc_id"
-            ).select("band", "key").distinct(),
-            bname,
-            bucket_cols=["band", "key"],
-            n_buckets=16,
-        )
+        # the two index builds are independent jobs over the same
+        # corpus — submit them from a 2-thread pool so the (cheap)
+        # hash-table write back-fills cores the (shingle+minhash) band
+        # build leaves idle, instead of running after it (guide §2.6
+        # overlap independent jobs; r14: cold-ingest index build
+        # profiled 0.6 s + 3.2 s sequential)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_hash_idx():
+            write_bucketed_table(
+                corpus.select(
+                    stable_hash64(F.col("text")).alias("_h")
+                ).distinct(),
+                hname,
+                bucket_cols=["_h"],
+                n_buckets=16,
+            )
+
+        def _write_band_idx():
+            write_bucketed_table(
+                minhash_band_keys(
+                    T.shingle_hash_rows(corpus), id_col="doc_id"
+                ).select("band", "key").distinct(),
+                bname,
+                bucket_cols=["band", "key"],
+                n_buckets=16,
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(_write_hash_idx), pool.submit(_write_band_idx)]
+            for f in futs:
+                f.result()
         _DEDUP_INDEX_CACHE[key] = (hname, bname)
     hname, bname = _DEDUP_INDEX_CACHE[key]
     return spark.table(hname), spark.table(bname)

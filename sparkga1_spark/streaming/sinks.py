@@ -432,8 +432,6 @@ def foreach_batch_dedup_admit(
     )
 
     def apply(batch_df, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         with _table_lock(admitted_path):
             _apply_locked(batch_df, batch_id)
 
@@ -452,7 +450,33 @@ def foreach_batch_dedup_admit(
             )
             .filter(F.col("_rn") == 1)
             .drop("_rn")
+            # PERSIST the deduped batch (bounded by the micro-batch
+            # size): its subtree re-runs the source's WARC/decode
+            # Python stage, and unpersisted it would be re-evaluated
+            # by the empty check, the exact semi-join probe, the band
+            # derivation AND the anti-join — profiled at ~5 parse
+            # executions per micro-batch (guide §5: cache what is
+            # reused). Released in the finally below, so nothing
+            # outlives the batch.
+            .persist()
         )
+        admitted = None
+        try:
+            # empty check on the PERSISTED frame (fills the cache; an
+            # empty source batch short-circuits here exactly as the
+            # old pre-lock batch_df.isEmpty() did)
+            if withh.isEmpty():
+                return
+            admitted = _classify(spark, withh).persist()
+            # upsert probes admitted twice (its own empty check + the
+            # merge) — the persist makes the second a cache read
+            upsert(admitted, batch_id)
+        finally:
+            withh.unpersist()
+            if admitted is not None:
+                admitted.unpersist()
+
+    def _classify(spark, withh):
         hash_idx = spark.table(hash_table).select("_h")
         band_idx = spark.table(band_table).select("band", "key")
         if os.path.isdir(admitted_path):
@@ -477,7 +501,6 @@ def foreach_batch_dedup_admit(
             .distinct()
         )
         dup_ids = exact.union(near).distinct()
-        admitted = withh.join(dup_ids, "doc_id", "left_anti")
-        upsert(admitted, batch_id)
+        return withh.join(dup_ids, "doc_id", "left_anti")
 
     return apply
