@@ -531,13 +531,34 @@ def prefix_filter_jaccard_pairs(
     # inter >= num*(|a|+|b|)/(num+den), so pairs whose first shared
     # prefix element sits too deep die here, in 64-bit integers,
     # before the verification join expands them.
+    # the prefix self-join pairs two corpus-shaped sides (the ranked
+    # prefix table twice) — same size-conditional strategy rule as the
+    # verification joins (_SHJ_EST_BYTES): below the bound the planner's
+    # broadcast is fastest locally; above it, broadcasting the prefix
+    # table both costs a corpus-wide driver collect and measured ~2x
+    # slower than shuffled-hash at the 10x replica, and can never
+    # broadcast at 100 TB. Self-join ⇒ either build side is equivalent.
+    import os as _os
+
+    _force = _os.environ.get("SPARKGA1_SETSIM_SHJ")
+    if _force is not None and _force != "":
+        _shj_self = _force == "1"
+    else:
+        # sized from the element ROWS, not ranked: ranked is a join, so
+        # its plan-stat estimate is join-product-inflated (always
+        # huge); rows' estimate is linear in the input and ranked —
+        # the per-set prefixes — is a subset of rows
+        _shj_self = _est_bytes(rows) > _SHJ_EST_BYTES
+    _ra = ranked.select(
+        F.col(id_col).alias("id_a"),
+        hash_col,
+        F.col("_sz").alias("_la"),
+        F.col("_pos").alias("_pa"),
+    )
+    if _shj_self:
+        _ra = _ra.hint("shuffle_hash")
     cand = (
-        ranked.select(
-            F.col(id_col).alias("id_a"),
-            hash_col,
-            F.col("_sz").alias("_la"),
-            F.col("_pos").alias("_pa"),
-        )
+        _ra
         .join(
             ranked.select(
                 F.col(id_col).alias("id_b"),
@@ -584,6 +605,28 @@ def prefix_filter_jaccard_pairs(
     )
 
 
+# Broadcast→shuffled-hash crossover for the verification joins, in
+# OPTIMIZER-ESTIMATE bytes of the corpus-shaped side (NOT real bytes —
+# the estimate under-counts explode fan-out but scales linearly with
+# the input, which is all the decision needs). Calibrated by
+# interleaved A/B: sf0.1 estimate 0.16 MiB (broadcast wins), 10x
+# replica 1.76 MiB (shuffled-hash wins ~2x); any real deployment sits
+# far above the bound, where shuffled-hash is also the only strategy
+# that survives.
+_SHJ_EST_BYTES = 1 << 20
+
+
+def _est_bytes(df: DataFrame) -> int:
+    """Optimizer size estimate of a frame (planning-only, no job).
+    Unknown → assume huge: the scale-safe strategy choice."""
+    try:
+        return int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:  # noqa: BLE001
+        return 1 << 62
+
+
 def _verify_candidate_pairs(
     rows: DataFrame,
     cand: DataFrame,
@@ -599,23 +642,54 @@ def _verify_candidate_pairs(
     element rows, then the pure-integer keep predicate
     den*inter >= num*union. Shared by the prefix-filter route (whose
     candidates are provably complete) and the LSH+refine route (whose
-    candidates trade bounded recall for tau-independent cost)."""
+    candidates trade bounded recall for tau-independent cost).
+
+    Join strategy (r14, guide §3.1): the verification joins pair the
+    output-bounded candidate side against CORPUS-SHAPED tables (the
+    element rows, the per-set sizes). Under the session's 64 MB
+    auto-broadcast threshold the planner picks the corpus side as the
+    broadcast build (its plan-stat estimate stays tiny because explode
+    fan-out is not modeled; the candidate side's join-product estimate
+    is astronomically large) — fine at sf0.1, but at 10x the measured
+    collect+broadcast of the whole corpus's grams already LOSES to a
+    shuffled-hash join building on the candidate side (interleaved A/B:
+    BHJ ~13 s vs SHJ ~7 s at the 10x replica; at sf0.1 BHJ wins 2.7 vs
+    4.3), and at 100 TB the corpus side can never broadcast. So the
+    strategy is picked by the same instrument the planner uses — the
+    corpus side's plan-stat size estimate — with the bound calibrated
+    to the measured crossover: estimates are 0.16 MiB at sf0.1 and
+    1.76 MiB at 10x, so above `_SHJ_EST_BYTES` (1 MiB) the candidate
+    side carries a shuffle_hash hint and the corpus side streams.
+    Result-invariant either way (strategy only); env override
+    SPARKGA1_SETSIM_SHJ=0/1 forces an arm for A/B measurement."""
+    import os as _os
+
     num, den = int(threshold_num), int(threshold_den)
-    ea = cand.join(
+    _force = _os.environ.get("SPARKGA1_SETSIM_SHJ")
+    if _force is not None and _force != "":
+        _shj = _force == "1"
+    else:
+        _shj = _est_bytes(rows) > _SHJ_EST_BYTES
+
+    def _cand_side(df: DataFrame) -> DataFrame:
+        return df.hint("shuffle_hash") if _shj else df
+
+    ea = _cand_side(cand).join(
         rows.select(F.col(id_col).alias("id_a"), hash_col), "id_a"
     )
     inter = (
-        ea.join(
+        _cand_side(ea).join(
             rows.select(F.col(id_col).alias("id_b"), hash_col),
             ["id_b", hash_col],
         )
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared"))
     )
-    withsz = inter.join(
+    withsz = _cand_side(inter).join(
         sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("sz_a")),
         "id_a",
-    ).join(
+    )
+    withsz = _cand_side(withsz).join(
         sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("sz_b")),
         "id_b",
     )

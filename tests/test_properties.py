@@ -790,3 +790,41 @@ def test_pareto_frontier_decimal_axis(spark, pts):
         if not dominated:
             want.add(i)
     assert got == want
+
+
+def test_set_similarity_shj_form_is_result_invariant(spark, sf_dir):
+    """r14 (guide §3.1): the verification/self joins pick their
+    strategy by the corpus side's plan-stat size estimate — broadcast
+    below _SHJ_EST_BYTES (fastest locally), shuffled-hash above (the
+    only form that survives 100 TB; measured ~2x faster at the 10x
+    replica). Pins (a) both arms produce identical pairs, (b) the
+    forced-SHJ arm really plans ShuffledHashJoin and the forced-BHJ
+    arm really broadcasts — so the env/threshold plumbing cannot
+    silently become a no-op."""
+    import os
+
+    from sparkga1_spark.operators import dedup as D
+    from sparkga1_spark.plans.queries import _doc_shingle_rows
+
+    rows = _doc_shingle_rows(spark, sf_dir)
+
+    def pairs(force: str):
+        os.environ["SPARKGA1_SETSIM_SHJ"] = force
+        try:
+            df = D.prefix_filter_jaccard_pairs(
+                rows, id_col="doc_id", threshold_num=2, threshold_den=5
+            )
+            got = sorted(
+                (r.id_a, r.id_b, r.n_shared, r.jaccard) for r in df.collect()
+            )
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return got, plan
+        finally:
+            os.environ.pop("SPARKGA1_SETSIM_SHJ", None)
+
+    bhj_pairs, bhj_plan = pairs("0")
+    shj_pairs, shj_plan = pairs("1")
+    assert bhj_pairs == shj_pairs
+    assert bhj_pairs, "fixture corpus must produce at least one pair"
+    assert "ShuffledHashJoin" in shj_plan
+    assert "ShuffledHashJoin" not in bhj_plan
