@@ -4628,8 +4628,14 @@ def x_gapfill_locf(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("hr").rowsBetween(
         Window.unboundedPreceding, 0
     )
+    # r14 broadcast audit (guide §3.1): the planner broadcast the
+    # events-derived hourly table (95k rows / 20 MB at sf0.1) as this
+    # join's build side — fact-shaped, impossible at scale.
+    # shuffle_hash keys both sides on (user_id, hr); hourly's aggregate
+    # output is already partitioned that way, so only the grid side
+    # moves. Measured neutral at sf0.1 (0.377 vs 0.383 interleaved).
     return (
-        grid.join(hourly, ["user_id", "hr"], "left")
+        grid.join(hourly.hint("shuffle_hash"), ["user_id", "hr"], "left")
         .select(
             "user_id",
             F.col("hr").alias("hour_start"),
@@ -5071,6 +5077,11 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1997-06-01 00:00:00").cast("timestamp_ntz")
     )
+    # r14 broadcast audit (guide §3.1): the planner broadcast the
+    # filtered lineitem fact (388k rows / 17 MB at sf0.1) as this
+    # join's build side — a fact side can never broadcast at scale;
+    # shuffle_hash keys both fact sides on orderkey instead.
+    li = li.hint("shuffle_hash")
     return (
         cu.join(od, cu.c_custkey == od.o_custkey)
         .join(li, li.l_orderkey == od.o_orderkey)
@@ -5101,7 +5112,11 @@ GROUP BY o_orderpriority
 def tpch_q4_order_priority(spark, sf_dir):
     """Q4 shape: EXISTS correlated subquery → left-semi join rewrite."""
     od = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    # r14 broadcast audit (guide §3.1): the semi-join's build side was
+    # the ENTIRE lineitem fact (600k rows / 33 MB broadcast at sf0.1 —
+    # the largest fact broadcast in the registry); shuffle_hash keys
+    # both facts on orderkey, the only strategy that survives at scale.
+    li = load_table(spark, sf_dir, "lineitem").hint("shuffle_hash")
     late = od.join(
         li,
         (od.o_orderkey == li.l_orderkey) & (li.l_shipdate > od.o_orderdate),
@@ -5229,6 +5244,13 @@ def tpch_q18_large_orders(spark, sf_dir):
         .agg(F.sum("l_quantity").alias("_tq"))
         .filter(F.col("_tq") > 150)
     )
+    # r14 broadcast audit (guide §3.1): the planner broadcast the whole
+    # 150k-row orders fact into this join (tq's aggregate estimate is
+    # opaque). Both sides are fact-shaped; shuffle_hash shuffles orders
+    # by orderkey while tq's aggregate output is already partitioned on
+    # l_orderkey, so only the orders side moves — the form that holds
+    # at any scale.
+    od = od.hint("shuffle_hash")
     return od.join(tq, od.o_orderkey == tq.l_orderkey).select(
         F.col("o_custkey").alias("c_custkey"),
         "o_orderkey",
@@ -6300,8 +6322,14 @@ def tpch_q7_nation_volume(spark, sf_dir):
     j = (
         li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
-        .join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        # r14 broadcast audit (guide §3.1): the planner broadcast the
+        # whole 150k-row orders fact into the lineitem join;
+        # shuffle_hash keys both facts on orderkey instead
+        .join(od.hint("shuffle_hash"), li.l_orderkey == od.o_orderkey)
+        # customer is scale-bearing (150k x SF): no broadcast FORCE —
+        # under the threshold the planner still broadcasts it locally,
+        # and at scale it degrades to a shuffle join instead of OOMing
+        .join(cu, od.o_custkey == cu.c_custkey)
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
         .filter(
             ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
@@ -6395,8 +6423,11 @@ def tpch_q22_dormant_customers(spark, sf_dir):
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
         .drop("avg_bal")
     )
+    # r14 broadcast audit (guide §3.1): the anti join's build side was
+    # the entire 150k-row orders fact (broadcast at sf0.1, impossible at
+    # scale); shuffle_hash keys both sides on custkey
     dormant = rich.join(
-        od, rich.c_custkey == od.o_custkey, "left_anti"
+        od.hint("shuffle_hash"), rich.c_custkey == od.o_custkey, "left_anti"
     )
     return (
         dormant.groupBy((F.col("c_nationkey") % 5).cast("int").alias("cntry_band"))
@@ -6784,7 +6815,9 @@ def tpch_q9_product_profit(spark, sf_dir):
     return (
         li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        # r14 broadcast audit (guide §3.1): the 150k-row orders fact was
+        # this join's broadcast build side; shuffle_hash instead
+        .join(od.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"))
         .agg(dsum(profit).alias("profit"))
@@ -6822,7 +6855,10 @@ def tpch_q10_returned_items(spark, sf_dir):
     na = load_table(spark, sf_dir, "nation")
     return (
         cu.join(od, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        # r14 broadcast audit (guide §3.1): the returned-items lineitem
+        # slice (200k rows / 9 MB) was the broadcast build side;
+        # shuffle_hash keys the facts on orderkey instead
+        .join(li.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(
             "c_custkey", "c_name", hround("c_acctbal", 2).alias("c_acctbal"), "n_name"
@@ -6904,6 +6940,10 @@ def tpch_q12_shipmode_priority(spark, sf_dir):
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # r14 broadcast audit (guide §3.1): the planner broadcast the whole
+    # 150k-row orders fact into the date-filtered lineitem join;
+    # shuffle_hash keys both facts on orderkey instead
+    od = od.hint("shuffle_hash")
     return (
         od.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_linestatus")
@@ -6935,9 +6975,13 @@ def tpch_q13_customer_distribution(spark, sf_dir):
     (same plan shape: filter INSIDE the join condition, not a WHERE)."""
     cu = load_table(spark, sf_dir, "customer")
     od = load_table(spark, sf_dir, "orders")
+    # r14 broadcast audit (guide §3.1): the filtered orders fact (120k
+    # rows) was the left join's broadcast build side; shuffle_hash keys
+    # both sides on custkey instead (build side = the right/orders side,
+    # valid for LEFT OUTER)
     counts = (
         cu.join(
-            od,
+            od.hint("shuffle_hash"),
             (F.col("c_custkey") == F.col("o_custkey"))
             & (F.col("o_orderpriority") != "1-URGENT"),
             "left",
