@@ -540,7 +540,9 @@ def prefix_filter_jaccard_pairs(
     # broadcast at 100 TB. Self-join ⇒ either build side is equivalent.
     import os as _os
 
-    _force = _os.environ.get("SPARKGA1_SETSIM_SHJ")
+    _force = _os.environ.get(
+        "SPARKGA1_SETSIM_SELF", _os.environ.get("SPARKGA1_SETSIM_SHJ")
+    )
     if _force is not None and _force != "":
         _shj_self = _force == "1"
     else:
